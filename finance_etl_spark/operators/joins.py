@@ -1,0 +1,128 @@
+"""Join operators Spark SQL lacks natively, composed from built-ins.
+
+asof_join: the finance staple ("price as of trade time"). Batch Spark
+has no ASOF JOIN, so it is composed as union + ordered window with
+``last(..., ignoreNulls)`` — one shuffle on (keys, ts), no Python in
+the row path, and state per group is O(1), so it scales to arbitrarily
+large fact tables (unlike a naive range self-join, which is quadratic
+per key, or per-group ``pd.merge_asof``, which materializes a group in
+memory).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """For each left row, attach ``value_cols`` from the latest right row
+    with ``right.ts <= left.ts`` and equal join keys (backward as-of,
+    inclusive — DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` semantics).
+
+    Implementation: tag both sides, union on (keys, ts), and propagate
+    the right side's values forward with ``last(ignoreNulls=True)`` over
+    an ordered window. Right rows sort before left rows at equal ts so
+    ties are inclusive. Rows never pair across keys because the window
+    is partitioned by the join keys.
+
+    ``tolerance``: optional max staleness (e.g. ``'7 days'``) — matches
+    older than ``left_ts - tolerance`` are nulled out.
+
+    If multiple right rows share (keys, ts), callers should pre-reduce
+    the right side (e.g. ``max_by``) to make the result deterministic.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias(_SIDE),
+        *[F.col(v) for v in value_cols],
+        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
+    )
+    l_cols = [F.col(c).alias(f"__l_{c}") for c in left.columns]
+    lft = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias(_SIDE),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(v) for v in value_cols],
+        *l_cols,
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts"), F.col(_SIDE).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled_vals = [F.last(v, ignoreNulls=True).over(w).alias(v) for v in value_cols]
+    filled_ts = F.last(F.when(F.col(_SIDE) == 1, F.col("__ts")), ignoreNulls=True).over(w)
+
+    out = (
+        r.unionByName(lft)
+        .select(
+            F.col("__ts"),
+            F.col(_SIDE),
+            filled_ts.alias("__match_ts"),
+            *filled_vals,
+            *[F.col(f"__l_{c}") for c in left.columns],
+        )
+        .filter(F.col(_SIDE) == 0)
+    )
+
+    vals: list[Column] = []
+    for v in value_cols:
+        c = F.col(v)
+        if tolerance is not None:
+            c = F.when(
+                F.col("__match_ts")
+                >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}"),
+                c,
+            )
+        vals.append(c.alias(v))
+
+    return out.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *vals,
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+) -> DataFrame:
+    """Equi-key join constrained to a time interval:
+    ``left_ts - lower <= right_ts <= left_ts + upper``.
+
+    With equality keys present this is a plain shuffled equi-join with a
+    residual range predicate — linear, not quadratic, in input size as
+    long as per-key fan-out within the interval is bounded.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    cond = None
+    for k in keys:
+        c = left[k] == right[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {lower}"))
+        & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return left.join(right, cond)

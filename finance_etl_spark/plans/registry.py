@@ -1,0 +1,102 @@
+"""Registry of named queries with optional DuckDB oracles.
+
+Each query is a callable ``(spark, sf_dir) -> DataFrame`` plus, when the
+semantics are ANSI-SQL-expressible, an equivalent DuckDB SQL string used
+as a differential-testing oracle (row count + schema + order-insensitive
+value hash at sf0.01).
+
+Cross-engine float determinism contract (validated empirically in
+tools/float_experiment.py):
+- Order-dependent reductions over doubles (sum/avg) are computed in
+  DECIMAL(30,10) — exact, order- and partition-independent — and cast
+  to double for presentation. On the DuckDB side the final cast routes
+  through VARCHAR because DuckDB's int128→double conversion differs
+  from a correctly-rounded decimal→double by 1 ulp.
+- Per-row arithmetic (+,-,*,/, round, abs, sqrt) is IEEE-deterministic
+  and needs no special handling. Transcendental functions (ln, exp,
+  pow) are libm-dependent and are kept out of oracle-checked outputs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from finance_etl_spark.session import configure
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    headline: bool = False
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    headline: bool = False,
+    tags: tuple[str, ...] = (),
+):
+    """Decorator registering a query builder under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            configure(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(
+            name=name,
+            build=wrapped,
+            oracle=oracle,
+            headline=headline,
+            tags=tuple(tags),
+            doc=(fn.__doc__ or "").strip(),
+        )
+        return fn
+
+    return deco
+
+
+def get(name: str) -> QuerySpec:
+    return _REGISTRY[name]
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.build for name, spec in _REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle}
+
+
+def headline_queries() -> dict[str, QuerySpec]:
+    return {name: spec for name, spec in _REGISTRY.items() if spec.headline}
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine exact float helpers (see module docstring).
+
+DEC = "decimal(30,10)"
+
+
+def o_dsum(expr: str) -> str:
+    """DuckDB SQL for an order-independent, Spark-bit-identical double sum."""
+    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
+
+
+def o_davg(expr: str) -> str:
+    """DuckDB SQL matching Spark's decimal-sum/count average."""
+    return f"({o_dsum(expr)} / COUNT({expr}))"

@@ -1,0 +1,738 @@
+"""Core relational operator coverage (SURVEY.md §2.B: scans, projection,
+filter, joins of every type, aggregation, windows, sort/limit, set ops).
+
+Every query is a lazy DataFrame lineage — scans feed Catalyst directly so
+predicate pushdown / column pruning reach the parquet reader, small
+dimensions are broadcast explicitly, and money aggregates use the exact
+decimal recipe from functions.money (order/partition independent — safe
+on a 1000-executor cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from finance_etl_spark.functions.money import davg, dsum
+from finance_etl_spark.io.readers import load_table
+from finance_etl_spark.plans.registry import o_davg, o_dsum, register
+
+
+# ---------------------------------------------------------------------------
+# Scan + filter + aggregate + sort (TPC-H Q1 shape) — flagship.
+
+@register(
+    "q1_pricing_summary",
+    headline=True,
+    tags=("agg", "filter", "sort"),
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {o_dsum('l_quantity')} AS sum_qty,
+               {o_dsum('l_extendedprice')} AS sum_base_price,
+               {o_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {o_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {o_davg('l_quantity')} AS avg_qty,
+               {o_davg('l_extendedprice')} AS avg_price,
+               {o_davg('l_discount')} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: scan→filter→hash-agg→sort.
+
+    The shipdate filter and the 11-column projection push down to the
+    parquet scan; partial aggregation runs map-side so the shuffle
+    carries ≤ (flags × statuses) rows per partition regardless of SF.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter surface: compound predicates, IN, BETWEEN, LIKE, null-safe equality.
+
+@register(
+    "filter_predicates",
+    tags=("filter",),
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderstatus IN ('O', 'F')
+          AND o_totalprice BETWEEN 100000 AND 200000
+          AND (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%')
+          AND NOT (o_custkey = 42)
+    """,
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate pushdown: IN + BETWEEN + LIKE + NOT."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(100000, 200000)
+        & (F.col("o_orderpriority").like("1%") | F.col("o_orderpriority").like("2%"))
+        & ~(F.col("o_custkey") == 42)
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "filter_null_safe_eq",
+    tags=("filter", "null"),
+    oracle="""
+        SELECT c_custkey,
+               NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+               (NULLIF(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL) AS is_building
+        FROM customer
+        WHERE c_custkey <= 100
+    """,
+)
+def filter_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=>) over an injected-null column."""
+    c = load_table(spark, sf_dir, "customer")
+    seg_or_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.filter(F.col("c_custkey") <= 100).select(
+        "c_custkey",
+        seg_or_null.alias("seg_or_null"),
+        seg_or_null.eqNullSafe(F.lit(None).cast("string")).alias("is_building"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins: inner / left / full / semi / anti / cross / broadcast.
+
+@register(
+    "join_inner_agg",
+    headline=True,
+    tags=("join", "agg"),
+    oracle=f"""
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               {o_dsum('o.o_totalprice')} AS total_revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+)
+def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim equi-join + aggregation; dim side broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    tags=("join",),
+    oracle="""
+        SELECT c.c_custkey, c.c_mktsegment, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count = 0)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_full_outer",
+    tags=("join",),
+    oracle="""
+        WITH cc AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+             ss AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+        SELECT COALESCE(cc.nk, ss.nk) AS nationkey,
+               COALESCE(cc.n_cust, 0) AS n_cust,
+               COALESCE(ss.n_supp, 0) AS n_supp
+        FROM cc FULL OUTER JOIN ss ON cc.nk = ss.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides (nulls on both)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cc = c.groupBy(F.col("c_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("n_cust"))
+    ss = s.groupBy(F.col("s_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return cc.join(ss, "nk", "full_outer").select(
+        F.coalesce(cc.nk, ss.nk).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_left_semi",
+    tags=("join",),
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): customers with a >400k order."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = load_table(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_left_anti",
+    tags=("join", "dedup"),
+    oracle="""
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no orders.
+
+    Same primitive as the reference's incremental dedup
+    (reference: utils/data_manager.py:185-195).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_broadcast_chain",
+    headline=True,
+    tags=("join", "agg"),
+    oracle=f"""
+        SELECT r.r_name AS region, n.n_name AS nation,
+               COUNT(*) AS n_customers,
+               {o_dsum('c.c_acctbal')} AS total_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake dim chain: fact ⋈ broadcast(nation) ⋈ broadcast(region).
+
+    Both dims broadcast — zero shuffles until the final aggregation.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_cross",
+    tags=("join",),
+    oracle="""
+        SELECT r.r_name, n.n_name
+        FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two small dims (125 rows)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
+    "join_theta_non_equi",
+    tags=("join",),
+    oracle="""
+        SELECT s.s_suppkey, COUNT(*) AS n_richer_customers
+        FROM supplier s JOIN customer c ON c.c_acctbal > s.s_acctbal
+        GROUP BY s.s_suppkey
+    """,
+)
+def join_theta_non_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join: broadcast-nested-loop on an inequality.
+
+    The small side is broadcast so the inequality is evaluated without a
+    shuffle; at scale this only works when one side is dimension-sized —
+    which is exactly the supported contract for theta joins.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(s), c.c_acctbal > s.s_acctbal)
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_richer_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation breadth: distinct, rollup, cube, grouping sets, pivot.
+
+@register(
+    "agg_count_distinct",
+    tags=("agg",),
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(DISTINCT c_nationkey) AS n_nations,
+               COUNT(*) AS n_customers
+        FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand+two-phase under AQE)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@register(
+    "agg_rollup",
+    tags=("agg",),
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {o_dsum('l_quantity')} AS sum_qty, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag, flag+status, grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "agg_cube",
+    tags=("agg",),
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {o_dsum('l_extendedprice')} AS sum_price
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_extendedprice").alias("sum_price")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    tags=("agg", "sql"),
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "agg_pivot",
+    tags=("agg", "pivot"),
+    oracle=f"""
+        SELECT l_returnflag,
+               {o_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O,
+               {o_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list → no extra scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+    )
+
+
+@register("agg_approx_distinct", tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (engine-specific sketch — no
+    cross-engine oracle; rows-only check + pytest bounds vs exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows: ranking, analytic, frames.
+
+@register(
+    "window_topk_per_group",
+    headline=True,
+    tags=("window", "topk"),
+    oracle="""
+        SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+            SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment: row_number with a unique
+    tiebreaker (orderkey) so results are total-order deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_rank_dense_ntile",
+    tags=("window",),
+    oracle="""
+        SELECT s_suppkey, s_acctbal,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               NTILE(3) OVER w AS bucket
+        FROM supplier
+        WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over one global ordered window."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(3).over(w).alias("bucket"),
+    )
+
+
+@register(
+    "window_running_balance",
+    headline=True,
+    tags=("window", "frame"),
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS VARCHAR) AS DOUBLE) AS running_total
+        FROM orders
+    """,
+)
+def window_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running account balance: cumulative decimal-exact sum per customer.
+
+    The frame sum is computed in decimal so the cumulative value is
+    bit-stable regardless of how the window partitions are scheduled.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "window_lag_lead_mom",
+    tags=("window", "analytic"),
+    oracle=f"""
+        WITH m AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+                   {o_dsum('o_totalprice')} AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT ym, revenue,
+               LAG(revenue) OVER (ORDER BY ym) AS prev_revenue,
+               LEAD(revenue) OVER (ORDER BY ym) AS next_revenue,
+               revenue - COALESCE(LAG(revenue) OVER (ORDER BY ym), 0) AS mom_delta
+        FROM m
+    """,
+)
+def window_lag_lead_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue deltas via lag/lead."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym")).agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    w = Window.orderBy("ym")
+    return m.select(
+        "ym",
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        F.lead("revenue").over(w).alias("next_revenue"),
+        (F.col("revenue") - F.coalesce(F.lag("revenue").over(w), F.lit(0.0))).alias(
+            "mom_delta"
+        ),
+    )
+
+
+@register(
+    "window_range_frame",
+    tags=("window", "frame"),
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                              RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS n_similar
+        FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: count of same-customer orders within ±10k price."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 10000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_similar"),
+    )
+
+
+@register(
+    "window_first_last",
+    tags=("window", "analytic"),
+    oracle="""
+        SELECT DISTINCT o_custkey,
+               FIRST_VALUE(o_orderkey) OVER w AS first_order,
+               LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last order per customer over a full-partition frame."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set operations.
+
+@register(
+    "sort_limit_topn",
+    tags=("sort", "limit"),
+    oracle="""
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+)
+def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark plans TakeOrderedAndProject — no full sort,
+    each partition keeps N rows, the driver merges (scale-safe)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "sort_multi_key_nulls",
+    tags=("sort", "null"),
+    oracle="""
+        SELECT c_custkey, NULLIF(c_mktsegment, 'MACHINERY') AS seg
+        FROM customer
+        WHERE c_custkey <= 50
+        ORDER BY seg NULLS FIRST, c_custkey DESC
+    """,
+)
+def sort_multi_key_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit NULLS FIRST placement."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_custkey") <= 50)
+        .select("c_custkey", F.nullif("c_mktsegment", F.lit("MACHINERY")).alias("seg"))
+        .orderBy(F.col("seg").asc_nulls_first(), F.col("c_custkey").desc())
+    )
+
+
+@register(
+    "set_union_all",
+    tags=("setop",),
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics, duplicates preserved)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("custkey"))
+    return a.unionByName(b)
+
+
+@register(
+    "set_intersect",
+    tags=("setop",),
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers active in both years."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    tags=("setop",),
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers active in 1995 but not 1996."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b).distinct()
+
+
+@register(
+    "distinct_rows",
+    tags=("setop", "dedup"),
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (hash-dedup of the key pair)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Subqueries (correlated EXISTS handled by join_left_semi; here: IN + scalar).
+
+@register(
+    "subquery_in",
+    tags=("subquery", "sql"),
+    oracle="""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          AND o_totalprice > 350000
+    """,
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery (planned as a left-semi join by Catalyst)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          AND o_totalprice > 350000
+        """
+    )
+
+
+@register(
+    "subquery_scalar",
+    tags=("subquery", "sql"),
+    oracle=f"""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (SELECT {o_davg('o_totalprice')} * 1.9 FROM orders)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (orders ≥ 1.9× the mean price)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+                   / COUNT(o_totalprice) * 1.9
+            FROM orders)
+        """
+    )

@@ -1,0 +1,267 @@
+"""Scalar function surface (SURVEY.md §2.B): string, date, math,
+conditional, hash, and JSON functions — all JVM built-ins inside
+whole-stage codegen; no Python in the row path.
+
+Float note: only per-row IEEE-exact operations (+,-,*,/, round, abs,
+ceil, floor, sqrt) appear in oracle-checked outputs; transcendentals
+(ln/exp/pow) are libm-dependent across engines and live in the
+non-oracled `math_transcendental` query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_etl_spark.io.readers import load_table
+from finance_etl_spark.plans.registry import register
+
+
+@register(
+    "scalar_string_funcs",
+    tags=("scalar", "string"),
+    oracle="""
+        SELECT p_partkey,
+               upper(p_brand) AS brand_upper,
+               lower(p_type) AS type_lower,
+               substring(p_name, 1, 8) AS name_prefix,
+               trim(p_name) AS name_trim,
+               length(p_name) AS name_len,
+               concat(p_brand, ':', p_type) AS brand_type,
+               regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+               regexp_replace(p_name, ' ', '_') AS name_snake,
+               split_part(p_type, ' ', 1) AS type_head,
+               (p_type LIKE '%BRUSHED%') AS is_brushed,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+               reverse(p_brand) AS brand_rev,
+               replace(p_brand, '#', '-') AS brand_dash
+        FROM part WHERE p_partkey <= 100
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery over part."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.trim("p_name").alias("name_trim"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.regexp_extract("p_type", r"([A-Z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.col("p_type").like("%BRUSHED%").alias("is_brushed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")).alias("brand_dash"),
+    )
+
+
+@register(
+    "scalar_levenshtein",
+    tags=("scalar", "string", "similarity"),
+    oracle="""
+        SELECT n1.n_name AS a, n2.n_name AS b,
+               levenshtein(n1.n_name, n2.n_name) AS edit_dist
+        FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey
+        WHERE levenshtein(n1.n_name, n2.n_name) <= 4
+    """,
+)
+def scalar_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance pairs among nation names (fuzzy string matching)."""
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("k1"), F.col("n_name").alias("a"))
+    n2 = n.select(F.col("n_nationkey").alias("k2"), F.col("n_name").alias("b"))
+    return (
+        n1.join(n2, F.col("k1") < F.col("k2"))
+        .withColumn("edit_dist", F.levenshtein("a", "b"))
+        .filter(F.col("edit_dist") <= 4)
+        .select("a", "b", "edit_dist")
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    tags=("scalar", "date"),
+    oracle="""
+        SELECT o_orderkey,
+               year(o_orderdate) AS yr,
+               month(o_orderdate) AS mo,
+               day(o_orderdate) AS dy,
+               quarter(o_orderdate) AS qtr,
+               isodow(o_orderdate) AS iso_dow,
+               strftime(o_orderdate, '%Y-%m') AS ym,
+               strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
+               date_trunc('month', o_orderdate) AS month_start,
+               datediff('day', o_orderdate, TIMESTAMP '2000-01-01') AS days_to_y2k,
+               strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+               strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end
+        FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery over orders.
+
+    Derived calendar values are presented as ISO strings where engines'
+    native date types differ in client representation.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dy"),
+        F.quarter(d).alias("qtr"),
+        (F.weekday(d) + 1).alias("iso_dow"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        F.date_format(d, "yyyy-MM-dd").alias("iso_date"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), d).alias("days_to_y2k"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3mo"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    tags=("scalar", "math"),
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * l_discount, 2) AS disc_amount,
+               abs(l_quantity - 25) AS qty_dev,
+               ceil(l_extendedprice / 1000) AS price_k_ceil,
+               floor(l_extendedprice / 1000) AS price_k_floor,
+               CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+               sqrt(l_quantity) AS qty_sqrt,
+               sign(l_discount - 0.05) AS disc_sign,
+               greatest(l_tax, l_discount) AS max_rate,
+               least(l_tax, l_discount) AS min_rate
+        FROM lineitem WHERE l_orderkey <= 200
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery (IEEE-exact ops only) over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * F.col("l_discount"), 2).alias("disc_amount"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k_floor"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+@register("math_transcendental", tags=("scalar", "math", "approx"))
+def math_transcendental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcendental functions (ln/exp/pow) — libm results differ by
+    ulps across engines, so this is a rows-only query; pytest asserts
+    values against Python's math module within 1e-12."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 50)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.log(F.col("l_extendedprice")).alias("ln_price"),
+        F.exp(F.col("l_discount")).alias("exp_disc"),
+        F.pow(F.col("l_quantity"), 1.5).alias("qty_pow"),
+    )
+
+
+@register(
+    "scalar_conditional",
+    tags=("scalar", "conditional"),
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice >= 300000 THEN 'large'
+                    WHEN o_totalprice >= 100000 THEN 'medium'
+                    ELSE 'small' END AS size_bucket,
+               coalesce(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+               NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS priority_or_null,
+               (CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS finished_price
+        FROM orders WHERE o_orderkey <= 300
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """case/when, coalesce, nullif, conditional projection."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+        .alias("size_bucket"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.nullif("o_orderpriority", F.lit("4-NOT SPECIFIED")).alias("priority_or_null"),
+        F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).alias(
+            "finished_price"
+        ),
+    )
+
+
+@register(
+    "scalar_hash_funcs",
+    tags=("scalar", "hash"),
+    oracle="""
+        SELECT c_custkey,
+               md5(c_name) AS name_md5,
+               sha256(c_name) AS name_sha256,
+               md5(concat(CAST(c_custkey AS VARCHAR), '#', c_mktsegment)) AS composite_md5
+        FROM customer WHERE c_custkey <= 100
+    """,
+)
+def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hashing: md5 / sha2-256 (reference T2 primitive)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+        F.md5(
+            F.concat(F.col("c_custkey").cast("string"), F.lit("#"), F.col("c_mktsegment"))
+        ).alias("composite_md5"),
+    )
+
+
+@register(
+    "json_extract_events",
+    tags=("scalar", "json"),
+    oracle="""
+        SELECT event_type,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column + aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "json_schema_parse",
+    tags=("scalar", "json"),
+    oracle="""
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events WHERE event_id <= 200
+    """,
+)
+def json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with an explicit schema (typed struct access)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 200)
+    parsed = F.from_json(F.col("props"), "struct<k:bigint>")
+    return e.select("event_id", parsed.getField("k").alias("k"))
