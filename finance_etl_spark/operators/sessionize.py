@@ -28,11 +28,12 @@ def sessionize(
     order = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order)
     prev_ts = F.lag(ts).over(w)
-    new_session = F.when(
-        prev_ts.isNull()
-        | (F.col(ts).cast("long") - prev_ts.cast("long") > F.expr(f"INTERVAL {gap}").cast("long")),
-        1,
-    ).otherwise(0)
+    # Interval-to-interval comparison: (ts - prev_ts) yields an interval,
+    # compared against the gap interval directly. (An epoch-second delta
+    # vs CAST(INTERVAL ... AS LONG) would compare seconds against the
+    # interval's own unit count — e.g. 10 for '10 minutes'.)
+    gap_exceeded = (F.col(ts) - prev_ts) > F.expr(f"INTERVAL {gap}")
+    new_session = F.when(prev_ts.isNull() | gap_exceeded, 1).otherwise(0)
     running = Window.partitionBy(key).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -13,11 +13,22 @@ from finance_etl_spark.plans.registry import (  # noqa: F401
     register,
 )
 
-# Import for registration side effects.
-from finance_etl_spark.plans import relational  # noqa: F401, E402
-from finance_etl_spark.plans import scalars  # noqa: F401, E402
-from finance_etl_spark.plans import timeseries  # noqa: F401, E402
-from finance_etl_spark.plans import ingest_parity  # noqa: F401, E402
-from finance_etl_spark.plans import text  # noqa: F401, E402
-from finance_etl_spark.plans import vectors  # noqa: F401, E402
-from finance_etl_spark.plans import streaming_queries  # noqa: F401, E402
+# Import for registration side effects. Modules land incrementally;
+# a missing module must never take down the whole registry.
+import importlib
+
+for _mod in (
+    "relational",
+    "scalars",
+    "timeseries",
+    "ingest_parity",
+    "text",
+    "vectors",
+    "multimodal",
+    "streaming_queries",
+):
+    try:
+        importlib.import_module(f"finance_etl_spark.plans.{_mod}")
+    except ModuleNotFoundError as e:  # only "not yet written" is tolerated
+        if e.name != f"finance_etl_spark.plans.{_mod}":
+            raise

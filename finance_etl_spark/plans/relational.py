@@ -677,7 +677,9 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     a = o.filter(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("custkey"))
     b = o.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
-    return a.exceptAll(b).distinct()
+    # subtract == EXCEPT DISTINCT. (exceptAll(b).distinct() is NOT the
+    # same: it keeps keys whose multiplicity in a exceeds that in b.)
+    return a.subtract(b)
 
 
 @register(

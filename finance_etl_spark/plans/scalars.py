@@ -94,7 +94,7 @@ def scalar_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
                isodow(o_orderdate) AS iso_dow,
                strftime(o_orderdate, '%Y-%m') AS ym,
                strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
-               date_trunc('month', o_orderdate) AS month_start,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
                datediff('day', o_orderdate, TIMESTAMP '2000-01-01') AS days_to_y2k,
                strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
                strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end
@@ -118,7 +118,7 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.weekday(d) + 1).alias("iso_dow"),
         F.date_format(d, "yyyy-MM").alias("ym"),
         F.date_format(d, "yyyy-MM-dd").alias("iso_date"),
-        F.date_trunc("month", d).alias("month_start"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
         F.datediff(F.lit("2000-01-01").cast("timestamp"), d).alias("days_to_y2k"),
         F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3mo"),
         F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
@@ -132,11 +132,11 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_orderkey, l_linenumber,
                round(l_extendedprice * l_discount, 2) AS disc_amount,
                abs(l_quantity - 25) AS qty_dev,
-               ceil(l_extendedprice / 1000) AS price_k_ceil,
-               floor(l_extendedprice / 1000) AS price_k_floor,
+               CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+               CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
                CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
                sqrt(l_quantity) AS qty_sqrt,
-               sign(l_discount - 0.05) AS disc_sign,
+               CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
                greatest(l_tax, l_discount) AS max_rate,
                least(l_tax, l_discount) AS min_rate
         FROM lineitem WHERE l_orderkey <= 200

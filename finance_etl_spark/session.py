@@ -21,6 +21,10 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The events fixture stores ts as parquet TIMESTAMP(NANOS), which
+    # Spark rejects outright; with this conf the column surfaces as a
+    # LONG of epoch-nanos and io.readers converts it back to timestamp.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

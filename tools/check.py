@@ -1,0 +1,162 @@
+"""Local differential-correctness harness (mimics the driver's gate).
+
+For every query in the registry with an oracle: run the Spark build and
+the DuckDB oracle at sf0.01, then compare row count, a loose schema
+kind per column, and an order-insensitive canonicalized value multiset.
+Queries without an oracle get a rows-only check (must run, rows >= 0).
+
+Usage: python tools/check.py [query ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from finance_etl_spark import plans
+from finance_etl_spark.io.readers import TABLES
+from finance_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
+
+
+def canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    try:  # decimal → trimmed float repr
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return repr(float(v))
+    except Exception:
+        pass
+    return str(v)
+
+
+def kind(v) -> str:
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, dt.datetime):
+        return "timestamp"
+    if isinstance(v, dt.date):
+        return "date"
+    if isinstance(v, (list, tuple)):
+        return "list"
+    if isinstance(v, bytes):
+        return "binary"
+    return "str"
+
+
+def rows_to_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def col_kinds(cols, rows):
+    kinds = {}
+    for i, c in enumerate(cols):
+        k = None
+        for r in rows:
+            if r[i] is not None:
+                k = kind(r[i])
+                break
+        kinds[c] = k or "null"
+    return kinds
+
+
+def main(argv: list[str]) -> int:
+    spark = get_spark("check-correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs = plans.all_queries()
+    oracles = plans.all_oracles()
+    names = argv or sorted(qs)
+    n_pass = n_fail = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"PASS {name} (rows-only: {len(s_rows)} rows) [{time.time()-t0:.1f}s]")
+            n_pass += 1
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            d_cols = [d[0] for d in cur.description]
+            d_rows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount {len(s_rows)} vs {len(d_rows)}")
+        if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in d_cols):
+            problems.append(f"columns {sorted(s_cols)} vs {sorted(d_cols)}")
+        else:
+            sk = {k.lower(): v for k, v in col_kinds(s_cols, s_rows).items()}
+            dk = {k.lower(): v for k, v in col_kinds(d_cols, d_rows).items()}
+            mism = {
+                c: (sk[c], dk[c])
+                for c in sk
+                if sk[c] != dk[c] and "null" not in (sk[c], dk[c])
+            }
+            if mism:
+                problems.append(f"kinds {mism}")
+            if not problems:
+                sm = rows_to_multiset([c.lower() for c in s_cols], s_rows)
+                dm = rows_to_multiset([c.lower() for c in d_cols], d_rows)
+                if sm != dm:
+                    diff_s = [r for r in sm if r not in set(dm)][:3]
+                    diff_d = [r for r in dm if r not in set(sm)][:3]
+                    problems.append(f"values: spark-only={diff_s} duck-only={diff_d}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s_rows)} rows) [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail of {len(names)}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
