@@ -1,0 +1,10 @@
+from finance_etl_spark.ingest.config import (  # noqa: F401
+    FileGroupConfig,
+    IngestConfig,
+    load_config,
+)
+from finance_etl_spark.ingest.pipeline import (  # noqa: F401
+    read_group,
+    run_ingest,
+    transform_group,
+)

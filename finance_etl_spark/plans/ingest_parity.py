@@ -1,0 +1,326 @@
+"""Reference ingest-parity queries (SURVEY.md §2.A) with DuckDB oracles.
+
+Both sides are generated from the SAME ingest config
+(fixtures/ingest_config.yaml): the Spark side via ingest.pipeline, the
+oracle side by emitting equivalent DuckDB SQL over ``read_csv`` of the
+committed fixture files. This exercises S1-S4, P1-P4, T1-T3, T5-T11,
+U1, J1 and F1 end-to-end (T4 ``processed_at`` is non-deterministic and
+is checked rows-only / in pytest).
+
+Reference semantics covered here: utils/data_manager.py:34-44 (S2),
+:143-159 (S3), :161-170 (S4), :46-57 (P1/P2), :59-95 (T1-T11, P3),
+:138 (U1), :172-201 (J1).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_etl_spark.functions.keys import surrogate_key
+from finance_etl_spark.ingest import load_config, read_group, run_ingest, transform_group
+from finance_etl_spark.io.readers import load_table
+from finance_etl_spark.plans.registry import register
+
+REPO_ROOT = Path(__file__).resolve().parent.parent.parent
+FIX_DIR = str(REPO_ROOT / "fixtures" / "ingest")
+CONFIG_PATH = str(REPO_ROOT / "fixtures" / "ingest_config.yaml")
+
+CONFIG = load_config(CONFIG_PATH)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL generation (mirrors ingest.pipeline from the same config).
+
+def _q(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _sql_raw(cfg) -> str:
+    """read_csv + rename + filename metadata for one file group."""
+    glob = f"{FIX_DIR}/{cfg.bank}_*_{cfg.mapping_type}_*.csv"
+    renames = ", ".join(
+        f'"{src}" AS "{dst}"' for src, dst in cfg.original_fields.items()
+    )
+    return f"""
+        SELECT {renames},
+               regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+               regexp_extract(regexp_extract(filename, '([^/]+)$', 1),
+                              '{CONFIG.file_pattern}', 2) AS acc_type
+        FROM read_csv('{glob}', delim='{_q(cfg.csv_separator)}', header=true,
+                      all_varchar=true, filename=true)
+    """
+
+
+def _sql_key(cols) -> str:
+    parts = ", ".join(f"coalesce(\"{c}\", 'nan')" for c in cols)
+    return f"md5(concat_ws('#', {parts}))"
+
+
+def _sql_case(d: dict, key_col: str) -> str:
+    whens = " ".join(
+        f"WHEN '{_q(str(k))}' THEN "
+        + (f"'{_q(v)}'" if isinstance(v, str) else str(v))
+        for k, v in d.items()
+    )
+    return f'(CASE "{key_col}" {whens} END)'
+
+
+def _sql_transform(cfg) -> str:
+    """SELECT list mirroring transform_group, minus processed_at."""
+    key = _sql_key(cfg.surrogate_key_columns)
+    if cfg.mapping_type == "stm":
+        f = _q(cfg.date_format)
+        cols = [
+            f"{key} AS surrogate_key",
+            '"acc_number"',
+            f"{_sql_case(cfg.accounts, 'acc_number')} AS acc_name",
+            f"strptime(\"dt\", '{f}') AS dt",
+            f"year(strptime(\"dt\", '{f}')) AS \"year\"",
+            f"strftime(strptime(\"dt\", '{f}'), '%Y-%m') AS ym",
+            f"TRY_CAST(replace(\"sum\", ',', '.') AS DOUBLE)"
+            f" * {_sql_case(cfg.debit_multiplier, 'dc')} AS \"sum\"",
+            '"dc"',
+            '"payee"',
+            f"'{_q(cfg.bank)}' AS bank_name",
+            '"acc_type"',
+            '"file_name"',
+        ]
+    else:
+        f = _q(cfg.date_format)
+        cols = [
+            f"{key} AS surrogate_key",
+            f"strptime(\"send_dt\", '{f}') AS send_dt",
+            f"strptime(\"effect_dt\", '{f}') AS effect_dt",
+            f"year(strptime(\"effect_dt\", '{f}')) AS effect_year",
+            f"strftime(strptime(\"effect_dt\", '{f}'), '%Y-%m') AS effect_ym",
+            '"isin"',
+            '"quantity"',
+            '"price"',
+            f"'{_q(cfg.bank)}' AS bank_name",
+            '"acc_type"',
+            '"file_name"',
+        ]
+    return ",\n               ".join(cols)
+
+
+def _sql_pipeline(mapping_type: str) -> str:
+    """WITH-chained union of all configured banks for one mapping_type."""
+    ctes, selects = [], []
+    for cfg in CONFIG.groups:
+        if cfg.mapping_type != mapping_type:
+            continue
+        raw = f"{cfg.bank}_{cfg.mapping_type}_raw"
+        t = f"{cfg.bank}_{cfg.mapping_type}_t"
+        ctes.append(f"{raw} AS ({_sql_raw(cfg)})")
+        ctes.append(
+            f"{t} AS (SELECT {_sql_transform(cfg)} FROM {raw} WHERE acc_type <> '')"
+        )
+        selects.append(f"SELECT * FROM {t}")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+_STM_FIELDS_NO_TS = [
+    c
+    for c in CONFIG.group("stm", "alpha").desired_fields
+    if c != "processed_at"
+]
+_SEC_FIELDS_NO_TS = [
+    c for c in CONFIG.group("sec", "beta").desired_fields if c != "processed_at"
+]
+
+
+# ---------------------------------------------------------------------------
+# Pipelines (S1-S4, P1-P3, T1-T11, U1).
+
+@register(
+    "ingest_stm_pipeline",
+    tags=("ingest", "csv"),
+    oracle=_sql_pipeline("stm"),
+)
+def ingest_stm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full bank-statement ingest: multi-bank CSV glob read, filename
+    metadata, rename, surrogate key on raw values, account lookup,
+    date parse (per-bank strftime format), comma-normalize + try_cast +
+    D/C sign flip, final projection, cross-bank union."""
+    return run_ingest(spark, FIX_DIR, CONFIG)["stm"].select(*_STM_FIELDS_NO_TS)
+
+
+@register(
+    "ingest_sec_pipeline",
+    tags=("ingest", "csv"),
+    oracle=_sql_pipeline("sec"),
+)
+def ingest_sec_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Securities-report ingest: dual date parse + effect_year/ym."""
+    return run_ingest(spark, FIX_DIR, CONFIG)["sec"].select(*_SEC_FIELDS_NO_TS)
+
+
+@register(
+    "ingest_file_metadata",
+    tags=("ingest", "csv"),
+    oracle=f"""
+        WITH stm AS ({_sql_pipeline('stm')}),
+             sec AS ({_sql_pipeline('sec')})
+        SELECT file_name, bank_name, acc_type, mapping_type, COUNT(*) AS n_rows
+        FROM (SELECT file_name, bank_name, acc_type, 'stm' AS mapping_type FROM stm
+              UNION ALL
+              SELECT file_name, bank_name, acc_type, 'sec' AS mapping_type FROM sec)
+        GROUP BY file_name, bank_name, acc_type, mapping_type
+    """,
+)
+def ingest_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file load accounting (S3 metadata + A1 counts). Files that
+    fail the regex or have no config never appear — skip semantics."""
+    parts = []
+    for t, df in run_ingest(spark, FIX_DIR, CONFIG).items():
+        parts.append(
+            df.select(
+                "file_name", "bank_name", "acc_type", F.lit(t).alias("mapping_type")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("file_name", "bank_name", "acc_type", "mapping_type").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@register(
+    "ingest_incremental_new",
+    tags=("ingest", "dedup"),
+    oracle=f"""
+        WITH stm AS ({_sql_pipeline('stm')}),
+             existing AS (SELECT surrogate_key FROM stm
+                          WHERE file_name = 'alpha_current_stm_20250101.csv')
+        SELECT s.* FROM stm s
+        ANTI JOIN existing e ON s.surrogate_key = e.surrogate_key
+    """,
+)
+def ingest_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 incremental anti-join dedup: treat the first file's keys as
+    already loaded; only genuinely new rows survive (duplicate rows in
+    later files are dropped). Reference utils/data_manager.py:172-201."""
+    from finance_etl_spark.operators.incremental import incremental_new_records
+
+    stm = run_ingest(spark, FIX_DIR, CONFIG)["stm"].select(*_STM_FIELDS_NO_TS)
+    existing = stm.filter(
+        F.col("file_name") == "alpha_current_stm_20250101.csv"
+    ).select("surrogate_key")
+    return incremental_new_records(stm, existing)
+
+
+# ---------------------------------------------------------------------------
+# Standalone T-op queries over fixtures / parquet.
+
+@register(
+    "ingest_safe_cast",
+    tags=("ingest", "scalar"),
+    oracle=f"""
+        WITH raw AS ({_sql_raw(CONFIG.group('stm', 'alpha'))})
+        SELECT acc_number, "dt", "sum" AS raw_amount,
+               replace("sum", ',', '.') AS normalized,
+               TRY_CAST(replace("sum", ',', '.') AS DOUBLE) AS parsed
+        FROM raw WHERE acc_type <> ''
+    """,
+)
+def ingest_safe_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9+T10 isolated: decimal-comma normalize then coerce-to-null
+    cast ('N/A' -> null, reference utils/data_manager.py:75)."""
+    cfg = CONFIG.group("stm", "alpha")
+    raw = read_group(spark, FIX_DIR, cfg, CONFIG.file_pattern)
+    normalized = F.regexp_replace(F.col("sum"), ",", ".")
+    return raw.select(
+        "acc_number",
+        "dt",
+        F.col("sum").alias("raw_amount"),
+        normalized.alias("normalized"),
+        normalized.try_cast("double").alias("parsed"),
+    )
+
+
+@register(
+    "ingest_surrogate_key_nulls",
+    tags=("ingest", "hash"),
+    oracle="""
+        SELECT c_custkey,
+               md5(concat_ws('#',
+                   coalesce(CAST(c_custkey AS VARCHAR), 'nan'),
+                   coalesce(nullif(c_mktsegment, 'BUILDING'), 'nan'),
+                   coalesce(c_name, 'nan'))) AS surrogate_key
+        FROM customer
+    """,
+)
+def ingest_surrogate_key_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2: '#'-joined MD5 key with null->'nan' encoding (pandas
+    astype(str) parity; reference utils/data_manager.py:62-63). The
+    nullif injects nulls so the encoding is actually exercised."""
+    c = load_table(spark, sf_dir, "customer")
+    key = surrogate_key(
+        [
+            F.col("c_custkey"),
+            F.nullif("c_mktsegment", F.lit("BUILDING")),
+            F.col("c_name"),
+        ]
+    )
+    return c.select("c_custkey", key.alias("surrogate_key"))
+
+
+@register(
+    "ingest_map_lookup",
+    tags=("ingest", "join"),
+    oracle="""
+        SELECT n_nationkey, n_name,
+               (CASE n_regionkey WHEN 0 THEN 'AFRICA' WHEN 1 THEN 'AMERICA'
+                                 WHEN 2 THEN 'ASIA' END) AS region_name
+        FROM nation
+    """,
+)
+def ingest_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: literal-map lookup, missing key -> null (regions 3,4 are
+    deliberately absent from the map, matching pandas .map)."""
+    n = load_table(spark, sf_dir, "nation")
+    lookup = F.create_map(
+        F.lit(0), F.lit("AFRICA"), F.lit(1), F.lit("AMERICA"), F.lit(2), F.lit("ASIA")
+    )
+    return n.select(
+        "n_nationkey", "n_name", lookup[F.col("n_regionkey")].alias("region_name")
+    )
+
+
+@register(
+    "ingest_signed_amount",
+    tags=("ingest", "scalar"),
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               o_totalprice * (CASE o_orderstatus WHEN 'F' THEN -1
+                               WHEN 'O' THEN 1 WHEN 'P' THEN 1 END) AS signed_amount
+        FROM orders
+    """,
+)
+def ingest_signed_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11: debit/credit sign flip via multiplier-map lookup
+    (reference utils/data_manager.py:76), applied to order status."""
+    o = load_table(spark, sf_dir, "orders")
+    mult = F.create_map(
+        F.lit("F"), F.lit(-1), F.lit("O"), F.lit(1), F.lit("P"), F.lit(1)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * mult[F.col("o_orderstatus")]).alias("signed_amount"),
+    )
+
+
+@register("ingest_load_stamp", tags=("ingest",))
+def ingest_load_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: current UTC load timestamp — non-deterministic, rows-only
+    check (pytest asserts the value is 'now' within tolerance)."""
+    stm = run_ingest(spark, FIX_DIR, CONFIG)["stm"]
+    return stm.groupBy("bank_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("processed_at").alias("loaded_at"),
+    )
