@@ -33,7 +33,7 @@ def asof_join(
     inclusive — DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` semantics).
 
     Implementation: tag both sides, union on (keys, ts), and propagate
-    the right side's values forward with ``last(ignoreNulls=True)`` over
+    the right side's values forward with ``last(ignorenulls=True)`` over
     an ordered window. Right rows sort before left rows at equal ts so
     ties are inclusive. Rows never pair across keys because the window
     is partitioned by the join keys.
@@ -67,8 +67,8 @@ def asof_join(
         .orderBy(F.col("__ts"), F.col(_SIDE).desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled_vals = [F.last(v, ignoreNulls=True).over(w).alias(v) for v in value_cols]
-    filled_ts = F.last(F.when(F.col(_SIDE) == 1, F.col("__ts")), ignoreNulls=True).over(w)
+    filled_vals = [F.last(v, ignorenulls=True).over(w).alias(v) for v in value_cols]
+    filled_ts = F.last(F.when(F.col(_SIDE) == 1, F.col("__ts")), ignorenulls=True).over(w)
 
     out = (
         r.unionByName(lft)

@@ -446,24 +446,52 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rank_dense_ntile",
     tags=("window",),
     oracle="""
-        SELECT s_suppkey, s_acctbal,
+        SELECT s_suppkey, s_nationkey, s_acctbal,
                RANK() OVER w AS rnk,
                DENSE_RANK() OVER w AS drnk,
                NTILE(3) OVER w AS bucket
         FROM supplier
-        WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
     """,
 )
 def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank / dense_rank / ntile over one global ordered window."""
+    """rank / dense_rank / ntile per nation. The window partitions on
+    the grouping key so every task handles one nation's suppliers —
+    no single-task global sort (the global-ranking case is covered by
+    window_global_row_number via the two-pass operator)."""
     s = load_table(spark, sf_dir, "supplier")
-    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
     return s.select(
         "s_suppkey",
+        "s_nationkey",
         "s_acctbal",
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(3).over(w).alias("bucket"),
+    )
+
+
+@register(
+    "window_global_row_number",
+    tags=("window", "rank"),
+    oracle="""
+        SELECT s_suppkey, s_acctbal,
+               CAST(ROW_NUMBER() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS rn
+        FROM supplier
+    """,
+)
+def window_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row numbering via the two-pass range-partitioned operator
+    (operators/ranks.py) — globally ordered partitions + local
+    row_number + metadata-sized offsets, instead of an unpartitioned
+    window that would serialize the whole table through one task."""
+    from finance_etl_spark.operators.ranks import global_row_number
+
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    return global_row_number(
+        s, [F.col("s_acctbal").desc(), F.col("s_suppkey")], out_col="rn"
     )
 
 
