@@ -1,0 +1,146 @@
+"""Near-duplicate detection operators for LLM corpus curation.
+
+Scale contract: NOTHING here does an all-pairs cross join. Candidate
+pairs come either from an inverted index on (rare) shingles or from
+MinHash-LSH band buckets; both shuffle on content-derived keys, so cost
+is proportional to (pairs that actually collide), not |docs|^2. The
+brute-force path exists only as the small-SF recall oracle in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# MinHash parameters: 64 permutations = 16 bands x 4 rows. With
+# jaccard s, P[candidate] = 1 - (1 - s^4)^16 — s=0.5: 0.66, s=0.8: 0.9996.
+N_PERM = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_PERM // N_BANDS
+_MERSENNE = (1 << 61) - 1
+# Deterministic permutation coefficients (LCG-expanded, odd a).
+_A = [(2 * i + 1) * 2654435761 % (1 << 31) | 1 for i in range(N_PERM)]
+_B = [(i * 40503 + 2531011) % (1 << 31) for i in range(N_PERM)]
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle): distinct word n-gram shingles per document.
+    posexplode + lead windows partitioned per document — no global sort."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    sh = toks.select(
+        F.col(id_col),
+        F.when(
+            parts[-1].isNotNull(), F.concat_ws(" ", *parts)
+        ).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    return sh.distinct()
+
+
+def minhash_signatures(sh: DataFrame, id_col: str) -> DataFrame:
+    """(id, sig array<long>): 64-permutation MinHash signature.
+
+    The shingle hash is masked to 31 bits so a*h+b stays < 2^62 — no
+    silent long overflow corrupting the modular permutation.
+    """
+    h = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 31) - 1))
+    mins = [
+        F.min((h * F.lit(_A[i]) + F.lit(_B[i])) % F.lit(_MERSENNE)).alias(f"m{i}")
+        for i in range(N_PERM)
+    ]
+    per_doc = sh.groupBy(id_col).agg(*mins)
+    return per_doc.select(
+        F.col(id_col),
+        F.array(*[F.col(f"m{i}") for i in range(N_PERM)]).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
+    """(id_a, id_b, n_matching_bands): pairs sharing >=1 LSH band.
+
+    Bands explode to (band_id, band_hash, id); a self-join on the
+    bucket key yields candidates. The shuffle key is (band_id,
+    band_hash) — collisions, not documents, drive the cost.
+    """
+    bands = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[i].cast("string")
+                                for i in range(
+                                    b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND
+                                )
+                            ],
+                        )
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_a"), "band_id", "band_hash"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), "band_id", "band_hash"
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_matching_bands"))
+    )
+
+
+def exact_jaccard(sh: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard (joins
+    bounded by the candidate set — never all-pairs)."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        sh_a.join(sh_b, "shingle")
+        .join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            (
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end fuzzy-dedup pair detection: shingle -> MinHash ->
+    LSH bucket join -> exact-Jaccard verify -> threshold."""
+    sh = shingles(df, id_col, text_col, n)
+    sigs = minhash_signatures(sh, id_col)
+    cands = lsh_candidate_pairs(sigs, id_col)
+    verified = exact_jaccard(sh, cands, id_col)
+    return verified.filter(F.col("jaccard") >= threshold)

@@ -1,0 +1,431 @@
+"""LLM-pipeline text operators over the ``documents`` table: exact and
+near-duplicate detection, token/n-gram statistics, quality scoring,
+language ID, and content fingerprinting.
+
+Everything in this module is expressed with JVM built-ins (split /
+explode / window / groupBy) — no Python in the row path — and every
+dataflow is linear or inverted-index-bounded: the near-dup candidate
+generation never does an all-pairs cross join (see
+text_ngram_jaccard_pairs and operators/dedup.py for the LSH path),
+because all-pairs is quadratic and unusable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from finance_etl_spark.io.readers import load_table
+from finance_etl_spark.plans.registry import register
+
+# Token = non-empty run split on single spaces; the fixture corpus is
+# space-joined. (A \s+ split would differ from DuckDB's string_split.)
+_SPACE = " "
+
+# Tiny stopword list used by the quality score; part of the declared
+# semantics, not a linguistic claim.
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    """(doc_id, pos, tok) — exploded non-empty tokens."""
+    return (
+        df.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), _SPACE)).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+
+
+_TOKENS_SQL = """
+        SELECT doc_id, pos, tok FROM (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+"""
+
+
+@register(
+    "text_exact_dedup",
+    tags=("text", "dedup"),
+    oracle="""
+        SELECT md5(lower(trim(text))) AS content_hash,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY content_hash
+    """,
+)
+def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash: one hash-shuffle on the
+    digest, keep the smallest doc_id per group (deterministic survivor
+    policy). The reference's J1 anti-join consumes exactly this shape."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "text_token_stats",
+    tags=("text", "agg"),
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL})
+        SELECT tok, COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS doc_freq
+        FROM toks GROUP BY tok HAVING COUNT(*) >= 100
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics (term + document frequency): the
+    explode shuffles once on the token — the canonical word-count."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        _tokens(d)
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .filter(F.col("n_occurrences") >= 100)
+    )
+
+
+@register(
+    "text_ngram_stats",
+    tags=("text", "agg"),
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        bigrams AS (
+            SELECT doc_id,
+                   tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+            FROM toks
+        )
+        SELECT bigram, COUNT(*) AS n
+        FROM bigrams WHERE bigram IS NOT NULL
+        GROUP BY bigram HAVING COUNT(*) >= 20
+    """,
+)
+def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram frequencies via posexplode + lead window; the window
+    partitions per document so no global sort exists."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.select(
+        F.concat_ws(" ", F.col("tok"), F.lead("tok").over(w)).alias("bigram"),
+        F.lead("tok").over(w).alias("__next"),
+    ).filter(F.col("__next").isNotNull())
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 20)
+    )
+
+
+@register(
+    "text_quality_score",
+    tags=("text", "quality"),
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   SUM(length(tok)) AS n_token_chars,
+                   SUM(CASE WHEN tok IN {STOPWORDS} THEN 1 ELSE 0 END) AS n_stop
+            FROM toks GROUP BY doc_id
+        )
+        SELECT d.doc_id, length(d.text) AS n_chars, p.n_tokens,
+               CAST(p.n_token_chars AS DOUBLE) / p.n_tokens AS avg_token_len,
+               CAST(p.n_stop AS DOUBLE) / p.n_tokens AS stopword_ratio,
+               (p.n_tokens BETWEEN 10 AND 1000
+                AND CAST(p.n_token_chars AS DOUBLE) / p.n_tokens BETWEEN 2 AND 12)
+                   AS passes_quality
+        FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals (length, token stats, stopword
+    ratio) + a pass/fail gate — the standard pretraining-corpus filter
+    shape. One explode + one hash agg; joins back on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        _tokens(d)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.length("tok")).alias("n_token_chars"),
+            F.sum(F.when(F.col("tok").isin(*STOPWORDS), 1).otherwise(0)).alias(
+                "n_stop"
+            ),
+        )
+    )
+    avg_len = F.col("n_token_chars").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return (
+        d.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            "n_tokens",
+            avg_len.alias("avg_token_len"),
+            stop_ratio.alias("stopword_ratio"),
+            (
+                F.col("n_tokens").between(10, 1000) & avg_len.between(2, 12)
+            ).alias("passes_quality"),
+        )
+    )
+
+
+@register(
+    "text_token_count",
+    tags=("text", "tokenize"),
+    oracle=r"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]')) AS n_bpe_ish_tokens,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_chars_div4
+        FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count estimators: whitespace split, a BPE-ish regex
+    (word runs + single punctuation), and the chars/4 heuristic —
+    all pure JVM expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe_pat = r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), _SPACE)).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(bpe_pat), 0)).alias(
+            "n_bpe_ish_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_chars_div4"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    tags=("text", "hash", "dedup"),
+    oracle="""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   list_filter(string_split(text, ' '), t -> t <> ''))), ' '))
+                   AS bag_fingerprint,
+               md5(text) AS content_fingerprint
+        FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive bag-of-words fingerprint (same digest for
+    shuffled token order — catches paraphrase-by-reordering) plus the
+    raw content digest."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), _SPACE), lambda t: t != "")
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias(
+            "bag_fingerprint"
+        ),
+        F.md5("text").alias("content_fingerprint"),
+    )
+
+
+@register(
+    "text_ngram_jaccard_pairs",
+    tags=("text", "dedup", "similarity"),
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+        rare AS (SELECT shingle FROM sh2 GROUP BY shingle HAVING COUNT(*) <= 50),
+        idx AS (SELECT s.doc_id, s.shingle FROM sh2 s JOIN rare r ON s.shingle = r.shingle),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+            FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT c.id_a, c.id_b, c.n_common,
+               CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) AS jaccard
+        FROM common c
+        JOIN sizes sa ON sa.doc_id = c.id_a
+        JOIN sizes sb ON sb.doc_id = c.id_b
+        WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5
+    """,
+)
+def text_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact trigram-shingle Jaccard >= 0.5,
+    candidates from an inverted shingle index (df-capped at 50 so hot
+    shingles cannot blow the self-join up quadratically). The principled
+    100-TB path is MinHash-LSH (text_minhash_lsh_pairs); this exact
+    variant doubles as its differential oracle."""
+    from finance_etl_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, "doc_id", "text", n=3)
+    rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 50
+    )
+    idx = sh.join(rare.select("shingle"), "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = idx.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = idx.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", "n_common", jac.alias("jaccard"))
+    )
+
+
+@register(
+    "text_minhash_lsh_pairs",
+    headline=True,
+    tags=("text", "dedup", "lsh"),
+)
+def text_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup at scale: 64-perm MinHash, 16x4 LSH banding, bucket
+    self-join for candidates, exact-Jaccard verification >= 0.5
+    (operators/dedup.py). Rows-only for the driver (LSH banding is not
+    ANSI-SQL-expressible); recall vs the exact inverted-index oracle is
+    asserted in tests/test_dedup.py."""
+    from finance_etl_spark.operators.dedup import minhash_lsh_dedup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+# 32-bit SimHash: token hash = first 8 hex chars of md5 (engine-neutral,
+# unlike xxhash64 which DuckDB lacks); bit j contributes +1/-1 by parity.
+_SIMHASH_BITS = 32
+
+
+def _simhash_oracle() -> str:
+    h = "CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)"
+    sums = ",\n                   ".join(
+        f"SUM(CASE WHEN ({h} // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        bits AS (
+            SELECT doc_id,
+                   {sums}
+            FROM toks GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@register("text_simhash", tags=("text", "dedup", "hash"), oracle=_simhash_oracle())
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document: near-identical token
+    multisets land within a small Hamming distance, so near-dup
+    candidates can be bucketed by fingerprint bands — one explode +
+    one hash agg, no pairwise work at all."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    sums = [
+        F.sum(
+            F.when(((h / F.lit(1 << j)).cast("long")) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    bits = toks.groupBy("doc_id").agg(*sums)
+    fp = None
+    for j in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bits.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+@register(
+    "text_lang_id",
+    tags=("text", "langid"),
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        profile AS (
+            SELECT d.lang, t.tok, COUNT(*) AS cnt
+            FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+            GROUP BY d.lang, t.tok
+        ),
+        totals AS (SELECT lang, SUM(cnt) AS total FROM profile GROUP BY lang),
+        weights AS (
+            SELECT p.lang, p.tok, CAST((p.cnt * 1000000) // t.total AS BIGINT) AS w
+            FROM profile p JOIN totals t ON p.lang = t.lang
+        ),
+        scores AS (
+            SELECT t.doc_id, w.lang, CAST(SUM(w.w) AS BIGINT) AS score
+            FROM toks t JOIN weights w ON t.tok = w.tok
+            GROUP BY t.doc_id, w.lang
+        ),
+        ranked AS (
+            SELECT doc_id, lang AS pred_lang, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, lang) AS rn
+            FROM scores
+        )
+        SELECT r.doc_id, r.pred_lang, r.score, d.lang AS true_lang,
+               (r.pred_lang = d.lang) AS correct
+        FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+        WHERE r.rn = 1
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (n=1) profile language ID: per-language token-frequency
+    profiles are trained from the labeled corpus itself, each document
+    is scored by summed integer-scaled token weights, argmax wins
+    (deterministic tiebreak on language name). Integer arithmetic
+    end-to-end so scores are bit-stable across engines and partitions.
+    Dataflow: two hash aggs to build profiles + one token-key join —
+    profiles are corpus-wide aggregates, never broadcast state."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    profile = (
+        toks.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = profile.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    weights = profile.join(totals, "lang").select(
+        "lang", "tok", F.expr("(cnt * 1000000) DIV total").alias("w")
+    )
+    scores = (
+        toks.join(weights, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("w").alias("score"))
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang"))
+    ranked = scores.withColumn("rn", F.row_number().over(w_rank)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        ranked.select("doc_id", F.col("lang").alias("pred_lang"), "score")
+        .join(d.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        .withColumn("correct", F.col("pred_lang") == F.col("true_lang"))
+    )
