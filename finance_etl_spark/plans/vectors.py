@@ -1,0 +1,265 @@
+"""Vector similarity search over the ``embeddings`` table
+(ArrayType(Float), 64-dim): brute-force cosine top-k as the exact
+baseline, random-hyperplane LSH as the sublinear scale path, plus
+centroid/norm analytics.
+
+Scale contracts:
+- brute-force top-k is linear in |vectors| x |queries| and is only the
+  supported path when the query set is dimension-sized (broadcast);
+- near-dup pair search is BLOCKED (here: by label) so the quadratic
+  term is bounded per block;
+- the LSH variant buckets by hyperplane signature bands — candidates,
+  not |vectors|^2, drive the cost (rows-only + recall test).
+
+DuckDB oracle note: both engines compute cosine as a sequential
+left-fold of exact double products (see functions/vectors.py), which
+is bit-identical — verified empirically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from finance_etl_spark.functions.vectors import cosine, dot, l2_norm
+from finance_etl_spark.io.readers import load_table
+from finance_etl_spark.plans.registry import o_dsum, register
+
+# DuckDB equivalents of functions.vectors (sequential fold).
+_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+def _cos(a: str, b: str) -> str:
+    return f"{_DOT.format(a=a, b=b)} / ({_NORM.format(a=a)} * {_NORM.format(a=b)})"
+
+
+@register(
+    "vec_cosine_topk",
+    headline=True,
+    tags=("vector", "similarity"),
+    oracle=f"""
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   {_cos('q.embedding', 'e.embedding')} AS cos_sim
+            FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos_sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 5
+    """,
+)
+def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a small query set: queries
+    broadcast against the vector table (one linear scan), per-query
+    window keeps the top k. This is the exact baseline the ANN path
+    (vec_ann_lsh_topk) is measured against."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine("q_emb", "embedding").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+@register(
+    "vec_cosine_near_dup_pairs",
+    tags=("vector", "dedup"),
+    oracle=f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+               {_cos('a.embedding', 'b.embedding')} AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_cos('a.embedding', 'b.embedding')} >= 0.4
+    """,
+)
+def vec_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, BLOCKED by label: the
+    pairwise join shuffles on the block key so the quadratic term is
+    per-block, never corpus-wide. (Unblocked near-dup at scale goes
+    through LSH buckets instead — vec_ann_lsh_topk's machinery.)"""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"),
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", "label", cosine("ea", "eb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+@register(
+    "vec_centroid_per_label",
+    tags=("vector", "agg"),
+    oracle="""
+        WITH elems AS (
+            SELECT label, vec_id,
+                   generate_subscripts(embedding, 1) AS dim,
+                   unnest(embedding) AS val
+            FROM embeddings
+        )
+        SELECT label, CAST(dim AS INT) AS dim,
+               list_sum(list_transform(list(CAST(val AS DOUBLE) ORDER BY vec_id),
+                        x -> x)) / COUNT(*) AS centroid,
+               COUNT(*) AS n
+        FROM elems GROUP BY label, dim
+    """,
+)
+def vec_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, element-wise: posexplode to (label, dim,
+    val), then a vec_id-ordered sequential double fold per cell —
+    deterministic regardless of partitioning because the fold order is
+    data-defined, not schedule-defined. (A decimal-cast sum is NOT
+    cross-engine-stable for arbitrary float-origin doubles: DuckDB's
+    double->decimal conversion rounds through a double multiply and
+    can differ by 1e-10 from Spark's exact BigDecimal rounding.)
+    Per-group state is the group's value list — bounded by vectors per
+    (label, dim), fine for centroid-sized groups."""
+    e = load_table(spark, sf_dir, "embeddings")
+    elems = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim0", "val")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("vec_id", "val")))
+    fold = F.aggregate(
+        F.transform(ordered, lambda s: s.getField("val")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return elems.groupBy("label", "dim").agg(
+        (fold / F.count("val")).alias("centroid"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "vec_norm_stats",
+    tags=("vector", "agg"),
+    oracle=f"""
+        WITH n AS (SELECT label, {_NORM.format(a='embedding')} AS nrm FROM embeddings)
+        SELECT label, COUNT(*) AS n_vectors,
+               {o_dsum('nrm')} AS sum_norm,
+               MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+        FROM n GROUP BY label
+    """,
+)
+def vec_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm distribution per label (sanity stats for embedding
+    pipelines); norms fold JVM-side, the agg is decimal-exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("label", l2_norm("embedding").alias("nrm"))
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.col("nrm").cast("decimal(30,10)")).cast("double").alias("sum_norm"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH ANN: random-hyperplane (Rademacher ±1) signatures, banded buckets.
+
+N_PLANES = 16
+N_BANDS = 2
+BITS_PER_BAND = N_PLANES // N_BANDS
+DIM = 64
+
+
+def _sign(p: int, j: int) -> int:
+    """Deterministic pseudo-random ±1 (LCG over the plane/dim index)."""
+    h = (p * 1000003 + j * 7919 + 12345) * 2654435761 % (1 << 32)
+    return 1 if h & 1 else -1
+
+
+_PLANES = [[_sign(p, j) for j in range(DIM)] for p in range(N_PLANES)]
+
+
+def _signature_bands(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, band_id, band_sig): hyperplane-sign signature split into
+    bands. Everything is fold-over-array JVM expressions."""
+    bits = []
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(float(s)) for s in _PLANES[p]])
+        proj = F.aggregate(
+            F.zip_with("embedding", plane, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)))
+    band_sigs = []
+    for b in range(N_BANDS):
+        sig = None
+        for i in range(BITS_PER_BAND):
+            term = bits[b * BITS_PER_BAND + i] * F.lit(1 << i)
+            sig = term if sig is None else sig + term
+        band_sigs.append(sig)
+    return df.select(
+        F.col("vec_id").alias(id_col),
+        F.posexplode(F.array(*band_sigs)).alias("band_id", "band_sig"),
+    )
+
+
+@register("vec_ann_lsh_topk", tags=("vector", "similarity", "lsh"))
+def vec_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via random-hyperplane LSH: vectors
+    bucket by (band, signature); queries probe only their own buckets,
+    then exact cosine ranks the candidates. The shuffle key is the
+    bucket, so the search cost scales with collisions rather than the
+    corpus — the 100-TB path. Rows-only for the driver; recall vs
+    vec_cosine_topk is asserted in tests/test_vectors.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    buckets = _signature_bands(e, "cand_id")
+    q_bands = _signature_bands(e.filter(F.col("vec_id") < 5), "query_id")
+    cands = (
+        q_bands.join(buckets, ["band_id", "band_sig"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    ce = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        cands.join(F.broadcast(qe), "query_id")
+        .join(ce, "cand_id")
+        .select("query_id", "cand_id", cosine("q_emb", "c_emb").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("cand_id").alias("neighbor_id"), "rank", "cos_sim")
+    )
