@@ -1,0 +1,142 @@
+"""Multimodal columns: opaque binary payloads + typed metadata beside
+relational columns (SURVEY.md §2.B "LLM: multimodal cols").
+
+The container has no image/audio codecs, so the DECODE step is a
+clearly-marked deterministic stub behind mapInPandas — but everything
+Spark-side is real: BinaryType columns in the schema, Arrow-batched
+UDF plumbing, metadata pushdown-friendly projections, and
+frame-sampling as pure relational arithmetic. Swapping the stub for
+PIL/ffmpeg changes one function body, not the dataflow.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_etl_spark.io.readers import load_table
+from finance_etl_spark.plans.registry import register
+
+
+def _with_payload(d: DataFrame) -> DataFrame:
+    """documents + a synthetic binary 'payload' column (utf-8 bytes of
+    the text) standing in for an image/audio blob, with typed media
+    metadata columns alongside."""
+    return d.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int").alias("n_channels"),
+    )
+
+
+@register(
+    "mm_binary_metadata",
+    tags=("multimodal", "binary"),
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS payload_sha256,
+               hex(encode(substring(text, 1, 8))) AS prefix_hex,
+               'image/fake' AS media_type,
+               CAST((doc_id % 3) + 1 AS INT) AS n_channels
+        FROM documents
+    """,
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BinaryType payload handling without decoding: byte length,
+    content digest, magic-bytes prefix — the checks a 100 TB media
+    pipeline runs before any codec work, all JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    p = _with_payload(d)
+    return p.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("payload_sha256"),
+        F.hex(F.substring("payload", 1, 8)).alias("prefix_hex"),
+        "media_type",
+        "n_channels",
+    )
+
+
+@register(
+    "mm_frame_sample",
+    tags=("multimodal", "video"),
+    oracle="""
+        WITH media AS (
+            SELECT doc_id,
+                   CAST((doc_id % 10) * 30 + 30 AS INT) AS n_frames,
+                   CAST(10 AS INT) AS sample_every
+            FROM documents WHERE doc_id < 100
+        )
+        SELECT doc_id, n_frames,
+               CAST(unnest(range(0, n_frames, sample_every)) AS INT) AS frame_idx
+        FROM media
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plan for video payloads: the frame index list is
+    pure relational arithmetic (sequence + explode) computed BEFORE
+    any decode happens, so the expensive decode UDF only ever sees the
+    frames it must touch."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = d.select(
+        "doc_id",
+        ((F.col("doc_id") % 10) * 30 + 30).cast("int").alias("n_frames"),
+        F.lit(10).cast("int").alias("sample_every"),
+    )
+    return media.select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.col("sample_every"))
+        ).alias("frame_idx"),
+    ).withColumn("frame_idx", F.col("frame_idx").cast("int"))
+
+
+_DECODE_SCHEMA = (
+    "doc_id long, n_bytes int, width int, height int, n_channels int, mean_byte double"
+)
+
+
+def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched fake decoder. A real deployment replaces the body
+    marked STUB with PIL/libvips; the signature, schema, and batch
+    shape are the production ones.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_bytes = payloads.str.len()
+        # STUB: no codec in this container. Derive deterministic fake
+        # dimensions from the payload itself; a real decoder would do
+        #   img = PIL.Image.open(io.BytesIO(buf))  # noqa
+        # and raise on undecodable payloads.
+        width = (n_bytes % 64 + 1).astype("int32")
+        height = (n_bytes // 64 + 1).astype("int32")
+        mean_byte = payloads.map(
+            lambda b: (sum(b) / len(b)) if len(b) else 0.0
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes.astype("int32"),
+                "width": width,
+                "height": height,
+                "n_channels": pdf["n_channels"].astype("int32"),
+                "mean_byte": mean_byte,
+            }
+        )
+
+
+@register("mm_decode_features", tags=("multimodal", "udf"))
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches, the
+    only sane way to run per-payload Python at scale). Rows-only for
+    the driver — the stubbed decode is engine-specific; batch shape
+    and schema are asserted in tests/test_multimodal.py."""
+    d = load_table(spark, sf_dir, "documents")
+    return _with_payload(d).mapInPandas(decode_image_batch, _DECODE_SCHEMA)

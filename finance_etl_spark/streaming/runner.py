@@ -1,0 +1,82 @@
+"""Structured Streaming plumbing: file-source event stream, memory-sink
+test harness, and the foreachBatch idempotent (anti-join) sink — the
+streaming form of the reference's J1 incremental load
+(reference: utils/data_manager.py:172-201 + main.py:22-29).
+
+At scale the same code runs against a Kafka/file drop-zone source; the
+micro-batch boundary is where exactly-once lands: every batch is
+anti-joined against the sink's existing keys before append, so replays
+and overlapping retries insert nothing twice.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_etl_spark.operators.incremental import incremental_new_records
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double,"
+    " props string"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream. The fixture stores ts as
+    TIMESTAMP(NANOS) (surfaced as epoch-nanos LONG under
+    spark.sql.legacy.parquet.nanosAsLong) — converted here exactly like
+    the batch reader (io/readers.py)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str, mode: str = "update", timeout: int = 120
+):
+    """Run a streaming DataFrame to completion into a memory sink and
+    return the resulting table DataFrame (test harness: the fixture
+    source is finite, so processAllAvailable terminates)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(timeout)
+    return df.sparkSession.table(name)
+
+
+def idempotent_append_batch(
+    batch_df: DataFrame, sink_dir: str, key_cols: list[str]
+) -> int:
+    """foreachBatch body: stamp surrogate keys, anti-join against the
+    sink's existing keys, append only new rows. Returns rows written.
+
+    Parquet-append is used for the fixture sink; swap for Delta
+    ``MERGE WHEN NOT MATCHED`` where ACID is available — the anti-join
+    contract is identical.
+    """
+    from finance_etl_spark.operators.incremental import with_surrogate_key
+
+    spark = batch_df.sparkSession
+    keyed = with_surrogate_key(batch_df, key_cols)
+    try:
+        existing = spark.read.parquet(sink_dir).select("surrogate_key")
+    except Exception:  # first batch: empty sink -> pass-through
+        existing = None
+    new = keyed if existing is None else incremental_new_records(keyed, existing)
+    new = new.cache()
+    n = new.count()
+    if n:
+        new.write.mode("append").parquet(sink_dir)
+    new.unpersist()
+    return n
