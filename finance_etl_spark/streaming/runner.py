@@ -31,7 +31,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch reader (io/readers.py)."""
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(os.path.join(sf_dir, "events.parquet"))
+        # the file source wants a directory: stream the sf dir, glob to
+        # the one table file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
     return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 

@@ -1,0 +1,62 @@
+"""Recall / quality assertions for the approximate (LSH) paths against
+their exact counterparts at small SF, plus sketch accuracy bounds."""
+
+from pyspark.sql import functions as F
+
+from finance_etl_spark import plans
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.select("id_a", "id_b").collect()}
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """Every exact-Jaccard>=0.5 pair should be found by MinHash-LSH
+    (P[miss] = (1-s^4)^16 <= 1.6% at s=0.5, ~0 at s>=0.8); and every
+    LSH-reported pair is exact-verified so precision is 1.0 by
+    construction."""
+    exact = _pairs(plans.get("text_ngram_jaccard_pairs").build(spark, sf_dir))
+    lsh = _pairs(plans.get("text_minhash_lsh_pairs").build(spark, sf_dir))
+    assert lsh <= exact or not exact  # precision (both verified >= 0.5)
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.9
+    else:
+        assert lsh == set()
+
+
+def test_vector_ann_recall_vs_brute_force(spark, sf_dir):
+    """LSH top-5 must recover most of the brute-force top-5."""
+    exact = plans.get("vec_cosine_topk").build(spark, sf_dir)
+    approx = plans.get("vec_ann_lsh_topk").build(spark, sf_dir)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.5  # 16 hyperplanes, 2 bands: modest recall
+
+
+def test_approx_count_distinct_within_bound(spark, sf_dir):
+    out = plans.get("agg_approx_distinct").build(spark, sf_dir).collect()
+    for r in out:
+        assert abs(r.approx_orders - r.exact_orders) <= max(
+            3, 0.05 * r.exact_orders
+        )
+
+
+def test_simhash_near_dup_small_hamming(spark, sf_dir):
+    """Near-dup docs (exact Jaccard >= 0.5) must sit closer in SimHash
+    space than the corpus median."""
+    sim = plans.get("text_simhash").build(spark, sf_dir)
+    pairs = plans.get("text_ngram_jaccard_pairs").build(spark, sf_dir)
+    if pairs.isEmpty():
+        return
+    a = sim.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha")
+    )
+    b = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    d = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("ham"))
+        .collect()
+    )
+    assert sum(r.ham for r in d) / len(d) <= 8  # of 32 bits

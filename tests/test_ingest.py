@@ -1,0 +1,58 @@
+"""Ingest-parity semantics on the committed CSV fixtures."""
+
+from pyspark.sql import functions as F
+
+from finance_etl_spark.plans.ingest_parity import CONFIG, FIX_DIR
+from finance_etl_spark.ingest import run_ingest
+
+
+def test_skip_semantics(spark):
+    """gamma (no config) and badname.csv (regex miss) never load."""
+    out = run_ingest(spark, FIX_DIR, CONFIG)
+    stm = out["stm"]
+    files = {r.file_name for r in stm.select("file_name").distinct().collect()}
+    assert "gamma_current_stm_20250103.csv" not in files
+    assert "badname.csv" not in files
+    assert files == {
+        "alpha_current_stm_20250101.csv",
+        "alpha_current_stm_20250102.csv",
+        "beta_savings_stm_20250103.csv",
+    }
+
+
+def test_dirty_amount_coerces_to_null_and_sign_flip(spark):
+    stm = run_ingest(spark, FIX_DIR, CONFIG)["stm"]
+    rows = {r.payee: r["sum"] for r in stm.collect()}
+    assert rows["BadAmount"] is None  # 'N/A' -> null (T10)
+    assert rows["Grocery"] == -89.10  # D -> negative (T9+T11)
+    assert rows["Salary"] == 1500.00  # C -> positive
+    assert rows["Coffee"] == -99.95
+
+
+def test_account_lookup_missing_key_null(spark):
+    stm = run_ingest(spark, FIX_DIR, CONFIG)["stm"]
+    by_acc = {r.acc_number: r.acc_name for r in stm.collect()}
+    assert by_acc["EE123456789012345678"] == "Main account"
+    assert by_acc["EE999999999999999999"] is None  # T5 missing -> null
+
+
+def test_duplicate_rows_share_surrogate_key_across_files(spark):
+    stm = run_ingest(spark, FIX_DIR, CONFIG)["stm"]
+    acme = stm.filter(F.col("payee") == "Acme OU").select("surrogate_key").collect()
+    assert len(acme) == 2 and acme[0].surrogate_key == acme[1].surrogate_key
+
+
+def test_processed_at_is_current_utc(spark):
+    import datetime as dt
+
+    stm = run_ingest(spark, FIX_DIR, CONFIG)["stm"]
+    t = stm.select(F.max("processed_at").alias("t")).collect()[0].t
+    now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    assert abs((now - t).total_seconds()) < 600
+
+
+def test_per_bank_date_formats(spark):
+    stm = run_ingest(spark, FIX_DIR, CONFIG)["stm"]
+    by_payee = {r.payee: (str(r.dt), r.ym, r.year) for r in stm.collect()}
+    assert by_payee["Acme OU"] == ("2025-01-03 00:00:00", "2025-01", 2025)
+    assert by_payee["Coffee"] == ("2025-01-03 00:00:00", "2025-01", 2025)

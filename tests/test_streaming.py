@@ -1,0 +1,103 @@
+"""Real Structured Streaming runs (file source, memory/parquet sinks)
+asserted against their batch equivalents."""
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from finance_etl_spark import plans
+from finance_etl_spark.io.readers import load_table
+from finance_etl_spark.streaming.runner import (
+    events_stream,
+    idempotent_append_batch,
+    run_stream_to_memory,
+)
+
+
+def test_stream_tumbling_agg_matches_batch(spark, sf_dir):
+    """readStream tumbling count with watermark == batch tumbling count
+    (the fixture is finite, so completeness holds at end-of-stream)."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    got = run_stream_to_memory(agg, name, mode="update").select(
+        F.col("window.start").alias("ws"), "event_type", "n_events"
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n_events")
+    )
+    assert got.exceptAll(batch).isEmpty() and batch.exceptAll(got).isEmpty()
+
+
+def test_stream_dropduplicates_within_watermark(spark, sf_dir):
+    """Streaming dedup on (user_id, event_type): at most one survivor
+    per key, and every batch-side key is present."""
+    s = events_stream(spark, sf_dir)
+    dedup = (
+        s.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"d_{uuid.uuid4().hex[:8]}"
+    got = run_stream_to_memory(dedup, name, mode="append")
+    batch_keys = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    got_keys = got.distinct()
+    assert got.count() == got_keys.count()  # no key twice
+    assert batch_keys.exceptAll(got_keys).isEmpty()  # nothing lost
+
+
+def test_foreachbatch_idempotent_sink(spark, sf_dir, tmp_path):
+    """The anti-join sink inserts each key once, no matter how many
+    times the same micro-batch replays (streaming J1)."""
+    sink = str(tmp_path / "sink")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 200)
+        .select("event_id", "user_id", "event_type")
+    )
+    n1 = idempotent_append_batch(batch, sink, ["event_id"])
+    n2 = idempotent_append_batch(batch, sink, ["event_id"])  # replay
+    assert n1 > 0 and n2 == 0
+    assert spark.read.parquet(sink).count() == n1
+
+    more = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 300)
+        .select("event_id", "user_id", "event_type")
+    )
+    n3 = idempotent_append_batch(more, sink, ["event_id"])  # overlap
+    assert spark.read.parquet(sink).count() == n1 + n3
+    assert (
+        spark.read.parquet(sink).select("surrogate_key").distinct().count()
+        == n1 + n3
+    )
+
+
+def test_session_window_stream_runs(spark, sf_dir):
+    """session_window executes under a real stream (state + watermark)."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    got = run_stream_to_memory(agg, name, mode="complete")
+    batch = plans.get("stream_session_window").build(spark, sf_dir)
+    # finite stream: session count per user must match the batch analog
+    assert (
+        got.groupBy("user_id").count().exceptAll(
+            batch.groupBy("user_id").count()
+        ).isEmpty()
+    )
