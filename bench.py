@@ -1,0 +1,67 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query executes end-to-end via the noop sink (full computation, no
+driver-side collect). A small warm-up query runs first so JVM/codegen
+startup does not pollute the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from finance_etl_spark import plans  # noqa: E402
+from finance_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    df = plans.get(name).build(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    return time.time() - t0
+
+
+def main() -> int:
+    spark = get_spark("bench")
+    names = sorted(plans.headline_queries())
+    # warm-up: tiny query end-to-end (JVM + codegen + parquet footer IO)
+    run_query(spark, "q1_pricing_summary", "/root/testdata/sf0.001")
+
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = round(run_query(spark, name, SF_DIR), 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

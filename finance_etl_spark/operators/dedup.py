@@ -102,14 +102,19 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
 
 
 def exact_jaccard(sh: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
-    """Verify candidate pairs with exact shingle-set Jaccard (joins
-    bounded by the candidate set — never all-pairs)."""
+    """Verify candidate pairs with exact shingle-set Jaccard.
+
+    Work is proportional to Σ|shingles(a)| over candidate pairs: the
+    pair list drives the join (pairs ⋈ shingles(a) ⋈ shingles(b) on
+    (id_b, shingle)) — never shingle ⋈ shingle first, which would blow
+    up quadratically on hot shingles."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     common = (
-        sh_a.join(sh_b, "shingle")
-        .join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        pairs.select("id_a", "id_b")
+        .join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -138,9 +143,18 @@ def minhash_lsh_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """End-to-end fuzzy-dedup pair detection: shingle -> MinHash ->
-    LSH bucket join -> exact-Jaccard verify -> threshold."""
-    sh = shingles(df, id_col, text_col, n)
-    sigs = minhash_signatures(sh, id_col)
-    cands = lsh_candidate_pairs(sigs, id_col)
+    LSH bucket join -> exact-Jaccard verify -> threshold.
+
+    The shingle relation feeds three consumers (signatures, sizes,
+    verification); it is persisted so the explode+window lineage runs
+    once instead of three times — at cluster scale use
+    ``StorageLevel.MEMORY_AND_DISK`` semantics (the default), which
+    spills instead of recomputing."""
+    sh = shingles(df, id_col, text_col, n).persist()
+    # sigs (one row per doc) and cands (collision pairs) are tiny
+    # relative to the corpus; persisting them stops the 64-agg
+    # signature lineage from re-running in the self-join and verify.
+    sigs = minhash_signatures(sh, id_col).persist()
+    cands = lsh_candidate_pairs(sigs, id_col).persist()
     verified = exact_jaccard(sh, cands, id_col)
     return verified.filter(F.col("jaccard") >= threshold)
