@@ -154,7 +154,12 @@ def minhash_lsh_dedup_pairs(
     # sigs (one row per doc) and cands (collision pairs) are tiny
     # relative to the corpus; persisting them stops the 64-agg
     # signature lineage from re-running in the self-join and verify.
+    # The count() materializes each cache BEFORE its consumers fan out
+    # — otherwise parallel downstream stages race on the cold cache and
+    # each recomputes the full lineage.
+    sh.count()
     sigs = minhash_signatures(sh, id_col).persist()
+    sigs.count()
     cands = lsh_candidate_pairs(sigs, id_col).persist()
     verified = exact_jaccard(sh, cands, id_col)
     return verified.filter(F.col("jaccard") >= threshold)
