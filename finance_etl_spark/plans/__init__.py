@@ -26,6 +26,7 @@ for _mod in (
     "vectors",
     "multimodal",
     "streaming_queries",
+    "udf_queries",
 ):
     try:
         importlib.import_module(f"finance_etl_spark.plans.{_mod}")

@@ -265,3 +265,46 @@ def json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 200)
     parsed = F.from_json(F.col("props"), "struct<k:bigint>")
     return e.select("event_id", parsed.getField("k").alias("k"))
+
+
+@register(
+    "array_map_ops",
+    tags=("scalar", "array", "map"),
+    oracle="""
+        SELECT vec_id,
+               len(embedding) AS n_dims,
+               CAST(embedding[1] AS DOUBLE) AS first_val,
+               CAST(embedding[64] AS DOUBLE) AS last_val,
+               list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS head4,
+               list_transform(list_sort(embedding[1:4]), x -> CAST(x AS DOUBLE))
+                   AS head4_sorted,
+               CAST(list_max(embedding) AS DOUBLE) AS max_val,
+               len(list_filter(embedding, x -> x > 0)) AS n_positive,
+               (CASE label WHEN 0 THEN 'cluster-a' WHEN 1 THEN 'cluster-b' END)
+                   AS label_name
+        FROM embeddings
+    """,
+)
+def array_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/map expression surface over a real vector column: size,
+    element access, slice, sort, max, lambda filter, and literal-map
+    lookup — all inside whole-stage codegen (SURVEY §2.B array/map)."""
+    from finance_etl_spark.io.readers import load_table as _lt
+
+    e = _lt(spark, sf_dir, "embeddings")
+    head4 = F.slice("embedding", 1, 4)
+    lookup = F.create_map(
+        F.lit(0), F.lit("cluster-a"), F.lit(1), F.lit("cluster-b")
+    )
+    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.element_at("embedding", 64).cast("double").alias("last_val"),
+        to_d(head4).alias("head4"),
+        to_d(F.sort_array(head4)).alias("head4_sorted"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        lookup[F.col("label")].alias("label_name"),
+    )

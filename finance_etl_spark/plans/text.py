@@ -429,3 +429,43 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(d.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
         .withColumn("correct", F.col("pred_lang") == F.col("true_lang"))
     )
+
+
+@register(
+    "text_tfidf",
+    tags=("text", "tfidf"),
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+        WHERE tf.tf >= 5
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (document, term): two hash aggs (term frequency,
+    document frequency) + a token-key join; the corpus size joins in as
+    a 1-row broadcast. tfidf is rounded to 6 decimals in both engines
+    because ln() is libm-dependent (~1 ulp spread) — the integer tf/df
+    columns carry the exact contract."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()  # driver-side scalar: one number, not row data
+    return (
+        tf.join(df, "tok")
+        .filter(F.col("tf") >= 5)
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )

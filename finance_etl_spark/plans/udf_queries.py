@@ -1,0 +1,57 @@
+"""UDF-surface queries: Arrow-batched pandas UDF and applyInPandas
+custom aggregation, both oracle-checked (the row-at-a-time UDF and the
+UDTF are API demos covered in tests/test_udfs.py, not query paths)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_etl_spark.functions.udfs import median_per_group, normalize_text_pandas
+from finance_etl_spark.io.readers import load_table
+from finance_etl_spark.plans.registry import register
+
+
+@register(
+    "udf_pandas_normalize",
+    tags=("udf", "text"),
+    oracle="""
+        SELECT doc_id,
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS normalized,
+               length(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS n_chars,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS digest
+        FROM documents
+    """,
+)
+def udf_pandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas UDF text normalization; the digest column
+    proves byte-for-byte agreement with the SQL formulation."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalize_text_pandas(F.col("text"))
+    return d.select(
+        "doc_id",
+        norm.alias("normalized"),
+        F.length(norm).alias("n_chars"),
+        F.md5(norm).alias("digest"),
+    )
+
+
+@register(
+    "udf_grouped_median",
+    tags=("udf", "agg"),
+    oracle="""
+        SELECT o_custkey,
+               median(o_totalprice) AS median_price,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    """,
+)
+def udf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregation via applyInPandas (grouped-map UDAF): exact
+    per-customer median. Each group ships to Python as one Arrow
+    batch — state is O(group), the shuffle is the same hash
+    partitioning a built-in agg would use."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return o.groupBy("o_custkey").applyInPandas(
+        median_per_group, "o_custkey long, median_price double, n_orders long"
+    )
