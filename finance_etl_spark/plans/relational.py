@@ -766,3 +766,60 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM orders)
         """
     )
+
+
+@register(
+    "agg_salted_hot_key",
+    tags=("agg", "skew"),
+    oracle=f"""
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               {o_dsum('l_extendedprice')} AS sum_price,
+               MAX(l_quantity) AS max_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation on a 3-value hot key via salted two-stage
+    agg (operators/skew.py): no reducer ever receives a whole key's
+    data. Decimal partials re-aggregate exactly, so the result is
+    bit-identical to the direct groupBy oracle."""
+    from finance_etl_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    partial = [
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("l_extendedprice").cast("decimal(30,10)")).alias("ps"),
+        F.max("l_quantity").alias("pm"),
+    ]
+    merge = [
+        F.sum("pn").alias("n_rows"),
+        F.sum("ps").cast("double").alias("sum_price"),
+        F.max("pm").alias("max_qty"),
+    ]
+    return salted_agg(li, ["l_returnflag"], partial, merge, n_salts=16)
+
+
+@register(
+    "agg_percentiles",
+    tags=("agg", "percentile"),
+    oracle="""
+        SELECT o_orderstatus,
+               quantile_cont(o_totalprice, 0.5) AS p50,
+               quantile_cont(o_totalprice, 0.9) AS p90,
+               quantile_cont(o_totalprice, 0.99) AS p99
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`: both linear interpolation). The approximate
+    path for 100-TB cardinalities is percentile_approx (KLL-sketch-
+    style, engine-specific — covered rows-only via agg_approx_distinct's
+    pattern)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.percentile("o_totalprice", 0.99).alias("p99"),
+    )
