@@ -25,6 +25,7 @@ for _mod in (
     "text",
     "vectors",
     "multimodal",
+    "jdbc_queries",
     "streaming_queries",
     "udf_queries",
 ):
