@@ -34,6 +34,17 @@ def test_vector_ann_recall_vs_brute_force(spark, sf_dir):
     assert len(a & e) / len(e) >= 0.5  # 16 hyperplanes, 2 bands: modest recall
 
 
+def test_vector_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF with 8-of-16 probed lists must recover most of the exact
+    top-5 (nearest neighbors overwhelmingly share the query's coarse
+    cell or an adjacent probed one)."""
+    exact = plans.get("vec_cosine_topk").build(spark, sf_dir)
+    approx = plans.get("vec_ann_ivf_topk").build(spark, sf_dir)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.5
+
+
 def test_approx_count_distinct_within_bound(spark, sf_dir):
     out = plans.get("agg_approx_distinct").build(spark, sf_dir).collect()
     for r in out:
