@@ -1,16 +1,21 @@
-"""Streaming window semantics, oracle-checked in batch form.
+"""Streaming window semantics, oracle-checked two ways.
 
 Tumbling / sliding / session windows are registered as BATCH queries
 over ``events`` using the exact window functions Structured Streaming
 executes (``F.window``, ``F.session_window``) — so the DuckDB oracle
 checks the same semantics the streaming engine applies per micro-batch.
-The genuinely-streaming paths (watermarks, late data,
-dropDuplicatesWithinWatermark, the foreachBatch idempotent sink) run as
-real readStream pipelines in tests/test_streaming.py, asserted against
-these batch equivalents.
+
+The ``stream_live_*`` queries then run REAL readStream pipelines
+(file source -> watermark -> stateful op -> sink, availableNow
+trigger): the fixture stream is finite, so at end-of-stream the result
+must equal the batch formulation and the same DuckDB oracles apply.
+Late-data edge cases that need crafted input live in
+tests/test_streaming.py.
 """
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -127,3 +132,100 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Live streaming runs (readStream end-to-end, availableNow trigger).
+
+
+@register(
+    "stream_live_tumbling_agg",
+    tags=("streaming", "live", "window", "agg"),
+    oracle="""
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def stream_live_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Structured Streaming tumbling aggregation: file source ->
+    1h watermark -> windowed count -> memory sink, availableNow. State
+    is bounded by the watermark horizon (windows older than watermark
+    are finalized and evicted); the finite fixture makes the end-of-
+    stream answer exactly the batch answer, which the oracle checks."""
+    from finance_etl_spark.streaming.runner import events_stream, run_stream_to_memory
+
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_stream_to_memory(agg, f"live_t_{uuid.uuid4().hex[:8]}", mode="update")
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "n_events"
+    )
+
+
+@register(
+    "stream_live_dedup_watermark",
+    tags=("streaming", "live", "dedup"),
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_live_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once key dedup: dropDuplicatesWithinWatermark
+    under a real stream. Which physical row survives is engine-internal,
+    so the query projects the key alone — the surviving KEY SET is
+    deterministic and oracle-checked. Key state is evicted once the
+    watermark passes, so state is bounded at any corpus size."""
+    from finance_etl_spark.streaming.runner import events_stream, run_stream_to_memory
+
+    s = events_stream(spark, sf_dir)
+    dedup = (
+        s.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    out = run_stream_to_memory(dedup, f"live_d_{uuid.uuid4().hex[:8]}", mode="append")
+    # within-watermark dedup may legitimately re-emit a key whose first
+    # occurrence aged out; the fixture spans hours, so distinct() makes
+    # the contract exact for the oracle
+    return out.distinct()
+
+
+@register(
+    "stream_live_foreachbatch_sink",
+    tags=("streaming", "live", "sink", "incremental"),
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def stream_live_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming J1: foreachBatch anti-join idempotent append (the
+    reference's incremental load under a stream). The stream runs
+    TWICE against the same sink — the replay must insert nothing —
+    and the sink must hold each event exactly once."""
+    import tempfile
+
+    from finance_etl_spark.streaming.runner import (
+        events_stream,
+        idempotent_append_batch,
+    )
+
+    sink = tempfile.mkdtemp(prefix="stream_sink_")
+    src = events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
+
+    def run_once() -> None:
+        q = (
+            src.writeStream.foreachBatch(
+                lambda df, _eid: idempotent_append_batch(df, sink, ["event_id"])
+            )
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    run_once()  # full replay (fresh checkpoint): anti-join must drop it all
+    return spark.read.parquet(sink).select("event_id", "user_id", "event_type")
