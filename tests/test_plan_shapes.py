@@ -1,0 +1,85 @@
+"""Physical-plan shape assertions: the scale contract, machine-checked.
+
+These tests pin the *plan*, not the result: filters reach the parquet
+scan, projections prune the read schema, dimension joins broadcast,
+global top-n plans as TakeOrderedAndProject, and no query in the audit
+list ever plans a CartesianProduct. A regression that keeps results
+correct but destroys the 100-TB execution shape fails here.
+"""
+
+import pytest
+
+from finance_etl_spark import plans
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    em = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(em)
+
+
+def test_q1_filter_and_projection_reach_scan(spark, sf_dir):
+    p = plan_str(plans.get("q1_pricing_summary").build(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # 11-column projection out of lineitem's 16: untouched wide columns
+    # must not appear in the parquet ReadSchema
+    assert "l_comment" not in p and "l_shipinstruct" not in p
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    p = plan_str(plans.get("join_broadcast_chain").build(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # snowflake dims must never shuffle the fact side
+    assert "CartesianProduct" not in p
+
+
+def test_topn_plans_as_take_ordered(spark, sf_dir):
+    p = plan_str(plans.get("sort_limit_topn").build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p  # never a full global sort
+
+
+def test_topk_per_group_partitions_its_window(spark, sf_dir):
+    p = plan_str(plans.get("window_topk_per_group").build(spark, sf_dir))
+    # the ranking window must be hash-partitioned on the group key, not global
+    assert "Window" in p
+    assert "hashpartitioning" in p.lower()
+
+
+def test_anti_join_is_key_join_not_nested_loop(spark, sf_dir):
+    p = plan_str(plans.get("join_left_anti").build(spark, sf_dir))
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+# Queries whose build is lazy (no eager side effects) and that must
+# never contain a cartesian product — the quadratic-blowup audit.
+# join_cross is excluded by design (it IS the cross-join demo, bounded
+# to dimension tables); jdbc/live-streaming queries execute eagerly.
+_NO_CARTESIAN_AUDIT = [
+    "q1_pricing_summary",
+    "join_inner_agg",
+    "join_broadcast_chain",
+    "join_left_anti",
+    "join_left_semi",
+    "join_theta_non_equi",
+    "window_topk_per_group",
+    "window_running_balance",
+    "window_rank_dense_ntile",
+    "ts_asof_join",
+    "ts_range_join",
+    "ts_sessionize",
+    "text_token_stats",
+    "text_ngram_jaccard_pairs",
+    "vec_cosine_near_dup_pairs",
+    "agg_salted_hot_key",
+    "ingest_stm_pipeline",
+    "ingest_incremental_new",
+    "subquery_in",
+    "stream_tumbling_window",
+]
+
+
+@pytest.mark.parametrize("name", _NO_CARTESIAN_AUDIT)
+def test_no_cartesian_product(spark, sf_dir, name):
+    p = plan_str(plans.get(name).build(spark, sf_dir))
+    assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
