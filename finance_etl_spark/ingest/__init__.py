@@ -4,7 +4,9 @@ from finance_etl_spark.ingest.config import (  # noqa: F401
     load_config,
 )
 from finance_etl_spark.ingest.pipeline import (  # noqa: F401
+    quarantine_split,
     read_group,
+    read_group_permissive,
     run_ingest,
     transform_group,
 )

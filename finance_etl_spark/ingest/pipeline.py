@@ -74,6 +74,49 @@ def read_group(
     return df.select(*renamed, "file_name", "acc_type")
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_group_permissive(
+    spark: SparkSession, data_dir: str, cfg: FileGroupConfig, file_pattern: str
+) -> DataFrame:
+    """S2 with per-ROW error isolation (replaces the reference's
+    per-FILE skip-on-error, utils/data_manager.py:42-44): PERMISSIVE
+    mode parses what it can and captures structurally-malformed lines
+    (wrong field count) verbatim in ``_corrupt_record`` instead of
+    throwing away the whole file. Downstream: ``quarantine_split``.
+
+    Requires an explicit schema (canonical names, declared CSV column
+    order from the config) — the corrupt-record channel only exists on
+    schema'd reads."""
+    glob = f"{cfg.bank}_*_{cfg.mapping_type}_*.csv"
+    fields = ", ".join(f"`{dst}` string" for dst in cfg.original_fields.values())
+    df = (
+        spark.read.option("header", True)
+        .option("sep", cfg.csv_separator)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("pathGlobFilter", glob)
+        .schema(f"{fields}, {CORRUPT_COL} string")
+        .csv(data_dir)
+    )
+    return df.withColumn(
+        "file_name", F.regexp_extract(F.input_file_name(), _BASENAME_RE, 1)
+    )
+
+
+def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantined): clean rows ready for transform_group, and
+    the raw malformed lines with their source file for audit/replay —
+    the Spark-native form of the reference's error isolation, without
+    silently dropping data."""
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        "file_name", CORRUPT_COL
+    )
+    return good, bad
+
+
 def transform_group(df: DataFrame, cfg: FileGroupConfig) -> DataFrame:
     """T1-T11 + P3 for one file group (reference _transform_data,
     utils/data_manager.py:59-95)."""

@@ -324,3 +324,59 @@ def ingest_load_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.max("processed_at").alias("loaded_at"),
     )
+
+
+FIX_CORRUPT_DIR = str(REPO_ROOT / "fixtures" / "ingest_corrupt")
+
+
+@register(
+    "ingest_corrupt_quarantine",
+    tags=("ingest", "csv", "permissive"),
+    oracle=f"""
+        WITH good AS (
+            SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+                   COUNT(*) AS n_good
+            FROM read_csv('{FIX_CORRUPT_DIR}/alpha_*_stm_*.csv', delim=';',
+                          header=true, all_varchar=true, ignore_errors=true,
+                          filename=true)
+            GROUP BY 1
+        ),
+        lines AS (
+            SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+                   COUNT(*) - 1 AS n_rows
+            FROM read_csv('{FIX_CORRUPT_DIR}/alpha_*_stm_*.csv', delim=chr(1),
+                          header=false, all_varchar=true,
+                          columns={{'line': 'VARCHAR'}}, filename=true)
+            GROUP BY 1
+        )
+        SELECT l.file_name,
+               coalesce(g.n_good, 0) AS n_good,
+               l.n_rows - coalesce(g.n_good, 0) AS n_quarantined
+        FROM lines l LEFT JOIN good g USING (file_name)
+    """,
+)
+def ingest_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row error isolation (S2 cross-cutting semantics): PERMISSIVE
+    read of a fixture containing structurally-malformed lines, split
+    into clean rows vs quarantined raw lines, summarized per file. The
+    reference throws the whole file away on any error
+    (utils/data_manager.py:42-44); here 3 of 5 rows survive and the 2
+    malformed lines stay auditable. The DuckDB oracle derives the same
+    counts independently via ignore_errors + a raw line count."""
+    from finance_etl_spark.ingest import read_group_permissive
+    from finance_etl_spark.ingest.pipeline import CORRUPT_COL
+
+    cfg = CONFIG.group("stm", "alpha")
+    df = read_group_permissive(spark, FIX_CORRUPT_DIR, cfg, CONFIG.file_pattern)
+    # Spark disallows queries whose only referenced CSV column is the
+    # corrupt-record channel (QUERY_ONLY_CORRUPT_RECORD_COLUMN); the
+    # documented workaround is caching the parsed relation. Real
+    # pipelines don't hit this: quarantine_split consumers always
+    # reference data columns.
+    df = df.cache()
+    return df.groupBy("file_name").agg(
+        F.sum(F.when(F.col(CORRUPT_COL).isNull(), 1).otherwise(0)).alias("n_good"),
+        F.sum(F.when(F.col(CORRUPT_COL).isNotNull(), 1).otherwise(0)).alias(
+            "n_quarantined"
+        ),
+    )

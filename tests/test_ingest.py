@@ -56,3 +56,30 @@ def test_per_bank_date_formats(spark):
     by_payee = {r.payee: (str(r.dt), r.ym, r.year) for r in stm.collect()}
     assert by_payee["Acme OU"] == ("2025-01-03 00:00:00", "2025-01", 2025)
     assert by_payee["Coffee"] == ("2025-01-03 00:00:00", "2025-01", 2025)
+
+
+def test_permissive_quarantine_split(spark):
+    """Malformed lines (wrong field count) are captured verbatim, clean
+    rows flow through — no whole-file discard (reference drops the
+    entire file on any error)."""
+    from finance_etl_spark.ingest import (
+        load_config,
+        quarantine_split,
+        read_group_permissive,
+    )
+    from finance_etl_spark.plans.ingest_parity import CONFIG_PATH, FIX_CORRUPT_DIR
+
+    config = load_config(CONFIG_PATH)
+    cfg = config.group("stm", "alpha")
+    df = read_group_permissive(
+        spark, FIX_CORRUPT_DIR, cfg, config.file_pattern
+    ).cache()
+    good, bad = quarantine_split(df)
+    assert good.count() == 3
+    assert bad.count() == 2
+    # quarantined lines keep the raw text for audit/replay
+    raws = [r._corrupt_record for r in bad.collect()]
+    assert all(";" in raw for raw in raws)
+    # structurally-fine rows with unparseable values are NOT quarantined;
+    # they coerce to null later (T10), preserving reference semantics
+    assert good.filter(good["sum"] == "bad_amount").count() == 1
