@@ -55,3 +55,42 @@ def udf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_custkey").applyInPandas(
         median_per_group, "o_custkey long, median_price double, n_orders long"
     )
+
+
+@register(
+    "udf_table_function_tokens",
+    tags=("udf", "udtf", "text"),
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) AS opos,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE doc_id < 100
+        )
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY opos) - 1
+                    AS INT) AS pos,
+               tok
+        FROM raw WHERE tok <> ''
+    """,
+)
+def udf_table_function_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface: LATERAL table function emitting one row per
+    token (doc_id, pos, tok). Row-at-a-time Python — registered to
+    prove the API end-to-end against the oracle, NOT a hot path: the
+    engine's production tokenization is the JVM-side
+    posexplode(split(...)) in plans/text.py. Bounded to doc_id < 100
+    accordingly."""
+    from pyspark.sql.functions import udtf
+
+    from finance_etl_spark.functions.udfs import SplitWords
+
+    split_words = udtf(SplitWords, returnType="doc_id bigint, pos int, tok string")
+    spark.udtf.register("split_words", split_words)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    ).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.tok"
+        " FROM udtf_docs, LATERAL split_words(doc_id, text) t"
+    )
