@@ -380,3 +380,35 @@ def ingest_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_quarantined"
         ),
     )
+
+
+@register(
+    "ddl_table_roundtrip",
+    tags=("ddl", "catalog"),
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def ddl_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1-X3 end-to-end: CREATE SCHEMA, destructive drop+create of a
+    table whose StructType comes from the reference's 5-type config
+    vocabulary (db_init.py:20-43), INSERT the region dimension, read
+    back by catalog name. External LOCATION (tempdir) so the query is
+    independent of the session's warehouse directory."""
+    import tempfile
+
+    from finance_etl_spark.io.ddl import recreate_tables
+
+    recreate_tables(
+        spark,
+        "engine_ddl",
+        {
+            "region_cfg": {
+                "r_regionkey": {"type": "Integer", "nullable": False},
+                "r_name": {"type": "String", "length": 64},
+            }
+        },
+        location_root=tempfile.mkdtemp(prefix="ddl_rt_"),
+    )
+    load_table(spark, sf_dir, "region").select("r_regionkey", "r_name").write.mode(
+        "append"
+    ).insertInto("engine_ddl.region_cfg")
+    return spark.table("engine_ddl.region_cfg")
