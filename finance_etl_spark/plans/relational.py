@@ -823,3 +823,58 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_totalprice", 0.9).alias("p90"),
         F.percentile("o_totalprice", 0.99).alias("p99"),
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    tags=("join", "bucketing", "scale"),
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name,
+               COUNT(*) AS n_orders,
+               {o_dsum('o.o_totalprice')} AS total_spend
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle join+agg via bucketing: both sides are written as
+    catalog tables bucketed (and sorted) on the join key with the same
+    bucket count, so the sort-merge join needs NO Exchange on either
+    side — and the per-customer aggregate reuses the same partitioning,
+    so the whole pipeline runs shuffle-free (asserted in
+    tests/test_plan_shapes.py). This is the co-located-join strategy
+    for repeated fact/dim joins at 100 TB: pay the partitioning once at
+    write time, never again at read time."""
+    import tempfile
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS engine_buckets")
+    loc = tempfile.mkdtemp(prefix="buckets_")
+    sides = {
+        "cust_b": (
+            load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+            "c_custkey",
+        ),
+        "ord_b": (
+            load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+            "o_custkey",
+        ),
+    }
+    for name, (df, key) in sides.items():
+        spark.sql(f"DROP TABLE IF EXISTS engine_buckets.{name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{loc}/{name}")
+            .mode("overwrite")
+            .saveAsTable(f"engine_buckets.{name}")
+        )
+    c = spark.table("engine_buckets.cust_b")
+    o = spark.table("engine_buckets.ord_b")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_spend"),
+        )
+    )

@@ -83,3 +83,29 @@ _NO_CARTESIAN_AUDIT = [
 def test_no_cartesian_product(spark, sf_dir, name):
     p = plan_str(plans.get(name).build(spark, sf_dir))
     assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
+
+
+def test_bucketed_join_plans_no_shuffle(spark, sf_dir):
+    """Join + agg on the bucket key must plan zero SHUFFLE exchanges
+    (at tiny SF Catalyst broadcasts the dim — a BroadcastExchange moves
+    dimension bytes, not fact bytes, and is fine)."""
+    df = plans.get("join_bucketed_colocated").build(spark, sf_dir)
+    p = plan_str(df)
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange rangepartitioning" not in p
+    assert "Bucketed: true" in p
+
+
+def test_bucketed_join_colocated_without_broadcast(spark, sf_dir):
+    """With broadcast disabled (the 100-TB shape: dim too big to ship),
+    the bucketed sort-merge join must run with NO Exchange of any kind
+    on either side — the pay-once co-location contract."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = plans.get("join_bucketed_colocated").build(spark, sf_dir)
+        p = plan_str(df)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
