@@ -229,3 +229,37 @@ def stream_live_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame
     run_once()
     run_once()  # full replay (fresh checkpoint): anti-join must drop it all
     return spark.read.parquet(sink).select("event_id", "user_id", "event_type")
+
+
+@register(
+    "stream_live_stateful_totals",
+    tags=("streaming", "live", "state", "udf"),
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+        FROM events GROUP BY user_id
+    """,
+)
+def stream_live_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator under a real stream: per-user totals in
+    explicit GroupState (applyInPandasWithState), update-mode memory
+    sink. The fixture is a single file, so availableNow processes one
+    micro-batch and the final update per key equals the batch group-by
+    — which the oracle checks exactly (integer metrics only). In
+    update mode a key may emit once per batch; the max-per-key pick
+    below makes the query batch-count-agnostic."""
+    from finance_etl_spark.streaming.runner import (
+        events_stream,
+        run_stream_to_memory,
+        stateful_user_totals,
+    )
+
+    s = events_stream(spark, sf_dir).select("user_id", "event_id")
+    out = run_stream_to_memory(
+        stateful_user_totals(s), f"live_s_{uuid.uuid4().hex[:8]}", mode="update"
+    )
+    # keep the final (largest) update per key: totals grow monotonically
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("sum_event_id").alias("sum_event_id"),
+    )

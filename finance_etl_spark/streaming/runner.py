@@ -83,3 +83,33 @@ def idempotent_append_batch(
         new.write.mode("append").parquet(sink_dir)
     new.unpersist()
     return n
+
+
+def stateful_user_totals(stream_df: DataFrame):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running totals held in explicit GroupState. This is the
+    escape hatch for aggregation logic the built-in windowed aggs can't
+    express; state is per-key and partitioned by the shuffle, so it
+    scales horizontally like any keyed agg. Integer metrics only —
+    exact under any batch/partition order."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, s = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += int(pdf["event_id"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "sum_event_id": [s]}
+        )
+
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, sum_event_id long",
+        stateStructType="n long, s long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
