@@ -9,7 +9,7 @@ brute-force path exists only as the small-SF recall oracle in tests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # MinHash parameters: 64 permutations = 16 bands x 4 rows. With
@@ -23,40 +23,75 @@ _A = [(2 * i + 1) * 2654435761 % (1 << 31) | 1 for i in range(N_PERM)]
 _B = [(i * 40503 + 2531011) % (1 << 31) for i in range(N_PERM)]
 
 
+def shingle_array(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sh_arr): the distinct word n-gram shingle ARRAY per
+    document — a pure map-side pipeline (split -> filter -> indexed
+    transform -> array_distinct), no shuffle at all. Per-doc
+    distinctness via array_distinct is equivalent to a relational
+    DISTINCT because shingles never cross documents."""
+    base = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("__toks"),
+    )
+    toks = F.col("__toks")
+    n_tok = F.size(toks)
+    idx = F.sequence(F.lit(0), n_tok - n)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.get(toks, i + j) for j in range(n)]
+    )
+    sh_arr = F.when(n_tok >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array().cast("array<string>")
+    )
+    return base.select(F.col(id_col), sh_arr.alias("sh_arr"))
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle): distinct word n-gram shingles per document.
-    posexplode + lead windows partitioned per document — no global sort."""
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
-    ).filter(F.col("tok") != "")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    sh = toks.select(
-        F.col(id_col),
-        F.when(
-            parts[-1].isNotNull(), F.concat_ws(" ", *parts)
-        ).alias("shingle"),
-    ).filter(F.col("shingle").isNotNull())
-    return sh.distinct()
+    """(id, shingle): exploded relational form of ``shingle_array``."""
+    return shingle_array(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode("sh_arr").alias("shingle")
+    )
 
 
-def minhash_signatures(sh: DataFrame, id_col: str) -> DataFrame:
-    """(id, sig array<long>): 64-permutation MinHash signature.
+def minhash_signatures(arr: DataFrame, id_col: str) -> DataFrame:
+    """(id, sig array<long>): 64-permutation MinHash signature, computed
+    MAP-SIDE from the per-doc shingle array — sig[i] = array_min of the
+    i-th permutation over the doc's shingle hashes. No explode, no
+    groupBy, no shuffle: the signature stage is embarrassingly parallel.
 
     The shingle hash is masked to 31 bits so a*h+b stays < 2^62 — no
-    silent long overflow corrupting the modular permutation.
+    silent long overflow corrupting the modular permutation. Hashes are
+    materialized once per document (``__hs``) so the 64 permutations
+    share them instead of re-evaluating xxhash64.
+
+    Documents with zero shingles (shorter than the gram size) are
+    dropped, matching the relational groupBy formulation — and keeping
+    degenerate empty docs from all colliding into one LSH bucket.
     """
-    h = F.xxhash64("shingle").bitwiseAND(F.lit((1 << 31) - 1))
-    mins = [
-        F.min((h * F.lit(_A[i]) + F.lit(_B[i])) % F.lit(_MERSENNE)).alias(f"m{i}")
-        for i in range(N_PERM)
-    ]
-    per_doc = sh.groupBy(id_col).agg(*mins)
-    return per_doc.select(
-        F.col(id_col),
-        F.array(*[F.col(f"m{i}") for i in range(N_PERM)]).alias("sig"),
+    ab = F.array(
+        *[
+            F.struct(F.lit(_A[i]).alias("a"), F.lit(_B[i]).alias("b"))
+            for i in range(N_PERM)
+        ]
     )
+    # One fold over the hashed shingles, updating all 64 running mins
+    # per element: each shingle is hashed exactly once (the transform
+    # is the fold's input), immune to projection-collapse re-inlining.
+    sig = F.aggregate(
+        F.transform(
+            "sh_arr", lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 31) - 1))
+        ),
+        F.array_repeat(F.lit(_MERSENNE).cast("long"), N_PERM),
+        lambda acc, h: F.zip_with(
+            acc,
+            ab,
+            lambda m, c: F.least(
+                m, (h * c.getField("a") + c.getField("b")) % F.lit(_MERSENNE)
+            ),
+        ),
+    )
+    return arr.filter(F.size("sh_arr") > 0).select(F.col(id_col), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
@@ -145,20 +180,19 @@ def minhash_lsh_dedup_pairs(
     """End-to-end fuzzy-dedup pair detection: shingle -> MinHash ->
     LSH bucket join -> exact-Jaccard verify -> threshold.
 
-    The shingle relation feeds three consumers (signatures, sizes,
-    verification); it is persisted so the explode+window lineage runs
+    The per-doc shingle array feeds three consumers (signatures, sizes,
+    verification); it is persisted so the tokenize+gram lineage runs
     once instead of three times — at cluster scale use
     ``StorageLevel.MEMORY_AND_DISK`` semantics (the default), which
     spills instead of recomputing."""
-    sh = shingles(df, id_col, text_col, n).persist()
-    # sigs (one row per doc) and cands (collision pairs) are tiny
-    # relative to the corpus; persisting them stops the 64-agg
-    # signature lineage from re-running in the self-join and verify.
-    # The count() materializes each cache BEFORE its consumers fan out
+    arr = shingle_array(df, id_col, text_col, n).persist()
+    # The count() materializes the cache BEFORE its consumers fan out
     # — otherwise parallel downstream stages race on the cold cache and
-    # each recomputes the full lineage.
-    sh.count()
-    sigs = minhash_signatures(sh, id_col).persist()
+    # each recomputes the full lineage. sigs (one row per doc) and
+    # cands (collision pairs) are tiny relative to the corpus.
+    arr.count()
+    sh = arr.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
+    sigs = minhash_signatures(arr, id_col).persist()
     sigs.count()
     cands = lsh_candidate_pairs(sigs, id_col).persist()
     verified = exact_jaccard(sh, cands, id_col)
