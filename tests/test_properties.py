@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis) for the engine's semantic
+contracts, each checked against a pure-Python model (SURVEY §5.2.5):
+
+- surrogate-key encoding == the pandas-parity model (null -> 'nan')
+- anti-join algebra: new = source keys minus existing keys, and the
+  incremental load is idempotent (applying it twice adds nothing)
+- dsum is bit-identical under any partitioning / row order
+- strftime translation round-trips through Spark's parser
+
+Example counts are kept small: every example is a real Spark job.
+"""
+
+import hashlib
+from datetime import date, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+opt_text = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(whitelist_categories=("L", "N", "P", "Zs")),
+        max_size=12,
+    ),
+)
+rows3 = st.lists(st.tuples(opt_text, opt_text, opt_text), min_size=1, max_size=20)
+
+
+def model_key(vals) -> str:
+    joined = "#".join("nan" if v is None else v for v in vals)
+    return hashlib.md5(joined.encode("utf-8")).hexdigest()
+
+
+@SET
+@given(rows=rows3)
+def test_surrogate_key_matches_pandas_model(spark, rows):
+    from finance_etl_spark.functions.keys import surrogate_key
+
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    got = [r.k for r in df.select(surrogate_key(["a", "b", "c"]).alias("k")).collect()]
+    want = [model_key(vals) for vals in rows]
+    assert sorted(got) == sorted(want)
+
+
+key_sets = st.tuples(
+    st.lists(st.integers(0, 30), min_size=0, max_size=25),
+    st.lists(st.integers(0, 30), min_size=0, max_size=25),
+)
+
+
+@SET
+@given(ks=key_sets)
+def test_anti_join_algebra_and_idempotency(spark, ks):
+    from finance_etl_spark.operators.incremental import incremental_new_records
+
+    src_keys, exist_keys = ks
+    src = spark.createDataFrame(
+        [(str(k), k) for k in src_keys], "surrogate_key string, payload long"
+    )
+    exist = spark.createDataFrame(
+        [(str(k),) for k in exist_keys], "surrogate_key string"
+    )
+    new = incremental_new_records(src, exist)
+    got = sorted(r.surrogate_key for r in new.collect())
+    # multiset semantics: every source occurrence of an unseen key survives
+    want = sorted(str(k) for k in src_keys if k not in set(exist_keys))
+    assert got == want
+    # idempotency: after appending `new`'s keys, a re-run adds nothing
+    merged = exist.unionByName(new.select("surrogate_key"))
+    assert incremental_new_records(src, merged).isEmpty()
+
+
+amounts = st.lists(
+    st.decimals(
+        min_value=-10**6, max_value=10**6, places=2, allow_nan=False
+    ).map(float),
+    min_size=1,
+    max_size=50,
+)
+
+
+@SET
+@given(xs=amounts)
+def test_dsum_bit_identical_across_partitionings(spark, xs):
+    from finance_etl_spark.functions.money import dsum
+
+    df = spark.createDataFrame([(x,) for x in xs], "v double")
+    a = df.repartition(1).agg(dsum("v").alias("s")).collect()[0].s
+    b = df.repartition(7).agg(dsum("v").alias("s")).collect()[0].s
+    c = (
+        df.orderBy(F.col("v").desc())
+        .coalesce(1)
+        .agg(dsum("v").alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert a == b == c  # exact equality, not approx
+
+
+dates = st.dates(min_value=date(1970, 1, 1), max_value=date(2100, 1, 1))
+
+
+@SET
+@given(d=dates, fmt=st.sampled_from(["%d.%m.%Y", "%Y-%m-%d", "%Y/%m/%d", "%d-%m-%Y"]))
+def test_strftime_translation_roundtrip(spark, d, fmt):
+    from finance_etl_spark.functions.datetime import strftime_to_java
+
+    rendered = d.strftime(fmt)
+    df = spark.createDataFrame([(rendered,)], "s string")
+    got = df.select(
+        F.to_timestamp("s", strftime_to_java(fmt)).alias("ts")
+    ).collect()[0].ts
+    assert got is not None and got.date() == d
+
+
+def test_union_order_invariance_of_key_multiset(spark):
+    """U1: the surrogate-key multiset is invariant to file/union order
+    (the accumulate-union contract)."""
+    from finance_etl_spark.functions.keys import surrogate_key
+
+    rows = [(str(i % 7), str(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    h1 = df.select(surrogate_key(["a", "b"]).alias("k"))
+    parts = [df.filter(F.col("b").cast("int") % 3 == i) for i in range(3)]
+    h2 = parts[2].unionByName(parts[0]).unionByName(parts[1]).select(
+        surrogate_key(["a", "b"]).alias("k")
+    )
+    assert sorted(r.k for r in h1.collect()) == sorted(r.k for r in h2.collect())
