@@ -469,3 +469,69 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+@register(
+    "text_winnow_fingerprint",
+    tags=("text", "dedup", "hash", "fingerprint"),
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(toks) - 1),
+                                  i -> array_to_string(toks[i:i+2], ' ')) AS grams
+            FROM t WHERE len(toks) >= 3
+        ),
+        h AS (
+            SELECT doc_id,
+                   list_transform(grams,
+                                  s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs
+            FROM g
+        ),
+        w AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(hs) - 2),
+                                                i -> list_min(hs[i:i+3]))) AS fps
+            FROM h WHERE len(hs) >= 4
+        )
+        SELECT doc_id, unnest(fps) AS fp FROM w
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (the MOSS
+    scheme): hash every POSITIONAL word trigram, slide a window of 4
+    over the hash sequence, keep each window's minimum — near-identical
+    documents share most fingerprints, so a fingerprint inverted index
+    finds plagiarism/near-dup candidates with the same bucketed-join
+    shape as MinHash-LSH. Entirely map-side array expressions until the
+    final explode; no shuffle before the consumer's groupBy. The 31-bit
+    md5 prefix hash is engine-neutral (bit-identical in DuckDB)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), _SPACE), lambda t: t != "").alias("__toks"),
+    )
+    toks = F.col("__toks")
+    n_tok = F.size(toks)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
+    )
+    grams = F.transform(F.sequence(F.lit(0), n_tok - 3), gram)
+    hashes = F.transform(
+        grams, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+    with_h = base.filter(n_tok >= 3).select("doc_id", hashes.alias("__hs"))
+    hs = F.col("__hs")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(hs) - 3),
+        lambda i: F.array_min(F.slice(hs, i, 4)),
+    )
+    fps = F.array_distinct(wins)
+    return (
+        with_h.filter(F.size(hs) >= 4)
+        .select("doc_id", F.explode(fps).alias("fp"))
+    )

@@ -71,3 +71,20 @@ def test_simhash_near_dup_small_hamming(spark, sf_dir):
         .collect()
     )
     assert sum(r.ham for r in d) / len(d) <= 8  # of 32 bits
+
+
+def test_winnow_fingerprints_overlap_for_near_dups(spark, sf_dir):
+    """Documents with exact shingle-Jaccard >= 0.5 must share at least
+    one winnowing fingerprint — the property that makes the fingerprint
+    inverted index a usable candidate generator."""
+    fps = plans.get("text_winnow_fingerprint").build(spark, sf_dir)
+    by_doc = {
+        r.doc_id: set(r.fps)
+        for r in fps.groupBy("doc_id").agg(
+            F.collect_set("fp").alias("fps")
+        ).collect()
+    }
+    pairs = plans.get("text_ngram_jaccard_pairs").build(spark, sf_dir).collect()
+    for p in pairs:
+        a, b = by_doc.get(p.id_a, set()), by_doc.get(p.id_b, set())
+        assert a & b, f"near-dup pair ({p.id_a},{p.id_b}) shares no fingerprints"
