@@ -106,16 +106,15 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")[i].cast("string")
-                                for i in range(
-                                    b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND
-                                )
-                            ],
-                        )
+                    # xxhash64 over the band's signature slice: a JVM
+                    # primitive hash of longs — no hex-string round trip
+                    F.xxhash64(
+                        *[
+                            F.col("sig")[i]
+                            for i in range(
+                                b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND
+                            )
+                        ]
                     )
                     for b in range(N_BANDS)
                 ]
