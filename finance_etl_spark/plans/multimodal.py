@@ -140,3 +140,49 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     and schema are asserted in tests/test_multimodal.py."""
     d = load_table(spark, sf_dir, "documents")
     return _with_payload(d).mapInPandas(decode_image_batch, _DECODE_SCHEMA)
+
+
+@register(
+    "mm_resize_plan",
+    tags=("multimodal", "resize"),
+    oracle="""
+        WITH src AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS src_w,
+                   CAST(octet_length(encode(text)) // 64 + 1 AS INT) AS src_h
+            FROM documents
+        )
+        SELECT doc_id, src_w, src_h,
+               CAST(greatest(1, floor(src_w * least(256.0 / src_w, 256.0 / src_h)))
+                    AS INT) AS dst_w,
+               CAST(greatest(1, floor(src_h * least(256.0 / src_w, 256.0 / src_h)))
+                    AS INT) AS dst_h,
+               least(256.0 / src_w, 256.0 / src_h) AS scale
+        FROM src
+    """,
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-fit resize planning (fit into 256x256): target dimensions
+    and scale are pure relational arithmetic over the media metadata —
+    computed BEFORE any pixel work, so the decode+resample UDF
+    (decode_image_batch's STUB slot) receives explicit target dims and
+    never re-derives them per payload. Source dims use the same
+    deterministic fake-decode formula as mm_decode_features."""
+    d = load_table(spark, sf_dir, "documents")
+    n_bytes = F.length(F.encode("text", "UTF-8"))
+    src = d.select(
+        "doc_id",
+        (n_bytes % 64 + 1).cast("int").alias("src_w"),
+        (n_bytes / 64).cast("int").cast("int").alias("__h0"),
+    ).select(
+        "doc_id", "src_w", (F.col("__h0") + 1).cast("int").alias("src_h")
+    )
+    scale = F.least(256.0 / F.col("src_w"), 256.0 / F.col("src_h"))
+    return src.select(
+        "doc_id",
+        "src_w",
+        "src_h",
+        F.greatest(F.lit(1), F.floor(F.col("src_w") * scale)).cast("int").alias("dst_w"),
+        F.greatest(F.lit(1), F.floor(F.col("src_h") * scale)).cast("int").alias("dst_h"),
+        scale.alias("scale"),
+    )
