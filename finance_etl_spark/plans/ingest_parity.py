@@ -412,3 +412,34 @@ def ddl_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).insertInto("engine_ddl.region_cfg")
     return spark.table("engine_ddl.region_cfg")
+
+
+@register(
+    "sink_partitioned_pruning",
+    tags=("sink", "partitioning", "scale"),
+    oracle="""
+        SELECT event_type, COUNT(*) AS n_events
+        FROM events
+        WHERE CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM events)
+        GROUP BY event_type
+    """,
+)
+def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + partition pruning: events written
+    ``partitionBy(event_date)``, then a single-day read touches ONLY
+    that day's directory (PartitionFilters in the scan — asserted in
+    tests/test_plan_shapes.py). At 100 TB this is the difference
+    between scanning one day and scanning three years. The probe date
+    is resolved driver-side (one MIN — metadata-sized, like the tf-idf
+    corpus count)."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="part_sink_")
+    e.withColumn("event_date", F.to_date("ts")).write.partitionBy(
+        "event_date"
+    ).mode("overwrite").parquet(out)
+
+    first_day = e.agg(F.min(F.to_date("ts"))).collect()[0][0]
+    back = spark.read.parquet(out).filter(F.col("event_date") == F.lit(first_day))
+    return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))

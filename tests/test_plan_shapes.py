@@ -109,3 +109,12 @@ def test_bucketed_join_colocated_without_broadcast(spark, sf_dir):
         assert "Exchange" not in p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_dir):
+    """A single-day filter over a date-partitioned layout must become a
+    PartitionFilter on the scan (directory pruning), not a data filter."""
+    df = plans.get("sink_partitioned_pruning").build(spark, sf_dir)
+    p = plan_str(df)
+    assert "PartitionFilters" in p
+    assert "event_date" in p.split("PartitionFilters", 1)[1].split("]", 1)[0]
