@@ -101,3 +101,35 @@ def test_session_window_stream_runs(spark, sf_dir):
             batch.groupBy("user_id").count()
         ).isEmpty()
     )
+
+
+def test_rate_source_stream(spark):
+    """The rate source (synthetic benchmark stream) drives the same
+    windowed-agg code path as the file source — smoke for the
+    'streaming source' row beyond file-based streams."""
+    s = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+        .withWatermark("timestamp", "1 second")
+        .groupBy(F.window("timestamp", "1 second"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        s.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if spark.table("rate_smoke").count() > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert spark.table("rate_smoke").count() > 0
