@@ -169,11 +169,16 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     avg_len = F.col("n_token_chars").cast("double") / F.col("n_tokens")
     stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    # project length BEFORE the join: if the per-doc agg side ever
+    # outgrows the broadcast threshold (it does at corpus scale), the
+    # resulting sort-merge shuffle carries an int per doc, not the
+    # document bytes
     return (
-        d.join(per_doc, "doc_id")
+        d.select("doc_id", F.length("text").alias("n_chars"))
+        .join(per_doc, "doc_id")
         .select(
             "doc_id",
-            F.length("text").alias("n_chars"),
+            "n_chars",
             "n_tokens",
             avg_len.alias("avg_token_len"),
             stop_ratio.alias("stopword_ratio"),
