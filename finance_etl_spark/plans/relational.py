@@ -675,6 +675,25 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_union_distinct",
+    tags=("setop",),
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        UNION
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (set semantics): one hash-dedup shuffle over the combined
+    branches — Spark plans the distinct as a partial+final aggregate,
+    so duplicates collapse map-side before the exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("custkey"))
+    return a.unionByName(b).distinct()
+
+
+@register(
     "set_intersect",
     tags=("setop",),
     oracle="""
