@@ -383,3 +383,66 @@ def vec_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", F.col("cand_id").alias("neighbor_id"), "rank", "cos_sim")
     )
+
+
+def kmeans_centroids(e: DataFrame, k: int = N_CLUSTERS, iters: int = 3) -> DataFrame:
+    """Iterative (spherical) k-means over the embedding column: the
+    canonical iterative-algorithm shape on Spark. Per iteration: one
+    linear assign scan (vectors x K, centroids broadcast) + one
+    element-wise mean agg. Only the K-row centroid relation carries
+    state between iterations — it is materialized (persist + count)
+    each round so iteration N+1's lineage starts from K rows instead of
+    re-running all prior rounds (lineage would otherwise grow
+    exponentially). Deterministic seeds as in ivf_index."""
+    seeds = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .select("vec_id", F.col("embedding").alias("centroid"))
+    )
+    w = Window.orderBy("vec_id")  # K-row relation only
+    cents = seeds.select(
+        (F.row_number().over(w) - 1).alias("cluster_id"), "centroid"
+    ).persist()
+    cents.count()
+    for _ in range(iters):
+        assigned = _assign_clusters(e, cents, n_keep=1).join(e, "vec_id")
+        elems = assigned.select(
+            "cluster_id", F.posexplode("embedding").alias("dim", "val")
+        )
+        means = elems.groupBy("cluster_id", "dim").agg(
+            F.avg(F.col("val").cast("double")).alias("m")
+        )
+        prev = cents
+        cents = means.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("centroid")
+        ).persist()
+        cents.count()  # materialize THIS round before dropping the last
+        prev.unpersist()
+    return cents
+
+
+@register("vec_kmeans_clusters", tags=("vector", "clustering", "iterative"))
+def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration k-means cluster summary: size and decimal-exact mean
+    cohesion (cosine to own centroid) per cluster. Rows-only for the
+    driver (iterative refinement is not ANSI-SQL-expressible);
+    determinism and cohesion-improvement are asserted in
+    tests/test_dedup_vectors.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(e, iters=3)
+    assigned = _assign_clusters(e, cents, n_keep=1)
+    coh = (
+        assigned.join(e, "vec_id")
+        .join(F.broadcast(cents), "cluster_id")
+        .select("cluster_id", cosine("embedding", "centroid").alias("c"))
+    )
+    return coh.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (
+            F.sum(F.col("c").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_cohesion"),
+    )

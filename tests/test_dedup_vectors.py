@@ -88,3 +88,38 @@ def test_winnow_fingerprints_overlap_for_near_dups(spark, sf_dir):
     for p in pairs:
         a, b = by_doc.get(p.id_a, set()), by_doc.get(p.id_b, set())
         assert a & b, f"near-dup pair ({p.id_a},{p.id_b}) shares no fingerprints"
+
+
+def test_kmeans_partitions_all_vectors_and_improves(spark, sf_dir):
+    """3-iteration k-means: every vector lands in exactly one of K
+    clusters, and refined centroids fit the data at least as well as
+    the raw seeds (higher mean cosine cohesion)."""
+    from finance_etl_spark.io.readers import load_table
+    from finance_etl_spark.plans.vectors import (
+        N_CLUSTERS,
+        _assign_clusters,
+        cosine,
+        kmeans_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = plans.get("vec_kmeans_clusters").build(spark, sf_dir).collect()
+    assert len(out) <= N_CLUSTERS
+    assert sum(r.n_vectors for r in out) == e.count()
+
+    def cohesion(cents):
+        coh = (
+            _assign_clusters(e, cents, n_keep=1)
+            .join(e, "vec_id")
+            .join(F.broadcast(cents), "cluster_id")
+            .select(cosine("embedding", "centroid").alias("c"))
+        )
+        row = coh.agg(
+            (F.sum(F.col("c").cast("decimal(30,10)")).cast("double")
+             / F.count(F.lit(1))).alias("m")
+        ).collect()[0]
+        return row.m
+
+    assert cohesion(kmeans_centroids(e, iters=3)) >= cohesion(
+        kmeans_centroids(e, iters=0)
+    )
