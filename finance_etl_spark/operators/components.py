@@ -1,0 +1,84 @@
+"""Connected components over an undirected edge list — the clustering
+step of near-duplicate dedup (LSH/Jaccard pairs → duplicate *groups* →
+keep one survivor per group).
+
+Algorithm: iterative min-label propagation. Every node starts labeled
+with its own id; each round every node takes the minimum label among
+itself and its neighbors; converged when no label changes. Rounds
+needed = graph diameter, which for near-dup graphs is small (duplicate
+clusters are dense cliques-of-chains, not long paths). Only the
+(node, label) relation — one row per distinct node, far smaller than
+the input corpus — carries state between rounds, and it is
+materialized (persist + count) per round so lineage stays bounded
+exactly as in plans/vectors.py::kmeans_centroids.
+
+Scale notes (100 TB): the per-round cost is one shuffle join of the
+edge list against the label relation plus one min-aggregation — both
+hash-partitioned on node id, no driver-side state, no collect. For
+adversarial graphs with large diameter, swap the propagation step for
+the large-star/small-star rewriting of Kiveris et al. (CC in MapReduce),
+which converges in O(log^2 n) rounds with the same join+agg shape; the
+near-dup workload does not need it.
+
+Convergence is detected with a decimal sum of labels: labels only ever
+decrease, so the sum is strictly monotone until the fixed point —
+equality of consecutive sums IS convergence (no row-wise diff join
+needed, one tiny aggregate action per round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(node, component_id) for every node appearing in ``edges``;
+    component_id = min node id in the component. Raises if not
+    converged within ``max_rounds`` (see module docstring for the
+    log-round alternative)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint (not persist): each round's relation must replace
+    # its lineage entirely, or the logical plan nests one join+agg layer
+    # per round and Catalyst re-analyzes an exponentially growing tree
+    # (observed: driver heap OOM at ~11 rounds with persist alone).
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least("label", "nbr_label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        if cur_sum == prev_sum:
+            sym.unpersist()
+            return labels.select("node", F.col("label").alias("component_id"))
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components: no convergence in {max_rounds} rounds "
+        "(graph diameter too large — use large-star/small-star)"
+    )

@@ -24,6 +24,7 @@ for _mod in (
     "ingest_parity",
     "text",
     "vectors",
+    "curation",
     "multimodal",
     "jdbc_queries",
     "streaming_queries",

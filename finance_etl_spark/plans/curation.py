@@ -1,0 +1,260 @@
+"""Dataset-curation operators for training-data pipelines: deterministic
+train/val/test splitting, composite quality filtering, near-duplicate
+*clustering* (connected components over the candidate-pair graph), CDC
+latest-record compaction, and wide→long unpivot.
+
+These compose the primitives elsewhere in the engine (hashing from
+functions/keys.py, near-dup pairs from plans/text.py, windows from
+plans/relational.py) into the shapes a 100-TB corpus pipeline actually
+runs: split before training, filter before tokenization, collapse
+duplicate groups to one survivor, compact mutable feeds to
+latest-state.
+
+Cross-engine determinism: splits hash with md5 (identical hex in Spark
+and DuckDB — xxhash64 exists only in Spark), ratio arithmetic is plain
+IEEE division, and any ordering-sensitive reduction uses the decimal
+dsum contract from plans/registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+import finance_etl_spark.plans.text  # noqa: F401  (registers the pairs query)
+from finance_etl_spark.io.readers import load_table
+from finance_etl_spark.operators.components import connected_components
+from finance_etl_spark.plans.registry import get, o_dsum, register
+from finance_etl_spark.functions.money import dsum
+
+# 256 two-hex-digit buckets from the md5 of the doc id: below 'cc'
+# (204) → train, below 'e6' (230) → val, rest → test. Lexicographic
+# comparison of lowercase hex is identical in Spark and DuckDB, so the
+# assignment is engine- and cluster-layout-independent: a doc's split
+# never changes when the corpus is repartitioned or regenerated.
+_TRAIN_HI, _VAL_HI = "cc", "e6"
+
+
+@register(
+    "cur_hash_split",
+    tags=("curation", "split"),
+    oracle=f"""
+        SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HI}'
+                      THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_HI}'
+                      THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               AVG(n_chars) AS avg_chars
+        FROM documents
+        GROUP BY split
+    """,
+)
+def cur_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test split by md5(doc_id)
+    bucket — the standard leakage-safe way to split a corpus that keeps
+    growing: membership depends only on the id, never on row order,
+    partitioning, or corpus size. One hash-aggregate, no shuffle of the
+    text payload (only the stats columns move)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < _TRAIN_HI, "train")
+        .when(bucket < _VAL_HI, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.avg("n_chars").alias("avg_chars"),
+        )
+    )
+
+
+# Composite quality rules (Gopher-style, arithmetic-only so every rule
+# is a JVM built-in and the whole filter is one codegen'd projection):
+# word count in [wc_lo, wc_hi], mean word length in [mwl_lo, mwl_hi],
+# alphabetic-character ratio >= alpha_lo, at least one stopword.
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+_WC_LO, _WC_HI = 5, 5000
+_MWL_LO, _MWL_HI = 2.0, 15.0
+_ALPHA_LO = 0.55
+
+
+def _quality_oracle() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    return f"""
+        WITH m AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '')) AS n_words,
+                   length(replace(text, ' ', '')) AS n_nonspace,
+                   length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                     AS n_alpha,
+                   length(text) AS n_chars_txt,
+                   len(list_intersect(string_split(lower(text), ' '),
+                                      [{stop_list}])) AS stop_hits
+            FROM documents
+        )
+        SELECT doc_id, n_words,
+               CASE WHEN n_words > 0
+                    THEN CAST(n_nonspace AS DOUBLE) / n_words END AS mean_word_len,
+               CASE WHEN n_chars_txt > 0
+                    THEN CAST(n_alpha AS DOUBLE) / n_chars_txt END AS alpha_ratio,
+               stop_hits,
+               (n_words BETWEEN {_WC_LO} AND {_WC_HI}
+                AND CAST(n_nonspace AS DOUBLE) / n_words
+                      BETWEEN {_MWL_LO} AND {_MWL_HI}
+                AND CAST(n_alpha AS DOUBLE) / n_chars_txt >= {_ALPHA_LO}
+                AND stop_hits >= 1) AS passes
+        FROM m
+    """
+
+
+@register("cur_quality_filter", tags=("curation", "text", "filter"), oracle=_quality_oracle())
+def cur_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate per document. Every metric is
+    computed from string built-ins in a single projection — no explode,
+    no shuffle, no Python — so at 100 TB this is a pure map stage that
+    fuses into the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    toks = F.filter(F.split(lower, " "), lambda x: x != "")
+    n_words = F.size(toks)
+    n_nonspace = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    n_alpha = F.length(F.regexp_replace(lower, "[^a-z]", ""))
+    n_chars_txt = F.length(F.col("text"))
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in _STOPWORDS]))
+    )
+    mwl = F.when(n_words > 0, n_nonspace.cast("double") / n_words)
+    alpha = F.when(n_chars_txt > 0, n_alpha.cast("double") / n_chars_txt)
+    passes = (
+        n_words.between(_WC_LO, _WC_HI)
+        & (n_nonspace.cast("double") / n_words).between(_MWL_LO, _MWL_HI)
+        & (n_alpha.cast("double") / n_chars_txt >= _ALPHA_LO)
+        & (stop_hits >= 1)
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        alpha.alias("alpha_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+        passes.alias("passes"),
+    )
+
+
+def _cc_oracle() -> str:
+    # Transitive closure by recursive CTE is the ANSI-expressible (but
+    # quadratic-in-component-size) formulation — fine as a small-sf
+    # oracle, never the scale path (that's the iterative operator).
+    pairs_sql = get("text_ngram_jaccard_pairs").oracle
+    return f"""
+        WITH RECURSIVE
+        pairs AS ({pairs_sql}),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        lab AS (
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id
+            FROM reach GROUP BY a
+        )
+        SELECT doc_id, component_id,
+               COUNT(*) OVER (PARTITION BY component_id) AS n_members
+        FROM lab
+    """
+
+
+@register("cur_dedup_components", tags=("curation", "dedup", "iterative"), oracle=_cc_oracle())
+def cur_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate *clusters*: connected components over the exact
+    trigram-Jaccard candidate pairs (plans/text.py), labeling every
+    involved doc with the min doc_id of its component — the input to a
+    keep-one-per-cluster survivor policy. Iterative min-label
+    propagation with per-round materialization (operators/components.py);
+    the DuckDB oracle is the recursive-CTE transitive closure of the
+    same edge set."""
+    pairs = get("text_ngram_jaccard_pairs").build(spark, sf_dir)
+    comp = connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        comp.join(sizes, "component_id")
+        .select(F.col("node").alias("doc_id"), "component_id", "n_members")
+    )
+
+
+@register(
+    "cur_cdc_latest_per_key",
+    tags=("curation", "cdc", "window"),
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    """,
+)
+def cur_cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state compaction of a mutable feed: newest order per
+    customer, ties broken by key so the survivor is unique and
+    deterministic. One hash-partitioned window — the standard CDC
+    upsert-log → snapshot shape; at scale the partition count follows
+    the key cardinality and no global sort ever happens."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "cur_unpivot_measures",
+    tags=("curation", "reshape"),
+    oracle=f"""
+        WITH agg AS (
+            SELECT l_returnflag,
+                   {o_dsum('l_quantity')} AS sum_qty,
+                   {o_dsum('l_extendedprice')} AS sum_price,
+                   {o_dsum('l_discount')} AS sum_disc
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
+    """,
+)
+def cur_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt) of a per-flag aggregate into
+    (key, measure, value) triples — the layout feature stores and
+    metric sinks want. Aggregates first (decimal-exact), unpivots the
+    3-column result: the expensive reshape happens on the already-tiny
+    aggregate, never on the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_discount").alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
+    )

@@ -181,3 +181,68 @@ def ts_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_sec"
         ),
     )
+
+
+def _rollup_oracle() -> str:
+    from finance_etl_spark.plans.registry import o_dsum
+
+    def level(grain: str) -> str:
+        return f"""
+        SELECT '{grain}' AS grain,
+               CAST(date_trunc('{grain}', ts) AS TIMESTAMP) AS bucket,
+               event_type,
+               COUNT(*) AS n_events,
+               {o_dsum('value')} AS total_value
+        FROM events
+        GROUP BY bucket, event_type"""
+
+    return " UNION ALL ".join(level(g) for g in ("minute", "hour", "day"))
+
+
+@register(
+    "ts_hypertable_rollup",
+    tags=("timeseries", "rollup", "agg"),
+    oracle=_rollup_oracle(),
+)
+def ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate-style multi-granularity rollup
+    (minute/hour/day buckets per event type), the hypertable pattern:
+    aggregate ONCE at the finest grain, then derive every coarser grain
+    by re-aggregating the minute partials (decimal sums are exactly
+    associative, so sum-of-sums == direct sum bit-for-bit). At 100 TB
+    the raw events are scanned a single time and the hour/day passes
+    run over the (tiny) minute aggregate — vs 3 full scans for the
+    naive UNION of three GROUP BYs the oracle runs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("minute", "ts").alias("bucket"),
+        "event_type",
+        F.col("value").cast("decimal(30,10)").alias("dv"),
+    )
+    minute = ev.groupBy("bucket", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("dv").alias("dec_total")
+    ).persist()
+
+    def coarsen(df: DataFrame, grain: str) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc(grain, "bucket").alias("bucket"), "event_type"
+        ).agg(
+            F.sum("n_events").alias("n_events"), F.sum("dec_total").alias("dec_total")
+        )
+
+    hour = coarsen(minute, "hour").persist()
+    day = coarsen(hour, "day")
+
+    def present(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket",
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("dec_total").cast("double").alias("total_value"),
+        )
+
+    return (
+        present(minute, "minute")
+        .unionByName(present(hour, "hour"))
+        .unionByName(present(day, "day"))
+    )

@@ -446,3 +446,61 @@ def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_cohesion"),
     )
+
+
+def _quantize_oracle() -> str:
+    # Deterministic round: sign(v)*floor(abs(v)*scale + 0.5) — identical
+    # IEEE expression tree in both engines (DuckDB round() is
+    # half-even, Spark's is half-up; neither is used).
+    qv = "SIGN(v) * FLOOR(ABS(v) * (127.0 / max_abs) + 0.5)"
+    deq = f"(({qv}) * max_abs) / 127.0"
+    return f"""
+        WITH el AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ), sc AS (
+            SELECT vec_id, v,
+                   MAX(ABS(v)) OVER (PARTITION BY vec_id) AS max_abs
+            FROM el
+        )
+        SELECT vec_id,
+               COUNT(*) AS n_dims,
+               MAX(max_abs) AS max_abs,
+               CAST(MAX(ABS({qv})) AS BIGINT) AS max_q,
+               {o_dsum(f'(v - {deq}) * (v - {deq})')} AS sq_err
+        FROM sc
+        WHERE max_abs > 0
+        GROUP BY vec_id
+    """
+
+
+@register("vec_quantize_int8", tags=("vector", "quantize"), oracle=_quantize_oracle())
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column —
+    the standard 4x memory compression applied before ANN serving —
+    with per-vector reconstruction-error accounting. One explode, one
+    vec_id-partitioned window for the max-abs scale, one re-aggregate:
+    every step hash-partitions on vec_id, so at 100 TB the whole plan
+    is a single shuffle of (vec_id, dim, value) triples. The error sum
+    uses the decimal dsum contract; the round is expressed as
+    sign*floor(abs*scale+0.5) because Spark and DuckDB disagree on
+    round()'s tie rule but agree bit-for-bit on floor/abs/sign."""
+    e = load_table(spark, sf_dir, "embeddings")
+    el = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "vf")
+    ).select("vec_id", F.col("vf").cast("double").alias("v"))
+    w = Window.partitionBy("vec_id")
+    sc = el.withColumn("max_abs", F.max(F.abs("v")).over(w)).filter(
+        F.col("max_abs") > 0
+    )
+    qv = F.signum("v") * F.floor(
+        F.abs(F.col("v")) * (F.lit(127.0) / F.col("max_abs")) + F.lit(0.5)
+    ).cast("double")
+    deq = (qv * F.col("max_abs")) / F.lit(127.0)
+    err = (F.col("v") - deq) * (F.col("v") - deq)
+    return sc.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.max("max_abs").alias("max_abs"),
+        F.max(F.abs(qv)).cast("long").alias("max_q"),
+        F.sum(err.cast("decimal(30,10)")).cast("double").alias("sq_err"),
+    )

@@ -1,0 +1,94 @@
+"""Curation-operator tests: connected components (exact labels on
+crafted graphs, convergence guard), int8 quantization error bounds,
+hash-split determinism, unpivot shape, rollup partial-reuse."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from finance_etl_spark.operators.components import connected_components
+from finance_etl_spark.plans import get
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    rows = connected_components(df, "src", "dst", **kw).collect()
+    return {r["node"]: r["component_id"] for r in rows}
+
+
+def test_components_chain_and_clique(spark):
+    # chain 1-2-3-4, triangle 10-11-12, isolated pair 20-21
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    got = _cc(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_components_long_chain_converges(spark):
+    n = 12
+    got = _cc(spark, [(i, i + 1) for i in range(1, n)])
+    assert set(got.values()) == {1} and len(got) == n
+
+
+def test_components_raises_without_convergence_budget(spark):
+    with pytest.raises(RuntimeError, match="no convergence"):
+        _cc(spark, [(i, i + 1) for i in range(1, 10)], max_rounds=2)
+
+
+def test_quantize_int8_bounds(spark, sf_dir):
+    rows = get("vec_quantize_int8").build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # symmetric quantization always maps the max-|v| element to ±127
+        assert r["max_q"] == 127
+        # per-dim error <= (0.5 * max_abs / 127)^2
+        bound = r["n_dims"] * (0.5 * r["max_abs"] / 127.0) ** 2
+        assert 0.0 <= r["sq_err"] <= bound + 1e-9
+
+
+def test_hash_split_deterministic_and_complete(spark, sf_dir):
+    a = {r["split"]: r["n_docs"] for r in get("cur_hash_split").build(spark, sf_dir).collect()}
+    b = {r["split"]: r["n_docs"] for r in get("cur_hash_split").build(spark, sf_dir).collect()}
+    assert a == b
+    assert set(a) == {"train", "val", "test"}
+    total = sum(a.values())
+    # expected ~79.7/10.2/10.2; loose bounds for a small corpus
+    assert 0.6 < a["train"] / total < 0.95
+
+
+def test_unpivot_three_measures_per_flag(spark, sf_dir):
+    df = get("cur_unpivot_measures").build(spark, sf_dir)
+    counts = df.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert counts and all(r["n"] == 3 for r in counts)
+    assert set(df.select("measure").distinct().toPandas()["measure"]) == {
+        "sum_qty",
+        "sum_price",
+        "sum_disc",
+    }
+
+
+def test_rollup_partial_reuse_matches_direct(spark, sf_dir):
+    """Day grain derived from minute partials == direct day aggregation
+    (decimal associativity), bit-for-bit on the presented double."""
+    from finance_etl_spark.io.readers import load_table
+
+    out = get("ts_hypertable_rollup").build(spark, sf_dir)
+    day = {
+        (r["bucket"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in out.filter(F.col("grain") == "day").collect()
+    }
+    direct = {
+        (r["bucket"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double").alias("total_value"),
+        )
+        .collect()
+    }
+    assert day == direct
+
+
+def test_cdc_latest_unique_per_key(spark, sf_dir):
+    df = get("cur_cdc_latest_per_key").build(spark, sf_dir)
+    dup = df.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).filter("n > 1")
+    assert dup.isEmpty()
