@@ -115,7 +115,12 @@ def _quality_oracle() -> str:
     """
 
 
-@register("cur_quality_filter", tags=("curation", "text", "filter"), oracle=_quality_oracle())
+@register(
+    "cur_quality_filter",
+    headline=True,
+    tags=("curation", "text", "filter"),
+    oracle=_quality_oracle(),
+)
 def cur_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style composite quality gate per document. Every metric is
     computed from string built-ins in a single projection — no explode,
@@ -257,4 +262,86 @@ def cur_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
+    )
+
+
+# Per-language sampling rates for the stratified sample (hash-gated, so
+# membership is a pure function of doc_id — reproducible across runs,
+# partitionings, and engines; no RNG state anywhere).
+_STRATA_RATES = {"en": 0.50, "de": 0.25, "fr": 0.25}
+_DEFAULT_RATE = 0.10
+
+
+def _strat_oracle() -> str:
+    # gate: md5 first 4 hex digits as a uniform 16-bit bucket
+    gate = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)"
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {int(v * 65536)}" for k, v in _STRATA_RATES.items()
+    )
+    return f"""
+        SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS total_chars
+        FROM documents
+        WHERE {gate} < (CASE {whens} ELSE {int(_DEFAULT_RATE * 65536)} END)
+        GROUP BY lang
+    """
+
+
+@register("cur_stratified_sample", tags=("curation", "sample"), oracle=_strat_oracle())
+def cur_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language rates applied via
+    an md5 hash gate on doc_id (16-bit bucket < rate*65536) instead of
+    an RNG — so the sample is stable under repartitioning, re-runs, and
+    corpus growth (a doc's membership never flips), which RNG-based
+    ``sampleBy`` cannot guarantee across cluster layouts. Pure map-side
+    filter + one aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    gate = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    thr = F.lit(int(_DEFAULT_RATE * 65536))
+    for k, v in _STRATA_RATES.items():
+        thr = F.when(F.col("lang") == k, int(v * 65536)).otherwise(thr)
+    return (
+        d.filter(gate < thr)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+# Redaction patterns restricted to syntax RE2 (DuckDB) and java.util.regex
+# (Spark) interpret identically: character classes, +, {n,m} — no
+# backreferences, no lookaround.
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+_LONGNUM_RE = "[0-9]{6,}"
+
+
+@register(
+    "cur_pii_redact",
+    tags=("curation", "text", "redact"),
+    oracle=f"""
+        SELECT doc_id,
+               length(text) - length(regexp_replace(text, '{_EMAIL_RE}', '', 'g'))
+                 AS email_chars_removed,
+               length(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g')) AS n_after_email,
+               md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{_LONGNUM_RE}', '<NUM>', 'g')) AS redacted_hash
+        FROM documents
+    """,
+)
+def cur_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: replace email addresses and long digit runs
+    with typed placeholder tokens — the pre-training compliance step
+    every public-corpus pipeline runs. Entirely JVM regexp_replace in
+    one codegen'd projection (the oracle compares a hash of the
+    redacted text, not the payload). The pattern subset is chosen to
+    evaluate identically under Java regex and RE2."""
+    d = load_table(spark, sf_dir, "documents")
+    after_email = F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(after_email, _LONGNUM_RE, "<NUM>")
+    stripped = F.regexp_replace(F.col("text"), _EMAIL_RE, "")
+    return d.select(
+        "doc_id",
+        (F.length("text") - F.length(stripped)).alias("email_chars_removed"),
+        F.length(after_email).alias("n_after_email"),
+        F.md5(redacted).alias("redacted_hash"),
     )

