@@ -263,3 +263,67 @@ def stream_live_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max("sum_event_id").alias("sum_event_id"),
     )
+
+
+@register(
+    "stream_live_stream_join",
+    tags=("streaming", "live", "join"),
+    oracle="""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+               c.user_id,
+               CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_sec
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_live_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real stream-stream inner join: clicks joined to the same user's
+    purchases within the following hour, both sides watermarked so the
+    join state store evicts rows once they can no longer match (clicks
+    after 1h + watermark, purchases after the watermark) — bounded
+    state at any stream length, the canonical funnel-attribution shape.
+    Finite fixture + availableNow ⇒ the emitted matches equal the batch
+    interval join, which the oracle computes."""
+    from finance_etl_spark.streaming.runner import events_stream, run_stream_to_memory
+
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        [
+            clicks["user_id"] == purchases["user_id"],
+            purchases["purchase_ts"] >= clicks["click_ts"],
+            purchases["purchase_ts"] <= clicks["click_ts"] + F.expr("INTERVAL 1 HOUR"),
+        ],
+    ).select(
+        "click_id",
+        "purchase_id",
+        clicks["user_id"].alias("user_id"),
+        (
+            F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")
+        ).alias("lag_sec"),
+    )
+    out = run_stream_to_memory(
+        joined, f"live_j_{uuid.uuid4().hex[:8]}", mode="append"
+    )
+    return out

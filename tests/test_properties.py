@@ -134,3 +134,43 @@ def test_union_order_invariance_of_key_multiset(spark):
         surrogate_key(["a", "b"]).alias("k")
     )
     assert sorted(r.k for r in h1.collect()) == sorted(r.k for r in h2.collect())
+
+
+# --- connected components == union-find model --------------------------------
+
+edge_lists = st.lists(
+    st.tuples(st.integers(1, 30), st.integers(1, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+def model_components(edges):
+    """Pure-Python union-find: node -> min node id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@SET
+@given(edges=edge_lists)
+def test_connected_components_matches_union_find(spark, edges):
+    from finance_etl_spark.operators.components import connected_components
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(df, "src", "dst", max_rounds=40).collect()
+    }
+    assert got == model_components(edges)
