@@ -449,58 +449,68 @@ def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quantize_oracle() -> str:
-    # Deterministic round: sign(v)*floor(abs(v)*scale + 0.5) — identical
-    # IEEE expression tree in both engines (DuckDB round() is
-    # half-even, Spark's is half-up; neither is used).
-    qv = "SIGN(v) * FLOOR(ABS(v) * (127.0 / max_abs) + 0.5)"
+    # Deterministic round: sign(x)*floor(abs(x)*scale + 0.5) — identical
+    # IEEE expression tree in both engines (DuckDB round() is half-even,
+    # Spark's is half-up; neither is used). The error sum is the same
+    # sequential double fold as the cosine contract (module docstring).
+    qv = "sign(x) * floor(abs(x) * (127.0 / max_abs) + 0.5)"
     deq = f"(({qv}) * max_abs) / 127.0"
     return f"""
-        WITH el AS (
-            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
             FROM embeddings
-        ), sc AS (
-            SELECT vec_id, v,
-                   MAX(ABS(v)) OVER (PARTITION BY vec_id) AS max_abs
-            FROM el
+        ), s AS (
+            SELECT vec_id, ed,
+                   list_max(list_transform(ed, x -> abs(x))) AS max_abs
+            FROM v
         )
         SELECT vec_id,
-               COUNT(*) AS n_dims,
-               MAX(max_abs) AS max_abs,
-               CAST(MAX(ABS({qv})) AS BIGINT) AS max_q,
-               {o_dsum(f'(v - {deq}) * (v - {deq})')} AS sq_err
-        FROM sc
-        WHERE max_abs > 0
-        GROUP BY vec_id
+               len(ed) AS n_dims,
+               max_abs,
+               CAST(list_max(list_transform(ed, x -> abs({qv}))) AS BIGINT) AS max_q,
+               list_sum(list_transform(ed,
+                   x -> (x - {deq}) * (x - {deq}))) AS sq_err
+        FROM s WHERE max_abs > 0
     """
 
 
 @register("vec_quantize_int8", tags=("vector", "quantize"), oracle=_quantize_oracle())
 def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric int8 scalar quantization of the embedding column —
-    the standard 4x memory compression applied before ANN serving —
-    with per-vector reconstruction-error accounting. One explode, one
-    vec_id-partitioned window for the max-abs scale, one re-aggregate:
-    every step hash-partitions on vec_id, so at 100 TB the whole plan
-    is a single shuffle of (vec_id, dim, value) triples. The error sum
-    uses the decimal dsum contract; the round is expressed as
-    sign*floor(abs*scale+0.5) because Spark and DuckDB disagree on
-    round()'s tie rule but agree bit-for-bit on floor/abs/sign."""
+    """Symmetric int8 scalar quantization of the embedding column — the
+    standard 4x memory compression applied before ANN serving — with
+    per-vector reconstruction-error accounting. Entirely map-side array
+    arithmetic (array_max for the scale, a sequential double fold for
+    the error): ZERO shuffles, the whole plan fuses into the scan — at
+    100 TB this costs exactly one pass over the vectors. The round is
+    expressed as sign*floor(abs*scale+0.5) because Spark and DuckDB
+    disagree on round()'s tie rule but agree bit-for-bit on
+    floor/abs/sign; the error fold follows the cosine bit-equality
+    contract (functions/vectors.py)."""
     e = load_table(spark, sf_dir, "embeddings")
-    el = e.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "vf")
-    ).select("vec_id", F.col("vf").cast("double").alias("v"))
-    w = Window.partitionBy("vec_id")
-    sc = el.withColumn("max_abs", F.max(F.abs("v")).over(w)).filter(
-        F.col("max_abs") > 0
-    )
-    qv = F.signum("v") * F.floor(
-        F.abs(F.col("v")) * (F.lit(127.0) / F.col("max_abs")) + F.lit(0.5)
-    ).cast("double")
-    deq = (qv * F.col("max_abs")) / F.lit(127.0)
-    err = (F.col("v") - deq) * (F.col("v") - deq)
-    return sc.groupBy("vec_id").agg(
-        F.count(F.lit(1)).alias("n_dims"),
-        F.max("max_abs").alias("max_abs"),
-        F.max(F.abs(qv)).cast("long").alias("max_q"),
-        F.sum(err.cast("decimal(30,10)")).cast("double").alias("sq_err"),
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    d = e.select("vec_id", ed.alias("ed")).withColumn(
+        "max_abs", F.array_max(F.transform("ed", lambda x: F.abs(x)))
+    ).filter(F.col("max_abs") > 0)
+
+    def qv(x):
+        return F.signum(x) * F.floor(
+            F.abs(x) * (F.lit(127.0) / F.col("max_abs")) + F.lit(0.5)
+        ).cast("double")
+
+    def deq(x):
+        return (qv(x) * F.col("max_abs")) / F.lit(127.0)
+
+    return d.select(
+        "vec_id",
+        F.size("ed").cast("long").alias("n_dims"),
+        "max_abs",
+        F.array_max(F.transform("ed", lambda x: F.abs(qv(x)))).cast("long").alias(
+            "max_q"
+        ),
+        F.aggregate(
+            F.transform("ed", lambda x: (x - deq(x)) * (x - deq(x))),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias("sq_err"),
     )
