@@ -345,3 +345,69 @@ def cur_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(after_email).alias("n_after_email"),
         F.md5(redacted).alias("redacted_hash"),
     )
+
+
+def _decontam_oracle() -> str:
+    gate = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, pos, tok FROM (
+                SELECT doc_id,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                     AS shingle
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+        rare AS (SELECT shingle FROM sh2 GROUP BY shingle HAVING COUNT(*) <= 50),
+        te AS (SELECT s.doc_id, s.shingle FROM sh2 s JOIN rare USING (shingle)
+               WHERE {gate} >= '{_VAL_HI}'),
+        tr AS (SELECT s.doc_id, s.shingle FROM sh2 s JOIN rare USING (shingle)
+               WHERE {gate} < '{_VAL_HI}')
+        SELECT te.doc_id,
+               COUNT(DISTINCT te.shingle) AS n_shared_shingles,
+               COUNT(DISTINCT tr.doc_id) AS n_train_docs,
+               (COUNT(DISTINCT te.shingle) >= 5) AS contaminated
+        FROM te JOIN tr ON te.shingle = tr.shingle
+        GROUP BY te.doc_id
+    """
+
+
+@register("cur_decontaminate", tags=("curation", "dedup", "split"), oracle=_decontam_oracle())
+def cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: test-split documents that share word
+    trigrams with any train/val-split document (the eval-leakage check
+    every LLM corpus pipeline runs before training). Split membership
+    is the same md5 gate as cur_hash_split — a pure function of doc_id,
+    so NO join against a membership table is needed: the gate is
+    recomputed as a map-side predicate on each shingle row. Candidates
+    come from the df-capped inverted shingle index (hot shingles
+    excluded), so the train⋈test join is bounded by real collisions,
+    never |train|x|test|."""
+    from finance_etl_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, "doc_id", "text", n=3)
+    rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 50
+    )
+    idx = sh.join(rare.select("shingle"), "shingle", "left_semi")
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    te = idx.filter(gate >= _VAL_HI).select(
+        F.col("doc_id"), "shingle"
+    )
+    tr = idx.filter(gate < _VAL_HI).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    hits = te.join(tr, "shingle")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_shared_shingles"),
+        F.countDistinct("train_doc").alias("n_train_docs"),
+        (F.countDistinct("shingle") >= 5).alias("contaminated"),
+    )

@@ -120,3 +120,14 @@ def test_pii_redact_idempotent_and_bounded(spark, sf_dir):
     for r in rows:
         assert r["email_chars_removed"] >= 0
         assert r["n_after_email"] >= 0
+
+
+def test_decontaminate_only_test_split_docs(spark, sf_dir):
+    """Every flagged doc must be in the test split (md5 gate >= 'e6')."""
+    import hashlib
+
+    rows = get("cur_decontaminate").build(spark, sf_dir).collect()
+    for r in rows:
+        gate = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:2]
+        assert gate >= "e6"
+        assert r["n_shared_shingles"] >= 1 and r["n_train_docs"] >= 1
