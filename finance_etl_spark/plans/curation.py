@@ -411,3 +411,108 @@ def cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("train_doc").alias("n_train_docs"),
         (F.countDistinct("shingle") >= 5).alias("contaminated"),
     )
+
+
+@register(
+    "cur_mixture_weights",
+    tags=("curation", "sample", "agg"),
+    oracle="""
+        WITH per_src AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(list_filter(string_split(text, ' '),
+                                            t -> t <> ''))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_sources
+            FROM per_src
+        )
+        SELECT source, n_docs, n_tokens,
+               n_docs / CAST(total_docs AS DOUBLE) AS frac,
+               (1.0 / n_sources) / (n_docs / CAST(total_docs AS DOUBLE))
+                   AS weight
+        FROM per_src, tot
+    """,
+)
+def cur_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture statistics + resampling weights: per-source doc
+    and token counts, the source's share of the corpus, and the
+    multiplier a sampler would apply to hit a uniform target mixture
+    (weight = target_frac / actual_frac). The upsample/downsample
+    decision for every corpus source in one pass.
+
+    One map-side token count + one hash agg keyed by source; the
+    totals relation is ONE row, joined back with an explicit broadcast
+    cross join — no second scan, no global window. Source cardinality
+    is bounded (corpus registry), so the final join output is tiny at
+    any SF.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    per_src = (
+        d.select("source", n_tok.alias("__nt"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+        )
+    )
+    totals = per_src.agg(
+        F.sum("n_docs").alias("__total_docs"),
+        F.count("*").alias("__n_sources"),
+    )
+    frac = F.col("n_docs") / F.col("__total_docs").cast("double")
+    weight = (F.lit(1.0) / F.col("__n_sources")) / frac
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            frac.alias("frac"),
+            weight.alias("weight"),
+        )
+    )
+
+
+@register(
+    "cur_scd2_intervals",
+    tags=("curation", "cdc", "window"),
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)
+                   AS valid_to,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)
+                   IS NULL AS is_current,
+               o_totalprice
+        FROM orders
+    """,
+)
+def cur_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a change feed (orders as
+    per-customer change events) into validity intervals —
+    [valid_from, valid_to) per version, open interval = current row.
+    The companion to cur_cdc_latest_per_key when history must be kept
+    queryable (point-in-time joins against ts_asof_join).
+
+    One hash-partitioned window keyed by the business key; partition
+    count follows key cardinality, nothing global. Ties broken by
+    o_orderkey so the interval chain is deterministic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    valid_to = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        "o_totalprice",
+    )

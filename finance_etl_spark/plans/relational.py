@@ -551,6 +551,9 @@ def window_lag_lead_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym")).agg(
         dsum("o_totalprice").alias("revenue")
     )
+    # global window is over the month-grain AGGREGATE (one row per
+    # calendar month — bounded by the date span, not by data volume),
+    # so the single-partition sort sees ~tens of rows at any SF
     w = Window.orderBy("ym")
     return m.select(
         "ym",

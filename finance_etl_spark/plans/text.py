@@ -540,3 +540,84 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_h.filter(F.size(hs) >= 4)
         .select("doc_id", F.explode(fps).alias("fp"))
     )
+
+
+@register(
+    "text_repetition_filter",
+    tags=("text", "quality", "curation"),
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        bg AS (
+            SELECT t1.doc_id, t1.tok || ' ' || t2.tok AS bigram
+            FROM toks t1
+            JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        ),
+        cnt AS (
+            SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(MAX(c) AS BIGINT) AS top_c
+            FROM cnt GROUP BY 1
+        )
+        SELECT doc_id,
+               n_bigrams,
+               1 - n_distinct / CAST(n_bigrams AS DOUBLE) AS dup_bigram_frac,
+               top_c / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac,
+               (1 - n_distinct / CAST(n_bigrams AS DOUBLE)) <= 0.5
+               AND top_c / CAST(n_bigrams AS DOUBLE) <= 0.2 AS keep
+        FROM agg
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: fraction of duplicate word-bigrams
+    and the share of the single most frequent bigram, per document
+    (Rae et al. 2021 §A1.1 use the same family of n-gram repetition
+    signals). Highly repetitive machine-generated or boilerplate text
+    scores high on both and is dropped.
+
+    ZERO shuffle: bigrams, their distinct count, and the max
+    multiplicity all come from array folds inside one codegen'd
+    projection — per-row cost is O(tokens x distinct_bigrams), bounded
+    because document length is bounded upstream (chunking), so the op
+    is embarrassingly parallel at any corpus size. Contrast with the
+    groupBy(doc_id, bigram) formulation, which shuffles one row per
+    bigram occurrence — linear but pointless network traffic.
+
+    Thresholds (dup<=0.5, top<=0.2) are declared semantics, mirroring
+    the reference's config-driven filter constants
+    (/root/reference/utils/data_manager.py:59-95 applies fixed
+    per-group transform constants the same way).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), _SPACE), lambda t: t != "")
+    base = d.select("doc_id", toks.alias("__toks"))
+    tk = F.col("__toks")
+    bigrams = F.zip_with(
+        F.expr("slice(__toks, 1, size(__toks) - 1)"),
+        F.expr("slice(__toks, 2, size(__toks) - 1)"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    with_bg = base.filter(F.size(tk) >= 2).select(
+        "doc_id", bigrams.alias("__bg")
+    )
+    bg = F.col("__bg")
+    n_bigrams = F.size(bg).cast("long")
+    n_distinct = F.size(F.array_distinct(bg)).cast("long")
+    top_c = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda x: F.size(F.filter(bg, lambda y: y == x)),
+        )
+    ).cast("long")
+    dup_frac = F.lit(1.0) - n_distinct / n_bigrams.cast("double")
+    top_frac = top_c / n_bigrams.cast("double")
+    return with_bg.select(
+        "doc_id",
+        n_bigrams.alias("n_bigrams"),
+        dup_frac.alias("dup_bigram_frac"),
+        top_frac.alias("top_bigram_frac"),
+        ((dup_frac <= 0.5) & (top_frac <= 0.2)).alias("keep"),
+    )

@@ -131,3 +131,62 @@ def test_decontaminate_only_test_split_docs(spark, sf_dir):
         gate = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:2]
         assert gate >= "e6"
         assert r["n_shared_shingles"] >= 1 and r["n_train_docs"] >= 1
+
+
+def test_repetition_filter_known_fractions(spark):
+    # "a b a b a" -> bigrams [a b, b a, a b, b a]: 4 total, 2 distinct,
+    # top multiplicity 2 -> dup=0.5 top=0.5; "w x y z" is all-unique.
+    d = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "w x y z"), (3, "solo")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in _run_repetition(spark, d).collect()}
+    assert set(got) == {1, 2}  # single-token doc has no bigram
+    assert got[1]["n_bigrams"] == 4
+    assert abs(got[1]["dup_bigram_frac"] - 0.5) < 1e-12
+    assert abs(got[1]["top_bigram_frac"] - 0.5) < 1e-12
+    assert not got[1]["keep"]
+    assert got[2]["dup_bigram_frac"] == 0.0
+    assert abs(got[2]["top_bigram_frac"] - (1 / 3)) < 1e-12
+
+
+def _run_repetition(spark, d):
+    """Run text_repetition_filter's dataflow on an arbitrary documents
+    frame (the registered query binds the table path; tests need
+    synthetic rows)."""
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="repet_")
+    d.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    return get("text_repetition_filter").build(spark, tmp)
+
+
+def test_mixture_weights_sum_to_sources(spark, sf_dir):
+    from finance_etl_spark.plans import get
+
+    rows = get("cur_mixture_weights").build(spark, sf_dir).collect()
+    assert rows
+    # fractions sum to 1; weight * frac = 1/n_sources for every source
+    n_src = len(rows)
+    assert abs(sum(r["frac"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert abs(r["weight"] * r["frac"] - 1.0 / n_src) < 1e-12
+
+
+def test_scd2_intervals_chain_per_key(spark, sf_dir):
+    from finance_etl_spark.plans import get
+
+    df = get("cur_scd2_intervals").build(spark, sf_dir)
+    # exactly one open (current) interval per business key
+    cur = (
+        df.groupBy("o_custkey")
+        .agg(F.sum(F.col("is_current").cast("int")).alias("n_open"))
+        .filter(F.col("n_open") != 1)
+    )
+    assert cur.isEmpty()
+    # intervals never invert
+    bad = df.filter(
+        F.col("valid_to").isNotNull() & (F.col("valid_to") < F.col("valid_from"))
+    )
+    assert bad.isEmpty()
