@@ -514,3 +514,28 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, t: acc + t,
         ).alias("sq_err"),
     )
+
+
+@register("vec_pca_project", tags=("vectors", "linalg", "iterative"))
+def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (rows-only: eigensolves aren't ANSI SQL):
+    project every embedding onto its top-8 principal axes.
+
+    Scale shape (operators/pca.py): one mapInPandas pass emits
+    per-PARTITION (n, sum, Gram) partials; an element-wise Spark
+    combine reduces them to d^2+d numbers; the 64x64 eigensolve runs
+    on the driver (the only serial step, O(d^3) independent of rows);
+    the projection is a broadcast map-side matmul. Driver traffic is
+    O(d^2), never O(rows) — the same narrow-waist contract as
+    vec_kmeans_clusters. Orthonormality, variance ordering, and
+    centering are pinned in tests/test_dedup_vectors.py.
+    """
+    from finance_etl_spark.operators.pca import fit_pca, project
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mean, w, _ = fit_pca(e, k=8)
+    return project(e, mean, w).select(
+        "vec_id",
+        "label",
+        F.col("pc").alias("components"),
+    )

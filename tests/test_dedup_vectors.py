@@ -123,3 +123,41 @@ def test_kmeans_partitions_all_vectors_and_improves(spark, sf_dir):
     assert cohesion(kmeans_centroids(e, iters=3)) >= cohesion(
         kmeans_centroids(e, iters=0)
     )
+
+
+def test_pca_orthonormal_centered_variance_ordered(spark, sf_dir):
+    import numpy as np
+
+    from finance_etl_spark.io.readers import load_table
+    from finance_etl_spark.operators.pca import fit_pca, project
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mean, w, evals = fit_pca(e, k=8)
+    # components are orthonormal
+    assert np.allclose(w.T @ w, np.eye(8), atol=1e-9)
+    # eigenvalues returned in descending order, all non-negative
+    assert all(evals[i] >= evals[i + 1] - 1e-12 for i in range(7))
+    assert evals[-1] >= -1e-9
+    pcs = np.stack(
+        [r["pc"] for r in project(e, mean, w).select("pc").collect()]
+    )
+    # projections are centered, and their per-axis variance matches the
+    # eigenvalue for that axis (definition of PCA)
+    assert np.allclose(pcs.mean(axis=0), 0.0, atol=1e-9)
+    assert np.allclose(pcs.var(axis=0, ddof=1), evals, rtol=1e-6)
+
+
+def test_pca_partition_invariant(spark, sf_dir):
+    import numpy as np
+
+    from finance_etl_spark.io.readers import load_table
+    from finance_etl_spark.operators.pca import fit_pca
+
+    e = load_table(spark, sf_dir, "embeddings")
+    m1, w1, v1 = fit_pca(e, k=4)
+    m2, w2, v2 = fit_pca(e.repartition(17), k=4)
+    # sufficient-statistic reduction + deterministic sign fix make the
+    # fit independent of physical layout (up to float combine order)
+    assert np.allclose(m1, m2, atol=1e-9)
+    assert np.allclose(v1, v2, rtol=1e-9)
+    assert np.allclose(w1, w2, atol=1e-7)
