@@ -327,3 +327,55 @@ def stream_live_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined, f"live_j_{uuid.uuid4().hex[:8]}", mode="append"
     )
     return out
+
+
+@register(
+    "stream_live_session_window",
+    tags=("streaming", "live", "window", "session"),
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def stream_live_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with STATE: a real readStream drives
+    session_window(30 min) per user through the streaming session-merge
+    operator (availableNow, update mode). Sessions merge in state as
+    events arrive; the watermark bounds how long an open session can
+    wait for a late extension. Spark restricts session-window streams
+    to append/complete output; the memory-sink harness uses complete
+    (fixture result set is small). A production job would use append,
+    where only watermark-finalized sessions emit — the batch oracle
+    here checks the COMPLETE end-of-stream answer, which must equal
+    the batch session_window result exactly."""
+    from finance_etl_spark.streaming.runner import events_stream, run_stream_to_memory
+
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_stream_to_memory(agg, f"live_sw_{uuid.uuid4().hex[:8]}", mode="complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
