@@ -900,3 +900,21 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total_spend"),
         )
     )
+
+
+@register("agg_approx_quantiles", tags=("agg", "percentile", "sketch"))
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group percentiles via percentile_approx
+    (Greenwald-Khanna sketch, accuracy 10000 => rank error <= 1/10000)
+    — the mergeable-sketch path that replaces agg_percentiles' exact
+    sort-based percentile at 100-TB cardinalities: partial sketches
+    combine map-side, the shuffle carries one sketch per group, never
+    the values. Rows-only (sketch internals are engine-specific);
+    tests/test_plan_shapes.py pins the rank-error contract against the
+    exact query."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90"),
+        F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
+    )

@@ -133,3 +133,44 @@ def test_q1_runs_in_whole_stage_codegen(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
     assert "*(" in p  # WholeStageCodegen stage ids mark compiled spans
+
+
+def test_approx_quantiles_within_rank_error(spark, sf_dir):
+    """percentile_approx(accuracy=10000) returns an actual data value
+    whose RANK is within n/10000 of the target rank (the
+    Greenwald-Khanna contract — value-space bounds don't apply because
+    the sketch never interpolates)."""
+    from pyspark.sql import functions as F
+
+    from finance_etl_spark.io.readers import load_table
+    from finance_etl_spark.plans import get
+
+    approx = {
+        r["o_orderstatus"]: r
+        for r in get("agg_approx_quantiles").build(spark, sf_dir).collect()
+    }
+    assert approx
+    o = load_table(spark, sf_dir, "orders")
+    # one pass computing, per group, n and the rank of each approx
+    # value (count of rows <= it)
+    rank_cols = [F.count(F.lit(1)).alias("n")]
+    for status, a in approx.items():
+        for col in ("p50", "p90", "p99"):
+            rank_cols.append(
+                F.sum(
+                    (
+                        (F.col("o_orderstatus") == status)
+                        & (F.col("o_totalprice") <= F.lit(a[col]))
+                    ).cast("long")
+                ).alias(f"rank_{status}_{col}")
+            )
+    ranks = {
+        r["o_orderstatus"]: r
+        for r in o.groupBy("o_orderstatus").agg(*rank_cols).collect()
+    }
+    for status, a in approx.items():
+        n = ranks[status]["n"]
+        tol = max(1.0, n / 10000.0) + 1
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            rank = ranks[status][f"rank_{status}_{col}"]
+            assert abs(rank - q * n) <= tol, (status, col, rank, q * n)
