@@ -918,3 +918,45 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90"),
         F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
     )
+
+
+@register(
+    "agg_arg_max_struct",
+    tags=("agg", "struct"),
+    oracle="""
+        WITH j AS (
+            SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ), r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_min
+            FROM j
+        )
+        SELECT c_mktsegment,
+               MAX(CASE WHEN rn_max = 1 THEN o_orderkey END) AS top_orderkey,
+               MAX(o_totalprice) AS top_price,
+               MAX(CASE WHEN rn_min = 1 THEN o_orderkey END) AS bottom_orderkey
+        FROM r GROUP BY c_mktsegment
+    """,
+)
+def agg_arg_max_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg_max/arg_min with deterministic tie-breaking via STRUCT
+    ordering: the ordering key is (price, orderkey), so equal prices
+    resolve by key — lexicographic struct comparison in Spark ==
+    tuple comparison in DuckDB. One hash agg; no window, no self-join
+    (the classic 'row of the max' anti-pattern at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    key = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max_by("o_orderkey", key).alias("top_orderkey"),
+            F.max("o_totalprice").alias("top_price"),
+            F.min_by("o_orderkey", key).alias("bottom_orderkey"),
+        )
+    )
