@@ -379,3 +379,33 @@ def stream_live_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_window.end").alias("session_end"),
         "n_events",
     )
+
+
+@register(
+    "stream_live_static_enrich",
+    tags=("streaming", "live", "join"),
+    oracle="""
+        SELECT e.event_id, e.user_id, c.c_mktsegment, e.event_type, e.value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_live_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: a live event stream joined
+    to a BATCH dimension table (the streaming analog of the reference's
+    T5 small-dict lookup, reference: utils/data_manager.py:80-86, but
+    against a real table instead of a literal map). Stream-static inner
+    joins are stateless — each micro-batch joins against the static
+    side with no state store, and the dimension broadcasts, so the
+    enrichment adds zero shuffle to the stream. Filter runs stream-side
+    before the join."""
+    from finance_etl_spark.streaming.runner import events_stream, run_stream_to_memory
+
+    s = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    c = load_table(spark, sf_dir, "customer")
+    enriched = s.join(
+        F.broadcast(c), s.user_id == c.c_custkey, "inner"
+    ).select("event_id", "user_id", "c_mktsegment", "event_type", "value")
+    return run_stream_to_memory(
+        enriched, f"live_e_{uuid.uuid4().hex[:8]}", mode="append"
+    )
