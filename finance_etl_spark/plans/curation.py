@@ -516,3 +516,85 @@ def cur_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.isNull().alias("is_current"),
         "o_totalprice",
     )
+
+
+@register(
+    "cur_snapshot_diff",
+    tags=("curation", "cdc", "join"),
+    oracle="""
+        WITH old AS (
+            SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+            WHERE o_orderkey % 10 <> 0
+        ),
+        new AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0
+                        THEN o_totalprice + 1.0 ELSE o_totalprice END
+                       AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE o_orderkey % 11 <> 0
+        ),
+        j AS (
+            SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+                   o.o_orderkey IS NULL AS added,
+                   n.o_orderkey IS NULL AS removed,
+                   o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                       AND (o.o_totalprice <> n.o_totalprice
+                            OR o.o_orderstatus <> n.o_orderstatus) AS changed
+            FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        )
+        SELECT CAST(SUM(CASE WHEN added THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+               CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+               CAST(SUM(CASE WHEN NOT added AND NOT removed AND NOT changed
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        FROM j
+    """,
+)
+def cur_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (table reconciliation): given two versions of a
+    keyed table, classify every key as added / removed / changed /
+    unchanged — the audit every incremental pipeline runs to validate
+    a reload against the previous snapshot. Fixture derives both
+    snapshots from orders deterministically (drop keys %10=0 from old,
+    %11=0 from new, perturb %7=0 prices in new).
+
+    Shape: one full outer join on the key — shuffles both sides ONCE
+    on the same key (co-partitioned at the exchange, no second
+    shuffle), then a codegen'd classification projection and a 4-cell
+    aggregate. Column comparison is explicit (<>) so the diff columns
+    are declared, not inferred from a row hash — at 100 TB you diff
+    the columns that matter, not the whole width."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = o.filter(F.col("o_orderkey") % 10 != 0)
+    new = o.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    j = old.alias("o").join(
+        new.alias("n"),
+        F.col("o.o_orderkey") == F.col("n.o_orderkey"),
+        "full_outer",
+    )
+    added = F.col("o.o_orderkey").isNull()
+    removed = F.col("n.o_orderkey").isNull()
+    changed = (
+        F.col("o.o_orderkey").isNotNull()
+        & F.col("n.o_orderkey").isNotNull()
+        & (
+            (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+            | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+        )
+    )
+    return j.agg(
+        F.sum(added.cast("long")).alias("n_added"),
+        F.sum(removed.cast("long")).alias("n_removed"),
+        F.sum(changed.cast("long")).alias("n_changed"),
+        F.sum(
+            (~added & ~removed & ~changed).cast("long")
+        ).alias("n_unchanged"),
+    )

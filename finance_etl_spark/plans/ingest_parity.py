@@ -496,3 +496,60 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(frag_files)).cast("long").alias("files_before"),
         F.lit(len(_parquet_files(compact_dir))).cast("long").alias("files_after"),
     )
+
+
+@register(
+    "dq_constraint_checks",
+    tags=("quality", "agg", "join"),
+    oracle="""
+        SELECT
+            (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+             FROM orders) AS pk_dups,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+                AS fk_orphans,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+                AS bad_totalprice,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_orderdate < DATE '1990-01-01'
+                OR o_orderdate > DATE '2000-12-31')
+                AS date_out_of_range
+    """,
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: primary-key uniqueness,
+    foreign-key orphans, value nullity/positivity, and date-range
+    violations — the checks the reference performs implicitly by
+    crashing (reference: utils/data_manager.py:96-112 assumes clean
+    frames) made explicit and distributed.
+
+    Shapes: PK check is one hash agg (count vs distinct count); FK
+    orphans is a broadcast LEFT ANTI join (never a NOT IN subquery,
+    which null-traps and can't broadcast); the scalar checks fuse into
+    a single scan projection. All four land in one 1-row frame so a
+    scheduler can gate the load on `SELECT * FROM checks WHERE ...`."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pk = o.agg(
+        (F.count("o_orderkey") - F.count_distinct("o_orderkey")).alias("pk_dups")
+    )
+    orphans = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("fk_orphans"))
+    )
+    scalars = o.agg(
+        F.sum(
+            (F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)).cast(
+                "long"
+            )
+        ).alias("bad_totalprice"),
+        F.sum(
+            (
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") > F.lit("2000-12-31").cast("timestamp"))
+            ).cast("long")
+        ).alias("date_out_of_range"),
+    )
+    return pk.crossJoin(orphans).crossJoin(scalars)
