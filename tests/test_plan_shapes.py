@@ -174,3 +174,27 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
         for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
             rank = ranks[status][f"rank_{status}_{col}"]
             assert abs(rank - q * n) <= tol, (status, col, rank, q * n)
+
+
+def test_repetition_filter_zero_shuffle(spark, sf_dir):
+    """The repetition gate is one codegen'd projection — no Exchange of
+    any kind may appear (the claim that distinguishes it from the
+    groupBy(doc_id, bigram) formulation)."""
+    from finance_etl_spark.plans import get
+
+    p = plan_str(get("text_repetition_filter").build(spark, sf_dir))
+    assert "Exchange" not in p
+
+
+def test_snapshot_diff_single_copartitioned_join(spark, sf_dir):
+    """Snapshot diff shuffles each side once on the join key and never
+    re-exchanges after the join (classification + agg are partial/final
+    over the join output)."""
+    from finance_etl_spark.plans import get
+
+    p = plan_str(get("cur_snapshot_diff").build(spark, sf_dir))
+    # one hash exchange per input side, plus the single-partition
+    # exchange feeding the final 1-row aggregate — nothing else
+    n_hash = p.count("Exchange hashpartitioning")
+    assert n_hash <= 2, p
+    assert "CartesianProduct" not in p
