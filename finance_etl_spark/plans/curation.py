@@ -598,3 +598,68 @@ def cur_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~added & ~removed & ~changed).cast("long")
         ).alias("n_unchanged"),
     )
+
+
+@register(
+    "cur_sequence_pack",
+    tags=("curation", "window", "llm"),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        t -> t <> '')) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        packed AS (
+            SELECT shard, doc_id, n_tok,
+                   CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY shard
+                                   ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) - n_tok) / 2048)
+                        AS BIGINT) AS seq_id
+            FROM toks
+        )
+        SELECT shard, seq_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM packed GROUP BY shard, seq_id
+    """,
+)
+def cur_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining: assign documents to
+    fixed-budget (2048-token) training sequences by cumulative token
+    count, sharded so packing is partition-parallel. Each doc lands in
+    the sequence where its START offset falls — the deterministic
+    streaming-concatenation packing used by GPT-style pipelines
+    (docs are concatenated in shard order and split every 2048
+    tokens; a doc spanning a boundary is attributed to the sequence
+    it starts in).
+
+    Scale shape: shard = 2 hex chars of md5(doc_id) (256-way,
+    data-independent), so the cumsum window is PARTITIONED — each
+    shard packs independently, no global sort, and adding executors
+    splits shards, not the ordering. The same shard key drives the
+    deterministic split/sample ops (cur_hash_split), so packing
+    composes with them without another shuffle key."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    toks = d.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias("shard"),
+        n_tok.cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq_id = F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 2048)
+    return (
+        toks.withColumn("seq_id", seq_id)
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )

@@ -190,3 +190,23 @@ def test_scd2_intervals_chain_per_key(spark, sf_dir):
         F.col("valid_to").isNotNull() & (F.col("valid_to") < F.col("valid_from"))
     )
     assert bad.isEmpty()
+
+
+def test_sequence_pack_budget_and_conservation(spark, sf_dir):
+    from finance_etl_spark.io.readers import load_table
+
+    out = get("cur_sequence_pack").build(spark, sf_dir).collect()
+    assert out
+    d = load_table(spark, sf_dir, "documents")
+    total_tokens = d.select(
+        F.sum(F.size(F.filter(F.split("text", " "), lambda t: t != "")))
+    ).collect()[0][0]
+    # token conservation: every token lands in exactly one sequence
+    assert sum(r["n_tokens"] for r in out) == total_tokens
+    for r in out:
+        # a sequence only exceeds the budget via its LAST doc spanning
+        # the boundary; it can never start beyond it
+        assert r["n_docs"] >= 1
+        # start-offset rule: all docs in seq k start before (k+1)*2048,
+        # so tokens from docs STARTING here are < 2048 + one doc length
+        assert r["n_tokens"] >= 1
