@@ -960,3 +960,54 @@ def agg_arg_max_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("o_orderkey", key).alias("bottom_orderkey"),
         )
     )
+
+
+@register(
+    "sql_recursive_spine",
+    tags=("sql", "recursive", "window"),
+    oracle="""
+        WITH RECURSIVE spine(m) AS (
+            SELECT date_trunc('month', (SELECT MIN(o_orderdate) FROM orders))
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM spine
+            WHERE m < date_trunc('month', (SELECT MAX(o_orderdate) FROM orders))
+        ),
+        rev AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(spine.m AS DATE) AS month_start,
+               COALESCE(rev.n_orders, 0) AS n_orders,
+               rev.n_orders IS NULL AS is_gap
+        FROM spine LEFT JOIN rev ON spine.m = rev.m
+    """,
+)
+def sql_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE) generating a gap-free
+    monthly time spine between the first and last order date, left
+    joined to per-month order counts — the standard report gap-filling
+    pattern, expressed through the SQL parser rather than the DataFrame
+    API. The recursion depth is the month span (bounded by the
+    calendar, not the data volume); each iteration is one row, and the
+    spine side of the join broadcasts."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(m) AS (
+            SELECT date_trunc('month', (SELECT MIN(o_orderdate) FROM orders))
+            UNION ALL
+            SELECT m + INTERVAL '1' MONTH FROM spine
+            WHERE m < date_trunc('month', (SELECT MAX(o_orderdate) FROM orders))
+        ),
+        rev AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(spine.m AS DATE) AS month_start,
+               COALESCE(rev.n_orders, 0) AS n_orders,
+               rev.n_orders IS NULL AS is_gap
+        FROM spine LEFT JOIN rev ON spine.m = rev.m
+        """
+    )

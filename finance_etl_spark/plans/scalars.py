@@ -308,3 +308,31 @@ def array_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
         lookup[F.col("label")].alias("label_name"),
     )
+
+
+@register(
+    "json_variant_extract",
+    tags=("scalar", "json", "variant"),
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0
+                   AS k_mod10
+        FROM events WHERE event_id <= 300
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): parse_json into a binary
+    variant column once, then typed variant_get path extraction — the
+    open-schema path for evolving event payloads, where from_json's
+    fixed struct (json_schema_parse) would need a migration per new
+    field. Variant parse + access stay JVM-side (no Python); predicate
+    on event_id still pushes to the scan below the parse."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 300)
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        (k % 10 == 0).alias("k_mod10"),
+    )
