@@ -621,3 +621,91 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_frac.alias("top_bigram_frac"),
         ((dup_frac <= 0.5) & (top_frac <= 0.2)).alias("keep"),
     )
+
+
+@register(
+    "text_unigram_prob_score",
+    tags=("text", "quality", "lm"),
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        train_toks AS (
+            SELECT t.* FROM toks t
+            WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 2) < 'cc'
+        ),
+        freq AS (SELECT tok, COUNT(*) AS c FROM train_toks GROUP BY 1),
+        tot AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM freq
+        ),
+        scored AS (
+            SELECT t.doc_id, t.pos,
+                   (COALESCE(f.c, 0) + 1)
+                       / CAST(tot.total + tot.v AS DOUBLE) AS p,
+                   (f.tok IS NULL)::INT AS oov
+            FROM toks t LEFT JOIN freq f USING (tok), tot
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(oov) AS BIGINT) AS n_oov,
+               list_sum(list(p ORDER BY pos)) / COUNT(*) AS avg_unigram_p
+        FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality scoring, CCNet-style: fit token
+    frequencies on the TRAIN split only (the same md5 gate as
+    cur_hash_split, so the LM never sees val/test), then score every
+    document by its Laplace-smoothed average token probability.
+    Low-probability (OOV-heavy, atypical) documents are the filter
+    targets. The classic perplexity variant replaces the mean of p
+    with exp(mean(-ln p)); the arithmetic-mean form keeps the score
+    free of libm transcendentals, so it is bit-identical across
+    engines and fully oracle-checkable (ln lives in the rows-only
+    math_transcendental fence).
+
+    Scale shape: the frequency table is vocabulary-sized — it joins to
+    the token stream by key (Catalyst broadcasts it while it fits,
+    shuffle-hash beyond); totals are ONE row cross-joined in. The
+    per-doc reduction folds p values in position order (sequential
+    double sum — partition-layout independent)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    train_toks = toks.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cc"
+    )
+    freq = train_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    scored = (
+        toks.join(freq, "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "pos",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                / (F.col("total") + F.col("v")).cast("double")
+            ).alias("p"),
+            F.col("c").isNull().cast("int").alias("oov"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").alias("n_oov"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("p")))
+        ).alias("__pp"),
+    )
+    fold = F.aggregate(
+        F.transform("__pp", lambda x: x.getField("p")),
+        F.lit(0.0),
+        lambda acc, p: acc + p,
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        (fold / F.col("n_tokens")).alias("avg_unigram_p"),
+    )

@@ -539,3 +539,67 @@ def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("pc").alias("components"),
     )
+
+
+@register(
+    "vec_hard_negatives",
+    tags=("vector", "similarity", "training"),
+    oracle=f"""
+        WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+                   WHERE vec_id < 8),
+        scored AS (
+            SELECT q.vec_id AS query_id, q.label AS query_label,
+                   e.vec_id AS negative_id, e.label AS negative_label,
+                   {_cos('q.embedding', 'e.embedding')} AS cos_sim
+            FROM q JOIN embeddings e ON e.label <> q.label
+        ),
+        ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, negative_id) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, query_label, negative_id, negative_label,
+               rank, cos_sim
+        FROM ranked WHERE rank <= 3
+    """,
+)
+def vec_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for
+    each anchor, the top-3 most-similar vectors with a DIFFERENT
+    label — maximally confusable negatives, the ones that actually
+    move a contrastive loss. Same broadcast-scan + per-query-window
+    shape as vec_cosine_topk with the label-inequality predicate
+    fused into the join; at corpus scale the anchor set is the
+    (batch-sized) broadcast side and the negative pool streams
+    through one linear scan — for full-corpus mining, route through
+    the IVF/LSH candidate path instead (vec_ann_ivf_topk)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("query_label"),
+    )
+    scored = e.join(
+        F.broadcast(q), F.col("label") != F.col("query_label")
+    ).select(
+        "query_id",
+        "query_label",
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        cosine("q_emb", "embedding").alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "query_label",
+            "negative_id",
+            "negative_label",
+            "rank",
+            "cos_sim",
+        )
+    )
