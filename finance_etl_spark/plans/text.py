@@ -709,3 +709,53 @@ def text_unigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_oov",
         (fold / F.col("n_tokens")).alias("avg_unigram_p"),
     )
+
+
+@register(
+    "text_chunk_overlap",
+    tags=("text", "chunk", "llm"),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tk
+            FROM documents
+        ),
+        starts AS (
+            SELECT doc_id, tk, unnest(range(0, len(tk), 40)) AS start
+            FROM toks WHERE len(tk) >= 1
+        )
+        SELECT doc_id,
+               CAST(start / 40 AS BIGINT) AS chunk_id,
+               CAST(least(50, len(tk) - start) AS BIGINT) AS n_chunk_tokens,
+               md5(array_to_string(tk[start + 1 : start + 50], ' '))
+                   AS chunk_hash
+        FROM starts
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 50-token chunks, stride 40
+    (10-token overlap) — the context-window preprocessing step for
+    embedding/RAG pipelines. Chunk text is presented as its md5 so the
+    result stays narrow; a consumer would `array_join` the same slice.
+
+    Map-side only: start offsets come from `sequence`, chunks from
+    `slice` over the token array, exploded inside the same stage — the
+    text column never shuffles and chunk rows are born distributed.
+    The per-doc chunk count is ceil(n_tok/40), so output size is
+    linear in corpus tokens at any SF."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.col("text"), _SPACE), lambda t: t != "")
+    base = d.select("doc_id", tk.alias("__tk")).filter(F.size("__tk") >= 1)
+    starts = F.sequence(F.lit(0), F.size("__tk") - 1, F.lit(40))
+    rows = base.select(
+        "doc_id", "__tk", F.explode(starts).alias("start")
+    )
+    chunk = F.slice(F.col("__tk"), F.col("start") + 1, F.lit(50))
+    return rows.select(
+        "doc_id",
+        (F.col("start") / 40).cast("long").alias("chunk_id"),
+        F.least(
+            F.lit(50), F.size("__tk") - F.col("start")
+        ).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
