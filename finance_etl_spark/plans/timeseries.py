@@ -8,9 +8,10 @@ The operators themselves live in finance_etl_spark.operators.joins and
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from finance_etl_spark.functions.money import DEC, dsum
 from finance_etl_spark.io.readers import load_table
 from finance_etl_spark.operators.joins import asof_join, range_join
 from finance_etl_spark.operators.sessionize import sessionize
@@ -181,6 +182,182 @@ def ts_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_sec"
         ),
     )
+
+
+@register(
+    "ts_ohlc_vwap_bars",
+    tags=("timeseries", "agg", "finance"),
+    oracle="""
+        WITH base AS (
+            SELECT date_trunc('month', l_shipdate) AS bar_month, l_returnflag,
+                   l_extendedprice AS price, l_quantity AS qty,
+                   l_shipdate, l_orderkey, l_linenumber
+            FROM lineitem
+        ), r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY bar_month, l_returnflag
+                       ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC) AS rn_open,
+                   row_number() OVER (PARTITION BY bar_month, l_returnflag
+                       ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn_close
+            FROM base
+        )
+        SELECT CAST(bar_month AS DATE) AS bar_month, l_returnflag,
+               MAX(CASE WHEN rn_open = 1 THEN price END) AS open,
+               MAX(price) AS high,
+               MIN(price) AS low,
+               MAX(CASE WHEN rn_close = 1 THEN price END) AS close,
+               COUNT(*) AS n_trades,
+               CAST(CAST(SUM(CAST(price AS DECIMAL(12,2)) * CAST(qty AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(SUM(CAST(qty AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS vwap
+        FROM r GROUP BY bar_month, l_returnflag
+    """,
+)
+def ts_ohlc_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly OHLC + VWAP bars (the tick→bar compaction every market
+    data pipeline runs): open/close via min_by/max_by over a STRUCT
+    ordering key (shipdate, orderkey, linenumber) — deterministic
+    tie-breaking, ONE hash aggregation, no sort and no window, so the
+    plan is a partial+final agg that scales linearly. VWAP casts each
+    factor to decimal BEFORE multiplying (price*qty as a double product
+    rounded to 10 decimal places is engine-ambiguous at 1e7 magnitude;
+    decimal×decimal is exact), so the double result is bit-identical
+    under any partitioning. The oracle takes the window-function road
+    to the same bars."""
+    li = load_table(spark, sf_dir, "lineitem")
+    okey = F.struct(F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber"))
+    price, qty = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("bar_month"),
+            "l_returnflag",
+        )
+        .agg(
+            F.min_by(price, okey).alias("open"),
+            F.max(price).alias("high"),
+            F.min(price).alias("low"),
+            F.max_by(price, okey).alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+            (
+                F.sum(price.cast("decimal(12,2)") * qty.cast("decimal(12,2)"))
+                .cast("double")
+                / F.sum(qty.cast("decimal(12,2)")).cast("double")
+            ).alias("vwap"),
+        )
+    )
+
+
+@register(
+    "ts_rolling_volatility",
+    tags=("timeseries", "window", "finance"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   SUM(CAST(value AS DECIMAL(30,10))) AS s1,
+                   SUM(CAST(value * value AS DECIMAL(30,10))) AS s2,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type, day
+        ), rolled AS (
+            SELECT event_type, day,
+                   CAST(CAST(SUM(s1) OVER w AS VARCHAR) AS DOUBLE) AS r1,
+                   CAST(CAST(SUM(s2) OVER w AS VARCHAR) AS DOUBLE) AS r2,
+                   CAST(SUM(n) OVER w AS DOUBLE) AS rn
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day,
+               CASE WHEN rn > 1
+                    THEN sqrt(greatest((r2 - r1 * r1 / rn) / (rn - 1), 0.0))
+               END AS vol_7d
+        FROM rolled
+    """,
+)
+def ts_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day volatility (sample stddev) of per-type daily
+    value, from EXACT decimal power sums: the raw table is reduced once
+    by hash agg to (day, sum, sum-of-squares, count) partials, then the
+    rolling frame sums those partials — decimal, order-independent —
+    and the variance is assembled in double arithmetic (+,-,*,/ and
+    IEEE-correctly-rounded sqrt only, no libm), so Spark and DuckDB
+    agree bitwise. The windowed pass runs over the tiny daily
+    aggregate, not the raw events; built-in stddev over a raw-row frame
+    would both rescan and accumulate in engine-specific order."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.col("value").cast(DEC)).alias("s1"),
+            F.sum((F.col("value") * F.col("value")).cast(DEC)).alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    r1 = F.sum("s1").over(w).cast("double")
+    r2 = F.sum("s2").over(w).cast("double")
+    rn = F.sum("n").over(w).cast("double")
+    var = (r2 - r1 * r1 / rn) / (rn - F.lit(1.0))
+    return daily.select(
+        "event_type",
+        "day",
+        F.when(rn > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).alias("vol_7d"),
+    )
+
+
+@register(
+    "ts_ewma_smooth",
+    tags=("timeseries", "window", "finance"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+                     AS daily_value
+            FROM events GROUP BY event_type, day
+        )
+        SELECT event_type, day, daily_value,
+               list_reduce(
+                   list(daily_value) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 15 PRECEDING AND CURRENT ROW),
+                   (acc, x) -> acc * 0.5 + x * 0.5
+               ) AS ewma
+        FROM daily
+    """,
+)
+def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.5, adjust=False)
+    over the per-type daily series, truncated to a trailing-16 frame:
+    weights beyond 16 lags are < 2^-15 and the truncation is part of
+    the operator contract, which is what makes EWMA expressible as a
+    frame-bounded SEQUENTIAL FOLD (collect_list over the frame +
+    F.aggregate) instead of an inherently serial full-partition scan.
+    Both engines fold the identical double list left-to-right with
+    acc*0.5 + x*0.5 — every step IEEE-exact, so bit-identical. The
+    fold runs on the compacted daily series (one row per key-day), and
+    each frame list is at most 16 doubles — bounded memory at any SF."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(dsum("value").alias("daily_value"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-15, Window.currentRow)
+    )
+    arr = F.collect_list("daily_value").over(w)
+    ewma = F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    return daily.select("event_type", "day", "daily_value", ewma.alias("ewma"))
 
 
 def _rollup_oracle() -> str:
