@@ -553,3 +553,53 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("date_out_of_range"),
     )
     return pk.crossJoin(orphans).crossJoin(scalars)
+
+
+@register(
+    "source_python_datasource",
+    tags=("source", "datasource", "spark4"),
+    oracle="""
+        WITH ticks AS (
+            SELECT i AS tick_id,
+                   TIMESTAMP '2024-01-01' + i * INTERVAL 1 SECOND AS ts,
+                   100.0 + ((i * 2654435761) % 2001 - 1000) / 100.0 AS px
+            FROM range(0, 16000) t(i)
+        )
+        SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bar_minute,
+               COUNT(*) AS n_ticks,
+               MIN(px) AS low, MAX(px) AS high,
+               CAST(CAST(SUM(CAST(px AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+                 AS px_volume
+        FROM ticks GROUP BY bar_minute
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom source through the Spark 4 Python DataSource API
+    (io/ticksource.py): 8 declared input partitions read
+    executor-parallel, then a minute-bar aggregation on top. The
+    source is a pure function of tick_id, so the DuckDB oracle rebuilds
+    the identical 16,000 rows from range() and the differential gate
+    covers a NON-FILE source end-to-end. Replaces the reference's
+    pandas-only, driver-bound ingestion extension point
+    (reference: utils/data_manager.py:34-44)."""
+    from finance_etl_spark.functions.money import dsum
+    from finance_etl_spark.io.ticksource import TickDataSource
+
+    try:
+        spark.dataSource.register(TickDataSource)
+    except Exception:
+        pass  # already registered in this session
+    ticks = (
+        spark.read.format("ticks")
+        .option("parts", 8)
+        .option("rows_per_part", 2000)
+        .load()
+    )
+    return ticks.groupBy(
+        F.date_trunc("minute", "ts").alias("bar_minute")
+    ).agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.min("px").alias("low"),
+        F.max("px").alias("high"),
+        dsum("px").alias("px_volume"),
+    )

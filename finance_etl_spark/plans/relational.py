@@ -1011,3 +1011,60 @@ def sql_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spine LEFT JOIN rev ON spine.m = rev.m
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join analytics headliner (TPC-H Q3 shape).
+
+@register(
+    "q3_shipping_priority",
+    headline=True,
+    tags=("join", "agg", "topk", "tpch"),
+    oracle=f"""
+        SELECT l.l_orderkey,
+               {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1997-03-15'
+          AND l.l_shipdate > TIMESTAMP '1997-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey ASC
+        LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority report (TPC-H Q3 shape): selective filters on
+    all three tables push down to the scans BEFORE the joins, the
+    filtered customer side broadcasts (no shuffle of orders by custkey),
+    and the final top-10 plans as TakeOrderedAndProject — each partition
+    keeps 10 rows, the driver merges, nothing resembling a global sort.
+    Unique l_orderkey tiebreak makes the LIMIT deterministic."""
+    cutoff = F.lit("1997-03-15").cast("timestamp")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )

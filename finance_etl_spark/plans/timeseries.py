@@ -424,3 +424,63 @@ def ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(present(hour, "hour"))
         .unionByName(present(day, "day"))
     )
+
+
+@register(
+    "ts_max_drawdown",
+    tags=("timeseries", "window", "finance"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+                     AS daily_value
+            FROM events GROUP BY event_type, day
+        ), equity AS (
+            SELECT event_type, day,
+                   CAST(CAST(SUM(CAST(daily_value AS DECIMAL(30,10)))
+                        OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS VARCHAR) AS DOUBLE) AS equity
+            FROM daily
+        ), dd AS (
+            SELECT event_type, day, equity,
+                   equity / MAX(equity) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1.0
+                     AS drawdown
+            FROM equity
+        )
+        SELECT event_type, MIN(drawdown) AS max_drawdown,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM dd GROUP BY event_type
+    """,
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series: cumulative-sum equity curve →
+    running peak (cummax window) → min of equity/peak - 1. Cumulative
+    sums are decimal (exact under any partial-agg order); the ratio and
+    min are single IEEE ops, so the result is engine- and
+    partitioning-deterministic. Three window passes all run over the
+    compacted one-row-per-day series, then a final hash agg."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(dsum("value").alias("daily_value"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    equity = F.sum(F.col("daily_value").cast(DEC)).over(w).cast("double")
+    with_eq = daily.select("event_type", "day", equity.alias("equity"))
+    drawdown = F.col("equity") / F.max("equity").over(w) - F.lit(1.0)
+    return (
+        with_eq.select("event_type", "day", drawdown.alias("drawdown"))
+        .groupBy("event_type")
+        .agg(
+            F.min("drawdown").alias("max_drawdown"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
