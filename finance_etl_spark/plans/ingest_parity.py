@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from finance_etl_spark.functions.keys import surrogate_key
+from finance_etl_spark.functions.money import dsum
 from finance_etl_spark.ingest import load_config, read_group, run_ingest, transform_group
 from finance_etl_spark.io.readers import load_table
 from finance_etl_spark.plans.registry import register
@@ -602,4 +603,47 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("px").alias("low"),
         F.max("px").alias("high"),
         dsum("px").alias("px_volume"),
+    )
+
+
+@register(
+    "sink_multi_format_roundtrip",
+    tags=("sink", "source", "formats"),
+    oracle="""
+        SELECT l_returnflag,
+               CAST(2 * COUNT(*) AS BIGINT) AS n_rows,
+               CAST(CAST(2 * SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+                 AS total_price
+        FROM lineitem
+        WHERE l_quantity >= 25
+        GROUP BY l_returnflag
+    """,
+)
+def sink_multi_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-agnostic source/sink matrix: one filtered projection of
+    lineitem written as ORC and as JSON-lines, read back (JSON with an
+    EXPLICIT schema — no inference scan), unioned and re-aggregated.
+    The result must equal exactly 2× the parquet-side aggregate: ORC
+    round-trips columnar-native, and Spark's shortest-repr double JSON
+    encoding parses back bit-identical, which this query proves through
+    the differential gate. Both reads are splittable distributed scans;
+    the union is a lazy lineage merge, not a materialization."""
+    import tempfile
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 25)
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+    )
+    base = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    li.write.mode("overwrite").orc(f"{base}/orc")
+    li.write.mode("overwrite").json(f"{base}/json")
+
+    schema = "l_returnflag string, l_quantity double, l_extendedprice double"
+    back = spark.read.orc(f"{base}/orc").unionByName(
+        spark.read.schema(schema).json(f"{base}/json")
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("total_price"),
     )

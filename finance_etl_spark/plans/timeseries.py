@@ -484,3 +484,118 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_days"),
         )
     )
+
+
+@register(
+    "ts_cohort_retention",
+    tags=("timeseries", "agg", "analytics"),
+    oracle="""
+        WITH cohort AS (
+            SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS activity_day
+            FROM events
+        )
+        SELECT c.cohort_day,
+               CAST(date_diff('day', c.cohort_day, a.activity_day) AS INT) AS days_since,
+               COUNT(*) AS n_active_users
+        FROM cohort c JOIN activity a USING (user_id)
+        GROUP BY c.cohort_day, days_since
+    """,
+)
+def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen day,
+    counted per days-since-cohort (integer date arithmetic — exact in
+    both engines, no float months_between). Two hash aggs reduce events
+    to (user, day) grain FIRST, so the cohort⋈activity join shuffles
+    one row per user-day, not raw events; both sides hash-partition on
+    user_id (co-partitioned, AQE-coalesced)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    cohort = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = ev.select("user_id", day.alias("activity_day")).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("activity_day", "cohort_day").cast("int").alias("days_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+@register(
+    "ts_funnel_conversion",
+    tags=("timeseries", "window", "analytics"),
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, ts, event_type,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_view
+            FROM events
+        ), s2 AS (
+            SELECT *,
+                   MIN(CASE WHEN event_type = 'click' AND ts >= t_view
+                            AND ts <= t_view + INTERVAL 7 DAY THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_click
+            FROM s1
+        ), s3 AS (
+            SELECT *,
+                   MIN(CASE WHEN event_type = 'purchase' AND ts >= t_click
+                            AND ts <= t_click + INTERVAL 7 DAY THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_purchase
+            FROM s2
+        ), per_user AS (
+            SELECT DISTINCT user_id, t_view, t_click, t_purchase FROM s3
+        )
+        SELECT COUNT(*) AS n_users,
+               CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+               CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+               CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
+        FROM per_user
+    """,
+)
+def ts_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click ≤7d → purchase ≤7d): three
+    full-partition window mins chained over the SAME partitioning
+    (user_id) — Catalyst plans one shuffle and reuses the exchange for
+    all three Window nodes, vs the naive three self-joins. Stage
+    timestamps are per-user constants; a distinct + single-row count
+    rolls the funnel up. No per-event state leaves the user partition."""
+    w = Window.partitionBy("user_id")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s1 = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("t_view"))
+                & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 7 DAY")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("t_click"))
+                & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 7 DAY")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.select("user_id", "t_view", "t_click", "t_purchase").distinct()
+    flag = lambda c: F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0)).cast("long")
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        flag("t_view").alias("n_viewed"),
+        flag("t_click").alias("n_clicked"),
+        flag("t_purchase").alias("n_purchased"),
+    )

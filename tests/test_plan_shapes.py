@@ -76,7 +76,40 @@ _NO_CARTESIAN_AUDIT = [
     "ingest_incremental_new",
     "subquery_in",
     "stream_tumbling_window",
+    "q3_shipping_priority",
+    "ts_ohlc_vwap_bars",
+    "ts_rolling_volatility",
+    "ts_max_drawdown",
 ]
+
+
+def test_ohlc_bars_single_agg_no_window_no_sort(spark, sf_dir):
+    # open/close come from min_by/max_by struct ordering inside ONE hash
+    # aggregation — a window or sort here would resurrect the classic
+    # row-of-the-max shuffle+sort at 100 TB
+    p = plan_str(plans.get("ts_ohlc_vwap_bars").build(spark, sf_dir))
+    assert "Window" not in p
+    assert p.count("Exchange") <= 2  # partial/final agg shuffle + AQE reuse only
+
+
+def test_q3_broadcasts_customer_and_takes_ordered(spark, sf_dir):
+    p = plan_str(plans.get("q3_shipping_priority").build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p  # top-10, never a global sort
+    assert "BroadcastHashJoin" in p  # filtered customer side broadcasts
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    # every one of the three scans pushes its filter into parquet
+    assert len(pushed) == 3 and all("[]" not in ln for ln in pushed)
+
+
+def test_rolling_windows_run_over_daily_aggregate(spark, sf_dir):
+    # volatility/EWMA/drawdown window over the compacted per-day series:
+    # the plan must aggregate BEFORE any Window node (window input is the
+    # hash agg, not the raw events scan)
+    for name in ("ts_rolling_volatility", "ts_ewma_smooth", "ts_max_drawdown"):
+        p = plan_str(plans.get(name).build(spark, sf_dir), mode="simple")
+        w = p.find("Window")
+        assert w != -1, name
+        assert "HashAggregate" in p[w:], f"{name}: window not over the aggregate"
 
 
 @pytest.mark.parametrize("name", _NO_CARTESIAN_AUDIT)
