@@ -1068,3 +1068,109 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
+
+
+@register(
+    "window_distribution_funcs",
+    tags=("window", "analytic"),
+    oracle="""
+        SELECT DISTINCT o_custkey,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS second_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, pr
+    """,
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank ((rank-1)/(n-1)) and
+    cume_dist (both single IEEE divisions — engine-deterministic) plus
+    nth_value over a full-partition frame. Hash-partitioned on
+    o_custkey; the three functions share one window sort."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+    ).distinct()
+
+
+@register(
+    "null_handling_fill_drop",
+    tags=("scalar", "null"),
+    oracle="""
+        WITH sparse AS (
+            SELECT o_orderkey, o_totalprice,
+                   CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL
+                        ELSE o_totalprice END AS weighted
+            FROM orders
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(weighted) AS BIGINT) AS n_after_drop,
+               CAST(CAST(SUM(CAST(COALESCE(weighted, 0.0) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+                 AS sum_filled
+        FROM sparse
+    """,
+)
+def null_handling_fill_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrameNaFunctions surface: a sparse column (nullif-style CASE)
+    flows through na.drop (row filter on the subset) and na.fill
+    (constant imputation) — both compile to plain Catalyst filters /
+    coalesce projections, fully pushdown-friendly, not row-level Python.
+    Counts and the filled decimal sum are cross-checked in one pass."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "weighted",
+        F.when(F.col("o_orderpriority") != "3-MEDIUM", F.col("o_totalprice")),
+    )
+    n_total = o.count()
+    n_after_drop = o.na.drop(subset=["weighted"]).count()
+    filled = o.na.fill({"weighted": 0.0})
+    return filled.agg(
+        F.lit(n_total).cast("long").alias("n_total"),
+        F.lit(n_after_drop).cast("long").alias("n_after_drop"),
+        dsum("weighted").alias("sum_filled"),
+    )
+
+
+@register(
+    "scalar_collation_ci",
+    tags=("scalar", "string", "spark4"),
+    oracle="""
+        SELECT CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types_cs,
+               CAST(COUNT(DISTINCT lower(p_type)) AS BIGINT) AS n_types_ci,
+               CAST(COUNT(CASE WHEN lower(p_brand) = 'brand#13' THEN 1 END) AS BIGINT)
+                 AS n_brand13_ci
+        FROM (SELECT p_partkey, p_brand,
+                     CASE WHEN p_partkey % 2 = 0 THEN upper(p_type) ELSE p_type END
+                       AS p_type
+              FROM part)
+    """,
+)
+def scalar_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations: case-mixed part types compared under
+    UTF8_LCASE collation — COUNT(DISTINCT) collapses case variants and
+    a collated equality filter matches either case, with NO manual
+    lower() rewrites in the query logic (the oracle lowers explicitly
+    because DuckDB 1.0 lacks per-expression collation). Collation is an
+    expression property, so comparisons stay JVM-codegen'd."""
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "p_type",
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_type")).otherwise(
+            F.col("p_type")
+        ),
+    )
+    ci = lambda c: F.collate(F.col(c), "UTF8_LCASE")
+    return p.agg(
+        F.countDistinct("p_type").alias("n_types_cs"),
+        F.countDistinct(ci("p_type")).alias("n_types_ci"),
+        F.count(F.when(ci("p_brand") == F.lit("brand#13"), 1)).alias(
+            "n_brand13_ci"
+        ),
+    )

@@ -113,3 +113,71 @@ def stateful_user_totals(stream_df: DataFrame):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_high_water(stream_df: DataFrame):
+    """Custom stateful operator via Spark 4's transformWithStateInPandas
+    (the typed successor to applyInPandasWithState): per-user ValueState
+    holding the running (best_value, best_event_id, n_events) high-water
+    mark, tie-broken lexicographically so the result is deterministic.
+    State lives in the RocksDB state store keyed by the shuffle
+    partitioning — per-key, spillable, horizontally scalable."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class HighWaterProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "hw", "best_value double, best_event_id long, n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            best_v, best_id, n = (
+                self._state.get() if self._state.exists() else (None, None, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                i = pdf[["value", "event_id"]].sort_values(
+                    ["value", "event_id"]
+                ).iloc[-1]
+                v, eid = float(i["value"]), int(i["event_id"])
+                if best_v is None or (v, eid) > (best_v, best_id):
+                    best_v, best_id = v, eid
+            self._state.update((best_v, best_id, n))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "best_value": [best_v],
+                    "best_event_id": [best_id],
+                    "n_events": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=HighWaterProcessor(),
+        outputStructType=(
+            "user_id long, best_value double, best_event_id long, n_events long"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def transform_with_state_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf in the Python
+    worker (Spark's state-server protocol); absent in minimal installs.
+    The operator above degrades to applyInPandasWithState coverage
+    (stateful_user_totals) when unavailable."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False

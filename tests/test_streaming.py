@@ -133,3 +133,60 @@ def test_rate_source_stream(spark):
     finally:
         q.stop()
     assert spark.table("rate_smoke").count() > 0
+
+
+def test_transform_with_state_high_water(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas: per-user high-water ValueState
+    equals the batch row_number()=1 pick. Skips where google.protobuf
+    (required by the transformWithState Python state protocol) is not
+    installed — the operator itself is exercised end-to-end when it is."""
+    from finance_etl_spark.streaming.runner import (
+        events_stream,
+        run_stream_to_memory,
+        stateful_high_water,
+        transform_with_state_available,
+    )
+
+    import pytest
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf not installed; transformWithState worker cannot start")
+
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    s = events_stream(spark, sf_dir).select("user_id", "event_id", "value")
+    out = run_stream_to_memory(
+        stateful_high_water(s), f"tws_{uuid.uuid4().hex[:8]}", mode="update"
+    )
+    got = {
+        r.user_id: (r.best_value, r.best_event_id, r.n_events)
+        for r in out.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("best_value", "best_event_id", "n_events"), F.col("n_events")
+            ).alias("s")
+        )
+        .select("user_id", "s.*")
+        .collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").desc()
+    )
+    want = {
+        r.user_id: (r.value, r.event_id, r.n)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == want
