@@ -1174,3 +1174,72 @@ def scalar_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_brand13_ci"
         ),
     )
+
+
+@register(
+    "subquery_exists_correlated",
+    tags=("subquery", "sql"),
+    oracle="""
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F'
+                            AND o.o_totalprice > 150000)
+    """,
+)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS (customers with an urgent order
+    but no large finished one): Catalyst decorrelates both predicates
+    into a left-semi and a left-anti hash join on c_custkey — never a
+    per-row subquery execution. Expressed in SQL to exercise the
+    parser/analyzer path end-to-end."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F'
+                            AND o.o_totalprice > 150000)
+        """
+    )
+
+
+@register(
+    "sql_lateral_topk",
+    tags=("subquery", "sql", "topk"),
+    oracle="""
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t
+    """,
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI LATERAL correlated subquery: per-nation top-2 customers by
+    balance. Spark's DecorrelateInnerQuery turns the per-row LIMIT
+    subquery into a ranked window join — same shape as
+    window_topk_per_group but arrived at through the SQL surface, so
+    the optimizer (not the author) removes the O(nations × scan)
+    naive execution. Unique c_custkey tiebreak keeps top-2 exact."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t
+        """
+    )
