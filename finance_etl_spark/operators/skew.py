@@ -44,3 +44,29 @@ def salted_agg(
         .agg(*partial_aggs)
     )
     return partial.groupBy(*keys).agg(*merge_aggs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: every fact row gets a deterministic salt in
+    [0, n_salts); the (small) dim side is replicated once per salt via
+    an explode of ``sequence(0, n_salts-1)``. The shuffle key becomes
+    (key, salt), so a hot join key spreads over ``n_salts`` reducers
+    instead of melting one. Dim-side cost is |dim| × n_salts rows —
+    use for moderate dims too big to broadcast outright but far
+    smaller than the fact side; result is identical to a plain inner
+    join on ``key``.
+
+    The salt hashes the full fact row (not rand()), keeping the
+    operator deterministic under retries and differential testing.
+    """
+    salt = F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts)).cast("int")
+    salted_fact = fact.withColumn(_SALT, salt)
+    salted_dim = dim.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_fact.join(salted_dim, on=[key, _SALT], how="inner").drop(_SALT)

@@ -1243,3 +1243,86 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t
         """
     )
+
+
+@register(
+    "join_salted_hot_key",
+    tags=("join", "skew", "scale"),
+    oracle="""
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+                 AS total_price
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+)
+def join_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join (operators/skew.py::salted_join): the
+    shuffle key becomes (l_orderkey, salt) so a pathologically hot
+    orderkey spreads across 8 reducers instead of serializing one.
+    Complements agg_salted_hot_key (AQE splits skewed JOIN partitions
+    but cannot split a single monster key's build side; salting can).
+    Result is provably identical to the plain join — the oracle runs
+    the unsalted SQL."""
+    from finance_etl_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, o, key="l_orderkey", n_salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("total_price"),
+    )
+
+
+@register(
+    "agg_corr_exact",
+    tags=("agg", "stats"),
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               (n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                 AS corr_qty_price
+        FROM s
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal power sums (n, Σx, Σy,
+    Σxy, Σx², Σy² — factors cast to decimal BEFORE multiplying), then
+    one double expression with IEEE-exact ops (+,-,*,/,sqrt): the
+    result is bit-identical under any partitioning, unlike the
+    built-in corr whose streaming co-moment accumulation is
+    order-dependent in float. Same single-pass hash-agg plan shape as
+    the built-in — the partials are just as mergeable at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("l_returnflag", "n", corr.alias("corr_qty_price"))

@@ -119,3 +119,17 @@ def test_global_row_number_matches_window(spark, sf_dir):
         got["rn"] != ref["rn"]
     ).count() == 0
     assert got.count() == ref.count()
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be row-identical to the plain inner join, hot
+    keys included, for any n_salts."""
+    from finance_etl_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 1), (3, 7)], "k int, v int"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "a"), (4, "absent")], "k int, name string")
+    got = salted_join(fact, dim, key="k", n_salts=8)
+    want = fact.join(dim, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
