@@ -196,3 +196,55 @@ def minhash_lsh_dedup_pairs(
     cands = lsh_candidate_pairs(sigs, id_col).persist()
     verified = exact_jaccard(sh, cands, id_col)
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def edit1_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Edit-distance-≤1 fuzzy self-join WITHOUT a cross product, by
+    deletion-neighborhood blocking: two strings within one edit
+    (substitution, insertion, or deletion) always share at least one
+    member of {s} ∪ {s with one char deleted}, so emitting those
+    |s|+1 variants as join keys and equi-joining on the variant finds
+    every candidate in time linear in Σ|s| (vs the O(n²) quadratic
+    all-pairs). Candidates are then verified with the exact JVM
+    levenshtein — cheap, since only same-variant collisions survive.
+
+    Variants are built map-side with sequence+transform (no Python);
+    the self-join shuffles on the variant string, and bucket sizes are
+    bounded by how many strings share a deletion — the skew profile of
+    near-duplicate data itself.
+    """
+    variants = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col(text_col)),
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(text_col)),
+                        lambda i: F.concat(
+                            F.substring(F.col(text_col), F.lit(1), i - 1),
+                            F.col(text_col).substr(
+                                i + 1, F.length(text_col)
+                            ),
+                        ),
+                    ),
+                )
+            )
+        ).alias("variant"),
+    )
+    a = variants.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("name_a"), "variant"
+    )
+    b = variants.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("name_b"), "variant"
+    )
+    cand = (
+        a.join(b, "variant")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+    )
+    return cand.withColumn(
+        "distance", F.levenshtein("name_a", "name_b")
+    ).filter(F.col("distance") <= 1)

@@ -663,3 +663,52 @@ def cur_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "cur_incremental_agg_merge",
+    tags=("curation", "incremental", "agg", "scale"),
+    oracle=f"""
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n_events,
+               {o_dsum('value')} AS total_value
+        FROM events GROUP BY event_type, day
+    """,
+)
+def cur_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance by PARTIAL MERGE: the first
+    half of the stream is aggregated once and persisted as (key, count,
+    decimal-sum) partials — the 'stored MV'. When the second half
+    arrives, only the increment is aggregated from raw rows; the stored
+    partials are unioned in and re-summed. Decimal sums and counts are
+    exactly associative, so merged == full recompute bit-for-bit (the
+    oracle recomputes from scratch). At 100 TB this is the difference
+    between scanning the day's increment and re-scanning three years
+    of base data on every refresh."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.col("value").cast("decimal(30,10)").alias("dv"),
+    )
+    cut = F.lit("2024-01-16").cast("date")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("n_events"), F.sum("dv").alias("dec_total")
+        )
+
+    mv_path = tempfile.mkdtemp(prefix="agg_mv_")
+    partials(ev.filter(F.col("day") < cut)).write.mode("overwrite").parquet(mv_path)
+
+    stored = spark.read.parquet(mv_path)
+    increment = partials(ev.filter(F.col("day") >= cut))
+    return (
+        stored.unionByName(increment)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("dec_total").cast("double").alias("total_value"),
+        )
+    )

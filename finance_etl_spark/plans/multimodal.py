@@ -186,3 +186,52 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.lit(1), F.floor(F.col("src_h") * scale)).cast("int").alias("dst_h"),
         scale.alias("scale"),
     )
+
+
+@register(
+    "mm_header_roundtrip",
+    tags=("multimodal", "binary"),
+    oracle="""
+        SELECT doc_id,
+               TRUE AS magic_ok,
+               CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+               CAST(octet_length(encode(text)) // 64 + 1 AS INT) AS height,
+               CAST(octet_length(encode(text)) + 10 AS INT) AS total_bytes
+        FROM documents
+    """,
+)
+def mm_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary container header build + parse, all JVM-side: a 10-byte
+    header (2-byte magic FE01, 4-byte big-endian width, 4-byte height)
+    is prepended to each payload with to_binary(hex), then parsed back
+    by byte-slicing (substring on BinaryType) + conv(hex→int) — the
+    fixed-layout header walk every media ingest does before handing
+    bytes to a codec. The oracle recomputes the fields arithmetically,
+    so the differential gate proves the encode→parse round trip is
+    lossless. Zero Python in the row path; codegen throughout."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    n_bytes = F.length(payload)
+    width = (n_bytes % 64 + 1).cast("int")
+    height = ((n_bytes / 64).cast("int") + 1).cast("int")
+    hex4 = lambda c: F.lpad(F.hex(c), 8, "0")
+    framed = d.select(
+        "doc_id",
+        F.concat(
+            F.to_binary(F.lit("FE01"), F.lit("hex")),
+            F.to_binary(hex4(width), F.lit("hex")),
+            F.to_binary(hex4(height), F.lit("hex")),
+            payload,
+        ).alias("framed"),
+    )
+    return framed.select(
+        "doc_id",
+        (F.hex(F.substring("framed", 1, 2)) == "FE01").alias("magic_ok"),
+        F.conv(F.hex(F.substring("framed", 3, 4)), 16, 10)
+        .cast("int")
+        .alias("width"),
+        F.conv(F.hex(F.substring("framed", 7, 4)), 16, 10)
+        .cast("int")
+        .alias("height"),
+        F.length("framed").alias("total_bytes"),
+    )

@@ -161,3 +161,44 @@ def test_pca_partition_invariant(spark, sf_dir):
     assert np.allclose(m1, m2, atol=1e-9)
     assert np.allclose(v1, v2, rtol=1e-9)
     assert np.allclose(w1, w2, atol=1e-7)
+
+
+def test_edit1_blocking_finds_all_edit_kinds(spark):
+    """Deletion-neighborhood blocking is exact for distance ≤ 1: it must
+    find substitution, insertion, AND deletion pairs — and reject
+    distance-2 pairs — matching a brute-force check."""
+    from finance_etl_spark.operators.dedup import edit1_candidate_pairs
+
+    rows = [
+        (1, "kitten"),
+        (2, "sitten"),   # substitution of row 1
+        (3, "kittens"),  # insertion vs row 1
+        (4, "kiten"),    # deletion vs row 1
+        (5, "mitten"),   # substitution of 1 and 2
+        (6, "banana"),   # unrelated
+        (7, "kitty"),    # distance 2 from kitten -> must NOT pair
+    ]
+    df = spark.createDataFrame(rows, "id int, name string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in edit1_candidate_pairs(df, "id", "name").collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        d = [[i + j if not i * j else 0 for j in range(len(b) + 1)] for i in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                d[i][j] = min(
+                    d[i - 1][j] + 1,
+                    d[i][j - 1] + 1,
+                    d[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return d[len(a)][len(b)]
+
+    want = {
+        (i, j)
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want and (1, 7) not in got
