@@ -1,0 +1,112 @@
+"""Weighted PageRank as iterative DataFrame rounds.
+
+Same execution discipline as operators/components.py (connected
+components) and the k-means op: each round is one co-partitioned
+join + one hash aggregation composed LAZILY (dangling mass folds in as
+a 1-row broadcast aggregate, no per-round driver collect), then a
+single localCheckpoint materializes the new rank vector and truncates
+lineage. Edges are normalized, partitioned by src, and cached ONCE —
+at 100 TB the edge shuffle happens once, not per iteration, and each
+round moves only rank-vector-sized data.
+
+Iteration shuffles are rank-vector-sized, so the loop temporarily
+scales spark.sql.shuffle.partitions down to ``iter_partitions``
+(restored after) — 32-task stages over a 25-row vector are pure
+scheduler overhead; on a billion-node graph pass a larger value.
+
+Per-round mass sums are decimal-exact, so ranks are bit-identical
+under any partitioning or relayout — pinned in tests/test_curation.py.
+
+Dangling mass (nodes with no out-edges) is redistributed uniformly,
+keeping the rank vector a proper probability distribution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(30,18)"
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    damping: float = 0.85,
+    n_iter: int = 12,
+    iter_partitions: int = 4,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Returns (node, rank). Edges may carry arbitrary positive weights;
+    transition probabilities are the out-weight-normalized weights."""
+    spark = edges.sparkSession
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(iter_partitions))
+    try:
+        out_w = edges.groupBy(src).agg(F.sum(weight).alias("__out_w"))
+        norm = (
+            edges.join(out_w, src)
+            .select(
+                F.col(src).alias("e_src"),
+                F.col(dst).alias("e_dst"),
+                (F.col(weight) / F.col("__out_w")).alias("p"),
+            )
+            .repartition("e_src")
+            .cache()
+        )
+        sources = norm.select(F.col("e_src").alias("node")).distinct()
+        dangling = nodes.join(sources, "node", "left_anti").cache()
+        has_dangling = not dangling.isEmpty()
+
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+        it = 0
+        for _ in range(n_iter):
+            contrib = (
+                norm.join(ranks, norm.e_src == ranks.node)
+                .groupBy("e_dst")
+                .agg(
+                    F.sum((F.col("p") * F.col("rank")).cast(_DEC))
+                    .cast("double")
+                    .alias("in_mass")
+                )
+            )
+            new_ranks = nodes.join(
+                contrib, nodes.node == contrib.e_dst, "left"
+            ).select("node", F.coalesce(F.col("in_mass"), F.lit(0.0)).alias("in_mass"))
+            if has_dangling:
+                d_mass = (
+                    ranks.join(dangling, "node")
+                    .agg(
+                        F.coalesce(F.sum(F.col("rank").cast(_DEC)), F.lit(0))
+                        .cast("double")
+                        .alias("d_mass")
+                    )
+                )
+                new_ranks = new_ranks.crossJoin(F.broadcast(d_mass))
+            else:
+                new_ranks = new_ranks.withColumn("d_mass", F.lit(0.0))
+            ranks = new_ranks.select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping * (F.col("in_mass") + F.col("d_mass") / n)
+                ).alias("rank"),
+            )
+            it += 1
+            # materialize every k rounds: lineage stays k-bounded while
+            # halving the per-round job/replan overhead
+            if it % checkpoint_every == 0 or it == n_iter:
+                ranks = ranks.localCheckpoint()
+        return ranks
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -712,3 +712,36 @@ def cur_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dec_total").cast("double").alias("total_value"),
         )
     )
+
+
+@register("graph_pagerank_trade", tags=("graph", "iterative"))
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation-level trade graph (supplier
+    nation → customer nation, edge weight = shipment count), 12 rounds
+    of one co-partitioned join + one decimal-exact hash agg each
+    (operators/pagerank.py). Rows-only: PageRank's fixed point is not
+    expressible in DuckDB's recursive CTEs (no aggregation over the
+    recursive table); invariants (probability mass, repartition
+    determinism, hub concentration) are pinned in
+    tests/test_curation.py. The edge build is the expensive part at
+    scale — two broadcast dimension joins and one count agg over
+    lineitem; the 12 iterations run over the nation-sized rank vector."""
+    from finance_etl_spark.operators.pagerank import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    out = pagerank(edges, n_iter=12)
+    return out.select(
+        F.col("node").cast("int").alias("nationkey"), F.col("rank").alias("pagerank")
+    )

@@ -1326,3 +1326,66 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return s.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+
+
+@register(
+    "join_hint_shuffle_hash",
+    tags=("join", "hint", "scale"),
+    oracle="""
+        SELECT n.n_name, COUNT(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit join-strategy control: SHUFFLE_HASH hint forces a
+    shuffled hash join where the planner would otherwise broadcast
+    (nation is tiny) — the knob you reach for when a 'small' side is
+    too big for one executor's memory but a sort would dominate
+    (hash build skips both sort passes of SMJ). Hint surface
+    demonstrated and plan-asserted in tests/test_plan_shapes.py; the
+    result is strategy-independent, which the oracle confirms."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").hint("shuffle_hash")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "obs_metrics_during_write",
+    tags=("observability", "agg"),
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS BIGINT)
+                 AS n_large,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+                 AS total_price
+        FROM orders
+    """,
+)
+def obs_metrics_during_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-extra-pass pipeline observability: df.observe attaches
+    accumulator-backed metrics (row count, large-order count, decimal
+    revenue) to the SAME job that writes the data — no second scan.
+    The observed values, harvested after one noop write, must equal
+    the oracle's dedicated aggregation pass. At 100 TB an audit scan
+    costs as much as the ETL itself; observe() makes it free."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("write_audit")
+    audited = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice") > 100000, 1)).alias("n_large"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+    audited.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_large"], m["total_price"])],
+        "n_rows long, n_large long, total_price double",
+    )

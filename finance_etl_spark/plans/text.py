@@ -786,3 +786,79 @@ def text_fuzzy_join_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     out = edit1_candidate_pairs(s, id_col="s_suppkey", text_col="s_name")
     return out.withColumn("distance", F.col("distance").cast("int"))
+
+
+_BM25_TERMS = ("spark", "vector", "merge")
+
+
+@register(
+    "text_bm25_topk",
+    tags=("text", "search", "ranking"),
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                  FROM dl),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+               WHERE tok IN {tuple(_BM25_TERMS)} GROUP BY doc_id, tok),
+        df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+        scored AS (
+            SELECT tf.doc_id,
+                   SUM(
+                     ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                     * (tf.tf * 2.5)
+                     / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                   ) AS score,
+                   COUNT(*) AS n_terms_hit
+            FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 6) AS bm25, CAST(n_terms_hit AS INT) AS n_terms_hit
+        FROM scored
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (k1=1.5, b=0.75, Lucene's +1 idf)
+    for a fixed conjunctive-ish query: tf restricted to the query terms
+    at the scan (pushdown-friendly IN), document length and the
+    corpus-level (N, avgdl) statistics each computed once — the scalars
+    broadcast as a 1-row cross join, never per-row subqueries. Scores
+    round to 6 decimals in both engines (ln is libm, ~1 ulp) and the
+    top-20 breaks ties by doc_id, so the LIMIT is deterministic. Same
+    inverted-index shape as text_tfidf, upgraded to the ranking every
+    retrieval / RAG pipeline actually serves."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + 1.5 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(df_, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * (F.col("tf") * 2.5) / denom).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", F.round("score", 6).alias("bm25"), "n_terms_hit"
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

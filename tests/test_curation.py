@@ -210,3 +210,38 @@ def test_sequence_pack_budget_and_conservation(spark, sf_dir):
         # start-offset rule: all docs in seq k start before (k+1)*2048,
         # so tokens from docs STARTING here are < 2048 + one doc length
         assert r["n_tokens"] >= 1
+
+
+def test_pagerank_invariants(spark):
+    """Rank vector is a probability distribution; a star graph
+    concentrates rank at the hub; results are repartition-invariant
+    (decimal-exact per-round sums)."""
+    from finance_etl_spark.operators.pagerank import pagerank
+
+    # star: everyone links to node 0
+    star = spark.createDataFrame(
+        [(i, 0, 1.0) for i in range(1, 8)], "src long, dst long, w double"
+    )
+    r = {row.node: row.rank for row in pagerank(star, n_iter=15).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    hub, spokes = r[0], [v for k, v in r.items() if k]
+    assert all(hub > 3 * v for v in spokes)
+    assert len(set(round(v, 15) for v in spokes)) == 1  # symmetric spokes tie
+
+    # repartition invariance: same graph, adversarial layout
+    star_relaid = star.repartition(13, "dst")
+    r2 = {row.node: row.rank for row in pagerank(star_relaid, n_iter=15).collect()}
+    assert r == r2
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    """A directed cycle is perfectly symmetric — every node must get
+    exactly 1/n."""
+    from finance_etl_spark.operators.pagerank import pagerank
+
+    n = 6
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % n, 2.5) for i in range(n)], "src long, dst long, w double"
+    )
+    r = [row.rank for row in pagerank(cyc, n_iter=10).collect()]
+    assert all(abs(v - 1.0 / n) < 1e-12 for v in r)

@@ -231,3 +231,11 @@ def test_snapshot_diff_single_copartitioned_join(spark, sf_dir):
     n_hash = p.count("Exchange hashpartitioning")
     assert n_hash <= 2, p
     assert "CartesianProduct" not in p
+
+
+def test_shuffle_hash_hint_overrides_broadcast(spark, sf_dir):
+    # the hint must actually flip the strategy: ShuffledHashJoin in the
+    # plan, no BroadcastHashJoin for the hinted join
+    p = plan_str(plans.get("join_hint_shuffle_hash").build(spark, sf_dir))
+    assert "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" not in p
