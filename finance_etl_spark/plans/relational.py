@@ -1389,3 +1389,80 @@ def obs_metrics_during_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_large"], m["total_price"])],
         "n_rows long, n_large long, total_price double",
     )
+
+
+@register(
+    "q18_large_volume_customer",
+    headline=True,
+    tags=("join", "agg", "having", "tpch"),
+    oracle=f"""
+        SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               {o_dsum('l.l_quantity')} AS total_qty
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 200
+        )
+        GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume-customer report (TPC-H Q18 shape): the HAVING
+    subquery reduces lineitem to qualifying orderkeys FIRST (partial
+    agg map-side, tiny survivor set), which then semi-join-filters
+    orders BEFORE the wide 3-way join — the big fact table is joined
+    only for rows already known to qualify. Catalyst plans the IN as a
+    left-semi hash join; no correlated re-execution."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 200)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+    )
+
+
+@register(
+    "window_interval_range_frame",
+    tags=("window", "frame", "timeseries"),
+    oracle="""
+        SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_last_30d,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) OVER w
+                    AS VARCHAR) AS DOUBLE) AS spend_last_30d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per-customer trailing-30-day order
+    count and decimal-exact spend, expressed with the SQL INTERVAL
+    frame syntax (value-based frames need no row buffering of the
+    whole partition — the frame bound is computed from the ORDER BY
+    value, so ties and gaps behave correctly, unlike a ROWS
+    approximation). Decimal window sums keep the double presentation
+    engine-exact."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+               COUNT(*) OVER w AS n_last_30d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) OVER w
+                    AS DOUBLE) AS spend_last_30d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        """
+    )
