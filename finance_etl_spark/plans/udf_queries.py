@@ -94,3 +94,52 @@ def udf_table_function_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.pos, t.tok"
         " FROM udtf_docs, LATERAL split_words(doc_id, text) t"
     )
+
+
+@register(
+    "udf_grouped_agg_weighted_mean",
+    tags=("udf", "agg"),
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0
+                 AS weighted_avg_price,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_grouped_agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True pandas UDAF via the GROUPED_AGG pandas_udf (series → scalar,
+    usable inside groupBy().agg next to built-ins — unlike the
+    grouped-map applyInPandas shape of udf_grouped_median):
+    quantity-weighted mean price. Prices are scaled to integer cents
+    inside the UDF so the int64 numerator/denominator sums are exact
+    and order-independent — a float dot product in pandas would vary
+    with shuffle arrival order. Arrow ships each group's columns as one
+    batch; the partial-agg topology is the same hash shuffle as any
+    built-in aggregate."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: the module's `from __future__ import
+    # annotations` stringifies type hints, so hint-based inference
+    # cannot see the Series -> scalar shape
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def weighted_mean_cents(price, qty):
+        cents = (price * 100).round().astype("int64")
+        q = qty.astype("int64")
+        return float((cents * q).sum()) / float(q.sum()) / 100.0
+
+    # GROUPED_AGG UDFs cannot mix with JVM aggregates in one agg(), so
+    # the row count is a second pandas UDAF in the same (single) shuffle
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(price):
+        return len(price)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        weighted_mean_cents("l_extendedprice", "l_quantity").alias(
+            "weighted_avg_price"
+        ),
+        n_rows("l_extendedprice").alias("n"),
+    )
