@@ -336,3 +336,39 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k"),
         (k % 10 == 0).alias("k_mod10"),
     )
+
+
+@register(
+    "scalar_timezone_convert",
+    tags=("scalar", "date", "timezone"),
+    oracle="""
+        SELECT hour(timezone('America/New_York', CAST(ts AS TIMESTAMPTZ)))
+                 AS ny_hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(CASE WHEN CAST(timezone('America/New_York',
+                        CAST(ts AS TIMESTAMPTZ)) AS DATE) <> CAST(ts AS DATE)
+                    THEN 1 END) AS BIGINT) AS n_date_shifted
+        FROM events
+        GROUP BY ny_hour
+    """,
+)
+def scalar_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-aware analytics on naive-UTC event times: wall-clock
+    conversion to America/New_York (DST-correct through the IANA tzdb
+    on both engines), bucketed by local hour with a count of events
+    whose civil DATE shifts across the conversion. Output is integers
+    only, so the differential check is immune to timestamp-kind
+    differences; the session timezone stays UTC (session.py) — storage
+    is always UTC, presentation is an expression, which is the only
+    sane 100 TB timezone policy."""
+    e = load_table(spark, sf_dir, "events")
+    ny = F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), F.col("ts"))
+    return (
+        e.groupBy(F.hour(ny).alias("ny_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(
+                F.when(ny.cast("date") != F.col("ts").cast("date"), 1)
+            ).alias("n_date_shifted"),
+        )
+    )
