@@ -745,3 +745,182 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").cast("int").alias("nationkey"), F.col("rank").alias("pagerank")
     )
+
+
+@register(
+    "cur_merge_upsert",
+    tags=("curation", "merge", "cdc"),
+    oracle="""
+        WITH target AS (
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+            ) WHERE rn = 1
+        ),
+        source AS (
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   (o_orderkey % 10 = 0) AS is_delete FROM (
+                SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+            ) WHERE rn = 1
+        )
+        SELECT COALESCE(s.o_custkey, t.o_custkey) AS custkey,
+               CASE WHEN s.o_custkey IS NOT NULL THEN s.o_orderkey
+                    ELSE t.o_orderkey END AS orderkey,
+               CASE WHEN s.o_custkey IS NOT NULL THEN s.o_orderdate
+                    ELSE t.o_orderdate END AS orderdate,
+               CASE WHEN s.o_custkey IS NOT NULL THEN s.o_totalprice
+                    ELSE t.o_totalprice END AS totalprice,
+               CASE WHEN s.o_custkey IS NULL THEN 'kept'
+                    WHEN t.o_custkey IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS action
+        FROM target t FULL JOIN source s ON t.o_custkey = s.o_custkey
+        WHERE NOT (s.o_custkey IS NOT NULL AND s.is_delete)
+    """,
+)
+def cur_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (SCD1 upsert-with-delete) without a table
+    format: a latest-per-key change batch (orders from 1997 onward,
+    every 10th orderkey a delete marker) applied to a latest-per-key
+    snapshot (orders before 1997) in ONE co-partitioned full outer
+    join + a classification projection — matched+delete drops the row,
+    matched updates in place, unmatched-source inserts, unmatched-
+    target survives. This is exactly the reduction Delta/Iceberg MERGE
+    performs under copy-on-write; both sides shuffle once on the merge
+    key and nothing is quadratic. Deletes for absent keys are no-ops
+    (filtered with the same predicate), so replaying the batch is
+    idempotent."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    target = latest(o.filter(F.col("o_orderdate") < cutoff))
+    source = latest(o.filter(F.col("o_orderdate") >= cutoff)).withColumn(
+        "is_delete", F.col("o_orderkey") % 10 == 0
+    )
+    t, s = target.alias("t"), source.alias("s")
+    matched = F.col("s.o_custkey").isNotNull()
+    pick = lambda col: F.when(matched, F.col(f"s.{col}")).otherwise(  # noqa: E731
+        F.col(f"t.{col}")
+    )
+    return (
+        t.join(s, F.col("t.o_custkey") == F.col("s.o_custkey"), "full_outer")
+        .filter(~(matched & F.col("s.is_delete")))
+        .select(
+            F.coalesce(F.col("s.o_custkey"), F.col("t.o_custkey")).alias("custkey"),
+            pick("o_orderkey").alias("orderkey"),
+            pick("o_orderdate").alias("orderdate"),
+            pick("o_totalprice").alias("totalprice"),
+            F.when(~matched, F.lit("kept"))
+            .when(F.col("t.o_custkey").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated"))
+            .alias("action"),
+        )
+    )
+
+
+@register(
+    "dq_profile_columns",
+    tags=("curation", "quality", "profile"),
+    oracle="""
+        WITH a AS (
+            SELECT COUNT(*) AS n_rows,
+                   CAST(COUNT(o_custkey) AS BIGINT) AS nn_custkey,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_custkey,
+                   CAST(MIN(o_custkey) AS DOUBLE) AS min_custkey,
+                   CAST(MAX(o_custkey) AS DOUBLE) AS max_custkey,
+                   CAST(COUNT(o_orderstatus) AS BIGINT) AS nn_status,
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+                   CAST(COUNT(o_totalprice) AS BIGINT) AS nn_price,
+                   CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_price,
+                   MIN(o_totalprice) AS min_price,
+                   MAX(o_totalprice) AS max_price,
+                   CAST(COUNT(o_orderpriority) AS BIGINT) AS nn_prio,
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_prio
+            FROM orders
+        )
+        SELECT 'o_custkey' AS col_name, CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_rows AS BIGINT) - nn_custkey AS n_null,
+               nd_custkey AS n_distinct, min_custkey AS min_num,
+               max_custkey AS max_num FROM a
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(n_rows AS BIGINT),
+               CAST(n_rows AS BIGINT) - nn_status, nd_status,
+               NULL, NULL FROM a
+        UNION ALL
+        SELECT 'o_totalprice', CAST(n_rows AS BIGINT),
+               CAST(n_rows AS BIGINT) - nn_price, nd_price,
+               min_price, max_price FROM a
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(n_rows AS BIGINT),
+               CAST(n_rows AS BIGINT) - nn_prio, nd_prio,
+               NULL, NULL FROM a
+    """,
+)
+def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (the ingest-time data-quality summary
+    every pipeline wants): per-column null count, exact distinct
+    count, and numeric min/max for a 4-column slice of orders,
+    computed in a SINGLE aggregate over one scan — Catalyst expands
+    the multiple COUNT(DISTINCT)s into one Expand + two-stage agg, so
+    the table is still read once — then reshaped wide→long on the
+    resulting single row (the reshape costs nothing). String min/max
+    is deliberately omitted (cross-engine collation) — numeric bounds
+    are IEEE-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.count_distinct("o_custkey").alias("nd_custkey"),
+        F.min("o_custkey").cast("double").alias("min_custkey"),
+        F.max("o_custkey").cast("double").alias("max_custkey"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.count_distinct("o_orderstatus").alias("nd_status"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.count_distinct("o_totalprice").alias("nd_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count("o_orderpriority").alias("nn_prio"),
+        F.count_distinct("o_orderpriority").alias("nd_prio"),
+    )
+    null_d = F.lit(None).cast("double")
+    rows = [
+        ("o_custkey", "nn_custkey", "nd_custkey", F.col("min_custkey"), F.col("max_custkey")),
+        ("o_orderstatus", "nn_status", "nd_status", null_d, null_d),
+        ("o_totalprice", "nn_price", "nd_price", F.col("min_price"), F.col("max_price")),
+        ("o_orderpriority", "nn_prio", "nd_prio", null_d, null_d),
+    ]
+    # reshape the ONE aggregate row via explode-of-structs — a union of
+    # per-column selects would re-run the aggregate (and the scan) once
+    # per branch
+    profile = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("col_name"),
+                    F.col("n_rows").alias("n_rows"),
+                    (F.col("n_rows") - F.col(nn)).alias("n_null"),
+                    F.col(nd).alias("n_distinct"),
+                    mn.alias("min_num"),
+                    mx.alias("max_num"),
+                )
+                for name, nn, nd, mn, mx in rows
+            ]
+        )
+    ).alias("p")
+    return a.select(profile).select("p.*")

@@ -1551,3 +1551,81 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(revenue).alias("revenue"))
     )
+
+
+@register(
+    "subquery_not_in_null_aware",
+    tags=("subquery", "anti-join", "three-valued-logic"),
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {o_dsum('o_totalprice')} AS total_price
+        FROM (
+            SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        ELSE o_custkey END AS k,
+                   o_totalprice
+            FROM orders
+        )
+        WHERE k NOT IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def subquery_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN under three-valued logic: the probe key is NULL for
+    every 97th order, and SQL says NULL NOT IN (non-empty set) is
+    UNKNOWN — those rows must be filtered, which a plain anti-join
+    gets wrong (it would keep them). Spark plans this as a null-aware
+    anti join (broadcast single-column null-aware variant), the only
+    hash-based strategy that honors the semantics; the oracle runs the
+    identical SQL so both engines agree on every UNKNOWN row."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+                   AS total_price
+        FROM (
+            SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        ELSE o_custkey END AS k,
+                   o_totalprice
+            FROM orders
+        )
+        WHERE k NOT IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+        """
+    )
+
+
+@register(
+    "agg_histogram_bucket",
+    tags=("agg", "profile", "histogram"),
+    oracle="""
+        SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY bucket
+    """,
+)
+def agg_histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values: bucket index from an
+    IEEE-exact floor-divide (division and floor are correctly rounded,
+    so both engines bucket identically — no width_bucket dialect
+    dependence), one hash aggregate with map-side partials, output
+    cardinality = O(value range / width), independent of row count.
+    The per-bucket min/max double as the bucket's observed bounds for
+    profiling UIs."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(25000.0))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )

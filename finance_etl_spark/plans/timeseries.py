@@ -599,3 +599,78 @@ def ts_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag("t_click").alias("n_clicked"),
         flag("t_purchase").alias("n_purchased"),
     )
+
+
+@register(
+    "ts_gap_fill_locf",
+    tags=("timeseries", "gap-fill", "window"),
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS d,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR)
+                        AS DOUBLE) AS v
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        bounds AS (
+            SELECT user_id, MIN(d) AS mind, MAX(d) AS maxd
+            FROM daily GROUP BY user_id
+        ),
+        spine AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(CAST(mind AS TIMESTAMP),
+                                               CAST(maxd AS TIMESTAMP),
+                                               INTERVAL 1 DAY)) AS DATE) AS d
+            FROM bounds
+        )
+        SELECT s.user_id, s.d,
+               (dly.v IS NULL) AS is_gap,
+               COALESCE(dly.v,
+                        LAST_VALUE(dly.v IGNORE NULLS) OVER (
+                            PARTITION BY s.user_id ORDER BY s.d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        )) AS v_filled
+        FROM spine s LEFT JOIN daily dly
+          ON dly.user_id = s.user_id AND dly.d = s.d
+    """,
+)
+def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with last-observation-carried-forward: per-user daily
+    totals are densified onto a gap-free date spine generated from
+    each user's own [min, max] range (`sequence` + `explode` — the
+    spine is derived map-side from a tiny per-user bounds aggregate,
+    never from a driver loop), then missing days take the previous
+    observed value via `last(ignorenulls)` over a partitioned window.
+    The first spine day always has data by construction, so LOCF never
+    leaves a null. Spine size is O(users × days), independent of event
+    count — at 100 TB the window still runs per-user over ~days-sized
+    partitions, and the raw events are only touched by the one daily
+    aggregate."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(dsum("value").alias("v"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("d").alias("mind"), F.max("d").alias("maxd"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("mind", "maxd")).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            "d",
+            F.col("v").isNull().alias("is_gap"),
+            F.coalesce(F.col("v"), F.last("v", ignorenulls=True).over(w)).alias(
+                "v_filled"
+            ),
+        )
+    )

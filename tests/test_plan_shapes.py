@@ -80,6 +80,10 @@ _NO_CARTESIAN_AUDIT = [
     "ts_ohlc_vwap_bars",
     "ts_rolling_volatility",
     "ts_max_drawdown",
+    "q5_local_supplier_volume",
+    "cur_merge_upsert",
+    "ts_gap_fill_locf",
+    "agg_histogram_bucket",
 ]
 
 
@@ -239,3 +243,35 @@ def test_shuffle_hash_hint_overrides_broadcast(spark, sf_dir):
     p = plan_str(plans.get("join_hint_shuffle_hash").build(spark, sf_dir))
     assert "ShuffledHashJoin" in p
     assert "BroadcastHashJoin" not in p
+
+
+def test_not_in_is_hash_anti_join_not_nested_loop(spark, sf_dir):
+    # null-aware NOT IN must still plan as a hash-based anti join
+    # (Spark's single-column null-aware broadcast variant), never the
+    # O(n*m) BroadcastNestedLoopJoin fallback
+    p = plan_str(plans.get("subquery_not_in_null_aware").build(spark, sf_dir))
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_merge_upsert_two_exchanges_join_reuses_window_partitioning(spark, sf_dir):
+    """MERGE shuffles each side once (for its latest-per-key window on
+    the merge key) and the full-outer join reuses that partitioning —
+    a third exchange would mean the join re-shuffled what the windows
+    already co-located."""
+    p = plan_str(plans.get("cur_merge_upsert").build(spark, sf_dir), mode="simple")
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert "CartesianProduct" not in p
+
+
+def test_profile_columns_single_scan(spark, sf_dir):
+    # the wide→long reshape must ride the ONE aggregate row (explode of
+    # structs), not re-run the aggregate per profiled column
+    p = plan_str(plans.get("dq_profile_columns").build(spark, sf_dir), mode="simple")
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_q5_dimension_broadcasts_no_cartesian(spark, sf_dir):
+    p = plan_str(plans.get("q5_local_supplier_volume").build(spark, sf_dir))
+    assert "BroadcastHashJoin" in p  # region→nation shrink reaches both dim paths
+    assert "CartesianProduct" not in p
