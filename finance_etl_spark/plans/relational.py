@@ -1629,3 +1629,95 @@ def agg_histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+@register(
+    "set_except_all",
+    tags=("setop",),
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference): each customer key survives
+    max(0, multiplicity_1995 − multiplicity_1996) times. Spark plans
+    exceptAll as a tagged union + per-key count aggregate + generate —
+    one shuffle on the key, never a join of the two sides."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b)
+
+
+@register(
+    "set_intersect_all",
+    tags=("setop",),
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag intersection): each key kept
+    min(multiplicity_1995, multiplicity_1996) times — the multiplicity
+    contract ANSI specifies and `intersect()` (distinct) erases."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    return a.intersectAll(b)
+
+
+@register(
+    "sql_group_by_all",
+    tags=("agg", "sql-surface"),
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {o_dsum('o_totalprice')} AS total_price
+        FROM orders
+        GROUP BY ALL
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 4 / modern-SQL surface): every non-aggregate
+    select item becomes a grouping key — the engine resolves the key
+    list, so adding a dimension to the SELECT can't silently desync
+    from the GROUP BY. Plans identically to the explicit form: one
+    partial+final hash aggregate."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        GROUP BY ALL
+        """
+    )
+
+
+@register(
+    "agg_string_concat_ordered",
+    tags=("agg", "string"),
+    oracle="""
+        SELECT n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+)
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG): nation names
+    per region, comma-joined in a DECLARED order — collect_list gives
+    partition-arrival order, so the sort must be explicit
+    (`sort_array`) for the result to be deterministic under any
+    parallelism; concat happens on the ≤|group| aggregate, never on
+    raw rows."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
