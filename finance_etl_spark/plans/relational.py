@@ -1721,3 +1721,76 @@ def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.groupBy("n_regionkey").agg(
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
     )
+
+
+@register(
+    "q14_promo_revenue",
+    tags=("join", "agg", "tpch"),
+    oracle=f"""
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+               {o_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+                   AS promo_revenue,
+               {o_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue,
+               {o_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+                   / {o_dsum('l_extendedprice * (1 - l_discount)')} AS promo_frac
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY ship_month
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-revenue share by ship month (TPC-H Q14 shape):
+    conditional aggregation after a fact⋈dimension join — part
+    broadcasts (only p_partkey/p_type read, column pruning reaches the
+    scan), the CASE folds into the partial aggregate so the shuffle
+    carries one row per month, and the final share is one IEEE-exact
+    double division of two decimal-exact sums."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    promo = dsum(promo_rev)
+    total = dsum(rev)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            promo.alias("promo_revenue"),
+            total.alias("total_revenue"),
+            (promo / total).alias("promo_frac"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_types",
+    tags=("join", "agg", "count-distinct", "tpch"),
+    oracle="""
+        SELECT p.p_type, p.p_size,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'BRAND_1' AND p.p_size IN (1, 5, 9, 13)
+        GROUP BY p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-diversity report (TPC-H Q16 shape): how many distinct
+    suppliers ship each surviving (type, size) part class. The brand /
+    size-IN filters prune the broadcast part side BEFORE the join (the
+    fact side never sees excluded parts), and COUNT(DISTINCT) plans as
+    the two-stage Expand aggregate — dedup happens partition-local on
+    (group, suppkey) before the group-level count, so no group ever
+    materializes its full supplier list."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "BRAND_1") & F.col("p_size").isin(1, 5, 9, 13))
+        .select("p_partkey", "p_type", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
