@@ -25,7 +25,7 @@ import finance_etl_spark.plans.text  # noqa: F401  (registers the pairs query)
 from finance_etl_spark.io.readers import load_table
 from finance_etl_spark.operators.components import connected_components
 from finance_etl_spark.plans.registry import get, o_dsum, register
-from finance_etl_spark.functions.money import dsum
+from finance_etl_spark.functions.money import DEC, dsum
 
 # 256 two-hex-digit buckets from the md5 of the doc id: below 'cc'
 # (204) → train, below 'e6' (230) → val, rest → test. Lexicographic
@@ -924,3 +924,117 @@ def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).alias("p")
     return a.select(profile).select("p.*")
+
+
+@register(
+    "cur_winsorize_outliers",
+    tags=("curation", "quality", "percentile"),
+    oracle=f"""
+        WITH b AS (
+            SELECT quantile_cont(o_totalprice, 0.01) AS p01,
+                   quantile_cont(o_totalprice, 0.99) AS p99
+            FROM orders
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN o_totalprice < p01 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clip_low,
+               CAST(SUM(CASE WHEN o_totalprice > p99 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clip_high,
+               {o_dsum('LEAST(GREATEST(o_totalprice, p01), p99)')}
+                   AS total_winsorized
+        FROM orders, b
+        GROUP BY o_orderstatus
+    """,
+)
+def cur_winsorize_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized totals: order values clipped to the corpus [p1, p99]
+    band (exact interpolated percentiles — Spark `percentile` and
+    DuckDB `quantile_cont` share the linear-interpolation contract),
+    with per-status clip counts for the audit trail. The 1-row bounds
+    aggregate rides a broadcast cross join into the main scan — the
+    fact table is read once and never shuffled by the bounds; clipping
+    is a codegen'd projection. At 100 TB swap the exact percentile for
+    percentile_approx and the plan shape is unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.percentile("o_totalprice", 0.01).alias("p01"),
+        F.percentile("o_totalprice", 0.99).alias("p99"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99")
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("o_totalprice") < F.col("p01"), 1).otherwise(0)
+            ).alias("n_clip_low"),
+            F.sum(
+                F.when(F.col("o_totalprice") > F.col("p99"), 1).otherwise(0)
+            ).alias("n_clip_high"),
+            dsum(clipped).alias("total_winsorized"),
+        )
+    )
+
+
+@register(
+    "cur_impute_group_mean",
+    tags=("curation", "quality", "impute", "window"),
+    oracle="""
+        WITH ev AS (
+            SELECT user_id,
+                   CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+            FROM events
+        ),
+        imp AS (
+            SELECT user_id, v,
+                   COALESCE(v,
+                            CAST(CAST(SUM(CAST(v AS DECIMAL(30,10))) OVER w
+                                 AS VARCHAR) AS DOUBLE)
+                            / COUNT(v) OVER w) AS v_imp
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id)
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_imputed,
+               CAST(CAST(SUM(CAST(v_imp AS DECIMAL(30,10))) AS VARCHAR)
+                    AS DOUBLE) AS total_after_impute
+        FROM imp
+        GROUP BY user_id
+    """,
+)
+def cur_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation: synthetic nulls (every 13th event) filled
+    with the per-user mean of the OBSERVED values. The mean comes from
+    an unordered window over the same user_id partitioning the final
+    aggregate needs, so the whole query is ONE shuffle — no join of a
+    means table back onto the feed. Mean = decimal-exact sum presented
+    as double / non-null count (the davg contract), so both engines
+    impute bit-identical values; the imputed column then re-enters a
+    decimal sum, keeping the output order-independent."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w = Window.partitionBy("user_id")
+    mean_v = (
+        F.sum(F.col("v").cast(DEC)).over(w).cast("double")
+        / F.count("v").over(w)
+    )
+    return (
+        ev.select(
+            "user_id", "v", F.coalesce(F.col("v"), mean_v).alias("v_imp")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.count(F.lit(1)) - F.count("v")).alias("n_imputed"),
+            dsum("v_imp").alias("total_after_impute"),
+        )
+    )
