@@ -1038,3 +1038,44 @@ def cur_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("v_imp").alias("total_after_impute"),
         )
     )
+
+
+@register(
+    "dq_table_checksum",
+    tags=("curation", "quality", "checksum"),
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(CAST('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '#' ||
+                   CAST(o_custkey AS VARCHAR) || '#' ||
+                   o_orderstatus || '#' ||
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '#' ||
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+               ), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS digest
+        FROM orders
+    """,
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table digest for cross-system reconciliation:
+    each row hashes to a 60-bit integer (md5 over a canonical '#'-joined
+    rendering — doubles go through DECIMAL(18,2) and timestamps through
+    an explicit format so both engines print identical bytes), and the
+    digest is the EXACT decimal sum of row hashes — commutative, so the
+    same rows give the same digest under any partitioning, engine, or
+    file layout. One map-side projection + a 1-row aggregate: the
+    cheapest possible 'did the copy lose or mutate a row' gate between
+    a source system and the lake."""
+    o = load_table(spark, sf_dir, "orders")
+    canonical = F.concat_ws(
+        "#",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(canonical), 1, 15), 16, 10).cast("long")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h.cast("decimal(38,0)")).cast("string").alias("digest"),
+    )

@@ -674,3 +674,80 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ts_rolling_corr",
+    tags=("timeseries", "window", "stats"),
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   CAST(CAST(SUM(CASE WHEN event_type = 'click'
+                        THEN CAST(value AS DECIMAL(15,4))
+                        ELSE CAST(0 AS DECIMAL(15,4)) END) AS VARCHAR)
+                        AS DECIMAL(15,4)) AS x,
+                   CAST(CAST(SUM(CASE WHEN event_type = 'view'
+                        THEN CAST(value AS DECIMAL(15,4))
+                        ELSE CAST(0 AS DECIMAL(15,4)) END) AS VARCHAR)
+                        AS DECIMAL(15,4)) AS y
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        p AS (
+            SELECT d,
+                   COUNT(*) OVER w AS n,
+                   CAST(CAST(SUM(x) OVER w AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(y) OVER w AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(x * y) OVER w AS VARCHAR) AS DOUBLE) AS sxy,
+                   CAST(CAST(SUM(x * x) OVER w AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(y * y) OVER w AS VARCHAR) AS DOUBLE) AS syy
+            FROM daily
+            WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT d, (CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+                 AS corr_click_view
+        FROM p WHERE n = 7
+    """,
+)
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling Pearson correlation between two event
+    streams (daily click value vs view value): decimal power sums over
+    a ROWS frame, correlation assembled in ONE double expression
+    (IEEE-exact ops only) — the agg_corr_exact recipe windowed. The
+    frame runs over the DAILY aggregate (O(days) rows — the raw events
+    are reduced first), so the unpartitioned ordering is bounded by
+    the calendar, not the data volume; decimal products cast each
+    factor first so no engine-ambiguous >15-digit double product ever
+    forms. Partial frames (first 6 days) are excluded — their
+    correlation would be over a different support than declared."""
+    e = load_table(spark, sf_dir, "events")
+    dec = "decimal(15,4)"
+    zero = F.lit(0).cast(dec)
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("value").cast(dec))
+            .otherwise(zero)
+        ).cast(dec).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "view", F.col("value").cast(dec))
+            .otherwise(zero)
+        ).cast(dec).alias("y"),
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    x, y = F.col("x"), F.col("y")
+    p = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(x).over(w).cast("double").alias("sx"),
+        F.sum(y).over(w).cast("double").alias("sy"),
+        F.sum(x * y).over(w).cast("double").alias("sxy"),
+        F.sum(x * x).over(w).cast("double").alias("sxx"),
+        F.sum(y * y).over(w).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return p.filter(F.col("n") == 7).select("d", corr.alias("corr_click_view"))
