@@ -1794,3 +1794,157 @@ def q16_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "agg_mad_robust",
+    tags=("agg", "stats", "percentile"),
+    oracle="""
+        WITH med AS (
+            SELECT quantile_cont(o_totalprice, 0.5) AS m FROM orders
+        )
+        SELECT m AS median_price,
+               quantile_cont(abs(o_totalprice - m), 0.5) AS mad
+        FROM orders, med
+        GROUP BY m
+    """,
+)
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation — the robust dispersion statistic
+    winsorization and outlier gates should calibrate against (stddev
+    is itself corrupted by the outliers being hunted). Two passes by
+    necessity (MAD is not a one-pass decomposable aggregate): median
+    as a 1-row broadcast into a second exact-percentile aggregate over
+    |x − median|. Both passes are plain hash aggregates; swap
+    percentile → percentile_approx at 100 TB for a mergeable-sketch
+    version with the same plan shape."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    med = o.agg(F.percentile("o_totalprice", 0.5).alias("m"))
+    return (
+        o.crossJoin(F.broadcast(med))
+        .groupBy("m")
+        .agg(
+            F.percentile(F.abs(F.col("o_totalprice") - F.col("m")), 0.5).alias("mad")
+        )
+        .select(F.col("m").alias("median_price"), "mad")
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    tags=("agg", "stats"),
+    oracle="""
+        SELECT o_orderstatus, value_mode, n_occurrences FROM (
+            SELECT o_orderstatus, o_orderpriority AS value_mode,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                       ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+            FROM orders GROUP BY o_orderstatus, o_orderpriority
+        ) WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode with a DECLARED tiebreak (smallest value wins): built-in
+    `mode()` picks an arbitrary survivor on count ties, which is a
+    nondeterminism bug waiting for a repartition. Two hash aggregates:
+    (group, value) counts, then max_by over a (count, reversed-value)
+    struct — the second agg's input is already one row per distinct
+    value, and no window sort is needed."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # struct ordering: higher count first; on ties the LOWER string must
+    # win, so order by a descending-comparable surrogate of the value —
+    # max_by over (n, negated-rank) is not expressible for strings, so
+    # use min_by over (-n, value): lexicographic struct comparison gives
+    # smallest (-n) = largest n, then smallest value.
+    return counts.groupBy("o_orderstatus").agg(
+        F.min_by(
+            F.col("o_orderpriority"), F.struct((-F.col("n")).alias("neg"), F.col("o_orderpriority"))
+        ).alias("value_mode"),
+        F.max("n").alias("n_occurrences"),
+    )
+
+
+@register(
+    "window_pct_of_total",
+    tags=("window", "agg", "ratio"),
+    oracle=f"""
+        WITH a AS (
+            SELECT n.n_name, {o_dsum('o.o_totalprice')} AS nation_revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        )
+        SELECT n_name, nation_revenue,
+               nation_revenue / SUM(nation_revenue) OVER () AS revenue_share
+        FROM a
+    """,
+)
+def window_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (RATIO_TO_REPORT): each nation's share of
+    global revenue via an unpartitioned, unordered window — safe ONLY
+    because it runs over the already-aggregated |nation|-row result,
+    never the fact table (the aggregate reduces first; the window's
+    single partition holds 25 rows at any SF). Share = one IEEE
+    division of two decimal-exact doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    a = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum("o_totalprice").alias("nation_revenue"))
+    )
+    w = Window.partitionBy()
+    return a.select(
+        "n_name",
+        "nation_revenue",
+        (F.col("nation_revenue") / F.sum("nation_revenue").over(w)).alias(
+            "revenue_share"
+        ),
+    )
+
+
+@register(
+    "dq_benford_digits",
+    tags=("curation", "quality", "stats"),
+    oracle="""
+        SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                   AS lead_digit,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM orders WHERE o_totalprice > 0)
+                   AS observed_frac
+        FROM orders WHERE o_totalprice > 0
+        GROUP BY lead_digit
+    """,
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order amounts — the classic
+    fabricated-data screen for financial feeds. The leading digit
+    comes from the DECIMAL(18,2) canonical string (both engines print
+    plain digits for decimals — no scientific-notation divergence, no
+    libm log10 at magnitude boundaries), so the digit extraction is a
+    pure codegen'd projection; output is 9 rows regardless of volume.
+    The expected-vs-observed comparison is left to the caller since
+    log10 expectations are transcendental (rows-only territory)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    total = o.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        o.groupBy(
+            F.substring(
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+            ).alias("lead_digit")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lead_digit",
+            "n",
+            (F.col("n").cast("double") / F.col("n_total")).alias("observed_frac"),
+        )
+    )
