@@ -84,6 +84,22 @@ _NO_CARTESIAN_AUDIT = [
     "cur_merge_upsert",
     "ts_gap_fill_locf",
     "agg_histogram_bucket",
+    "q14_promo_revenue",
+    "q16_supplier_part_types",
+    "ts_rolling_corr",
+    "agg_mad_robust",
+    "agg_mode_deterministic",
+    "window_pct_of_total",
+    "dq_benford_digits",
+    "dq_table_checksum",
+    "cur_impute_group_mean",
+    "graph_triangle_count",
+    "set_except_all",
+    "set_intersect_all",
+    "sql_group_by_all",
+    "agg_string_concat_ordered",
+    "subquery_not_in_null_aware",
+    "ts_gap_fill_locf",
 ]
 
 
