@@ -794,12 +794,17 @@ def cur_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     key and nothing is quadratic. Deletes for absent keys are no-ops
     (filtered with the same predicate), so replaying the batch is
     idempotent."""
+    from finance_etl_spark.operators.merge import merge_upsert
+
     o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").alias("orderdate"),
+        F.col("o_totalprice").alias("totalprice"),
     )
     cutoff = F.lit("1997-01-01").cast("timestamp")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    w = Window.partitionBy("custkey").orderBy(
+        F.col("orderdate").desc(), F.col("orderkey").desc()
     )
 
     def latest(df: DataFrame) -> DataFrame:
@@ -809,28 +814,13 @@ def cur_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("rn")
         )
 
-    target = latest(o.filter(F.col("o_orderdate") < cutoff))
-    source = latest(o.filter(F.col("o_orderdate") >= cutoff)).withColumn(
-        "is_delete", F.col("o_orderkey") % 10 == 0
+    target = latest(o.filter(F.col("orderdate") < cutoff))
+    source = latest(o.filter(F.col("orderdate") >= cutoff)).withColumn(
+        "is_delete", F.col("orderkey") % 10 == 0
     )
-    t, s = target.alias("t"), source.alias("s")
-    matched = F.col("s.o_custkey").isNotNull()
-    pick = lambda col: F.when(matched, F.col(f"s.{col}")).otherwise(  # noqa: E731
-        F.col(f"t.{col}")
-    )
-    return (
-        t.join(s, F.col("t.o_custkey") == F.col("s.o_custkey"), "full_outer")
-        .filter(~(matched & F.col("s.is_delete")))
-        .select(
-            F.coalesce(F.col("s.o_custkey"), F.col("t.o_custkey")).alias("custkey"),
-            pick("o_orderkey").alias("orderkey"),
-            pick("o_orderdate").alias("orderdate"),
-            pick("o_totalprice").alias("totalprice"),
-            F.when(~matched, F.lit("kept"))
-            .when(F.col("t.o_custkey").isNull(), F.lit("inserted"))
-            .otherwise(F.lit("updated"))
-            .alias("action"),
-        )
+    return merge_upsert(
+        target, source, key="custkey",
+        value_cols=("orderkey", "orderdate", "totalprice"),
     )
 
 

@@ -133,3 +133,82 @@ def test_salted_join_equals_plain_join(spark):
     got = salted_join(fact, dim, key="k", n_salts=8)
     want = fact.join(dim, "k")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def _merge_fixture(spark):
+    target = spark.createDataFrame(
+        [(1, "t1"), (2, "t2"), (3, "t3")], "k int, v string"
+    )
+    source = spark.createDataFrame(
+        [(2, "s2", False),   # matched update
+         (3, None, True),    # matched delete
+         (4, "s4", False),   # insert
+         (5, None, True)],   # delete of absent key -> no-op
+        "k int, v string, is_delete boolean",
+    )
+    return target, source
+
+
+def test_merge_upsert_all_branches(spark):
+    from finance_etl_spark.operators.merge import merge_upsert
+
+    target, source = _merge_fixture(spark)
+    got = {
+        r["k"]: (r["v"], r["action"])
+        for r in merge_upsert(target, source, "k", ["v"]).collect()
+    }
+    assert got == {
+        1: ("t1", "kept"),       # unmatched target survives
+        2: ("s2", "updated"),    # source value wins
+        4: ("s4", "inserted"),   # unmatched source lands
+    }                            # 3 deleted; 5 never existed
+
+
+def test_merge_upsert_replay_is_idempotent(spark):
+    """Re-applying the same change batch to the merged snapshot changes
+    no values and deletes nothing new — the exactly-once property that
+    makes retried MERGE jobs safe."""
+    from finance_etl_spark.operators.merge import merge_upsert
+
+    target, source = _merge_fixture(spark)
+    once = merge_upsert(target, source, "k", ["v"]).drop("action")
+    twice = merge_upsert(once, source, "k", ["v"]).drop("action")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_gap_fill_locf_fills_forward_only(spark):
+    """The registered LOCF query contract on a controlled frame: gaps
+    take the latest PRIOR day's value, never a future one, and the
+    spine starts at each user's own first day."""
+    from pyspark.sql import Window
+
+    daily = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (1, "2024-01-04", 40.0),
+         (2, "2024-01-02", 5.0)],
+        "user_id int, d string, v double",
+    ).select("user_id", F.col("d").cast("date").alias("d"), "v")
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("d").alias("mind"), F.max("d").alias("maxd"))
+        .select("user_id", F.explode(F.sequence("mind", "maxd")).alias("d"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        spine.join(daily, ["user_id", "d"], "left")
+        .select(
+            "user_id", "d",
+            F.coalesce("v", F.last("v", ignorenulls=True).over(w)).alias("vf"),
+        )
+    )
+    got = {(r["user_id"], str(r["d"])): r["vf"] for r in out.collect()}
+    assert got == {
+        (1, "2024-01-01"): 10.0,
+        (1, "2024-01-02"): 10.0,  # carried forward
+        (1, "2024-01-03"): 10.0,  # still the 01-01 value, not 40.0
+        (1, "2024-01-04"): 40.0,
+        (2, "2024-01-02"): 5.0,   # single-day user: spine is one day
+    }
