@@ -1152,3 +1152,75 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("x").alias("n_apex_nodes"),
     )
     return F.broadcast(n_edges).crossJoin(tri_agg)
+
+
+def _survivor_oracle() -> str:
+    # survivors = docs that are NOT a non-minimum member of any
+    # near-dup component (transitive closure over the same edge set as
+    # cur_dedup_components)
+    pairs_sql = get("text_ngram_jaccard_pairs").oracle
+    return f"""
+        WITH RECURSIVE
+        pairs AS ({pairs_sql}),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        lab AS (
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id
+            FROM reach GROUP BY a
+        ),
+        dropped AS (SELECT doc_id FROM lab WHERE doc_id <> component_id)
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(CASE WHEN dr.doc_id IS NULL THEN 1 END) AS BIGINT)
+                   AS n_kept,
+               CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN d.n_chars ELSE 0 END)
+                   AS BIGINT) AS kept_chars
+        FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+        GROUP BY d.source
+    """
+
+
+@register(
+    "cur_dedup_survivors",
+    tags=("curation", "dedup", "iterative"),
+    oracle=_survivor_oracle(),
+)
+def cur_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-dedup deliverable: candidate pairs →
+    connected components → keep ONE doc per cluster (the min doc_id)
+    plus every unclustered doc, reported as per-source keep rates. The
+    drop set is the components labeling minus its own labels — an
+    anti-join of documents against (node ≠ component_id) — so the full
+    corpus is never shuffled by the clustering, only the (small) drop
+    set joins back. Survivor choice is deterministic (min id), so
+    reruns keep the same docs."""
+    pairs = get("text_ngram_jaccard_pairs").build(spark, sf_dir)
+    comp = connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    dropped = comp.filter(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    kept_flag = F.col("dr_doc_id").isNull()
+    return (
+        d.join(
+            F.broadcast(dropped.select(F.col("doc_id").alias("dr_doc_id"))),
+            d.doc_id == F.col("dr_doc_id"),
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(kept_flag, 1)).alias("n_kept"),
+            F.sum(F.when(kept_flag, F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+        )
+    )

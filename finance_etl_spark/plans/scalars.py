@@ -372,3 +372,41 @@ def scalar_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_date_shifted"),
         )
     )
+
+
+@register(
+    "scalar_date_arith",
+    tags=("scalar", "date"),
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS d,
+               quarter(o_orderdate) AS qtr,
+               dayofyear(o_orderdate) AS doy,
+               weekofyear(o_orderdate) AS iso_week,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                              DATE '1998-12-31') AS INT) AS days_to_eoy
+        FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic battery (the month-end / quarter / ISO-week
+    logic every financial reporting pipeline needs): quarter, day-of-
+    year, ISO week, last_day, add_months, day diff — all JVM built-ins
+    in one codegen'd projection, all engine-portable (dayofweek is
+    deliberately absent: Spark counts Sunday=1 where DuckDB counts
+    Sunday=0 — an off-by-one trap, so week handling here stays on the
+    unambiguous ISO week number)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.quarter(d).alias("qtr"),
+        F.dayofyear(d).alias("doy"),
+        F.weekofyear(d).alias("iso_week"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).alias("plus_3m"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_eoy"),
+    )
