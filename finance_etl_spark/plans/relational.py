@@ -1948,3 +1948,29 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") / F.col("n_total")).alias("observed_frac"),
         )
     )
+
+
+@register(
+    "agg_bitwise",
+    tags=("agg", "bitwise"),
+    oracle="""
+        SELECT event_type,
+               CAST(bit_and(event_id) AS BIGINT) AS all_and,
+               CAST(bit_or(event_id) AS BIGINT) AS any_or,
+               CAST(bit_xor(event_id) AS BIGINT) AS parity_xor
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate surface (BIT_AND/BIT_OR/BIT_XOR): flag-mask
+    intersection/union and xor parity per group — associative and
+    commutative, so partial aggregation merges map-side like any sum,
+    and XOR doubles as a cheap membership-diff primitive (two equal
+    multisets xor to the same value)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bit_and("event_id").alias("all_and"),
+        F.bit_or("event_id").alias("any_or"),
+        F.bit_xor("event_id").alias("parity_xor"),
+    )

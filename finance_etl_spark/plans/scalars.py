@@ -410,3 +410,44 @@ def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.add_months(d, 3).alias("plus_3m"),
         F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_eoy"),
     )
+
+
+@register(
+    "array_explode_outer",
+    tags=("scalar", "array", "explode"),
+    oracle="""
+        WITH per_doc AS (
+            SELECT doc_id, source,
+                   len(list_filter(string_split(text, ' '),
+                                   t -> length(t) >= 9)) AS n_long
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(SUM(n_long) AS BIGINT) AS n_long_tokens,
+               CAST(COUNT(DISTINCT CASE WHEN n_long = 0 THEN doc_id END)
+                    AS BIGINT) AS n_docs_without
+        FROM per_doc
+        GROUP BY source
+    """,
+)
+def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics: flattening long tokens per document
+    WITHOUT losing the documents whose filtered array is empty — plain
+    explode drops them (an inner-join-shaped Generate), explode_outer
+    emits one null row instead, so downstream per-source counts still
+    see every document. The oracle computes the same counts from
+    per-row array lengths — same answer, which is exactly the property
+    explode must NOT silently break."""
+    d = load_table(spark, sf_dir, "documents")
+    long_toks = F.filter(F.split("text", " "), lambda t: F.length(t) >= 9)
+    flat = d.select(
+        "doc_id", "source", F.explode_outer(long_toks).alias("tok")
+    )
+    return flat.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("tok").alias("n_long_tokens"),
+        F.count_distinct(
+            F.when(F.col("tok").isNull(), F.col("doc_id"))
+        ).alias("n_docs_without"),
+    )
