@@ -1224,3 +1224,68 @@ def cur_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "cur_rfm_deciles",
+    tags=("curation", "analytics", "rank"),
+    oracle=f"""
+        WITH rfm AS (
+            SELECT o_custkey,
+                   MAX(CAST(o_orderdate AS DATE)) AS last_order,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   {o_dsum('o_totalprice')} AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY monetary DESC, o_custkey ASC)
+                       AS rn,
+                   COUNT(*) OVER () AS n
+            FROM rfm
+        )
+        SELECT CAST(((rn - 1) * 10) // n AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(frequency) AS BIGINT) AS total_orders,
+               CAST(CAST(SUM(CAST(monetary AS DECIMAL(30,10))) AS VARCHAR)
+                    AS DOUBLE) AS total_spend,
+               MAX(last_order) AS most_recent
+        FROM ranked
+        GROUP BY decile
+    """,
+)
+def cur_rfm_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM decile segmentation (recency / frequency / monetary): the
+    classic customer-value report. Customers aggregate first (one hash
+    agg over orders), then decile assignment needs a GLOBAL spend
+    ranking — done with the two-pass range-partitioned ranker
+    (operators/ranks.py), never `Window.orderBy()` without partitions,
+    because the customer table grows with SF and a global window would
+    serialize it through one task. Decile = ((rn−1)·10)/n in integer
+    arithmetic (no float boundary wobble); a unique custkey tiebreak
+    makes the whole segmentation deterministic."""
+    from finance_etl_spark.operators.ranks import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    ranked = global_row_number(
+        rfm,
+        [F.col("monetary").desc(), F.col("o_custkey").asc()],
+        out_col="rn",
+        num_partitions=8,
+    )
+    n_total = rfm.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .groupBy((((F.col("rn") - 1) * 10) / F.col("n")).cast("long").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("frequency").alias("total_orders"),
+            dsum("monetary").alias("total_spend"),
+            F.max("last_order").alias("most_recent"),
+        )
+    )
