@@ -751,3 +751,65 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return p.filter(F.col("n") == 7).select("d", corr.alias("corr_click_view"))
+
+
+@register(
+    "ts_max_concurrency",
+    tags=("timeseries", "interval", "window"),
+    oracle="""
+        WITH b AS (
+            SELECT ts AS t, 1 AS delta FROM events
+            UNION ALL
+            SELECT ts + to_minutes(CAST(ceil(value) AS BIGINT)) AS t,
+                   -1 AS delta
+            FROM events
+        ),
+        run AS (
+            SELECT CAST(t AS DATE) AS d,
+                   SUM(delta) OVER (ORDER BY t, delta
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS conc
+            FROM b
+        )
+        SELECT d, CAST(MAX(conc) AS BIGINT) AS max_concurrency,
+               CAST(COUNT(*) AS BIGINT) AS n_boundaries
+        FROM run GROUP BY d
+    """,
+)
+def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval overlap per day (max concurrent sessions / open
+    positions): each event opens an interval [ts, ts+⌈value⌉ minutes],
+    concurrency is the running sum of ±1 boundary deltas in global time
+    order. The oracle's single global window would serialize at scale,
+    so the engine computes the SAME prefix sum decomposed: a within-day
+    running sum (windows partitioned by day — bounded work per
+    partition) plus a per-day carry-in from the cumulative sum over the
+    O(days) daily-total aggregate, broadcast back. Boundary ties order
+    by (t, delta) so closes precede opens at the same instant —
+    deterministic in both engines. Midnight-crossing intervals are
+    handled exactly: the end boundary's delta lands in its own day and
+    the carry chain preserves the global sum."""
+    e = load_table(spark, sf_dir, "events")
+    end_t = F.expr("ts + make_interval(0, 0, 0, 0, 0, CAST(ceil(value) AS INT), 0)")
+    b = (
+        e.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
+        .unionByName(e.select(end_t.alias("t"), F.lit(-1).alias("delta")))
+        .withColumn("d", F.col("t").cast("date"))
+    )
+    daily = b.groupBy("d").agg(F.sum("delta").alias("day_total"))
+    w_days = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    carry = daily.select(
+        "d", F.coalesce(F.sum("day_total").over(w_days), F.lit(0)).alias("carry_in")
+    )
+    w_in_day = (
+        Window.partitionBy("d")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    conc = b.withColumn("run_in_day", F.sum("delta").over(w_in_day)).join(
+        F.broadcast(carry), "d"
+    )
+    return conc.groupBy("d").agg(
+        F.max(F.col("run_in_day") + F.col("carry_in")).alias("max_concurrency"),
+        F.count(F.lit(1)).alias("n_boundaries"),
+    )

@@ -100,6 +100,10 @@ _NO_CARTESIAN_AUDIT = [
     "agg_string_concat_ordered",
     "subquery_not_in_null_aware",
     "ts_gap_fill_locf",
+    "agg_bitwise",
+    "array_explode_outer",
+    "scalar_date_arith",
+    "ts_max_concurrency",
 ]
 
 
