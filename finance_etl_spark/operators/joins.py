@@ -126,3 +126,38 @@ def range_join(
         & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
     return left.join(right, cond)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    tolerance_s: int,
+) -> DataFrame:
+    """Key-LESS time-proximity join: all (left, right) pairs with
+    ``|left_ts - right_ts| <= tolerance_s`` — WITHOUT the
+    BroadcastNestedLoopJoin that a bare range predicate plans to.
+
+    Timestamps bucket into tolerance-sized bins; a pair within
+    tolerance is always in the same or an adjacent bin, so exploding
+    {b-1, b, b+1} on the left side turns the range predicate into an
+    EQUI-join on the bin (hash-partitionable, linear shuffle) with the
+    exact |Δt| filter as a residual. Cost follows actual temporal
+    collisions (pairs per bin), never |L|×|R|. Epoch arithmetic keeps
+    microsecond precision (timestamp→double is fractional seconds).
+    """
+    lb = F.floor(F.col(left_ts).cast("double") / tolerance_s)
+    rb = F.floor(F.col(right_ts).cast("double") / tolerance_s)
+    l_expl = left.withColumn(
+        "__bin", F.explode(F.array(lb - 1, lb, lb + 1))
+    )
+    r_b = right.withColumn("__bin", rb)
+    dt = F.abs(
+        F.col(left_ts).cast("double") - F.col(right_ts).cast("double")
+    )
+    return (
+        l_expl.join(r_b, "__bin")
+        .filter(dt <= F.lit(float(tolerance_s)))
+        .drop("__bin")
+    )

@@ -813,3 +813,41 @@ def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("run_in_day") + F.col("carry_in")).alias("max_concurrency"),
         F.count(F.lit(1)).alias("n_boundaries"),
     )
+
+
+@register(
+    "ts_range_join_bucketed",
+    tags=("timeseries", "join", "range", "scale"),
+    oracle="""
+        SELECT CAST(e.ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT e.event_id) AS BIGINT) AS n_errors_matched
+        FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+        JOIN (SELECT ts FROM events WHERE event_type = 'click') c
+          ON abs(epoch(e.ts) - epoch(c.ts)) <= 300
+        GROUP BY d
+    """,
+)
+def ts_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-less time-proximity join at scale: every click within ±5
+    minutes of every error (incident-correlation shape, no shared key
+    to equi-join on). The oracle's bare range predicate plans as a
+    nested loop — quadratic; the engine buckets both sides into
+    tolerance-sized bins and equi-joins on {b−1,b,b+1} candidates with
+    the exact |Δt| residual (operators/joins.py::range_join_bucketed),
+    plan-asserted hash/sort-merge, never BroadcastNestedLoopJoin. The
+    3× candidate expansion rides the SMALLER (error) side."""
+    from finance_etl_spark.operators.joins import range_join_bucketed
+
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", F.col("ts").alias("e_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts")
+    )
+    pairs = range_join_bucketed(errors, clicks, "e_ts", "c_ts", tolerance_s=300)
+    return pairs.groupBy(F.col("e_ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("event_id").alias("n_errors_matched"),
+    )

@@ -295,3 +295,11 @@ def test_q5_dimension_broadcasts_no_cartesian(spark, sf_dir):
     p = plan_str(plans.get("q5_local_supplier_volume").build(spark, sf_dir))
     assert "BroadcastHashJoin" in p  # region→nation shrink reaches both dim paths
     assert "CartesianProduct" not in p
+
+
+def test_bucketed_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    # the key-less time-proximity join must go through the bin equi-join
+    # (hash/sort-merge partitionable) — a bare range predicate would plan
+    # the quadratic BroadcastNestedLoopJoin this operator exists to avoid
+    p = plan_str(plans.get("ts_range_join_bucketed").build(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
