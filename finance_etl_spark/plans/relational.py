@@ -1974,3 +1974,29 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("event_id").alias("any_or"),
         F.bit_xor("event_id").alias("parity_xor"),
     )
+
+
+@register(
+    "agg_boolean_logic",
+    tags=("agg", "boolean"),
+    oracle="""
+        SELECT o_orderstatus,
+               bool_and(o_totalprice > 1000) AS all_over_1k,
+               bool_or(o_totalprice > 400000) AS any_over_400k,
+               CAST(count_if(o_orderpriority = 'URGENT') AS BIGINT)
+                   AS n_urgent
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def agg_boolean_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface: BOOL_AND / BOOL_OR (universal and
+    existential quantifiers as aggregates — short-circuitable,
+    partial-merge-friendly) and COUNT_IF, the three predicates every
+    data-quality report wants without a CASE-WHEN forest."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_orderpriority") == "URGENT").alias("n_urgent"),
+    )

@@ -451,3 +451,43 @@ def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("tok").isNull(), F.col("doc_id"))
         ).alias("n_docs_without"),
     )
+
+
+@register(
+    "scalar_string_advanced",
+    tags=("scalar", "string"),
+    oracle="""
+        SELECT n_nationkey,
+               split_part(n_name, '_', 1) AS prefix,
+               split_part(n_name, '_', 2) AS num_part,
+               lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded_key,
+               translate(n_name, '_', '-') AS dashed,
+               reverse(n_name) AS reversed,
+               repeat('*', CAST(n_regionkey AS INT) + 1) AS stars,
+               CAST(strpos(n_name, '_') AS INT) AS underscore_at,
+               CAST(length(regexp_extract_all(n_name, '[0-9]+')[1])
+                    AS INT) AS digit_run_len
+        FROM nation
+    """,
+)
+def scalar_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string battery — the portable manipulation set beyond
+    scalar_string_funcs: split_part, lpad, translate, reverse, repeat,
+    strpos (1-based, 0 when absent — both engines agree), and
+    regexp_extract_all element access. All JVM built-ins in one
+    codegen'd projection; Java and RE2-style regex agree on the
+    character classes used."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.split_part(F.col("n_name"), F.lit("_"), F.lit(1)).alias("prefix"),
+        F.split_part(F.col("n_name"), F.lit("_"), F.lit(2)).alias("num_part"),
+        F.lpad(F.col("n_nationkey").cast("string"), 4, "0").alias("padded_key"),
+        F.translate("n_name", "_", "-").alias("dashed"),
+        F.reverse("n_name").alias("reversed"),
+        F.repeat(F.lit("*"), F.col("n_regionkey") + 1).alias("stars"),
+        F.instr("n_name", "_").alias("underscore_at"),
+        F.length(
+            F.get(F.regexp_extract_all("n_name", F.lit("[0-9]+"), F.lit(0)), 0)
+        ).cast("int").alias("digit_run_len"),
+    )
