@@ -2000,3 +2000,47 @@ def agg_boolean_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
         F.count_if(F.col("o_orderpriority") == "URGENT").alias("n_urgent"),
     )
+
+
+@register(
+    "subquery_scalar_correlated",
+    tags=("subquery", "sql", "decorrelation"),
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_above_own_avg,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                    AS VARCHAR) AS DOUBLE) AS total_above
+        FROM orders o
+        WHERE o.o_totalprice > (
+            SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(30,10)))
+                        AS DOUBLE) / COUNT(i.o_totalprice)
+            FROM orders i WHERE i.o_custkey = o.o_custkey
+        )
+        GROUP BY o_orderstatus
+    """,
+)
+def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED scalar subquery: orders beating their own customer's
+    average price. Written in the per-row lookup style users actually
+    write; Catalyst decorrelates it into one per-customer aggregate +
+    a co-partitioned equi-join — the subquery executes once as a
+    relational plan, never once per outer row (the nested-loop reading
+    would be O(rows × rows-per-customer) at 100 TB). The mean uses the
+    decimal davg contract so the >-comparison flips identically in
+    both engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_above_own_avg,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+                   AS total_above
+        FROM orders o
+        WHERE o.o_totalprice > (
+            SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(30,10)))
+                        AS DOUBLE) / COUNT(i.o_totalprice)
+            FROM orders i WHERE i.o_custkey = o.o_custkey
+        )
+        GROUP BY o_orderstatus
+        """
+    )
