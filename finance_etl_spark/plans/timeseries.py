@@ -851,3 +851,102 @@ def ts_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.count_distinct("event_id").alias("n_errors_matched"),
     )
+
+
+@register(
+    "ts_interval_union_coverage",
+    tags=("timeseries", "interval", "window"),
+    oracle="""
+        WITH b AS (
+            SELECT ts AS t, 1 AS delta FROM events
+            UNION ALL
+            SELECT ts + to_minutes(CAST(ceil(value) AS BIGINT)) AS t,
+                   -1 AS delta
+            FROM events
+        ),
+        daily AS (
+            SELECT CAST(t AS DATE) AS d, SUM(delta) AS day_total
+            FROM b GROUP BY 1
+        ),
+        carry AS (
+            SELECT d, CAST(COALESCE(SUM(day_total) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS conc_in
+            FROM daily
+        ),
+        run AS (
+            SELECT t, CAST(t AS DATE) AS d, delta,
+                   SUM(delta) OVER (PARTITION BY CAST(t AS DATE)
+                       ORDER BY t, delta ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS run_in_day,
+                   lead(t) OVER (PARTITION BY CAST(t AS DATE)
+                       ORDER BY t, delta) AS next_t
+            FROM b
+        ),
+        seg AS (
+            SELECT r.d,
+                   CASE WHEN r.run_in_day + c.conc_in > 0 THEN
+                       epoch_us(COALESCE(r.next_t,
+                                CAST(r.d + 1 AS TIMESTAMP)))
+                       - epoch_us(r.t)
+                   ELSE 0 END AS covered_us,
+                   c.conc_in,
+                   epoch_us(r.t) - epoch_us(CAST(r.d AS TIMESTAMP))
+                       AS head_us,
+                   row_number() OVER (PARTITION BY r.d
+                       ORDER BY r.t, r.delta) AS rn
+            FROM run r JOIN carry c ON r.d = c.d
+        )
+        SELECT d,
+               CAST(SUM(covered_us) + MAX(CASE WHEN rn = 1 AND conc_in > 0
+                    THEN head_us ELSE 0 END) AS BIGINT) AS covered_us
+        FROM seg GROUP BY d
+    """,
+)
+def ts_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals length per day (total covered time — SLA
+    uptime, market-session exposure): each event covers [ts, ts+⌈value⌉
+    minutes]; overlaps must count once. Sweep formulation: between
+    consecutive boundaries the covered indicator is constant, so the
+    day's covered time is Σ gap-lengths where concurrency > 0, plus the
+    midnight→first-boundary head when the carried-in concurrency is
+    positive. Concurrency decomposes exactly as in ts_max_concurrency
+    (within-day running sum + O(days) carry-in); the within-day `lead`
+    with a day-end default IS the midnight clamp, so no interval
+    fragment is double-counted across days. All arithmetic in integer
+    MICROSECONDS (unix_micros/epoch_us) — exact, order-independent
+    sums, no double-epoch precision cliff. Days with zero boundaries
+    don't appear (none exist in a covered-day fixture; a production
+    spine-join would densify)."""
+    e = load_table(spark, sf_dir, "events")
+    end_t = F.expr("ts + make_interval(0, 0, 0, 0, 0, CAST(ceil(value) AS INT), 0)")
+    b = (
+        e.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
+        .unionByName(e.select(end_t.alias("t"), F.lit(-1).alias("delta")))
+        .withColumn("d", F.col("t").cast("date"))
+    )
+    daily = b.groupBy("d").agg(F.sum("delta").alias("day_total"))
+    w_days = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    carry = daily.select(
+        "d", F.coalesce(F.sum("day_total").over(w_days), F.lit(0)).alias("conc_in")
+    )
+    w_day = Window.partitionBy("d").orderBy("t", "delta")
+    w_run = w_day.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    day_end = F.date_add("d", 1).cast("timestamp")
+    run = b.select(
+        "d", "t",
+        F.sum("delta").over(w_run).alias("run_in_day"),
+        F.coalesce(F.lead("t").over(w_day), day_end).alias("next_t"),
+        F.row_number().over(w_day).alias("rn"),
+    ).join(F.broadcast(carry), "d")
+    covered = F.when(
+        F.col("run_in_day") + F.col("conc_in") > 0,
+        F.unix_micros("next_t") - F.unix_micros("t"),
+    ).otherwise(F.lit(0))
+    head = F.when(
+        (F.col("rn") == 1) & (F.col("conc_in") > 0),
+        F.unix_micros("t") - F.unix_micros(F.col("d").cast("timestamp")),
+    ).otherwise(F.lit(0))
+    return run.groupBy("d").agg(
+        (F.sum(covered) + F.max(head)).alias("covered_us")
+    )

@@ -104,6 +104,13 @@ _NO_CARTESIAN_AUDIT = [
     "array_explode_outer",
     "scalar_date_arith",
     "ts_max_concurrency",
+    "ts_interval_union_coverage",
+    "ts_range_join_bucketed",
+    "subquery_scalar_correlated",
+    "agg_boolean_logic",
+    "scalar_string_advanced",
+    "cur_rfm_deciles",
+    "cur_dedup_survivors",
 ]
 
 
