@@ -2044,3 +2044,62 @@ def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+@register(
+    "agg_hll_mergeable_sketch",
+    tags=("agg", "approx", "sketch"),
+)
+def agg_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Datasketches HLL, Spark 4
+    surface): per-status customer sketches built in one pass, then
+    UNIONED into a global estimate — the property approx_count_distinct
+    alone doesn't expose. At 100 TB this is the pattern that matters:
+    sketch once per partition/segment/day, persist the binary sketch,
+    re-aggregate any rollup later WITHOUT rescanning (the union is
+    sketch-sized, not data-sized). Rows-only (estimates are
+    implementation-defined); the error bound and the
+    union==direct-global-sketch consistency are pinned in
+    tests/test_plan_shapes.py."""
+    o = load_table(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return per_status.agg(
+        F.sum("n_rows").alias("n_rows_total"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+            "est_distinct_custkeys"
+        ),
+        F.count(F.lit(1)).alias("n_sketches_merged"),
+    )
+
+
+@register(
+    "scalar_try_arithmetic",
+    tags=("scalar", "ansi", "null-safety"),
+    oracle="""
+        SELECT o_orderkey,
+               o_totalprice / NULLIF(o_orderkey % 7, 0) AS safe_ratio,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE CAST(1 AS BIGINT) END AS divisor_ok
+        FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: try_divide returns NULL on a zero divisor
+    instead of either x/0=null-silently (legacy mode) or a runtime
+    error (ANSI mode) — the explicit spelling that behaves identically
+    under EITHER ansi setting, which is what a library must use since
+    it doesn't own the session config. The oracle spells the same
+    contract with NULLIF."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 7).alias(
+            "safe_ratio"
+        ),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(F.lit(1).cast("long"))
+        .alias("divisor_ok"),
+    )

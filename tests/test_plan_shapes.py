@@ -310,3 +310,25 @@ def test_bucketed_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
     # the quadratic BroadcastNestedLoopJoin this operator exists to avoid
     p = plan_str(plans.get("ts_range_join_bucketed").build(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_hll_union_matches_direct_sketch_and_error_bound(spark, sf_dir):
+    """Merging per-group HLL sketches must estimate the SAME value as
+    sketching the whole column directly (mergeability), and land within
+    the sketch's documented error of the exact count."""
+    from finance_etl_spark.io.readers import load_table
+    import pyspark.sql.functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    merged = (
+        o.groupBy("o_orderstatus")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    direct = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est")
+    ).collect()[0]["est"]
+    exact = o.select("o_custkey").distinct().count()
+    assert merged == direct  # union of partials == one-shot sketch
+    assert abs(merged - exact) / exact < 0.05  # lgK=12 default: ~1.6% rse
