@@ -2103,3 +2103,35 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(1).cast("long"))
         .alias("divisor_ok"),
     )
+
+
+@register(
+    "window_running_distinct",
+    tags=("window", "distinct"),
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(o_orderdate AS DATE) AS d,
+               CAST(dense_rank() OVER (PARTITION BY o_custkey
+                    ORDER BY strftime(o_orderdate, '%Y-%m'))
+                    AS BIGINT) AS distinct_months_so_far
+        FROM orders
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — which no engine supports
+    directly — via the dense_rank identity: with rows ordered by the
+    counted expression, dense_rank at each row equals the number of
+    distinct values seen so far (per customer: distinct active months
+    to date). One hash-partitioned window, no self-join, no
+    per-row set materialization; the workaround is exact, not an
+    approximation."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.date_format("o_orderdate", "yyyy-MM")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.dense_rank().over(w).cast("long").alias("distinct_months_so_far"),
+    )
