@@ -212,3 +212,38 @@ def test_gap_fill_locf_fills_forward_only(spark):
         (1, "2024-01-04"): 40.0,
         (2, "2024-01-02"): 5.0,   # single-day user: spine is one day
     }
+
+
+def test_range_join_bucketed_equals_naive_with_boundary_cases(spark):
+    """The bin trick must return EXACTLY the naive |Δt|<=tol pairs,
+    including pairs exactly at the tolerance, at the same instant, and
+    pairs whose bins differ by exactly one — and nothing just over."""
+    from finance_etl_spark.operators.joins import range_join_bucketed
+
+    base = 1_700_000_000  # seconds
+    left = spark.createDataFrame(
+        [(1, base), (2, base + 299), (3, base + 601)],
+        "lid int, s long",
+    ).select("lid", F.col("s").cast("timestamp").alias("l_ts"))
+    right = spark.createDataFrame(
+        [(10, base),          # same instant as lid=1
+         (11, base + 300),    # exactly tolerance from lid=1; 1s from lid=2
+         (12, base + 600),    # 301s from lid=2 (out); 1s from lid=3
+         (13, base + 902)],   # 301s from lid=3 (out)
+        "rid int, s long",
+    ).select("rid", F.col("s").cast("timestamp").alias("r_ts"))
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join_bucketed(left, right, "l_ts", "r_ts", 300).collect()
+    }
+    naive = {
+        (r["lid"], r["rid"])
+        for r in left.crossJoin(right)
+        .filter(
+            F.abs(F.col("l_ts").cast("double") - F.col("r_ts").cast("double"))
+            <= 300.0
+        )
+        .collect()
+    }
+    assert got == naive
+    assert (1, 11) in got and (2, 12) not in got  # boundary in, 301s out
