@@ -12,7 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampType
 
 TABLES = (
     "region",
@@ -32,11 +32,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # TIMESTAMP(NANOS) surfaced as epoch-nanos LONG (see
-        # session.RUNTIME_CONFS). Integer-divide to micros before the
-        # cast — a double division would lose precision above 2^53 ns.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # TIMESTAMP(NANOS) surfaced as epoch-nanos LONG (see
+            # session.RUNTIME_CONFS). Integer-divide to micros before the
+            # cast — a double division would lose precision above 2^53 ns.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif not isinstance(ts_type, TimestampType):
+            # Parquet TIMESTAMP with isAdjustedToUTC=false surfaces as
+            # TIMESTAMP_NTZ. The engine stores instants; with the session
+            # pinned to UTC the NTZ→TZ cast is value-preserving, and every
+            # downstream epoch computation (unix_micros, cast-to-double)
+            # requires the instant type.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -59,26 +59,33 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-    for _ in range(max_rounds):
-        nbr_min = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least("label", "nbr_label").alias("label"),
+    # try/finally so the cached edge relation is released on EVERY exit
+    # path — including the non-convergence raise (long-lived sessions
+    # that catch the RuntimeError must not leak cached blocks)
+    try:
+        for _ in range(max_rounds):
+            nbr_min = (
+                sym.join(labels, sym["b"] == labels["node"])
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.min("label").alias("nbr_label"))
             )
-            .localCheckpoint(eager=True)
+            labels = (
+                labels.join(nbr_min, "node", "left")
+                .select(
+                    "node",
+                    F.least("label", "nbr_label").alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            if cur_sum == prev_sum:
+                return labels.select("node", F.col("label").alias("component_id"))
+            prev_sum = cur_sum
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_rounds} rounds "
+            "(graph diameter too large — use large-star/small-star)"
         )
-        cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-        if cur_sum == prev_sum:
-            sym.unpersist()
-            return labels.select("node", F.col("label").alias("component_id"))
-        prev_sum = cur_sum
-    raise RuntimeError(
-        f"connected_components: no convergence in {max_rounds} rounds "
-        "(graph diameter too large — use large-star/small-star)"
-    )
+    finally:
+        sym.unpersist()

@@ -144,20 +144,24 @@ def range_join_bucketed(
     {b-1, b, b+1} on the left side turns the range predicate into an
     EQUI-join on the bin (hash-partitionable, linear shuffle) with the
     exact |Δt| filter as a residual. Cost follows actual temporal
-    collisions (pairs per bin), never |L|×|R|. Epoch arithmetic keeps
-    microsecond precision (timestamp→double is fractional seconds).
+    collisions (pairs per bin), never |L|×|R|. Integer-microsecond
+    epoch arithmetic keeps the bin assignment and the residual exact.
     """
-    lb = F.floor(F.col(left_ts).cast("double") / tolerance_s)
-    rb = F.floor(F.col(right_ts).cast("double") / tolerance_s)
+    tol_us = int(tolerance_s) * 1_000_000
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    lb = F.floor(l_us / tol_us)
+    rb = F.floor(r_us / tol_us)
     l_expl = left.withColumn(
         "__bin", F.explode(F.array(lb - 1, lb, lb + 1))
     )
     r_b = right.withColumn("__bin", rb)
     dt = F.abs(
-        F.col(left_ts).cast("double") - F.col(right_ts).cast("double")
+        F.unix_micros(F.col(left_ts).cast("timestamp"))
+        - F.unix_micros(F.col(right_ts).cast("timestamp"))
     )
     return (
         l_expl.join(r_b, "__bin")
-        .filter(dt <= F.lit(float(tolerance_s)))
+        .filter(dt <= F.lit(tol_us))
         .drop("__bin")
     )

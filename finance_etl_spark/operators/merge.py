@@ -45,7 +45,9 @@ def merge_upsert(
     )
     return (
         t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
-        .filter(~(matched & F.col(f"s.{is_delete}")))
+        .filter(
+            ~(matched & F.coalesce(F.col(f"s.{is_delete}"), F.lit(False)))
+        )
         .select(
             F.coalesce(F.col(f"s.{key}"), F.col(f"t.{key}")).alias(key),
             *[pick(c).alias(c) for c in value_cols],

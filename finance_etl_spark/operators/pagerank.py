@@ -9,10 +9,12 @@ lineage. Edges are normalized, partitioned by src, and cached ONCE —
 at 100 TB the edge shuffle happens once, not per iteration, and each
 round moves only rank-vector-sized data.
 
-Iteration shuffles are rank-vector-sized, so the loop temporarily
-scales spark.sql.shuffle.partitions down to ``iter_partitions``
-(restored after) — 32-task stages over a 25-row vector are pure
-scheduler overhead; on a billion-node graph pass a larger value.
+Iteration shuffles are rank-vector-sized. The partition count is scoped
+per-DataFrame (explicit ``repartition`` on the cached edge relation;
+AQE coalesces the tiny aggregate shuffles) rather than by mutating the
+session-global ``spark.sql.shuffle.partitions``, so concurrent queries
+on the same SparkSession are unaffected. On a billion-node graph pass a
+larger ``iter_partitions``.
 
 Per-round mass sums are decimal-exact, so ranks are bit-identical
 under any partitioning or relayout — pinned in tests/test_curation.py.
@@ -50,8 +52,6 @@ def pagerank(
     )
     n = nodes.count()
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(iter_partitions))
     try:
         out_w = edges.groupBy(src).agg(F.sum(weight).alias("__out_w"))
         norm = (
@@ -61,7 +61,7 @@ def pagerank(
                 F.col(dst).alias("e_dst"),
                 (F.col(weight) / F.col("__out_w")).alias("p"),
             )
-            .repartition("e_src")
+            .repartition(iter_partitions, "e_src")
             .cache()
         )
         sources = norm.select(F.col("e_src").alias("node")).distinct()
@@ -107,6 +107,13 @@ def pagerank(
             # halving the per-round job/replan overhead
             if it % checkpoint_every == 0 or it == n_iter:
                 ranks = ranks.localCheckpoint()
+        # the final localCheckpoint truncated lineage, so the cached
+        # helper relations can be released on every exit path
         return ranks
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        nodes.unpersist()
+        try:
+            norm.unpersist()
+            dangling.unpersist()
+        except NameError:
+            pass

@@ -1281,7 +1281,7 @@ def cur_rfm_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = rfm.agg(F.count(F.lit(1)).alias("n"))
     return (
         ranked.crossJoin(F.broadcast(n_total))
-        .groupBy((((F.col("rn") - 1) * 10) / F.col("n")).cast("long").alias("decile"))
+        .groupBy(F.expr("CAST(((rn - 1) * 10) DIV n AS BIGINT)").alias("decile"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.sum("frequency").alias("total_orders"),

@@ -18,25 +18,31 @@ from pyspark.sql import functions as F
 
 from finance_etl_spark.operators.incremental import incremental_new_records
 
-EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double,"
-    " props string"
-)
-
-
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file-source stream. The fixture stores ts as
-    TIMESTAMP(NANOS) (surfaced as epoch-nanos LONG under
-    spark.sql.legacy.parquet.nanosAsLong) — converted here exactly like
-    the batch reader (io/readers.py)."""
+    """events.parquet as a file-source stream. The stream schema is
+    taken from a batch footer read (file-source streams require an
+    explicit schema), then ``ts`` is normalized to the session-TZ
+    instant type exactly like the batch reader (io/readers.py):
+    epoch-nanos LONG fixtures integer-divide to micros; TIMESTAMP_NTZ
+    fixtures cast (value-preserving under the UTC session)."""
+    from pyspark.sql.types import LongType, TimestampType
+
+    batch_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(batch_schema)
         # the file source wants a directory: stream the sf dir, glob to
         # the one table file
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    ts_type = batch_schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif not isinstance(ts_type, TimestampType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def run_stream_to_memory(
