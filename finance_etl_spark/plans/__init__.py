@@ -19,6 +19,7 @@ import importlib
 
 for _mod in (
     "relational",
+    "tpch",
     "scalars",
     "timeseries",
     "ingest_parity",

@@ -111,7 +111,44 @@ _NO_CARTESIAN_AUDIT = [
     "scalar_string_advanced",
     "cur_rfm_deciles",
     "cur_dedup_survivors",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q12_shipping_lateness",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "q11_important_stock",
+    "q15_top_supplier",
 ]
+
+
+def test_q6_predicates_reach_parquet_scan(spark, sf_dir):
+    # Q6 is the canonical pushdown query: ship-date range, discount band
+    # and quantity cap must all reach PushedFilters on the ONE scan, and
+    # the read schema must prune to the three referenced columns
+    p = plan_str(plans.get("q6_forecast_revenue").build(spark, sf_dir))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert len(pushed) == 1 and "l_shipdate" in pushed[0]
+    assert "l_discount" in pushed[0] and "l_quantity" in pushed[0]
+
+
+def test_q19_disjunction_stays_single_broadcast_join(spark, sf_dir):
+    # the OR-of-conjunctions must NOT plan a nested loop or three scans:
+    # common-key extraction keeps one BroadcastHashJoin on partkey
+    df = plans.get("q19_disjunctive_predicates").build(spark, sf_dir)
+    p = plan_str(df)
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    simple = plan_str(df, mode="simple")
+    assert simple.count("FileScan parquet") == 2  # lineitem + part, once each
 
 
 def test_ohlc_bars_single_agg_no_window_no_sort(spark, sf_dir):
