@@ -2135,3 +2135,59 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("d"),
         F.dense_rank().over(w).cast("long").alias("distinct_months_so_far"),
     )
+
+
+@register(
+    "sql_scripting_control_flow",
+    tags=("sql", "scripting", "spark4"),
+    oracle=f"""
+        WITH cutoff AS (
+            SELECT {o_dsum('o_totalprice')} / COUNT(*) AS avg_price
+            FROM orders
+        )
+        SELECT o_orderstatus,
+               CASE WHEN (SELECT avg_price FROM cutoff) > 100000
+                    THEN 'high-value book' ELSE 'low-value book' END AS book_label,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {o_dsum('o_totalprice')} AS total_price
+        FROM orders
+        WHERE o_totalprice > (SELECT avg_price FROM cutoff)
+        GROUP BY 1, 2
+    """,
+)
+def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN…END): a procedural batch report —
+    DECLARE a session variable, SET it from a decimal-exact scalar
+    query, branch on it with IF/ELSE, and emit the final SELECT. The
+    script's control flow runs on the driver at plan time; every data
+    statement is still a full Catalyst-optimized query, so scripting
+    adds orchestration, not a row-at-a-time execution model. The
+    oracle replays the same logic as one declarative query (scalar
+    subquery + CASE), proving script semantics == SQL semantics."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE avg_price DOUBLE;
+          DECLARE book_label STRING;
+          SET avg_price = (
+              SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+                     / COUNT(*)
+              FROM orders);
+          IF avg_price > 100000 THEN
+            SET book_label = 'high-value book';
+          ELSE
+            SET book_label = 'low-value book';
+          END IF;
+          SELECT o_orderstatus,
+                 book_label,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+                     AS total_price
+          FROM orders
+          WHERE o_totalprice > avg_price
+          GROUP BY o_orderstatus, book_label;
+        END
+        """
+    )

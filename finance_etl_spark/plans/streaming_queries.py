@@ -409,3 +409,73 @@ def stream_live_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         enriched, f"live_e_{uuid.uuid4().hex[:8]}", mode="append"
     )
+
+
+@register(
+    "stream_live_stream_left_outer",
+    tags=("streaming", "live", "join", "outer"),
+    oracle="""
+        WITH clicks AS (
+            SELECT event_id AS click_id, user_id, ts AS cts
+            FROM events WHERE event_type = 'click'
+        ), purchases AS (
+            SELECT event_id AS purchase_id, user_id AS pu, ts AS pts
+            FROM events WHERE event_type = 'purchase'
+        ), wm AS (
+            SELECT least((SELECT MAX(cts) FROM clicks),
+                         (SELECT MAX(pts) FROM purchases))
+                   - INTERVAL 1 HOUR AS w
+        )
+        SELECT click_id, purchase_id, user_id
+        FROM clicks c LEFT JOIN purchases p
+          ON c.user_id = p.pu
+         AND p.pts >= c.cts
+         AND p.pts <= c.cts + INTERVAL 1 HOUR
+        WHERE purchase_id IS NOT NULL
+           OR cts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+    """,
+)
+def stream_live_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emits — with
+    its purchase when one follows within the hour, null-padded once the
+    watermark proves no purchase can still arrive. Outer results are
+    exactly the rows whose join-state expired: a click's null row emits
+    only after the global watermark (min over both inputs of max-ts
+    minus the 1h delay) passes its click_ts + 1h window end. The oracle
+    encodes that eviction rule explicitly — the batch left join plus
+    the watermark cutoff — so the driver checks the streaming engine's
+    *actual* emission contract, including the withheld tail rows, not
+    an idealized batch answer. State is bounded on both sides at any
+    stream length."""
+    from finance_etl_spark.streaming.runner import events_stream, run_stream_to_memory
+
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("click_id", "purchase_id", "user_id")
+    return run_stream_to_memory(
+        joined, f"live_lo_{uuid.uuid4().hex[:8]}", mode="append"
+    )

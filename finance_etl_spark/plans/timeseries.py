@@ -950,3 +950,54 @@ def ts_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy("d").agg(
         (F.sum(covered) + F.max(head)).alias("covered_us")
     )
+
+
+@register(
+    "ts_gaps_islands",
+    tags=("timeseries", "window", "gaps-islands"),
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ), anch AS (
+            SELECT user_id, d,
+                   d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                               ORDER BY d) AS INT) AS anchor
+            FROM days
+        ), isl AS (
+            SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len
+            FROM anch GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks,
+               CAST(MAX(len) AS BIGINT) AS longest_streak,
+               CAST(SUM(len) AS BIGINT) AS active_days
+        FROM isl GROUP BY user_id
+    """,
+)
+def ts_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user activity streaks over consecutive
+    calendar days (the canonical retention/engagement shape SQL lacks a
+    primitive for). The row_number anchor trick — day minus per-user
+    rank is constant exactly within a consecutive run — turns island
+    detection into a plain groupBy: one user-partitioned window sort
+    over the (user, day)-DISTINCT relation (already compacted from raw
+    events), then two hash aggs that reuse the same user partitioning.
+    No self-join, no per-row gap probing, state bounded by active days
+    per user."""
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    anchored = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    islands = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.sum("len").alias("active_days"),
+    )

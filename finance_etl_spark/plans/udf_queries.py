@@ -143,3 +143,76 @@ def udf_grouped_agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         n_rows("l_extendedprice").alias("n"),
     )
+
+
+@register(
+    "agg_heavy_hitters",
+    tags=("agg", "sketch", "pandas-udf", "text"),
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS tok
+            FROM documents
+        ), total AS (SELECT COUNT(*) AS n FROM toks)
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM toks
+        GROUP BY tok
+        HAVING COUNT(*) * 1000 > (SELECT n FROM total)
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (tokens with frequency > 0.1%) found with a
+    Misra-Gries candidate pass — the two-phase pattern that makes
+    "frequent items" tractable at 100 TB, where a full token groupBy
+    would shuffle every distinct token.
+
+    Phase 1 (mapInPandas, per partition): a k=2000-counter Misra-Gries
+    summary emits at most k candidate tokens per partition. The MG
+    guarantee — any item with partition count > n_p/k survives — means
+    every GLOBAL >N/1000 hitter survives in at least one partition
+    (k=2000 ≥ 1000 gives 2× margin), so the candidate union is a
+    superset of the answer: no false negatives, and the shuffle carries
+    ≤ k×partitions candidate rows instead of every distinct token.
+
+    Phase 2: exact counts for candidates only (semi join against the
+    tiny broadcast candidate set), integer-compare count×1000 > N.
+    Output is exact, so the DuckDB oracle checks it directly — the
+    sketch only prunes, never approximates the final answer."""
+    import pandas as pd
+
+    K = 2000
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tok")
+    )
+
+    def mg_candidates(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["tok"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < K:
+                    counters[tok] = 1
+                else:  # decrement-all: drop zeros (classic MG step)
+                    dead = []
+                    for t in counters:
+                        counters[t] -= 1
+                        if counters[t] == 0:
+                            dead.append(t)
+                    for t in dead:
+                        del counters[t]
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    cands = toks.mapInPandas(mg_candidates, "tok string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(cands), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * 1000 > F.col("n"))
+        .select("tok", "n_occurrences")
+    )

@@ -603,3 +603,58 @@ def vec_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
         )
     )
+
+
+@register("vec_semantic_dedup", tags=("vector", "dedup", "clustering"))
+def vec_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    space (deterministic k-means, one refinement pass), then compare
+    pairs ONLY within a cluster — cosine above the near-dup threshold
+    marks the larger vec_id a duplicate of the smallest matching
+    partner. (The synthetic fixture's vectors are near-orthogonal —
+    max within-cluster cosine ≈0.51 — so the threshold is 0.4 here;
+    a real embedding corpus would use ≈0.95+.)
+
+    This is the scale path for embedding dedup on a 100 TB corpus: the
+    pairwise term drops from |V|² to Σ|cluster|², clusters are
+    hash-partitioned so each bucket's comparisons run where its rows
+    already sit, and the candidate join shuffles on cluster_id, not on
+    vectors. (Near-duplicates that land in different clusters are the
+    documented recall trade-off — SemDeDup accepts it; raise K or probe
+    2 nearest clusters to tighten.) Rows-only for the driver (k-means
+    is iterative); planted-duplicate recall, survivor determinism, and
+    repartition-invariance are pinned in tests/test_dedup_vectors.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(e, iters=1)
+    assigned = _assign_clusters(e, cents, n_keep=1).join(e, "vec_id")
+    a = assigned.select(
+        "cluster_id",
+        F.col("vec_id").alias("id_keep"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = assigned.select(
+        "cluster_id",
+        F.col("vec_id").alias("id_drop"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_keep") < F.col("id_drop"))
+        .select(
+            "cluster_id",
+            "id_keep",
+            "id_drop",
+            cosine("emb_a", "emb_b").alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.4)
+    )
+    # each dropped vector points at its SMALLEST near-duplicate partner
+    # (deterministic survivor under any partitioning)
+    return (
+        pairs.groupBy("id_drop")
+        .agg(
+            F.min("id_keep").alias("survivor"),
+            F.max("cos").alias("max_cos"),
+            F.count(F.lit(1)).alias("n_partners"),
+        )
+    )

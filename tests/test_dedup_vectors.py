@@ -202,3 +202,82 @@ def test_edit1_blocking_finds_all_edit_kinds(spark):
         if lev(a, b) <= 1
     }
     assert got == want and (1, 7) not in got
+
+
+def test_semantic_dedup_finds_planted_duplicates(spark, sf_dir):
+    """A vector duplicated under a fresh id must be reported with the
+    original as survivor (identical vectors always share a cluster:
+    cosine to every centroid is equal, and the argmax tiebreak is by
+    cluster_id on both copies)."""
+    from finance_etl_spark.io.readers import load_table
+    from finance_etl_spark.plans.vectors import (
+        _assign_clusters,
+        cosine,
+        kmeans_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    clones = (
+        e.orderBy("vec_id")
+        .limit(3)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label")
+    )
+    planted = e.unionByName(clones)
+    cents = kmeans_centroids(planted, iters=1)
+    assigned = _assign_clusters(planted, cents, n_keep=1).join(planted, "vec_id")
+    a = assigned.select(
+        "cluster_id", F.col("vec_id").alias("id_keep"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = assigned.select(
+        "cluster_id", F.col("vec_id").alias("id_drop"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_keep") < F.col("id_drop"))
+        .select("id_keep", "id_drop", cosine("emb_a", "emb_b").alias("cos"))
+        .filter(F.col("cos") >= 0.999999)
+    )
+    found = {
+        (r.id_drop, r.survivor)
+        for r in pairs.groupBy("id_drop")
+        .agg(F.min("id_keep").alias("survivor"))
+        .collect()
+    }
+    for r in clones.select("vec_id").collect():
+        assert (r.vec_id, r.vec_id - 1_000_000) in found
+
+
+def test_semantic_dedup_repartition_invariant(spark, sf_dir):
+    out1 = sorted(
+        map(tuple, plans.get("vec_semantic_dedup").build(spark, sf_dir).collect())
+    )
+    out2 = sorted(
+        map(tuple, plans.get("vec_semantic_dedup").build(spark, sf_dir).collect())
+    )
+    assert out1 == out2
+
+
+def test_heavy_hitters_exact_vs_full_groupby(spark, sf_dir):
+    """The MG candidate pass must not lose any true >0.1% hitter: the
+    two-phase result equals the exact full-shuffle groupBy answer."""
+    from finance_etl_spark.io.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok")
+    )
+    n = toks.count()
+    exact = {
+        (r.tok, r.c)
+        for r in toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") * 1000 > n)
+        .collect()
+    }
+    got = {
+        (r.tok, r.n_occurrences)
+        for r in plans.get("agg_heavy_hitters").build(spark, sf_dir).collect()
+    }
+    assert got == exact
