@@ -647,3 +647,61 @@ def sink_multi_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum("l_extendedprice").alias("total_price"),
     )
+
+
+@register(
+    "ddl_schema_evolution",
+    tags=("ddl", "schema-evolution", "sink"),
+    oracle=f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN priority_rank IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_v1_rows,
+               COALESCE(CAST(CAST(SUM(CAST(priority_rank AS DECIMAL(30,10)))
+                    AS VARCHAR) AS DOUBLE), 0.0) AS rank_total
+        FROM (
+            SELECT o_orderkey, o_orderstatus, NULL AS priority_rank
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(length(o_orderpriority) AS DOUBLE) AS priority_rank
+            FROM orders WHERE o_orderkey % 2 = 1
+        )
+        GROUP BY o_orderstatus
+    """,
+)
+def ddl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a parquet table: v1 writes (orderkey,
+    status), v2 appends the same table with an ADDED column
+    (priority_rank) — ``mergeSchema`` reconciles the footers into the
+    union schema and v1 rows surface the new column as NULL, exactly
+    the add-a-column migration a 100 TB table gets in place (no
+    rewrite of existing files; old files simply lack the column).
+    The aggregate proves both generations coexist: per status, total
+    rows, NULL-count from v1 files, and a decimal-exact sum over the
+    v2-only column."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="schema_evo_")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v1.write.mode("append").parquet(out)
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.length("o_orderpriority").cast("double").alias("priority_rank"),
+    )
+    v2.write.mode("append").parquet(out)
+    evolved = spark.read.option("mergeSchema", "true").parquet(out)
+    return evolved.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("priority_rank").isNull(), 1).otherwise(0)
+        ).alias("n_v1_rows"),
+        F.coalesce(
+            F.sum(F.col("priority_rank").cast("decimal(30,10)")).cast("double"),
+            F.lit(0.0),
+        ).alias("rank_total"),
+    )

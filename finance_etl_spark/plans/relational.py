@@ -47,8 +47,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shipdate filter and the 11-column projection push down to the
     parquet scan; partial aggregation runs map-side so the shuffle
     carries ≤ (flags × statuses) rows per partition regardless of SF.
+    The adaptive loader spreads the decimal partial-agg work across
+    cores when the table's physical layout under-splits (fewer row
+    groups than cores); on a well-laid-out table it adds nothing.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    from finance_etl_spark.io.readers import load_table_parallel
+
+    li = load_table_parallel(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
