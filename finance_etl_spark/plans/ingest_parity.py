@@ -705,3 +705,48 @@ def ddl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
         ).alias("rank_total"),
     )
+
+
+def _dpp_join(spark: SparkSession, sf_dir: str):
+    """(fact, joined) for sink_dynamic_partition_pruning and its plan
+    test: date-partitioned events fact joined to a filtered date dim."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="dpp_sink_")
+    e.withColumn("event_date", F.to_date("ts")).write.partitionBy(
+        "event_date"
+    ).mode("overwrite").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        fact.select("event_date")
+        .distinct()
+        .filter(F.dayofmonth("event_date") <= 3)
+    )
+    joined = fact.join(dim, "event_date").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return fact, joined
+
+
+@register(
+    "sink_dynamic_partition_pruning",
+    tags=("sink", "partitioning", "optimizer", "scale"),
+    oracle="""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        WHERE day(CAST(ts AS DATE)) <= 3
+        GROUP BY event_type
+    """,
+)
+def sink_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is date-partitioned on
+    disk and the pruning predicate lives on the DIM side — only at
+    runtime, after the dim subquery executes, does Spark know which
+    partition directories to read, and the scan shows a
+    dynamicpruning#N expression in its PartitionFilters (plan-asserted
+    in tests/test_plan_shapes.py). At 100 TB this is the difference
+    between reading 3 days and reading the whole table when the filter
+    is a join, not a literal."""
+    _, joined = _dpp_join(spark, sf_dir)
+    return joined

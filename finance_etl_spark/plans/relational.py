@@ -2196,3 +2196,67 @@ def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+def _bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy join used by join_runtime_bloom_filter (shared with the
+    plan-shape test): selective orders subset joined to lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
+BLOOM_JOIN_CONFS = {
+    # fixture-scale calibration: the injection rule requires the probe
+    # side to scan > this threshold (default 10 GiB — sized for real
+    # clusters); at 100 TB the default fires on its own
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # the 100-TB shape: the dim subset is too big to broadcast, so the
+    # join is shuffle-based and the probe side scans everything unless
+    # a runtime filter prunes it
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@register(
+    "join_runtime_bloom_filter",
+    tags=("join", "runtime-filter", "optimizer"),
+    oracle=f"""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               {o_dsum('l_extendedprice')} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '1999-01-01'
+        GROUP BY 1
+    """,
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: when a selective dimension
+    subset is too large to broadcast, Spark builds a bloom filter from
+    the creation side's join keys and pushes a might_contain predicate
+    into the probe-side SCAN — most non-matching fact rows die before
+    the shuffle instead of after it. Plan-asserted in
+    tests/test_plan_shapes.py (BloomFilter aggregate + might_contain).
+    The result is materialized (localCheckpoint) while the calibration
+    confs are set, then the session confs are restored — no leakage
+    into other queries' plans. Results are filter-invariant, so the
+    plain-join oracle checks correctness."""
+    old = {k: spark.conf.get(k) for k in BLOOM_JOIN_CONFS}
+    for k, v in BLOOM_JOIN_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return _bloom_filter_join(spark, sf_dir).localCheckpoint()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -369,3 +369,34 @@ def test_hll_union_matches_direct_sketch_and_error_bound(spark, sf_dir):
     exact = o.select("o_custkey").distinct().count()
     assert merged == direct  # union of partials == one-shot sketch
     assert abs(merged - exact) / exact < 0.05  # lgK=12 default: ~1.6% rse
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """With the dim unbroadcastable, the selective join must inject a
+    bloom filter: creation-side BloomFilter aggregate + a might_contain
+    predicate evaluated on the probe (lineitem) side."""
+    from finance_etl_spark.plans.relational import (
+        BLOOM_JOIN_CONFS,
+        _bloom_filter_join,
+    )
+
+    old = {k: spark.conf.get(k) for k in BLOOM_JOIN_CONFS}
+    for k, v in BLOOM_JOIN_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        p = plan_str(_bloom_filter_join(spark, sf_dir)).lower()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "bloomfilter" in p or "might_contain" in p
+
+
+def test_dynamic_partition_pruning_in_scan(spark, sf_dir):
+    """The date-partitioned fact scan must carry a dynamicpruning
+    expression in its PartitionFilters — the dim-side filter reaches
+    the fact's directory listing at runtime."""
+    from finance_etl_spark.plans.ingest_parity import _dpp_join
+
+    _, joined = _dpp_join(spark, sf_dir)
+    p = plan_str(joined).lower()
+    assert "dynamicpruning" in p
