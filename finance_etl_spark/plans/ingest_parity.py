@@ -750,3 +750,87 @@ def sink_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     is a join, not a literal."""
     _, joined = _dpp_join(spark, sf_dir)
     return joined
+
+
+def _zorder_bits(a, b, bits: int = 6):
+    """Morton/Z-value: interleave the low ``bits`` bits of two ints —
+    a pure JVM bit expression (shiftleft/shiftright/bitwise-and), so
+    the clustering key costs one codegen'd projection."""
+    z = F.lit(0)
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+ZORDER_N_FILES = 16
+
+
+def write_zorder_events(spark: SparkSession, sf_dir: str) -> str:
+    """Write events z-ordered on (user_bucket, hour_of_day): range-
+    partition + sort on the Morton value so each output file covers a
+    compact rectangle of the 2-D key space, giving parquet footer
+    min/max stats that prune MOST files for any small rectangle query
+    on EITHER dimension — the multi-dimensional data-skipping layout
+    (a single-column sort can only skip on its leading column).
+    Returns the output directory."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events")
+    keyed = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("user_id") % 64).cast("int").alias("user_bucket"),
+        F.hour("ts").alias("hour_of_day"),
+    ).withColumn(
+        "z", _zorder_bits(F.col("user_bucket"), F.col("hour_of_day"))
+    )
+    out = tempfile.mkdtemp(prefix="zorder_sink_")
+    (
+        keyed.repartitionByRange(ZORDER_N_FILES, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+@register(
+    "sink_zorder_clustering",
+    tags=("sink", "clustering", "data-skipping", "scale"),
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sum_value
+        FROM (
+            SELECT event_type, value,
+                   user_id % 64 AS user_bucket,
+                   hour(ts) AS hour_of_day
+            FROM events
+        )
+        WHERE user_bucket BETWEEN 8 AND 15 AND hour_of_day BETWEEN 8 AND 11
+        GROUP BY event_type
+    """,
+)
+def sink_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustered sink + rectangle query: the
+    table is laid out so parquet min/max footer stats skip most files
+    for a 2-D range predicate — tests/test_ingest.py reads the footers
+    and asserts the rectangle overlaps a minority of files on BOTH
+    dimensions' stats. The oracle checks the rectangle aggregate
+    itself. At 100 TB this layout choice is the difference between
+    scanning the table and scanning a few percent of it for
+    multi-dimensional slicing workloads."""
+    out = write_zorder_events(spark, sf_dir)
+    back = spark.read.parquet(out).filter(
+        F.col("user_bucket").between(8, 15) & F.col("hour_of_day").between(8, 11)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,10)")).cast("double").alias("sum_value"),
+    )

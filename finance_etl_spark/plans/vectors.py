@@ -658,3 +658,138 @@ def vec_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_partners"),
         )
     )
+
+
+@register("vec_ann_pq_topk", tags=("vector", "similarity", "pq", "quantize"))
+def vec_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via PRODUCT QUANTIZATION: the
+    64-dim space splits into M=16 subspaces of 4 dims; each subspace
+    gets a 16-centroid codebook, so a vector compresses to 16 nibbles
+    (8 bytes — a 32× compression over float32). Queries score
+    candidates with the ADC trick: one 16×16 lookup table of partial
+    squared distances per query, then score = Σ_j LUT[j][code_j] — the
+    bulk scan touches only codes. An exact-cosine re-rank of the
+    ADC top-50 shortlist recovers the precision quantization loses
+    (the standard PQ serving architecture: codes prune, floats are
+    fetched for only queries × 50 of the corpus's rows).
+
+    Scale shape: codebook training is a driver-side model fit over a
+    deterministic md5-sampled subset (256 rows — same contract as the
+    PCA eigensolve); encoding is one linear Arrow-batched pass
+    (mapInPandas) over the corpus; search broadcasts the per-query
+    LUTs (queries × 128 floats) and scans only CODES — at 100 TB the
+    search input is the 4-byte-per-vector code table, not the 256-byte
+    vectors. Vectors are L2-normalized first so squared-L2 ranking ==
+    cosine ranking, making recall comparable to vec_cosine_topk
+    (asserted in tests/test_dedup_vectors.py). Rows-only for the
+    driver (codebook fit is iterative)."""
+    import numpy as np
+    import pandas as pd
+
+    M, DSUB, KCODE = 16, 4, 16
+    e = load_table(spark, sf_dir, "embeddings")
+
+    # --- codebook fit (driver-side, deterministic sample) -----------
+    sample = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(256)
+        .select("embedding")
+        .collect()
+    )
+    X = np.array([r.embedding for r in sample], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    books = []
+    for j in range(M):
+        sub = X[:, j * DSUB : (j + 1) * DSUB]
+        cents = sub[:KCODE].copy()  # deterministic seed: first K rows
+        for _ in range(5):  # Lloyd iterations on the sample
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(KCODE):
+                pts = sub[assign == k]
+                if len(pts):
+                    cents[k] = pts.mean(axis=0)
+        books.append(cents)
+    books_arr = np.stack(books)  # (M, KCODE, DSUB)
+    bc_books = spark.sparkContext.broadcast(books_arr)
+
+    # --- encode: one Arrow-batched linear pass ----------------------
+    def encode(batches):
+        B = bc_books.value
+        for pdf in batches:
+            V = np.array(list(pdf["embedding"]), dtype=np.float64)
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            codes = np.empty((len(V), M), dtype=np.int32)
+            for j in range(M):
+                sub = V[:, j * DSUB : (j + 1) * DSUB]
+                d2 = ((sub[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "code": list(codes)}
+            )
+
+    codes = e.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, code array<int>"
+    )
+
+    # --- search: per-query LUT broadcast, scan codes only -----------
+    q_rows = (
+        e.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    B = books_arr
+    luts = {}
+    for r in q_rows:
+        q = np.array(r.embedding, dtype=np.float64)
+        q /= np.linalg.norm(q)
+        lut = np.empty((M, KCODE))
+        for j in range(M):
+            qs = q[j * DSUB : (j + 1) * DSUB]
+            lut[j] = ((B[j] - qs[None, :]) ** 2).sum(axis=1)
+        luts[int(r.vec_id)] = lut
+    bc_luts = spark.sparkContext.broadcast(luts)
+
+    def adc_score(batches):
+        L = bc_luts.value
+        for pdf in batches:
+            C = np.array(list(pdf["code"]), dtype=np.int64)  # (n, M)
+            out_q, out_c, out_d = [], [], []
+            for qid, lut in L.items():
+                # gather: d[i] = sum_j lut[j, C[i, j]]
+                d = lut[np.arange(M)[None, :], C].sum(axis=1)
+                out_q.extend([qid] * len(C))
+                out_c.extend(pdf["vec_id"])
+                out_d.extend(d)
+            yield pd.DataFrame(
+                {"query_id": out_q, "cand_id": out_c, "adc_d2": out_d}
+            )
+
+    scored = codes.mapInPandas(
+        adc_score, "query_id long, cand_id long, adc_d2 double"
+    ).filter(F.col("query_id") != F.col("cand_id"))
+    # shortlist on codes, then EXACT re-rank of the shortlist — the
+    # standard PQ serving architecture: the bulk scan touches 4-byte
+    # codes; float vectors are fetched for only queries × 20 rows
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), "cand_id")
+    shortlist = (
+        scored.withColumn("adc_rank", F.row_number().over(w))
+        .filter(F.col("adc_rank") <= 50)
+        .select("query_id", "cand_id")
+    )
+    qe = (
+        e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    )
+    ce = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    exact = (
+        shortlist.join(F.broadcast(qe), "query_id")
+        .join(ce, "cand_id")
+        .select("query_id", "cand_id", cosine("q_emb", "c_emb").alias("cos_sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("cand_id").alias("neighbor_id"), "rank", "cos_sim")
+    )

@@ -281,3 +281,17 @@ def test_heavy_hitters_exact_vs_full_groupby(spark, sf_dir):
         for r in plans.get("agg_heavy_hitters").build(spark, sf_dir).collect()
     }
     assert got == exact
+
+
+def test_vector_pq_recall_vs_brute_force(spark, sf_dir):
+    """PQ-ADC shortlist + exact re-rank (8-byte codes, 32x
+    compression) must recover most of the exact cosine top-5 —
+    normalized squared-L2 ranks identically to cosine, so the only
+    error source is the code-level shortlist missing a true neighbor.
+    Random near-orthogonal fixtures are PQ's worst case; real
+    embedding corpora (clustered) do better."""
+    exact = plans.get("vec_cosine_topk").build(spark, sf_dir)
+    approx = plans.get("vec_ann_pq_topk").build(spark, sf_dir)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.6

@@ -83,3 +83,44 @@ def test_permissive_quarantine_split(spark):
     # structurally-fine rows with unparseable values are NOT quarantined;
     # they coerce to null later (T10), preserving reference semantics
     assert good.filter(good["sum"] == "bad_amount").count() == 1
+
+
+def test_zorder_layout_skips_files_on_both_dimensions(spark, sf_dir):
+    """The z-ordered layout must give footer min/max stats that prune
+    a majority of files for a small rectangle on (user_bucket,
+    hour_of_day) — and, unlike a single-column sort, on EACH dimension
+    alone as well."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from finance_etl_spark.plans.ingest_parity import write_zorder_events
+
+    out = write_zorder_events(spark, sf_dir)
+    files = [
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    ]
+    assert len(files) >= 8
+    stats = []
+    for p in files:
+        md = pq.ParquetFile(p).metadata
+        cols = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        rg = md.row_group(0)
+        ub = rg.column(cols["user_bucket"]).statistics
+        hb = rg.column(cols["hour_of_day"]).statistics
+        stats.append(((ub.min, ub.max), (hb.min, hb.max)))
+
+    def overlaps(lo, hi, mn, mx):
+        return not (mx < lo or mn > hi)
+
+    rect = [
+        s
+        for s in stats
+        if overlaps(8, 15, *s[0]) and overlaps(8, 11, *s[1])
+    ]
+    assert len(rect) <= len(files) // 2, (
+        f"rectangle query overlaps {len(rect)}/{len(files)} files — "
+        "layout is not clustering both dimensions"
+    )
