@@ -2260,3 +2260,89 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def _skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy join used by join_aqe_skew_split (shared with the plan
+    test): two thirds of lineitem collapse onto one hot key (a
+    realistic power-law key), joined to a 1000-row derived dim."""
+    # decode-spread the fact first: AQE splits a skewed REDUCE partition
+    # by regrouping its MAP outputs, so a single-map-task scan (one
+    # parquet row group) leaves nothing to split — exactly the
+    # under-split layout load_table_parallel exists for
+    from finance_etl_spark.io.readers import load_table_parallel
+
+    li = load_table_parallel(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 3 > 0, 0)
+        .otherwise(F.col("l_orderkey") % 1000)
+        .alias("k"),
+        "l_extendedprice",
+    )
+    # plain projection, no agg: OptimizeSkewedJoin requires BOTH join
+    # children to be bare shuffle stages (sort over shuffle read) — an
+    # aggregate between shuffle and join makes the rule bail
+    dim = load_table(spark, sf_dir, "part").filter(
+        F.col("p_partkey") < 1000
+    ).select(F.col("p_partkey").alias("k"), F.col("p_retailprice").alias("attr"))
+    return (
+        fact.join(dim, "k")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_extendedprice") + F.col("attr")).alias("total"),
+        )
+    )
+
+
+AQE_SKEW_CONFS = {
+    # the 100-TB shape: dim too big to broadcast -> sort-merge join
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    # fixture-scale calibration (defaults are 256MB/factor 5, sized for
+    # real clusters): the hot partition is tens-to-hundreds of KB of
+    # compressed shuffle bytes at test SFs
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+}
+
+
+@register(
+    "join_aqe_skew_split",
+    tags=("join", "skew", "aqe", "optimizer"),
+    oracle=f"""
+        WITH fact AS (
+            SELECT CASE WHEN l_orderkey % 3 > 0 THEN 0
+                        ELSE l_orderkey % 1000 END AS k,
+                   l_extendedprice
+            FROM lineitem
+        ), dim AS (
+            SELECT p_partkey AS k, p_retailprice AS attr
+            FROM part WHERE p_partkey < 1000
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {o_dsum('l_extendedprice + attr')} AS total
+        FROM fact JOIN dim USING (k)
+    """,
+)
+def join_aqe_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime skew-join handling: a power-law hot key (1/3 of the
+    fact collapses onto one value) would serialize a sort-merge join
+    behind its largest partition; AQE observes the actual shuffle
+    sizes at stage boundary and SPLITS the skewed partition across
+    tasks, replicating the matching dim rows — the runtime answer to
+    skew you cannot predict at plan time (the manual salting operators
+    in operators/skew.py are the plan-time answer). The executed plan
+    shows SortMergeJoin(skew=true) — asserted in
+    tests/test_plan_shapes.py. Same conf-scoping discipline as
+    join_runtime_bloom_filter: calibration confs wrap an eager
+    localCheckpoint and are restored. Results are plan-invariant, so
+    the plain-join oracle checks correctness."""
+    old = {k: spark.conf.get(k) for k in AQE_SKEW_CONFS}
+    for k, v in AQE_SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return _skew_join(spark, sf_dir).localCheckpoint()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -184,6 +184,10 @@ def test_rolling_windows_run_over_daily_aggregate(spark, sf_dir):
 def test_no_cartesian_product(spark, sf_dir, name):
     p = plan_str(plans.get(name).build(spark, sf_dir))
     assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
+    # Python in the row path must be Arrow-batched (ArrowEvalPython /
+    # MapInPandas): row-at-a-time BatchEvalPython is 10-100x slower and
+    # banned from every query plan
+    assert "BatchEvalPython" not in p, f"{name} uses a row-at-a-time Python UDF"
 
 
 def test_bucketed_join_plans_no_shuffle(spark, sf_dir):
@@ -400,3 +404,22 @@ def test_dynamic_partition_pruning_in_scan(spark, sf_dir):
     _, joined = _dpp_join(spark, sf_dir)
     p = plan_str(joined).lower()
     assert "dynamicpruning" in p
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+    """Executing the hot-key join under the calibrated thresholds must
+    produce a final adaptive plan whose SortMergeJoin is marked
+    skew=true (AQE split the hot partition at runtime)."""
+    from finance_etl_spark.plans.relational import AQE_SKEW_CONFS, _skew_join
+
+    old = {k: spark.conf.get(k) for k in AQE_SKEW_CONFS}
+    for k, v in AQE_SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _skew_join(spark, sf_dir)
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "skew=true" in p
