@@ -165,3 +165,102 @@ def range_join_bucketed(
         .filter(dt <= F.lit(tol_us))
         .drop("__bin")
     )
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tolerance: str,
+) -> DataFrame:
+    """Nearest-in-time as-of join, EITHER direction: each left row
+    attaches the right row minimizing |left_ts - right_ts| within
+    ``tolerance``; equal distances break toward the EARLIER right row
+    (the backward match). Returns left.* + ``__match_ts`` +
+    ``value_cols`` (nulls when nothing lies inside the window).
+
+    Same execution shape as ``asof_join`` — tag, union, ONE
+    (keys, ts)-ordered window pass computing the backward last AND
+    forward first simultaneously — so state per group stays O(1) and
+    there is exactly one shuffle. A naive candidates-then-argmin
+    range join is quadratic per key; this is linear. Callers
+    pre-reduce right to one row per (keys, ts) for determinism.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias(_SIDE),
+        *[F.col(v) for v in value_cols],
+        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
+    )
+    lft = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias(_SIDE),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(v) for v in value_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    # backward window: right rows at equal ts sort FIRST (inclusive tie);
+    # forward window: strictly-later right rows only
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts"), F.col(_SIDE).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts"), F.col(_SIDE).desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_r = F.col(_SIDE) == 1
+    prev_ts = F.last(F.when(is_r, F.col("__ts")), ignorenulls=True).over(wb)
+    next_ts = F.first(F.when(is_r, F.col("__ts")), ignorenulls=True).over(wf)
+    prevs = {
+        v: F.last(F.when(is_r, F.col(v)), ignorenulls=True).over(wb)
+        for v in value_cols
+    }
+    nexts = {
+        v: F.first(F.when(is_r, F.col(v)), ignorenulls=True).over(wf)
+        for v in value_cols
+    }
+    u = r.unionByName(lft).select(
+        F.col("__ts"),
+        F.col(_SIDE),
+        prev_ts.alias("__prev_ts"),
+        next_ts.alias("__next_ts"),
+        *[prevs[v].alias(f"__prev_{v}") for v in value_cols],
+        *[nexts[v].alias(f"__next_{v}") for v in value_cols],
+        *[F.col(f"__l_{c}") for c in left.columns],
+    ).filter(F.col(_SIDE) == 0)
+
+    tol = F.expr(f"INTERVAL {tolerance}")
+    d_prev = F.when(
+        F.col("__prev_ts").isNotNull() & (F.col("__prev_ts") >= F.col("__ts") - tol),
+        F.unix_micros("__ts") - F.unix_micros("__prev_ts"),
+    )
+    d_next = F.when(
+        F.col("__next_ts").isNotNull() & (F.col("__next_ts") <= F.col("__ts") + tol),
+        F.unix_micros("__next_ts") - F.unix_micros("__ts"),
+    )
+    # earlier (backward) wins ties: strict < for the forward candidate
+    use_next = d_next.isNotNull() & (d_prev.isNull() | (d_next < d_prev))
+    use_prev = d_prev.isNotNull() & ~F.coalesce(use_next, F.lit(False))
+    match_ts = (
+        F.when(use_next, F.col("__next_ts"))
+        .when(use_prev, F.col("__prev_ts"))
+    )
+    vals = [
+        F.when(use_next, F.col(f"__next_{v}"))
+        .when(use_prev, F.col(f"__prev_{v}"))
+        .alias(v)
+        for v in value_cols
+    ]
+    return u.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        match_ts.alias("__match_ts"),
+        *vals,
+    )

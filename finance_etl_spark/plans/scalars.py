@@ -491,3 +491,47 @@ def scalar_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get(F.regexp_extract_all("n_name", F.lit("[0-9]+"), F.lit(0)), 0)
         ).cast("int").alias("digit_run_len"),
     )
+
+
+@register(
+    "scalar_url_funcs",
+    tags=("scalar", "string", "url"),
+    oracle="""
+        SELECT c_custkey,
+               'https://shop.example.com/seg/' || lower(c_mktsegment)
+                   || '/cust?id=' || c_custkey || '&tier=t'
+                   || (c_custkey % 3) AS url,
+               'shop.example.com' AS host,
+               '/seg/' || lower(c_mktsegment) || '/cust' AS path,
+               'id=' || c_custkey || '&tier=t' || (c_custkey % 3) AS query,
+               CAST(c_custkey AS VARCHAR) AS q_id,
+               't' || (c_custkey % 3) AS q_tier
+        FROM customer
+    """,
+)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL scalar family: build a synthetic URL per customer, then
+    take it apart with ``parse_url`` (HOST / PATH / QUERY / keyed
+    query param). The oracle reconstructs every part from the same
+    ground-truth inputs, so the differential check proves Spark's
+    parser round-trips the construction exactly — the
+    log-processing/web-corpus shape (URL normalization before URL
+    dedup) with zero Python in the row path."""
+    c = load_table(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://shop.example.com/seg/"),
+        F.lower("c_mktsegment"),
+        F.lit("/cust?id="),
+        F.col("c_custkey").cast("string"),
+        F.lit("&tier=t"),
+        (F.col("c_custkey") % 3).cast("string"),
+    )
+    return c.select(
+        "c_custkey",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("q_id"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("tier")).alias("q_tier"),
+    )

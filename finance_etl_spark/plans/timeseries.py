@@ -1004,3 +1004,70 @@ def ts_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest_streak"),
         F.sum("len").alias("active_days"),
     )
+
+
+@register(
+    "ts_asof_nearest",
+    tags=("join", "asof", "nearest"),
+    oracle="""
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id, ts, MAX(value) AS value
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        ), cand AS (
+            SELECT c.event_id, p.ts AS pts, p.value,
+                   abs(epoch_us(c.ts) - epoch_us(p.ts)) AS d
+            FROM clicks c JOIN p ON c.user_id = p.user_id
+             AND p.ts >= c.ts - INTERVAL 1 HOUR
+             AND p.ts <= c.ts + INTERVAL 1 HOUR
+        ), best AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                         ORDER BY d, pts) AS rn
+            FROM cand
+        )
+        SELECT c.event_id, c.user_id, c.ts,
+               b.pts AS matched_ts, b.value AS matched_value,
+               CAST(b.d AS BIGINT) AS dist_us
+        FROM clicks c LEFT JOIN best b
+          ON b.event_id = c.event_id AND b.rn = 1
+    """,
+)
+def ts_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join (either direction, 1h tolerance):
+    each click attaches its closest purchase by the same user, ties
+    toward the earlier purchase. One union + one (user, ts)-ordered
+    window computes the backward AND forward candidate simultaneously
+    — O(1) state per group, one shuffle, linear at any SF. The oracle
+    is the quadratic-per-key candidates+argmin formulation, safe only
+    at oracle scale."""
+    from finance_etl_spark.operators.joins import asof_nearest
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_nearest(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="pts",
+        value_cols=["value"],
+        tolerance="1 HOUR",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("__match_ts").alias("matched_ts"),
+        F.col("value").alias("matched_value"),
+        F.abs(
+            F.unix_micros("__match_ts") - F.unix_micros("ts")
+        ).alias("dist_us"),
+    )

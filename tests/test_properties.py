@@ -174,3 +174,49 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(df, "src", "dst", max_rounds=40).collect()
     }
     assert got == model_components(edges)
+
+
+def _misra_gries(stream, k):
+    """Reference Misra-Gries summary (mirrors the mapInPandas pass in
+    plans/udf_queries.py::agg_heavy_hitters)."""
+    counters = {}
+    for tok in stream:
+        if tok in counters:
+            counters[tok] += 1
+        elif len(counters) < k:
+            counters[tok] = 1
+        else:
+            dead = []
+            for t in counters:
+                counters[t] -= 1
+                if counters[t] == 0:
+                    dead.append(t)
+            for t in dead:
+                del counters[t]
+    return set(counters)
+
+
+@given(
+    data=st.lists(st.integers(min_value=0, max_value=30), max_size=400),
+    n_parts=st.integers(min_value=1, max_value=5),
+    k=st.integers(min_value=4, max_value=12),
+)
+@settings(deadline=None, max_examples=200)
+def test_misra_gries_candidates_cover_all_heavy_hitters(data, n_parts, k):
+    """The no-false-negative guarantee agg_heavy_hitters relies on:
+    for ANY stream and ANY partitioning, the union of per-partition
+    MG(k) candidate sets contains every item with global count > N/k
+    (an item that heavy globally must exceed n_p/k in at least one
+    partition, where MG(k) is guaranteed to retain it)."""
+    n = len(data)
+    if n == 0:
+        return
+    parts = [data[i::n_parts] for i in range(n_parts)]
+    candidates = set()
+    for p in parts:
+        candidates |= _misra_gries(p, k)
+    from collections import Counter
+
+    counts = Counter(data)
+    heavy = {t for t, c in counts.items() if c * k > n}
+    assert heavy <= candidates, (heavy - candidates, n, k, n_parts)
