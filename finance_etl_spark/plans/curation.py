@@ -1289,3 +1289,68 @@ def cur_rfm_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("last_order").alias("most_recent"),
         )
     )
+
+
+@register(
+    "cur_scd2_point_in_time",
+    tags=("curation", "scd2", "temporal-join"),
+    oracle="""
+        WITH dim AS (
+            SELECT o_custkey, o_orderkey AS version_key,
+                   o_orderdate AS valid_from,
+                   lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey)
+                       AS valid_to
+            FROM orders
+        ), fact AS (
+            SELECT o.o_custkey AS custkey, l.l_shipdate, l.l_quantity
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT (d.valid_to IS NULL) AS matched_current_version,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(CAST(SUM(CAST(f.l_quantity AS DECIMAL(30,10)))
+                    AS VARCHAR) AS DOUBLE) AS sum_qty
+        FROM fact f JOIN dim d
+          ON f.custkey = d.o_custkey
+         AND f.l_shipdate >= d.valid_from
+         AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+        GROUP BY 1
+    """,
+)
+def cur_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against an SCD2 dimension: each
+    lineitem finds the customer version whose validity interval covers
+    its ship date — the canonical "which dim version was true when the
+    fact happened" warehouse lookup. The SCD2 intervals come from the
+    same lead-window derivation as cur_scd2_intervals; the temporal
+    probe is an EQUI-join on custkey with the interval containment as
+    a residual, so it stays a hash join with per-key fan-out bounded
+    by versions-per-customer (~orders per customer), never a
+    nested-loop range join. Aggregated by whether the covering version
+    is the current one."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    fact = li.join(
+        o.select("o_orderkey", F.col("o_custkey").alias("custkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("custkey", "l_shipdate", "l_quantity")
+    joined = fact.join(
+        dim,
+        (F.col("custkey") == F.col("o_custkey"))
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("l_shipdate") < F.col("valid_to"))),
+    )
+    return joined.groupBy(
+        F.col("valid_to").isNull().alias("matched_current_version")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_quantity").alias("sum_qty"),
+    )

@@ -1071,3 +1071,70 @@ def ts_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("__match_ts") - F.unix_micros("ts")
         ).alias("dist_us"),
     )
+
+
+@register(
+    "ts_anomaly_zscore",
+    tags=("timeseries", "window", "anomaly"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR)
+                        AS DOUBLE) AS x
+            FROM events GROUP BY 1, 2
+        ), stats AS (
+            SELECT event_type, d, x,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(30,10))) OVER w AS VARCHAR)
+                        AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(30,10))
+                                 * CAST(x AS DECIMAL(30,10))) OVER w AS VARCHAR)
+                        AS DOUBLE) AS sxx
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, d, x,
+               (x - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)) AS z
+        FROM stats
+        WHERE n >= 4 AND sxx / n - (sx / n) * (sx / n) > 0
+          AND abs((x - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))) >= 2.0
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: per event type, each day's
+    total is scored against the TRAILING week (7 preceding days,
+    excluding the current day — the score must not contaminate its own
+    baseline); |z| ≥ 2 flags the day. Execution mirrors the rolling-
+    volatility pattern: the window runs over the compacted daily
+    aggregate (|types|×|days| rows, never raw events), mean/variance
+    assemble from decimal-exact power sums in one frame pass, and the
+    final z arithmetic is IEEE-identical in both engines."""
+    DEC30 = "decimal(30,10)"
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(F.col("value").cast(DEC30)).cast("double").alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-7, -1)
+    )
+    xd = F.col("x").cast(DEC30)
+    stats = daily.select(
+        "event_type",
+        "d",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(xd).over(w).cast("double").alias("sx"),
+        F.sum(xd * xd).over(w).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = F.col("sxx") / F.col("n") - mean * mean
+    z = (F.col("x") - mean) / F.sqrt(var)
+    return (
+        stats.filter((F.col("n") >= 4) & (var > 0))
+        .select("event_type", "d", "x", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= 2.0)
+    )

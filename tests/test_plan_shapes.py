@@ -127,6 +127,12 @@ _NO_CARTESIAN_AUDIT = [
     "q22_dormant_customers",
     "q11_important_stock",
     "q15_top_supplier",
+    "ts_gaps_islands",
+    "ts_asof_nearest",
+    "ts_anomaly_zscore",
+    "cur_scd2_point_in_time",
+    "scalar_url_funcs",
+    "agg_heavy_hitters",
 ]
 
 
