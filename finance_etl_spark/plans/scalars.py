@@ -535,3 +535,68 @@ def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("q_id"),
         F.parse_url(url, F.lit("QUERY"), F.lit("tier")).alias("q_tier"),
     )
+
+
+@register(
+    "scalar_mask_pii",
+    tags=("scalar", "string", "pii", "curation"),
+    oracle="""
+        SELECT c_custkey,
+               regexp_replace(regexp_replace(regexp_replace(
+                   c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+                   '[0-9]', 'n', 'g') AS masked_name,
+               regexp_replace(regexp_replace(regexp_replace(
+                   c_mktsegment, '[A-Z]', 'Q', 'g'), '[a-z]', 'q', 'g'),
+                   '[0-9]', '#', 'g') AS masked_segment
+        FROM customer
+    """,
+)
+def scalar_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``mask()`` PII masking (class-preserving redaction:
+    uppercase→X, lowercase→x, digit→n, punctuation kept) — the
+    governance primitive for sharing data shapes without values,
+    complementing cur_pii_redact's pattern-targeted rewrite. The
+    oracle reproduces the masking rule with regexp chains over the
+    same ASCII inputs, so the differential check pins the exact
+    per-character semantics."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("mask(c_name)").alias("masked_name"),
+        F.expr("mask(c_mktsegment, 'Q', 'q', '#')").alias("masked_segment"),
+    )
+
+
+@register(
+    "scalar_aes_roundtrip",
+    tags=("scalar", "crypto", "governance"),
+    oracle="""
+        SELECT c_custkey, c_name,
+               TRUE AS roundtrip_ok,
+               32 AS cipher_len
+        FROM customer
+    """,
+)
+def scalar_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: aes_encrypt/aes_decrypt
+    round-trip on the customer name (ECB mode — deterministic, so the
+    ciphertext length is checkable; GCM's random IV is the production
+    default but non-deterministic by design). The oracle pins the
+    CLAIM — every row round-trips and the 18-char name pads to two
+    16-byte AES blocks — so a Spark-side regression in either
+    direction (bad key handling, charset drift) breaks the hash
+    match."""
+    c = load_table(spark, sf_dir, "customer")
+    enc = F.expr(
+        "aes_encrypt(c_name, '0123456789abcdef', 'ECB')"
+    )
+    dec = F.expr(
+        "CAST(aes_decrypt(aes_encrypt(c_name, '0123456789abcdef', 'ECB'),"
+        " '0123456789abcdef', 'ECB') AS STRING)"
+    )
+    return c.select(
+        "c_custkey",
+        "c_name",
+        (dec == F.col("c_name")).alias("roundtrip_ok"),
+        F.length(enc).alias("cipher_len"),
+    )
