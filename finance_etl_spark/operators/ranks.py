@@ -35,7 +35,17 @@ def global_row_number(
         if num_partitions
         else df.repartitionByRange(*order_by)
     )
-    with_pid = parts.withColumn("__pid", F.spark_partition_id())
+    # localCheckpoint PINS the ranged layout: repartitionByRange picks
+    # its boundaries by SAMPLING the upstream partitions per job, and
+    # AQE can lay the upstream out differently between the size-count
+    # job and the final job — offsets computed against one sampling
+    # then applied to another silently corrupt the global numbering
+    # (observed at sf0.1: uneven decile sizes). One materialization of
+    # the rank INPUT (an entity-level aggregate, not the raw corpus)
+    # makes both passes read the identical layout.
+    with_pid = parts.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint()
 
     # Pass 1: partition sizes — O(numPartitions) rows to the driver.
     sizes = with_pid.groupBy("__pid").count().collect()

@@ -247,3 +247,26 @@ def test_range_join_bucketed_equals_naive_with_boundary_cases(spark):
     }
     assert got == naive
     assert (1, 11) in got and (2, 12) not in got  # boundary in, 301s out
+
+
+def test_global_row_number_is_exact_permutation_at_scale(spark):
+    """The two-pass ranker must emit exactly 1..n with no gaps or
+    duplicates. Regression for the repartitionByRange double-sampling
+    bug: boundaries are sampled per job, so the size-count job and the
+    final job could disagree on the layout unless the ranged relation
+    is pinned — uneven rank blocks (observed as lopsided deciles at
+    sf0.1) were the symptom."""
+    from pyspark.sql import functions as F
+
+    from finance_etl_spark.operators.ranks import global_row_number
+
+    n = 20011
+    df = spark.range(n).select(
+        F.xxhash64("id").alias("k"), F.col("id").alias("uid")
+    )
+    out = global_row_number(
+        df, [F.col("k").desc(), F.col("uid").asc()], out_col="rn",
+        num_partitions=8,
+    )
+    rns = sorted(r.rn for r in out.select("rn").collect())
+    assert rns == list(range(1, n + 1))
