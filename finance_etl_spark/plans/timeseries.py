@@ -252,14 +252,14 @@ def ts_ohlc_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-                   SUM(CAST(value AS DECIMAL(30,10))) AS s1,
-                   SUM(CAST(value * value AS DECIMAL(30,10))) AS s2,
+                   SUM(CAST(FLOOR(value * 1e6) AS DECIMAL(30,0))) AS s1,
+                   SUM(CAST(FLOOR(value * value * 1e6) AS DECIMAL(30,0))) AS s2,
                    COUNT(*) AS n
             FROM events GROUP BY event_type, day
         ), rolled AS (
             SELECT event_type, day,
-                   CAST(CAST(SUM(s1) OVER w AS VARCHAR) AS DOUBLE) AS r1,
-                   CAST(CAST(SUM(s2) OVER w AS VARCHAR) AS DOUBLE) AS r2,
+                   CAST(CAST(SUM(s1) OVER w AS VARCHAR) AS DOUBLE) / 1e6 AS r1,
+                   CAST(CAST(SUM(s2) OVER w AS VARCHAR) AS DOUBLE) / 1e6 AS r2,
                    CAST(SUM(n) OVER w AS DOUBLE) AS rn
             FROM daily
             WINDOW w AS (PARTITION BY event_type ORDER BY day
@@ -274,22 +274,29 @@ def ts_ohlc_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day volatility (sample stddev) of per-type daily
-    value, from EXACT decimal power sums: the raw table is reduced once
-    by hash agg to (day, sum, sum-of-squares, count) partials, then the
-    rolling frame sums those partials — decimal, order-independent —
-    and the variance is assembled in double arithmetic (+,-,*,/ and
-    IEEE-correctly-rounded sqrt only, no libm), so Spark and DuckDB
-    agree bitwise. The windowed pass runs over the tiny daily
-    aggregate, not the raw events; built-in stddev over a raw-row frame
-    would both rescan and accumulate in engine-specific order."""
+    value, from EXACT integer-micro power sums: each row contributes
+    floor(value·1e6) and floor(value²·1e6) — floor of the SAME IEEE
+    double is identical in both engines, and an integer-valued double
+    below 2^53 converts to DECIMAL exactly, so there is no
+    double→decimal tie-rounding at all (casting the raw double product
+    to DECIMAL(30,10) was observed to differ by 1 ulp in one sf0.1 row:
+    Spark rounds the exact binary expansion, DuckDB rounds through a
+    multiply). The rolling frame sums those exact partials over the
+    tiny daily aggregate and the variance is assembled in double
+    arithmetic (+,-,*,/ and correctly-rounded sqrt only, no libm), so
+    both engines agree bitwise; micro-unit truncation is the declared
+    semantics."""
+    MICRO = "decimal(30,0)"
     daily = (
         load_table(spark, sf_dir, "events")
         .groupBy(
             "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
         )
         .agg(
-            F.sum(F.col("value").cast(DEC)).alias("s1"),
-            F.sum((F.col("value") * F.col("value")).cast(DEC)).alias("s2"),
+            F.sum(F.floor(F.col("value") * 1e6).cast(MICRO)).alias("s1"),
+            F.sum(
+                F.floor(F.col("value") * F.col("value") * 1e6).cast(MICRO)
+            ).alias("s2"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -298,8 +305,8 @@ def ts_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(-6, Window.currentRow)
     )
-    r1 = F.sum("s1").over(w).cast("double")
-    r2 = F.sum("s2").over(w).cast("double")
+    r1 = F.sum("s1").over(w).cast("double") / F.lit(1e6)
+    r2 = F.sum("s2").over(w).cast("double") / F.lit(1e6)
     rn = F.sum("n").over(w).cast("double")
     var = (r2 - r1 * r1 / rn) / (rn - F.lit(1.0))
     return daily.select(
