@@ -1086,17 +1086,15 @@ def ts_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT event_type, CAST(ts AS DATE) AS d,
-                   CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR)
-                        AS DOUBLE) AS x
+                   SUM(CAST(FLOOR(value * 1e6) AS DECIMAL(30,0))) AS xm
             FROM events GROUP BY 1, 2
         ), stats AS (
-            SELECT event_type, d, x,
+            SELECT event_type, d,
+                   CAST(CAST(xm AS VARCHAR) AS DOUBLE) / 1e6 AS x,
                    CAST(COUNT(*) OVER w AS BIGINT) AS n,
-                   CAST(CAST(SUM(CAST(x AS DECIMAL(30,10))) OVER w AS VARCHAR)
-                        AS DOUBLE) AS sx,
-                   CAST(CAST(SUM(CAST(x AS DECIMAL(30,10))
-                                 * CAST(x AS DECIMAL(30,10))) OVER w AS VARCHAR)
-                        AS DOUBLE) AS sxx
+                   CAST(CAST(SUM(xm) OVER w AS VARCHAR) AS DOUBLE) / 1e6 AS sx,
+                   CAST(CAST(SUM(xm * xm) OVER w AS VARCHAR) AS DOUBLE)
+                       / 1e12 AS sxx
             FROM daily
             WINDOW w AS (PARTITION BY event_type ORDER BY d
                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
@@ -1114,28 +1112,35 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluding the current day — the score must not contaminate its own
     baseline); |z| ≥ 2 flags the day. Execution mirrors the rolling-
     volatility pattern: the window runs over the compacted daily
-    aggregate (|types|×|days| rows, never raw events), mean/variance
-    assemble from decimal-exact power sums in one frame pass, and the
-    final z arithmetic is IEEE-identical in both engines."""
-    DEC30 = "decimal(30,10)"
+    aggregate (|types|×|days| rows, never raw events), power sums are
+    integer-micro exact (floor of the same IEEE double in both
+    engines, integer-valued decimals multiply exactly — no
+    double→decimal tie-rounding of COMPUTED doubles, the volatility
+    1-ulp bug class), and the final z arithmetic is IEEE-identical in
+    both engines."""
+    MICRO = "decimal(30,0)"
     daily = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type", F.col("ts").cast("date").alias("d"))
-        .agg(F.sum(F.col("value").cast(DEC30)).cast("double").alias("x"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 1e6).cast(MICRO)).alias("xm")
+        )
     )
     w = (
         Window.partitionBy("event_type")
         .orderBy("d")
         .rowsBetween(-7, -1)
     )
-    xd = F.col("x").cast(DEC30)
     stats = daily.select(
         "event_type",
         "d",
-        "x",
+        (F.col("xm").cast("double") / F.lit(1e6)).alias("x"),
         F.count(F.lit(1)).over(w).alias("n"),
-        F.sum(xd).over(w).cast("double").alias("sx"),
-        F.sum(xd * xd).over(w).cast("double").alias("sxx"),
+        (F.sum("xm").over(w).cast("double") / F.lit(1e6)).alias("sx"),
+        (
+            F.sum(F.col("xm") * F.col("xm")).over(w).cast("double")
+            / F.lit(1e12)
+        ).alias("sxx"),
     )
     mean = F.col("sx") / F.col("n")
     var = F.col("sxx") / F.col("n") - mean * mean
