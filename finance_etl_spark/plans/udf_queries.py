@@ -216,3 +216,101 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occurrences") * 1000 > F.col("n"))
         .select("tok", "n_occurrences")
     )
+
+
+@register(
+    "udf_cogrouped_asof",
+    tags=("udf", "pandas", "cogroup", "asof"),
+    oracle="""
+        WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                        WHERE event_type = 'click'),
+             purchases AS (SELECT user_id, ts, MAX(value) AS value
+                           FROM events WHERE event_type = 'purchase'
+                           GROUP BY user_id, ts)
+        SELECT c.event_id, c.user_id, c.ts, p.value AS last_purchase_value
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped applyInPandas: the two keyed relations are shuffled
+    ONCE each on user_id, and each co-group (clicks_u, purchases_u)
+    lands in a single Arrow-batched pandas call running
+    ``pd.merge_asof`` — the escape hatch when per-key logic needs a
+    real dataframe library. Semantics are pinned by the same DuckDB
+    ASOF oracle as the native composition (ts_asof_join), so the
+    Python path and the JVM window path are proven equivalent. Memory
+    contract: one co-group must fit in a worker's Arrow batch — fine
+    for per-user event history, NOT for the unkeyed whole table."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts")
+        right = right.sort_values("ts")
+        out = pd.merge_asof(
+            left,
+            right.rename(columns={"ts": "p_ts"}),
+            left_on="ts",
+            right_on="p_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return out[["event_id", "user_id_x", "ts", "value"]].rename(
+            columns={"user_id_x": "user_id", "value": "last_purchase_value"}
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "event_id long, user_id long, ts timestamp,"
+            " last_purchase_value double",
+        )
+    )
+
+
+@register(
+    "udf_arrow_optimized_scalar",
+    tags=("udf", "arrow", "spark4"),
+    oracle="""
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) % 97 AS checksum_mod97,
+               upper(substr(o_orderpriority, 3)) AS priority_word
+        FROM orders
+    """,
+)
+def udf_arrow_optimized_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Arrow-optimized Python UDF (``@udf(useArrow=True)``):
+    row-at-a-time author ergonomics with Arrow-batched transfer —
+    the migration path for legacy Python UDFs that can't become
+    pandas_udfs wholesale. The plan shows ArrowEvalPython (never
+    BatchEvalPython); the integer/string logic is engine-exact so the
+    oracle checks values, not just shape. Built-ins remain the first
+    choice — this query exists to pin the escape hatch's semantics."""
+    from pyspark.sql.functions import udf
+
+    @udf("long", useArrow=True)
+    def mod97(total: float) -> int:
+        return int(total * 100) % 97
+
+    @udf("string", useArrow=True)
+    def priority_word(p: str) -> str:
+        return p[2:].upper()
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        mod97("o_totalprice").alias("checksum_mod97"),
+        priority_word("o_orderpriority").alias("priority_word"),
+    )
