@@ -429,3 +429,21 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
         for k, v in old.items():
             spark.conf.set(k, v)
     assert "skew=true" in p
+
+
+def test_empty_relation_propagates_without_scan(spark, sf_dir):
+    """PropagateEmptyRelation: a provably-empty branch (filter false)
+    must fold the whole join away at plan time — the optimizer-native
+    form of the reference's skip-empty short-circuits
+    (reference: utils/data_manager.py:23-29). No parquet scan survives
+    on the folded side."""
+    from finance_etl_spark.io.readers import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.lit(False))
+    j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+    p = plan_str(j, mode="simple")
+    assert "LocalTableScan" in p or "Empty" in p.replace("EmptyRelation", "Empty")
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert p.count("FileScan") == 0  # even the lineitem scan folds away
