@@ -220,3 +220,64 @@ def test_misra_gries_candidates_cover_all_heavy_hitters(data, n_parts, k):
     counts = Counter(data)
     heavy = {t for t, c in counts.items() if c * k > n}
     assert heavy <= candidates, (heavy - candidates, n, k, n_parts)
+
+
+asof_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # key
+        st.integers(min_value=0, max_value=5000),   # seconds offset
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@SET
+@given(lefts=asof_events, rights=asof_events)
+def test_asof_nearest_matches_brute_force(spark, lefts, rights):
+    """asof_nearest (one union+window pass) must agree with the
+    brute-force model: nearest right row within tolerance by |Δt|,
+    ties to the earlier right timestamp, per key."""
+    from datetime import datetime, timedelta
+
+    from finance_etl_spark.operators.joins import asof_nearest
+
+    base = datetime(2024, 1, 1)
+    tol = 600  # seconds
+    l_rows = [
+        (i, k, base + timedelta(seconds=s)) for i, (k, s) in enumerate(lefts)
+    ]
+    # one right row per (key, ts): dedup by keeping max value like the
+    # production pre-reduction
+    r_map = {}
+    for k, s in rights:
+        r_map[(k, s)] = max(r_map.get((k, s), 0), s * 10)
+    r_rows = [
+        (k, base + timedelta(seconds=s), float(v))
+        for (k, s), v in r_map.items()
+    ]
+    if not l_rows:
+        return
+    ldf = spark.createDataFrame(l_rows, "lid int, k int, ts timestamp")
+    rdf = spark.createDataFrame(r_rows, "k int, rts timestamp, val double")
+
+    out = asof_nearest(
+        ldf, rdf, on="k", left_ts="ts", right_ts="rts",
+        value_cols=["val"], tolerance="10 MINUTES",
+    )
+    got = {r["lid"]: (r["__match_ts"], r["val"]) for r in out.collect()}
+
+    for lid, k, lts in l_rows:
+        cands = [
+            (rts, v)
+            for (kk, rts, v) in r_rows
+            if kk == k and abs((rts - lts).total_seconds()) <= tol
+        ]
+        if not cands:
+            assert got[lid] == (None, None), lid
+        else:
+            best = min(
+                cands,
+                key=lambda c: (abs((c[0] - lts).total_seconds()), c[0]),
+            )
+            assert got[lid] == best, (lid, got[lid], best)

@@ -190,3 +190,47 @@ def test_transform_with_state_high_water(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_checkpoint_restart_resumes_without_reprocessing(spark, sf_dir, tmp_path):
+    """Streaming durability: a query restarted from its checkpoint must
+    process ONLY files that arrived while it was down — no replays, no
+    gaps. Run 1 drains file A into a parquet sink; file B lands; run 2
+    (same checkpoint) picks up exactly B. The sink holds each row
+    exactly once — the file-source + checkpoint contract a production
+    drop-zone pipeline depends on."""
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    e = load_table(spark, sf_dir, "events").limit(2000).cache()
+    a = e.filter(F.col("event_id") % 2 == 0)
+    b = e.filter(F.col("event_id") % 2 == 1)
+    a.coalesce(1).write.mode("append").parquet(str(src))
+
+    schema = e.schema
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+
+    drain()
+    n_after_first = spark.read.parquet(str(sink)).count()
+    assert n_after_first == a.count()
+
+    b.coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    out = spark.read.parquet(str(sink))
+    assert out.count() == e.count()  # B added exactly once, A not replayed
+    assert out.select("event_id").distinct().count() == e.count()
+    e.unpersist()
