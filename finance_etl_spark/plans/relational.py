@@ -2346,3 +2346,47 @@ def join_aqe_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+@register(
+    "agg_grouping_id",
+    tags=("agg", "rollup", "grouping"),
+    oracle=f"""
+        SELECT CASE GROUPING(l_returnflag, l_linestatus)
+                    WHEN 0 THEN 'cell' WHEN 1 THEN 'flag_total'
+                    WHEN 3 THEN 'grand_total' END AS level,
+               COALESCE(l_returnflag, '<all>') AS l_returnflag,
+               COALESCE(l_linestatus, '<all>') AS l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {o_dsum('l_extendedprice')} AS total_price
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping_id(): the bitmask that tells subtotal rows
+    apart from data cells whose key value happens to be NULL — the
+    only safe way to consume a rollup downstream (COALESCE alone
+    cannot distinguish a real NULL group from the subtotal row).
+    Labels derive from the mask; both engines compute the identical
+    two-bit id."""
+    li = load_table(spark, sf_dir, "lineitem")
+    gid = F.grouping_id("l_returnflag", "l_linestatus")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_extendedprice").alias("total_price"),
+            gid.alias("__gid"),
+        )
+        .select(
+            F.when(F.col("__gid") == 0, "cell")
+            .when(F.col("__gid") == 1, "flag_total")
+            .when(F.col("__gid") == 3, "grand_total")
+            .alias("level"),
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            "n_rows",
+            "total_price",
+        )
+    )
