@@ -235,3 +235,68 @@ def mm_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("height"),
         F.length("framed").alias("total_bytes"),
     )
+
+
+@register(
+    "mm_audio_window_energy",
+    tags=("multimodal", "audio", "udf"),
+    oracle="""
+        WITH samples AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) - 1 AS i,
+                   length(unnest(string_split(text, ' '))) AS amp
+            FROM documents
+        ), framed AS (
+            SELECT doc_id, CAST(i // 32 AS BIGINT) AS frame_id,
+                   SUM(CAST(amp * amp AS BIGINT)) AS energy,
+                   CAST(COUNT(*) AS BIGINT) AS n_samples
+            FROM samples GROUP BY 1, 2
+        )
+        SELECT doc_id, frame_id, energy, n_samples
+        FROM framed WHERE n_samples = 32
+    """,
+)
+def mm_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style frame analysis over opaque payloads: the
+    deterministic fake decoder turns each payload into an int16-like
+    amplitude sequence (token lengths stand in for PCM samples — the
+    codec-free stand-in, same contract as mm_decode_features), then
+    full 32-sample frames reduce to integer energies. The Spark side
+    is the REAL pipeline shape: Arrow-batched mapInPandas decode →
+    explode to (doc, frame, samples) → hash-agg per frame — swap the
+    fake for soundfile/ffmpeg and only the lambda body changes.
+    Integer energies make the whole thing oracle-exact."""
+    import numpy as np
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    FRAME = 32
+
+    def decode_frames(batches):
+        for pdf in batches:
+            out_doc, out_frame, out_energy, out_n = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                # fake PCM: amplitude = length of each whitespace token
+                toks = bytes(payload).decode("utf-8").split(" ")
+                amps = np.array([len(t) for t in toks], dtype=np.int64)
+                n_full = len(amps) // FRAME
+                for f in range(n_full):
+                    fr = amps[f * FRAME : (f + 1) * FRAME]
+                    out_doc.append(doc_id)
+                    out_frame.append(f)
+                    out_energy.append(int((fr * fr).sum()))
+                    out_n.append(FRAME)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "frame_id": out_frame,
+                    "energy": out_energy,
+                    "n_samples": out_n,
+                }
+            )
+
+    return payloads.mapInPandas(
+        decode_frames,
+        "doc_id long, frame_id long, energy long, n_samples long",
+    )

@@ -1150,3 +1150,66 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "d", "x", z.alias("z"))
         .filter(F.abs(F.col("z")) >= 2.0)
     )
+
+
+@register(
+    "ts_twap",
+    tags=("timeseries", "finance", "window"),
+    oracle="""
+        WITH ticks AS (
+            SELECT event_type, CAST(ts AS DATE) AS d, ts, event_id,
+                   CAST(FLOOR(value * 1e6) AS DECIMAL(25,0)) AS vm
+            FROM events WHERE event_type IN ('view', 'click')
+        ), spans AS (
+            SELECT event_type, d, vm,
+                   CAST(epoch_us(COALESCE(
+                            lead(ts) OVER (PARTITION BY event_type, d
+                                           ORDER BY ts, event_id),
+                            CAST(d + 1 AS TIMESTAMP)))
+                        - epoch_us(ts) AS DECIMAL(18,0)) AS dt_us
+            FROM ticks
+        )
+        SELECT event_type, d,
+               (CAST(CAST(SUM(vm * dt_us) AS VARCHAR) AS DOUBLE) / 1e6)
+                   / CAST(CAST(SUM(dt_us) AS VARCHAR) AS DOUBLE) AS twap,
+               CAST(COUNT(*) AS BIGINT) AS n_ticks
+        FROM spans
+        GROUP BY 1, 2
+    """,
+)
+def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per (type, day): each tick's value
+    holds until the next tick (the last one until midnight), so the
+    weight is the integer-microsecond span to the successor — the
+    complement of VWAP's quantity weighting. Per-tick terms are exact
+    integers (floor-micro value × µs span in DECIMAL — no
+    double→decimal tie-rounding of computed products), summed
+    decimal-exact; the final division is one IEEE op. One
+    (type, day)-partitioned lead window + one hash agg, both over the
+    tick relation, no self-join."""
+    MICRO18 = "decimal(18,0)"
+    ticks = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("d"),
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 1e6).cast(MICRO18).alias("vm"),
+        )
+    )
+    w = Window.partitionBy("event_type", "d").orderBy("ts", "event_id")
+    day_end = F.date_add("d", 1).cast("timestamp")
+    dt_us = (
+        F.unix_micros(F.coalesce(F.lead("ts").over(w), day_end))
+        - F.unix_micros("ts")
+    ).cast(MICRO18)
+    spans = ticks.select("event_type", "d", "vm", dt_us.alias("dt_us"))
+    return spans.groupBy("event_type", "d").agg(
+        (
+            (F.sum(F.col("vm") * F.col("dt_us")).cast("double") / F.lit(1e6))
+            / F.sum("dt_us").cast("double")
+        ).alias("twap"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
