@@ -2390,3 +2390,69 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    tags=("sql", "pipe", "spark4"),
+    oracle=f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {o_dsum('o_totalprice')} AS total
+        FROM orders
+        WHERE o_totalprice > 100000
+        GROUP BY o_orderstatus
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.1 ``|>`` operators): the linear
+    FROM → WHERE → AGGREGATE → (compare) form that reads in dataflow
+    order. Parses to the identical logical plan as the nested SELECT
+    the oracle runs — same pushdown, same agg — so this pins that the
+    modern surface is sugar, not a second engine path."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_totalprice > 100000
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                          AS DOUBLE) AS total
+           GROUP BY o_orderstatus
+        |> SELECT o_orderstatus, n, total
+        """
+    )
+
+
+@register("agg_count_min_sketch", tags=("agg", "sketch"))
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch: the mergeable point-frequency sketch
+    (counters sum, so partial sketches combine associatively — the
+    same partial-aggregation topology as HLL). The sketch is built
+    distributed (one pass, fixed 0.5% width / 99% confidence memory);
+    estimates for the five hottest customers ride back beside their
+    exact counts. Rows-only for the driver (estimates are
+    approximate by design); the CMS guarantee — estimate ≥ truth and
+    ≤ truth + ε·N with probability 1−δ — is asserted in
+    tests/test_dedup_vectors.py."""
+    o = load_table(spark, sf_dir, "orders")
+    blob = o.select(
+        F.expr("count_min_sketch(o_custkey, 0.005d, 0.99d, 42)").alias("b")
+    ).collect()[0]["b"]
+    sketch = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(blob)
+    )
+    top = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "o_custkey")
+        .limit(5)
+        .collect()
+    )
+    rows = [
+        (int(r.o_custkey), int(r.exact_n), int(sketch.estimateCount(int(r.o_custkey))))
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "o_custkey long, exact_n long, cms_estimate long"
+    )

@@ -295,3 +295,16 @@ def test_vector_pq_recall_vs_brute_force(spark, sf_dir):
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     assert len(a & e) / len(e) >= 0.6
+
+
+def test_count_min_sketch_error_bounds(spark, sf_dir):
+    """CMS guarantee: estimate >= exact always (one-sided error), and
+    <= exact + eps*N for the probed keys (eps=0.005, 99% confidence —
+    at these sizes the slack virtually never binds)."""
+    from finance_etl_spark.io.readers import load_table
+
+    out = plans.get("agg_count_min_sketch").build(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "orders").count()
+    for r in out:
+        assert r.cms_estimate >= r.exact_n
+        assert r.cms_estimate <= r.exact_n + 0.005 * n
