@@ -133,14 +133,42 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def exact_jaccard(sh: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+def exact_jaccard(
+    sh: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    arr: DataFrame | None = None,
+    prune: bool = True,
+) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard.
 
     Work is proportional to Σ|shingles(a)| over candidate pairs: the
     pair list drives the join (pairs ⋈ shingles(a) ⋈ shingles(b) on
     (id_b, shingle)) — never shingle ⋈ shingle first, which would blow
-    up quadratically on hot shingles."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    up quadratically on hot shingles.
+
+    Scale pruning (``prune=True``): only documents that appear in some
+    candidate pair ship their shingles into the verify joins (semi
+    join against the candidate-id set). At corpus scale candidates ≪
+    documents, so this turns "shuffle every shingle twice" into
+    "shuffle the candidates' shingles" — the dominant verify-stage
+    term. The pruning costs pipeline overlap (the verify shuffles must
+    wait for the candidate ids), so callers disable it when candidates
+    cover most of the corpus — minhash_lsh_dedup_pairs decides from
+    the measured counts, AQE-style. When ``arr`` (the per-doc shingle
+    ARRAY) is supplied, set sizes come from ``F.size`` map-side
+    instead of an explode+groupBy over the whole corpus."""
+    if prune:
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
+    if arr is not None:
+        sizes = arr.select(F.col(id_col), F.size("sh_arr").alias("n_sh"))
+    else:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     common = (
@@ -187,12 +215,22 @@ def minhash_lsh_dedup_pairs(
     # — otherwise parallel downstream stages race on the cold cache and
     # each recomputes the full lineage. sigs (one row per doc) and
     # cands (collision pairs) are tiny relative to the corpus.
-    arr.count()
+    n_docs = arr.count()
     sh = arr.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
     sigs = minhash_signatures(arr, id_col).persist()
     sigs.count()
     cands = lsh_candidate_pairs(sigs, id_col).persist()
-    verified = exact_jaccard(sh, cands, id_col)
+    # AQE-style runtime decision: pruning the verify joins to the
+    # candidate documents wins when candidates cover a minority of the
+    # corpus (the 100-TB case), but costs pipeline overlap when most
+    # documents collide anyway (dense small corpora). The count also
+    # materializes the cands cache before its consumers fan out; the
+    # candidate-doc count is bounded by 2×pairs, so pairs×4 < docs
+    # guarantees coverage below half without a distinct job.
+    n_pairs = cands.count()
+    verified = exact_jaccard(
+        sh, cands, id_col, arr=arr, prune=(n_pairs * 4 < n_docs)
+    )
     return verified.filter(F.col("jaccard") >= threshold)
 
 
