@@ -314,3 +314,56 @@ def udf_arrow_optimized_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         mod97("o_totalprice").alias("checksum_mod97"),
         priority_word("o_orderpriority").alias("priority_word"),
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    tags=("udf", "arrow", "batch"),
+    oracle="""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               octet_length(encode(text)) AS n_bytes,
+               doc_id * 2 + length(text) AS arrow_checksum
+        FROM documents
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the lowest-level Arrow escape hatch — the function
+    sees raw ``pyarrow.RecordBatch``es, no pandas conversion at all,
+    which matters when the payload is large binary/text (pandas
+    object-dtype boxing costs more than the compute). Byte and
+    character lengths plus an integer checksum are computed with
+    pyarrow.compute kernels; exact integers make the whole thing
+    oracle-checkable. Completes the Python-interop matrix: pandas UDF,
+    GROUPED_AGG, grouped/co-grouped applyInPandas, mapInPandas,
+    applyInPandasWithState, transformWithState, Arrow-optimized row
+    UDF, UDTF, and now record-batch-level mapInArrow."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        for rb in it:
+            doc_id = rb.column(0)
+            text = rb.column(1)
+            n_chars = pc.utf8_length(text)
+            n_bytes = pc.binary_length(text)
+            checksum = pc.add(
+                pc.multiply(doc_id, pa.scalar(2, doc_id.type)),
+                pc.cast(n_chars, doc_id.type),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_id,
+                    pc.cast(n_chars, pa.int64()),
+                    pc.cast(n_bytes, pa.int64()),
+                    checksum,
+                ],
+                names=["doc_id", "n_chars", "n_bytes", "arrow_checksum"],
+            )
+
+    return d.mapInArrow(
+        batches,
+        "doc_id long, n_chars long, n_bytes long, arrow_checksum long",
+    )
