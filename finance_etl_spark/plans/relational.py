@@ -2456,3 +2456,41 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "o_custkey long, exact_n long, cms_estimate long"
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    tags=("agg", "bitmap", "distinct"),
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_customers
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps (the warehouse
+    bitmap pattern): ids bucket into 32k-wide ranges, each
+    (group, bucket) folds into a ≤4 KB bitmap with
+    bitmap_construct_agg — bitmaps OR/merge associatively, so partial
+    aggregation works like any sum and the per-group state never holds
+    raw ids. The distinct count is Σ bitmap_count over the group's
+    buckets. Unlike approx_count_distinct this is exact, and unlike
+    COUNT(DISTINCT)'s Expand-based two-phase it materializes
+    fixed-size state per bucket — the right trade when groups have
+    millions of distinct dense ids. Ids shift by +1: bit positions are
+    1-based and a 0 id would silently vanish."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               SUM(bitmap_count(b)) AS n_distinct_customers
+        FROM (
+            SELECT o_orderstatus,
+                   bitmap_construct_agg(
+                       bitmap_bit_position(o_custkey + 1)) AS b
+            FROM orders
+            GROUP BY o_orderstatus, bitmap_bucket_number(o_custkey + 1)
+        )
+        GROUP BY o_orderstatus
+        """
+    )
