@@ -1354,3 +1354,39 @@ def cur_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         dsum("l_quantity").alias("sum_qty"),
     )
+
+
+_DOMAIN_CAP = 15
+
+
+@register(
+    "cur_domain_cap",
+    tags=("curation", "sampling"),
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS INT) AS slot
+            FROM documents
+        )
+        SELECT doc_id, source, slot FROM ranked WHERE slot <= {_DOMAIN_CAP}
+    """,
+)
+def cur_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the anti-boilerplate measure web
+    corpora apply so no single domain dominates the training mix
+    (C4/Gopher keep at most N pages per host). Hash-partitioned window
+    keyed on `source`; the keep-order is md5(doc_id) — a deterministic
+    shuffle-stable lottery, not arrival order, so reruns and
+    relayouts keep the SAME documents. Per-domain state is one
+    counter; no global sort, no driver-side anything."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("slot"))
+        .filter(F.col("slot") <= _DOMAIN_CAP)
+    )

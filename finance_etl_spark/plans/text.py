@@ -867,3 +867,119 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+@register(
+    "text_vocab_coverage",
+    tags=("text", "vocab"),
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        freq AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+        ranked AS (
+            SELECT tok, freq,
+                   CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS INT) AS rank,
+                   SUM(freq) OVER (ORDER BY freq DESC, tok
+                                   ROWS UNBOUNDED PRECEDING) AS cum_freq,
+                   SUM(freq) OVER () AS total
+            FROM freq
+        )
+        SELECT rank, tok, freq, cum_freq
+        FROM ranked
+        WHERE (cum_freq - freq) * 10 < total * 9
+        ORDER BY rank
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal vocabulary covering 90% of token occurrences — the
+    tokenizer-budget question every corpus pipeline answers before
+    training a BPE model. One token-count aggregation over the corpus
+    (map-side partials), then ranking/cumsum windows run on the
+    |vocab|-row aggregate — unpartitioned windows are safe here
+    because vocabulary, not corpus, bounds the window input. The 90%
+    cut is integer arithmetic ((cum-freq)*10 < total*9: strictly
+    before the prefix reaches coverage), so the boundary is exact in
+    both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = _tokens(d).groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    w_rank = Window.orderBy(F.col("freq").desc(), F.col("tok"))
+    ranked = freq.select(
+        F.row_number().over(w_rank).alias("rank"),
+        "tok",
+        "freq",
+        F.sum("freq").over(w_rank.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_freq"),
+        F.sum("freq").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    return (
+        ranked.filter((F.col("cum_freq") - F.col("freq")) * 10 < F.col("total") * 9)
+        .select("rank", "tok", "freq", "cum_freq")
+        .orderBy("rank")
+    )
+
+
+@register(
+    "text_source_chi2_drift",
+    tags=("text", "drift"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT d.source, t.tok
+            FROM ({_TOKENS_SQL}) t JOIN documents d USING (doc_id)
+        ),
+        obs AS (SELECT source, tok, COUNT(*) AS obs FROM toks GROUP BY source, tok),
+        corpus AS (SELECT tok, COUNT(*) AS c_tok FROM toks GROUP BY tok),
+        src AS (SELECT source, COUNT(*) AS s_tot FROM toks GROUP BY source),
+        tot AS (SELECT COUNT(*) AS c_tot FROM toks),
+        grid AS (
+            SELECT src.source, corpus.tok, corpus.c_tok, src.s_tot, tot.c_tot,
+                   COALESCE(obs.obs, 0) AS obs
+            FROM src CROSS JOIN corpus CROSS JOIN tot
+            LEFT JOIN obs ON obs.source = src.source AND obs.tok = corpus.tok
+        )
+        SELECT source,
+               CAST(SUM(CAST(
+                 CAST((obs * c_tot - c_tok * s_tot) AS DOUBLE)
+                   * (obs * c_tot - c_tok * s_tot)
+                   / (CAST(c_tok AS DOUBLE) * s_tot * c_tot)
+                 AS DECIMAL(30,10))) AS VARCHAR)::DOUBLE AS chi2,
+               CAST(SUM(CASE WHEN obs > 0 THEN 1 ELSE 0 END) AS INT) AS n_present
+        FROM grid
+        GROUP BY source
+    """,
+)
+def text_source_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift vs the corpus: the chi-square
+    statistic Σ (obs − exp)²/exp with exp = c_tok·s_tot/c_tot — the
+    mixture-monitoring check a training pipeline runs per domain/shard
+    before blending. The full corpus is touched ONCE (token counts);
+    everything after runs on |vocab|- and |sources|-sized aggregates,
+    whose cross grid (|vocab|×|sources|) also covers tokens a source
+    never emits. Each χ² term is one IEEE double expression over exact
+    integer counts, quantized to DECIMAL(30,10) before the per-source
+    sum — order-independent, bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(d).join(d.select("doc_id", "source"), "doc_id").select(
+        "source", "tok"
+    )
+    obs = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("obs"))
+    corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_tok"))
+    src = toks.groupBy("source").agg(F.count(F.lit(1)).alias("s_tot"))
+    tot = toks.agg(F.count(F.lit(1)).alias("c_tot"))
+    grid = (
+        src.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["source", "tok"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+    )
+    num = F.col("obs") * F.col("c_tot") - F.col("c_tok") * F.col("s_tot")
+    term = (
+        num.cast("double")
+        * num
+        / (F.col("c_tok").cast("double") * F.col("s_tot") * F.col("c_tot"))
+    )
+    return grid.groupBy("source").agg(
+        F.sum(term.cast("decimal(30,10)")).cast("double").alias("chi2"),
+        F.sum(F.when(F.col("obs") > 0, 1).otherwise(0)).cast("int").alias("n_present"),
+    )

@@ -15,7 +15,7 @@ from finance_etl_spark.functions.money import DEC, dsum
 from finance_etl_spark.io.readers import load_table
 from finance_etl_spark.operators.joins import asof_join, range_join
 from finance_etl_spark.operators.sessionize import sessionize
-from finance_etl_spark.plans.registry import register
+from finance_etl_spark.plans.registry import o_dsum, register
 
 
 def _events(spark, sf_dir, etype: str) -> DataFrame:
@@ -1212,4 +1212,39 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("dt_us").cast("double")
         ).alias("twap"),
         F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+@register(
+    "ts_resample_bin",
+    tags=("timeseries", "resample"),
+    oracle=f"""
+        SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS bin_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {o_dsum('value')} AS sum_value
+        FROM events
+        GROUP BY bin_start, event_type
+    """,
+)
+def ts_resample_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the tick stream to 15-minute bars with Spark's
+    native tumbling `window()` — one hash aggregation, partials
+    map-side, no sort. Tumbling windows align to the epoch, so
+    `window.start` equals the integer floor-bin the oracle computes
+    with epoch microseconds; the value sum rides DECIMAL partials
+    (order-independent) and presents as double."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("bin_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
     )
