@@ -20,7 +20,12 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 EPOCH = dt.datetime(2024, 1, 1)
 KNUTH = 2654435761  # 2^32 * golden-ratio conjugate, classic mult-hash
@@ -51,6 +56,12 @@ class TickDataSource(DataSource):
             int(self.options.get("rows_per_part", 1000)),
         )
 
+    def simpleStreamReader(self, schema) -> "TickStreamReader":
+        return TickStreamReader(
+            int(self.options.get("batch_rows", 100)),
+            int(self.options.get("max_rows", 500)),
+        )
+
 
 class TickReader(DataSourceReader):
     def __init__(self, parts: int, rows_per_part: int):
@@ -69,3 +80,43 @@ class TickReader(DataSourceReader):
                 EPOCH + dt.timedelta(seconds=tick_id),
                 tick_price(tick_id),
             )
+
+
+class TickStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the tick source (Spark 4
+    SimpleDataSourceStreamReader): offsets are plain tick counters, so
+    the engine's offset log gives exactly-once replay for free —
+    ``readBetweenOffsets`` regenerates any [start, end) slice
+    bit-identically (rows are a pure function of tick_id). ``read``
+    serves at most ``batch_rows`` per microbatch and stops advancing at
+    ``max_rows``; an unbounded deployment just never hits the cap."""
+
+    def __init__(self, batch_rows: int, max_rows: int):
+        self.batch_rows = batch_rows
+        self.max_rows = max_rows
+
+    def initialOffset(self):
+        return {"tick": 0}
+
+    def _rows(self, start: int, end: int):
+        # a concrete list, not a generator: the engine's prefetch cache
+        # copy.copy()s the iterator when planning partitions, which a
+        # generator cannot survive
+        return iter(
+            [
+                (
+                    tick_id,
+                    EPOCH + dt.timedelta(seconds=tick_id),
+                    tick_price(tick_id),
+                )
+                for tick_id in range(start, end)
+            ]
+        )
+
+    def read(self, start):
+        s = start["tick"]
+        e = min(s + self.batch_rows, self.max_rows)
+        return (self._rows(s, e), {"tick": e})
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(start["tick"], end["tick"])

@@ -479,3 +479,58 @@ def stream_live_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_stream_to_memory(
         joined, f"live_lo_{uuid.uuid4().hex[:8]}", mode="append"
     )
+
+
+@register(
+    "stream_live_python_source",
+    tags=("streaming", "live", "source", "spark4"),
+    oracle="""
+        WITH ticks AS (
+            SELECT i AS tick_id,
+                   TIMESTAMP '2024-01-01' + i * INTERVAL 1 SECOND AS ts,
+                   100.0 + ((i * 2654435761) % 2001 - 1000) / 100.0 AS px
+            FROM range(0, 500) t(i)
+        )
+        SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bar_minute,
+               COUNT(*) AS n_ticks,
+               MIN(px) AS low, MAX(px) AS high,
+               CAST(CAST(SUM(CAST(px AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+                 AS px_volume
+        FROM ticks GROUP BY bar_minute
+    """,
+)
+def stream_live_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real stream through the Spark 4 PYTHON streaming DataSource
+    API (io/ticksource.py::TickStreamReader): integer tick offsets in
+    the engine's offset log, 5 microbatches of 100 drained via
+    processAllAvailable, exactly-once replay by construction
+    (readBetweenOffsets regenerates any slice bit-identically). The
+    drained rows then compact to minute bars, and because the source
+    is a pure function of tick_id the DuckDB oracle rebuilds the
+    identical 500 ticks from range() — a live streaming source with a
+    FULL value-hash gate, not a rows-only waiver."""
+    from finance_etl_spark.functions.money import dsum
+    from finance_etl_spark.io.ticksource import TickDataSource
+    from finance_etl_spark.streaming.runner import run_stream_to_memory
+
+    try:
+        spark.dataSource.register(TickDataSource)
+    except Exception:
+        pass  # already registered in this session
+    raw = (
+        spark.readStream.format("ticks")
+        .option("batch_rows", 100)
+        .option("max_rows", 500)
+        .load()
+    )
+    drained = run_stream_to_memory(
+        raw, f"live_pysrc_{uuid.uuid4().hex[:8]}", mode="append", drain=True
+    )
+    return drained.groupBy(
+        F.date_trunc("minute", "ts").alias("bar_minute")
+    ).agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.min("px").alias("low"),
+        F.max("px").alias("high"),
+        dsum("px").alias("px_volume"),
+    )

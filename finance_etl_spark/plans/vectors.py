@@ -793,3 +793,64 @@ def vec_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", F.col("cand_id").alias("neighbor_id"), "rank", "cos_sim")
     )
+
+
+@register("vec_matmul_topk", tags=("vector", "similarity", "python"))
+def vec_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 on the BLAS path: the query matrix
+    (bounded by contract — here 5 rows) ships to executors inside the
+    mapInPandas closure, each Arrow batch becomes one numpy matrix,
+    and a single dgemm scores batch×queries — the throughput shape for
+    wide scans where per-element JVM expression overhead dominates.
+    Each partition emits only its LOCAL top-5 per query (k×partitions
+    rows total), and one partitioned window finalizes — the corpus
+    itself never reshuffles. Rows-only registration: numpy's pairwise-
+    summed matmul differs from the JVM/DuckDB sequential fold by ulps,
+    so tests/test_dedup_vectors.py pins the top-5 id sets against
+    vec_cosine_topk instead of a value hash."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q_rows = sorted(
+        e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    Qn = (Q / np.linalg.norm(Q, axis=1, keepdims=True)).T  # dim × q
+    k = 5
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = Mn @ Qn  # batch × q, one BLAS call
+            for j in range(len(q_ids)):
+                col = sims[:, j]
+                mask = ids != q_ids[j]
+                cand_ids, cand_sims = ids[mask], col[mask]
+                # local top-k by (sim desc, id asc); lexsort's last key
+                # is primary
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                yield pd.DataFrame(
+                    {
+                        "query_id": q_ids[j],
+                        "neighbor_id": cand_ids[order],
+                        "cos_sim": cand_sims[order],
+                    }
+                )
+
+    local = e.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

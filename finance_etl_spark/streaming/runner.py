@@ -46,18 +46,25 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_stream_to_memory(
-    df: DataFrame, name: str, mode: str = "update", timeout: int = 120
+    df: DataFrame,
+    name: str,
+    mode: str = "update",
+    timeout: int = 120,
+    drain: bool = False,
 ):
     """Run a streaming DataFrame to completion into a memory sink and
     return the resulting table DataFrame (test harness: the fixture
-    source is finite, so processAllAvailable terminates)."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    source is finite, so processAllAvailable terminates).
+
+    ``drain=True`` uses the default microbatch trigger instead of
+    availableNow: an offset-capped custom source (e.g. the Python tick
+    stream) serves one slice per ``read()`` call, so availableNow
+    would stop after the FIRST slice, while processAllAvailable keeps
+    firing microbatches until the source's offset stops advancing."""
+    writer = df.writeStream.format("memory").queryName(name).outputMode(mode)
+    if not drain:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
     q.processAllAvailable()
     q.stop()
     q.awaitTermination(timeout)

@@ -308,3 +308,25 @@ def test_count_min_sketch_error_bounds(spark, sf_dir):
     for r in out:
         assert r.cms_estimate >= r.exact_n
         assert r.cms_estimate <= r.exact_n + 0.005 * n
+
+
+def test_matmul_topk_matches_jvm_topk(spark, sf_dir):
+    """The BLAS (mapInPandas+numpy) brute-force path and the JVM
+    expression path must agree on the top-5 neighbor ID SET per query
+    (values differ by summation order ulps, never by membership on
+    non-degenerate data), and emit exactly k ranked rows per query."""
+    jvm = plans.get("vec_cosine_topk").build(spark, sf_dir).collect()
+    blas = plans.get("vec_matmul_topk").build(spark, sf_dir).collect()
+
+    def by_query(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    j, b = by_query(jvm), by_query(blas)
+    assert j == b
+    ranks = {}
+    for r in blas:
+        ranks.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, 6)) for v in ranks.values())

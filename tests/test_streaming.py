@@ -234,3 +234,28 @@ def test_checkpoint_restart_resumes_without_reprocessing(spark, sf_dir, tmp_path
     assert out.count() == e.count()  # B added exactly once, A not replayed
     assert out.select("event_id").distinct().count() == e.count()
     e.unpersist()
+
+
+def test_tick_stream_reader_replay_identity():
+    """Offset-sliced reads must equal the whole-range replay: the
+    exactly-once contract of the Python streaming source is that
+    readBetweenOffsets regenerates any committed slice bit-identically,
+    so a recovered query sees the same rows the original run saw."""
+    from finance_etl_spark.io.ticksource import TickStreamReader
+
+    r = TickStreamReader(batch_rows=100, max_rows=500)
+    off = r.initialOffset()
+    sliced, offsets = [], [off]
+    while True:
+        rows, nxt = r.read(off)
+        rows = list(rows)
+        if not rows and nxt == off:
+            break
+        sliced.extend(rows)
+        offsets.append(nxt)
+        off = nxt
+    assert off == {"tick": 500}
+    replay = list(r.readBetweenOffsets(offsets[0], off))
+    assert sliced == replay
+    # a mid-stream recovery slice too
+    assert list(r.readBetweenOffsets({"tick": 200}, {"tick": 300})) == sliced[200:300]
