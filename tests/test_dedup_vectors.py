@@ -330,3 +330,23 @@ def test_matmul_topk_matches_jvm_topk(spark, sf_dir):
     for r in blas:
         ranks.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, 6)) for v in ranks.values())
+
+
+def test_minhash_arrow_path_bit_identical_to_jvm(spark, sf_dir):
+    """The Arrow/numpy signature sweep must reproduce the pure-JVM
+    formulation bit for bit — same xxhash64 shingle hashes, same
+    modular permutations, same minima — so swapping the execution
+    strategy can never move an LSH band boundary."""
+    from finance_etl_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_jvm,
+        shingle_array,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    arr = shingle_array(d, "doc_id", "text", 3).persist()
+    arr.count()
+    fast = {r.doc_id: list(r.sig) for r in minhash_signatures(arr, "doc_id").collect()}
+    ref = {r.doc_id: list(r.sig) for r in minhash_signatures_jvm(arr, "doc_id").collect()}
+    arr.unpersist()
+    assert fast == ref and len(fast) > 0
