@@ -1390,3 +1390,109 @@ def cur_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "source", F.row_number().over(w).alias("slot"))
         .filter(F.col("slot") <= _DOMAIN_CAP)
     )
+
+
+_BFS_EDGES_SQL = """
+            SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE s.s_nationkey <> c.c_nationkey
+"""
+
+
+@register(
+    "graph_bfs_distance",
+    tags=("graph", "iterative"),
+    oracle=f"""
+        WITH RECURSIVE e AS ({_BFS_EDGES_SQL}),
+        u AS (
+            SELECT src, dst FROM e
+            UNION
+            SELECT dst AS src, src AS dst FROM e
+        ),
+        walk(node, dist) AS (
+            SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+            UNION ALL
+            SELECT u.dst AS node, walk.dist + 1 AS dist
+            FROM walk JOIN u ON u.src = walk.node
+            WHERE walk.dist < 4
+        )
+        SELECT node AS nationkey, CAST(MIN(dist) AS INT) AS dist
+        FROM walk GROUP BY node
+    """,
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS (shortest hop count) over the nation trade
+    graph, distributed frontier-at-a-time: each round joins the
+    current frontier to the edge list and anti-prunes already-settled
+    nodes with a min-aggregate — per round ONE equi-join + one agg,
+    both keyed shuffles, state bounded by |V|. Four rounds = the
+    oracle's recursion bound. The same loop shape runs at web-graph
+    scale (edges never materialize to the driver); per-round
+    localCheckpoint would cap lineage exactly as operators/
+    components.py does — at |V|=25 rounds are cheap enough without.
+    Edge derivation shares the two-broadcast-join reduction with
+    graph_triangle_count / graph_pagerank_trade."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .distinct()
+    )
+    u = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    u.count()  # materialize once; reused every round
+    dist = spark.createDataFrame([(0, 0)], "nationkey long, dist int")
+    frontier = dist
+    for hop in range(1, 5):
+        nxt = (
+            frontier.join(u, frontier.nationkey == u.src)
+            .select(F.col("dst").alias("nationkey"), F.lit(hop).alias("dist"))
+            .distinct()
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("nationkey")
+            .agg(F.min("dist").alias("dist"))
+        )
+        frontier = dist.filter(F.col("dist") == hop)
+    out = dist.select("nationkey", F.col("dist").cast("int").alias("dist"))
+    u.unpersist()
+    return out
+
+
+@register(
+    "dq_k_anonymity",
+    tags=("quality", "governance"),
+    oracle="""
+        SELECT c_nationkey, c_mktsegment,
+               COUNT(*) AS n,
+               COUNT(*) >= 5 AS k_anonymous
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit on the quasi-identifier tuple
+    (nation, market segment): any equivalence class smaller than k=5
+    re-identifies its members and must be suppressed or generalized
+    before the table leaves the trust boundary. One hash aggregation —
+    the same partial-merge shape as any groupBy count, so the audit
+    runs at billion-row scale for the cost of one shuffle of the
+    class keys."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) >= 5).alias("k_anonymous"),
+    )
