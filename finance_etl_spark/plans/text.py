@@ -983,3 +983,116 @@ def text_source_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(term.cast("decimal(30,10)")).cast("double").alias("chi2"),
         F.sum(F.when(F.col("obs") > 0, 1).otherwise(0)).cast("int").alias("n_present"),
     )
+
+
+@register(
+    "text_bpe_pair_counts",
+    tags=("text", "tokenizer"),
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        chars AS (
+            SELECT tok,
+                   generate_subscripts(string_split_regex(tok, ''), 1) AS i,
+                   unnest(string_split_regex(tok, '')) AS ch,
+                   COUNT(*) OVER (PARTITION BY tok) + 0 AS dummy
+            FROM (SELECT DISTINCT tok FROM toks)
+        ),
+        tok_freq AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+        pairs AS (
+            SELECT a.tok, a.ch || b.ch AS pair
+            FROM chars a JOIN chars b ON a.tok = b.tok AND b.i = a.i + 1
+        )
+        SELECT pair, SUM(tok_freq.freq) AS n_occurrences
+        FROM pairs JOIN tok_freq USING (tok)
+        GROUP BY pair
+        ORDER BY n_occurrences DESC, pair
+        LIMIT 20
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of the BPE-training inner loop: corpus-wide counts of
+    adjacent symbol pairs, the quantity whose argmax becomes the next
+    merge rule. The trick that makes this tractable at corpus scale:
+    pair enumeration runs over the DISTINCT word list (vocabulary-
+    sized) and each word's pair set is weighted by the word's corpus
+    frequency from one token-count aggregation — the corpus text
+    itself is touched exactly once, and the quadratic-ish character
+    work happens on |vocab| rows. Pairs come from a map-side
+    sequence+transform over the word's character array (no self-join,
+    unlike the oracle's relational formulation)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_freq = _tokens(d).groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    chars = F.filter(F.split(F.col("tok"), ""), lambda c: c != "")
+    pair_arr = F.transform(
+        F.sequence(F.lit(0), F.size(chars) - 2),
+        lambda i: F.concat(F.get(chars, i), F.get(chars, i + 1)),
+    )
+    # single-char tokens have no pairs; guard them out rather than let
+    # sequence(0, -1) run DESCENDING (Spark's start>stop semantics)
+    safe_pairs = F.when(F.size(chars) >= 2, pair_arr).otherwise(
+        F.array().cast("array<string>")
+    )
+    pairs = tok_freq.select("freq", F.explode(safe_pairs).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(20)
+    )
+
+
+_SPAN_N = 8
+
+
+@register(
+    "text_span_dedup",
+    tags=("text", "dedup"),
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        doc_arr AS (
+            SELECT doc_id, list(tok ORDER BY pos) AS t FROM toks GROUP BY doc_id
+        ),
+        spans AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, len(t) - {_SPAN_N} + 1),
+                       i -> array_to_string(t[i : i + {_SPAN_N} - 1], ' ')
+                   ))) AS span
+            FROM doc_arr WHERE len(t) >= {_SPAN_N}
+        ),
+        hot AS (
+            SELECT span FROM spans GROUP BY span HAVING COUNT(*) > 1
+        )
+        SELECT doc_id, COUNT(*) AS n_shared_spans
+        FROM spans JOIN hot USING (span)
+        GROUP BY doc_id
+    """,
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication audit (the deduplicate-text-
+    datasets method of Lee et al., 2022, at n={_SPAN_N} tokens): any
+    span of {_SPAN_N} consecutive tokens appearing in more than one
+    document marks memorization-risk overlap. Per-doc distinct spans
+    come from the same map-side shingle machinery as MinHash
+    (operators/dedup.py) so text never shuffles; the one shuffle keys
+    on the span for the corpus-wide count, and the hot-span set joins
+    back to report per-document contamination mass. At 100 TB the
+    span column would be a 64-bit hash instead of the string — same
+    plan, 8 bytes per key."""
+    from finance_etl_spark.operators.dedup import shingle_array
+
+    d = load_table(spark, sf_dir, "documents")
+    spans = shingle_array(d, "doc_id", "text", _SPAN_N).select(
+        "doc_id", F.explode("sh_arr").alias("span")
+    )
+    hot = (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("span")
+    )
+    return (
+        spans.join(hot, "span")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    )

@@ -447,3 +447,48 @@ def test_empty_relation_propagates_without_scan(spark, sf_dir):
     assert "LocalTableScan" in p or "Empty" in p.replace("EmptyRelation", "Empty")
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     assert p.count("FileScan") == 0  # even the lineitem scan folds away
+
+
+def test_cbo_table_stats_drive_broadcast_choice(spark, sf_dir, tmp_path):
+    """Cost-based optimization evidence: ANALYZE TABLE statistics give
+    Catalyst real sizes to plan with. A managed copy of nation with
+    COMPUTE STATISTICS reports its true (tiny) sizeInBytes, so joining
+    it against lineitem must plan a BroadcastHashJoin — and the stats
+    must be visible in the optimized plan's statistics, not guessed
+    from file size."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS cbo_t LOCATION '{tmp_path}'")
+    try:
+        n = plans.get("q1_pricing_summary")  # touch registry for session confs
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        nation.write.mode("overwrite").saveAsTable("cbo_t.nation_stats")
+        spark.sql("ANALYZE TABLE cbo_t.nation_stats COMPUTE STATISTICS")
+        stats_row = spark.sql(
+            "DESCRIBE TABLE EXTENDED cbo_t.nation_stats"
+        ).filter("col_name = 'Statistics'").collect()
+        assert stats_row and "bytes" in stats_row[0].data_type
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        # suppkey joins nationkey-sized dim: broadcast must come from stats
+        j = li.join(
+            spark.table("cbo_t.nation_stats"),
+            li.l_suppkey == spark.table("cbo_t.nation_stats").n_nationkey,
+        )
+        p = plan_str(j)
+        assert "BroadcastHashJoin" in p
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbo_t.nation_stats")
+        spark.sql("DROP DATABASE IF EXISTS cbo_t")
+
+
+def test_aqe_coalesces_overprovisioned_shuffle(spark, sf_dir):
+    """AQE runtime evidence: a groupBy over a tiny key domain asks for
+    the session's 32 shuffle partitions but AQE's observed map output
+    coalesces them into far fewer reduce tasks — the runtime knob that
+    keeps 100k-partition clusters from drowning in empty tasks."""
+    df = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .groupBy("n_regionkey")
+        .count()
+    )
+    df.collect()  # executes with AQE; final plan now materialized
+    p = plan_str(df)
+    assert "AQEShuffleRead coalesced" in p or "coalesced" in p
