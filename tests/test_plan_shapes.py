@@ -492,3 +492,23 @@ def test_aqe_coalesces_overprovisioned_shuffle(spark, sf_dir):
     df.collect()  # executes with AQE; final plan now materialized
     p = plan_str(df)
     assert "AQEShuffleRead coalesced" in p or "coalesced" in p
+
+
+def test_identical_subplans_reuse_one_exchange(spark, sf_dir):
+    """Exchange reuse evidence: two consumers of the same aggregate
+    (the q15 'revenue view used twice' shape) must share ONE physical
+    shuffle — the second consumer plans as ReusedExchange/
+    ReusedSubquery, not a recomputation. At 100 TB recomputing a fact
+    shuffle because the optimizer missed structural equality would
+    double the job's dominant cost."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(30,10)")).alias("rev")
+    )
+    top = rev.agg(F.max("rev").alias("mx"))
+    j = rev.join(top, rev.rev == top.mx)
+    j.collect()
+    p = plan_str(j)
+    assert "ReusedExchange" in p
