@@ -1496,3 +1496,36 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.count(F.lit(1)) >= 5).alias("k_anonymous"),
     )
+
+
+@register(
+    "cur_sample_exact_n",
+    tags=("curation", "sampling"),
+    oracle="""
+        SELECT doc_id, source
+        FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT 100
+    """,
+)
+def cur_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N corpus sample (N=100), deterministic under any
+    partitioning: order by the md5 lottery and keep the first N. A
+    LIMIT over a total order plans as TakeOrderedAndProject — each
+    partition surrenders at most N local winners and the driver merges
+    k×N candidate rows, never sorting the corpus globally. The md5
+    key makes the winning set a pure function of the data (reruns,
+    relayouts, and cluster size changes keep the same sample), which
+    hash-RATE sampling (cur_hash_split) cannot promise when the ask
+    is an exact row budget."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.md5(F.col("doc_id").cast("string")).alias("__lot"),
+        )
+        .orderBy("__lot", "doc_id")
+        .limit(100)
+        .drop("__lot")
+    )

@@ -1248,3 +1248,70 @@ def ts_resample_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "ts_seasonal_baseline",
+    tags=("timeseries", "forecast"),
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   dayofweek(ts) AS dow,
+                   COUNT(*) AS n,
+                   SUM(CAST(value AS DECIMAL(15,4))) AS v
+            FROM events GROUP BY 1, 2, 3
+        ),
+        base AS (
+            SELECT event_type, dow,
+                   CAST(SUM(n) AS BIGINT) AS dow_events,
+                   CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS dow_value,
+                   CAST(COUNT(*) AS BIGINT) AS dow_days
+            FROM daily GROUP BY 1, 2
+        )
+        SELECT daily.event_type, daily.d, CAST(daily.dow AS INT) AS dow,
+               daily.n AS n_events,
+               base.dow_events, base.dow_days,
+               (daily.n * base.dow_days) - base.dow_events
+                 AS excess_events_x_days
+        FROM daily JOIN base
+          ON daily.event_type = base.event_type AND daily.dow = base.dow
+    """,
+)
+def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly baseline: each (event_type, day) is
+    compared against that weekday's corpus baseline — the 'is this
+    Tuesday unusual for Tuesdays' check behind every seasonal traffic
+    monitor. Two stacked aggregations, both keyed on (event_type, …):
+    the weekday baseline re-aggregates the DAILY partials, never the
+    raw events, and the comparison is an integer cross-multiple
+    (n·days − Σn: positive = above baseline) — no division, no float,
+    exact in both engines. DuckDB's dayofweek (0=Sunday) matches
+    Spark's dayofweek−1, handled explicitly."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        (F.dayofweek("ts") - 1).alias("dow"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(15,4)")).alias("v"),
+    )
+    base = daily.groupBy("event_type", "dow").agg(
+        F.sum("n").alias("dow_events"),
+        F.sum("v").cast("double").alias("dow_value"),
+        F.count(F.lit(1)).alias("dow_days"),
+    )
+    return (
+        daily.join(base, ["event_type", "dow"])
+        .select(
+            "event_type",
+            "d",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("n").alias("n_events"),
+            "dow_events",
+            "dow_days",
+            (F.col("n") * F.col("dow_days") - F.col("dow_events")).alias(
+                "excess_events_x_days"
+            ),
+        )
+    )
