@@ -52,88 +52,53 @@ def test_anti_join_is_key_join_not_nested_loop(spark, sf_dir):
 
 
 # Queries whose build is lazy (no eager side effects) and that must
-# never contain a cartesian product — the quadratic-blowup audit.
-# join_cross is excluded by design (it IS the cross-join demo, bounded
-# to dimension tables); jdbc/live-streaming queries execute eagerly.
-_NO_CARTESIAN_AUDIT = [
-    "q1_pricing_summary",
-    "join_inner_agg",
-    "join_broadcast_chain",
-    "join_left_anti",
-    "join_left_semi",
-    "join_theta_non_equi",
-    "window_topk_per_group",
-    "window_running_balance",
-    "window_rank_dense_ntile",
-    "ts_asof_join",
-    "ts_range_join",
-    "ts_sessionize",
-    "text_token_stats",
-    "text_ngram_jaccard_pairs",
-    "vec_cosine_near_dup_pairs",
-    "agg_salted_hot_key",
-    "ingest_stm_pipeline",
-    "ingest_incremental_new",
-    "subquery_in",
-    "stream_tumbling_window",
-    "q3_shipping_priority",
-    "ts_ohlc_vwap_bars",
-    "ts_rolling_volatility",
-    "ts_max_drawdown",
-    "q5_local_supplier_volume",
-    "cur_merge_upsert",
-    "ts_gap_fill_locf",
-    "agg_histogram_bucket",
-    "q14_promo_revenue",
-    "q16_supplier_part_types",
-    "ts_rolling_corr",
-    "agg_mad_robust",
-    "agg_mode_deterministic",
-    "window_pct_of_total",
-    "dq_benford_digits",
-    "dq_table_checksum",
-    "cur_impute_group_mean",
-    "graph_triangle_count",
-    "set_except_all",
-    "set_intersect_all",
-    "sql_group_by_all",
-    "agg_string_concat_ordered",
-    "subquery_not_in_null_aware",
-    "ts_gap_fill_locf",
-    "agg_bitwise",
-    "array_explode_outer",
-    "scalar_date_arith",
-    "ts_max_concurrency",
-    "ts_interval_union_coverage",
-    "ts_range_join_bucketed",
-    "subquery_scalar_correlated",
-    "agg_boolean_logic",
-    "scalar_string_advanced",
-    "cur_rfm_deciles",
+# never contain a cartesian product — the quadratic-blowup audit,
+# auto-derived: EVERY registered query except the documented
+# exclusions below. A new query is audited by default; opting out
+# requires naming it here with a reason.
+_AUDIT_EXCLUDE = {
+    # eager builds (real streams, iterative algorithms, persist+count
+    # pipelines) — each has its own dedicated plan/property tests; the
+    # parametrized audit stays fast by skipping their multi-second
+    # builds, not because they are exempt from the contract
+    "text_minhash_lsh_pairs",
+    "vec_ann_ivf_topk",
+    "vec_ann_lsh_topk",
+    "vec_kmeans_clusters",
+    "vec_pca_project",
+    "vec_semantic_dedup",
+    "cur_dedup_components",
     "cur_dedup_survivors",
+    "graph_pagerank_trade",
+    "graph_bfs_distance",
     "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q12_shipping_lateness",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "ts_gaps_islands",
-    "ts_asof_nearest",
-    "ts_anomaly_zscore",
-    "cur_scd2_point_in_time",
-    "scalar_url_funcs",
-    "agg_heavy_hitters",
-]
+    "join_aqe_skew_split",
+    "join_runtime_bloom_filter",
+    "stream_live_tumbling_agg",
+    "stream_live_dedup_watermark",
+    "stream_live_foreachbatch_sink",
+    "stream_live_stateful_totals",
+    "stream_live_stream_join",
+    "stream_live_stream_left_outer",
+    "stream_live_static_enrich",
+    "stream_live_session_window",
+    "stream_live_python_source",
+    # side-effecting builds (filesystem sinks, embedded Derby, DDL)
+    "sink_partitioned_pruning",
+    "sink_compact_small_files",
+    "sink_zorder_clustering",
+    "sink_dynamic_partition_pruning",
+    "sink_multi_format_roundtrip",
+    "ddl_table_roundtrip",
+    "ddl_schema_evolution",
+    "jdbc_roundtrip_region",
+    "jdbc_incremental_load",
+    "obs_metrics_during_write",
+    # the row-at-a-time exception: Python UDTFs evaluate via
+    # BatchEvalPython by API design; the demo is bounded and documented
+    "udf_table_function_tokens",
+}
+_NO_CARTESIAN_AUDIT = sorted(set(plans.all_queries()) - _AUDIT_EXCLUDE)
 
 
 def test_q6_predicates_reach_parquet_scan(spark, sf_dir):
