@@ -1529,3 +1529,27 @@ def cur_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .drop("__lot")
     )
+
+
+@register("cur_sample_tablesample", tags=("curation", "sampling", "sql"))
+def cur_sample_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI TABLESAMPLE surface (Bernoulli row sampling with a
+    REPEATABLE seed): each row flips an independent seeded coin at the
+    scan, so the sample never materializes, shuffles, or sorts
+    anything — the zero-cost way to eyeball a petabyte. Registered
+    rows-only because the kept SET is a function of the physical
+    layout (stable within a deployment, not across relayouts) — the
+    exact-budget and relayout-stable alternatives are
+    cur_sample_exact_n and cur_hash_split; the statistical contract
+    (fraction within binomial bounds) is pinned in
+    tests/test_curation.py."""
+    from finance_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT source, COUNT(*) AS n_sampled
+        FROM documents TABLESAMPLE (20 PERCENT) REPEATABLE (42)
+        GROUP BY source
+        """
+    )

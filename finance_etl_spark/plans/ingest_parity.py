@@ -834,3 +834,53 @@ def sink_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(30,10)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "ingest_pandas_api_parity",
+    tags=("ingest", "parity", "pandas"),
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS VARCHAR)
+                    AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def ingest_pandas_api_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference is a pandas program (reference:
+    utils/data_manager.py throughout) — this query runs a
+    reference-shaped groupby.agg through the PANDAS API ON SPARK
+    (pyspark.pandas), proving the migration path where existing pandas
+    ETL keeps its syntax and gains distributed execution: the ps
+    DataFrame compiles to the SAME Catalyst plan a native groupBy
+    would (hash agg with map-side partials), with none of the
+    driver-memory residency of real pandas. The decimal-exact money
+    sum rides a to_spark() hop because ps.agg would sum in float —
+    the one semantic upgrade over verbatim pandas."""
+    import pyspark.pandas as ps
+
+    with ps.option_context("compute.default_index_type", "distributed"):
+        pdf = ps.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+        )
+        counted = (
+            pdf.groupby(["o_orderstatus", "o_orderpriority"])
+            .size()
+            .rename("n_orders")
+            .reset_index()
+        )
+    sums = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("total_price")
+        )
+    )
+    return counted.to_spark().join(
+        sums, ["o_orderstatus", "o_orderpriority"]
+    )

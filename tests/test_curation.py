@@ -245,3 +245,17 @@ def test_pagerank_uniform_on_cycle(spark):
     )
     r = [row.rank for row in pagerank(cyc, n_iter=10).collect()]
     assert all(abs(v - 1.0 / n) < 1e-12 for v in r)
+
+
+def test_tablesample_fraction_within_binomial_bounds(spark, sf_dir):
+    """20% Bernoulli TABLESAMPLE must land within 5 sigma of its
+    expectation and re-run bit-identically under the REPEATABLE seed
+    (same session + layout)."""
+    a = get("cur_sample_tablesample").build(spark, sf_dir).collect()
+    b = get("cur_sample_tablesample").build(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    n = sum(r.n_sampled for r in a)
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    p = 0.2
+    sigma = (total * p * (1 - p)) ** 0.5
+    assert abs(n - total * p) < 5 * sigma + 1
