@@ -884,3 +884,56 @@ def ingest_pandas_api_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.to_spark().join(
         sums, ["o_orderstatus", "o_orderpriority"]
     )
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    tags=("sink", "partitioning", "maintenance"),
+    oracle="""
+        WITH days AS (
+            SELECT CAST(ts AS DATE) AS event_date, event_type, value FROM events
+        ),
+        first_day AS (SELECT MIN(event_date) AS d FROM days)
+        SELECT event_date,
+               COUNT(*) AS n_events,
+               CAST(CAST(SUM(CAST(
+                   CASE WHEN event_date = (SELECT d FROM first_day)
+                        THEN value * 2 ELSE value END
+                   AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE) AS sum_value
+        FROM days
+        GROUP BY event_date
+    """,
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical partition rewrite — the backfill primitive: with
+    ``partitionOverwriteMode=dynamic``, an overwrite touches ONLY the
+    partitions present in the incoming frame (here: the first day,
+    restated with corrected values), while static mode would wipe the
+    whole table. Every other day's files are physically untouched — a
+    one-day backfill on a 3-year 100 TB table rewrites one day. The
+    read-back aggregates per day and the oracle rebuilds the expected
+    post-backfill content: day one doubled, the rest intact."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("event_date"), "event_type", "value"
+    )
+    out = tempfile.mkdtemp(prefix="dyn_overwrite_")
+    e.write.partitionBy("event_date").mode("overwrite").parquet(out)
+
+    first_day = e.agg(F.min("event_date")).collect()[0][0]
+    fixed = e.filter(F.col("event_date") == F.lit(first_day)).withColumn(
+        "value", F.col("value") * 2
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fixed.write.partitionBy("event_date").mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+    back = spark.read.parquet(out)
+    return back.groupBy("event_date").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,10)")).cast("double").alias("sum_value"),
+    )

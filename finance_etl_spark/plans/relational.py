@@ -2542,3 +2542,103 @@ def agg_regr_slope_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag", "n", slope.alias("slope"), intercept.alias("intercept")
     )
+
+
+@register(
+    "agg_skew_kurtosis_exact",
+    tags=("agg", "stats"),
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS s1,
+                   CAST(CAST(SUM(CAST(l_discount AS DECIMAL(8,4)) * CAST(l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS s2,
+                   CAST(CAST(SUM(CAST(l_discount AS DECIMAL(8,4)) * CAST(l_discount AS DECIMAL(8,4)) * CAST(l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS s3,
+                   CAST(CAST(SUM(CAST(l_discount AS DECIMAL(8,4)) * CAST(l_discount AS DECIMAL(8,4)) * CAST(l_discount AS DECIMAL(8,4)) * CAST(l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS s4
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               (s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+                 / ((s2/n - (s1/n)*(s1/n)) * sqrt(s2/n - (s1/n)*(s1/n))) AS skewness,
+               (s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                  - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+                 / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3
+                 AS excess_kurtosis
+        FROM s
+    """,
+)
+def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third and fourth standardized moments (skewness, excess
+    kurtosis — the fat-tail diagnostics every risk desk runs) from the
+    same exact decimal power-sum machinery as agg_corr_exact: one hash
+    agg collects n, Σx…Σx⁴ exactly (decimal(8,4) factors keep the
+    quartic products inside decimal(38)), then each moment is a single
+    IEEE double expression — bit-stable under any partitioning, which
+    the built-in skewness/kurtosis (streaming float co-moments) are
+    not. The σ³ normalizer is written var·sqrt(var) (IEEE-exact ops)
+    on both sides — pow(var, 1.5) routes through libm and diverges by
+    1 ulp between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_discount").cast("decimal(8,4)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x * x).cast("double").alias("s2"),
+        F.sum(x * x * x).cast("double").alias("s3"),
+        F.sum(x * x * x * x).cast("double").alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("s1") / n
+    m2 = F.col("s2") / n
+    m3 = F.col("s3") / n
+    m4 = F.col("s4") / n
+    var = m2 - m1 * m1
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (var * F.sqrt(var))
+    kurt = (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1) / (
+        var * var
+    ) - 3
+    return s.select(
+        "l_returnflag",
+        "n",
+        skew.alias("skewness"),
+        kurt.alias("excess_kurtosis"),
+    )
+
+
+@register(
+    "sql_filter_clause",
+    tags=("sql", "agg"),
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               COUNT(*) FILTER (WHERE l_tax = 0) AS n_tax_free,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10)))
+                    FILTER (WHERE l_returnflag = 'R') AS VARCHAR) AS DOUBLE)
+                 AS returned_revenue
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI aggregate FILTER clause — several differently-filtered
+    aggregates in ONE pass and one shuffle, where naive SQL would scan
+    per aggregate or wrap CASE expressions. Spark compiles FILTER to
+    exactly the conditional-aggregation partials the engine's
+    when()-based queries use, so this is surface parity with zero plan
+    cost; NULL (no qualifying rows) semantics match the standard in
+    both engines."""
+    from finance_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               COUNT(*) FILTER (WHERE l_tax = 0) AS n_tax_free,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10)))
+                    FILTER (WHERE l_returnflag = 'R') AS DOUBLE)
+                 AS returned_revenue
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )

@@ -1315,3 +1315,56 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ts_rolling_median",
+    tags=("timeseries", "window", "stats"),
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(15,4))) AS VARCHAR)
+                        AS DOUBLE) AS v
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, d, v,
+               median(v) OVER (PARTITION BY event_type ORDER BY d
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 AS med7
+        FROM daily
+    """,
+)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day exact rolling MEDIAN — the robust alternative to
+    the rolling mean (ts_rolling_volatility family) that one outlier
+    day cannot drag. Spark has no median window function; the frame's
+    values ride a bounded collect_list, sort in-row, and interpolate
+    the middle pair — per-row state is the FRAME (≤7 doubles), not the
+    partition, so memory is O(frame) at any scale, and the window
+    itself runs over the compacted daily aggregate, never raw events.
+    Inputs are decimal-exact daily sums; the (a+b)/2 interpolation is
+    one IEEE op, matching DuckDB's median interpolation bit for bit."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(15,4)")).cast("double").alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("v").over(w))
+    n = F.size(arr)
+    med = (
+        F.when(
+            n % 2 == 1,
+            F.get(arr, F.floor((n - 1) / 2).cast("int")),
+        ).otherwise(
+            (
+                F.get(arr, (n / 2 - 1).cast("int"))
+                + F.get(arr, (n / 2).cast("int"))
+            )
+            / 2
+        )
+    )
+    return daily.select("event_type", "d", "v", med.alias("med7"))

@@ -88,6 +88,7 @@ _AUDIT_EXCLUDE = {
     "sink_compact_small_files",
     "sink_zorder_clustering",
     "sink_dynamic_partition_pruning",
+    "sink_dynamic_partition_overwrite",
     "sink_multi_format_roundtrip",
     "ddl_table_roundtrip",
     "ddl_schema_evolution",
