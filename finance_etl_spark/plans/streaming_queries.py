@@ -534,3 +534,46 @@ def stream_live_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("px").alias("high"),
         dsum("px").alias("px_volume"),
     )
+
+
+@register(
+    "stream_live_rocksdb_state",
+    tags=("streaming", "live", "state", "scale"),
+    oracle="""
+        SELECT user_id, event_type, COUNT(*) AS n_events
+        FROM events
+        GROUP BY user_id, event_type
+    """,
+)
+def stream_live_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real stream whose aggregation state lives in the ROCKSDB state
+    store provider — the 100-TB configuration: the default HDFS-backed
+    provider keeps every key in executor heap, while RocksDB spills
+    keyed state to local SSD and bounds memory regardless of key
+    cardinality (billions of users, not millions). Same per-key count
+    the batch oracle computes; complete output mode drains the final
+    state. The provider conf is scoped to this query and restored —
+    library code must not leak session-level state-store choices."""
+    from finance_etl_spark.streaming.runner import events_stream, run_stream_to_memory
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        s = events_stream(spark, sf_dir)
+        agg = s.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        out = run_stream_to_memory(
+            agg, f"live_rocks_{uuid.uuid4().hex[:8]}", mode="complete"
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
+    return out

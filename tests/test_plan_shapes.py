@@ -83,6 +83,7 @@ _AUDIT_EXCLUDE = {
     "stream_live_static_enrich",
     "stream_live_session_window",
     "stream_live_python_source",
+    "stream_live_rocksdb_state",
     # side-effecting builds (filesystem sinks, embedded Derby, DDL)
     "sink_partitioned_pruning",
     "sink_compact_small_files",
