@@ -937,3 +937,51 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(30,10)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "sink_nested_struct_pruning",
+    tags=("sink", "nested", "scale"),
+    oracle="""
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS VARCHAR)
+                    AS DOUBLE) AS total
+        FROM orders
+        GROUP BY status
+    """,
+)
+def sink_nested_struct_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested STRUCT columns with schema pruning: orders are re-shaped
+    into a document-style record (order struct + customer struct —
+    the shape web-scale event/doc stores actually have), written to
+    parquet, and read back touching ONE leaf per struct. Spark's
+    nested-schema-pruning pushes the leaf projection into the parquet
+    ReadSchema (asserted in tests/test_plan_shapes.py): the scan
+    decodes `meta.status` and `fin.price`, not the whole record — on
+    a 100 TB corpus with KB-sized records per row that is the
+    difference between reading terabytes and reading gigabytes."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    nested = o.select(
+        F.struct(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        ).alias("meta"),
+        F.struct(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderdate").alias("odate"),
+        ).alias("fin"),
+    )
+    out = tempfile.mkdtemp(prefix="nested_sink_")
+    nested.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("meta.status").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("fin.price").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("total"),
+    )

@@ -90,6 +90,7 @@ _AUDIT_EXCLUDE = {
     "sink_zorder_clustering",
     "sink_dynamic_partition_pruning",
     "sink_dynamic_partition_overwrite",
+    "sink_nested_struct_pruning",
     "sink_multi_format_roundtrip",
     "ddl_table_roundtrip",
     "ddl_schema_evolution",
@@ -479,3 +480,35 @@ def test_identical_subplans_reuse_one_exchange(spark, sf_dir):
     j.collect()
     p = plan_str(j)
     assert "ReusedExchange" in p
+
+
+def test_nested_struct_leaf_access_prunes_read_schema(spark, sf_dir):
+    """Reading one leaf of a nested struct must prune the parquet
+    ReadSchema to that leaf — sibling struct fields (okey, priority,
+    custkey, odate) must not be decoded."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nested = o.select(
+        F.struct(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderstatus").alias("status"),
+        ).alias("meta"),
+        F.struct(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("price"),
+        ).alias("fin"),
+    )
+    out = tempfile.mkdtemp(prefix="nested_prune_")
+    nested.write.mode("overwrite").parquet(out)
+    df = (
+        spark.read.parquet(out)
+        .groupBy(F.col("meta.status"))
+        .agg(F.sum(F.col("fin.price")))
+    )
+    p = plan_str(df)
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs and "status" in rs[0] and "price" in rs[0]
+    assert "okey" not in rs[0] and "custkey" not in rs[0]
