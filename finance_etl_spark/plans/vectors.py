@@ -854,3 +854,86 @@ def vec_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+@register(
+    "vec_ood_centroid_outliers",
+    tags=("vector", "quality"),
+    oracle="""
+        WITH elems AS (
+            SELECT label, vec_id,
+                   generate_subscripts(embedding, 1) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label, dim,
+                   list_sum(list_transform(list(val ORDER BY vec_id), x -> x))
+                     / COUNT(*) AS c
+            FROM elems GROUP BY label, dim
+        ),
+        dist AS (
+            SELECT e.label, e.vec_id,
+                   list_sum(list_transform(
+                       list((e.val - cent.c) * (e.val - cent.c) ORDER BY e.dim),
+                       x -> x)) AS dist2
+            FROM elems e JOIN cent ON e.label = cent.label AND e.dim = cent.dim
+            GROUP BY e.label, e.vec_id
+        ),
+        thr AS (
+            SELECT label, quantile_cont(dist2, 0.99) AS p99 FROM dist GROUP BY label
+        )
+        SELECT dist.label, dist.vec_id, dist.dist2, thr.p99
+        FROM dist JOIN thr ON dist.label = thr.label
+        WHERE dist.dist2 > thr.p99
+    """,
+)
+def vec_ood_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding quality control: vectors whose squared Euclidean
+    distance to their label centroid exceeds the label's p99 — the
+    out-of-distribution mining pass that surfaces mislabeled or
+    corrupted embeddings before they poison contrastive training.
+    Three keyed aggregations (centroid per (label,dim), distance per
+    vector, exact p99 per label) and one broadcast-sized threshold
+    join — each shuffle is keyed and linear; nothing is pairwise.
+    Determinism: centroid and distance both ride data-ordered
+    sequential double folds (the vec_centroid_per_label contract), and
+    squared distance needs no sqrt, so every arithmetic step is
+    IEEE-exact and engine-portable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    elems = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim0", "val")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("vec_id", "val")))
+    fold = F.aggregate(
+        F.transform(ordered, lambda s: s.getField("val")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cent = elems.groupBy("label", "dim").agg(
+        (fold / F.count("val")).alias("c")
+    )
+    sq = (F.col("val") - F.col("c")) * (F.col("val") - F.col("c"))
+    by_dim = F.array_sort(F.collect_list(F.struct("dim", "sq")))
+    dist_fold = F.aggregate(
+        F.transform(by_dim, lambda s: s.getField("sq")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dist = (
+        elems.join(cent, ["label", "dim"])
+        .withColumn("sq", sq)
+        .groupBy("label", "vec_id")
+        .agg(dist_fold.alias("dist2"))
+    )
+    thr = dist.groupBy("label").agg(F.percentile("dist2", 0.99).alias("p99"))
+    return (
+        dist.join(F.broadcast(thr), "label")
+        .filter(F.col("dist2") > F.col("p99"))
+        .select("label", "vec_id", "dist2", "p99")
+    )
