@@ -7,7 +7,7 @@
 Each query executes end-to-end via the noop sink (full computation, no
 driver-side collect). A small warm-up query runs first so JVM/codegen
 startup does not pollute the first measurement, and each query is
-timed $SPARK_GRAFT_BENCH_RUNS times (default 2) reporting the MINIMUM —
+timed $SPARK_GRAFT_BENCH_RUNS times (default 3) reporting the MINIMUM —
 steady-state cost, robust to host-level noise on shared VMs.
 """
 
@@ -24,7 +24,7 @@ from finance_etl_spark import plans  # noqa: E402
 from finance_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 
 def _sf_from_dir(d: str) -> float:
