@@ -300,3 +300,46 @@ def mm_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_frames,
         "doc_id long, frame_id long, energy long, n_samples long",
     )
+
+
+@register(
+    "mm_text_embedding_features",
+    tags=("multimodal", "join", "features"),
+    oracle="""
+        WITH norms AS (
+            SELECT vec_id, label,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+            FROM embeddings
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars,
+               len(string_split(d.text, ' ')) -
+                 len(list_filter(string_split(d.text, ' '), t -> t = ''))
+                 AS n_tokens,
+               n.label, n.l2
+        FROM documents d JOIN norms n ON d.doc_id = n.vec_id
+    """,
+)
+def mm_text_embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal feature assembly: the text table and the embedding
+    table meet on the document key, producing the (text stats +
+    vector stats) feature frame a curation classifier actually trains
+    on. Both per-modality feature extractions are map-side (token
+    count from a split, L2 norm from a sequential fold); the single
+    equi-join shuffles on the shared key — at 100 TB this is the
+    co-partitioned (or bucketed) layout case, never a broadcast of a
+    corpus-sized side. The schema carries relational scalars, text,
+    and the array column through one plan — the 'multimodal columns
+    are just columns' contract."""
+    from finance_etl_spark.functions.vectors import l2_norm
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    dd = d.select(
+        "doc_id", "lang", "source", "n_chars", F.size(toks).alias("n_tokens")
+    )
+    ee = e.select(
+        F.col("vec_id").alias("doc_id"), "label", l2_norm("embedding").alias("l2")
+    )
+    return dd.join(ee, "doc_id")
