@@ -985,3 +985,52 @@ def sink_nested_struct_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+_QUOTED_CSV = "/root/repo/fixtures/ingest/delta_current_stm_20250105.csv"
+
+
+@register(
+    "ingest_csv_quoted_multiline",
+    tags=("ingest", "csv", "source"),
+    oracle=f"""
+        SELECT "Account" AS acc_number,
+               "Payee" AS payee,
+               CAST(replace("Amount", ',', '.') AS DOUBLE)
+                 * (CASE WHEN "D/C" = 'D' THEN -1 ELSE 1 END) AS signed_amount,
+               CAST(length("Payee") AS INT) AS payee_len,
+               contains("Payee", chr(10)) AS has_newline
+        FROM read_csv('{_QUOTED_CSV}', delim=';', header=true, quote='"',
+                      escape='"', all_varchar=true)
+    """,
+)
+def ingest_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 CSV edge cases the reference's pandas reader handles
+    implicitly and a naive line-splitter corrupts: quoted fields
+    containing the separator, EMBEDDED NEWLINES (multiLine=true makes
+    the record span physical lines — which also means such files are
+    not line-splittable, the scale tradeoff this option documents),
+    and doubled-quote escapes. Parsed values feed the same
+    decimal-comma normalize + D/C sign flip battery (T9-T11) as the
+    pipeline, and the oracle re-reads the identical fixture through
+    DuckDB's RFC reader — byte-level parser agreement, not just row
+    counts."""
+    df = (
+        spark.read.option("header", True)
+        .option("sep", ";")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", True)
+        .option("inferSchema", False)
+        .csv(_QUOTED_CSV)
+    )
+    signed = F.regexp_replace("Amount", ",", ".").cast("double") * F.when(
+        F.col("`D/C`") == "D", -1
+    ).otherwise(1)
+    return df.select(
+        F.col("Account").alias("acc_number"),
+        F.col("Payee").alias("payee"),
+        signed.alias("signed_amount"),
+        F.length("Payee").cast("int").alias("payee_len"),
+        F.col("Payee").contains("\n").alias("has_newline"),
+    )

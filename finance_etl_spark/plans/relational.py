@@ -2642,3 +2642,34 @@ def sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "sql_parameterized_query",
+    tags=("sql", "api"),
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(..., args={...})): values bind as
+    typed literals AFTER parsing, so user input can never splice into
+    the query text — the injection-safe surface every SQL-facing
+    service needs, and parameter markers keep the parse/plan cache hot
+    across invocations where f-string literals would make each query
+    text unique. Plans identically to the inlined form."""
+    from finance_etl_spark.io.readers import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 150000.0, "status": "F"},
+    )
