@@ -1553,3 +1553,35 @@ def cur_sample_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY source
         """
     )
+
+
+@register(
+    "dq_freshness_sla",
+    tags=("quality", "governance"),
+    oracle="""
+        SELECT event_type,
+               MAX(CAST(ts AS DATE)) AS latest_day,
+               CAST(date_diff('day', MAX(CAST(ts AS DATE)), DATE '2024-07-01')
+                    AS BIGINT) AS days_stale,
+               date_diff('day', MAX(CAST(ts AS DATE)), DATE '2024-07-01') <= 7
+                 AS within_sla
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA audit: per feed, the lag between its newest
+    event and the audit reference date, gated against a 7-day SLA.
+    The reference date is a pinned literal (a real deployment passes
+    the orchestrator's logical date) so the check is deterministic and
+    replayable — never wall-clock NOW() inside the query. One MAX
+    aggregation per feed; at 100 TB with date-partitioned layout the
+    scan prunes to the partition-metadata max, not a full read."""
+    e = load_table(spark, sf_dir, "events")
+    audit_date = F.lit("2024-07-01").cast("date")
+    stale = F.datediff(audit_date, F.max(F.col("ts").cast("date")))
+    return e.groupBy("event_type").agg(
+        F.max(F.col("ts").cast("date")).alias("latest_day"),
+        stale.cast("bigint").alias("days_stale"),
+        (stale <= 7).alias("within_sla"),
+    )

@@ -925,12 +925,19 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     fixed = e.filter(F.col("event_date") == F.lit(first_day)).withColumn(
         "value", F.col("value") * 2
     )
-    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    # capture None when the conf was never explicitly set, and restore
+    # by UNSETTING — writing back a guessed default would turn an
+    # inherited session default into an explicit override
+    old_mode = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "dynamic")
     try:
         fixed.write.partitionBy("event_date").mode("overwrite").parquet(out)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+        if old_mode is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old_mode)
 
     back = spark.read.parquet(out)
     return back.groupBy("event_date").agg(

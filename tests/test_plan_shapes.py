@@ -512,3 +512,36 @@ def test_nested_struct_leaf_access_prunes_read_schema(spark, sf_dir):
     rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
     assert rs and "status" in rs[0] and "price" in rs[0]
     assert "okey" not in rs[0] and "custkey" not in rs[0]
+
+
+def test_conf_juggling_queries_restore_session_state(spark, sf_dir):
+    """Queries that override session confs (join strategy, state store,
+    partition overwrite mode) must restore them on EVERY path —
+    library code that leaks a conf silently changes the semantics of
+    every later query in the session."""
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.sources.partitionOverwriteMode",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.shuffle.partitions",
+    )
+
+    def snapshot():
+        out = {}
+        for k in keys:
+            try:
+                out[k] = spark.conf.get(k)
+            except Exception:
+                out[k] = None
+        return out
+
+    before = snapshot()
+    for name in (
+        "sink_dynamic_partition_overwrite",
+        "stream_live_rocksdb_state",
+        "join_runtime_bloom_filter",
+    ):
+        df = plans.get(name).build(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        assert snapshot() == before, f"{name} leaked a session conf"
