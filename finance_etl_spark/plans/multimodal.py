@@ -343,3 +343,90 @@ def mm_text_embedding_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), "label", l2_norm("embedding").alias("l2")
     )
     return dd.join(ee, "doc_id")
+
+
+_CHUNK = 100
+_BLOB_REPEAT = 64
+
+
+@register(
+    "mm_blob_chunk_reassembly",
+    tags=("multimodal", "storage"),
+    oracle=f"""
+        WITH blobs AS (
+            SELECT o_orderkey AS blob_id,
+                   repeat(md5(CAST(o_orderkey AS VARCHAR)), {_BLOB_REPEAT})
+                     AS payload
+            FROM orders WHERE o_orderkey < 20
+        ),
+        chunks AS (
+            SELECT blob_id,
+                   i AS seq,
+                   payload[1 + (i * {_CHUNK}) : LEAST((i + 1) * {_CHUNK},
+                                                      length(payload))] AS chunk
+            FROM blobs,
+                 LATERAL unnest(generate_series(
+                     0, CAST(ceil(length(payload) / {_CHUNK}.0) AS INT) - 1
+                 )) t(i)
+        ),
+        back AS (
+            SELECT blob_id,
+                   string_agg(chunk, '' ORDER BY seq) AS reassembled,
+                   COUNT(*) AS n_chunks
+            FROM chunks GROUP BY blob_id
+        )
+        SELECT b.blob_id, back.n_chunks,
+               CAST(length(back.reassembled) AS BIGINT) AS total_chars,
+               md5(back.reassembled) = md5(b.payload) AS intact
+        FROM blobs b JOIN back ON b.blob_id = back.blob_id
+    """,
+)
+def mm_blob_chunk_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked blob storage — the pattern that fits multi-MB media
+    payloads into row-size-bounded columnar files: each payload splits
+    into fixed-size chunks (blob_id, seq, chunk) that shuffle and
+    store independently, and consumers reassemble by (blob_id, ORDER
+    BY seq) with an ordered fold, verifying integrity by digest
+    against the original. Chunking is a map-side sequence+transform
+    (no Python); reassembly is one keyed shuffle whose per-group state
+    is that blob's chunk list. Payloads here are deterministic strings
+    so the oracle can rebuild them; production swaps StringType for
+    BinaryType — substring/concat/md5 all operate on binary with the
+    identical plan."""
+    o = load_table(spark, sf_dir, "orders")
+    blobs = o.filter(F.col("o_orderkey") < 20).select(
+        F.col("o_orderkey").alias("blob_id"),
+        F.repeat(F.md5(F.col("o_orderkey").cast("string")), _BLOB_REPEAT).alias(
+            "payload"
+        ),
+    )
+    n_chunks = F.ceil(F.length("payload") / _CHUNK).cast("int")
+    chunks = blobs.select(
+        "blob_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.col("payload").substr(
+                    i * _CHUNK + 1, F.lit(_CHUNK)
+                ),
+            )
+        ).alias("seq", "chunk"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("seq", "chunk")))
+    fold = F.aggregate(
+        F.transform(ordered, lambda s: s.getField("chunk")),
+        F.lit(""),
+        lambda acc, x: F.concat(acc, x),
+    )
+    back = chunks.groupBy("blob_id").agg(
+        fold.alias("reassembled"), F.count(F.lit(1)).alias("n_chunks")
+    )
+    return (
+        blobs.join(back, "blob_id")
+        .select(
+            "blob_id",
+            "n_chunks",
+            F.length("reassembled").cast("bigint").alias("total_chars"),
+            (F.md5("reassembled") == F.md5("payload")).alias("intact"),
+        )
+    )
