@@ -350,3 +350,21 @@ def test_minhash_arrow_path_bit_identical_to_jvm(spark, sf_dir):
     ref = {r.doc_id: list(r.sig) for r in minhash_signatures_jvm(arr, "doc_id").collect()}
     arr.unpersist()
     assert fast == ref and len(fast) > 0
+
+
+def test_lsh_planes_are_independent():
+    """Regression: the original plane-sign generator took the low bit
+    of an odd-constant multiply, which preserves parity — every plane
+    collapsed to the same (or negated) hyperplane and the 'index' had
+    two buckets per band. Pin that the 16 planes are pairwise distinct
+    up to negation and reasonably balanced."""
+    from finance_etl_spark.plans.vectors import _PLANES, DIM, N_PLANES
+
+    seen = set()
+    for p in range(N_PLANES):
+        row = tuple(_PLANES[p])
+        neg = tuple(-x for x in row)
+        assert row not in seen and neg not in seen, f"plane {p} duplicates another"
+        seen.add(row)
+        balance = sum(1 for x in row if x == 1)
+        assert DIM // 4 <= balance <= 3 * DIM // 4, f"plane {p} is degenerate"
