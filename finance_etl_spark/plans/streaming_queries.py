@@ -577,3 +577,96 @@ def stream_live_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(conf_key, old)
     return out
+
+
+@register(
+    "stream_live_chained_stateful",
+    tags=("streaming", "live", "join", "spark4"),
+    oracle="""
+        WITH matched AS (
+            SELECT p.ts AS purchase_ts, c.user_id
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        )
+        , wm AS (
+            -- end-of-stream watermark as the WINDOW operator sees it:
+            -- each input is delayed 1h (withWatermark), and the interval
+            -- join delays its output watermark by the join bound again on
+            -- the click side (a purchase emits only once no older click
+            -- can still arrive), so the click term loses 2h total
+            SELECT LEAST(
+                (SELECT MAX(ts) FROM events WHERE event_type = 'click')
+                    - INTERVAL 2 HOUR,
+                (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+                    - INTERVAL 1 HOUR
+            ) AS w
+        )
+        SELECT make_timestamp((epoch_us(purchase_ts) // 3600000000)
+                              * 3600000000) AS window_start,
+               COUNT(*) AS n_attributed,
+               MIN(purchase_ts) AS first_purchase,
+               MAX(purchase_ts) AS last_purchase
+        FROM matched, wm
+        GROUP BY window_start
+        HAVING window_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    """,
+)
+def stream_live_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful operators chained in one streaming query (Spark 4's
+    multi-stateful-operator support): a watermarked stream-stream
+    interval join (funnel attribution) feeding DIRECTLY into a
+    tumbling-window aggregation of the matches — previously this
+    required two queries with an intermediate sink. Watermarks
+    propagate through the join so the window operator still evicts
+    finalized windows; both state stores stay bounded. The oracle is
+    the batch form: interval join, then hourly counts of attributed
+    purchases."""
+    from finance_etl_spark.streaming.runner import events_stream, run_stream_to_memory
+
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        [
+            clicks["user_id"] == purchases["user_id"],
+            purchases["purchase_ts"] >= clicks["click_ts"],
+            purchases["purchase_ts"]
+            <= clicks["click_ts"] + F.expr("INTERVAL 1 HOUR"),
+        ],
+    ).select(
+        clicks["user_id"].alias("user_id"),
+        "purchase_ts",
+    )
+    # (COUNT DISTINCT is unsupported over streams — distinct user
+    # counting in-stream goes through approx_count_distinct or the
+    # dropDuplicatesWithinWatermark + count composition instead)
+    windowed = joined.groupBy(F.window("purchase_ts", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.min("purchase_ts").alias("first_purchase"),
+        F.max("purchase_ts").alias("last_purchase"),
+    )
+    out = run_stream_to_memory(
+        windowed, f"live_chain_{uuid.uuid4().hex[:8]}", mode="append"
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "n_attributed",
+        "first_purchase",
+        "last_purchase",
+    )

@@ -84,6 +84,7 @@ _AUDIT_EXCLUDE = {
     "stream_live_session_window",
     "stream_live_python_source",
     "stream_live_rocksdb_state",
+    "stream_live_chained_stateful",
     # side-effecting builds (filesystem sinks, embedded Derby, DDL)
     "sink_partitioned_pruning",
     "sink_compact_small_files",
@@ -540,6 +541,7 @@ def test_conf_juggling_queries_restore_session_state(spark, sf_dir):
     for name in (
         "sink_dynamic_partition_overwrite",
         "stream_live_rocksdb_state",
+    "stream_live_chained_stateful",
         "join_runtime_bloom_filter",
     ):
         df = plans.get(name).build(spark, sf_dir)
