@@ -600,3 +600,56 @@ def scalar_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dec == F.col("c_name")).alias("roundtrip_ok"),
         F.length(enc).alias("cipher_len"),
     )
+
+
+@register(
+    "scalar_map_functions",
+    tags=("scalar", "map", "hof"),
+    oracle="""
+        WITH m AS (
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_quantity AS DOUBLE) AS qty,
+                   CAST(l_extendedprice AS DOUBLE) AS price,
+                   CAST(l_discount AS DOUBLE) AS disc
+            FROM lineitem WHERE l_orderkey < 100
+        )
+        SELECT l_orderkey, l_linenumber, metric, value
+        FROM (
+            SELECT l_orderkey, l_linenumber, 'qty' AS metric,
+                   qty * 100 AS value FROM m
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'price', price * 100 FROM m
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'disc', disc * 100 FROM m
+        )
+        WHERE value > 50
+    """,
+)
+def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAP higher-order-function surface: measures assembled into a
+    typed map column (map_from_arrays), uniformly rescaled map-side
+    (transform_values), threshold-pruned per entry (map_filter), and
+    flattened back to relational rows (explode of the map) — the shape
+    feature stores use for sparse per-entity metric bags. All four ops
+    are JVM catalyst expressions over the map type, zero shuffles
+    until the final explode; the oracle is the equivalent relational
+    unpivot+filter, proving the map pipeline is just a typed reshape."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    m = F.map_from_arrays(
+        F.array(F.lit("qty"), F.lit("price"), F.lit("disc")),
+        F.array(
+            F.col("l_quantity").cast("double"),
+            F.col("l_extendedprice").cast("double"),
+            F.col("l_discount").cast("double"),
+        ),
+    )
+    scaled = F.transform_values(m, lambda k, v: v * 100)
+    pruned = F.map_filter(scaled, lambda k, v: v > 50)
+    return (
+        li.select("l_orderkey", "l_linenumber", pruned.alias("mm"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.explode("mm").alias("metric", "value"),
+        )
+    )

@@ -990,3 +990,49 @@ def vec_ood_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist2") > F.col("p99"))
         .select("label", "vec_id", "dist2", "p99")
     )
+
+
+@register(
+    "vec_mips_topk",
+    tags=("vector", "similarity"),
+    oracle=f"""
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   {_DOT.format(a='q.embedding', b='e.embedding')} AS dot
+            FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, dot,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY dot DESC, neighbor_id) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, dot FROM ranked WHERE rank <= 5
+    """,
+)
+def vec_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-5 (MIPS) — the recommender-scoring
+    objective, distinct from cosine: magnitude matters, so a long
+    vector can outrank a better-aligned short one. Same broadcast
+    scan + partitioned-window plan as vec_cosine_topk; the unnormalized
+    sequential dot fold is bit-identical across engines. (At scale
+    MIPS reduces to cosine ANN via the augmented-dimension transform;
+    the exact path here is the oracle for that reduction.)"""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dot("q_emb", "embedding").alias("dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "dot")
+    )
