@@ -41,6 +41,7 @@ for _mod in (
     "jdbc_queries",
     "scalars",
     "relational",
+    "tableformat",
 ):
     try:
         importlib.import_module(f"finance_etl_spark.plans.{_mod}")
