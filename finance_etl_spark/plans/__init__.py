@@ -42,6 +42,7 @@ for _mod in (
     "scalars",
     "relational",
     "tableformat",
+    "tokenizer",
 ):
     try:
         importlib.import_module(f"finance_etl_spark.plans.{_mod}")

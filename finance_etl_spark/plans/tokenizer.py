@@ -1,0 +1,118 @@
+"""BPE tokenizer TRAINING on the corpus: the iterative merge loop that
+turns `text_bpe_pair_counts` (one round's statistics) into an actual
+merge table — the artifact an LLM data pipeline ships to tokenization.
+
+Scale contract: the corpus text is read ONCE (token-frequency
+aggregation). Every training round after that runs on the DISTINCT
+vocabulary weighted by frequency — |vocab| rows, not corpus rows — so
+k merge rounds cost k vocabulary-sized jobs plus one 1-row argmax
+collect each (driver-side scalar, same class as the tf-idf corpus
+count). The per-round merge rewrite is a map-side higher-order-function
+fold; lineage is truncated every round with localCheckpoint so the plan
+stays O(1) deep.
+
+Rows-only registry entry: the merge sequence is iterative and
+data-dependent (each round's input is the previous round's output),
+which ANSI SQL cannot express; tests/test_tokenizer.py pins the full
+merge table against an independent pure-Python BPE reference on the
+same vocabulary, and checks determinism under repartitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_etl_spark.io.readers import load_table
+from finance_etl_spark.plans.registry import register
+
+TOKEN_PATTERN = "[a-z0-9']+"
+
+
+def word_frequencies(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq): lowercase word frequencies — the single corpus
+    pass. Everything downstream is vocabulary-sized."""
+    toks = F.explode(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
+    ).alias("word")
+    return d.select(toks).groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def _adjacent_pairs(symbols):
+    """array<struct<left,right>> of adjacent symbol pairs (empty for
+    single-symbol words — guarded so sequence() never runs descending)."""
+    n = F.size(symbols)
+    pair_arr = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.struct(
+            F.get(symbols, i).alias("left"), F.get(symbols, i + 1).alias("right")
+        ),
+    )
+    empty = F.array().cast("array<struct<left:string,right:string>>")
+    return F.when(n >= 2, pair_arr).otherwise(empty)
+
+
+def _merge_pair(symbols, left: str, right: str):
+    """Greedy left-to-right merge of (left,right) -> left||right inside
+    one word's symbol array, as a single aggregate() fold: append each
+    symbol, except when the accumulator's last element is `left` and
+    the incoming symbol is `right` — then replace the last element with
+    the merged symbol. Because a just-merged element no longer equals
+    `left`, overlapping runs ("aaa" under the ("a","a") rule) resolve
+    exactly like the canonical greedy scan."""
+    lit_l, lit_r = F.lit(left), F.lit(right)
+    merged = F.lit(left + right)
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == lit_l)
+            & (s == lit_r),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def train_bpe(vocab: DataFrame, n_merges: int = 8) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merge rules from a (word, freq) relation.
+    Returns [(left, right, pair_count), ...] in learned order.
+
+    Tie-break is DETERMINISTIC: highest weighted count, then
+    lexicographically smallest (left, right) — pinned so training is
+    reproducible across partitionings and engines."""
+    spark = vocab.sparkSession
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+    state = vocab.select(
+        F.col("freq"), chars.alias("symbols")
+    ).localCheckpoint(eager=True)
+    rules: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = (
+            state.select("freq", F.explode(_adjacent_pairs(F.col("symbols"))).alias("p"))
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] is None:
+            break
+        left, right, n = best[0]["left"], best[0]["right"], int(best[0]["n"])
+        rules.append((left, right, n))
+        state = state.select(
+            "freq", _merge_pair(F.col("symbols"), left, right).alias("symbols")
+        ).localCheckpoint(eager=True)
+    return rules
+
+
+@register("text_bpe_train_merges", tags=("text", "tokenizer", "iterative"))
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE training over the documents corpus: 8 learned merge
+    rules with their weighted pair counts, in training order."""
+    d = load_table(spark, sf_dir, "documents")
+    rules = train_bpe(word_frequencies(d), n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, l, r, l + r, n) for i, (l, r, n) in enumerate(rules)],
+        "rank int, left string, right string, merged string, n_occurrences bigint",
+    )
