@@ -40,3 +40,46 @@ def test_frame_sample_counts(spark, sf_dir):
         F.col("n_sampled") != F.ceil(F.col("n_frames") / 10)
     )
     assert bad.count() == 0
+
+
+def _phash_of(spark, texts):
+    from finance_etl_spark.plans.multimodal import phash64
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return {r.doc_id: r.phash for r in phash64(df).collect()}
+
+
+def test_phash_locality(spark):
+    base = " ".join(f"token{i} market price close volume" for i in range(40))
+    near = base.replace("token7", "token7x").replace("token21", "tokenXX")
+    far = " ".join(f"zzz{i} qqq www eee rrr" for i in range(40))
+    h = _phash_of(spark, [base, near, far])
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(h[0], h[1]) < ham(h[0], h[2])
+    assert ham(h[0], h[1]) <= 6  # light perturbation stays in MIH range
+
+
+def test_phash_near_dup_mih_recall(spark, tmp_path):
+    """Every pair within Hamming<=6 MUST be found (pigeonhole over the
+    8x8-bit bands) — brute-force over the corpus is the oracle."""
+    import itertools
+
+    from finance_etl_spark import plans
+    from finance_etl_spark.io.readers import load_table
+    from finance_etl_spark.plans.multimodal import _with_payload, phash64
+
+    sf = "/root/testdata/sf0.001"
+    out = plans.get("mm_phash_near_dup").build(spark, sf)
+    got = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+    d = load_table(spark, sf, "documents")
+    hashes = {r.doc_id: r.phash for r in phash64(_with_payload(d)).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    expect = {
+        (a, b): ham(ha, hb)
+        for (a, ha), (b, hb) in itertools.combinations(sorted(hashes.items()), 2)
+        if ham(ha, hb) <= 6
+    }
+    assert got == expect
