@@ -1585,3 +1585,97 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         stale.cast("bigint").alias("days_stale"),
         (stale <= 7).alias("within_sla"),
     )
+
+
+@register(
+    "cur_url_dedup",
+    tags=("curation", "dedup", "url"),
+    oracle="""
+        WITH crawl AS (
+            SELECT o_orderkey,
+                   'https://news.example.com/article/' || (o_orderkey % 1000)
+                       AS canonical_url
+            FROM orders
+        )
+        SELECT canonical_url,
+               'news.example.com' AS host,
+               CAST(COUNT(*) AS BIGINT) AS n_crawls,
+               MIN(o_orderkey) AS first_seen
+        FROM crawl
+        GROUP BY canonical_url
+        ORDER BY canonical_url
+    """,
+)
+def cur_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL dedup: a synthetic crawl log carries five messy
+    variants of each article URL (upper-case host, ``www.`` prefix,
+    explicit ``:443`` port, ``utm_*`` tracking params, fragment,
+    trailing slash). The canonicalizer works ONLY on the URL string —
+    parse_url HOST/PATH/QUERY, lowercase + www-strip, tracking-param
+    filter via a higher-order array filter, trailing-slash strip — and
+    the oracle reconstructs ground truth from the generation rule, so
+    the differential check proves all five variants collapse to the
+    same canonical form. One hash shuffle on the canonical key; the
+    string surgery is a codegen'd map-side projection."""
+    o = load_table(spark, sf_dir, "orders")
+    art = (F.col("o_orderkey") % 1000).cast("string")
+    v = F.col("o_orderkey") % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://news.example.com/article/"), art))
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("https://NEWS.EXAMPLE.COM/article/"), art,
+                F.lit("?utm_source=feed"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://www.news.example.com/article/"), art, F.lit("#top")
+            ),
+        )
+        .when(
+            v == 3,
+            F.concat(
+                F.lit("https://news.example.com:443/article/"), art,
+                F.lit("?utm_medium=email&utm_campaign=x"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://news.example.com/article/"), art, F.lit("/"))
+        )
+    )
+    log = o.select("o_orderkey", url.alias("url"))
+    stripped = F.regexp_replace(F.col("url"), "#.*$", "")
+    host = F.regexp_replace(
+        F.lower(F.parse_url(stripped, F.lit("HOST"))), r"^www\.", ""
+    )
+    path = F.regexp_replace(F.parse_url(stripped, F.lit("PATH")), "/$", "")
+    q = F.parse_url(stripped, F.lit("QUERY"))
+    kept = F.array_join(
+        F.filter(
+            F.split(F.coalesce(q, F.lit("")), "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        F.lit("https://"), host, path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+    return (
+        log.select("o_orderkey", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_crawls"),
+            F.min("o_orderkey").alias("first_seen"),
+        )
+        .select(
+            "canonical_url",
+            F.parse_url(F.col("canonical_url"), F.lit("HOST")).alias("host"),
+            "n_crawls",
+            "first_seen",
+        )
+        .orderBy("canonical_url")
+    )
