@@ -1036,3 +1036,62 @@ def vec_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "rank", "dot")
     )
+
+
+@register(
+    "vec_dim_stats",
+    tags=("vector", "agg", "stats"),
+    oracle="""
+        WITH flat AS (
+            SELECT CAST(u.dim - 1 AS INT) AS dim,
+                   CAST(u.val AS DOUBLE) AS v
+            FROM embeddings,
+                 LATERAL (SELECT generate_subscripts(embedding, 1) AS dim,
+                                 unnest(embedding) AS val) u
+        ),
+        s AS (
+            SELECT dim, COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS s1,
+                   CAST(CAST(SUM(CAST(v AS DECIMAL(18,9)) * CAST(v AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS s2,
+                   MIN(v) AS min_v, MAX(v) AS max_v
+            FROM flat GROUP BY dim
+        )
+        SELECT dim, CAST(n AS BIGINT) AS n, s1 / n AS mean_v,
+               (s2 - s1 * s1 / n) / n AS var_pop,
+               min_v, max_v
+        FROM s ORDER BY dim
+    """,
+)
+def vec_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature statistics over the embedding column —
+    the profiling pass behind feature standardization, dead-dimension
+    detection, and quantization range calibration. posexplode flattens
+    (vector, dim) map-side; ONE hash agg on the dim key (64 groups)
+    carries decimal-exact power sums, and variance assembles in IEEE
+    doubles from identical inputs on both engines. Shuffle volume is
+    |dims| x partials, never the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        F.posexplode("embedding").alias("dim", "val")
+    ).select("dim", F.col("val").cast("double").alias("v"))
+    # (18,9) factors: the squared product lands at DECIMAL(37,18) —
+    # within precision 38 in BOTH engines, so every product and sum is
+    # exact (a (30,10) factor would overflow 38 on multiply and each
+    # engine rescales/rounds differently)
+    vd = F.col("v").cast("decimal(18,9)")
+    s = flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vd).cast("double").alias("s1"),
+        F.sum(vd * vd).cast("double").alias("s2"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        "dim",
+        "n",
+        (F.col("s1") / n).alias("mean_v"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / n) / n).alias("var_pop"),
+        "min_v",
+        "max_v",
+    ).orderBy("dim")
