@@ -1679,3 +1679,93 @@ def cur_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+@register(
+    "cur_incremental_join_view",
+    tags=("curation", "incremental", "join", "scale"),
+    oracle=f"""
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               {o_dsum('l.l_extendedprice')} AS revenue
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+)
+def cur_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (classic IVM delta rule):
+    with O = O0 ∪ dO and L = L0 ∪ dL, the join delta is
+
+        d(O ⋈ L) = (dO ⋈ L0) ∪ (O0 ⋈ dL) ∪ (dO ⋈ dL)
+
+    so the refresh never re-joins O0 ⋈ L0 — it scans the deltas and
+    joins each against the OLD other side. The base view is persisted
+    as (key, count, decimal-sum) partials; the three delta terms
+    aggregate to partials the same way, and the exact associativity of
+    count/decimal-sum makes merged == full recompute bit-for-bit (the
+    oracle recomputes the full join from scratch). Deltas here are a
+    deterministic md5 10% slice of each table, standing in for a CDC
+    batch. At 100 TB: refresh cost is O(|delta| join-probes against
+    the base), not O(|base|²-ish full re-join), and every term joins
+    on the same l_orderkey=o_orderkey key, so one co-partitioning
+    serves all three."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(30,10)").alias("price"),
+    )
+    o_new = F.pmod(F.xxhash64(F.md5(F.col("o_orderkey").cast("string"))), F.lit(10)) == 0
+    l_new = (
+        F.pmod(
+            F.xxhash64(
+                F.md5(
+                    F.concat_ws(
+                        "#",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                )
+            ),
+            F.lit(10),
+        )
+        == 0
+    )
+    o0, d_o = o.filter(~o_new), o.filter(o_new)
+    l0, d_l = li.filter(~l_new), li.filter(l_new)
+
+    def partials(orders_side: DataFrame, items_side: DataFrame) -> DataFrame:
+        return (
+            orders_side.join(
+                items_side, items_side.l_orderkey == orders_side.o_orderkey
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum("price").alias("dec_revenue"),
+            )
+        )
+
+    mv_path = tempfile.mkdtemp(prefix="join_mv_")
+    partials(o0, l0).write.mode("overwrite").parquet(mv_path)
+
+    stored = spark.read.parquet(mv_path)
+    delta_terms = (
+        partials(d_o, l0)
+        .unionByName(partials(o0, d_l))
+        .unionByName(partials(d_o, d_l))
+    )
+    return (
+        stored.unionByName(delta_terms)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_items").alias("n_items"),
+            F.sum("dec_revenue").cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

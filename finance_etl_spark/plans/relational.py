@@ -2673,3 +2673,108 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 150000.0, "status": "F"},
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketches: mergeable distinct sketches that —
+# unlike HLL — also support INTERSECTION estimation via the union
+# estimate and inclusion-exclusion.
+
+_KMV_K = 256
+
+
+def kmv_sketches(
+    df: DataFrame, group_col: str, key_col: str, k: int = _KMV_K
+) -> DataFrame:
+    """(group, h, rn): the k smallest normalized 63-bit hashes of the
+    DISTINCT keys per group. Build is scale-safe: one distinct shuffle
+    on (group, key), then a hash-partitioned window keeps k rows per
+    group — sketch size is k·|groups| regardless of data volume, and
+    sketches of shards merge by 'union hashes, keep k smallest' (the
+    KMV merge rule), so partial sketches combine like any agg."""
+    return (
+        df.select(F.col(group_col).alias("grp"), F.col(key_col).alias("key"))
+        .distinct()
+        .select(
+            "grp",
+            # md5->xxhash64, top bit cleared: uniform on [0, 2^63)
+            F.shiftrightunsigned(
+                F.xxhash64(F.md5(F.col("key").cast("string"))), 1
+            ).alias("h"),
+        )
+        .withColumn("rn", F.row_number().over(Window.partitionBy("grp").orderBy("h")))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def _kmv_estimate(n_rows, kth_h, k: int):
+    """(k-1)/x_(k) when the sketch is full, exact count otherwise."""
+    frac = kth_h.cast("double") / F.lit(float(1 << 63))
+    return F.when(n_rows < k, n_rows.cast("double")).otherwise(
+        F.lit(float(k - 1)) / frac
+    )
+
+
+@register("agg_kmv_intersection_sketch", tags=("agg", "sketch", "approx"))
+def agg_kmv_intersection_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation: per-priority DISTINCT customer
+    sets as KMV sketches, then for every priority pair the union
+    estimate from the MERGED sketch (k smallest of the combined
+    hashes) and the intersection via inclusion-exclusion — no exact
+    pairwise distinct-intersection job, which at 100 TB would be a
+    |pairs| × corpus shuffle. Work after the one distinct pass is
+    O(|groups|² · k). Error ~ 1/sqrt(k) ≈ 6% at k=256; bound pinned
+    in tests/test_sketches.py against exact counts."""
+    k = _KMV_K
+    o = load_table(spark, sf_dir, "orders")
+    sk = kmv_sketches(o, "o_orderpriority", "o_custkey", k).persist()
+    per_group = sk.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.max("h").alias("kth")
+    )
+    est_g = per_group.select(
+        "grp", _kmv_estimate(F.col("n"), F.col("kth"), k).alias("est")
+    )
+    pairs = (
+        est_g.select(F.col("grp").alias("grp_a"), F.col("est").alias("est_a"))
+        .crossJoin(
+            est_g.select(F.col("grp").alias("grp_b"), F.col("est").alias("est_b"))
+        )
+        .filter(F.col("grp_a") < F.col("grp_b"))
+    )
+    merged = (
+        sk.select(F.col("grp").alias("grp_a"), "h")
+        .join(pairs.select("grp_a", "grp_b"), "grp_a")
+        .unionByName(
+            sk.select(F.col("grp").alias("grp_b"), "h").join(
+                pairs.select("grp_a", "grp_b"), "grp_b"
+            ).select("grp_a", "h", "grp_b")
+        )
+        .select("grp_a", "grp_b", "h")
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("grp_a", "grp_b").orderBy("h")),
+        )
+        .filter(F.col("rn") <= k)
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("kth"))
+        .select(
+            "grp_a",
+            "grp_b",
+            _kmv_estimate(F.col("n"), F.col("kth"), k).alias("est_union"),
+        )
+    )
+    return (
+        pairs.join(merged, ["grp_a", "grp_b"])
+        .select(
+            "grp_a",
+            "grp_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+            ).alias("est_intersection"),
+        )
+        .orderBy("grp_a", "grp_b")
+    )
