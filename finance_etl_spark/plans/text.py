@@ -1096,3 +1096,84 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_spans"))
     )
+
+
+@register(
+    "text_collocation_lift",
+    tags=("text", "ngram", "stats"),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents
+        ),
+        uni AS (SELECT unnest(ts) AS tok FROM toks),
+        ucnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni),
+        pairs AS (
+            SELECT unnest(list_transform(
+                       range(1, len(ts)),
+                       i -> struct_pack(a := ts[i], b := ts[i + 1]))) AS p
+            FROM toks WHERE len(ts) >= 2
+        ),
+        pc AS (
+            SELECT p.a AS tok_a, p.b AS tok_b,
+                   CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM pairs GROUP BY 1, 2
+        )
+        SELECT tok_a, tok_b, c_ab, ca.c AS c_a, cb.c AS c_b,
+               (CAST(tot.n AS DOUBLE) * c_ab)
+                   / (CAST(ca.c AS DOUBLE) * cb.c) AS lift
+        FROM pc
+        JOIN ucnt ca ON ca.tok = pc.tok_a
+        JOIN ucnt cb ON cb.tok = pc.tok_b
+        CROSS JOIN tot
+        WHERE c_ab >= 5
+        ORDER BY c_ab DESC, tok_a, tok_b
+        LIMIT 20
+    """,
+)
+def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: adjacent-bigram counts with pointwise LIFT
+    N·c(a,b) / (c(a)·c(b)) — the transcendental-free core of PMI (PMI
+    = log lift), so the ranking is identical and the output stays
+    fully oracle-checkable. Pairs are built MAP-SIDE from the filtered
+    token array (no positional self-join over the corpus); the only
+    corpus-scale shuffles are the two count aggs (bigram key, unigram
+    key); the lift join runs vocab-sized relations and the corpus
+    total rides a 1-row broadcast. All inputs to the one double
+    division are exact integer counts — cross-engine bit-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    pair_arr = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.get(toks, i).alias("a"), F.get(toks, i + 1).alias("b")
+        ),
+    )
+    safe_pairs = F.when(F.size(toks) >= 2, pair_arr).otherwise(
+        F.array().cast("array<struct<a:string,b:string>>")
+    )
+    base = d.select(toks.alias("ts"))
+    uni = base.select(F.explode("ts").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n"))
+    pc = (
+        d.select(F.explode(safe_pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    ca = ucnt.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    cb = ucnt.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    lift = (F.col("n").cast("double") * F.col("c_ab")) / (
+        F.col("c_a").cast("double") * F.col("c_b")
+    )
+    return (
+        pc.join(ca, "tok_a")
+        .join(cb, "tok_b")
+        .crossJoin(F.broadcast(tot))
+        .select("tok_a", "tok_b", "c_ab", "c_a", "c_b", lift.alias("lift"))
+        .orderBy(F.col("c_ab").desc(), "tok_a", "tok_b")
+        .limit(20)
+    )

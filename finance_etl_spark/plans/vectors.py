@@ -1095,3 +1095,86 @@ def vec_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_v",
         "max_v",
     ).orderBy("dim")
+
+
+@register(
+    "vec_retrieval_eval",
+    tags=("vector", "similarity", "eval"),
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 20
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, q.label AS q_label,
+                   e.vec_id AS neighbor_id,
+                   (e.label = q.label) AS is_rel,
+                   {_cos('q.embedding', 'e.embedding')} AS cos_sim
+            FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+        ),
+        ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id,
+               ANY_VALUE(q_label) AS label,
+               CAST(COUNT(*) FILTER (WHERE is_rel) AS BIGINT) AS n_relevant,
+               CAST(MIN(CASE WHEN is_rel THEN rank END) AS INT)
+                   AS first_rel_rank,
+               COALESCE(CAST(1 AS DOUBLE)
+                   / MIN(CASE WHEN is_rel THEN rank END), 0.0)
+                   AS reciprocal_rank,
+               CAST(COUNT(*) FILTER (WHERE is_rel AND rank <= 10) AS BIGINT)
+                   AS hits_at_10,
+               CAST(COUNT(*) FILTER (WHERE is_rel AND rank <= 10) AS DOUBLE)
+                   / LEAST(10, COUNT(*) FILTER (WHERE is_rel))
+                   AS recall_at_10
+        FROM ranked
+        GROUP BY query_id
+        ORDER BY query_id
+    """,
+)
+def vec_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation harness (the metric pass behind
+    every embedding-model comparison): label-relevance ranking metrics
+    — first-relevant rank, reciprocal rank (MRR per query), hits@10,
+    recall@10 — computed from the exact-fold cosine ranking. Queries
+    broadcast against one linear scan of the vector table; metrics are
+    one hash agg per query over integer counts, so every output is
+    cross-engine exact (the only division is ints-cast-to-double)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "q_label",
+        F.col("vec_id").alias("neighbor_id"),
+        (F.col("label") == F.col("q_label")).alias("is_rel"),
+        cosine("q_emb", "embedding").alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    rel_rank = F.min(F.when(F.col("is_rel"), F.col("rank")))
+    hits10 = F.count_if(F.col("is_rel") & (F.col("rank") <= 10))
+    n_rel = F.count_if(F.col("is_rel"))
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.any_value("q_label").alias("label"),
+            n_rel.alias("n_relevant"),
+            rel_rank.cast("int").alias("first_rel_rank"),
+            F.coalesce(
+                F.lit(1).cast("double") / rel_rank, F.lit(0.0)
+            ).alias("reciprocal_rank"),
+            hits10.alias("hits_at_10"),
+            (hits10.cast("double") / F.least(F.lit(10), n_rel)).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("query_id")
+    )
