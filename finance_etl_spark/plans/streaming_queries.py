@@ -670,3 +670,79 @@ def stream_live_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_purchase",
         "last_purchase",
     )
+
+
+@register(
+    "stream_live_stream_full_outer",
+    tags=("streaming", "live", "join", "outer"),
+    oracle="""
+        WITH clicks AS (
+            SELECT event_id AS click_id, user_id, ts AS cts
+            FROM events WHERE event_type = 'click'
+        ), purchases AS (
+            SELECT event_id AS purchase_id, user_id AS pu, ts AS pts
+            FROM events WHERE event_type = 'purchase'
+        ), wm AS (
+            SELECT least((SELECT MAX(cts) FROM clicks),
+                         (SELECT MAX(pts) FROM purchases))
+                   - INTERVAL 1 HOUR AS w
+        )
+        SELECT click_id, purchase_id,
+               COALESCE(user_id, pu) AS user_id
+        FROM clicks c FULL OUTER JOIN purchases p
+          ON c.user_id = p.pu
+         AND p.pts >= c.cts
+         AND p.pts <= c.cts + INTERVAL 1 HOUR
+        WHERE (click_id IS NOT NULL AND purchase_id IS NOT NULL)
+           OR (purchase_id IS NULL
+               AND cts + INTERVAL 1 HOUR < (SELECT w FROM wm))
+           OR (click_id IS NULL AND pts < (SELECT w FROM wm))
+    """,
+)
+def stream_live_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: matches emit on match;
+    each side's unmatched rows null-pad exactly when that side's join
+    state expires. The eviction times are ASYMMETRIC — a click can
+    still match purchases up to click_ts + 1h, so its null row waits
+    for watermark > click_ts + 1h, while a purchase can only match
+    clicks at or before purchase_ts, so it evicts already at watermark
+    > purchase_ts. The oracle encodes both rules against the final
+    global watermark (min over both inputs of max-ts minus the 1h
+    delay), checking the engine's real two-sided emission contract.
+    State stays bounded on both sides at any stream length."""
+    from finance_etl_spark.streaming.runner import events_stream, run_stream_to_memory
+
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("user_id"), F.col("p_user")).alias("user_id"),
+    )
+    return run_stream_to_memory(
+        joined, f"live_fo_{uuid.uuid4().hex[:8]}", mode="append"
+    )
