@@ -1769,3 +1769,110 @@ def cur_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_ER_RECS_SQL = """
+        SELECT k * 3 AS record_id, name FROM (
+            SELECT p_partkey AS k, p_name AS name FROM part WHERE p_partkey <= 200
+        )
+        UNION ALL
+        SELECT k * 3 + 1,
+               substr(name, 1, (k % length(name)))
+                   || substr(name, (k % length(name)) + 2)
+        FROM (SELECT p_partkey AS k, p_name AS name FROM part WHERE p_partkey <= 200)
+        UNION ALL
+        SELECT k * 3 + 2, name || 'x'
+        FROM (SELECT p_partkey AS k, p_name AS name FROM part WHERE p_partkey <= 200)
+"""
+
+
+@register(
+    "cur_entity_resolution",
+    tags=("curation", "dedup", "entity-resolution", "iterative"),
+    oracle=f"""
+        WITH RECURSIVE
+        recs AS ({_ER_RECS_SQL}),
+        pairs AS (
+            SELECT a.record_id AS ia, b.record_id AS ib
+            FROM recs a JOIN recs b ON a.record_id < b.record_id
+            WHERE levenshtein(a.name, b.name) <= 1
+        ),
+        edges AS (
+            SELECT ia AS a, ib AS b FROM pairs
+            UNION
+            SELECT ib AS a, ia AS b FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        lab AS (
+            SELECT a AS record_id, LEAST(a, MIN(b)) AS cluster_id
+            FROM reach GROUP BY a
+        ),
+        full_lab AS (
+            SELECT r.record_id,
+                   COALESCE(lab.cluster_id, r.record_id) AS cluster_id
+            FROM recs r LEFT JOIN lab ON lab.record_id = r.record_id
+        )
+        SELECT f.cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_records,
+               ANY_VALUE(c.name) AS canonical_name
+        FROM full_lab f
+        JOIN recs c ON c.record_id = f.cluster_id
+        GROUP BY f.cluster_id
+        ORDER BY f.cluster_id
+    """,
+)
+def cur_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: dirty records (each part name
+    plus a deterministic one-char-deletion variant and an appended-char
+    variant) -> deletion-neighborhood BLOCKING (linear candidate
+    generation, operators/dedup.py::edit1_candidate_pairs — never the
+    oracle's quadratic all-pairs levenshtein) -> exact edit-distance
+    verify -> connected components (iterative min-label propagation)
+    -> survivorship: cluster id = min record id, canonical name from
+    the surviving record. Singletons that matched nothing keep their
+    own record as the cluster. The composed pipeline is exactly the
+    blocking/matching/clustering/survivorship stack of a production
+    MDM/dedup system, each stage individually scale-safe."""
+    from finance_etl_spark.operators.dedup import edit1_candidate_pairs
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    k, name = F.col("p_partkey"), F.col("p_name")
+    del_pos = F.pmod(k, F.length(name)) + 1
+    v0 = p.select((k * 3).alias("record_id"), name.alias("name"))
+    v1 = p.select(
+        (k * 3 + 1).alias("record_id"),
+        F.concat(
+            name.substr(F.lit(1), del_pos - 1),
+            name.substr(del_pos + 1, F.length(name)),
+        ).alias("name"),
+    )
+    v2 = p.select(
+        (k * 3 + 2).alias("record_id"), F.concat(name, F.lit("x")).alias("name")
+    )
+    recs = v0.unionByName(v1).unionByName(v2)
+    pairs = edit1_candidate_pairs(recs, "record_id", "name")
+    comp = connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    labeled = (
+        recs.join(comp, recs.record_id == comp.node, "left")
+        .select(
+            "record_id",
+            "name",
+            F.coalesce(F.col("component_id"), F.col("record_id")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    canon = labeled.filter(F.col("record_id") == F.col("cluster_id")).select(
+        "cluster_id", F.col("name").alias("canonical_name")
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .join(canon, "cluster_id")
+        .select("cluster_id", "n_records", "canonical_name")
+        .orderBy("cluster_id")
+    )
