@@ -18,6 +18,8 @@ dsum contract from plans/registry.py.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1876,3 +1878,50 @@ def cur_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", "n_records", "canonical_name")
         .orderBy("cluster_id")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col,
+    n: int,
+    key_cols: Sequence[str],
+    salt: str = "ws0",
+) -> DataFrame:
+    """Exactly-n weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws u ~ U(0,1) from an md5 hash of its
+    key (+ salt) and is ranked by u^(1/w) — equivalently, by the
+    exponential key -ln(u)/w ascending, which avoids pow(). The top-n
+    by that key is a provably weight-proportional sample, computed as
+    TakeOrderedAndProject (per-partition heaps, n rows to the driver
+    stage) — one pass, no full sort, deterministic for a given salt
+    under any partitioning (hash-derived u, no RNG state).
+
+    ln() is libm-territory, so results are engine-local (rows-only);
+    the weight-proportionality and determinism contracts are pinned in
+    tests/test_weighted_sample.py."""
+    h = F.shiftrightunsigned(
+        F.xxhash64(F.md5(F.concat_ws("#", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]))), 1
+    )
+    # u in (0,1]: (h+1) / 2^63 — never 0, so ln(u) is finite
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 63))
+    ekey = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("__ekey", ekey)
+        .orderBy(F.col("__ekey").asc(), *[F.col(c) for c in key_cols])
+        .limit(n)
+        .drop("__ekey")
+    )
+
+
+@register("cur_weighted_sample", tags=("curation", "sampling"))
+def cur_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional exactly-200 order sample, weighted by order
+    value — the 'sample important data more' primitive behind loss-
+    weighted corpus subsampling and stratified eval-set construction."""
+    o = load_table(spark, sf_dir, "orders")
+    return weighted_sample(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_totalprice",
+        200,
+        ["o_orderkey"],
+    ).orderBy("o_orderkey")

@@ -278,3 +278,58 @@ def sink_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in snaps[1:]:
         out = out.unionByName(s)
     return out.orderBy("version")
+
+
+@register(
+    "sink_manifest_count_pushdown",
+    tags=("sink", "tableformat", "scale"),
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate BETWEEN DATE '1994-01-01' AND DATE '1996-12-31'
+    """,
+)
+def sink_manifest_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT answering: on a range-clustered table a
+    date-range COUNT(*) decomposes into (a) files fully CONTAINED in
+    the predicate interval — their row counts come straight from the
+    manifest, zero data I/O — plus (b) the at-most-two boundary files,
+    which alone are scanned with the residual filter. For a 3-year
+    predicate over a 7-year table this answers ~43% of the table from
+    kilobytes of footer metadata; the oracle recomputes the count from
+    a full scan. The same decomposition serves MIN/MAX and any
+    per-file-aggregable statistic."""
+    import datetime as dt
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    out = tempfile.mkdtemp(prefix="meta_count_")
+    (
+        li.repartitionByRange(16, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    manifest = file_stats_manifest(out, ["l_shipdate"])
+    lo, hi = dt.date(1994, 1, 1), dt.date(1996, 12, 31)
+    contained = [
+        m for m in manifest
+        if m["min_l_shipdate"] is not None
+        and m["min_l_shipdate"] >= lo
+        and m["max_l_shipdate"] <= hi
+    ]
+    contained_paths = {m["path"] for m in contained}
+    meta_rows = sum(m["n_rows"] for m in contained)
+    boundary = [
+        p for p in prune_files(manifest, "l_shipdate", lo, hi)
+        if p not in contained_paths
+    ]
+    if boundary:
+        scanned = spark.read.parquet(*boundary).filter(
+            F.col("l_shipdate").between(F.lit(lo), F.lit(hi))
+        )
+        return scanned.agg(
+            (F.count(F.lit(1)) + F.lit(meta_rows)).alias("n_rows")
+        )
+    return spark.range(1).select(F.lit(meta_rows).cast("long").alias("n_rows"))
