@@ -101,6 +101,17 @@ _AUDIT_EXCLUDE = {
     # the row-at-a-time exception: Python UDTFs evaluate via
     # BatchEvalPython by API design; the demo is bounded and documented
     "udf_table_function_tokens",
+    # round-3 eager builds: filesystem sinks/manifests, iterative
+    # loops, streams, persist+count pipelines (dedicated tests exist
+    # in test_tableformat/test_tokenizer/test_sketches/test_multimodal)
+    "sink_file_stats_skipping",
+    "sink_snapshot_time_travel",
+    "sink_manifest_count_pushdown",
+    "cur_incremental_join_view",
+    "cur_entity_resolution",
+    "text_bpe_train_merges",
+    "agg_kmv_intersection_sketch",
+    "stream_live_stream_full_outer",
 }
 _NO_CARTESIAN_AUDIT = sorted(set(plans.all_queries()) - _AUDIT_EXCLUDE)
 
@@ -547,3 +558,39 @@ def test_conf_juggling_queries_restore_session_state(spark, sf_dir):
         df = plans.get(name).build(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         assert snapshot() == before, f"{name} leaked a session conf"
+
+
+def test_url_dedup_single_hash_shuffle_plus_presentation_sort(spark, sf_dir):
+    p = plan_str(plans.get("cur_url_dedup").build(spark, sf_dir), mode="simple")
+    # one hash exchange for the canonical-key agg + one range exchange
+    # for the presentation ORDER BY — the string surgery itself must
+    # add no shuffle
+    assert p.count("Exchange") <= 2
+    assert "hashpartitioning(canonical_url" in p
+    assert "CartesianProduct" not in p
+
+
+def test_dim_stats_single_agg_exchange(spark, sf_dir):
+    p = plan_str(plans.get("vec_dim_stats").build(spark, sf_dir), mode="simple")
+    # posexplode is map-side (Generate), stats ride ONE partial/final
+    # hash-agg pair on the 64-dim key
+    assert "Generate" in p
+    assert p.count("Exchange") <= 2  # agg + presentation sort
+    assert "CartesianProduct" not in p
+
+
+def test_collocation_pairs_built_map_side(spark, sf_dir):
+    p = plan_str(plans.get("text_collocation_lift").build(spark, sf_dir))
+    # adjacent pairs come from transform+explode (Generate), NEVER a
+    # positional self-join of the exploded corpus
+    assert "Generate" in p
+    assert "CartesianProduct" not in p
+
+
+def test_retrieval_eval_broadcasts_queries(spark, sf_dir):
+    p = plan_str(plans.get("vec_retrieval_eval").build(spark, sf_dir))
+    # query set broadcast against one linear scan; ranking window
+    # hash-partitioned per query
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "hashpartitioning(query_id" in p
