@@ -1925,3 +1925,88 @@ def cur_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         200,
         ["o_orderkey"],
     ).orderBy("o_orderkey")
+
+
+def _fk_pair_sql(child_t, child_c, parent_t, parent_c):
+    return f"""
+        SELECT '{child_t}.{child_c}' AS child_col,
+               '{parent_t}.{parent_c}' AS parent_col,
+               (SELECT CAST(COUNT(DISTINCT {child_c}) AS BIGINT)
+                FROM {child_t}) AS n_child_distinct,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                   (SELECT DISTINCT {child_c} FROM {child_t}) c
+                WHERE EXISTS (SELECT 1 FROM {parent_t} p
+                              WHERE p.{parent_c} = c.{child_c}))
+                   AS n_contained,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                   (SELECT DISTINCT {child_c} FROM {child_t}) c
+                WHERE EXISTS (SELECT 1 FROM {parent_t} p
+                              WHERE p.{parent_c} = c.{child_c}))
+                   = (SELECT COUNT(DISTINCT {child_c}) FROM {child_t})
+               AND
+               (SELECT COUNT(DISTINCT {parent_c}) FROM {parent_t})
+                   = (SELECT COUNT(*) FROM {parent_t})
+                   AS is_fk
+    """
+
+
+@register(
+    "dq_fk_inference",
+    tags=("quality", "discovery", "join"),
+    oracle=" UNION ALL ".join(
+        [
+            _fk_pair_sql("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            _fk_pair_sql("orders", "o_custkey", "customer", "c_custkey"),
+            _fk_pair_sql("customer", "c_nationkey", "nation", "n_nationkey"),
+            _fk_pair_sql("orders", "o_orderkey", "customer", "c_custkey"),
+        ]
+    )
+    + " ORDER BY child_col, parent_col",
+)
+def dq_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key relationship DISCOVERY by containment analysis: for
+    each candidate (child column, parent column) pair, compute the
+    child's distinct cardinality, how many of those values the parent
+    contains (distinct-set semi join), and whether the evidence proves
+    an FK — full containment AND parent-side uniqueness. Three true
+    FKs of the star schema plus one negative control. Everything runs
+    on DISTINCT key sets (dimension-sized after the first distinct
+    agg), so the audit touches each fact column once regardless of
+    table volume — the schema-inference pass a lakehouse catalog runs
+    over unfamiliar data."""
+    cases = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("orders", "o_orderkey", "customer", "c_custkey"),
+    ]
+    out = None
+    for ct, cc, pt, pc in cases:
+        child = load_table(spark, sf_dir, ct).select(cc).distinct()
+        parent = load_table(spark, sf_dir, pt)
+        p_stats = parent.agg(
+            F.countDistinct(pc).alias("p_distinct"),
+            F.count(F.lit(1)).alias("p_rows"),
+        )
+        contained = child.join(
+            parent.select(pc).distinct(),
+            child[cc] == F.col(pc),
+            "left_semi",
+        )
+        row = (
+            child.agg(F.count(F.lit(1)).alias("n_child_distinct"))
+            .crossJoin(contained.agg(F.count(F.lit(1)).alias("n_contained")))
+            .crossJoin(F.broadcast(p_stats))
+            .select(
+                F.lit(f"{ct}.{cc}").alias("child_col"),
+                F.lit(f"{pt}.{pc}").alias("parent_col"),
+                "n_child_distinct",
+                "n_contained",
+                (
+                    (F.col("n_contained") == F.col("n_child_distinct"))
+                    & (F.col("p_distinct") == F.col("p_rows"))
+                ).alias("is_fk"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("child_col", "parent_col")

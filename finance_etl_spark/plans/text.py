@@ -1177,3 +1177,74 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c_ab").desc(), "tok_a", "tok_b")
         .limit(20)
     )
+
+
+@register(
+    "text_containment_pairs",
+    tags=("text", "dedup", "similarity"),
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+        rare AS (SELECT shingle FROM sh2 GROUP BY shingle HAVING COUNT(*) <= 50),
+        idx AS (SELECT s.doc_id, s.shingle FROM sh2 s JOIN rare r ON s.shingle = r.shingle),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+            FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        directed AS (
+            SELECT id_a AS src_id, id_b AS dst_id, n_common FROM common
+            UNION ALL
+            SELECT id_b, id_a, n_common FROM common
+        )
+        SELECT d.src_id, d.dst_id, d.n_common,
+               CAST(d.n_common AS DOUBLE) / s.n_sh AS containment
+        FROM directed d JOIN sizes s ON s.doc_id = d.src_id
+        WHERE CAST(d.n_common AS DOUBLE) / s.n_sh >= 0.9
+    """,
+)
+def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle-set containment
+    |S_src ∩ S_dst| / |S_src| >= 0.9 — the quote-inclusion/subset-
+    duplicate relation that symmetric Jaccard misses entirely (a short
+    doc pasted inside a long one has containment ~1 but Jaccard ~
+    |short|/|long|). Same df-capped inverted-index candidate machinery
+    as the Jaccard pair search — the directed expansion happens on the
+    pair-count relation (2 rows per undirected pair), never on the
+    corpus."""
+    from finance_etl_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, "doc_id", "text", n=3)
+    rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 50
+    )
+    idx = sh.join(rare.select("shingle"), "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = idx.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = idx.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    directed = common.select(
+        F.col("id_a").alias("src_id"), F.col("id_b").alias("dst_id"), "n_common"
+    ).unionByName(
+        common.select(
+            F.col("id_b").alias("src_id"), F.col("id_a").alias("dst_id"), "n_common"
+        )
+    )
+    cont = F.col("n_common") / F.col("n_sh")
+    return (
+        directed.join(sizes, directed.src_id == sizes.doc_id)
+        .filter(cont >= 0.9)
+        .select("src_id", "dst_id", "n_common", cont.alias("containment"))
+    )
