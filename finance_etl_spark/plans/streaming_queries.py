@@ -746,3 +746,99 @@ def stream_live_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_stream_to_memory(
         joined, f"live_fo_{uuid.uuid4().hex[:8]}", mode="append"
     )
+
+
+@register(
+    "stream_live_cdc_to_snapshot",
+    tags=("streaming", "live", "cdc", "tableformat"),
+    oracle="""
+        WITH ticks AS (
+            SELECT i AS tick_id,
+                   100.0 + ((i * 2654435761) % 2001 - 1000) / 100.0 AS px
+            FROM range(0, 500) t(i)
+        ),
+        latest AS (
+            SELECT tick_id % 50 AS instrument, tick_id, px,
+                   ROW_NUMBER() OVER (PARTITION BY tick_id % 50
+                                      ORDER BY tick_id DESC) AS rn
+            FROM ticks
+        )
+        SELECT CAST(instrument AS BIGINT) AS instrument,
+               CAST(tick_id AS BIGINT) AS last_tick,
+               px AS last_px
+        FROM latest WHERE rn = 1
+        ORDER BY instrument
+    """,
+)
+def stream_live_cdc_to_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC stream applied as VERSIONED SNAPSHOTS: each microbatch of
+    the Python tick source (5 batches of 100) compacts to latest-per-
+    instrument, merges with the previous published snapshot, and
+    commits a new manifest version (plans/tableformat.py) — so mid-
+    stream history stays time-travelable while readers always see a
+    consistent manifest, never a half-written directory. The merge is
+    max-by-tick_id per key over (previous snapshot ∪ batch compaction)
+    — O(|dim| + |batch|) per commit, not O(stream). The oracle
+    reconstructs the final snapshot from the tick function; per-
+    version contracts (count, v1 content, immutability) are pinned in
+    tests/test_tableformat.py."""
+    import tempfile
+
+    from finance_etl_spark.io.ticksource import TickDataSource
+    from finance_etl_spark.plans.tableformat import read_snapshot, versioned_replace
+
+    try:
+        spark.dataSource.register(TickDataSource)
+    except Exception:
+        pass
+    root = tempfile.mkdtemp(prefix="cdc_snap_")
+    state = {"version": 0}
+
+    def apply_batch(df: DataFrame, _eid: int) -> None:
+        comp = (
+            df.withColumn("instrument", F.col("tick_id") % 50)
+            .groupBy("instrument")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col("tick_id").alias("last_tick"),
+                        F.col("px").alias("last_px"),
+                    ),
+                    F.col("tick_id"),
+                ).alias("s")
+            )
+            .select("instrument", "s.last_tick", "s.last_px")
+        )
+        if comp.isEmpty():
+            return
+        if state["version"] > 0:
+            prev = read_snapshot(spark, root, state["version"])
+            comp = (
+                prev.unionByName(comp)
+                .groupBy("instrument")
+                .agg(
+                    F.max_by(
+                        F.struct("last_tick", "last_px"), F.col("last_tick")
+                    ).alias("s")
+                )
+                .select("instrument", "s.last_tick", "s.last_px")
+            )
+        state["version"] = versioned_replace(
+            spark, root, state["version"], comp
+        )
+
+    raw = (
+        spark.readStream.format("ticks")
+        .option("batch_rows", 100)
+        .option("max_rows", 500)
+        .load()
+    )
+    q = (
+        raw.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cdc_ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    return read_snapshot(spark, root, state["version"]).orderBy("instrument")

@@ -333,3 +333,16 @@ def sink_manifest_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) + F.lit(meta_rows)).alias("n_rows")
         )
     return spark.range(1).select(F.lit(meta_rows).cast("long").alias("n_rows"))
+
+
+def versioned_replace(
+    spark: SparkSession, root: str, version: int, df: DataFrame, n_files: int = 2
+) -> int:
+    """Replace commit: publish a manifest of ONLY the newly-written
+    files (full-snapshot semantics — the CDC-compaction commit shape
+    for dimension-sized tables). Old versions keep referencing their
+    own files, so time travel across replaces still works."""
+    rw_dir = tempfile.mkdtemp(prefix=f"snap_repl_v{version + 1}_", dir=root)
+    df.repartition(n_files).write.mode("overwrite").parquet(rw_dir)
+    _write_snapshot(root, version + 1, _data_files(rw_dir))
+    return version + 1

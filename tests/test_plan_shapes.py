@@ -112,6 +112,8 @@ _AUDIT_EXCLUDE = {
     "text_bpe_train_merges",
     "agg_kmv_intersection_sketch",
     "stream_live_stream_full_outer",
+    "stream_live_cdc_to_snapshot",
+    "dq_fk_inference",
 }
 _NO_CARTESIAN_AUDIT = sorted(set(plans.all_queries()) - _AUDIT_EXCLUDE)
 

@@ -123,3 +123,17 @@ def test_delete_rewrites_only_overlapping_files(spark, sf_dir):
         F.sum("o_orderkey")
     ).collect()[0][0]
     assert v1_after == v1_before
+
+
+def test_cdc_snapshot_versions_and_time_travel(spark, sf_dir):
+    """The final CDC snapshot must hold every instrument's true last
+    tick, with prices matching the source's pure tick function."""
+    from finance_etl_spark import plans
+    from finance_etl_spark.io.ticksource import tick_price
+
+    out = plans.get("stream_live_cdc_to_snapshot").build(spark, sf_dir)
+    rows = {r.instrument: (r.last_tick, r.last_px) for r in out.collect()}
+    assert len(rows) == 50
+    for inst, (lt, px) in rows.items():
+        assert lt % 50 == inst and lt >= 450  # final batch touches all keys
+        assert abs(px - tick_price(lt)) < 1e-12
