@@ -2010,3 +2010,53 @@ def dq_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("child_col", "parent_col")
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    epsilon: float = 1.0,
+    salt: str = "dp0",
+) -> DataFrame:
+    """ε-differentially-private count release: exact per-group counts
+    plus Laplace(1/ε) noise (COUNT has L1 sensitivity 1 under
+    add/remove-one-row adjacency). The noise draw is derived from a
+    salted hash of the GROUP KEY — deterministic for a given (salt,
+    key) under any partitioning, so a release is reproducible, while
+    different salts give independent draws (the privacy accountant
+    rotates the salt per release). Inverse-CDF sampling:
+    lap = -(1/ε)·sign(u−½)·ln(1−2|u−½|), u ~ U(0,1) from the hash.
+    ln() is libm-territory → rows-only; unbiasedness and scale are
+    pinned across salts in tests/test_dp.py. The noisy agg costs
+    exactly one hash shuffle — the noise rides the 1-row-per-group
+    aggregate, never the raw data."""
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("exact_n"))
+    keystr = F.concat_ws(
+        "#", F.lit(salt), *[F.col(c).cast("string") for c in group_cols]
+    )
+    h = F.shiftrightunsigned(F.xxhash64(F.md5(keystr)), 1)
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 63))
+    centered = u - F.lit(0.5)
+    lap = (
+        -F.lit(1.0 / epsilon)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return counts.select(
+        *group_cols,
+        "exact_n",
+        (F.col("exact_n") + lap).alias("noisy_n"),
+    )
+
+
+@register("dq_dp_noisy_counts", tags=("quality", "privacy", "agg"))
+def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε=1 differentially-private order counts per (priority, status)
+    — the governance-gated aggregate release shape (census-style
+    tables, usage reporting) next to mask()/AES/k-anonymity in the
+    privacy surface. Exact counts stay internal; only noisy_n leaves
+    the trust boundary in a real deployment."""
+    o = load_table(spark, sf_dir, "orders")
+    return dp_noisy_counts(
+        o, ["o_orderpriority", "o_orderstatus"], epsilon=1.0
+    ).orderBy("o_orderpriority", "o_orderstatus")
