@@ -2778,3 +2778,188 @@ def agg_kmv_intersection_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp_a", "grp_b")
     )
+
+
+@register(
+    "agg_ab_test_ztest",
+    tags=("agg", "stats", "experiment"),
+    oracle="""
+        WITH assign AS (
+            SELECT DISTINCT user_id,
+                   CASE WHEN (strpos('0123456789abcdef',
+                              substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1)
+                             % 2 = 0
+                        THEN 'A' ELSE 'B' END AS arm
+            FROM events
+        ),
+        conv AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 150
+        ),
+        arms AS (
+            SELECT arm,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(COUNT(c.user_id) AS BIGINT) AS n_converted
+            FROM assign a LEFT JOIN conv c USING (user_id)
+            GROUP BY arm
+        ),
+        wide AS (
+            SELECT
+                (SELECT n_users FROM arms WHERE arm = 'A') AS n_a,
+                (SELECT n_converted FROM arms WHERE arm = 'A') AS c_a,
+                (SELECT n_users FROM arms WHERE arm = 'B') AS n_b,
+                (SELECT n_converted FROM arms WHERE arm = 'B') AS c_b
+        )
+        SELECT n_a, c_a, n_b, c_b,
+               CAST(c_a AS DOUBLE) / n_a AS rate_a,
+               CAST(c_b AS DOUBLE) / n_b AS rate_b,
+               (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)) AS z_stat
+        FROM wide
+    """,
+)
+def agg_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for experiment analysis: users md5-hash
+    into arms A/B (the same deterministic split gate as cur_hash_split
+    — assignment is reproducible and join-free), conversion = any
+    purchase event, and the pooled z-statistic assembles from integer
+    counts with only IEEE-exact ops (+,-,*,/,sqrt) — fully
+    oracle-checkable, unlike t-distribution p-values (erf is libm).
+    Two distinct aggs + one left join on the user key; no raw-event
+    shuffle beyond the per-user distincts.
+
+    NOTE on the hash: both engines compute arm = hash(md5(user_id)) %
+    2 where md5 yields the same hex string and the outer hash must
+    match too — Spark's xxhash64 and DuckDB's hash() differ, so the
+    arm gate uses the md5 hex's last nibble instead."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 32, 1), 16, 10)
+        .cast("int")
+        % 2
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    assign = ev.select("user_id").distinct().select("user_id", arm.alias("arm"))
+    # conversion = a HIGH-VALUE purchase: with this fixture every user
+    # eventually buys something, which would pool the rate to 1.0 and
+    # zero the z denominator — the interesting (and well-posed) test is
+    # the big-ticket conversion rate
+    conv = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    arms = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("converted").alias("n_converted"),
+        )
+    )
+    wide = (
+        arms.groupBy()
+        .pivot("arm", ["A", "B"])
+        .agg(F.first("n_users").alias("n"), F.first("n_converted").alias("c"))
+        .select(
+            F.col("A_n").alias("n_a"),
+            F.col("A_c").alias("c_a"),
+            F.col("B_n").alias("n_b"),
+            F.col("B_c").alias("c_b"),
+        )
+    )
+    ra = F.col("c_a").cast("double") / F.col("n_a")
+    rb = F.col("c_b").cast("double") / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (ra - rb) / F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a", "c_a", "n_b", "c_b",
+        ra.alias("rate_a"), rb.alias("rate_b"), z.alias("z_stat"),
+    )
+
+
+@register(
+    "agg_market_basket",
+    tags=("agg", "join", "association"),
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        n_ord AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
+        item_cnt AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY l_partkey
+        ),
+        pair_cnt AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        )
+        SELECT part_a, part_b, c_ab, ca.c AS c_a, cb.c AS c_b,
+               CAST(c_ab AS DOUBLE) / ca.c AS confidence_a_to_b,
+               (CAST(n_ord.n AS DOUBLE) * c_ab)
+                   / (CAST(ca.c AS DOUBLE) * cb.c) AS lift
+        FROM pair_cnt
+        JOIN item_cnt ca ON ca.l_partkey = part_a
+        JOIN item_cnt cb ON cb.l_partkey = part_b
+        CROSS JOIN n_ord
+        WHERE c_ab >= 2
+        ORDER BY c_ab DESC, part_a, part_b
+        LIMIT 20
+    """,
+)
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: co-occurrence counts of part
+    pairs within an order, with confidence and lift from exact integer
+    counts (one IEEE division each — cross-engine exact, same
+    transcendental-free trick as text_collocation_lift). The pair
+    self-join keys on l_orderkey, so fan-out is bounded by the per-
+    basket item count squared (≤ ~49 in this schema) — per-key
+    quadratic with a SMALL, schema-bounded key group, never corpus-
+    quadratic; the lift joins run on the |parts|-sized count relation
+    and the basket total rides a 1-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_ord = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    item_cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pair_cnt = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    ca = item_cnt.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a"))
+    cb = item_cnt.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b"))
+    lift = (F.col("n").cast("double") * F.col("c_ab")) / (
+        F.col("c_a").cast("double") * F.col("c_b")
+    )
+    return (
+        pair_cnt.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            "part_a", "part_b", "c_ab", "c_a", "c_b",
+            (F.col("c_ab").cast("double") / F.col("c_a")).alias(
+                "confidence_a_to_b"
+            ),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("c_ab").desc(), "part_a", "part_b")
+        .limit(20)
+    )
