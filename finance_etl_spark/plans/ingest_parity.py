@@ -1041,3 +1041,74 @@ def ingest_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("Payee").cast("int").alias("payee_len"),
         F.col("Payee").contains("\n").alias("has_newline"),
     )
+
+
+FW_DIR = str(REPO_ROOT / "fixtures" / "fixedwidth")
+
+# (name, start 1-based, length) — the mainframe-style layout legacy
+# banking feeds still ship: no delimiters, positions are the contract
+_FW_LAYOUT = [
+    ("account", 1, 20),
+    ("symbol", 21, 10),
+    ("quantity_milli", 31, 10),   # implied 3 decimal places
+    ("price_micro", 41, 10),      # implied 4 decimal places
+    ("as_of", 51, 8),             # yyyyMMdd
+]
+
+
+@register(
+    "ingest_fixed_width",
+    tags=("ingest", "source", "fixedwidth"),
+    oracle="""
+        WITH raw AS (
+            SELECT column0 AS line
+            FROM read_csv('__FW_DIR__/*.txt', header=false, delim=chr(1),
+                          columns={'column0': 'VARCHAR'})
+        ),
+        parsed AS (
+            SELECT trim(substr(line, 1, 20)) AS account,
+                   trim(substr(line, 21, 10)) AS symbol,
+                   CAST(substr(line, 31, 10) AS BIGINT) AS quantity_milli,
+                   CAST(substr(line, 41, 10) AS BIGINT) AS price_micro,
+                   strptime(substr(line, 51, 8), '%Y%m%d')::DATE AS as_of
+            FROM raw
+        )
+        SELECT account, symbol,
+               CAST(CAST(quantity_milli AS DECIMAL(18,3)) / 1000 AS DECIMAL(18,3))
+                   AS quantity,
+               CAST(CAST(price_micro AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4))
+                   AS price,
+               as_of
+        FROM parsed
+        ORDER BY account, symbol
+    """.replace("__FW_DIR__", FW_DIR),
+)
+def ingest_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (mainframe/positional) file ingestion — the other
+    legacy bank-feed format beside delimited CSV: read each line whole
+    (spark.read.text — no delimiter interpretation at all), then slice
+    columns by position with substring, trim padded text fields, and
+    scale implied-decimal integers into DECIMAL columns. The entire
+    parse is one codegen'd projection per line; layout is declared as
+    (name, start, length) data, so new record types are config, not
+    code — the same config-dispatch philosophy as the reference's CSV
+    ingest (utils/data_manager.py:161-170)."""
+    raw = spark.read.option("pathGlobFilter", "*.txt").text(FW_DIR)
+    cols = {
+        name: F.substring(F.col("value"), start, length)
+        for name, start, length in _FW_LAYOUT
+    }
+    return (
+        raw.select(
+            F.trim(cols["account"]).alias("account"),
+            F.trim(cols["symbol"]).alias("symbol"),
+            (cols["quantity_milli"].cast("bigint").cast("decimal(18,3)") / 1000)
+            .cast("decimal(18,3)")
+            .alias("quantity"),
+            (cols["price_micro"].cast("bigint").cast("decimal(18,4)") / 10000)
+            .cast("decimal(18,4)")
+            .alias("price"),
+            F.to_date(cols["as_of"], "yyyyMMdd").alias("as_of"),
+        )
+        .orderBy("account", "symbol")
+    )
