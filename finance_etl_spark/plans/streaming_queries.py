@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from finance_etl_spark.functions.money import dsum
@@ -842,3 +842,82 @@ def stream_live_cdc_to_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     q.awaitTermination(60)
     return read_snapshot(spark, root, state["version"]).orderBy("instrument")
+
+
+@register(
+    "stream_live_scd2_enrich",
+    tags=("streaming", "live", "scd2", "temporal-join"),
+    oracle="""
+        WITH purchases AS (
+            SELECT user_id, ts, event_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS INT) AS tier
+            FROM events WHERE event_type = 'purchase'
+        ),
+        dim AS (
+            SELECT user_id, tier, ts AS valid_from,
+                   LEAD(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to
+            FROM purchases
+        ),
+        clicks AS (
+            SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+        ),
+        enriched AS (
+            SELECT c.user_id, COALESCE(d.tier, 0) AS tier
+            FROM clicks c LEFT JOIN dim d
+              ON d.user_id = c.user_id
+             AND c.cts >= d.valid_from
+             AND (d.valid_to IS NULL OR c.cts < d.valid_to)
+        )
+        SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_clicks
+        FROM enriched GROUP BY tier ORDER BY tier
+    """,
+)
+def stream_live_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 enrichment of a LIVE stream: the dimension is
+    the user's loyalty tier — version n becomes valid at the user's
+    n-th purchase (SCD2 intervals built with one hash-partitioned
+    window over the purchase feed) — and each streaming click joins
+    the tier that was valid AT CLICK TIME, not the current one (the
+    training-serving-skew trap in feature pipelines). The stream-static
+    join is stateless per microbatch: equi on the user key plus the
+    interval-containment residual, fan-out bounded by versions-per-
+    user; clicks before any purchase enrich to tier 0 via the left
+    join. Oracle = the batch temporal join."""
+    from finance_etl_spark.streaming.runner import events_stream, run_stream_to_memory
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("tier"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("valid_to"),
+        )
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("cts"))
+    )
+    enriched = clicks.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("cts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("cts") < F.col("valid_to"))),
+        "left",
+    ).select("user_id", F.coalesce(F.col("tier"), F.lit(0)).alias("tier"))
+    drained = run_stream_to_memory(
+        enriched, f"live_scd2_{uuid.uuid4().hex[:8]}", mode="append"
+    )
+    return (
+        drained.groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .orderBy("tier")
+    )

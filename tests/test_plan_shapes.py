@@ -113,6 +113,7 @@ _AUDIT_EXCLUDE = {
     "agg_kmv_intersection_sketch",
     "stream_live_stream_full_outer",
     "stream_live_cdc_to_snapshot",
+    "stream_live_scd2_enrich",
     "dq_fk_inference",
 }
 _NO_CARTESIAN_AUDIT = sorted(set(plans.all_queries()) - _AUDIT_EXCLUDE)
