@@ -23,9 +23,12 @@ from finance_etl_spark.plans.registry import (  # noqa: F401
 # ROUND 4: move "tpch", "text", "vectors" to the END and front
 # "timeseries", "streaming_queries", "curation"; round 5 fronts
 # "multimodal", "udf_queries", "ingest_parity", "jdbc_queries",
-# "scalars"; round 6 fronts the relational tail (it has grown past
-# r02's verified 50). tools/check.py always sweeps all queries
-# regardless of order.
+# "scalars"; round 6 fronts the relational tail plus the round-3
+# modules "tableformat" and "tokenizer" (and the round-3 additions
+# appended to the ends of text/vectors/curation/relational/
+# streaming_queries — they sit past each module's original block, so
+# front the module AND verify its tail made the window).
+# tools/check.py always sweeps all queries regardless of order.
 import importlib
 
 for _mod in (
