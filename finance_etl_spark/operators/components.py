@@ -89,3 +89,61 @@ def connected_components(
         )
     finally:
         sym.unpersist()
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_rounds: int = 5,
+) -> DataFrame:
+    """(node, community_id) by synchronous label propagation with a
+    DETERMINISTIC update: each round every node adopts its
+    neighborhood's most frequent label, ties broken by the SMALLEST
+    label (plain max-frequency propagation is run-order-dependent —
+    this variant is reproducible under any partitioning). A fixed
+    round budget keeps the operator deterministic even on graphs where
+    propagation oscillates (bipartite-ish structures never converge
+    under synchronous updates).
+
+    Per round: one edge⋈label join, one (node, label) count agg, one
+    min_by pick — all hash-partitioned on node id, state is the
+    (node, label) relation, localCheckpoint per round bounds lineage
+    exactly as in connected_components above."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(n_rounds):
+            nbr = (
+                sym.join(labels, sym["b"] == labels["node"])
+                .groupBy(F.col("a").alias("n2"), "label")
+                .agg(F.count(F.lit(1)).alias("votes"))
+            )
+            # most frequent neighbor label, smallest label on ties:
+            # min_by over the (-votes, label) lexicographic struct
+            pick = nbr.groupBy(F.col("n2").alias("node")).agg(
+                F.min_by(
+                    "label", F.struct((-F.col("votes")).alias("nv"), "label")
+                ).alias("new_label")
+            )
+            labels = (
+                labels.join(pick, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("new_label", "label").alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return labels.select("node", F.col("label").alias("community_id"))
+    finally:
+        sym.unpersist()

@@ -25,7 +25,10 @@ from pyspark.sql import functions as F
 
 import finance_etl_spark.plans.text  # noqa: F401  (registers the pairs query)
 from finance_etl_spark.io.readers import load_table
-from finance_etl_spark.operators.components import connected_components
+from finance_etl_spark.operators.components import (
+    connected_components,
+    label_propagation,
+)
 from finance_etl_spark.plans.registry import get, o_dsum, register
 from finance_etl_spark.functions.money import DEC, dsum
 
@@ -2060,3 +2063,43 @@ def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_noisy_counts(
         o, ["o_orderpriority", "o_orderstatus"], epsilon=1.0
     ).orderBy("o_orderpriority", "o_orderstatus")
+
+
+@register("graph_community_labelprop", tags=("graph", "iterative"))
+def graph_community_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the strong-trade nation graph via
+    deterministic label propagation (operators/components.py::
+    label_propagation — max-frequency update, min-label ties, fixed 5
+    rounds). Rows-only (iterative, not ANSI-expressible);
+    tests/test_operators.py pins planted two-clique recovery,
+    repartition determinism, and the tiebreak rule."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    u = (
+        e.filter(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .agg(F.sum("w").alias("w"))
+    )
+    thr = u.agg(F.percentile("w", 0.8).alias("t"))
+    ku = (
+        u.crossJoin(F.broadcast(thr))
+        .filter(F.col("w") >= F.col("t"))
+        .select("a", "b")
+    )
+    comm = label_propagation(ku, "a", "b", n_rounds=5)
+    return (
+        comm.groupBy("community_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("community_id")
+    )

@@ -1248,3 +1248,79 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= 0.9)
         .select("src_id", "dst_id", "n_common", cont.alias("containment"))
     )
+
+
+_RAKE_STOP = (
+    "the", "a", "of", "and", "to", "in", "is", "on", "for", "with",
+)
+
+
+@register(
+    "text_keyword_rake",
+    tags=("text", "keywords"),
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        flagged AS (
+            SELECT doc_id, pos, tok,
+                   CASE WHEN tok IN {str(tuple(_RAKE_STOP))} THEN 1 ELSE 0 END AS stop
+            FROM toks
+        ),
+        islands AS (
+            SELECT doc_id, pos, tok, stop,
+                   SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+            FROM flagged
+        ),
+        members AS (
+            SELECT doc_id, phrase_id, tok,
+                   COUNT(*) OVER (PARTITION BY doc_id, phrase_id) AS phrase_len
+            FROM islands WHERE stop = 0
+        ),
+        scores AS (
+            SELECT tok,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(phrase_len) AS BIGINT) AS degree
+            FROM members GROUP BY tok
+        )
+        SELECT tok, freq, degree,
+               CAST(degree AS DOUBLE) / freq AS rake_score
+        FROM scores
+        WHERE freq >= 5
+        ORDER BY rake_score DESC, tok
+        LIMIT 20
+    """,
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE-style keyword scoring: candidate phrases are maximal runs
+    of non-stopword tokens (the island id is a running stopword count
+    — one per-doc window, no self-join), each member word accumulates
+    degree = Σ phrase_length and freq = occurrences, and the keyword
+    score degree/freq (words that live in LONG phrases rank up) is one
+    exact integer division — fully oracle-checkable, unlike entropy/
+    log-based keyword scores. Corpus-scale work: one token explode +
+    two windows sharing the per-doc partitioning + one vocab-sized
+    agg."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    stop = F.when(F.col("tok").isin(*_RAKE_STOP), 1).otherwise(0)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = toks.select(
+        "doc_id", "pos", "tok", stop.alias("stop")
+    ).withColumn("phrase_id", F.sum("stop").over(w))
+    members = islands.filter(F.col("stop") == 0).withColumn(
+        "phrase_len",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id", "phrase_id")),
+    )
+    return (
+        members.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("phrase_len").alias("degree"),
+        )
+        .filter(F.col("freq") >= 5)
+        .select(
+            "tok", "freq", "degree",
+            (F.col("degree").cast("double") / F.col("freq")).alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), "tok")
+        .limit(20)
+    )

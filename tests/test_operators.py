@@ -270,3 +270,37 @@ def test_global_row_number_is_exact_permutation_at_scale(spark):
     )
     rns = sorted(r.rn for r in out.select("rn").collect())
     assert rns == list(range(1, n + 1))
+
+
+def test_label_propagation_two_cliques(spark):
+    from finance_etl_spark.operators.components import label_propagation
+
+    # two 4-cliques bridged by one edge: propagation must keep them as
+    # two communities (the bridge is outvoted by each side's clique)
+    edges = []
+    for base in (0, 10):
+        nodes = [base + i for i in range(4)]
+        edges += [(a, b) for a in nodes for b in nodes if a < b]
+    edges.append((3, 10))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    comm = {
+        r.node: r.community_id
+        for r in label_propagation(df, n_rounds=6).collect()
+    }
+    left = {comm[n] for n in (0, 1, 2, 3)}
+    right = {comm[n] for n in (10, 11, 12, 13)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_label_propagation_repartition_deterministic(spark):
+    from finance_etl_spark.operators.components import label_propagation
+
+    edges = [(i, (i * 7 + 3) % 30) for i in range(60)]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "src long, dst long"
+    )
+    a = sorted(map(tuple, label_propagation(df, n_rounds=4).collect()))
+    b = sorted(
+        map(tuple, label_propagation(df.repartition(13), n_rounds=4).collect())
+    )
+    assert a == b

@@ -115,6 +115,7 @@ _AUDIT_EXCLUDE = {
     "stream_live_cdc_to_snapshot",
     "stream_live_scd2_enrich",
     "dq_fk_inference",
+    "graph_community_labelprop",
 }
 _NO_CARTESIAN_AUDIT = sorted(set(plans.all_queries()) - _AUDIT_EXCLUDE)
 
