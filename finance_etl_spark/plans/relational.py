@@ -1884,7 +1884,9 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY n.n_name
         )
         SELECT n_name, nation_revenue,
-               nation_revenue / SUM(nation_revenue) OVER () AS revenue_share
+               nation_revenue /
+               CAST(CAST(SUM(CAST(nation_revenue AS DECIMAL(30,10))) OVER ()
+                    AS VARCHAR) AS DOUBLE) AS revenue_share
         FROM a
     """,
 )
@@ -1904,13 +1906,18 @@ def window_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum("o_totalprice").alias("nation_revenue"))
     )
+    # the grand total is itself a DECIMAL window sum: 25 doubles summed
+    # in float would be ORDER-DEPENDENT (caught by the sf0.001 sweep —
+    # the two engines happened to agree at sf0.01 and diverged by 1 ulp
+    # at sf0.001); the decimal route is partition- and order-exact
     w = Window.partitionBy()
+    total = F.sum(F.col("nation_revenue").cast("decimal(30,10)")).over(w).cast(
+        "double"
+    )
     return a.select(
         "n_name",
         "nation_revenue",
-        (F.col("nation_revenue") / F.sum("nation_revenue").over(w)).alias(
-            "revenue_share"
-        ),
+        (F.col("nation_revenue") / total).alias("revenue_share"),
     )
 
 

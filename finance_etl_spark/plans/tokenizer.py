@@ -116,3 +116,45 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, l, r, l + r, n) for i, (l, r, n) in enumerate(rules)],
         "rank int, left string, right string, merged string, n_occurrences bigint",
     )
+
+
+def apply_bpe(
+    vocab: DataFrame, rules: list[tuple[str, str, int]]
+) -> DataFrame:
+    """(word, freq, symbols): encode every word by replaying the merge
+    rules IN TRAINING ORDER (the BPE encode contract — not best-match)
+    over the distinct vocabulary. Each rule is one map-side fold over
+    |vocab| rows; lineage is checkpointed every few rules so the plan
+    depth stays bounded at large rule counts."""
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+    state = vocab.select("word", "freq", chars.alias("symbols"))
+    for i, (left, right, _n) in enumerate(rules):
+        state = state.select(
+            "word", "freq", _merge_pair(F.col("symbols"), left, right).alias("symbols")
+        )
+        if (i + 1) % 4 == 0:
+            state = state.localCheckpoint(eager=True)
+    return state
+
+
+@register("text_bpe_encode", tags=("text", "tokenizer", "iterative"))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer: train 8 BPE merges on the corpus, then
+    ENCODE the corpus with them and report the top-20 subword tokens
+    by corpus frequency — the vocabulary histogram a tokenizer ships
+    with. Encoding runs on the distinct-word table weighted by
+    frequency (corpus text read once, both for training and coverage
+    stats); tests/test_tokenizer.py pins the encoding against the
+    pure-Python reference."""
+    d = load_table(spark, sf_dir, "documents")
+    wf = word_frequencies(d).persist()
+    rules = train_bpe(wf, n_merges=8)
+    enc = apply_bpe(wf, rules)
+    out = (
+        enc.select("freq", F.explode("symbols").alias("subword"))
+        .groupBy("subword")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "subword")
+        .limit(20)
+    )
+    return out

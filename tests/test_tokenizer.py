@@ -65,3 +65,28 @@ def test_bpe_repartition_deterministic(spark):
     a = train_bpe(vocab.repartition(7), n_merges=6)
     b = train_bpe(vocab.coalesce(1), n_merges=6)
     assert a == b == _ref_bpe(WORDS, 6)
+
+
+def _ref_encode(word, rules):
+    syms = list(word)
+    for a, b, _ in rules:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_reference(spark):
+    from finance_etl_spark.plans.tokenizer import apply_bpe, train_bpe
+
+    vocab = spark.createDataFrame(list(WORDS.items()), "word string, freq long")
+    rules = train_bpe(vocab, n_merges=6)
+    got = {r.word: list(r.symbols) for r in apply_bpe(vocab, rules).collect()}
+    for w in WORDS:
+        assert got[w] == _ref_encode(w, rules), w
