@@ -1239,12 +1239,12 @@ def cur_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT o_custkey,
                    MAX(CAST(o_orderdate AS DATE)) AS last_order,
                    CAST(COUNT(*) AS BIGINT) AS frequency,
-                   {o_dsum('o_totalprice')} AS monetary
+                   SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS monetary_dec
             FROM orders GROUP BY o_custkey
         ),
         ranked AS (
             SELECT *,
-                   row_number() OVER (ORDER BY monetary DESC, o_custkey ASC)
+                   row_number() OVER (ORDER BY monetary_dec DESC, o_custkey ASC)
                        AS rn,
                    COUNT(*) OVER () AS n
             FROM rfm
@@ -1252,8 +1252,8 @@ def cur_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(((rn - 1) * 10) // n AS BIGINT) AS decile,
                CAST(COUNT(*) AS BIGINT) AS n_customers,
                CAST(SUM(frequency) AS BIGINT) AS total_orders,
-               CAST(CAST(SUM(CAST(monetary AS DECIMAL(30,10))) AS VARCHAR)
-                    AS DOUBLE) AS total_spend,
+               CAST(CAST(SUM(monetary_dec) AS VARCHAR) AS DOUBLE)
+                   AS total_spend,
                MAX(last_order) AS most_recent
         FROM ranked
         GROUP BY decile
@@ -1272,14 +1272,19 @@ def cur_rfm_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finance_etl_spark.operators.ranks import global_row_number
 
     o = load_table(spark, sf_dir, "orders")
+    # monetary stays DECIMAL through ranking and the decile re-agg —
+    # re-quantizing an intermediate double back into decimal is where
+    # cross-engine 1e-10 divergence creeps in (shortest-string vs
+    # binary rounding of the double; caught by the sf0.001 sweep).
+    # ONE double cast happens at the presentation edge.
     rfm = o.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
-        dsum("o_totalprice").alias("monetary"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("monetary_dec"),
     )
     ranked = global_row_number(
         rfm,
-        [F.col("monetary").desc(), F.col("o_custkey").asc()],
+        [F.col("monetary_dec").desc(), F.col("o_custkey").asc()],
         out_col="rn",
         num_partitions=8,
     )
@@ -1290,7 +1295,7 @@ def cur_rfm_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.sum("frequency").alias("total_orders"),
-            dsum("monetary").alias("total_spend"),
+            F.sum("monetary_dec").cast("double").alias("total_spend"),
             F.max("last_order").alias("most_recent"),
         )
     )

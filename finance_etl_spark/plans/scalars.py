@@ -130,7 +130,9 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "math"),
     oracle="""
         SELECT l_orderkey, l_linenumber,
-               round(l_extendedprice * l_discount, 2) AS disc_amount,
+               CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_discount AS DECIMAL(12,2)), 2) AS DOUBLE)
+                   AS disc_amount,
                abs(l_quantity - 25) AS qty_dev,
                CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
                CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
@@ -148,7 +150,18 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_extendedprice") * F.col("l_discount"), 2).alias("disc_amount"),
+        # the product rounds at an exact decimal, not a float: a double
+        # product can land exactly on a .005 boundary where the engines'
+        # round() disagree (binary-value vs shortest-string rounding —
+        # caught at sf0.001); the decimal(25,4) product is exact and
+        # both engines round it half-away-from-zero
+        F.round(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_discount").cast("decimal(12,2)"),
+            2,
+        )
+        .cast("double")
+        .alias("disc_amount"),
         F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
         F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
         F.floor(F.col("l_extendedprice") / 1000).alias("price_k_floor"),
