@@ -15,6 +15,20 @@ tools/float_experiment.py):
 - Per-row arithmetic (+,-,*,/, round, abs, sqrt) is IEEE-deterministic
   and needs no special handling. Transcendental functions (ln, exp,
   pow) are libm-dependent and are kept out of oracle-checked outputs.
+
+Divergence classes found by the cross-SF sweeps (sf0.001/0.01/0.1) and
+their fixes — check new queries against all three:
+1. WINDOW sums over doubles (`SUM(dbl) OVER ...`) are order-dependent
+   like any float reduction — route through DECIMAL exactly like
+   grouped sums (window_pct_of_total).
+2. Re-quantizing a COMPUTED double back into decimal
+   (`CAST(double_result AS DECIMAL)`) can differ 1e-10 between
+   engines: Java casts via the double's shortest decimal string,
+   DuckDB rounds the binary expansion. Keep money DECIMAL end-to-end;
+   cast to double ONCE at the presentation edge (cur_rfm_deciles).
+3. round() on a float PRODUCT can land exactly on a .005 boundary
+   where the engines' rounding of the binary value disagrees — round
+   an exact DECIMAL product instead (scalar_math_funcs).
 """
 
 from __future__ import annotations
