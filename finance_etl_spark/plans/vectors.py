@@ -1049,15 +1049,25 @@ def vec_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  LATERAL (SELECT generate_subscripts(embedding, 1) AS dim,
                                  unnest(embedding) AS val) u
         ),
+        q AS (
+            SELECT dim, v,
+                   CAST(floor(v * 1000000000.0 + 0.5) AS BIGINT) AS vn
+            FROM flat
+        ),
         s AS (
             SELECT dim, COUNT(*) AS n,
-                   CAST(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS s1,
-                   CAST(CAST(SUM(CAST(v AS DECIMAL(18,9)) * CAST(v AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS s2,
+                   CAST(SUM(vn) AS DOUBLE) AS s1n,
+                   CAST(CAST(SUM(CAST(vn AS DECIMAL(19,0))
+                                 * CAST(vn AS DECIMAL(19,0)))
+                        AS VARCHAR) AS DOUBLE) AS s2n,
                    MIN(v) AS min_v, MAX(v) AS max_v
-            FROM flat GROUP BY dim
+            FROM q GROUP BY dim
         )
-        SELECT dim, CAST(n AS BIGINT) AS n, s1 / n AS mean_v,
-               (s2 - s1 * s1 / n) / n AS var_pop,
+        SELECT dim, CAST(n AS BIGINT) AS n,
+               (s1n / 1000000000.0) / n AS mean_v,
+               (s2n / 1000000000000000000.0
+                - (s1n / 1000000000.0) * (s1n / 1000000000.0) / n) / n
+                   AS var_pop,
                min_v, max_v
         FROM s ORDER BY dim
     """,
@@ -1074,24 +1084,35 @@ def vec_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = e.select(
         F.posexplode("embedding").alias("dim", "val")
     ).select("dim", F.col("val").cast("double").alias("v"))
-    # (18,9) factors: the squared product lands at DECIMAL(37,18) —
-    # within precision 38 in BOTH engines, so every product and sum is
-    # exact (a (30,10) factor would overflow 38 on multiply and each
-    # engine rescales/rounds differently)
-    vd = F.col("v").cast("decimal(18,9)")
+    # Quantize to integer NANO-units with IEEE ops only
+    # (floor(v*1e9+0.5)): multiply and floor round identically in both
+    # engines, so the int is bit-identical — unlike CAST(double AS
+    # DECIMAL), where Java rounds the double's shortest decimal string
+    # but DuckDB rounds its binary expansion (divergence observed at
+    # sf0.1). Sums are then exact integers; squares ride DECIMAL(19,0)
+    # products (38-digit headroom); variance assembles in doubles from
+    # identical inputs. Stats are over the nano-quantized values —
+    # documented contract, well below any embedding model's noise.
+    vn = F.floor(F.col("v") * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    vnd = vn.cast("decimal(19,0)")
     s = flat.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(vd).cast("double").alias("s1"),
-        F.sum(vd * vd).cast("double").alias("s2"),
+        F.sum(vn).cast("double").alias("s1n"),
+        F.sum(vnd * vnd).cast("double").alias("s2n"),
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
     n = F.col("n").cast("double")
+    mean = (F.col("s1n") / F.lit(1e9)) / n
+    var = (
+        F.col("s2n") / F.lit(1e18)
+        - (F.col("s1n") / F.lit(1e9)) * (F.col("s1n") / F.lit(1e9)) / n
+    ) / n
     return s.select(
         "dim",
         "n",
-        (F.col("s1") / n).alias("mean_v"),
-        ((F.col("s2") - F.col("s1") * F.col("s1") / n) / n).alias("var_pop"),
+        mean.alias("mean_v"),
+        var.alias("var_pop"),
         "min_v",
         "max_v",
     ).orderBy("dim")
