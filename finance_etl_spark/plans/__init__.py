@@ -46,6 +46,7 @@ for _mod in (
     "relational",
     "tableformat",
     "tokenizer",
+    "finance",
 ):
     try:
         importlib.import_module(f"finance_etl_spark.plans.{_mod}")

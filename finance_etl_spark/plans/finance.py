@@ -1,0 +1,450 @@
+"""Finance-domain operators the reference's users live on, re-expressed
+Spark-first: as-of FX conversion, double-entry trial balance, ACT/360
+interest accrual, two-way 1:1 reconciliation matching, and FIFO tax-lot
+cost-basis allocation.
+
+The reference (ibqp/finance-etl, utils/data_manager.py:59-95) ingests
+bank statements and securities reports; these queries are the analytic
+layer such a pipeline feeds. Every query is fully ANSI-SQL-expressible
+and oracle-checked; money follows the decimal-exact contract in
+plans/registry.py (DECIMAL in flight, ONE double cast at the edge;
+per-row double arithmetic is IEEE-deterministic cross-engine).
+
+Scale notes per query are in the docstrings — no cross joins on
+SF-scaled tables, every join keyed, windows partitioned by business
+keys whose group size is bounded (per-nation rate lists, per-part lot
+lists), never by an SF-scaled global ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from finance_etl_spark.functions.money import DEC, dsum
+from finance_etl_spark.io.readers import load_table
+from finance_etl_spark.operators.joins import asof_join
+from finance_etl_spark.plans.registry import o_dsum, register
+
+# Quarterly FX spine bounds covering the orders fixture (1995-01..2001-08).
+_FX_START, _FX_END = "1995-01-01", "2001-07-01"
+
+
+def _fx_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_nationkey, rd DATE, rate_milli INT): deterministic quarterly
+    per-nation FX-rate fixture derived from the nation table — a date
+    spine (sequence + explode) cross the 25-row nation dim. Tiny at any
+    SF (nations are fixed), so downstream as-of joins see a bounded
+    right side."""
+    nation = load_table(spark, sf_dir, "nation")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit(_FX_START)),
+                F.to_date(F.lit(_FX_END)),
+                F.expr("interval 3 months"),
+            )
+        ).alias("rd")
+    )
+    return nation.crossJoin(spine).select(
+        "n_nationkey",
+        "rd",
+        (
+            F.lit(1000)
+            + F.col("n_nationkey") * 10
+            + (F.year("rd") - 1995) * 4
+            + (F.quarter("rd") - 1)
+        ).cast("int").alias("rate_milli"),
+    )
+
+
+_FX_RATES_SQL = f"""
+    SELECT n_nationkey, rd, CAST(1000 + n_nationkey * 10
+           + (year(rd) - 1995) * 4 + (quarter(rd) - 1) AS INT) AS rate_milli
+    FROM nation, (SELECT CAST(unnest(generate_series(
+             DATE '{_FX_START}', DATE '{_FX_END}', INTERVAL 3 MONTH)) AS DATE) AS rd)
+"""
+
+
+@register(
+    "fin_fx_convert_asof",
+    tags=("finance", "asof", "join"),
+    oracle=f"""
+        WITH rates AS ({_FX_RATES_SQL}),
+        o AS (
+            SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS od,
+                   c_nationkey
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ),
+        conv AS (
+            SELECT o.c_nationkey, o.o_totalprice,
+                   CAST(o.o_totalprice AS DECIMAL(30,10)) * r.rate_milli
+                       AS local_milli
+            FROM o ASOF JOIN rates r
+              ON o.c_nationkey = r.n_nationkey AND o.od >= r.rd
+        )
+        SELECT n.n_name, COUNT(*) AS n_orders,
+               CAST(CAST(SUM(local_milli) AS VARCHAR) AS DOUBLE) / 1000.0
+                   AS local_total,
+               {o_dsum('o_totalprice')} AS base_total
+        FROM conv JOIN nation n ON conv.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+)
+def fin_fx_convert_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report-currency conversion with backward as-of FX rates: each
+    order picks the latest quarterly rate at-or-before its order date
+    (the standard spot-rate convention for revaluing foreign-currency
+    receivables).
+
+    Scale: the rate table is dimension-sized (nations x quarters), so
+    the as-of union+window shuffles |orders| + |rates| rows once on
+    (nationkey, date) — per-nation windows are balanced because nations
+    partition customers roughly evenly. Conversion itself is per-row
+    IEEE double math (deterministic); totals go through the decimal
+    sum. Reference parity: data_manager.py:59-95 normalizes statement
+    amounts per-account; this is the same shape at analytic scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    o = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("od"),
+            "c_nationkey",
+        )
+    )
+    rated = asof_join(
+        o,
+        _fx_rates(spark, sf_dir).withColumnRenamed("n_nationkey", "c_nationkey"),
+        on="c_nationkey",
+        left_ts="od",
+        right_ts="rd",
+        value_cols=["rate_milli"],
+    )
+    # Conversion stays EXACT: decimal(price) x integer milli-rate, summed
+    # in decimal; ONE double division at the presentation edge. A per-row
+    # double product re-quantized into decimal is divergence class 2
+    # (registry docstring) — the binary expansion can tie at the 10th
+    # decimal and round differently per engine.
+    conv = rated.withColumn(
+        "local_milli", F.col("o_totalprice").cast(DEC) * F.col("rate_milli")
+    )
+    return (
+        conv.join(F.broadcast(nation), conv.c_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("local_milli").cast("double") / F.lit(1000.0)).alias(
+                "local_total"
+            ),
+            dsum("o_totalprice").alias("base_total"),
+        )
+    )
+
+
+@register(
+    "fin_trial_balance",
+    tags=("finance", "agg"),
+    oracle=f"""
+        WITH postings AS (
+            SELECT year(o_orderdate) AS yr, 'AR' AS account,
+                   CAST(o_totalprice AS DECIMAL(30,10)) AS amt FROM orders
+            UNION ALL
+            SELECT year(o_orderdate), 'REVENUE',
+                   -CAST(o_totalprice AS DECIMAL(30,10)) FROM orders
+            UNION ALL
+            SELECT year(o_orderdate), 'CASH',
+                   CAST(o_totalprice AS DECIMAL(30,10))
+            FROM orders WHERE o_orderstatus = 'F'
+            UNION ALL
+            SELECT year(o_orderdate), 'AR',
+                   -CAST(o_totalprice AS DECIMAL(30,10))
+            FROM orders WHERE o_orderstatus = 'F'
+        )
+        SELECT COALESCE(CAST(yr AS VARCHAR), 'ALL') AS yr,
+               COALESCE(account, 'ALL') AS account,
+               CAST(CAST(SUM(CASE WHEN amt > 0 THEN amt ELSE 0 END) AS VARCHAR)
+                    AS DOUBLE) AS debits,
+               CAST(CAST(SUM(CASE WHEN amt < 0 THEN -amt ELSE 0 END) AS VARCHAR)
+                    AS DOUBLE) AS credits,
+               CAST(CAST(SUM(amt) AS VARCHAR) AS DOUBLE) AS balance
+        FROM postings
+        GROUP BY GROUPING SETS ((yr, account), ())
+    """,
+)
+def fin_trial_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-entry trial balance: orders post AR/REVENUE on booking
+    and CASH/AR on settlement ('F' status); per (year, account) debits,
+    credits, and net — plus the grand-total row, whose balance MUST be
+    exactly 0.0 (the double-entry invariant, provable only because the
+    ledger is decimal end-to-end; a float ledger drifts).
+
+    Scale: one shuffle on the grouping-set key; the posting union is
+    map-side (no shuffle) and the grand-total cell aggregates partials,
+    not rows. Reference parity: data_manager.py:85-89's signed-amount
+    normalization (T11) is what makes amounts post-able."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast(DEC).alias("amt"),
+    )
+    post = lambda acct, sign, flt: (  # noqa: E731
+        (orders.filter(flt) if flt is not None else orders).select(
+            "yr", F.lit(acct).alias("account"), (sign * F.col("amt")).alias("amt")
+        )
+    )
+    settled = F.col("o_orderstatus") == "F"
+    postings = (
+        post("AR", F.lit(1), None)
+        .unionByName(post("REVENUE", F.lit(-1), None))
+        .unionByName(post("CASH", F.lit(1), settled))
+        .unionByName(post("AR", F.lit(-1), settled))
+    )
+    zero = F.lit(0).cast(DEC)
+    return (
+        postings.groupingSets(
+            [[F.col("yr"), F.col("account")], []], F.col("yr"), F.col("account")
+        )
+        .agg(
+            F.sum(F.when(F.col("amt") > 0, F.col("amt")).otherwise(zero))
+            .cast("double")
+            .alias("debits"),
+            F.sum(F.when(F.col("amt") < 0, -F.col("amt")).otherwise(zero))
+            .cast("double")
+            .alias("credits"),
+            F.sum("amt").cast("double").alias("balance"),
+        )
+        .select(
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("yr"),
+            F.coalesce(F.col("account"), F.lit("ALL")).alias("account"),
+            "debits",
+            "credits",
+            "balance",
+        )
+    )
+
+
+@register(
+    "fin_interest_accrual",
+    tags=("finance", "datetime"),
+    oracle=f"""
+        SELECT year(o.o_orderdate) AS yr,
+               COUNT(*) AS n_lines,
+               SUM(date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE))) AS total_days,
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,10))
+                             * date_diff('day', CAST(o.o_orderdate AS DATE),
+                                         CAST(l.l_shipdate AS DATE)))
+                    AS VARCHAR) AS DOUBLE) * (0.05 / 360.0) AS accrued_interest
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+        GROUP BY year(o.o_orderdate)
+    """,
+)
+def fin_interest_accrual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACT/360 interest accrual: each open line accrues
+    principal x 5% x actual_days/360 between order and ship date (the
+    money-market day-count convention). Per-row accrual is pure IEEE
+    double arithmetic — deterministic cross-engine — and the yearly
+    totals run through the exact decimal sum.
+
+    Scale: one equi-join lineitem⋈orders on orderkey (co-partitioned
+    shuffle), one grouped agg on year — partial-aggregated map-side to
+    a handful of rows."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        F.year("o_orderdate").alias("yr"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days"),
+        "l_extendedprice",
+    ).filter(F.col("days") >= 0)
+    # principal x days stays exact (decimal x int); the day-count factor
+    # 0.05/360 is applied ONCE to the exact sum — one double multiply,
+    # IEEE-deterministic (avoids divergence class 2, see registry doc).
+    principal_days = F.col("l_extendedprice").cast(DEC) * F.col("days")
+    return j.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("days").alias("total_days"),
+        (F.sum(principal_days).cast("double") * (F.lit(0.05) / F.lit(360.0))).alias(
+            "accrued_interest"
+        ),
+    )
+
+
+@register(
+    "fin_reconciliation_match",
+    tags=("finance", "join", "window"),
+    oracle=f"""
+        WITH bank AS (
+            SELECT o_custkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey, o_totalprice
+                                      ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM orders WHERE o_orderkey % 13 <> 0
+        ),
+        ledger AS (
+            SELECT o_custkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey, o_totalprice
+                                      ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM orders WHERE o_orderkey % 7 <> 0
+        )
+        SELECT CASE WHEN l.o_custkey IS NULL THEN 'missing_in_ledger'
+                    WHEN b.o_custkey IS NULL THEN 'missing_in_bank'
+                    ELSE 'matched' END AS status,
+               COUNT(*) AS n,
+               {o_dsum('COALESCE(b.o_totalprice, l.o_totalprice)')} AS amount
+        FROM bank b FULL OUTER JOIN ledger l
+          ON b.o_custkey = l.o_custkey
+         AND b.o_totalprice = l.o_totalprice
+         AND b.rn = l.rn
+        GROUP BY 1
+    """,
+)
+def fin_reconciliation_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way bank-vs-ledger reconciliation with 1:1 matching: equal
+    (custkey, amount) rows pair off in date order via per-group
+    ROW_NUMBER on BOTH sides + full-outer equi-join on (key, amount,
+    rn) — the distributed formulation of greedy sequential matching
+    (duplicate amounts consume one counterpart each, never double-
+    match). Unmatched residue is classified per side.
+
+    Scale: two partitioned windows + one full-outer sort-merge join,
+    all on the same (custkey, amount) shuffle key — AQE coalesces the
+    three stages onto one exchange footprint. No driver-side loop, no
+    quadratic amount matching. Reference parity: the incremental loads
+    in data_manager.py:172-201 assume feeds reconcile; this op is the
+    audit for that assumption."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def side(mod: int) -> DataFrame:
+        w = Window.partitionBy("o_custkey", "o_totalprice").orderBy(
+            "o_orderdate", "o_orderkey"
+        )
+        return (
+            orders.filter(F.col("o_orderkey") % mod != 0)
+            .select("o_custkey", "o_totalprice", "o_orderdate", "o_orderkey")
+            .withColumn("rn", F.row_number().over(w))
+            .select("o_custkey", "o_totalprice", "rn")
+        )
+
+    b = side(13).alias("b")
+    l = side(7).alias("l")
+    joined = b.join(
+        l,
+        (F.col("b.o_custkey") == F.col("l.o_custkey"))
+        & (F.col("b.o_totalprice") == F.col("l.o_totalprice"))
+        & (F.col("b.rn") == F.col("l.rn")),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("l.o_custkey").isNull(), F.lit("missing_in_ledger"))
+        .when(F.col("b.o_custkey").isNull(), F.lit("missing_in_bank"))
+        .otherwise(F.lit("matched"))
+    )
+    return joined.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.coalesce(F.col("b.o_totalprice"), F.col("l.o_totalprice"))).alias(
+            "amount"
+        ),
+    )
+
+
+@register(
+    "fin_fifo_cost_basis",
+    tags=("finance", "window", "join"),
+    oracle="""
+        WITH buys AS (
+            SELECT l_partkey, l_orderkey, l_linenumber,
+                   l_extendedprice, l_quantity,
+                   SUM(CAST(l_quantity AS DECIMAL(30,10))) OVER w AS hi,
+                   SUM(CAST(l_quantity AS DECIMAL(30,10))) OVER w
+                       - CAST(l_quantity AS DECIMAL(30,10)) AS lo
+            FROM lineitem WHERE l_returnflag = 'N' AND l_partkey % 25 = 0
+            WINDOW w AS (PARTITION BY l_partkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        ),
+        sells AS (
+            SELECT l_partkey, l_orderkey, l_linenumber,
+                   SUM(CAST(l_quantity AS DECIMAL(30,10))) OVER w AS hi,
+                   SUM(CAST(l_quantity AS DECIMAL(30,10))) OVER w
+                       - CAST(l_quantity AS DECIMAL(30,10)) AS lo
+            FROM lineitem WHERE l_returnflag = 'R' AND l_partkey % 25 = 0
+            WINDOW w AS (PARTITION BY l_partkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        )
+        SELECT s.l_partkey AS partkey,
+               s.l_orderkey AS sell_order, s.l_linenumber AS sell_line,
+               b.l_orderkey AS buy_order, b.l_linenumber AS buy_line,
+               CAST(least(b.hi, s.hi) - greatest(b.lo, s.lo) AS DOUBLE)
+                   AS alloc_qty,
+               CAST(least(b.hi, s.hi) - greatest(b.lo, s.lo) AS DOUBLE)
+                   * (b.l_extendedprice / b.l_quantity) AS alloc_cost
+        FROM sells s JOIN buys b
+          ON s.l_partkey = b.l_partkey
+         AND b.lo < s.hi AND s.lo < b.hi
+    """,
+)
+def fin_fifo_cost_basis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO tax-lot allocation: per part, 'R' lines (sells) consume 'N'
+    lines (buy lots) in ship-date order. Lots and sells become
+    half-open intervals on the per-key cumulative-quantity axis
+    (decimal cumsums — exact, so interval endpoints are identical
+    cross-engine); FIFO allocation IS the interval overlap, computed by
+    an equi-join on partkey with a range predicate, alloc_qty =
+    least(hi,hi) - greatest(lo,lo). Cost basis prices each allocation
+    at the buy lot's unit cost (per-row IEEE double).
+
+    Scale: the join is keyed on partkey (shuffle/sort-merge), range
+    condition only WITHIN a key's bounded lot list — never a cross
+    join; each sell touches only the O(1) lots its interval overlaps
+    (amortized: total output rows <= buys + sells per key). The %25
+    key sample keeps oracle output bounded; the plan is SF-invariant.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 25 == 0)
+
+    def lots(flag: str, keep_price: bool) -> DataFrame:
+        w = (
+            Window.partitionBy("l_partkey")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        qty = F.col("l_quantity").cast(DEC)
+        df = (
+            l.filter(F.col("l_returnflag") == flag)
+            .withColumn("hi", F.sum(qty).over(w))
+            .withColumn("lo", F.col("hi") - qty)
+        )
+        cols = ["l_partkey", "l_orderkey", "l_linenumber", "lo", "hi"]
+        if keep_price:
+            cols += ["l_extendedprice", "l_quantity"]
+        return df.select(*cols)
+
+    buys = lots("N", keep_price=True).alias("b")
+    sells = lots("R", keep_price=False).alias("s")
+    alloc = F.least(F.col("b.hi"), F.col("s.hi")) - F.greatest(
+        F.col("b.lo"), F.col("s.lo")
+    )
+    return (
+        sells.join(
+            buys,
+            (F.col("s.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("b.lo") < F.col("s.hi"))
+            & (F.col("s.lo") < F.col("b.hi")),
+        )
+        .select(
+            F.col("s.l_partkey").alias("partkey"),
+            F.col("s.l_orderkey").alias("sell_order"),
+            F.col("s.l_linenumber").alias("sell_line"),
+            F.col("b.l_orderkey").alias("buy_order"),
+            F.col("b.l_linenumber").alias("buy_line"),
+            alloc.cast("double").alias("alloc_qty"),
+            (
+                alloc.cast("double")
+                * (F.col("b.l_extendedprice") / F.col("b.l_quantity"))
+            ).alias("alloc_cost"),
+        )
+    )
