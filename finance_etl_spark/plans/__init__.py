@@ -47,6 +47,7 @@ for _mod in (
     "tableformat",
     "tokenizer",
     "finance",
+    "governance",
 ):
     try:
         importlib.import_module(f"finance_etl_spark.plans.{_mod}")

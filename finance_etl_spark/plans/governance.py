@@ -1,0 +1,254 @@
+"""Governance / ML-ops surface: schema-drift detection between feed
+versions, GDPR-style cascading delete propagation with orphan audit,
+and walk-forward (expanding-window) cross-validation folds.
+
+These are the operations a lakehouse team runs AROUND the queries —
+when an upstream feed changes shape (the reference dispatches per-file
+schemas from config, utils/data_manager.py:161-170, so drift is a real
+failure mode for it), when a subject-erasure request must cascade
+through the FK graph, and when models must be validated without
+temporal leakage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_etl_spark.io.readers import load_table
+from finance_etl_spark.plans.registry import o_dsum, register
+
+# ---------------------------------------------------------------------------
+# Schema drift
+
+
+def _kind(spark_type: str) -> str:
+    """Normalize an engine type name to a cross-engine kind class."""
+    t = spark_type.lower()
+    if any(k in t for k in ("int", "long", "short", "byte")):
+        return "int"
+    if any(k in t for k in ("double", "float", "decimal")):
+        return "float"
+    if "date" in t and "time" not in t:
+        return "date"
+    if "timestamp" in t:
+        return "timestamp"
+    return "string"
+
+
+# v1/v2 feed shapes: v2 adds a column, drops one, and changes a type —
+# the three drift classes a feed contract checker must report.
+_V1_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "string"),
+]
+_V2_SELECT = (
+    "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice, "
+    "o_orderdate, o_orderstatus FROM orders"
+)
+
+
+@register(
+    "dq_schema_drift",
+    tags=("dq", "metadata"),
+    oracle=f"""
+        WITH v1(column_name, kind) AS (VALUES
+            ('o_orderkey', 'int'), ('o_totalprice', 'float'),
+            ('o_orderdate', 'timestamp'), ('o_orderpriority', 'string')),
+        v2_raw AS (SELECT column_name, column_type FROM (DESCRIBE {_V2_SELECT})),
+        v2 AS (
+            SELECT column_name,
+                   CASE WHEN column_type IN ('BIGINT','INTEGER','SMALLINT','TINYINT','HUGEINT') THEN 'int'
+                        WHEN column_type LIKE 'DECIMAL%' OR column_type IN ('DOUBLE','FLOAT','REAL') THEN 'float'
+                        WHEN column_type = 'DATE' THEN 'date'
+                        WHEN column_type LIKE 'TIMESTAMP%' THEN 'timestamp'
+                        ELSE 'string' END AS kind
+            FROM v2_raw
+        )
+        SELECT COALESCE(v1.column_name, v2.column_name) AS column_name,
+               CASE WHEN v2.column_name IS NULL THEN 'removed'
+                    WHEN v1.column_name IS NULL THEN 'added'
+                    WHEN v1.kind <> v2.kind THEN 'type_changed'
+                    ELSE 'unchanged' END AS drift,
+               COALESCE(v1.kind, '') AS old_kind,
+               COALESCE(v2.kind, '') AS new_kind
+        FROM v1 FULL OUTER JOIN v2 USING (column_name)
+    """,
+)
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-contract drift report: full-outer join of two feed versions'
+    (column, type-kind) catalogs, classifying added / removed /
+    type_changed / unchanged. The v2 catalog comes from the ENGINE's own
+    analyzer (df.schema of the v2 projection — the engine-native
+    DESCRIBE), not a hand-written list, so the oracle cross-checks
+    Spark's and DuckDB's type derivation of the same expression.
+
+    Scale: metadata-only — schemas are O(columns) regardless of SF; the
+    only data touched is the analyzer's plan, no scan is executed
+    (df.schema resolves lazily). The comparison itself runs distributed
+    so catalogs of 10k-column feature tables still work."""
+    orders = load_table(spark, sf_dir, "orders")
+    v2_df = orders.selectExpr(
+        "o_orderkey",
+        "CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice",
+        "o_orderdate",
+        "o_orderstatus",
+    )
+    v1 = spark.createDataFrame(
+        [(c, _kind(t)) for c, t in _V1_COLS], "column_name string, kind string"
+    ).alias("v1")
+    v2 = spark.createDataFrame(
+        [(f.name, _kind(f.dataType.simpleString())) for f in v2_df.schema.fields],
+        "column_name string, kind string",
+    ).alias("v2")
+    j = v1.join(v2, "column_name", "full_outer")
+    return j.select(
+        "column_name",
+        F.when(F.col("v2.kind").isNull(), "removed")
+        .when(F.col("v1.kind").isNull(), "added")
+        .when(F.col("v1.kind") != F.col("v2.kind"), "type_changed")
+        .otherwise("unchanged")
+        .alias("drift"),
+        F.coalesce(F.col("v1.kind"), F.lit("")).alias("old_kind"),
+        F.coalesce(F.col("v2.kind"), F.lit("")).alias("new_kind"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GDPR cascading delete
+
+
+@register(
+    "dq_delete_propagation",
+    tags=("dq", "governance", "join"),
+    oracle=f"""
+        WITH tombstones AS (
+            SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+        ),
+        purged_orders AS (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM tombstones)
+        ),
+        purged_lines AS (
+            SELECT l.l_extendedprice FROM lineitem l
+            WHERE l.l_orderkey IN (SELECT o_orderkey FROM purged_orders)
+        )
+        SELECT 'customer' AS tbl,
+               (SELECT COUNT(*) FROM tombstones) AS purged,
+               (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM tombstones) AS retained,
+               0.0 AS purged_value
+        UNION ALL
+        SELECT 'orders',
+               (SELECT COUNT(*) FROM purged_orders),
+               (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM purged_orders),
+               (SELECT COALESCE({o_dsum('o_totalprice')}, 0.0) FROM purged_orders)
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT COUNT(*) FROM purged_lines),
+               (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM purged_lines),
+               (SELECT COALESCE({o_dsum('l_extendedprice')}, 0.0) FROM purged_lines)
+    """,
+)
+def dq_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject-erasure cascade: a tombstone key set (customers flagged
+    for deletion) propagates down the FK graph customer -> orders ->
+    lineitem via LEFT SEMI joins; the audit reports per-table purge and
+    retention counts plus the monetary value leaving the books (the
+    number a data-protection officer signs off on).
+
+    Scale: each hop is one keyed semi join — tombstones are a small
+    fraction so the semi-join build side stays broadcastable; counts
+    partial-aggregate map-side. The cascade NEVER materializes deleted
+    rows wholesale, only their keys and audited aggregates. The actual
+    delete at rest would be the same semi-join driving a copy-on-write
+    rewrite (see sink_snapshot_time_travel for the commit mechanics)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    tombs = customer.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    po = orders.join(
+        F.broadcast(tombs), orders.o_custkey == tombs.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+    pl = lineitem.join(
+        F.broadcast(po.select("o_orderkey")),
+        lineitem.l_orderkey == po.o_orderkey,
+        "left_semi",
+    ).select("l_extendedprice")
+
+    def audit(tbl: str, full: DataFrame, purged: DataFrame, val_col) -> DataFrame:
+        purged_agg = purged.agg(
+            F.count(F.lit(1)).alias("purged"),
+            (
+                F.coalesce(F.sum(F.col(val_col).cast("decimal(30,10)")), F.lit(0))
+                .cast("double")
+                if val_col
+                else F.lit(0.0)
+            ).alias("purged_value"),
+        )
+        total = full.agg(F.count(F.lit(1)).alias("n_total"))
+        return purged_agg.crossJoin(total).select(
+            F.lit(tbl).alias("tbl"),
+            "purged",
+            (F.col("n_total") - F.col("purged")).alias("retained"),
+            "purged_value",
+        )
+
+    return (
+        audit("customer", customer, tombs, None)
+        .unionByName(audit("orders", orders, po, "o_totalprice"))
+        .unionByName(audit("lineitem", lineitem, pl, "l_extendedprice"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Walk-forward CV folds
+
+
+@register(
+    "cur_walk_forward_folds",
+    tags=("curation", "ml"),
+    oracle=f"""
+        WITH folds(fold, test_year) AS (VALUES (1, 1996), (2, 1997), (3, 1998), (4, 1999)),
+        o AS (SELECT year(o_orderdate) AS yr, o_totalprice FROM orders)
+        SELECT f.fold, f.test_year,
+               COUNT(*) FILTER (WHERE o.yr < f.test_year) AS train_n,
+               COUNT(*) FILTER (WHERE o.yr = f.test_year) AS test_n,
+               COALESCE({o_dsum('CASE WHEN o.yr = f.test_year THEN o_totalprice END')}, 0.0)
+                   AS test_revenue
+        FROM folds f JOIN o ON o.yr <= f.test_year
+        GROUP BY f.fold, f.test_year
+    """,
+)
+def cur_walk_forward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-window (walk-forward) CV folds over transaction time:
+    fold k trains on everything strictly before its test year and tests
+    on the test year — the leakage-free split protocol for temporal
+    models (random K-fold leaks future information).
+
+    Scale: the fold spine is a 4-row broadcast; the theta join (yr <=
+    test_year) is a broadcast-nested-loop against a TINY build side, so
+    each order row expands into at most |folds| tagged copies — linear,
+    then partial-aggregated map-side down to 4 rows. Equivalent
+    conditional-agg formulation avoids even that expansion; the join
+    form is kept because it generalizes to per-fold exports."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"), "o_totalprice"
+    )
+    folds = spark.createDataFrame(
+        [(1, 1996), (2, 1997), (3, 1998), (4, 1999)], "fold int, test_year int"
+    )
+    j = orders.join(F.broadcast(folds), F.col("yr") <= F.col("test_year"))
+    is_test = F.col("yr") == F.col("test_year")
+    return j.groupBy("fold", "test_year").agg(
+        F.count(F.when(~is_test, 1)).alias("train_n"),
+        F.count(F.when(is_test, 1)).alias("test_n"),
+        F.coalesce(
+            F.sum(
+                F.when(is_test, F.col("o_totalprice")).cast("decimal(30,10)")
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("test_revenue"),
+    )
