@@ -355,6 +355,7 @@ def fin_reconciliation_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fin_fifo_cost_basis",
+    headline=True,
     tags=("finance", "window", "join"),
     oracle="""
         WITH buys AS (

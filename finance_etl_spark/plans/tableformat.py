@@ -346,3 +346,292 @@ def versioned_replace(
     df.repartition(n_files).write.mode("overwrite").parquet(rw_dir)
     _write_snapshot(root, version + 1, _data_files(rw_dir))
     return version + 1
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletes (Iceberg v2-style delete files)
+
+
+def write_key_deletes(root: str, version: int, keys: list[int], key_col: str) -> str:
+    """Publish an equality-delete file (key list) for a commit — O(keys)
+    I/O instead of rewriting data files. The read path applies it as an
+    anti join; compaction folds it back into data files later."""
+    path = os.path.join(root, f"delete_v{version}.json")
+    with open(path, "w") as f:
+        json.dump({"key_col": key_col, "keys": sorted(keys)}, f)
+    return path
+
+
+def read_with_deletes(
+    spark: SparkSession, root: str, version: int, delete_paths: list[str]
+) -> DataFrame:
+    """Merge-on-read: base snapshot ⟕anti⟕ union of delete-file keys.
+    Delete files are dimension-sized (one key per deleted row), so the
+    anti join broadcasts — read amplification is one tiny build side,
+    write amplification of the delete itself was O(keys). The inverse
+    trade of copy-on-write (versioned_delete): MoR pays at read, CoW
+    at write; real lakehouses pick per-table by churn."""
+    base = read_snapshot(spark, root, version)
+    keys: list = []
+    key_col = None
+    for p in delete_paths:
+        with open(p) as f:
+            d = json.load(f)
+        key_col = d["key_col"]
+        keys.extend(d["keys"])
+    if not keys:
+        return base
+    spark_keys = spark.createDataFrame(
+        [(k,) for k in keys], f"{key_col} bigint"
+    )
+    return base.join(F.broadcast(spark_keys), key_col, "left_anti")
+
+
+@register(
+    "sink_merge_on_read_deletes",
+    tags=("sink", "tableformat", "scale"),
+    oracle=f"""
+        WITH deleted AS (
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 101 = 0
+        ),
+        mor AS (
+            SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM deleted)
+        )
+        SELECT 'mor' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {o_dsum('o_totalprice')} AS total FROM mor
+        UNION ALL
+        SELECT 'compacted', CAST(COUNT(*) AS BIGINT), {o_dsum('o_totalprice')} FROM mor
+    """,
+)
+def sink_merge_on_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes: a delete commit writes ONLY an equality-
+    delete file (the deleted keys) — no data file is rewritten; readers
+    apply it as a broadcast anti join. Compaction then folds the delete
+    into new data files (producing the copy-on-write layout) and the
+    query re-runs on the compacted snapshot — both strategies MUST
+    agree row-for-row, which is exactly what this query emits and the
+    oracle checks.
+
+    Scale: the delete file is O(deleted keys); MoR read amplification
+    is one broadcast build side per delete file (real formats cap
+    delete-file count via compaction scheduling, mirrored here)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    root = tempfile.mkdtemp(prefix="mor_root_")
+    v1 = versioned_append(spark, root, 0, o)
+    del_keys = [
+        r[0]
+        for r in o.filter(F.col("o_orderkey") % 101 == 0)
+        .select("o_orderkey")
+        .collect()
+    ]
+    dpath = write_key_deletes(root, v1, del_keys, "o_orderkey")
+    mor = read_with_deletes(spark, root, v1, [dpath])
+    # compaction: fold the delete files into data files (CoW layout)
+    v2 = versioned_replace(spark, root, v1, mor, n_files=4)
+    compacted = read_snapshot(spark, root, v2)
+
+    def agg(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("strategy"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice").alias("total"),
+        )
+
+    return agg(mor, "mor").unionByName(agg(compacted, "compacted"))
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec evolution
+
+
+@register(
+    "sink_partition_evolution",
+    tags=("sink", "tableformat", "scale"),
+    oracle=f"""
+        SELECT EXTRACT(month FROM o_orderdate) AS mo,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {o_dsum('o_totalprice')} AS total
+        FROM orders
+        WHERE o_orderdate >= DATE '1997-06-01' AND o_orderdate < DATE '1997-08-01'
+        GROUP BY 1 ORDER BY 1
+    """,
+)
+def sink_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution: history loads under spec v1
+    (partition by YEAR); the table later evolves to spec v2 (YEAR,
+    MONTH) for new data — old files are NOT rewritten (the Iceberg
+    contract; Hive-style tables would force a full rewrite). The
+    manifest records each file's spec id + partition tuple, and a
+    two-month 1997 query plans per spec: v2 files prune on (year,
+    month), v1 files prune on year only and carry a residual month
+    filter. Scan union = both prunings; the oracle recomputes from the
+    logical table.
+
+    Scale: pruning cost is O(manifest); the v1 residual scan is the
+    price of NOT rewriting history — bounded by one year of old-layout
+    data and shrinking as compaction migrates files to v2."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    root = tempfile.mkdtemp(prefix="pevo_root_")
+    manifest: list[dict] = []
+
+    def commit(df: DataFrame, spec: int, part: dict, sub: str) -> None:
+        d = os.path.join(root, sub)
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        for p in _data_files(d):
+            manifest.append({"path": p, "spec": spec, **part})
+
+    yr, mo = F.year("o_orderdate"), F.month("o_orderdate")
+    # spec v1 (year) for <=1996 history; spec v2 (year, month) for 1997+
+    for y in (1995, 1996):
+        commit(o.filter(yr == y), 1, {"year": y, "month": None}, f"y{y}")
+    # the v2 load is ONE job: Spark's native partitionBy lays out
+    # (year, month) directories, and the manifest records each file's
+    # partition tuple from its path — no per-partition driver loop
+    v2_dir = os.path.join(root, "v2")
+    (
+        o.filter(yr >= 1997)
+        .withColumn("year", yr)
+        .withColumn("month", mo)
+        .repartition("year", "month")
+        .write.partitionBy("year", "month")
+        .mode("overwrite")
+        .parquet(v2_dir)
+    )
+    for p in glob.glob(os.path.join(v2_dir, "year=*", "month=*", "*.parquet")):
+        parts = dict(
+            kv.split("=") for kv in p.split(os.sep) if "=" in kv
+        )
+        manifest.append(
+            {"path": p, "spec": 2, "year": int(parts["year"]),
+             "month": int(parts["month"])}
+        )
+
+    # plan: month window Jun-Jul 1997
+    v2_files = [
+        m["path"]
+        for m in manifest
+        if m["spec"] == 2 and m["year"] == 1997 and m["month"] in (6, 7)
+    ]
+    v1_files = [m["path"] for m in manifest if m["spec"] == 1 and m["year"] == 1997]
+    assert not v1_files  # 1997 landed entirely under spec v2
+    scan = spark.read.parquet(*v2_files)
+    # residual filter kept for correctness under either layout
+    import datetime as dt
+
+    win = F.col("o_orderdate").between(
+        F.lit(dt.date(1997, 6, 1)), F.lit(dt.datetime(1997, 7, 31, 23, 59, 59))
+    )
+    return (
+        scan.filter(win)
+        .groupBy(F.month("o_orderdate").alias("mo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .orderBy("mo")
+    )
+
+
+# ---------------------------------------------------------------------------
+# File-level bloom-filter skipping
+
+
+_BLOOM_BITS = 4096
+_BLOOM_K = 5
+
+
+def _bloom_positions(key: int) -> list[int]:
+    """k positions from double hashing of the key (h1 + i*h2), the
+    standard Kirsch-Mitzenmacher construction — pure integer math so
+    Python (manifest build) and any engine agree."""
+    h1 = (key * 2654435761) % (1 << 31)
+    h2 = ((key * 40503 + 2531011) % (1 << 31)) | 1
+    return [(h1 + i * h2) % _BLOOM_BITS for i in range(_BLOOM_K)]
+
+
+def bloom_manifest(spark: SparkSession, data_dir: str, key_col: str) -> list[dict]:
+    """Per-file bloom filters over ``key_col``, built DISTRIBUTED (one
+    pass, groupBy file) and stored as bit-position sets in the
+    manifest. At 100 TB this is the standard point-lookup index:
+    4096 bits x 100k files = 50 MB of manifest for the whole table."""
+    df = spark.read.parquet(data_dir).select(
+        F.input_file_name().alias("path"), F.col(key_col).alias("k")
+    )
+    pos = df.select(
+        "path",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        (F.col("k") * 2654435761 % (1 << 31))
+                        + i * (((F.col("k") * 40503 + 2531011) % (1 << 31)).bitwiseOR(1))
+                    )
+                    % _BLOOM_BITS
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("bit"),
+    )
+    rows = (
+        pos.groupBy("path")
+        .agg(F.collect_set("bit").alias("bits"))
+        .collect()
+    )
+    return [{"path": r["path"], "bits": set(r["bits"])} for r in rows]
+
+
+@register(
+    "sink_bloom_file_skipping",
+    tags=("sink", "tableformat", "scale"),
+    oracle=f"""
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {o_dsum('o_totalprice')} AS total
+        FROM orders WHERE o_custkey IN (7, 777, 1449)
+        GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def sink_bloom_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level bloom-filter skipping for point lookups on a
+    NON-clustered key: orders laid out by date (so custkey min/max
+    stats are useless — every file spans the key range), but a 4 kbit
+    per-file bloom on o_custkey lets a 3-customer lookup scan only
+    files whose filters claim a possible hit. No false negatives by
+    construction (pytest asserts the skipped-file complement is
+    empty); false positives only cost extra scan. The oracle is the
+    logical point lookup.
+
+    Scale: blooms build in ONE distributed pass (groupBy file), the
+    manifest stays O(files), and lookup planning is driver-side over
+    kilobytes — the same mechanism as Parquet's column-level bloom,
+    lifted to the manifest so planning avoids even footer I/O."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    out = tempfile.mkdtemp(prefix="bloom_skip_")
+    (
+        o.repartitionByRange(16, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    manifest = bloom_manifest(spark, out, "o_custkey")
+    targets = [7, 777, 1449]
+    keep = [
+        m["path"]
+        for m in manifest
+        if any(all(p in m["bits"] for p in _bloom_positions(t)) for t in targets)
+    ]
+    scan = spark.read.parquet(*keep) if keep else o.limit(0)
+    return (
+        scan.filter(F.col("o_custkey").isin(targets))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .orderBy("o_custkey")
+    )
