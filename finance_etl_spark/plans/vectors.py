@@ -1199,3 +1199,97 @@ def vec_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization + Hamming search
+
+
+def _pack_sign_bits(col: str, lo_bit: int, hi_bit: int):
+    """BIGINT packing dims [lo_bit, hi_bit) as sign bits — a fold over
+    the dim range; bit i set iff embedding[i] > 0. Split into two
+    32-bit words so no engine ever shifts into the BIGINT sign bit."""
+    return F.expr(
+        f"aggregate(sequence({lo_bit}, {hi_bit - 1}), 0L, (acc, i) -> "
+        f"acc + IF(element_at({col}, i + 1) > 0, shiftleft(1L, i - {lo_bit}), 0L))"
+    )
+
+
+def _duck_pack(lo: int, hi: int) -> str:
+    return (
+        "list_sum(list_transform(range(%d, %d), i -> CASE WHEN embedding[i + 1] > 0 "
+        "THEN (CAST(1 AS BIGINT) << (i - %d)) ELSE CAST(0 AS BIGINT) END))" % (lo, hi, lo)
+    )
+
+
+_BQ_QUERIES = (1, 100, 250)
+
+
+@register(
+    "vec_binary_hamming_topk",
+    tags=("vector", "ann", "quantize"),
+    oracle=f"""
+        WITH codes AS (
+            SELECT vec_id,
+                   {_duck_pack(0, 32)} AS lo,
+                   {_duck_pack(32, 64)} AS hi
+            FROM embeddings
+        ),
+        q AS (SELECT * FROM codes WHERE vec_id IN (1, 100, 250)),
+        d AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
+                       AS hamming
+            FROM q JOIN codes c ON c.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id, hamming FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY hamming, neighbor_id) AS rn
+            FROM d
+        ) WHERE rn <= 5
+    """,
+)
+def vec_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: each 64-dim float vector compresses to 64
+    SIGN BITS (two 32-bit words — 32x smaller than float32), and
+    similarity search becomes popcount(XOR) — pure integer ALU work,
+    fully deterministic, hence (unusually for ANN) oracle-checkable
+    bit-for-bit. Top-5 neighbors per probe with (hamming, id)
+    tiebreak.
+
+    Scale: this is the modern binary-embedding retrieval shape — the
+    packed table is 1/32 the corpus bytes, the probe side broadcasts,
+    and the scan is one narrow-column pass with a per-group top-k
+    (no global sort). Compose with IVF bucketing (vec_ann_ivf_topk)
+    to cut the scan itself; exact float re-rank of the bit-level
+    top-100 recovers cosine precision (vec_ann_pq_topk shows the
+    re-rank stage)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        "vec_id",
+        _pack_sign_bits("embedding", 0, 32).alias("lo"),
+        _pack_sign_bits("embedding", 32, 64).alias("hi"),
+    )
+    q = codes.filter(F.col("vec_id").isin(*_BQ_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("q_lo"),
+        F.col("hi").alias("q_hi"),
+    )
+    d = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("q_lo").bitwiseXOR(F.col("lo")))
+                + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("hi")))
+            ).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "hamming")
+    )
