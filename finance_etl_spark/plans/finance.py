@@ -449,3 +449,122 @@ def fin_fifo_cost_basis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("alloc_cost"),
         )
     )
+
+
+@register(
+    "fin_settlement_t2",
+    tags=("finance", "datetime"),
+    oracle="""
+        WITH o AS (
+            SELECT CAST(o_orderdate AS DATE) AS td, isodow(o_orderdate) AS wd
+            FROM orders
+        ),
+        s AS (
+            SELECT td,
+                   td + INTERVAL (CASE WHEN wd <= 3 THEN 2
+                                       WHEN wd <= 5 THEN 4
+                                       WHEN wd = 6 THEN 3
+                                       ELSE 2 END) DAY AS sd
+            FROM o
+        )
+        SELECT isodow(sd) AS settle_dow,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(CAST(sd AS DATE)) AS first_settle,
+               MAX(CAST(sd AS DATE)) AS last_settle,
+               SUM(date_diff('day', td, CAST(sd AS DATE))) AS total_lag_days
+        FROM s GROUP BY 1
+    """,
+)
+def fin_settlement_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T+2 settlement-date roll under the weekend convention: trades
+    settle two BUSINESS days after trade date (Mon-Wed → +2 calendar,
+    Thu/Fri → +4, Sat → +3, Sun → +2; holiday calendars drop in as an
+    extra lookup dim). The case analysis is closed-form on the ISO
+    weekday — pure per-row date arithmetic, no join, no shuffle except
+    the final distribution agg; the invariant (nothing settles on a
+    weekend) is pytest-asserted.
+
+    Reference parity: the reference parses statement dates with
+    per-source formats (utils/data_manager.py:69-75) but has no
+    settlement logic — this is the op its users hand-roll in pandas."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("td"),
+        (F.weekday(F.col("o_orderdate")) + 1).alias("wd"),
+    )
+    shift = (
+        F.when(F.col("wd") <= 3, 2)
+        .when(F.col("wd") <= 5, 4)
+        .when(F.col("wd") == 6, 3)
+        .otherwise(2)
+    )
+    s = o.withColumn("sd", F.date_add(F.col("td"), shift))
+    return s.groupBy((F.weekday("sd") + 1).alias("settle_dow")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("sd").alias("first_settle"),
+        F.max("sd").alias("last_settle"),
+        F.sum(F.datediff("sd", "td")).alias("total_lag_days"),
+    )
+
+
+@register(
+    "fin_var_historical",
+    tags=("finance", "window", "agg"),
+    oracle=f"""
+        WITH daily AS (
+            SELECT c.c_mktsegment AS segment, CAST(o.o_orderdate AS DATE) AS d,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(30,10))
+                       * CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE -1 END) AS net
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT segment, d, net,
+                   row_number() OVER (PARTITION BY segment ORDER BY net, d) AS rn,
+                   COUNT(*) OVER (PARTITION BY segment) AS n
+            FROM daily
+        )
+        SELECT segment, n AS n_days,
+               CAST(CAST(net AS VARCHAR) AS DOUBLE) AS var_5pct
+        FROM ranked
+        WHERE rn = CAST(ceil(0.05 * n) AS BIGINT)
+    """,
+)
+def fin_var_historical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical 5% Value-at-Risk per market segment: daily net flows
+    (settled inflows minus open outflows, decimal-exact), then the 5th
+    PERCENTILE AS AN ORDER STATISTIC — row_number selection at
+    ceil(0.05 n), not interpolation — so the reported VaR is an actual
+    observed day (percentile_disc semantics) and bit-identical across
+    engines; (net, date) ordering makes ties deterministic.
+
+    Scale: daily aggregation shuffles once on (segment, day);
+    per-segment ranking windows partition on segment — day counts per
+    segment are bounded by the calendar, not the SF, so the window
+    never becomes the scale bottleneck."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    signed = F.col("o_totalprice").cast(DEC) * F.when(
+        F.col("o_orderstatus") == "F", 1
+    ).otherwise(-1)
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(F.sum(signed).alias("net"))
+    )
+    w = Window.partitionBy("segment").orderBy("net", "d")
+    ranked = daily.select(
+        "segment",
+        "net",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("segment")).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.ceil(F.lit(0.05) * F.col("n")).cast("long")
+    ).select(
+        "segment",
+        F.col("n").alias("n_days"),
+        F.col("net").cast("double").alias("var_5pct"),
+    )

@@ -126,3 +126,33 @@ def test_fx_asof_never_uses_future_rate(spark, sf_dir):
         + (F.quarter("od") - 1),
     )
     assert applied.filter(F.col("rate_milli") > F.col("max_allowed")).count() == 0
+
+
+def test_settlement_never_on_weekend(spark, sf_dir):
+    rows = _run(spark, sf_dir, "fin_settlement_t2").collect()
+    dows = {r.settle_dow for r in rows}
+    assert dows <= {1, 2, 3, 4, 5}  # ISO Mon..Fri only
+
+
+def test_var_is_an_observed_day(spark, sf_dir):
+    """VaR must equal an actual daily net (order statistic, not an
+    interpolated value)."""
+    from finance_etl_spark.io.readers import load_table
+
+    var_rows = {r.segment: r.var_5pct for r in _run(spark, sf_dir, "fin_var_historical").collect()}
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    signed = F.col("o_totalprice").cast("decimal(30,10)") * F.when(
+        F.col("o_orderstatus") == "F", 1
+    ).otherwise(-1)
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"),
+                 F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(signed).cast("double").alias("net"))
+    )
+    observed = {
+        (r.segment, r.net) for r in daily.collect()
+    }
+    for seg, v in var_rows.items():
+        assert (seg, v) in observed
