@@ -326,3 +326,95 @@ def edit1_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFram
     return cand.withColumn(
         "distance", F.levenshtein("name_a", "name_b")
     ).filter(F.col("distance") <= 1)
+
+
+def ngram_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    df_cap: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the exact inverted-index near-dup searches:
+    returns ``(sizes, common)`` where sizes = (id, n_sh) per doc
+    (map-side, from the shingle ARRAY — no explode+groupBy) and
+    common = (id_a, id_b, n_common) pair intersection counts from a
+    df-capped inverted index.
+
+    Index and self-join key on ``xxhash64(shingle)`` — an 8-byte long
+    instead of the shingle string, halving shuffle width and making
+    the pair-count agg integer-keyed (64-bit collisions are ~1e-11
+    at billion-shingle vocabularies; callers needing certified-exact
+    counts can re-verify survivors on strings). The exploded hashed
+    relation feeds three consumers (df filter, index, self-join) and
+    is persisted so the tokenize+gram lineage runs once; the unpersist
+    is left to job end since consumers execute lazily.
+
+    Formulation note (measured at sf0.1): the hash is applied AFTER the
+    explode, as a plain row projection — whole-stage-codegen'd xxhash64
+    at ~ns/row. Hashing inside the higher-order gram lambda instead
+    (xxhash64 per token + per gram) evaluates interpreted and measured
+    5x slower per document; see hashed_shingle_array's caveat."""
+    # The ARRAY relation is the persisted root: sizes (map-side), the
+    # exploded index, AND the downstream size joins all re-derive from
+    # the cache instead of re-running tokenize+gram per consumer
+    # (sizes feeds two join branches — uncached that is two more full
+    # passes; measured ~2x end-to-end at sf0.1).
+    arr = shingle_array(df, id_col, text_col, n).persist()
+    sizes = arr.select(
+        F.col(id_col), F.size("sh_arr").alias("n_sh")
+    ).filter(F.col("n_sh") > 0)
+    sh = (
+        arr.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
+        .select(F.col(id_col), F.xxhash64("shingle").alias("h"))
+        .persist()
+    )
+    rare = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+    )
+    idx = sh.join(rare.select("h"), "h", "left_semi")
+    a = idx.select(F.col(id_col).alias("id_a"), "h")
+    b = idx.select(F.col(id_col).alias("id_b"), "h")
+    common = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return sizes, common
+
+
+def hashed_shingle_array(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sh_h array<long>): per-doc DISTINCT hashed word n-grams
+    without ever materializing shingle strings — tokens hash once
+    (xxhash64), each n-gram hashes the n token-hashes (xxhash64 over
+    longs), and distinctness applies to the longs. Saves the
+    concat_ws string build + string distinct + string shuffle of the
+    textual path; semantically identical to hashing shingle_array's
+    strings modulo 64-bit collisions (~1e-11 at 1e9-shingle scale).
+
+    CAVEAT (measured, sf0.1): xxhash64 inside higher-order lambdas
+    evaluates INTERPRETED — ~14 ms/doc vs ~2.7 ms/doc for the string
+    gram build + post-explode codegen'd hash. Prefer
+    ``ngram_pair_counts``'s explode-then-hash shape in hot paths; this
+    operator exists for pipelines that need the per-doc hashed ARRAY
+    itself (e.g. feeding aggregate() folds) where the explode is not
+    wanted."""
+    base = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("__toks"),
+    )
+    th = F.transform(F.col("__toks"), lambda t: F.xxhash64(t))
+    base = base.select(F.col(id_col), th.alias("__th"))
+    toks = F.col("__th")
+    n_tok = F.size(toks)
+    idx = F.sequence(F.lit(0), n_tok - n)
+    gram = lambda i: F.xxhash64(*[F.get(toks, i + j) for j in range(n)])  # noqa: E731
+    sh_h = F.when(
+        n_tok >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<long>"))
+    return base.select(F.col(id_col), sh_h.alias("sh_h"))

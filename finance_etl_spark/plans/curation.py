@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import finance_etl_spark.plans.text  # noqa: F401  (registers the pairs query)
-from finance_etl_spark.io.readers import load_table
+from finance_etl_spark.io.readers import load_table, load_table_parallel
 from finance_etl_spark.operators.components import (
     connected_components,
     label_propagation,
@@ -395,10 +395,18 @@ def cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from the df-capped inverted shingle index (hot shingles
     excluded), so the train⋈test join is bounded by real collisions,
     never |train|x|test|."""
-    from finance_etl_spark.operators.dedup import shingles
+    from finance_etl_spark.operators.dedup import shingle_array
 
-    d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d, "doc_id", "text", n=3)
+    d = load_table_parallel(spark, sf_dir, "documents")
+    # trigrams hashed to 8-byte longs AFTER the explode (codegen'd row
+    # projection) — the contamination counts are countDistinct over the
+    # join key, so the narrower key shrinks both shuffles (index
+    # df-filter + train⋈test)
+    sh = (
+        shingle_array(d, "doc_id", "text", n=3)
+        .select("doc_id", F.explode("sh_arr").alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("shingle"))
+    )
     rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= 50
     )

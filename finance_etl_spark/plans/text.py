@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from finance_etl_spark.io.readers import load_table
+from finance_etl_spark.io.readers import load_table, load_table_parallel
 from finance_etl_spark.plans.registry import register
 
 # Token = non-empty run split on single spaces; the fixture corpus is
@@ -63,7 +63,7 @@ def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized-content hash: one hash-shuffle on the
     digest, keep the smallest doc_id per group (deterministic survivor
     policy). The reference's J1 anti-join consumes exactly this shape."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     return (
         d.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("content_hash"))
         .groupBy("content_hash")
@@ -87,7 +87,7 @@ def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token statistics (term + document frequency): the
     explode shuffles once on the token — the canonical word-count."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     return (
         _tokens(d)
         .groupBy("tok")
@@ -117,7 +117,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram frequencies via posexplode + lead window; the window
     partitions per document so no global sort exists."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     toks = _tokens(d)
     w = Window.partitionBy("doc_id").orderBy("pos")
     bigrams = toks.select(
@@ -155,7 +155,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals (length, token stats, stopword
     ratio) + a pass/fail gate — the standard pretraining-corpus filter
     shape. One explode + one hash agg; joins back on doc_id."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     per_doc = (
         _tokens(d)
         .groupBy("doc_id")
@@ -204,7 +204,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-count estimators: whitespace split, a BPE-ish regex
     (word runs + single punctuation), and the chars/4 heuristic —
     all pure JVM expressions."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     bpe_pat = r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"
     return d.select(
         "doc_id",
@@ -232,7 +232,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive bag-of-words fingerprint (same digest for
     shuffled token order — catches paraphrase-by-reordering) plus the
     raw content digest."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), _SPACE), lambda t: t != "")
     return d.select(
         "doc_id",
@@ -276,23 +276,10 @@ def text_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles cannot blow the self-join up quadratically). The principled
     100-TB path is MinHash-LSH (text_minhash_lsh_pairs); this exact
     variant doubles as its differential oracle."""
-    from finance_etl_spark.operators.dedup import shingles
+    from finance_etl_spark.operators.dedup import ngram_pair_counts
 
-    d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d, "doc_id", "text", n=3)
-    rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= 50
-    )
-    idx = sh.join(rare.select("shingle"), "shingle", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = idx.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = idx.select(F.col("doc_id").alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    d = load_table_parallel(spark, sf_dir, "documents")
+    sizes, common = ngram_pair_counts(d, "doc_id", "text", n=3, df_cap=50)
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
@@ -357,7 +344,7 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     multisets land within a small Hamming distance, so near-dup
     candidates can be bucketed by fingerprint bands — one explode +
     one hash agg, no pairwise work at all."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     toks = _tokens(d)
     h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
     sums = [
@@ -414,7 +401,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end so scores are bit-stable across engines and partitions.
     Dataflow: two hash aggs to build profiles + one token-key join —
     profiles are corpus-wide aggregates, never broadcast state."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     toks = _tokens(d)
     profile = (
         toks.join(d.select("doc_id", "lang"), "doc_id")
@@ -461,7 +448,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row broadcast. tfidf is rounded to 6 decimals in both engines
     because ln() is libm-dependent (~1 ulp spread) — the integer tf/df
     columns carry the exact contract."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     toks = _tokens(d)
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -520,7 +507,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as MinHash-LSH. Entirely map-side array expressions until the
     final explode; no shuffle before the consumer's groupBy. The 31-bit
     md5 prefix hash is engine-neutral (bit-identical in DuckDB)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
         F.filter(F.split(F.col("text"), _SPACE), lambda t: t != "").alias("__toks"),
@@ -596,7 +583,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/utils/data_manager.py:59-95 applies fixed
     per-group transform constants the same way).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), _SPACE), lambda t: t != "")
     base = d.select("doc_id", toks.alias("__toks"))
     tk = F.col("__toks")
@@ -674,7 +661,7 @@ def text_unigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-hash beyond); totals are ONE row cross-joined in. The
     per-doc reduction folds p values in position order (sequential
     double sum — partition-layout independent)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     toks = _tokens(d)
     train_toks = toks.filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cc"
@@ -748,7 +735,7 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     text column never shuffles and chunk rows are born distributed.
     The per-doc chunk count is ceil(n_tok/40), so output size is
     linear in corpus tokens at any SF."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     tk = F.filter(F.split(F.col("text"), _SPACE), lambda t: t != "")
     base = d.select("doc_id", tk.alias("__tk")).filter(F.size("__tk") >= 1)
     starts = F.sequence(F.lit(0), F.size("__tk") - 1, F.lit(40))
@@ -835,7 +822,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 breaks ties by doc_id, so the LIMIT is deterministic. Same
     inverted-index shape as text_tfidf, upgraded to the ranking every
     retrieval / RAG pipeline actually serves."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     toks = _tokens(d)
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
@@ -899,7 +886,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut is integer arithmetic ((cum-freq)*10 < total*9: strictly
     before the prefix reaches coverage), so the boundary is exact in
     both engines."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     freq = _tokens(d).groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     w_rank = Window.orderBy(F.col("freq").desc(), F.col("tok"))
     ranked = freq.select(
@@ -959,7 +946,7 @@ def text_source_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     never emits. Each χ² term is one IEEE double expression over exact
     integer counts, quantized to DECIMAL(30,10) before the per-source
     sum — order-independent, bit-identical across engines."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     toks = _tokens(d).join(d.select("doc_id", "source"), "doc_id").select(
         "source", "tok"
     )
@@ -1020,7 +1007,7 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     work happens on |vocab| rows. Pairs come from a map-side
     sequence+transform over the word's character array (no self-join,
     unlike the oracle's relational formulation)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     tok_freq = _tokens(d).groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     chars = F.filter(F.split(F.col("tok"), ""), lambda c: c != "")
     pair_arr = F.transform(
@@ -1081,7 +1068,7 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan, 8 bytes per key."""
     from finance_etl_spark.operators.dedup import shingle_array
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     spans = shingle_array(d, "doc_id", "text", _SPAN_N).select(
         "doc_id", F.explode("sh_arr").alias("span")
     )
@@ -1143,7 +1130,7 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     key); the lift join runs vocab-sized relations and the corpus
     total rides a 1-row broadcast. All inputs to the one double
     division are exact integer counts — cross-engine bit-identical."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     pair_arr = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 2),
@@ -1218,23 +1205,10 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the Jaccard pair search — the directed expansion happens on the
     pair-count relation (2 rows per undirected pair), never on the
     corpus."""
-    from finance_etl_spark.operators.dedup import shingles
+    from finance_etl_spark.operators.dedup import ngram_pair_counts
 
-    d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d, "doc_id", "text", n=3)
-    rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= 50
-    )
-    idx = sh.join(rare.select("shingle"), "shingle", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = idx.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = idx.select(F.col("doc_id").alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    d = load_table_parallel(spark, sf_dir, "documents")
+    sizes, common = ngram_pair_counts(d, "doc_id", "text", n=3, df_cap=50)
     directed = common.select(
         F.col("id_a").alias("src_id"), F.col("id_b").alias("dst_id"), "n_common"
     ).unionByName(
@@ -1299,7 +1273,7 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-based keyword scores. Corpus-scale work: one token explode +
     two windows sharing the per-doc partitioning + one vocab-sized
     agg."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_parallel(spark, sf_dir, "documents")
     toks = _tokens(d)
     stop = F.when(F.col("tok").isin(*_RAKE_STOP), 1).otherwise(0)
     w = Window.partitionBy("doc_id").orderBy("pos")
