@@ -147,3 +147,113 @@ def label_propagation(
         return labels.select("node", F.col("label").alias("community_id"))
     finally:
         sym.unpersist()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """(node, component_id) by alternating LARGE-STAR / SMALL-STAR
+    rewrites (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the O(log^2 n)-round formulation that stays
+    viable on ADVERSARIAL graphs (long paths, huge diameter) where
+    plain min-label propagation (connected_components above) needs
+    diameter-many rounds.
+
+    Each round is two join-free groupBy passes over the edge relation:
+
+    - large-star: every node u computes m = min(neighbors ∪ {u}) and
+      rewires each STRICTLY LARGER neighbor v > u to m;
+    - small-star: on the to-smaller orientation, u rewires all its
+      ≤-neighbors (and itself) to m.
+
+    Both emit (v, m) pairs from a groupBy(u) + min-agg + posexploded
+    neighbor list — hash-partitioned on node id, no driver state; the
+    edge relation is localCheckpoint'ed per round (same
+    lineage-reset reasoning as the propagation loop). Converged when
+    the edge multiset stabilizes (decimal sum + count fingerprint —
+    edges only ever move toward smaller minima, so the fingerprint is
+    monotone until fixed point). At the fixed point the relation is a
+    star forest: every node points at its component minimum."""
+    # symmetric, no self-loops
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("a").alias("node")).distinct().persist()
+
+    def fingerprint(df: DataFrame):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("a") + F.col("b")).cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return (r["n"], r["s"])
+
+    def star(df: DataFrame, large: bool) -> DataFrame:
+        # neighbor lists per u (plus self), component-min per u
+        grouped = df.groupBy("a").agg(
+            F.collect_list("b").alias("nbrs"),
+            F.least(F.min("b"), F.col("a")).alias("m"),
+        )
+        if large:
+            # rewire strictly-larger neighbors to m
+            out = grouped.select(
+                F.explode("nbrs").alias("v"), "a", "m"
+            ).filter(F.col("v") > F.col("a"))
+        else:
+            # to-smaller orientation: keep neighbors <= a, rewire them
+            # AND a itself to m
+            out = grouped.select(
+                F.explode(
+                    F.array_append(
+                        F.filter("nbrs", lambda v: v <= F.col("a")), F.col("a")
+                    )
+                ).alias("v"),
+                "a",
+                "m",
+            )
+        return (
+            out.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+
+    prev = fingerprint(e)
+    try:
+        for _ in range(max_rounds):
+            # star passes need BOTH directions for neighborhoods: the
+            # relation is kept symmetric between rounds
+            e = star(e, large=True).localCheckpoint(eager=True)
+            e_sym = e.union(
+                e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            e = star(e_sym, large=False).localCheckpoint(eager=True)
+            e_sym = e.union(
+                e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            ).distinct().localCheckpoint(eager=True)
+            cur = fingerprint(e_sym)
+            if cur == prev:
+                break
+            prev = cur
+            e = e_sym
+        else:
+            raise RuntimeError(
+                f"connected_components_star: no convergence in {max_rounds}"
+            )
+        # fixed point: star forest. Each node's label = min neighbor
+        # (or itself for the center).
+        lab = (
+            e_sym.groupBy(F.col("a").alias("node"))
+            .agg(F.least(F.min("b"), F.col("node")).alias("component_id"))
+        )
+        return nodes.join(lab, "node", "left").select(
+            "node",
+            F.coalesce("component_id", F.col("node")).alias("component_id"),
+        )
+    finally:
+        nodes.unpersist()

@@ -2116,3 +2116,28 @@ def graph_community_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy("community_id")
     )
+
+
+@register(
+    "graph_components_star",
+    tags=("graph", "iterative", "scale"),
+    oracle=_cc_oracle(),
+)
+def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating LARGE-STAR/SMALL-STAR edge
+    rewrites (Kiveris et al. SoCC'14) over the same trigram-Jaccard
+    near-dup edges as cur_dedup_components — the O(log^2 n)-round
+    algorithm that replaces diameter-bound min-label propagation on
+    adversarial graphs (at 100 TB a web-crawl dup graph can chain);
+    operators/components.py::connected_components_star. Oracle: the
+    same recursive-CTE transitive closure; pytest additionally pins
+    star == propagation on path/clique/random graphs."""
+    from finance_etl_spark.operators.components import connected_components_star
+
+    pairs = get("text_ngram_jaccard_pairs").build(spark, sf_dir)
+    comp = connected_components_star(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        comp.join(sizes, "component_id")
+        .select(F.col("node").alias("doc_id"), "component_id", "n_members")
+    )

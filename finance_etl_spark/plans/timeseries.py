@@ -1368,3 +1368,114 @@ def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return daily.select("event_type", "d", "v", med.alias("med7"))
+
+
+@register(
+    "ts_interpolate_linear",
+    tags=("timeseries", "gap-fill", "window"),
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS d,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR)
+                        AS DOUBLE) AS v
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        bounds AS (
+            SELECT user_id, MIN(d) AS mind, MAX(d) AS maxd
+            FROM daily GROUP BY user_id
+        ),
+        spine AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(CAST(mind AS TIMESTAMP),
+                                               CAST(maxd AS TIMESTAMP),
+                                               INTERVAL 1 DAY)) AS DATE) AS d
+            FROM bounds
+        ),
+        grid AS (
+            SELECT s.user_id, s.d, dly.v,
+                   LAST_VALUE(dly.v IGNORE NULLS) OVER (
+                       PARTITION BY s.user_id ORDER BY s.d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                   LAST_VALUE(dly.d IGNORE NULLS) OVER (
+                       PARTITION BY s.user_id ORDER BY s.d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+                   FIRST_VALUE(dly.v IGNORE NULLS) OVER (
+                       PARTITION BY s.user_id ORDER BY s.d
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                   FIRST_VALUE(dly.d IGNORE NULLS) OVER (
+                       PARTITION BY s.user_id ORDER BY s.d
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+            FROM spine s LEFT JOIN daily dly
+              ON dly.user_id = s.user_id AND dly.d = s.d
+        )
+        SELECT user_id, d, (v IS NULL) AS is_gap,
+               CASE WHEN v IS NOT NULL THEN v
+                    ELSE pv + (nv - pv) *
+                         (CAST(date_diff('day', pd, d) AS DOUBLE)
+                          / CAST(date_diff('day', pd, nd) AS DOUBLE))
+               END AS v_interp
+        FROM grid
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a per-key daily spine — the numeric
+    companion to LOCF (ts_gap_fill_locf): interior gaps get
+    pv + (nv-pv) * Δt/Δtotal from the bracketing observations. The
+    bracket comes from two IGNORE NULLS windows (backward last, forward
+    first) over the LEFT-joined spine; spine ends always hold real
+    observations so every gap is interior and the formula total.
+
+    Determinism: bracket values are decimal-exact daily sums presented
+    as doubles; the interpolation itself is per-row IEEE arithmetic
+    with the SAME expression shape on both engines (no re-quantization,
+    divergence class 2 avoided). Scale: the spine is
+    |keys| x |calendar| (bounded by time, not SF), one shuffle on
+    (user_id) serves the join and both windows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(dsum("value").alias("v"))
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("d").alias("mind"), F.max("d").alias("maxd")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("mind", "maxd", F.expr("interval 1 day"))).alias("d"),
+    )
+    g = spine.join(daily, ["user_id", "d"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    grid = g.select(
+        "user_id",
+        "d",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(F.when(F.col("v").isNotNull(), F.col("d")), ignorenulls=True)
+        .over(back)
+        .alias("pd"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(F.when(F.col("v").isNotNull(), F.col("d")), ignorenulls=True)
+        .over(fwd)
+        .alias("nd"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.datediff("d", "pd").cast("double")
+        / F.datediff("nd", "pd").cast("double")
+    )
+    return grid.select(
+        "user_id",
+        "d",
+        F.col("v").isNull().alias("is_gap"),
+        F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp).alias(
+            "v_interp"
+        ),
+    )

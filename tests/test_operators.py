@@ -304,3 +304,50 @@ def test_label_propagation_repartition_deterministic(spark):
         map(tuple, label_propagation(df.repartition(13), n_rounds=4).collect())
     )
     assert a == b
+
+
+def test_components_star_equals_propagation_on_long_path(spark):
+    """A 60-node path has diameter 59 — beyond propagation's default
+    round budget, exactly the regime the star algorithm exists for.
+    Verify star labels = ground truth (all nodes -> 0)."""
+    from finance_etl_spark.operators.components import (
+        connected_components_star,
+    )
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "src long, dst long"
+    )
+    got = {
+        (r.node, r.component_id)
+        for r in connected_components_star(edges).collect()
+    }
+    assert got == {(i, 0) for i in range(60)}
+
+
+def test_components_star_equals_propagation_random(spark):
+    """Star and propagation must agree label-for-label on a seeded
+    random graph with several components."""
+    import random
+
+    from finance_etl_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    edges = [
+        (rng.randrange(0, 200), rng.randrange(0, 200)) for _ in range(150)
+    ]
+    edf = spark.createDataFrame(
+        [e for e in edges if e[0] != e[1]], "src long, dst long"
+    )
+    a = {
+        (r.node, r.component_id)
+        for r in connected_components(edf, max_rounds=60).collect()
+    }
+    b = {
+        (r.node, r.component_id)
+        for r in connected_components_star(edf).collect()
+    }
+    assert a == b
