@@ -1336,3 +1336,120 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rake_score").desc(), "tok")
         .limit(20)
     )
+
+
+@register(
+    "text_dataset_card",
+    tags=("text", "curation", "agg"),
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, source, lang, n_chars,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS n_toks,
+                   md5(text) AS th
+            FROM documents
+        ),
+        per_src AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) - COUNT(DISTINCT th) AS BIGINT) AS n_dup_docs,
+                   CAST(COUNT(*) - COUNT(DISTINCT th) AS DOUBLE)
+                       / COUNT(*) AS dup_rate
+            FROM base GROUP BY source
+        ),
+        lang_rank AS (
+            SELECT source, lang, COUNT(*) AS c,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY COUNT(*) DESC, lang) AS rn
+            FROM base GROUP BY source, lang
+        ),
+        med AS (
+            SELECT source, n_chars AS median_chars FROM (
+                SELECT source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars, doc_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY source) AS n
+                FROM base
+            ) WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+        )
+        SELECT p.source, p.n_docs, p.n_tokens, p.n_dup_docs, p.dup_rate,
+               l.lang AS top_lang,
+               CAST(l.c AS DOUBLE) / p.n_docs AS top_lang_share,
+               m.median_chars
+        FROM per_src p
+        JOIN lang_rank l ON l.source = p.source AND l.rn = 1
+        JOIN med m ON m.source = p.source
+    """,
+)
+def text_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one query: per source — doc and token
+    counts, exact-duplicate rate (md5 text hash), dominant language
+    with share, and median document length as an order statistic
+    (actual observed value, rn = ceil(n/2), ties broken by doc_id).
+    Every number is an integer count or an integer ratio presented as
+    double — fully deterministic cross-engine, no interpolation.
+
+    Scale: one corpus scan feeds three source-keyed aggregations
+    (counts+distinct, language argmax, median selection); source
+    cardinality is tiny so the final joins broadcast. The md5 dup
+    check is the same T2 surrogate-key machinery as ingest
+    (functions/keys.py); at 100 TB the median window partitions on
+    source, whose per-group row count is corpus-sized — swap the exact
+    order statistic for approx_percentile when that matters (the
+    rest of the card is partial-aggregable map-side)."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "n_toks"
+        ),
+        F.md5("text").alias("th"),
+    )
+    per_src = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("th")).alias("n_dup_docs"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct("th")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dup_rate"),
+    )
+    lw = Window.partitionBy("source").orderBy(F.col("c").desc(), "lang")
+    lang_top = (
+        base.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(lw))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "c")
+    )
+    mw = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    med = (
+        base.select(
+            "source",
+            "n_chars",
+            F.row_number().over(mw).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+        )
+        .filter(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("long"))
+        .select("source", F.col("n_chars").alias("median_chars"))
+    )
+    return (
+        per_src.join(F.broadcast(lang_top), "source")
+        .join(F.broadcast(med), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_dup_docs",
+            "dup_rate",
+            "top_lang",
+            (F.col("c").cast("double") / F.col("n_docs")).alias(
+                "top_lang_share"
+            ),
+            "median_chars",
+        )
+    )
