@@ -635,3 +635,110 @@ def sink_bloom_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-table atomic commits
+
+
+def write_tx_snapshot(
+    root: str, version: int, tables: dict[str, list[str]]
+) -> None:
+    """One commit file covering ALL tables — readers resolving version
+    v see every table at the same logical instant (cross-table
+    transactional consistency; single-table formats like Delta/Iceberg
+    need an external catalog transaction for this)."""
+    with open(os.path.join(root, f"tx_v{version}.json"), "w") as f:
+        json.dump(
+            {"version": version, "tables": {k: sorted(v) for k, v in tables.items()}},
+            f,
+        )
+
+
+def read_tx_snapshot(
+    spark: SparkSession, root: str, version: int, table: str
+) -> DataFrame:
+    with open(os.path.join(root, f"tx_v{version}.json")) as f:
+        return spark.read.parquet(*json.load(f)["tables"][table])
+
+
+@register(
+    "sink_multi_table_tx",
+    tags=("sink", "tableformat", "scale"),
+    oracle=f"""
+        WITH o1 AS (SELECT * FROM orders WHERE EXTRACT(year FROM o_orderdate) <= 1996),
+        l1 AS (SELECT l.* FROM lineitem l JOIN o1 ON l.l_orderkey = o1.o_orderkey),
+        j1 AS (
+            SELECT COUNT(*) AS n_joined, COUNT(DISTINCT o1.o_orderkey) AS n_orders
+            FROM o1 JOIN l1 ON o1.o_orderkey = l1.l_orderkey
+        ),
+        j2 AS (
+            SELECT COUNT(*) AS n_joined, COUNT(DISTINCT o.o_orderkey) AS n_orders
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        )
+        SELECT 1 AS version, n_joined, n_orders, TRUE AS orphan_free FROM j1
+        UNION ALL
+        SELECT 2, n_joined, n_orders, TRUE FROM j2
+    """,
+)
+def sink_multi_table_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table ATOMIC commits: orders and lineitem publish under
+    ONE transaction manifest per version, so a reader can never see
+    1997 lineitems against a 1996 orders table (the FK-consistent
+    read every multi-table pipeline needs; with per-table commit logs
+    this requires catalog-level transactions). v1 loads both tables
+    ≤1996 in one commit; v2 appends 1997+ to BOTH in one commit. The
+    query joins the two tables AT EACH VERSION and also proves
+    orphan-freedom (every lineitem finds its order) — pytest asserts
+    the orphan count is zero at both versions, the oracle checks the
+    join cardinalities against the logical reconstruction.
+
+    Scale: commits are O(new files) like single-table appends; the
+    manifest is one JSON per tx regardless of table count."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    yr = F.year("o_orderdate")
+    old_keys = o.filter(yr <= 1996).select("o_orderkey")
+    root = tempfile.mkdtemp(prefix="tx_root_")
+
+    def stage(df: DataFrame, sub: str) -> list[str]:
+        d = os.path.join(root, sub)
+        df.repartition(2).write.mode("overwrite").parquet(d)
+        return _data_files(d)
+
+    # v1: both tables, consistent cut at 1996 — ONE commit
+    o1_files = stage(o.filter(yr <= 1996), "o_v1")
+    l1_files = stage(
+        li.join(F.broadcast(old_keys), li.l_orderkey == old_keys.o_orderkey, "left_semi"),
+        "l_v1",
+    )
+    write_tx_snapshot(root, 1, {"orders": o1_files, "lineitem": l1_files})
+    # v2: append the 1997+ increment to BOTH tables — ONE commit
+    new_keys = o.filter(yr >= 1997).select("o_orderkey")
+    o2_files = o1_files + stage(o.filter(yr >= 1997), "o_v2")
+    l2_files = l1_files + stage(
+        li.join(F.broadcast(new_keys), li.l_orderkey == new_keys.o_orderkey, "left_semi"),
+        "l_v2",
+    )
+    write_tx_snapshot(root, 2, {"orders": o2_files, "lineitem": l2_files})
+
+    outs = []
+    for v in (1, 2):
+        ov = read_tx_snapshot(spark, root, v, "orders")
+        lv = read_tx_snapshot(spark, root, v, "lineitem")
+        j = ov.join(lv, ov.o_orderkey == lv.l_orderkey)
+        orphans = lv.join(ov, lv.l_orderkey == ov.o_orderkey, "left_anti")
+        outs.append(
+            j.agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count(F.lit(1)).alias("n_joined"),
+                F.countDistinct("o_orderkey").alias("n_orders"),
+            ).crossJoin(
+                orphans.agg((F.count(F.lit(1)) == 0).alias("orphan_free"))
+            )
+        )
+    return outs[0].unionByName(outs[1])
