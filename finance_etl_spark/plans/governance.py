@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from finance_etl_spark.functions.money import dsum
 from finance_etl_spark.io.readers import load_table
 from finance_etl_spark.plans.registry import o_dsum, register
 
@@ -252,3 +253,77 @@ def cur_walk_forward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
         ).alias("test_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-level security + column masking
+
+
+_RLS_POLICIES = {
+    # role -> (allowed region keys, may see account balances)
+    "emea_analyst": ((3,), False),
+    "global_auditor": ((0, 1, 2, 3, 4), True),
+}
+
+
+@register(
+    "dq_rls_masked_views",
+    tags=("dq", "governance"),
+    oracle=f"""
+        WITH base AS (
+            SELECT c.c_custkey, c.c_acctbal, n.n_regionkey
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        )
+        SELECT 'emea_analyst' AS role,
+               CAST(COUNT(*) AS BIGINT) AS visible_rows,
+               CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS visible_regions,
+               0.0 AS balance_sum,
+               TRUE AS balances_masked
+        FROM base WHERE n_regionkey IN (3)
+        UNION ALL
+        SELECT 'global_auditor', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT n_regionkey) AS BIGINT),
+               {o_dsum('c_acctbal')}, FALSE
+        FROM base
+    """,
+)
+def dq_rls_masked_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-enforced views: each role's DataFrame is built by
+    composing a ROW filter (region allow-list) and a COLUMN mask
+    (acctbal zeroed unless the role is balance-privileged) at PLAN
+    time — the policies are data, the enforcement is Catalyst (filters
+    push to the scan, masked columns prune out of it entirely when
+    unused). The query emits each role's visible row/region counts and
+    the balance aggregate as the masked view sees it, proving the
+    analyst role can neither see out-of-region rows nor any real
+    balance.
+
+    Scale: the policy join (nation region lookup) broadcasts; each
+    role view is one filtered scan — there is no post-hoc redaction
+    pass over materialized data, which is the difference between
+    row-level security and a leaky report."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    base = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_acctbal", "n_regionkey"
+    )
+    outs = []
+    for role in ("emea_analyst", "global_auditor"):
+        regions, sees_balance = _RLS_POLICIES[role]
+        view = base.filter(F.col("n_regionkey").isin(*regions)).withColumn(
+            "c_acctbal",
+            F.col("c_acctbal") if sees_balance else F.lit(0.0),
+        )
+        outs.append(
+            view.agg(
+                F.lit(role).alias("role"),
+                F.count(F.lit(1)).alias("visible_rows"),
+                F.countDistinct("n_regionkey").alias("visible_regions"),
+                dsum("c_acctbal").alias("balance_sum"),
+                F.lit(not sees_balance).alias("balances_masked"),
+            )
+        )
+    out = outs[0]
+    for o_df in outs[1:]:
+        out = out.unionByName(o_df)
+    return out
