@@ -2970,3 +2970,53 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c_ab").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "window_trailing_distinct",
+    tags=("window", "agg", "scale"),
+    oracle="""
+        WITH daily AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+        ),
+        days AS (SELECT DISTINCT d FROM daily)
+        SELECT days.d,
+               CAST(COUNT(DISTINCT dl.user_id) AS BIGINT) AS active_7d
+        FROM days JOIN daily dl
+          ON dl.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+        GROUP BY days.d
+    """,
+)
+def window_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the metric SQL
+    windows cannot express (COUNT(DISTINCT) OVER a frame is illegal in
+    Spark and most engines). Formulation: each (day, user) observation
+    is exploded to the ≤7 report days whose trailing window covers it
+    (a bounded sequence(), NOT a join against the day spine), then one
+    groupBy(report_day).countDistinct. Expansion factor == window
+    length, independent of SF; the shuffle keys on report day and the
+    distinct aggregates partially map-side. The day-spine join in the
+    oracle is the relational equivalent; at 100 TB the exploded form
+    wins because it never builds the |days| x |daily| range-join
+    intermediate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    covering = daily.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), 6), F.expr("interval 1 day")
+            )
+        ).alias("rd"),
+    )
+    # report only days that actually occur in the data (the oracle's
+    # `days` relation) — the tail of the explode otherwise invents
+    # post-horizon days
+    days = daily.select(F.col("d").alias("rd")).distinct()
+    return (
+        covering.join(days, "rd", "left_semi")
+        .groupBy(F.col("rd").alias("d"))
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
