@@ -1293,3 +1293,83 @@ def vec_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "hamming")
     )
+
+
+@register(
+    "vec_mmr_rerank",
+    tags=("vector", "retrieval", "udf"),
+)
+def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from each probe's cosine top-20 candidate pool, greedily
+    pick 5 results maximizing λ·rel(q,d) − (1−λ)·max_sel sim(d,s) —
+    the diversity-aware selection every RAG retriever bolts onto raw
+    ANN top-k (near-duplicate passages waste context tokens).
+
+    Shape: stage 1 is the existing distributed brute-force cosine
+    (exact fold, one scan); stage 2 is applyInPandas PER QUERY GROUP —
+    the greedy loop is inherently sequential but touches only the
+    20-candidate pool, so the expensive part stays distributed and the
+    sequential part is O(k·pool) numpy per query. Rows-only for the
+    driver (greedy tie-breaking is ordered-float selection, not
+    ANSI-SQL-expressible); determinism and the diversity property are
+    pytest-asserted (tests/test_finance.py::test_mmr_*)."""
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = (1, 100, 250)
+    q = emb.filter(F.col("vec_id").isin(*probes)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "embedding",
+            "q_emb",
+            cosine(F.col("embedding"), F.col("q_emb")).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("vec_id")
+    )
+    pool = cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 20
+    )
+
+    LAM, K = 0.7, 5
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["rel", "vec_id"], ascending=[False, True])
+        V = np.stack(pdf["embedding"].map(np.asarray).to_numpy())
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        rel = pdf["rel"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        chosen: list[int] = []
+        for rank in range(K):
+            if not chosen:
+                score = LAM * rel
+            else:
+                red = (V @ V[chosen].T).max(axis=1)
+                score = LAM * rel - (1.0 - LAM) * red
+            score[chosen] = -np.inf
+            # deterministic: best score, ties to smaller vec_id (the
+            # frame is pre-sorted by (rel desc, vec_id), argmax takes
+            # the first maximal element)
+            chosen.append(int(np.argmax(score)))
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "sel_rank": range(1, K + 1),
+                "vec_id": ids[chosen],
+                "rel": rel[chosen],
+            }
+        )
+
+    return pool.groupBy("query_id").applyInPandas(
+        mmr, "query_id long, sel_rank int, vec_id long, rel double"
+    )

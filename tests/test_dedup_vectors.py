@@ -368,3 +368,54 @@ def test_lsh_planes_are_independent():
         seen.add(row)
         balance = sum(1 for x in row if x == 1)
         assert DIM // 4 <= balance <= 3 * DIM // 4, f"plane {p} is degenerate"
+
+
+def test_mmr_rerank_deterministic_and_diverse(spark, sf_dir):
+    """MMR must (a) be rerun-deterministic, (b) start from the top
+    relevance hit, and (c) strictly diversify: the selected set's max
+    pairwise cosine must not exceed the plain top-5's."""
+    import numpy as np
+
+    from finance_etl_spark.io.readers import load_table
+    from finance_etl_spark.plans import get
+
+    r1 = sorted(
+        (r.query_id, r.sel_rank, r.vec_id)
+        for r in get("vec_mmr_rerank").build(spark, sf_dir).collect()
+    )
+    r2 = sorted(
+        (r.query_id, r.sel_rank, r.vec_id)
+        for r in get("vec_mmr_rerank").build(spark, sf_dir).collect()
+    )
+    assert r1 == r2
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def maxpair(ids):
+        V = np.stack([emb[i] / np.linalg.norm(emb[i]) for i in ids])
+        S = V @ V.T
+        np.fill_diagonal(S, -1)
+        return S.max()
+
+    by_q = {}
+    for q, rank, vid in r1:
+        by_q.setdefault(q, []).append(vid)
+    for q, sel in by_q.items():
+        assert len(sel) == 5
+        # plain top-5 by cosine (excluding self), numpy ground truth
+        qv = emb[q] / np.linalg.norm(emb[q])
+        sims = sorted(
+            (
+                (float((emb[i] / np.linalg.norm(emb[i])) @ qv), i)
+                for i in emb
+                if i != q
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        top5 = [i for _, i in sims[:5]]
+        # MMR's first pick is the max-relevance hit
+        assert sel[0] == top5[0]
+        # and the MMR set is no less diverse than plain top-5
+        assert maxpair(sel) <= maxpair(top5) + 1e-9
