@@ -1112,3 +1112,75 @@ def ingest_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("account", "symbol")
     )
+
+
+_GZ_DIR = "/root/repo/fixtures/ingest_gz"
+
+
+@register(
+    "ingest_gzip_csv",
+    tags=("ingest", "source"),
+    oracle=f"""
+        WITH alpha AS (
+            SELECT TRY_CAST(replace(Amount, ',', '.') AS DOUBLE)
+                   * CASE WHEN "D/C" = 'D' THEN -1 ELSE 1 END AS amt
+            FROM read_csv('{_GZ_DIR}/alpha_current_stm_20250101.csv.gz',
+                          delim = ';', header = true, all_varchar = true)
+        ),
+        beta AS (
+            SELECT TRY_CAST(Summa AS DOUBLE)
+                   * CASE WHEN DC = 'D' THEN -1 ELSE 1 END AS amt
+            FROM read_csv('{_GZ_DIR}/beta_savings_stm_20250103.csv.gz',
+                          delim = ',', header = true, all_varchar = true)
+        ),
+        u AS (SELECT amt FROM alpha UNION ALL SELECT amt FROM beta)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (WHERE amt IS NULL) AS BIGINT) AS n_bad,
+               CAST(CAST(SUM(CAST(amt AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)
+                   AS net_amount
+        FROM u
+    """,
+)
+def ingest_gzip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-source ingestion: the same statement CSVs arriving
+    gzipped (the usual SFTP drop format) — Spark decompresses .gz
+    transparently in the scan, the T9 decimal-comma normalize and T11
+    D/C sign flip run unchanged on top, and T10 safe casts quarantine
+    the fixture's 'N/A' amounts as NULLs (counted, not crashed). Two
+    banks, two dialects (';' + comma-decimal vs ',' + dot-decimal),
+    one decimal-exact net.
+
+    Scale note: gzip is NOT splittable — each .gz file is one task, so
+    parallelism = file count and a single 10 GB .gz serializes its
+    scan. The ingest contract therefore caps archive size at the feed
+    (many small .gz are fine: the reference's per-(bank,day) drop
+    pattern, data_manager.py:34-44, gives natural file-level
+    parallelism); for engine-owned data use zstd parquet, which splits
+    by row group."""
+    alpha = (
+        spark.read.option("sep", ";")
+        .option("header", True)
+        .csv(f"{_GZ_DIR}/alpha_current_stm_20250101.csv.gz")
+        .select(
+            (
+                F.regexp_replace(F.col("Amount"), ",", ".").try_cast("double")
+                * F.when(F.col("D/C") == "D", -1).otherwise(1)
+            ).alias("amt")
+        )
+    )
+    beta = (
+        spark.read.option("sep", ",")
+        .option("header", True)
+        .csv(f"{_GZ_DIR}/beta_savings_stm_20250103.csv.gz")
+        .select(
+            (
+                F.col("Summa").try_cast("double")
+                * F.when(F.col("DC") == "D", -1).otherwise(1)
+            ).alias("amt")
+        )
+    )
+    return alpha.unionByName(beta).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("amt").isNull(), 1)).alias("n_bad"),
+        dsum("amt").alias("net_amount"),
+    )
