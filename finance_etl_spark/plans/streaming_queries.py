@@ -921,3 +921,53 @@ def stream_live_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_clicks"))
         .orderBy("tier")
     )
+
+
+@register(
+    "stream_live_topk_per_window",
+    tags=("streaming", "live", "window", "rank"),
+    oracle="""
+        WITH agg AS (
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+                   user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT CAST(win_start AS TIMESTAMP) AS win_start, user_id, n_events
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY win_start
+                       ORDER BY n_events DESC, user_id) AS rn
+            FROM agg
+        ) WHERE rn <= 3
+    """,
+)
+def stream_live_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: per tumbling hour, the top-3 users by
+    event count. Ranking ON TOP of a streaming aggregation is illegal
+    inside one streaming query (no multiple stateful ops + no window
+    function on an unfinalized aggregate), so the production shape is
+    the two-stage split: the STREAM maintains the (window, user)
+    counts; the RANKING runs per trigger in foreachBatch over the
+    finalized aggregate — here, complete-mode output into a batch
+    row_number. The oracle recomputes from the batch table.
+
+    Scale: state = one row per (window, user); watermarking bounds it
+    in production (the fixture is finite). The per-batch ranking only
+    touches the aggregate relation — never raw events."""
+    from finance_etl_spark.streaming.runner import events_stream, run_stream_to_memory
+
+    import uuid as _uuid
+
+    src = events_stream(spark, sf_dir)
+    counts = src.groupBy(
+        F.window("ts", "1 hour").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    agg = run_stream_to_memory(
+        counts, f"live_topk_{_uuid.uuid4().hex[:8]}", mode="complete"
+    )
+    w = Window.partitionBy("w").orderBy(F.col("n_events").desc(), "user_id")
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(F.col("w.start").alias("win_start"), "user_id", "n_events")
+    )
