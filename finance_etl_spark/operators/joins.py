@@ -264,3 +264,76 @@ def asof_nearest(
         match_ts.alias("__match_ts"),
         *vals,
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Forward as-of: each left row takes ``value_cols`` from the
+    EARLIEST right row with ``right.ts >= left.ts`` (inclusive) on
+    equal keys — the settlement-side mirror of ``asof_join`` (next
+    fixing after the trade, next price print after the order). Same
+    union+window shape, with the window running from the current row
+    to unbounded FOLLOWING and right rows ordering after left at equal
+    timestamps so ties stay inclusive. ``tolerance`` nulls matches
+    further than ``left_ts + tolerance`` into the future."""
+    keys = [on] if isinstance(on, str) else list(on)
+
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias(_SIDE),
+        *[F.col(v) for v in value_cols],
+        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
+    )
+    lft = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias(_SIDE),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(v) for v in value_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts"), F.col(_SIDE).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled_vals = [F.first(v, ignorenulls=True).over(w).alias(v) for v in value_cols]
+    filled_ts = F.first(
+        F.when(F.col(_SIDE) == 1, F.col("__ts")), ignorenulls=True
+    ).over(w)
+
+    out = (
+        r.unionByName(lft)
+        .select(
+            F.col("__ts"),
+            F.col(_SIDE),
+            filled_ts.alias("__match_ts"),
+            *filled_vals,
+            *[F.col(f"__l_{c}") for c in left.columns],
+        )
+        .filter(F.col(_SIDE) == 0)
+    )
+
+    vals: list[Column] = []
+    for v in value_cols:
+        c = F.col(v)
+        if tolerance is not None:
+            c = F.when(
+                F.col("__match_ts")
+                <= F.col("__ts") + F.expr(f"INTERVAL {tolerance}"),
+                c,
+            )
+        vals.append(c.alias(v))
+
+    return out.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *vals,
+    )

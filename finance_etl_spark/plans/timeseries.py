@@ -1479,3 +1479,37 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v_interp"
         ),
     )
+
+
+@register(
+    "ts_asof_forward",
+    tags=("join", "asof"),
+    oracle="""
+        WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             purchases AS (SELECT user_id, ts, MAX(value) AS value
+                           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        SELECT c.event_id, c.user_id, c.ts, p.value AS next_purchase_value
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def ts_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click gets the user's next purchase
+    value at-or-after the click — attribution's "what did this click
+    lead to", and the settlement mirror of the backward join
+    (operators/joins.py::asof_join_forward: same one-shuffle
+    union+window, frame flipped to FOLLOWING). DuckDB's ASOF supports
+    both directions, so this one is fully hash-checked."""
+    from finance_etl_spark.operators.joins import asof_join_forward
+
+    clicks = _events(spark, sf_dir, "click").drop("value")
+    purchases = (
+        _events(spark, sf_dir, "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join_forward(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"],
+    )
+    return out.withColumnRenamed("value", "next_purchase_value")

@@ -351,3 +351,44 @@ def test_components_star_equals_propagation_random(spark):
         for r in connected_components_star(edf).collect()
     }
     assert a == b
+
+
+def test_asof_forward_ties_and_direction(spark):
+    """Forward as-of: equal timestamps match (inclusive); strictly
+    earlier right rows never match; tolerance nulls far futures."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from finance_etl_spark.operators.joins import asof_join_forward
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t("2025-01-01T10:00:00")), (1, t("2025-01-01T12:00:00"))],
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t("2025-01-01T09:00:00"), 1.0),   # past: never matches
+            (1, t("2025-01-01T10:00:00"), 2.0),   # tie: matches first row
+            (1, t("2025-01-01T15:00:00"), 3.0),   # future: matches second
+        ],
+        "k long, ts timestamp, v double",
+    )
+    rows = {
+        r.ts: r.v
+        for r in asof_join_forward(
+            left, right, on="k", left_ts="ts", right_ts="ts", value_cols=["v"]
+        ).collect()
+    }
+    assert rows[t("2025-01-01T10:00:00")] == 2.0
+    assert rows[t("2025-01-01T12:00:00")] == 3.0
+    rows_tol = {
+        r.ts: r.v
+        for r in asof_join_forward(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["v"], tolerance="1 hour",
+        ).collect()
+    }
+    assert rows_tol[t("2025-01-01T10:00:00")] == 2.0
+    assert rows_tol[t("2025-01-01T12:00:00")] is None
