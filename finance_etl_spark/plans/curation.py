@@ -2141,3 +2141,188 @@ def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.join(sizes, "component_id")
         .select(F.col("node").alias("doc_id"), "component_id", "n_members")
     )
+
+
+@register(
+    "cur_preference_pairs",
+    tags=("curation", "llm", "window"),
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, source, lang, n_chars,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS n_toks
+            FROM documents
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY source, lang
+                                      ORDER BY n_toks DESC, doc_id) AS rn_best,
+                   row_number() OVER (PARTITION BY source, lang
+                                      ORDER BY n_toks ASC, doc_id) AS rn_worst,
+                   COUNT(*) OVER (PARTITION BY source, lang) AS grp_n
+            FROM scored
+        )
+        SELECT b.source, b.lang,
+               b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+               b.n_toks AS chosen_toks, w.n_toks AS rejected_toks,
+               CAST(b.n_toks - w.n_toks AS BIGINT) AS margin
+        FROM ranked b JOIN ranked w
+          ON b.source = w.source AND b.lang = w.lang
+         AND b.rn_best = 1 AND w.rn_worst = 1
+        WHERE b.grp_n >= 2 AND b.doc_id <> w.doc_id
+    """,
+)
+def cur_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (DPO/RLHF reward data): per
+    (source, lang) group, pair the highest-quality document with the
+    lowest-quality one (quality proxy: token count; swap in any score
+    column) — chosen/rejected with an explicit margin, deterministic
+    tiebreaks, groups of one skipped (no self-pairs).
+
+    Scale: two ranking windows over the same (source, lang) partition
+    — one shuffle; the best⋈worst join is group-keyed on dimension-
+    sized keys. The pattern generalizes to k pairs per group by
+    widening the rn filters — never a within-group cross join."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "n_toks"
+        ),
+    )
+    wb = Window.partitionBy("source", "lang").orderBy(
+        F.col("n_toks").desc(), "doc_id"
+    )
+    ww = Window.partitionBy("source", "lang").orderBy(
+        F.col("n_toks").asc(), "doc_id"
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number().over(wb).alias("rn_best"),
+        F.row_number().over(ww).alias("rn_worst"),
+        F.count(F.lit(1)).over(Window.partitionBy("source", "lang")).alias(
+            "grp_n"
+        ),
+    )
+    b = ranked.filter((F.col("rn_best") == 1) & (F.col("grp_n") >= 2)).alias("b")
+    w = ranked.filter(F.col("rn_worst") == 1).alias("w")
+    return (
+        b.join(
+            w,
+            (F.col("b.source") == F.col("w.source"))
+            & (F.col("b.lang") == F.col("w.lang")),
+        )
+        .filter(F.col("b.doc_id") != F.col("w.doc_id"))
+        .select(
+            F.col("b.source").alias("source"),
+            F.col("b.lang").alias("lang"),
+            F.col("b.doc_id").alias("chosen_id"),
+            F.col("w.doc_id").alias("rejected_id"),
+            F.col("b.n_toks").alias("chosen_toks"),
+            F.col("w.n_toks").alias("rejected_toks"),
+            (F.col("b.n_toks") - F.col("w.n_toks")).cast("long").alias("margin"),
+        )
+    )
+
+
+@register(
+    "cur_bitemporal_asknown",
+    tags=("curation", "scd", "temporal"),
+    oracle="""
+        WITH versions AS (
+            -- v1: the original booking, known from the order date
+            SELECT o_orderkey,
+                   CAST(o_totalprice AS DECIMAL(30,10)) AS amount,
+                   CAST(o_orderdate AS DATE) AS valid_from,
+                   CAST(o_orderdate AS DATE) AS known_from
+            FROM orders
+            UNION ALL
+            -- v2: a 10%-discount correction to F-status orders,
+            -- discovered 30 days after booking, retroactive to the
+            -- SAME valid date
+            SELECT o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(30,10))
+                        * CAST(0.9 AS DECIMAL(2,1)) AS DECIMAL(30,10)),
+                   CAST(o_orderdate AS DATE),
+                   CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
+            FROM orders WHERE o_orderstatus = 'F'
+        ),
+        pit AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY o_orderkey
+                       ORDER BY known_from DESC, amount ASC) AS rn
+            FROM versions
+            WHERE valid_from <= DATE '1996-12-31'
+              AND known_from <= DATE '1997-01-15'
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(*) FILTER (WHERE rn_total = 2) AS BIGINT) AS n_corrected,
+               CAST(CAST(SUM(amount) AS VARCHAR) AS DOUBLE) AS book_value
+        FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY o_orderkey) AS rn_total
+            FROM pit
+        ) WHERE rn = 1
+    """,
+)
+def cur_bitemporal_asknown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL point-in-time: 'the book value of business effective
+    ≤ 1996-12-31, as KNOWN on 1997-01-15' — two independent time axes
+    (valid time: when the fact was true; transaction time: when we
+    learned it). Corrections land as new versions with a later
+    known_from but the ORIGINAL valid_from, so restating history never
+    rewrites it: the same query with a later knowledge date returns the
+    corrected book, with an earlier one reproduces exactly what was
+    reported then (the auditor's question SCD2 alone cannot answer).
+    Versions: booking at order date; a retroactive 10% correction to
+    settled orders discovered 30 days later.
+
+    Scale: the version feed is a union of projections (map-side); the
+    as-known selection is one row_number window per order key —
+    identical shape to CDC latest-per-key, just filtered on BOTH time
+    axes first so state never includes future knowledge."""
+    o = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    # corrections stay DECIMAL end-to-end: 0.9 x a 2-decimal price is
+    # exactly 3 decimals — a double product re-quantized to decimal is
+    # divergence class 2 (registry docstring)
+    v1 = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast(DEC).alias("amount"),
+        od.alias("valid_from"),
+        od.alias("known_from"),
+    )
+    v2 = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast(DEC) * F.lit("0.9").cast("decimal(2,1)"))
+        .cast(DEC)
+        .alias("amount"),
+        od.alias("valid_from"),
+        F.date_add(od, 30).alias("known_from"),
+    )
+    import datetime as dt
+
+    valid_cut, known_cut = dt.date(1996, 12, 31), dt.date(1997, 1, 15)
+    pit = (
+        v1.unionByName(v2)
+        .filter(
+            (F.col("valid_from") <= F.lit(valid_cut))
+            & (F.col("known_from") <= F.lit(known_cut))
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("known_from").desc(), F.col("amount").asc()
+    )
+    latest = pit.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderkey")).alias(
+            "rn_total"
+        ),
+    ).filter(F.col("rn") == 1)
+    return latest.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("rn_total") == 2, 1)).alias("n_corrected"),
+        F.sum("amount").cast("double").alias("book_value"),
+    )
