@@ -1453,3 +1453,72 @@ def text_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_chars",
         )
     )
+
+
+@register(
+    "text_export_chat_jsonl",
+    tags=("text", "curation", "export"),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS t
+            FROM documents
+        ),
+        split AS (
+            SELECT doc_id, source,
+                   array_to_string(t[1:12], ' ') AS prompt,
+                   array_to_string(t[13:len(t)], ' ') AS completion
+            FROM toks WHERE len(t) >= 24
+        )
+        SELECT doc_id, source,
+               to_json(struct_pack(messages := [
+                   struct_pack(role := 'user', content := prompt),
+                   struct_pack(role := 'assistant', content := completion)
+               ])) AS record
+        FROM split
+    """,
+)
+def text_export_chat_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data export in chat-JSONL shape: each long-enough
+    document splits into a (prompt = first 12 tokens, completion =
+    rest) turn pair rendered as the standard
+    {"messages":[{role,content},...]} record — the string a fine-tune
+    dataloader ingests verbatim. The JSON rendering is BYTE-IDENTICAL
+    cross-engine (verified: Spark to_json(struct) and DuckDB
+    to_json(struct_pack) agree on key order and compact formatting for
+    string fields), so even the serialized records hash-match the
+    oracle — the rare export query whose exact output bytes are
+    differential-tested.
+
+    Scale: pure map-side (tokenize, slice, join, serialize in one
+    codegen'd projection); the real export adds .write.text() which
+    shards by partition — no shuffle anywhere."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("t"),
+    ).filter(F.size("t") >= 24)
+    split = toks.select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", F.slice("t", 1, 12)).alias("prompt"),
+        F.concat_ws(" ", F.expr("slice(t, 13, size(t) - 12)")).alias(
+            "completion"
+        ),
+    )
+    record = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.lit("user").alias("role"),
+                    F.col("prompt").alias("content"),
+                ),
+                F.struct(
+                    F.lit("assistant").alias("role"),
+                    F.col("completion").alias("content"),
+                ),
+            ).alias("messages")
+        )
+    )
+    return split.select("doc_id", "source", record.alias("record"))
