@@ -568,3 +568,162 @@ def fin_var_historical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         F.col("net").cast("double").alias("var_5pct"),
     )
+
+
+# Progressive fee schedule: (lower bound, marginal rate in basis points).
+_FEE_TIERS = ((0, 50), (50_000, 30), (150_000, 10))
+
+
+def _tier_fee_expr(amount):
+    """Marginal (progressive) fee in EXACT basis points x decimal:
+    each tier charges its rate on the slice of the amount inside the
+    tier — the tax-bracket formula. All arithmetic stays decimal x
+    integer until the single presentation division by 10_000."""
+    total = None
+    bounds = [t[0] for t in _FEE_TIERS] + [None]
+    for (lo, bps), hi in zip(_FEE_TIERS, bounds[1:]):
+        width = (
+            F.least(amount, F.lit(hi)) - F.lit(lo)
+            if hi is not None
+            else amount - F.lit(lo)
+        )
+        slice_amt = F.greatest(width, F.lit(0).cast(DEC)).cast(DEC)
+        part = slice_amt * bps
+        total = part if total is None else total + part
+    return total
+
+
+def _tier_fee_sql(amount: str) -> str:
+    # every literal is cast to DECIMAL: DuckDB promotes mixed
+    # least(DECIMAL, INTEGER) through DOUBLE, which would make the fee
+    # sum order-dependent (caught by the differential gate)
+    dec = "CAST({} AS DECIMAL(30,10))".format
+    parts = []
+    bounds = [t[0] for t in _FEE_TIERS] + [None]
+    for (lo, bps), hi in zip(_FEE_TIERS, bounds[1:]):
+        capped = f"least({amount}, {dec(hi)})" if hi is not None else amount
+        # the slice is re-capped to DECIMAL(30,10) before the bps
+        # multiply: SUM() widened the amount to DECIMAL(38,10), and
+        # (38,10) x int overflows DuckDB's decimal width, silently
+        # falling back to DOUBLE (order-dependent sums)
+        parts.append(
+            f"CAST(greatest({capped} - {dec(lo)}, {dec(0)}) "
+            f"AS DECIMAL(30,10)) * {bps}"
+        )
+    return " + ".join(parts)
+
+
+@register(
+    "fin_fee_tiering",
+    tags=("finance", "scalar"),
+    oracle=f"""
+        WITH cust AS (
+            SELECT o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS volume
+            FROM orders GROUP BY o_custkey
+        ),
+        fees AS (
+            SELECT o_custkey, volume,
+                   {_tier_fee_sql('volume')} AS fee_bps
+            FROM cust
+        )
+        SELECT CAST(CASE WHEN volume < 400000 THEN 1
+                         WHEN volume < 800000 THEN 2
+                         WHEN volume < 1200000 THEN 3
+                         WHEN volume < 1600000 THEN 4
+                         ELSE 5 END AS INT) AS vol_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS total_volume,
+               CAST(CAST(SUM(fee_bps) AS VARCHAR) AS DOUBLE) / 10000.0
+                   AS total_fees
+        FROM fees GROUP BY 1
+    """,
+)
+def fin_fee_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive (marginal) fee computation — the tax-bracket
+    formula: each customer's annual volume pays 50 bps on the first
+    50k, 30 bps to 150k, 10 bps above, fee = Σ slice x rate. The
+    bracket arithmetic is DECIMAL x integer-bps throughout (exact);
+    the one division by 10^4 happens on the aggregated total. Report:
+    per volume-quartile bucket, customers, volume, and fee take.
+
+    Scale: one groupBy per customer (partial-agg), then pure map-side
+    bracket math — the progressive formula is a closed-form
+    least/greatest chain, NOT a join against a tier table, so adding
+    tiers changes an expression, never the shuffle count."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("volume")
+    )
+    fees = cust.withColumn("fee_bps", _tier_fee_expr(F.col("volume")))
+    return (
+        fees.groupBy(
+            F.when(F.col("volume") < 400000, 1)
+            .when(F.col("volume") < 800000, 2)
+            .when(F.col("volume") < 1200000, 3)
+            .when(F.col("volume") < 1600000, 4)
+            .otherwise(5)
+            .cast("int")
+            .alias("vol_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("volume").cast("double").alias("total_volume"),
+            (F.sum("fee_bps").cast("double") / F.lit(10000.0)).alias(
+                "total_fees"
+            ),
+        )
+    )
+
+
+@register(
+    "fin_ar_aging",
+    tags=("finance", "agg", "datetime"),
+    oracle=f"""
+        WITH open_ar AS (
+            SELECT o_orderkey, o_totalprice,
+                   date_diff('day', CAST(o_orderdate AS DATE),
+                             DATE '1998-08-01') AS age_days
+            FROM orders
+            WHERE o_orderstatus <> 'F'
+              AND o_orderdate < TIMESTAMP '1998-08-01'
+        )
+        SELECT CASE WHEN age_days <= 30 THEN '0-30'
+                    WHEN age_days <= 60 THEN '31-60'
+                    WHEN age_days <= 90 THEN '61-90'
+                    ELSE '90+' END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_invoices,
+               {o_dsum('o_totalprice')} AS open_amount,
+               CAST(MAX(age_days) AS BIGINT) AS oldest_days
+        FROM open_ar GROUP BY 1
+    """,
+)
+def fin_ar_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts-receivable AGING: unsettled orders bucketed by days
+    outstanding at the 1998-08-01 reporting date (0-30/31-60/61-90/
+    90+) with open amounts per bucket — the collections report every
+    finance team runs weekly. Bucket logic is a per-row CASE on an
+    integer day difference; one shuffle for the 4-row aggregate.
+    The reporting date is a parameter (fixed here so the oracle
+    hash-matches); production binds current_date."""
+    import datetime as dt
+
+    asof = dt.date(1998, 8, 1)
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") != "F")
+        & (F.col("o_orderdate") < F.lit(dt.datetime(1998, 8, 1)))
+    )
+    age = F.datediff(F.lit(asof), F.col("o_orderdate").cast("date"))
+    bucket = (
+        F.when(age <= 30, "0-30")
+        .when(age <= 60, "31-60")
+        .when(age <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return o.select(bucket.alias("bucket"), "o_totalprice", age.alias("age")).groupBy(
+        "bucket"
+    ).agg(
+        F.count(F.lit(1)).alias("n_invoices"),
+        dsum("o_totalprice").alias("open_amount"),
+        F.max("age").cast("long").alias("oldest_days"),
+    )
