@@ -2179,10 +2179,16 @@ def cur_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     column) — chosen/rejected with an explicit margin, deterministic
     tiebreaks, groups of one skipped (no self-pairs).
 
-    Scale: two ranking windows over the same (source, lang) partition
-    — one shuffle; the best⋈worst join is group-keyed on dimension-
-    sized keys. The pattern generalizes to k pairs per group by
-    widening the rn filters — never a within-group cross join."""
+    Scale: argmax/argmin as ONE partial-aggregable groupBy —
+    max(struct(score, tiebreak)) combines map-side, so a (source,
+    lang) group of a billion documents never serializes through a
+    ranking window's single task (the window formulation is kept as
+    the oracle). Tiebreaks are encoded in the struct ordering:
+    chosen = max(n_toks, then smallest doc_id via negation),
+    rejected = min(n_toks, then smallest doc_id). Generalizing to k
+    pairs per group swaps the structs for fixed-k top-k aggregation
+    (window_topk_per_group's shape) — still never a ranking window
+    over an SF-scaled group."""
     d = load_table_parallel(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
@@ -2192,37 +2198,27 @@ def cur_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_toks"
         ),
     )
-    wb = Window.partitionBy("source", "lang").orderBy(
-        F.col("n_toks").desc(), "doc_id"
-    )
-    ww = Window.partitionBy("source", "lang").orderBy(
-        F.col("n_toks").asc(), "doc_id"
-    )
-    ranked = scored.select(
-        "*",
-        F.row_number().over(wb).alias("rn_best"),
-        F.row_number().over(ww).alias("rn_worst"),
-        F.count(F.lit(1)).over(Window.partitionBy("source", "lang")).alias(
-            "grp_n"
+    agg = scored.groupBy("source", "lang").agg(
+        F.max(F.struct(F.col("n_toks"), (-F.col("doc_id")).alias("neg_id"))).alias(
+            "best"
         ),
+        F.min(F.struct(F.col("n_toks"), F.col("doc_id"))).alias("worst"),
+        F.count(F.lit(1)).alias("grp_n"),
     )
-    b = ranked.filter((F.col("rn_best") == 1) & (F.col("grp_n") >= 2)).alias("b")
-    w = ranked.filter(F.col("rn_worst") == 1).alias("w")
+    chosen_id = -F.col("best.neg_id")
+    rejected_id = F.col("worst.doc_id")
     return (
-        b.join(
-            w,
-            (F.col("b.source") == F.col("w.source"))
-            & (F.col("b.lang") == F.col("w.lang")),
-        )
-        .filter(F.col("b.doc_id") != F.col("w.doc_id"))
+        agg.filter((F.col("grp_n") >= 2) & (chosen_id != rejected_id))
         .select(
-            F.col("b.source").alias("source"),
-            F.col("b.lang").alias("lang"),
-            F.col("b.doc_id").alias("chosen_id"),
-            F.col("w.doc_id").alias("rejected_id"),
-            F.col("b.n_toks").alias("chosen_toks"),
-            F.col("w.n_toks").alias("rejected_toks"),
-            (F.col("b.n_toks") - F.col("w.n_toks")).cast("long").alias("margin"),
+            "source",
+            "lang",
+            chosen_id.alias("chosen_id"),
+            rejected_id.alias("rejected_id"),
+            F.col("best.n_toks").alias("chosen_toks"),
+            F.col("worst.n_toks").alias("rejected_toks"),
+            (F.col("best.n_toks") - F.col("worst.n_toks"))
+            .cast("long")
+            .alias("margin"),
         )
     )
 
