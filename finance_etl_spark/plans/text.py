@@ -1394,10 +1394,12 @@ def text_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     (counts+distinct, language argmax, median selection); source
     cardinality is tiny so the final joins broadcast. The md5 dup
     check is the same T2 surrogate-key machinery as ingest
-    (functions/keys.py); at 100 TB the median window partitions on
-    source, whose per-group row count is corpus-sized — swap the exact
-    order statistic for approx_percentile when that matters (the
-    rest of the card is partial-aggregable map-side)."""
+    (functions/keys.py). The EXACT median never sorts documents: it
+    selects from the per-source LENGTH HISTOGRAM (groupBy(source,
+    n_chars) partial-aggregates map-side; the cumulative window then
+    runs over distinct lengths — bounded by the length domain, not the
+    corpus), so a billion-doc source costs a histogram, not a
+    single-task sort."""
     d = load_table_parallel(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
@@ -1426,16 +1428,24 @@ def text_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("source", F.col("lang").alias("top_lang"), "c")
     )
-    mw = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    hist = base.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    hw = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     med = (
-        base.select(
+        hist.select(
             "source",
             "n_chars",
-            F.row_number().over(mw).alias("rn"),
-            F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+            F.sum("c").over(hw).alias("cum"),
+            F.sum("c").over(Window.partitionBy("source")).alias("n"),
         )
-        .filter(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("long"))
-        .select("source", F.col("n_chars").alias("median_chars"))
+        .filter(F.col("cum") >= F.ceil(F.lit(0.5) * F.col("n")).cast("long"))
+        .groupBy("source")
+        .agg(F.min("n_chars").alias("median_chars"))
     )
     return (
         per_src.join(F.broadcast(lang_top), "source")
