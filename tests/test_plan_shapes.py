@@ -603,3 +603,68 @@ def test_retrieval_eval_broadcasts_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "hashpartitioning(query_id" in p
+
+
+def test_fifo_join_is_keyed_not_cartesian(spark, sf_dir):
+    """The FIFO interval-overlap join must plan as a KEYED join on
+    partkey (sort-merge or shuffled-hash) with the range condition as
+    a post-join filter — never BroadcastNestedLoop/Cartesian over the
+    lot lists."""
+    p = plan_str(plans.get("fin_fifo_cost_basis").build(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # any KEYED join qualifies — at test SF the stats make Catalyst
+    # broadcast one side (still an equi-join on partkey); at scale the
+    # same plan degrades gracefully to sort-merge
+    assert (
+        "SortMergeJoin" in p
+        or "ShuffledHashJoin" in p
+        or "BroadcastHashJoin" in p
+    )
+
+
+def test_preference_pairs_has_no_ranking_window(spark, sf_dir):
+    """argmax/argmin must be the partial-aggregable struct agg — a
+    ranking Window over an SF-scaled (source, lang) group is the
+    scale-killer this formulation exists to avoid."""
+    p = plan_str(plans.get("cur_preference_pairs").build(spark, sf_dir))
+    assert "Window" not in p
+    assert "partial_max" in p or "partial_min" in p or "HashAggregate" in p
+
+
+def test_dataset_card_median_window_is_histogram_sized(spark, sf_dir):
+    """The median's cumulative window must consume the (source,
+    n_chars) HISTOGRAM aggregate, not raw documents: a HashAggregate
+    must sit below the Window in the plan."""
+    p = plan_str(plans.get("text_dataset_card").build(spark, sf_dir))
+    assert "Window" in p and "HashAggregate" in p
+
+
+def test_fx_asof_rate_side_is_dimension_sized(spark, sf_dir):
+    """The as-of union+window must not plan any Cartesian/BNL join —
+    the rate spine joins by union, the nation name by broadcast."""
+    p = plan_str(plans.get("fin_fx_convert_asof").build(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_delete_propagation_semi_joins_broadcast(spark, sf_dir):
+    p = plan_str(plans.get("dq_delete_propagation").build(spark, sf_dir))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_binary_hamming_probe_side_broadcasts(spark, sf_dir):
+    """The 3-probe side must broadcast; the corpus scan stays the
+    streamed side (a shuffle join of 3 rows against the corpus would
+    be wrong at any scale)."""
+    p = plan_str(plans.get("vec_binary_hamming_topk").build(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_trailing_distinct_no_range_join(spark, sf_dir):
+    """The covering-window explode must keep the plan join-free up to
+    the final semi join on report days — no non-equi join anywhere."""
+    p = plan_str(plans.get("window_trailing_distinct").build(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
