@@ -1532,3 +1532,103 @@ def text_export_chat_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return split.select("doc_id", "source", record.alias("record"))
+
+
+@register(
+    "text_dedup_incremental_batch",
+    tags=("text", "dedup", "incremental"),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> array_to_string(t[i : i + 1], ' ')))) AS shingle
+            FROM toks WHERE len(t) >= 2
+        ),
+        rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+        idx AS (SELECT s.* FROM sh s JOIN rare USING (shingle)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        new_docs AS (SELECT doc_id FROM documents WHERE doc_id % 17 = 0),
+        common AS (
+            SELECT n.doc_id AS new_id, o.doc_id AS old_id, COUNT(*) AS n_common
+            FROM idx n JOIN idx o USING (shingle)
+            WHERE n.doc_id IN (SELECT doc_id FROM new_docs)
+              AND o.doc_id NOT IN (SELECT doc_id FROM new_docs)
+            GROUP BY 1, 2
+        ),
+        verified AS (
+            SELECT c.new_id, c.old_id,
+                   CAST(c.n_common AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - c.n_common) AS jaccard
+            FROM common c
+            JOIN sizes sa ON sa.doc_id = c.new_id
+            JOIN sizes sb ON sb.doc_id = c.old_id
+        )
+        SELECT n.doc_id AS new_id,
+               CAST(COUNT(v.old_id) FILTER (WHERE v.jaccard >= 0.5) AS BIGINT)
+                   AS n_corpus_dups,
+               COUNT(v.old_id) FILTER (WHERE v.jaccard >= 0.5) = 0 AS admit
+        FROM new_docs n LEFT JOIN verified v ON v.new_id = n.doc_id
+        GROUP BY n.doc_id
+    """,
+)
+def text_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup admission — the shape production dedup
+    actually runs at 100 TB: an incoming batch (doc_id % 17, standing
+    in for today's crawl) is checked against the EXISTING corpus only;
+    batch docs with any ≥0.5-Jaccard corpus neighbor are rejected,
+    the rest admitted. The candidate join is new-index ⋈ corpus-index
+    (never corpus ⋈ corpus — the whole point: incremental cost is
+    O(batch collisions), and the corpus side of the index is exactly
+    what a production system keeps MATERIALIZED between runs, so only
+    the batch's shingles are computed fresh; the J1 anti-join
+    admission mirrors the reference's incremental load,
+    data_manager.py:172-201, lifted from exact keys to near-dup).
+
+    Scale: one df-capped inverted index restricted by a broadcast
+    batch-id set on the probe side and its complement on the build
+    side; bigram shingles (n=2) keep the demo corpus's collision
+    surface realistic."""
+    from finance_etl_spark.operators.dedup import ngram_pair_counts
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 17 == 0
+    sizes, common = ngram_pair_counts(d, "doc_id", "text", n=2, df_cap=50)
+    # ngram_pair_counts emits undirected (id_a < id_b) pairs over the
+    # whole corpus; direct them into (new, old)
+    cab = common.select(
+        F.col("id_a").alias("new_id"), F.col("id_b").alias("old_id"), "n_common"
+    ).filter((F.col("new_id") % 17 == 0) & (F.col("old_id") % 17 != 0))
+    cba = common.select(
+        F.col("id_b").alias("new_id"), F.col("id_a").alias("old_id"), "n_common"
+    ).filter((F.col("new_id") % 17 == 0) & (F.col("old_id") % 17 != 0))
+    directed = cab.unionByName(cba)
+    sa = sizes.select(F.col("doc_id").alias("new_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("old_id"), F.col("n_sh").alias("nb"))
+    verified = (
+        directed.join(sa, "new_id")
+        .join(sb, "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            (
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    dups = F.count(F.when(F.col("jaccard") >= 0.5, 1))
+    new_docs = d.filter(is_new).select(F.col("doc_id").alias("new_id"))
+    return (
+        new_docs.join(verified, "new_id", "left")
+        .groupBy(F.col("new_id"))
+        .agg(
+            dups.alias("n_corpus_dups"),
+            (dups == 0).alias("admit"),
+        )
+    )
