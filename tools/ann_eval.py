@@ -67,6 +67,125 @@ def main() -> int:
             {"path": name, "label": label, "recall_at_5": recall, "sec": wall}
         )
         print(json.dumps(results[-1]), flush=True)
+
+    # Binary quantization (sign bits + Hamming) measured against the
+    # FLOAT cosine truth — the standard BQ quality metric (the
+    # registered query vec_binary_hamming_topk is oracle-exact in the
+    # quantized space; this measures what the quantization itself
+    # loses). Reuses the same 5 probes as the exact baseline.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from finance_etl_spark.io.readers import load_table
+    from finance_etl_spark.plans.vectors import _pack_sign_bits
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    codes = emb.select(
+        "vec_id",
+        _pack_sign_bits("embedding", 0, 32).alias("lo"),
+        _pack_sign_bits("embedding", 32, 64).alias("hi"),
+    )
+    qc = codes.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("q_lo"),
+        F.col("hi").alias("q_hi"),
+    )
+    t0 = time.time()
+    bq_rows = (
+        codes.crossJoin(F.broadcast(qc))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("q_lo").bitwiseXOR(F.col("lo")))
+                + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("hi")))
+            ).alias("hamming"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .collect()
+    )
+    bq_wall = round(time.time() - t0, 3)
+    got = topk_sets(bq_rows)
+    hits = sum(len(got.get(q, set()) & s) for q, s in truth.items())
+    denom = sum(len(s) for s in truth.values())
+    results.append(
+        {
+            "path": "binary_hamming_topk",
+            "label": "binary quantization (64 sign bits)",
+            "recall_at_5": round(hits / denom, 3) if denom else 0.0,
+            "sec": bq_wall,
+        }
+    )
+    print(json.dumps(results[-1]), flush=True)
+
+    # BQ + exact float re-rank: shortlist by Hamming (top-100), price
+    # the shortlist with true cosine — the production two-stage shape
+    # (bits cut the scan 32x; floats fix the ranking).
+    from finance_etl_spark.functions.vectors import cosine
+
+    t0 = time.time()
+    shortlist = (
+        codes.crossJoin(F.broadcast(qc))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("q_lo").bitwiseXOR(F.col("lo")))
+                + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("hi")))
+            ).alias("hamming"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+            ),
+        )
+        .filter(F.col("rn") <= 100)
+        .drop("rn", "hamming")
+    )
+    qv = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    nv = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    rr_rows = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("embedding"), F.col("q_emb")).alias("cos"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cos").desc(), "neighbor_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .collect()
+    )
+    rr_wall = round(time.time() - t0, 3)
+    got = topk_sets(rr_rows)
+    hits = sum(len(got.get(q, set()) & s) for q, s in truth.items())
+    results.append(
+        {
+            "path": "binary_hamming_rerank",
+            "label": "BQ shortlist(100) + exact re-rank",
+            "recall_at_5": round(hits / denom, 3) if denom else 0.0,
+            "sec": rr_wall,
+        }
+    )
+    print(json.dumps(results[-1]), flush=True)
     print(json.dumps({"metric": "ann_recall_eval", "sf_dir": SF_DIR, "rows": results}))
 
     if emit_md:
