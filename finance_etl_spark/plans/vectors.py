@@ -1263,7 +1263,15 @@ def vec_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no global sort). Compose with IVF bucketing (vec_ann_ivf_topk)
     to cut the scan itself; exact float re-rank of the bit-level
     top-100 recovers cosine precision (vec_ann_pq_topk shows the
-    re-rank stage)."""
+    re-rank stage).
+
+    Quality caveat (measured, ANN_EVAL.md): against FLOAT-cosine truth
+    on this near-isotropic synthetic fixture, raw Hamming recall@5 is
+    ~0.04 — 1 bit/dim erases nearly all signal when embeddings have no
+    dominant directions; the two-stage shortlist(100)+re-rank recovers
+    0.6 scanning floats for 5% of the corpus. Real text embeddings are
+    anisotropic and fare far better; the query itself stays
+    oracle-exact in the quantized space either way."""
     emb = load_table(spark, sf_dir, "embeddings")
     codes = emb.select(
         "vec_id",
