@@ -156,3 +156,48 @@ def test_var_is_an_observed_day(spark, sf_dir):
     }
     for seg, v in var_rows.items():
         assert (seg, v) in observed
+
+
+def test_fee_tiering_marginal_formula_continuity(spark):
+    """The bracket chain must equal the hand-computed marginal fee at
+    boundary, interior, and top-tier volumes (continuity at tier
+    edges is what distinguishes marginal from cliff pricing)."""
+    from finance_etl_spark.plans.finance import _FEE_TIERS, _tier_fee_expr
+
+    rows = spark.createDataFrame(
+        [(0.0,), (49999.0,), (50000.0,), (50001.0,), (150000.0,), (200000.0,)],
+        "v double",
+    ).select(
+        F.col("v"),
+        (_tier_fee_expr(F.col("v").cast("decimal(30,10)")).cast("double") / 10000.0).alias("fee"),
+    )
+    got = {r.v: r.fee for r in rows.collect()}
+
+    def expected(v):
+        fee = 0.0
+        bounds = [t[0] for t in _FEE_TIERS] + [None]
+        for (lo, bps), hi in zip(_FEE_TIERS, bounds[1:]):
+            top = min(v, hi) if hi is not None else v
+            fee += max(top - lo, 0.0) * bps / 10000.0
+        return fee
+
+    for v, fee in got.items():
+        assert abs(fee - expected(v)) < 1e-9, (v, fee, expected(v))
+
+
+def test_ar_aging_buckets_partition_open_orders(spark, sf_dir):
+    """Bucket counts must sum to the number of open (non-F) orders
+    before the reporting date, and no bucket may overlap another."""
+    import datetime as dt
+
+    from finance_etl_spark.io.readers import load_table
+
+    rows = _run(spark, sf_dir, "fin_ar_aging").collect()
+    total = sum(r.n_invoices for r in rows)
+    o = load_table(spark, sf_dir, "orders")
+    expected = o.filter(
+        (F.col("o_orderstatus") != "F")
+        & (F.col("o_orderdate") < F.lit(dt.datetime(1998, 8, 1)))
+    ).count()
+    assert total == expected
+    assert {r.bucket for r in rows} <= {"0-30", "31-60", "61-90", "90+"}
