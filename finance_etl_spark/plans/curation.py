@@ -402,10 +402,15 @@ def cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection) — the contamination counts are countDistinct over the
     # join key, so the narrower key shrinks both shuffles (index
     # df-filter + train⋈test)
+    # the hashed shingle relation feeds the df-filter AND the index,
+    # and the index feeds BOTH join sides — persist the root or the
+    # tokenize+gram lineage re-runs per consumer (the same measured
+    # pattern as operators/dedup.py::ngram_pair_counts)
     sh = (
         shingle_array(d, "doc_id", "text", n=3)
         .select("doc_id", F.explode("sh_arr").alias("s"))
         .select("doc_id", F.xxhash64("s").alias("shingle"))
+        .persist()
     )
     rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= 50
