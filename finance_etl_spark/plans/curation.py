@@ -50,7 +50,7 @@ _TRAIN_HI, _VAL_HI = "cc", "e6"
                       THEN 'val'
                     ELSE 'test' END AS split,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                AVG(n_chars) AS avg_chars
         FROM documents
         GROUP BY split
@@ -284,7 +284,7 @@ def _strat_oracle() -> str:
         f"WHEN lang = '{k}' THEN {int(v * 65536)}" for k, v in _STRATA_RATES.items()
     )
     return f"""
-        SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS total_chars
+        SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents
         WHERE {gate} < (CASE {whens} ELSE {int(_DEFAULT_RATE * 65536)} END)
         GROUP BY lang
@@ -1103,7 +1103,7 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY src, dst
         ),
         u AS (
-            SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, SUM(w) AS w
+            SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, CAST(SUM(w) AS BIGINT) AS w
             FROM e WHERE src <> dst GROUP BY a, b
         ),
         thr AS (SELECT quantile_cont(w, 0.6) AS t FROM u),

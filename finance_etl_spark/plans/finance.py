@@ -233,8 +233,8 @@ def fin_trial_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT year(o.o_orderdate) AS yr,
                COUNT(*) AS n_lines,
-               SUM(date_diff('day', CAST(o.o_orderdate AS DATE),
-                             CAST(l.l_shipdate AS DATE))) AS total_days,
+               CAST(SUM(date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE))) AS BIGINT) AS total_days,
                CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,10))
                              * date_diff('day', CAST(o.o_orderdate AS DATE),
                                          CAST(l.l_shipdate AS DATE)))
@@ -471,7 +471,7 @@ def fin_fifo_cost_basis(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n,
                MIN(CAST(sd AS DATE)) AS first_settle,
                MAX(CAST(sd AS DATE)) AS last_settle,
-               SUM(date_diff('day', td, CAST(sd AS DATE))) AS total_lag_days
+               CAST(SUM(date_diff('day', td, CAST(sd AS DATE))) AS BIGINT) AS total_lag_days
         FROM s GROUP BY 1
     """,
 )

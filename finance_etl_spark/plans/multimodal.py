@@ -248,7 +248,7 @@ def mm_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         ), framed AS (
             SELECT doc_id, CAST(i // 32 AS BIGINT) AS frame_id,
-                   SUM(CAST(amp * amp AS BIGINT)) AS energy,
+                   CAST(SUM(CAST(amp * amp AS BIGINT)) AS BIGINT) AS energy,
                    CAST(COUNT(*) AS BIGINT) AS n_samples
             FROM samples GROUP BY 1, 2
         )

@@ -29,6 +29,15 @@ their fixes — check new queries against all three:
 3. round() on a float PRODUCT can land exactly on a .005 boundary
    where the engines' rounding of the binary value disagrees — round
    an exact DECIMAL product instead (scalar_math_funcs).
+4. Integer SUM widens to HUGEINT in DuckDB (grouped AND window forms;
+   Arrow renders it decimal128(38,0)), while Spark's sum(int/bigint)
+   stays bigint — the driver's type-aware value hash then mismatches
+   even though every value is identical. Rule: ANY integer SUM that
+   reaches an oracle's final SELECT must be `CAST(... AS BIGINT)`
+   (round-3 driver fails text_vocab_coverage / text_bpe_pair_counts).
+   COUNT(*) / COUNT(DISTINCT) are plain BIGINT in DuckDB and are safe
+   uncast. tools/check.py fetches oracle results via Arrow so this
+   class now fails locally too.
 """
 
 from __future__ import annotations

@@ -250,7 +250,7 @@ def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "json"),
     oracle="""
         SELECT event_type,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                COUNT(*) AS n
         FROM events
         GROUP BY event_type

@@ -886,7 +886,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    SUM(freq) OVER () AS total
             FROM freq
         )
-        SELECT rank, tok, freq, cum_freq
+        SELECT rank, tok, freq, CAST(cum_freq AS BIGINT) AS cum_freq
         FROM ranked
         WHERE (cum_freq - freq) * 10 < total * 9
         ORDER BY rank
@@ -1005,7 +1005,7 @@ def text_source_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT a.tok, a.ch || b.ch AS pair
             FROM chars a JOIN chars b ON a.tok = b.tok AND b.i = a.i + 1
         )
-        SELECT pair, SUM(tok_freq.freq) AS n_occurrences
+        SELECT pair, CAST(SUM(tok_freq.freq) AS BIGINT) AS n_occurrences
         FROM pairs JOIN tok_freq USING (tok)
         GROUP BY pair
         ORDER BY n_occurrences DESC, pair

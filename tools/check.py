@@ -6,6 +6,17 @@ kind per column, and an order-insensitive canonicalized value multiset.
 Queries without an oracle get a rows-only check (must run, rows >= 0).
 
 Usage: python tools/check.py [query ...]   (default: all)
+
+Driver fidelity note: oracle results are fetched via Arrow
+(`fetch_arrow_table().to_pylist()`), NOT `fetchall()`. DuckDB widens
+integer SUM / window-SUM / COUNT-DISTINCT-adjacent expressions to
+HUGEINT, which Arrow renders as decimal128(38,0) -> Python Decimal;
+`fetchall()` flattens that back to int and masks the divergence the
+driver's hash-based gate sees (round-3 lesson: two driver hash fails
+passed locally for exactly this reason). With Arrow fetch, a bare
+integer SUM in an oracle's final SELECT shows up locally as a kind/
+value mismatch, same as on the driver. Oracle rule: CAST output sums
+to BIGINT.
 """
 
 from __future__ import annotations
@@ -118,9 +129,10 @@ def main(argv: list[str]) -> int:
             n_pass += 1
             continue
         try:
-            cur = con.execute(oracles[name])
-            d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
+            tbl = con.execute(oracles[name]).fetch_arrow_table()
+            d_cols = list(tbl.column_names)
+            cols_py = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+            d_rows = list(zip(*cols_py)) if tbl.num_rows else []
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
