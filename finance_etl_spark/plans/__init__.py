@@ -32,10 +32,11 @@ from finance_etl_spark.plans.registry import (  # noqa: F401
 import importlib
 
 for _mod in (
-    "tpch",
-    "text",
-    "vectors",
+    # ROUND-4 ORDER: timeseries + the new stats module + streaming +
+    # curation front the driver's ~50-query sample window (tpch/text/
+    # vectors were verified by the r03 sample and rotate to the back)
     "timeseries",
+    "stats",
     "streaming_queries",
     "curation",
     "multimodal",
@@ -48,6 +49,9 @@ for _mod in (
     "tokenizer",
     "finance",
     "governance",
+    "tpch",
+    "text",
+    "vectors",
 ):
     try:
         importlib.import_module(f"finance_etl_spark.plans.{_mod}")

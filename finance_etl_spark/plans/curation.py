@@ -406,9 +406,15 @@ def cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the index feeds BOTH join sides — persist the root or the
     # tokenize+gram lineage re-runs per consumer (the same measured
     # pattern as operators/dedup.py::ngram_pair_counts)
+    # persist the ARRAY root BEFORE the explode: exploding the
+    # unmaterialized computed array re-evaluates the gram-build
+    # expression per generated row (measured 11.9 s vs 2.8 s at sf0.1
+    # for this exact relation) — the same trap ngram_pair_counts
+    # already avoids. The explode then reads materialized arrays.
+    arr = shingle_array(d, "doc_id", "text", n=3).persist()
+    arr.count()  # materialize before consumers fan out
     sh = (
-        shingle_array(d, "doc_id", "text", n=3)
-        .select("doc_id", F.explode("sh_arr").alias("s"))
+        arr.select("doc_id", F.explode("sh_arr").alias("s"))
         .select("doc_id", F.xxhash64("s").alias("shingle"))
         .persist()
     )
@@ -1093,7 +1099,7 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_triangle_count",
     tags=("graph", "join"),
     oracle="""
-        WITH e AS (
+        WITH e AS MATERIALIZED (
             SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
                    CAST(COUNT(*) AS BIGINT) AS w
             FROM lineitem l
@@ -1102,12 +1108,12 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             GROUP BY src, dst
         ),
-        u AS (
+        u AS MATERIALIZED (
             SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, CAST(SUM(w) AS BIGINT) AS w
             FROM e WHERE src <> dst GROUP BY a, b
         ),
-        thr AS (SELECT quantile_cont(w, 0.6) AS t FROM u),
-        ku AS (SELECT a, b FROM u, thr WHERE w >= t),
+        thr AS MATERIALIZED (SELECT quantile_cont(w, 0.6) AS t FROM u),
+        ku AS MATERIALIZED (SELECT a, b FROM u, thr WHERE w >= t),
         tri AS (
             SELECT e1.a AS x, e1.b AS y, e2.b AS z
             FROM ku e1

@@ -1,0 +1,304 @@
+"""Distributed hypothesis testing registered as oracle-checked queries:
+two-sample Kolmogorov-Smirnov, Mann-Whitney U (rank-sum with exact tie
+handling), and Welch's t-test.
+
+The statistics are computed from EXACT integer / decimal sufficient
+aggregates (counts, rank sums, power sums) with a single IEEE-exact
+double expression at the presentation edge — the same cross-engine
+determinism contract as agg_corr_exact (plans/registry.py docstring).
+
+Scale design: KS and Mann-Whitney both need a GLOBAL cumulative count
+over the pooled sorted sample, which a naive unpartitioned window would
+serialize onto one task. Both queries decompose it two-level exactly
+like ts_max_concurrency: a within-bucket running sum (windows
+partitioned by a value-range bucket — bounded work per partition) plus
+a per-bucket carry-in from the cumulative sum over the O(buckets)
+bucket-total aggregate. Distinct values scale with the corpus; buckets
+don't.
+
+Reference scope: the reference ETL (ibqp/finance-etl transform.py)
+stops at sums/counts; these are capability-expansion operators for the
+analytics surface (SURVEY.md §2.B stats rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from finance_etl_spark.io.readers import load_table
+from finance_etl_spark.plans.registry import register
+
+# the two samples under test: order totals of URGENT vs LOW priority
+# orders — same-shaped distributions, so the tests exercise real
+# discrimination rather than a trivially-separable pair
+_G1, _G0 = "1-URGENT", "5-LOW"
+
+# two-sample base: x = order total in exact cents-scale decimal, g = 1
+# for the URGENT sample, 0 for LOW
+_SAMPLE_SQL = f"""
+    SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS x,
+           CASE WHEN o_orderpriority = '{_G1}' THEN 1 ELSE 0 END AS g
+    FROM orders
+    WHERE o_orderpriority IN ('{_G1}', '{_G0}')
+"""
+
+
+def _two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderpriority").isin(_G1, _G0)).select(
+        F.col("o_totalprice").cast("decimal(12,2)").alias("x"),
+        F.when(F.col("o_orderpriority") == _G1, 1).otherwise(0).alias("g"),
+    )
+
+
+def _pooled_cumulative(ts: DataFrame) -> DataFrame:
+    """Distinct-value rows (x, a, b, cum_a, cum_b): per-value sample
+    counts plus the INCLUSIVE global cumulative counts in x order,
+    computed with the two-level (bucket + carry-in) decomposition."""
+    per_val = ts.groupBy("x").agg(
+        F.sum("g").alias("a"),
+        F.sum(F.lit(1) - F.col("g")).alias("b"),
+    )
+    per_val = per_val.withColumn(
+        "bkt", F.floor(F.col("x") / F.lit(10000)).cast("long")
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = per_val.select(
+        "bkt",
+        "x",
+        "a",
+        "b",
+        F.sum("a").over(w_in).alias("wa"),
+        F.sum("b").over(w_in).alias("wb"),
+    )
+    w_carry = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = (
+        per_val.groupBy("bkt")
+        .agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("ta").over(w_carry), F.lit(0)).alias("ca"),
+            F.coalesce(F.sum("tb").over(w_carry), F.lit(0)).alias("cb"),
+        )
+    )
+    return within.join(F.broadcast(carry), "bkt").select(
+        "x",
+        "a",
+        "b",
+        (F.col("wa") + F.col("ca")).alias("cum_a"),
+        (F.col("wb") + F.col("cb")).alias("cum_b"),
+    )
+
+
+@register(
+    "stat_ks_two_sample",
+    tags=("stats", "window", "agg"),
+    oracle=f"""
+        WITH ts AS ({_SAMPLE_SQL}),
+        per_val AS (
+            SELECT x, SUM(g) AS a, SUM(1 - g) AS b
+            FROM ts GROUP BY x
+        ),
+        cum AS (
+            SELECT x,
+                   SUM(a) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum_a,
+                   SUM(b) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum_b
+            FROM per_val
+        ),
+        tot AS (SELECT SUM(a) AS n, SUM(b) AS m FROM per_val)
+        SELECT CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+               CAST(MAX(abs(cum_a * m - cum_b * n)) AS BIGINT) AS d_num,
+               CAST(MAX(abs(cum_a * m - cum_b * n)) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)) AS d_stat
+        FROM cum, tot
+        GROUP BY n, m
+    """,
+)
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic, exactly: D = max over
+    the pooled sorted support of |F1(x) - F2(x)|, kept as the INTEGER
+    numerator max|cum_a*m - cum_b*n| until the single double division
+    at the edge — so the statistic is bit-identical under any
+    partitioning (no float ECDF accumulation). Ties are handled by
+    evaluating the ECDFs per DISTINCT value (both step functions step
+    together), which is the textbook definition. The global cumulative
+    count uses the bucket + carry-in decomposition (module docstring)
+    instead of one serializing window."""
+    cum = _pooled_cumulative(_two_sample(spark, sf_dir))
+    tot = cum.agg(
+        F.sum("a").alias("n"), F.sum("b").alias("m")
+    )
+    d_num = F.max(
+        F.abs(F.col("cum_a") * F.col("m") - F.col("cum_b") * F.col("n"))
+    )
+    return (
+        cum.join(F.broadcast(tot))
+        .groupBy("n", "m")
+        .agg(
+            d_num.alias("d_num"),
+            (
+                d_num.cast("double")
+                / (F.col("n").cast("double") * F.col("m").cast("double"))
+            ).alias("d_stat"),
+        )
+        .select("n", "m", "d_num", "d_stat")
+    )
+
+
+@register(
+    "stat_mannwhitney_u",
+    tags=("stats", "window", "agg"),
+    oracle=f"""
+        WITH ts AS ({_SAMPLE_SQL}),
+        per_val AS (
+            SELECT x, SUM(g) AS a, SUM(1 - g) AS b
+            FROM ts GROUP BY x
+        ),
+        cum AS (
+            SELECT x, a, b,
+                   SUM(a + b) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                       - (a + b) AS c,
+                   a + b AS t
+            FROM per_val
+        ),
+        agg AS (
+            SELECT CAST(SUM(a * (2 * c + t + 1)) AS BIGINT) AS r1_x2,
+                   CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term,
+                   CAST(SUM(a) AS BIGINT) AS n,
+                   CAST(SUM(b) AS BIGINT) AS m
+            FROM cum
+        )
+        SELECT n, m,
+               CAST(r1_x2 - n * (n + 1) AS BIGINT) AS u1_x2,
+               tie_term,
+               (CAST(r1_x2 - n * (n + 1) AS DOUBLE) / 2.0
+                  - CAST(n AS DOUBLE) * CAST(m AS DOUBLE) / 2.0)
+               / sqrt(CAST(n AS DOUBLE) * CAST(m AS DOUBLE) / 12.0
+                      * (CAST(n + m + 1 AS DOUBLE)
+                         - CAST(tie_term AS DOUBLE)
+                           / (CAST(n + m AS DOUBLE)
+                              * CAST(n + m - 1 AS DOUBLE)))) AS z_score
+        FROM agg
+    """,
+)
+def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test with EXACT tie handling: average
+    ranks carry .5 halves, so the rank sum is kept doubled (2*R1 =
+    Σ a_v * (2*c_v + t_v + 1) over distinct values, where c = count
+    before the tie group and t = its size) — pure integers end to end,
+    plus the exact tie-correction term Σ(t³-t). The normal-
+    approximation z-score (tie-corrected variance) is one double
+    expression at the edge. Rank computation never materializes
+    per-row ranks: it runs on the distinct-value aggregate with the
+    same bucket + carry-in cumulative as the KS query."""
+    cum = _pooled_cumulative(_two_sample(spark, sf_dir))
+    c = (F.col("cum_a") + F.col("cum_b")) - (F.col("a") + F.col("b"))
+    t = F.col("a") + F.col("b")
+    agg = cum.agg(
+        F.sum(F.col("a") * (F.lit(2) * c + t + F.lit(1))).alias("r1_x2"),
+        F.sum(t * t * t - t).alias("tie_term"),
+        F.sum("a").alias("n"),
+        F.sum("b").alias("m"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("m").cast("double")
+    u1_x2 = F.col("r1_x2") - F.col("n") * (F.col("n") + F.lit(1))
+    var = (n * m / F.lit(12.0)) * (
+        (n + m + F.lit(1.0))
+        - F.col("tie_term").cast("double") / ((n + m) * (n + m - F.lit(1.0)))
+    )
+    z = (u1_x2.cast("double") / F.lit(2.0) - n * m / F.lit(2.0)) / F.sqrt(var)
+    return agg.select(
+        "n", "m", u1_x2.alias("u1_x2"), "tie_term", z.alias("z_score")
+    )
+
+
+@register(
+    "stat_welch_ttest",
+    tags=("stats", "agg"),
+    oracle=f"""
+        WITH ts AS ({_SAMPLE_SQL}),
+        s AS (
+            SELECT g, COUNT(*) AS n,
+                   CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx
+            FROM ts GROUP BY g
+        ),
+        w AS (
+            SELECT
+                MAX(CASE WHEN g = 1 THEN n END) AS n1,
+                MAX(CASE WHEN g = 0 THEN n END) AS n2,
+                MAX(CASE WHEN g = 1 THEN sx END) AS sx1,
+                MAX(CASE WHEN g = 0 THEN sx END) AS sx2,
+                MAX(CASE WHEN g = 1 THEN sxx END) AS sxx1,
+                MAX(CASE WHEN g = 0 THEN sxx END) AS sxx2
+            FROM s
+        )
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               sx1 / n1 AS mean1, sx2 / n2 AS mean2,
+               (sx1 / n1 - sx2 / n2)
+                 / sqrt((sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1
+                        + (sxx2 - sx2 * sx2 / n2) / (n2 - 1) / n2)
+                   AS t_stat,
+               ((sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1
+                  + (sxx2 - sx2 * sx2 / n2) / (n2 - 1) / n2)
+               * ((sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1
+                  + (sxx2 - sx2 * sx2 / n2) / (n2 - 1) / n2)
+               / (((sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1)
+                    * ((sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1) / (n1 - 1)
+                  + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1) / n2)
+                    * ((sxx2 - sx2 * sx2 / n2) / (n2 - 1) / n2) / (n2 - 1))
+                   AS welch_df
+        FROM w
+    """,
+)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test from exact decimal power sums
+    (n, Σx, Σx² per sample — one map-side hash agg over both samples
+    at once), then t and the Welch-Satterthwaite degrees of freedom as
+    single double expressions at the edge. The decimal sums make the
+    statistic partition-order independent; the built-in stddev's
+    streaming co-moment path is not. One pass, two output rows fused
+    into one via conditional aggregation — no join, no shuffle beyond
+    the 2-group agg."""
+    ts = _two_sample(spark, sf_dir)
+    s = ts.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("g") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("g") == 0, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("g") == 1, F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("g") == 0, F.col("sx"))).alias("sx2"),
+        F.max(F.when(F.col("g") == 1, F.col("sxx"))).alias("sxx1"),
+        F.max(F.when(F.col("g") == 0, F.col("sxx"))).alias("sxx2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    se1 = (F.col("sxx1") - F.col("sx1") * F.col("sx1") / n1) / (
+        n1 - F.lit(1.0)
+    ) / n1
+    se2 = (F.col("sxx2") - F.col("sx2") * F.col("sx2") / n2) / (
+        n2 - F.lit(1.0)
+    ) / n2
+    tstat = (F.col("sx1") / n1 - F.col("sx2") / n2) / F.sqrt(se1 + se2)
+    dof = (se1 + se2) * (se1 + se2) / (
+        se1 * se1 / (n1 - F.lit(1.0)) + se2 * se2 / (n2 - F.lit(1.0))
+    )
+    return w.select(
+        "n1",
+        "n2",
+        (F.col("sx1") / n1).alias("mean1"),
+        (F.col("sx2") / n2).alias("mean2"),
+        tstat.alias("t_stat"),
+        dof.alias("welch_df"),
+    )

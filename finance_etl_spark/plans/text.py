@@ -1632,3 +1632,158 @@ def text_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dups == 0).alias("admit"),
         )
     )
+
+
+@register(
+    "text_token_burstiness",
+    tags=("text", "stats"),
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        per_doc AS (
+            SELECT tok, doc_id, COUNT(*) AS c
+            FROM toks GROUP BY tok, doc_id
+        ),
+        per_tok AS (
+            SELECT tok,
+                   CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM(c) AS BIGINT) AS total,
+                   CAST(SUM(c * c) AS BIGINT) AS sum_sq
+            FROM per_doc GROUP BY tok
+        ),
+        ranked AS (
+            SELECT tok, df, total, sum_sq, n_docs,
+                   ROW_NUMBER() OVER (ORDER BY total DESC, tok) AS rk
+            FROM per_tok, n
+        )
+        SELECT tok, df, total,
+               (CAST(n_docs AS DOUBLE) * CAST(sum_sq AS DOUBLE)
+                  - CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+                 / (CAST(n_docs AS DOUBLE) - 1.0)
+                 / CAST(total AS DOUBLE) AS vmr
+        FROM ranked WHERE rk <= 30
+        ORDER BY total DESC, tok
+    """,
+)
+def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (variance-to-mean ratio of per-document counts,
+    zeros included): VMR >> 1 marks topical/bursty terms, VMR near 1
+    Poisson-like function words — the corpus statistic behind
+    burstiness-aware term weighting and boilerplate detection. The
+    zero-count documents never materialize: with Σc and Σc² over only
+    the documents containing the token, VMR over all N docs is
+    (N·Σc² - (Σc)²) / (N-1) / Σc — exact integer sufficient stats
+    (BIGINT, per registry divergence class 4), one double expression
+    at the edge. Two hash aggs, both map-side combinable; ranking is
+    on the |vocab|-row aggregate."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar, driver-side by design (metadata count)
+    per_doc = _tokens(d).groupBy("tok", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_tok = per_doc.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    )
+    w = Window.orderBy(F.col("total").desc(), F.col("tok"))
+    nd = F.lit(float(n_docs))
+    vmr = (
+        (nd * F.col("sum_sq").cast("double")
+         - F.col("total").cast("double") * F.col("total").cast("double"))
+        / (nd - F.lit(1.0))
+        / F.col("total").cast("double")
+    )
+    return (
+        per_tok.select(
+            "tok", "df", "total", vmr.alias("vmr"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 30)
+        .drop("rk")
+        .orderBy(F.col("total").desc(), "tok")
+    )
+
+
+_LM_TRAIN_HI, _LM_TEST_LO = "cc", "e6"
+
+
+@register(
+    "text_bigram_coverage",
+    tags=("text", "lm", "dedup"),
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        bigrams AS (
+            SELECT doc_id, tok || ' ' ||
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+            FROM toks
+        ),
+        split_bg AS (
+            SELECT doc_id, bg,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS gate
+            FROM bigrams WHERE bg IS NOT NULL
+        ),
+        train_vocab AS (
+            SELECT DISTINCT bg FROM split_bg WHERE gate < '{_LM_TRAIN_HI}'
+        ),
+        test_bg AS (
+            SELECT doc_id, bg FROM split_bg WHERE gate >= '{_LM_TEST_LO}'
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN v.bg IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_seen,
+               CAST(SUM(CASE WHEN v.bg IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS coverage
+        FROM test_bg t LEFT JOIN train_vocab v USING (bg)
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+    """,
+)
+def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model bigram coverage of the held-out split: for every
+    test document, the fraction of its adjacent token pairs that occur
+    anywhere in the train split — the n-gram-overlap statistic behind
+    both LM smoothing diagnostics and train/test contamination
+    scoring. Split membership is the same md5(doc_id) hash gate as
+    cur_hash_split (pure function of the id, no membership table).
+    Bigrams come from one posexplode + per-doc window lead (whole-
+    stage codegen), join keys are xxhash64 longs, and the train
+    vocabulary is DISTINCT-reduced before the join, so the probe join
+    is |test bigrams| x hash-lookup, never corpus x corpus."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        _tokens(d)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("bg"),
+            F.lead("tok", 1).over(w).alias("t1"),
+        )
+        .filter(F.col("t1").isNotNull())
+        .select(
+            "doc_id",
+            F.xxhash64("bg").alias("h"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias(
+                "gate"
+            ),
+        )
+    )
+    train_vocab = (
+        bg.filter(F.col("gate") < _LM_TRAIN_HI).select("h").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    test_bg = bg.filter(F.col("gate") >= _LM_TEST_LO).select("doc_id", "h")
+    joined = test_bg.join(train_vocab, "h", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("seen"), F.lit(0))).alias("n_seen"),
+            (
+                F.sum(F.coalesce(F.col("seen"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("coverage"),
+        )
+        .orderBy("doc_id")
+    )

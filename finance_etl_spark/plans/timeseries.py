@@ -1513,3 +1513,198 @@ def ts_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["value"],
     )
     return out.withColumnRenamed("value", "next_purchase_value")
+
+
+@register(
+    "ts_changepoint_cusum",
+    tags=("timeseries", "window", "stats"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   SUM(CAST(value AS DECIMAL(30,10))) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(x) AS DECIMAL(30,10)) AS total
+            FROM daily GROUP BY 1
+        ),
+        cum AS (
+            SELECT d.event_type, d.d, s.n_days,
+                   CAST(SUM(d.x) OVER (PARTITION BY d.event_type ORDER BY d.d
+                        ROWS UNBOUNDED PRECEDING) AS DECIMAL(30,10)) AS p,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY d.event_type
+                        ORDER BY d.d) AS BIGINT) AS t,
+                   s.total
+            FROM daily d JOIN stats s USING (event_type)
+        ),
+        scored AS (
+            SELECT event_type, d, n_days,
+                   CAST(p AS DECIMAL(24,6)) * CAST(n_days AS DECIMAL(12,0))
+                     - CAST(total AS DECIMAL(24,6)) * CAST(t AS DECIMAL(12,0))
+                       AS cusum_num,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY abs(CAST(p AS DECIMAL(24,6))
+                                      * CAST(n_days AS DECIMAL(12,0))
+                                    - CAST(total AS DECIMAL(24,6))
+                                      * CAST(t AS DECIMAL(12,0))) DESC,
+                                d ASC) AS rk
+            FROM cum
+        )
+        SELECT event_type, d AS change_day, n_days,
+               CAST(CAST(cusum_num AS VARCHAR) AS DOUBLE) AS cusum_num
+        FROM scored WHERE rk = 1
+        ORDER BY event_type
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the day where the
+    cumulative deviation from the series mean |Σ_{i<=t}(x_i - mean)|
+    peaks — the classic single-changepoint estimator. Computed
+    DENOMINATOR-FREE: mean = total/n_days never materializes; the
+    score is the integer-scaled equivalent p_t*n_days - total*t
+    (exact DECIMAL x int multiplication, re-capped to DECIMAL(30,10)
+    per registry divergence class 3), so the argmax is bit-exact in
+    both engines with zero float accumulation. Daily aggregation is
+    map-side partial; the windows run partitioned by event_type over
+    O(days) rows per series."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.col("ts").cast("date").alias("d")
+        )
+        .agg(F.sum(F.col("value").cast(DEC)).cast(DEC).alias("x"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").cast(DEC).alias("total"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("d")
+    cum = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "d",
+        "n_days",
+        F.sum("x").over(w).cast(DEC).alias("p"),
+        F.row_number().over(w_rank).cast("long").alias("t"),
+        "total",
+    )
+    # re-cap factors so the product stays inside DECIMAL(38): without
+    # this DuckDB silently promotes the overflowing decimal multiply
+    # through DOUBLE (registry divergence class 3) while Spark truncates
+    # scale -- the engines would disagree in the last digits
+    score = F.col("p").cast("decimal(24,6)") * F.col("n_days").cast(
+        "decimal(12,0)"
+    ) - F.col("total").cast("decimal(24,6)") * F.col("t").cast("decimal(12,0)")
+    w_top = Window.partitionBy("event_type").orderBy(
+        F.abs(score).desc(), F.col("d").asc()
+    )
+    return (
+        cum.select(
+            "event_type",
+            "d",
+            "n_days",
+            score.alias("cusum_num"),
+            F.row_number().over(w_top).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("change_day"),
+            "n_days",
+            F.col("cusum_num").cast("double").alias("cusum_num"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ts_autocorr_lags",
+    tags=("timeseries", "window", "stats"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   SUM(CAST(value AS DECIMAL(18,6))) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT a.event_type, ks.k, a.x, b.x AS xl
+            FROM daily a
+            CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+            JOIN daily b ON b.event_type = a.event_type
+                        AND b.d = a.d - to_days(ks.k)
+        ),
+        s AS (
+            SELECT event_type, k, COUNT(*) AS n,
+                   CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(xl) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(x * xl) AS VARCHAR) AS DOUBLE) AS sxy,
+                   CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(xl * xl) AS VARCHAR) AS DOUBLE) AS syy
+            FROM lagged WHERE xl IS NOT NULL
+            GROUP BY event_type, k
+        )
+        SELECT event_type, CAST(k AS INT) AS k, CAST(n AS BIGINT) AS n,
+               (n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                   AS acf
+        FROM s
+        ORDER BY event_type, k
+    """,
+)
+def ts_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of each daily series at lags 1..3 (the
+    seasonality/momentum diagnostic): pair every day with its lag-k
+    predecessor via a window lag over the per-type daily aggregate,
+    then Pearson r per (series, lag) from exact decimal power sums
+    with one double expression at the edge (agg_corr_exact contract).
+    The lag fan-out is a 3-row broadcast cross join BEFORE the window,
+    so all lags compute in one shuffle; windows are per (type, lag)
+    over O(days) rows. Corpus-scale work is only the daily
+    aggregation — map-side partials."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("x"))
+    ks = spark.range(1, 4).select(F.col("id").cast("int").alias("k"))
+    # lag-by-DATE (not by row position): a self-join on the shifted
+    # date spine, so gaps in the series pair correctly — and the lag
+    # offset can vary per row (Spark's lag() needs a literal offset)
+    lagged = (
+        daily.join(F.broadcast(ks))
+        .alias("a")
+        .join(
+            daily.select(
+                F.col("event_type").alias("event_type_b"),
+                F.col("d").alias("d_b"),
+                F.col("x").alias("xl"),
+            ).alias("b"),
+            on=[
+                F.col("a.event_type") == F.col("event_type_b"),
+                F.col("d_b") == F.date_sub(F.col("a.d"), F.col("a.k")),
+            ],
+            how="inner",
+        )
+        .select("a.event_type", "a.k", "a.x", "xl")
+    )
+    s = lagged.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("xl").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("xl")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("xl") * F.col("xl")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    acf = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("event_type", "k", "n", acf.alias("acf")).orderBy(
+        "event_type", "k"
+    )

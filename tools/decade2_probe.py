@@ -10,9 +10,19 @@ factors grow facts against slowly-growing dims. Selectivities of every
 headline predicate (shipdate cutoffs, quantity thresholds) are
 preserved, so wall-time ratios measure DATA growth, not plan changes.
 
-Document/embedding-bound queries are excluded: replicating documents
-verbatim would plant quadratic near-duplicate structure that the real
-corpus does not have, measuring the fixture instead of the operator.
+Embedding-bound queries are excluded: replicating embeddings verbatim
+would plant quadratic near-duplicate structure that the real corpus
+does not have, measuring the fixture instead of the operator.
+
+Documents grow 10× with a PER-COPY ALPHABET ROTATION (a Caesar-style
+`translate` over [a-z0-9], rotation = 7·k): byte values change, so
+each copy's bigram histograms / token shingles decorrelate from every
+other copy's — near-dup structure (pHash bands, shingle collisions)
+replicates WITHIN a copy exactly like the original corpus and never
+ACROSS copies. Text length is preserved, so n_chars stays truthful.
+That makes `mm_phash_near_dup` (round-3's worst first-decade ratio,
+3.22×) and `cur_decontaminate` (slowest registered query) honestly
+measurable at the second decade.
 
 Usage:
   python tools/decade2_probe.py [--md]   # generates .scratch/sf1 on
@@ -54,6 +64,8 @@ QUERIES = (
     "ts_hypertable_rollup",
     "ts_asof_join",
     "stream_tumbling_window",
+    "mm_phash_near_dup",
+    "cur_decontaminate",
 )
 
 N_RUNS = 2
@@ -92,13 +104,30 @@ def generate(spark) -> None:
             .write.mode("overwrite")
             .parquet(os.path.join(DST, f"{name}.parquet"))
         )
+    # documents: 10 key-shifted copies with a per-copy alphabet
+    # rotation (see module docstring) — decorrelates cross-copy
+    # near-dup structure while preserving within-copy structure and
+    # text length
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    did_shift = 10 ** len(str(docs.agg(F.max("doc_id")).first()[0]))
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    big_docs = docs
+    for k in range(1, COPIES):
+        rot = k * 7 % len(alphabet)
+        rotated = alphabet[rot:] + alphabet[:rot]
+        big_docs = big_docs.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * did_shift))
+            .withColumn("text", F.translate("text", alphabet, rotated))
+        )
+    big_docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(DST, "documents.parquet")
+    )
     for name in (
         "region",
         "nation",
         "customer",
         "supplier",
         "part",
-        "documents",
         "embeddings",
     ):
         shutil.copyfile(
