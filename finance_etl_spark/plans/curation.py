@@ -2333,3 +2333,229 @@ def cur_bitemporal_asknown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("rn_total") == 2, 1)).alias("n_corrected"),
         F.sum("amount").cast("double").alias("book_value"),
     )
+
+
+@register(
+    "cur_mixture_waterfill",
+    tags=("curation", "sample", "window"),
+    oracle="""
+        WITH caps AS MATERIALIZED (
+            SELECT source,
+                   CAST(SUM(len(list_filter(string_split(text, ' '),
+                                            t -> t <> ''))) AS BIGINT) AS cap
+            FROM documents GROUP BY source
+        ),
+        tot AS MATERIALIZED (
+            SELECT CAST(SUM(cap) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS s,
+                   CAST(SUM(cap) // 2 AS BIGINT) AS b
+            FROM caps
+        ),
+        ranked AS MATERIALIZED (
+            SELECT source, cap, s, b,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+                   CAST(SUM(cap) OVER (ORDER BY cap, source
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+            FROM caps, tot
+        ),
+        sat AS MATERIALIZED (
+            SELECT *, (p + cap * (s - i) <= b) AS saturated FROM ranked
+        ),
+        level AS MATERIALIZED (
+            SELECT CAST(COUNT(*) FILTER (WHERE saturated) AS BIGINT) AS k,
+                   CAST(COALESCE(MAX(p) FILTER (WHERE saturated), 0)
+                        AS BIGINT) AS p_k
+            FROM sat
+        )
+        SELECT source, cap, saturated, b AS budget,
+               CASE WHEN saturated THEN CAST(cap AS DOUBLE)
+                    ELSE CAST(b - p_k AS DOUBLE) / CAST(s - k AS DOUBLE)
+               END AS allocated
+        FROM sat, level
+        ORDER BY source
+    """,
+)
+def cur_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget waterfilling across corpus sources — the mixture
+    allocator behind 'cap every domain at a fair share': given budget
+    B (half the corpus here), each source gets min(capacity, λ) where
+    the water level λ spends B exactly. The classic solver is
+    iterative; sorted by capacity it is CLOSED-FORM: the saturated set
+    is a prefix (p_i + cap_i·(S-i) is non-decreasing when caps sort
+    ascending), so one window pass finds k = |saturated prefix| and
+    λ = (B - P_k)/(S - k). Everything until the final division is
+    BIGINT-exact. Corpus-scale work is one map-side token count; the
+    windows run on the O(|sources|)-row aggregate — source cardinality
+    is a registry property, not an SF-scaled one."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    caps = d.groupBy("source").agg(F.sum(n_tok).alias("cap"))
+    tot = caps.agg(
+        F.sum("cap").alias("total"),
+        F.count(F.lit(1)).alias("s"),
+        F.floor(F.sum("cap") / F.lit(2)).cast("long").alias("b"),
+    )
+    w_rank = Window.orderBy("cap", "source")
+    ranked = caps.join(F.broadcast(tot)).select(
+        "source",
+        "cap",
+        "s",
+        "b",
+        F.row_number().over(w_rank).cast("long").alias("i"),
+        F.sum("cap")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("p"),
+    )
+    sat = ranked.withColumn(
+        "saturated",
+        F.col("p") + F.col("cap") * (F.col("s") - F.col("i")) <= F.col("b"),
+    )
+    level = sat.agg(
+        F.sum(F.when(F.col("saturated"), 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+        F.coalesce(
+            F.max(F.when(F.col("saturated"), F.col("p"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("p_k"),
+    )
+    return (
+        sat.join(F.broadcast(level))
+        .select(
+            "source",
+            "cap",
+            "saturated",
+            F.col("b").alias("budget"),
+            F.when(F.col("saturated"), F.col("cap").cast("double"))
+            .otherwise(
+                (F.col("b") - F.col("p_k")).cast("double")
+                / (F.col("s") - F.col("k")).cast("double")
+            )
+            .alias("allocated"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "graph_jaccard_linkpred",
+    tags=("graph", "join"),
+    oracle="""
+        WITH e AS MATERIALIZED (
+            SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY src, dst
+        ),
+        u AS MATERIALIZED (
+            SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                   CAST(SUM(w) AS BIGINT) AS w
+            FROM e WHERE src <> dst GROUP BY a, b
+        ),
+        thr AS MATERIALIZED (SELECT quantile_cont(w, 0.6) AS t FROM u),
+        ku AS MATERIALIZED (SELECT a, b FROM u, thr WHERE w >= t),
+        nbr AS MATERIALIZED (
+            SELECT a AS v, b AS n FROM ku
+            UNION ALL SELECT b AS v, a AS n FROM ku
+        ),
+        deg AS MATERIALIZED (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM nbr GROUP BY v
+        ),
+        common AS MATERIALIZED (
+            SELECT x.v AS a, y.v AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM nbr x JOIN nbr y ON x.n = y.n AND x.v < y.v
+            GROUP BY 1, 2
+        )
+        SELECT c.a, c.b, c.n_common, da.deg AS deg_a, db.deg AS deg_b,
+               CAST(c.n_common AS DOUBLE)
+                 / CAST(da.deg + db.deg - c.n_common AS DOUBLE) AS jaccard
+        FROM common c
+        JOIN deg da ON da.v = c.a
+        JOIN deg db ON db.v = c.b
+        LEFT JOIN ku k ON k.a = c.a AND k.b = c.b
+        WHERE k.a IS NULL
+        ORDER BY c.a, c.b
+    """,
+)
+def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-coefficient link prediction on the strong-trade graph
+    (same corpus-relative 60th-percentile edge set as
+    graph_triangle_count): for every NON-adjacent node pair sharing at
+    least one neighbor, |N(a)∩N(b)| / |N(a)∪N(b)| — the classic
+    common-neighbors recommender. Candidate pairs come from the
+    neighbor-list self-join keyed on the shared neighbor (wedge
+    enumeration: cost ∝ Σ deg², never |V|²); adjacency is removed
+    with a left anti-join; counts stay BIGINT with one double
+    division at the edge. The corpus-scale work is the 4-way fact
+    join building edge weights — dims broadcast, one fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    u = (
+        e.filter(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .agg(F.sum("w").alias("w"))
+    )
+    # corpus-relative strength threshold: 60th percentile of edge
+    # weights, exact order statistic on the O(|V|^2)-bounded edge set
+    thr = u.select(
+        F.expr("percentile(w, 0.6)").alias("t")
+    )
+    ku = u.join(F.broadcast(thr)).filter(F.col("w") >= F.col("t")).select(
+        "a", "b"
+    )
+    nbr = ku.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        ku.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = nbr.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    x = nbr.select(F.col("v").alias("pa"), "n")
+    y = nbr.select(F.col("v").alias("pb"), "n")
+    common = (
+        x.join(y, "n")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    non_adj = common.join(ku, ["a", "b"], "left_anti")
+    return (
+        non_adj.join(
+            deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .orderBy("a", "b")
+    )

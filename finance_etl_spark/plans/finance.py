@@ -727,3 +727,108 @@ def fin_ar_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice").alias("open_amount"),
         F.max("age").cast("long").alias("oldest_days"),
     )
+
+
+@register(
+    "fin_wash_sale_detect",
+    tags=("finance", "join", "range"),
+    oracle=f"""
+        WITH trades AS MATERIALIZED (
+            SELECT o.o_custkey AS custkey, l.l_partkey AS partkey,
+                   CAST(l.l_shipdate AS DATE) AS d,
+                   l.l_orderkey, l.l_linenumber,
+                   l.l_returnflag, l.l_discount, l.l_extendedprice
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        loss_sells AS (
+            SELECT * FROM trades
+            WHERE l_returnflag = 'R' AND l_discount > 0.05
+        ),
+        buys AS (
+            SELECT custkey, partkey, d FROM trades WHERE l_returnflag <> 'R'
+        ),
+        washed AS (
+            SELECT s.custkey, s.l_orderkey, s.l_linenumber,
+                   s.l_extendedprice * s.l_discount AS loss_amt,
+                   COUNT(*) AS n_repurchases,
+                   MIN(b.d) AS first_repurchase
+            FROM loss_sells s
+            JOIN buys b ON b.custkey = s.custkey AND b.partkey = s.partkey
+                       AND b.d > s.d AND b.d <= s.d + INTERVAL 30 DAY
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_wash_sales,
+               CAST(SUM(n_repurchases) AS BIGINT) AS n_repurchases,
+               {o_dsum('loss_amt')} AS disallowed_loss,
+               MIN(first_repurchase) AS earliest_repurchase
+        FROM washed
+        GROUP BY custkey
+        ORDER BY n_wash_sales DESC, custkey
+        LIMIT 25
+    """,
+)
+def fin_wash_sale_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wash-sale detection (IRS §1091 shape): a loss-making sale
+    followed by a repurchase of the SAME instrument by the SAME
+    account within 30 days disallows the loss. Sells-at-loss here are
+    returned lines with deep discounts; buys are everything else.
+    The pairing is an equi-join on (account, instrument) with the
+    30-day window as a residual range predicate — the join explodes
+    only where one account re-trades one instrument, which is the
+    sparse real-world profile, never |sells| x |buys|. Loss amounts
+    follow the dsum decimal contract; each sell counts once however
+    many repurchases it matches (per-sell GROUP BY before the account
+    rollup)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    trades = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_shipdate").cast("date").alias("d"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_discount",
+        "l_extendedprice",
+    )
+    sells = trades.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_discount") > 0.05)
+    )
+    buys = trades.filter(F.col("l_returnflag") != "R").select(
+        F.col("custkey").alias("b_custkey"),
+        F.col("partkey").alias("b_partkey"),
+        F.col("d").alias("b_d"),
+    )
+    washed = (
+        sells.join(
+            buys,
+            on=[
+                F.col("b_custkey") == F.col("custkey"),
+                F.col("b_partkey") == F.col("partkey"),
+                F.col("b_d") > F.col("d"),
+                F.col("b_d") <= F.date_add(F.col("d"), 30),
+            ],
+        )
+        .groupBy(
+            "custkey",
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * F.col("l_discount")).alias("loss_amt"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_repurchases"),
+            F.min("b_d").alias("first_repurchase"),
+        )
+    )
+    return (
+        washed.groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_wash_sales"),
+            F.sum("n_repurchases").alias("n_repurchases"),
+            dsum("loss_amt").alias("disallowed_loss"),
+            F.min("first_repurchase").alias("earliest_repurchase"),
+        )
+        .orderBy(F.col("n_wash_sales").desc(), "custkey")
+        .limit(25)
+    )

@@ -327,3 +327,96 @@ def dq_rls_masked_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o_df in outs[1:]:
         out = out.unionByName(o_df)
     return out
+
+
+_EXPECT_RULES = (
+    ("quantity_in_1_50", "NOT (l_quantity BETWEEN 1 AND 50)"),
+    ("discount_in_0_0p1", "NOT (l_discount BETWEEN 0.0 AND 0.1)"),
+    ("price_positive", "l_extendedprice <= 0"),
+    ("returnflag_domain", "l_returnflag NOT IN ('A', 'N', 'R')"),
+    ("shipdate_epoch", "year(CAST(l_shipdate AS DATE)) NOT BETWEEN 1992 AND 1998"),
+)
+
+
+def _expect_oracle() -> str:
+    flag_cols = ", ".join(
+        f"CASE WHEN {pred} THEN 1 ELSE 0 END AS v{i}"
+        for i, (_, pred) in enumerate(_EXPECT_RULES)
+    )
+    any_expr = " + ".join(f"v{i}" for i in range(len(_EXPECT_RULES)))
+    rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS rule, CAST(SUM(v{i}) AS BIGINT) AS n_violations,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        f" CAST(SUM(v{i}) AS DOUBLE) / COUNT(*) AS violation_rate FROM flags"
+        for i, (name, _) in enumerate(_EXPECT_RULES)
+    )
+    return f"""
+        WITH flags AS MATERIALIZED (
+            SELECT {flag_cols},
+                   CASE WHEN {any_expr} > 0 THEN 1 ELSE 0 END AS v_any
+            FROM lineitem
+        )
+        {rows}
+        UNION ALL
+        SELECT 'any_rule', CAST(SUM(v_any) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(v_any) AS DOUBLE) / COUNT(*) FROM flags
+        ORDER BY rule
+    """
+
+
+@register(
+    "dq_expectations_quarantine",
+    tags=("dq", "constraint"),
+    oracle=_expect_oracle(),
+)
+def dq_expectations_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven expectation suite (the Great-Expectations /
+    dbt-test shape): N declarative row-level rules evaluated in ONE
+    scan — each rule becomes a 0/1 flag column, the flags aggregate
+    map-side (sum = violation count), and the per-rule report rows
+    come from an unpivot (stack) of the single aggregate row, never N
+    passes over the fact table. 'any_rule' is the quarantine
+    predicate: the fraction of rows a PERMISSIVE load would route to
+    the quarantine channel (ingest_corrupt_quarantine is the row-level
+    twin of this table-level report). Adding a rule is config, not a
+    plan change - the rule list drives both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    flags = li.select(
+        *[
+            F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END").alias(f"v{i}")
+            for i, (_, pred) in enumerate(_EXPECT_RULES)
+        ]
+    )
+    any_col = sum(
+        (F.col(f"v{i}") for i in range(1, len(_EXPECT_RULES))),
+        F.col("v0"),
+    )
+    flags = flags.withColumn(
+        "v_any", F.when(any_col > 0, 1).otherwise(0)
+    )
+    agg = flags.agg(
+        *(
+            [F.sum(f"v{i}").alias(f"s{i}") for i in range(len(_EXPECT_RULES))]
+            + [F.sum("v_any").alias("s_any"), F.count(F.lit(1)).alias("n")]
+        )
+    )
+    stack_args = ", ".join(
+        [f"'{name}', s{i}" for i, (name, _) in enumerate(_EXPECT_RULES)]
+        + ["'any_rule', s_any"]
+    )
+    n_rules = len(_EXPECT_RULES) + 1
+    return (
+        agg.select(
+            F.expr(f"stack({n_rules}, {stack_args}) AS (rule, n_violations)"),
+            F.col("n").alias("n_rows"),
+        )
+        .select(
+            "rule",
+            "n_violations",
+            "n_rows",
+            (F.col("n_violations").cast("double") / F.col("n_rows")).alias(
+                "violation_rate"
+            ),
+        )
+        .orderBy("rule")
+    )

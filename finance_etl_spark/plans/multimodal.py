@@ -15,7 +15,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from finance_etl_spark.io.readers import load_table
@@ -266,9 +266,16 @@ def mm_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode to (doc, frame, samples) → hash-agg per frame — swap the
     fake for soundfile/ffmpeg and only the lambda body changes.
     Integer energies make the whole thing oracle-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return _audio_frames(d)
+
+
+def _audio_frames(d: DataFrame) -> DataFrame:
+    """(doc_id, frame_id, energy, n_samples): Arrow-batched fake-PCM
+    decode + full-32-sample frame energies; shared by
+    mm_audio_window_energy and mm_audio_vad_segments."""
     import numpy as np
 
-    d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
 
     FRAME = 32
@@ -531,4 +538,85 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("id_a", "id_b", dist.alias("hamming"))
         .filter(F.col("hamming") <= _PHASH_MAX_DIST)
         .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "mm_audio_vad_segments",
+    tags=("multimodal", "audio", "window"),
+    oracle="""
+        WITH samples AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) - 1 AS i,
+                   length(unnest(string_split(text, ' '))) AS amp
+            FROM documents
+        ), framed AS (
+            SELECT doc_id, CAST(i // 32 AS BIGINT) AS frame_id,
+                   CAST(SUM(CAST(amp * amp AS BIGINT)) AS BIGINT) AS energy,
+                   CAST(COUNT(*) AS BIGINT) AS n_samples
+            FROM samples GROUP BY 1, 2
+        ), full_frames AS (
+            SELECT doc_id, frame_id, energy,
+                   CAST(SUM(energy) OVER (PARTITION BY doc_id) AS BIGINT)
+                       AS doc_energy,
+                   CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT)
+                       AS n_frames
+            FROM framed WHERE n_samples = 32
+        ), active AS (
+            SELECT doc_id, frame_id, energy,
+                   frame_id - ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY frame_id) AS island
+            FROM full_frames
+            WHERE energy * n_frames > doc_energy
+        )
+        SELECT doc_id,
+               CAST(MIN(frame_id) AS BIGINT) AS start_frame,
+               CAST(MAX(frame_id) AS BIGINT) AS end_frame,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(energy) AS BIGINT) AS seg_energy
+        FROM active
+        GROUP BY doc_id, island
+        ORDER BY doc_id, start_frame
+    """,
+)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-detection segmentation over the decoded audio
+    frames: frames louder than their document's mean energy are
+    'speech', and consecutive active frames merge into segments via
+    the gaps-and-islands trick (frame_id - row_number is constant
+    within a run). The above-mean test is INTEGER-exact —
+    energy·n_frames > Σenergy avoids materializing the fractional
+    mean. Composes the shared Arrow-batched decode (_audio_frames)
+    with per-doc windows whose partition size is bounded by frames
+    per document, not corpus size — the decode is the only
+    corpus-scale stage, and it is embarrassingly parallel."""
+    d = load_table(spark, sf_dir, "documents")
+    frames = _audio_frames(d).filter(F.col("n_samples") == 32)
+    w_doc = Window.partitionBy("doc_id")
+    ff = frames.select(
+        "doc_id",
+        "frame_id",
+        "energy",
+        F.sum("energy").over(w_doc).alias("doc_energy"),
+        F.count(F.lit(1)).over(w_doc).alias("n_frames"),
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("frame_id")
+    active = ff.filter(
+        F.col("energy") * F.col("n_frames") > F.col("doc_energy")
+    ).select(
+        "doc_id",
+        "frame_id",
+        "energy",
+        (F.col("frame_id") - F.row_number().over(w_run)).alias("island"),
+    )
+    return (
+        active.groupBy("doc_id", "island")
+        .agg(
+            F.min("frame_id").alias("start_frame"),
+            F.max("frame_id").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("energy").alias("seg_energy"),
+        )
+        .drop("island")
+        .orderBy("doc_id", "start_frame")
     )

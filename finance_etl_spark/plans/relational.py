@@ -3020,3 +3020,41 @@ def window_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("rd").alias("d"))
         .agg(F.countDistinct("user_id").alias("active_7d"))
     )
+
+
+@register(
+    "sql_identifier_clause",
+    tags=("sql", "surface"),
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2))
+                   AS sum_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause (SQL-injection-safe dynamic table/column
+    names, Spark 3.4+): table AND column names arrive as bound string
+    PARAMETERS, never by string-splicing SQL — templated multi-tenant
+    queries keep one parse tree per shape. The query itself is a plain
+    grouped aggregate; what is under test is the SQL surface binding
+    `IDENTIFIER(:tbl)` / `IDENTIFIER(:col)` to a view and a column at
+    ANALYSIS time with named-parameter passing."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "li_ident_v"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(IDENTIFIER(:col) AS DECIMAL(12,2)))
+                    AS DECIMAL(20,2)) AS sum_qty
+        FROM IDENTIFIER(:tbl)
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+        args={"tbl": "li_ident_v", "col": "l_quantity"},
+    )

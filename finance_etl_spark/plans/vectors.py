@@ -1381,3 +1381,93 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pool.groupBy("query_id").applyInPandas(
         mmr, "query_id long, sel_rank int, vec_id long, rel double"
     )
+
+
+@register(
+    "vec_knn_classify",
+    tags=("vector", "similarity", "ml"),
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id, embedding, label FROM embeddings
+            WHERE vec_id % 37 = 3
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, q.label AS true_label,
+                   e.vec_id AS neighbor_id, e.label AS n_label,
+                   {_cos('q.embedding', 'e.embedding')} AS cos_sim
+            FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+        ),
+        topk AS (
+            SELECT * FROM (
+                SELECT query_id, true_label, n_label,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id) AS rk
+                FROM scored
+            ) WHERE rk <= 10
+        ),
+        votes AS (
+            SELECT query_id, true_label, n_label,
+                   CAST(COUNT(*) AS BIGINT) AS n_votes
+            FROM topk GROUP BY 1, 2, 3
+        ),
+        best AS (
+            SELECT query_id, true_label, n_label AS pred_label, n_votes,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY n_votes DESC, n_label) AS vr
+            FROM votes
+        )
+        SELECT query_id, true_label, pred_label, n_votes,
+               (pred_label = true_label) AS correct
+        FROM best WHERE vr = 1
+        ORDER BY query_id
+    """,
+)
+def vec_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor label prediction (k=10, majority vote,
+    deterministic smallest-label tie-break) for a held-out query set —
+    the evaluation loop behind every embedding-space classifier and
+    the 'is my embedding space any good' sanity check. Queries
+    broadcast against one linear scan of the vector table (the exact
+    brute-force baseline, same shape as vec_cosine_topk); the top-k
+    window, vote count, and argmax are all per-query and tiny. The
+    whole chain is hash-checked against DuckDB including the float
+    similarity values feeding the ranks."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.pmod(F.col("vec_id"), F.lit(37)) == 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("true_label"),
+    )
+    scored = e.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "true_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        cosine("q_emb", "embedding").alias("cos_sim"),
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    topk = scored.withColumn("rk", F.row_number().over(w_k)).filter(
+        F.col("rk") <= 10
+    )
+    votes = topk.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w_v = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("n_label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(w_v))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("n_label").alias("pred_label"),
+            "n_votes",
+            (F.col("n_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
