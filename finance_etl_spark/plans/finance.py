@@ -832,3 +832,93 @@ def fin_wash_sale_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_wash_sales").desc(), "custkey")
         .limit(25)
     )
+
+
+def irr_bisect(days, amounts, lo: float = -0.95, hi: float = 10.0,
+               iters: int = 80):
+    """Deterministic IRR by fixed-iteration bisection on
+    npv(r) = Σ cf_i / (1+r)^(days_i/365). Returns None when the NPV
+    has no sign change on [lo, hi] (no real root bracketed). Pure
+    numpy; shared by the operator and the pytest reference."""
+    import numpy as np
+
+    t = np.asarray(days, dtype="float64") / 365.0
+    cf = np.asarray(amounts, dtype="float64")
+
+    def npv(r):
+        return float((cf / np.power(1.0 + r, t)).sum())
+
+    f_lo, f_hi = npv(lo), npv(hi)
+    if f_lo == 0.0:
+        return lo
+    if f_hi == 0.0:
+        return hi
+    if (f_lo > 0) == (f_hi > 0):
+        return None
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        f_mid = npv(mid)
+        if f_mid == 0.0:
+            return mid
+        if (f_mid > 0) == (f_lo > 0):
+            lo, f_lo = mid, f_mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+@register("fin_irr_per_order", tags=("finance", "udf", "iterative"))
+def fin_irr_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal rate of return per order: the purchase (-o_totalprice
+    at order date) against its delivery cashflows (+l_extendedprice at
+    each ship date), solved by 80-iteration bisection — deterministic
+    to the bit for a fixed flow set, unlike Newton (whose trajectory
+    depends on float derivative noise). Root-finding is per-group
+    SEQUENTIAL, so the distributed shape is applyInPandas keyed by
+    order: flows co-locate via ONE shuffle, each task solves thousands
+    of small problems with vectorized numpy NPV. A 1-in-199 key gate
+    bounds the demo output, applied BEFORE the join so the fact scan
+    prunes too. Rows-only (iterative, not ANSI-expressible);
+    tests/test_round4_ops.py pins npv(irr)≈0 and equality with a
+    driver-side bisection on the same flows."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.pmod(F.col("o_orderkey"), F.lit(199)) == 0
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.pmod(F.col("l_orderkey"), F.lit(199)) == 0
+    )
+    outflow = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(0).alias("day"),
+        (-F.col("o_totalprice")).alias("cf"),
+    )
+    inflow = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == o.o_orderkey,
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("day"),
+        F.col("l_extendedprice").alias("cf"),
+    )
+    flows = outflow.unionByName(inflow)
+
+    def solve(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["day", "cf"]).reset_index(drop=True)
+        r = irr_bisect(pdf["day"].to_numpy(), pdf["cf"].to_numpy())
+        return pd.DataFrame(
+            {
+                "o_orderkey": [int(pdf["k"].iloc[0])],
+                "n_flows": [len(pdf)],
+                "irr": [r],
+            }
+        )
+
+    return (
+        flows.groupBy("k")
+        .applyInPandas(solve, "o_orderkey long, n_flows int, irr double")
+        .orderBy("o_orderkey")
+    )

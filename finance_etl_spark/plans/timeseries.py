@@ -1708,3 +1708,78 @@ def ts_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("event_type", "k", "n", acf.alias("acf")).orderBy(
         "event_type", "k"
     )
+
+
+def lttb_indices(x, y, n_out: int):
+    """Largest-Triangle-Three-Buckets downsample: indices of the kept
+    points. Pure numpy, deterministic (argmax takes the FIRST maximum;
+    input must be time-sorted). Shared by the operator below and the
+    pytest reference check."""
+    import numpy as np
+
+    n = len(x)
+    if n <= n_out:
+        return list(range(n))
+    keep = [0]
+    # interior bucket boundaries: n_out-2 equal buckets over [1, n-1)
+    bounds = [
+        1 + int(i * (n - 2) / (n_out - 2)) for i in range(n_out - 1)
+    ]
+    a = 0
+    for b in range(n_out - 2):
+        lo, hi = bounds[b], bounds[b + 1]
+        nlo, nhi = bounds[b + 1], (bounds[b + 2] if b + 2 < len(bounds) else n - 1) + 1
+        # average of the NEXT bucket (last bucket averages to the end point)
+        if b == n_out - 3:
+            nlo, nhi = n - 1, n
+        avg_x, avg_y = float(np.mean(x[nlo:nhi])), float(np.mean(y[nlo:nhi]))
+        ax, ay = float(x[a]), float(y[a])
+        area = np.abs(
+            (ax - avg_x) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (avg_y - ay)
+        )
+        a = lo + int(np.argmax(area))
+        keep.append(a)
+    keep.append(n - 1)
+    return keep
+
+
+@register("ts_downsample_lttb", tags=("timeseries", "udf", "downsample"))
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson) of
+    each daily series to 10 visually-representative points — the
+    standard plotting/thumbnail reducer in every time-series store.
+    LTTB is inherently SEQUENTIAL within a series (each bucket's pick
+    depends on the previous pick), so the distributed shape is
+    applyInPandas per series key: series are the parallelism unit,
+    each fits one task comfortably (O(days) points), and the corpus-
+    scale daily aggregation before it is ordinary map-side partials.
+    Rows-only for the driver (no ANSI-SQL equivalent of the
+    sequential greedy); tests/test_round4_ops.py pins the output
+    against an independent driver-side run of the same published
+    algorithm and checks first/last-point and bucket-count
+    invariants."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(dsum("value").alias("y"))
+
+    N_OUT = 10
+
+    def downsample(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        x = pdf["d"].map(lambda v: v.toordinal()).to_numpy(dtype="float64")
+        y = pdf["y"].to_numpy(dtype="float64")
+        keep = lttb_indices(x, y, N_OUT)
+        out = pdf.iloc[keep].copy()
+        out["point_idx"] = range(len(keep))
+        return out[["event_type", "d", "y", "point_idx"]]
+
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(
+            downsample, "event_type string, d date, y double, point_idx int"
+        )
+        .orderBy("event_type", "point_idx")
+    )

@@ -158,3 +158,88 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return out
+
+
+def wordpiece_encode_word(word: str, vocab: frozenset) -> list:
+    """Greedy longest-match-first WordPiece encoding of one word
+    (continuation pieces carry the ## prefix; unmatchable characters
+    emit [UNK] and resync). Pure Python, deterministic; shared by the
+    operator and the pytest reference."""
+    pieces, i, first = [], 0, True
+    while i < len(word):
+        j = len(word)
+        matched = None
+        while j > i:
+            cand = word[i:j] if first else "##" + word[i:j]
+            if cand in vocab:
+                matched = cand
+                break
+            j -= 1
+        if matched is None:
+            pieces.append("[UNK]")
+            i += 1
+        else:
+            pieces.append(matched)
+            i = j
+        first = False
+    return pieces
+
+
+@register("text_wordpiece_encode", tags=("text", "tokenizer", "udf"))
+def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece encoding of the corpus under a deterministic vocab
+    (top-20 words as whole pieces + every observed character as both
+    initial and ## continuation piece): per-piece usage statistics,
+    the 'how will my tokenizer slice this corpus' report. The encode
+    runs over the DISTINCT word list weighted by corpus frequency —
+    the same vocabulary-sized trick as BPE training, so the corpus
+    text is read once and the Python work is |vocab|-bounded. The
+    greedy longest-match loop is inherently per-word sequential →
+    Arrow-batched mapInPandas; the vocab is a broadcast-closure
+    frozenset built from two vocabulary-sized collects. Rows-only
+    (the iterative greedy is not ANSI-expressible);
+    tests/test_round4_ops.py pins the piece table against a
+    driver-side pure-Python encode of the same word-frequency list."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = word_frequencies(d)
+    top_words = [
+        r["word"]
+        for r in wf.orderBy(F.col("freq").desc(), "word").limit(20).collect()
+    ]
+    chars = [
+        r["c"]
+        for r in wf.select(
+            F.explode(F.split("word", "")).alias("c")
+        )
+        .filter(F.col("c") != "")
+        .distinct()
+        .collect()
+    ]
+    vocab = frozenset(
+        set(top_words) | set(chars) | {"##" + c for c in chars}
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            words, pieces, freqs = [], [], []
+            for w, f in zip(pdf["word"], pdf["freq"]):
+                for p in wordpiece_encode_word(w, vocab):
+                    words.append(w)
+                    pieces.append(p)
+                    freqs.append(f)
+            yield pd.DataFrame(
+                {"word": words, "piece": pieces, "freq": freqs}
+            )
+
+    exploded = wf.mapInPandas(encode, "word string, piece string, freq long")
+    return (
+        exploded.groupBy("piece")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.sum("freq").alias("total_occurrences"),
+        )
+        .orderBy(F.col("total_occurrences").desc(), "piece")
+        .limit(30)
+    )
