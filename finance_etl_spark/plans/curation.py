@@ -2559,3 +2559,81 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a", "b")
     )
+
+
+@register(
+    "cur_curriculum_order",
+    tags=("curation", "window", "sample"),
+    oracle="""
+        WITH sharded AS (
+            SELECT doc_id, n_chars,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        AS BIGINT) % 4 AS shard
+            FROM documents
+        ),
+        staged AS (
+            SELECT doc_id, n_chars, shard,
+                   NTILE(10) OVER (PARTITION BY shard
+                       ORDER BY n_chars, doc_id) AS stage,
+                   ROW_NUMBER() OVER (PARTITION BY shard
+                       ORDER BY n_chars, doc_id) AS rn
+            FROM sharded
+        ),
+        positioned AS (
+            SELECT doc_id, n_chars, shard, stage,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY shard, stage
+                            ORDER BY rn) - 1 AS BIGINT) * 10
+                     + stage - 1 AS pos_in_shard
+            FROM staged
+        )
+        SELECT shard, pos_in_shard, doc_id,
+               CAST(stage AS INT) AS stage, n_chars
+        FROM positioned
+        WHERE pos_in_shard < 15
+        ORDER BY shard, pos_in_shard
+    """,
+)
+def cur_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering with difficulty interleaving: documents
+    rank easy→hard (length proxy) into 10 stages, then the emission
+    order round-robins across stages (pos = cycle·10 + stage) so
+    every training window sees the full difficulty mix while earlier
+    windows still skew easy — the anti-collapse trick curriculum
+    schedules use in practice. Computed PER SHARD (md5(doc_id)%4):
+    orderings at corpus scale are always sharded — a global NTILE
+    would serialize, per-shard windows distribute and the shard count
+    is the parallelism knob. Deterministic: length ties break on
+    doc_id, shard membership is a pure hash of the id. The query
+    emits each shard's first 15 curriculum positions."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("long")
+        % 4
+    )
+    sharded = d.select("doc_id", "n_chars", shard.alias("shard"))
+    w_rank = Window.partitionBy("shard").orderBy("n_chars", "doc_id")
+    staged = sharded.select(
+        "doc_id",
+        "n_chars",
+        "shard",
+        F.ntile(10).over(w_rank).alias("stage"),
+        F.row_number().over(w_rank).alias("rn"),
+    )
+    w_cycle = Window.partitionBy("shard", "stage").orderBy("rn")
+    positioned = staged.select(
+        "doc_id",
+        "n_chars",
+        "shard",
+        "stage",
+        (
+            (F.row_number().over(w_cycle) - 1).cast("long") * 10
+            + F.col("stage")
+            - 1
+        ).alias("pos_in_shard"),
+    )
+    return (
+        positioned.filter(F.col("pos_in_shard") < 15)
+        .select("shard", "pos_in_shard", "doc_id", "stage", "n_chars")
+        .orderBy("shard", "pos_in_shard")
+    )

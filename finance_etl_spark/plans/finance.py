@@ -922,3 +922,116 @@ def fin_irr_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(solve, "o_orderkey long, n_flows int, irr double")
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "fin_currency_triangulation",
+    tags=("finance", "join"),
+    oracle=f"""
+        WITH rates AS (
+            SELECT n_nationkey,
+                   CAST(1000 + n_nationkey * 10 + (1997 - 1995) * 4 AS INT)
+                       AS rate_milli
+            FROM nation
+        ),
+        fact AS (
+            SELECT s.s_nationkey AS supp_nation, c.c_nationkey AS cust_nation,
+                   l.l_extendedprice
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE CAST(l.l_shipdate AS DATE)
+                  BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'
+        )
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               {o_dsum('f.l_extendedprice')} AS supp_ccy_total,
+               {o_dsum('f.l_extendedprice')} * rc.rate_milli / rs.rate_milli
+                   AS cust_ccy_total
+        FROM fact f
+        JOIN rates rs ON rs.n_nationkey = f.supp_nation
+        JOIN rates rc ON rc.n_nationkey = f.cust_nation
+        JOIN nation ns ON ns.n_nationkey = f.supp_nation
+        JOIN nation nc ON nc.n_nationkey = f.cust_nation
+        GROUP BY 1, 2, rc.rate_milli, rs.rate_milli
+        ORDER BY 1, 2
+    """,
+)
+def fin_currency_triangulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-rate currency triangulation: invoices priced in the
+    SUPPLIER's currency converted into each CUSTOMER's currency
+    through the base currency (cross rate = rate_cust / rate_supp,
+    the no-arbitrage identity), using the Q1-1997 rate snapshot.
+    Amounts aggregate EXACTLY in decimal per (supplier-nation,
+    customer-nation) cell first; the cross-rate multiply/divide is a
+    single double expression on the O(nations²) aggregate — per-group,
+    not per-row, so no float accumulates and the division happens once
+    per cell. Rates and nation dims broadcast; the only corpus-scale
+    work is the filtered fact join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate")
+        .cast("date")
+        .between(F.lit("1997-01-01"), F.lit("1997-03-31"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rates = nation.select(
+        "n_nationkey",
+        (F.lit(1000) + F.col("n_nationkey") * 10 + F.lit((1997 - 1995) * 4))
+        .cast("int")
+        .alias("rate_milli"),
+    )
+    fact = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("supp_nation"),
+            F.col("c_nationkey").alias("cust_nation"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("supp_ccy_total"),
+        )
+    )
+    rs = rates.select(
+        F.col("n_nationkey").alias("supp_nation"),
+        F.col("rate_milli").alias("rs_milli"),
+    )
+    rc = rates.select(
+        F.col("n_nationkey").alias("cust_nation"),
+        F.col("rate_milli").alias("rc_milli"),
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("supp_nation"),
+        F.col("n_name").alias("supp_name"),
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("cust_nation"),
+        F.col("n_name").alias("cust_name"),
+    )
+    return (
+        fact.join(F.broadcast(rs), "supp_nation")
+        .join(F.broadcast(rc), "cust_nation")
+        .join(F.broadcast(ns), "supp_nation")
+        .join(F.broadcast(nc), "cust_nation")
+        .select(
+            F.col("supp_name").alias("supp_nation"),
+            F.col("cust_name").alias("cust_nation"),
+            "n_lines",
+            "supp_ccy_total",
+            (
+                F.col("supp_ccy_total") * F.col("rc_milli") / F.col("rs_milli")
+            ).alias("cust_ccy_total"),
+        )
+        .orderBy("supp_nation", "cust_nation")
+    )

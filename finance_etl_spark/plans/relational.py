@@ -3058,3 +3058,51 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "li_ident_v", "col": "l_quantity"},
     )
+
+
+@register(
+    "sql_udf_create_function",
+    tags=("sql", "surface", "udf"),
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) *
+                                  (1 + l_tax) AS DECIMAL(30,10))) AS VARCHAR)
+                    AS DOUBLE) AS charged
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def sql_udf_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (CREATE TEMPORARY FUNCTION ...
+    RETURN expr, Spark 3.5+): business logic named ONCE in the catalog
+    and reused across queries, yet inlined into the plan at analysis
+    time — the charged-amount expression below runs inside whole-stage
+    codegen exactly as if written in place (zero UDF-serialization
+    cost, unlike Python UDFs). The oracle recomputes the expression
+    relationally, proving the function body round-trips through the
+    catalog unchanged."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "li_sqludf_v"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION charged_amount(
+            price DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS DOUBLE
+        RETURN price * (1 - disc) * (1 + tax)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(charged_amount(l_extendedprice, l_discount,
+                                            l_tax) AS DECIMAL(30,10)))
+                    AS DOUBLE) AS charged
+        FROM li_sqludf_v
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )

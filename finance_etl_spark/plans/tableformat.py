@@ -742,3 +742,75 @@ def sink_multi_table_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+@register(
+    "sink_copy_on_write_update",
+    tags=("sink", "tableformat", "scale"),
+    oracle=f"""
+        SELECT 'pre_update' AS snapshot, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {o_dsum('o_totalprice')} AS total
+        FROM orders
+        UNION ALL
+        SELECT 'post_update', CAST(COUNT(*) AS BIGINT),
+               {o_dsum("CASE WHEN CAST(o_orderdate AS DATE) BETWEEN DATE '1995-06-01' AND DATE '1995-06-30' THEN o_totalprice * 1.1 ELSE o_totalprice END")}
+        FROM orders
+        ORDER BY snapshot DESC
+    """,
+)
+def sink_copy_on_write_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE (the sibling of versioned_delete's CoW
+    delete): the table is range-clustered on o_orderdate, so a
+    one-month repricing (+10%) touches only the files whose footer
+    min/max overlap June 1995 — those are read, updated, rewritten;
+    every other file is carried forward BY REFERENCE into the new
+    manifest, byte-untouched (tests/test_tableformat.py asserts the
+    carried set is a strict majority and paths are identical). Both
+    snapshots stay readable (time travel); the query emits pre/post
+    aggregates and the oracle recomputes the update arithmetic
+    relationally. I/O is O(files overlapping the predicate) — why CoW
+    updates stay viable at 100 TB when writes are time-localized."""
+    import datetime as dt
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("o_orderdate")
+    )
+    root = tempfile.mkdtemp(prefix="cow_upd_")
+    base_dir = tempfile.mkdtemp(prefix="base_", dir=root)
+    (
+        o.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(base_dir)
+    )
+    _write_snapshot(root, 1, _data_files(base_dir))
+    lo, hi = dt.date(1995, 6, 1), dt.date(1995, 6, 30)
+    manifest = file_stats_manifest(base_dir, ["o_orderdate"])
+    touched = set(prune_files(manifest, "o_orderdate", lo, hi))
+    with open(os.path.join(root, "v1.json")) as fh:
+        prev = json.load(fh)["files"]
+    carried = [p for p in prev if p not in touched]
+    new_files: list[str] = []
+    if touched:
+        rw_dir = tempfile.mkdtemp(prefix="rw_", dir=root)
+        upd = spark.read.parquet(*sorted(touched)).withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderdate").between(F.lit(lo), F.lit(hi)),
+                F.col("o_totalprice") * 1.1,
+            ).otherwise(F.col("o_totalprice")),
+        )
+        upd.write.mode("overwrite").parquet(rw_dir)
+        new_files = _data_files(rw_dir)
+    _write_snapshot(root, 2, carried + new_files)
+
+    def agg(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("snapshot"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice").alias("total"),
+        )
+
+    return agg(read_snapshot(spark, root, 1), "pre_update").unionByName(
+        agg(read_snapshot(spark, root, 2), "post_update")
+    ).orderBy(F.col("snapshot").desc())
