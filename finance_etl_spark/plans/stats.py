@@ -99,6 +99,7 @@ def _pooled_cumulative(ts: DataFrame) -> DataFrame:
 
 @register(
     "stat_ks_two_sample",
+    headline=True,
     tags=("stats", "window", "agg"),
     oracle=f"""
         WITH ts AS ({_SAMPLE_SQL}),

@@ -971,3 +971,68 @@ def stream_live_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select(F.col("w.start").alias("win_start"), "user_id", "n_events")
     )
+
+
+@register(
+    "stream_live_observed_metrics",
+    tags=("streaming", "live", "observability"),
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT user_id) IS NOT NULL AS BOOLEAN)
+                   AS metrics_reported,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS VARCHAR)
+                    AS DOUBLE) AS total_value
+        FROM events
+    """,
+)
+def stream_live_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability via Dataset.observe(): named metrics
+    (row count, exact decimal value sum) ride INSIDE the streaming
+    query as accumulator-style aggregates and surface per micro-batch
+    in QueryProgress.observedMetrics — the production pattern for
+    monitoring record counts / value conservation without a second
+    pass or a sink-side audit query. Counts and DECIMAL sums are
+    associative, so summing the per-batch observations reproduces the
+    batch answer EXACTLY — which is what the oracle checks. Metric
+    evaluation is map-side (no extra shuffle beyond the sink's own
+    plan); observe() costs one pass over rows already in flight."""
+    import decimal as pydec
+    import uuid as _uuid
+
+    from finance_etl_spark.streaming.runner import events_stream
+
+    s = events_stream(spark, sf_dir)
+    observed = s.observe(
+        "conservation",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(30,10)")).alias("total_dec"),
+    )
+    name = f"live_obs_{_uuid.uuid4().hex[:8]}"
+    q = (
+        observed.select("event_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    # drain progress AFTER completion: every finished micro-batch
+    # reports its observedMetrics exactly once in recentProgress
+    n_rows, total = 0, pydec.Decimal(0)
+    reported = False
+    for p in q.recentProgress:
+        m = (p.get("observedMetrics") or {}).get("conservation")
+        if m is None:
+            continue
+        reported = True
+        n_rows += int(m["n_rows"])
+        if m["total_dec"] is not None:
+            total += pydec.Decimal(str(m["total_dec"]))
+    q.stop()
+    q.awaitTermination(60)
+    out = spark.createDataFrame(
+        [(n_rows, reported, float(total))],
+        "n_rows long, metrics_reported boolean, total_value double",
+    )
+    return out

@@ -814,3 +814,62 @@ def sink_copy_on_write_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(read_snapshot(spark, root, 1), "pre_update").unionByName(
         agg(read_snapshot(spark, root, 2), "post_update")
     ).orderBy(F.col("snapshot").desc())
+
+
+@register(
+    "sink_python_datasource_writer",
+    tags=("sink", "source", "spark4"),
+    oracle=f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {o_dsum('o_totalprice')} AS total
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def sink_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER (Spark 4 API,
+    io/manifestsink.py): orders stream through a user-defined sink —
+    one JSON-lines part file per task, driver-side commit() publishes
+    an atomic manifest of exactly the committed files (abort() removes
+    orphans). The round trip back through the manifest must reproduce
+    the source aggregates bit-for-bit, which is what the oracle
+    checks: doubles survive because json.dumps emits the shortest
+    round-trip repr. The reader-side twin is source_python_datasource
+    (io/ticksource.py) — together they cover both halves of the
+    Python DataSource API."""
+    import tempfile
+
+    from finance_etl_spark.io.manifestsink import (
+        ManifestJsonlSink,
+        read_manifest,
+    )
+
+    try:
+        spark.dataSource.register(ManifestJsonlSink)
+    except Exception:
+        pass  # already registered in this session
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target = tempfile.mkdtemp(prefix="pyds_sink_")
+    (
+        o.repartition(8)
+        .write.format("manifest_jsonl")
+        .option("path", target)
+        .mode("append")
+        .save()
+    )
+    man = read_manifest(target)
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).json(man["files"])
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -422,3 +422,57 @@ def udf_arrow_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_words"),
         F.countDistinct("word").alias("n_distinct"),
     )
+
+
+@register(
+    "udf_window_grouped_agg",
+    tags=("udf", "window"),
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(round(value * 1000000) AS BIGINT))
+                        OVER w AS DOUBLE)
+                 / CAST(COUNT(*) OVER w AS DOUBLE) / 1000000.0
+                   AS trailing_mean
+        FROM events
+        WHERE user_id % 50 = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
+    """,
+)
+def udf_window_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF as a WINDOW function (WindowInPandas): the same
+    GROUPED_AGG pandas_udf shape as udf_grouped_agg_weighted_mean, but
+    evaluated over a bounded trailing frame — Spark ships each frame's
+    slice to Python via Arrow and the UDAF folds it, which is how
+    custom rolling logic (trailing robust means, custom decay) runs
+    distributed without a driver loop. Values scale to integer
+    micro-units inside the UDF so the frame sum is exact int64 and the
+    result is bit-identical to the oracle's integer window sum —
+    demonstrating the determinism contract survives the Python window
+    path. Frames are per-user and tiny; the one shuffle is the window
+    partitioning itself."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trailing_mean_micro(v):
+        micro = (v * 1000000).round().astype("int64")
+        return float(micro.sum()) / float(len(micro)) / 1000000.0
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.pmod(F.col("user_id"), F.lit(50)) == 0
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            trailing_mean_micro(F.col("value")).over(w).alias("trailing_mean"),
+        )
+        .orderBy("user_id", "event_id")
+    )
