@@ -1783,3 +1783,71 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "point_idx")
     )
+
+
+def holt_winters_additive(y, period: int = 7, alpha: float = 0.3,
+                          beta: float = 0.1, gamma: float = 0.2,
+                          horizon: int = 7):
+    """Additive Holt-Winters (level + trend + weekly seasonality):
+    returns the h-step-ahead forecasts after one sequential pass.
+    Plain-Python float loop — bit-deterministic for a fixed input
+    order; shared by the operator and the pytest reference. Init:
+    level = mean of the first season, trend = mean season-over-season
+    step, seasonals = first-season deviations."""
+    n = len(y)
+    if n < 2 * period:
+        return []
+    level = sum(y[:period]) / period
+    second = sum(y[period : 2 * period]) / period
+    trend = (second - level) / period
+    season = [y[i] - level for i in range(period)]
+    for t in range(n):
+        s = season[t % period]
+        prev_level = level
+        level = alpha * (y[t] - s) + (1 - alpha) * (level + trend)
+        trend = beta * (level - prev_level) + (1 - beta) * trend
+        season[t % period] = gamma * (y[t] - level) + (1 - gamma) * s
+    return [
+        level + (h + 1) * trend + season[(n + h) % period]
+        for h in range(horizon)
+    ]
+
+
+@register("ts_holt_winters", tags=("timeseries", "udf", "forecast"))
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters triple-exponential forecast (additive, weekly
+    season) of each daily series, 7 days ahead — the classic
+    capacity-planning baseline. The smoothing recursion is inherently
+    sequential per series, so the distributed shape is applyInPandas
+    keyed by series: each task runs the O(days) loop for its series,
+    the corpus-scale daily aggregation is ordinary map-side partials,
+    and series count is the parallelism unit (a 100-TB metrics store
+    forecasts millions of series this exact way). Rows-only (state
+    recursion is not ANSI-expressible); tests/test_round4_ops.py pins
+    the forecasts against an independent reference loop and asserts
+    the constant-series fixed point (forecast == the constant)."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(dsum("value").alias("y"))
+
+    def forecast(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        fc = holt_winters_additive([float(v) for v in pdf["y"]])
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]] * len(fc),
+                "horizon": list(range(1, len(fc) + 1)),
+                "forecast": fc,
+            }
+        )
+
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(
+            forecast, "event_type string, horizon int, forecast double"
+        )
+        .orderBy("event_type", "horizon")
+    )

@@ -237,3 +237,50 @@ def test_wordpiece_matches_reference(spark):
         (r.piece, r.n_distinct_words, r.total_occurrences) for r in out
     ]
     assert actual == expected
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters
+
+
+def _ref_holt_winters(y, period=7, alpha=0.3, beta=0.1, gamma=0.2, h=7):
+    n = len(y)
+    if n < 2 * period:
+        return []
+    level = sum(y[:period]) / period
+    trend = (sum(y[period:2 * period]) / period - level) / period
+    season = [y[i] - level for i in range(period)]
+    for t in range(n):
+        s = season[t % period]
+        old = level
+        level = alpha * (y[t] - s) + (1 - alpha) * (level + trend)
+        trend = beta * (level - old) + (1 - beta) * trend
+        season[t % period] = gamma * (y[t] - level) + (1 - gamma) * s
+    return [level + (k + 1) * trend + season[(n + k) % period] for k in range(h)]
+
+
+def test_holt_winters_matches_reference(spark):
+    out = plans.get("ts_holt_winters").build(spark, SF).collect()
+    series = _daily_series(_duck())
+    got = {}
+    for r in out:
+        got.setdefault(r.event_type, {})[r.horizon] = r.forecast
+    for et, pts in series.items():
+        ys = [y for _, y in pts]
+        ref = _ref_holt_winters(ys)
+        if not ref:
+            assert et not in got
+            continue
+        assert sorted(got[et]) == list(range(1, 8))
+        for h, fc in enumerate(ref, start=1):
+            assert got[et][h] == pytest.approx(fc, rel=1e-12)
+
+
+def test_holt_winters_constant_series_fixed_point(spark):
+    # a constant series must forecast the constant at every horizon
+    from finance_etl_spark.plans.timeseries import holt_winters_additive
+
+    fc = holt_winters_additive([5.0] * 30)
+    assert len(fc) == 7
+    for v in fc:
+        assert v == pytest.approx(5.0, abs=1e-9)
