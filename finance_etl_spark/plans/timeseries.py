@@ -1851,3 +1851,108 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "horizon")
     )
+
+
+@register(
+    "ts_seasonal_decompose",
+    tags=("timeseries", "window", "stats"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(SUM(CAST(value AS DECIMAL(30,10)))
+                        AS DECIMAL(30,10)) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        ma AS (
+            SELECT event_type, d, x,
+                   CAST(SUM(x) OVER w AS DECIMAL(30,10)) AS sum7,
+                   COUNT(*) OVER w AS n7
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        det AS (
+            SELECT event_type, d, x, sum7,
+                   CAST(7 AS DECIMAL(2,0)) * x - sum7 AS det7,
+                   isodow(d) AS wd
+            FROM ma WHERE n7 = 7
+        ),
+        seas AS (
+            SELECT event_type, wd,
+                   CAST(CAST(SUM(det7) AS VARCHAR) AS DOUBLE)
+                     / (7.0 * COUNT(*)) AS seasonal
+            FROM det GROUP BY 1, 2
+        )
+        SELECT t.event_type, t.d,
+               CAST(CAST(t.x AS VARCHAR) AS DOUBLE) AS x,
+               CAST(CAST(t.sum7 AS VARCHAR) AS DOUBLE) / 7.0 AS trend,
+               s.seasonal,
+               CAST(CAST(t.x AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(t.sum7 AS VARCHAR) AS DOUBLE) / 7.0
+                 - s.seasonal AS remainder
+        FROM det t JOIN seas s
+          ON s.event_type = t.event_type AND s.wd = t.wd
+        ORDER BY t.event_type, t.d
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of each daily series:
+    trend = centered 7-day moving average, seasonal = mean detrended
+    deviation per ISO weekday, remainder = x - trend - seasonal. The
+    divisions that make float decomposition engine-divergent never
+    touch the aggregates: the detrended series is kept as the EXACT
+    decimal 7x - Σ7 (denominator-free), seasonal means divide once per
+    (series, weekday) cell at the edge, and the per-row remainder is
+    one IEEE double expression — so the full decomposition is
+    hash-checkable. Windows partition by series over O(days) rows;
+    the weekday seasonal join is a broadcast of |series|·7 rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(F.col("value").cast(DEC)).cast(DEC).alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    ma = daily.select(
+        "event_type",
+        "d",
+        "x",
+        F.sum("x").over(w).cast(DEC).alias("sum7"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+    )
+    det = ma.filter(F.col("n7") == 7).select(
+        "event_type",
+        "d",
+        "x",
+        "sum7",
+        (F.lit(7).cast("decimal(2,0)") * F.col("x") - F.col("sum7")).alias(
+            "det7"
+        ),
+        F.dayofweek(F.col("d")).alias("wd_sun1"),
+    )
+    # isodow: Mon=1..Sun=7; Spark dayofweek: Sun=1..Sat=7
+    det = det.withColumn(
+        "wd", F.when(F.col("wd_sun1") == 1, 7).otherwise(F.col("wd_sun1") - 1)
+    )
+    seas = det.groupBy("event_type", "wd").agg(
+        (
+            F.sum("det7").cast("double")
+            / (F.lit(7.0) * F.count(F.lit(1)))
+        ).alias("seasonal")
+    )
+    x_d = F.col("x").cast("double")
+    trend = F.col("sum7").cast("double") / F.lit(7.0)
+    return (
+        det.join(F.broadcast(seas), ["event_type", "wd"])
+        .select(
+            "event_type",
+            "d",
+            x_d.alias("x"),
+            trend.alias("trend"),
+            "seasonal",
+            (x_d - trend - F.col("seasonal")).alias("remainder"),
+        )
+        .orderBy("event_type", "d")
+    )
