@@ -468,24 +468,30 @@ def phash64(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            out = np.empty(len(pdf), dtype=np.int64)
+            n_rows = len(pdf)
+            imgs = np.zeros((n_rows, side, side), dtype=np.float64)
             for row, buf in enumerate(pdf["payload"]):
                 b = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.int64)
                 if len(b) < 2:
-                    out[row] = 0
-                    continue
+                    continue  # all-zero image -> hash 0, as before
                 # STUB decode: bigram-class histogram as the image
                 cells = (b[:-1] * 31 + b[1:]) % (side * side)
-                img = np.bincount(cells, minlength=side * side).reshape(
+                imgs[row] = np.bincount(cells, minlength=side * side).reshape(
                     side, side
-                ).astype(np.float64)
-                coef = (basis @ img @ basis.T)[:block, :block].ravel()
-                bits = coef > np.median(coef)
-                # int64 via int() to dodge uint64->int64 overflow on bit 63
-                h = 0
-                for bit in bits:
-                    h = (h << 1) | int(bit)
-                out[row] = np.int64(h - (1 << 64) if h >= (1 << 63) else h)
+                )
+            # batched DCT: broadcast matmul dispatches one dgemm per
+            # slice -- bit-identical to the per-row basis@img@basis.T,
+            # ~10x less Python overhead per Arrow batch
+            coef = (basis[None] @ imgs @ basis.T[None])[
+                :, :block, :block
+            ].reshape(n_rows, block * block)
+            med = np.median(coef, axis=1)
+            bits = coef > med[:, None]
+            # MSB-first bit pack; big-endian SIGNED view gives the
+            # two's-complement int64 directly (no per-bit Python loop)
+            out = (
+                np.packbits(bits, axis=1).view(">i8").ravel().astype(np.int64)
+            )
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "phash": out})
 
     return df.select(id_col, "payload").mapInPandas(

@@ -873,3 +873,56 @@ def sink_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "sink_parquet_codec_roundtrip",
+    tags=("sink", "format"),
+    oracle=f"""
+        SELECT codec, n_parts, {o_dsum('l_extendedprice')} AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM (
+            SELECT 'gzip' AS codec, 4 AS n_parts, l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT 'snappy', 4, l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT 'zstd', 4, l_extendedprice FROM lineitem
+        )
+        GROUP BY codec, n_parts
+        ORDER BY codec
+    """,
+)
+def sink_parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec matrix: the same table written under
+    gzip, snappy, and zstd, read back, and aggregated — data must be
+    codec-invariant to the bit (what the oracle checks), while codec
+    choice stays a pure storage/latency trade (zstd ≈ gzip ratio at
+    ~snappy speed; the decision a 100 TB lakehouse makes per
+    temperature tier). Each write is one job; the read-back scans
+    carry the codec from file metadata with no configuration — mixed-
+    codec tables are first-class in parquet."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    outs = []
+    for codec in ("gzip", "snappy", "zstd"):
+        d = tempfile.mkdtemp(prefix=f"codec_{codec}_")
+        (
+            li.repartition(4)
+            .write.mode("overwrite")
+            .option("compression", codec)
+            .parquet(d)
+        )
+        back = spark.read.parquet(d)
+        outs.append(
+            back.agg(
+                F.lit(codec).alias("codec"),
+                F.lit(4).alias("n_parts"),
+                dsum("l_extendedprice").alias("revenue"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("codec")

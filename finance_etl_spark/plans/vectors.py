@@ -398,18 +398,9 @@ def vec_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("vec_ann_lsh_topk", tags=("vector", "similarity", "lsh"))
-def vec_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 neighbors via random-hyperplane LSH with
-    Hamming-1 MULTI-PROBE: vectors bucket by (band, signature); each
-    query probes its own bucket plus every 1-bit-flip neighbor bucket
-    (near-hyperplane projections land one bit away), then exact cosine
-    ranks the candidates. The corpus index stays one row per band;
-    only the bounded query set fans out 1+bits probes. The shuffle key
-    is the bucket, so search cost scales with collisions rather than
-    the corpus — the 100-TB path. Rows-only for the driver; recall vs
-    vec_cosine_topk is asserted in tests/test_dedup_vectors.py and
-    measured in tools/ann_eval.py."""
+def _lsh_ranked(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
+    """Shared LSH multiprobe candidate ranking (see vec_ann_lsh_topk
+    for the algorithm); ``topk`` bounds the per-query output rank."""
     e = load_table(spark, sf_dir, "embeddings")
     buckets = _signature_bands(e, "cand_id")
     q_bands = _signature_bands(
@@ -433,9 +424,24 @@ def vec_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
+        .filter(F.col("rank") <= topk)
         .select("query_id", F.col("cand_id").alias("neighbor_id"), "rank", "cos_sim")
     )
+
+
+@register("vec_ann_lsh_topk", tags=("vector", "similarity", "lsh"))
+def vec_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via random-hyperplane LSH with
+    Hamming-1 MULTI-PROBE: vectors bucket by (band, signature); each
+    query probes its own bucket plus every 1-bit-flip neighbor bucket
+    (near-hyperplane projections land one bit away), then exact cosine
+    ranks the candidates. The corpus index stays one row per band;
+    only the bounded query set fans out 1+bits probes. The shuffle key
+    is the bucket, so search cost scales with collisions rather than
+    the corpus — the 100-TB path. Rows-only for the driver; recall vs
+    vec_cosine_topk is asserted in tests/test_dedup_vectors.py and
+    measured in tools/ann_eval.py."""
+    return _lsh_ranked(spark, sf_dir, 5)
 
 
 def kmeans_centroids(e: DataFrame, k: int = N_CLUSTERS, iters: int = 3) -> DataFrame:
@@ -1470,4 +1476,78 @@ def vec_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_label") == F.col("true_label")).alias("correct"),
         )
         .orderBy("query_id")
+    )
+
+
+@register("vec_recall_curve", tags=("vector", "similarity", "eval"))
+def vec_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k curve (k = 1, 5, 10) of the LSH-bucketed ANN path
+    against the exact brute-force ranking, computed AS A QUERY — the
+    evaluation every ANN deployment runs continuously to catch index
+    drift, here distributed: both rankings come from the same scored
+    join machinery, truth ∩ approx per (query, k) is a join on
+    (query, neighbor), and the curve is a 3-row aggregate. k fans out
+    via a broadcast literal range so all cutoffs share one ranking
+    pass per side. Rows-only for the driver (the LSH candidate set is
+    engine-specific); tests/test_dedup_vectors.py pins the curve's
+    monotone sanity + recall@5 floor and tools/ann_eval.py tracks the
+    measured values."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # exact ranking (brute force, same shape as vec_cosine_topk)
+    exact_scored = e.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine("q_emb", "embedding").alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    exact_ranked = exact_scored.withColumn(
+        "rank", F.row_number().over(w)
+    ).filter(F.col("rank") <= 10)
+    # approximate ranking from the LSH multiprobe path, ranked to 10
+    # so recall@10 is not artificially capped by the top-5 query shape
+    approx_ranked = _lsh_ranked(spark, sf_dir, 10)
+    ks = spark.range(1, 11).select(F.col("id").cast("int").alias("k")).filter(
+        F.col("k").isin(1, 5, 10)
+    )
+    truth = exact_ranked.join(
+        F.broadcast(ks), F.col("rank") <= F.col("k")
+    ).select("k", "query_id", "neighbor_id")
+    approx = approx_ranked.join(
+        F.broadcast(ks.withColumnRenamed("k", "ka")),
+        F.col("rank") <= F.col("ka"),
+    ).select(F.col("ka"), "query_id", "neighbor_id")
+    hits = truth.join(
+        approx,
+        on=[
+            truth.k == approx.ka,
+            truth.query_id == approx.query_id,
+            truth.neighbor_id == approx.neighbor_id,
+        ],
+        how="left_semi",
+    )
+    return (
+        truth.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_truth"))
+        .join(
+            hits.groupBy("k").agg(F.count(F.lit(1)).alias("n_hit")),
+            "k",
+            "left",
+        )
+        .select(
+            "k",
+            "n_truth",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("k")
     )

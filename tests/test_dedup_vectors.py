@@ -419,3 +419,16 @@ def test_mmr_rerank_deterministic_and_diverse(spark, sf_dir):
         assert sel[0] == top5[0]
         # and the MMR set is no less diverse than plain top-5
         assert maxpair(sel) <= maxpair(top5) + 1e-9
+
+
+def test_vec_recall_curve_query(spark, sf_dir):
+    from finance_etl_spark import plans
+
+    rows = {r.k: r for r in plans.get("vec_recall_curve").build(spark, sf_dir).collect()}
+    assert sorted(rows) == [1, 5, 10]
+    for k, r in rows.items():
+        assert r.n_truth == 5 * k  # 5 queries x k slots
+        assert 0.0 <= r.recall <= 1.0
+        assert r.n_hit <= r.n_truth
+    # same floor as the direct ANN recall test (16 hyperplanes, 2 bands)
+    assert rows[5].recall >= 0.5
