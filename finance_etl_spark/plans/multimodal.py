@@ -499,36 +499,82 @@ def phash64(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-@register("mm_phash_near_dup", tags=("multimodal", "dedup", "lsh"))
-def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup pairs by pHash Hamming distance <= 6, found via
-    multi-index hashing (Norouzi et al.): the 64-bit hash splits into
-    8 bands of 8 bits; any two hashes within Hamming distance
-    bands-2 MUST agree on at least one whole band (pigeonhole), so a
-    band-bucket self-join finds every qualifying pair with NO all-pairs
-    comparison. Candidates are verified with exact JVM-side
-    bit_count(xor). Shuffle key = (band_id, band_value): collisions,
-    not documents, drive cost — at corpus scale widen the bands and
-    probe 1-bit neighbors instead of shrinking them (recall contract
-    pinned in tests/test_multimodal.py)."""
-    d = load_table(spark, sf_dir, "documents")
-    hashes = phash64(_with_payload(d), "doc_id")
-    # shiftrightunsigned's bits argument must be a literal in the
-    # Column API; the per-row shift goes through SQL expr
+# corpus size at which the candidate join switches from 8x8-bit exact
+# bands to 4x16-bit bands with radius-1 multiprobe (see docstring)
+_PHASH_WIDE_MIN_DOCS = 20_000
+
+
+def _phash_band_rows(hashes: DataFrame, n_bands: int, band_bits: int) -> DataFrame:
+    """(doc_id, phash, band_id, band_val): one row per hash substring.
+    shiftrightunsigned's bits argument must be a literal in the Column
+    API; the per-row shift goes through SQL expr."""
     band = F.expr(
-        f"shiftrightunsigned(phash, band_id * {_PHASH_BAND_BITS})"
-    ).bitwiseAND(F.lit((1 << _PHASH_BAND_BITS) - 1))
-    bands = hashes.select(
+        f"shiftrightunsigned(phash, band_id * {band_bits})"
+    ).bitwiseAND(F.lit((1 << band_bits) - 1))
+    return hashes.select(
         "doc_id",
         "phash",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(_PHASH_BANDS - 1))
-        ).alias("band_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_id"),
     ).select("doc_id", "phash", "band_id", band.alias("band_val"))
+
+
+@register("mm_phash_near_dup", tags=("multimodal", "dedup", "lsh"))
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by pHash Hamming distance <= 6 via
+    multi-index hashing (Norouzi et al.), with a SIZE-ADAPTIVE index:
+
+    - small corpus: 8 bands x 8 bits — dist<=6 over 8 substrings means
+      some substring matches EXACTLY (pigeonhole, 6 <= 8-2), so an
+      exact band-bucket self-join has full recall. But 8-bit buckets
+      saturate as the corpus grows (docs/bucket ~ N/256 per band →
+      candidate pairs grow ~N²/256 — this was the worst decade-2
+      scaling ratio in SCALING.md).
+    - large corpus (>= 20k docs here; at 100 TB always): 4 bands x
+      16 bits with RADIUS-1 MULTIPROBE on the probe side — dist<=6
+      over 4 substrings means some substring differs by <= floor(6/4)
+      = 1 bit, so probing each band's exact value plus its 16 one-bit
+      flips keeps full recall while buckets get 256x finer. Probe rows
+      grow 17x but pairs-per-bucket collapse quadratically — the MIH
+      substring-length-scales-with-log(N) rule.
+
+    Both schemes overcount candidates and both verify with exact
+    JVM-side bit_count(xor), so the OUTPUT is identical — the switch
+    (driver-side scalar, same AQE-style runtime choice as the minhash
+    verify pruning) affects cost only. Recall contract pinned in
+    tests/test_multimodal.py for both paths."""
+    d = load_table(spark, sf_dir, "documents")
+    hashes = phash64(_with_payload(d), "doc_id").persist()
+    n_docs = hashes.count()
+    wide = n_docs >= _PHASH_WIDE_MIN_DOCS
+    n_bands, band_bits = (4, 16) if wide else (_PHASH_BANDS, _PHASH_BAND_BITS)
+    bands = _phash_band_rows(hashes, n_bands, band_bits)
     a = bands.select(
         F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a"),
         "band_id", "band_val",
     )
+    if wide:
+        # probe side: exact band value (bit = -1) plus every 1-bit flip
+        a = (
+            a.select(
+                "id_a",
+                "ph_a",
+                "band_id",
+                "band_val",
+                F.explode(
+                    F.sequence(F.lit(-1), F.lit(band_bits - 1))
+                ).alias("bit"),
+            )
+            .select(
+                "id_a",
+                "ph_a",
+                "band_id",
+                F.when(F.col("bit") < 0, F.col("band_val"))
+                .otherwise(
+                    F.expr("band_val ^ shiftleft(1L, bit)")
+                )
+                .alias("band_val"),
+            )
+        )
     b = bands.select(
         F.col("doc_id").alias("id_b"), F.col("phash").alias("ph_b"),
         "band_id", "band_val",

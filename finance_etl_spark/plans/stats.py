@@ -63,6 +63,11 @@ def _pooled_cumulative(ts: DataFrame) -> DataFrame:
     per_val = per_val.withColumn(
         "bkt", F.floor(F.col("x") / F.lit(10000)).cast("long")
     )
+    # the distinct-value aggregate feeds the within-bucket windows, the
+    # bucket-total carry, and (in KS) the grand totals — persist it so
+    # the fact table is scanned ONCE, not once per consumer (PLANS.md
+    # showed 3 pushed-filter scans of orders before this)
+    per_val = per_val.persist()
     w_in = (
         Window.partitionBy("bkt")
         .orderBy("x")

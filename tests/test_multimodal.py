@@ -83,3 +83,22 @@ def test_phash_near_dup_mih_recall(spark, tmp_path):
         if ham(ha, hb) <= 6
     }
     assert got == expect
+
+
+def test_phash_wide_path_identical_pairs(spark, sf_dir, monkeypatch):
+    """The 4x16-bit multiprobe index (large-corpus path) must produce
+    exactly the pair set of the 8x8-bit exact-band index: both
+    candidate schemes have full recall at dist<=6 (pigeonhole: 6<=8-2
+    exact bands / floor(6/4)=1-bit probes) and both verify exactly."""
+    import finance_etl_spark.plans.multimodal as mm
+    from finance_etl_spark import plans
+
+    narrow = sorted(
+        map(tuple, plans.get("mm_phash_near_dup").build(spark, sf_dir).collect())
+    )
+    monkeypatch.setattr(mm, "_PHASH_WIDE_MIN_DOCS", 0)
+    wide = sorted(
+        map(tuple, plans.get("mm_phash_near_dup").build(spark, sf_dir).collect())
+    )
+    assert narrow == wide
+    assert len(narrow) > 0

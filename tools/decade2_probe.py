@@ -14,14 +14,20 @@ Embedding-bound queries are excluded: replicating embeddings verbatim
 would plant quadratic near-duplicate structure that the real corpus
 does not have, measuring the fixture instead of the operator.
 
-Documents grow 10× with a PER-COPY ALPHABET ROTATION (a Caesar-style
-`translate` over [a-z0-9], rotation = 7·k): byte values change, so
-each copy's bigram histograms / token shingles decorrelate from every
+Documents grow 10× with a PER-COPY seeded RANDOM PERMUTATION of the
+[a-z0-9] alphabet (`translate`): byte values change, so each copy's
+token shingles and byte-bigram histograms decorrelate from every
 other copy's — near-dup structure (pHash bands, shingle collisions)
 replicates WITHIN a copy exactly like the original corpus and never
 ACROSS copies. Text length is preserved, so n_chars stays truthful.
-That makes `mm_phash_near_dup` (round-3's worst first-decade ratio,
-3.22×) and `cur_decontaminate` (slowest registered query) honestly
+A plain Caesar ROTATION is NOT enough for pHash: rotating every
+letter by Δ shifts the bigram class (31·b1+b2) mod 1024 by a
+constant 32Δ, i.e. it cyclically SHIFTS the histogram image — DCT
+sign structure largely survives a cyclic shift, and the first version
+of this fixture planted 11.7M phantom cross-copy near-dup pairs at
+sf1 (measured) where the true corpus shape predicts ~84k. A full
+random permutation scrambles bigram classes instead of shifting them.
+That makes `mm_phash_near_dup` and `cur_decontaminate` honestly
 measurable at the second decade.
 
 Usage:
@@ -34,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import shutil
 import sys
 import time
@@ -104,20 +111,21 @@ def generate(spark) -> None:
             .write.mode("overwrite")
             .parquet(os.path.join(DST, f"{name}.parquet"))
         )
-    # documents: 10 key-shifted copies with a per-copy alphabet
-    # rotation (see module docstring) — decorrelates cross-copy
-    # near-dup structure while preserving within-copy structure and
-    # text length
+    # documents: 10 key-shifted copies, each under its own seeded
+    # random alphabet permutation (see module docstring) — decorrelates
+    # cross-copy near-dup structure while preserving within-copy
+    # structure and text length
     docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
     did_shift = 10 ** len(str(docs.agg(F.max("doc_id")).first()[0]))
     alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
     big_docs = docs
     for k in range(1, COPIES):
-        rot = k * 7 % len(alphabet)
-        rotated = alphabet[rot:] + alphabet[:rot]
+        rng = random.Random(k)  # deterministic per copy
+        perm = list(alphabet)
+        rng.shuffle(perm)
         big_docs = big_docs.unionByName(
             docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * did_shift))
-            .withColumn("text", F.translate("text", alphabet, rotated))
+            .withColumn("text", F.translate("text", alphabet, "".join(perm)))
         )
     big_docs.repartition(32).write.mode("overwrite").parquet(
         os.path.join(DST, "documents.parquet")
@@ -176,7 +184,10 @@ def main() -> int:
             "",
             "Generated by `python tools/decade2_probe.py --md` on fact tables",
             "derived from the driver's sf0.1 corpus (10 key-shifted copies of",
-            "lineitem/orders/events; dims unchanged — TPC-H-style fact growth).",
+            "lineitem/orders/events; documents replicated under per-copy seeded",
+            "alphabet PERMUTATIONS so cross-copy near-dup structure cannot be",
+            "planted — see tools/decade2_probe.py docstring; dims unchanged —",
+            "TPC-H-style fact growth).",
             "Same interpretation: fixed overhead keeps linear ops well under",
             "10×; a quadratic op would show ~100×.",
             "",
