@@ -1551,3 +1551,71 @@ def vec_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register("ml_logreg_gd", tags=("ml", "vector", "iterative"))
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training by full-batch gradient
+    descent — the canonical data-parallel training loop on Spark: per
+    iteration, the weight vector broadcasts into a JVM-side expression
+    (sigmoid via F.exp inside codegen, no Python), the per-row
+    gradient contribution g = x·(σ(wᵀx) - y) reduces with one
+    element-wise array aggregation (same mergeable partial-agg
+    topology as any sum), and only the d+1 coefficients return to the
+    driver between rounds. The label is constructed linearly separable
+    (y = [e₀+e₁ > 0]) so convergence is a testable CONTRACT, not luck:
+    tests/test_dedup_vectors.py asserts strictly decreasing loss and
+    >0.9 final accuracy. Rows-only for the driver (iterative, float
+    loss uses exp/log). At 100 TB this is exactly k linear scans +
+    k tiny broadcasts; nothing driver-side scales with rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = 4  # first 4 dims as features + intercept: k x (d+1) scalars
+    feats = e.select(
+        F.col("vec_id"),
+        F.array(
+            *[F.col("embedding")[i].cast("double") for i in range(dim)],
+            F.lit(1.0),
+        ).alias("x"),
+        (
+            (F.col("embedding")[0] + F.col("embedding")[1] > 0).cast("double")
+        ).alias("y"),
+    ).persist()
+    n = feats.count()
+    w = [0.0] * (dim + 1)
+    lr = 4.0
+    history = []
+    for it in range(12):
+        wcol = F.array(*[F.lit(float(v)) for v in w])
+        z = F.aggregate(
+            F.zip_with("x", wcol, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        resid = p - F.col("y")
+        contrib = F.transform("x", lambda xi: xi * resid)
+        loss_term = -(
+            F.col("y") * F.log(F.greatest(p, F.lit(1e-12)))
+            + (F.lit(1.0) - F.col("y"))
+            * F.log(F.greatest(F.lit(1.0) - p, F.lit(1e-12)))
+        )
+        correct = ((p > 0.5).cast("double") == F.col("y")).cast("long")
+        # gradient reduce = d+1 ordinary column sums (map-side partial
+        # aggregation, mergeable) — never a collect_list of row vectors
+        row = feats.select(
+            contrib.alias("g"), loss_term.alias("l"), correct.alias("c")
+        ).agg(
+            *[F.sum(F.col("g")[i]).alias(f"g{i}") for i in range(dim + 1)],
+            F.sum("l").alias("loss"),
+            F.sum("c").alias("n_correct"),
+        ).first()
+        grad = [row[f"g{i}"] for i in range(dim + 1)]
+        history.append(
+            (it, float(row["loss"]) / n, int(row["n_correct"]) / n)
+        )
+        w = [wv - lr * gv / n for wv, gv in zip(w, grad)]
+    feats.unpersist()
+    return spark.createDataFrame(
+        [(i, l, a) for i, l, a in history],
+        "iteration int, avg_loss double, accuracy double",
+    )

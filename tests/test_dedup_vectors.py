@@ -432,3 +432,17 @@ def test_vec_recall_curve_query(spark, sf_dir):
         assert r.n_hit <= r.n_truth
     # same floor as the direct ANN recall test (16 hyperplanes, 2 bands)
     assert rows[5].recall >= 0.5
+
+
+def test_logreg_gd_converges(spark, sf_dir):
+    from finance_etl_spark import plans
+
+    rows = sorted(
+        plans.get("ml_logreg_gd").build(spark, sf_dir).collect(),
+        key=lambda r: r.iteration,
+    )
+    assert [r.iteration for r in rows] == list(range(12))
+    losses = [r.avg_loss for r in rows]
+    # full-batch GD on a separable problem: strictly decreasing loss
+    assert all(a > b for a, b in zip(losses, losses[1:]))
+    assert rows[-1].accuracy > 0.9
