@@ -668,3 +668,14 @@ def test_trailing_distinct_no_range_join(spark, sf_dir):
     p = plan_str(plans.get("window_trailing_distinct").build(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ks_two_sample_scans_fact_once(spark, sf_dir):
+    """The pooled-ECDF decomposition must not re-scan the fact table
+    per consumer: the distinct-value aggregate is persisted, so the
+    plan contains exactly one pushed-filter parquet scan of orders
+    (PLANS.md showed three before the persist)."""
+    p = plan_str(plans.get("stat_ks_two_sample").build(spark, sf_dir))
+    assert p.count("PushedFilters: [In(o_orderpriority") == 1
+    # and the within-bucket cumulative window is hash-partitioned
+    assert "hashpartitioning(bkt" in p
