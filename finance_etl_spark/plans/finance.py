@@ -1035,3 +1035,145 @@ def fin_currency_triangulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation")
     )
+
+
+@register(
+    "fin_var_parametric",
+    tags=("finance", "stats", "join"),
+    oracle="""
+        WITH daily AS MATERIALIZED (
+            SELECT c.c_nationkey AS nation, CAST(o.o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS r
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE CAST(o.o_orderdate AS DATE)
+                  BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+            GROUP BY 1, 2
+        ),
+        spine AS MATERIALIZED (
+            SELECT n.n_nationkey AS nation, dd.d, COALESCE(x.r, CAST(0 AS DECIMAL(18,2))) AS r
+            FROM nation n
+            CROSS JOIN (SELECT DISTINCT d FROM daily) dd
+            LEFT JOIN daily x ON x.nation = n.n_nationkey AND x.d = dd.d
+        ),
+        t AS MATERIALIZED (SELECT COUNT(DISTINCT d) AS nt FROM spine),
+        sums AS MATERIALIZED (
+            SELECT nation, CAST(SUM(r) AS DECIMAL(24,2)) AS s FROM spine GROUP BY 1
+        ),
+        cross_terms AS MATERIALIZED (
+            SELECT a.nation AS ni, b.nation AS nj,
+                   CAST(SUM(CAST(a.r AS DECIMAL(20,2)) * CAST(b.r AS DECIMAL(17,2)))
+                        AS DECIMAL(30,4)) AS sxy
+            FROM spine a JOIN spine b ON a.d = b.d
+            GROUP BY 1, 2
+        ),
+        cells AS (
+            SELECT ct.ni, ct.nj,
+                   CAST(nt AS DECIMAL(8,0)) * ct.sxy
+                     - CAST(sa.s AS DECIMAL(19,2)) * CAST(sb.s AS DECIMAL(18,2))
+                       AS ncov
+            FROM cross_terms ct
+            JOIN sums sa ON sa.nation = ct.ni
+            JOIN sums sb ON sb.nation = ct.nj
+            CROSS JOIN t
+        )
+        SELECT CAST((SELECT nt FROM t) AS BIGINT) AS n_days,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(CAST(SUM(ncov) AS VARCHAR) AS DOUBLE)
+                 / ((SELECT nt FROM t) * ((SELECT nt FROM t) - 1.0))
+                 / (25.0 * 25.0) AS port_variance,
+               1.645 * sqrt(CAST(CAST(SUM(ncov) AS VARCHAR) AS DOUBLE)
+                 / ((SELECT nt FROM t) * ((SELECT nt FROM t) - 1.0))
+                 / (25.0 * 25.0)) AS var95
+        FROM cells
+    """,
+)
+def fin_var_parametric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric (variance-covariance) portfolio VaR over the
+    25-nation daily-revenue 'book', equal-weighted: portfolio variance
+    wᵀΣw folds the full 25x25 covariance matrix, but NO float
+    covariance is ever accumulated — each cell's numerator
+    T·Σxy − Σx·Σy stays an exact decimal built from per-day cross
+    terms (one day-keyed self-join of the T×25 daily relation, cost
+    T·625 rows), the 625 cell numerators SUM EXACTLY in decimal
+    (associative), and the single double division + sqrt + z-scale
+    happens once at the edge. Missing (nation, day) cells are
+    zero-filled from the nation×day spine so every series has length
+    T. Complements fin_var_historical (order-statistic VaR): same
+    book, the model-based twin. Corpus-scale work is one filtered
+    fact aggregation; everything after runs on dimension-sized
+    relations."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nation")
+    )
+    daily = (
+        o.filter(
+            F.col("o_orderdate")
+            .cast("date")
+            .between(F.lit("1996-01-01"), F.lit("1996-03-31"))
+        )
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("r")
+        )
+    )
+    days = daily.select("d").distinct()
+    spine = (
+        nation.crossJoin(F.broadcast(days))
+        .join(daily, ["nation", "d"], "left")
+        .select(
+            "nation",
+            "d",
+            F.coalesce(F.col("r"), F.lit(0).cast("decimal(18,2)")).alias("r"),
+        )
+        .persist()
+    )
+    nt = spine.select("d").distinct().count()
+    sums = spine.groupBy("nation").agg(
+        F.sum("r").cast("decimal(24,2)").alias("s")
+    )
+    a = spine.select(
+        F.col("nation").alias("ni"), "d", F.col("r").cast("decimal(20,2)").alias("ra")
+    )
+    b = spine.select(
+        F.col("nation").alias("nj"),
+        F.col("d").alias("d_b"),
+        F.col("r").cast("decimal(17,2)").alias("rb"),
+    )
+    cross_terms = (
+        a.join(b, a.d == b.d_b)
+        .groupBy("ni", "nj")
+        .agg(F.sum(F.col("ra") * F.col("rb")).cast("decimal(30,4)").alias("sxy"))
+    )
+    sa = sums.select(F.col("nation").alias("ni"), F.col("s").cast("decimal(19,2)").alias("sa"))
+    sb = sums.select(F.col("nation").alias("nj"), F.col("s").cast("decimal(18,2)").alias("sb"))
+    cells = (
+        cross_terms.join(F.broadcast(sa), "ni")
+        .join(F.broadcast(sb), "nj")
+        .select(
+            (
+                F.lit(nt).cast("decimal(8,0)") * F.col("sxy")
+                - F.col("sa") * F.col("sb")
+            ).alias("ncov")
+        )
+    )
+    total = cells.agg(F.sum("ncov").cast("double").alias("num"), F.count(F.lit(1)).alias("n_cells"))
+    var_expr = F.col("num") / (F.lit(float(nt)) * (F.lit(float(nt)) - F.lit(1.0))) / F.lit(625.0)
+    out = total.select(
+        F.lit(nt).cast("long").alias("n_days"),
+        F.col("n_cells"),
+        var_expr.alias("port_variance"),
+        (F.lit(1.645) * F.sqrt(var_expr)).alias("var95"),
+    )
+    spine.unpersist()
+    return out
