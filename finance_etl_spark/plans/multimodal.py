@@ -672,3 +672,53 @@ def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("island")
         .orderBy("doc_id", "start_frame")
     )
+
+
+@register("mm_image_dedup_clusters", tags=("multimodal", "dedup", "graph"))
+def mm_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup END TO END: pHash near-dup pairs (the size-adaptive
+    MIH index above) close into duplicate CLUSTERS via star-contraction
+    connected components, and each cluster keeps one canonical survivor
+    (min doc_id) — the full 'collapse every re-encode/resize of the
+    same image to one copy' pipeline a multimodal corpus runs before
+    training. Output is one row per non-singleton cluster with its
+    survivor, member count, and the worst intra-cluster Hamming
+    distance actually observed among its pairs (clusters CHAIN:
+    transitive members may exceed the pairwise threshold — reporting
+    max_pair_hamming makes that explicit rather than hiding it).
+    Rows-only (pHash is engine-specific); cluster validity — members
+    connected, survivor minimal, pair distances consistent — is
+    pinned in tests/test_multimodal.py."""
+    from finance_etl_spark.operators.components import (
+        connected_components_star,
+    )
+    from finance_etl_spark.plans.registry import get as _get
+
+    pairs = _get("mm_phash_near_dup").build(spark, sf_dir).persist()
+    pairs.count()
+    comp = connected_components_star(pairs, src="id_a", dst="id_b")
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    # worst observed pairwise distance per cluster (pairs carry their
+    # hamming; either endpoint maps the pair to its component)
+    pair_comp = pairs.join(
+        comp.select(
+            F.col("node").alias("id_a"), F.col("component_id")
+        ),
+        "id_a",
+    )
+    worst = pair_comp.groupBy("component_id").agg(
+        F.max("hamming").alias("max_pair_hamming")
+    )
+    out = (
+        sizes.filter(F.col("n_members") >= 2)
+        .join(worst, "component_id")
+        .select(
+            F.col("component_id").alias("survivor_id"),
+            "n_members",
+            "max_pair_hamming",
+        )
+        .orderBy("survivor_id")
+    )
+    return out

@@ -3106,3 +3106,104 @@ def sql_udf_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@register(
+    "agg_weighted_median",
+    tags=("agg", "stats", "window"),
+    oracle="""
+        WITH per_val AS (
+            SELECT l_returnflag AS grp, CAST(l_extendedprice AS DECIMAL(12,2)) AS x,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+            FROM lineitem GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT grp, x, w,
+                   CAST(SUM(w) OVER (PARTITION BY grp ORDER BY x
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+                   CAST(SUM(w) OVER (PARTITION BY grp) AS BIGINT) AS tw
+            FROM per_val
+        )
+        SELECT grp AS l_returnflag,
+               MIN(x) AS weighted_median,
+               MIN(tw) AS total_weight
+        FROM cum WHERE cw * 2 >= tw
+        GROUP BY grp
+        ORDER BY grp
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower weighted-percentile order statistic):
+    the smallest value whose cumulative weight reaches half the total
+    — quantity-weighted price per return flag here, the estimator
+    behind weighted VaR and survey medians that plain
+    percentile/median cannot express. Values first collapse to the
+    DISTINCT (group, value) aggregate with their weight sums (exact
+    BIGINT), so the selection windows run over distinct prices per
+    group, not corpus rows; at even larger value domains the same
+    bucket + carry-in decomposition as stat_ks_two_sample applies.
+    The argmin-over-threshold is MIN over qualifying rows — no float,
+    no interpolation, bit-exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_val = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("x"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("grp")
+    cum = per_val.select(
+        "grp",
+        "x",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_tot).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("grp")
+        .agg(
+            F.min("x").alias("weighted_median"),
+            F.min("tw").alias("total_weight"),
+        )
+        .select(
+            F.col("grp").alias("l_returnflag"),
+            "weighted_median",
+            "total_weight",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "sql_execute_immediate",
+    tags=("sql", "surface"),
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4 dynamic SQL): a query held as a
+    STRING executes with named parameter markers bound at run time —
+    the stored-procedure/templating surface, parameterized safely
+    (values bind as literals in the parsed plan, never by string
+    splicing). The dynamic text here filters through a :status
+    parameter; the oracle is the equivalent static SQL."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_exec_v"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE sql_text STRING")
+    spark.sql(
+        """SET VARIABLE sql_text =
+           'SELECT o_orderpriority, COUNT(*) AS n
+            FROM orders_exec_v WHERE o_orderstatus = :status
+            GROUP BY o_orderpriority ORDER BY o_orderpriority'"""
+    )
+    return spark.sql("EXECUTE IMMEDIATE sql_text USING 'F' AS status")

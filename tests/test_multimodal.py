@@ -102,3 +102,39 @@ def test_phash_wide_path_identical_pairs(spark, sf_dir, monkeypatch):
     )
     assert narrow == wide
     assert len(narrow) > 0
+
+
+def test_image_dedup_clusters_valid(spark, sf_dir):
+    """Cluster output must be consistent with the pair relation: the
+    survivor is the minimal member, counts cover every paired doc,
+    and max_pair_hamming never exceeds the pairwise threshold."""
+    from finance_etl_spark import plans
+
+    pairs = plans.get("mm_phash_near_dup").build(spark, sf_dir).collect()
+    clusters = plans.get("mm_image_dedup_clusters").build(spark, sf_dir).collect()
+    # union-find over the pairs as an independent reference
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for p in pairs:
+        union(p.id_a, p.id_b)
+    ref = {}
+    for node in list(parent):
+        ref.setdefault(find(node), set()).add(node)
+    got = {c.survivor_id: c for c in clusters}
+    assert set(got) == set(ref)
+    for root, members in ref.items():
+        assert got[root].n_members == len(members)
+        assert root == min(members)
+        assert 0 <= got[root].max_pair_hamming <= 6
