@@ -23,7 +23,7 @@ from finance_etl_spark.functions.keys import surrogate_key
 from finance_etl_spark.functions.money import dsum
 from finance_etl_spark.ingest import load_config, read_group, run_ingest, transform_group
 from finance_etl_spark.io.readers import load_table
-from finance_etl_spark.plans.registry import register
+from finance_etl_spark.plans.registry import o_dsum, register
 
 REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 FIX_DIR = str(REPO_ROOT / "fixtures" / "ingest")
@@ -1183,4 +1183,66 @@ def ingest_gzip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("amt").isNull(), 1)).alias("n_bad"),
         dsum("amt").alias("net_amount"),
+    )
+
+
+@register(
+    "ingest_xml_roundtrip",
+    tags=("ingest", "format", "xml"),
+    oracle=f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {o_dsum('o_totalprice')} AS total
+        FROM orders
+        WHERE o_orderkey % 7 = 0
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def ingest_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink (built into Spark 4): orders written as XML
+    rows with a NESTED <details> element (structs map to nested
+    elements — the shape real feed XML has), read back under an
+    explicit schema, and aggregated — the round trip must be
+    bit-exact, which is what the oracle checks (doubles survive via
+    Spark's XML writer emitting full-precision literals). XML splits
+    per row tag, so reads parallelize like any text source; the
+    explicit schema avoids a whole-file inference pass — the same
+    schema-on-read discipline as the CSV ingest (S2)."""
+    import tempfile
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.struct("o_totalprice", "o_orderpriority").alias("details"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="xml_rt_")
+    (
+        o.repartition(4)
+        .write.format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .mode("overwrite")
+        .save(d)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(
+            "o_orderkey long, o_orderstatus string, "
+            "details struct<o_totalprice: double, o_orderpriority: string>"
+        )
+        .load(d)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("details.o_totalprice")).alias("total"),
+        )
+        .orderBy("o_orderstatus")
     )
