@@ -19,14 +19,17 @@ from finance_etl_spark.plans.registry import (  # noqa: F401
 # ORDER MATTERS for the round driver: its correctness gate checks the
 # first ~50 registered queries, so the order below rotates per round to
 # maximize CUMULATIVE driver-verified coverage. Round 2 verified the
-# relational block; round 3's order fronts tpch/text/vectors (50).
-# ROUND 4: move "tpch", "text", "vectors" to the END and front
-# "timeseries", "streaming_queries", "curation"; round 5 fronts
-# "multimodal", "udf_queries", "ingest_parity", "jdbc_queries",
-# "scalars"; round 6 fronts the relational tail plus the round-3
-# modules "tableformat" and "tokenizer" (and the round-3 additions
-# appended to the ends of text/vectors/curation/relational/
-# streaming_queries — they sit past each module's original block, so
+# relational block; round 3 fronted tpch/text/vectors; ROUND 4 (current
+# order) fronts timeseries (31, incl. the 5 new ts ops) + the new stats
+# module (3) + streaming_queries (first ~16, incl. observed-metrics and
+# dedup-admission if the window reaches them).
+# ROUND 5 should front: "multimodal" (incl. VAD + image-dedup-clusters
+# tails), "udf_queries" (incl. udf_window_grouped_agg tail),
+# "ingest_parity" (incl. XML tail), "jdbc_queries", "scalars".
+# ROUND 6: front "tableformat" (CoW update / codec / Python-writer
+# tails), "tokenizer", "finance" (wash-sale/IRR/triangulation/VaR
+# tails), "governance", then the relational tail (weighted median,
+# EXECUTE IMMEDIATE, sql_udf_create_function sit at relational's end —
 # front the module AND verify its tail made the window).
 # tools/check.py always sweeps all queries regardless of order.
 import importlib

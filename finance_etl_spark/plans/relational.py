@@ -2802,7 +2802,7 @@ def agg_kmv_intersection_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_ab_test_ztest",
     tags=("agg", "stats", "experiment"),
     oracle="""
-        WITH assign AS (
+        WITH assign AS MATERIALIZED (
             SELECT DISTINCT user_id,
                    CASE WHEN (strpos('0123456789abcdef',
                               substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1)
@@ -2810,11 +2810,11 @@ def agg_kmv_intersection_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN 'A' ELSE 'B' END AS arm
             FROM events
         ),
-        conv AS (
+        conv AS MATERIALIZED (
             SELECT DISTINCT user_id FROM events
             WHERE event_type = 'purchase' AND value > 150
         ),
-        arms AS (
+        arms AS MATERIALIZED (
             SELECT arm,
                    CAST(COUNT(*) AS BIGINT) AS n_users,
                    CAST(COUNT(c.user_id) AS BIGINT) AS n_converted
