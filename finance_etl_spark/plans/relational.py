@@ -3218,3 +3218,86 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY o_orderpriority ORDER BY o_orderpriority'"""
     )
     return spark.sql("EXECUTE IMMEDIATE sql_text USING 'F' AS status")
+
+
+@register(
+    "agg_equidepth_histogram",
+    tags=("agg", "stats", "window"),
+    oracle="""
+        WITH per_val AS (
+            SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS x,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM orders GROUP BY 1
+        ),
+        cum AS (
+            SELECT x, w,
+                   CAST(SUM(w) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cw,
+                   CAST(SUM(w) OVER () AS BIGINT) AS tw
+            FROM per_val
+        ),
+        ks AS (SELECT unnest(generate_series(1, 8)) AS k)
+        SELECT k, MIN(x) AS upper_bound,
+               CAST(MIN(cw) AS BIGINT) AS cum_rows,
+               MIN(tw) AS total_rows
+        FROM cum JOIN ks ON cw * 8 >= k * tw
+        GROUP BY k
+        ORDER BY k
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram boundaries — the column
+    statistic every cost-based optimizer keeps: 8 bucket upper bounds
+    such that each bucket holds ~1/8 of the rows, computed as EXACT
+    order statistics (smallest value whose cumulative count reaches
+    k/8 of the total; integer cross-multiplication, no float, no
+    interpolation — so the boundaries hash-match across engines,
+    unlike approx_percentile sketches). Values collapse to the
+    distinct-value aggregate first; all 8 cut points come from ONE
+    cumulative pass fanned out by a broadcast k-range — generalizing
+    agg_weighted_median from one cut to k. The cumulative count uses
+    the stat_ks_two_sample bucket + carry-in decomposition (value-
+    range-partitioned windows + an O(buckets) carry), because the
+    distinct value domain IS corpus-scaled — a single global window
+    would serialize on one task."""
+    o = load_table(spark, sf_dir, "orders")
+    per_val = o.groupBy(
+        F.col("o_totalprice").cast("decimal(12,2)").alias("x")
+    ).agg(F.count(F.lit(1)).alias("w")).withColumn(
+        "bkt", F.floor(F.col("x") / F.lit(10000)).cast("long")
+    ).persist()
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_carry = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        per_val.groupBy("bkt")
+        .agg(F.sum("w").alias("tb"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("tb").over(w_carry), F.lit(0)).alias("cb"),
+            F.sum("tb").over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("tw"),
+        )
+    )
+    cum = (
+        per_val.select("bkt", "x", F.sum("w").over(w_in).alias("win"))
+        .join(F.broadcast(carry), "bkt")
+        .select("x", (F.col("win") + F.col("cb")).alias("cw"), "tw")
+    )
+    ks = spark.range(1, 9).select(F.col("id").alias("k"))
+    return (
+        cum.join(F.broadcast(ks), F.col("cw") * 8 >= F.col("k") * F.col("tw"))
+        .groupBy("k")
+        .agg(
+            F.min("x").alias("upper_bound"),
+            F.min("cw").alias("cum_rows"),
+            F.min("tw").alias("total_rows"),
+        )
+        .orderBy("k")
+    )
