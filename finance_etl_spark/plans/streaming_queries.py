@@ -1195,3 +1195,74 @@ def stream_live_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr_all.unpersist()
     idx_c.unpersist()
     return spark.read.parquet(sink).orderBy("new_id")
+
+
+@register(
+    "stream_live_backfill_tail",
+    tags=("streaming", "live", "incremental", "checkpoint"),
+    oracle="""
+        SELECT event_id, user_id, event_type FROM events
+        UNION ALL
+        SELECT event_id + 100000000, user_id, event_type
+        FROM events WHERE event_id % 11 = 0
+        ORDER BY event_id
+    """,
+)
+def stream_live_backfill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill-then-tail (the kappa-architecture promise): ONE
+    streaming query first drains the historical data (run 1,
+    availableNow over the existing file), then NEW files land in the
+    source directory and the SAME query resumes from its CHECKPOINT
+    (run 2) — processing only the new arrivals, never re-reading or
+    re-emitting history. The sink must hold history + tail exactly
+    once, which the oracle checks: the 'tail' fixture is a key-shifted
+    slice of events (event_id + 1e8), so the expected final content is
+    fully SQL-expressible. This is the file-source equivalent of a
+    Kafka consumer group resuming from committed offsets — checkpoint
+    continuation IS the exactly-once contract."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    src_dir = _tf.mkdtemp(prefix="bft_src_")
+    ckpt = _tf.mkdtemp(prefix="bft_ckpt_")
+    sink = _tf.mkdtemp(prefix="bft_sink_")
+    _sh.copyfile(
+        _os.path.join(sf_dir, "events.parquet"),
+        _os.path.join(src_dir, "part-000.parquet"),
+    )
+    batch = spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
+    schema = batch.schema
+
+    def run_once() -> None:
+        s = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .select("event_id", "user_id", "event_type")
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # backfill: drains history into the sink
+    # the tail arrives: a new file with key-shifted events
+    tail = batch.filter(F.col("event_id") % 11 == 0).withColumn(
+        "event_id", F.col("event_id") + F.lit(100000000)
+    )
+    tail.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(src_dir, "tail")
+    )
+    for f in _os.listdir(_os.path.join(src_dir, "tail")):
+        if f.endswith(".parquet"):
+            _sh.move(
+                _os.path.join(src_dir, "tail", f),
+                _os.path.join(src_dir, "part-001.parquet"),
+            )
+    _sh.rmtree(_os.path.join(src_dir, "tail"))
+    run_once()  # tail: resumes from the checkpoint, new file only
+    return spark.read.parquet(sink).orderBy("event_id")

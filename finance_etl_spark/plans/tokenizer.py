@@ -243,3 +243,75 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_occurrences").desc(), "piece")
         .limit(30)
     )
+
+
+@register("text_tokenizer_fertility", tags=("text", "tokenizer"))
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per corpus source — pieces emitted per word,
+    the metric tokenizer teams track per language/domain to catch
+    under-served segments (fertility ≫ 1 means the vocab fragments
+    that source's text, inflating sequence lengths and training cost).
+    Reuses the WordPiece machinery: encode the DISTINCT word list once
+    (vocabulary-sized Python), then join the per-word piece counts
+    back to per-(source, word) frequencies — the corpus text itself is
+    scanned once for the frequency table and once for the source map;
+    no per-document Python. Rows-only (greedy encode is
+    engine-specific); the piece counts feeding it are pinned by
+    test_round4_ops.py's reference encode."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = word_frequencies(d)
+    top_words = [
+        r["word"]
+        for r in wf.orderBy(F.col("freq").desc(), "word").limit(20).collect()
+    ]
+    chars = [
+        r["c"]
+        for r in wf.select(F.explode(F.split("word", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .distinct()
+        .collect()
+    ]
+    vocab = frozenset(set(top_words) | set(chars) | {"##" + c for c in chars})
+
+    def encode_counts(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_pieces": [
+                        len(wordpiece_encode_word(w, vocab))
+                        for w in pdf["word"]
+                    ],
+                }
+            )
+
+    pieces_per_word = wf.select("word").mapInPandas(
+        encode_counts, "word string, n_pieces int"
+    )
+    src_words = (
+        d.select(
+            "source",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0
+                )
+            ).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        src_words.join(pieces_per_word, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_pieces")).alias("n_pieces"),
+            (
+                F.sum(F.col("n") * F.col("n_pieces")).cast("double")
+                / F.sum("n").cast("double")
+            ).alias("fertility"),
+        )
+        .orderBy("source")
+    )
