@@ -1553,6 +1553,33 @@ def vec_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _logreg_features(spark: SparkSession, sf_dir: str, dim: int = 4):
+    """(vec_id, x array, y): first `dim` embedding dims + intercept,
+    linearly separable label y = [e0+e1 > 0]."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        F.col("vec_id"),
+        F.array(
+            *[F.col("embedding")[i].cast("double") for i in range(dim)],
+            F.lit(1.0),
+        ).alias("x"),
+        (
+            (F.col("embedding")[0] + F.col("embedding")[1] > 0).cast("double")
+        ).alias("y"),
+    )
+
+
+def _sigmoid_p(w: list) -> "F.Column":
+    """σ(wᵀx) as a JVM expression for the broadcast weight list."""
+    wcol = F.array(*[F.lit(float(v)) for v in w])
+    z = F.aggregate(
+        F.zip_with("x", wcol, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
 @register("ml_logreg_gd", tags=("ml", "vector", "iterative"))
 def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed logistic-regression training by full-batch gradient
@@ -1568,30 +1595,24 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     >0.9 final accuracy. Rows-only for the driver (iterative, float
     loss uses exp/log). At 100 TB this is exactly k linear scans +
     k tiny broadcasts; nothing driver-side scales with rows."""
-    e = load_table(spark, sf_dir, "embeddings")
-    dim = 4  # first 4 dims as features + intercept: k x (d+1) scalars
-    feats = e.select(
-        F.col("vec_id"),
-        F.array(
-            *[F.col("embedding")[i].cast("double") for i in range(dim)],
-            F.lit(1.0),
-        ).alias("x"),
-        (
-            (F.col("embedding")[0] + F.col("embedding")[1] > 0).cast("double")
-        ).alias("y"),
-    ).persist()
+    w, history = _train_logreg(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, l, a) for i, l, a in history],
+        "iteration int, avg_loss double, accuracy double",
+    )
+
+
+def _train_logreg(spark: SparkSession, sf_dir: str, dim: int = 4,
+                  lr: float = 4.0, iters: int = 12):
+    """Full-batch GD loop shared by ml_logreg_gd (reports history) and
+    cur_active_learning_batch (uses the trained weights). Returns
+    (weights, [(iteration, avg_loss, accuracy)])."""
+    feats = _logreg_features(spark, sf_dir, dim).persist()
     n = feats.count()
     w = [0.0] * (dim + 1)
-    lr = 4.0
     history = []
-    for it in range(12):
-        wcol = F.array(*[F.lit(float(v)) for v in w])
-        z = F.aggregate(
-            F.zip_with("x", wcol, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    for it in range(iters):
+        p = _sigmoid_p(w)
         resid = p - F.col("y")
         contrib = F.transform("x", lambda xi: xi * resid)
         loss_term = -(
@@ -1615,7 +1636,33 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         w = [wv - lr * gv / n for wv, gv in zip(w, grad)]
     feats.unpersist()
-    return spark.createDataFrame(
-        [(i, l, a) for i, l, a in history],
-        "iteration int, avg_loss double, accuracy double",
+    return w, history
+
+
+@register("cur_active_learning_batch", tags=("curation", "ml", "sample"))
+def cur_active_learning_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty-based active-learning batch selection — the
+    labeling-budget allocator of every human-in-the-loop data
+    pipeline: train the classifier (the ml_logreg_gd loop, weights
+    deterministic for a fixed fixture), score the WHOLE pool with one
+    JVM-side sigmoid scan, and pick the 20 most uncertain points
+    (|p - 0.5| smallest; margin ties break on vec_id). Selection is a
+    TakeOrdered over the scored pool — no global sort, no collect of
+    scores. Rows-only (the trained weights ride through exp);
+    tests/test_dedup_vectors.py pins the contract: selected margins
+    are the pool minimum, and every selected point is less certain
+    than every non-selected one."""
+    w, _ = _train_logreg(spark, sf_dir)
+    feats = _logreg_features(spark, sf_dir)
+    p = _sigmoid_p(w)
+    scored = feats.select(
+        "vec_id",
+        "y",
+        p.alias("p_pos"),
+        F.abs(p - F.lit(0.5)).alias("margin"),
+    )
+    return (
+        scored.orderBy(F.col("margin").asc(), F.col("vec_id").asc())
+        .limit(20)
+        .select("vec_id", "p_pos", "margin", F.col("y").alias("true_label"))
     )

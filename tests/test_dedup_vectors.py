@@ -446,3 +446,32 @@ def test_logreg_gd_converges(spark, sf_dir):
     # full-batch GD on a separable problem: strictly decreasing loss
     assert all(a > b for a, b in zip(losses, losses[1:]))
     assert rows[-1].accuracy > 0.9
+
+
+def test_active_learning_batch_selects_minimum_margins(spark, sf_dir):
+    from finance_etl_spark import plans
+    from finance_etl_spark.plans.vectors import (
+        _logreg_features,
+        _sigmoid_p,
+        _train_logreg,
+    )
+    import pyspark.sql.functions as F
+
+    sel = plans.get("cur_active_learning_batch").build(spark, sf_dir).collect()
+    assert len(sel) == 20
+    margins = [r.margin for r in sel]
+    assert all(0.0 <= m <= 0.5 for m in margins)
+    # every selected point is at least as uncertain as every
+    # non-selected one: max selected margin <= min non-selected margin
+    w, _ = _train_logreg(spark, sf_dir)
+    p = _sigmoid_p(w)
+    pool = _logreg_features(spark, sf_dir).select(
+        "vec_id", F.abs(p - F.lit(0.5)).alias("margin")
+    )
+    chosen = {r.vec_id for r in sel}
+    rest_min = (
+        pool.filter(~F.col("vec_id").isin(list(chosen)))
+        .agg(F.min("margin"))
+        .first()[0]
+    )
+    assert max(margins) <= rest_min + 1e-12
