@@ -259,3 +259,24 @@ def test_tablesample_fraction_within_binomial_bounds(spark, sf_dir):
     p = 0.2
     sigma = (total * p * (1 - p)) ** 0.5
     assert abs(n - total * p) < 5 * sigma + 1
+
+
+def test_mixture_waterfill_conservation(spark, sf_dir):
+    """Waterfilling must spend the budget exactly: saturated sources
+    get their caps, unsaturated ones the common level, and the total
+    allocation equals the budget (up to float division)."""
+    from finance_etl_spark import plans
+
+    rows = plans.get("cur_mixture_waterfill").build(spark, sf_dir).collect()
+    assert rows
+    budget = rows[0].budget
+    assert all(r.budget == budget for r in rows)
+    total_alloc = sum(r.allocated for r in rows)
+    assert total_alloc == pytest.approx(budget, rel=1e-9)
+    levels = {r.allocated for r in rows if not r.saturated}
+    assert len(levels) <= 1  # one common water level
+    for r in rows:
+        if r.saturated:
+            assert r.allocated == pytest.approx(float(r.cap))
+        else:
+            assert r.allocated <= r.cap + 1e-9
