@@ -1787,3 +1787,70 @@ def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_feature_hashing",
+    tags=("text", "ml", "features"),
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        hashed AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64
+                       AS feature_idx
+            FROM toks
+        ),
+        features AS (
+            SELECT doc_id, feature_idx,
+                   CAST(COUNT(*) AS BIGINT) AS count
+            FROM hashed GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+               CAST(MAX(count) AS BIGINT) AS max_count,
+               CAST(MIN(feature_idx) FILTER (
+                    WHERE count = (SELECT MAX(f2.count) FROM features f2
+                                   WHERE f2.doc_id = features.doc_id))
+                    AS BIGINT) AS argmax_idx
+        FROM features
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al.): tokens
+    map to a FIXED 64-dim index space via a hash — no vocabulary
+    dictionary to build, broadcast, or keep consistent across
+    training runs, which is why the trick is the default featurizer
+    for high-cardinality text at scale. The hash is md5-derived
+    (identical hex in both engines, the cur_hash_split gate trick), so
+    the sparse vectors are fully hash-checkable — per doc: nonzero
+    count, the heaviest bucket's weight, and its index (deterministic
+    min-index tie-break). One explode + one hash-agg; the feature
+    space bound (64) caps per-doc output regardless of document
+    length."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    idx = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % 64
+    )
+    features = (
+        _tokens(d)
+        .select("doc_id", idx.alias("feature_idx"))
+        .groupBy("doc_id", "feature_idx")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("count").desc(), F.col("feature_idx").asc()
+    )
+    ranked = features.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nonzero"),
+            F.max("count").alias("max_count"),
+            F.max(F.when(F.col("rk") == 1, F.col("feature_idx"))).alias(
+                "argmax_idx"
+            ),
+        )
+        .orderBy("doc_id")
+    )
