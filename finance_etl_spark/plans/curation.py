@@ -2637,3 +2637,114 @@ def cur_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shard", "pos_in_shard", "doc_id", "stage", "n_chars")
         .orderBy("shard", "pos_in_shard")
     )
+
+
+@register(
+    "cur_span_corruption_masks",
+    tags=("curation", "text", "lm"),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, pos, tok FROM (
+                SELECT doc_id,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ),
+        flagged AS (
+            SELECT doc_id, pos,
+                   substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                              || CAST(pos AS VARCHAR)), 1, 2) < '27'
+                       AS masked
+            FROM toks
+        ),
+        runs AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY pos) AS island
+            FROM flagged WHERE masked
+        ),
+        spans AS (
+            SELECT doc_id, island,
+                   CAST(COUNT(*) AS BIGINT) AS span_len,
+                   CAST(MIN(pos) AS BIGINT) AS span_start
+            FROM runs GROUP BY doc_id, island
+        )
+        SELECT f.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN f.masked THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_masked,
+               CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(s.max_span AS BIGINT) AS max_span_len,
+               CAST(s.first_start AS BIGINT) AS first_span_start
+        FROM flagged f
+        LEFT JOIN (
+            SELECT doc_id, COUNT(*) AS n_spans, MAX(span_len) AS max_span,
+                   MIN(span_start) AS first_start
+            FROM spans GROUP BY doc_id
+        ) s USING (doc_id)
+        GROUP BY f.doc_id, s.n_spans, s.max_span, s.first_start
+        ORDER BY f.doc_id
+    """,
+)
+def cur_span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption mask generation — the denoising-
+    objective preprocessing step of encoder-decoder pretraining:
+    ~15% of token positions flag as masked via an md5 hash gate on
+    (doc_id, position) — NO RNG, so the masks are reproducible under
+    any partitioning, re-run, or corpus growth (the same determinism
+    contract as cur_hash_split, applied at token granularity) — and
+    consecutive masked positions merge into spans with the
+    gaps-and-islands trick. Per doc: token/mask counts, span count,
+    longest span, first span offset — the statistics a pretraining
+    pipeline logs to verify its corruption rate. One posexplode + one
+    per-doc window; everything else is hash-aggs."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"))
+    gate = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.col("doc_id").cast("string"), F.col("pos").cast("string")
+            )
+        ),
+        1,
+        2,
+    )
+    flagged = toks.select("doc_id", "pos", (gate < "27").alias("masked"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = flagged.filter("masked").select(
+        "doc_id",
+        "pos",
+        (F.col("pos") - F.row_number().over(w)).alias("island"),
+    )
+    spans = runs.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).alias("span_len"),
+        F.min("pos").alias("span_start"),
+    )
+    span_stats = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max("span_len").alias("max_span_len"),
+        F.min("span_start").alias("first_span_start"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("masked"), 1).otherwise(0)).alias("n_masked"),
+        )
+        .join(span_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_masked",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            "max_span_len",
+            "first_span_start",
+        )
+        .orderBy("doc_id")
+    )
