@@ -1956,3 +1956,79 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+@register(
+    "ts_sequence_mining_pairs",
+    tags=("timeseries", "window", "mining"),
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS next_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT event_type AS a, next_type AS b,
+                   CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM ordered WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        froms AS (
+            SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM pairs GROUP BY a
+        ),
+        tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM pairs),
+        tos AS (
+            SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM pairs GROUP BY b
+        )
+        SELECT p.a, p.b, p.n_ab,
+               CAST(p.n_ab AS DOUBLE) / f.n_a AS confidence,
+               CAST(p.n_ab AS DOUBLE) * t.n
+                 / (CAST(f.n_a AS DOUBLE) * tb.n_b) AS lift
+        FROM pairs p
+        JOIN froms f USING (a)
+        JOIN tos tb USING (b)
+        CROSS JOIN tot t
+        ORDER BY p.n_ab DESC, p.a, p.b
+        LIMIT 20
+    """,
+)
+def ts_sequence_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining at length 2: consecutive event-type
+    transitions per user (A immediately followed by B in time order),
+    with confidence P(B next | A) and lift vs the independence
+    baseline — the ORDERED counterpart of agg_market_basket (unordered
+    co-occurrence) and the generalization of ts_funnel_conversion's
+    fixed pattern. One per-user window lead produces every transition
+    in a single shuffle keyed by user; the pair/margin/total relations
+    are all |event_types|²-bounded, so everything after the window is
+    broadcast-sized. Ties at identical timestamps break on event_id —
+    deterministic in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = ordered.groupBy(
+        F.col("event_type").alias("a"), F.col("next_type").alias("b")
+    ).agg(F.count(F.lit(1)).alias("n_ab"))
+    froms = pairs.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    tos = pairs.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    tot = pairs.agg(F.sum("n_ab").alias("n"))
+    return (
+        pairs.join(F.broadcast(froms), "a")
+        .join(F.broadcast(tos), "b")
+        .join(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            (F.col("n_ab").cast("double") / F.col("n_a")).alias("confidence"),
+            (
+                F.col("n_ab").cast("double") * F.col("n")
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), "a", "b")
+        .limit(20)
+    )
