@@ -67,3 +67,73 @@ def global_row_number(
     return with_pid.withColumn(
         out_col, (F.row_number().over(w) + offmap[F.col("__pid")]).cast("long")
     ).drop("__pid")
+
+
+def global_rank_running_sums(
+    df: DataFrame,
+    order_by: list[Column],
+    sum_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Global ``row_number`` plus inclusive running sums over a total
+    order, without funnelling the input through one window task.
+
+    Same two-phase shape as :func:`global_row_number` — range
+    repartition, per-partition windows keyed on the physical partition
+    id, then per-partition offsets — extended to carry running sums:
+    the offsets collected per partition are (row count, Σ sum_col …),
+    O(numPartitions) metadata, never row data. Equal-key runs (e.g.
+    the freq=1 hapax mass of a Zipfian vocabulary) are split across
+    partitions by the range sampler as long as ``order_by`` ends in a
+    unique tiebreaker, so no partition is skewed by a heavy key.
+
+    Returns ``(df + rank_col + cum_<c> columns, grand_totals)`` where
+    ``grand_totals[c]`` is the full-table sum of ``c`` (free — it is
+    the last partition's offset plus its local total).
+    """
+    parts = (
+        df.repartitionByRange(num_partitions, *order_by)
+        if num_partitions
+        else df.repartitionByRange(*order_by)
+    )
+    # localCheckpoint pins the sampled range layout — see the
+    # global_row_number comment for the AQE re-sampling hazard.
+    with_pid = parts.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint()
+
+    aggs = (
+        with_pid.groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            *[F.sum(c).alias(f"__s_{c}") for c in sum_cols],
+        )
+        .collect()
+    )
+    cnt_items: list[Column] = []
+    sum_items: dict[str, list[Column]] = {c: [] for c in sum_cols}
+    acc_cnt = 0
+    acc_sum = {c: 0 for c in sum_cols}
+    for row in sorted(aggs, key=lambda r: r["__pid"]):
+        cnt_items += [F.lit(row["__pid"]), F.lit(acc_cnt)]
+        acc_cnt += row["__cnt"]
+        for c in sum_cols:
+            sum_items[c] += [F.lit(row["__pid"]), F.lit(acc_sum[c])]
+            acc_sum[c] += row[f"__s_{c}"] or 0
+    cnt_map = F.create_map(*cnt_items) if cnt_items else F.create_map()
+    sum_maps = {
+        c: (F.create_map(*v) if v else F.create_map())
+        for c, v in sum_items.items()
+    }
+
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    out = with_pid.withColumn(
+        rank_col, (F.row_number().over(w) + cnt_map[F.col("__pid")]).cast("long")
+    )
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}", F.sum(c).over(w_run) + sum_maps[c][F.col("__pid")]
+        )
+    return out.drop("__pid"), acc_sum

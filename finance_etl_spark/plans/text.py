@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from finance_etl_spark.io.readers import load_table, load_table_parallel
+from finance_etl_spark.operators.ranks import global_rank_running_sums
 from finance_etl_spark.plans.registry import register
 
 # Token = non-empty run split on single spaces; the fixture corpus is
@@ -874,6 +875,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_vocab_coverage",
+    headline=True,
     tags=("text", "vocab"),
     oracle=f"""
         WITH toks AS ({_TOKENS_SQL}),
@@ -896,29 +898,31 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimal vocabulary covering 90% of token occurrences — the
     tokenizer-budget question every corpus pipeline answers before
     training a BPE model. One token-count aggregation over the corpus
-    (map-side partials), then ranking/cumsum windows run on the
-    |vocab|-row aggregate — unpartitioned windows are safe here
-    because vocabulary, not corpus, bounds the window input. The 90%
-    cut is integer arithmetic ((cum-freq)*10 < total*9: strictly
-    before the prefix reaches coverage), so the boundary is exact in
-    both engines."""
+    (map-side partials); the global rank + running sum over the
+    |vocab|-row aggregate is DISTRIBUTED via the two-phase
+    range-partition scan (operators/ranks.py::global_rank_running_sums)
+    — at web scale distinct-token counts reach 1e8-1e9 (URLs, typos,
+    hapaxes) and an unpartitioned window over the vocab aggregate
+    would be the serial bottleneck; here every window is partitioned
+    by the ranged physical partition and only O(numPartitions)
+    offsets leave the executors. The 90% cut is integer arithmetic
+    ((cum-freq)*10 < total*9: strictly before the prefix reaches
+    coverage), so the boundary is exact in both engines."""
     d = load_table_parallel(spark, sf_dir, "documents")
     freq = _tokens(d).groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
-    w_rank = Window.orderBy(F.col("freq").desc(), F.col("tok"))
-    ranked = freq.select(
-        F.row_number().over(w_rank).alias("rank"),
-        "tok",
-        "freq",
-        F.sum("freq").over(w_rank.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_freq"),
-        F.sum("freq").over(
-            Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("total"),
+    ranked, totals = global_rank_running_sums(
+        freq, [F.col("freq").desc(), F.col("tok")], ["freq"], rank_col="rank"
     )
     return (
-        ranked.filter((F.col("cum_freq") - F.col("freq")) * 10 < F.col("total") * 9)
-        .select("rank", "tok", "freq", "cum_freq")
+        ranked.filter(
+            (F.col("cum_freq") - F.col("freq")) * 10 < F.lit(totals["freq"]) * 9
+        )
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "tok",
+            "freq",
+            F.col("cum_freq").cast("long").alias("cum_freq"),
+        )
         .orderBy("rank")
     )
 
@@ -1674,8 +1678,11 @@ def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents containing the token, VMR over all N docs is
     (N·Σc² - (Σc)²) / (N-1) / Σc — exact integer sufficient stats
     (BIGINT, per registry divergence class 4), one double expression
-    at the edge. Two hash aggs, both map-side combinable; ranking is
-    on the |vocab|-row aggregate."""
+    at the edge. Two hash aggs, both map-side combinable; the top-30
+    cut is a distributed sort-limit (TakeOrderedAndProject: each task
+    keeps its local top-30, the driver merges 30·P rows), NOT a
+    global row_number window — an unpartitioned window over the
+    vocab aggregate would serialize at web-scale vocabularies."""
     d = load_table_parallel(spark, sf_dir, "documents")
     n_docs = d.count()  # scalar, driver-side by design (metadata count)
     per_doc = _tokens(d).groupBy("tok", "doc_id").agg(
@@ -1686,7 +1693,6 @@ def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("total"),
         F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
     )
-    w = Window.orderBy(F.col("total").desc(), F.col("tok"))
     nd = F.lit(float(n_docs))
     vmr = (
         (nd * F.col("sum_sq").cast("double")
@@ -1695,12 +1701,9 @@ def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("total").cast("double")
     )
     return (
-        per_tok.select(
-            "tok", "df", "total", vmr.alias("vmr"),
-            F.row_number().over(w).alias("rk"),
-        )
-        .filter(F.col("rk") <= 30)
-        .drop("rk")
+        per_tok.orderBy(F.col("total").desc(), "tok")
+        .limit(30)
+        .select("tok", "df", "total", vmr.alias("vmr"))
         .orderBy(F.col("total").desc(), "tok")
     )
 

@@ -35,7 +35,33 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # read-only in some deployments; queries are written to survive
+    _quiet_bounded_window_warning(spark)
     return spark
+
+
+def _quiet_bounded_window_warning(spark: SparkSession) -> None:
+    """Silence WindowExec's "No Partition Defined for Window" warning.
+
+    Every remaining unpartitioned window in this engine runs over a
+    BOUNDED aggregate by construction — O(buckets) carry rows in the
+    bucket+carry decompositions (plans/stats.py, relational.py), O(days
+    | months) calendar spines in the timeseries plans, O(numPartitions)
+    offsets in operators/ranks.py — never over row-scale data
+    (tests/test_plan_shapes.py pins the row-scale cases to partitioned
+    or range-decomposed plans). The blanket warning is therefore noise
+    here; scope the logger down rather than suppressing WARN globally.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        for cls in (
+            "org.apache.spark.sql.execution.window.WindowExec",
+            "org.apache.spark.sql.execution.window.WindowGroupLimitExec",
+        ):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                cls, jvm.org.apache.logging.log4j.Level.ERROR
+            )
+    except Exception:
+        pass  # cosmetic only; never fail a query over logging config
 
 
 def get_spark(

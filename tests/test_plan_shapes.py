@@ -679,3 +679,26 @@ def test_ks_two_sample_scans_fact_once(spark, sf_dir):
     assert p.count("PushedFilters: [In(o_orderpriority") == 1
     # and the within-bucket cumulative window is hash-partitioned
     assert "hashpartitioning(bkt" in p
+
+
+def test_vocab_coverage_rank_window_is_range_partitioned(spark, sf_dir):
+    """The global rank/cumsum over the vocabulary aggregate must run as
+    the two-phase range-partitioned scan (operators/ranks.py), never an
+    unpartitioned window: every Window in the plan partitions by the
+    physical partition id, and the ranged layout is present."""
+    p = plan_str(plans.get("text_vocab_coverage").build(spark, sf_dir))
+    assert "rangepartitioning" in p.lower()
+    import re
+
+    for spec in re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p):
+        # first bracket group after the functions list = partition spec;
+        # an empty spec would mean a single-task window
+        assert "__pid" in spec
+
+
+def test_burstiness_topk_is_take_ordered_no_window(spark, sf_dir):
+    """Top-30 by total must plan as TakeOrderedAndProject (per-task
+    local top-k, driver merges 30*P rows) with no Window at all."""
+    p = plan_str(plans.get("text_token_burstiness").build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
