@@ -352,13 +352,21 @@ def versioned_replace(
 # Merge-on-read deletes (Iceberg v2-style delete files)
 
 
-def write_key_deletes(root: str, version: int, keys: list[int], key_col: str) -> str:
-    """Publish an equality-delete file (key list) for a commit — O(keys)
+def write_key_deletes(
+    spark: SparkSession, root: str, version: int, keys_df: DataFrame, key_col: str
+) -> str:
+    """Publish an equality-delete commit: the deleted keys are written
+    as parquet part files BY THE EXECUTORS (distributed write — a large
+    CDC delete batch never transits the driver) plus a kilobyte JSON
+    manifest naming the part files and key column, the same
+    files-then-manifest commit protocol as io/manifestsink.py. O(keys)
     I/O instead of rewriting data files. The read path applies it as an
     anti join; compaction folds it back into data files later."""
+    ddir = os.path.join(root, f"delete_v{version}")
+    keys_df.select(key_col).write.mode("overwrite").parquet(ddir)
     path = os.path.join(root, f"delete_v{version}.json")
     with open(path, "w") as f:
-        json.dump({"key_col": key_col, "keys": sorted(keys)}, f)
+        json.dump({"key_col": key_col, "files": sorted(_data_files(ddir))}, f)
     return path
 
 
@@ -366,25 +374,29 @@ def read_with_deletes(
     spark: SparkSession, root: str, version: int, delete_paths: list[str]
 ) -> DataFrame:
     """Merge-on-read: base snapshot ⟕anti⟕ union of delete-file keys.
-    Delete files are dimension-sized (one key per deleted row), so the
-    anti join broadcasts — read amplification is one tiny build side,
-    write amplification of the delete itself was O(keys). The inverse
-    trade of copy-on-write (versioned_delete): MoR pays at read, CoW
-    at write; real lakehouses pick per-table by churn."""
+    Delete files are usually dimension-sized (one key per deleted
+    row), so AQE plans the anti join as a broadcast — read
+    amplification is one tiny build side, write amplification of the
+    delete itself was O(keys); when a CDC purge is fact-sized the same
+    plan degrades gracefully to a shuffled anti join instead of
+    overflowing the driver. The inverse trade of copy-on-write
+    (versioned_delete): MoR pays at read, CoW at write; real
+    lakehouses pick per-table by churn."""
     base = read_snapshot(spark, root, version)
-    keys: list = []
+    key_dfs: list[DataFrame] = []
     key_col = None
     for p in delete_paths:
         with open(p) as f:
             d = json.load(f)
         key_col = d["key_col"]
-        keys.extend(d["keys"])
-    if not keys:
+        if d["files"]:
+            key_dfs.append(spark.read.parquet(*d["files"]).select(key_col))
+    if not key_dfs:
         return base
-    spark_keys = spark.createDataFrame(
-        [(k,) for k in keys], f"{key_col} bigint"
-    )
-    return base.join(F.broadcast(spark_keys), key_col, "left_anti")
+    keys = key_dfs[0]
+    for k in key_dfs[1:]:
+        keys = keys.unionByName(k)
+    return base.join(keys.distinct(), key_col, "left_anti")
 
 
 @register(
@@ -404,29 +416,28 @@ def read_with_deletes(
     """,
 )
 def sink_merge_on_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merge-on-read deletes: a delete commit writes ONLY an equality-
-    delete file (the deleted keys) — no data file is rewritten; readers
-    apply it as a broadcast anti join. Compaction then folds the delete
-    into new data files (producing the copy-on-write layout) and the
-    query re-runs on the compacted snapshot — both strategies MUST
-    agree row-for-row, which is exactly what this query emits and the
-    oracle checks.
+    """Merge-on-read deletes: a delete commit writes ONLY equality-
+    delete parquet files (the deleted keys, written executor-side — a
+    fact-sized CDC purge never transits the driver) — no data file is
+    rewritten; readers apply them as an anti join (AQE broadcasts the
+    usual dimension-sized key set, shuffles a fact-sized one).
+    Compaction then folds the delete into new data files (producing
+    the copy-on-write layout) and the query re-runs on the compacted
+    snapshot — both strategies MUST agree row-for-row, which is
+    exactly what this query emits and the oracle checks.
 
-    Scale: the delete file is O(deleted keys); MoR read amplification
-    is one broadcast build side per delete file (real formats cap
-    delete-file count via compaction scheduling, mirrored here)."""
+    Scale: the delete file is O(deleted keys) distributed I/O; real
+    formats cap delete-file count via compaction scheduling, mirrored
+    here."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderdate"
     )
     root = tempfile.mkdtemp(prefix="mor_root_")
     v1 = versioned_append(spark, root, 0, o)
-    del_keys = [
-        r[0]
-        for r in o.filter(F.col("o_orderkey") % 101 == 0)
-        .select("o_orderkey")
-        .collect()
-    ]
-    dpath = write_key_deletes(root, v1, del_keys, "o_orderkey")
+    # delete commit: the key set goes executor→parquet directly — a
+    # fact-sized CDC purge never materializes on the driver
+    del_keys = o.filter(F.col("o_orderkey") % 101 == 0).select("o_orderkey")
+    dpath = write_key_deletes(spark, root, v1, del_keys, "o_orderkey")
     mor = read_with_deletes(spark, root, v1, [dpath])
     # compaction: fold the delete files into data files (CoW layout)
     v2 = versioned_replace(spark, root, v1, mor, n_files=4)
