@@ -20,30 +20,27 @@ from finance_etl_spark.plans.registry import (  # noqa: F401
 # first ~50 registered queries, so the order below rotates per round to
 # maximize CUMULATIVE driver-verified coverage. Round 2 verified the
 # relational block; round 3 fronted tpch/text/vectors; round 4 fronted
-# timeseries/stats/streaming; ROUND 5 (current order) fronts "text"
-# FIRST — its 30 queries include text_vocab_coverage and
-# text_bpe_pair_counts, the only two queries a driver has ever failed
-# (r3, HUGEINT oracle casts, fixed in 056bcd5) — followed by
-# "multimodal" (11: VAD + image-dedup-clusters tails) and
-# "udf_queries" (10: pandas-UDAF window tail), filling the ~50 window.
-# ROUND 6: front "ingest_parity" (XML tail), "jdbc_queries",
-# "scalars", "tableformat" (CoW update / codec / Python-writer tails),
-# "tokenizer" — then ROUND 7 "finance" (wash-sale/IRR/triangulation/
-# VaR tails), "governance", the relational tail (weighted median,
-# EXECUTE IMMEDIATE, sql_udf_create_function sit at relational's end —
-# front the module AND verify its tail made the window), and any
-# round-5 additions (they land at their module's end).
+# timeseries/stats/streaming; round 5 fronted text (the two
+# ex-driver-failing queries, both d5 hash-PASS) + multimodal +
+# udf_queries. ROUND 6 (current order) fronts the never-driver-
+# sampled ingest_parity (26 incl. the XML tail), jdbc_queries (2),
+# scalars (19) and the head of tableformat — 47 unverified queries
+# plus ~3 of tableformat fill the ~50 window, all previously
+# unsampled. ROUND 7: front the tableformat tail (CoW update / codec
+# / Python-writer), tokenizer, finance (wash-sale/IRR/triangulation/
+# VaR tails), governance, and the head of curation; ROUND 8:
+# curation tail + vectors' unverified tail + the relational tail
+# (weighted median, EXECUTE IMMEDIATE, sql_udf_create_function sit at
+# relational's end). Round-6 additions land at their modules' ends
+# and rotate into later windows.
 # tools/check.py always sweeps all queries regardless of order.
 import importlib
 
 for _mod in (
-    # ROUND-5 ORDER: text (the two ex-driver-failing queries) +
-    # multimodal + udf_queries front the driver's ~50-query sample
-    # window (timeseries/stats/streaming were verified by the r04
-    # sample and rotate to the back)
-    "text",
-    "multimodal",
-    "udf_queries",
+    # ROUND-6 ORDER: ingest_parity + jdbc_queries + scalars +
+    # tableformat(head) front the driver's ~50-query sample window
+    # (text/multimodal/udf_queries were verified by the r05 sample
+    # and rotate to the back)
     "ingest_parity",
     "jdbc_queries",
     "scalars",
@@ -51,10 +48,13 @@ for _mod in (
     "tokenizer",
     "finance",
     "governance",
-    "relational",
     "curation",
-    "tpch",
     "vectors",
+    "relational",
+    "text",
+    "multimodal",
+    "udf_queries",
+    "tpch",
     "timeseries",
     "stats",
     "streaming_queries",
