@@ -74,13 +74,24 @@ def main() -> int:
         # compare rounds without re-running.
         "runs_per_query": N_RUNS,
         "loadavg_1m": [round(load_start, 2), round(os.getloadavg()[0], 2)],
+        # The headline set changes across rounds (r4 added
+        # stat_ks_two_sample, r5 added text_vocab_coverage): totals are
+        # only comparable on the intersection, so the composition is
+        # recorded explicitly.
+        "headline_count": len(names),
+        "headline_set": names,
     }
     local_ref = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     try:
         with open(local_ref) as f:
             out["quiet_rerun"] = json.load(f)
-    except Exception:
-        pass
+    except FileNotFoundError:
+        out["quiet_rerun"] = None
+        print(
+            f"bench: no quiet-machine reference at {local_ref} "
+            "(run tools/bench_local.py on an idle host to record one)",
+            file=sys.stderr,
+        )
     print(json.dumps(out))
     return 0
 

@@ -133,7 +133,15 @@ def global_rank_running_sums(
         rank_col, (F.row_number().over(w) + cnt_map[F.col("__pid")]).cast("long")
     )
     for c in sum_cols:
+        # coalesce: a partition whose prefix is all-null would otherwise
+        # null out `null + offset`, diverging from single-window
+        # semantics where earlier partitions' non-null mass keeps the
+        # cumsum non-null. (Residual edge: a *globally* all-null prefix
+        # yields 0 here vs null in a single window — acceptable for a
+        # running-sum utility; callers so far feed non-null counts.)
         out = out.withColumn(
-            f"cum_{c}", F.sum(c).over(w_run) + sum_maps[c][F.col("__pid")]
+            f"cum_{c}",
+            F.coalesce(F.sum(c).over(w_run), F.lit(0))
+            + sum_maps[c][F.col("__pid")],
         )
     return out.drop("__pid"), acc_sum

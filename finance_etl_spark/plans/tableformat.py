@@ -353,7 +353,7 @@ def versioned_replace(
 
 
 def write_key_deletes(
-    spark: SparkSession, root: str, version: int, keys_df: DataFrame, key_col: str
+    root: str, version: int, keys_df: DataFrame, key_col: str
 ) -> str:
     """Publish an equality-delete commit: the deleted keys are written
     as parquet part files BY THE EXECUTORS (distributed write — a large
@@ -437,7 +437,7 @@ def sink_merge_on_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # delete commit: the key set goes executor→parquet directly — a
     # fact-sized CDC purge never materializes on the driver
     del_keys = o.filter(F.col("o_orderkey") % 101 == 0).select("o_orderkey")
-    dpath = write_key_deletes(spark, root, v1, del_keys, "o_orderkey")
+    dpath = write_key_deletes(root, v1, del_keys, "o_orderkey")
     mor = read_with_deletes(spark, root, v1, [dpath])
     # compaction: fold the delete files into data files (CoW layout)
     v2 = versioned_replace(spark, root, v1, mor, n_files=4)

@@ -99,9 +99,13 @@ def main() -> int:
     print(json.dumps(out))
 
     if emit_md:
+        header = (
+            "## Third-decade direction: mm_phash_near_dup doubling probe"
+            " (sf1 → sf2-equivalent)"
+        )
         lines = [
             "",
-            "## Third-decade direction: mm_phash_near_dup doubling probe (sf1 → sf2-equivalent)",
+            header,
             "",
             "`mm_phash_near_dup` was the worst (sub-linear) row on both measured",
             "decades; this probe (tools/phash_doubling_probe.py) measures one more",
@@ -121,8 +125,19 @@ def main() -> int:
             "index holds the per-doubling cost near the linear ~2×.",
             "",
         ]
-        with open(os.path.join(REPO, "SCALING.md"), "a") as f:
-            f.write("\n".join(lines))
+        # Idempotent: replace the section if a prior run already
+        # appended it (a blind append duplicated the header/table).
+        md_path = os.path.join(REPO, "SCALING.md")
+        with open(md_path) as f:
+            existing = f.read()
+        if header in existing:
+            head, _, tail = existing.partition(header)
+            # section runs to the next "## " heading or EOF
+            nxt = tail.find("\n## ")
+            rest = tail[nxt + 1 :] if nxt >= 0 else ""
+            existing = head.rstrip("\n") + "\n" + rest
+        with open(md_path, "w") as f:
+            f.write(existing.rstrip("\n") + "\n" + "\n".join(lines))
     return 0
 
 
