@@ -58,6 +58,8 @@ for _mod in (
     "timeseries",
     "stats",
     "streaming_queries",
+    # round-6 additions land at the end (rotate into later windows)
+    "ml",
 ):
     try:
         importlib.import_module(f"finance_etl_spark.plans.{_mod}")
