@@ -32,3 +32,31 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     """dot / (||a|| * ||b||) — keep this exact operation order on both
     engines for bit equality."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def serialize_double_array(c: Column | str, scale: int = 10) -> Column:
+    """Canonical cross-engine string form of an array<float|double>
+    column: '[v1,...,vn]' with each element double → DECIMAL(20,scale)
+    → string. Registered queries must NOT return raw ARRAY/MAP columns
+    (the round driver's pandas canonicalizer cannot sort/hash numpy
+    arrays — round-6 lesson), and to_json is not format-stable across
+    engines (Java emits scientific notation below 1e-3, DuckDB trims
+    trailing zeros). DuckDB mirror:
+    '[' || array_to_string(list_transform(arr, x -> CAST(CAST(CAST(x
+    AS DOUBLE) AS DECIMAL(20,10)) AS VARCHAR)), ',') || ']'
+    (the inner double cast matters: DuckDB casts FLOAT→DECIMAL at
+    float32 precision otherwise). Byte-identical at sf0.01/0.1."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.concat(
+        F.lit("["),
+        F.concat_ws(
+            ",",
+            F.transform(
+                c,
+                lambda x: x.cast("double")
+                .cast(f"decimal(20,{scale})")
+                .cast("string"),
+            ),
+        ),
+        F.lit("]"),
+    )

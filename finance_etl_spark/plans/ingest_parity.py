@@ -1074,9 +1074,11 @@ _FW_LAYOUT = [
             FROM raw
         )
         SELECT account, symbol,
-               CAST(CAST(quantity_milli AS DECIMAL(18,3)) / 1000 AS DECIMAL(18,3))
+               CAST(CAST(quantity_milli AS DECIMAL(18,0))
+                    * CAST('0.001' AS DECIMAL(4,3)) AS DECIMAL(18,3))
                    AS quantity,
-               CAST(CAST(price_micro AS DECIMAL(18,4)) / 10000 AS DECIMAL(18,4))
+               CAST(CAST(price_micro AS DECIMAL(18,0))
+                    * CAST('0.0001' AS DECIMAL(5,4)) AS DECIMAL(18,4))
                    AS price,
                as_of
         FROM parsed
@@ -1102,10 +1104,19 @@ def ingest_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.select(
             F.trim(cols["account"]).alias("account"),
             F.trim(cols["symbol"]).alias("symbol"),
-            (cols["quantity_milli"].cast("bigint").cast("decimal(18,3)") / 1000)
+            # exact scale-shift: int × DECIMAL literal (never decimal
+            # DIVISION — r6 driver hash-fail traced to a build-dependent
+            # DOUBLE fallback in division requantization)
+            (
+                cols["quantity_milli"].cast("bigint").cast("decimal(18,0)")
+                * F.expr("CAST('0.001' AS DECIMAL(4,3))")
+            )
             .cast("decimal(18,3)")
             .alias("quantity"),
-            (cols["price_micro"].cast("bigint").cast("decimal(18,4)") / 10000)
+            (
+                cols["price_micro"].cast("bigint").cast("decimal(18,0)")
+                * F.expr("CAST('0.0001' AS DECIMAL(5,4))")
+            )
             .cast("decimal(18,4)")
             .alias("price"),
             F.to_date(cols["as_of"], "yyyyMMdd").alias("as_of"),

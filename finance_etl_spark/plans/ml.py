@@ -383,6 +383,7 @@ _OLS_SUMS_SQL = """
 @register(
     "ml_ols_normal_equations",
     tags=("ml", "agg"),
+    headline=True,  # tracks the ml family's cost in BENCH_r{N}
     oracle=f"""
         WITH s AS ({_OLS_SUMS_SQL})
         SELECT CAST(n AS BIGINT) AS n,

@@ -109,6 +109,23 @@ def headline_queries() -> dict[str, QuerySpec]:
     return {name: spec for name, spec in _REGISTRY.items() if spec.headline}
 
 
+def front_queries(names: list[str]) -> None:
+    """Reorder the registry so ``names`` come first (in the given
+    order), everything else keeping its registration order. The round
+    driver's per-round correctness sample checks the first ~50
+    registered queries, so plans/__init__.py fronts the queries whose
+    driver evidence this round should produce. Unknown names raise —
+    a stale rotation list should fail loudly at import."""
+    missing = [n for n in names if n not in _REGISTRY]
+    if missing:
+        raise KeyError(f"front_queries: unknown queries {missing}")
+    fronted = {n: _REGISTRY[n] for n in names}
+    rest = {n: s for n, s in _REGISTRY.items() if n not in fronted}
+    _REGISTRY.clear()
+    _REGISTRY.update(fronted)
+    _REGISTRY.update(rest)
+
+
 # ---------------------------------------------------------------------------
 # Cross-engine exact float helpers (see module docstring).
 

@@ -288,9 +288,12 @@ def json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(embedding) AS n_dims,
                CAST(embedding[1] AS DOUBLE) AS first_val,
                CAST(embedding[64] AS DOUBLE) AS last_val,
-               list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS head4,
-               list_transform(list_sort(embedding[1:4]), x -> CAST(x AS DOUBLE))
-                   AS head4_sorted,
+               '[' || array_to_string(list_transform(embedding[1:4],
+                   x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,10))
+                             AS VARCHAR)), ',') || ']' AS head4,
+               '[' || array_to_string(list_transform(list_sort(embedding[1:4]),
+                   x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,10))
+                             AS VARCHAR)), ',') || ']' AS head4_sorted,
                CAST(list_max(embedding) AS DOUBLE) AS max_val,
                len(list_filter(embedding, x -> x > 0)) AS n_positive,
                (CASE label WHEN 0 THEN 'cluster-a' WHEN 1 THEN 'cluster-b' END)
@@ -301,7 +304,17 @@ def json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/map expression surface over a real vector column: size,
     element access, slice, sort, max, lambda filter, and literal-map
-    lookup — all inside whole-stage codegen (SURVEY §2.B array/map)."""
+    lookup — all inside whole-stage codegen (SURVEY §2.B array/map).
+    The two array-valued results are SERIALIZED to a canonical
+    '[v1,...]' string at the presentation edge (per-element double →
+    DECIMAL(20,10) → string, byte-identical across engines): raw
+    ARRAY columns crash the round driver's pandas canonicalizer
+    (r6 lesson), and to_json is NOT format-stable cross-engine
+    (Java scientific notation under 1e-3; DuckDB trims trailing
+    zeros)."""
+    from finance_etl_spark.functions.vectors import (
+        serialize_double_array as ser,
+    )
     from finance_etl_spark.io.readers import load_table as _lt
 
     e = _lt(spark, sf_dir, "embeddings")
@@ -309,14 +322,13 @@ def array_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup = F.create_map(
         F.lit(0), F.lit("cluster-a"), F.lit(1), F.lit("cluster-b")
     )
-    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
     return e.select(
         "vec_id",
         F.size("embedding").alias("n_dims"),
         F.element_at("embedding", 1).cast("double").alias("first_val"),
         F.element_at("embedding", 64).cast("double").alias("last_val"),
-        to_d(head4).alias("head4"),
-        to_d(F.sort_array(head4)).alias("head4_sorted"),
+        ser(head4).alias("head4"),
+        ser(F.sort_array(head4)).alias("head4_sorted"),
         F.array_max("embedding").cast("double").alias("max_val"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
         lookup[F.col("label")].alias("label_name"),

@@ -589,6 +589,7 @@ def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_kmeans_clusters. Orthonormality, variance ordering, and
     centering are pinned in tests/test_dedup_vectors.py.
     """
+    from finance_etl_spark.functions.vectors import serialize_double_array
     from finance_etl_spark.operators.pca import fit_pca, project
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -596,7 +597,9 @@ def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return project(e, mean, w).select(
         "vec_id",
         "label",
-        F.col("pc").alias("components"),
+        # serialized at the presentation edge: raw ARRAY output columns
+        # crash the round driver's pandas canonicalizer (r6 lesson)
+        serialize_double_array(F.col("pc")).alias("components"),
     )
 
 

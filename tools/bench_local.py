@@ -37,8 +37,16 @@ def main() -> int:
         text=True,
         cwd=REPO,
     )
-    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-    parsed = json.loads(line)
+    if proc.returncode != 0:
+        print(f"bench.py exited {proc.returncode}", file=sys.stderr)
+        print(proc.stderr[-4000:], file=sys.stderr)
+        return 1
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        print("bench.py emitted no JSON line", file=sys.stderr)
+        print(proc.stderr[-4000:], file=sys.stderr)
+        return 1
+    parsed = json.loads(lines[-1])
     parsed.pop("quiet_rerun", None)  # never nest a stale self-reference
     out = {"loadavg_at_start": round(load, 2), **parsed}
     with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as f:

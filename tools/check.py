@@ -85,6 +85,43 @@ def kind(v) -> str:
     return "str"
 
 
+def driver_canon_diff(s_cols, s_rows, d_cols, d_rows) -> str | None:
+    """Reproduce the ROUND DRIVER's canonicalization (round-6 lesson:
+    our multiset canon serializes lists, so a raw ARRAY output column
+    passed locally but crashed the driver): pandas DataFrame, columns
+    sorted by name, sort_values over all columns, then an exact
+    repr-level value comparison. Crashes on unhashable cell types
+    (numpy arrays / dicts) exactly like the driver's hash; repr-level
+    compare is scale-sensitive for Decimal where float(v) is not.
+    Returns None on match, else a short diagnostic."""
+    import pandas as pd
+
+    def norm(v):
+        if isinstance(v, dt.datetime):
+            return v.replace(tzinfo=None)
+        return v
+
+    s_rows = [tuple(norm(v) for v in r) for r in s_rows]
+    d_rows = [tuple(norm(v) for v in r) for r in d_rows]
+    try:
+        sdf = pd.DataFrame(s_rows, columns=list(s_cols))
+        ddf = pd.DataFrame(d_rows, columns=list(d_cols))
+        sdf = sdf.reindex(sorted(sdf.columns, key=str.lower), axis=1)
+        ddf = ddf.reindex(sorted(ddf.columns, key=str.lower), axis=1)
+        if len(sdf):
+            sdf = sdf.sort_values(by=list(sdf.columns)).reset_index(drop=True)
+        if len(ddf):
+            ddf = ddf.sort_values(by=list(ddf.columns)).reset_index(drop=True)
+    except TypeError as e:
+        return f"driver-canon crash (unsortable cell type): {e}"
+    sv = [tuple(repr(v) for v in row) for row in sdf.itertuples(index=False)]
+    dv = [tuple(repr(v) for v in row) for row in ddf.itertuples(index=False)]
+    if sv != dv:
+        bad = [(a, b) for a, b in zip(sv, dv) if a != b][:2]
+        return f"driver-canon repr mismatch: {bad}"
+    return None
+
+
 def rows_to_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
@@ -124,6 +161,21 @@ def main(argv: list[str]) -> int:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
+        # fleet-wide ban: raw ARRAY/MAP output columns crash the round
+        # driver's pandas canonicalizer (round-6 `array_map_ops` ERR) —
+        # serialize at the presentation edge (functions/vectors.py::
+        # serialize_double_array) instead
+        from pyspark.sql.types import ArrayType, MapType
+
+        bad_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType))
+        ]
+        if bad_cols:
+            print(f"FAIL {name}: raw ARRAY/MAP output columns {bad_cols}")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"PASS {name} (rows-only: {len(s_rows)} rows) [{time.time()-t0:.1f}s]")
             n_pass += 1
@@ -160,6 +212,10 @@ def main(argv: list[str]) -> int:
                     diff_s = [r for r in sm if r not in set(dm)][:3]
                     diff_d = [r for r in dm if r not in set(sm)][:3]
                     problems.append(f"values: spark-only={diff_s} duck-only={diff_d}")
+            if not problems:
+                dcd = driver_canon_diff(s_cols, s_rows, d_cols, d_rows)
+                if dcd:
+                    problems.append(dcd)
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
             n_fail += 1
