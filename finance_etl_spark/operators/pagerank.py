@@ -16,8 +16,16 @@ session-global ``spark.sql.shuffle.partitions``, so concurrent queries
 on the same SparkSession are unaffected. On a billion-node graph pass a
 larger ``iter_partitions``.
 
-Per-round mass sums are decimal-exact, so ranks are bit-identical
-under any partitioning or relayout — pinned in tests/test_curation.py.
+Per-round mass sums are integer-exact: each contribution is scaled by
+1e18 and floored to a BIGINT before summing (sum < 1e18 ≤ 2^63 because
+total rank mass is 1), so ranks are bit-identical under any
+partitioning or relayout — pinned in tests/test_curation.py — AND
+bit-identical cross-engine: floor(x·1e18), BIGINT sum, and BIGINT→
+double are all engine-agnostic operations, unlike double→DECIMAL
+quantization, whose rounding path differs measurably between Spark
+(shortest-repr HALF_UP), DuckDB's direct cast (exact binary
+expansion), and DuckDB's VARCHAR route (17-sig-digit formatting) —
+the three-way divergence that made this operator rows-only until r7.
 
 Dangling mass (nodes with no out-edges) is redistributed uniformly,
 keeping the rank vector a proper probability distribution.
@@ -28,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_DEC = "decimal(30,18)"
+_SCALE = 1e18  # exactly representable power of ten; mass·1e18 < 2^63
 
 
 def pagerank(
@@ -75,9 +83,12 @@ def pagerank(
                 norm.join(ranks, norm.e_src == ranks.node)
                 .groupBy("e_dst")
                 .agg(
-                    F.sum((F.col("p") * F.col("rank")).cast(_DEC))
-                    .cast("double")
-                    .alias("in_mass")
+                    (
+                        F.sum(
+                            F.floor(F.col("p") * F.col("rank") * F.lit(_SCALE))
+                        ).cast("double")
+                        / F.lit(_SCALE)
+                    ).alias("in_mass")
                 )
             )
             new_ranks = nodes.join(
@@ -87,9 +98,15 @@ def pagerank(
                 d_mass = (
                     ranks.join(dangling, "node")
                     .agg(
-                        F.coalesce(F.sum(F.col("rank").cast(_DEC)), F.lit(0))
-                        .cast("double")
-                        .alias("d_mass")
+                        (
+                            F.coalesce(
+                                F.sum(
+                                    F.floor(F.col("rank") * F.lit(_SCALE))
+                                ),
+                                F.lit(0),
+                            ).cast("double")
+                            / F.lit(_SCALE)
+                        ).alias("d_mass")
                     )
                 )
                 new_ranks = new_ranks.crossJoin(F.broadcast(d_mass))

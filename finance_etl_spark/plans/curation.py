@@ -738,18 +738,100 @@ def cur_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("graph_pagerank_trade", tags=("graph", "iterative"))
+def _pagerank_oracle(n_iter: int = 12, damping: str = "0.85") -> str:
+    """Unrolled-iteration DuckDB oracle for graph_pagerank_trade: the
+    fixed point isn't a recursive CTE (no agg over the recursive
+    table), but 12 FIXED rounds over a nation-sized graph unroll as 12
+    chained CTEs. Bit-exactness mirrors operators/pagerank.py op for
+    op: each mass contribution is floor(x·1e18) summed as BIGINT
+    (engine-agnostic by construction — floor, integer sum, and
+    BIGINT→double are identical everywhere, unlike double→DECIMAL
+    quantization whose rounding path measurably differs three ways
+    between Spark and DuckDB's two cast routes). DuckDB's BIGINT SUM
+    widens to HUGEINT whose →double conversion differs 1 ulp, so the
+    sum re-caps to BIGINT (exact: total scaled mass < 1e18 < 2^63)
+    before the double division."""
+    dsum = (
+        "CAST(CAST(COALESCE(SUM(CAST(FLOOR({x} * 1e18) AS BIGINT)), 0)"
+        " AS BIGINT) AS DOUBLE) / 1e18"
+    )
+    iters = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        # CAST(... AS DOUBLE) on the literals: DuckDB parses 1.0/0.85
+        # as DECIMAL and would compute the teleport constant exactly,
+        # 1 ulp off Spark's double arithmetic (measured at sf0.01)
+        iters.append(f"""
+        r{i} AS MATERIALIZED (
+            SELECT n.node,
+                   (CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE)) / nn.n
+                     + CAST({damping} AS DOUBLE)
+                       * (COALESCE(c.in_mass, CAST(0.0 AS DOUBLE))
+                          + dm.d_mass / nn.n) AS rank
+            FROM nodes n
+            CROSS JOIN nn
+            LEFT JOIN (
+                SELECT e.e_dst,
+                       {dsum.format(x='e.p * r.rank')} AS in_mass
+                FROM norm e JOIN {prev} r ON e.e_src = r.node
+                GROUP BY e.e_dst
+            ) c ON c.e_dst = n.node
+            CROSS JOIN (
+                SELECT {dsum.format(x='r.rank')} AS d_mass
+                FROM {prev} r LEFT JOIN sources s ON s.node = r.node
+                WHERE s.node IS NULL
+            ) dm
+        )""")
+        prev = f"r{i}"
+    return f"""
+        WITH edges AS MATERIALIZED (
+            SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                   CAST(COUNT(*) AS DOUBLE) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY s.s_nationkey, c.c_nationkey
+        ),
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT src AS node FROM edges
+            UNION SELECT DISTINCT dst FROM edges
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        norm AS MATERIALIZED (
+            SELECT e.src AS e_src, e.dst AS e_dst,
+                   e.w / ow.out_w AS p
+            FROM edges e
+            JOIN (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src) ow
+              ON ow.src = e.src
+        ),
+        sources AS MATERIALIZED (SELECT DISTINCT e_src AS node FROM norm),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+               FROM nodes CROSS JOIN nn),
+        {','.join(iters)}
+        SELECT CAST(node AS INT) AS nationkey, rank AS pagerank
+        FROM {prev}
+    """
+
+
+@register(
+    "graph_pagerank_trade",
+    tags=("graph", "iterative"),
+    oracle=_pagerank_oracle(),
+)
 def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the nation-level trade graph (supplier
     nation → customer nation, edge weight = shipment count), 12 rounds
     of one co-partitioned join + one decimal-exact hash agg each
-    (operators/pagerank.py). Rows-only: PageRank's fixed point is not
-    expressible in DuckDB's recursive CTEs (no aggregation over the
-    recursive table); invariants (probability mass, repartition
-    determinism, hub concentration) are pinned in
-    tests/test_curation.py. The edge build is the expensive part at
-    scale — two broadcast dimension joins and one count agg over
-    lineitem; the 12 iterations run over the nation-sized rank vector."""
+    (operators/pagerank.py). Hash-oracled (promoted from rows-only in
+    r7): the fixed 12 rounds unroll as 12 chained CTEs in DuckDB, and
+    the operator's decimal-exact mass sums + VARCHAR-routed casts make
+    ranks bit-identical cross-engine (see _pagerank_oracle). Invariants
+    (probability mass, repartition determinism, hub concentration)
+    remain pinned in tests/test_curation.py. The edge build is the
+    expensive part at scale — two broadcast dimension joins and one
+    count agg over lineitem; the 12 iterations run over the
+    nation-sized rank vector."""
     from finance_etl_spark.operators.pagerank import pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")

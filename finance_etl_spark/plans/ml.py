@@ -277,7 +277,66 @@ def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_naive_bayes_classify", tags=("ml", "text", "join"))
+@register(
+    "ml_naive_bayes_classify",
+    tags=("ml", "text", "join"),
+    oracle=f"""
+        WITH toks AS MATERIALIZED ({_NB_TOKENS_SQL}),
+        cls AS MATERIALIZED (
+            SELECT lang,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   COUNT(*) AS n_tokens
+            FROM toks GROUP BY lang
+        ),
+        tot AS (
+            SELECT COUNT(DISTINCT tok) AS v,
+                   COUNT(DISTINCT doc_id) AS n_all_docs
+            FROM toks
+        ),
+        counts AS (
+            SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY lang, tok
+        ),
+        model AS MATERIALIZED (
+            SELECT v.tok, c.lang AS model_lang,
+                   CAST(ln(CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE)
+                           / CAST(c.n_tokens + t.v AS DOUBLE))
+                        AS DECIMAL(20,12)) AS logp
+            FROM (SELECT DISTINCT tok FROM toks) v
+            CROSS JOIN cls c CROSS JOIN tot t
+            LEFT JOIN counts ct ON ct.lang = c.lang AND ct.tok = v.tok
+        ),
+        prior AS (
+            SELECT lang AS model_lang,
+                   CAST(ln(CAST(n_docs AS DOUBLE)
+                           / CAST(t.n_all_docs AS DOUBLE))
+                        AS DECIMAL(20,12)) AS log_prior
+            FROM cls CROSS JOIN tot t
+        ),
+        doc_tok AS (
+            SELECT doc_id, lang, tok, COUNT(*) AS n
+            FROM toks GROUP BY doc_id, lang, tok
+        ),
+        scored AS (
+            SELECT dt.doc_id, dt.lang, m.model_lang,
+                   SUM(dt.n * m.logp) + ANY_VALUE(p.log_prior) AS score
+            FROM doc_tok dt
+            JOIN model m ON m.tok = dt.tok
+            JOIN prior p ON p.model_lang = m.model_lang
+            GROUP BY dt.doc_id, dt.lang, m.model_lang
+        ),
+        best AS (
+            SELECT doc_id, lang, model_lang,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, model_lang DESC) AS rn
+            FROM scored
+        )
+        SELECT lang, model_lang AS pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM best WHERE rn = 1
+        GROUP BY lang, model_lang
+        ORDER BY lang, pred_lang
+    """,
+)
 def ml_naive_bayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive-Bayes inference at corpus scale, relayout-stable: the
     class-conditional log-probability table (vocab x classes — model-
@@ -288,10 +347,14 @@ def ml_naive_bayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     (auto-broadcast at the fixture scale; token-key shuffle at web
     scale) model table, then a doc-key agg and a 5-way argmax via
     array_max over (score, lang) structs. Output is the confusion
-    matrix (true lang vs predicted) — class-count sized. Rows-only
-    (libm log in the model constants); tests/test_round6_ops.py pins
-    the full matrix against an independent pure-python NB on the same
-    quantization."""
+    matrix (true lang vs predicted) — class-count sized. Hash-oracled
+    (promoted from rows-only in r7): libm ln differs cross-engine at
+    1 ulp (~1e-15), which perturbs scores by ≤ n_tok·1e-12 after the
+    DECIMAL(20,12) quantization, while the smallest top-2 winning
+    margin is 3.4e-4 at sf0.01 (measured) — six orders of magnitude
+    of headroom, so the integer matrix is engine- and build-stable.
+    tests/test_round6_ops.py additionally pins the full matrix
+    against an independent pure-python NB on the same quantization."""
     toks = _doc_tokens(spark, sf_dir).persist()
     cls = toks.groupBy("lang").agg(
         F.countDistinct("doc_id").alias("n_docs"),
