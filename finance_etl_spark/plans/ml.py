@@ -518,3 +518,509 @@ def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         beta1.alias("beta1"),
         beta2.alias("beta2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature engineering + model evaluation (round 7). Where a formula
+# must be bit-identical cross-engine, the SAME SQL fragment is passed
+# to Spark's F.expr and embedded in the DuckDB oracle — identical
+# operation order by construction.
+
+
+def _fsum(col, scale: int = 6):
+    """Spark twin of registry.o_fsum: engine-agnostic exact double sum
+    (floor-scale to DECIMAL(38,0), divide back at the edge)."""
+    return (
+        F.sum(F.floor(col * F.lit(10.0**scale)).cast("decimal(38,0)"))
+        .cast("double")
+        / F.lit(10.0**scale)
+    )
+
+
+_SCALER_FEATURES = ("l_quantity", "l_extendedprice", "l_discount")
+
+# identical double arithmetic on both engines (inputs are exact decimal
+# sums presented as correctly-rounded doubles)
+_SCALER_FORMULAS = {
+    "mean": "s_d / n_d",
+    "std": "sqrt((ss_d - s_d * s_d / n_d) / (n_d - 1.0))",
+    "z_min": "(min_d - s_d / n_d) / sqrt((ss_d - s_d * s_d / n_d) / (n_d - 1.0))",
+    "z_max": "(max_d - s_d / n_d) / sqrt((ss_d - s_d * s_d / n_d) / (n_d - 1.0))",
+}
+
+
+@register(
+    "ml_standard_scaler",
+    tags=("ml", "features", "agg"),
+    oracle=f"""
+        WITH stats AS (
+            {" UNION ALL ".join(
+                f'''SELECT '{f}' AS feature,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(COUNT(*) AS DOUBLE) AS n_d,
+                       CAST(CAST(SUM(CAST({f} AS DECIMAL(25,4))) AS VARCHAR) AS DOUBLE) AS s_d,
+                       CAST(CAST(SUM(CAST({f} AS DECIMAL(25,4))
+                                     * CAST({f} AS DECIMAL(25,4))) AS VARCHAR) AS DOUBLE) AS ss_d,
+                       CAST(CAST(MIN({f}) AS VARCHAR) AS DOUBLE) AS min_d,
+                       CAST(CAST(MAX({f}) AS VARCHAR) AS DOUBLE) AS max_d
+                FROM lineitem'''
+                for f in _SCALER_FEATURES
+            )}
+        )
+        SELECT feature, n,
+               {_SCALER_FORMULAS['mean']} AS mean,
+               {_SCALER_FORMULAS['std']} AS std,
+               {_SCALER_FORMULAS['z_min']} AS z_min,
+               {_SCALER_FORMULAS['z_max']} AS z_max
+        FROM stats
+    """,
+)
+def ml_standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score standardization fit over three lineitem measures: ONE
+    scan reduces each feature to exact decimal sufficient statistics
+    (n, Σx, Σx², min, max — all DECIMAL, partition-independent), then
+    mean/std/extreme-z are closed-form double expressions evaluated
+    from those scalars via the SAME SQL fragments on both engines.
+    At 100 TB the fitted (mean, std) pairs broadcast into the scoring
+    projection; nothing row-sized leaves the executors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for f in _SCALER_FEATURES:
+        d = F.col(f).cast("decimal(25,4)")
+        aggs += [
+            F.sum(d).cast("double").alias(f"{f}__s"),
+            F.sum(d * d).cast("double").alias(f"{f}__ss"),
+            F.min(F.col(f)).cast("double").alias(f"{f}__min"),
+            F.max(F.col(f)).cast("double").alias(f"{f}__max"),
+        ]
+    # ONE scan for all three features; the 1-row result is persisted so
+    # the per-feature unpivot below doesn't re-trigger the scan
+    wide = li.agg(F.count(F.lit(1)).alias("n"), *aggs).persist()
+    parts = [
+        wide.select(
+            F.lit(f).alias("feature"),
+            "n",
+            F.col("n").cast("double").alias("n_d"),
+            F.col(f"{f}__s").alias("s_d"),
+            F.col(f"{f}__ss").alias("ss_d"),
+            F.col(f"{f}__min").alias("min_d"),
+            F.col(f"{f}__max").alias("max_d"),
+        )
+        for f in _SCALER_FEATURES
+    ]
+    stats = parts[0]
+    for p in parts[1:]:
+        stats = stats.unionByName(p)
+    return stats.select(
+        "feature",
+        "n",
+        F.expr(_SCALER_FORMULAS["mean"]).alias("mean"),
+        F.expr(_SCALER_FORMULAS["std"]).alias("std"),
+        F.expr(_SCALER_FORMULAS["z_min"]).alias("z_min"),
+        F.expr(_SCALER_FORMULAS["z_max"]).alias("z_max"),
+    )
+
+
+_TE_FORMULA = "(c_sum_d + 50.0 * (g_sum_d / g_n_d)) / (c_n_d + 50.0)"
+
+
+@register(
+    "ml_target_encode_smoothed",
+    tags=("ml", "features", "agg"),
+    oracle=f"""
+        WITH cat AS (
+            SELECT o_orderpriority AS category,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS DOUBLE) AS c_n_d,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2)))
+                        AS VARCHAR) AS DOUBLE) AS c_sum_d
+            FROM orders GROUP BY o_orderpriority
+        ),
+        g AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS g_n_d,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2)))
+                        AS VARCHAR) AS DOUBLE) AS g_sum_d
+            FROM orders
+        )
+        SELECT category, n,
+               c_sum_d / c_n_d AS target_mean,
+               {_TE_FORMULA} AS encoded
+        FROM cat CROSS JOIN g
+    """,
+)
+def ml_target_encode_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean target encoding (CatBoost/Micci-Barreca style,
+    prior weight m=50): encode(cat) = (Σy_cat + m·μ_global)/(n_cat+m).
+    Category sums and the global prior are exact decimal aggregates
+    (one category-key shuffle + one scalar agg); the encoding itself
+    is the same double fragment on both engines. At scale the
+    category table is model-sized and broadcasts into feature
+    projection — the standard leakage-safe categorical encoder for
+    gradient-boosted training pipelines."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(25,2)")
+    cat = o.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("double").alias("c_n_d"),
+        F.sum(d).cast("double").alias("c_sum_d"),
+    )
+    glob = o.agg(
+        F.count(F.lit(1)).cast("double").alias("g_n_d"),
+        F.sum(d).cast("double").alias("g_sum_d"),
+    )
+    return cat.crossJoin(F.broadcast(glob)).select(
+        "category",
+        "n",
+        (F.col("c_sum_d") / F.col("c_n_d")).alias("target_mean"),
+        F.expr(_TE_FORMULA).alias("encoded"),
+    )
+
+
+_STUMP_BINS = 32
+# identical double arithmetic from exact integer counts on both engines
+_GINI = (
+    "1.0 - (CAST({p} AS DOUBLE) / CAST({t} AS DOUBLE))"
+    " * (CAST({p} AS DOUBLE) / CAST({t} AS DOUBLE))"
+    " - (CAST({t} - {p} AS DOUBLE) / CAST({t} AS DOUBLE))"
+    " * (CAST({t} - {p} AS DOUBLE) / CAST({t} AS DOUBLE))"
+)
+_STUMP_GAIN = (
+    "CASE WHEN cum_n < tot_n THEN "
+    + _GINI.format(p="tot_pos", t="tot_n")
+    + " - (CAST(cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE)) * ("
+    + _GINI.format(p="cum_pos", t="cum_n")
+    + ") - (CAST(tot_n - cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE)) * ("
+    + _GINI.format(p="tot_pos - cum_pos", t="tot_n - cum_n")
+    + ") END"
+)
+
+
+@register(
+    "ml_decision_stump_split",
+    tags=("ml", "tree", "agg"),
+    oracle=f"""
+        WITH rng AS (
+            SELECT CAST(CAST(MIN(l_extendedprice) AS VARCHAR) AS DOUBLE)
+                       AS xmin,
+                   CAST(CAST(MAX(l_extendedprice) AS VARCHAR) AS DOUBLE)
+                       AS xmax
+            FROM lineitem
+        ),
+        hist AS (
+            SELECT LEAST({_STUMP_BINS - 1},
+                       CAST(FLOOR((CAST(CAST(l_extendedprice AS VARCHAR)
+                                        AS DOUBLE) - r.xmin)
+                           / ((r.xmax - r.xmin)
+                              / {float(_STUMP_BINS)})) AS INT)) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R')
+                        AS BIGINT) AS n_pos
+            FROM lineitem CROSS JOIN rng r
+            GROUP BY 1
+        ),
+        cum AS (
+            SELECT bin, n, n_pos,
+                   CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+                   CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+                   CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+                   CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+            FROM hist
+            WINDOW w AS (ORDER BY bin
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT bin, n, n_pos, cum_n, cum_pos, {_STUMP_GAIN} AS gain
+        FROM cum
+    """,
+)
+def ml_decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based decision-stump split finding — the inner loop of
+    every distributed GBDT (LightGBM/XGBoost-hist style): ONE pass bins
+    the feature into 32 equi-width buckets of exact integer (count,
+    positive-count) pairs, then the best threshold search is a
+    32-row cumulative scan computing exact-arithmetic Gini gain per
+    boundary from integer prefix sums. At 100 TB only the histogram
+    shuffles (bins·features rows); candidate evaluation never touches
+    row data. The bin id and the gain are the same double fragments on
+    both engines (min/max come from exact decimal aggregates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rng = li.agg(
+        F.min("l_extendedprice").cast("double").alias("xmin"),
+        F.max("l_extendedprice").cast("double").alias("xmax"),
+    )
+    from pyspark.sql import Window
+
+    hist = (
+        li.crossJoin(F.broadcast(rng))
+        .select(
+            F.least(
+                F.lit(_STUMP_BINS - 1),
+                F.floor(
+                    (F.col("l_extendedprice").cast("double") - F.col("xmin"))
+                    / ((F.col("xmax") - F.col("xmin")) / F.lit(float(_STUMP_BINS)))
+                ).cast("int"),
+            ).alias("bin"),
+            (F.col("l_returnflag") == "R").cast("int").alias("pos"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+        F.sum("n_pos").over(w).cast("bigint").alias("cum_pos"),
+        F.sum("n").over(wall).cast("bigint").alias("tot_n"),
+        F.sum("n_pos").over(wall).cast("bigint").alias("tot_pos"),
+    )
+    return cum.select(
+        "bin", "n", "n_pos", "cum_n", "cum_pos",
+        F.expr(_STUMP_GAIN).alias("gain"),
+    )
+
+
+_KF_FOLDS = 5
+_KF_BETAS = {
+    "beta0": (
+        "((s11*s22 - s12*s12)*sy + (s2*s12 - s1*s22)*s1y"
+        " + (s1*s12 - s2*s11)*s2y) / (n*(s11*s22 - s12*s12)"
+        " - s1*(s1*s22 - s2*s12) + s2*(s1*s12 - s2*s11))"
+    ),
+    "beta1": (
+        "((s2*s12 - s1*s22)*sy + (n*s22 - s2*s2)*s1y"
+        " + (s1*s2 - n*s12)*s2y) / (n*(s11*s22 - s12*s12)"
+        " - s1*(s1*s22 - s2*s12) + s2*(s1*s12 - s2*s11))"
+    ),
+    "beta2": (
+        "((s1*s12 - s2*s11)*sy + (s1*s2 - n*s12)*s1y"
+        " + (n*s11 - s1*s1)*s2y) / (n*(s11*s22 - s12*s12)"
+        " - s1*(s1*s22 - s2*s12) + s2*(s1*s12 - s2*s11))"
+    ),
+}
+_KF_STATS = {
+    "n": "COUNT(*)",
+    "s1": "SUM(x1)", "s2": "SUM(x2)",
+    "s11": "SUM(x1*x1)", "s12": "SUM(x1*x2)", "s22": "SUM(x2*x2)",
+    "sy": "SUM(y)", "s1y": "SUM(x1*y)", "s2y": "SUM(x2*y)",
+}
+
+
+@register(
+    "ml_kfold_ols_eval",
+    tags=("ml", "eval", "agg"),
+    oracle=f"""
+        WITH feat AS MATERIALIZED (
+            SELECT CAST(l_orderkey % {_KF_FOLDS} AS INT) AS fold,
+                   CAST(l_quantity AS DECIMAL(20,2)) AS x1,
+                   CAST(l_discount AS DECIMAL(20,2)) AS x2,
+                   CAST(l_extendedprice AS DECIMAL(20,2)) AS y
+            FROM lineitem
+        ),
+        fold_stats AS MATERIALIZED (
+            SELECT fold,
+                   {", ".join(f"{expr} AS f_{k}" for k, expr in _KF_STATS.items())}
+            FROM feat GROUP BY fold
+        ),
+        total AS (
+            SELECT {", ".join(f"SUM(f_{k}) AS t_{k}" for k in _KF_STATS)}
+            FROM fold_stats
+        ),
+        betas AS MATERIALIZED (
+            SELECT fold,
+                   {", ".join(
+                       f"CAST(CAST(t_{k} - f_{k} AS VARCHAR) AS DOUBLE) AS {k}"
+                       for k in _KF_STATS
+                   )}
+            FROM fold_stats CROSS JOIN total
+        ),
+        scored AS (
+            SELECT f.fold,
+                   CAST(CAST(f.y AS VARCHAR) AS DOUBLE)
+                     - ({_KF_BETAS['beta0']}
+                        + ({_KF_BETAS['beta1']}) * CAST(CAST(f.x1 AS VARCHAR) AS DOUBLE)
+                        + ({_KF_BETAS['beta2']}) * CAST(CAST(f.x2 AS VARCHAR) AS DOUBLE)) AS resid
+            FROM feat f JOIN betas b ON b.fold = f.fold
+        )
+        SELECT fold,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               sqrt((CAST(CAST(SUM(CAST(FLOOR((resid * resid) * 1e6)
+                         AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e6)
+                    / CAST(COUNT(*) AS DOUBLE)) AS rmse
+        FROM scored
+        GROUP BY fold
+    """,
+)
+def ml_kfold_ols_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validated evaluation of the closed-form OLS
+    (price ~ quantity + discount), entirely in-engine: per-fold exact
+    decimal sufficient statistics (ONE scan, a k-row shuffle), each
+    fold's TRAINING stats formed by subtracting its held-out stats from
+    the total (exact decimal subtraction — no second scan), betas via
+    the same Cramer fragments as ml_ols_normal_equations, and held-out
+    RMSE via an engine-agnostic floor-scaled residual² sum (_fsum /
+    registry.o_fsum). A constant 3 scans regardless of k (stats,
+    stats-for-total, scoring — .explain-verified); the per-fold model
+    is 9 scalars broadcast back into the scoring scan. The leave-one-
+    fold-out-by-subtraction trick is what makes k-fold O(1) scans
+    instead of O(k) at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feat = li.select(
+        (F.col("l_orderkey") % _KF_FOLDS).cast("int").alias("fold"),
+        F.col("l_quantity").cast("decimal(20,2)").alias("x1"),
+        F.col("l_discount").cast("decimal(20,2)").alias("x2"),
+        F.col("l_extendedprice").cast("decimal(20,2)").alias("y"),
+    )
+    fold_stats = feat.groupBy("fold").agg(
+        *[F.expr(expr).alias(f"f_{k}") for k, expr in _KF_STATS.items()]
+    )
+    total = fold_stats.agg(
+        *[F.sum(f"f_{k}").alias(f"t_{k}") for k in _KF_STATS]
+    )
+    betas = fold_stats.crossJoin(F.broadcast(total)).select(
+        "fold",
+        *[
+            (F.col(f"t_{k}") - F.col(f"f_{k}")).cast("double").alias(k)
+            for k in _KF_STATS
+        ],
+    )
+    scored = feat.join(F.broadcast(betas), "fold").select(
+        "fold",
+        (
+            F.col("y").cast("double")
+            - (
+                F.expr(_KF_BETAS["beta0"])
+                + F.expr(f"({_KF_BETAS['beta1']})") * F.col("x1").cast("double")
+                + F.expr(f"({_KF_BETAS['beta2']})") * F.col("x2").cast("double")
+            )
+        ).alias("resid"),
+    )
+    return scored.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sqrt(
+            _fsum(F.col("resid") * F.col("resid"))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("rmse"),
+    )
+
+
+_OH_PRIORITIES = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+
+
+@register(
+    "ml_one_hot_encode",
+    tags=("ml", "features", "scalar"),
+    oracle=f"""
+        SELECT o_orderkey,
+               o_orderpriority,
+               {", ".join(
+                   f"CAST(o_orderpriority = '{p}' AS INT) AS is_p{i + 1}"
+                   for i, p in enumerate(_OH_PRIORITIES)
+               )}
+        FROM orders
+    """,
+)
+def ml_one_hot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot encoding of a low-cardinality categorical into indicator
+    columns — a pure codegen'd projection (no shuffle, no UDF); the
+    category list is DECLARED (config, not inferred) so the output
+    schema is stable across batches — the property that matters when
+    the encoded matrix feeds an incremental trainer. Inferring the
+    distinct values instead is one tiny extra agg + broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        *[
+            (F.col("o_orderpriority") == p).cast("int").alias(f"is_p{i + 1}")
+            for i, p in enumerate(_OH_PRIORITIES)
+        ],
+    )
+
+
+_QB_QS = (0.25, 0.5, 0.75)
+
+
+@register(
+    "ml_quantile_binning",
+    tags=("ml", "features", "agg"),
+    oracle=f"""
+        WITH ranked AS MATERIALIZED (
+            SELECT o_totalprice,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS rn,
+                   COUNT(*) OVER () AS n
+            FROM orders
+        ),
+        edges AS (
+            SELECT
+              {", ".join(
+                  f"MAX(CASE WHEN rn = CAST(ceil({q} * n) AS BIGINT)"
+                  f" THEN o_totalprice END) AS e{i}"
+                  for i, q in enumerate(_QB_QS)
+              )}
+            FROM ranked
+        )
+        SELECT CASE WHEN o_totalprice <= e0 THEN 0
+                    WHEN o_totalprice <= e1 THEN 1
+                    WHEN o_totalprice <= e2 THEN 2
+                    ELSE 3 END AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(o_totalprice) AS bin_min,
+               MAX(o_totalprice) AS bin_max
+        FROM orders CROSS JOIN edges
+        GROUP BY 1
+    """,
+)
+def ml_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (equi-depth) feature binning with EXACT order-statistic
+    edges: the k-th value at rank ceil(q·n) under a deterministic
+    (value, key) order — the repo-wide quantile contract (order
+    statistics, never interpolation, so edges are exact decimals and
+    bin assignment is engine-exact). One rank pass + a 3-scalar
+    broadcast + one grouped count; at 100 TB swap the global
+    ROW_NUMBER for the two-phase range-partitioned rank
+    (operators/ranks.py) — same edges, no single-partition window."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    wr = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_totalprice",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    edges = ranked.agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(q) * F.col("n")),
+                    F.col("o_totalprice"),
+                )
+            ).alias(f"e{i}")
+            for i, q in enumerate(_QB_QS)
+        ]
+    )
+    return (
+        o.crossJoin(F.broadcast(edges))
+        .select(
+            F.when(F.col("o_totalprice") <= F.col("e0"), 0)
+            .when(F.col("o_totalprice") <= F.col("e1"), 1)
+            .when(F.col("o_totalprice") <= F.col("e2"), 2)
+            .otherwise(3)
+            .alias("bin"),
+            "o_totalprice",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("bin_min"),
+            F.max("o_totalprice").alias("bin_max"),
+        )
+    )

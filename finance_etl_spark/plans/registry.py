@@ -140,3 +140,21 @@ def o_dsum(expr: str) -> str:
 def o_davg(expr: str) -> str:
     """DuckDB SQL matching Spark's decimal-sum/count average."""
     return f"({o_dsum(expr)} / COUNT({expr}))"
+
+
+def o_fsum(expr: str, scale: int = 6) -> str:
+    """DuckDB SQL for an ENGINE-AGNOSTIC double sum: floor(x·10^s)
+    summed as DECIMAL(38,0), divided back at the edge. Unlike o_dsum's
+    double→DECIMAL cast — whose rounding path measurably differs three
+    ways between Spark (shortest-repr HALF_UP), DuckDB's direct cast
+    (exact binary expansion), and DuckDB's VARCHAR route (17-digit
+    formatting; see operators/pagerank.py) — floor, exact integer
+    summation, and the VARCHAR-routed decimal→double presentation are
+    identical everywhere. Spark twin: F.sum(F.floor(col *
+    lit(10.0**s)).cast('decimal(38,0)')).cast(...)  — see
+    plans/ml.py::_fsum. Quantization error is ≤ rows·10^-s, so pick s
+    against the magnitude you present."""
+    return (
+        f"CAST(CAST(SUM(CAST(FLOOR(({expr}) * 1e{scale})"
+        f" AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e{scale}"
+    )

@@ -1857,3 +1857,123 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_PPL_THRESHOLD = "3.4"  # avg bigram NLL; docs above are dropped (splits ~40/60 at every SF)
+
+
+@register(
+    "text_perplexity_filter",
+    tags=("text", "quality", "lm"),
+    oracle=f"""
+        WITH docs AS MATERIALIZED (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS lst
+            FROM documents
+        ),
+        bigrams AS MATERIALIZED (
+            SELECT doc_id, lst[i] AS w1, lst[i + 1] AS w2
+            FROM (
+                SELECT doc_id, lst,
+                       unnest(generate_series(1, len(lst) - 1)) AS i
+                FROM docs WHERE len(lst) >= 2
+            )
+        ),
+        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM bigrams GROUP BY w1),
+        vocab AS (
+            SELECT COUNT(DISTINCT tok) AS v
+            FROM (SELECT unnest(lst) AS tok FROM docs)
+        ),
+        model AS MATERIALIZED (
+            SELECT c12.w1, c12.w2,
+                   CAST(ln(CAST(c12.c12 + 1 AS DOUBLE)
+                           / CAST(c1.c1 + vocab.v AS DOUBLE))
+                        AS DECIMAL(12,6)) AS logp
+            FROM c12 JOIN c1 ON c1.w1 = c12.w1 CROSS JOIN vocab
+        ),
+        doc_big AS (
+            SELECT doc_id, w1, w2, COUNT(*) AS m
+            FROM bigrams GROUP BY doc_id, w1, w2
+        )
+        SELECT db.doc_id,
+               CAST(SUM(db.m) AS BIGINT) AS n_bigrams,
+               CAST(CAST(-SUM(db.m * mo.logp) AS VARCHAR) AS DOUBLE)
+                 / CAST(SUM(db.m) AS DOUBLE) AS avg_nll,
+               (CAST(CAST(-SUM(db.m * mo.logp) AS VARCHAR) AS DOUBLE)
+                 / CAST(SUM(db.m) AS DOUBLE)) < {_PPL_THRESHOLD} AS kept
+        FROM doc_big db
+        JOIN model mo ON mo.w1 = db.w1 AND mo.w2 = db.w2
+        GROUP BY db.doc_id
+    """,
+)
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based quality filtering (the CCNet/Gopher curation
+    gate): a Laplace-smoothed corpus bigram LM scores every document's
+    average negative log-likelihood; high-NLL (≈ high-perplexity)
+    documents are flagged for drop. Engine-exact by the NB-classify
+    recipe: log-probs quantize to DECIMAL(12,6) — coarse enough that
+    cross-engine libm-ln 1-ulp drift (≈2e-15) cannot straddle a
+    quantization boundary (window 5e-7) — so per-doc NLLs are exact
+    decimal dot products. Scale shape: bigrams explode from a
+    persisted array root (never a live computed array — the explode
+    re-evaluation pitfall), the LM is vocabulary²-bounded and joins on
+    the bigram key, and the per-doc reduce is one doc-key shuffle. At
+    100 TB the model table is df-capped exactly like the dedup
+    inverted indexes."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), _SPACE), lambda t: t != "").alias(
+            "lst"
+        ),
+    ).persist()
+    bigrams = (
+        docs.filter(F.size("lst") >= 2)
+        .select("doc_id", "lst", F.posexplode("lst").alias("i", "w1"))
+        .filter(F.col("i") < F.size("lst") - 1)
+        .select(
+            "doc_id",
+            "w1",
+            F.element_at(F.col("lst"), F.col("i") + 2).alias("w2"),
+        )
+    ).persist()
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = docs.select(F.explode("lst").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    model = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("c12") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            )
+            .cast("decimal(12,6)")
+            .alias("logp"),
+        )
+    )
+    doc_big = bigrams.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    scored = (
+        doc_big.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            (
+                (-F.sum(F.col("m") * F.col("logp"))).cast("double")
+                / F.sum("m").cast("double")
+            ).alias("avg_nll"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_nll",
+        (F.col("avg_nll") < F.expr(_PPL_THRESHOLD)).alias("kept"),
+    )
