@@ -1024,3 +1024,377 @@ def ml_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("bin_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-evaluation suite (round 7): every metric is derived from exact
+# integer counts / decimal sums, so all are hash-oracled.
+
+_AUC_NUM = (
+    "CAST(sum2mr - npos * (npos + 1) AS DOUBLE)"
+    " / CAST(2 * npos * (n_total - npos) AS DOUBLE)"
+)
+
+
+@register(
+    "ml_roc_auc",
+    tags=("ml", "eval", "window"),
+    oracle=f"""
+        WITH grp AS (
+            SELECT l_quantity AS score,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R')
+                        AS BIGINT) AS pos
+            FROM lineitem GROUP BY l_quantity
+        ),
+        cum AS (
+            SELECT score, cnt, pos,
+                   CAST(COALESCE(SUM(cnt) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS cum_before
+            FROM grp
+        ),
+        agg AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+                   CAST(SUM(pos) AS BIGINT) AS npos,
+                   CAST(SUM(pos * (2 * cum_before + cnt + 1))
+                        AS BIGINT) AS sum2mr
+            FROM cum
+        )
+        SELECT n_total, npos, CAST(n_total - npos AS BIGINT) AS nneg,
+               {_AUC_NUM} AS auc
+        FROM agg
+    """,
+)
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a score column (l_quantity) against a binary
+    label (returnflag='R') via the Mann-Whitney identity with midrank
+    tie handling — AUC = (Σ_pos midrank − n⁺(n⁺+1)/2) / (n⁺n⁻).
+    Doubled midranks keep everything INTEGER until the single edge
+    division: per distinct score, Σ_pos 2·midrank = pos·(2·cum_before
+    + cnt + 1). One score-key agg + a distinct-score-sized window (50
+    values here; at unbounded-cardinality scores route through the
+    two-phase range-partitioned rank, operators/ranks.py) — never a
+    |pos|·|neg| pair join."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    grp = li.groupBy(F.col("l_quantity").alias("score")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum((F.col("l_returnflag") == "R").cast("int"))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grp.select(
+        "cnt",
+        "pos",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cum_before"),
+    )
+    agg = cum.agg(
+        F.sum("cnt").cast("bigint").alias("n_total"),
+        F.sum("pos").cast("bigint").alias("npos"),
+        F.sum(
+            F.col("pos")
+            * (F.lit(2) * F.col("cum_before") + F.col("cnt") + F.lit(1))
+        )
+        .cast("bigint")
+        .alias("sum2mr"),
+    )
+    return agg.select(
+        "n_total",
+        "npos",
+        (F.col("n_total") - F.col("npos")).cast("bigint").alias("nneg"),
+        F.expr(_AUC_NUM).alias("auc"),
+    )
+
+
+_F1 = (
+    "CASE WHEN tp > 0 THEN"
+    " 2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))"
+    " * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))"
+    " / (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)"
+    "    + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))"
+    " ELSE 0.0 END"
+)
+
+
+@register(
+    "ml_threshold_sweep",
+    tags=("ml", "eval", "window"),
+    oracle=f"""
+        WITH grp AS (
+            SELECT l_quantity AS threshold,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R')
+                        AS BIGINT) AS pos
+            FROM lineitem GROUP BY l_quantity
+        ),
+        cum AS (
+            SELECT threshold,
+                   CAST(SUM(pos) OVER (ORDER BY threshold DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS tp,
+                   CAST(SUM(cnt - pos) OVER (ORDER BY threshold DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS fp,
+                   CAST(SUM(pos) OVER () AS BIGINT) AS all_pos,
+                   CAST(SUM(cnt - pos) OVER () AS BIGINT) AS all_neg
+            FROM grp
+        ),
+        m AS (
+            SELECT threshold, tp, fp,
+                   CAST(all_pos - tp AS BIGINT) AS fn,
+                   CAST(all_neg - fp AS BIGINT) AS tn
+            FROM cum
+        )
+        SELECT threshold, tp, fp, fn, tn,
+               CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+               CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+               {_F1} AS f1
+        FROM m
+    """,
+)
+def ml_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at EVERY candidate decision threshold
+    ("predict positive when score ≥ t") in one pass: group by distinct
+    score, then descending cumulative (tp, fp) windows give the whole
+    confusion-matrix family — |distinct scores| rows, never a
+    per-threshold rescan. The sweep is the input to PR curves and
+    threshold pickers; all counts exact integers, metrics are shared
+    double fragments."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    grp = li.groupBy(F.col("l_quantity").alias("threshold")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum((F.col("l_returnflag") == "R").cast("int"))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    wd = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cum = grp.select(
+        "threshold",
+        F.sum("pos").over(wd).cast("bigint").alias("tp"),
+        F.sum(F.col("cnt") - F.col("pos")).over(wd).cast("bigint").alias("fp"),
+        F.sum("pos").over(wall).cast("bigint").alias("all_pos"),
+        F.sum(F.col("cnt") - F.col("pos"))
+        .over(wall)
+        .cast("bigint")
+        .alias("all_neg"),
+    )
+    m = cum.select(
+        "threshold",
+        "tp",
+        "fp",
+        (F.col("all_pos") - F.col("tp")).cast("bigint").alias("fn"),
+        (F.col("all_neg") - F.col("fp")).cast("bigint").alias("tn"),
+    )
+    return m.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")).alias("precision"),
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double")).alias("recall"),
+        F.expr(_F1).alias("f1"),
+    )
+
+
+@register(
+    "ml_calibration_bins",
+    tags=("ml", "eval", "agg"),
+    oracle="""
+        WITH scored AS (
+            SELECT LEAST(9, CAST(FLOOR((CAST(CAST(l_quantity AS VARCHAR)
+                       AS DOUBLE) / 50.0) * 10.0) AS INT)) AS bin,
+                   CAST(l_quantity AS DECIMAL(20,2)) AS q,
+                   CAST(l_returnflag = 'R' AS INT) AS y
+            FROM lineitem
+        )
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(q) AS VARCHAR) AS DOUBLE)
+                 / (50.0 * CAST(COUNT(*) AS DOUBLE)) AS mean_predicted,
+               CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS actual_rate
+        FROM scored
+        GROUP BY bin
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) table: a declared monotone score map
+    p̂ = quantity/50 bucketed into 10 equal-width probability bins;
+    per bin the mean predicted probability (exact decimal quantity
+    sums divided once at the edge) vs the actual positive rate (exact
+    integer counts). The ECE/reliability-diagram input, as one
+    grouped aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("l_quantity").cast("double") / F.lit(50.0))
+                * F.lit(10.0)
+            ).cast("int"),
+        ).alias("bin"),
+        F.col("l_quantity").cast("decimal(20,2)").alias("q"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    return scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("q").cast("double")
+            / (F.lit(50.0) * F.count(F.lit(1)).cast("double"))
+        ).alias("mean_predicted"),
+        (
+            F.sum("y").cast("bigint").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("actual_rate"),
+    )
+
+
+_RIDGE_LAMBDA = "1000.0"
+
+
+@register(
+    "ml_ridge_normal_equations",
+    tags=("ml", "agg"),
+    oracle=f"""
+        WITH s AS ({_OLS_SUMS_SQL}),
+        adj AS (
+            SELECT n, s1, s2, sy, s1y, s2y, s12,
+                   s11 + {_RIDGE_LAMBDA} AS s11,
+                   s22 + {_RIDGE_LAMBDA} AS s22
+            FROM s
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST({_RIDGE_LAMBDA} AS DOUBLE) AS lambda,
+               {_KF_BETAS['beta0']} AS beta0,
+               {_KF_BETAS['beta1']} AS beta1,
+               {_KF_BETAS['beta2']} AS beta2
+        FROM adj
+    """,
+)
+def ml_ridge_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression in closed form: the same one-scan exact-decimal
+    sufficient statistics as ml_ols_normal_equations, with λ=1000 added
+    to the Gram diagonal (intercept unpenalized — the n row/column is
+    untouched) before the identical Cramer solve. Shrinkage as a pure
+    post-aggregation scalar adjustment: at 100 TB a whole λ sweep
+    reuses ONE scan's statistics — the reason normal-equation form
+    beats SGD for small-d linear models on huge data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("decimal(20,2)")
+    x2 = F.col("l_discount").cast("decimal(20,2)")
+    y = F.col("l_extendedprice").cast("decimal(20,2)")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(x1 * x1).cast("double").alias("s11_raw"),
+        F.sum(x1 * x2).cast("double").alias("s12"),
+        F.sum(x2 * x2).cast("double").alias("s22_raw"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * y).cast("double").alias("s1y"),
+        F.sum(x2 * y).cast("double").alias("s2y"),
+    )
+    adj = s.select(
+        "n", "s1", "s2", "sy", "s1y", "s2y", "s12",
+        (F.col("s11_raw") + F.expr(_RIDGE_LAMBDA)).alias("s11"),
+        (F.col("s22_raw") + F.expr(_RIDGE_LAMBDA)).alias("s22"),
+    )
+    return adj.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(_RIDGE_LAMBDA).cast("double").alias("lambda"),
+        F.expr(_KF_BETAS["beta0"]).alias("beta0"),
+        F.expr(_KF_BETAS["beta1"]).alias("beta1"),
+        F.expr(_KF_BETAS["beta2"]).alias("beta2"),
+    )
+
+
+_CORR_FEATURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_FORMULA = (
+    "(n_d * sxy - sx * sy)"
+    " / sqrt((n_d * sxx - sx * sx) * (n_d * syy - sy * sy))"
+)
+
+
+@register(
+    "ml_feature_corr_matrix",
+    tags=("ml", "features", "agg"),
+    oracle=f"""
+        WITH s AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_d,
+                   {", ".join(
+                       f'''CAST(CAST(SUM(CAST({f} AS DECIMAL(25,4))) AS VARCHAR)
+                           AS DOUBLE) AS s_{i}'''
+                       for i, f in enumerate(_CORR_FEATURES)
+                   )},
+                   {", ".join(
+                       f'''CAST(CAST(SUM(CAST({_CORR_FEATURES[i]} AS DECIMAL(25,4))
+                               * CAST({_CORR_FEATURES[j]} AS DECIMAL(25,4)))
+                           AS VARCHAR) AS DOUBLE) AS s_{i}_{j}'''
+                       for i in range(len(_CORR_FEATURES))
+                       for j in range(i, len(_CORR_FEATURES))
+                   )}
+            FROM lineitem
+        )
+        {" UNION ALL ".join(
+            f'''SELECT '{_CORR_FEATURES[i]}' AS feature_x,
+                   '{_CORR_FEATURES[j]}' AS feature_y,
+                   (n_d * s_{i}_{j} - s_{i} * s_{j})
+                     / sqrt((n_d * s_{i}_{i} - s_{i} * s_{i})
+                            * (n_d * s_{j}_{j} - s_{j} * s_{j})) AS corr
+            FROM s'''
+            for i in range(len(_CORR_FEATURES))
+            for j in range(i + 1, len(_CORR_FEATURES))
+        )}
+    """,
+)
+def ml_feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over four lineitem measures
+    from ONE scan: all d first moments and d(d+1)/2 exact decimal
+    cross-moments in a single aggregate (the upper-triangular Gram —
+    the same sufficient statistics a distributed PCA/whitening fit
+    uses), then each of the 6 coefficients is closed-form double
+    arithmetic on those scalars, identical on both engines. Extends
+    agg_corr_exact (one pair) to the full matrix without extra
+    passes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nf = len(_CORR_FEATURES)
+    dec = {
+        f: F.col(f).cast("decimal(25,4)") for f in _CORR_FEATURES
+    }
+    aggs = [F.count(F.lit(1)).cast("double").alias("n_d")]
+    aggs += [
+        F.sum(dec[f]).cast("double").alias(f"s_{i}")
+        for i, f in enumerate(_CORR_FEATURES)
+    ]
+    aggs += [
+        F.sum(dec[_CORR_FEATURES[i]] * dec[_CORR_FEATURES[j]])
+        .cast("double")
+        .alias(f"s_{i}_{j}")
+        for i in range(nf)
+        for j in range(i, nf)
+    ]
+    s = li.agg(*aggs).persist()
+    parts = [
+        s.select(
+            F.lit(_CORR_FEATURES[i]).alias("feature_x"),
+            F.lit(_CORR_FEATURES[j]).alias("feature_y"),
+            F.expr(
+                f"(n_d * s_{i}_{j} - s_{i} * s_{j})"
+                f" / sqrt((n_d * s_{i}_{i} - s_{i} * s_{i})"
+                f" * (n_d * s_{j}_{j} - s_{j} * s_{j}))"
+            ).alias("corr"),
+        )
+        for i in range(nf)
+        for j in range(i + 1, nf)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
