@@ -678,11 +678,16 @@ def ml_target_encode_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STUMP_BINS = 32
 # identical double arithmetic from exact integer counts on both engines
+# NB: {p}/{t} substitutions are parenthesized — "({t}) - ({p})" — an
+# unparenthesized "{t} - {p}" silently mis-associates for compound
+# arguments like t='tot_n - cum_n' (caught by the gain>=0 invariant in
+# tests/test_round7_ops.py; the shared-fragment hash oracle CANNOT
+# catch it, both engines computing the same wrong expression)
 _GINI = (
-    "1.0 - (CAST({p} AS DOUBLE) / CAST({t} AS DOUBLE))"
-    " * (CAST({p} AS DOUBLE) / CAST({t} AS DOUBLE))"
-    " - (CAST({t} - {p} AS DOUBLE) / CAST({t} AS DOUBLE))"
-    " * (CAST({t} - {p} AS DOUBLE) / CAST({t} AS DOUBLE))"
+    "1.0 - (CAST(({p}) AS DOUBLE) / CAST(({t}) AS DOUBLE))"
+    " * (CAST(({p}) AS DOUBLE) / CAST(({t}) AS DOUBLE))"
+    " - (CAST(({t}) - ({p}) AS DOUBLE) / CAST(({t}) AS DOUBLE))"
+    " * (CAST(({t}) - ({p}) AS DOUBLE) / CAST(({t}) AS DOUBLE))"
 )
 _STUMP_GAIN = (
     "CASE WHEN cum_n < tot_n THEN "
