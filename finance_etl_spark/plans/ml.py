@@ -1403,3 +1403,145 @@ def ml_feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_GB_F0 = "g_sum_d / g_n_d"  # global mean prediction (round 0)
+_GB_GAIN = (
+    "(cum_r * cum_r) / CAST(cum_n AS DOUBLE)"
+    " + ((tot_r - cum_r) * (tot_r - cum_r))"
+    " / CAST(tot_n - cum_n AS DOUBLE)"
+    " - (tot_r * tot_r) / CAST(tot_n AS DOUBLE)"
+)
+_GB_SSE_AFTER = (
+    "tot_r2 - (cum_r * cum_r) / CAST(cum_n AS DOUBLE)"
+    " - ((tot_r - cum_r) * (tot_r - cum_r)) / CAST(tot_n - cum_n AS DOUBLE)"
+)
+
+
+@register(
+    "ml_gbdt_boost_round",
+    tags=("ml", "tree", "agg"),
+    oracle=f"""
+        WITH g AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS g_n_d,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2)))
+                        AS VARCHAR) AS DOUBLE) AS g_sum_d
+            FROM lineitem
+        ),
+        grp AS (
+            SELECT l_quantity AS threshold,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(FLOOR((CAST(CAST(l_extendedprice
+                       AS VARCHAR) AS DOUBLE) - {_GB_F0}) * 1e4)
+                       AS DECIMAL(38,0))) AS sr_raw,
+                   SUM(CAST(FLOOR((CAST(CAST(l_extendedprice
+                       AS VARCHAR) AS DOUBLE) - {_GB_F0})
+                       * (CAST(CAST(l_extendedprice AS VARCHAR) AS DOUBLE)
+                          - {_GB_F0}) * 1e4)
+                       AS DECIMAL(38,0))) AS sr2_raw
+            FROM lineitem CROSS JOIN g
+            GROUP BY l_quantity
+        ),
+        cum AS (
+            -- window sums stay DECIMAL (exact, order-independent);
+            -- the double presentation happens per output row
+            SELECT threshold,
+                   CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+                   CAST(CAST(SUM(sr_raw) OVER w AS VARCHAR) AS DOUBLE)
+                       / 1e4 AS cum_r,
+                   CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+                   CAST(CAST(SUM(sr_raw) OVER () AS VARCHAR) AS DOUBLE)
+                       / 1e4 AS tot_r,
+                   CAST(CAST(SUM(sr2_raw) OVER () AS VARCHAR) AS DOUBLE)
+                       / 1e4 AS tot_r2
+            FROM grp
+            WINDOW w AS (ORDER BY threshold
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        scored AS (
+            SELECT threshold, cum_n, cum_r, tot_n, tot_r, tot_r2,
+                   {_GB_GAIN} AS gain
+            FROM cum WHERE cum_n < tot_n
+        ),
+        best AS (
+            SELECT * FROM scored ORDER BY gain DESC, threshold DESC LIMIT 1
+        )
+        SELECT (SELECT {_GB_F0} FROM g) AS f0,
+               threshold AS best_threshold, gain,
+               cum_r / CAST(cum_n AS DOUBLE) AS gamma_left,
+               (tot_r - cum_r) / CAST(tot_n - cum_n AS DOUBLE) AS gamma_right,
+               sqrt(({_GB_SSE_AFTER}) / CAST(tot_n AS DOUBLE)) AS rmse_after
+        FROM best
+    """,
+)
+def ml_gbdt_boost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full gradient-boosting round on squared loss (the XGBoost/
+    LightGBM unit of work): F₀ = global mean; residuals against F₀ feed
+    a regression stump (candidate splits = distinct feature values,
+    best by exact SSE-reduction from cumulative (n, Σr) statistics);
+    leaf values are residual means; and the post-round train RMSE comes
+    from the same statistics — no second residual scan. Engine-exact:
+    residual sums use the floor-scale trick (o_fsum recipe) so
+    every gain/leaf/rmse is identical double arithmetic on identical
+    inputs; argmax ties break on (gain, threshold) struct order. Scale
+    shape: 2 scans (global mean, residual histogram), a
+    |distinct-values| window, and a model-sized result — the inner
+    loop that distributed GBDT repeats per feature per round, shown
+    here end-to-end with its evaluation."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.agg(
+        F.count(F.lit(1)).cast("double").alias("g_n_d"),
+        F.sum(F.col("l_extendedprice").cast("decimal(25,2)"))
+        .cast("double")
+        .alias("g_sum_d"),
+    )
+    r = F.col("l_extendedprice").cast("double") - F.expr(_GB_F0)
+    def raw(col):  # floor-scaled DECIMAL(38,0) partial (o_fsum recipe)
+        return F.sum(F.floor(col * F.lit(1e4)).cast("decimal(38,0)"))
+
+    grp = (
+        li.crossJoin(F.broadcast(g))
+        .groupBy(F.col("l_quantity").alias("threshold"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            raw(r).alias("sr_raw"),
+            raw(r * r).alias("sr2_raw"),
+        )
+    )
+    w = Window.orderBy("threshold").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    # window sums stay DECIMAL (exact, order-independent); double
+    # presentation per row
+    cum = grp.select(
+        "threshold",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+        (F.sum("sr_raw").over(w).cast("double") / F.lit(1e4)).alias("cum_r"),
+        F.sum("n").over(wall).cast("bigint").alias("tot_n"),
+        (F.sum("sr_raw").over(wall).cast("double") / F.lit(1e4)).alias(
+            "tot_r"
+        ),
+        (F.sum("sr2_raw").over(wall).cast("double") / F.lit(1e4)).alias(
+            "tot_r2"
+        ),
+    )
+    scored = cum.filter(F.col("cum_n") < F.col("tot_n")).select(
+        "*", F.expr(_GB_GAIN).alias("gain")
+    )
+    best = scored.orderBy(
+        F.col("gain").desc(), F.col("threshold").desc()
+    ).limit(1)
+    return best.crossJoin(F.broadcast(g)).select(
+        F.expr(_GB_F0).alias("f0"),
+        F.col("threshold").alias("best_threshold"),
+        "gain",
+        (F.col("cum_r") / F.col("cum_n").cast("double")).alias("gamma_left"),
+        (
+            (F.col("tot_r") - F.col("cum_r"))
+            / (F.col("tot_n") - F.col("cum_n")).cast("double")
+        ).alias("gamma_right"),
+        F.sqrt(
+            F.expr(_GB_SSE_AFTER) / F.col("tot_n").cast("double")
+        ).alias("rmse_after"),
+    )

@@ -221,3 +221,38 @@ def test_perplexity_filter_matches_pure_python(spark):
         assert out[d]["avg_nll"] == pytest.approx(avg, rel=1e-12)
         assert out[d]["kept"] == (out[d]["avg_nll"] < 3.4)
     assert 0 < sum(r["kept"] for r in out.values()) < len(out)
+
+
+# ---------------------------------------------------------------------------
+# GBDT boosting round vs a naive numpy reference
+
+
+def test_gbdt_boost_round_matches_numpy(spark):
+    row = plans.get("ml_gbdt_boost_round").build(spark, SF).collect()[0]
+    data = _lineitem_cols("l_quantity", "l_extendedprice")
+    x = np.array([float(q) for q, _ in data])
+    y = np.array([float(p) for _, p in data])
+    f0 = y.mean()
+    r = y - f0
+    best = None
+    for t in sorted(set(x))[:-1]:  # split = "x <= t"
+        left, right = r[x <= t], r[x > t]
+        gain = (
+            left.sum() ** 2 / len(left)
+            + right.sum() ** 2 / len(right)
+            - r.sum() ** 2 / len(r)
+        )
+        if best is None or gain > best[0]:
+            best = (gain, t, left.mean(), right.mean())
+    gain, t, gl, gr = best
+    sse_after = ((r - np.where(x <= t, gl, gr)) ** 2).sum()
+    assert row["f0"] == pytest.approx(f0, rel=1e-12)
+    assert float(row["best_threshold"]) == t
+    assert row["gain"] == pytest.approx(gain, rel=1e-6)
+    assert row["gamma_left"] == pytest.approx(gl, rel=1e-6)
+    assert row["gamma_right"] == pytest.approx(gr, rel=1e-6)
+    assert row["rmse_after"] == pytest.approx(
+        np.sqrt(sse_after / len(r)), rel=1e-6
+    )
+    # boosting cannot hurt squared-loss training error
+    assert row["rmse_after"] <= np.sqrt((r**2).mean()) + 1e-9
