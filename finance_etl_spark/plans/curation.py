@@ -2171,14 +2171,79 @@ def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority", "o_orderstatus")
 
 
-@register("graph_community_labelprop", tags=("graph", "iterative"))
+def _labelprop_oracle(rounds: int = 5) -> str:
+    """Unrolled label propagation (same fixed-round recipe as
+    _pagerank_oracle / _kcore_oracle): the update is pure integer
+    arithmetic (vote counts, min-label ties), and the one float —
+    the 0.8 edge-weight percentile — interpolates identically in
+    Spark percentile() and DuckDB quantile_cont() (both (n-1)-based,
+    verified on a shared fixture)."""
+    ctes = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        ctes.append(f"""
+        l{i} AS MATERIALIZED (
+            SELECT l.node, COALESCE(p.new_label, l.label) AS label
+            FROM {prev} l LEFT JOIN (
+                SELECT node, label AS new_label FROM (
+                    SELECT s.a AS node, v.label,
+                           ROW_NUMBER() OVER (PARTITION BY s.a
+                               ORDER BY COUNT(*) DESC, v.label ASC) AS rn
+                    FROM sym s JOIN {prev} v ON v.node = s.b
+                    GROUP BY s.a, v.label
+                )
+                WHERE rn = 1
+            ) p ON p.node = l.node
+        )""")
+        prev = f"l{i}"
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                   COUNT(*) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY s.s_nationkey, c.c_nationkey
+        ),
+        u AS MATERIALIZED (
+            SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                   SUM(w) AS w
+            FROM e WHERE src <> dst
+            GROUP BY LEAST(src, dst), GREATEST(src, dst)
+        ),
+        thr AS (SELECT quantile_cont(w, 0.8) AS t FROM u),
+        ku AS MATERIALIZED (
+            SELECT a, b FROM u CROSS JOIN thr WHERE w >= t
+        ),
+        sym AS MATERIALIZED (
+            SELECT a, b FROM ku UNION SELECT b, a FROM ku
+        ),
+        l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+        {','.join(ctes)}
+        SELECT label AS community_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM {prev}
+        GROUP BY label
+        ORDER BY community_id
+    """
+
+
+@register(
+    "graph_community_labelprop",
+    tags=("graph", "iterative"),
+    oracle=_labelprop_oracle(),
+)
 def graph_community_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the strong-trade nation graph via
     deterministic label propagation (operators/components.py::
     label_propagation — max-frequency update, min-label ties, fixed 5
-    rounds). Rows-only (iterative, not ANSI-expressible);
-    tests/test_operators.py pins planted two-clique recovery,
-    repartition determinism, and the tiebreak rule."""
+    rounds). Hash-oracled (promoted from rows-only in r7): the fixed
+    deterministic rounds unroll as chained CTEs — pure integer votes
+    and min-label ties, the one float (the 0.8 percentile threshold)
+    interpolating identically cross-engine (_labelprop_oracle).
+    tests/test_operators.py additionally pins planted two-clique
+    recovery, repartition determinism, and the tiebreak rule."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")

@@ -1813,7 +1813,93 @@ def holt_winters_additive(y, period: int = 7, alpha: float = 0.3,
     ]
 
 
-@register("ts_holt_winters", tags=("timeseries", "udf", "forecast"))
+def _hw_oracle() -> str:
+    """Recursive-CTE Holt-Winters oracle mirroring
+    holt_winters_additive STEP FOR STEP: the smoothing recursion is a
+    linear scalar recurrence, so it IS expressible as WITH RECURSIVE
+    (no aggregation over the recursive table — the seasonal state
+    rides along as a 7-element list). Bit-exactness: every operation
+    is written in the Python loop's exact order (IEEE binary64 both
+    sides), float literals CAST to DOUBLE (DuckDB would parse them as
+    DECIMAL), the daily inputs are the dsum/o_dsum exact doubles, and
+    the first/second-season means are explicit left-to-right folds
+    matching Python's sum()."""
+    a, b, g = "CAST(0.3 AS DOUBLE)", "CAST(0.1 AS DOUBLE)", "CAST(0.2 AS DOUBLE)"
+    one = "CAST(1 AS DOUBLE)"
+
+    # left fold ((((((l1+l2)+l3)+l4)+l5)+l6)+l7), matching Python sum()
+    def lfold(off):
+        expr = f"lst[{off + 1}]"
+        for i in range(2, 8):
+            expr = f"({expr} + lst[{off + i}])"
+        return expr
+    return f"""
+        WITH RECURSIVE daily AS MATERIALIZED (
+            SELECT event_type AS et, CAST(ts AS DATE) AS d,
+                   {o_dsum('value')} AS y
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        ys AS MATERIALIZED (
+            SELECT et,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY et ORDER BY d) - 1
+                        AS BIGINT) AS t,
+                   y
+            FROM daily
+        ),
+        ns AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS n FROM ys GROUP BY et),
+        lists AS (
+            SELECT et, list(y ORDER BY t) AS lst FROM ys GROUP BY et
+        ),
+        init AS (
+            SELECT l.et,
+                   {lfold(0)} / CAST(7 AS DOUBLE) AS level0,
+                   ({lfold(7)} / CAST(7 AS DOUBLE)
+                    - {lfold(0)} / CAST(7 AS DOUBLE))
+                     / CAST(7 AS DOUBLE) AS trend0,
+                   list_transform(l.lst[1:7],
+                       x -> x - {lfold(0)} / CAST(7 AS DOUBLE)) AS season0
+            FROM lists l JOIN ns ON ns.et = l.et
+            WHERE ns.n >= 14
+        ),
+        hw AS (
+            SELECT et, CAST(0 AS BIGINT) AS t,
+                   level0 AS level, trend0 AS trend, season0 AS season
+            FROM init
+            UNION ALL
+            SELECT hw.et, hw.t + 1,
+                   {a} * (ys.y - hw.season[CAST(hw.t % 7 AS INT) + 1])
+                     + ({one} - {a}) * (hw.level + hw.trend),
+                   {b} * (({a} * (ys.y - hw.season[CAST(hw.t % 7 AS INT) + 1])
+                           + ({one} - {a}) * (hw.level + hw.trend)) - hw.level)
+                     + ({one} - {b}) * hw.trend,
+                   hw.season[1:CAST(hw.t % 7 AS INT)]
+                     || [{g} * (ys.y - ({a} * (ys.y
+                            - hw.season[CAST(hw.t % 7 AS INT) + 1])
+                          + ({one} - {a}) * (hw.level + hw.trend)))
+                         + ({one} - {g})
+                           * hw.season[CAST(hw.t % 7 AS INT) + 1]]
+                     || hw.season[CAST(hw.t % 7 AS INT) + 2:7]
+            FROM hw JOIN ys ON ys.et = hw.et AND ys.t = hw.t
+        ),
+        final AS (
+            SELECT hw.et, hw.level, hw.trend, hw.season, ns.n
+            FROM hw JOIN ns ON ns.et = hw.et AND hw.t = ns.n
+        )
+        SELECT f.et AS event_type,
+               CAST(h.h + 1 AS INT) AS horizon,
+               f.level + CAST(h.h + 1 AS DOUBLE) * f.trend
+                 + f.season[CAST((f.n + h.h) % 7 AS INT) + 1] AS forecast
+        FROM final f
+        CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS h) h
+        ORDER BY event_type, horizon
+    """
+
+
+@register(
+    "ts_holt_winters",
+    tags=("timeseries", "udf", "forecast"),
+    oracle=_hw_oracle(),
+)
 def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt-Winters triple-exponential forecast (additive, weekly
     season) of each daily series, 7 days ahead — the classic
@@ -1822,10 +1908,13 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by series: each task runs the O(days) loop for its series,
     the corpus-scale daily aggregation is ordinary map-side partials,
     and series count is the parallelism unit (a 100-TB metrics store
-    forecasts millions of series this exact way). Rows-only (state
-    recursion is not ANSI-expressible); tests/test_round4_ops.py pins
-    the forecasts against an independent reference loop and asserts
-    the constant-series fixed point (forecast == the constant)."""
+    forecasts millions of series this exact way). Hash-oracled
+    (promoted from rows-only in r7): the smoothing recursion is a
+    linear scalar recurrence, expressible as a DuckDB WITH RECURSIVE
+    carrying the 7-slot seasonal state as a list (_hw_oracle — every
+    op in the Python loop's exact IEEE order). tests/test_round4_ops.py
+    additionally pins the forecasts against an independent reference
+    loop and asserts the constant-series fixed point."""
     import pandas as pd
 
     e = load_table(spark, sf_dir, "events")
