@@ -1545,3 +1545,177 @@ def ml_gbdt_boost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_GB_SSE_AFTER) / F.col("tot_n").cast("double")
         ).alias("rmse_after"),
     )
+
+
+@register(
+    "ml_mutual_information",
+    tags=("ml", "features", "agg"),
+    oracle="""
+        WITH joint AS (
+            SELECT o_orderpriority AS x, o_orderstatus AS y,
+                   CAST(COUNT(*) AS BIGINT) AS n_xy
+            FROM orders GROUP BY 1, 2
+        ),
+        mx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x
+               FROM joint GROUP BY x),
+        my AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y
+               FROM joint GROUP BY y),
+        tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM joint)
+        SELECT j.x, j.y, j.n_xy,
+               CAST(CAST(CAST(ln(CAST(j.n_xy AS DOUBLE) * CAST(t.n AS DOUBLE)
+                       / (CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE)))
+                    AS DECIMAL(12,6)) AS VARCHAR) AS DOUBLE) AS pmi,
+               CAST(CAST(j.n_xy * CAST(ln(CAST(j.n_xy AS DOUBLE)
+                       * CAST(t.n AS DOUBLE)
+                       / (CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE)))
+                    AS DECIMAL(12,6)) AS VARCHAR) AS DOUBLE)
+                 / CAST(t.n AS DOUBLE) AS mi_contribution
+        FROM joint j
+        JOIN mx ON mx.x = j.x
+        JOIN my ON my.y = j.y
+        CROSS JOIN tot t
+    """,
+)
+def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise and total mutual information between two categoricals
+    (order priority × order status) — the feature-relevance measure
+    behind information-gain selection. Per cell: exact joint/marginal
+    integer counts, PMI = ln(N·n_xy/(n_x·n_y)) quantized to
+    DECIMAL(12,6) (the libm-drift-absorbing recipe), and the cell's MI
+    contribution (n_xy·PMI_q exact decimal product, one edge division)
+    — Σ contributions = MI. One joint-key shuffle + two broadcast
+    marginals at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    joint = o.groupBy(
+        F.col("o_orderpriority").alias("x"),
+        F.col("o_orderstatus").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+    mx = joint.groupBy("x").agg(F.sum("n_xy").cast("bigint").alias("n_x"))
+    my = joint.groupBy("y").agg(F.sum("n_xy").cast("bigint").alias("n_y"))
+    tot = joint.agg(F.sum("n_xy").cast("bigint").alias("n"))
+    pmi_q = F.log(
+        F.col("n_xy").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+    ).cast("decimal(12,6)")
+    return (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            pmi_q.cast("double").alias("pmi"),
+            (
+                (F.col("n_xy") * pmi_q).cast("double")
+                / F.col("n").cast("double")
+            ).alias("mi_contribution"),
+        )
+    )
+
+
+_CHI2 = (
+    "CAST(n AS DOUBLE)"
+    " * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)"
+    "    - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"
+    " * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)"
+    "    - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"
+    " / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)"
+    "    * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))"
+)
+
+
+@register(
+    "ml_chi2_feature_select",
+    tags=("ml", "text", "features"),
+    oracle=f"""
+        WITH dt AS MATERIALIZED (
+            SELECT DISTINCT doc_id, lang,
+                   unnest(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS tok
+            FROM documents
+        ),
+        n_docs AS (
+            SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+            FROM documents
+        ),
+        cls AS (
+            SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_lang
+            FROM documents GROUP BY lang
+        ),
+        tok_tot AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok
+            FROM dt GROUP BY tok
+        ),
+        cells AS (
+            SELECT dt.tok, dt.lang,
+                   CAST(COUNT(*) AS BIGINT) AS a,
+                   CAST(tt.n_tok - COUNT(*) AS BIGINT) AS b,
+                   CAST(c.n_lang - COUNT(*) AS BIGINT) AS c,
+                   CAST(nd.n - tt.n_tok - c.n_lang + COUNT(*) AS BIGINT) AS d,
+                   nd.n AS n
+            FROM dt
+            JOIN tok_tot tt ON tt.tok = dt.tok
+            JOIN cls c ON c.lang = dt.lang
+            CROSS JOIN n_docs nd
+            GROUP BY dt.tok, dt.lang, tt.n_tok, c.n_lang, nd.n
+        )
+        SELECT tok, lang, a, b, c, d, {_CHI2} AS chi2
+        FROM cells
+        WHERE b > 0 AND c > 0 AND d > 0
+        ORDER BY chi2 DESC, tok, lang
+        LIMIT 20
+    """,
+)
+def ml_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² feature selection for text classification (the scikit-learn
+    chi2/SelectKBest shape): for every (token, class) pair, the 2×2
+    presence table [a,b;c,d] over documents and the closed-form
+    χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) — a SINGLE double expression
+    over exact integers, so no float accumulation exists to diverge.
+    Top-20 by (χ², tok, lang) deterministic order. Vocabulary-sized
+    intermediate, token-key shuffles only; degenerate pairs (a full
+    row/column) are filtered to keep the statistic defined."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.filter(F.split(F.col("text"), _SPACE), lambda t: t != "")
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    n_docs = d.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
+    cls = d.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_lang")
+    )
+    tok_tot = dt.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    cells = (
+        dt.groupBy("tok", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+        .join(tok_tot, "tok")
+        .join(F.broadcast(cls), "lang")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            "lang",
+            "a",
+            (F.col("n_tok") - F.col("a")).cast("bigint").alias("b"),
+            (F.col("n_lang") - F.col("a")).cast("bigint").alias("c"),
+            (F.col("n") - F.col("n_tok") - F.col("n_lang") + F.col("a"))
+            .cast("bigint")
+            .alias("d"),
+            "n",
+        )
+    )
+    return (
+        cells.filter((F.col("b") > 0) & (F.col("c") > 0) & (F.col("d") > 0))
+        .select("tok", "lang", "a", "b", "c", "d", F.expr(_CHI2).alias("chi2"))
+        .orderBy(F.col("chi2").desc(), "tok", "lang")
+        .limit(20)
+    )

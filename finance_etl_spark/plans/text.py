@@ -1977,3 +1977,182 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_nll",
         (F.col("avg_nll") < F.expr(_PPL_THRESHOLD)).alias("kept"),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    tags=("text", "quality", "dedup"),
+    oracle="""
+        WITH docs AS MATERIALIZED (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS lst
+            FROM documents
+        ),
+        tris AS MATERIALIZED (
+            SELECT DISTINCT doc_id,
+                   lst[i] || ' ' || lst[i + 1] || ' ' || lst[i + 2] AS tri
+            FROM (
+                SELECT doc_id, lst,
+                       unnest(generate_series(1, len(lst) - 2)) AS i
+                FROM docs WHERE len(lst) >= 3
+            )
+        ),
+        first_seen AS (
+            SELECT tri, MIN(doc_id) AS first_doc FROM tris GROUP BY tri
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_trigram_types,
+               CAST(COUNT(*) FILTER (WHERE f.first_doc = t.doc_id)
+                    AS BIGINT) AS novel_types,
+               CAST(COUNT(*) FILTER (WHERE f.first_doc = t.doc_id)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
+        FROM tris t JOIN first_seen f ON f.tri = t.tri
+        GROUP BY t.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring (memorization/contamination lens): for
+    each document, the fraction of its distinct word trigrams whose
+    FIRST corpus occurrence (min doc_id — ingestion order) is this
+    document. Low novelty = boilerplate/recombination; the streaming
+    analogue admits only high-novelty docs. Exact integers + one edge
+    division; trigram-key shuffles only, distinct-trigram-bounded
+    state (the same df-capped inverted-index scale shape as the dedup
+    family)."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), _SPACE), lambda t: t != "").alias(
+            "lst"
+        ),
+    ).persist()
+    tris = (
+        docs.filter(F.size("lst") >= 3)
+        .select("doc_id", "lst", F.posexplode("lst").alias("i", "w1"))
+        .filter(F.col("i") < F.size("lst") - 2)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                "w1",
+                F.element_at(F.col("lst"), F.col("i") + 2),
+                F.element_at(F.col("lst"), F.col("i") + 3),
+            ).alias("tri"),
+        )
+        .distinct()
+    ).persist()
+    first_seen = tris.groupBy("tri").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        tris.join(first_seen, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigram_types"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("novel_types"),
+        )
+        .select(
+            "doc_id",
+            "n_trigram_types",
+            "novel_types",
+            (
+                F.col("novel_types").cast("double")
+                / F.col("n_trigram_types").cast("double")
+            ).alias("novelty_ratio"),
+        )
+    )
+
+
+_ZIPF_TOP = 100
+_ZIPF_SLOPE = (
+    "(n_d * sxy - sx * sy) / (n_d * sxx - sx * sx)"
+)
+_ZIPF_INTERCEPT = "(sy - ((n_d * sxy - sx * sy) / (n_d * sxx - sx * sx)) * sx) / n_d"
+
+
+@register(
+    "text_zipf_fit",
+    tags=("text", "stats", "agg"),
+    oracle=f"""
+        WITH freqs AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (
+                SELECT unnest(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS tok
+                FROM documents
+            )
+            GROUP BY tok
+        ),
+        ranked AS (
+            SELECT tok, freq,
+                   CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok)
+                        AS BIGINT) AS rank
+            FROM freqs
+            ORDER BY freq DESC, tok
+            LIMIT {_ZIPF_TOP}
+        ),
+        pts AS (
+            SELECT CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(12,6)) AS lx,
+                   CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(12,6)) AS ly
+            FROM ranked
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_d,
+                   CAST(CAST(SUM(lx) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(ly) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(lx * lx) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(lx * ly) AS VARCHAR) AS DOUBLE) AS sxy
+            FROM pts
+        )
+        SELECT CAST(n_d AS BIGINT) AS n_points,
+               {_ZIPF_SLOPE} AS slope,
+               {_ZIPF_INTERCEPT} AS intercept
+        FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: the top-100
+    token frequencies by deterministic (freq desc, token) rank, then
+    the log-log OLS slope/intercept in closed form — a natural-corpus
+    slope sits near −1, and departures flag synthetic or boilerplate
+    data (a standard corpus-health check). Engine-exact via the NB
+    recipe: ln(rank)/ln(freq) quantize to DECIMAL(12,6), the OLS
+    moments are exact decimal sums, and slope/intercept are shared
+    double fragments. One token-key shuffle + a top-k; the fit itself
+    is model-sized."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    freqs = (
+        d.select(
+            F.explode(
+                F.filter(F.split(F.col("text"), _SPACE), lambda t: t != "")
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), "tok")
+    ranked = (
+        freqs.select(
+            "tok", "freq", F.row_number().over(w).cast("bigint").alias("rank")
+        )
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(_ZIPF_TOP)
+    )
+    pts = ranked.select(
+        F.log(F.col("rank").cast("double")).cast("decimal(12,6)").alias("lx"),
+        F.log(F.col("freq").cast("double")).cast("decimal(12,6)").alias("ly"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n_d"),
+        F.sum("lx").cast("double").alias("sx"),
+        F.sum("ly").cast("double").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("double").alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).cast("double").alias("sxy"),
+    )
+    return s.select(
+        F.col("n_d").cast("bigint").alias("n_points"),
+        F.expr(_ZIPF_SLOPE).alias("slope"),
+        F.expr(_ZIPF_INTERCEPT).alias("intercept"),
+    )

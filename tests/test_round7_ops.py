@@ -256,3 +256,132 @@ def test_gbdt_boost_round_matches_numpy(spark):
     )
     # boosting cannot hurt squared-loss training error
     assert row["rmse_after"] <= np.sqrt((r**2).mean()) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# batch-3 references: MI, chi2, novelty, zipf
+
+
+def _docs():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, lang, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    return [(d, l, [t for t in txt.split(" ") if t]) for d, l, txt in rows]
+
+
+def test_mutual_information_matches_pure_python(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import math
+
+    rows = plans.get("ml_mutual_information").build(spark, SF).collect()
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT o_orderpriority, o_orderstatus"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    joint, mx, my = {}, {}, {}
+    for x, y in data:
+        joint[(x, y)] = joint.get((x, y), 0) + 1
+        mx[x] = mx.get(x, 0) + 1
+        my[y] = my.get(y, 0) + 1
+    n = len(data)
+    q = Decimal("1.000000")
+    mi = 0.0
+    for r in rows:
+        nxy = joint[(r["x"], r["y"])]
+        pmi_q = Decimal(
+            repr(math.log(nxy * n / (mx[r["x"]] * my[r["y"]])))
+        ).quantize(q, rounding=ROUND_HALF_UP)
+        assert r["n_xy"] == nxy
+        assert r["pmi"] == pytest.approx(float(pmi_q), abs=1e-12)
+        assert r["mi_contribution"] == pytest.approx(
+            float(nxy * pmi_q) / n, rel=1e-12
+        )
+        mi += r["mi_contribution"]
+    assert len(rows) == len(joint)
+    assert mi >= -1e-9  # total MI is non-negative
+
+
+def test_chi2_feature_select_reference(spark):
+    rows = plans.get("ml_chi2_feature_select").build(spark, SF).collect()
+    docs = _docs()
+    n = len(docs)
+    for r in rows[:5]:
+        a = sum(1 for _, l, ts in docs if l == r["lang"] and r["tok"] in ts)
+        ntok = sum(1 for *_, ts in docs if r["tok"] in ts)
+        nlang = sum(1 for _, l, _ts in docs if l == r["lang"])
+        b, c, d = ntok - a, nlang - a, n - ntok - nlang + a
+        assert (r["a"], r["b"], r["c"], r["d"]) == (a, b, c, d)
+        chi2 = (
+            n * (a * d - b * c) ** 2
+            / ((a + b) * (c + d) * (a + c) * (b + d))
+        )
+        assert r["chi2"] == pytest.approx(chi2, rel=1e-12)
+    # ranked descending
+    chis = [r["chi2"] for r in rows]
+    assert chis == sorted(chis, reverse=True) and len(rows) == 20
+
+
+def test_ngram_novelty_reference(spark):
+    out = {
+        r["doc_id"]: r
+        for r in plans.get("text_ngram_novelty").build(spark, SF).collect()
+    }
+    docs = _docs()
+    first = {}
+    tris = {}
+    for d, _, ts in sorted(docs):
+        my = {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+        tris[d] = my
+        for t in my:
+            if t not in first or d < first[t]:
+                first[t] = min(first.get(t, d), d)
+    for d, my in list(tris.items())[:50]:
+        if not my:
+            assert d not in out
+            continue
+        novel = sum(1 for t in my if first[t] == d)
+        assert out[d]["n_trigram_types"] == len(my)
+        assert out[d]["novel_types"] == novel
+        assert out[d]["novelty_ratio"] == pytest.approx(
+            novel / len(my), rel=1e-12
+        )
+    # the corpus must contain both boilerplate and novel docs
+    ratios = [r["novelty_ratio"] for r in out.values()]
+    assert min(ratios) < 1.0 and max(ratios) > 0.0
+
+
+def test_zipf_fit_reference(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import math
+
+    row = plans.get("text_zipf_fit").build(spark, SF).collect()[0]
+    docs = _docs()
+    freq = {}
+    for *_, ts in docs:
+        for t in ts:
+            freq[t] = freq.get(t, 0) + 1
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    q = Decimal("1.000000")
+
+    def lq(v):
+        return Decimal(repr(math.log(v))).quantize(q, rounding=ROUND_HALF_UP)
+
+    xs = [lq(i + 1) for i in range(len(top))]
+    ys = [lq(f) for _, f in top]
+    n = float(len(top))
+    sx, sy = float(sum(xs)), float(sum(ys))
+    sxx = float(sum(x * x for x in xs))
+    sxy = float(sum(x * y for x, y in zip(xs, ys)))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    assert row["n_points"] == len(top)  # sf0.001 vocab is < 100
+    assert row["slope"] == pytest.approx(slope, rel=1e-9)
+    assert row["intercept"] == pytest.approx(intercept, rel=1e-9)
+    # natural-ish corpus: slope negative (frequency decays with rank)
+    assert row["slope"] < 0
