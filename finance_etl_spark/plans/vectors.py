@@ -1669,3 +1669,119 @@ def cur_active_learning_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("vec_id", "p_pos", "margin", F.col("y").alias("true_label"))
     )
+
+
+_MRL_DIMS = (8, 16, 32, 64)
+_MRL_K = 10
+_MRL_NQ = 8
+
+
+def _mrl_tops(dim: int) -> str:
+    return f"""
+            SELECT {dim} AS dim, q.vec_id AS query_id,
+                   e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                       {_cos(f'q.embedding[1:{dim}]', f'e.embedding[1:{dim}]')}
+                       DESC, e.vec_id) AS rn
+            FROM mrl_q q JOIN embeddings e ON e.vec_id <> q.vec_id"""
+
+
+@register(
+    "vec_matryoshka_eval",
+    tags=("vector", "similarity", "eval"),
+    oracle=f"""
+        WITH mrl_q AS MATERIALIZED (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id < {_MRL_NQ}
+        ),
+        tops AS MATERIALIZED (
+            SELECT dim, query_id, neighbor_id FROM (
+                {" UNION ALL ".join(_mrl_tops(d) for d in _MRL_DIMS)}
+            ) WHERE rn <= {_MRL_K}
+        ),
+        full_tops AS (
+            SELECT query_id, neighbor_id FROM tops WHERE dim = {max(_MRL_DIMS)}
+        )
+        SELECT t.dim,
+               CAST(COUNT(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+               CAST(COUNT(f.neighbor_id) AS BIGINT) AS overlap,
+               CAST(COUNT(f.neighbor_id) AS DOUBLE)
+                 / CAST({_MRL_K} * COUNT(DISTINCT t.query_id) AS DOUBLE)
+                 AS recall_at_{_MRL_K}
+        FROM tops t
+        LEFT JOIN full_tops f
+          ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+        GROUP BY t.dim
+        ORDER BY t.dim
+    """,
+)
+def vec_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation evaluation: recall@10 of TRUNCATED
+    embeddings (first 8/16/32/64 dims) against the full-dimension
+    exact top-10 — the measurement that decides how short you can cut
+    stored vectors before ANN quality collapses (storage ∝ dim at
+    100 TB, so this is a direct cost dial). Exact everywhere: the
+    sequential-fold cosine is bit-identical cross-engine on any slice
+    (functions/vectors.py contract), ranks break ties by neighbor id,
+    recall is integer overlap / constant. Shape: one broadcast of the
+    probe set, one corpus scan computing all 4 slice-cosines (the
+    slices reuse the same row — no extra scans), per-(query, dim)
+    top-k windows."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _MRL_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = e.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sims = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dim"),
+                        cosine(
+                            F.slice(F.col("embedding"), 1, d),
+                            F.slice(F.col("q_emb"), 1, d),
+                        ).alias("sim"),
+                    )
+                    for d in _MRL_DIMS
+                ]
+            )
+        ).alias("ds"),
+    ).select("query_id", "neighbor_id", "ds.dim", "ds.sim")
+    w = Window.partitionBy("query_id", "dim").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    tops = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MRL_K)
+        .select("dim", "query_id", "neighbor_id")
+        .persist()
+    )
+    full_tops = tops.filter(F.col("dim") == max(_MRL_DIMS)).select(
+        F.col("query_id").alias("f_query"),
+        F.col("neighbor_id").alias("f_neighbor"),
+    )
+    return (
+        tops.join(
+            full_tops,
+            (tops.query_id == full_tops.f_query)
+            & (tops.neighbor_id == full_tops.f_neighbor),
+            "left",
+        )
+        .groupBy("dim")
+        .agg(
+            F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+            F.count("f_neighbor").cast("bigint").alias("overlap"),
+            (
+                F.count("f_neighbor").cast("double")
+                / (F.lit(_MRL_K) * F.countDistinct("query_id")).cast("double")
+            ).alias(f"recall_at_{_MRL_K}"),
+        )
+        .orderBy("dim")
+    )

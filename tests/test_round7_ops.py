@@ -385,3 +385,20 @@ def test_zipf_fit_reference(spark):
     assert row["intercept"] == pytest.approx(intercept, rel=1e-9)
     # natural-ish corpus: slope negative (frequency decays with rank)
     assert row["slope"] < 0
+
+
+def test_matryoshka_eval_invariants(spark):
+    rows = {
+        r["dim"]: r
+        for r in plans.get("vec_matryoshka_eval").build(spark, SF).collect()
+    }
+    assert sorted(rows) == [8, 16, 32, 64]
+    # the full dimension is its own ground truth
+    assert rows[64]["recall_at_10"] == pytest.approx(1.0)
+    for d, r in rows.items():
+        assert r["n_queries"] == 8
+        assert 0.0 <= r["recall_at_10"] <= 1.0
+        assert r["overlap"] == pytest.approx(r["recall_at_10"] * 10 * 8)
+    # more dimensions never hurt exact-truncation recall on average...
+    # is NOT guaranteed pointwise, so only pin the trivially-true edge:
+    assert rows[64]["overlap"] == 80
