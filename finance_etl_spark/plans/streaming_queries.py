@@ -1266,3 +1266,188 @@ def stream_live_backfill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sh.rmtree(_os.path.join(src_dir, "tail"))
     run_once()  # tail: resumes from the checkpoint, new file only
     return spark.read.parquet(sink).orderBy("event_id")
+
+
+_PPLA_THR = "3.4"
+
+
+@register(
+    "stream_live_perplexity_admission",
+    tags=("streaming", "live", "text", "quality"),
+    oracle=f"""
+        WITH docs AS MATERIALIZED (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS lst
+            FROM documents
+        ),
+        corpus_big AS MATERIALIZED (
+            SELECT doc_id, lst[i] AS w1, lst[i + 1] AS w2
+            FROM (SELECT doc_id, lst,
+                         unnest(generate_series(1, len(lst) - 1)) AS i
+                  FROM docs WHERE len(lst) >= 2)
+            WHERE doc_id % 17 <> 0
+        ),
+        c12 AS (SELECT w1, w2, COUNT(*) AS c12
+                FROM corpus_big GROUP BY w1, w2),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM corpus_big GROUP BY w1),
+        vocab AS (
+            SELECT COUNT(DISTINCT tok) AS v
+            FROM (SELECT unnest(lst) AS tok FROM docs WHERE doc_id % 17 <> 0)
+        ),
+        new_big AS (
+            SELECT doc_id, lst[i] AS w1, lst[i + 1] AS w2
+            FROM (SELECT doc_id, lst,
+                         unnest(generate_series(1, len(lst) - 1)) AS i
+                  FROM docs WHERE len(lst) >= 2)
+            WHERE doc_id % 17 = 0
+        ),
+        doc_big AS (
+            SELECT doc_id, w1, w2, COUNT(*) AS m
+            FROM new_big GROUP BY doc_id, w1, w2
+        ),
+        scored AS (
+            SELECT db.doc_id,
+                   CAST(SUM(db.m) AS BIGINT) AS n_bigrams,
+                   CAST(CAST(-SUM(db.m * CAST(ln(
+                           CAST(COALESCE(p.c12, 0) + 1 AS DOUBLE)
+                           / CAST(COALESCE(u.c1, 0) + vo.v AS DOUBLE))
+                        AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE)
+                     / CAST(SUM(db.m) AS DOUBLE) AS avg_nll
+            FROM doc_big db
+            LEFT JOIN c12 p ON p.w1 = db.w1 AND p.w2 = db.w2
+            LEFT JOIN c1 u ON u.w1 = db.w1
+            CROSS JOIN vocab vo
+            GROUP BY db.doc_id
+        )
+        SELECT d.doc_id AS new_id,
+               COALESCE(s.n_bigrams, 0) AS n_bigrams,
+               s.avg_nll,
+               COALESCE(s.avg_nll < {_PPLA_THR}, FALSE) AS admit
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 17 = 0) d
+        LEFT JOIN scored s ON s.doc_id = d.doc_id
+        ORDER BY new_id
+    """,
+)
+def stream_live_perplexity_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING perplexity-gated admission — text_perplexity_filter
+    lifted to the production corpus-growth shape of
+    stream_live_dedup_admission: the corpus bigram LM (counts + vocab,
+    quantized-log scoring) is MATERIALIZED once from the existing
+    corpus; incoming documents arrive as a file stream and every
+    micro-batch is scored against that FROZEN model in foreachBatch
+    (unseen bigrams fall back to the Laplace floor 1/(c1+V)); docs
+    with average NLL ≥ 3.4 are rejected. The admission decision
+    depends only on (doc, corpus model) — never batch boundaries — so
+    the streamed answer equals the batch formulation and is fully
+    hash-checked. Per-batch cost is a bigram-key probe of the
+    model index; the corpus is never rescanned."""
+    import os as _os
+    import tempfile as _tf
+
+    from finance_etl_spark.io.readers import load_table_parallel
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 17 == 0
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        docs = df.select(
+            "doc_id",
+            F.filter(
+                F.split(F.col("text"), " "), lambda t: t != ""
+            ).alias("lst"),
+        )
+        return (
+            docs.filter(F.size("lst") >= 2)
+            .select(
+                "doc_id", "lst", F.posexplode("lst").alias("i", "w1")
+            )
+            .filter(F.col("i") < F.size("lst") - 1)
+            .select(
+                "doc_id",
+                "w1",
+                F.element_at(F.col("lst"), F.col("i") + 2).alias("w2"),
+            )
+        )
+
+    corpus_big = bigrams(d.filter(~is_new)).persist()
+    c12 = (
+        corpus_big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .persist()
+    )
+    c1 = corpus_big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).persist()
+    vocab = (
+        d.filter(~is_new)
+        .select(
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+            ).alias("tok")
+        )
+        .agg(F.countDistinct("tok").alias("v"))
+        .persist()
+    )
+    c12.count(), c1.count(), vocab.count()
+    sink = _tf.mkdtemp(prefix="ppl_admit_sink_")
+
+    batch_schema = spark.read.parquet(
+        _os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(is_new)
+        .select("doc_id", "text")
+    )
+
+    def score_batch(batch_df, _eid) -> None:
+        db = bigrams(batch_df).groupBy("doc_id", "w1", "w2").agg(
+            F.count(F.lit(1)).alias("m")
+        )
+        logp = F.log(
+            (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")
+        ).cast("decimal(12,6)")
+        scored = (
+            db.join(c12, ["w1", "w2"], "left")
+            .join(c1, "w1", "left")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("m").cast("bigint").alias("n_bigrams"),
+                (
+                    (-F.sum(F.col("m") * logp)).cast("double")
+                    / F.sum("m").cast("double")
+                ).alias("avg_nll"),
+            )
+        )
+        out = (
+            batch_df.select(F.col("doc_id").alias("new_id"))
+            .join(
+                scored.withColumnRenamed("doc_id", "new_id"), "new_id", "left"
+            )
+            .select(
+                "new_id",
+                F.coalesce("n_bigrams", F.lit(0))
+                .cast("bigint")
+                .alias("n_bigrams"),
+                "avg_nll",
+                F.coalesce(
+                    F.col("avg_nll") < F.expr(_PPLA_THR), F.lit(False)
+                ).alias("admit"),
+            )
+        )
+        out.write.mode("append").parquet(sink)
+
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", _tf.mkdtemp(prefix="ppl_admit_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    for c in (corpus_big, c12, c1, vocab):
+        c.unpersist()
+    return spark.read.parquet(sink).orderBy("new_id")
