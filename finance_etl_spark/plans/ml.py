@@ -1719,3 +1719,123 @@ def ml_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("chi2").desc(), "tok", "lang")
         .limit(20)
     )
+
+
+# SPRT constants: H0 p=0.15 vs H1 p=0.22, alpha=beta=0.05. The per-trial
+# log-likelihood ratios and the decision bounds are DECIMAL(12,6)-
+# quantized constants, so the cumulative LLR is an exact integer
+# combination n_succ·L1 + n_fail·L0 — relayout- and engine-stable.
+_SPRT_L1 = "CAST(ln(CAST(0.22 AS DOUBLE) / CAST(0.15 AS DOUBLE)) AS DECIMAL(12,6))"
+_SPRT_L0 = "CAST(ln(CAST(0.78 AS DOUBLE) / CAST(0.85 AS DOUBLE)) AS DECIMAL(12,6))"
+_SPRT_A = "CAST(ln(CAST(0.95 AS DOUBLE) / CAST(0.05 AS DOUBLE)) AS DECIMAL(12,6))"
+_SPRT_B = "CAST(ln(CAST(0.05 AS DOUBLE) / CAST(0.95 AS DOUBLE)) AS DECIMAL(12,6))"
+
+
+@register(
+    "ml_ab_sequential_sprt",
+    tags=("ml", "eval", "window"),
+    oracle=f"""
+        WITH trials AS (
+            SELECT event_id,
+                   CAST(event_type = 'purchase' AS INT) AS s
+            FROM events
+        ),
+        cum AS (
+            SELECT event_id,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS n_trials,
+                   CAST(SUM(s) OVER w AS BIGINT) AS n_success,
+                   CAST(SUM(s) OVER w AS DECIMAL(20,0)) * {_SPRT_L1}
+                     + CAST(CAST(ROW_NUMBER() OVER w AS BIGINT)
+                            - SUM(s) OVER w AS DECIMAL(20,0)) * {_SPRT_L0}
+                       AS llr
+            FROM trials
+            WINDOW w AS (ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        crossing AS (
+            SELECT * FROM cum
+            WHERE llr >= {_SPRT_A} OR llr <= {_SPRT_B}
+            ORDER BY event_id LIMIT 1
+        ),
+        latest AS (
+            SELECT * FROM cum ORDER BY event_id DESC LIMIT 1
+        )
+        SELECT CASE WHEN c.event_id IS NOT NULL AND c.llr >= {_SPRT_A}
+                        THEN 'accept_H1'
+                    WHEN c.event_id IS NOT NULL THEN 'accept_H0'
+                    ELSE 'continue' END AS decision,
+               COALESCE(c.n_trials, l.n_trials) AS n_trials,
+               COALESCE(c.n_success, l.n_success) AS n_success,
+               CAST(CAST(COALESCE(c.llr, l.llr) AS VARCHAR) AS DOUBLE)
+                   AS llr
+        FROM latest l LEFT JOIN crossing c ON TRUE
+    """,
+)
+def ml_ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test (Wald) on a live experiment
+    stream: trials in event_id order, success = purchase; H0 p=0.15 vs
+    H1 p=0.22 at α=β=0.05. The cumulative LLR is an exact decimal
+    integer-combination of quantized per-trial constants, so the FIRST
+    boundary crossing — the early-stopping decision sequential testing
+    exists for — is engine- and relayout-exact. The fixed-n companion
+    is agg_ab_test_ztest; this is the peeking-safe version. The global
+    trial-order window is the demo shape; at unbounded scale route the
+    cumulative through the two-phase range-partitioned rank
+    (operators/ranks.py) exactly as the vocab-window queries do."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    trials = e.select(
+        "event_id", (F.col("event_type") == "purchase").cast("int").alias("s")
+    )
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    l1, l0 = F.expr(_SPRT_L1), F.expr(_SPRT_L0)
+    cum = trials.select(
+        "event_id",
+        F.row_number().over(w).cast("bigint").alias("n_trials"),
+        F.sum("s").over(w).cast("bigint").alias("n_success"),
+        (
+            F.sum("s").over(w).cast("decimal(20,0)") * l1
+            + (
+                F.row_number().over(w).cast("bigint")
+                - F.sum("s").over(w)
+            ).cast("decimal(20,0)")
+            * l0
+        ).alias("llr"),
+    ).persist()
+    crossing = (
+        cum.filter(
+            (F.col("llr") >= F.expr(_SPRT_A))
+            | (F.col("llr") <= F.expr(_SPRT_B))
+        )
+        .orderBy("event_id")
+        .limit(1)
+        .select(
+            F.col("event_id").alias("c_event"),
+            F.col("n_trials").alias("c_trials"),
+            F.col("n_success").alias("c_success"),
+            F.col("llr").alias("c_llr"),
+        )
+    )
+    latest = cum.orderBy(F.col("event_id").desc()).limit(1)
+    return latest.crossJoin(crossing.unionByName(
+        # guarantee one (possibly all-null) crossing row for the join
+        latest.select(
+            F.lit(None).cast("long").alias("c_event"),
+            F.lit(None).cast("bigint").alias("c_trials"),
+            F.lit(None).cast("bigint").alias("c_success"),
+            F.lit(None).cast("decimal(26,6)").alias("c_llr"),
+        )
+    ).orderBy(F.col("c_event").asc_nulls_last()).limit(1)).select(
+        F.when(
+            F.col("c_event").isNotNull()
+            & (F.col("c_llr") >= F.expr(_SPRT_A)),
+            F.lit("accept_H1"),
+        )
+        .when(F.col("c_event").isNotNull(), F.lit("accept_H0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+        F.coalesce("c_trials", "n_trials").alias("n_trials"),
+        F.coalesce("c_success", "n_success").alias("n_success"),
+        F.coalesce("c_llr", "llr").cast("double").alias("llr"),
+    )

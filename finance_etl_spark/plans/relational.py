@@ -3301,3 +3301,72 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+_RI_RELATIONSHIPS = (
+    # (child table, child key, parent table, parent key)
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@register(
+    "dq_referential_integrity",
+    tags=("dq", "governance", "join"),
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{ct}.{ck} -> {pt}.{pk}' AS relationship,
+               CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+               CAST(COUNT(*) FILTER (WHERE {ck} IS NULL) AS BIGINT)
+                   AS n_null_keys,
+               CAST(COUNT(*) FILTER (WHERE {ck} IS NOT NULL
+                   AND {ck} NOT IN (SELECT {pk} FROM {pt})) AS BIGINT)
+                   AS n_orphans
+        FROM {ct}"""
+        for ct, ck, pt, pk in _RI_RELATIONSHIPS
+    ),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the full declared FK graph
+    (7 relationships): per edge, child rows, NULL keys, and orphan
+    keys (non-null child keys with no parent). The constraint-report
+    companion to dq_fk_inference (which DISCOVERS the edges): a lake
+    without enforced constraints runs exactly this after every load.
+    Each edge is one left-anti-style broadcast join (parents are the
+    small side); counts are exact integers. On the generated corpus
+    all counts must come back orphan-free — the audit's fixed point —
+    which the oracle independently confirms."""
+    from finance_etl_spark.io.readers import load_table as _lt
+
+    parts = []
+    for ct, ck, pt, pk in _RI_RELATIONSHIPS:
+        child = _lt(spark, sf_dir, ct)
+        parent = _lt(spark, sf_dir, pt).select(pk).distinct()
+        orphans = (
+            child.filter(F.col(ck).isNotNull())
+            .join(F.broadcast(parent), child[ck] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        )
+        base = child.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+            F.sum(F.col(ck).isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_null_keys"),
+        )
+        parts.append(
+            base.crossJoin(orphans).select(
+                F.lit(f"{ct}.{ck} -> {pt}.{pk}").alias("relationship"),
+                "n_child_rows",
+                "n_null_keys",
+                "n_orphans",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
