@@ -2993,3 +2993,114 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+_E2E_STOP = ("the", "a", "of", "to", "and", "in", "is")
+_E2E_MIN_TOKENS = 30
+
+
+@register(
+    "cur_e2e_training_prep",
+    tags=("curation", "pipeline", "dedup", "mixture"),
+    oracle=f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, lang, text,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ),
+        quality AS (
+            SELECT doc_id, lang, text,
+                   len(t) AS n_tokens,
+                   CAST(len(list_filter(t,
+                       x -> x IN {tuple(_E2E_STOP)})) AS DOUBLE)
+                     / CAST(len(t) AS DOUBLE) AS stop_ratio
+            FROM toks WHERE len(t) >= {_E2E_MIN_TOKENS}
+        ),
+        gated AS (SELECT * FROM quality WHERE stop_ratio > 0),
+        deduped AS (
+            SELECT doc_id, lang, n_tokens FROM (
+                SELECT doc_id, lang, n_tokens,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY md5(lower(trim(text)))
+                           ORDER BY doc_id) AS copy_rank
+                FROM gated
+            ) WHERE copy_rank = 1
+        ),
+        ranked AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY doc_id) AS BIGINT) AS lang_rank
+            FROM deduped
+        ),
+        quota AS (
+            SELECT MIN(cnt) AS q FROM (
+                SELECT COUNT(*) AS cnt FROM ranked GROUP BY lang
+            )
+        )
+        SELECT r.doc_id, r.lang, r.n_tokens, r.lang_rank,
+               CAST(ROW_NUMBER() OVER (ORDER BY r.lang_rank, r.lang)
+                    AS BIGINT) AS global_position
+        FROM ranked r CROSS JOIN quota
+        WHERE r.lang_rank <= quota.q
+        ORDER BY global_position
+    """,
+)
+def cur_e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data preparation as ONE lazy plan — the
+    composition story for the whole curation family: (1) quality gate
+    (≥30 tokens and a nonzero stopword ratio — the text_quality_score
+    signals), (2) exact dedup keeping the smallest doc_id per
+    normalized-content hash, (3) BALANCED language mixture (per-lang
+    quota = the smallest post-dedup language count — the waterfill
+    floor), (4) round-robin interleave (order by (per-lang rank,
+    lang)) so no language is clumped — the curriculum-friendly
+    emission order. Catalyst sees all four stages at once: the quality
+    filter pushes below the dedup window, columns prune to the five
+    consumed, and only the dedup/rank shuffles remain. Everything is
+    integer/string-exact; the one float (stop ratio) only gates."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("t"),
+    )
+    quality = toks.filter(F.size("t") >= _E2E_MIN_TOKENS).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size("t").alias("n_tokens"),
+        (
+            F.size(
+                F.filter(F.col("t"), lambda x: x.isin(*_E2E_STOP))
+            ).cast("double")
+            / F.size("t").cast("double")
+        ).alias("stop_ratio"),
+    )
+    gated = quality.filter(F.col("stop_ratio") > 0)
+    wd = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy(
+        "doc_id"
+    )
+    deduped = (
+        gated.withColumn("copy_rank", F.row_number().over(wd))
+        .filter(F.col("copy_rank") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    wl = Window.partitionBy("lang").orderBy("doc_id")
+    ranked = deduped.withColumn(
+        "lang_rank", F.row_number().over(wl).cast("bigint")
+    )
+    quota = ranked.groupBy("lang").count().agg(F.min("count").alias("q"))
+    wg = Window.orderBy("lang_rank", "lang")
+    return (
+        ranked.crossJoin(F.broadcast(quota))
+        .filter(F.col("lang_rank") <= F.col("q"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "lang_rank",
+            F.row_number().over(wg).cast("bigint").alias("global_position"),
+        )
+        .orderBy("global_position")
+    )
