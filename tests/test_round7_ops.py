@@ -402,3 +402,59 @@ def test_matryoshka_eval_invariants(spark):
     # more dimensions never hurt exact-truncation recall on average...
     # is NOT guaranteed pointwise, so only pin the trivially-true edge:
     assert rows[64]["overlap"] == 80
+
+
+def test_sprt_matches_pure_python(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import math
+
+    row = plans.get("ml_ab_sequential_sprt").build(spark, SF).collect()[0]
+    con = duckdb.connect()
+    trials = con.execute(
+        f"SELECT event_id, event_type = 'purchase'"
+        f" FROM read_parquet('{SF}/events.parquet') ORDER BY event_id"
+    ).fetchall()
+    con.close()
+    q = Decimal("1.000000")
+
+    def lq(v):
+        return Decimal(repr(math.log(v))).quantize(q, rounding=ROUND_HALF_UP)
+
+    l1, l0 = lq(0.22 / 0.15), lq(0.78 / 0.85)
+    a, b = lq(0.95 / 0.05), lq(0.05 / 0.95)
+    ns = 0
+    decision, n_at, llr_at = "continue", len(trials), None
+    for i, (_, s) in enumerate(trials, start=1):
+        ns += int(bool(s))
+        llr = ns * l1 + (i - ns) * l0
+        if llr >= a or llr <= b:
+            decision = "accept_H1" if llr >= a else "accept_H0"
+            n_at, llr_at = i, llr
+            break
+        llr_at = llr
+    assert row["decision"] == decision
+    assert row["n_trials"] == n_at
+    assert row["llr"] == pytest.approx(float(llr_at), rel=1e-12)
+    # on this fixture the test must actually STOP early (that's the
+    # point of SPRT) — verified against the reference loop above
+    assert decision != "continue" and n_at < len(trials)
+
+
+def test_e2e_training_prep_invariants(spark):
+    rows = plans.get("cur_e2e_training_prep").build(spark, SF).collect()
+    assert rows, "pipeline must admit documents on the fixture"
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+        assert r["n_tokens"] >= 30
+    # balanced mixture: every language contributes exactly the quota
+    sizes = {k: len(v) for k, v in by_lang.items()}
+    assert len(set(sizes.values())) == 1 and len(sizes) >= 2
+    # round-robin interleave: positions 1..k are k distinct languages
+    k = len(sizes)
+    first_k = sorted(rows, key=lambda r: r["global_position"])[:k]
+    assert len({r["lang"] for r in first_k}) == k
+    # no duplicate content survived (doc_ids unique is necessary)
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
