@@ -1177,3 +1177,77 @@ def fin_var_parametric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spine.unpersist()
     return out
+
+
+@register(
+    "fin_expected_shortfall",
+    tags=("finance", "window", "agg"),
+    oracle="""
+        WITH daily AS (
+            SELECT c.c_mktsegment AS segment, CAST(o.o_orderdate AS DATE) AS d,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(30,10))
+                       * CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE -1 END)
+                       AS net
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT segment, d, net,
+                   row_number() OVER (PARTITION BY segment
+                       ORDER BY net, d) AS rn,
+                   COUNT(*) OVER (PARTITION BY segment) AS n
+            FROM daily
+        ),
+        tail AS (
+            SELECT * FROM ranked WHERE rn <= CAST(ceil(0.05 * n) AS BIGINT)
+        )
+        SELECT segment,
+               CAST(ANY_VALUE(n) AS BIGINT) AS n_days,
+               CAST(COUNT(*) AS BIGINT) AS n_tail,
+               CAST(CAST(MAX(net) AS VARCHAR) AS DOUBLE) AS var_5pct,
+               CAST(CAST(SUM(net) AS VARCHAR) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS es_5pct
+        FROM tail
+        GROUP BY segment
+    """,
+)
+def fin_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected shortfall (CVaR) at 5% per market segment — the
+    coherent tail-risk measure Basel moved to after VaR: the MEAN of
+    the worst ceil(0.05·n) daily nets, alongside the VaR boundary
+    (= the tail's max, matching fin_var_historical's order-statistic
+    convention). The tail nets stay DECIMAL through the mean's sum —
+    one exact division at the edge — so ES is engine-exact, unlike an
+    interpolated percentile. Same one (segment, day) shuffle +
+    calendar-bounded segment windows as the VaR query."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    signed = F.col("o_totalprice").cast(DEC) * F.when(
+        F.col("o_orderstatus") == "F", 1
+    ).otherwise(-1)
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(F.sum(signed).alias("net"))
+    )
+    w = Window.partitionBy("segment").orderBy("net", "d")
+    ranked = daily.select(
+        "segment",
+        "net",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("segment")).alias("n"),
+    )
+    tail = ranked.filter(
+        F.col("rn") <= F.ceil(F.lit(0.05) * F.col("n")).cast("long")
+    )
+    return tail.groupBy("segment").agg(
+        F.first("n").cast("bigint").alias("n_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.max("net").cast("double").alias("var_5pct"),
+        (F.sum("net").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "es_5pct"
+        ),
+    )

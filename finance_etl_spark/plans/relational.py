@@ -3370,3 +3370,72 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_ENTROPY_COLS = (
+    ("orders", "o_orderpriority"),
+    ("orders", "o_orderstatus"),
+    ("customer", "c_mktsegment"),
+    ("lineitem", "l_returnflag"),
+    ("documents", "lang"),
+)
+
+
+@register(
+    "dq_column_entropy",
+    tags=("dq", "governance", "agg"),
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{t}.{c}' AS column_name,
+               CAST(SUM(n_v) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               -CAST(CAST(SUM(n_v * CAST(ln(CAST(n_v AS DOUBLE)
+                       / CAST(n_tot AS DOUBLE))
+                    AS DECIMAL(12,6))) AS VARCHAR) AS DOUBLE)
+                 / CAST(SUM(n_v) AS DOUBLE) AS entropy_nats
+        FROM (SELECT v, n_v, CAST(SUM(n_v) OVER () AS BIGINT) AS n_tot
+              FROM (SELECT {c} AS v, CAST(COUNT(*) AS BIGINT) AS n_v
+                    FROM {t} GROUP BY {c}))"""
+        for t, c in _ENTROPY_COLS
+    ),
+)
+def dq_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy per declared categorical column — the
+    distribution-health profiler (near-zero entropy flags a collapsed
+    or constant column, entropy ≈ ln(k) a uniform one; drift in either
+    direction is a data-quality incident). Engine-exact via the
+    quantized-log recipe: per distinct value, ln(p) quantizes to
+    DECIMAL(12,6) and H = −Σ n_v·ln_q(p_v)/N is an exact decimal dot
+    product with one edge division. Per column: one value-key
+    shuffle, value-cardinality-sized state."""
+    from finance_etl_spark.io.readers import load_table as _lt
+    from pyspark.sql import Window as _W
+
+    parts = []
+    for t, c in _ENTROPY_COLS:
+        counts = (
+            _lt(spark, sf_dir, t)
+            .groupBy(F.col(c).alias("v"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_v"))
+        )
+        tot = _W.partitionBy()
+        lnq = F.log(
+            F.col("n_v").cast("double")
+            / F.sum("n_v").over(tot).cast("double")
+        ).cast("decimal(12,6)")
+        parts.append(
+            counts.select("v", "n_v", (F.col("n_v") * lnq).alias("term"))
+            .agg(
+                F.sum("n_v").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+                (
+                    (-F.sum("term")).cast("double")
+                    / F.sum("n_v").cast("double")
+                ).alias("entropy_nats"),
+            )
+            .select(F.lit(f"{t}.{c}").alias("column_name"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
