@@ -1,8 +1,13 @@
-"""Classical-ML training loops as distributed queries: Lloyd's
-k-means, multinomial naive Bayes (train + classify), and closed-form
-OLS via the normal equations — the supervised/unsupervised modeling
-layer a training-data pipeline runs AFTER curation (cluster-balanced
-sampling, heuristic labeling, drift regressions).
+"""Classical-ML training, feature engineering, and model evaluation as
+distributed queries — the modeling layer a training-data pipeline runs
+AFTER curation. Round 6: Lloyd's k-means, multinomial naive Bayes
+(train + classify), closed-form OLS. Round 7 feature engineering:
+standard scaler, smoothed target encoding, one-hot, quantile binning,
+feature correlation matrix, mutual information, χ² selection. Round 7
+training: histogram decision-stump splits, a full GBDT boosting round,
+ridge regression. Round 7 evaluation: k-fold OLS CV, ROC-AUC
+(midrank), threshold sweep, calibration bins, Wald SPRT sequential
+testing.
 
 Scale contracts shared by the module:
 - Every iteration / pass is ONE linear scan of the fact table reducing
@@ -18,7 +23,7 @@ Scale contracts shared by the module:
 
 Reference scope: the reference ETL (ibqp/finance-etl transform.py)
 has no modeling surface; these are capability-expansion operators
-(SURVEY.md §2 round-6 table).
+(SURVEY.md §2 round-6 and round-7 tables).
 """
 
 from __future__ import annotations
