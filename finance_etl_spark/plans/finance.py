@@ -867,7 +867,81 @@ def irr_bisect(days, amounts, lo: float = -0.95, hi: float = 10.0,
     return 0.5 * (lo + hi)
 
 
-@register("fin_irr_per_order", tags=("finance", "udf", "iterative"))
+def _irr_oracle(iters: int = 80) -> str:
+    """Unrolled-bisection DuckDB oracle for fin_irr_per_order — the
+    fixed-round unrolling recipe applied to ROOT FINDING: each of the
+    80 iterations is one MATERIALIZED CTE holding (k, lo, hi, f_lo)
+    and one flows-join NPV aggregation for the midpoint. Float
+    tolerance analysis: libm pow / summation-order perturbations are
+    ~1 ulp, which shifts the bracketed root by ~ulp/|npv'| ≈ 1e-13 —
+    so the DECIMAL(12,6)-quantized IRR both sides emit is stable
+    unless a root sits within 1e-13 of a quantization boundary
+    (probability ~1e-7 per order). Every CTE is MATERIALIZED: each
+    state is consumed twice and DuckDB re-inlines CTEs (registry
+    divergence note 9)."""
+    ctes = []
+    prev = "b0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+        m{i} AS MATERIALIZED (
+            SELECT f.k, ANY_VALUE(0.5 * (s.lo + s.hi)) AS mid,
+                   SUM(f.cf / power(1.0 + 0.5 * (s.lo + s.hi), f.t)) AS f_mid
+            FROM flows f JOIN {prev} s ON s.k = f.k
+            GROUP BY f.k
+        ),
+        b{i} AS MATERIALIZED (
+            SELECT s.k,
+                   CASE WHEN (m.f_mid > 0) = (s.f_lo > 0)
+                        THEN m.mid ELSE s.lo END AS lo,
+                   CASE WHEN (m.f_mid > 0) = (s.f_lo > 0)
+                        THEN s.hi ELSE m.mid END AS hi,
+                   CASE WHEN (m.f_mid > 0) = (s.f_lo > 0)
+                        THEN m.f_mid ELSE s.f_lo END AS f_lo
+            FROM {prev} s JOIN m{i} m ON m.k = s.k
+        )""")
+        prev = f"b{i}"
+    return f"""
+        WITH flows AS MATERIALIZED (
+            SELECT o.o_orderkey AS k, CAST(0 AS DOUBLE) / 365.0 AS t,
+                   CAST(-o.o_totalprice AS DOUBLE) AS cf
+            FROM orders o WHERE o.o_orderkey % 199 = 0
+            UNION ALL
+            SELECT o.o_orderkey AS k,
+                   CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS DOUBLE) / 365.0 AS t,
+                   CAST(l.l_extendedprice AS DOUBLE) AS cf
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey % 199 = 0
+        ),
+        ends AS (
+            SELECT k,
+                   SUM(cf / power(1.0 + CAST(-0.95 AS DOUBLE), t)) AS f_lo,
+                   SUM(cf / power(1.0 + CAST(10.0 AS DOUBLE), t)) AS f_hi
+            FROM flows GROUP BY k
+        ),
+        b0 AS MATERIALIZED (
+            SELECT k, CAST(-0.95 AS DOUBLE) AS lo,
+                   CAST(10.0 AS DOUBLE) AS hi, f_lo
+            FROM ends WHERE (f_lo > 0) <> (f_hi > 0)
+        ),
+        {','.join(ctes)},
+        counts AS (
+            SELECT k, CAST(COUNT(*) AS INT) AS n_flows
+            FROM flows GROUP BY k
+        )
+        SELECT c.k AS o_orderkey, c.n_flows,
+               CAST(CAST(CAST(0.5 * (b.lo + b.hi) AS DECIMAL(12,6))
+                    AS VARCHAR) AS DOUBLE) AS irr
+        FROM counts c LEFT JOIN {prev} b ON b.k = c.k
+        ORDER BY o_orderkey
+    """
+
+
+@register(
+    "fin_irr_per_order",
+    tags=("finance", "udf", "iterative"),
+    oracle=_irr_oracle(),
+)
 def fin_irr_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Internal rate of return per order: the purchase (-o_totalprice
     at order date) against its delivery cashflows (+l_extendedprice at
@@ -878,9 +952,12 @@ def fin_irr_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     order: flows co-locate via ONE shuffle, each task solves thousands
     of small problems with vectorized numpy NPV. A 1-in-199 key gate
     bounds the demo output, applied BEFORE the join so the fact scan
-    prunes too. Rows-only (iterative, not ANSI-expressible);
-    tests/test_round4_ops.py pins npv(irr)≈0 and equality with a
-    driver-side bisection on the same flows."""
+    prunes too. Hash-oracled (promoted from rows-only in r7): the 80
+    fixed bisection rounds unroll as MATERIALIZED CTEs in DuckDB
+    (_irr_oracle), and the emitted IRR is DECIMAL(12,6)-quantized so
+    ~1e-13 libm-pow root perturbations cannot surface;
+    tests/test_round4_ops.py additionally pins npv(irr)≈0 and
+    equality with a driver-side bisection on the same flows."""
     import pandas as pd
 
     o = load_table(spark, sf_dir, "orders").filter(
@@ -909,6 +986,17 @@ def fin_irr_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     def solve(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(["day", "cf"]).reset_index(drop=True)
         r = irr_bisect(pdf["day"].to_numpy(), pdf["cf"].to_numpy())
+        if r is not None:
+            # DECIMAL(12,6) quantization makes the emitted IRR engine-
+            # exact (see _irr_oracle's tolerance analysis); the raw
+            # root is pinned separately by the round-4 pytest
+            from decimal import ROUND_HALF_UP, Decimal
+
+            r = float(
+                Decimal(repr(r)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
         return pd.DataFrame(
             {
                 "o_orderkey": [int(pdf["k"].iloc[0])],
