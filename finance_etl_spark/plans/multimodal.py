@@ -722,3 +722,131 @@ def mm_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("survivor_id")
     )
     return out
+
+
+@register(
+    "mm_video_scene_cut",
+    tags=("multimodal", "video", "window"),
+    oracle="""
+        WITH media AS (
+            SELECT doc_id,
+                   CAST((doc_id % 10) * 30 + 30 AS INT) AS n_frames
+            FROM documents WHERE doc_id < 100
+        ),
+        frames AS (
+            SELECT doc_id, n_frames,
+                   unnest(generate_series(0, n_frames - 1)) AS frame_idx
+            FROM media
+        ),
+        sigs AS (
+            SELECT doc_id, n_frames, frame_idx,
+                   (ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                        || CAST(frame_idx AS VARCHAR)), 1, 1)) * 7
+                    + ascii(substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                        || CAST(frame_idx AS VARCHAR)), 2, 1))) % 256
+                       AS luma
+            FROM frames
+        ),
+        cuts AS (
+            SELECT doc_id, n_frames, frame_idx,
+                   CASE WHEN lag(luma) OVER w IS NULL THEN 1
+                        WHEN abs(luma - lag(luma) OVER w) > 64 THEN 1
+                        ELSE 0 END AS is_cut
+            FROM sigs
+            WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+        ),
+        scenes AS (
+            SELECT doc_id, n_frames,
+                   SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS scene_id
+            FROM cuts
+        ),
+        lens AS (
+            SELECT doc_id, n_frames, scene_id,
+                   CAST(COUNT(*) AS BIGINT) AS scene_len
+            FROM scenes GROUP BY doc_id, n_frames, scene_id
+        )
+        SELECT doc_id,
+               CAST(ANY_VALUE(n_frames) AS INT) AS n_frames,
+               CAST(COUNT(*) AS BIGINT) AS n_scenes,
+               CAST(MAX(scene_len) AS BIGINT) AS longest_scene,
+               CAST(ANY_VALUE(n_frames) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avg_scene_len
+        FROM lens
+        GROUP BY doc_id
+    """,
+)
+def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection for video training data — the frame-sampling
+    upgrade every video pipeline makes once fixed-stride sampling
+    (mm_frame_sample) starts splitting shots: per frame a luma
+    signature, a cut wherever the lag-1 signature jumps > 64, then
+    gaps-and-islands turns cut flags into scenes (count, longest,
+    mean length) per video. The signature derivation is a
+    deterministic STUB (md5-derived pseudo-luma — both engines share
+    md5/ascii bit-exactly; a real deployment computes mean luma inside
+    decode_image_batch's Arrow UDF, same schema and shapes). The plan
+    is the production one: frame explosion BEFORE decode so only
+    needed frames are touched, per-video windows (frame counts are
+    codec-bounded, never SF-bounded), one video-key shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = d.select(
+        "doc_id",
+        ((F.col("doc_id") % 10) * 30 + 30).cast("int").alias("n_frames"),
+    )
+    frames = media.select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1)
+        ).alias("frame_idx"),
+    )
+    h = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("#"),
+            F.col("frame_idx").cast("string"),
+        )
+    )
+    sigs = frames.select(
+        "doc_id",
+        "n_frames",
+        "frame_idx",
+        (
+            (
+                F.ascii(F.substring(h, 1, 1)) * 7
+                + F.ascii(F.substring(h, 2, 1))
+            )
+            % 256
+        ).alias("luma"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    cuts = sigs.select(
+        "doc_id",
+        "n_frames",
+        "frame_idx",
+        F.when(F.lag("luma").over(w).isNull(), 1)
+        .when(F.abs(F.col("luma") - F.lag("luma").over(w)) > 64, 1)
+        .otherwise(0)
+        .alias("is_cut"),
+    )
+    scenes = cuts.select(
+        "doc_id",
+        "n_frames",
+        F.sum("is_cut")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("scene_id"),
+    )
+    lens = scenes.groupBy("doc_id", "n_frames", "scene_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("scene_len")
+    )
+    return lens.groupBy("doc_id").agg(
+        F.first("n_frames").cast("int").alias("n_frames"),
+        F.count(F.lit(1)).cast("bigint").alias("n_scenes"),
+        F.max("scene_len").cast("bigint").alias("longest_scene"),
+        (
+            F.first("n_frames").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_scene_len"),
+    )
