@@ -1785,3 +1785,127 @@ def vec_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+_FPI_K = 8
+# squared L2 as the same sequential fold as _DOT/_NORM (bit-exact
+# cross-engine): fold over per-dimension squared differences
+_SQDIST = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+)
+
+
+def _fpi_oracle(k: int = _FPI_K) -> str:
+    """Unrolled farthest-point traversal: round r joins the corpus to
+    the r selected centroids, takes the per-vector MIN of bit-exact
+    fold distances (no float accumulation across rows — MIN only),
+    and picks the argmax by (min_d2 DESC, vec_id). Chained CTEs, one
+    per round, every state MATERIALIZED."""
+    ctes = []
+    sel_prev = "s1"
+    for r in range(2, k + 1):
+        ctes.append(f"""
+        p{r} AS MATERIALIZED (
+            SELECT e.vec_id, e.embedding,
+                   MIN({_SQDIST.format(a='e.embedding', b='s.embedding')})
+                       AS min_d2
+            FROM embeddings e JOIN {sel_prev} s ON TRUE
+            WHERE e.vec_id NOT IN (SELECT vec_id FROM {sel_prev})
+            GROUP BY e.vec_id, e.embedding
+        ),
+        s{r} AS MATERIALIZED (
+            SELECT * FROM {sel_prev}
+            UNION ALL
+            SELECT {r} AS init_rank, vec_id, embedding, min_d2
+            FROM (SELECT vec_id, embedding, min_d2,
+                         ROW_NUMBER() OVER (ORDER BY min_d2 DESC, vec_id)
+                             AS rn
+                  FROM p{r}) WHERE rn = 1
+        )""")
+        sel_prev = f"s{r}"
+    return f"""
+        WITH s1 AS MATERIALIZED (
+            SELECT 1 AS init_rank, vec_id, embedding,
+                   CAST(0.0 AS DOUBLE) AS min_d2
+            FROM embeddings
+            WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+        ),
+        {','.join(ctes)}
+        SELECT init_rank, vec_id, min_d2 AS d2_at_pick
+        FROM {sel_prev}
+        ORDER BY init_rank
+    """
+
+
+@register(
+    "vec_farthest_point_init",
+    tags=("vector", "iterative", "init"),
+    oracle=_fpi_oracle(),
+)
+def vec_farthest_point_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means++-style seeding by farthest-point
+    traversal: start from the smallest vec_id, then repeatedly pick
+    the vector MAXIMIZING its distance to the nearest already-selected
+    centroid — the RNG-free variant of k-means++ (maximal instead of
+    d²-proportional sampling), and the init that fixes first-k
+    seeding's clumping in ml_kmeans_lloyd. Engine-exact because every
+    distance is the repo's sequential fold (bit-identical) and rounds
+    reduce via MIN/argmax only — no float accumulation across rows;
+    hash-oracled through per-round CTE unrolling. Scale shape: round r
+    is one scan with an r-row broadcast; total k scans — the standard
+    distributed seeding cost. The selected ids feed kmeans_fit as
+    init at 100 TB (k·d floats of driver state)."""
+    from pyspark.sql import Window as _W
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = e.persist()
+    first = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select("vec_id", "embedding")
+        .collect()[0]
+    )
+    selected = [(1, first["vec_id"], first["embedding"], 0.0)]
+    for r in range(2, _FPI_K + 1):
+        sel_df = spark.createDataFrame(
+            [(vid, emb) for _, vid, emb, _ in selected],
+            e.select("vec_id", "embedding").schema,
+        ).select(
+            F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_emb")
+        )
+        d2 = F.aggregate(
+            F.zip_with(
+                "embedding",
+                "s_emb",
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        chosen_ids = [vid for _, vid, _, _ in selected]
+        pick = (
+            e.filter(~F.col("vec_id").isin(chosen_ids))
+            .crossJoin(F.broadcast(sel_df))
+            .groupBy("vec_id")
+            .agg(
+                F.min(d2).alias("min_d2"),
+                F.first("embedding").alias("embedding"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    _W.orderBy(F.col("min_d2").desc(), "vec_id")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .collect()[0]
+        )
+        selected.append((r, pick["vec_id"], pick["embedding"], pick["min_d2"]))
+    e.unpersist()
+    return spark.createDataFrame(
+        [(r, vid, d) for r, vid, _, d in selected],
+        "init_rank int, vec_id bigint, d2_at_pick double",
+    )
