@@ -458,3 +458,31 @@ def test_e2e_training_prep_invariants(spark):
     # no duplicate content survived (doc_ids unique is necessary)
     ids = [r["doc_id"] for r in rows]
     assert len(ids) == len(set(ids))
+
+
+def test_scene_cut_invariants(spark):
+    rows = plans.get("mm_video_scene_cut").build(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_scenes"] <= r["n_frames"]
+        assert r["longest_scene"] <= r["n_frames"]
+        assert r["avg_scene_len"] == pytest.approx(
+            r["n_frames"] / r["n_scenes"]
+        )
+    # signatures are pseudo-random, so cuts must actually occur
+    assert any(r["n_scenes"] > 1 for r in rows)
+
+
+def test_farthest_point_init_invariants(spark):
+    rows = sorted(
+        plans.get("vec_farthest_point_init").build(spark, SF).collect(),
+        key=lambda r: r["init_rank"],
+    )
+    assert [r["init_rank"] for r in rows] == list(range(1, 9))
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == 8
+    # greedy max-min: each later pick's distance to the selected set
+    # can only shrink (adding centroids never increases any min-dist)
+    d = [r["d2_at_pick"] for r in rows[1:]]
+    assert all(a >= b - 1e-9 for a, b in zip(d, d[1:]))
+    assert all(v > 0 for v in d)
