@@ -1496,12 +1496,15 @@ def ml_gbdt_boost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
+    # persisted 1-row aggregate: it is consumed by BOTH the residual
+    # histogram and the final presentation row — without the cache the
+    # global-mean scan would run twice (explain-verified)
     g = li.agg(
         F.count(F.lit(1)).cast("double").alias("g_n_d"),
         F.sum(F.col("l_extendedprice").cast("decimal(25,2)"))
         .cast("double")
         .alias("g_sum_d"),
-    )
+    ).persist()
     r = F.col("l_extendedprice").cast("double") - F.expr(_GB_F0)
     def raw(col):  # floor-scaled DECIMAL(38,0) partial (o_fsum recipe)
         return F.sum(F.floor(col * F.lit(1e4)).cast("decimal(38,0)"))
