@@ -3087,14 +3087,23 @@ def cur_e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tokens")
     )
     wl = Window.partitionBy("lang").orderBy("doc_id")
-    ranked = deduped.withColumn(
-        "lang_rank", F.row_number().over(wl).cast("bigint")
-    )
-    quota = ranked.groupBy("lang").count().agg(F.min("count").alias("q"))
+    # the per-lang quota rides on WINDOWS over the same chain (count
+    # per lang, then min across langs) instead of a separate aggregate
+    # crossJoined back — the aggregate variant re-derived the whole
+    # quality→dedup chain and scanned documents 4× (explain-verified);
+    # this shape scans it once
+    ranked = deduped.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.row_number().over(wl).cast("bigint").alias("lang_rank"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lang"))
+        .alias("lang_n"),
+    ).withColumn("q", F.min("lang_n").over(Window.partitionBy()))
     wg = Window.orderBy("lang_rank", "lang")
     return (
-        ranked.crossJoin(F.broadcast(quota))
-        .filter(F.col("lang_rank") <= F.col("q"))
+        ranked.filter(F.col("lang_rank") <= F.col("q"))
         .select(
             "doc_id",
             "lang",

@@ -1695,6 +1695,7 @@ def ml_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tok"),
         )
         .distinct()
+        .persist()  # consumed by both the cell counts and tok_tot
     )
     n_docs = d.agg(F.countDistinct("doc_id").cast("bigint").alias("n"))
     cls = d.groupBy("lang").agg(
