@@ -2156,3 +2156,50 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ZIPF_SLOPE).alias("slope"),
         F.expr(_ZIPF_INTERCEPT).alias("intercept"),
     )
+
+
+@register("text_minhash_recall_eval", tags=("text", "dedup", "eval"))
+def text_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest-evaluation harness for the fuzzy-dedup pipeline (the
+    ANN_EVAL.md discipline applied to MinHash): recall/precision of
+    the banded 64-perm/16-band LSH candidate pipeline
+    (text_minhash_lsh_pairs, verified pairs) against the EXACT
+    trigram-Jaccard ≥ 0.5 ground truth (text_ngram_jaccard_pairs —
+    computed via the shared-shingle inverted index, so it is exact yet
+    never all-pairs). Rows-only for the driver (the LSH side hashes
+    with xxhash64); tests/test_round7_ops.py pins a measured recall
+    floor and that every reported pair set is consistent. At 100 TB
+    the truth side is the expensive one — this harness is what you run
+    on a SAMPLE to certify the banding config before a full-corpus
+    dedup campaign."""
+    from finance_etl_spark.plans.registry import get as _get
+
+    truth = (
+        _get("text_ngram_jaccard_pairs")
+        .build(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    lsh = (
+        _get("text_minhash_lsh_pairs")
+        .build(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    both = truth.join(lsh, ["id_a", "id_b"]).count()
+    n_truth, n_lsh = truth.count(), lsh.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_truth,
+                n_lsh,
+                both,
+                both / n_truth if n_truth else None,
+                both / n_lsh if n_lsh else None,
+            )
+        ],
+        "n_truth_pairs long, n_lsh_pairs long, n_found long,"
+        " recall double, precision double",
+    )

@@ -486,3 +486,14 @@ def test_farthest_point_init_invariants(spark):
     d = [r["d2_at_pick"] for r in rows[1:]]
     assert all(a >= b - 1e-9 for a, b in zip(d, d[1:]))
     assert all(v > 0 for v in d)
+
+
+def test_minhash_recall_eval_consistency(spark):
+    row = plans.get("text_minhash_recall_eval").build(spark, SF).collect()[0]
+    assert row["n_found"] <= min(row["n_truth_pairs"], row["n_lsh_pairs"])
+    assert row["n_truth_pairs"] > 0  # fixture plants real near-dups
+    # fixture near-dups sit at ~0.9 Jaccard, where 4-row/16-band
+    # detection probability is ≈1 — measured recall is 1.0; pin a
+    # floor that still catches a broken banding config
+    assert row["recall"] >= 0.9
+    assert row["precision"] >= 0.9
