@@ -2121,3 +2121,109 @@ def ts_sequence_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_ab").desc(), "a", "b")
         .limit(20)
     )
+
+
+@register(
+    "ts_anomaly_mad_robust",
+    tags=("timeseries", "stats", "window"),
+    oracle="""
+        WITH daily AS MATERIALIZED (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   SUM(CAST(value AS DECIMAL(30,10))) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        med AS (
+            SELECT event_type, y AS med FROM (
+                SELECT event_type, y, d,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY y, d) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM daily
+            ) WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+        ),
+        dev AS MATERIALIZED (
+            SELECT dd.event_type, dd.d, dd.y, m.med,
+                   abs(dd.y - m.med) AS absdev
+            FROM daily dd JOIN med m ON m.event_type = dd.event_type
+        ),
+        mad AS (
+            SELECT event_type, absdev AS mad FROM (
+                SELECT event_type, absdev, d,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY absdev, d) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM dev
+            ) WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+        )
+        SELECT v.event_type, v.d,
+               CAST(CAST(v.y AS VARCHAR) AS DOUBLE) AS daily_value,
+               CAST(CAST(v.med AS VARCHAR) AS DOUBLE) AS median_value,
+               CAST(CAST(m.mad AS VARCHAR) AS DOUBLE) AS mad,
+               CAST(CAST(v.absdev AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(m.mad AS VARCHAR) AS DOUBLE) AS robust_z
+        FROM dev v JOIN mad m ON m.event_type = v.event_type
+        WHERE m.mad > 0 AND v.absdev > 3.5 * m.mad
+    """,
+)
+def ts_anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection by median/MAD (the outlier-resistant
+    twin of ts_anomaly_zscore, whose mean/std are themselves dragged by
+    the outliers they hunt): flag days whose |value − median| exceeds
+    3.5×MAD. Engine-exact end to end — daily sums, both medians (the
+    repo's order-statistic convention: rank ceil(0.5n) under a
+    deterministic (value, date) order), deviations, and the 3.5×
+    gate all stay DECIMAL; doubles appear only in the presented
+    columns. Per-series windows are calendar-bounded; MAD=0 series
+    (constant) are excluded to keep the score defined."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(F.col("value").cast(DEC)).alias("y"))
+
+    def order_stat(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "d")
+        wn = Window.partitionBy("event_type")
+        return (
+            df.select(
+                "event_type",
+                col,
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1)).over(wn).alias("n"),
+            )
+            .filter(
+                F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("long")
+            )
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = order_stat(daily, "y", "med")
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "d",
+        "y",
+        "med",
+        F.abs(F.col("y") - F.col("med")).alias("absdev"),
+    )
+    mad = order_stat(dev, "absdev", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("mad") > 0)
+            # decimal literal: DuckDB parses 3.5 as DECIMAL(2,1), so the
+            # gate must be an exact decimal comparison on BOTH engines
+            # (a double 3.5 here would round the product differently)
+            & (
+                F.col("absdev")
+                > F.expr("CAST(3.5 AS DECIMAL(2,1))") * F.col("mad")
+            )
+        )
+        .select(
+            "event_type",
+            "d",
+            F.col("y").cast("double").alias("daily_value"),
+            F.col("med").cast("double").alias("median_value"),
+            F.col("mad").cast("double").alias("mad"),
+            (F.col("absdev").cast("double") / F.col("mad").cast("double"))
+            .alias("robust_z"),
+        )
+    )
