@@ -678,3 +678,72 @@ def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode("mm").alias("metric", "value"),
         )
     )
+
+
+@register(
+    "scalar_deterministic_uuid",
+    tags=("scalar", "keys"),
+    oracle="""
+        SELECT o_orderkey,
+               concat(
+                   substr(h, 1, 8), '-',
+                   substr(h, 9, 4), '-',
+                   '5', substr(h, 14, 3), '-',
+                   CASE WHEN strpos('0123456789abcdef', substr(h, 17, 1))
+                             - 1 < 8
+                        THEN concat('8', substr(h, 18, 3))
+                        WHEN strpos('0123456789abcdef', substr(h, 17, 1))
+                             - 1 < 12
+                        THEN concat('9', substr(h, 18, 3))
+                        WHEN strpos('0123456789abcdef', substr(h, 17, 1))
+                             - 1 < 14
+                        THEN concat('a', substr(h, 18, 3))
+                        ELSE concat('b', substr(h, 18, 3)) END, '-',
+                   substr(h, 21, 12)) AS order_uuid
+        FROM (
+            SELECT o_orderkey,
+                   md5('orders#' || CAST(o_orderkey AS VARCHAR)) AS h
+            FROM orders
+        )
+        WHERE o_orderkey <= 1000
+    """,
+)
+def scalar_deterministic_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic name-based UUIDs (RFC-4122 v5 SHAPE over md5, like
+    v3): namespace#key hashed once, version nibble forced to 5 and the
+    variant nibble folded into 8–b — the standard trick for STABLE
+    synthetic identifiers that survive re-runs and joins across
+    systems, where uuid()/monotonically_increasing_id() would mint new
+    keys per run (the same idempotency motivation as the reference's
+    MD5 surrogate key, utils/data_manager.py:54-68, taken to a
+    cross-system format). Pure string expressions — codegen, no
+    shuffle, engine-exact."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .withColumn(
+            "h",
+            F.md5(
+                F.concat(F.lit("orders#"), F.col("o_orderkey").cast("string"))
+            ),
+        )
+    )
+    h = F.col("h")
+    nib = F.expr("instr('0123456789abcdef', substring(h, 17, 1))") - 1
+    variant = (
+        F.when(nib < 8, F.concat(F.lit("8"), F.substring(h, 18, 3)))
+        .when(nib < 12, F.concat(F.lit("9"), F.substring(h, 18, 3)))
+        .when(nib < 14, F.concat(F.lit("a"), F.substring(h, 18, 3)))
+        .otherwise(F.concat(F.lit("b"), F.substring(h, 18, 3)))
+    )
+    return o.select(
+        "o_orderkey",
+        F.concat_ws(
+            "-",
+            F.substring(h, 1, 8),
+            F.substring(h, 9, 4),
+            F.concat(F.lit("5"), F.substring(h, 14, 3)),
+            variant,
+            F.substring(h, 21, 12),
+        ).alias("order_uuid"),
+    )

@@ -2227,3 +2227,74 @@ def ts_anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("robust_z"),
         )
     )
+
+
+@register(
+    "ts_pattern_reversal",
+    tags=("timeseries", "window", "pattern"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   SUM(CAST(value AS DECIMAL(30,10))) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        steps AS (
+            SELECT event_type, d, y,
+                   lag(y, 2) OVER w AS y2, lag(y, 1) OVER w AS y1
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d)
+        ),
+        hits AS (
+            SELECT event_type, d,
+                   CAST(CAST(y AS VARCHAR) AS DOUBLE) AS day_value,
+                   CAST(CAST(y - y1 AS VARCHAR) AS DOUBLE) AS rebound
+            FROM steps
+            WHERE y2 IS NOT NULL AND y1 < y2 AND y > y1
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_reversals,
+               MIN(d) AS first_reversal,
+               MAX(d) AS last_reversal,
+               CAST(CAST(SUM(CAST(rebound AS DECIMAL(30,10))) AS VARCHAR)
+                    AS DOUBLE) AS total_rebound
+        FROM hits
+        GROUP BY event_type
+    """,
+)
+def ts_pattern_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style row-pattern detection, the lag-chain
+    recipe: Spark has no MATCH_RECOGNIZE clause, but any
+    fixed-length pattern (here DOWN then UP — a V-reversal in each
+    event type's daily series) compiles to a window with one lag per
+    pattern step plus a row predicate; variable-length patterns
+    compile to gaps-and-islands (ts_gaps_islands) instead. Counts and
+    dates are exact; rebound sums ride DECIMAL. Per-series windows are
+    calendar-bounded — the pattern scan adds no shuffle beyond the
+    daily rollup's."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(F.col("value").cast(DEC)).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    steps = daily.select(
+        "event_type",
+        "d",
+        "y",
+        F.lag("y", 2).over(w).alias("y2"),
+        F.lag("y", 1).over(w).alias("y1"),
+    )
+    hits = steps.filter(
+        F.col("y2").isNotNull()
+        & (F.col("y1") < F.col("y2"))
+        & (F.col("y") > F.col("y1"))
+    ).select(
+        "event_type",
+        "d",
+        (F.col("y") - F.col("y1")).alias("rebound"),
+    )
+    return hits.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reversals"),
+        F.min("d").alias("first_reversal"),
+        F.max("d").alias("last_reversal"),
+        F.sum(F.col("rebound")).cast("double").alias("total_rebound"),
+    )
