@@ -497,3 +497,56 @@ def test_minhash_recall_eval_consistency(spark):
     # floor that still catches a broken banding config
     assert row["recall"] >= 0.9
     assert row["precision"] >= 0.9
+
+
+def test_deterministic_uuid_format_and_stability(spark):
+    import re
+
+    a = plans.get("scalar_deterministic_uuid").build(spark, SF).collect()
+    b = plans.get("scalar_deterministic_uuid").build(spark, SF).collect()
+    assert {r["o_orderkey"]: r["order_uuid"] for r in a} == {
+        r["o_orderkey"]: r["order_uuid"] for r in b
+    }  # re-run-stable (the point of name-based ids)
+    pat = re.compile(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-5[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    )
+    uuids = [r["order_uuid"] for r in a]
+    assert all(pat.match(u) for u in uuids)
+    assert len(set(uuids)) == len(uuids)  # injective on the key range
+
+
+def test_mad_anomaly_invariants(spark):
+    rows = plans.get("ts_anomaly_mad_robust").build(spark, SF).collect()
+    for r in rows:
+        assert r["mad"] > 0
+        assert r["robust_z"] > 3.5
+        assert abs(r["daily_value"] - r["median_value"]) == pytest.approx(
+            r["robust_z"] * r["mad"], rel=1e-9
+        )
+
+
+def test_pattern_reversal_spot_reference(spark):
+    rows = {
+        r["event_type"]: r
+        for r in plans.get("ts_pattern_reversal").build(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    daily = con.execute(
+        f"""SELECT event_type, CAST(ts AS DATE) AS d, SUM(value) AS y
+            FROM read_parquet('{SF}/events.parquet')
+            GROUP BY 1, 2 ORDER BY event_type, d"""
+    ).fetchall()
+    con.close()
+    series = {}
+    for et, d, y in daily:
+        series.setdefault(et, []).append((d, float(y)))
+    for et, pts in series.items():
+        n = sum(
+            1
+            for i in range(2, len(pts))
+            if pts[i - 1][1] < pts[i - 2][1] and pts[i][1] > pts[i - 1][1]
+        )
+        if n == 0:
+            assert et not in rows
+        else:
+            assert rows[et]["n_reversals"] == n
