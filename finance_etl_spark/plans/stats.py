@@ -308,3 +308,288 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         tstat.alias("t_stat"),
         dof.alias("welch_df"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RNG-free resampling inference (round 7 continuation). Both queries
+# replace the engine RNG with md5-derived uniforms — a pure function of
+# (row key, replicate id) — so the "random" resample is deterministic,
+# partition-order independent, and identically reproducible in the
+# DuckDB oracle: the whole resampling distribution is hash-checkable.
+
+# Poisson(1) inverse-CDF ladder over a 16-bit md5 bucket: the exact
+# integer thresholds floor(CDF(k) * 65536). Poissonized resampling is
+# the standard distributed approximation of the multinomial bootstrap
+# (each row's multiplicity in a resample of n rows -> Poisson(1) as
+# n grows; Chamandy et al., "Estimating Uncertainty for Massive Data
+# Streams", Google TR 2012) — and unlike the multinomial it needs no
+# global coordination: each (row, replicate) draws independently.
+_POIS_THRESH = (24109, 48218, 60273, 64291, 65296, 65497, 65530, 65535)
+_N_BOOT = 64
+
+
+def _pois_case_sql(u: str) -> str:
+    """CASE ladder mapping a 16-bit uniform to a Poisson(1) draw."""
+    arms = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_THRESH)
+    )
+    return f"CASE {arms} ELSE {len(_POIS_THRESH)} END"
+
+
+@register(
+    "stat_bootstrap_ci",
+    tags=("stats", "agg", "window"),
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(o_orderkey AS VARCHAR) AS k,
+                   CAST(o_totalprice AS DECIMAL(12,2)) AS x
+            FROM orders
+        ),
+        rep AS (
+            SELECT priority, b,
+                   {_pois_case_sql(
+                       "CAST('0x' || substr(md5(k || '#' || CAST(b AS VARCHAR)), 1, 4) AS BIGINT)"
+                   )} AS w,
+                   x
+            FROM base
+            CROSS JOIN (SELECT UNNEST(range({_N_BOOT})) AS b) reps
+        ),
+        means AS (
+            SELECT priority, b,
+                   CAST(CAST(SUM(w * x) AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(SUM(w) AS VARCHAR) AS DOUBLE) AS m
+            FROM rep GROUP BY priority, b
+            HAVING SUM(w) > 0
+        ),
+        ranked AS (
+            SELECT priority, m,
+                   ROW_NUMBER() OVER (PARTITION BY priority ORDER BY m, b) AS r,
+                   COUNT(*) OVER (PARTITION BY priority) AS nb
+            FROM means
+        ),
+        ci AS (
+            SELECT priority,
+                   MAX(CASE WHEN r = 2 THEN m END) AS ci_lo,
+                   MAX(CASE WHEN r = nb - 1 THEN m END) AS ci_hi,
+                   MAX(nb) AS nb
+            FROM ranked GROUP BY priority
+        ),
+        pt AS (
+            SELECT priority, COUNT(*) AS n_orders,
+                   CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) AS mean_total
+            FROM base GROUP BY priority
+        )
+        SELECT pt.priority, CAST(n_orders AS BIGINT) AS n_orders,
+               mean_total, ci_lo, ci_hi, CAST(nb AS BIGINT) AS n_boot
+        FROM pt JOIN ci ON pt.priority = ci.priority
+        ORDER BY pt.priority
+    """,
+)
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poissonized bootstrap 95% CI for the mean order total per
+    priority, with the RNG replaced by md5(row#replicate) so the
+    entire resampling distribution is deterministic and cross-engine
+    hash-checkable (each row's multiplicity in replicate b is the
+    Poisson(1) inverse-CDF of a 16-bit md5 bucket — the distributed
+    bootstrap of Chamandy et al., no global coordination per
+    resample). Shape: a 64-row broadcast fans each order into its
+    replicates BEFORE a (priority, b) hash agg, so map-side combine
+    collapses the 64x row blow-up inside each task and the shuffle
+    carries only |priorities| x 64 partial sums; the CI is the
+    2nd / 63rd order statistic of the replicate means (exact decimal
+    sums, one double division at the edge). The driver sees O(groups)
+    rows at any corpus size."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("x"),
+    )
+    reps = spark.range(_N_BOOT).select(F.col("id").alias("b"))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("k"), F.lit("#"), F.col("b").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = F.when(u < _POIS_THRESH[0], 0)
+    for idx, t in enumerate(_POIS_THRESH[1:], start=1):
+        w = w.when(u < t, idx)
+    w = w.otherwise(len(_POIS_THRESH))
+    means = (
+        base.join(F.broadcast(reps))
+        .select("priority", "b", w.alias("w"), "x")
+        .groupBy("priority", "b")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("sw"), F.sum("w").alias("nw"))
+        .filter(F.col("nw") > 0)
+        .select(
+            "priority",
+            "b",
+            (F.col("sw").cast("double") / F.col("nw").cast("double")).alias("m"),
+        )
+    )
+    wnd = Window.partitionBy("priority").orderBy("m", "b")
+    cnt = Window.partitionBy("priority")
+    ranked = means.select(
+        "priority",
+        "m",
+        F.row_number().over(wnd).alias("r"),
+        F.count(F.lit(1)).over(cnt).alias("nb"),
+    )
+    ci = ranked.groupBy("priority").agg(
+        F.max(F.when(F.col("r") == 2, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("r") == F.col("nb") - 1, F.col("m"))).alias("ci_hi"),
+        F.max("nb").alias("nb"),
+    )
+    pt = base.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_total"
+        ),
+    )
+    return (
+        pt.join(ci, "priority")
+        .select(
+            "priority",
+            "n_orders",
+            "mean_total",
+            "ci_lo",
+            "ci_hi",
+            F.col("nb").cast("bigint").alias("n_boot"),
+        )
+        .orderBy("priority")
+    )
+
+
+_N_PERM = 64
+
+
+@register(
+    "stat_randomization_test",
+    tags=("stats", "agg"),
+    oracle=f"""
+        WITH ts AS (
+            SELECT CAST(o_orderkey AS VARCHAR) AS k, x, g
+            FROM ({_SAMPLE_SQL.replace("SELECT ", "SELECT o_orderkey, ", 1)})
+        ),
+        tot AS (
+            SELECT SUM(g) AS n1, COUNT(*) - SUM(g) AS n0,
+                   (SUM(g) * 65536) // COUNT(*) AS thr,
+                   CAST(CAST(SUM(CASE WHEN g = 1 THEN x END) AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(SUM(g) AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(SUM(CASE WHEN g = 0 THEN x END) AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(COUNT(*) - SUM(g) AS VARCHAR) AS DOUBLE) AS obs_diff
+            FROM ts
+        ),
+        perm AS (
+            SELECT p,
+                   CASE WHEN CAST('0x' || substr(md5(k || '@' || CAST(p AS VARCHAR)), 1, 4)
+                             AS BIGINT) < thr
+                        THEN 1 ELSE 0 END AS a,
+                   x
+            FROM ts
+            CROSS JOIN (SELECT UNNEST(range({_N_PERM})) AS p) perms
+            CROSS JOIN tot
+        ),
+        diffs AS (
+            SELECT p,
+                   CAST(CAST(SUM(CASE WHEN a = 1 THEN x END) AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(SUM(a) AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(SUM(CASE WHEN a = 0 THEN x END) AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(COUNT(*) - SUM(a) AS VARCHAR) AS DOUBLE) AS d
+            FROM perm GROUP BY p
+            HAVING SUM(a) > 0 AND SUM(a) < COUNT(*)
+        )
+        SELECT CAST(tot.n1 AS BIGINT) AS n1, CAST(tot.n0 AS BIGINT) AS n0,
+               tot.obs_diff,
+               CAST(SUM(CASE WHEN abs(d) >= abs(tot.obs_diff) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_extreme,
+               (1.0 + SUM(CASE WHEN abs(d) >= abs(tot.obs_diff) THEN 1 ELSE 0 END))
+                 / CAST({_N_PERM} + 1 AS DOUBLE) AS p_value
+        FROM diffs CROSS JOIN tot
+        GROUP BY tot.n1, tot.n0, tot.obs_diff
+    """,
+)
+def stat_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate randomization (permutation) test for the URGENT-vs-
+    LOW mean order-total difference, RNG-free: permutation p
+    reassigns each row to a pseudo-group by thresholding a 16-bit
+    md5(row@p) bucket at floor(n1*65536/n) — Bernoulli(n1/n)
+    reassignment, the Dwass/Chung approximate-randomization variant
+    whose group sizes are binomial rather than fixed, which is what
+    makes it embarrassingly parallel: no global shuffle of labels,
+    every (row, p) decides locally. The p-value is the add-one
+    estimate (1 + #{|d_p| >= |obs|}) / (P+1). All group sums are
+    exact decimals with one double division per mean at the edge, so
+    the full permutation distribution is deterministic and the whole
+    test hash-oracle-checkable. Shape: one 64-row broadcast fan-out
+    into a (p) hash agg — map-side combine keeps the shuffle at
+    O(P) rows regardless of corpus size."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderpriority").isin(_G1, _G0)).select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("x"),
+        F.when(F.col("o_orderpriority") == _G1, 1).otherwise(0).alias("g"),
+    )
+    tot = base.agg(
+        F.sum("g").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("g")).alias("n0"),
+        F.expr("(SUM(g) * 65536) DIV COUNT(*)").alias("thr"),
+        (
+            F.sum(F.when(F.col("g") == 1, F.col("x"))).cast("double")
+            / F.sum("g").cast("double")
+            - F.sum(F.when(F.col("g") == 0, F.col("x"))).cast("double")
+            / (F.count(F.lit(1)) - F.sum("g")).cast("double")
+        ).alias("obs_diff"),
+    )
+    perms = spark.range(_N_PERM).select(F.col("id").alias("p"))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("k"), F.lit("@"), F.col("p").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    perm = (
+        base.join(F.broadcast(perms))
+        .join(F.broadcast(tot.select("thr")))
+        .select("p", F.when(u < F.col("thr"), 1).otherwise(0).alias("a"), "x")
+    )
+    diffs = (
+        perm.groupBy("p")
+        .agg(
+            F.sum(F.when(F.col("a") == 1, F.col("x"))).alias("s1"),
+            F.sum("a").alias("c1"),
+            F.sum(F.when(F.col("a") == 0, F.col("x"))).alias("s0"),
+            (F.count(F.lit(1)) - F.sum("a")).alias("c0"),
+        )
+        .filter((F.col("c1") > 0) & (F.col("c0") > 0))
+        .select(
+            (
+                F.col("s1").cast("double") / F.col("c1").cast("double")
+                - F.col("s0").cast("double") / F.col("c0").cast("double")
+            ).alias("d")
+        )
+    )
+    n_ext = F.sum(
+        F.when(F.abs(F.col("d")) >= F.abs(F.col("obs_diff")), 1).otherwise(0)
+    )
+    return (
+        diffs.join(F.broadcast(tot.select("n1", "n0", "obs_diff")))
+        .groupBy("n1", "n0", "obs_diff")
+        .agg(
+            n_ext.cast("bigint").alias("n_extreme"),
+            (
+                (F.lit(1.0) + n_ext)
+                / F.lit(float(_N_PERM + 1))
+            ).alias("p_value"),
+        )
+        .select("n1", "n0", "obs_diff", "n_extreme", "p_value")
+    )

@@ -1,0 +1,126 @@
+"""Round-7 continuation: pure-Python references for the RNG-free
+resampling queries (bootstrap CI, randomization test). The references
+re-derive the md5 uniforms and the Poisson inverse-CDF ladder from
+scratch (hashlib, Decimal sums) so a threshold or hashing bug shared
+between the Spark build and the DuckDB oracle cannot hide (the _GINI
+lesson: a hash oracle is blind to formula bugs in shared fragments).
+Every assertion was run against the sf0.001 fixture before commit.
+"""
+
+import hashlib
+from collections import defaultdict
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+from finance_etl_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+_POIS_THRESH = (24109, 48218, 60273, 64291, 65296, 65497, 65530, 65535)
+_G1, _G0 = "1-URGENT", "5-LOW"
+
+
+def _orders():
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT o_orderkey, o_orderpriority,"
+        " CAST(o_totalprice AS DECIMAL(12,2))"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _u16(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+
+def _pois(u: int) -> int:
+    for k, t in enumerate(_POIS_THRESH):
+        if u < t:
+            return k
+    return len(_POIS_THRESH)
+
+
+def test_poisson_ladder_is_the_inverse_cdf():
+    # the committed thresholds must be floor(CDF_Poisson(1)(k) * 65536)
+    import math
+
+    cum, fact = 0.0, 1
+    for k in range(8):
+        if k:
+            fact *= k
+        cum += math.exp(-1) / fact
+        assert _POIS_THRESH[k] == math.floor(cum * 65536)
+
+
+def test_bootstrap_ci_matches_pure_python(spark):
+    got = {
+        r["priority"]: r
+        for r in plans.get("stat_bootstrap_ci").build(spark, SF).collect()
+    }
+    rows = _orders()
+    by_p = defaultdict(list)
+    for key, pri, x in rows:
+        by_p[pri].append((str(key), x))
+    assert set(got) == set(by_p)
+    for pri, items in by_p.items():
+        # replicate means from the md5-Poisson weights, Decimal-exact
+        ms = []
+        for b in range(64):
+            sw, nw = Decimal(0), 0
+            for k, x in items:
+                w = _pois(_u16(f"{k}#{b}"))
+                sw += w * x
+                nw += w
+            assert nw > 0
+            ms.append((float(sw) / float(nw), b))
+        ms.sort()
+        lo, hi = ms[1][0], ms[62][0]
+        n = len(items)
+        mean = float(sum(x for _, x in items)) / float(n)
+        r = got[pri]
+        assert r["n_orders"] == n and r["n_boot"] == 64
+        assert r["mean_total"] == mean  # identical IEEE path, exact
+        assert r["ci_lo"] == lo and r["ci_hi"] == hi
+        assert lo < mean < hi  # sanity: the CI brackets the point estimate
+
+
+def test_randomization_test_matches_pure_python(spark):
+    row = plans.get("stat_randomization_test").build(spark, SF).collect()
+    assert len(row) == 1
+    row = row[0]
+    sample = [
+        (str(key), x, 1 if pri == _G1 else 0)
+        for key, pri, x in _orders()
+        if pri in (_G1, _G0)
+    ]
+    n = len(sample)
+    n1 = sum(g for _, _, g in sample)
+    n0 = n - n1
+    thr = (n1 * 65536) // n
+    s1 = sum((x for _, x, g in sample if g == 1), Decimal(0))
+    s0 = sum((x for _, x, g in sample if g == 0), Decimal(0))
+    obs = float(s1) / float(n1) - float(s0) / float(n0)
+    n_ext = 0
+    for p in range(64):
+        a1s, a1n, a0s, a0n = Decimal(0), 0, Decimal(0), 0
+        for k, x, _ in sample:
+            if _u16(f"{k}@{p}") < thr:
+                a1s += x
+                a1n += 1
+            else:
+                a0s += x
+                a0n += 1
+        if a1n == 0 or a0n == 0:
+            continue
+        d = float(a1s) / float(a1n) - float(a0s) / float(a0n)
+        if abs(d) >= abs(obs):
+            n_ext += 1
+    assert row["n1"] == n1 and row["n0"] == n0
+    assert row["obs_diff"] == obs
+    assert row["n_extreme"] == n_ext
+    assert row["p_value"] == (1.0 + n_ext) / 65.0
+    assert 0.0 < row["p_value"] <= 1.0
