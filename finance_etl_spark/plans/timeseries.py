@@ -2298,3 +2298,153 @@ def ts_pattern_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").alias("last_reversal"),
         F.sum(F.col("rebound")).cast("double").alias("total_rebound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AR(2) by Yule-Walker (round 7 continuation): fit an autoregressive
+# model per series in closed form from exact sufficient statistics —
+# the forecasting twin of ts_autocorr_lags (which stops at the ACF)
+# and the time-series analogue of ml_ols_normal_equations' recipe:
+# one pass reduces each series to O(1) exact decimal sums, the solve
+# is a scalar IEEE expression at the edge, so the whole fit is
+# partition-order independent and hash-oracle-checkable — unlike any
+# gradient/iterative fit whose float partials depend on layout.
+
+@register(
+    "ts_yule_walker_ar2",
+    tags=("timeseries", "ml", "window", "agg"),
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   SUM(CAST(value AS DECIMAL(18,6))) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, d, x,
+                   LAG(x, 1) OVER w AS x1,
+                   LAG(x, 2) OVER w AS x2
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d)
+        ),
+        s AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   {o_dsum("x")} AS sx,
+                   {o_dsum("x * x")} AS sxx,
+                   {o_dsum("x * x1")} AS s01,
+                   {o_dsum("x * x2")} AS s02,
+                   {o_dsum("CASE WHEN x1 IS NOT NULL THEN x END")} AS a1,
+                   {o_dsum("x1")} AS b1,
+                   {o_dsum("CASE WHEN x2 IS NOT NULL THEN x END")} AS a2,
+                   {o_dsum("x2")} AS b2,
+                   MAX(CASE WHEN x1 IS NOT NULL THEN
+                       struct_pack(d := d,
+                                   xn := CAST(CAST(x AS VARCHAR) AS DOUBLE),
+                                   xp := CAST(CAST(x1 AS VARCHAR) AS DOUBLE))
+                       END) AS lastrow
+            FROM lagged
+            GROUP BY event_type
+        ),
+        c AS (
+            SELECT event_type, n, sx / n AS mu,
+                   (sxx - sx * sx / n) / n AS c0,
+                   (s01 - (sx / n) * (a1 + b1) + (n - 1) * (sx / n) * (sx / n)) / n AS c1,
+                   (s02 - (sx / n) * (a2 + b2) + (n - 2) * (sx / n) * (sx / n)) / n AS c2,
+                   lastrow
+            FROM s
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_days, mu, c0,
+               (c1 / c0) * (1 - c2 / c0) / (1 - (c1 / c0) * (c1 / c0)) AS phi1,
+               (c2 / c0 - (c1 / c0) * (c1 / c0))
+                 / (1 - (c1 / c0) * (c1 / c0)) AS phi2,
+               c0 * (1 - ((c1 / c0) * (1 - c2 / c0) / (1 - (c1 / c0) * (c1 / c0))) * (c1 / c0)
+                       - ((c2 / c0 - (c1 / c0) * (c1 / c0)) / (1 - (c1 / c0) * (c1 / c0))) * (c2 / c0))
+                 AS sigma2,
+               mu + ((c1 / c0) * (1 - c2 / c0) / (1 - (c1 / c0) * (c1 / c0)))
+                      * (lastrow.xn - mu)
+                  + ((c2 / c0 - (c1 / c0) * (c1 / c0)) / (1 - (c1 / c0) * (c1 / c0)))
+                      * (lastrow.xp - mu) AS forecast_next
+        FROM c
+        ORDER BY event_type
+    """,
+)
+def ts_yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series AR(2) fit by the Yule-Walker method, closed form:
+    each event type's daily-total series reduces in ONE windowed scan
+    to exact decimal sufficient statistics (n, Σx, Σx², the lag-1/-2
+    cross products Σx_t·x_{t-k}, and the lag-overlap edge sums needed
+    for the exact mean correction), then the autocovariances
+    c_k = (S_k − μ(A_k+B_k) + (n−k)μ²)/n, the coefficients
+    φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²), the innovation
+    variance σ² = c0(1−φ₁r₁−φ₂r₂), and the one-step forecast
+    μ + φ₁(x_n−μ) + φ₂(x_{n−1}−μ) are single double expressions with
+    identical operation order on both engines. Scale: the corpus-sized
+    work is the daily aggregation (map-side partials); the per-series
+    window runs over O(days) rows and the driver sees O(series) rows.
+    The decimal lag products are exact up to DECIMAL(38,12) — at
+    larger daily magnitudes widen the base cast, not the algorithm."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "d",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 2).over(w).alias("x2"),
+    )
+    s = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("x1")).cast("double").alias("s01"),
+        F.sum(F.col("x") * F.col("x2")).cast("double").alias("s02"),
+        F.sum(F.when(F.col("x1").isNotNull(), F.col("x")))
+        .cast("double")
+        .alias("a1"),
+        F.sum("x1").cast("double").alias("b1"),
+        F.sum(F.when(F.col("x2").isNotNull(), F.col("x")))
+        .cast("double")
+        .alias("a2"),
+        F.sum("x2").cast("double").alias("b2"),
+        F.max(
+            F.when(
+                F.col("x1").isNotNull(),
+                F.struct(
+                    F.col("d"),
+                    F.col("x").cast("double").alias("xn"),
+                    F.col("x1").cast("double").alias("xp"),
+                ),
+            )
+        ).alias("lastrow"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("sx") / n
+    c0 = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / n
+    c1 = (
+        F.col("s01") - mu * (F.col("a1") + F.col("b1")) + (n - F.lit(1.0)) * mu * mu
+    ) / n
+    c2 = (
+        F.col("s02") - mu * (F.col("a2") + F.col("b2")) + (n - F.lit(2.0)) * mu * mu
+    ) / n
+    r1, r2 = c1 / c0, c2 / c0
+    phi1 = r1 * (F.lit(1.0) - r2) / (F.lit(1.0) - r1 * r1)
+    phi2 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    sigma2 = c0 * (F.lit(1.0) - phi1 * r1 - phi2 * r2)
+    forecast = (
+        mu
+        + phi1 * (F.col("lastrow.xn") - mu)
+        + phi2 * (F.col("lastrow.xp") - mu)
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        mu.alias("mu"),
+        c0.alias("c0"),
+        phi1.alias("phi1"),
+        phi2.alias("phi2"),
+        sigma2.alias("sigma2"),
+        forecast.alias("forecast_next"),
+    ).orderBy("event_type")

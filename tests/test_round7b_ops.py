@@ -124,3 +124,59 @@ def test_randomization_test_matches_pure_python(spark):
     assert row["n_extreme"] == n_ext
     assert row["p_value"] == (1.0 + n_ext) / 65.0
     assert 0.0 < row["p_value"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# AR(2) Yule-Walker vs an independent Decimal-exact reference
+
+
+def test_yule_walker_ar2_matches_pure_python(spark):
+    got = {
+        r["event_type"]: r
+        for r in plans.get("ts_yule_walker_ar2").build(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    daily = con.execute(
+        "SELECT event_type, CAST(ts AS DATE) AS d,"
+        " SUM(CAST(value AS DECIMAL(18,6))) AS x"
+        f" FROM read_parquet('{SF}/events.parquet')"
+        " GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    con.close()
+    series = defaultdict(list)
+    for et, _, x in daily:
+        series[et].append(x)  # Decimal, already in d order
+    assert set(got) == set(series)
+    for et, xs in series.items():
+        n = len(xs)
+        sx = sum(xs, Decimal(0))
+        sxx = sum((x * x for x in xs), Decimal(0))
+        s01 = sum((xs[t] * xs[t - 1] for t in range(1, n)), Decimal(0))
+        s02 = sum((xs[t] * xs[t - 2] for t in range(2, n)), Decimal(0))
+        a1 = sum(xs[1:], Decimal(0))
+        b1 = sum(xs[:-1], Decimal(0))
+        a2 = sum(xs[2:], Decimal(0))
+        b2 = sum(xs[:-2], Decimal(0))
+        nf = float(n)
+        sxf, sxxf = float(sx), float(sxx)
+        mu = sxf / nf
+        c0 = (sxxf - sxf * sxf / nf) / nf
+        c1 = (float(s01) - mu * (float(a1) + float(b1)) + (nf - 1.0) * mu * mu) / nf
+        c2 = (float(s02) - mu * (float(a2) + float(b2)) + (nf - 2.0) * mu * mu) / nf
+        r1, r2 = c1 / c0, c2 / c0
+        phi1 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+        phi2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+        sigma2 = c0 * (1.0 - phi1 * r1 - phi2 * r2)
+        fc = mu + phi1 * (float(xs[-1]) - mu) + phi2 * (float(xs[-2]) - mu)
+        g = got[et]
+        assert g["n_days"] == n
+        assert g["mu"] == mu and g["c0"] == c0
+        assert g["phi1"] == pytest.approx(phi1, rel=1e-12, abs=1e-15)
+        assert g["phi2"] == pytest.approx(phi2, rel=1e-12, abs=1e-15)
+        assert g["sigma2"] == pytest.approx(sigma2, rel=1e-12)
+        assert g["forecast_next"] == pytest.approx(fc, rel=1e-12)
+        # model sanity: innovation variance cannot exceed the series
+        # variance, and the AR(2) stationarity triangle holds
+        assert 0.0 <= g["sigma2"] <= g["c0"] * (1.0 + 1e-12)
+        assert abs(g["phi2"]) < 1.0
+        assert g["phi2"] + g["phi1"] < 1.0 and g["phi2"] - g["phi1"] < 1.0
