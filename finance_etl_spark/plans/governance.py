@@ -12,7 +12,7 @@ temporal leakage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from finance_etl_spark.functions.money import dsum
@@ -419,4 +419,217 @@ def dq_expectations_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("rule")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join/shuffle-key skew profiler (round 7 continuation). Before a big
+# join ships 100 TB through a shuffle, the question is "which side's
+# key is skewed, and how badly" — max/avg multiplicity, tail order
+# statistics, and the count of AQE-splittable hot keys. The profile
+# is computed on the COUNT-OF-COUNTS relation (group keys by their
+# multiplicity), so the expensive global order statistic over
+# |keys| rows collapses to a cumulative sum over O(distinct
+# multiplicities) rows — bounded by the hottest key's count, not by
+# the key cardinality. Hot-key detection (cnt > 5x avg) is pure
+# integer arithmetic (cnt * n_keys > 5 * total_rows): exact at any
+# scale, no float thresholds.
+
+_SKEW_AUDITS = (
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+)
+
+
+def _skew_audit_sql(label: str, table: str, key: str) -> str:
+    return f"""
+        SELECT '{label}' AS audit, n_keys, total_rows, max_cnt,
+               p50_cnt, p99_cnt, hot_keys,
+               CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+                 / CAST(total_rows AS DOUBLE) AS skew_ratio
+        FROM (
+            SELECT CAST(SUM(k) AS BIGINT) AS n_keys,
+                   CAST(SUM(cnt * k) AS BIGINT) AS total_rows,
+                   MAX(cnt) AS max_cnt,
+                   MIN(CASE WHEN cum >= (nk_all + 1) // 2
+                            THEN cnt END) AS p50_cnt,
+                   MIN(CASE WHEN cum >= (99 * nk_all + 99) // 100
+                            THEN cnt END) AS p99_cnt,
+                   CAST(SUM(CASE WHEN cnt * nk_all > 5 * tot_all
+                                 THEN k ELSE 0 END) AS BIGINT) AS hot_keys
+            FROM (
+                SELECT cnt, k, cum,
+                       SUM(k) OVER () AS nk_all,
+                       SUM(cnt * k) OVER () AS tot_all
+                FROM (
+                    SELECT cnt, COUNT(*) AS k,
+                           SUM(COUNT(*)) OVER (ORDER BY cnt
+                               ROWS UNBOUNDED PRECEDING) AS cum
+                    FROM (SELECT {key}, COUNT(*) AS cnt
+                          FROM {table} GROUP BY {key})
+                    GROUP BY cnt
+                )
+            )
+        )
+    """
+
+
+@register(
+    "obs_skew_profile",
+    tags=("obs", "dq", "agg", "window"),
+    oracle=" UNION ALL ".join(
+        _skew_audit_sql(label, table, key)
+        for label, table, key in _SKEW_AUDITS
+    )
+    + " ORDER BY audit",
+)
+def obs_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit over the three hottest join keys: per
+    key multiplicity -> count-of-counts -> exact p50/p99/max order
+    statistics, the max/avg skew ratio, and the number of hot keys
+    exceeding 5x the mean multiplicity (integer-exact: cnt * n_keys >
+    5 * total_rows). The global percentile over |keys| rows is
+    computed on the O(distinct multiplicities) count-of-counts
+    relation — the same collapse that makes this audit runnable on a
+    100 TB fact table before committing to a join strategy (the
+    operational twin of join_aqe_skew_split / join_salted_hot_key,
+    which REACT to the skew this measures). Driver sees 3 rows."""
+    parts = []
+    for label, table, key in _SKEW_AUDITS:
+        t = load_table(spark, sf_dir, table)
+        counts = t.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        freq = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("k"))
+        wcum = Window.orderBy("cnt").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        wall = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cc = freq.select(
+            "cnt",
+            "k",
+            F.sum("k").over(wcum).alias("cum"),
+            F.sum("k").over(wall).alias("nk_all"),
+            F.sum(F.col("cnt") * F.col("k")).over(wall).alias("tot_all"),
+        )
+        row = cc.agg(
+            F.sum("k").cast("bigint").alias("n_keys"),
+            F.sum(F.col("cnt") * F.col("k")).cast("bigint").alias("total_rows"),
+            F.max("cnt").alias("max_cnt"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(nk_all + 1) DIV 2"),
+                    F.col("cnt"),
+                )
+            ).alias("p50_cnt"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(99 * nk_all + 99) DIV 100"),
+                    F.col("cnt"),
+                )
+            ).alias("p99_cnt"),
+            F.sum(
+                F.when(
+                    F.col("cnt") * F.col("nk_all")
+                    > F.lit(5) * F.col("tot_all"),
+                    F.col("k"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("hot_keys"),
+        ).select(
+            F.lit(label).alias("audit"),
+            "n_keys",
+            "total_rows",
+            "max_cnt",
+            "p50_cnt",
+            "p99_cnt",
+            "hot_keys",
+            (
+                F.col("max_cnt").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("total_rows").cast("double")
+            ).alias("skew_ratio"),
+        )
+        parts.append(row)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("audit")
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private release via the BINOMIAL mechanism, RNG-free.
+# dq_dp_noisy_counts draws Laplace noise from Spark's seeded RNG — the
+# honest mechanism, but rows-only by contract (no cross-engine RNG).
+# This twin derives the noise from the md5 bits of the release key:
+# popcount(md5) ~ Binomial(128, 1/2), so noise = popcount - 64 is a
+# discrete, zero-mean, sigma ~= 5.66 perturbation — the binomial
+# mechanism of Dwork et al. (Eurocrypt 2006, "Our Data, Ourselves"),
+# which for counting queries (sensitivity 1) gives (eps, delta)-DP
+# with eps ~= sqrt(2 ln(1.25/delta))/sigma at these parameters.
+# Deterministic noise is a REPLAY of one fixed draw — the right shape
+# for a reproducible data release (same epoch key -> same table,
+# byte-stable across reruns and engines), with the epoch key rotated
+# per release in production. Fully hash-oracle-checkable.
+
+_DP_EPOCH = "dp-epoch-2026-08"
+
+
+def _popcount_sql(s: str) -> str:
+    """128-bit popcount of md5(s) as 4 x 32-bit chunk popcounts."""
+    chunks = " + ".join(
+        f"bit_count(CAST('0x' || substr(md5({s}), {i}, 8) AS BIGINT))"
+        for i in (1, 9, 17, 25)
+    )
+    return f"({chunks})"
+
+
+@register(
+    "dq_dp_binomial_counts",
+    tags=("dq", "privacy", "agg"),
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS true_count,
+               CAST(COUNT(*) + {_popcount_sql(
+                   f"event_type || '#' || '{_DP_EPOCH}'"
+               )} - 64 AS BIGINT) AS noisy_count,
+               CAST({_popcount_sql(
+                   f"event_type || '#' || '{_DP_EPOCH}'"
+               )} - 64 AS BIGINT) AS noise
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def dq_dp_binomial_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible DP-style count release under the binomial
+    mechanism: per-group noise = popcount(md5(group#epoch)) - 64 ~
+    centered Binomial(128, 1/2) (sigma ~= 5.66), a deterministic
+    replay of one noise draw keyed by the release epoch — unlike
+    dq_dp_noisy_counts' seeded Laplace (rows-only by contract), this
+    release is byte-stable across engines and reruns, so the whole
+    mechanism is hash-oracle-checked. Popcount runs as four 32-bit
+    bit_count chunks of the md5 hex — pure codegen projections on an
+    O(groups) aggregate; corpus-scale work is only the count."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.concat(F.col("event_type"), F.lit(f"#{_DP_EPOCH}"))
+    pc = sum(
+        F.bit_count(
+            F.conv(F.substring(F.md5(key), i, 8), 16, 10).cast("bigint")
+        )
+        for i in (1, 9, 17, 25)
+    )
+    noise = (pc - F.lit(64)).cast("bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .select(
+            "event_type",
+            "true_count",
+            (F.col("true_count") + noise).cast("bigint").alias("noisy_count"),
+            noise.alias("noise"),
+        )
+        .orderBy("event_type")
     )

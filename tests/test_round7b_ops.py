@@ -180,3 +180,66 @@ def test_yule_walker_ar2_matches_pure_python(spark):
         assert 0.0 <= g["sigma2"] <= g["c0"] * (1.0 + 1e-12)
         assert abs(g["phi2"]) < 1.0
         assert g["phi2"] + g["phi1"] < 1.0 and g["phi2"] - g["phi1"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# Skew profile vs a naive sort-the-counts reference
+
+
+def test_obs_skew_profile_matches_naive_reference(spark):
+    got = {
+        r["audit"]: r
+        for r in plans.get("obs_skew_profile").build(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    for label, table, key in (
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+    ):
+        cnts = sorted(
+            c
+            for (c,) in con.execute(
+                f"SELECT COUNT(*) FROM read_parquet('{SF}/{table}.parquet')"
+                f" GROUP BY {key}"
+            ).fetchall()
+        )
+        n = len(cnts)
+        total = sum(cnts)
+        p50 = cnts[(n + 1) // 2 - 1]
+        p99 = cnts[(99 * n + 99) // 100 - 1]
+        hot = sum(1 for c in cnts if c * n > 5 * total)
+        g = got[label]
+        assert g["n_keys"] == n and g["total_rows"] == total
+        assert g["max_cnt"] == cnts[-1]
+        assert g["p50_cnt"] == p50 and g["p99_cnt"] == p99
+        assert g["hot_keys"] == hot
+        assert g["skew_ratio"] == float(cnts[-1]) * float(n) / float(total)
+        assert g["skew_ratio"] >= 1.0  # max >= avg always
+    con.close()
+
+
+# ---------------------------------------------------------------------------
+# Binomial-mechanism DP counts vs hashlib popcount
+
+
+def test_dp_binomial_counts_matches_hashlib(spark):
+    rows = plans.get("dq_dp_binomial_counts").build(spark, SF).collect()
+    con = duckdb.connect()
+    true = dict(
+        con.execute(
+            "SELECT event_type, COUNT(*) FROM"
+            f" read_parquet('{SF}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    con.close()
+    assert {r["event_type"] for r in rows} == set(true)
+    for r in rows:
+        h = hashlib.md5(
+            f"{r['event_type']}#dp-epoch-2026-08".encode()
+        ).hexdigest()
+        noise = bin(int(h, 16)).count("1") - 64
+        assert r["true_count"] == true[r["event_type"]]
+        assert r["noise"] == noise
+        assert r["noisy_count"] == r["true_count"] + noise
+        assert abs(r["noise"]) <= 64  # binomial mechanism bound
