@@ -3113,3 +3113,91 @@ def cur_e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("global_position")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling (round 7 continuation): the
+# multilingual-LM upsampling rule p_i ∝ n_i^alpha (Conneau & Lample's
+# XLM alpha-smoothing; alpha in [0.2, 0.7] across published corpora).
+# alpha is fixed at 0.5 here deliberately: n^0.5 = sqrt(n) is
+# IEEE-CORRECTLY-ROUNDED (unlike pow/exp/ln, which are libm-dependent
+# and would force this query to rows-only), so the whole sampling
+# table stays engine-exact and hash-oracle-checked. The sqrt weights
+# are floor-quantized to 1e-6 and summed as exact integers (the
+# o_fsum recipe) — never an order-dependent float sum.
+
+_TEMP_EPOCH_DOCS = 100_000  # docs drawn per training epoch
+
+
+@register(
+    "cur_mixture_temperature",
+    tags=("curation", "sample", "agg"),
+    oracle=f"""
+        WITH per_dom AS (
+            SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e6)
+                        AS DECIMAL(38,0)) AS wq
+            FROM documents GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+                   SUM(wq) AS total_wq
+            FROM per_dom
+        )
+        SELECT source, lang, n_docs,
+               n_docs / CAST(total_docs AS DOUBLE) AS p_raw,
+               CAST(CAST(wq AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(total_wq AS VARCHAR) AS DOUBLE) AS p_temp,
+               (CAST(CAST(wq AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(total_wq AS VARCHAR) AS DOUBLE))
+                 / (n_docs / CAST(total_docs AS DOUBLE)) AS upsample,
+               CAST(FLOOR(CAST(CAST(wq AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(total_wq AS VARCHAR) AS DOUBLE)
+                 * {_TEMP_EPOCH_DOCS}) AS BIGINT) AS epoch_docs
+        FROM per_dom, tot
+        ORDER BY source, lang
+    """,
+)
+def cur_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha = 0.5) domain-mixture sampling table
+    over (source, lang) domains: p_temp ∝ sqrt(n_docs), the standard
+    smoothing that upsamples tail domains without letting any head
+    domain dominate an epoch. Emits raw and smoothed shares, the
+    per-domain upsample factor, and the integer per-epoch doc budget.
+    alpha = 0.5 is chosen because sqrt is IEEE-correctly-rounded on
+    both engines (general n^alpha needs libm pow and would demote the
+    query to rows-only); the sqrt weights are floor-quantized and
+    integer-summed, so no float reduction touches the output. Shape:
+    one hash agg keyed by domain + a 1-row broadcast cross join —
+    corpus-scale work is only the count; domains are registry-bounded
+    at any SF."""
+    d = load_table(spark, sf_dir, "documents")
+    per_dom = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    per_dom = per_dom.withColumn(
+        "wq",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(1e6)).cast(
+            "decimal(38,0)"
+        ),
+    )
+    tot = per_dom.agg(
+        F.sum("n_docs").alias("total_docs"), F.sum("wq").alias("total_wq")
+    )
+    p_raw = F.col("n_docs") / F.col("total_docs").cast("double")
+    p_temp = F.col("wq").cast("double") / F.col("total_wq").cast("double")
+    return (
+        per_dom.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            p_raw.alias("p_raw"),
+            p_temp.alias("p_temp"),
+            (p_temp / p_raw).alias("upsample"),
+            F.floor(p_temp * F.lit(_TEMP_EPOCH_DOCS))
+            .cast("bigint")
+            .alias("epoch_docs"),
+        )
+        .orderBy("source", "lang")
+    )

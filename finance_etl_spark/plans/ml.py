@@ -1848,3 +1848,96 @@ def ml_ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("c_success", "n_success").alias("n_success"),
         F.coalesce("c_llr", "llr").cast("double").alias("llr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov chain over user event sequences (round 7
+# continuation): the complete Laplace-smoothed transition matrix —
+# user-behavior modeling's "hello world", and the sequence twin of
+# naive-Bayes train (pure counting + one smoothed division at the
+# edge, so the whole model is engine-exact). Distinct from
+# ts_sequence_mining_pairs, which counts UNORDERED co-occurrence
+# margins anywhere in a session; this is the adjacent-step
+# conditional model P(next | prev).
+
+
+@register(
+    "ml_markov_transition",
+    tags=("ml", "timeseries", "window", "agg"),
+    oracle="""
+        WITH steps AS (
+            SELECT user_id, event_type AS next,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        c AS (
+            SELECT prev, next, COUNT(*) AS cnt
+            FROM steps WHERE prev IS NOT NULL
+            GROUP BY prev, next
+        ),
+        states AS (SELECT DISTINCT event_type AS s FROM events),
+        k AS (SELECT COUNT(*) AS k FROM states),
+        matrix AS (
+            SELECT a.s AS prev, b.s AS next,
+                   COALESCE(cnt, 0) AS cnt
+            FROM states a
+            CROSS JOIN states b
+            LEFT JOIN c ON c.prev = a.s AND c.next = b.s
+        ),
+        rowtot AS (
+            SELECT prev, SUM(cnt) AS tot FROM matrix GROUP BY prev
+        )
+        SELECT m.prev, m.next, CAST(m.cnt AS BIGINT) AS cnt,
+               CAST(m.cnt + 1 AS DOUBLE)
+                 / CAST(rowtot.tot + k.k AS DOUBLE) AS prob
+        FROM matrix m
+        JOIN rowtot ON rowtot.prev = m.prev
+        CROSS JOIN k
+        ORDER BY m.prev, m.next
+    """,
+)
+def ml_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-smoothed first-order Markov transition matrix over each
+    user's time-ordered event sequence: adjacent steps come from one
+    lag window per user (deterministic (ts, event_id) order), the
+    |states|^2 matrix is completed by a broadcast state cross join so
+    unseen transitions appear with their smoothed floor 1/(n_prev+K),
+    and P(next|prev) = (c+1)/(n_prev+K) is a single integer-exact
+    double division. Corpus-scale work is the per-user window (user
+    partitions are small) and one (prev,next) hash agg; everything
+    after runs on the K^2-row model relation. The chain IS the model —
+    its stationary behavior, top flows, and self-loop mass all read
+    off this table."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        F.col("event_type").alias("next"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    c = steps.groupBy("prev", "next").agg(F.count(F.lit(1)).alias("cnt"))
+    states = e.select(F.col("event_type").alias("s")).distinct()
+    k = states.agg(F.count(F.lit(1)).alias("k"))
+    matrix = (
+        states.select(F.col("s").alias("prev"))
+        .crossJoin(F.broadcast(states.select(F.col("s").alias("next"))))
+        .join(c, ["prev", "next"], "left")
+        .select("prev", "next", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    rowtot = matrix.groupBy("prev").agg(F.sum("cnt").alias("tot"))
+    return (
+        matrix.join(F.broadcast(rowtot), "prev")
+        .crossJoin(F.broadcast(k))
+        .select(
+            "prev",
+            "next",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            (
+                (F.col("cnt") + F.lit(1)).cast("double")
+                / (F.col("tot") + F.col("k")).cast("double")
+            ).alias("prob"),
+        )
+        .orderBy("prev", "next")
+    )

@@ -243,3 +243,78 @@ def test_dp_binomial_counts_matches_hashlib(spark):
         assert r["noise"] == noise
         assert r["noisy_count"] == r["true_count"] + noise
         assert abs(r["noise"]) <= 64  # binomial mechanism bound
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixture vs a pure-python sqrt-weight reference
+
+
+def test_mixture_temperature_matches_pure_python(spark):
+    import math
+
+    rows = plans.get("cur_mixture_temperature").build(spark, SF).collect()
+    con = duckdb.connect()
+    counts = {
+        (s, l): n
+        for s, l, n in con.execute(
+            "SELECT source, lang, COUNT(*) FROM"
+            f" read_parquet('{SF}/documents.parquet') GROUP BY 1, 2"
+        ).fetchall()
+    }
+    con.close()
+    assert {(r["source"], r["lang"]) for r in rows} == set(counts)
+    total_docs = sum(counts.values())
+    wq = {k: math.floor(math.sqrt(float(n)) * 1e6) for k, n in counts.items()}
+    total_wq = sum(wq.values())
+    for r in rows:
+        k = (r["source"], r["lang"])
+        n = counts[k]
+        p_raw = n / float(total_docs)
+        p_temp = float(wq[k]) / float(total_wq)
+        assert r["n_docs"] == n
+        assert r["p_raw"] == p_raw
+        assert r["p_temp"] == p_temp
+        assert r["upsample"] == p_temp / p_raw
+        assert r["epoch_docs"] == math.floor(p_temp * 100_000)
+    # temperature flattens: smaller domains never get a smaller
+    # upsample factor than larger ones, and the shares sum to ~1
+    srt = sorted(rows, key=lambda r: r["n_docs"])
+    ups = [r["upsample"] for r in srt]
+    assert all(a >= b - 1e-9 for a, b in zip(ups, ups[1:]))
+    assert sum(r["p_temp"] for r in rows) == pytest.approx(1.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix vs a pure-python sequence walk
+
+
+def test_markov_transition_matches_pure_python(spark):
+    rows = plans.get("ml_markov_transition").build(spark, SF).collect()
+    con = duckdb.connect()
+    ev = con.execute(
+        "SELECT user_id, ts, event_id, event_type FROM"
+        f" read_parquet('{SF}/events.parquet')"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    con.close()
+    seqs = defaultdict(list)
+    for u, _, _, t in ev:
+        seqs[u].append(t)
+    trans = defaultdict(int)
+    states = sorted({t for _, _, _, t in ev})
+    for seq in seqs.values():
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    K = len(states)
+    assert len(rows) == K * K
+    for r in rows:
+        c = trans.get((r["prev"], r["next"]), 0)
+        tot = sum(trans.get((r["prev"], s), 0) for s in states)
+        assert r["cnt"] == c
+        assert r["prob"] == (c + 1.0) / (tot + K)
+    # each row of the smoothed matrix is a probability distribution
+    by_prev = defaultdict(float)
+    for r in rows:
+        by_prev[r["prev"]] += r["prob"]
+    for tot in by_prev.values():
+        assert tot == pytest.approx(1.0, abs=1e-12)
