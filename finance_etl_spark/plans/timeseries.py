@@ -2448,3 +2448,186 @@ def ts_yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigma2.alias("sigma2"),
         forecast.alias("forecast_next"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Banded dynamic time warping between daily series (round 7
+# continuation): the classical elastic-alignment distance, made
+# engine-exact by quantizing the series to integers (BIGINT 1e-6
+# units from the exact decimal daily sums) so the whole DP runs in
+# integer arithmetic — no float accumulates anywhere, which is what
+# lets a sequential dynamic program carry a hash oracle at all. The
+# oracle evaluates the SAME recurrence as a parallel anti-diagonal
+# wavefront (cells on diagonal k depend only on diagonals k-1/k-2 —
+# the standard parallel-DTW decomposition) inside one recursive CTE,
+# so Spark's row-order DP and DuckDB's wavefront DP must meet on
+# identical integers.
+
+_DTW_SENT = 100_000_000_000_000_000  # unreachable-cell sentinel
+
+
+@register(
+    "ts_dtw_band",
+    tags=("timeseries", "udf", "agg"),
+    oracle=f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   SUM(CAST(value AS DECIMAL(18,6))) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        ser AS (
+            SELECT event_type,
+                   list(CAST(x * 1000000 AS BIGINT) ORDER BY d) AS xs
+            FROM daily GROUP BY event_type
+        ),
+        ps AS (
+            SELECT a.event_type AS ta, b.event_type AS tb,
+                   a.xs AS va, b.xs AS vb,
+                   len(a.xs) AS n, len(b.xs) AS m,
+                   GREATEST(10, abs(len(a.xs) - len(b.xs)) + 5) AS w
+            FROM ser a JOIN ser b ON a.event_type < b.event_type
+        ),
+        dp AS (
+            SELECT ta, tb, 0 AS k,
+                   CAST(NULL AS BIGINT[]) AS p2,
+                   list_transform(range(1, n + 1), ii ->
+                       CASE WHEN ii = 1 THEN abs(va[1] - vb[1])
+                            ELSE {_DTW_SENT} END) AS p1
+            FROM ps
+          UNION ALL
+            SELECT dp.ta, dp.tb, dp.k + 1, dp.p1,
+                   list_transform(range(1, ps.n + 1), ii ->
+                     CASE WHEN dp.k + 1 - (ii - 1) >= 0
+                           AND dp.k + 1 - (ii - 1) <= ps.m - 1
+                           AND abs(2 * ii - dp.k - 3) <= ps.w
+                     THEN abs(ps.va[ii] - ps.vb[dp.k - ii + 3])
+                          + LEAST(
+                              CASE WHEN ii > 1 THEN dp.p1[ii - 1]
+                                   ELSE {_DTW_SENT} END,
+                              dp.p1[ii],
+                              CASE WHEN ii > 1 AND dp.p2 IS NOT NULL
+                                   THEN dp.p2[ii - 1]
+                                   ELSE {_DTW_SENT} END)
+                     ELSE {_DTW_SENT} END) AS p1
+            FROM dp JOIN ps ON dp.ta = ps.ta AND dp.tb = ps.tb
+            WHERE dp.k + 1 <= ps.n + ps.m - 2
+        )
+        SELECT ps.ta AS type_a, ps.tb AS type_b,
+               CAST(ps.n AS BIGINT) AS n_a, CAST(ps.m AS BIGINT) AS n_b,
+               CAST(ps.w AS BIGINT) AS band,
+               dp.p1[ps.n] AS dtw_cost,
+               CAST(dp.p1[ps.n] AS DOUBLE)
+                 / CAST(ps.n + ps.m AS DOUBLE) AS dtw_norm
+        FROM dp
+        JOIN ps ON dp.ta = ps.ta AND dp.tb = ps.tb
+        WHERE dp.k = ps.n + ps.m - 2
+        ORDER BY type_a, type_b
+    """,
+)
+def ts_dtw_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sakoe-Chiba-banded DTW distance between every pair of event
+    types' daily series: the series quantize to exact BIGINT 1e-6
+    units, so the O(n*band) dynamic program is pure integer
+    arithmetic and the result is bit-identical however the cells are
+    scheduled — Spark runs it row-by-row in an Arrow-batched pandas
+    UDF over the K^2/2 pair relation, the oracle re-derives it as an
+    anti-diagonal wavefront recursion, and both must agree exactly.
+    Scale: corpus-sized work is only the daily aggregation (map-side
+    partials); the pair relation is |types|^2/2 rows of O(days)
+    arrays — model-sized — and each DP is O(days*band) inside one
+    Arrow batch. For millions of series pairs the same plan holds:
+    the pandas UDF shards pairs across executors with no shuffle
+    beyond the pair build. Band = max(10, |n-m|+5) guarantees a
+    feasible path at unequal lengths."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("x"))
+    ser = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("d"),
+                        (F.col("x") * F.lit(1000000))
+                        .cast("long")
+                        .alias("xq"),
+                    )
+                )
+            ),
+            lambda s: s.getField("xq"),
+        ).alias("xs")
+    )
+    a = ser.select(F.col("event_type").alias("type_a"), F.col("xs").alias("va"))
+    b = ser.select(F.col("event_type").alias("type_b"), F.col("xs").alias("vb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "va",
+            "vb",
+            F.size("va").cast("bigint").alias("n_a"),
+            F.size("vb").cast("bigint").alias("n_b"),
+            F.greatest(
+                F.lit(10).cast("bigint"),
+                (F.abs(F.size("va") - F.size("vb")) + F.lit(5)).cast("bigint"),
+            ).alias("band"),
+        )
+    )
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("long", PandasUDFType.SCALAR)
+    def dtw(va, vb, band):
+        sent = _DTW_SENT
+        out = []
+        for xs, ys, w in zip(va, vb, band):
+            xs = [int(v) for v in xs]
+            ys = [int(v) for v in ys]
+            w = int(w)
+            n, m = len(xs), len(ys)
+            prev = [sent] * m
+            cur = prev
+            for i in range(n):
+                cur = [sent] * m
+                for j in range(max(0, i - w), min(m - 1, i + w) + 1):
+                    c = abs(xs[i] - ys[j])
+                    if i == 0 and j == 0:
+                        cur[j] = c
+                        continue
+                    best = sent
+                    if i > 0 and prev[j] < best:
+                        best = prev[j]
+                    if j > 0 and cur[j - 1] < best:
+                        best = cur[j - 1]
+                    if i > 0 and j > 0 and prev[j - 1] < best:
+                        best = prev[j - 1]
+                    cur[j] = c + best
+                prev = cur
+            out.append(cur[m - 1])
+        return pd.Series(out, dtype="int64")
+
+    scored = pairs.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "band",
+        dtw("va", "vb", "band").alias("dtw_cost"),
+    )
+    return scored.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "band",
+        "dtw_cost",
+        (
+            F.col("dtw_cost").cast("double")
+            / (F.col("n_a") + F.col("n_b")).cast("double")
+        ).alias("dtw_norm"),
+    ).orderBy("type_a", "type_b")

@@ -318,3 +318,66 @@ def test_markov_transition_matches_pure_python(spark):
         by_prev[r["prev"]] += r["prob"]
     for tot in by_prev.values():
         assert tot == pytest.approx(1.0, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Banded DTW vs an unbanded O(n*m) reference + metric invariants
+
+
+def _dtw_full(xs, ys):
+    """Naive full (unbanded) DTW on integers."""
+    n, m = len(xs), len(ys)
+    inf = float("inf")
+    d = [[inf] * m for _ in range(n)]
+    for i in range(n):
+        for j in range(m):
+            c = abs(xs[i] - ys[j])
+            if i == 0 and j == 0:
+                d[i][j] = c
+            else:
+                best = inf
+                if i > 0:
+                    best = min(best, d[i - 1][j])
+                if j > 0:
+                    best = min(best, d[i][j - 1])
+                if i > 0 and j > 0:
+                    best = min(best, d[i - 1][j - 1])
+                d[i][j] = c + best
+    return d[n - 1][m - 1]
+
+
+def test_dtw_band_matches_full_dp_reference(spark):
+    rows = plans.get("ts_dtw_band").build(spark, SF).collect()
+    con = duckdb.connect()
+    ser = {
+        t: xs
+        for t, xs in con.execute(
+            "SELECT event_type, list(CAST(x * 1000000 AS BIGINT) ORDER BY d)"
+            " FROM (SELECT event_type, CAST(ts AS DATE) AS d,"
+            "       SUM(CAST(value AS DECIMAL(18,6))) AS x"
+            f"      FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2)"
+            " GROUP BY event_type"
+        ).fetchall()
+    }
+    con.close()
+    types = sorted(ser)
+    assert len(rows) == len(types) * (len(types) - 1) // 2
+    for r in rows:
+        xs, ys = ser[r["type_a"]], ser[r["type_b"]]
+        assert r["n_a"] == len(xs) and r["n_b"] == len(ys)
+        # with a band this wide on 30-day series the banded cost
+        # equals the unconstrained optimum (band >= 10 covers every
+        # useful warp here); the full DP is the independent reference
+        full = _dtw_full(xs, ys)
+        assert r["dtw_cost"] == full
+        assert r["dtw_norm"] == float(r["dtw_cost"]) / float(
+            r["n_a"] + r["n_b"]
+        )
+        # DTW lower bound: never below |sum-aligned| endpoint costs,
+        # never above the direct lockstep (identity-alignment) cost
+        lockstep = sum(abs(a - b) for a, b in zip(xs, ys))
+        assert r["dtw_cost"] <= lockstep
+        assert r["dtw_cost"] >= abs(xs[0] - ys[0])
+    # symmetry of the metric: recompute one pair flipped
+    a, b = types[0], types[1]
+    assert _dtw_full(ser[a], ser[b]) == _dtw_full(ser[b], ser[a])
