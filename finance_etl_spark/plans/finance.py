@@ -1339,3 +1339,127 @@ def fin_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "es_5pct"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Straight-line amortization in integer cents (round 7 continuation).
+# The annuity formula needs pow() (libm — would demote the query to
+# rows-only); straight-line (fixed principal part + interest on the
+# outstanding balance) keeps every cell in BIGINT cents, and because
+# the balance declines linearly the 24-month schedule needs NO
+# sequential recurrence at all: balance(m) = max(P - m*pp, 0) in
+# closed form, so the whole book amortizes as one month fan-out +
+# hash agg — the same declare-don't-iterate shape as the fixed-round
+# unrolled graph oracles.
+
+_AMORT_TERM = 24
+_AMORT_BPS = {  # annual rate in basis points by order priority
+    "1-URGENT": 900,
+    "2-HIGH": 800,
+    "3-MEDIUM": 700,
+    "4-NOT SPECIFIED": 600,
+    "5-LOW": 500,
+}
+
+
+@register(
+    "fin_amortization_schedule",
+    tags=("finance", "agg"),
+    oracle=f"""
+        WITH loans AS (
+            SELECT o_orderkey,
+                   o_orderpriority AS priority,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS principal_cents,
+                   CASE o_orderpriority
+                        {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _AMORT_BPS.items())}
+                        ELSE 0 END AS bps
+            FROM orders WHERE o_orderkey % 997 = 0
+        ),
+        sched AS (
+            SELECT priority, principal_cents, bps, m,
+                   (principal_cents + {_AMORT_TERM - 1}) // {_AMORT_TERM} AS pp,
+                   GREATEST(principal_cents
+                            - m * ((principal_cents + {_AMORT_TERM - 1})
+                                   // {_AMORT_TERM}), 0) AS balance
+            FROM loans
+            CROSS JOIN (SELECT UNNEST(range({_AMORT_TERM})) AS m) months
+        )
+        SELECT priority,
+               CAST(COUNT(DISTINCT principal_cents) AS BIGINT) AS n_principals,
+               CAST(COUNT(*) // {_AMORT_TERM} AS BIGINT) AS n_loans,
+               CAST(SUM(CASE WHEN m = 0 THEN principal_cents ELSE 0 END)
+                    AS BIGINT) AS total_principal_cents,
+               CAST(SUM((balance * bps) // 120000) AS BIGINT)
+                   AS total_interest_cents,
+               CAST(CAST(SUM((balance * bps) // 120000) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(SUM(CASE WHEN m = 0 THEN principal_cents ELSE 0 END)
+                        AS VARCHAR) AS DOUBLE) AS interest_to_principal
+        FROM sched
+        GROUP BY priority
+        ORDER BY priority
+    """,
+)
+def fin_amortization_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-month straight-line amortization of a sampled loan book
+    (principal = order total in integer cents, rate tiered by
+    priority): fixed principal part ceil(P/24), interest accrued
+    monthly on the outstanding balance at bps/12 with floor rounding
+    — every cell BIGINT cents, so the entire schedule is engine-exact
+    (the annuity alternative needs libm pow and could only be
+    rows-only). The linear balance makes the schedule closed-form per
+    (loan, month): one 24-row broadcast fan-out, map-side combine,
+    O(priorities) output — no recurrence, no window, no shuffle
+    growth at any book size. Integer division is DIV on both engines;
+    the single double at the edge is the interest/principal ratio."""
+    o = load_table(spark, sf_dir, "orders")
+    bps = F.lit(None).cast("bigint")
+    expr = None
+    for k, v in _AMORT_BPS.items():
+        expr = (
+            F.when(F.col("o_orderpriority") == k, v)
+            if expr is None
+            else expr.when(F.col("o_orderpriority") == k, v)
+        )
+    loans = o.filter(F.col("o_orderkey") % 997 == 0).select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("principal_cents"),
+        expr.otherwise(0).alias("bps"),
+    )
+    months = spark.range(_AMORT_TERM).select(F.col("id").alias("m"))
+    sched = loans.join(F.broadcast(months)).select(
+        "priority",
+        "principal_cents",
+        "m",
+        F.expr(
+            f"GREATEST(principal_cents - m * ((principal_cents + {_AMORT_TERM - 1})"
+            f" DIV {_AMORT_TERM}), 0) * bps DIV 120000"
+        ).alias("interest_cents"),
+    )
+    return (
+        sched.groupBy("priority")
+        .agg(
+            F.countDistinct("principal_cents").alias("n_principals"),
+            F.expr(f"COUNT(*) DIV {_AMORT_TERM}").alias("n_loans"),
+            F.sum(
+                F.when(F.col("m") == 0, F.col("principal_cents")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("total_principal_cents"),
+            F.sum("interest_cents").cast("bigint").alias("total_interest_cents"),
+        )
+        .select(
+            "priority",
+            "n_principals",
+            "n_loans",
+            "total_principal_cents",
+            "total_interest_cents",
+            (
+                F.col("total_interest_cents").cast("double")
+                / F.col("total_principal_cents").cast("double")
+            ).alias("interest_to_principal"),
+        )
+        .orderBy("priority")
+    )

@@ -2203,3 +2203,183 @@ def text_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_truth_pairs long, n_lsh_pairs long, n_found long,"
         " recall double, precision double",
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-L over near-duplicate candidate pairs (round 7 continuation):
+# the summarization/eval metric computed exactly. LCS length is an
+# integer DP, so unlike float similarity scores it is bit-identical
+# under any cell schedule: Spark runs the classic row DP in an
+# Arrow-batched pandas UDF, the oracle re-derives it as an
+# anti-diagonal wavefront recursive CTE (the ts_dtw_band technique;
+# for LCS the out-of-range boundary is 0, so the wavefront needs no
+# sentinel at all). Pairs come from the exact trigram-Jaccard
+# near-dup relation, top-40 by (jaccard, id_a, id_b) — deterministic
+# on both engines and bounded at any corpus size: the eval-sample
+# shape (score a fixed candidate budget, not the quadratic closure).
+
+_ROUGE_K = 120  # token-prefix cap per doc: bounds the DP at 120x120
+_ROUGE_PAIRS = 40
+
+
+def _rouge_pairs_sql() -> str:
+    from finance_etl_spark.plans.registry import get
+
+    return get("text_ngram_jaccard_pairs").oracle
+
+
+@register(
+    "text_rouge_l_pairs",
+    tags=("text", "eval", "udf"),
+    oracle=f"""
+        WITH RECURSIVE pairs_all AS ({_rouge_pairs_sql()}),
+        pairs AS (
+            SELECT id_a, id_b, jaccard FROM pairs_all
+            ORDER BY jaccard DESC, id_a, id_b LIMIT {_ROUGE_PAIRS}
+        ),
+        seqs AS (
+            SELECT doc_id,
+                   (list_filter(string_split(text, ' '),
+                                t -> t <> ''))[1:{_ROUGE_K}] AS toks
+            FROM documents
+        ),
+        ps AS (
+            SELECT p.id_a, p.id_b, p.jaccard,
+                   sa.toks AS va, sb.toks AS vb,
+                   len(sa.toks) AS n, len(sb.toks) AS m
+            FROM pairs p
+            JOIN seqs sa ON sa.doc_id = p.id_a
+            JOIN seqs sb ON sb.doc_id = p.id_b
+            WHERE len(sa.toks) > 0 AND len(sb.toks) > 0
+        ),
+        dp AS (
+            SELECT id_a, id_b, 0 AS k,
+                   CAST(NULL AS BIGINT[]) AS p2,
+                   list_transform(range(1, n + 1), ii ->
+                       CASE WHEN ii = 1 AND va[1] = vb[1]
+                            THEN CAST(1 AS BIGINT) ELSE 0 END) AS p1
+            FROM ps
+          UNION ALL
+            SELECT dp.id_a, dp.id_b, dp.k + 1, dp.p1,
+                   list_transform(range(1, ps.n + 1), ii ->
+                     CASE WHEN dp.k + 1 - (ii - 1) >= 0
+                           AND dp.k + 1 - (ii - 1) <= ps.m - 1
+                     THEN CASE WHEN ps.va[ii] = ps.vb[dp.k - ii + 3]
+                          THEN (CASE WHEN ii > 1 AND dp.k + 1 - (ii - 1) > 0
+                                     THEN COALESCE(dp.p2[ii - 1], 0)
+                                     ELSE 0 END) + 1
+                          ELSE GREATEST(
+                              CASE WHEN ii > 1 THEN dp.p1[ii - 1] ELSE 0 END,
+                              CASE WHEN dp.k + 1 - (ii - 1) > 0
+                                   THEN dp.p1[ii] ELSE 0 END)
+                          END
+                     ELSE 0 END) AS p1
+            FROM dp JOIN ps ON dp.id_a = ps.id_a AND dp.id_b = ps.id_b
+            WHERE dp.k + 1 <= ps.n + ps.m - 2
+        )
+        SELECT ps.id_a AS id_a, ps.id_b AS id_b, ps.jaccard,
+               CAST(ps.n AS BIGINT) AS n_a, CAST(ps.m AS BIGINT) AS n_b,
+               dp.p1[ps.n] AS lcs_len,
+               CAST(dp.p1[ps.n] AS DOUBLE) / CAST(ps.n AS DOUBLE) AS rouge_r,
+               CAST(dp.p1[ps.n] AS DOUBLE) / CAST(ps.m AS DOUBLE) AS rouge_p,
+               CASE WHEN dp.p1[ps.n] = 0 THEN 0.0
+                    ELSE 2.0 * (CAST(dp.p1[ps.n] AS DOUBLE) / CAST(ps.n AS DOUBLE))
+                             * (CAST(dp.p1[ps.n] AS DOUBLE) / CAST(ps.m AS DOUBLE))
+                         / (CAST(dp.p1[ps.n] AS DOUBLE) / CAST(ps.n AS DOUBLE)
+                            + CAST(dp.p1[ps.n] AS DOUBLE) / CAST(ps.m AS DOUBLE))
+               END AS rouge_f
+        FROM dp
+        JOIN ps ON dp.id_a = ps.id_a AND dp.id_b = ps.id_b
+        WHERE dp.k = ps.n + ps.m - 2
+        ORDER BY ps.id_a, ps.id_b
+    """,
+)
+def text_rouge_l_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROUGE-L (LCS recall/precision/F1 on the first 120
+    whitespace tokens) for the top-40 near-duplicate pairs by exact
+    trigram Jaccard: the similarity-eval instrument a dedup pipeline
+    runs on its own candidates to decide whether "near-dup" means
+    containment (high R, low P), paraphrase (balanced), or template
+    noise. Integer LCS + single-division edges keep it hash-exact;
+    the deterministic top-k candidate budget keeps the quadratic DP
+    bounded at any corpus size. Spark shape: broadcast the 40-pair
+    relation against the token-prefix projection, DP per pair inside
+    one Arrow batch."""
+    import pandas as pd
+
+    from finance_etl_spark.io.readers import load_table_parallel
+    from finance_etl_spark.plans.registry import get
+
+    pairs = (
+        get("text_ngram_jaccard_pairs")
+        .build(spark, sf_dir)
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(_ROUGE_PAIRS)
+        .select("id_a", "id_b", "jaccard")
+    )
+    d = load_table_parallel(spark, sf_dir, "documents")
+    seqs = d.select(
+        "doc_id",
+        F.slice(
+            F.filter(F.split(F.col("text"), _SPACE), lambda t: t != ""),
+            1,
+            _ROUGE_K,
+        ).alias("toks"),
+    )
+    ps = (
+        seqs.join(
+            F.broadcast(pairs), seqs.doc_id == pairs.id_a, "inner"
+        )
+        .select("id_a", "id_b", "jaccard", F.col("toks").alias("va"))
+        .join(
+            seqs.select(F.col("doc_id").alias("id_b2"), F.col("toks").alias("vb")),
+            F.col("id_b") == F.col("id_b2"),
+        )
+        .select("id_a", "id_b", "jaccard", "va", "vb")
+        .filter((F.size("va") > 0) & (F.size("vb") > 0))
+    )
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("long", PandasUDFType.SCALAR)
+    def lcs(va, vb):
+        out = []
+        for xs, ys in zip(va, vb):
+            xs, ys = list(xs), list(ys)
+            n, m = len(xs), len(ys)
+            prev = [0] * (m + 1)
+            for i in range(1, n + 1):
+                cur = [0] * (m + 1)
+                xi = xs[i - 1]
+                for j in range(1, m + 1):
+                    if xi == ys[j - 1]:
+                        cur[j] = prev[j - 1] + 1
+                    else:
+                        cur[j] = prev[j] if prev[j] >= cur[j - 1] else cur[j - 1]
+                prev = cur
+            out.append(prev[m])
+        return pd.Series(out, dtype="int64")
+
+    scored = ps.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.size("va").cast("bigint").alias("n_a"),
+        F.size("vb").cast("bigint").alias("n_b"),
+        lcs("va", "vb").alias("lcs_len"),
+    )
+    r = F.col("lcs_len").cast("double") / F.col("n_a").cast("double")
+    p = F.col("lcs_len").cast("double") / F.col("n_b").cast("double")
+    return scored.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        "n_a",
+        "n_b",
+        "lcs_len",
+        r.alias("rouge_r"),
+        p.alias("rouge_p"),
+        F.when(F.col("lcs_len") == 0, F.lit(0.0))
+        .otherwise(F.lit(2.0) * r * p / (r + p))
+        .alias("rouge_f"),
+    ).orderBy("id_a", "id_b")

@@ -381,3 +381,129 @@ def test_dtw_band_matches_full_dp_reference(spark):
     # symmetry of the metric: recompute one pair flipped
     a, b = types[0], types[1]
     assert _dtw_full(ser[a], ser[b]) == _dtw_full(ser[b], ser[a])
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-L pairs vs a from-scratch shingle+LCS reference
+
+
+def _lcs_len(xs, ys):
+    n, m = len(xs), len(ys)
+    prev = [0] * (m + 1)
+    for i in range(1, n + 1):
+        cur = [0] * (m + 1)
+        for j in range(1, m + 1):
+            if xs[i - 1] == ys[j - 1]:
+                cur[j] = prev[j - 1] + 1
+            else:
+                cur[j] = max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[m]
+
+
+def test_rouge_l_pairs_matches_pure_python(spark):
+    rows = plans.get("text_rouge_l_pairs").build(spark, SF).collect()
+    con = duckdb.connect()
+    docs = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchall()
+    )
+    con.close()
+    toks = {i: [t for t in txt.split(" ") if t != ""] for i, txt in docs.items()}
+    shing = {
+        i: {
+            " ".join(ts[k : k + 3])
+            for k in range(len(ts) - 2)
+        }
+        for i, ts in toks.items()
+    }
+    df = defaultdict(int)
+    for ss in shing.values():
+        for s in ss:
+            df[s] += 1
+    rare = {s for s, c in df.items() if c <= 50}
+    pairs = []
+    ids = sorted(shing)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            common = len(shing[a] & shing[b] & rare)
+            if common == 0:
+                continue
+            jac = common / float(len(shing[a]) + len(shing[b]) - common)
+            if jac >= 0.5:
+                pairs.append((a, b, jac))
+    pairs.sort(key=lambda t: (-t[2], t[0], t[1]))
+    pairs = pairs[:40]
+    assert len(rows) == len(pairs) and len(pairs) > 0
+    got = {(r["id_a"], r["id_b"]): r for r in rows}
+    for a, b, jac in pairs:
+        r = got[(a, b)]
+        va, vb = toks[a][:120], toks[b][:120]
+        lcs = _lcs_len(va, vb)
+        assert r["jaccard"] == jac
+        assert r["n_a"] == len(va) and r["n_b"] == len(vb)
+        assert r["lcs_len"] == lcs
+        rr = lcs / float(len(va))
+        pp = lcs / float(len(vb))
+        assert r["rouge_r"] == rr and r["rouge_p"] == pp
+        assert r["rouge_f"] == (0.0 if lcs == 0 else 2.0 * rr * pp / (rr + pp))
+        # near-dup pairs must share substantial sequence, and ROUGE-L
+        # can never exceed the shorter-side unigram bound
+        assert 0.0 <= r["rouge_f"] <= 1.0
+        assert lcs <= min(len(va), len(vb))
+
+
+# ---------------------------------------------------------------------------
+# Amortization schedule vs an explicit month-by-month loop
+
+
+def test_amortization_matches_sequential_loop(spark):
+    rows = {
+        r["priority"]: r
+        for r in plans.get("fin_amortization_schedule").build(spark, SF).collect()
+    }
+    bps_map = {
+        "1-URGENT": 900,
+        "2-HIGH": 800,
+        "3-MEDIUM": 700,
+        "4-NOT SPECIFIED": 600,
+        "5-LOW": 500,
+    }
+    con = duckdb.connect()
+    loans = con.execute(
+        "SELECT o_orderpriority,"
+        " CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+        " WHERE o_orderkey % 997 = 0"
+    ).fetchall()
+    con.close()
+    agg = defaultdict(lambda: [0, 0, 0, set()])  # n, principal, interest
+    for pri, p_cents in loans:
+        bps = bps_map[pri]
+        pp = (p_cents + 23) // 24
+        bal = p_cents
+        interest = 0
+        # the sequential loop the closed form must reproduce
+        for _ in range(24):
+            interest += (bal * bps) // 120000
+            bal = max(bal - pp, 0)
+        assert bal == 0  # fully amortized within the term
+        a = agg[pri]
+        a[0] += 1
+        a[1] += p_cents
+        a[2] += interest
+        a[3].add(p_cents)
+    assert set(rows) == set(agg)
+    for pri, (n, p, i, dp) in agg.items():
+        r = rows[pri]
+        assert r["n_loans"] == n
+        assert r["n_principals"] == len(dp)
+        assert r["total_principal_cents"] == p
+        assert r["total_interest_cents"] == i
+        assert r["interest_to_principal"] == float(i) / float(p)
+        # rate sanity: average balance over the 24-month linear
+        # decline is ~P/2, so total interest ~ (bps/10000) * P —
+        # one full annual rate across the two-year term
+        assert 0.0 < r["interest_to_principal"] < 1.1 * bps_map[pri] / 10000.0
