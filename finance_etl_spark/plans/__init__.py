@@ -25,10 +25,15 @@ from finance_etl_spark.plans.registry import (  # noqa: F401
 # Cumulative driver-verified after r6: 223/362. Round-7 window: the 3
 # re-fixed r6 queries + all 5 ml + all 33 curation + 9 dq. ROUND 8:
 # the dq tail (2), agg (17), vectors' unverified tail (14), finance
-# tail (13), sql/sink/graph/stream leftovers — PLUS the 27 queries
+# tail (13), sql/sink/graph/stream leftovers — PLUS the 41 queries
 # round 7 added after this window was frozen (ml feature/eval suite,
 # perplexity batch+streaming, novelty/zipf, kcore, matryoshka,
-# e2e prep, SPRT, RI/entropy audits, scene cut, farthest-point init).
+# e2e prep, SPRT, RI/entropy audits, scene cut, farthest-point init,
+# minhash recall eval, MAD anomaly, deterministic UUIDs, pattern
+# reversal, and the round-7 continuation: bootstrap CI, randomization
+# test, Yule-Walker AR(2), skew profiler, binomial-DP counts,
+# temperature mixture, Markov matrix, banded DTW, ROUGE-L pairs,
+# amortization).
 # tools/check.py always sweeps all queries regardless of order.
 import importlib
 
