@@ -1918,13 +1918,20 @@ def ml_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(w).alias("prev"),
     ).filter(F.col("prev").isNotNull())
     c = steps.groupBy("prev", "next").agg(F.count(F.lit(1)).alias("cnt"))
-    states = e.select(F.col("event_type").alias("s")).distinct()
+    # states and the completed matrix are model-sized (K and K^2 rows)
+    # but DERIVED from full fact scans — persist both so events is
+    # read exactly twice (steps + distinct), not once per consumer
+    # (unpersisted, this plan scanned events 7x: states feeds the
+    # cross join twice plus k, and matrix feeds rowtot plus the final
+    # join)
+    states = e.select(F.col("event_type").alias("s")).distinct().persist()
     k = states.agg(F.count(F.lit(1)).alias("k"))
     matrix = (
         states.select(F.col("s").alias("prev"))
         .crossJoin(F.broadcast(states.select(F.col("s").alias("next"))))
         .join(c, ["prev", "next"], "left")
         .select("prev", "next", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        .persist()
     )
     rowtot = matrix.groupBy("prev").agg(F.sum("cnt").alias("tot"))
     return (
