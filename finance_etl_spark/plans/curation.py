@@ -3180,7 +3180,7 @@ def cur_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(1e6)).cast(
             "decimal(38,0)"
         ),
-    )
+    ).persist()  # domain-sized; feeds the totals AND the final join
     tot = per_dom.agg(
         F.sum("n_docs").alias("total_docs"), F.sum("wq").alias("total_wq")
     )

@@ -546,7 +546,7 @@ def stat_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum(F.when(F.col("g") == 0, F.col("x"))).cast("double")
             / (F.count(F.lit(1)) - F.sum("g")).cast("double")
         ).alias("obs_diff"),
-    )
+    ).persist()  # 1 row; consumed by the perm scan AND the final join
     perms = spark.range(_N_PERM).select(F.col("id").alias("p"))
     u = F.conv(
         F.substring(

@@ -2559,7 +2559,7 @@ def ts_dtw_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             lambda s: s.getField("xq"),
         ).alias("xs")
-    )
+    ).persist()  # |types| rows; both sides of the pair cross join
     a = ser.select(F.col("event_type").alias("type_a"), F.col("xs").alias("va"))
     b = ser.select(F.col("event_type").alias("type_b"), F.col("xs").alias("vb"))
     pairs = (
