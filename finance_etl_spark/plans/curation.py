@@ -3201,3 +3201,91 @@ def cur_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the trade graph (round 7 continuation): do
+# high-degree customers trade with high-degree suppliers (assortative,
+# r > 0) or with the long tail (disassortative, r < 0)? Newman's r is
+# the Pearson correlation of the two endpoint degrees across edges —
+# integer degrees, so the whole statistic reduces to six exact
+# DECIMAL(38,0) sums with one double expression at the edge, the same
+# contract as agg_corr_exact / stat_spearman_corr. Network science
+# baseline: bipartite commercial graphs are typically disassortative.
+
+
+@register(
+    "graph_degree_assortativity",
+    tags=("graph", "agg"),
+    oracle="""
+        WITH e AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        dc AS (SELECT c, COUNT(*) AS dc FROM e GROUP BY c),
+        ds AS (SELECT s, COUNT(*) AS ds FROM e GROUP BY s),
+        j AS (
+            SELECT CAST(dc.dc AS DECIMAL(38,0)) AS x,
+                   CAST(ds.ds AS DECIMAL(38,0)) AS y
+            FROM e JOIN dc ON dc.c = e.c JOIN ds ON ds.s = e.s
+        ),
+        agg AS (
+            SELECT COUNT(*) AS m,
+                   CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy,
+                   CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy
+            FROM j
+        )
+        SELECT CAST(m AS BIGINT) AS n_edges,
+               (m * sxy - sx * sy)
+                 / (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy))
+                   AS assortativity
+        FROM agg
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the bipartite customer-supplier
+    trade graph (the same distinct edge set as graph_kcore_peel):
+    Pearson correlation of the customer-side and supplier-side degrees
+    across edges. Degrees are exact integers from two hash aggs; two
+    keyed joins attach them back to edges; one agg reduces to six
+    exact decimal sums; the correlation is a single identical-order
+    IEEE expression. At scale the joins shuffle on the natural edge
+    keys, degree maps partial-aggregate map-side, and the driver sees
+    one row."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()  # edge set feeds both degree aggs AND the final join
+    )
+    dc = e.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
+    ds = e.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
+    dec = "decimal(38,0)"
+    j = (
+        e.join(dc, "c")
+        .join(ds, "s")
+        .select(
+            F.col("dc").cast(dec).alias("x"), F.col("ds").cast(dec).alias("y")
+        )
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    m = F.col("m").cast("double")
+    r = (m * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(m * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(m * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        F.col("m").cast("bigint").alias("n_edges"), r.alias("assortativity")
+    )

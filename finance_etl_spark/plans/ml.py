@@ -1948,3 +1948,220 @@ def ml_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev", "next")
     )
+
+
+# ---------------------------------------------------------------------------
+# Depth-2 decision tree (round 7 continuation): the histogram stump
+# (ml_decision_stump_split) grown one level — root split chosen across
+# TWO features, then the best split per child leaf, each level ONE
+# linear scan reducing to a (leaf, feature, bin) integer histogram.
+# Depth d costs d scans regardless of corpus size; candidate
+# evaluation and argmax run on the bins·features·leaves relation.
+# Shared bin/Gini fragments keep the doubles identical cross-engine;
+# argmax ties break deterministically on (gain DESC, feature, bin).
+
+_T2_BINS = 32
+# engine-shared fragments ({x}/{mn}/{mx} substitute column names; all
+# arguments parenthesized — the _GINI lesson)
+_T2_BIN = (
+    f"LEAST({_T2_BINS - 1}, CAST(FLOOR((CAST(({{x}}) AS DOUBLE) - ({{mn}}))"
+    f" / ((({{mx}}) - ({{mn}})) / {float(_T2_BINS)})) AS INT))"
+)
+_T2_GAIN = _STUMP_GAIN  # same exact-integer prefix-sum Gini gain
+
+
+@register(
+    "ml_decision_tree_depth2",
+    tags=("ml", "tree", "agg", "window"),
+    oracle=f"""
+        WITH rng AS (
+            SELECT CAST(CAST(MIN(l_extendedprice) AS VARCHAR) AS DOUBLE) AS mn1,
+                   CAST(CAST(MAX(l_extendedprice) AS VARCHAR) AS DOUBLE) AS mx1,
+                   CAST(CAST(MIN(l_quantity) AS VARCHAR) AS DOUBLE) AS mn2,
+                   CAST(CAST(MAX(l_quantity) AS VARCHAR) AS DOUBLE) AS mx2
+            FROM lineitem
+        ),
+        binned AS (
+            SELECT {_T2_BIN.format(x="l_extendedprice", mn="r.mn1", mx="r.mx1")} AS bin1,
+                   {_T2_BIN.format(x="l_quantity", mn="r.mn2", mx="r.mx2")} AS bin2,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+            FROM lineitem CROSS JOIN rng r
+        ),
+        hist1 AS (
+            SELECT f, bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(pos) AS BIGINT) AS n_pos
+            FROM (SELECT 1 AS f, bin1 AS bin, pos FROM binned
+                  UNION ALL
+                  SELECT 2 AS f, bin2 AS bin, pos FROM binned)
+            GROUP BY f, bin
+        ),
+        cum1 AS (
+            SELECT f, bin,
+                   CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+                   CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+                   CAST(SUM(n) OVER p AS BIGINT) AS tot_n,
+                   CAST(SUM(n_pos) OVER p AS BIGINT) AS tot_pos
+            FROM hist1
+            WINDOW w AS (PARTITION BY f ORDER BY bin
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   p AS (PARTITION BY f)
+        ),
+        root AS (
+            SELECT f, bin, gain, tot_n, tot_pos FROM (
+                SELECT f, bin, {_T2_GAIN} AS gain, tot_n, tot_pos,
+                       ROW_NUMBER() OVER (ORDER BY {_T2_GAIN} DESC, f, bin) AS rk
+                FROM cum1
+            ) WHERE rk = 1
+        ),
+        leaves AS (
+            SELECT CASE WHEN (CASE WHEN root.f = 1 THEN b.bin1 ELSE b.bin2 END)
+                             <= root.bin
+                        THEN 'left' ELSE 'right' END AS leaf,
+                   b.bin1, b.bin2, b.pos
+            FROM binned b CROSS JOIN root
+        ),
+        hist2 AS (
+            SELECT leaf, f, bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(pos) AS BIGINT) AS n_pos
+            FROM (SELECT leaf, 1 AS f, bin1 AS bin, pos FROM leaves
+                  UNION ALL
+                  SELECT leaf, 2 AS f, bin2 AS bin, pos FROM leaves)
+            GROUP BY leaf, f, bin
+        ),
+        cum2 AS (
+            SELECT leaf, f, bin,
+                   CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+                   CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+                   CAST(SUM(n) OVER p AS BIGINT) AS tot_n,
+                   CAST(SUM(n_pos) OVER p AS BIGINT) AS tot_pos
+            FROM hist2
+            WINDOW w AS (PARTITION BY leaf, f ORDER BY bin
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   p AS (PARTITION BY leaf, f)
+        ),
+        best2 AS (
+            SELECT leaf, f, bin, gain, tot_n, tot_pos FROM (
+                SELECT leaf, f, bin, {_T2_GAIN} AS gain, tot_n, tot_pos,
+                       ROW_NUMBER() OVER (PARTITION BY leaf
+                           ORDER BY {_T2_GAIN} DESC, f, bin) AS rk
+                FROM cum2 WHERE {_T2_GAIN} IS NOT NULL
+            ) WHERE rk = 1
+        )
+        SELECT 'root' AS node, f AS feature, bin AS split_bin, gain,
+               tot_n AS n, tot_pos AS n_pos
+        FROM root
+        UNION ALL
+        SELECT leaf AS node, f AS feature, bin AS split_bin, gain,
+               tot_n AS n, tot_pos AS n_pos
+        FROM best2
+        ORDER BY node
+    """,
+)
+def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 histogram decision tree over (extended price, quantity)
+    predicting returns, LightGBM-hist style: level 1 is one scan to a
+    2x32-bin integer histogram, the root split is the exact-Gini
+    argmax over bin boundaries (deterministic (gain, feature, bin)
+    tiebreak); level 2 re-scans with the 1-row root spec broadcast,
+    histograms per (leaf, feature, bin), and picks each child's best
+    split the same way. Depth d = d scans; everything after the
+    histogram runs on O(leaves·features·bins) rows, so the tree grows
+    at 100 TB exactly as it does at sf0.01. Output: the root and both
+    child splits with their populations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    rng = li.agg(
+        F.min("l_extendedprice").cast("double").alias("mn1"),
+        F.max("l_extendedprice").cast("double").alias("mx1"),
+        F.min("l_quantity").cast("double").alias("mn2"),
+        F.max("l_quantity").cast("double").alias("mx2"),
+    )
+    binned = (
+        li.crossJoin(F.broadcast(rng))
+        .select(
+            F.expr(
+                _T2_BIN.format(x="l_extendedprice", mn="mn1", mx="mx1")
+            ).alias("bin1"),
+            F.expr(_T2_BIN.format(x="l_quantity", mn="mn2", mx="mx2")).alias(
+                "bin2"
+            ),
+            (F.col("l_returnflag") == "R").cast("int").alias("pos"),
+        )
+    )
+    def _hist(df, keys):
+        stacked = df.select(
+            *keys,
+            F.expr("stack(2, 1, bin1, 2, bin2)").alias("f", "bin"),
+            "pos",
+        )
+        return stacked.groupBy(*keys, "f", "bin").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+        )
+
+    def _cums(hist, part):
+        w = (
+            Window.partitionBy(*part)
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        p = Window.partitionBy(*part)
+        return hist.select(
+            *[c for c in hist.columns if c not in ("n", "n_pos")],
+            F.sum("n").over(w).cast("bigint").alias("cum_n"),
+            F.sum("n_pos").over(w).cast("bigint").alias("cum_pos"),
+            F.sum("n").over(p).cast("bigint").alias("tot_n"),
+            F.sum("n_pos").over(p).cast("bigint").alias("tot_pos"),
+        )
+
+    cum1 = _cums(_hist(binned, []), ["f"])
+    rk1 = Window.orderBy(F.desc(F.expr(_T2_GAIN)), "f", "bin")
+    root = (
+        cum1.withColumn("gain", F.expr(_T2_GAIN))
+        .withColumn("rk", F.row_number().over(rk1))
+        .filter(F.col("rk") == 1)
+        .select("f", "bin", "gain", "tot_n", "tot_pos")
+    )
+    leaves = binned.crossJoin(F.broadcast(root.select(
+        F.col("f").alias("rf"), F.col("bin").alias("rbin")
+    ))).select(
+        F.when(
+            F.when(F.col("rf") == 1, F.col("bin1")).otherwise(F.col("bin2"))
+            <= F.col("rbin"),
+            "left",
+        )
+        .otherwise("right")
+        .alias("leaf"),
+        "bin1",
+        "bin2",
+        "pos",
+    )
+    cum2 = _cums(_hist(leaves, ["leaf"]), ["leaf", "f"])
+    rk2 = Window.partitionBy("leaf").orderBy(
+        F.desc(F.expr(_T2_GAIN)), "f", "bin"
+    )
+    best2 = (
+        cum2.withColumn("gain", F.expr(_T2_GAIN))
+        .filter(F.col("gain").isNotNull())
+        .withColumn("rk", F.row_number().over(rk2))
+        .filter(F.col("rk") == 1)
+        .select("leaf", "f", "bin", "gain", "tot_n", "tot_pos")
+    )
+    out_root = root.select(
+        F.lit("root").alias("node"),
+        F.col("f").alias("feature"),
+        F.col("bin").alias("split_bin"),
+        "gain",
+        F.col("tot_n").alias("n"),
+        F.col("tot_pos").alias("n_pos"),
+    )
+    out_leaf = best2.select(
+        F.col("leaf").alias("node"),
+        F.col("f").alias("feature"),
+        F.col("bin").alias("split_bin"),
+        "gain",
+        F.col("tot_n").alias("n"),
+        F.col("tot_pos").alias("n_pos"),
+    )
+    return out_root.unionAll(out_leaf).orderBy("node")

@@ -593,3 +593,134 @@ def stat_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n1", "n0", "obs_diff", "n_extreme", "p_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (round 7 continuation): Pearson over
+# midranks, with the ranks computed the scale-safe way — on the
+# DISTINCT-VALUE aggregate with the same bucket + carry-in cumulative
+# decomposition as the KS/Mann-Whitney queries (never a global
+# unpartitioned window over rows), and DOUBLED midranks so ties stay
+# in integer arithmetic end to end (a tie group of size t spanning c
+# prior rows has midrank c + (t+1)/2; doubling clears the half). The
+# correlation itself is one double expression over exact DECIMAL(38,0)
+# power sums.
+
+
+def _midranks2(df: DataFrame, col: str, bucket_div: int) -> DataFrame:
+    """(v, mr2): doubled midrank per DISTINCT value of ``col``,
+    via within-bucket running counts plus an O(buckets) carry."""
+    per_val = (
+        df.groupBy(F.col(col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("t"))
+        .withColumn("bkt", F.floor(F.col("v") / F.lit(bucket_div)).cast("long"))
+        .persist()
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = per_val.select(
+        "bkt", "v", "t", F.sum("t").over(w_in).alias("wc")
+    )
+    w_carry = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        per_val.groupBy("bkt")
+        .agg(F.sum("t").alias("tb"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("tb").over(w_carry), F.lit(0)).alias("cb"),
+        )
+    )
+    return within.join(F.broadcast(carry), "bkt").select(
+        "v",
+        (
+            F.lit(2) * (F.col("wc") + F.col("cb") - F.col("t"))
+            + F.col("t")
+            + F.lit(1)
+        ).alias("mr2"),
+    )
+
+
+@register(
+    "stat_spearman_corr",
+    tags=("stats", "window", "agg"),
+    oracle="""
+        WITH base AS (
+            SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
+                   CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+            FROM lineitem
+        ),
+        rx AS (
+            SELECT v, 2 * (SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t)
+                      + t + 1 AS mr2
+            FROM (SELECT x AS v, COUNT(*) AS t FROM base GROUP BY x)
+        ),
+        ry AS (
+            SELECT v, 2 * (SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t)
+                      + t + 1 AS mr2
+            FROM (SELECT y AS v, COUNT(*) AS t FROM base GROUP BY y)
+        ),
+        s AS (
+            SELECT COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(rx.mr2 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(ry.mr2 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(rx.mr2 AS DECIMAL(38,0))
+                               * CAST(rx.mr2 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(ry.mr2 AS DECIMAL(38,0))
+                               * CAST(ry.mr2 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS syy,
+                   CAST(CAST(SUM(CAST(rx.mr2 AS DECIMAL(38,0))
+                               * CAST(ry.mr2 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sxy
+            FROM base
+            JOIN rx ON rx.v = base.x
+            JOIN ry ON ry.v = base.y
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               (n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS rho
+        FROM s
+    """,
+)
+def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of line quantity vs extended price:
+    doubled midranks per DISTINCT value (integer-exact under heavy
+    ties), rows joined back to their value's rank, then Pearson over
+    the ranks from six exact DECIMAL(38,0) sufficient sums with one
+    double expression at the edge. Rank computation never serializes:
+    it runs on the distinct-value aggregate with the bucket + carry-in
+    cumulative (quantity has ~50 distinct values; price's distinct set
+    scales with the corpus but the window is per-bucket, the carry is
+    O(buckets)). Two value-keyed joins + one agg — at 100x the only
+    growth is in partition counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("decimal(12,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("y"),
+    )
+    rx = _midranks2(base, "x", 10)
+    ry = _midranks2(base, "y", 10000)
+    dec = "decimal(38,0)"
+    joined = (
+        base.join(rx.withColumnRenamed("mr2", "mrx"), base.x == rx.v)
+        .drop("v")
+        .join(ry.withColumnRenamed("mr2", "mry"), base.y == ry.v)
+        .select(
+            F.col("mrx").cast(dec).alias("mrx"),
+            F.col("mry").cast(dec).alias("mry"),
+        )
+    )
+    s = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mrx").cast("double").alias("sx"),
+        F.sum("mry").cast("double").alias("sy"),
+        F.sum(F.col("mrx") * F.col("mrx")).cast("double").alias("sxx"),
+        F.sum(F.col("mry") * F.col("mry")).cast("double").alias("syy"),
+        F.sum(F.col("mrx") * F.col("mry")).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    rho = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(F.col("n").cast("bigint").alias("n"), rho.alias("rho"))

@@ -507,3 +507,171 @@ def test_amortization_matches_sequential_loop(spark):
         # decline is ~P/2, so total interest ~ (bps/10000) * P —
         # one full annual rate across the two-year term
         assert 0.0 < r["interest_to_principal"] < 1.1 * bps_map[pri] / 10000.0
+
+
+# ---------------------------------------------------------------------------
+# Spearman rho vs a pure-python midrank reference
+
+
+def test_spearman_matches_pure_python(spark):
+    row = plans.get("stat_spearman_corr").build(spark, SF).collect()[0]
+    con = duckdb.connect()
+    data = con.execute(
+        "SELECT CAST(l_quantity AS DECIMAL(12,2)),"
+        " CAST(l_extendedprice AS DECIMAL(12,2))"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    ).fetchall()
+    con.close()
+
+    def midranks2(vals):
+        from collections import Counter
+
+        cnt = Counter(vals)
+        mr = {}
+        c = 0
+        for v in sorted(cnt):
+            t = cnt[v]
+            mr[v] = 2 * c + t + 1  # doubled midrank
+            c += t
+        return mr
+
+    xs = [x for x, _ in data]
+    ys = [y for _, y in data]
+    mx, my = midranks2(xs), midranks2(ys)
+    n = len(data)
+    sx = sum(mx[x] for x in xs)
+    sy = sum(my[y] for y in ys)
+    sxx = sum(mx[x] * mx[x] for x in xs)
+    syy = sum(my[y] * my[y] for y in ys)
+    sxy = sum(mx[x] * my[y] for x, y in data)
+    import math
+
+    nf = float(n)
+    rho = (nf * float(sxy) - float(sx) * float(sy)) / (
+        math.sqrt(nf * float(sxx) - float(sx) * float(sx))
+        * math.sqrt(nf * float(syy) - float(sy) * float(sy))
+    )
+    assert row["n"] == n
+    assert row["rho"] == rho
+    assert -1.0 <= row["rho"] <= 1.0
+    # fixture fact (verified): synthetic extended price is drawn
+    # independently of quantity, so the rank correlation is ~0
+    # (-0.0098 at sf0.001) — the test pins near-zero, not a sign
+    assert abs(row["rho"]) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# Assortativity vs a pure-python edge-degree reference
+
+
+def test_assortativity_matches_pure_python(spark):
+    row = plans.get("graph_degree_assortativity").build(spark, SF).collect()[0]
+    con = duckdb.connect()
+    edges = con.execute(
+        "SELECT DISTINCT o.o_custkey, l.l_suppkey"
+        f" FROM read_parquet('{SF}/lineitem.parquet') l"
+        f" JOIN read_parquet('{SF}/orders.parquet') o"
+        " ON l.l_orderkey = o.o_orderkey"
+    ).fetchall()
+    con.close()
+    dc, ds = defaultdict(int), defaultdict(int)
+    for c, s in edges:
+        dc[c] += 1
+        ds[s] += 1
+    m = len(edges)
+    sx = sum(dc[c] for c, _ in edges)
+    sy = sum(ds[s] for _, s in edges)
+    sxx = sum(dc[c] ** 2 for c, _ in edges)
+    syy = sum(ds[s] ** 2 for _, s in edges)
+    sxy = sum(dc[c] * ds[s] for c, s in edges)
+    import math
+
+    mf = float(m)
+    r = (mf * float(sxy) - float(sx) * float(sy)) / (
+        math.sqrt(mf * float(sxx) - float(sx) * float(sx))
+        * math.sqrt(mf * float(syy) - float(sy) * float(sy))
+    )
+    assert row["n_edges"] == m
+    assert row["assortativity"] == r
+    assert -1.0 <= row["assortativity"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Depth-2 tree vs a pure-python histogram tree
+
+
+def test_tree_depth2_matches_pure_python(spark):
+    rows = {
+        r["node"]: r
+        for r in plans.get("ml_decision_tree_depth2").build(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    data = con.execute(
+        "SELECT l_extendedprice, CAST(l_quantity AS DOUBLE),"
+        " l_returnflag = 'R'"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    ).fetchall()
+    con.close()
+    mn1 = min(x for x, _, _ in data)
+    mx1 = max(x for x, _, _ in data)
+    mn2 = min(q for _, q, _ in data)
+    mx2 = max(q for _, q, _ in data)
+
+    def binno(x, mn, mx):
+        return min(31, int((x - mn) // ((mx - mn) / 32.0)))
+
+    def gini(p, t):
+        return (
+            1.0
+            - (float(p) / float(t)) * (float(p) / float(t))
+            - (float(t - p) / float(t)) * (float(t - p) / float(t))
+        )
+
+    def best_split(items):
+        # items: list of (bin1, bin2, pos); returns (f, bin, gain, n, npos)
+        hist = defaultdict(lambda: [0, 0])
+        for b1, b2, pos in items:
+            for f, b in ((1, b1), (2, b2)):
+                hist[(f, b)][0] += 1
+                hist[(f, b)][1] += pos
+        tot_n = len(items)
+        tot_pos = sum(p for _, _, p in items)
+        cands = []
+        for f in (1, 2):
+            cum_n = cum_pos = 0
+            for b in sorted(b for (ff, b) in hist if ff == f):
+                n, npos = hist[(f, b)]
+                cum_n += n
+                cum_pos += npos
+                if cum_n < tot_n:
+                    g = (
+                        gini(tot_pos, tot_n)
+                        - (float(cum_n) / float(tot_n)) * gini(cum_pos, cum_n)
+                        - (float(tot_n - cum_n) / float(tot_n))
+                        * gini(tot_pos - cum_pos, tot_n - cum_n)
+                    )
+                    cands.append((-g, f, b))
+        cands.sort()
+        g, f, b = -cands[0][0], cands[0][1], cands[0][2]
+        return f, b, g, tot_n, tot_pos
+
+    items = [
+        (binno(x, mn1, mx1), binno(q, mn2, mx2), int(pos))
+        for x, q, pos in data
+    ]
+    rf, rb, rg, rn, rnp = best_split(items)
+    root = rows["root"]
+    assert (root["feature"], root["split_bin"]) == (rf, rb)
+    assert root["gain"] == rg and root["n"] == rn and root["n_pos"] == rnp
+    left = [it for it in items if (it[0] if rf == 1 else it[1]) <= rb]
+    right = [it for it in items if (it[0] if rf == 1 else it[1]) > rb]
+    assert rows["left"]["n"] == len(left) * 1
+    assert rows["right"]["n"] == len(right) * 1
+    for leaf, subset in (("left", left), ("right", right)):
+        f, b, g, n, npos = best_split(subset)
+        r = rows[leaf]
+        assert (r["feature"], r["split_bin"]) == (f, b)
+        assert r["gain"] == g
+        assert r["n_pos"] == sum(p for _, _, p in subset)
+        assert r["gain"] >= 0.0  # splitting can never increase impurity
+    assert rows["left"]["n"] + rows["right"]["n"] == rows["root"]["n"]
