@@ -2165,3 +2165,267 @@ def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tot_pos").alias("n_pos"),
     )
     return out_root.unionAll(out_leaf).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# TWO gradient-boosting rounds, trajectory hash-checked (round 7
+# continuation): round 1 = ml_gbdt_boost_round's stump on the global-
+# mean residuals over l_quantity; round 2 re-residualizes against
+# F1 = F0 + gamma(x) and searches BOTH features (quantity, discount)
+# for the next split — the actual multi-feature inner loop of
+# distributed GBDT. Every residual statistic is a floor-scaled
+# DECIMAL(38,0) sum (o_fsum recipe), every gain/leaf/RMSE a shared
+# double fragment, so the ENTIRE two-round trajectory (split, leaf
+# values, declining RMSE) is bit-identical cross-engine. 4 scans
+# total: d rounds cost 2d scans, everything else is model-sized.
+
+def _gb2_r2(y: str) -> str:
+    """Round-2 residual fragment: y - F1(x), F1 from round-1 leaves."""
+    return (
+        f"(({y}) - (CASE WHEN l_quantity <= thr1"
+        " THEN g_sum_d / g_n_d + gl"
+        " ELSE g_sum_d / g_n_d + gr END))"
+    )
+
+
+_GB2_Y_DUCK = "CAST(CAST(l_extendedprice AS VARCHAR) AS DOUBLE)"
+_GB2_Y_SPARK = "CAST(l_extendedprice AS DOUBLE)"
+
+
+@register(
+    "ml_gbdt_two_rounds",
+    tags=("ml", "tree", "agg", "window"),
+    oracle=f"""
+        WITH g AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS g_n_d,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2)))
+                        AS VARCHAR) AS DOUBLE) AS g_sum_d
+            FROM lineitem
+        ),
+        grp1 AS (
+            SELECT l_quantity AS threshold,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(FLOOR(({_GB2_Y_DUCK} - {_GB_F0}) * 1e4)
+                       AS DECIMAL(38,0))) AS sr_raw,
+                   SUM(CAST(FLOOR(({_GB2_Y_DUCK} - {_GB_F0})
+                       * ({_GB2_Y_DUCK} - {_GB_F0}) * 1e4)
+                       AS DECIMAL(38,0))) AS sr2_raw
+            FROM lineitem CROSS JOIN g
+            GROUP BY l_quantity
+        ),
+        cum1 AS (
+            SELECT threshold,
+                   CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+                   CAST(CAST(SUM(sr_raw) OVER w AS VARCHAR) AS DOUBLE)
+                       / 1e4 AS cum_r,
+                   CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+                   CAST(CAST(SUM(sr_raw) OVER () AS VARCHAR) AS DOUBLE)
+                       / 1e4 AS tot_r,
+                   CAST(CAST(SUM(sr2_raw) OVER () AS VARCHAR) AS DOUBLE)
+                       / 1e4 AS tot_r2
+            FROM grp1
+            WINDOW w AS (ORDER BY threshold
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        best1 AS (
+            SELECT threshold AS thr1,
+                   cum_r / CAST(cum_n AS DOUBLE) AS gl,
+                   (tot_r - cum_r) / CAST(tot_n - cum_n AS DOUBLE) AS gr,
+                   sqrt(({_GB_SSE_AFTER}) / CAST(tot_n AS DOUBLE)) AS rmse1
+            FROM (SELECT *, {_GB_GAIN} AS gain FROM cum1
+                  WHERE cum_n < tot_n)
+            ORDER BY gain DESC, threshold DESC LIMIT 1
+        ),
+        grp2 AS (
+            SELECT f, thr,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(FLOOR({_gb2_r2(_GB2_Y_DUCK)} * 1e4)
+                       AS DECIMAL(38,0))) AS sr_raw,
+                   SUM(CAST(FLOOR({_gb2_r2(_GB2_Y_DUCK)}
+                       * {_gb2_r2(_GB2_Y_DUCK)} * 1e4)
+                       AS DECIMAL(38,0))) AS sr2_raw
+            FROM (
+                SELECT 1 AS f, CAST(l_quantity AS DOUBLE) AS thr,
+                       l_quantity, l_extendedprice
+                FROM lineitem
+                UNION ALL
+                SELECT 2 AS f, CAST(l_discount AS DOUBLE) AS thr,
+                       l_quantity, l_extendedprice
+                FROM lineitem
+            ) CROSS JOIN g CROSS JOIN best1
+            GROUP BY f, thr
+        ),
+        cum2 AS (
+            SELECT f, thr,
+                   CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+                   CAST(CAST(SUM(sr_raw) OVER w AS VARCHAR) AS DOUBLE)
+                       / 1e4 AS cum_r,
+                   CAST(SUM(n) OVER p AS BIGINT) AS tot_n,
+                   CAST(CAST(SUM(sr_raw) OVER p AS VARCHAR) AS DOUBLE)
+                       / 1e4 AS tot_r,
+                   CAST(CAST(SUM(sr2_raw) OVER p AS VARCHAR) AS DOUBLE)
+                       / 1e4 AS tot_r2
+            FROM grp2
+            WINDOW w AS (PARTITION BY f ORDER BY thr
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   p AS (PARTITION BY f)
+        ),
+        best2 AS (
+            SELECT f AS f2, thr AS thr2, gain AS gain2,
+                   cum_r / CAST(cum_n AS DOUBLE) AS g2l,
+                   (tot_r - cum_r) / CAST(tot_n - cum_n AS DOUBLE) AS g2r,
+                   sqrt(({_GB_SSE_AFTER}) / CAST(tot_n AS DOUBLE)) AS rmse2
+            FROM (SELECT *, {_GB_GAIN} AS gain FROM cum2
+                  WHERE cum_n < tot_n)
+            ORDER BY gain DESC, f, thr DESC LIMIT 1
+        )
+        SELECT (SELECT {_GB_F0} FROM g) AS f0,
+               best1.thr1, best1.gl AS gamma1_left, best1.gr AS gamma1_right,
+               best1.rmse1 AS rmse_after_r1,
+               best2.f2 AS feature2, best2.thr2,
+               best2.g2l AS gamma2_left, best2.g2r AS gamma2_right,
+               best2.rmse2 AS rmse_after_r2
+        FROM best1 CROSS JOIN best2
+    """,
+)
+def ml_gbdt_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full squared-loss boosting rounds with the trajectory
+    hash-checked end to end: round 1 fits the global-mean-residual
+    stump over quantity (identical to ml_gbdt_boost_round); round 2
+    residualizes against F1 = F0 + gamma(x) and searches BOTH
+    features' candidate thresholds (the stacked multi-feature
+    histogram of ml_decision_tree_depth2), reporting the next split,
+    its leaves, and the post-round RMSE — which must not exceed round
+    1's (boosting monotonicity; pinned in tests). Floor-scaled
+    DECIMAL residual sums keep every statistic partition-order
+    independent; argmax ties break on (gain, feature, threshold).
+    Scale: 2 scans per round (1-row model relations broadcast back),
+    candidate evaluation on O(features x thresholds) rows — the real
+    distributed-GBDT inner loop, two iterations deep."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.agg(
+        F.count(F.lit(1)).cast("double").alias("g_n_d"),
+        F.sum(F.col("l_extendedprice").cast("decimal(25,2)"))
+        .cast("double")
+        .alias("g_sum_d"),
+    ).persist()
+
+    def raw(col):
+        return F.sum(F.floor(col * F.lit(1e4)).cast("decimal(38,0)"))
+
+    r1 = F.expr(f"({_GB2_Y_SPARK} - ({_GB_F0}))")
+    grp1 = (
+        li.crossJoin(F.broadcast(g))
+        .groupBy(F.col("l_quantity").alias("threshold"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            raw(r1).alias("sr_raw"),
+            raw(r1 * r1).alias("sr2_raw"),
+        )
+    )
+    w1 = Window.orderBy("threshold").rowsBetween(Window.unboundedPreceding, 0)
+    wa1 = Window.partitionBy()
+    cum1 = grp1.select(
+        "threshold",
+        F.sum("n").over(w1).cast("bigint").alias("cum_n"),
+        (F.sum("sr_raw").over(w1).cast("double") / F.lit(1e4)).alias("cum_r"),
+        F.sum("n").over(wa1).cast("bigint").alias("tot_n"),
+        (F.sum("sr_raw").over(wa1).cast("double") / F.lit(1e4)).alias("tot_r"),
+        (F.sum("sr2_raw").over(wa1).cast("double") / F.lit(1e4)).alias(
+            "tot_r2"
+        ),
+    )
+    rk1 = Window.orderBy(F.desc(F.expr(_GB_GAIN)), F.desc("threshold"))
+    best1 = (
+        cum1.filter(F.col("cum_n") < F.col("tot_n"))
+        .withColumn("rk", F.row_number().over(rk1))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("threshold").alias("thr1"),
+            (F.col("cum_r") / F.col("cum_n").cast("double")).alias("gl"),
+            (
+                (F.col("tot_r") - F.col("cum_r"))
+                / (F.col("tot_n") - F.col("cum_n")).cast("double")
+            ).alias("gr"),
+            F.sqrt(
+                F.expr(_GB_SSE_AFTER) / F.col("tot_n").cast("double")
+            ).alias("rmse1"),
+        )
+        .persist()
+    )
+    stacked = li.select(
+        F.expr(
+            "stack(2, 1, CAST(l_quantity AS DOUBLE),"
+            " 2, CAST(l_discount AS DOUBLE))"
+        ).alias("f", "thr"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    r2 = F.expr(_gb2_r2(_GB2_Y_SPARK))
+    grp2 = (
+        stacked.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(best1.select("thr1", "gl", "gr")))
+        .groupBy("f", "thr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            raw(r2).alias("sr_raw"),
+            raw(r2 * r2).alias("sr2_raw"),
+        )
+    )
+    w2 = (
+        Window.partitionBy("f")
+        .orderBy("thr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p2 = Window.partitionBy("f")
+    cum2 = grp2.select(
+        "f",
+        "thr",
+        F.sum("n").over(w2).cast("bigint").alias("cum_n"),
+        (F.sum("sr_raw").over(w2).cast("double") / F.lit(1e4)).alias("cum_r"),
+        F.sum("n").over(p2).cast("bigint").alias("tot_n"),
+        (F.sum("sr_raw").over(p2).cast("double") / F.lit(1e4)).alias("tot_r"),
+        (F.sum("sr2_raw").over(p2).cast("double") / F.lit(1e4)).alias(
+            "tot_r2"
+        ),
+    )
+    rk2 = Window.orderBy(F.desc(F.expr(_GB_GAIN)), "f", F.desc("thr"))
+    best2 = (
+        cum2.filter(F.col("cum_n") < F.col("tot_n"))
+        .withColumn("gain", F.expr(_GB_GAIN))
+        .withColumn("rk", F.row_number().over(rk2))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("f").alias("feature2"),
+            F.col("thr").alias("thr2"),
+            (F.col("cum_r") / F.col("cum_n").cast("double")).alias(
+                "gamma2_left"
+            ),
+            (
+                (F.col("tot_r") - F.col("cum_r"))
+                / (F.col("tot_n") - F.col("cum_n")).cast("double")
+            ).alias("gamma2_right"),
+            F.sqrt(
+                F.expr(_GB_SSE_AFTER) / F.col("tot_n").cast("double")
+            ).alias("rmse2"),
+        )
+    )
+    return (
+        g.select(F.expr(_GB_F0).alias("f0"))
+        .crossJoin(F.broadcast(best1))
+        .crossJoin(F.broadcast(best2))
+        .select(
+            "f0",
+            "thr1",
+            F.col("gl").alias("gamma1_left"),
+            F.col("gr").alias("gamma1_right"),
+            F.col("rmse1").alias("rmse_after_r1"),
+            "feature2",
+            "thr2",
+            "gamma2_left",
+            "gamma2_right",
+            F.col("rmse2").alias("rmse_after_r2"),
+        )
+    )

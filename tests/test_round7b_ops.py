@@ -675,3 +675,94 @@ def test_tree_depth2_matches_pure_python(spark):
         assert r["n_pos"] == sum(p for _, _, p in subset)
         assert r["gain"] >= 0.0  # splitting can never increase impurity
     assert rows["left"]["n"] + rows["right"]["n"] == rows["root"]["n"]
+
+
+# ---------------------------------------------------------------------------
+# Two-round GBDT vs a pure-python boosting loop (same floor scaling)
+
+
+def test_gbdt_two_rounds_matches_pure_python(spark):
+    import math
+
+    row = plans.get("ml_gbdt_two_rounds").build(spark, SF).collect()[0]
+    con = duckdb.connect()
+    data = con.execute(
+        "SELECT l_quantity, l_discount, l_extendedprice,"
+        " CAST(l_extendedprice AS DECIMAL(25,2))"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    ).fetchall()
+    con.close()
+    n_all = len(data)
+    f0 = float(sum(d for _, _, _, d in data)) / float(n_all)
+
+    def stump(items):
+        # items: (thr_key, residual); returns best by the same
+        # floor-scaled stats: (thr, gl, gr, rmse_after)
+        from collections import defaultdict as dd
+
+        g = dd(lambda: [0, 0, 0])  # n, sr_raw, sr2_raw
+        for t, r in items:
+            e = g[t]
+            e[0] += 1
+            e[1] += math.floor(r * 1e4)
+            e[2] += math.floor(r * r * 1e4)
+        tot_n = len(items)
+        tot_r = float(sum(e[1] for e in g.values())) / 1e4
+        tot_r2 = float(sum(e[2] for e in g.values())) / 1e4
+        cum_n = 0
+        cum_sr = 0
+        best = None
+        for t in sorted(g):
+            cum_n += g[t][0]
+            cum_sr += g[t][1]
+            if cum_n >= tot_n:
+                continue
+            cum_r = float(cum_sr) / 1e4
+            gain = (
+                (cum_r * cum_r) / float(cum_n)
+                + ((tot_r - cum_r) * (tot_r - cum_r)) / float(tot_n - cum_n)
+                - (tot_r * tot_r) / float(tot_n)
+            )
+            key = (gain, t)  # ties: larger threshold wins (DESC)
+            if best is None or key > (best[0], best[1]):
+                gl = cum_r / float(cum_n)
+                gr = (tot_r - cum_r) / float(tot_n - cum_n)
+                sse = (
+                    tot_r2
+                    - (cum_r * cum_r) / float(cum_n)
+                    - ((tot_r - cum_r) * (tot_r - cum_r))
+                    / float(tot_n - cum_n)
+                )
+                best = (gain, t, gl, gr, math.sqrt(sse / float(tot_n)))
+        return best
+
+    r1_items = [(q, p - f0) for q, _, p, _ in data]
+    _, thr1, gl, gr, rmse1 = stump(r1_items)
+    assert row["f0"] == f0
+    assert row["thr1"] == thr1
+    assert row["gamma1_left"] == gl and row["gamma1_right"] == gr
+    assert row["rmse_after_r1"] == rmse1
+
+    def f1(q):
+        return f0 + gl if q <= thr1 else f0 + gr
+
+    best_by_f = {}
+    for f, keyfn in ((1, lambda q, d: q), (2, lambda q, d: d)):
+        items = [(keyfn(q, d), p - f1(q)) for q, d, p, _ in data]
+        best_by_f[f] = stump(items)
+    # cross-feature argmax: gain DESC, f ASC, thr DESC
+    cands = sorted(
+        ((-g, f, -t, rest) for f, (g, t, *rest) in best_by_f.items())
+    )
+    _, f2, negt2, rest = cands[0]
+    g2l, g2r, rmse2 = rest
+    assert row["feature2"] == f2
+    assert row["thr2"] == -negt2
+    assert row["gamma2_left"] == g2l and row["gamma2_right"] == g2r
+    assert row["rmse_after_r2"] == rmse2
+    # boosting monotonicity: every round reduces train RMSE
+    assert row["rmse_after_r2"] <= row["rmse_after_r1"]
+    # and round 1 must agree with the standalone single-round query
+    one = plans.get("ml_gbdt_boost_round").build(spark, SF).collect()[0]
+    assert one["best_threshold"] == row["thr1"]
+    assert one["rmse_after"] == row["rmse_after_r1"]
