@@ -3289,3 +3289,142 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("m").cast("bigint").alias("n_edges"), r.alias("assortativity")
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch-sample materialization (round 7 continuation): turn the
+# temperature mixture's per-domain budgets into an ACTUAL document
+# selection, deterministically. Selection is hash-threshold (keep doc
+# iff md5(doc#epoch) 16-bit bucket < floor(budget*65536/n_docs)) — one
+# map-side predicate per row, no per-domain sort, no bottom-k window:
+# the only shape that stays embarrassingly parallel when a domain has
+# ten billion docs. The realized sample size is binomial around the
+# budget (documented; an exact-k variant needs a two-phase threshold
+# refinement). Rotating the epoch key reshuffles the sample; keeping
+# it replays the identical epoch — byte-stable across engines, so the
+# whole sampler is hash-oracle-checked via per-domain id checksums.
+
+_EPOCH_KEY = "epoch-1"
+_EPOCH_BUDGET = 100_000
+
+
+@register(
+    "cur_epoch_sample",
+    tags=("curation", "sample"),
+    oracle=f"""
+        WITH per_dom AS (
+            SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e6)
+                        AS DECIMAL(38,0)) AS wq
+            FROM documents GROUP BY 1, 2
+        ),
+        tot AS (SELECT SUM(wq) AS total_wq FROM per_dom),
+        budgets AS (
+            SELECT source, lang, n_docs,
+                   CAST(FLOOR(CAST(CAST(wq AS VARCHAR) AS DOUBLE)
+                        / CAST(CAST(total_wq AS VARCHAR) AS DOUBLE)
+                        * {_EPOCH_BUDGET}) AS BIGINT) AS budget
+            FROM per_dom, tot
+        ),
+        sel AS (
+            SELECT d.source, d.lang, d.doc_id,
+                   CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                  || '#{_EPOCH_KEY}'), 1, 4) AS BIGINT)
+                             < LEAST(65536, (b.budget * 65536) // b.n_docs)
+                        THEN 1 ELSE 0 END AS keep
+            FROM documents d
+            JOIN budgets b ON b.source = d.source AND b.lang = d.lang
+        )
+        SELECT s.source, s.lang, b.n_docs, b.budget,
+               CAST(SUM(s.keep) AS BIGINT) AS n_selected,
+               CAST(SUM(CASE WHEN s.keep = 1 THEN s.doc_id ELSE 0 END)
+                    AS BIGINT) AS id_checksum,
+               CAST(SUM(s.keep) AS DOUBLE)
+                 / CAST(GREATEST(b.budget, 1) AS DOUBLE) AS fill_ratio
+        FROM sel s
+        JOIN budgets b ON b.source = s.source AND b.lang = s.lang
+        GROUP BY s.source, s.lang, b.n_docs, b.budget
+        ORDER BY s.source, s.lang
+    """,
+)
+def cur_epoch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize one training epoch's document sample from the
+    alpha=0.5 temperature budgets (cur_mixture_temperature's shares x
+    a 100k-doc epoch): per-domain hash-threshold selection keeps doc
+    iff md5(doc#epoch) < floor(budget*65536/n_docs) — a single
+    broadcast-joined map predicate, so sampling ten billion docs is
+    one scan with map-side aggregation and the driver sees O(domains)
+    rows (budgets, realized counts, id checksums). Deterministic:
+    same epoch key -> byte-identical sample on any engine, any
+    partitioning; rotate the key per epoch for fresh draws. Realized
+    size is binomial around the budget (fill_ratio tracks it); the
+    exact-k alternative costs a per-domain rank and is deliberately
+    not the default at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    per_dom = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "wq",
+            F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(1e6)).cast(
+                "decimal(38,0)"
+            ),
+        )
+        .persist()
+    )
+    tot = per_dom.agg(F.sum("wq").alias("total_wq"))
+    budgets = per_dom.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        F.floor(
+            F.col("wq").cast("double")
+            / F.col("total_wq").cast("double")
+            * F.lit(_EPOCH_BUDGET)
+        )
+        .cast("bigint")
+        .alias("budget"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(f"#{_EPOCH_KEY}")
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    thr = F.least(F.lit(65536).cast("bigint"), F.expr("(budget * 65536) DIV n_docs"))
+    sel = (
+        d.join(F.broadcast(budgets), ["source", "lang"])
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "budget",
+            F.when(u < thr, 1).otherwise(0).alias("keep"),
+            "doc_id",
+        )
+    )
+    return (
+        sel.groupBy("source", "lang", "n_docs", "budget")
+        .agg(
+            F.sum("keep").cast("bigint").alias("n_selected"),
+            F.sum(F.when(F.col("keep") == 1, F.col("doc_id")).otherwise(0))
+            .cast("bigint")
+            .alias("id_checksum"),
+            (
+                F.sum("keep").cast("double")
+                / F.greatest(F.max("budget"), F.lit(1)).cast("double")
+            ).alias("fill_ratio"),
+        )
+        .select(
+            "source", "lang", "n_docs", "budget",
+            "n_selected", "id_checksum", "fill_ratio",
+        )
+        .orderBy("source", "lang")
+    )

@@ -2631,3 +2631,123 @@ def ts_dtw_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_a") + F.col("n_b")).cast("double")
         ).alias("dtw_norm"),
     ).orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet energy decomposition (round 7 continuation):
+# multiresolution analysis as FIVE hash aggregations — no UDF, no
+# window over the corpus. The unnormalized Haar transform is pure
+# pairwise sums and differences, so on the BIGINT-quantized series
+# every coefficient is an exact integer and each level is one
+# `GROUP BY idx DIV 2`: the dyadic pyramid is literally a chain of
+# hash aggs, the most Spark-native shape a wavelet can take. Per-level
+# detail energy localizes the series' variance in scale (level 1 =
+# day-to-day noise, level 5 = month-scale trend) — the classic cheap
+# feature for similarity search and anomaly triage over time series.
+
+_HAAR_LEVELS = 5  # 30-day series padded to 32 = 2^5
+
+
+@register(
+    "ts_haar_energy",
+    tags=("timeseries", "agg"),
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   SUM(CAST(value AS DECIMAL(18,6))) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        leaves AS (
+            SELECT event_type,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                       - 1 AS idx,
+                   CAST(x * 1000000 AS BIGINT) AS val
+            FROM daily
+            UNION ALL
+            SELECT event_type, 29 + p AS idx, CAST(0 AS BIGINT) AS val
+            FROM (SELECT DISTINCT event_type FROM daily)
+            CROSS JOIN (SELECT UNNEST([1, 2]) AS p)
+        ),
+        {','.join(
+            f'''lvl{k} AS (
+            SELECT event_type, idx // 2 AS idx,
+                   SUM(val) AS val,
+                   SUM(CASE WHEN idx % 2 = 0 THEN val ELSE -val END) AS dcoef
+            FROM {'leaves' if k == 1 else f'lvl{k - 1}'}
+            GROUP BY event_type, idx // 2
+        )''' for k in range(1, _HAAR_LEVELS + 1)
+        )}
+        SELECT event_type, level, n_coeffs, energy FROM (
+            {' UNION ALL '.join(
+                f'''SELECT event_type, {k} AS level,
+                   CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+                   CAST(CAST(SUM(CAST(dcoef AS DECIMAL(38,0))
+                                 * CAST(dcoef AS DECIMAL(38,0)))
+                        AS VARCHAR) AS DOUBLE) AS energy
+            FROM lvl{k} GROUP BY event_type''' for k in range(1, _HAAR_LEVELS + 1)
+            )}
+        )
+        ORDER BY event_type, level
+    """,
+)
+def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series Haar detail energy at 5 dyadic levels: the 30-day
+    daily series quantizes to BIGINT 1e-6 units and zero-pads to 32;
+    each level is ONE `GROUP BY idx DIV 2` hash agg computing the
+    pairwise sum (carried up) and difference (the detail coefficient),
+    so the whole multiresolution pyramid is 5 chained aggregations —
+    exact integers end to end, energy presented once as a double from
+    the DECIMAL(38,0) sum of squares. Corpus-scale work is the daily
+    aggregation; the pyramid runs on O(types x 32) rows. The per-level
+    energies read as a scale spectrum: where the series' variance
+    lives (daily noise vs weekly cycle vs month trend)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("x"))
+        .persist()  # O(types x days); feeds leaves AND the pad rows
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    leaves = daily.select(
+        "event_type",
+        (F.row_number().over(w) - 1).alias("idx"),
+        (F.col("x") * F.lit(1000000)).cast("long").alias("val"),
+    )
+    pads = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(1, 3).select((F.lit(29) + F.col("id")).alias("idx"))
+        )
+        .select("event_type", "idx", F.lit(0).cast("long").alias("val"))
+    )
+    cur = leaves.unionAll(pads)
+    energies = []
+    dec = "decimal(38,0)"
+    for k in range(1, _HAAR_LEVELS + 1):
+        pairs = cur.groupBy(
+            "event_type", F.expr("idx DIV 2").alias("idx")
+        ).agg(
+            F.sum("val").alias("val"),
+            F.sum(
+                F.when(F.col("idx") % 2 == 0, F.col("val")).otherwise(
+                    -F.col("val")
+                )
+            ).alias("dcoef"),
+        )
+        energies.append(
+            pairs.groupBy("event_type").agg(
+                F.lit(k).alias("level"),
+                F.count(F.lit(1)).cast("bigint").alias("n_coeffs"),
+                F.sum(F.col("dcoef").cast(dec) * F.col("dcoef").cast(dec))
+                .cast("double")
+                .alias("energy"),
+            )
+        )
+        cur = pairs.select("event_type", "idx", "val")
+    out = energies[0]
+    for p in energies[1:]:
+        out = out.unionAll(p)
+    return out.select("event_type", "level", "n_coeffs", "energy").orderBy(
+        "event_type", "level"
+    )

@@ -766,3 +766,74 @@ def test_gbdt_two_rounds_matches_pure_python(spark):
     one = plans.get("ml_gbdt_boost_round").build(spark, SF).collect()[0]
     assert one["best_threshold"] == row["thr1"]
     assert one["rmse_after"] == row["rmse_after_r1"]
+
+
+# ---------------------------------------------------------------------------
+# Haar energies vs a pure-python pyramid
+
+
+def test_haar_energy_matches_pure_python(spark):
+    rows = plans.get("ts_haar_energy").build(spark, SF).collect()
+    con = duckdb.connect()
+    daily = con.execute(
+        "SELECT event_type, CAST(ts AS DATE) AS d,"
+        " CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+        f" FROM read_parquet('{SF}/events.parquet')"
+        " GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    con.close()
+    series = defaultdict(list)
+    for et, _, v in daily:
+        series[et].append(int(v))
+    got = {(r["event_type"], r["level"]): r for r in rows}
+    assert len(rows) == len(series) * 5
+    for et, xs in series.items():
+        vals = xs + [0] * (32 - len(xs))
+        for level in range(1, 6):
+            nxt, details = [], []
+            for i in range(0, len(vals), 2):
+                nxt.append(vals[i] + vals[i + 1])
+                details.append(vals[i] - vals[i + 1])
+            r = got[(et, level)]
+            assert r["n_coeffs"] == len(details)
+            assert r["energy"] == float(sum(d * d for d in details))
+            assert r["energy"] >= 0.0
+            vals = nxt
+        assert len(vals) == 1  # fully reduced at level 5
+
+
+# ---------------------------------------------------------------------------
+# Epoch sample vs a pure-python threshold replay
+
+
+def test_epoch_sample_matches_pure_python(spark):
+    import math
+
+    rows = plans.get("cur_epoch_sample").build(spark, SF).collect()
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT source, lang, doc_id FROM"
+        f" read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    by_dom = defaultdict(list)
+    for s, l, i in docs:
+        by_dom[(s, l)].append(i)
+    wq = {k: math.floor(math.sqrt(float(len(v))) * 1e6) for k, v in by_dom.items()}
+    total_wq = sum(wq.values())
+    got = {(r["source"], r["lang"]): r for r in rows}
+    assert set(got) == set(by_dom)
+    total_budget = 0
+    for k, ids in by_dom.items():
+        n = len(ids)
+        budget = math.floor(float(wq[k]) / float(total_wq) * 100_000)
+        thr = min(65536, (budget * 65536) // n)
+        sel = [i for i in ids if _u16(f"{i}#epoch-1") < thr]
+        r = got[k]
+        assert r["n_docs"] == n and r["budget"] == budget
+        assert r["n_selected"] == len(sel)
+        assert r["id_checksum"] == sum(sel)
+        assert r["fill_ratio"] == float(len(sel)) / float(max(budget, 1))
+        total_budget += budget
+    # floor rounding can only lose docs vs the epoch target
+    assert total_budget <= 100_000
