@@ -633,3 +633,62 @@ def dq_dp_binomial_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# File-layout audit (round 7 continuation): the other half of the
+# skew story — obs_skew_profile audits KEY skew, this audits FILE
+# skew: how many files back each table, how unevenly rows spread
+# across them, and whether a single giant file is about to serialize
+# every scan (the repo's own documents.parquet single-row-group
+# pitfall, io/readers.py::load_table_parallel). Spark reads the
+# hidden `_metadata.file_path` column; the oracle reads DuckDB's
+# `filename=true` virtual column — two engines' independent views of
+# the same physical layout, hash-compared.
+
+_LAYOUT_TABLES = ("lineitem", "orders", "documents")
+
+
+@register(
+    "obs_file_layout",
+    tags=("obs", "dq", "metadata"),
+    # rows-only by harness contract: the DuckDB oracle runner sees only
+    # the pre-registered table VIEWS, which do not expose the filename
+    # virtual column — a path-literal oracle cannot follow the sf dir.
+    # The cross-engine differential (Spark _metadata.file_path vs
+    # DuckDB read_parquet(..., filename=true)) runs in
+    # tests/test_round7b_ops.py instead, at a path the test controls.
+)
+def obs_file_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical file-layout audit per table: per-file row counts from
+    the engine's own file metadata (Spark `_metadata.file_path`), then
+    files / total rows / max / min per table — the audit that flags
+    small-file explosions (planner overhead per file) and single-file
+    giants (one-task scans) BEFORE they serialize a 100 TB job. The
+    per-file aggregation is map-side (rows carry their file id for
+    free); output is O(tables). The oracle reads the same layout
+    through DuckDB's filename virtual column — an independent
+    metadata path over identical bytes."""
+    parts = []
+    for t in _LAYOUT_TABLES:
+        df = load_table(spark, sf_dir, t)
+        per_file = (
+            df.select(F.col("_metadata.file_path").alias("f"))
+            .groupBy("f")
+            .agg(F.count(F.lit(1)).alias("rows"))
+        )
+        parts.append(
+            per_file.agg(
+                F.lit(t).alias("tbl"),
+                F.count(F.lit(1)).cast("bigint").alias("n_files"),
+                F.sum("rows").cast("bigint").alias("total_rows"),
+                F.max("rows").alias("max_file_rows"),
+                F.min("rows").alias("min_file_rows"),
+            ).select(
+                "tbl", "n_files", "total_rows", "max_file_rows", "min_file_rows"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("tbl")

@@ -837,3 +837,29 @@ def test_epoch_sample_matches_pure_python(spark):
         total_budget += budget
     # floor rounding can only lose docs vs the epoch target
     assert total_budget <= 100_000
+
+
+# ---------------------------------------------------------------------------
+# File-layout audit: cross-engine differential lives HERE (the driver
+# oracle runner only sees table views, which hide the filename column)
+
+
+def test_file_layout_matches_duckdb_filename_scan(spark):
+    rows = {
+        r["tbl"]: r
+        for r in plans.get("obs_file_layout").build(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "documents"):
+        per_file = con.execute(
+            "SELECT filename, COUNT(*) FROM"
+            f" read_parquet('{SF}/{t}.parquet', filename=true)"
+            " GROUP BY filename"
+        ).fetchall()
+        r = rows[t]
+        counts = [c for _, c in per_file]
+        assert r["n_files"] == len(per_file)
+        assert r["total_rows"] == sum(counts)
+        assert r["max_file_rows"] == max(counts)
+        assert r["min_file_rows"] == min(counts)
+    con.close()
