@@ -2071,12 +2071,15 @@ def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     from pyspark.sql import Window
 
+    # both 1-row model relations feed TWO consumers each (rng -> the
+    # level-1 and level-2 binned scans; root -> the leaf predicate and
+    # the output row) — persist so each level really is one scan
     rng = li.agg(
         F.min("l_extendedprice").cast("double").alias("mn1"),
         F.max("l_extendedprice").cast("double").alias("mx1"),
         F.min("l_quantity").cast("double").alias("mn2"),
         F.max("l_quantity").cast("double").alias("mx2"),
-    )
+    ).persist()
     binned = (
         li.crossJoin(F.broadcast(rng))
         .select(
@@ -2122,6 +2125,7 @@ def ml_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(rk1))
         .filter(F.col("rk") == 1)
         .select("f", "bin", "gain", "tot_n", "tot_pos")
+        .persist()
     )
     leaves = binned.crossJoin(F.broadcast(root.select(
         F.col("f").alias("rf"), F.col("bin").alias("rbin")
