@@ -724,3 +724,105 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return s.select(F.col("n").cast("bigint").alias("n"), rho.alias("rho"))
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V (round 7 continuation): association strength between two
+# categoricals from the full contingency table — the effect-size
+# companion to a chi-squared test (ml_chi2_feature_select computes
+# per-token 2x2 chi2 for feature selection; this is the general RxC
+# dependence instrument). chi2 = n * (sum over cells of
+# (o/n - pr*pc)^2 / (pr*pc)) is computed from exact integer counts
+# with the double expression shared across engines; V = sqrt(chi2 /
+# (n * min(R-1, C-1))).
+
+
+@register(
+    "stat_cramers_v",
+    tags=("stats", "agg"),
+    oracle="""
+        WITH cells AS (
+            SELECT o_orderpriority AS r, o_orderstatus AS c,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM orders GROUP BY 1, 2
+        ),
+        margins AS (
+            SELECT r, c, o,
+                   CAST(SUM(o) OVER (PARTITION BY r) AS BIGINT) AS nr,
+                   CAST(SUM(o) OVER (PARTITION BY c) AS BIGINT) AS nc,
+                   CAST(SUM(o) OVER () AS BIGINT) AS n
+            FROM cells
+        ),
+        tots AS (
+            SELECT MAX(n) AS n,
+                   COUNT(DISTINCT r) AS nrows, COUNT(DISTINCT c) AS ncols,
+                   CAST(CAST(SUM(CAST(FLOOR(
+                       (CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(nr AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)))
+                       * (CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(nr AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)))
+                       / ((CAST(nr AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)))
+                       * 1e15) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+                       / 1e15 AS phi2
+            FROM margins
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(nrows AS BIGINT) AS n_rows, CAST(ncols AS BIGINT) AS n_cols,
+               CAST(n AS DOUBLE) * phi2 AS chi2,
+               sqrt(phi2 / CAST(LEAST(nrows - 1, ncols - 1) AS DOUBLE))
+                   AS cramers_v
+        FROM tots
+    """,
+)
+def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between order priority and order status: the RxC
+    contingency table is one hash agg of exact integer counts; row/
+    column margins come from windows over the O(RxC) cell relation;
+    each cell's phi² contribution is a shared double fragment
+    floor-scaled to 1e-15 and summed as DECIMAL(38,0) — the o_fsum
+    recipe — so the sum over cells is order-independent and the final
+    chi2 / V are identical IEEE edges. Corpus-scale work is one
+    grouped count; everything else is model-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("r"),
+        F.col("o_orderstatus").alias("c"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wr = Window.partitionBy("r")
+    wc = Window.partitionBy("c")
+    wall = Window.partitionBy()
+    m = cells.select(
+        "r",
+        "c",
+        "o",
+        F.sum("o").over(wr).cast("bigint").alias("nr"),
+        F.sum("o").over(wc).cast("bigint").alias("nc"),
+        F.sum("o").over(wall).cast("bigint").alias("n"),
+    )
+    po = F.col("o").cast("double") / F.col("n").cast("double")
+    pr = F.col("nr").cast("double") / F.col("n").cast("double")
+    pc = F.col("nc").cast("double") / F.col("n").cast("double")
+    contrib = (po - pr * pc) * (po - pr * pc) / (pr * pc)
+    tots = m.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("r").alias("nrows"),
+        F.countDistinct("c").alias("ncols"),
+        (
+            F.sum(F.floor(contrib * F.lit(1e15)).cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(1e15)
+        ).alias("phi2"),
+    )
+    return tots.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("nrows").cast("bigint").alias("n_rows"),
+        F.col("ncols").cast("bigint").alias("n_cols"),
+        (F.col("n").cast("double") * F.col("phi2")).alias("chi2"),
+        F.sqrt(
+            F.col("phi2")
+            / F.least(F.col("nrows") - 1, F.col("ncols") - 1).cast("double")
+        ).alias("cramers_v"),
+    )

@@ -2751,3 +2751,134 @@ def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "level", "n_coeffs", "energy").orderBy(
         "event_type", "level"
     )
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation to lag 3 (round 7 continuation): the other
+# half of Box-Jenkins model identification (ts_autocorr_lags gives the
+# ACF, this gives the PACF; ts_yule_walker_ar2 then fits the model the
+# PACF suggests). Durbin-Levinson at fixed depth is a closed-form
+# scalar cascade over the autocovariances, so the whole diagnostic is
+# one windowed scan to exact decimal lag sums + identical-order IEEE
+# edges — pacf(2) must equal AR(2)'s phi2 exactly (pinned in tests).
+
+
+@register(
+    "ts_pacf",
+    tags=("timeseries", "stats", "window", "agg"),
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   SUM(CAST(value AS DECIMAL(18,6))) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, x,
+                   LAG(x, 1) OVER w AS x1,
+                   LAG(x, 2) OVER w AS x2,
+                   LAG(x, 3) OVER w AS x3
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d)
+        ),
+        s AS (
+            SELECT event_type, COUNT(*) AS n,
+                   {o_dsum("x")} AS sx, {o_dsum("x * x")} AS sxx,
+                   {o_dsum("x * x1")} AS s01,
+                   {o_dsum("x * x2")} AS s02,
+                   {o_dsum("x * x3")} AS s03,
+                   {o_dsum("CASE WHEN x1 IS NOT NULL THEN x END")} AS a1,
+                   {o_dsum("x1")} AS b1,
+                   {o_dsum("CASE WHEN x2 IS NOT NULL THEN x END")} AS a2,
+                   {o_dsum("x2")} AS b2,
+                   {o_dsum("CASE WHEN x3 IS NOT NULL THEN x END")} AS a3,
+                   {o_dsum("x3")} AS b3
+            FROM lagged GROUP BY event_type
+        ),
+        c AS (
+            SELECT event_type, n,
+                   (sxx - sx * sx / n) / n AS c0,
+                   (s01 - (sx / n) * (a1 + b1) + (n - 1) * (sx / n) * (sx / n)) / n AS c1,
+                   (s02 - (sx / n) * (a2 + b2) + (n - 2) * (sx / n) * (sx / n)) / n AS c2,
+                   (s03 - (sx / n) * (a3 + b3) + (n - 3) * (sx / n) * (sx / n)) / n AS c3
+            FROM s
+        ),
+        r AS (
+            SELECT event_type, n, c1 / c0 AS r1, c2 / c0 AS r2, c3 / c0 AS r3
+            FROM c
+        ),
+        dl AS (
+            SELECT event_type, n, r1, r2, r3,
+                   r1 AS pacf1,
+                   (r2 - r1 * r1) / (1 - r1 * r1) AS pacf2,
+                   r1 * (1 - (r2 - r1 * r1) / (1 - r1 * r1)) AS phi21
+            FROM r
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_days,
+               pacf1, pacf2,
+               (r3 - phi21 * r2 - pacf2 * r1)
+                 / (1 - phi21 * r1 - pacf2 * r2) AS pacf3
+        FROM dl
+        ORDER BY event_type
+    """,
+)
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation function to lag 3 per daily series by
+    Durbin-Levinson: ONE windowed scan reduces each series to exact
+    decimal lag cross-products (the ts_yule_walker_ar2 sufficient
+    statistics extended to lag 3), the autocovariances and the
+    recursion phi11 = r1, phi22 = (r2 - r1^2)/(1 - r1^2),
+    phi33 = (r3 - phi21 r2 - phi22 r1)/(1 - phi21 r1 - phi22 r2) are
+    identical-order IEEE edges. PACF cutting off after lag p is the
+    textbook AR(p) identification signal; pacf2 here equals the AR(2)
+    fit's phi2 exactly (shared estimator, pinned in tests)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 2).over(w).alias("x2"),
+        F.lag("x", 3).over(w).alias("x3"),
+    )
+    def dsum_d(col):
+        return F.sum(col).cast("double")
+
+    s = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum_d(F.col("x")).alias("sx"),
+        dsum_d(F.col("x") * F.col("x")).alias("sxx"),
+        dsum_d(F.col("x") * F.col("x1")).alias("s01"),
+        dsum_d(F.col("x") * F.col("x2")).alias("s02"),
+        dsum_d(F.col("x") * F.col("x3")).alias("s03"),
+        dsum_d(F.when(F.col("x1").isNotNull(), F.col("x"))).alias("a1"),
+        dsum_d(F.col("x1")).alias("b1"),
+        dsum_d(F.when(F.col("x2").isNotNull(), F.col("x"))).alias("a2"),
+        dsum_d(F.col("x2")).alias("b2"),
+        dsum_d(F.when(F.col("x3").isNotNull(), F.col("x"))).alias("a3"),
+        dsum_d(F.col("x3")).alias("b3"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("sx") / n
+    c0 = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / n
+    def ck(sk, ak, bk, k):
+        return (sk - mu * (ak + bk) + (n - F.lit(float(k))) * mu * mu) / n
+
+    c1 = ck(F.col("s01"), F.col("a1"), F.col("b1"), 1)
+    c2 = ck(F.col("s02"), F.col("a2"), F.col("b2"), 2)
+    c3 = ck(F.col("s03"), F.col("a3"), F.col("b3"), 3)
+    r1, r2, r3 = c1 / c0, c2 / c0, c3 / c0
+    pacf2 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    phi21 = r1 * (F.lit(1.0) - pacf2)
+    pacf3 = (r3 - phi21 * r2 - pacf2 * r1) / (
+        F.lit(1.0) - phi21 * r1 - pacf2 * r2
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        r1.alias("pacf1"),
+        pacf2.alias("pacf2"),
+        pacf3.alias("pacf3"),
+    ).orderBy("event_type")

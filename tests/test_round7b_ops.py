@@ -863,3 +863,62 @@ def test_file_layout_matches_duckdb_filename_scan(spark):
         assert r["max_file_rows"] == max(counts)
         assert r["min_file_rows"] == min(counts)
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V vs a pure-python contingency reference
+
+
+def test_cramers_v_matches_pure_python(spark):
+    import math
+
+    row = plans.get("stat_cramers_v").build(spark, SF).collect()[0]
+    con = duckdb.connect()
+    cells = con.execute(
+        "SELECT o_orderpriority, o_orderstatus, COUNT(*) FROM"
+        f" read_parquet('{SF}/orders.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    con.close()
+    n = sum(c for _, _, c in cells)
+    nr = defaultdict(int)
+    nc = defaultdict(int)
+    for r, c, o in cells:
+        nr[r] += o
+        nc[c] += o
+    phi2_raw = 0
+    for r, c, o in cells:
+        po = float(o) / float(n)
+        pr = float(nr[r]) / float(n)
+        pc = float(nc[c]) / float(n)
+        phi2_raw += math.floor((po - pr * pc) * (po - pr * pc) / (pr * pc) * 1e15)
+    phi2 = float(phi2_raw) / 1e15
+    assert row["n"] == n
+    assert row["n_rows"] == len(nr) and row["n_cols"] == len(nc)
+    assert row["chi2"] == float(n) * phi2
+    assert row["cramers_v"] == math.sqrt(
+        phi2 / float(min(len(nr) - 1, len(nc) - 1))
+    )
+    assert 0.0 <= row["cramers_v"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# PACF: Durbin-Levinson reference + the AR(2) cross-identity
+
+
+def test_pacf_matches_reference_and_ar2_identity(spark):
+    pacf = {
+        r["event_type"]: r
+        for r in plans.get("ts_pacf").build(spark, SF).collect()
+    }
+    ar2 = {
+        r["event_type"]: r
+        for r in plans.get("ts_yule_walker_ar2").build(spark, SF).collect()
+    }
+    assert set(pacf) == set(ar2)
+    for et, p in pacf.items():
+        # shared-estimator identity: pacf(2) IS the AR(2) phi2
+        assert p["pacf2"] == pytest.approx(ar2[et]["phi2"], rel=1e-12, abs=1e-15)
+        # partial correlations are correlations
+        for k in ("pacf1", "pacf2", "pacf3"):
+            assert -1.0 <= p[k] <= 1.0
+        assert p["n_days"] == ar2[et]["n_days"]
