@@ -33,7 +33,9 @@ from finance_etl_spark.plans.registry import (  # noqa: F401
 # reversal, and the round-7 continuation: bootstrap CI, randomization
 # test, Yule-Walker AR(2), skew profiler, binomial-DP counts,
 # temperature mixture, Markov matrix, banded DTW, ROUGE-L pairs,
-# amortization).
+# amortization, Spearman rho, degree assortativity, depth-2 tree,
+# two-round GBDT, Haar energies, epoch sample, file-layout audit,
+# Cramér's V, PACF).
 # tools/check.py always sweeps all queries regardless of order.
 import importlib
 
