@@ -826,3 +826,118 @@ def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.least(F.col("nrows") - 1, F.col("ncols") - 1).cast("double")
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (round 7 continuation): serial-dependence
+# diagnostic on each daily series' up/down moves — too few runs means
+# trending, too many means mean-reverting. Runs, up-counts and
+# down-counts are pure integers from two lag windows (sign of the
+# day-over-day change, then a change-of-sign indicator); the normal
+# approximation z = (R - E[R]) / sqrt(Var[R]) is one closed-form
+# double edge. Zero diffs are dropped (the standard treatment).
+
+
+@register(
+    "stat_runs_test",
+    tags=("stats", "timeseries", "window", "agg"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   SUM(CAST(value AS DECIMAL(18,6))) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        moves AS (
+            SELECT event_type, d,
+                   CASE WHEN x > LAG(x) OVER w THEN 1
+                        WHEN x < LAG(x) OVER w THEN -1 END AS s
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d)
+        ),
+        signs AS (
+            SELECT event_type, s,
+                   LAG(s) OVER (PARTITION BY event_type ORDER BY d) AS sp
+            FROM moves WHERE s IS NOT NULL
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+                   CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+                   CAST(1 + SUM(CASE WHEN sp IS NOT NULL AND s <> sp
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+            FROM signs GROUP BY event_type
+        )
+        SELECT event_type, n_up, n_down, n_runs,
+               (CAST(n_runs AS DOUBLE)
+                - (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                   / CAST(n_up + n_down AS DOUBLE) + 1.0))
+               / sqrt(2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                      * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                         - CAST(n_up + n_down AS DOUBLE))
+                      / (CAST(n_up + n_down AS DOUBLE)
+                         * CAST(n_up + n_down AS DOUBLE)
+                         * (CAST(n_up + n_down AS DOUBLE) - 1.0))) AS z_score
+        FROM agg
+        ORDER BY event_type
+    """,
+)
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on each event type's daily up/down
+    moves: sign of the day-over-day change from one lag window (zero
+    diffs dropped), run boundaries from a second lag over the sign
+    sequence, then R, n_up, n_down reduce by ordinary integer
+    aggregation and the normal z-score is a single shared double
+    expression. One corpus-scale daily agg; per-series windows over
+    O(days) rows; O(series) output. Too-few runs = trending, too many
+    = mean-reverting — the cheap first screen before fitting AR
+    structure (ts_pacf / ts_yule_walker_ar2)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    moves = daily.select(
+        "event_type",
+        "d",
+        F.when(F.col("x") > F.lag("x").over(w), 1)
+        .when(F.col("x") < F.lag("x").over(w), -1)
+        .alias("s"),
+    ).filter(F.col("s").isNotNull())
+    signs = moves.select(
+        "event_type", "s", F.lag("s").over(w).alias("sp")
+    )
+    agg = signs.groupBy("event_type").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_down"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("sp").isNotNull() & (F.col("s") != F.col("sp")), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_runs"),
+    )
+    nu = F.col("n_up").cast("double")
+    nd = F.col("n_down").cast("double")
+    nt = (F.col("n_up") + F.col("n_down")).cast("double")
+    e_runs = F.lit(2.0) * nu * nd / nt + F.lit(1.0)
+    var = (
+        F.lit(2.0) * nu * nd * (F.lit(2.0) * nu * nd - nt)
+        / (nt * nt * (nt - F.lit(1.0)))
+    )
+    return agg.select(
+        "event_type",
+        "n_up",
+        "n_down",
+        "n_runs",
+        ((F.col("n_runs").cast("double") - e_runs) / F.sqrt(var)).alias(
+            "z_score"
+        ),
+    ).orderBy("event_type")

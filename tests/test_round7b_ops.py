@@ -922,3 +922,49 @@ def test_pacf_matches_reference_and_ar2_identity(spark):
         for k in ("pacf1", "pacf2", "pacf3"):
             assert -1.0 <= p[k] <= 1.0
         assert p["n_days"] == ar2[et]["n_days"]
+
+
+# ---------------------------------------------------------------------------
+# Runs test vs a pure-python sequence walk
+
+
+def test_runs_test_matches_pure_python(spark):
+    import math
+
+    rows = {
+        r["event_type"]: r
+        for r in plans.get("stat_runs_test").build(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    daily = con.execute(
+        "SELECT event_type, CAST(ts AS DATE) AS d,"
+        " SUM(CAST(value AS DECIMAL(18,6)))"
+        f" FROM read_parquet('{SF}/events.parquet')"
+        " GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    con.close()
+    series = defaultdict(list)
+    for et, _, x in daily:
+        series[et].append(x)
+    assert set(rows) == set(series)
+    for et, xs in series.items():
+        signs = []
+        for a, b in zip(xs, xs[1:]):
+            if b > a:
+                signs.append(1)
+            elif b < a:
+                signs.append(-1)
+        n_up = signs.count(1)
+        n_down = signs.count(-1)
+        n_runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        r = rows[et]
+        assert r["n_up"] == n_up and r["n_down"] == n_down
+        assert r["n_runs"] == n_runs
+        nu, nd = float(n_up), float(n_down)
+        nt = nu + nd
+        z = (float(n_runs) - (2.0 * nu * nd / nt + 1.0)) / math.sqrt(
+            2.0 * nu * nd * (2.0 * nu * nd - nt) / (nt * nt * (nt - 1.0))
+        )
+        assert r["z_score"] == z
+        # runs are bounded: at least 1, at most the number of moves
+        assert 1 <= r["n_runs"] <= n_up + n_down
