@@ -941,3 +941,117 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_score"
         ),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration coefficient (round 7 continuation): how unequal
+# are order totals within each priority class — the concentration
+# instrument behind revenue-at-risk and whale-customer analyses. The
+# tie-aware rank-sum identity G = (2 Σ rank_i x_i)/(n Σx) - (n+1)/n
+# needs Σ over a tied block of consecutive ranks, which collapses to
+# x_v * t * (2c + t + 1) on the DISTINCT-VALUE relation (t = tie
+# size, c = count before) — exact decimal arithmetic end to end, with
+# the same per-group bucket + carry-in cumulative as the rest of this
+# module (never a global row window).
+
+
+@register(
+    "stat_gini_coefficient",
+    tags=("stats", "window", "agg"),
+    oracle="""
+        WITH base AS (
+            SELECT o_orderpriority AS g,
+                   CAST(o_totalprice AS DECIMAL(12,2)) AS x
+            FROM orders
+        ),
+        per_val AS (
+            SELECT g, x, COUNT(*) AS t FROM base GROUP BY g, x
+        ),
+        cum AS (
+            SELECT g, x, t,
+                   SUM(t) OVER (PARTITION BY g ORDER BY x
+                       ROWS UNBOUNDED PRECEDING) - t AS c
+            FROM per_val
+        ),
+        agg AS (
+            SELECT g,
+                   CAST(SUM(t) AS BIGINT) AS n,
+                   SUM(x * t) AS sx,
+                   SUM(x * t * (2 * c + t + 1)) AS rx2
+            FROM cum GROUP BY g
+        )
+        SELECT g AS priority, n,
+               CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS mean_total,
+               CAST(CAST(rx2 AS VARCHAR) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+        FROM agg
+        ORDER BY priority
+    """,
+)
+def stat_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware Gini coefficient of order totals per priority: the
+    rank-weighted sum 2 Σ rank·x collapses on the distinct-value
+    relation to Σ x·t·(2c + t + 1) (consecutive tied ranks summed in
+    closed form), computed with the bucket + carry-in cumulative so no
+    window ever sees more than one value-range bucket of one group.
+    All sums are exact decimals; the mean and G are VARCHAR-routed
+    double edges. G is distribution concentration on [0, 1): ~0 =
+    uniform totals, ->1 = a few whale orders carry the class."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("x"),
+    )
+    per_val = (
+        base.groupBy("g", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .withColumn("bkt", F.floor(F.col("x") / F.lit(10000)).cast("long"))
+        .persist()
+    )
+    w_in = (
+        Window.partitionBy("g", "bkt")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = per_val.select(
+        "g", "bkt", "x", "t", (F.sum("t").over(w_in) - F.col("t")).alias("wc")
+    )
+    w_carry = (
+        Window.partitionBy("g")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        per_val.groupBy("g", "bkt")
+        .agg(F.sum("t").alias("tb"))
+        .select(
+            "g",
+            "bkt",
+            F.coalesce(F.sum("tb").over(w_carry), F.lit(0)).alias("cb"),
+        )
+    )
+    cum = within.join(F.broadcast(carry), ["g", "bkt"]).select(
+        "g", "x", "t", (F.col("wc") + F.col("cb")).alias("c")
+    )
+    agg = cum.groupBy("g").agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(F.col("x") * F.col("t")).alias("sx"),
+        F.sum(
+            F.col("x")
+            * F.col("t")
+            * (F.lit(2) * F.col("c") + F.col("t") + F.lit(1))
+        ).alias("rx2"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    return agg.select(
+        F.col("g").alias("priority"),
+        "n",
+        (sx / n).alias("mean_total"),
+        (
+            F.col("rx2").cast("double") / (n * sx)
+            - (n + F.lit(1.0)) / n
+        ).alias("gini"),
+    ).orderBy("priority")

@@ -968,3 +968,32 @@ def test_runs_test_matches_pure_python(spark):
         assert r["z_score"] == z
         # runs are bounded: at least 1, at most the number of moves
         assert 1 <= r["n_runs"] <= n_up + n_down
+
+
+# ---------------------------------------------------------------------------
+# Gini vs a pure-python sort-and-rank reference
+
+
+def test_gini_matches_pure_python(spark):
+    rows = {
+        r["priority"]: r
+        for r in plans.get("stat_gini_coefficient").build(spark, SF).collect()
+    }
+    by_g = defaultdict(list)
+    for _, pri, x in _orders():
+        by_g[pri].append(x)
+    assert set(rows) == set(by_g)
+    for pri, xs in by_g.items():
+        xs.sort()
+        n = len(xs)
+        sx = sum(xs, Decimal(0))
+        rx2 = sum(
+            (2 * (i + 1) * x for i, x in enumerate(xs)), Decimal(0)
+        )  # 2 * sum of rank*x, ranks 1..n (ties: consecutive ranks —
+        # identical total to the closed-form tied-block sum)
+        r = rows[pri]
+        gini = float(rx2) / (float(n) * float(sx)) - (float(n) + 1.0) / float(n)
+        assert r["n"] == n
+        assert r["mean_total"] == float(sx) / float(n)
+        assert r["gini"] == gini
+        assert 0.0 <= r["gini"] < 1.0
