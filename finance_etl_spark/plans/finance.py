@@ -1463,3 +1463,80 @@ def fin_amortization_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration (round 7 continuation): how
+# concentrated is supplier revenue within each nation — the antitrust
+# / supply-risk twin of stat_gini_coefficient (Gini measures
+# inequality of the distribution, HHI measures market power of the
+# top of it; 1/HHI is the "effective number of suppliers"). HHI =
+# sum of squared revenue shares = (sum rev_i^2) / (sum rev_i)^2, so
+# it reduces to two exact decimal sums per nation and ONE double
+# division at the edge — no per-supplier share division anywhere.
+
+
+@register(
+    "fin_herfindahl_concentration",
+    tags=("finance", "agg"),
+    oracle="""
+        WITH rev AS (
+            SELECT s.s_nationkey AS nation, l.l_suppkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS r
+            FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT nation,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   SUM(r) AS tot,
+                   SUM(r * r) AS sq
+            FROM rev GROUP BY nation
+        )
+        SELECT nation, n_suppliers,
+               CAST(CAST(tot AS VARCHAR) AS DOUBLE) AS total_revenue,
+               CAST(CAST(sq AS VARCHAR) AS DOUBLE)
+                 / (CAST(CAST(tot AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(tot AS VARCHAR) AS DOUBLE)) AS hhi,
+               1.0 / (CAST(CAST(sq AS VARCHAR) AS DOUBLE)
+                 / (CAST(CAST(tot AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(tot AS VARCHAR) AS DOUBLE))) AS effective_n
+        FROM agg
+        ORDER BY nation
+    """,
+)
+def fin_herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HHI of supplier revenue within each nation: per-(nation,
+    supplier) exact decimal revenue from one keyed agg (supplier
+    dimension broadcast onto the fact scan), then HHI = Σr²/(Σr)² per
+    nation from two exact decimal sums with a single IEEE edge — no
+    per-supplier share is ever divided, so there is no float sum of
+    shares to order-depend on. effective_n = 1/HHI reads as "this
+    market behaves like N equal suppliers" — the supply-concentration
+    risk number. Corpus-scale work is one suppkey-keyed agg;
+    everything after is O(nations x suppliers-per-nation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("nation")
+    )
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("nation", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("r")
+        )
+    )
+    agg = rev.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("r").alias("tot"),
+        F.sum(F.col("r") * F.col("r")).alias("sq"),
+    )
+    tot = F.col("tot").cast("double")
+    hhi = F.col("sq").cast("double") / (tot * tot)
+    return agg.select(
+        "nation",
+        "n_suppliers",
+        tot.alias("total_revenue"),
+        hhi.alias("hhi"),
+        (F.lit(1.0) / hhi).alias("effective_n"),
+    ).orderBy("nation")

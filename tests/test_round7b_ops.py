@@ -997,3 +997,44 @@ def test_gini_matches_pure_python(spark):
         assert r["mean_total"] == float(sx) / float(n)
         assert r["gini"] == gini
         assert 0.0 <= r["gini"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# HHI vs a pure-python share-squares reference
+
+
+def test_herfindahl_matches_pure_python(spark):
+    rows = {
+        r["nation"]: r
+        for r in plans.get("fin_herfindahl_concentration")
+        .build(spark, SF)
+        .collect()
+    }
+    con = duckdb.connect()
+    rev = con.execute(
+        "SELECT s.s_nationkey, l.l_suppkey,"
+        " SUM(CAST(l_extendedprice AS DECIMAL(12,2)))"
+        f" FROM read_parquet('{SF}/lineitem.parquet') l"
+        f" JOIN read_parquet('{SF}/supplier.parquet') s"
+        " ON s.s_suppkey = l.l_suppkey"
+        " GROUP BY 1, 2"
+    ).fetchall()
+    con.close()
+    by_n = defaultdict(list)
+    for nation, _, r in rev:
+        by_n[nation].append(r)
+    assert set(rows) == set(by_n)
+    for nation, rs in by_n.items():
+        tot = sum(rs, Decimal(0))
+        sq = sum((r * r for r in rs), Decimal(0))
+        hhi = float(sq) / (float(tot) * float(tot))
+        g = rows[nation]
+        assert g["n_suppliers"] == len(rs)
+        assert g["total_revenue"] == float(tot)
+        assert g["hhi"] == hhi
+        assert g["effective_n"] == 1.0 / hhi
+        # HHI bounds: 1/n (equal shares) <= HHI <= 1 (monopoly);
+        # a single-supplier nation lands at 1 +/- 1 ulp because
+        # float(tot)^2 differs from float(tot*tot) in the last bit
+        assert 1.0 / len(rs) - 1e-12 <= g["hhi"] <= 1.0 + 1e-12
+        assert 1.0 - 1e-12 <= g["effective_n"] <= len(rs) + 1e-9
