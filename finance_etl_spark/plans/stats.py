@@ -1055,3 +1055,156 @@ def stat_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (n + F.lit(1.0)) / n
         ).alias("gini"),
     ).orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve deciles (round 7 continuation): the curve BEHIND
+# stat_gini_coefficient — at each population decile (orders sorted by
+# total, ascending), what share of total revenue has accumulated?
+# Reads as "the bottom 50% of orders carry X% of revenue". Exact:
+# decile cut points are integer order statistics on the distinct-value
+# cumulative (same bucket + carry-in machinery), revenue prefixes are
+# exact decimal sums, and the two shares are double edges.
+
+
+@register(
+    "stat_lorenz_deciles",
+    tags=("stats", "window", "agg"),
+    oracle="""
+        WITH base AS (
+            SELECT o_orderpriority AS g,
+                   CAST(o_totalprice AS DECIMAL(12,2)) AS x
+            FROM orders
+        ),
+        per_val AS (
+            SELECT g, x, COUNT(*) AS t, SUM(x) AS rev
+            FROM (SELECT g, x FROM base) GROUP BY g, x
+        ),
+        cum AS (
+            SELECT g, x,
+                   SUM(t) OVER w AS cum_t,
+                   SUM(rev) OVER w AS cum_rev,
+                   SUM(t) OVER p AS n,
+                   SUM(rev) OVER p AS tot_rev
+            FROM per_val
+            WINDOW w AS (PARTITION BY g ORDER BY x
+                         ROWS UNBOUNDED PRECEDING),
+                   p AS (PARTITION BY g)
+        ),
+        pts AS (
+            SELECT g, d,
+                   MIN(CASE WHEN cum_t >= (d * n + 9) // 10
+                            THEN struct_pack(x := x,
+                                 cum_t := CAST(cum_t AS BIGINT),
+                                 cum_rev := cum_rev) END) AS pt,
+                   MAX(CAST(n AS BIGINT)) AS n,
+                   MAX(tot_rev) AS tot_rev
+            FROM cum
+            CROSS JOIN (SELECT UNNEST(range(1, 11)) AS d) ds
+            GROUP BY g, d
+        )
+        SELECT g AS priority, CAST(d AS INT) AS decile,
+               CAST(pt.cum_t AS BIGINT) AS n_orders_cum,
+               CAST(pt.cum_t AS DOUBLE) / CAST(n AS DOUBLE) AS pop_share,
+               CAST(CAST(pt.cum_rev AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(tot_rev AS VARCHAR) AS DOUBLE) AS rev_share
+        FROM pts
+        ORDER BY priority, decile
+    """,
+)
+def stat_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at the 10 population deciles per priority: sort
+    orders by total (ascending, on the distinct-value relation with
+    the bucket + carry-in cumulative), cut at the smallest prefix
+    holding >= ceil(d*n/10) orders, and report that prefix's exact
+    cumulative revenue share. The curve's sag below the diagonal IS
+    the Gini (stat_gini_coefficient integrates it); these are the 10
+    points an analyst actually plots. All cut selection is integer;
+    shares are two double edges from exact decimals. Corpus work: one
+    grouped count+sum; windows run per (group, bucket)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("x"),
+    )
+    per_val = (
+        base.groupBy("g", "x")
+        .agg(F.count(F.lit(1)).alias("t"), F.sum("x").alias("rev"))
+        .withColumn("bkt", F.floor(F.col("x") / F.lit(10000)).cast("long"))
+        .persist()
+    )
+    w_in = (
+        Window.partitionBy("g", "bkt")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = per_val.select(
+        "g",
+        "bkt",
+        "x",
+        F.sum("t").over(w_in).alias("wt"),
+        F.sum("rev").over(w_in).alias("wrev"),
+    )
+    w_carry = (
+        Window.partitionBy("g")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        per_val.groupBy("g", "bkt")
+        .agg(F.sum("t").alias("tb"), F.sum("rev").alias("rb"))
+        .select(
+            "g",
+            "bkt",
+            F.coalesce(F.sum("tb").over(w_carry), F.lit(0)).alias("ct"),
+            F.coalesce(F.sum("rb").over(w_carry), F.lit(0).cast("decimal(22,2)")).alias(
+                "crev"
+            ),
+        )
+    )
+    tots = per_val.groupBy("g").agg(
+        F.sum("t").alias("n"), F.sum("rev").alias("tot_rev")
+    )
+    cum = (
+        within.join(F.broadcast(carry), ["g", "bkt"])
+        .join(F.broadcast(tots), "g")
+        .select(
+            "g",
+            "x",
+            (F.col("wt") + F.col("ct")).alias("cum_t"),
+            (F.col("wrev") + F.col("crev")).alias("cum_rev"),
+            "n",
+            "tot_rev",
+        )
+    )
+    ds = spark.range(1, 11).select(F.col("id").alias("d"))
+    pts = (
+        cum.join(F.broadcast(ds))
+        .groupBy("g", "d")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_t") >= F.expr("(d * n + 9) DIV 10"),
+                    F.struct(
+                        F.col("x"),
+                        F.col("cum_t").cast("bigint").alias("cum_t"),
+                        F.col("cum_rev").alias("cum_rev"),
+                    ),
+                )
+            ).alias("pt"),
+            F.max(F.col("n").cast("bigint")).alias("n"),
+            F.max("tot_rev").alias("tot_rev"),
+        )
+    )
+    return pts.select(
+        F.col("g").alias("priority"),
+        F.col("d").cast("int").alias("decile"),
+        F.col("pt.cum_t").alias("n_orders_cum"),
+        (
+            F.col("pt.cum_t").cast("double") / F.col("n").cast("double")
+        ).alias("pop_share"),
+        (
+            F.col("pt.cum_rev").cast("double")
+            / F.col("tot_rev").cast("double")
+        ).alias("rev_share"),
+    ).orderBy("priority", "decile")

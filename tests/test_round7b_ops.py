@@ -1038,3 +1038,35 @@ def test_herfindahl_matches_pure_python(spark):
         # float(tot)^2 differs from float(tot*tot) in the last bit
         assert 1.0 / len(rs) - 1e-12 <= g["hhi"] <= 1.0 + 1e-12
         assert 1.0 - 1e-12 <= g["effective_n"] <= len(rs) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Lorenz deciles vs a pure-python sorted-prefix reference
+
+
+def test_lorenz_deciles_matches_pure_python(spark):
+    rows = plans.get("stat_lorenz_deciles").build(spark, SF).collect()
+    by_g = defaultdict(list)
+    for _, pri, x in _orders():
+        by_g[pri].append(x)
+    got = {(r["priority"], r["decile"]): r for r in rows}
+    assert len(rows) == len(by_g) * 10
+    for pri, xs in by_g.items():
+        xs.sort()
+        n = len(xs)
+        tot = sum(xs, Decimal(0))
+        prev_share = 0.0
+        for d in range(1, 11):
+            k = (d * n + 9) // 10  # ceil(d*n/10)
+            cum = sum(xs[:k], Decimal(0))
+            r = got[(pri, d)]
+            assert r["n_orders_cum"] == k
+            assert r["pop_share"] == float(k) / float(n)
+            assert r["rev_share"] == float(cum) / float(tot)
+            # Lorenz curve properties: nondecreasing, below the
+            # diagonal (cheap orders accumulate revenue slower than
+            # population), ending at exactly 1
+            assert r["rev_share"] >= prev_share
+            assert r["rev_share"] <= r["pop_share"] + 1e-12
+            prev_share = r["rev_share"]
+        assert got[(pri, 10)]["rev_share"] == pytest.approx(1.0, abs=1e-12)
