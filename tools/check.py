@@ -165,7 +165,7 @@ def main(argv: list[str]) -> int:
         # driver's pandas canonicalizer (round-6 `array_map_ops` ERR) —
         # serialize at the presentation edge (functions/vectors.py::
         # serialize_double_array) instead
-        from pyspark.sql.types import ArrayType, MapType
+        from pyspark.sql.types import ArrayType, DecimalType, MapType
 
         bad_cols = [
             f.name
@@ -174,6 +174,22 @@ def main(argv: list[str]) -> int:
         ]
         if bad_cols:
             print(f"FAIL {name}: raw ARRAY/MAP output columns {bad_cols}")
+            n_fail += 1
+            continue
+        # fleet-wide ban #2: raw DECIMAL output columns are flattened
+        # differently by the round driver's two fetch paths (Arrow ->
+        # Decimal('12.050') vs pandas fetchdf -> float64 12.05), so
+        # they hash-fail with byte-identical raw values (r6+r7
+        # `ingest_fixed_width` driver lesson). Present money as
+        # VARCHAR-routed DOUBLE (.cast('string').cast('double') /
+        # CAST(CAST(x AS VARCHAR) AS DOUBLE)) at the edge.
+        dec_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, DecimalType)
+        ]
+        if dec_cols:
+            print(f"FAIL {name}: raw DECIMAL output columns {dec_cols}")
             n_fail += 1
             continue
         if name not in oracles:
@@ -187,6 +203,20 @@ def main(argv: list[str]) -> int:
             d_rows = list(zip(*cols_py)) if tbl.num_rows else []
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        # oracle-side DECIMAL ban, same class as above: a decimal128
+        # Arrow column (HUGEINT sum or an uncast DECIMAL expression)
+        # reaches the driver's pandas fetch as float64 while the Arrow
+        # fetch yields Decimal — the two-path divergence. CAST sums to
+        # BIGINT, route money through VARCHAR->DOUBLE.
+        import pyarrow as _pa
+
+        d_dec = [
+            f.name for f in tbl.schema if _pa.types.is_decimal(f.type)
+        ]
+        if d_dec:
+            print(f"FAIL {name}: oracle DECIMAL output columns {d_dec}")
             n_fail += 1
             continue
 
