@@ -3054,10 +3054,14 @@ def cur_e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota = the smallest post-dedup language count — the waterfill
     floor), (4) round-robin interleave (order by (per-lang rank,
     lang)) so no language is clumped — the curriculum-friendly
-    emission order. Catalyst sees all four stages at once: the quality
-    filter pushes below the dedup window, columns prune to the five
-    consumed, and only the dedup/rank shuffles remain. Everything is
-    integer/string-exact; the one float (stop ratio) only gates."""
+    emission order. The quality filter pushes below the dedup window
+    and columns prune to the five consumed; the post-dedup slim
+    projection is persisted once so the quota aggregate and the main
+    chain share a single materialization, the quota broadcasts back as
+    one row, and the global interleave position is the two-phase
+    range-partitioned rank — no unpartitioned window ever sees a
+    corpus-scale relation. Everything is integer/string-exact; the one
+    float (stop ratio) only gates."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -3086,33 +3090,50 @@ def cur_e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("copy_rank") == 1)
         .select("doc_id", "lang", "n_tokens")
     )
+    # The quota (min post-dedup language count) comes from the
+    # O(|langs|) aggregate broadcast back, NOT from
+    # min(...).over(Window.partitionBy()) — an unpartitioned window
+    # funnels every surviving doc through ONE task (the repo-wide rule:
+    # unpartitioned windows only over already-aggregated relations).
+    # `deduped` is persisted (slim 3-column projection) so the quota
+    # branch and the main chain read ONE materialization instead of
+    # re-deriving the quality→dedup scan per branch — the round-5
+    # 4×-scan trap the earlier window variant was dodging.
+    deduped = deduped.persist()
+    lang_counts = deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("lang_n")
+    )
+    quota = lang_counts.agg(F.min("lang_n").alias("q"))
     wl = Window.partitionBy("lang").orderBy("doc_id")
-    # the per-lang quota rides on WINDOWS over the same chain (count
-    # per lang, then min across langs) instead of a separate aggregate
-    # crossJoined back — the aggregate variant re-derived the whole
-    # quality→dedup chain and scanned documents 4× (explain-verified);
-    # this shape scans it once
-    ranked = deduped.select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        F.row_number().over(wl).cast("bigint").alias("lang_rank"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("lang"))
-        .alias("lang_n"),
-    ).withColumn("q", F.min("lang_n").over(Window.partitionBy()))
-    wg = Window.orderBy("lang_rank", "lang")
-    return (
-        ranked.filter(F.col("lang_rank") <= F.col("q"))
-        .select(
+    ranked = (
+        deduped.select(
             "doc_id",
             "lang",
             "n_tokens",
-            "lang_rank",
-            F.row_number().over(wg).cast("bigint").alias("global_position"),
+            F.row_number().over(wl).cast("bigint").alias("lang_rank"),
         )
-        .orderBy("global_position")
+        .crossJoin(F.broadcast(quota))
+        .filter(F.col("lang_rank") <= F.col("q"))
+        .select("doc_id", "lang", "n_tokens", "lang_rank")
     )
+    # global interleave position via the two-phase range-partitioned
+    # rank (operators/ranks.py) — never a global Window.orderBy over
+    # the corpus-scale balanced sample. (lang_rank, lang) is a total
+    # order: lang_rank is unique within each lang.
+    from finance_etl_spark.operators.ranks import global_row_number
+
+    out = global_row_number(
+        ranked,
+        [F.col("lang_rank"), F.col("lang")],
+        out_col="global_position",
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "lang_rank",
+        F.col("global_position").cast("bigint").alias("global_position"),
+    ).orderBy("global_position")
 
 
 # ---------------------------------------------------------------------------

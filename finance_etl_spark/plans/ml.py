@@ -993,25 +993,55 @@ def ml_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges: the k-th value at rank ceil(q·n) under a deterministic
     (value, key) order — the repo-wide quantile contract (order
     statistics, never interpolation, so edges are exact decimals and
-    bin assignment is engine-exact). One rank pass + a 3-scalar
-    broadcast + one grouped count; at 100 TB swap the global
-    ROW_NUMBER for the two-phase range-partitioned rank
-    (operators/ranks.py) — same edges, no single-partition window."""
+    bin assignment is engine-exact). The value at rank ceil(q·n) is
+    the smallest value whose cumulative count reaches the rank, so the
+    edges come from the distinct-value bucket + carry-in decomposition
+    (agg_equidepth_histogram's shape): value-range-partitioned
+    cumulative windows plus an O(buckets) carry — no corpus-scale
+    relation ever crosses an unpartitioned window (the global
+    ROW_NUMBER lives only in the DuckDB oracle, where it is fine).
+    One distinct-value agg + a 3-scalar broadcast + one grouped
+    count."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
-    wr = Window.orderBy("o_totalprice", "o_orderkey")
-    ranked = o.select(
-        "o_totalprice",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    per_val = (
+        o.groupBy(F.col("o_totalprice").alias("x"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("bkt", F.floor(F.col("x") / F.lit(10000)).cast("long"))
     )
-    edges = ranked.agg(
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_carry = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        per_val.groupBy("bkt")
+        .agg(F.sum("w").alias("tb"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("tb").over(w_carry), F.lit(0)).alias("cb"),
+            F.sum("tb")
+            .over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("n"),
+        )
+    )
+    cum = (
+        per_val.select("bkt", "x", F.sum("w").over(w_in).alias("win"))
+        .join(F.broadcast(carry), "bkt")
+        .select("x", (F.col("win") + F.col("cb")).alias("cw"), "n")
+    )
+    edges = cum.agg(
         *[
-            F.max(
+            F.min(
                 F.when(
-                    F.col("rn") == F.ceil(F.lit(q) * F.col("n")),
-                    F.col("o_totalprice"),
+                    F.col("cw") >= F.ceil(F.lit(q) * F.col("n")),
+                    F.col("x"),
                 )
             ).alias(f"e{i}")
             for i, q in enumerate(_QB_QS)

@@ -709,3 +709,36 @@ def test_burstiness_topk_is_take_ordered_no_window(spark, sf_dir):
     p = plan_str(plans.get("text_token_burstiness").build(spark, sf_dir))
     assert "TakeOrderedAndProject" in p
     assert "Window" not in p
+
+
+def test_e2e_training_prep_no_corpus_single_partition_window(spark, sf_dir):
+    """The e2e prep pipeline must never funnel a corpus-scale relation
+    through one task: the language quota comes from an O(|langs|)
+    aggregate broadcast back (no min-over-unpartitioned-window), and
+    the global interleave position is the two-phase range-partitioned
+    rank — every Window in the plan partitions by lang or by the
+    physical partition id."""
+    import re
+
+    p = plan_str(plans.get("cur_e2e_training_prep").build(spark, sf_dir), "extended")
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+    assert specs, f"no Window nodes matched extended plan:\n{p[:500]}"
+    for spec in specs:
+        assert "lang#" in spec or "__pid" in spec, (
+            f"unpartitioned window spec: [{spec}]"
+        )
+
+
+def test_quantile_binning_no_global_sort_window(spark, sf_dir):
+    """Quantile-bin edges must come from the bucket + carry order-
+    statistic decomposition (agg_equidepth_histogram's shape), not a
+    global Window.orderBy row_number: no unpartitioned window, no
+    SinglePartition exchange over the fact table."""
+    import re
+
+    p = plan_str(plans.get("ml_quantile_binning").build(spark, sf_dir), "extended")
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+    for spec in specs:
+        assert "bkt" in spec or "__pid" in spec, (
+            f"unpartitioned window spec: [{spec}]"
+        )
