@@ -1413,7 +1413,6 @@ def fin_amortization_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth at any book size. Integer division is DIV on both engines;
     the single double at the edge is the interest/principal ratio."""
     o = load_table(spark, sf_dir, "orders")
-    bps = F.lit(None).cast("bigint")
     expr = None
     for k, v in _AMORT_BPS.items():
         expr = (

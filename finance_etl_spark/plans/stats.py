@@ -868,6 +868,9 @@ def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM signs GROUP BY event_type
         )
         SELECT event_type, n_up, n_down, n_runs,
+               CASE WHEN n_up = 0 OR n_down = 0 OR n_up + n_down < 2
+                    THEN NULL
+                    ELSE
                (CAST(n_runs AS DOUBLE)
                 - (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
                    / CAST(n_up + n_down AS DOUBLE) + 1.0))
@@ -876,7 +879,8 @@ def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
                          - CAST(n_up + n_down AS DOUBLE))
                       / (CAST(n_up + n_down AS DOUBLE)
                          * CAST(n_up + n_down AS DOUBLE)
-                         * (CAST(n_up + n_down AS DOUBLE) - 1.0))) AS z_score
+                         * (CAST(n_up + n_down AS DOUBLE) - 1.0)))
+               END AS z_score
         FROM agg
         ORDER BY event_type
     """,
@@ -932,14 +936,23 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2.0) * nu * nd * (F.lit(2.0) * nu * nd - nt)
         / (nt * nt * (nt - F.lit(1.0)))
     )
+    # degenerate guard: a monotone series (n_up or n_down = 0) or a
+    # single move makes var = 0 -> 0/0 NaN, whose handling differs
+    # cross-engine; both sides emit NULL for the undecidable z
+    degenerate = (
+        (F.col("n_up") == 0)
+        | (F.col("n_down") == 0)
+        | ((F.col("n_up") + F.col("n_down")) < 2)
+    )
+    z = (F.col("n_runs").cast("double") - e_runs) / F.sqrt(var)
     return agg.select(
         "event_type",
         "n_up",
         "n_down",
         "n_runs",
-        ((F.col("n_runs").cast("double") - e_runs) / F.sqrt(var)).alias(
-            "z_score"
-        ),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(z)
+        .alias("z_score"),
     ).orderBy("event_type")
 
 

@@ -1058,10 +1058,19 @@ def test_lorenz_deciles_matches_pure_python(spark):
         prev_share = 0.0
         for d in range(1, 11):
             k = (d * n + 9) // 10  # ceil(d*n/10)
-            cum = sum(xs[:k], Decimal(0))
+            # the plan cuts at whole distinct-value tie blocks: the
+            # reported prefix extends through every order tied with
+            # the rank-k value (same semantics here, via bisect —
+            # asserting == k exactly would flake if a tie block ever
+            # straddles a decile boundary on a regenerated fixture)
+            import bisect
+
+            kk = bisect.bisect_right(xs, xs[k - 1])
+            cum = sum(xs[:kk], Decimal(0))
             r = got[(pri, d)]
-            assert r["n_orders_cum"] == k
-            assert r["pop_share"] == float(k) / float(n)
+            assert r["n_orders_cum"] == kk
+            assert kk >= k
+            assert r["pop_share"] == float(kk) / float(n)
             assert r["rev_share"] == float(cum) / float(tot)
             # Lorenz curve properties: nondecreasing, below the
             # diagonal (cheap orders accumulate revenue slower than
