@@ -1865,6 +1865,7 @@ _PPL_THRESHOLD = "3.4"  # avg bigram NLL; docs above are dropped (splits ~40/60 
 @register(
     "text_perplexity_filter",
     tags=("text", "quality", "lm"),
+    headline=True,  # tracks the LLM-corpus LM-filter cost in BENCH_r{N}
     oracle=f"""
         WITH docs AS MATERIALIZED (
             SELECT doc_id,

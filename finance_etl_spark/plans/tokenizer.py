@@ -11,11 +11,17 @@ count). The per-round merge rewrite is a map-side higher-order-function
 fold; lineage is truncated every round with localCheckpoint so the plan
 stays O(1) deep.
 
-Rows-only registry entry: the merge sequence is iterative and
-data-dependent (each round's input is the previous round's output),
-which ANSI SQL cannot express; tests/test_tokenizer.py pins the full
-merge table against an independent pure-Python BPE reference on the
-same vocabulary, and checks determinism under repartitioning.
+Hash-oracled since round 8: the merge count is FIXED (8), so the
+data-dependent training loop unrolls into 8 MATERIALIZED CTE rounds in
+DuckDB (the fin_irr_per_order recipe) — each round recomputes pair
+counts, picks the argmax rule with the same (count DESC, left, right)
+tie-break, and rewrites symbols via the gaps-and-islands closed form
+of the greedy overlap rule (within a run of consecutive match
+positions only alternate ones merge — exactly the left-fold's
+semantics, since a just-merged symbol can never re-match as `left`).
+tests/test_tokenizer.py additionally pins the merge table against an
+independent pure-Python BPE reference (shared-fragment-blindness
+guard), and checks determinism under repartitioning.
 """
 
 from __future__ import annotations
@@ -27,6 +33,98 @@ from finance_etl_spark.io.readers import load_table
 from finance_etl_spark.plans.registry import register
 
 TOKEN_PATTERN = "[a-z0-9']+"
+_TOKEN_SQL = "[a-z0-9'']+"  # same pattern, SQL-escaped quote
+
+
+def _bpe_rounds_sql(n_merges: int) -> str:
+    """Unrolled-CTE DuckDB replay of the BPE training loop: wf +
+    state_0, then per round k the pair counts (pc_k), the argmax rule
+    (best_k, tie-break count DESC then lexicographic — identical to
+    train_bpe), the accepted merge positions (acc_k: gaps-and-islands
+    parity = the greedy left-fold's overlap rule), and the rewritten
+    state_{k+1}. Everything is MATERIALIZED — DuckDB re-inlines
+    multiply-referenced CTEs otherwise (oracle-determinism rule #9)."""
+    parts = [
+        f"""
+        wf AS MATERIALIZED (
+            SELECT u.word, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM documents,
+                 unnest(regexp_extract_all(lower(text), '{_TOKEN_SQL}')) u(word)
+            GROUP BY u.word
+        ),
+        state_0 AS MATERIALIZED (
+            SELECT word, freq,
+                   list_filter(string_split(word, ''), c -> c <> '') AS symbols
+            FROM wf
+        )"""
+    ]
+    for k in range(n_merges):
+        parts.append(f"""
+        pos_{k} AS MATERIALIZED (
+            SELECT word, freq, i, symbols[i] AS s, symbols[i+1] AS nxt
+            FROM (SELECT word, freq, symbols,
+                         generate_subscripts(symbols, 1) AS i
+                  FROM state_{k})
+        ),
+        pc_{k} AS MATERIALIZED (
+            SELECT s AS l, nxt AS r, CAST(SUM(freq) AS BIGINT) AS n
+            FROM pos_{k} WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ),
+        best_{k} AS MATERIALIZED (
+            SELECT l, r, n FROM pc_{k} ORDER BY n DESC, l, r LIMIT 1
+        ),
+        acc_{k} AS MATERIALIZED (
+            SELECT word, i FROM (
+                SELECT word, i,
+                       ROW_NUMBER() OVER (PARTITION BY word, i - rn
+                                          ORDER BY i) AS island_pos
+                FROM (
+                    SELECT p.word, p.i,
+                           ROW_NUMBER() OVER (PARTITION BY p.word
+                                              ORDER BY p.i) AS rn
+                    FROM pos_{k} p CROSS JOIN best_{k} b
+                    WHERE p.s = b.l AND p.nxt = b.r
+                )
+            ) WHERE island_pos % 2 = 1
+        ),
+        state_{k + 1} AS MATERIALIZED (
+            SELECT word, freq, list(sym ORDER BY i) AS symbols FROM (
+                SELECT p.word, p.freq, p.i,
+                       CASE WHEN a.i IS NOT NULL THEN p.s || p.nxt
+                            ELSE p.s END AS sym
+                FROM pos_{k} p
+                LEFT JOIN acc_{k} a ON a.word = p.word AND a.i = p.i
+                LEFT JOIN acc_{k} c ON c.word = p.word AND c.i = p.i - 1
+                WHERE c.i IS NULL
+            ) GROUP BY word, freq
+        )""")
+    return "WITH " + ",".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int = 8) -> str:
+    unions = " UNION ALL ".join(
+        f'SELECT {k + 1} AS rank, l AS "left", r AS "right",'
+        f" l || r AS merged, n AS n_occurrences FROM best_{k}"
+        for k in range(n_merges)
+    )
+    return (
+        _bpe_rounds_sql(n_merges)
+        + ' SELECT CAST(rank AS INT) AS rank, "left", "right", merged,'
+        " CAST(n_occurrences AS BIGINT) AS n_occurrences"
+        f" FROM ({unions}) ORDER BY rank"
+    )
+
+
+def _bpe_encode_oracle(n_merges: int = 8) -> str:
+    return (
+        _bpe_rounds_sql(n_merges)
+        + f"""
+        SELECT sym AS subword, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+        FROM (SELECT freq, unnest(symbols) AS sym FROM state_{n_merges})
+        GROUP BY sym
+        ORDER BY n_occurrences DESC, subword
+        LIMIT 20"""
+    )
 
 
 def word_frequencies(d: DataFrame, text_col: str = "text") -> DataFrame:
@@ -106,7 +204,11 @@ def train_bpe(vocab: DataFrame, n_merges: int = 8) -> list[tuple[str, str, int]]
     return rules
 
 
-@register("text_bpe_train_merges", tags=("text", "tokenizer", "iterative"))
+@register(
+    "text_bpe_train_merges",
+    tags=("text", "tokenizer", "iterative"),
+    oracle=_bpe_train_oracle(8),
+)
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE training over the documents corpus: 8 learned merge
     rules with their weighted pair counts, in training order."""
@@ -137,7 +239,11 @@ def apply_bpe(
     return state
 
 
-@register("text_bpe_encode", tags=("text", "tokenizer", "iterative"))
+@register(
+    "text_bpe_encode",
+    tags=("text", "tokenizer", "iterative"),
+    oracle=_bpe_encode_oracle(8),
+)
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end tokenizer: train 8 BPE merges on the corpus, then
     ENCODE the corpus with them and report the top-20 subword tokens
@@ -185,7 +291,75 @@ def wordpiece_encode_word(word: str, vocab: frozenset) -> list:
     return pieces
 
 
-@register("text_wordpiece_encode", tags=("text", "tokenizer", "udf"))
+# WordPiece's greedy longest-match-first walk is SQL-expressible after
+# all: the best match at every (word, position, firstness) is a plain
+# join + window over the bounded-size vocab (no recursion), and the
+# walk itself is then a PATH-FOLLOWING recursive CTE — each step only
+# left-joins the precomputed lookup and advances by the matched length
+# (no aggregate/window in the recursive term, which DuckDB forbids).
+_WP_ORACLE = f"""
+WITH RECURSIVE wf AS MATERIALIZED (
+    SELECT u.word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM documents,
+         unnest(regexp_extract_all(lower(text), '{_TOKEN_SQL}')) u(word)
+    GROUP BY u.word
+),
+top_words AS MATERIALIZED (
+    SELECT word FROM wf ORDER BY freq DESC, word LIMIT 20
+),
+chars AS MATERIALIZED (
+    SELECT DISTINCT c FROM (
+        SELECT unnest(list_filter(string_split(word, ''), c -> c <> '')) AS c
+        FROM wf
+    )
+),
+vocab AS MATERIALIZED (
+    SELECT DISTINCT piece, base, cont, len(base) AS l FROM (
+        SELECT word AS piece, word AS base, FALSE AS cont FROM top_words
+        UNION ALL
+        SELECT c, c, FALSE FROM chars
+        UNION ALL
+        SELECT '##' || c, c, TRUE FROM chars
+    )
+),
+positions AS MATERIALIZED (
+    SELECT word, generate_subscripts(
+        list_filter(string_split(word, ''), c -> c <> ''), 1) AS i
+    FROM wf
+),
+best AS MATERIALIZED (
+    SELECT word, i, cont, piece, l FROM (
+        SELECT p.word, p.i, v.cont, v.piece, v.l,
+               ROW_NUMBER() OVER (PARTITION BY p.word, p.i, v.cont
+                                  ORDER BY v.l DESC) AS rn
+        FROM positions p JOIN vocab v ON substr(p.word, p.i, v.l) = v.base
+    ) WHERE rn = 1
+),
+rec AS (
+    SELECT word, freq, 1 AS i, 1 AS step, CAST(NULL AS VARCHAR) AS piece
+    FROM wf
+    UNION ALL
+    SELECT r.word, r.freq, r.i + coalesce(b.l, 1), r.step + 1,
+           coalesce(b.piece, '[UNK]')
+    FROM rec r
+    LEFT JOIN best b ON b.word = r.word AND b.i = r.i
+                    AND b.cont = (r.step > 1)
+    WHERE r.i <= len(r.word)
+)
+SELECT piece, CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+       CAST(SUM(freq) AS BIGINT) AS total_occurrences
+FROM rec WHERE piece IS NOT NULL
+GROUP BY piece
+ORDER BY total_occurrences DESC, piece
+LIMIT 30
+"""
+
+
+@register(
+    "text_wordpiece_encode",
+    tags=("text", "tokenizer", "udf"),
+    oracle=_WP_ORACLE,
+)
 def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece encoding of the corpus under a deterministic vocab
     (top-20 words as whole pieces + every observed character as both
@@ -196,10 +370,12 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     text is read once and the Python work is |vocab|-bounded. The
     greedy longest-match loop is inherently per-word sequential →
     Arrow-batched mapInPandas; the vocab is a broadcast-closure
-    frozenset built from two vocabulary-sized collects. Rows-only
-    (the iterative greedy is not ANSI-expressible);
-    tests/test_round4_ops.py pins the piece table against a
-    driver-side pure-Python encode of the same word-frequency list."""
+    frozenset built from two vocabulary-sized collects. Hash-oracled
+    via a precomputed longest-match lookup + path-following recursive
+    CTE (all integer/string — no float anywhere);
+    tests/test_round4_ops.py additionally pins the piece table against
+    a driver-side pure-Python encode of the same word-frequency
+    list."""
     import pandas as pd
 
     d = load_table(spark, sf_dir, "documents")
