@@ -2463,3 +2463,669 @@ def ml_gbdt_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rmse2").alias("rmse_after_r2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 evaluation instruments: agreement, correlation-quality and
+# ranking metrics — all exact integer counts reduced map-side, with
+# double arithmetic only at the presentation edge (identical op order
+# on both engines), so every one is hash-oracled.
+
+
+@register(
+    "ml_cohen_kappa",
+    tags=("ml", "eval", "agg"),
+    oracle="""
+        WITH lab AS (
+            SELECT o_orderstatus AS grp,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS ra,
+                   CASE WHEN o_totalprice >= 250000 THEN 1 ELSE 0 END AS rb
+            FROM orders
+        ),
+        c AS (
+            SELECT grp,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n11,
+                   CAST(SUM(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n00,
+                   CAST(SUM(ra) AS BIGINT) AS a1,
+                   CAST(SUM(rb) AS BIGINT) AS b1
+            FROM lab GROUP BY grp
+        )
+        SELECT grp AS o_orderstatus, n, n11, n00, a1, b1,
+               CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+               CAST(a1 * b1 + (n - a1) * (n - b1) AS DOUBLE)
+                 / CAST(n * n AS DOUBLE) AS pe,
+               (CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+                - CAST(a1 * b1 + (n - a1) * (n - b1) AS DOUBLE)
+                  / CAST(n * n AS DOUBLE))
+               / (1.0 - CAST(a1 * b1 + (n - a1) * (n - b1) AS DOUBLE)
+                        / CAST(n * n AS DOUBLE)) AS kappa
+        FROM c
+        ORDER BY o_orderstatus
+    """,
+)
+def ml_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement between two deterministic
+    labeling rules (a priority-based rater vs a value-based rater),
+    per order status — the label-quality instrument for multi-annotator
+    training data (agreement above chance, not raw accuracy). One scan
+    to four BIGINT cell counts per group (map-side combine); po, pe,
+    kappa are pure double edges over exact integers in identical op
+    order on both engines. The integer products stay below 2^53
+    through sf0.1 verification scale; at larger group cardinalities
+    the pe numerator would route through DECIMAL like every money sum.
+    Citation for parity scope: reference has no eval surface
+    (SURVEY.md round-8 table)."""
+    o = load_table(spark, sf_dir, "orders")
+    lab = o.select(
+        F.col("o_orderstatus").alias("grp"),
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("int")
+        .alias("ra"),
+        (F.col("o_totalprice") >= 250000).cast("int").alias("rb"),
+    )
+    c = lab.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((F.col("ra") == 1) & (F.col("rb") == 1)).cast("int"))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(((F.col("ra") == 0) & (F.col("rb") == 0)).cast("int"))
+        .cast("bigint")
+        .alias("n00"),
+        F.sum("ra").cast("bigint").alias("a1"),
+        F.sum("rb").cast("bigint").alias("b1"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pe = (
+        F.col("a1") * F.col("b1")
+        + (F.col("n") - F.col("a1")) * (F.col("n") - F.col("b1"))
+    ).cast("double") / (F.col("n") * F.col("n")).cast("double")
+    return c.select(
+        F.col("grp").alias("o_orderstatus"),
+        "n",
+        "n11",
+        "n00",
+        "a1",
+        "b1",
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    ).orderBy("o_orderstatus")
+
+
+@register(
+    "ml_mcc_binary",
+    tags=("ml", "eval", "agg"),
+    oracle="""
+        WITH c AS (
+            SELECT l_linestatus AS grp,
+                   CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R'
+                        AND l_discount >= 0.05) AS BIGINT) AS tp,
+                   CAST(COUNT(*) FILTER (WHERE l_returnflag <> 'R'
+                        AND l_discount >= 0.05) AS BIGINT) AS fp,
+                   CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R'
+                        AND l_discount < 0.05) AS BIGINT) AS fn,
+                   CAST(COUNT(*) FILTER (WHERE l_returnflag <> 'R'
+                        AND l_discount < 0.05) AS BIGINT) AS tn
+            FROM lineitem GROUP BY l_linestatus
+        )
+        SELECT grp AS l_linestatus, tp, fp, fn, tn,
+               CASE WHEN (tp + fp) * (tp + fn) = 0
+                      OR (tn + fp) * (tn + fn) = 0 THEN NULL
+                    ELSE CAST(tp * tn - fp * fn AS DOUBLE)
+                         / (sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE))
+                            * sqrt(CAST((tn + fp) * (tn + fn) AS DOUBLE)))
+               END AS mcc
+        FROM c
+        ORDER BY l_linestatus
+    """,
+)
+def ml_mcc_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient of a deterministic classifier
+    rule (discount >= 0.05 predicts return) against the actual return
+    flag, per line status — the balanced single-number binary metric
+    that, unlike accuracy or F1, stays honest under class imbalance.
+    Four BIGINT confusion cells per group from one scan; the MCC edge
+    splits sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn)) into a PRODUCT OF TWO
+    SQRTS so each radicand (a product of two counts) stays exactly
+    representable in a double — sqrt and the final divide are
+    correctly-rounded IEEE ops, identical cross-engine. Degenerate
+    margins (any zero row/column) emit NULL on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pos = F.col("l_returnflag") == "R"
+    pred = F.col("l_discount") >= 0.05
+    c = li.groupBy(F.col("l_linestatus").alias("grp")).agg(
+        F.sum((pos & pred).cast("int")).cast("bigint").alias("tp"),
+        F.sum(((~pos) & pred).cast("int")).cast("bigint").alias("fp"),
+        F.sum((pos & (~pred)).cast("int")).cast("bigint").alias("fn"),
+        F.sum(((~pos) & (~pred)).cast("int")).cast("bigint").alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    degen = ((tp + fp) * (tp + fn) == 0) | ((tn + fp) * (tn + fn) == 0)
+    mcc = (tp * tn - fp * fn).cast("double") / (
+        F.sqrt(((tp + fp) * (tp + fn)).cast("double"))
+        * F.sqrt(((tn + fp) * (tn + fn)).cast("double"))
+    )
+    return c.select(
+        F.col("grp").alias("l_linestatus"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(degen, F.lit(None).cast("double")).otherwise(mcc).alias("mcc"),
+    ).orderBy("l_linestatus")
+
+
+@register(
+    "ml_pr_auc",
+    tags=("ml", "eval", "window"),
+    oracle="""
+        WITH grp AS (
+            SELECT l_quantity AS score,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R')
+                        AS BIGINT) AS pos
+            FROM lineitem GROUP BY l_quantity
+        ),
+        cum AS (
+            SELECT score, cnt, pos,
+                   CAST(SUM(pos) OVER (ORDER BY score DESC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+                   CAST(SUM(cnt) OVER (ORDER BY score DESC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nt,
+                   CAST(SUM(pos) OVER () AS BIGINT) AS npos,
+                   CAST(SUM(cnt) OVER () AS BIGINT) AS n_total
+            FROM grp
+        )
+        SELECT MIN(npos) AS npos,
+               MIN(n_total) AS n_total,
+               CAST(MIN(npos) AS DOUBLE) / CAST(MIN(n_total) AS DOUBLE)
+                   AS prevalence,
+               CAST(CAST(SUM(CAST(FLOOR(CAST(pos * tp AS DOUBLE)
+                        / CAST(npos * nt AS DOUBLE) * 1e12)
+                    AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e12
+                   AS average_precision
+        FROM cum
+    """,
+)
+def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware average precision (the PR-curve area as scikit-learn's
+    step interpolation): AP = Σ_blocks ΔR·P over distinct score blocks
+    descending, where after block i, P = TP_i/n_i and ΔR = pos_i/npos,
+    so each block contributes (pos_i·TP_i)/(npos·n_i). The per-block
+    term is ONE correctly-rounded double division of exact integer
+    products (both < 2^53), floor-quantized at 1e-12 and summed as
+    DECIMAL(38,0) — order-independent, engine-exact (the o_fsum
+    recipe); the final divide is the only presentation edge. The
+    cumulative runs over the ~50-row distinct-quantity aggregate
+    (unpartitioned window over aggregated relation — repo rule); at
+    a high-cardinality score column the same bucket + carry
+    decomposition as agg_equidepth_histogram drops in. Complements
+    ml_roc_auc: AP is the metric that collapses when positives are
+    rare, AUC is not."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    grp = li.groupBy(F.col("l_quantity").alias("score")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum((F.col("l_returnflag") == "R").cast("int"))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cum = grp.select(
+        "pos",
+        F.sum("pos").over(w).cast("bigint").alias("tp"),
+        F.sum("cnt").over(w).cast("bigint").alias("nt"),
+        F.sum("pos").over(wall).cast("bigint").alias("npos"),
+        F.sum("cnt").over(wall).cast("bigint").alias("n_total"),
+    )
+    term = (F.col("pos") * F.col("tp")).cast("double") / (
+        F.col("npos") * F.col("nt")
+    ).cast("double")
+    return cum.agg(
+        F.min("npos").alias("npos"),
+        F.min("n_total").alias("n_total"),
+        (
+            F.min("npos").cast("double") / F.min("n_total").cast("double")
+        ).alias("prevalence"),
+        (
+            F.sum(F.floor(term * F.lit(1e12)).cast("decimal(38,0)"))
+            .cast("string")
+            .cast("double")
+            / F.lit(1e12)
+        ).alias("average_precision"),
+    )
+
+
+# NDCG@k discount table: 1/log2(i+1) computed ONCE in Python and
+# injected as identical decimal-string literals into BOTH engines
+# (each parses the same shortest-repr string to the same double), so
+# no libm log runs inside either query — the whole metric is integer
+# relevance × literal discount, floor-quantized and integer-summed.
+_NDCG_K = 10
+_NDCG_DISC = [(i, repr(1.0 / math.log2(i + 1))) for i in range(1, _NDCG_K + 1)]
+
+
+@register(
+    "ml_ndcg_at_k",
+    tags=("ml", "eval", "window"),
+    oracle=f"""
+        WITH disc(i, disc) AS (
+            VALUES {", ".join(f"({i}, CAST({d} AS DOUBLE))" for i, d in _NDCG_DISC)}
+        ),
+        items AS (
+            SELECT o_orderpriority AS g, o_totalprice, o_orderkey,
+                   CAST(o_orderkey % 4 AS BIGINT) AS rel
+            FROM orders
+        ),
+        ranked AS (
+            SELECT g, rel,
+                   ROW_NUMBER() OVER (PARTITION BY g
+                       ORDER BY o_totalprice DESC, o_orderkey) AS i
+            FROM items
+        ),
+        dcg AS (
+            SELECT r.g,
+                   CAST(SUM(CAST(FLOOR(r.rel * d.disc * 1e12)
+                        AS DECIMAL(38,0))) AS BIGINT) AS dcg_q
+            FROM ranked r JOIN disc d ON d.i = r.i
+            WHERE r.i <= {_NDCG_K}
+            GROUP BY r.g
+        ),
+        counts AS (
+            SELECT g,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(COUNT(*) FILTER (WHERE rel = 3) AS BIGINT) AS n3,
+                   CAST(COUNT(*) FILTER (WHERE rel = 2) AS BIGINT) AS n2,
+                   CAST(COUNT(*) FILTER (WHERE rel = 1) AS BIGINT) AS n1
+            FROM items GROUP BY g
+        ),
+        idcg AS (
+            SELECT c.g,
+                   CAST(SUM(CAST(FLOOR(
+                       (CASE WHEN d.i <= c.n3 THEN 3
+                             WHEN d.i <= c.n3 + c.n2 THEN 2
+                             WHEN d.i <= c.n3 + c.n2 + c.n1 THEN 1
+                             ELSE 0 END) * d.disc * 1e12)
+                        AS DECIMAL(38,0))) AS BIGINT) AS idcg_q
+            FROM counts c CROSS JOIN disc d
+            GROUP BY c.g
+        )
+        SELECT c.g AS o_orderpriority, c.n_items,
+               CAST(d.dcg_q AS DOUBLE) / 1e12 AS dcg_at_10,
+               CAST(i.idcg_q AS DOUBLE) / 1e12 AS idcg_at_10,
+               CAST(d.dcg_q AS DOUBLE) / CAST(i.idcg_q AS DOUBLE)
+                   AS ndcg_at_10
+        FROM counts c JOIN dcg d ON d.g = c.g JOIN idcg i ON i.g = c.g
+        ORDER BY o_orderpriority
+    """,
+)
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of a value-ranked retrieval per priority 'query': items
+    are orders ranked by total price (the model's ranking), graded
+    relevance is the deterministic rel = orderkey % 4. The top-10 per
+    group comes from a TWO-PHASE top-k (per-(group, salt) local
+    row_number, then a final window over the <= 10·|salts| survivors)
+    so no corpus-scale group ever funnels through one window task —
+    the oracle uses the naive per-group ROW_NUMBER, which is fine in
+    DuckDB. IDCG needs no sort at all: with integer grades 0..3 the
+    ideal ranking is a closed form over the four grade counts. Both
+    DCG sums are rel × literal-discount terms floor-quantized at 1e-12
+    and summed as integers — order-free, engine-exact."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    items = o.select(
+        F.col("o_orderpriority").alias("g"),
+        "o_totalprice",
+        "o_orderkey",
+        (F.col("o_orderkey") % 4).cast("bigint").alias("rel"),
+    )
+    disc = spark.createDataFrame(
+        [(i, float(d)) for i, d in _NDCG_DISC], "i int, disc double"
+    )
+    # phase 1: per-(group, salt) local top-k — bounded survivor set
+    salted = items.withColumn("salt", (F.col("o_orderkey") % 32).cast("int"))
+    w1 = Window.partitionBy("g", "salt").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    cand = (
+        salted.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _NDCG_K)
+        .drop("salt", "r1")
+    )
+    # phase 2: exact top-k over <= 32·k survivors per group
+    w2 = Window.partitionBy("g").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    top = cand.withColumn("i", F.row_number().over(w2)).filter(
+        F.col("i") <= _NDCG_K
+    )
+    dcg = (
+        top.join(F.broadcast(disc), "i")
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.floor(F.col("rel") * F.col("disc") * F.lit(1e12)).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("bigint")
+            .alias("dcg_q")
+        )
+    )
+    counts = items.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum((F.col("rel") == 3).cast("int")).cast("bigint").alias("n3"),
+        F.sum((F.col("rel") == 2).cast("int")).cast("bigint").alias("n2"),
+        F.sum((F.col("rel") == 1).cast("int")).cast("bigint").alias("n1"),
+    )
+    ideal_rel = (
+        F.when(F.col("i") <= F.col("n3"), 3)
+        .when(F.col("i") <= F.col("n3") + F.col("n2"), 2)
+        .when(F.col("i") <= F.col("n3") + F.col("n2") + F.col("n1"), 1)
+        .otherwise(0)
+    )
+    idcg = (
+        counts.crossJoin(F.broadcast(disc))
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.floor(ideal_rel * F.col("disc") * F.lit(1e12)).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("bigint")
+            .alias("idcg_q")
+        )
+    )
+    return (
+        counts.select("g", "n_items")
+        .join(dcg, "g")
+        .join(idcg, "g")
+        .select(
+            F.col("g").alias("o_orderpriority"),
+            "n_items",
+            (F.col("dcg_q").cast("double") / F.lit(1e12)).alias("dcg_at_10"),
+            (F.col("idcg_q").cast("double") / F.lit(1e12)).alias(
+                "idcg_at_10"
+            ),
+            (
+                F.col("dcg_q").cast("double") / F.col("idcg_q").cast("double")
+            ).alias("ndcg_at_10"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "ml_lift_gains_table",
+    tags=("ml", "eval", "window"),
+    oracle="""
+        WITH per_val AS (
+            SELECT o_totalprice AS x,
+                   CAST(COUNT(*) AS BIGINT) AS w,
+                   CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F')
+                        AS BIGINT) AS pos
+            FROM orders GROUP BY 1
+        ),
+        cum AS (
+            SELECT x, w, pos,
+                   CAST(SUM(w) OVER (ORDER BY x DESC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+                   CAST(SUM(pos) OVER (ORDER BY x DESC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+                   CAST(SUM(w) OVER () AS BIGINT) AS tw,
+                   CAST(SUM(pos) OVER () AS BIGINT) AS tp
+            FROM per_val
+        ),
+        ks AS (SELECT unnest(generate_series(1, 10)) AS decile)
+        SELECT k.decile,
+               CAST(MIN(c.cw) AS BIGINT) AS cum_n,
+               CAST(arg_min(c.cp, c.cw) AS BIGINT) AS cum_pos,
+               MIN(c.tw) AS total_n,
+               MIN(c.tp) AS total_pos,
+               CAST(arg_min(c.cp, c.cw) AS DOUBLE) / CAST(MIN(c.tp) AS DOUBLE)
+                   AS gain,
+               CAST(arg_min(c.cp, c.cw) * MIN(c.tw) AS DOUBLE)
+                 / CAST(MIN(c.cw) * MIN(c.tp) AS DOUBLE) AS lift
+        FROM cum c JOIN ks k ON c.cw * 10 >= k.decile * c.tw
+        GROUP BY k.decile
+        ORDER BY k.decile
+    """,
+)
+def ml_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift at the 10 score deciles (score =
+    order total descending, target = finished status) — the campaign-
+    targeting table: 'the top 20% of scores capture X% of positives at
+    Y× random'. Same whole-tie-block cut semantics and distinct-value
+    + bucket + carry-in machinery as stat_lorenz_deciles, but ordered
+    DESCENDING and carrying the positive count alongside population;
+    the per-decile row at a cut is picked by min_by/arg_min on the
+    strictly-increasing cumulative count (deterministic). Gains and
+    lift are double edges over exact integer cross-products."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_val = (
+        o.groupBy(F.col("o_totalprice").alias("x"))
+        .agg(
+            F.count(F.lit(1)).alias("w"),
+            F.sum((F.col("o_orderstatus") == "F").cast("int"))
+            .cast("bigint")
+            .alias("pos"),
+        )
+        .withColumn(
+            # DESC cut: bucket on the NEGATED value so ascending bucket
+            # order walks scores from high to low
+            "bkt",
+            F.floor(-F.col("x") / F.lit(10000)).cast("long"),
+        )
+        .persist()
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("x").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_carry = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        per_val.groupBy("bkt")
+        .agg(F.sum("w").alias("tb"), F.sum("pos").alias("pb"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("tb").over(w_carry), F.lit(0)).alias("cb"),
+            F.coalesce(F.sum("pb").over(w_carry), F.lit(0)).alias("cpb"),
+            F.sum("tb")
+            .over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("tw"),
+            F.sum("pb")
+            .over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("tp"),
+        )
+    )
+    cum = (
+        per_val.select(
+            "bkt",
+            "x",
+            F.sum("w").over(w_in).alias("win"),
+            F.sum("pos").over(w_in).alias("pin"),
+        )
+        .join(F.broadcast(carry), "bkt")
+        .select(
+            (F.col("win") + F.col("cb")).cast("bigint").alias("cw"),
+            (F.col("pin") + F.col("cpb")).cast("bigint").alias("cp"),
+            F.col("tw").cast("bigint").alias("tw"),
+            F.col("tp").cast("bigint").alias("tp"),
+        )
+    )
+    ks = spark.range(1, 11).select(F.col("id").alias("decile"))
+    g = (
+        cum.join(
+            F.broadcast(ks), F.col("cw") * 10 >= F.col("decile") * F.col("tw")
+        )
+        .groupBy("decile")
+        .agg(
+            F.min("cw").alias("cum_n"),
+            F.min_by("cp", "cw").alias("cum_pos"),
+            F.min("tw").alias("total_n"),
+            F.min("tp").alias("total_pos"),
+        )
+    )
+    return g.select(
+        "decile",
+        "cum_n",
+        "cum_pos",
+        "total_n",
+        "total_pos",
+        (F.col("cum_pos").cast("double") / F.col("total_pos").cast("double")).alias(
+            "gain"
+        ),
+        (
+            (F.col("cum_pos") * F.col("total_n")).cast("double")
+            / (F.col("cum_n") * F.col("total_pos")).cast("double")
+        ).alias("lift"),
+    ).orderBy("decile")
+
+
+@register(
+    "ml_psi_drift",
+    tags=("ml", "eval", "dq"),
+    oracle="""
+        WITH lab AS (
+            SELECT LEAST(CAST(FLOOR(o_totalprice / 60000) AS BIGINT), 9)
+                       AS bin,
+                   CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+                             < '8' THEN 1 ELSE 0 END AS is_ref
+            FROM orders
+        ),
+        bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+        c AS (
+            SELECT b.bin,
+                   CAST(COALESCE(SUM(l.is_ref), 0) AS BIGINT) AS n_ref,
+                   CAST(COALESCE(SUM(1 - l.is_ref), 0) AS BIGINT) AS n_cur
+            FROM bins b LEFT JOIN lab l ON l.bin = b.bin
+            GROUP BY b.bin
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+                   CAST(SUM(n_cur) AS BIGINT) AS tc
+            FROM c
+        ),
+        terms AS (
+            SELECT c.bin, c.n_ref, c.n_cur, t.tr, t.tc,
+                   CAST((c.n_cur + 1) * (t.tr + 10)
+                        - (c.n_ref + 1) * (t.tc + 10) AS BIGINT) AS diffnum,
+                   CAST(FLOOR(1e6 * ln(
+                        CAST((c.n_cur + 1) * (t.tr + 10) AS DOUBLE)
+                      / CAST((c.n_ref + 1) * (t.tc + 10) AS DOUBLE)))
+                        AS BIGINT) AS lnq6
+            FROM c CROSS JOIN tot t
+        )
+        SELECT bin, n_ref, n_cur,
+               CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE) AS p_ref,
+               CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE) AS p_cur,
+               CAST(diffnum * lnq6 AS DOUBLE)
+                 / CAST((tr + 10) * (tc + 10) AS DOUBLE) / 1e6 AS psi_term,
+               CAST(CAST(SUM(CAST(diffnum * lnq6 AS DECIMAL(38,0)))
+                         OVER () AS VARCHAR) AS DOUBLE)
+                 / CAST((tr + 10) * (tc + 10) AS DOUBLE) / 1e6 AS psi_total
+        FROM terms
+        ORDER BY bin
+    """,
+)
+def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    cohort (deterministic md5 split of orders) over 10 fixed-width
+    value bins — THE model-monitoring drift metric (PSI > 0.2 =
+    retrain). Laplace-smoothed bin shares keep empty bins finite; the
+    log-ratio's input is ONE correctly-rounded division of exact
+    integer cross-products, its output floor-quantized at 1e-6 (the
+    NB-classify libm recipe: 1-ulp cross-engine ln drift cannot move
+    a 1e-6 floor except on a ~5e-9 boundary sliver), and PSI reduces
+    as exact integer products diffnum·lnq6 — order-free. One scan to
+    10 bin-count rows; everything downstream is bin-sized."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    lab = o.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / 60000).cast("bigint"), F.lit(9)
+        ).alias("bin"),
+        (
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) < "8"
+        )
+        .cast("int")
+        .alias("is_ref"),
+    )
+    bins = spark.range(0, 10).select(F.col("id").alias("bin"))
+    c = (
+        bins.join(lab, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(F.sum("is_ref"), F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce(F.sum(F.lit(1) - F.col("is_ref")), F.lit(0))
+            .cast("bigint")
+            .alias("n_cur"),
+        )
+    )
+    tot = c.agg(
+        F.sum("n_ref").cast("bigint").alias("tr"),
+        F.sum("n_cur").cast("bigint").alias("tc"),
+    )
+    t = c.crossJoin(F.broadcast(tot))
+    num = (F.col("n_cur") + 1) * (F.col("tr") + 10)
+    den = (F.col("n_ref") + 1) * (F.col("tc") + 10)
+    terms = t.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        "tr",
+        "tc",
+        (num - den).cast("bigint").alias("diffnum"),
+        F.floor(
+            F.lit(1e6) * F.log(num.cast("double") / den.cast("double"))
+        )
+        .cast("bigint")
+        .alias("lnq6"),
+    )
+    denom = ((F.col("tr") + 10) * (F.col("tc") + 10)).cast("double")
+    return terms.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        ((F.col("n_ref") + 1).cast("double") / (F.col("tr") + 10).cast("double")).alias(
+            "p_ref"
+        ),
+        ((F.col("n_cur") + 1).cast("double") / (F.col("tc") + 10).cast("double")).alias(
+            "p_cur"
+        ),
+        (
+            (F.col("diffnum") * F.col("lnq6")).cast("double") / denom / F.lit(1e6)
+        ).alias("psi_term"),
+        (
+            F.sum((F.col("diffnum") * F.col("lnq6")).cast("decimal(38,0)"))
+            .over(Window.partitionBy())
+            .cast("string")
+            .cast("double")
+            / denom
+            / F.lit(1e6)
+        ).alias("psi_total"),
+    ).orderBy("bin")
