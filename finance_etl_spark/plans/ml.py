@@ -3129,3 +3129,157 @@ def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("psi_total"),
     ).orderBy("bin")
+
+
+# Learning-curve fractions: percent of the 90% training pool used, and
+# the (precomputed) orderkey-bucket threshold that selects it. The
+# holdout is always buckets 90-99 — fixed, so every point on the curve
+# is evaluated on the SAME test set (the property that makes the curve
+# readable).
+_LC_FRACS = ((10, 9), (25, 22), (50, 45), (75, 67), (100, 90))
+
+
+@register(
+    "ml_learning_curve",
+    tags=("ml", "eval", "agg"),
+    oracle=f"""
+        WITH feat AS MATERIALIZED (
+            SELECT CAST(l_orderkey % 100 AS INT) AS bkt,
+                   CAST(l_quantity AS DECIMAL(20,2)) AS x,
+                   CAST(l_extendedprice AS DECIMAL(20,2)) AS y
+            FROM lineitem
+        ),
+        fracs(frac_pct, thr) AS (
+            VALUES {", ".join(f"({p}, {t})" for p, t in _LC_FRACS)}
+        ),
+        stats AS MATERIALIZED (
+            SELECT f2.frac_pct,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(f.x) AS sx, SUM(f.y) AS sy,
+                   SUM(f.x * f.x) AS sxx, SUM(f.x * f.y) AS sxy
+            FROM feat f JOIN fracs f2 ON f.bkt < f2.thr
+            WHERE f.bkt < 90
+            GROUP BY f2.frac_pct
+        ),
+        betas AS MATERIALIZED (
+            SELECT frac_pct, n,
+                   (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                      * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                      - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) AS b1,
+                   CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+                   CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd
+            FROM stats
+        ),
+        models AS MATERIALIZED (
+            SELECT frac_pct, n, b1,
+                   (syd - b1 * sxd) / CAST(n AS DOUBLE) AS b0
+            FROM betas
+        ),
+        scored AS (
+            SELECT m.frac_pct, m.n, m.b0, m.b1,
+                   CAST(CAST(f.y AS VARCHAR) AS DOUBLE)
+                     - (m.b0 + m.b1 * CAST(CAST(f.x AS VARCHAR) AS DOUBLE))
+                       AS resid
+            FROM feat f CROSS JOIN models m
+            WHERE f.bkt >= 90
+        )
+        SELECT frac_pct,
+               MIN(n) AS n_train,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               MIN(b0) AS beta0,
+               MIN(b1) AS beta1,
+               sqrt(CAST(CAST(SUM(CAST(FLOOR(resid * resid * 1e6)
+                        AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e6
+                    / CAST(COUNT(*) AS DOUBLE)) AS rmse_test
+        FROM scored
+        GROUP BY frac_pct
+        ORDER BY frac_pct
+    """,
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve for the closed-form 1-feature OLS (price ~
+    quantity): train on 10/25/50/75/100% of a hash-bucketed training
+    pool, ALWAYS evaluate on the same 10% holdout — the
+    diminishing-returns diagnostic that answers 'would more training
+    data help'. Shape: the fraction fan-out happens BEFORE the
+    map-side-combined stats aggregate (the bootstrap-replicate
+    precedent — shuffle stays O(|fracs|)), each model is 2 scalars from
+    exact decimal sufficient statistics VARCHAR-routed to double, and
+    the 5 models broadcast into ONE scoring scan of the fixed holdout
+    whose residual² reduces via the floor-scaled engine-agnostic sum.
+    Two scans total regardless of the number of curve points."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feat = li.select(
+        (F.col("l_orderkey") % 100).cast("int").alias("bkt"),
+        F.col("l_quantity").cast("decimal(20,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(20,2)").alias("y"),
+    )
+    fracs = spark.createDataFrame(
+        list(_LC_FRACS), "frac_pct int, thr int"
+    )
+    stats = (
+        feat.filter(F.col("bkt") < 90)
+        .join(F.broadcast(fracs), F.col("bkt") < F.col("thr"))
+        .groupBy("frac_pct")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("string").cast("double")
+    syd = F.col("sy").cast("string").cast("double")
+    sxxd = F.col("sxx").cast("string").cast("double")
+    sxyd = F.col("sxy").cast("string").cast("double")
+    b1 = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    models = stats.select(
+        "frac_pct",
+        "n",
+        b1.alias("b1"),
+        syd.alias("syd"),
+        sxd.alias("sxd"),
+    ).select(
+        "frac_pct",
+        "n",
+        "b1",
+        ((F.col("syd") - F.col("b1") * F.col("sxd")) / F.col("n").cast("double")).alias(
+            "b0"
+        ),
+    )
+    scored = (
+        feat.filter(F.col("bkt") >= 90)
+        .crossJoin(F.broadcast(models))
+        .select(
+            "frac_pct",
+            "n",
+            "b0",
+            "b1",
+            (
+                F.col("y").cast("string").cast("double")
+                - (
+                    F.col("b0")
+                    + F.col("b1") * F.col("x").cast("string").cast("double")
+                )
+            ).alias("resid"),
+        )
+    )
+    return (
+        scored.groupBy("frac_pct")
+        .agg(
+            F.min("n").alias("n_train"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.min("b0").alias("beta0"),
+            F.min("b1").alias("beta1"),
+            F.sqrt(
+                _fsum(F.col("resid") * F.col("resid"))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("rmse_test"),
+        )
+        .orderBy("frac_pct")
+    )
