@@ -2498,11 +2498,14 @@ def ml_gbdt_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
                CAST(a1 * b1 + (n - a1) * (n - b1) AS DOUBLE)
                  / CAST(n * n AS DOUBLE) AS pe,
-               (CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
-                - CAST(a1 * b1 + (n - a1) * (n - b1) AS DOUBLE)
-                  / CAST(n * n AS DOUBLE))
-               / (1.0 - CAST(a1 * b1 + (n - a1) * (n - b1) AS DOUBLE)
-                        / CAST(n * n AS DOUBLE)) AS kappa
+               CASE WHEN a1 * b1 + (n - a1) * (n - b1) = n * n THEN NULL
+                    ELSE (CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+                          - CAST(a1 * b1 + (n - a1) * (n - b1) AS DOUBLE)
+                            / CAST(n * n AS DOUBLE))
+                         / (1.0 - CAST(a1 * b1 + (n - a1) * (n - b1)
+                                       AS DOUBLE)
+                                  / CAST(n * n AS DOUBLE))
+               END AS kappa
         FROM c
         ORDER BY o_orderstatus
     """,
@@ -2517,6 +2520,10 @@ def ml_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     order on both engines. The integer products stay below 2^53
     through sf0.1 verification scale; at larger group cardinalities
     the pe numerator would route through DECIMAL like every money sum.
+    Degenerate groups (both raters constant AND agreeing, pe = 1) emit
+    NULL kappa on both engines via an exact INTEGER equality guard
+    (a1*b1 + (n-a1)*(n-b1) = n*n) — Spark's 0/0 NULL vs DuckDB's IEEE
+    NaN would otherwise diverge, the MCC-guard divergence class.
     Citation for parity scope: reference has no eval surface
     (SURVEY.md round-8 table)."""
     o = load_table(spark, sf_dir, "orders")
@@ -2554,7 +2561,14 @@ def ml_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b1",
         po.alias("po"),
         pe.alias("pe"),
-        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+        F.when(
+            F.col("a1") * F.col("b1")
+            + (F.col("n") - F.col("a1")) * (F.col("n") - F.col("b1"))
+            == F.col("n") * F.col("n"),
+            F.lit(None).cast("double"),
+        )
+        .otherwise((po - pe) / (F.lit(1.0) - pe))
+        .alias("kappa"),
     ).orderBy("o_orderstatus")
 
 
@@ -2763,8 +2777,10 @@ _NDCG_DISC = [(i, repr(1.0 / math.log2(i + 1))) for i in range(1, _NDCG_K + 1)]
         SELECT c.g AS o_orderpriority, c.n_items,
                CAST(d.dcg_q AS DOUBLE) / 1e12 AS dcg_at_10,
                CAST(i.idcg_q AS DOUBLE) / 1e12 AS idcg_at_10,
-               CAST(d.dcg_q AS DOUBLE) / CAST(i.idcg_q AS DOUBLE)
-                   AS ndcg_at_10
+               CASE WHEN i.idcg_q = 0 THEN NULL
+                    ELSE CAST(d.dcg_q AS DOUBLE)
+                         / CAST(i.idcg_q AS DOUBLE)
+               END AS ndcg_at_10
         FROM counts c JOIN dcg d ON d.g = c.g JOIN idcg i ON i.g = c.g
         ORDER BY o_orderpriority
     """,
@@ -2859,9 +2875,13 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("idcg_q").cast("double") / F.lit(1e12)).alias(
                 "idcg_at_10"
             ),
-            (
+            # idcg_q = 0 (all-zero ideal relevance in the top 10) would
+            # be Spark NULL vs DuckDB IEEE NaN — NULL-guard both engines
+            F.when(F.col("idcg_q") == 0, F.lit(None).cast("double"))
+            .otherwise(
                 F.col("dcg_q").cast("double") / F.col("idcg_q").cast("double")
-            ).alias("ndcg_at_10"),
+            )
+            .alias("ndcg_at_10"),
         )
         .orderBy("o_orderpriority")
     )
@@ -3060,8 +3080,11 @@ def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cross-products, its output floor-quantized at 1e-6 (the
     NB-classify libm recipe: 1-ulp cross-engine ln drift cannot move
     a 1e-6 floor except on a ~5e-9 boundary sliver), and PSI reduces
-    as exact integer products diffnum·lnq6 — order-free. One scan to
-    10 bin-count rows; everything downstream is bin-sized."""
+    as exact integer products diffnum·lnq6 — order-free. One scan:
+    orders aggregates to <=10 bin-count rows FIRST (map-side combine),
+    the 10-row bins spine left-joins onto that tiny aggregate, and the
+    persisted c feeds both the term and total branches — the corpus
+    relation never crosses a <=10-key join boundary."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
@@ -3076,15 +3099,18 @@ def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_ref"),
     )
     bins = spark.range(0, 10).select(F.col("id").alias("bin"))
+    agg = lab.groupBy("bin").agg(
+        F.sum("is_ref").cast("bigint").alias("nr"),
+        F.sum(F.lit(1) - F.col("is_ref")).cast("bigint").alias("nc"),
+    )
     c = (
-        bins.join(lab, "bin", "left")
-        .groupBy("bin")
-        .agg(
-            F.coalesce(F.sum("is_ref"), F.lit(0)).cast("bigint").alias("n_ref"),
-            F.coalesce(F.sum(F.lit(1) - F.col("is_ref")), F.lit(0))
-            .cast("bigint")
-            .alias("n_cur"),
+        bins.join(agg, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("nr"), F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce(F.col("nc"), F.lit(0)).cast("bigint").alias("n_cur"),
         )
+        .persist()  # 10 rows; consumed by both tot and the term branch
     )
     tot = c.agg(
         F.sum("n_ref").cast("bigint").alias("tr"),

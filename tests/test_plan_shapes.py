@@ -742,3 +742,22 @@ def test_quantile_binning_no_global_sort_window(spark, sf_dir):
         assert "bkt" in spec or "__pid" in spec, (
             f"unpartitioned window spec: [{spec}]"
         )
+
+
+def test_psi_drift_aggregates_before_bins_join(spark, sf_dir):
+    """ml_psi_drift must aggregate the corpus down to <=10 bin-count
+    rows BEFORE the bins-spine join — never shuffle every order row
+    across a 10-key join (the banned corpus-through-few-tasks shape).
+    Signature pinned: every BroadcastExchange in the plan carries a
+    bin-keyed HashAggregate (the tiny build side), the orders FileScan
+    sits under a partial HashAggregate, and the tot branch reuses the
+    persisted aggregate (InMemoryRelation) instead of rescanning."""
+    p = plan_str(plans.get("ml_psi_drift").build(spark, sf_dir), "extended")
+    phys = p.split("== Physical Plan ==")[-1]
+    # orders feeds a map-side partial aggregate keyed by bin
+    assert "partial_sum" in phys
+    # no sort-merge / shuffled-hash join anywhere: the only join input
+    # sides are the 10-row range and the <=10-row aggregate
+    assert "SortMergeJoin" not in phys and "ShuffledHashJoin" not in phys
+    # both consumers read the persisted 10-row aggregate, not the corpus
+    assert "InMemoryRelation" in phys
