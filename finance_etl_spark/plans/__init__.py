@@ -77,29 +77,39 @@ for _mod in (
 # exactly 50 slots. Round 9 should front: vec rows-only tail (5),
 # sql (7), stat (7), ts (6), stream (7), graph/sink/window leftovers.
 front_queries(
+    # ROUND-9 WINDOW (cumulative driver-sampled after r8: 320/423):
+    # (a) the 6 round-8 model-eval ops (kappa/ndcg/psi carry this
+    # round's advisor guards — driver-confirm them), (b) the 3 BPE/
+    # WordPiece oracle promotions, then the never-sampled tails from
+    # the rotation note: sql (7), stat (7), ts (6), stream (7), graph
+    # (7), the vec rows-only tail (5), plus window_interval_range_frame
+    # and headline q5 — exactly 50 slots. Round 10 should front: the
+    # sink family (7), remaining ml round-7 suite (18), cur/text/obs
+    # leftovers (mixture, epoch, e2e prep, perplexity batch, novelty,
+    # zipf, recall eval, rouge, skew/file-layout), scalar_deterministic
+    # _uuid, mm_video_scene_cut, udf_window_grouped_agg, subquery/set/
+    # q14/q16/window leftovers — that closes the full registry.
     [
-        "ingest_fixed_width", "agg_equidepth_histogram",
-        "agg_weighted_median", "sql_identifier_clause",
-        "agg_ab_test_ztest", "agg_bitmap_distinct", "agg_bitwise",
-        "agg_boolean_logic", "agg_count_min_sketch", "agg_grouping_id",
-        "agg_histogram_bucket", "agg_hll_mergeable_sketch",
-        "agg_kmv_intersection_sketch", "agg_mad_robust",
-        "agg_market_basket", "agg_mode_deterministic",
-        "agg_regr_slope_exact", "agg_skew_kurtosis_exact",
-        "agg_string_concat_ordered",
-        "fin_amortization_schedule", "fin_ar_aging",
-        "fin_currency_triangulation", "fin_expected_shortfall",
-        "fin_fee_tiering", "fin_fifo_cost_basis", "fin_fx_convert_asof",
-        "fin_herfindahl_concentration", "fin_interest_accrual",
-        "fin_irr_per_order", "fin_reconciliation_match",
-        "fin_settlement_t2", "fin_trial_balance", "fin_var_historical",
-        "fin_var_parametric", "fin_wash_sale_detect",
-        "dq_benford_digits", "dq_column_entropy", "dq_dp_binomial_counts",
-        "dq_dp_noisy_counts", "dq_referential_integrity",
-        "vec_binary_hamming_topk", "vec_dim_stats",
-        "vec_farthest_point_init", "vec_hard_negatives",
-        "vec_knn_classify", "vec_matryoshka_eval", "vec_mips_topk",
-        "vec_ood_centroid_outliers", "vec_quantize_int8",
-        "vec_retrieval_eval",
+        "ml_cohen_kappa", "ml_mcc_binary", "ml_pr_auc", "ml_ndcg_at_k",
+        "ml_lift_gains_table", "ml_psi_drift",
+        "text_bpe_train_merges", "text_bpe_encode", "text_wordpiece_encode",
+        "sql_group_by_all", "sql_scripting_control_flow", "sql_pipe_syntax",
+        "sql_filter_clause", "sql_parameterized_query",
+        "sql_udf_create_function", "sql_execute_immediate",
+        "stat_bootstrap_ci", "stat_randomization_test", "stat_spearman_corr",
+        "stat_cramers_v", "stat_runs_test", "stat_gini_coefficient",
+        "stat_lorenz_deciles",
+        "ts_anomaly_mad_robust", "ts_pattern_reversal", "ts_yule_walker_ar2",
+        "ts_dtw_band", "ts_haar_energy", "ts_pacf",
+        "stream_live_cdc_to_snapshot", "stream_live_scd2_enrich",
+        "stream_live_topk_per_window", "stream_live_observed_metrics",
+        "stream_live_dedup_admission", "stream_live_backfill_tail",
+        "stream_live_perplexity_admission",
+        "graph_pagerank_trade", "graph_triangle_count", "graph_bfs_distance",
+        "graph_community_labelprop", "graph_components_star",
+        "graph_jaccard_linkpred", "graph_kcore_peel",
+        "vec_semantic_dedup", "vec_ann_pq_topk", "vec_matmul_topk",
+        "vec_mmr_rerank", "vec_recall_curve",
+        "window_interval_range_frame", "q5_local_supplier_volume",
     ]
 )
