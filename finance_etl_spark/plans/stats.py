@@ -1221,3 +1221,218 @@ def stat_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("tot_rev").cast("double")
         ).alias("rev_share"),
     ).orderBy("priority", "decile")
+
+
+@register(
+    "stat_anova_oneway",
+    tags=("stats", "agg", "hypothesis"),
+    oracle="""
+        WITH lab AS (
+            SELECT o_orderpriority AS g,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS xc
+            FROM orders
+        ),
+        per AS (
+            SELECT g,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(xc) AS BIGINT) AS s,
+                   SUM(CAST(xc AS DECIMAL(19,0))
+                       * CAST(xc AS DECIMAL(19,0))) AS q
+            FROM lab GROUP BY g
+        ),
+        red AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(s) AS BIGINT) AS ss,
+                   CAST(CAST(SUM(q) AS VARCHAR) AS DOUBLE) AS q_d,
+                   list_reduce(
+                       list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n AS DOUBLE) ORDER BY g),
+                       (a, x) -> a + x) AS b
+            FROM per
+        )
+        SELECT k, nn AS n_total,
+               b - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                   / CAST(nn AS DOUBLE) AS ss_between,
+               q_d - b AS ss_within,
+               (b - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                    / CAST(nn AS DOUBLE))
+                 / CAST(k - 1 AS DOUBLE)
+                 / ((q_d - b) / CAST(nn - k AS DOUBLE)) AS f_stat,
+               (b - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                    / CAST(nn AS DOUBLE))
+                 / (b - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                        / CAST(nn AS DOUBLE) + (q_d - b)) AS eta_sq
+        FROM red
+    """,
+)
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across the five order priorities: does mean order
+    value differ by priority? The F statistic reduces entirely to
+    exact sufficient statistics — per-group count, BIGINT cents sum,
+    and DECIMAL(38,0) sum of squares, all map-side-combining — so the
+    corpus collapses to 5 rows in one scan and only the final edge is
+    double arithmetic. The between-groups sum Σ s_g²/n_g is the one
+    order-dependent double reduction; its terms overflow the o_fsum
+    floor-to-LONG path (s²/n ≈ 7e17 at sf0.1), so it folds the 5
+    group terms in a FIXED group order instead — Spark array_sort +
+    F.aggregate ≡ DuckDB list(... ORDER BY g) + list_reduce, each
+    term a deterministic double from exact-integer inputs and the
+    fold order pinned, so the reduction is engine-identical without
+    quantizing. ss stays < 2^53 at every verification SF, so its
+    double cast is exact. Scale: one shuffle of 5 keys; the fold is
+    O(groups) driver-free. Reference scope: SURVEY §2.B stats rows
+    (capability expansion; reference has no test surface).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    lab = o.select(
+        F.col("o_orderpriority").alias("g"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * F.lit(100))
+        .cast("bigint")
+        .alias("xc"),
+    )
+    xd = F.col("xc").cast("decimal(19,0)")
+    per = lab.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xc").cast("bigint").alias("s"),
+        F.sum(xd * xd).alias("q"),
+    )
+    term = (
+        F.col("s").cast("double")
+        * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    )
+    red = per.select("g", "n", "s", "q", term.alias("t")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("bigint").alias("ss"),
+        F.sum("q").cast("double").alias("q_d"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("g"), F.col("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("b"),
+    )
+    ssb = (
+        F.col("b")
+        - F.col("ss").cast("double")
+        * F.col("ss").cast("double")
+        / F.col("nn").cast("double")
+    )
+    ssw = F.col("q_d") - F.col("b")
+    return red.select(
+        "k",
+        F.col("nn").alias("n_total"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        (
+            ssb
+            / (F.col("k") - 1).cast("double")
+            / (ssw / (F.col("nn") - F.col("k")).cast("double"))
+        ).alias("f_stat"),
+        (ssb / (ssb + ssw)).alias("eta_sq"),
+    )
+
+
+@register(
+    "stat_jackknife_ratio_se",
+    tags=("stats", "agg", "resampling"),
+    oracle="""
+        WITH lab AS (
+            SELECT l_returnflag AS g,
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS y,
+                   CAST(l_quantity AS BIGINT) AS x
+            FROM lineitem
+        ),
+        tot AS (
+            SELECT g,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x) AS BIGINT) AS sx
+            FROM lab GROUP BY g
+        ),
+        dev AS (
+            SELECT l.g, t.n, t.sy, t.sx,
+                   CAST(t.sy - l.y AS DOUBLE) / CAST(t.sx - l.x AS DOUBLE)
+                   - CAST(t.sy AS DOUBLE) / CAST(t.sx AS DOUBLE) AS d
+            FROM lab l JOIN tot t ON t.g = l.g
+        ),
+        red AS (
+            SELECT g, CAST(MIN(n) AS BIGINT) AS n,
+                   CAST(MIN(sy) AS DOUBLE) / CAST(MIN(sx) AS DOUBLE)
+                       AS ratio,
+                   CAST(CAST(SUM(CAST(FLOOR(d * 1e6) AS DECIMAL(38,0)))
+                        AS VARCHAR) AS DOUBLE) / 1e6 AS sd,
+                   CAST(CAST(SUM(CAST(FLOOR(d * d * 1e6)
+                        AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e6
+                       AS sdd
+            FROM dev GROUP BY g
+        )
+        SELECT g AS l_returnflag, n, ratio,
+               sqrt((CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (sdd - sd * sd / CAST(n AS DOUBLE))) AS jack_se
+        FROM red
+        ORDER BY l_returnflag
+    """,
+)
+def stat_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one jackknife standard error of the ratio estimator
+    R = Σprice/Σquantity per return flag — the survey-sampling answer
+    to 'what is the uncertainty of this ratio?', where the classic
+    variance formula doesn't apply because R is nonlinear. Leave-one-
+    out ratios come BY SUBTRACTION from the broadcast group totals
+    (no resampling, no self-join): R_(i) = (Sy−y_i)/(Sx−x_i), one
+    deterministic double per row. The spread Σ(R_(i)−R̄)² uses the
+    R-CENTERED one-pass decomposition fsum(d²) − fsum(d)²/n with
+    d = R_(i)−R, which is cancellation-free (d ≈ 0-centered) where
+    the raw ΣR² − nR̄² identity would lose all 16 digits; both fsums
+    ride the floor-scale DECIMAL(38,0) recipe, so the reduction is
+    order-free and engine-exact. Scale: one corpus scan, a 3-row
+    broadcast, map-side-combining aggregates; nothing widens."""
+    from finance_etl_spark.plans.ml import _fsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lab = li.select(
+        F.col("l_returnflag").alias("g"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * F.lit(100))
+        .cast("bigint")
+        .alias("y"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+    )
+    tot = lab.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("x").cast("bigint").alias("sx"),
+    )
+    d = (
+        (F.col("sy") - F.col("y")).cast("double")
+        / (F.col("sx") - F.col("x")).cast("double")
+        - F.col("sy").cast("double") / F.col("sx").cast("double")
+    )
+    red = (
+        lab.join(F.broadcast(tot), "g")
+        .select("g", "n", "sy", "sx", d.alias("d"))
+        .groupBy("g")
+        .agg(
+            F.min("n").cast("bigint").alias("n"),
+            (
+                F.min("sy").cast("double") / F.min("sx").cast("double")
+            ).alias("ratio"),
+            _fsum(F.col("d")).alias("sd"),
+            _fsum(F.col("d") * F.col("d")).alias("sdd"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    return red.select(
+        F.col("g").alias("l_returnflag"),
+        "n",
+        "ratio",
+        F.sqrt(
+            ((F.col("n") - 1).cast("double") / nd)
+            * (F.col("sdd") - F.col("sd") * F.col("sd") / nd)
+        ).alias("jack_se"),
+    ).orderBy("l_returnflag")

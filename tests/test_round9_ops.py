@@ -1,0 +1,79 @@
+"""Round-9: pure-Python/numpy references for the new operators. Each
+test re-derives the statistic from the raw sf0.001 parquet with an
+INDEPENDENT formulation (numpy float64, no floor-scaling, no shared SQL
+fragments) so a formula bug shared between the Spark build and the
+DuckDB oracle cannot hide (the _GINI lesson)."""
+
+import math
+
+import duckdb
+import numpy as np
+import pytest
+
+from finance_etl_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+
+def _fetch(sql: str):
+    con = duckdb.connect()
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+@pytest.fixture(scope="module")
+def orders_cents():
+    rows = _fetch(
+        "SELECT o_orderpriority,"
+        " CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    )
+    groups = {}
+    for g, xc in rows:
+        groups.setdefault(g, []).append(xc)
+    return {g: np.array(v, dtype=np.float64) for g, v in groups.items()}
+
+
+def test_anova_oneway_matches_numpy(spark, orders_cents):
+    row = plans.get("stat_anova_oneway").build(spark, SF).collect()[0]
+    xs = list(orders_cents.values())
+    grand = np.concatenate(xs)
+    gm = grand.mean()
+    ssb = sum(len(x) * (x.mean() - gm) ** 2 for x in xs)
+    ssw = sum(((x - x.mean()) ** 2).sum() for x in xs)
+    k, n = len(xs), len(grand)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["k"] == k and row["n_total"] == n
+    assert row["ss_between"] == pytest.approx(ssb, rel=1e-9)
+    assert row["ss_within"] == pytest.approx(ssw, rel=1e-9)
+    assert row["f_stat"] == pytest.approx(f, rel=1e-9)
+    assert row["eta_sq"] == pytest.approx(ssb / (ssb + ssw), rel=1e-9)
+
+
+def test_jackknife_ratio_se_matches_numpy(spark):
+    got = {
+        r["l_returnflag"]: r
+        for r in plans.get("stat_jackknife_ratio_se").build(spark, SF).collect()
+    }
+    rows = _fetch(
+        "SELECT l_returnflag,"
+        " CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT),"
+        " CAST(l_quantity AS BIGINT)"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    groups = {}
+    for g, y, x in rows:
+        groups.setdefault(g, []).append((y, x))
+    for g, pairs in groups.items():
+        y = np.array([p[0] for p in pairs], dtype=np.float64)
+        x = np.array([p[1] for p in pairs], dtype=np.float64)
+        n, sy, sx = len(y), y.sum(), x.sum()
+        loo = (sy - y) / (sx - x)
+        se = math.sqrt((n - 1) / n * ((loo - loo.mean()) ** 2).sum())
+        assert got[g]["n"] == n
+        assert got[g]["ratio"] == pytest.approx(sy / sx, rel=1e-12)
+        # the engine's 1e-6 floor-quantized fsum vs numpy's exact sum:
+        # agreement to 1e-5 relative is the contract, not bit equality
+        assert got[g]["jack_se"] == pytest.approx(se, rel=1e-5)
