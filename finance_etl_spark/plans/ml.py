@@ -3309,3 +3309,123 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("frac_pct")
     )
+
+
+@register(
+    "ml_isotonic_calibration",
+    tags=("ml", "eval", "agg"),
+    oracle="""
+        WITH scored AS (
+            SELECT LEAST(9, CAST(FLOOR((CAST(CAST(l_quantity AS VARCHAR)
+                       AS DOUBLE) / 50.0) * 10.0) AS INT)) AS bin,
+                   CAST(l_returnflag = 'R' AS INT) AS y
+            FROM lineitem
+        ),
+        bins AS (
+            SELECT bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS pos
+            FROM scored GROUP BY bin
+        ),
+        cum AS (
+            SELECT bin, n, pos,
+                   CAST(SUM(n) OVER (ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+                   CAST(SUM(pos) OVER (ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+            FROM bins
+        ),
+        inner_min AS (
+            SELECT b.bin, i.bin AS i,
+                   MIN(CAST(j.cp - (i.cp - i.pos) AS DOUBLE)
+                       / CAST(j.cn - (i.cn - i.n) AS DOUBLE)) AS m
+            FROM cum b
+            JOIN cum i ON i.bin <= b.bin
+            JOIN cum j ON j.bin >= b.bin
+            GROUP BY b.bin, i.bin
+        )
+        SELECT c.bin, c.n,
+               CAST(c.pos AS DOUBLE) / CAST(c.n AS DOUBLE) AS raw_rate,
+               mx.iso AS iso_rate
+        FROM cum c
+        JOIN (SELECT bin, MAX(m) AS iso FROM inner_min GROUP BY bin) mx
+          ON mx.bin = c.bin
+        ORDER BY c.bin
+    """,
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) calibration of the reliability table: the
+    monotone-nondecreasing fit of per-bin positive rates, computed by
+    the exact pool-adjacent-violators minimax identity
+    iso_b = max_{i<=b} min_{j>=b} mean(pos over bins i..j) — the
+    closed form that needs no sequential pooling loop, so it maps to
+    joins + aggregates instead of a driver-side scan. The corpus
+    collapses to <=10 (bin, n, pos) rows in ONE map-side-combining
+    scan; everything after — cumulative counts, the O(bins^3) triple
+    join (<=220 rows), min-then-max — is bin-sized. Every candidate
+    mean is one double division of exact BIGINT cumulative-count
+    differences (denominator >= n_b > 0 since every span covers the
+    output bin), and min/max over deterministic doubles is
+    order-free, so the fit hash-matches cross-engine with no
+    quantization at all. Scale: only the first aggregation touches
+    the corpus; bins, not rows, bound the polynomial stage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    scored = li.select(
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("l_quantity").cast("double") / F.lit(50.0))
+                * F.lit(10.0)
+            ).cast("int"),
+        ).alias("bin"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(w).cast("bigint").alias("cn"),
+        F.sum("pos").over(w).cast("bigint").alias("cp"),
+    ).persist()  # <=10 rows; consumed by three join arms
+    b = cum.select(F.col("bin").alias("b_bin"), "n", "pos", "cn", "cp")
+    i = cum.select(
+        F.col("bin").alias("i_bin"),
+        (F.col("cp") - F.col("pos")).alias("p_lo"),
+        (F.col("cn") - F.col("n")).alias("n_lo"),
+    )
+    j = cum.select(
+        F.col("bin").alias("j_bin"),
+        F.col("cp").alias("p_hi"),
+        F.col("cn").alias("n_hi"),
+    )
+    inner = (
+        b.join(F.broadcast(i), F.col("i_bin") <= F.col("b_bin"))
+        .join(F.broadcast(j), F.col("j_bin") >= F.col("b_bin"))
+        .groupBy("b_bin", "i_bin")
+        .agg(
+            F.min(
+                (F.col("p_hi") - F.col("p_lo")).cast("double")
+                / (F.col("n_hi") - F.col("n_lo")).cast("double")
+            ).alias("m")
+        )
+    )
+    iso = inner.groupBy("b_bin").agg(F.max("m").alias("iso"))
+    return (
+        cum.join(iso, cum["bin"] == iso["b_bin"])
+        .select(
+            "bin",
+            "n",
+            (F.col("pos").cast("double") / F.col("n").cast("double")).alias(
+                "raw_rate"
+            ),
+            F.col("iso").alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )

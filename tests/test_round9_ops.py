@@ -77,3 +77,43 @@ def test_jackknife_ratio_se_matches_numpy(spark):
         # the engine's 1e-6 floor-quantized fsum vs numpy's exact sum:
         # agreement to 1e-5 relative is the contract, not bit equality
         assert got[g]["jack_se"] == pytest.approx(se, rel=1e-5)
+
+
+def test_isotonic_calibration_matches_sequential_pava(spark):
+    got = plans.get("ml_isotonic_calibration").build(spark, SF).collect()
+    rows = _fetch(
+        "SELECT LEAST(9, CAST(FLOOR(l_quantity / 50.0 * 10.0) AS INT)),"
+        " COUNT(*), SUM(CAST(l_returnflag = 'R' AS INT))"
+        f" FROM read_parquet('{SF}/lineitem.parquet') GROUP BY 1 ORDER BY 1"
+    )
+    # independent formulation: the classic sequential pool-adjacent-
+    # violators loop (not the minimax identity the engine uses)
+    blocks = []  # [pos, n]
+    for _, n, pos in rows:
+        blocks.append([float(pos), float(n)])
+        while len(blocks) > 1 and (
+            blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+        ):
+            p, n2 = blocks.pop()
+            blocks[-1][0] += p
+            blocks[-1][1] += n2
+    # expand blocks back onto bins: each block covers the next
+    # `n_block` rows of bins walked in order
+    bin_fit = {}
+    means = [p / n2 for p, n2 in blocks]
+    counts = [n2 for _, n2 in blocks]
+    k, acc = 0, 0.0
+    for b, n, _pos in rows:
+        bin_fit[b] = means[k]
+        acc += n
+        if acc >= sum(counts[: k + 1]):
+            k = min(k + 1, len(means) - 1)
+    for r in got:
+        assert r["iso_rate"] == pytest.approx(bin_fit[r["bin"]], rel=1e-12), (
+            r["bin"],
+            r["iso_rate"],
+            bin_fit[r["bin"]],
+        )
+    # monotone non-decreasing in bin order
+    iso = [r["iso_rate"] for r in sorted(got, key=lambda r: r["bin"])]
+    assert all(a <= b + 1e-15 for a, b in zip(iso, iso[1:]))
