@@ -3429,3 +3429,139 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "ml_kaplan_meier",
+    tags=("ml", "eval", "survival"),
+    oracle="""
+        WITH span AS (
+            SELECT o_custkey,
+                   MIN(o_orderdate) AS f, MAX(o_orderdate) AS l
+            FROM orders GROUP BY o_custkey
+        ),
+        g AS (SELECT MAX(o_orderdate) AS gm FROM orders),
+        cust AS (
+            SELECT c.c_mktsegment AS seg,
+                   LEAST(7, CAST(FLOOR(CAST(date_diff('day', s.f, s.l) AS BIGINT) / 365.0)
+                        AS BIGINT)) AS bkt,
+                   CAST(CAST(date_diff('day', s.l, gm) AS BIGINT) > 180 AS INT) AS ev
+            FROM span s
+            JOIN customer c ON c.c_custkey = s.o_custkey
+            CROSS JOIN g
+        ),
+        counts AS (
+            SELECT seg, bkt,
+                   CAST(COUNT(*) AS BIGINT) AS n_b,
+                   CAST(SUM(ev) AS BIGINT) AS d
+            FROM cust GROUP BY seg, bkt
+        ),
+        risk AS (
+            SELECT seg, bkt, d,
+                   CAST(SUM(n_b) OVER (PARTITION BY seg ORDER BY bkt DESC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+            FROM counts
+        ),
+        surv AS (
+            SELECT a.seg, a.bkt,
+                   list_reduce(
+                       list(CAST(b.n_risk - b.d AS DOUBLE)
+                            / CAST(b.n_risk AS DOUBLE) ORDER BY b.bkt),
+                       (acc, x) -> acc * x) AS s
+            FROM risk a JOIN risk b ON b.seg = a.seg AND b.bkt <= a.bkt
+            GROUP BY a.seg, a.bkt
+        )
+        SELECT r.seg AS c_mktsegment, r.bkt AS tenure_years,
+               r.n_risk AS n_at_risk, r.d AS d_events, s.s AS survival
+        FROM risk r JOIN surv s ON s.seg = r.seg AND s.bkt = r.bkt
+        ORDER BY c_mktsegment, tenure_years
+    """,
+)
+def ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer tenure per market
+    segment — the right-censoring-aware churn curve (a customer whose
+    last order falls inside the final 180 days is censored, not dead).
+    Tenure buckets to whole years, so the corpus collapses to
+    <=8 rows per segment in one grouped scan (plus a broadcast 1-row
+    global max date); the at-risk count is a DESCENDING cumulative sum
+    over those bucket rows, and the survival product
+    S_j = prod_{i<=j} (n_i - d_i)/n_i folds each segment's <=8 exact
+    integer ratios in PINNED bucket order (Spark array_sort +
+    F.aggregate == DuckDB list(... ORDER BY) + list_reduce; init 1.0
+    times r1 == r1 exactly, so the fold prefixes agree) — identical
+    IEEE multiply order, no quantization. Windows partition by
+    segment over bucket-level rows, never the corpus. Scale: the only
+    corpus-sized work is the per-customer span aggregate and one
+    custkey-partitioned join; everything after is O(segments x 8)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    span = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
+    )
+    gmax = o.agg(F.max("o_orderdate").alias("gm"))
+    cust = (
+        span.join(c.select("c_custkey", "c_mktsegment"),
+                  span["o_custkey"] == F.col("c_custkey"))
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.least(
+                F.lit(7),
+                F.floor(
+                    F.datediff(F.col("l"), F.col("f")).cast("bigint")
+                    / F.lit(365.0)
+                ).cast("bigint"),
+            ).alias("bkt"),
+            (F.datediff(F.col("gm"), F.col("l")).cast("bigint") > 180)
+            .cast("int")
+            .alias("ev"),
+        )
+    )
+    counts = cust.groupBy("seg", "bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("ev").cast("bigint").alias("d"),
+    )
+    w = (
+        Window.partitionBy("seg")
+        .orderBy(F.col("bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = counts.select(
+        "seg", "bkt", "d", F.sum("n_b").over(w).cast("bigint").alias("n_risk")
+    ).persist()  # O(segments x 8) rows; joined to itself below
+    a = risk.select(F.col("seg").alias("a_seg"), F.col("bkt").alias("a_bkt"))
+    ratio = (F.col("n_risk") - F.col("d")).cast("double") / F.col(
+        "n_risk"
+    ).cast("double")
+    surv = (
+        a.join(
+            F.broadcast(risk),
+            (F.col("seg") == F.col("a_seg")) & (F.col("bkt") <= F.col("a_bkt")),
+        )
+        .groupBy("a_seg", "a_bkt")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("bkt"), ratio.alias("r")))
+                ),
+                F.lit(1.0),
+                lambda acc, x: acc * x["r"],
+            ).alias("s")
+        )
+    )
+    return (
+        risk.join(
+            surv,
+            (risk["seg"] == surv["a_seg"]) & (risk["bkt"] == surv["a_bkt"]),
+        )
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            F.col("bkt").alias("tenure_years"),
+            F.col("n_risk").alias("n_at_risk"),
+            F.col("d").alias("d_events"),
+            F.col("s").alias("survival"),
+        )
+        .orderBy("c_mktsegment", "tenure_years")
+    )

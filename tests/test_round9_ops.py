@@ -117,3 +117,42 @@ def test_isotonic_calibration_matches_sequential_pava(spark):
     # monotone non-decreasing in bin order
     iso = [r["iso_rate"] for r in sorted(got, key=lambda r: r["bin"])]
     assert all(a <= b + 1e-15 for a, b in zip(iso, iso[1:]))
+
+
+def test_kaplan_meier_matches_pure_python(spark):
+    got = plans.get("ml_kaplan_meier").build(spark, SF).collect()
+    rows = _fetch(
+        "WITH span AS (SELECT o_custkey, MIN(o_orderdate) f,"
+        " MAX(o_orderdate) l FROM"
+        f" read_parquet('{SF}/orders.parquet') GROUP BY 1),"
+        " g AS (SELECT MAX(o_orderdate) gm FROM"
+        f" read_parquet('{SF}/orders.parquet'))"
+        " SELECT c.c_mktsegment, date_diff('day', s.f, s.l),"
+        " date_diff('day', s.l, gm) FROM span s JOIN"
+        f" read_parquet('{SF}/customer.parquet') c"
+        " ON c.c_custkey = s.o_custkey CROSS JOIN g"
+    )
+    # independent formulation: per-segment dict walk, survival as the
+    # running product computed sequentially (not a join + list fold)
+    segs = {}
+    for seg, tenure, gap in rows:
+        bkt = min(7, tenure // 365)
+        segs.setdefault(seg, []).append((bkt, 1 if gap > 180 else 0))
+    expect = {}
+    for seg, items in segs.items():
+        buckets = sorted({b for b, _ in items})
+        s = 1.0
+        for b in buckets:
+            n_risk = sum(1 for t, _ in items if t >= b)
+            d = sum(e for t, e in items if t == b)
+            s *= (n_risk - d) / n_risk
+            expect[(seg, b)] = (n_risk, d, s)
+    assert len(got) == len(expect)
+    for r in got:
+        n_risk, d, s = expect[(r["c_mktsegment"], r["tenure_years"])]
+        assert r["n_at_risk"] == n_risk and r["d_events"] == d
+        assert r["survival"] == pytest.approx(s, rel=1e-12)
+    # survival is non-increasing within each segment
+    for seg in segs:
+        curve = [r["survival"] for r in got if r["c_mktsegment"] == seg]
+        assert all(a >= b - 1e-15 for a, b in zip(curve, curve[1:]))
