@@ -3565,3 +3565,78 @@ def ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "tenure_years")
     )
+
+
+@register(
+    "ml_feature_hashing",
+    tags=("ml", "features", "text"),
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        tf AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks WHERE tok <> '' GROUP BY tok
+        ),
+        hashed AS (
+            SELECT CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 32
+                       AS dim,
+                   CASE WHEN substr(md5(tok), 16, 1) < '8'
+                        THEN 1 ELSE -1 END AS sgn,
+                   n
+            FROM tf
+        )
+        SELECT dim,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(sgn * n) AS BIGINT) AS signed_weight,
+               CAST(SUM(n) AS BIGINT) AS total_occurrences
+        FROM hashed
+        GROUP BY dim
+        ORDER BY dim
+    """,
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: project an unbounded token vocabulary into a
+    fixed 32-dim feature space with a hash bucket and a second
+    independent hash bit as the sign (the Weinberger et al. recipe
+    that makes collisions cancel in expectation) — the standard way to
+    featurize text at 100 TB without a driver-side vocabulary build.
+    Hash = md5 (the engine-portable choice: Spark xxhash64 has no
+    DuckDB twin): dim from the first 15 hex chars (60 bits, fits
+    BIGINT on both engines), sign from the 16th. One explode-and-count
+    shuffle on the token builds term frequencies map-side; the 32-row
+    projection is all exact BIGINT arithmetic — no floats anywhere.
+    Scale: vocabulary-sized intermediate, fixed-size output;
+    collisions per dim surface as n_tokens for feature-quality
+    monitoring."""
+    from finance_etl_spark.io.readers import load_table_parallel
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    hashed = tf.select(
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast(
+                "bigint"
+            )
+            % 32
+        ).alias("dim"),
+        F.when(F.substring(F.md5(F.col("tok")), 16, 1) < "8", 1)
+        .otherwise(-1)
+        .alias("sgn"),
+        "n",
+    )
+    return (
+        hashed.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("sgn") * F.col("n")).cast("bigint").alias(
+                "signed_weight"
+            ),
+            F.sum("n").cast("bigint").alias("total_occurrences"),
+        )
+        .orderBy("dim")
+    )

@@ -156,3 +156,26 @@ def test_kaplan_meier_matches_pure_python(spark):
     for seg in segs:
         curve = [r["survival"] for r in got if r["c_mktsegment"] == seg]
         assert all(a >= b - 1e-15 for a, b in zip(curve, curve[1:]))
+
+
+def test_feature_hashing_matches_hashlib(spark):
+    import hashlib
+    from collections import Counter, defaultdict
+
+    got = {r["dim"]: r for r in plans.get("ml_feature_hashing").build(spark, SF).collect()}
+    rows = _fetch(f"SELECT text FROM read_parquet('{SF}/documents.parquet')")
+    tf = Counter(t for (text,) in rows for t in text.split(" ") if t)
+    dims = defaultdict(lambda: [0, 0, 0])  # n_tokens, signed, total
+    for tok, n in tf.items():
+        h = hashlib.md5(tok.encode()).hexdigest()
+        dim = int(h[:15], 16) % 32
+        sgn = 1 if h[15] < "8" else -1
+        dims[dim][0] += 1
+        dims[dim][1] += sgn * n
+        dims[dim][2] += n
+    assert set(got) == set(dims)
+    for dim, (nt, sw, tot) in dims.items():
+        r = got[dim]
+        assert (r["n_tokens"], r["signed_weight"], r["total_occurrences"]) == (
+            nt, sw, tot,
+        )
