@@ -3444,3 +3444,376 @@ def dq_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "agg_cms_portable",
+    tags=("agg", "sketch", "approx"),
+    oracle="""
+        WITH kc AS (
+            SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_custkey
+        ),
+        rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+        sketch AS (
+            SELECT r,
+                   CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+                        || CAST(k AS VARCHAR)), 1, 15) AS BIGINT) % 512
+                       AS bucket,
+                   CAST(SUM(n) AS BIGINT) AS cnt
+            FROM kc CROSS JOIN rs
+            GROUP BY 1, 2
+        ),
+        top5 AS (
+            SELECT k, n FROM kc ORDER BY n DESC, k LIMIT 5
+        ),
+        probes AS (
+            SELECT t.k, t.n, r.r,
+                   CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                        || CAST(t.k AS VARCHAR)), 1, 15) AS BIGINT) % 512
+                       AS bucket
+            FROM top5 t CROSS JOIN rs r
+        )
+        SELECT p.k AS o_custkey, CAST(MIN(p.n) AS BIGINT) AS exact_n,
+               CAST(MIN(s.cnt) AS BIGINT) AS cms_estimate
+        FROM probes p JOIN sketch s
+          ON s.r = p.r AND s.bucket = p.bucket
+        GROUP BY p.k
+        ORDER BY exact_n DESC, o_custkey
+    """,
+)
+def agg_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable count-min sketch (d=4 rows x w=512 buckets) with
+    engine-reproducible md5 hashing — unlike agg_count_min_sketch's
+    Spark-native JVM sketch (whose xxhash-based layout no other engine
+    can replay), this one is pure relational algebra and hash-oracles
+    cross-engine. Build order is the scale-critical part: the corpus
+    aggregates to per-key counts FIRST (one map-side-combining
+    shuffle on the key), and only the |keys|-sized relation fans out
+    x4 into the 2048-bucket sketch — the corpus itself never
+    multiplies. Estimates for the 5 hottest keys (deterministic
+    count-desc/key tiebreak) probe the sketch with the same md5
+    buckets; all arithmetic is exact BIGINT, and the CMS guarantee
+    estimate >= truth is pinned in tests. Mergeability is structural:
+    bucket counts are sums, so partial sketches combine
+    associatively like any aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    kc = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).persist()  # |keys| rows: consumed by the sketch build AND top-5
+    rs = spark.range(0, 4).select(F.col("id").cast("int").alias("r"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 512
+    )
+    sketch = (
+        kc.crossJoin(F.broadcast(rs))
+        .select("r", bucket.alias("bucket"), "n")
+        .groupBy("r", "bucket")
+        .agg(F.sum("n").cast("bigint").alias("cnt"))
+    )
+    top5 = kc.orderBy(F.col("n").desc(), "k").limit(5)
+    probes = top5.crossJoin(F.broadcast(rs)).select(
+        "k", "n", "r", bucket.alias("bucket")
+    )
+    return (
+        probes.join(sketch, ["r", "bucket"])
+        .groupBy("k")
+        .agg(
+            F.min("n").cast("bigint").alias("exact_n"),
+            F.min("cnt").cast("bigint").alias("cms_estimate"),
+        )
+        .select(F.col("k").alias("o_custkey"), "exact_n", "cms_estimate")
+        .orderBy(F.col("exact_n").desc(), "o_custkey")
+    )
+
+
+@register(
+    "agg_kmv_portable",
+    tags=("agg", "sketch", "approx", "distinct"),
+    oracle="""
+        WITH hk AS (
+            SELECT DISTINCT o_orderstatus AS g,
+                   CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                        1, 15) AS BIGINT) AS h
+            FROM orders
+        ),
+        ranked AS (
+            SELECT g, h,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rk
+            FROM hk
+        ),
+        kept AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(MAX(h) AS BIGINT) AS h_k
+            FROM ranked WHERE rk <= 64 GROUP BY g
+        ),
+        exact AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_exact FROM hk GROUP BY g
+        )
+        SELECT e.g AS o_orderstatus, e.n_exact, k.n_kept,
+               CASE WHEN k.n_kept < 64 THEN CAST(k.n_kept AS DOUBLE)
+                    ELSE CAST(63 AS DOUBLE)
+                         * CAST(1152921504606846976 AS DOUBLE)
+                         / CAST(k.h_k AS DOUBLE)
+               END AS kmv_estimate
+        FROM exact e JOIN kept k ON k.g = e.g
+        ORDER BY o_orderstatus
+    """,
+)
+def agg_kmv_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable K-minimum-values distinct-count sketch (k=64) with
+    engine-reproducible md5 hashing — the mergeable DISTINCT
+    estimator whose state is just the k smallest 60-bit hash values
+    (union of sketches = merge + re-truncate, so partials combine
+    associatively). Estimate = (k-1)·2^60 / h_(k); groups holding
+    fewer than k distinct hashes are exact by construction. The
+    distinct + row_number window partitions by group (never a global
+    sort), and only hash values — never raw keys — cross the
+    shuffle. Every quantity is exact BIGINT until the single
+    presentation division (bigint→double casts are IEEE
+    correctly-rounded on both engines). Accuracy (±1/√k ≈ 12.5%)
+    is pinned in tests alongside the hash-oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    hk = (
+        o.select(
+            F.col("o_orderstatus").alias("g"),
+            F.conv(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .distinct()
+        .persist()  # consumed by both the rank and the exact count
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    kept = (
+        hk.select("g", "h", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 64)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.max("h").cast("bigint").alias("h_k"),
+        )
+    )
+    exact = hk.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    return (
+        exact.join(kept, "g")
+        .select(
+            F.col("g").alias("o_orderstatus"),
+            "n_exact",
+            "n_kept",
+            F.when(
+                F.col("n_kept") < 64, F.col("n_kept").cast("double")
+            )
+            .otherwise(
+                F.lit(63).cast("double")
+                * F.lit(1152921504606846976).cast("double")
+                / F.col("h_k").cast("double")
+            )
+            .alias("kmv_estimate"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# HLL rho from a 15-hex-char string: 4 bits per leading zero char plus
+# the first nonzero char's own leading zeros, 1-based. The all-zero
+# string (p = 16^-15) pins to the 61 ceiling.
+_HLL_CZ = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}
+
+
+@register(
+    "agg_hll_portable",
+    tags=("agg", "sketch", "approx", "distinct"),
+    oracle="""
+        WITH hk AS (
+            SELECT DISTINCT o_orderstatus AS g, o_custkey AS k
+            FROM orders
+        ),
+        hashed AS (
+            SELECT g,
+                   CAST('0x' || substr(md5('b:' || CAST(k AS VARCHAR)),
+                        1, 15) AS BIGINT) % 256 AS bucket,
+                   substr(md5('r:' || CAST(k AS VARCHAR)), 1, 15) AS hr
+            FROM hk
+        ),
+        rho AS (
+            SELECT g, bucket,
+                   CASE WHEN hr = '000000000000000' THEN 61
+                        ELSE 4 * length(regexp_extract(hr, '^(0*)', 1))
+                             + CASE substr(hr,
+                                   length(regexp_extract(hr, '^(0*)', 1))
+                                   + 1, 1)
+                               WHEN '1' THEN 3 WHEN '2' THEN 2
+                               WHEN '3' THEN 2 WHEN '4' THEN 1
+                               WHEN '5' THEN 1 WHEN '6' THEN 1
+                               WHEN '7' THEN 1 ELSE 0 END + 1
+                   END AS r
+            FROM hashed
+        ),
+        spine AS (
+            SELECT DISTINCT g, unnest(generate_series(0, 255)) AS bucket
+            FROM hk
+        ),
+        regs AS (
+            SELECT s.g, s.bucket,
+                   COALESCE(MAX(r.r), 0) AS m
+            FROM spine s LEFT JOIN rho r
+              ON r.g = s.g AND r.bucket = s.bucket
+            GROUP BY s.g, s.bucket
+        ),
+        red AS (
+            SELECT g,
+                   CAST(CAST(SUM(CAST(1::BIGINT << (60 - m)
+                        AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS s_d,
+                   CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v_empty
+            FROM regs GROUP BY g
+        ),
+        exact AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_exact FROM hk GROUP BY g
+        ),
+        est AS (
+            SELECT e.g, e.n_exact, r.v_empty,
+                   (CAST(0.7213 AS DOUBLE)
+                    / (CAST(1.0 AS DOUBLE)
+                       + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+                   * CAST(65536.0 AS DOUBLE)
+                   * CAST(1152921504606846976 AS DOUBLE) / r.s_d AS raw
+            FROM exact e JOIN red r ON r.g = e.g
+        )
+        SELECT g AS o_orderstatus, n_exact, v_empty, raw AS raw_estimate,
+               CASE WHEN raw <= CAST(640.0 AS DOUBLE) AND v_empty > 0
+                    THEN CAST(256.0 AS DOUBLE)
+                         * (FLOOR(CAST(1e6 AS DOUBLE) * ln(
+                               CAST(256.0 AS DOUBLE)
+                               / CAST(v_empty AS DOUBLE)))
+                            / CAST(1e6 AS DOUBLE))
+                    ELSE raw END AS hll_estimate
+        FROM est
+        ORDER BY o_orderstatus
+    """,
+)
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog (m=256 registers) with engine-reproducible
+    md5 hashing — the mergeable cardinality sketch as pure relational
+    algebra (registers combine by MAX, so partial sketches merge
+    associatively; contrast agg_hll_mergeable_sketch, whose
+    Spark-native binary state no other engine can replay). Two
+    independent md5 draws give the bucket (60-bit % 256) and the
+    rank rho (leading-zero count read off the HEX STRING — 4 bits per
+    leading '0' plus a 7-entry table for the first nonzero char — so
+    no engine-specific bit intrinsics are needed). The harmonic-mean
+    denominator sums exact powers of two, scaled to integers
+    (1<<(60-M) as DECIMAL(38,0)) — no floating accumulation; the
+    standard small-range linear-counting branch m·ln(m/V) is the only
+    libm edge and rides the 1e-6 ln-floor recipe. Scale: distinct
+    keys hash map-side into 256·|groups| registers; the corpus never
+    crosses a small-key join."""
+    o = load_table(spark, sf_dir, "orders")
+    hk = (
+        o.select(
+            F.col("o_orderstatus").alias("g"), F.col("o_custkey").alias("k")
+        )
+        .distinct()
+        .persist()  # consumed by the register build and the exact count
+    )
+    ks = F.col("k").cast("string")
+    hr = F.substring(F.md5(F.concat(F.lit("r:"), ks)), 1, 15)
+    nz = F.length(F.regexp_extract(F.col("hr"), "^(0*)", 1))
+    cz = F.substring(F.col("hr"), nz + 1, 1)
+    cz_map = F.when(cz == "1", 3)
+    for ch, v in list(_HLL_CZ.items())[1:]:
+        cz_map = cz_map.when(cz == ch, v)
+    cz_map = cz_map.otherwise(0)
+    rho = (
+        hk.select(
+            "g",
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("b:"), ks)), 1, 15),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 256
+            ).alias("bucket"),
+            hr.alias("hr"),
+        )
+        .select(
+            "g",
+            "bucket",
+            F.when(F.col("hr") == "0" * 15, F.lit(61))
+            .otherwise(4 * nz + cz_map + 1)
+            .alias("r"),
+        )
+    )
+    spine = (
+        hk.select("g")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(0, 256).select(F.col("id").alias("bucket"))
+            )
+        )
+    )
+    regs = (
+        spine.join(rho, ["g", "bucket"], "left")
+        .groupBy("g", "bucket")
+        .agg(F.coalesce(F.max("r"), F.lit(0)).alias("m"))
+    )
+    red = regs.groupBy("g").agg(
+        F.sum(
+            F.expr("shiftleft(1L, 60 - m)").cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("s_d"),
+        F.sum((F.col("m") == 0).cast("int")).cast("bigint").alias("v_empty"),
+    )
+    exact = hk.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    raw = (
+        alpha
+        * F.lit(65536.0)
+        * F.lit(1152921504606846976).cast("double")
+        / F.col("s_d")
+    )
+    est = exact.join(red, "g").select(
+        "g", "n_exact", "v_empty", raw.alias("raw")
+    )
+    lc = F.lit(256.0) * (
+        F.floor(
+            F.lit(1e6) * F.log(F.lit(256.0) / F.col("v_empty").cast("double"))
+        )
+        / F.lit(1e6)
+    )
+    return est.select(
+        F.col("g").alias("o_orderstatus"),
+        "n_exact",
+        "v_empty",
+        F.col("raw").alias("raw_estimate"),
+        F.when((F.col("raw") <= F.lit(640.0)) & (F.col("v_empty") > 0), lc)
+        .otherwise(F.col("raw"))
+        .alias("hll_estimate"),
+    ).orderBy("o_orderstatus")

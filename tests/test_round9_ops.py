@@ -179,3 +179,60 @@ def test_feature_hashing_matches_hashlib(spark):
         assert (r["n_tokens"], r["signed_weight"], r["total_occurrences"]) == (
             nt, sw, tot,
         )
+
+
+def test_cms_portable_guarantee_and_hashes(spark):
+    import hashlib
+    from collections import Counter
+
+    got = plans.get("agg_cms_portable").build(spark, SF).collect()
+    rows = _fetch(f"SELECT o_custkey FROM read_parquet('{SF}/orders.parquet')")
+    counts = Counter(k for (k,) in rows)
+    # rebuild the sketch independently with hashlib
+    sketch = Counter()
+    for k, n in counts.items():
+        for r in range(4):
+            b = int(hashlib.md5(f"{r}:{k}".encode()).hexdigest()[:15], 16) % 512
+            sketch[(r, b)] += n
+    assert len(got) == 5
+    for row in got:
+        k = row["o_custkey"]
+        assert row["exact_n"] == counts[k]
+        est = min(
+            sketch[(r, int(hashlib.md5(f"{r}:{k}".encode()).hexdigest()[:15], 16) % 512)]
+            for r in range(4)
+        )
+        assert row["cms_estimate"] == est
+        # the CMS guarantee: estimate never undercounts
+        assert row["cms_estimate"] >= row["exact_n"]
+
+
+def test_kmv_portable_exact_small_and_estimator(spark):
+    got = plans.get("agg_kmv_portable").build(spark, SF).collect()
+    for r in got:
+        if r["n_kept"] < 64:
+            # fewer than k hashes kept -> the sketch is exact
+            assert r["kmv_estimate"] == float(r["n_exact"])
+        else:
+            assert r["kmv_estimate"] == pytest.approx(
+                r["n_exact"], rel=0.5
+            )  # k=64 -> sigma ~ 12.5%; 4-sigma sanity bound
+
+
+def test_hll_portable_rho_and_accuracy(spark):
+    import hashlib
+
+    # rho derivation must equal the bit-level definition
+    for key in ("1", "42", "12345", "999983"):
+        h15 = hashlib.md5(f"r:{key}".encode()).hexdigest()[:15]
+        v = int(h15, 16)
+        bit_rho = 61 if v == 0 else 60 - v.bit_length() + 1
+        nz = len(h15) - len(h15.lstrip("0"))
+        c = h15[nz] if nz < 15 else None
+        table = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}
+        str_rho = 61 if c is None else 4 * nz + table.get(c, 0) + 1
+        assert str_rho == bit_rho, (key, h15, str_rho, bit_rho)
+    got = plans.get("agg_hll_portable").build(spark, SF).collect()
+    for r in got:
+        # m=256 -> sigma ~ 6.5%; allow 4 sigma
+        assert r["hll_estimate"] == pytest.approx(r["n_exact"], rel=0.3)
