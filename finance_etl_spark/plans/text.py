@@ -2384,3 +2384,93 @@ def text_rouge_l_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(2.0) * r * p / (r + p))
         .alias("rouge_f"),
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "text_readability_fk",
+    tags=("text", "quality", "agg"),
+    oracle="""
+        WITH per_doc AS (
+            SELECT lang,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> t <> '')) AS BIGINT) AS w,
+                   CAST(GREATEST(1, len(regexp_extract_all(text,
+                        '[.!?]+'))) AS BIGINT) AS s,
+                   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                        AS BIGINT) AS syl
+            FROM documents
+        ),
+        scored AS (
+            SELECT lang, w, s, syl,
+                   CAST(0.39 AS DOUBLE) * (CAST(w AS DOUBLE)
+                       / CAST(s AS DOUBLE))
+                   + CAST(11.8 AS DOUBLE) * (CAST(syl AS DOUBLE)
+                       / CAST(w AS DOUBLE))
+                   - CAST(15.59 AS DOUBLE) AS fk
+            FROM per_doc WHERE w > 0
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(w) AS BIGINT) AS total_words,
+               CAST(SUM(syl) AS BIGINT) AS total_syllables,
+               CAST(CAST(SUM(CAST(FLOOR(fk * 1e6) AS DECIMAL(38,0)))
+                    AS VARCHAR) AS DOUBLE) / 1e6
+                 / CAST(COUNT(*) AS DOUBLE) AS mean_fk_grade
+        FROM scored
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade-level readability per language — the
+    classic text-quality score every pretraining curation pipeline
+    keeps beside stopword/length heuristics (too-low and too-high
+    grades both flag junk). Syllables are the standard vowel-group
+    approximation (runs of [aeiouy]), sentences the [.!?]+ runs
+    floored at 1 — both as regexp_extract_all counts, a regex class
+    simple enough to behave identically under Java and RE2 engines.
+    The per-doc grade is a pinned-order double edge over exact BIGINT
+    counts; the per-language mean rides the floor-scale fsum so the
+    reduction is order-free. One scan, one small-key shuffle;
+    everything per-doc is a JVM-side row projection (no Python)."""
+    from finance_etl_spark.plans.ml import _fsum
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        )
+        .cast("bigint")
+        .alias("w"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+        )
+        .cast("bigint")
+        .alias("s"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+        )
+        .cast("bigint")
+        .alias("syl"),
+    ).filter(F.col("w") > 0)
+    fk = (
+        F.lit(0.39) * (F.col("w").cast("double") / F.col("s").cast("double"))
+        + F.lit(11.8)
+        * (F.col("syl").cast("double") / F.col("w").cast("double"))
+        - F.lit(15.59)
+    )
+    return (
+        per_doc.select("lang", "w", "syl", fk.alias("fk"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("total_words"),
+            F.sum("syl").cast("bigint").alias("total_syllables"),
+            (_fsum(F.col("fk")) / F.count(F.lit(1)).cast("double")).alias(
+                "mean_fk_grade"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -236,3 +236,27 @@ def test_hll_portable_rho_and_accuracy(spark):
     for r in got:
         # m=256 -> sigma ~ 6.5%; allow 4 sigma
         assert r["hll_estimate"] == pytest.approx(r["n_exact"], rel=0.3)
+
+
+def test_readability_fk_matches_pure_python(spark):
+    import re
+
+    got = {r["lang"]: r for r in plans.get("text_readability_fk").build(spark, SF).collect()}
+    rows = _fetch(f"SELECT lang, text FROM read_parquet('{SF}/documents.parquet')")
+    agg = {}
+    for lang, text in rows:
+        w = len([t for t in text.split(" ") if t])
+        if w == 0:
+            continue
+        s = max(1, len(re.findall(r"[.!?]+", text)))
+        syl = len(re.findall(r"[aeiouy]+", text.lower()))
+        fk = 0.39 * (w / s) + 11.8 * (syl / w) - 15.59
+        a = agg.setdefault(lang, [0, 0, 0, 0.0])
+        a[0] += 1
+        a[1] += w
+        a[2] += syl
+        a[3] += fk
+    for lang, (n, w, syl, fksum) in agg.items():
+        r = got[lang]
+        assert (r["n_docs"], r["total_words"], r["total_syllables"]) == (n, w, syl)
+        assert r["mean_fk_grade"] == pytest.approx(fksum / n, rel=1e-6)
