@@ -2882,3 +2882,136 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         pacf2.alias("pacf2"),
         pacf3.alias("pacf3"),
     ).orderBy("event_type")
+
+
+@register(
+    "ts_gapfill_interpolate",
+    tags=("ts", "window", "gapfill"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(FLOOR(value * 1e6) AS DECIMAL(38,0)))
+                        AS BIGINT) AS v
+            FROM events
+            GROUP BY 1, 2
+        ),
+        sparse AS (
+            SELECT * FROM daily WHERE dayofmonth(day) % 3 <> 0
+        ),
+        spine AS (
+            SELECT event_type,
+                   unnest(generate_series(MIN(day), MAX(day),
+                          INTERVAL 1 DAY))::DATE AS day
+            FROM sparse GROUP BY event_type
+        ),
+        joined AS (
+            SELECT s.event_type, s.day, d.v,
+                   d.v IS NOT NULL AS observed
+            FROM spine s LEFT JOIN sparse d
+              ON d.event_type = s.event_type AND d.day = s.day
+        ),
+        ctx AS (
+            SELECT event_type, day, v, observed,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS pv,
+                   last_value(CASE WHEN observed THEN day END IGNORE NULLS)
+                       OVER (PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS pd,
+                   first_value(v IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS nv,
+                   first_value(CASE WHEN observed THEN day END IGNORE NULLS)
+                       OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS nd
+            FROM joined
+        )
+        SELECT event_type, day,
+               NOT observed AS is_interpolated,
+               CAST(CASE WHEN observed THEN v
+                    ELSE pv + ((nv - pv)
+                         * CAST(date_diff('day', pd, day) AS BIGINT))
+                         // CAST(date_diff('day', pd, nd) AS BIGINT)
+               END AS DOUBLE) / 1e6 AS value_filled
+        FROM ctx
+        ORDER BY event_type, day
+    """,
+)
+def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling with linear interpolation — the missing half of
+    every monitoring/feature time series: build the per-series daily
+    date spine (sequence + explode), carry the previous and next
+    observed points with IGNORE NULLS windows, and fill interior gaps
+    on the straight line between them. The series is deterministically
+    sparsified first (every day-of-month divisible by 3 is dropped)
+    so the interpolation path is genuinely exercised and the expected
+    pattern is testable. Exactness: daily values are floor-scaled
+    integer sums (order-free), the interpolation numerator is an
+    exact BIGINT cross-product, and the single integer floor-division
+    uses DIV/ // (the Spark-vs-DuckDB pitfall) — floats appear only
+    at the /1e6 presentation edge. The spine spans min..max of the
+    OBSERVED days per series, so every gap is interior (no
+    extrapolation nulls to diverge on). Scale: windows partition by
+    series; the spine explode is O(days), never corpus-sized."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * F.lit(1e6)).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("v")
+    )
+    sparse = daily.filter(F.dayofmonth("day") % 3 != 0)
+    spine = (
+        sparse.groupBy("event_type")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY")
+                )
+            ).alias("day"),
+        )
+    )
+    joined = spine.join(sparse, ["event_type", "day"], "left").select(
+        "event_type", "day", "v", F.col("v").isNotNull().alias("observed")
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("observed"), F.col("day"))
+    ctx = joined.select(
+        "event_type",
+        "day",
+        "v",
+        "observed",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("pd"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("nd"),
+    )
+    interp = F.col("pv") + F.expr(
+        "((nv - pv) * CAST(datediff(day, pd) AS BIGINT))"
+        " DIV CAST(datediff(nd, pd) AS BIGINT)"
+    )
+    return ctx.select(
+        "event_type",
+        "day",
+        (~F.col("observed")).alias("is_interpolated"),
+        (
+            F.when(F.col("observed"), F.col("v"))
+            .otherwise(interp)
+            .cast("double")
+            / F.lit(1e6)
+        ).alias("value_filled"),
+    ).orderBy("event_type", "day")

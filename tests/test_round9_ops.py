@@ -260,3 +260,34 @@ def test_readability_fk_matches_pure_python(spark):
         r = got[lang]
         assert (r["n_docs"], r["total_words"], r["total_syllables"]) == (n, w, syl)
         assert r["mean_fk_grade"] == pytest.approx(fksum / n, rel=1e-6)
+
+
+def test_gapfill_interpolate_pattern_and_lines(spark):
+    got = plans.get("ts_gapfill_interpolate").build(spark, SF).collect()
+    assert got, "no rows"
+    by_series = {}
+    for r in got:
+        by_series.setdefault(r["event_type"], []).append(r)
+    for series, rows in by_series.items():
+        rows.sort(key=lambda r: r["day"])
+        # interpolated exactly on the dropped-day pattern, endpoints observed
+        assert not rows[0]["is_interpolated"] and not rows[-1]["is_interpolated"]
+        for r in rows:
+            assert r["is_interpolated"] == (r["day"].day % 3 == 0)
+        # every interpolated value sits between (inclusive) its observed
+        # neighbours — the line never over/undershoots
+        for i, r in enumerate(rows):
+            if not r["is_interpolated"]:
+                continue
+            prev = next(x for x in reversed(rows[:i]) if not x["is_interpolated"])
+            nxt = next(x for x in rows[i + 1:] if not x["is_interpolated"])
+            lo = min(prev["value_filled"], nxt["value_filled"])
+            hi = max(prev["value_filled"], nxt["value_filled"])
+            assert lo - 1e-9 <= r["value_filled"] <= hi + 1e-9
+            # exact midpoint when the gap is one day on each side
+            span = (nxt["day"] - prev["day"]).days
+            off = (r["day"] - prev["day"]).days
+            expect = prev["value_filled"] + (
+                nxt["value_filled"] - prev["value_filled"]
+            ) * off / span
+            assert r["value_filled"] == pytest.approx(expect, abs=2e-6)
