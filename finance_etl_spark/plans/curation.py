@@ -3449,3 +3449,144 @@ def cur_epoch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+_CHUNK_CTX = 512  # tokens per packed training context
+
+
+@register(
+    "cur_pretrain_chunking",
+    tags=("curation", "llm", "packing"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> t <> '')) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        offs AS (
+            SELECT doc_id, n_tok,
+                   CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT)
+                       AS start_off
+            FROM toks WHERE n_tok > 0
+        ),
+        spans AS (
+            SELECT doc_id, n_tok, start_off,
+                   start_off // {_CHUNK_CTX} AS c_lo,
+                   (start_off + n_tok - 1) // {_CHUNK_CTX} AS c_hi
+            FROM offs
+        ),
+        exploded AS (
+            SELECT s.doc_id, s.n_tok, s.start_off, s.c_lo, s.c_hi,
+                   unnest(generate_series(s.c_lo, s.c_hi)) AS chunk_id
+            FROM spans s
+        )
+        SELECT chunk_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN c_lo < chunk_id OR c_hi > chunk_id
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
+               CAST(SUM(LEAST(start_off + n_tok,
+                              (chunk_id + 1) * {_CHUNK_CTX})
+                        - GREATEST(start_off, chunk_id * {_CHUNK_CTX}))
+                    AS BIGINT) AS fill_tokens,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+        FROM exploded
+        GROUP BY chunk_id
+        ORDER BY chunk_id
+    """,
+)
+def cur_pretrain_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — how pretraining corpora are
+    actually served: documents concatenate in a deterministic order
+    and the token stream is cut into fixed {ctx}-token contexts, with
+    documents spilling across chunk boundaries. Emits the per-chunk
+    composition audit (docs touched, boundary-spanning docs, fill) a
+    data pipeline needs to tune context length against fragmentation.
+    The global token offset is the scale-critical piece: Spark
+    computes it TWO-LEVEL (within-bucket running sums partitioned by
+    doc_id ranges, plus a carry-in from the O(buckets) bucket-total
+    cumsum) so no corpus-scale relation crosses a single-task window
+    — the DuckDB oracle uses the plain global window, same integers.
+    Each doc then expands only into the chunks it overlaps
+    (sequence + explode = O(chunks), not O(docs x chunks)); every
+    output is exact BIGINT arithmetic with floor division on the
+    DIV/ // pair. All integers: hash-exact with no float edge."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    # two-level exclusive prefix sum over doc_id order
+    toks = toks.withColumn("bkt", F.expr("doc_id DIV 4096"))
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_carry = (
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        toks.groupBy("bkt")
+        .agg(F.sum("n_tok").alias("tb"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("tb").over(w_carry), F.lit(0)).alias("cb"),
+        )
+    )
+    offs = (
+        toks.select(
+            "bkt", "doc_id", "n_tok",
+            (F.sum("n_tok").over(w_in) - F.col("n_tok")).alias("in_off"),
+        )
+        .join(F.broadcast(carry), "bkt")
+        .select(
+            "doc_id",
+            "n_tok",
+            (F.col("in_off") + F.col("cb")).cast("bigint").alias("start_off"),
+        )
+    )
+    spans = offs.select(
+        "doc_id",
+        "n_tok",
+        "start_off",
+        F.expr(f"start_off DIV {_CHUNK_CTX}").alias("c_lo"),
+        F.expr(f"(start_off + n_tok - 1) DIV {_CHUNK_CTX}").alias("c_hi"),
+    )
+    exploded = spans.select(
+        "doc_id",
+        "n_tok",
+        "start_off",
+        "c_lo",
+        "c_hi",
+        F.explode(F.sequence(F.col("c_lo"), F.col("c_hi"))).alias("chunk_id"),
+    )
+    ctx = F.lit(_CHUNK_CTX).cast("bigint")
+    return (
+        exploded.groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                (
+                    (F.col("c_lo") < F.col("chunk_id"))
+                    | (F.col("c_hi") > F.col("chunk_id"))
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_spanning"),
+            F.sum(
+                F.least(
+                    F.col("start_off") + F.col("n_tok"),
+                    (F.col("chunk_id") + 1) * ctx,
+                )
+                - F.greatest(F.col("start_off"), F.col("chunk_id") * ctx)
+            )
+            .cast("bigint")
+            .alias("fill_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc_id"),
+        )
+        .orderBy("chunk_id")
+    )

@@ -291,3 +291,38 @@ def test_gapfill_interpolate_pattern_and_lines(spark):
                 nxt["value_filled"] - prev["value_filled"]
             ) * off / span
             assert r["value_filled"] == pytest.approx(expect, abs=2e-6)
+
+
+def test_pretrain_chunking_matches_sequential_walk(spark):
+    got = {r["chunk_id"]: r for r in plans.get("cur_pretrain_chunking").build(spark, SF).collect()}
+    rows = _fetch(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+        " ORDER BY doc_id"
+    )
+    # independent formulation: walk the concatenated token stream
+    CTX = 512
+    chunks = {}
+    off = 0
+    for doc_id, text in rows:
+        n = len([t for t in text.split(" ") if t])
+        if n == 0:
+            continue
+        lo, hi = off // CTX, (off + n - 1) // CTX
+        for c in range(lo, hi + 1):
+            st = chunks.setdefault(c, [0, 0, 0, None])
+            st[0] += 1
+            st[1] += 1 if (lo < c or hi > c) else 0
+            st[2] += min(off + n, (c + 1) * CTX) - max(off, c * CTX)
+            st[3] = doc_id if st[3] is None else min(st[3], doc_id)
+        off += n
+    assert set(got) == set(chunks)
+    for c, (nd, nsp, fill, first) in chunks.items():
+        r = got[c]
+        assert (r["n_docs"], r["n_spanning"], r["fill_tokens"], r["first_doc_id"]) == (
+            nd, nsp, fill, first,
+        )
+    # every chunk except the last is exactly full
+    last = max(chunks)
+    for c, r in got.items():
+        if c != last:
+            assert r["fill_tokens"] == CTX
