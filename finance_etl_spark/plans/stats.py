@@ -1436,3 +1436,86 @@ def stat_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("sdd") - F.col("sd") * F.col("sd") / nd)
         ).alias("jack_se"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "stat_qq_deciles",
+    tags=("stats", "window", "agg"),
+    oracle=f"""
+        WITH ts AS ({_SAMPLE_SQL}),
+        per_val AS (
+            SELECT x, SUM(g) AS a, SUM(1 - g) AS b
+            FROM ts GROUP BY x
+        ),
+        cum AS (
+            SELECT x,
+                   CAST(SUM(a) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum_a,
+                   CAST(SUM(b) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum_b
+            FROM per_val
+        ),
+        tot AS (
+            SELECT CAST(SUM(a) AS BIGINT) AS n, CAST(SUM(b) AS BIGINT) AS m
+            FROM per_val
+        ),
+        ds AS (SELECT unnest(generate_series(1, 9)) AS d)
+        SELECT k.d AS decile, t.n AS n_urgent, t.m AS n_low,
+               CAST(CAST(MIN(CASE WHEN c.cum_a >= (k.d * t.n + 9) // 10
+                        THEN c.x END) AS VARCHAR) AS DOUBLE) AS q_urgent,
+               CAST(CAST(MIN(CASE WHEN c.cum_b >= (k.d * t.m + 9) // 10
+                        THEN c.x END) AS VARCHAR) AS DOUBLE) AS q_low
+        FROM cum c CROSS JOIN tot t JOIN ds k ON TRUE
+        GROUP BY k.d, t.n, t.m
+        ORDER BY decile
+    """,
+)
+def stat_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile comparison of the URGENT vs LOW order-value
+    cohorts at the nine interior deciles — the distributional-shift
+    diagnostic that reads as a table instead of a plot (matched
+    deciles on the diagonal = same shape). Each decile value is an
+    ORDER STATISTIC (smallest x whose inclusive cumulative count
+    reaches ceil(d·n/10), the registry's interpolation-free quantile
+    contract), taken from the same distinct-value + bucket/carry
+    cumulative machinery as stat_ks_two_sample — one corpus scan, no
+    serializing global window on the Spark side, exact integer
+    thresholds with the DIV-vs-// floor pair. Values stay exact
+    DECIMAL until the VARCHAR-routed double presentation."""
+    cum = _pooled_cumulative(_two_sample(spark, sf_dir))
+    tot = cum.agg(
+        F.sum("a").cast("bigint").alias("n"),
+        F.sum("b").cast("bigint").alias("m"),
+    )
+    ds = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ds))
+        .groupBy("d", "n", "m")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_a") >= F.expr("(d * n + 9) DIV 10"),
+                    F.col("x"),
+                )
+            )
+            .cast("double")
+            .alias("q_urgent"),
+            F.min(
+                F.when(
+                    F.col("cum_b") >= F.expr("(d * m + 9) DIV 10"),
+                    F.col("x"),
+                )
+            )
+            .cast("double")
+            .alias("q_low"),
+        )
+        .select(
+            F.col("d").alias("decile"),
+            F.col("n").alias("n_urgent"),
+            F.col("m").alias("n_low"),
+            "q_urgent",
+            "q_low",
+        )
+        .orderBy("decile")
+    )

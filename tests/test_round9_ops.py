@@ -326,3 +326,21 @@ def test_pretrain_chunking_matches_sequential_walk(spark):
     for c, r in got.items():
         if c != last:
             assert r["fill_tokens"] == CTX
+
+
+def test_qq_deciles_matches_numpy_order_stats(spark):
+    got = {r["decile"]: r for r in plans.get("stat_qq_deciles").build(spark, SF).collect()}
+    rows = _fetch(
+        "SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(12,2))"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+        " WHERE o_orderpriority IN ('1-URGENT', '5-LOW')"
+    )
+    urgent = sorted(float(x) for g, x in rows if g == "1-URGENT")
+    low = sorted(float(x) for g, x in rows if g == "5-LOW")
+    for d in range(1, 10):
+        ku = -(-d * len(urgent) // 10)  # ceil
+        kl = -(-d * len(low) // 10)
+        r = got[d]
+        assert r["n_urgent"] == len(urgent) and r["n_low"] == len(low)
+        assert r["q_urgent"] == pytest.approx(urgent[ku - 1], abs=1e-9)
+        assert r["q_low"] == pytest.approx(low[kl - 1], abs=1e-9)
