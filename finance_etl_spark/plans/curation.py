@@ -3590,3 +3590,159 @@ def cur_pretrain_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chunk_id")
     )
+
+
+@register(
+    "graph_modularity_score",
+    tags=("graph", "agg"),
+    oracle="""
+        WITH e0 AS (
+            SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            GROUP BY 1, 2
+        ),
+        u AS (
+            SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                   CAST(SUM(w) AS BIGINT) AS w
+            FROM e0 WHERE src <> dst GROUP BY 1, 2
+        ),
+        part AS (SELECT n_nationkey AS v, n_regionkey AS comm FROM nation),
+        m AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM u),
+        deg AS (
+            SELECT v, CAST(SUM(w) AS BIGINT) AS d
+            FROM (
+                SELECT a AS v, w FROM u
+                UNION ALL
+                SELECT b AS v, w FROM u
+            ) GROUP BY v
+        ),
+        dc AS (
+            SELECT p.comm, CAST(SUM(COALESCE(g.d, 0)) AS BIGINT) AS d_c
+            FROM part p LEFT JOIN deg g ON g.v = p.v
+            GROUP BY p.comm
+        ),
+        ec AS (
+            SELECT pa.comm, CAST(SUM(u.w) AS BIGINT) AS e_c
+            FROM u
+            JOIN part pa ON pa.v = u.a
+            JOIN part pb ON pb.v = u.b
+            WHERE pa.comm = pb.comm
+            GROUP BY pa.comm
+        ),
+        terms AS (
+            SELECT d.comm, COALESCE(e.e_c, 0) AS e_c, d.d_c, m.m,
+                   4 * m.m * COALESCE(e.e_c, 0) - d.d_c * d.d_c AS num
+            FROM dc d LEFT JOIN ec e ON e.comm = d.comm CROSS JOIN m
+        )
+        SELECT comm AS regionkey, CAST(e_c AS BIGINT) AS intra_weight,
+               CAST(d_c AS BIGINT) AS degree_sum,
+               CAST(num AS DOUBLE)
+                 / (CAST(4 AS DOUBLE) * CAST(m AS DOUBLE)
+                    * CAST(m AS DOUBLE)) AS q_term,
+               CAST(CAST(SUM(num) OVER () AS BIGINT) AS DOUBLE)
+                 / (CAST(4 AS DOUBLE) * CAST(m AS DOUBLE)
+                    * CAST(m AS DOUBLE)) AS modularity
+        FROM terms
+        ORDER BY regionkey
+    """,
+)
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the region partition over the weighted
+    nation trade graph — the community-QUALITY metric that grades any
+    clustering (here: do trade flows concentrate inside geographic
+    regions?). The whole statistic is EXACT integer arithmetic via
+    Q = Σ_c (4m·e_c − d_c²) / (4m²): intra-community weights e_c and
+    degree sums d_c are BIGINT aggregates over the 25-node edge list,
+    the numerator sum is exact, and the single division happens at
+    the presentation edge — no quantization, no fold-order concerns.
+    Scale: the corpus collapses through the same snowflake broadcast
+    joins as the other trade-graph ops into a |nations|² edge list;
+    everything after is graph-sized. The per-community q_term rows
+    plus the shared total let a monitoring job threshold on either."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("v"), F.col("n_regionkey").alias("comm")
+    )
+    e0 = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    u = (
+        e0.filter(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .agg(F.sum("w").cast("bigint").alias("w"))
+        .persist()  # graph-sized; consumed by m, deg, and ec
+    )
+    m = u.agg(F.sum("w").cast("bigint").alias("m"))
+    deg = (
+        u.select(F.col("a").alias("v"), "w")
+        .unionByName(u.select(F.col("b").alias("v"), "w"))
+        .groupBy("v")
+        .agg(F.sum("w").cast("bigint").alias("d"))
+    )
+    dc = (
+        n.join(deg, "v", "left")
+        .groupBy("comm")
+        .agg(F.sum(F.coalesce(F.col("d"), F.lit(0))).cast("bigint").alias("d_c"))
+    )
+    pa = n.select(F.col("v").alias("a"), F.col("comm").alias("ca"))
+    pb = n.select(F.col("v").alias("b"), F.col("comm").alias("cb"))
+    ec = (
+        u.join(F.broadcast(pa), "a")
+        .join(F.broadcast(pb), "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("comm"))
+        .agg(F.sum("w").cast("bigint").alias("e_c"))
+    )
+    terms = (
+        dc.join(ec, "comm", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "comm",
+            F.coalesce(F.col("e_c"), F.lit(0)).cast("bigint").alias("e_c"),
+            "d_c",
+            "m",
+            (
+                4 * F.col("m") * F.coalesce(F.col("e_c"), F.lit(0))
+                - F.col("d_c") * F.col("d_c")
+            ).alias("num"),
+        )
+    )
+    denom = (
+        F.lit(4).cast("double")
+        * F.col("m").cast("double")
+        * F.col("m").cast("double")
+    )
+    return terms.select(
+        F.col("comm").alias("regionkey"),
+        F.col("e_c").alias("intra_weight"),
+        F.col("d_c").alias("degree_sum"),
+        (F.col("num").cast("double") / denom).alias("q_term"),
+        (
+            F.sum("num").over(W.partitionBy()).cast("bigint").cast("double")
+            / denom
+        ).alias("modularity"),
+    ).orderBy("regionkey")

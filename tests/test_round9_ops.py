@@ -344,3 +344,41 @@ def test_qq_deciles_matches_numpy_order_stats(spark):
         assert r["n_urgent"] == len(urgent) and r["n_low"] == len(low)
         assert r["q_urgent"] == pytest.approx(urgent[ku - 1], abs=1e-9)
         assert r["q_low"] == pytest.approx(low[kl - 1], abs=1e-9)
+
+
+def test_modularity_matches_pure_python(spark):
+    got = plans.get("graph_modularity_score").build(spark, SF).collect()
+    rows = _fetch(
+        "SELECT s.s_nationkey, c.c_nationkey, COUNT(*) FROM"
+        f" read_parquet('{SF}/lineitem.parquet') l"
+        f" JOIN read_parquet('{SF}/orders.parquet') o ON o.o_orderkey = l.l_orderkey"
+        f" JOIN read_parquet('{SF}/customer.parquet') c ON c.c_custkey = o.o_custkey"
+        f" JOIN read_parquet('{SF}/supplier.parquet') s ON s.s_suppkey = l.l_suppkey"
+        " GROUP BY 1, 2"
+    )
+    region = dict(
+        _fetch(f"SELECT n_nationkey, n_regionkey FROM read_parquet('{SF}/nation.parquet')")
+    )
+    edges = {}
+    for src, dst, w in rows:
+        if src == dst:
+            continue
+        key = (min(src, dst), max(src, dst))
+        edges[key] = edges.get(key, 0) + w
+    m = sum(edges.values())
+    deg, e_c, d_c = {}, {}, {}
+    for (a, b), w in edges.items():
+        deg[a] = deg.get(a, 0) + w
+        deg[b] = deg.get(b, 0) + w
+        if region[a] == region[b]:
+            e_c[region[a]] = e_c.get(region[a], 0) + w
+    for v, d in deg.items():
+        d_c[region[v]] = d_c.get(region[v], 0) + d
+    q = sum(
+        e_c.get(c, 0) / m - (d_c.get(c, 0) / (2 * m)) ** 2 for c in d_c
+    )
+    for r in got:
+        c = r["regionkey"]
+        assert r["intra_weight"] == e_c.get(c, 0)
+        assert r["degree_sum"] == d_c.get(c, 0)
+        assert r["modularity"] == pytest.approx(q, rel=1e-12)
