@@ -3015,3 +3015,240 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("value_filled"),
     ).orderBy("event_type", "day")
+
+
+_DAILY_SCALED_SQL = """
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 1e6) AS DECIMAL(38,0)))
+                    AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+"""
+
+
+def _daily_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, v): daily totals as exact floor-scaled
+    BIGINTs — the order-free integer base both robust-trend ops
+    share."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * F.lit(1e6)).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("v")
+    )
+
+
+@register(
+    "ts_theil_sen",
+    tags=("ts", "stats", "robust"),
+    oracle=f"""
+        WITH daily AS ({_DAILY_SCALED_SQL}),
+        pairs AS (
+            SELECT a.event_type,
+                   CAST(b.v - a.v AS DOUBLE)
+                     / CAST(date_diff('day', a.day, b.day) AS DOUBLE)
+                       AS slope
+            FROM daily a JOIN daily b
+              ON b.event_type = a.event_type AND b.day > a.day
+        ),
+        ranked AS (
+            SELECT event_type, slope,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY slope) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS np
+            FROM pairs
+        )
+        SELECT event_type, CAST(MIN(np) AS BIGINT) AS n_pairs,
+               MIN(CASE WHEN rk = (np + 1) // 2 THEN slope END) / 1e6
+                   AS theil_sen_slope
+        FROM ranked
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: the MEDIAN of all pairwise day-to-day
+    slopes per series — the estimator that shrugs off the outliers
+    that wreck OLS (29.3% breakdown point). Each slope is one double
+    division of exact integers (floor-scaled daily totals over exact
+    day gaps); the median is the interpolation-free lower order
+    statistic at rank ceil(n/2), picked by a row_number window
+    PARTITIONED BY SERIES (never global). The O(days²) pair join is
+    the documented cost bound — days-per-series, not the corpus,
+    squares; the corpus itself collapses to daily rows in one
+    map-side scan. DuckDB's // and Spark's DIV pin the rank floor."""
+    daily = _daily_scaled(spark, sf_dir)
+    a = daily.select(
+        "event_type", F.col("day").alias("d1"), F.col("v").alias("v1")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("d2"),
+        F.col("v").alias("v2"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("et2")) & (F.col("d2") > F.col("d1")),
+    ).select(
+        "event_type",
+        (
+            (F.col("v2") - F.col("v1")).cast("double")
+            / F.datediff("d2", "d1").cast("double")
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    wc = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("np"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.min("np").cast("bigint").alias("n_pairs"),
+            (
+                F.min(
+                    F.when(
+                        F.col("rk") == F.expr("(np + 1) DIV 2"),
+                        F.col("slope"),
+                    )
+                )
+                / F.lit(1e6)
+            ).alias("theil_sen_slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ts_mann_kendall",
+    tags=("ts", "stats", "robust", "hypothesis"),
+    oracle=f"""
+        WITH daily AS ({_DAILY_SCALED_SQL}),
+        n AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM daily GROUP BY event_type
+        ),
+        s AS (
+            SELECT a.event_type,
+                   CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                                 WHEN b.v < a.v THEN -1
+                                 ELSE 0 END) AS BIGINT) AS s
+            FROM daily a JOIN daily b
+              ON b.event_type = a.event_type AND b.day > a.day
+            GROUP BY a.event_type
+        ),
+        ties AS (
+            SELECT event_type,
+                   CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                        AS BIGINT) AS tie_num
+            FROM (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+                FROM daily GROUP BY event_type, v
+            ) WHERE t > 1 GROUP BY event_type
+        ),
+        red AS (
+            SELECT n.event_type, n.n, s.s,
+                   n.n * (n.n - 1) * (2 * n.n + 5)
+                       - COALESCE(t.tie_num, 0) AS var18
+            FROM n JOIN s ON s.event_type = n.event_type
+            LEFT JOIN ties t ON t.event_type = n.event_type
+        )
+        SELECT event_type, n, s AS s_stat,
+               CAST(var18 AS BIGINT) AS var_s_x18,
+               CASE WHEN var18 = 0 THEN NULL
+                    WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                         / sqrt(CAST(var18 AS DOUBLE)
+                                / CAST(18 AS DOUBLE))
+                    WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                         / sqrt(CAST(var18 AS DOUBLE)
+                                / CAST(18 AS DOUBLE))
+                    ELSE CAST(0.0 AS DOUBLE) END AS z_stat
+        FROM red
+        ORDER BY event_type
+    """,
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per series: S = Σ sign(v_j − v_i) over
+    all ordered day pairs — the nonparametric is-there-a-monotonic-
+    trend test that needs no distributional assumption and tolerates
+    missing days. S and the tie-corrected variance numerator
+    n(n−1)(2n+5) − Σ t(t−1)(2t+5) stay EXACT BIGINT (the ×18 divisor
+    moves inside the final double edge); the continuity-corrected
+    z = (S∓1)/√(Var) is the only float, with a NULL guard on the
+    all-tied Var=0 degenerate (Spark NULL vs DuckDB IEEE divergence
+    class). Same O(days²)-per-series pair join and one-scan daily
+    collapse as ts_theil_sen."""
+    daily = _daily_scaled(spark, sf_dir).persist()
+    n = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("d1"), F.col("v").alias("v1")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("d2"),
+        F.col("v").alias("v2"),
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et2"))
+            & (F.col("d2") > F.col("d1")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("v2") > F.col("v1"), 1)
+                .when(F.col("v2") < F.col("v1"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_num")
+        )
+    )
+    red = (
+        n.join(s, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            "s",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.coalesce(F.col("tie_num"), F.lit(0))
+            ).alias("var18"),
+        )
+    )
+    sd = F.sqrt(F.col("var18").cast("double") / F.lit(18).cast("double"))
+    return red.select(
+        "event_type",
+        "n",
+        F.col("s").alias("s_stat"),
+        F.col("var18").cast("bigint").alias("var_s_x18"),
+        F.when(F.col("var18") == 0, F.lit(None).cast("double"))
+        .when(F.col("s") > 0, (F.col("s") - 1).cast("double") / sd)
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+        .alias("z_stat"),
+    ).orderBy("event_type")

@@ -382,3 +382,63 @@ def test_modularity_matches_pure_python(spark):
         assert r["intra_weight"] == e_c.get(c, 0)
         assert r["degree_sum"] == d_c.get(c, 0)
         assert r["modularity"] == pytest.approx(q, rel=1e-12)
+
+
+@pytest.fixture(scope="module")
+def daily_scaled():
+    rows = _fetch(
+        "SELECT event_type, CAST(ts AS DATE),"
+        " CAST(SUM(CAST(FLOOR(value * 1e6) AS DECIMAL(38,0))) AS BIGINT)"
+        f" FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2"
+    )
+    series = {}
+    for et, day, v in rows:
+        series.setdefault(et, []).append((day, v))
+    for et in series:
+        series[et].sort()
+    return series
+
+
+def test_theil_sen_matches_pure_python(spark, daily_scaled):
+    got = {r["event_type"]: r for r in plans.get("ts_theil_sen").build(spark, SF).collect()}
+    for et, pts in daily_scaled.items():
+        slopes = sorted(
+            (v2 - v1) / (d2 - d1).days
+            for i, (d1, v1) in enumerate(pts)
+            for d2, v2 in pts[i + 1:]
+        )
+        k = (len(slopes) + 1) // 2
+        r = got[et]
+        assert r["n_pairs"] == len(slopes)
+        assert r["theil_sen_slope"] == pytest.approx(slopes[k - 1] / 1e6, rel=1e-12)
+
+
+def test_mann_kendall_matches_pure_python(spark, daily_scaled):
+    got = {r["event_type"]: r for r in plans.get("ts_mann_kendall").build(spark, SF).collect()}
+    from collections import Counter
+
+    for et, pts in daily_scaled.items():
+        vals = [v for _, v in pts]
+        n = len(vals)
+        s = sum(
+            (1 if v2 > v1 else -1 if v2 < v1 else 0)
+            for i, v1 in enumerate(vals)
+            for v2 in vals[i + 1:]
+        )
+        ties = Counter(vals)
+        var18 = n * (n - 1) * (2 * n + 5) - sum(
+            t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1
+        )
+        r = got[et]
+        assert (r["n"], r["s_stat"], r["var_s_x18"]) == (n, s, var18)
+        if var18 == 0:
+            assert r["z_stat"] is None
+        else:
+            import math
+
+            expect = (
+                0.0
+                if s == 0
+                else (s - (1 if s > 0 else -1)) / math.sqrt(var18 / 18)
+            )
+            assert r["z_stat"] == pytest.approx(expect, rel=1e-12)
