@@ -1519,3 +1519,150 @@ def stat_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "stat_levene_brown_forsythe",
+    tags=("stats", "agg", "hypothesis"),
+    oracle="""
+        WITH lab AS (
+            SELECT o_orderpriority AS g,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS xc
+            FROM orders
+        ),
+        per_val AS (
+            SELECT g, xc, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lab GROUP BY g, xc
+        ),
+        cum AS (
+            SELECT g, xc,
+                   CAST(SUM(c) OVER (PARTITION BY g ORDER BY xc
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc,
+                   CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+            FROM per_val
+        ),
+        med AS (
+            SELECT g, CAST(MIN(CASE WHEN cc >= (n + 1) // 2 THEN xc END)
+                        AS BIGINT) AS med
+            FROM cum GROUP BY g
+        ),
+        z AS (
+            SELECT l.g, abs(l.xc - m.med) AS z
+            FROM lab l JOIN med m ON m.g = l.g
+        ),
+        per AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(z) AS BIGINT) AS s,
+                   SUM(CAST(z AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0)))
+                       AS q
+            FROM z GROUP BY g
+        ),
+        red AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(s) AS BIGINT) AS ss,
+                   CAST(CAST(SUM(q) AS VARCHAR) AS DOUBLE) AS q_d,
+                   list_reduce(
+                       list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n AS DOUBLE) ORDER BY g),
+                       (a, x) -> a + x) AS b
+            FROM per
+        )
+        SELECT k, nn AS n_total,
+               b - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                   / CAST(nn AS DOUBLE) AS ss_between_z,
+               q_d - b AS ss_within_z,
+               (b - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                    / CAST(nn AS DOUBLE))
+                 / CAST(k - 1 AS DOUBLE)
+                 / ((q_d - b) / CAST(nn - k AS DOUBLE)) AS w_stat
+        FROM red
+    """,
+)
+def stat_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene with group MEDIANS) — the
+    variance-homogeneity companion to stat_anova_oneway: are order-
+    value spreads equal across priorities? W is exactly the ANOVA F
+    computed on z = |x − median_g|. Group medians are interpolation-
+    free lower order statistics from per-(group,value) counts with
+    group-partitioned cumulative windows (the registry quantile
+    contract, no global sort); z then stays EXACT integer cents, so
+    the same sufficient-statistic reduction applies: per-group BIGINT
+    sums, DECIMAL(38,0) squares, the 5-term between-groups fold in
+    pinned group order. Two corpus scans by necessity (the median
+    must exist before deviations do) — both map-side-combining.
+    Choosing the median over the mean is what makes the test robust
+    to the heavy tails that invalidate classic Levene."""
+    o = load_table(spark, sf_dir, "orders")
+    lab = o.select(
+        F.col("o_orderpriority").alias("g"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * F.lit(100))
+        .cast("bigint")
+        .alias("xc"),
+    ).persist()  # scanned for the median AND for the deviations
+    per_val = lab.groupBy("g", "xc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("g")
+        .orderBy("xc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("g")
+    cum = per_val.select(
+        "g",
+        "xc",
+        F.sum("c").over(w_cum).cast("bigint").alias("cc"),
+        F.sum("c").over(w_tot).cast("bigint").alias("n"),
+    )
+    med = cum.groupBy("g").agg(
+        F.min(
+            F.when(F.col("cc") >= F.expr("(n + 1) DIV 2"), F.col("xc"))
+        )
+        .cast("bigint")
+        .alias("med")
+    )
+    z = lab.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("xc") - F.col("med")).alias("z")
+    )
+    zd = F.col("z").cast("decimal(19,0)")
+    per = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("z").cast("bigint").alias("s"),
+        F.sum(zd * zd).alias("q"),
+    )
+    term = (
+        F.col("s").cast("double")
+        * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    )
+    red = per.select("g", "n", "s", "q", term.alias("t")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("bigint").alias("ss"),
+        F.sum("q").cast("double").alias("q_d"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("g"), F.col("t")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("b"),
+    )
+    ssb = (
+        F.col("b")
+        - F.col("ss").cast("double")
+        * F.col("ss").cast("double")
+        / F.col("nn").cast("double")
+    )
+    ssw = F.col("q_d") - F.col("b")
+    return red.select(
+        "k",
+        F.col("nn").alias("n_total"),
+        ssb.alias("ss_between_z"),
+        ssw.alias("ss_within_z"),
+        (
+            ssb
+            / (F.col("k") - 1).cast("double")
+            / (ssw / (F.col("nn") - F.col("k")).cast("double"))
+        ).alias("w_stat"),
+    )

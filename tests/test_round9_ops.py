@@ -442,3 +442,22 @@ def test_mann_kendall_matches_pure_python(spark, daily_scaled):
                 else (s - (1 if s > 0 else -1)) / math.sqrt(var18 / 18)
             )
             assert r["z_stat"] == pytest.approx(expect, rel=1e-12)
+
+
+def test_levene_brown_forsythe_matches_numpy(spark, orders_cents):
+    row = plans.get("stat_levene_brown_forsythe").build(spark, SF).collect()[0]
+    zs = []
+    for x in orders_cents.values():
+        srt = np.sort(x)
+        med = srt[(len(srt) + 1) // 2 - 1]  # lower median, engine contract
+        zs.append(np.abs(x - med))
+    grand = np.concatenate(zs)
+    gm = grand.mean()
+    ssb = sum(len(z) * (z.mean() - gm) ** 2 for z in zs)
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    k, n = len(zs), len(grand)
+    w = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["k"] == k and row["n_total"] == n
+    assert row["ss_between_z"] == pytest.approx(ssb, rel=1e-9)
+    assert row["ss_within_z"] == pytest.approx(ssw, rel=1e-9)
+    assert row["w_stat"] == pytest.approx(w, rel=1e-9)
