@@ -1539,3 +1539,140 @@ def fin_herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         hhi.alias("hhi"),
         (F.lit(1.0) / hhi).alias("effective_n"),
     ).orderBy("nation")
+
+
+def _ncdf_sql(d: str) -> str:
+    """Abramowitz-Stegun 26.2.17 standard-normal CDF (|err| < 7.5e-8)
+    as a fully-CAST SQL fragment that parses to IDENTICAL double
+    arithmetic in Spark SQL and DuckDB (every literal is CAST AS
+    DOUBLE — DuckDB would otherwise parse them as DECIMAL). Shared
+    between engine and oracle, so the independent erf-based pytest in
+    tests/test_round9_ops.py is the guard against fragment bugs."""
+    t = (
+        "(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        f" + CAST(0.2316419 AS DOUBLE) * abs({d})))"
+    )
+    poly = (
+        f"((((CAST(1.330274429 AS DOUBLE) * {t}"
+        f" - CAST(1.821255978 AS DOUBLE)) * {t}"
+        f" + CAST(1.781477937 AS DOUBLE)) * {t}"
+        f" - CAST(0.356563782 AS DOUBLE)) * {t}"
+        f" + CAST(0.319381530 AS DOUBLE)) * {t}"
+    )
+    phi = (
+        f"(exp(-((abs({d})) * (abs({d}))) / CAST(2.0 AS DOUBLE))"
+        " / sqrt(CAST(2.0 AS DOUBLE) * PI()))"
+    )
+    nabs = f"(CAST(1.0 AS DOUBLE) - {phi} * {poly})"
+    return (
+        f"(CASE WHEN ({d}) >= CAST(0.0 AS DOUBLE) THEN {nabs}"
+        f" ELSE CAST(1.0 AS DOUBLE) - {nabs} END)"
+    )
+
+
+_BS_D1 = (
+    "((ln(spot / strike) + (CAST(0.02 AS DOUBLE)"
+    " + sigma * sigma / CAST(2.0 AS DOUBLE))) / sigma)"
+)
+_BS_D2 = f"({_BS_D1} - sigma)"
+_BS_CALL = (
+    f"(spot * {_ncdf_sql(_BS_D1)}"
+    f" - strike * exp(-CAST(0.02 AS DOUBLE)) * {_ncdf_sql(_BS_D2)})"
+)
+_BS_PUT = f"({_BS_CALL} - spot + strike * exp(-CAST(0.02 AS DOUBLE)))"
+
+
+@register(
+    "fin_black_scholes_grid",
+    tags=("finance", "pricing"),
+    oracle=f"""
+        WITH spot AS (
+            SELECT n.n_nationkey,
+                   CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,10)))
+                        AS VARCHAR) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) AS spot,
+                   CAST(10 + (n.n_nationkey % 5) * 5 AS DOUBLE)
+                     / CAST(100 AS DOUBLE) AS sigma
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY n.n_nationkey
+        ),
+        ks AS (SELECT unnest([80, 90, 100, 110, 120]) AS k_pct),
+        grid AS (
+            SELECT n_nationkey, k_pct, spot, sigma,
+                   spot * CAST(k_pct AS DOUBLE) / CAST(100 AS DOUBLE)
+                       AS strike
+            FROM spot CROSS JOIN ks
+        )
+        SELECT n_nationkey, k_pct, spot, strike, sigma,
+               CAST(FLOOR({_BS_CALL} * 1e6) AS BIGINT) AS call_q6,
+               CAST(FLOOR({_BS_PUT} * 1e6) AS BIGINT) AS put_q6
+        FROM grid
+        ORDER BY n_nationkey, k_pct
+    """,
+)
+def fin_black_scholes_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Black-Scholes European option pricing over a per-nation
+    moneyness grid (T=1y, r=2%, per-nation vol tier): the closed-form
+    pricing kernel every risk system carries, expressed as pure
+    column arithmetic — spot = exact decimal average order value per
+    customer nation, five strikes at 80–120% moneyness, N(d) via the
+    Abramowitz-Stegun polynomial (no erf intrinsic needed on either
+    engine). The ln/exp libm edge rides the floor-quantize recipe:
+    prices present as floor(px·1e6) BIGINTs (a 1-ulp cross-engine
+    libm divergence can only flip a floor on a ~1e-10 boundary
+    sliver). Scale: one snowflake-broadcast scan to 25 spot rows; the
+    125-row grid is dimension-sized. Put prices come from put-call
+    parity applied to the SAME call expression, which the pytest
+    checks against the exact parity identity and an erf-based
+    reference price."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    spot = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_nationkey")
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(30,10)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("spot"),
+            (
+                (10 + (F.min("n_nationkey") % 5) * 5).cast("double")
+                / F.lit(100).cast("double")
+            ).alias("sigma"),
+        )
+    )
+    ks = spark.createDataFrame(
+        [(80,), (90,), (100,), (110,), (120,)], "k_pct int"
+    )
+    grid = spot.crossJoin(F.broadcast(ks)).select(
+        "n_nationkey",
+        "k_pct",
+        "spot",
+        (
+            F.col("spot")
+            * F.col("k_pct").cast("double")
+            / F.lit(100).cast("double")
+        ).alias("strike"),
+        "sigma",
+    )
+    return grid.select(
+        "n_nationkey",
+        "k_pct",
+        "spot",
+        "strike",
+        "sigma",
+        F.expr(f"CAST(FLOOR({_BS_CALL} * 1e6) AS BIGINT)").alias("call_q6"),
+        F.expr(f"CAST(FLOOR({_BS_PUT} * 1e6) AS BIGINT)").alias("put_q6"),
+    ).orderBy("n_nationkey", "k_pct")

@@ -461,3 +461,34 @@ def test_levene_brown_forsythe_matches_numpy(spark, orders_cents):
     assert row["ss_between_z"] == pytest.approx(ssb, rel=1e-9)
     assert row["ss_within_z"] == pytest.approx(ssw, rel=1e-9)
     assert row["w_stat"] == pytest.approx(w, rel=1e-9)
+
+
+def test_black_scholes_matches_erf_reference(spark):
+    got = plans.get("fin_black_scholes_grid").build(spark, SF).collect()
+    assert len(got) == 125
+
+    def ncdf(d):
+        return 0.5 * (1.0 + math.erf(d / math.sqrt(2.0)))
+
+    for r in got:
+        s, k, sig = r["spot"], r["strike"], r["sigma"]
+        d1 = (math.log(s / k) + (0.02 + sig * sig / 2.0)) / sig
+        d2 = d1 - sig
+        call = s * ncdf(d1) - k * math.exp(-0.02) * ncdf(d2)
+        put = call - s + k * math.exp(-0.02)
+        # A&S 26.2.17 has |err| < 7.5e-8 in N(d) -> price err < 1e-2
+        # at these spot magnitudes (~1.5e5); quantized at 1e-6
+        assert r["call_q6"] / 1e6 == pytest.approx(call, abs=0.05)
+        assert r["put_q6"] / 1e6 == pytest.approx(put, abs=0.05)
+        # exact put-call parity of the quantized outputs (same
+        # expression on both sides of the identity, so sub-1e-5 tight)
+        parity = r["call_q6"] / 1e6 - s + k * math.exp(-0.02)
+        assert r["put_q6"] / 1e6 == pytest.approx(parity, abs=1e-4)
+        # monotone: calls decrease in strike
+    by_nation = {}
+    for r in got:
+        by_nation.setdefault(r["n_nationkey"], []).append(r)
+    for rows in by_nation.values():
+        rows.sort(key=lambda r: r["k_pct"])
+        calls = [r["call_q6"] for r in rows]
+        assert all(a >= b for a, b in zip(calls, calls[1:]))
