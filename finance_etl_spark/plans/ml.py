@@ -3640,3 +3640,102 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@register(
+    "ml_brier_log_loss",
+    tags=("ml", "eval", "agg"),
+    oracle="""
+        WITH scored AS (
+            SELECT l_linestatus AS g,
+                   2 * CAST(l_quantity AS BIGINT) - 1 AS p100,
+                   CAST(l_returnflag = 'R' AS INT) AS y
+            FROM lineitem
+        ),
+        brier AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM((p100 - 100 * y) * (p100 - 100 * y))
+                        AS BIGINT) AS bq
+            FROM scored GROUP BY g
+        ),
+        bins AS (
+            SELECT g, p100, y, CAST(COUNT(*) AS BIGINT) AS c
+            FROM scored GROUP BY g, p100, y
+        ),
+        ll AS (
+            SELECT g,
+                   CAST(SUM(c * CAST(FLOOR(1e6 * ln(CASE WHEN y = 1
+                        THEN CAST(p100 AS DOUBLE) / CAST(100 AS DOUBLE)
+                        ELSE CAST(100 - p100 AS DOUBLE)
+                             / CAST(100 AS DOUBLE) END))
+                        AS BIGINT)) AS BIGINT) AS lnsum
+            FROM bins GROUP BY g
+        )
+        SELECT b.g AS l_linestatus, b.n,
+               CAST(b.bq AS DOUBLE) / 1e4 / CAST(b.n AS DOUBLE) AS brier,
+               -CAST(l.lnsum AS DOUBLE) / 1e6 / CAST(b.n AS DOUBLE)
+                   AS log_loss
+        FROM brier b JOIN ll l ON l.g = b.g
+        ORDER BY l_linestatus
+    """,
+)
+def ml_brier_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score and log loss of the declared monotone score map
+    p = (2·quantity−1)/100 against the return flag, per line status —
+    the two proper scoring rules that complete the eval suite (AUC
+    ranks, calibration bins, and now probability-accuracy itself).
+    The clip-free score design keeps p in [0.01, 0.99] so log loss
+    never sees 0 or 1. Brier is EXACT end to end in INTEGERS:
+    (100p − 100y)² = (2q−1−100y)² sums as BIGINT (decimal division
+    was rejected — DuckDB demotes DECIMAL/INT to DOUBLE), scaled
+    back by 1e4 at the edge. Log loss reduces the corpus to <=100 (group, p, y)
+    bins first, takes ln per BIN (the lnq6 floor recipe — 1-ulp libm
+    drift can't move a 1e-6 floor except on a ~5e-9 sliver), and
+    reduces exact integer count·lnq6 products — order-free. One scan
+    feeds both via map-side-combining aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.col("l_linestatus").alias("g"),
+        (2 * F.col("l_quantity").cast("bigint") - 1).alias("p100"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    ).persist()  # consumed by the brier and the log-loss bin branches
+    dev = F.col("p100") - 100 * F.col("y")
+    brier = scored.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dev * dev).cast("bigint").alias("bq"),
+    )
+    bins = scored.groupBy("g", "p100", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    lnp = F.when(
+        F.col("y") == 1,
+        F.col("p100").cast("double") / F.lit(100).cast("double"),
+    ).otherwise(
+        (100 - F.col("p100")).cast("double") / F.lit(100).cast("double")
+    )
+    ll = bins.groupBy("g").agg(
+        F.sum(
+            F.col("c")
+            * F.floor(F.lit(1e6) * F.log(lnp)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("lnsum")
+    )
+    return (
+        brier.join(ll, "g")
+        .select(
+            F.col("g").alias("l_linestatus"),
+            "n",
+            (
+                F.col("bq").cast("double")
+                / F.lit(1e4)
+                / F.col("n").cast("double")
+            ).alias("brier"),
+            (
+                -F.col("lnsum").cast("double")
+                / F.lit(1e6)
+                / F.col("n").cast("double")
+            ).alias("log_loss"),
+        )
+        .orderBy("l_linestatus")
+    )

@@ -1909,3 +1909,124 @@ def vec_farthest_point_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, vid, d) for r, vid, _, d in selected],
         "init_rank int, vec_id bigint, d2_at_pick double",
     )
+
+
+@register(
+    "vec_silhouette_simplified",
+    tags=("vector", "eval", "agg"),
+    oracle="""
+        WITH elems AS (
+            SELECT label, vec_id,
+                   generate_subscripts(embedding, 1) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ),
+        cents AS (
+            SELECT label AS clabel, dim,
+                   list_sum(list_transform(
+                       list(val ORDER BY vec_id), x -> x)) / COUNT(*) AS c
+            FROM elems GROUP BY label, dim
+        ),
+        d2 AS (
+            SELECT e.vec_id, e.label, c.clabel,
+                   CAST(SUM(CAST(FLOOR((e.val - c.c) * (e.val - c.c) * 1e12)
+                        AS DECIMAL(38,0))) AS BIGINT) AS dq
+            FROM elems e JOIN cents c ON c.dim = e.dim
+            GROUP BY e.vec_id, e.label, c.clabel
+        ),
+        ab AS (
+            SELECT vec_id, label,
+                   CAST(MIN(CASE WHEN clabel = label THEN dq END)
+                        AS BIGINT) AS a,
+                   CAST(MIN(CASE WHEN clabel <> label THEN dq END)
+                        AS BIGINT) AS b
+            FROM d2 GROUP BY vec_id, label
+        ),
+        s AS (
+            SELECT label,
+                   CAST(b - a AS DOUBLE)
+                     / CAST(GREATEST(a, b) AS DOUBLE) AS sil
+            FROM ab
+        )
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(CAST(SUM(CAST(FLOOR(sil * 1e6) AS DECIMAL(38,0)))
+                    AS VARCHAR) AS DOUBLE) / 1e6
+                 / CAST(COUNT(*) AS DOUBLE) AS mean_silhouette
+        FROM s GROUP BY label
+        ORDER BY label
+    """,
+)
+def vec_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label — THE
+    clustering-quality score, in the linear-time variant every
+    at-scale evaluation uses: a = squared distance to the own-label
+    centroid, b = min over other centroids, s = (b−a)/max(a,b). The
+    full-pairwise silhouette is O(n²); this is O(n·k·dims) with k
+    labels, the join every vector makes against the broadcast
+    centroid relation. Determinism: centroids come from the vec_id-
+    ordered sequential fold (the vec_centroid_per_label recipe — a
+    decimal-cast sum is NOT cross-engine-stable for float-origin
+    doubles); each squared-distance term is a deterministic double
+    floor-scaled at 1e-12 and integer-summed (order-free); the
+    silhouette edge is one division of exact BIGINTs; per-label means
+    ride the 1e-6 fsum. Negative means flag label overlap — the OOD
+    twin of vec_ood_centroid_outliers."""
+    e = load_table(spark, sf_dir, "embeddings")
+    elems = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    ).persist()  # consumed by the centroid build AND the distance join
+    ordered = F.array_sort(F.collect_list(F.struct("vec_id", "val")))
+    fold = F.aggregate(
+        F.transform(ordered, lambda s: s.getField("val")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cents = elems.groupBy(
+        F.col("label").alias("clabel"), "dim"
+    ).agg((fold / F.count("val")).alias("c"))
+    d2 = (
+        elems.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("val") - F.col("c"))
+                    * (F.col("val") - F.col("c"))
+                    * F.lit(1e12)
+                ).cast("decimal(38,0)")
+            )
+            .cast("bigint")
+            .alias("dq")
+        )
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("dq")))
+        .cast("bigint")
+        .alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dq")))
+        .cast("bigint")
+        .alias("b"),
+    )
+    sil = (F.col("b") - F.col("a")).cast("double") / F.greatest(
+        F.col("a"), F.col("b")
+    ).cast("double")
+    from finance_etl_spark.plans.ml import _fsum
+
+    return (
+        ab.select("label", sil.alias("sil"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            (_fsum(F.col("sil")) / F.count(F.lit(1)).cast("double")).alias(
+                "mean_silhouette"
+            ),
+        )
+        .orderBy("label")
+    )

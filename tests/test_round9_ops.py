@@ -492,3 +492,51 @@ def test_black_scholes_matches_erf_reference(spark):
         rows.sort(key=lambda r: r["k_pct"])
         calls = [r["call_q6"] for r in rows]
         assert all(a >= b for a, b in zip(calls, calls[1:]))
+
+
+def test_brier_log_loss_matches_pure_python(spark):
+    got = {r["l_linestatus"]: r for r in plans.get("ml_brier_log_loss").build(spark, SF).collect()}
+    rows = _fetch(
+        "SELECT l_linestatus, CAST(l_quantity AS BIGINT),"
+        " CAST(l_returnflag = 'R' AS INT)"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    groups = {}
+    for g, q, y in rows:
+        groups.setdefault(g, []).append(((2 * q - 1) / 100.0, y))
+    for g, items in groups.items():
+        n = len(items)
+        brier = sum((p - y) ** 2 for p, y in items) / n
+        ll = -sum(math.log(p if y else 1 - p) for p, y in items) / n
+        r = got[g]
+        assert r["n"] == n
+        assert r["brier"] == pytest.approx(brier, rel=1e-12)
+        assert r["log_loss"] == pytest.approx(ll, rel=1e-5)
+
+
+def test_silhouette_matches_numpy(spark):
+    got = {r["label"]: r for r in plans.get("vec_silhouette_simplified").build(spark, SF).collect()}
+    rows = _fetch(
+        f"SELECT vec_id, label, embedding FROM read_parquet('{SF}/embeddings.parquet')"
+        " ORDER BY vec_id"
+    )
+    import numpy as np
+
+    labels = sorted({r[1] for r in rows})
+    X = {lab: np.array([r[2] for r in rows if r[1] == lab], dtype=np.float64) for lab in labels}
+    cents = {lab: X[lab].mean(axis=0) for lab in labels}
+    sums, counts = {}, {}
+    for vid, lab, emb in rows:
+        v = np.array(emb, dtype=np.float64)
+        d = {cl: ((v - c) ** 2).sum() for cl, c in cents.items()}
+        a = d[lab]
+        b = min(val for cl, val in d.items() if cl != lab)
+        s = (b - a) / max(a, b)
+        sums[lab] = sums.get(lab, 0.0) + s
+        counts[lab] = counts.get(lab, 0) + 1
+    for lab in labels:
+        r = got[lab]
+        assert r["n_vectors"] == counts[lab]
+        # engine centroids use a sequential fold and 1e-12 floors;
+        # numpy means differ in last bits -> 1e-5 agreement contract
+        assert r["mean_silhouette"] == pytest.approx(sums[lab] / counts[lab], abs=1e-5)
