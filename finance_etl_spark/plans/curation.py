@@ -3704,7 +3704,7 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w").cast("bigint").alias("d"))
     )
     dc = (
-        n.join(deg, "v", "left")
+        n.join(F.broadcast(deg), "v", "left")
         .groupBy("comm")
         .agg(F.sum(F.coalesce(F.col("d"), F.lit(0))).cast("bigint").alias("d_c"))
     )
@@ -3718,7 +3718,7 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w").cast("bigint").alias("e_c"))
     )
     terms = (
-        dc.join(ec, "comm", "left")
+        dc.join(F.broadcast(ec), "comm", "left")
         .crossJoin(F.broadcast(m))
         .select(
             "comm",
