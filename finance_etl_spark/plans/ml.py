@@ -3739,3 +3739,142 @@ def ml_brier_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@register(
+    "ml_multiclass_prf",
+    tags=("ml", "eval", "agg"),
+    oracle="""
+        WITH lab AS (
+            SELECT o_orderpriority AS actual,
+                   CASE
+                     WHEN o_totalprice < 60000  THEN '1-URGENT'
+                     WHEN o_totalprice < 120000 THEN '2-HIGH'
+                     WHEN o_totalprice < 180000 THEN '3-MEDIUM'
+                     WHEN o_totalprice < 240000 THEN '4-NOT SPECIFIED'
+                     ELSE '5-LOW'
+                   END AS pred
+            FROM orders
+        ),
+        cells AS (
+            SELECT actual, pred, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lab GROUP BY actual, pred
+        ),
+        classes AS (
+            SELECT actual AS cls FROM cells
+            UNION
+            SELECT pred FROM cells
+        ),
+        prf AS (
+            SELECT k.cls,
+                   CAST(COALESCE(SUM(CASE WHEN c.actual = k.cls
+                        AND c.pred = k.cls THEN c.c END), 0) AS BIGINT)
+                       AS tp,
+                   CAST(COALESCE(SUM(CASE WHEN c.pred = k.cls
+                        THEN c.c END), 0) AS BIGINT) AS pred_n,
+                   CAST(COALESCE(SUM(CASE WHEN c.actual = k.cls
+                        THEN c.c END), 0) AS BIGINT) AS actual_n
+            FROM classes k LEFT JOIN cells c
+              ON c.actual = k.cls OR c.pred = k.cls
+            GROUP BY k.cls
+        )
+        SELECT cls, tp, pred_n, actual_n,
+               CASE WHEN pred_n = 0 THEN NULL
+                    ELSE CAST(tp AS DOUBLE) / CAST(pred_n AS DOUBLE)
+               END AS precision_c,
+               CASE WHEN actual_n = 0 THEN NULL
+                    ELSE CAST(tp AS DOUBLE) / CAST(actual_n AS DOUBLE)
+               END AS recall_c,
+               CASE WHEN pred_n + actual_n = 0 THEN NULL
+                    ELSE CAST(2 * tp AS DOUBLE)
+                         / CAST(pred_n + actual_n AS DOUBLE)
+               END AS f1_c
+        FROM prf
+        ORDER BY cls
+    """,
+)
+def ml_multiclass_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of a deterministic 5-class
+    value-band classifier against the actual order priority — the
+    multiclass evaluation table (the binary confusion ops stop at two
+    classes). The corpus collapses to the <=25-cell confusion matrix
+    in one map-side scan; the class spine is the union of observed
+    actual and predicted labels so absent predictions still get a
+    (NULL-guarded) row. F1 uses the division-free identity
+    2tp/(pred_n+actual_n) — one exact-integer division per class, no
+    precision·recall float chaining. Every guard emits NULL on both
+    engines (the IEEE divergence class). Macro/micro roll-ups are one
+    trivial aggregation away and deliberately left to the caller."""
+    o = load_table(spark, sf_dir, "orders")
+    pred = (
+        F.when(F.col("o_totalprice") < 60000, "1-URGENT")
+        .when(F.col("o_totalprice") < 120000, "2-HIGH")
+        .when(F.col("o_totalprice") < 180000, "3-MEDIUM")
+        .when(F.col("o_totalprice") < 240000, "4-NOT SPECIFIED")
+        .otherwise("5-LOW")
+    )
+    cells = (
+        o.select(F.col("o_orderpriority").alias("actual"), pred.alias("pred"))
+        .groupBy("actual", "pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()  # <=25 rows; consumed by the spine and three sums
+    )
+    classes = (
+        cells.select(F.col("actual").alias("cls"))
+        .union(cells.select("pred"))
+        .distinct()
+    )
+    joined = classes.join(
+        F.broadcast(cells),
+        (F.col("actual") == F.col("cls")) | (F.col("pred") == F.col("cls")),
+        "left",
+    )
+    prf = joined.groupBy("cls").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("actual") == F.col("cls"))
+                    & (F.col("pred") == F.col("cls")),
+                    F.col("c"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("tp"),
+        F.coalesce(
+            F.sum(F.when(F.col("pred") == F.col("cls"), F.col("c"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("pred_n"),
+        F.coalesce(
+            F.sum(F.when(F.col("actual") == F.col("cls"), F.col("c"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("actual_n"),
+    )
+    return prf.select(
+        "cls",
+        "tp",
+        "pred_n",
+        "actual_n",
+        F.when(F.col("pred_n") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("tp").cast("double") / F.col("pred_n").cast("double"))
+        .alias("precision_c"),
+        F.when(F.col("actual_n") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.col("tp").cast("double") / F.col("actual_n").cast("double")
+        )
+        .alias("recall_c"),
+        F.when(
+            F.col("pred_n") + F.col("actual_n") == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            (2 * F.col("tp")).cast("double")
+            / (F.col("pred_n") + F.col("actual_n")).cast("double")
+        )
+        .alias("f1_c"),
+    ).orderBy("cls")

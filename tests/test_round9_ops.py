@@ -540,3 +540,31 @@ def test_silhouette_matches_numpy(spark):
         # engine centroids use a sequential fold and 1e-12 floors;
         # numpy means differ in last bits -> 1e-5 agreement contract
         assert r["mean_silhouette"] == pytest.approx(sums[lab] / counts[lab], abs=1e-5)
+
+
+def test_multiclass_prf_matches_pure_python(spark):
+    got = {r["cls"]: r for r in plans.get("ml_multiclass_prf").build(spark, SF).collect()}
+    rows = _fetch(
+        "SELECT o_orderpriority, o_totalprice"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    )
+    bands = [
+        (60000, "1-URGENT"), (120000, "2-HIGH"), (180000, "3-MEDIUM"),
+        (240000, "4-NOT SPECIFIED"), (float("inf"), "5-LOW"),
+    ]
+    tp, pred_n, actual_n = {}, {}, {}
+    for actual, price in rows:
+        pred = next(lab for cut, lab in bands if price < cut)
+        pred_n[pred] = pred_n.get(pred, 0) + 1
+        actual_n[actual] = actual_n.get(actual, 0) + 1
+        if pred == actual:
+            tp[pred] = tp.get(pred, 0) + 1
+    classes = set(pred_n) | set(actual_n)
+    assert set(got) == classes
+    for cls in classes:
+        r = got[cls]
+        t, p, a = tp.get(cls, 0), pred_n.get(cls, 0), actual_n.get(cls, 0)
+        assert (r["tp"], r["pred_n"], r["actual_n"]) == (t, p, a)
+        assert r["precision_c"] == (pytest.approx(t / p) if p else None)
+        assert r["recall_c"] == (pytest.approx(t / a) if a else None)
+        assert r["f1_c"] == (pytest.approx(2 * t / (p + a)) if p + a else None)
