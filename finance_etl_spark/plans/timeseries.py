@@ -3252,3 +3252,179 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("z_stat"),
     ).orderBy("event_type")
+
+
+@register(
+    "ts_granger_causality_1lag",
+    tags=("ts", "stats", "hypothesis"),
+    oracle=f"""
+        WITH daily AS ({_DAILY_SCALED_SQL}),
+        lagged AS (
+            SELECT event_type, day, v,
+                   lag(v) OVER (PARTITION BY event_type ORDER BY day)
+                       AS v1
+            FROM daily
+        ),
+        triples AS (
+            SELECT y.event_type AS y_type, x.event_type AS x_type,
+                   y.v AS yt, y.v1 AS y1, x.v1 AS x1
+            FROM lagged y
+            JOIN lagged x ON x.day = y.day
+                 AND x.event_type <> y.event_type
+            WHERE y.v1 IS NOT NULL AND x.v1 IS NOT NULL
+        ),
+        sums AS (
+            SELECT y_type, x_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(CAST(yt AS DECIMAL(38,0))) AS VARCHAR)
+                        AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(y1 AS DECIMAL(38,0))) AS VARCHAR)
+                        AS DOUBLE) AS sy1,
+                   CAST(CAST(SUM(CAST(x1 AS DECIMAL(38,0))) AS VARCHAR)
+                        AS DOUBLE) AS sx1,
+                   CAST(CAST(SUM(CAST(yt AS DECIMAL(19,0))
+                        * CAST(yt AS DECIMAL(19,0))) AS VARCHAR)
+                        AS DOUBLE) AS syy,
+                   CAST(CAST(SUM(CAST(yt AS DECIMAL(19,0))
+                        * CAST(y1 AS DECIMAL(19,0))) AS VARCHAR)
+                        AS DOUBLE) AS syy1,
+                   CAST(CAST(SUM(CAST(yt AS DECIMAL(19,0))
+                        * CAST(x1 AS DECIMAL(19,0))) AS VARCHAR)
+                        AS DOUBLE) AS syx1,
+                   CAST(CAST(SUM(CAST(y1 AS DECIMAL(19,0))
+                        * CAST(y1 AS DECIMAL(19,0))) AS VARCHAR)
+                        AS DOUBLE) AS sy1y1,
+                   CAST(CAST(SUM(CAST(x1 AS DECIMAL(19,0))
+                        * CAST(x1 AS DECIMAL(19,0))) AS VARCHAR)
+                        AS DOUBLE) AS sx1x1,
+                   CAST(CAST(SUM(CAST(y1 AS DECIMAL(19,0))
+                        * CAST(x1 AS DECIMAL(19,0))) AS VARCHAR)
+                        AS DOUBLE) AS sy1x1
+            FROM triples GROUP BY y_type, x_type
+        ),
+        cen AS (
+            SELECT y_type, x_type, n,
+                   syy - sy * sy / CAST(n AS DOUBLE) AS cyy,
+                   syy1 - sy * sy1 / CAST(n AS DOUBLE) AS cyy1,
+                   syx1 - sy * sx1 / CAST(n AS DOUBLE) AS cyx1,
+                   sy1y1 - sy1 * sy1 / CAST(n AS DOUBLE) AS cy1y1,
+                   sx1x1 - sx1 * sx1 / CAST(n AS DOUBLE) AS cx1x1,
+                   sy1x1 - sy1 * sx1 / CAST(n AS DOUBLE) AS cy1x1
+            FROM sums
+        ),
+        fit AS (
+            SELECT y_type, x_type, n, cyy, cyy1, cyx1, cy1y1, cx1x1,
+                   cy1x1,
+                   cy1y1 * cx1x1 - cy1x1 * cy1x1 AS det,
+                   cyy - cyy1 * cyy1 / cy1y1 AS rss_r,
+                   cyy - ((cyy1 * cx1x1 - cyx1 * cy1x1)
+                          / (cy1y1 * cx1x1 - cy1x1 * cy1x1)) * cyy1
+                       - ((cyx1 * cy1y1 - cyy1 * cy1x1)
+                          / (cy1y1 * cx1x1 - cy1x1 * cy1x1)) * cyx1
+                       AS rss_u
+            FROM cen
+        )
+        SELECT x_type AS cause, y_type AS effect, n, rss_r, rss_u,
+               CASE WHEN det = CAST(0.0 AS DOUBLE)
+                      OR rss_u <= CAST(0.0 AS DOUBLE) THEN NULL
+                    ELSE (rss_r - rss_u) * CAST(n - 3 AS DOUBLE) / rss_u
+               END AS f_stat
+        FROM fit
+        ORDER BY cause, effect
+    """,
+)
+def ts_granger_causality_1lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality at lag 1 for every directed pair of event
+    series: does yesterday's X help predict today's Y beyond
+    yesterday's Y? F compares the restricted AR(1) fit against the
+    bivariate fit, both in CLOSED FORM from ten exact sufficient
+    statistics — the corpus collapses to floor-scaled integer daily
+    totals in one scan, lag alignment is a day-equijoin of the
+    series-partitioned lag windows, and every sum of BIGINT
+    cross-products rides DECIMAL(38,0) (order-free) before ONE
+    pinned-order double edge (centered moments, Cramer 2x2 solve,
+    F). Degenerate fits (singular normal matrix, zero residual)
+    NULL-guard identically on both engines. Scale: O(types²) pairs of
+    O(days) rows after the collapse; nothing corpus-sized crosses the
+    pair join."""
+    daily = _daily_scaled(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "day", "v", F.lag("v").over(w).alias("v1")
+    ).filter(F.col("v1").isNotNull()).persist()
+    y = lagged.select(
+        F.col("event_type").alias("y_type"),
+        "day",
+        F.col("v").alias("yt"),
+        F.col("v1").alias("y1"),
+    )
+    x = lagged.select(
+        F.col("event_type").alias("x_type"),
+        F.col("day").alias("xday"),
+        F.col("v1").alias("x1"),
+    )
+    triples = y.join(
+        x,
+        (F.col("xday") == F.col("day"))
+        & (F.col("x_type") != F.col("y_type")),
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = triples.groupBy("y_type", "x_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d38("yt")).cast("double").alias("sy"),
+        F.sum(d38("y1")).cast("double").alias("sy1"),
+        F.sum(d38("x1")).cast("double").alias("sx1"),
+        F.sum(d19("yt") * d19("yt")).cast("double").alias("syy"),
+        F.sum(d19("yt") * d19("y1")).cast("double").alias("syy1"),
+        F.sum(d19("yt") * d19("x1")).cast("double").alias("syx1"),
+        F.sum(d19("y1") * d19("y1")).cast("double").alias("sy1y1"),
+        F.sum(d19("x1") * d19("x1")).cast("double").alias("sx1x1"),
+        F.sum(d19("y1") * d19("x1")).cast("double").alias("sy1x1"),
+    )
+    nd = F.col("n").cast("double")
+    cen = sums.select(
+        "y_type",
+        "x_type",
+        "n",
+        (F.col("syy") - F.col("sy") * F.col("sy") / nd).alias("cyy"),
+        (F.col("syy1") - F.col("sy") * F.col("sy1") / nd).alias("cyy1"),
+        (F.col("syx1") - F.col("sy") * F.col("sx1") / nd).alias("cyx1"),
+        (F.col("sy1y1") - F.col("sy1") * F.col("sy1") / nd).alias("cy1y1"),
+        (F.col("sx1x1") - F.col("sx1") * F.col("sx1") / nd).alias("cx1x1"),
+        (F.col("sy1x1") - F.col("sy1") * F.col("sx1") / nd).alias("cy1x1"),
+    )
+    det = F.col("cy1y1") * F.col("cx1x1") - F.col("cy1x1") * F.col("cy1x1")
+    b = (
+        F.col("cyy1") * F.col("cx1x1") - F.col("cyx1") * F.col("cy1x1")
+    ) / det
+    c = (
+        F.col("cyx1") * F.col("cy1y1") - F.col("cyy1") * F.col("cy1x1")
+    ) / det
+    fit = cen.select(
+        "y_type",
+        "x_type",
+        "n",
+        det.alias("det"),
+        (F.col("cyy") - F.col("cyy1") * F.col("cyy1") / F.col("cy1y1")).alias(
+            "rss_r"
+        ),
+        (F.col("cyy") - b * F.col("cyy1") - c * F.col("cyx1")).alias("rss_u"),
+    )
+    return fit.select(
+        F.col("x_type").alias("cause"),
+        F.col("y_type").alias("effect"),
+        "n",
+        "rss_r",
+        "rss_u",
+        F.when(
+            (F.col("det") == F.lit(0.0)) | (F.col("rss_u") <= F.lit(0.0)),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            (F.col("rss_r") - F.col("rss_u"))
+            * (F.col("n") - 3).cast("double")
+            / F.col("rss_u")
+        )
+        .alias("f_stat"),
+    ).orderBy("cause", "effect")

@@ -568,3 +568,42 @@ def test_multiclass_prf_matches_pure_python(spark):
         assert r["precision_c"] == (pytest.approx(t / p) if p else None)
         assert r["recall_c"] == (pytest.approx(t / a) if a else None)
         assert r["f1_c"] == (pytest.approx(2 * t / (p + a)) if p + a else None)
+
+
+def test_granger_matches_numpy_lstsq(spark, daily_scaled):
+    got = {
+        (r["cause"], r["effect"]): r
+        for r in plans.get("ts_granger_causality_1lag").build(spark, SF).collect()
+    }
+    types = sorted(daily_scaled)
+    series = {et: dict(pts) for et, pts in daily_scaled.items()}
+    days = {et: sorted(d for d, _ in daily_scaled[et]) for et in types}
+    for xt in types:
+        for yt in types:
+            if xt == yt:
+                continue
+            # aligned triples: y_t, y_{t-1}, x_{t-1} on shared days
+            ylag, xlag = {}, {}
+            for prev, cur in zip(days[yt], days[yt][1:]):
+                if (cur - prev).days == 1:
+                    ylag[cur] = (series[yt][cur], series[yt][prev])
+            for prev, cur in zip(days[xt], days[xt][1:]):
+                if (cur - prev).days == 1:
+                    xlag[cur] = series[xt][prev]
+            common = sorted(set(ylag) & set(xlag))
+            Y = np.array([ylag[d][0] for d in common], dtype=np.float64)
+            Y1 = np.array([ylag[d][1] for d in common], dtype=np.float64)
+            X1 = np.array([xlag[d] for d in common], dtype=np.float64)
+            n = len(common)
+            A_r = np.column_stack([np.ones(n), Y1])
+            A_u = np.column_stack([np.ones(n), Y1, X1])
+            rss = lambda A: float(
+                ((Y - A @ np.linalg.lstsq(A, Y, rcond=None)[0]) ** 2).sum()
+            )
+            rss_r, rss_u = rss(A_r), rss(A_u)
+            f = (rss_r - rss_u) * (n - 3) / rss_u
+            r = got[(xt, yt)]
+            assert r["n"] == n
+            assert r["rss_r"] == pytest.approx(rss_r, rel=1e-6)
+            assert r["rss_u"] == pytest.approx(rss_u, rel=1e-6)
+            assert r["f_stat"] == pytest.approx(f, rel=1e-4)
