@@ -3878,3 +3878,152 @@ def ml_multiclass_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("f1_c"),
     ).orderBy("cls")
+
+
+# Permutation-importance base: predict extendedprice (cents) from
+# quantity and discount (scaled ints) on lineitem, keyed uniquely by
+# (orderkey, linenumber).
+_PI_KEY = "CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)"
+
+
+def _pi_r2_sql(xcol: str) -> str:
+    """R² of the single-feature OLS y~x from exact sufficient sums —
+    shared shape for the baseline and permuted fits (DuckDB side)."""
+    return f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS VARCHAR)
+                    AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST({xcol} AS DECIMAL(38,0))) AS VARCHAR)
+                    AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(y AS DECIMAL(19,0))
+                    * CAST(y AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
+                   AS syy,
+               CAST(CAST(SUM(CAST({xcol} AS DECIMAL(19,0))
+                    * CAST({xcol} AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
+                   AS sxx,
+               CAST(CAST(SUM(CAST(y AS DECIMAL(19,0))
+                    * CAST({xcol} AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
+                   AS sxy
+    """
+
+
+@register(
+    "ml_permutation_importance",
+    tags=("ml", "eval", "window"),
+    oracle=f"""
+        WITH lab AS (
+            SELECT {_PI_KEY} AS k,
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS y,
+                   CAST(l_quantity AS BIGINT) AS x
+            FROM lineitem
+        ),
+        row_rank AS (
+            SELECT k, y, x,
+                   ROW_NUMBER() OVER (ORDER BY md5('r:' || k), y, x)
+                       AS rr
+            FROM lab
+        ),
+        feat_rank AS (
+            SELECT x AS xp,
+                   ROW_NUMBER() OVER (ORDER BY md5('f:' || k), x) AS fr
+            FROM lab
+        ),
+        permuted AS (
+            SELECT r.y, r.x, f.xp
+            FROM row_rank r JOIN feat_rank f ON f.fr = r.rr
+        ),
+        base AS ({_pi_r2_sql("x")} FROM permuted),
+        perm AS ({_pi_r2_sql("xp")} FROM permuted),
+        r2 AS (
+            SELECT b.n,
+                   (b.sxy - b.sx * b.sy / CAST(b.n AS DOUBLE))
+                   * (b.sxy - b.sx * b.sy / CAST(b.n AS DOUBLE))
+                   / ((b.sxx - b.sx * b.sx / CAST(b.n AS DOUBLE))
+                      * (b.syy - b.sy * b.sy / CAST(b.n AS DOUBLE)))
+                       AS r2_base,
+                   (p.sxy - p.sx * p.sy / CAST(p.n AS DOUBLE))
+                   * (p.sxy - p.sx * p.sy / CAST(p.n AS DOUBLE))
+                   / ((p.sxx - p.sx * p.sx / CAST(p.n AS DOUBLE))
+                      * (p.syy - p.sy * p.sy / CAST(p.n AS DOUBLE)))
+                       AS r2_perm
+            FROM base b CROSS JOIN perm p
+        )
+        SELECT n, r2_base, r2_perm, r2_base - r2_perm AS importance
+        FROM r2
+    """,
+)
+def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation feature importance — the model-agnostic standard:
+    break the feature↔target coupling by re-pairing the quantity
+    column with rows under an INDEPENDENT deterministic md5 ordering,
+    and report how much single-feature OLS R² collapses. The
+    distributed permutation is the scale-critical piece: two global
+    md5 rankings joined on rank position. Spark computes both with
+    operators/ranks.py::global_row_number (range-repartition + local
+    row_number + partition offsets — never a single-task window);
+    the DuckDB oracle uses plain ROW_NUMBER. R² on both sides reduces
+    to six exact DECIMAL(38,0) sufficient sums with one pinned-order
+    double edge. The permuted R² collapsing toward 0 (pinned in the
+    pytest) is the direct importance signal; md5 determinism makes
+    the 'random' permutation byte-replayable. The synthetic
+    (orderkey, linenumber) pair is NOT unique (measured 45832/60000 at
+    sf0.01), so both rank orders carry the row PAYLOAD as tiebreaker —
+    rows tied on (hash, payload) are interchangeable, making the
+    pairing sums invariant under the residual tie order."""
+    from finance_etl_spark.operators.ranks import global_row_number
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lab = li.select(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("#"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("k"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * F.lit(100))
+        .cast("bigint")
+        .alias("y"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+    ).persist()  # feeds both global rankings
+    rr = global_row_number(
+        lab.select(
+            "y", "x", F.md5(F.concat(F.lit("r:"), F.col("k"))).alias("h")
+        ),
+        [F.col("h"), F.col("y"), F.col("x")],
+        out_col="rr",
+    ).select("y", "x", "rr")
+    fr = global_row_number(
+        lab.select(
+            F.col("x").alias("xp"),
+            F.md5(F.concat(F.lit("f:"), F.col("k"))).alias("h"),
+        ),
+        [F.col("h"), F.col("xp")],
+        out_col="fr",
+    ).select("xp", "fr")
+    permuted = rr.join(fr, rr["rr"] == fr["fr"]).persist()
+
+    def r2(xc: str):
+        d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+        d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+        s = permuted.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(d38("y")).cast("double").alias("sy"),
+            F.sum(d38(xc)).cast("double").alias("sx"),
+            F.sum(d19("y") * d19("y")).cast("double").alias("syy"),
+            F.sum(d19(xc) * d19(xc)).cast("double").alias("sxx"),
+            F.sum(d19("y") * d19(xc)).cast("double").alias("sxy"),
+        )
+        nd = F.col("n").cast("double")
+        cxy = F.col("sxy") - F.col("sx") * F.col("sy") / nd
+        cxx = F.col("sxx") - F.col("sx") * F.col("sx") / nd
+        cyy = F.col("syy") - F.col("sy") * F.col("sy") / nd
+        return s.select("n", (cxy * cxy / (cxx * cyy)).alias("r2"))
+
+    base = r2("x").select("n", F.col("r2").alias("r2_base"))
+    perm = r2("xp").select(F.col("r2").alias("r2_perm"))
+    return base.crossJoin(perm).select(
+        "n",
+        "r2_base",
+        "r2_perm",
+        (F.col("r2_base") - F.col("r2_perm")).alias("importance"),
+    )

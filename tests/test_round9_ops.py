@@ -607,3 +607,23 @@ def test_granger_matches_numpy_lstsq(spark, daily_scaled):
             assert r["rss_r"] == pytest.approx(rss_r, rel=1e-6)
             assert r["rss_u"] == pytest.approx(rss_u, rel=1e-6)
             assert r["f_stat"] == pytest.approx(f, rel=1e-4)
+
+
+def test_permutation_importance_collapses_r2(spark):
+    row = plans.get("ml_permutation_importance").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT),"
+        " CAST(l_quantity AS BIGINT)"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    y = np.array([r[0] for r in rows], dtype=np.float64)
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    r2_base = float(np.corrcoef(x, y)[0, 1] ** 2)
+    assert row["n"] == len(rows)
+    assert row["r2_base"] == pytest.approx(r2_base, rel=1e-9)
+    # a permutation destroys the coupling: permuted R2 must be noise
+    # (chi2(1)/n scale), far below any real R2 and bounded by ~25/n
+    assert 0.0 <= row["r2_perm"] < 25.0 / row["n"]
+    assert row["importance"] == pytest.approx(
+        row["r2_base"] - row["r2_perm"], abs=1e-15
+    )
