@@ -3519,8 +3519,12 @@ def cur_pretrain_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tok"),
     ).filter(F.col("n_tok") > 0)
-    # two-level exclusive prefix sum over doc_id order
-    toks = toks.withColumn("bkt", F.expr("doc_id DIV 4096"))
+    # two-level exclusive prefix sum over doc_id order. Persist the
+    # (bkt, doc_id, n_tok) relation: both levels consume it, and
+    # without the cache each one re-scans AND re-tokenizes the full
+    # text column (the expensive part) — the cached form is three
+    # numeric columns, orders of magnitude narrower than the corpus.
+    toks = toks.withColumn("bkt", F.expr("doc_id DIV 4096")).persist()
     w_in = (
         Window.partitionBy("bkt")
         .orderBy("doc_id")

@@ -761,3 +761,35 @@ def test_psi_drift_aggregates_before_bins_join(spark, sf_dir):
     assert "SortMergeJoin" not in phys and "ShuffledHashJoin" not in phys
     # both consumers read the persisted 10-row aggregate, not the corpus
     assert "InMemoryRelation" in phys
+
+
+def test_pretrain_chunking_two_level_offsets(spark, sf_dir):
+    """The global token offset must be the two-level decomposition:
+    the corpus-scale window partitions by the doc_id bucket, and the
+    only SinglePartition exchange feeds the O(buckets) carry window
+    from a bkt-keyed aggregate — never the raw doc relation."""
+    import re
+
+    p = plan_str(plans.get("cur_pretrain_chunking").build(spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert any("bkt" in s and "doc_id" in s for s in specs), specs
+    # every unpartitioned window spec is the carry (frame-only spec)
+    for s in specs:
+        assert "bkt" in s or "doc_id" not in s, s
+
+
+def test_permutation_importance_no_global_window(spark, sf_dir):
+    """Both md5 rankings must come from the two-pass range-partitioned
+    helper — __pid-partitioned local row_numbers, never an
+    unpartitioned corpus row_number window."""
+    import re
+
+    p = plan_str(
+        plans.get("ml_permutation_importance").build(spark, sf_dir),
+        "extended",
+    )
+    phys = p.split("== Physical Plan ==")[-1]
+    specs = re.findall(r"Window \[[^\]]*windowspecdefinition\(([^)]*)\)", phys)
+    assert specs, "no Window nodes found"
+    for s in specs:
+        assert "__pid" in s, f"unpartitioned ranking window: {s}"
