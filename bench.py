@@ -59,40 +59,49 @@ def main() -> int:
             min(run_query(spark, name, SF_DIR) for _ in range(N_RUNS)), 3
         )
     total = round(sum(timings.values()), 3)
+    # The driver captures only the last ~2000 bytes of stdout and parses
+    # the final JSON line. Rounds 6-8 embedded the quiet-machine rerun
+    # and headline_set inline, pushing the line past that window, and the
+    # driver recorded parsed=null three rounds running. Keep stdout to
+    # the compact required shape; the full context (headline_set,
+    # quiet-machine reference, host-noise notes) goes to
+    # BENCH_DETAIL.json next to this script instead.
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
-        # Host-noise context: this machine is a shared VM and wall
-        # times swing ±30% with background load (BENCH_r04 recorded
-        # 14.4 s under load vs 11.3 s quiet, identical plans). The
-        # loadavg captured around the run plus the committed
-        # quiet-machine reference (BENCH_LOCAL.json, produced by the
-        # same harness at round end on an idle host) let a reader
-        # compare rounds without re-running.
         "runs_per_query": N_RUNS,
         "loadavg_1m": [round(load_start, 2), round(os.getloadavg()[0], 2)],
-        # The headline set changes across rounds (r4 added
-        # stat_ks_two_sample, r5 added text_vocab_coverage): totals are
-        # only comparable on the intersection, so the composition is
-        # recorded explicitly.
         "headline_count": len(names),
-        "headline_set": names,
     }
-    local_ref = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail = dict(out)
+    # Host-noise context: this machine is a shared VM and wall times
+    # swing ±30% with background load (BENCH_r04 recorded 14.4 s under
+    # load vs 11.3 s quiet, identical plans). The loadavg captured
+    # around the run plus the committed quiet-machine reference
+    # (BENCH_LOCAL.json, produced by the same harness on an idle host)
+    # let a reader compare rounds without re-running.
+    detail["headline_set"] = names
     try:
-        with open(local_ref) as f:
-            out["quiet_rerun"] = json.load(f)
+        with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
+            detail["quiet_rerun"] = json.load(f)
     except FileNotFoundError:
-        out["quiet_rerun"] = None
-        print(
-            f"bench: no quiet-machine reference at {local_ref} "
-            "(run tools/bench_local.py on an idle host to record one)",
-            file=sys.stderr,
-        )
-    print(json.dumps(out))
+        detail["quiet_rerun"] = None
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    line = json.dumps(out)
+    if len(line) >= 1800:  # never exceed the driver's tail window
+        slim = dict(out)
+        slim.pop("queries", None)
+        slim["queries_in"] = "BENCH_DETAIL.json"
+        line = json.dumps(slim)
+    print(line)
     return 0
 
 
