@@ -1666,3 +1666,566 @@ def stat_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (ssw / (F.col("nn") - F.col("k")).cast("double"))
         ).alias("w_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall's tau-b (round 9): rank correlation that is robust to the
+# heavy ties of discrete business columns. The naive definition is a
+# pairwise O(n^2) scan; the scale-safe formulation exploits that both
+# variables are LOW-CARDINALITY (quantity ~50 distinct, discount ~11):
+# the corpus reduces to an RxC contingency table in one hash agg, and
+# concordant/discordant pair counts become a self-join over cell pairs
+# — O((RC)^2) on a model-sized relation, independent of corpus size.
+# nc = sum o_i*o_j over cell pairs strictly increasing in both dims
+# (join on q2 > q1 counts each unordered pair exactly once), ties come
+# from the margins, and everything stays exact integer / DECIMAL(38,0)
+# until the final sqrt edge.
+
+
+@register(
+    "stat_kendall_tau",
+    tags=("stats", "agg", "join"),
+    oracle="""
+        WITH cells AS (
+            SELECT CAST(l_quantity AS DECIMAL(12,2)) AS q,
+                   CAST(l_discount AS DECIMAL(12,2)) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM lineitem GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT
+                CAST(SUM(CASE WHEN c2.d > c1.d
+                     THEN CAST(c1.o AS DECIMAL(38,0)) * c2.o
+                     ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+                    AS nc,
+                CAST(SUM(CASE WHEN c2.d < c1.d
+                     THEN CAST(c1.o AS DECIMAL(38,0)) * c2.o
+                     ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+                    AS nd
+            FROM cells c1 JOIN cells c2 ON c2.q > c1.q
+        ),
+        marg AS (
+            SELECT
+                CAST(SUM(o) AS BIGINT) AS n,
+                CAST(SUM(CAST(o AS DECIMAL(38,0)) * (o - 1)) AS DECIMAL(38,0))
+                    AS t2q_all
+            FROM cells
+        ),
+        tq AS (
+            SELECT CAST(SUM(CAST(nr AS DECIMAL(38,0)) * (nr - 1))
+                        AS DECIMAL(38,0)) AS t2
+            FROM (SELECT CAST(SUM(o) AS BIGINT) AS nr FROM cells GROUP BY q)
+        ),
+        td AS (
+            SELECT CAST(SUM(CAST(ncol AS DECIMAL(38,0)) * (ncol - 1))
+                        AS DECIMAL(38,0)) AS t2
+            FROM (SELECT CAST(SUM(o) AS BIGINT) AS ncol FROM cells GROUP BY d)
+        )
+        SELECT m.n,
+               CAST(CAST(p.nc AS VARCHAR) AS DOUBLE) AS n_concordant,
+               CAST(CAST(p.nd AS VARCHAR) AS DOUBLE) AS n_discordant,
+               CAST(CAST(tq.t2 AS VARCHAR) AS DOUBLE) / CAST(2 AS DOUBLE)
+                   AS ties_x,
+               CAST(CAST(td.t2 AS VARCHAR) AS DOUBLE) / CAST(2 AS DOUBLE)
+                   AS ties_y,
+               (CAST(CAST(p.nc AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(p.nd AS VARCHAR) AS DOUBLE))
+               / sqrt(
+                   (CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE)
+                        - CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE)
+                    - CAST(CAST(tq.t2 AS VARCHAR) AS DOUBLE)
+                        / CAST(2 AS DOUBLE))
+                   * (CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE)
+                        - CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE)
+                    - CAST(CAST(td.t2 AS VARCHAR) AS DOUBLE)
+                        / CAST(2 AS DOUBLE))
+               ) AS tau_b
+        FROM pairs p, marg m, tq, td
+    """,
+)
+def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between line quantity and discount via the
+    contingency-table reduction: one corpus-scale hash agg collapses
+    lineitem to <=550 (quantity, discount) cells, and the pairwise
+    counts come from a cell-level inequality self-join — the O(n^2)
+    pair space becomes O((RC)^2) on a model-sized relation, so 100x
+    the corpus only grows the first agg. Pair products accumulate in
+    DECIMAL(38,0) (exact, order-free); tau_b's denominator casts each
+    exact factor to double BEFORE multiplying (a (38,0)x(38,0) product
+    would overflow DuckDB's decimal width) — IEEE-deterministic both
+    sides. Pair counts present as DOUBLE: they are ~n^2/4 and outgrow
+    BIGINT at petabyte corpus sizes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.col("l_quantity").cast("decimal(12,2)").alias("q"),
+            F.col("l_discount").cast("decimal(12,2)").alias("d"),
+        )
+        .groupBy("q", "d")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .persist()
+    )
+    dec = "decimal(38,0)"
+    c1, c2 = cells.alias("c1"), cells.alias("c2")
+    pairs = (
+        c1.join(F.broadcast(c2), F.col("c2.q") > F.col("c1.q"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("c2.d") > F.col("c1.d"),
+                    F.col("c1.o").cast(dec) * F.col("c2.o"),
+                ).otherwise(F.lit(0).cast(dec))
+            )
+            .cast(dec)
+            .alias("nc"),
+            F.sum(
+                F.when(
+                    F.col("c2.d") < F.col("c1.d"),
+                    F.col("c1.o").cast(dec) * F.col("c2.o"),
+                ).otherwise(F.lit(0).cast(dec))
+            )
+            .cast(dec)
+            .alias("nd"),
+        )
+    )
+    marg = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    tq = (
+        cells.groupBy("q")
+        .agg(F.sum("o").cast("bigint").alias("nr"))
+        .agg(
+            F.sum(F.col("nr").cast(dec) * (F.col("nr") - 1)).cast(dec).alias("t2")
+        )
+        .withColumnRenamed("t2", "t2q")
+    )
+    td = (
+        cells.groupBy("d")
+        .agg(F.sum("o").cast("bigint").alias("ncol"))
+        .agg(
+            F.sum(F.col("ncol").cast(dec) * (F.col("ncol") - 1))
+            .cast(dec)
+            .alias("t2d")
+        )
+    )
+    j = (
+        pairs.crossJoin(F.broadcast(marg))
+        .crossJoin(F.broadcast(tq))
+        .crossJoin(F.broadcast(td))
+    )
+    as_d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    nd_ = F.col("n").cast("double")
+    n0 = nd_ * (nd_ - F.lit(1.0)) / F.lit(2.0)
+    return j.select(
+        "n",
+        as_d("nc").alias("n_concordant"),
+        as_d("nd").alias("n_discordant"),
+        (as_d("t2q") / F.lit(2.0)).alias("ties_x"),
+        (as_d("t2d") / F.lit(2.0)).alias("ties_y"),
+        (
+            (as_d("nc") - as_d("nd"))
+            / F.sqrt(
+                (n0 - as_d("t2q") / F.lit(2.0))
+                * (n0 - as_d("t2d") / F.lit(2.0))
+            )
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H (round 9): the k-sample rank ANOVA — "do any of the
+# k priority cohorts differ in order value?" without normality
+# assumptions. Midranks come from the same scale-safe distinct-value
+# decomposition as Spearman (_midranks2: per-bucket window + O(buckets)
+# carry — never a global unpartitioned sort); per-group rank sums stay
+# exact DECIMAL(38,0); the k per-group R_j^2/n_j terms are folded in
+# group-key order via the sorted-array reduce (the ANOVA recipe) so
+# the k-double sum is order-independent; tie correction from exact
+# integer t^3 - t sums.
+
+
+@register(
+    "stat_kruskal_wallis",
+    tags=("stats", "window", "agg"),
+    oracle="""
+        WITH base AS (
+            SELECT o_orderpriority AS g,
+                   CAST(o_totalprice AS DECIMAL(12,2)) AS x
+            FROM orders
+        ),
+        rv AS (
+            SELECT v, t,
+                   2 * (SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t)
+                       + t + 1 AS mr2
+            FROM (SELECT x AS v, COUNT(*) AS t FROM base GROUP BY x)
+        ),
+        per AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS nj,
+                   SUM(CAST(rv.mr2 AS DECIMAL(38,0))) AS s2j
+            FROM base JOIN rv ON rv.v = base.x
+            GROUP BY g
+        ),
+        terms AS (
+            SELECT g, nj,
+                   CAST(CAST(s2j AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(s2j AS VARCHAR) AS DOUBLE)
+                     / (CAST(4 AS DOUBLE) * CAST(nj AS DOUBLE)) AS tj
+            FROM per
+        ),
+        red AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(nj) AS BIGINT) AS n,
+                   list_reduce(list(tj ORDER BY g), (a, x) -> a + x) AS t_sum
+            FROM terms
+        ),
+        ties AS (
+            SELECT CAST(CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t)
+                        AS VARCHAR) AS DOUBLE) AS t3
+            FROM (SELECT COUNT(*) AS t FROM base GROUP BY x)
+        )
+        SELECT k, n,
+               CAST(12 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)) * t_sum
+                 - CAST(3 AS DOUBLE) * (CAST(n AS DOUBLE) + 1) AS h_stat,
+               CAST(1 AS DOUBLE) - ties.t3
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    - CAST(n AS DOUBLE)) AS tie_correction,
+               (CAST(12 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)) * t_sum
+                 - CAST(3 AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+               / (CAST(1 AS DOUBLE) - ties.t3
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    - CAST(n AS DOUBLE))) AS h_corrected
+        FROM red, ties
+    """,
+)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five order-priority cohorts on
+    order value. Pooled midranks via _midranks2 (value-bucket window +
+    broadcast carry — rank work scales with DISTINCT values per
+    bucket, not corpus rows); per-group rank sums are exact
+    DECIMAL(38,0); R_j^2/n_j casts the exact sum to double through the
+    VARCHAR route BEFORE squaring (decimal^2 would overflow width 38)
+    and the five per-group doubles fold in sorted group order so the
+    reduction is order-free. H = 12/(n(n+1)) * sum_j R_j^2/n_j
+    - 3(n+1); ties divide out through the exact integer
+    sum(t^3 - t)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("x"),
+    )
+    rv = _midranks2(base, "x", 10000)
+    per = (
+        base.join(rv, base.x == rv.v)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nj"),
+            F.sum(F.col("mr2").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("s2j"),
+        )
+    )
+    s2d = F.col("s2j").cast("string").cast("double")
+    terms = per.select(
+        "g",
+        "nj",
+        (s2d * s2d / (F.lit(4.0) * F.col("nj").cast("double"))).alias("tj"),
+    )
+    red = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("nj").cast("bigint").alias("n"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("g"), F.col("tj")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["tj"],
+        ).alias("t_sum"),
+    )
+    ties = (
+        base.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+                - F.col("t")
+            )
+            .cast("decimal(38,0)")
+            .cast("string")
+            .cast("double")
+            .alias("t3")
+        )
+    )
+    j = red.crossJoin(F.broadcast(ties))
+    nd_ = F.col("n").cast("double")
+    h = (
+        F.lit(12.0) / (nd_ * (nd_ + F.lit(1.0))) * F.col("t_sum")
+        - F.lit(3.0) * (nd_ + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("t3") / (nd_ * nd_ * nd_ - nd_)
+    return j.select(
+        "k",
+        "n",
+        h.alias("h_stat"),
+        corr.alias("tie_correction"),
+        (h / corr).alias("h_corrected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared goodness-of-fit (round 9): is order volume uniform over
+# the day-of-week? The weekday comes from exact epoch-day arithmetic
+# ((date - 1970-01-01) mod 7 — both engines' named dow functions
+# disagree on numbering, integer arithmetic doesn't), and the statistic
+# uses the algebraic identity chi2 = (k*sum(o^2) - n^2)/n so it is
+# computed from exact integers with ONE division at the edge.
+
+
+@register(
+    "stat_chi2_gof",
+    tags=("stats", "agg"),
+    oracle="""
+        WITH lab AS (
+            SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT) % 7 AS dow
+            FROM orders
+        ),
+        per AS (
+            SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM lab GROUP BY dow
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_obs) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(CAST(SUM(CAST(n_obs AS DECIMAL(38,0)) * n_obs)
+                        AS VARCHAR) AS DOUBLE) AS so2
+            FROM per
+        )
+        SELECT p.dow, p.n_obs,
+               CAST(t.n AS DOUBLE) / CAST(t.k AS DOUBLE) AS expected,
+               (CAST(p.n_obs AS DOUBLE)
+                - CAST(t.n AS DOUBLE) / CAST(t.k AS DOUBLE))
+               * (CAST(p.n_obs AS DOUBLE)
+                - CAST(t.n AS DOUBLE) / CAST(t.k AS DOUBLE))
+               / (CAST(t.n AS DOUBLE) / CAST(t.k AS DOUBLE)) AS chi2_term,
+               (CAST(t.k AS DOUBLE) * t.so2
+                - CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE))
+                 / CAST(t.n AS DOUBLE) AS chi2_total,
+               CAST(t.k - 1 AS BIGINT) AS df
+        FROM per p CROSS JOIN tot t
+        ORDER BY p.dow
+    """,
+)
+def stat_chi2_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared goodness-of-fit of order counts against a uniform
+    day-of-week model — the seasonality sanity gate every load
+    pipeline wants. One corpus scan hash-aggregates to 7 (dow, count)
+    rows (epoch-day mod 7: engine-neutral integer weekday); the total
+    statistic avoids order-dependent float accumulation entirely via
+    chi2 = (k*sum(o_i^2) - n^2)/n over exact integers, and the per-row
+    chi2_term doubles are bit-identical shared expressions. Corpus ->
+    7 rows in one map-side-combining agg; everything after is
+    constant-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    lab = o.select(
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+            .cast("bigint")
+            % 7
+        ).alias("dow")
+    )
+    per = lab.groupBy("dow").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    tot = per.agg(
+        F.sum("n_obs").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("n_obs").cast("decimal(38,0)") * F.col("n_obs"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .cast("double")
+        .alias("so2"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    nd_ = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    exp_ = nd_ / kd
+    od = F.col("n_obs").cast("double")
+    return j.select(
+        "dow",
+        "n_obs",
+        exp_.alias("expected"),
+        ((od - exp_) * (od - exp_) / exp_).alias("chi2_term"),
+        ((kd * F.col("so2") - nd_ * nd_) / nd_).alias("chi2_total"),
+        (F.col("k") - 1).cast("bigint").alias("df"),
+    ).orderBy("dow")
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR (round 9): the multiple-testing step-up that
+# turns 25 per-nation mean tests into a controlled discovery set —
+# what any metrics platform needs the moment it tests more than one
+# cohort. z-scores come from exact sufficient statistics, the normal
+# CDF rides the shared Abramowitz-Stegun fragment (fin_black_scholes_
+# grid), p-values floor-quantize to q9 BIGINTs, and the step-up
+# comparison p_(i) <= i/m * alpha becomes the EXACT integer test
+# 20 * m * p_q9 <= i * 1e9 (alpha = 0.05) — no float comparisons
+# anywhere in the decision path.
+
+from finance_etl_spark.plans.finance import _ncdf_sql  # noqa: E402
+
+
+@register(
+    "stat_bh_fdr",
+    tags=("stats", "hypothesis", "window"),
+    oracle=f"""
+        WITH lab AS (
+            SELECT c.c_nationkey AS nation,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS xc
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        ),
+        per AS (
+            SELECT nation, CAST(COUNT(*) AS BIGINT) AS nj,
+                   CAST(SUM(xc) AS BIGINT) AS sj
+            FROM lab GROUP BY nation
+        ),
+        tot AS (
+            SELECT CAST(SUM(nj) AS BIGINT) AS n,
+                   CAST(SUM(sj) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS m,
+                   (SELECT CAST(CAST(SUM(CAST(xc AS DECIMAL(19,0))
+                                         * CAST(xc AS DECIMAL(19,0)))
+                                AS VARCHAR) AS DOUBLE) FROM lab) AS q
+            FROM per
+        ),
+        zs AS (
+            SELECT p.nation, p.nj,
+                   (CAST(p.sj AS DOUBLE) / CAST(p.nj AS DOUBLE)
+                    - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                   * sqrt(CAST(p.nj AS DOUBLE))
+                   / sqrt((t.q - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE)
+                               / CAST(t.n AS DOUBLE)) / CAST(t.n AS DOUBLE))
+                       AS z,
+                   t.m
+            FROM per p CROSS JOIN tot t
+        ),
+        ps AS (
+            SELECT nation, nj, z, m,
+                   CAST(FLOOR(CAST(2 AS DOUBLE)
+                        * (CAST(1 AS DOUBLE) - {_ncdf_sql('abs(z)')})
+                        * CAST(1e9 AS DOUBLE)) AS BIGINT) AS p_q9
+            FROM zs
+        ),
+        ranked AS (
+            SELECT nation, nj, z, m, p_q9,
+                   CAST(ROW_NUMBER() OVER (ORDER BY p_q9, nation)
+                        AS BIGINT) AS rnk
+            FROM ps
+        ),
+        cut AS (
+            SELECT *,
+                   CASE WHEN 20 * m * p_q9 <= rnk * 1000000000
+                        THEN rnk ELSE 0 END AS pass_rnk
+            FROM ranked
+        ),
+        kstar AS (SELECT CAST(MAX(pass_rnk) AS BIGINT) AS k_star FROM cut)
+        SELECT c.nation, c.nj, c.z, c.p_q9, c.rnk, k.k_star,
+               CAST(CASE WHEN c.rnk <= k.k_star THEN 1 ELSE 0 END
+                    AS INTEGER) AS reject
+        FROM cut c CROSS JOIN kstar k
+        ORDER BY c.rnk
+    """,
+)
+def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up over 25 per-nation mean-shift
+    z-tests at FDR alpha = 0.05. The corpus collapses to 25 exact
+    (count, cents-sum) rows in one broadcast-join scan (the squared
+    sum for the pooled variance rides the same scan on the oracle and
+    a parallel agg here); z and the A-S normal CDF are shared
+    bit-identical double fragments; the step-up decision is pure
+    integer arithmetic on q9-quantized p-values (20*m*p_q9 <=
+    rnk*1e9), so no cross-engine float comparison can flip a
+    discovery. The ROW_NUMBER window is over the 25-row model relation
+    — never the corpus."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    lab = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nation"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("xc"),
+    )
+    per = lab.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nj"),
+        F.sum("xc").cast("bigint").alias("sj"),
+    )
+    tot = per.agg(
+        F.sum("nj").cast("bigint").alias("n"),
+        F.sum("sj").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    ).crossJoin(
+        lab.agg(
+            F.sum(F.col("xc").cast("decimal(19,0)") * F.col("xc").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .cast("double")
+            .alias("q")
+        )
+    )
+    zs = per.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "nj",
+        "m",
+        (
+            (
+                F.col("sj").cast("double") / F.col("nj").cast("double")
+                - F.col("s").cast("double") / F.col("n").cast("double")
+            )
+            * F.sqrt(F.col("nj").cast("double"))
+            / F.sqrt(
+                (
+                    F.col("q")
+                    - F.col("s").cast("double")
+                    * F.col("s").cast("double")
+                    / F.col("n").cast("double")
+                )
+                / F.col("n").cast("double")
+            )
+        ).alias("z"),
+    )
+    ps = zs.select(
+        "nation",
+        "nj",
+        "z",
+        "m",
+        F.floor(
+            F.lit(2.0)
+            * (F.lit(1.0) - F.expr(_ncdf_sql("abs(z)")))
+            * F.lit(1e9)
+        )
+        .cast("bigint")
+        .alias("p_q9"),
+    )
+    w = Window.orderBy("p_q9", "nation")
+    ranked = ps.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+    cut = ranked.withColumn(
+        "pass_rnk",
+        F.when(
+            F.lit(20) * F.col("m") * F.col("p_q9")
+            <= F.col("rnk") * F.lit(1000000000),
+            F.col("rnk"),
+        ).otherwise(F.lit(0)),
+    )
+    kstar = cut.agg(F.max("pass_rnk").cast("bigint").alias("k_star"))
+    return (
+        cut.crossJoin(F.broadcast(kstar))
+        .select(
+            "nation",
+            "nj",
+            "z",
+            "p_q9",
+            "rnk",
+            "k_star",
+            F.when(F.col("rnk") <= F.col("k_star"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("reject"),
+        )
+        .orderBy("rnk")
+    )

@@ -627,3 +627,125 @@ def test_permutation_importance_collapses_r2(spark):
     assert row["importance"] == pytest.approx(
         row["r2_base"] - row["r2_perm"], abs=1e-15
     )
+
+
+def test_kendall_tau_matches_pairwise_numpy(spark):
+    row = plans.get("stat_kendall_tau").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT),"
+        " CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    q = np.array([r[0] for r in rows], dtype=np.int64)
+    d = np.array([r[1] for r in rows], dtype=np.int64)
+    n = len(q)
+    # brute-force over ALL ordered pairs (each unordered pair twice)
+    dq = np.sign(q[:, None] - q[None, :]).astype(np.int8)
+    dd = np.sign(d[:, None] - d[None, :]).astype(np.int8)
+    prod = dq.astype(np.int16) * dd
+    nc = int((prod > 0).sum()) // 2
+    nd = int((prod < 0).sum()) // 2
+    ties_x = (int((dq == 0).sum()) - n) // 2
+    ties_y = (int((dd == 0).sum()) - n) // 2
+    n0 = n * (n - 1) / 2.0
+    tau = (nc - nd) / math.sqrt((n0 - ties_x) * (n0 - ties_y))
+    assert row["n"] == n
+    assert row["n_concordant"] == float(nc)
+    assert row["n_discordant"] == float(nd)
+    assert row["ties_x"] == float(ties_x)
+    assert row["ties_y"] == float(ties_y)
+    assert row["tau_b"] == pytest.approx(tau, rel=1e-12)
+
+
+def test_kruskal_wallis_matches_direct_ranks(spark, orders_cents):
+    row = plans.get("stat_kruskal_wallis").build(spark, SF).collect()[0]
+    pooled = np.concatenate(list(orders_cents.values()))
+    n = len(pooled)
+    # direct midranks via argsort (independent of the bucket+carry
+    # decomposition): rank = average position of equal values, 1-based
+    order = np.argsort(pooled, kind="mergesort")
+    ranks = np.empty(n, dtype=np.float64)
+    sorted_v = pooled[order]
+    i = 0
+    while i < n:
+        j = i
+        while j + 1 < n and sorted_v[j + 1] == sorted_v[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    h = 0.0
+    off = 0
+    for g in orders_cents.values():
+        # groups concatenated in dict order -> slice pooled ranks
+        rj = ranks[off : off + len(g)].sum()
+        h += rj * rj / len(g)
+        off += len(g)
+    h = 12.0 / (n * (n + 1)) * h - 3.0 * (n + 1)
+    _, counts = np.unique(pooled, return_counts=True)
+    corr = 1.0 - float((counts.astype(np.float64) ** 3 - counts).sum()) / (
+        float(n) ** 3 - n
+    )
+    assert row["k"] == len(orders_cents) and row["n"] == n
+    assert row["h_stat"] == pytest.approx(h, rel=1e-9)
+    assert row["tie_correction"] == pytest.approx(corr, rel=1e-12)
+    assert row["h_corrected"] == pytest.approx(h / corr, rel=1e-9)
+
+
+def test_chi2_gof_matches_direct_formula(spark):
+    got = plans.get("stat_chi2_gof").build(spark, SF).collect()
+    rows = _fetch(
+        "SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    )
+    days = np.array([r[0] for r in rows], dtype=np.int64)
+    counts = np.bincount(days % 7, minlength=7)
+    n, k = counts.sum(), 7
+    e = n / k
+    chi2 = float(((counts - e) ** 2 / e).sum())
+    assert len(got) == 7
+    for r in got:
+        assert r["n_obs"] == counts[r["dow"]]
+        assert r["expected"] == pytest.approx(e, rel=1e-12)
+        assert r["chi2_term"] == pytest.approx(
+            (counts[r["dow"]] - e) ** 2 / e, rel=1e-9
+        )
+        # the algebraic identity vs the textbook sum
+        assert r["chi2_total"] == pytest.approx(chi2, rel=1e-9)
+        assert r["df"] == 6
+
+
+def test_bh_fdr_matches_erfc_reference(spark):
+    got = plans.get("stat_bh_fdr").build(spark, SF).collect()
+    rows = _fetch(
+        "SELECT c.c_nationkey,"
+        " CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        f" FROM read_parquet('{SF}/orders.parquet') o"
+        f" JOIN read_parquet('{SF}/customer.parquet') c"
+        " ON c.c_custkey = o.o_custkey"
+    )
+    by_nation = {}
+    for nat, xc in rows:
+        by_nation.setdefault(nat, []).append(xc)
+    all_x = np.array([x for _, x in rows], dtype=np.float64)
+    mu, sd = all_x.mean(), all_x.std()  # population sd, as pooled
+    ps = {}
+    for nat, v in by_nation.items():
+        z = (np.mean(v) - mu) * math.sqrt(len(v)) / sd
+        # exact erfc-based two-sided p (operator uses A&S 26.2.17,
+        # |err| < 7.5e-8 -> decisions match unless a p sits within
+        # 1e-7 of the step-up boundary)
+        ps[nat] = (z, math.erfc(abs(z) / math.sqrt(2.0)))
+    m = len(ps)
+    order = sorted(ps, key=lambda nat: (ps[nat][1], nat))
+    k_star = 0
+    for i, nat in enumerate(order, start=1):
+        if ps[nat][1] <= 0.05 * i / m:
+            k_star = i
+    assert len(got) == m
+    for r in got:
+        z_ref, p_ref = ps[r["nation"]]
+        assert r["z"] == pytest.approx(z_ref, rel=1e-9)
+        assert r["p_q9"] / 1e9 == pytest.approx(p_ref, abs=2e-7)
+        assert r["k_star"] == k_star
+        assert r["reject"] == (1 if r["rnk"] <= k_star else 0)
+        assert r["nj"] == len(by_nation[r["nation"]])
