@@ -708,7 +708,7 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(CAST(SUM(x) OVER w AS VARCHAR) AS DOUBLE) AS sx,
                    CAST(CAST(SUM(y) OVER w AS VARCHAR) AS DOUBLE) AS sy,
                    CAST(CAST(SUM(x * y) OVER w AS VARCHAR) AS DOUBLE) AS sxy,
-                   CAST(CAST(SUM(x * x) OVER w AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(19,6)) * x) OVER w AS VARCHAR) AS DOUBLE) AS sxx,
                    CAST(CAST(SUM(y * y) OVER w AS VARCHAR) AS DOUBLE) AS syy
             FROM daily
             WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -1644,7 +1644,7 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
                    CAST(CAST(SUM(xl) AS VARCHAR) AS DOUBLE) AS sy,
                    CAST(CAST(SUM(x * xl) AS VARCHAR) AS DOUBLE) AS sxy,
-                   CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(19,6)) * x) AS VARCHAR) AS DOUBLE) AS sxx,
                    CAST(CAST(SUM(xl * xl) AS VARCHAR) AS DOUBLE) AS syy
             FROM lagged WHERE xl IS NOT NULL
             GROUP BY event_type, k
@@ -3428,3 +3428,447 @@ def ts_granger_causality_1lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("f_stat"),
     ).orderBy("cause", "effect")
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test (round 9): "is this daily series white
+# noise?" — the gate a forecasting pipeline runs before fitting
+# anything. Standard full-series ACF (deviations from the SERIES mean,
+# total-sum-of-squares denominator), lags 1..3 by ROW position over
+# the date-ordered series. Every r_k expands algebraically into exact
+# decimal power sums (pairwise product sums in DECIMAL(38,12), means
+# applied in ONE double expression), so no order-dependent float
+# accumulation exists on either engine.
+
+
+@register(
+    "ts_ljung_box",
+    tags=("timeseries", "stats", "window"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        AS DECIMAL(18,6)) AS x,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(ts AS DATE)) AS rn
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        full_s AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(19,6)) * x) AS VARCHAR) AS DOUBLE) AS sxx
+            FROM daily GROUP BY event_type
+        ),
+        pairs AS (
+            SELECT a.event_type, ks.k,
+                   CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(CAST(SUM(a.x) AS VARCHAR) AS DOUBLE) AS spx,
+                   CAST(CAST(SUM(b.x) AS VARCHAR) AS DOUBLE) AS spy,
+                   CAST(CAST(SUM(CAST(a.x AS DECIMAL(19,6)) * b.x) AS VARCHAR) AS DOUBLE) AS spxy
+            FROM daily a
+            CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+            JOIN daily b ON b.event_type = a.event_type
+                        AND b.rn = a.rn - ks.k
+            GROUP BY a.event_type, ks.k
+        ),
+        rk AS (
+            SELECT p.event_type, p.k, f.n,
+                   (p.spxy
+                    - (f.sx / CAST(f.n AS DOUBLE)) * (p.spx + p.spy)
+                    + CAST(p.c AS DOUBLE)
+                      * (f.sx / CAST(f.n AS DOUBLE))
+                      * (f.sx / CAST(f.n AS DOUBLE)))
+                   / (f.sxx - f.sx * f.sx / CAST(f.n AS DOUBLE)) AS r
+            FROM pairs p JOIN full_s f ON f.event_type = p.event_type
+        )
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+               MAX(CASE WHEN k = 1 THEN r END) AS r1,
+               MAX(CASE WHEN k = 2 THEN r END) AS r2,
+               MAX(CASE WHEN k = 3 THEN r END) AS r3,
+               CAST(MAX(n) AS DOUBLE) * (CAST(MAX(n) AS DOUBLE) + 2)
+                 * (MAX(CASE WHEN k = 1 THEN r END)
+                      * MAX(CASE WHEN k = 1 THEN r END)
+                      / (CAST(MAX(n) AS DOUBLE) - 1)
+                    + MAX(CASE WHEN k = 2 THEN r END)
+                      * MAX(CASE WHEN k = 2 THEN r END)
+                      / (CAST(MAX(n) AS DOUBLE) - 2)
+                    + MAX(CASE WHEN k = 3 THEN r END)
+                      * MAX(CASE WHEN k = 3 THEN r END)
+                      / (CAST(MAX(n) AS DOUBLE) - 3)) AS q_stat,
+               CAST(3 AS BIGINT) AS df
+        FROM rk GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box Q over lags 1..3 for each daily event series:
+    Q = n(n+2) * sum_k r_k^2/(n-k) with the standard full-series ACF
+    r_k = [S_xy(k) - m(S_x(k)+S_y(k)) + c_k m^2] / [S_xx - n m^2].
+    Every S is an exact DECIMAL sum (pair products in DECIMAL(38,12))
+    cast to double through the VARCHAR route; m = sx/n and each r_k
+    are then single shared double expressions — bit-identical cross-
+    engine, no accumulation-order exposure. The rn window is per
+    series over the 30-row daily aggregate (never the corpus); the lag
+    fan-out is a 3-row broadcast; corpus-scale work is one map-side-
+    combining daily agg. The three r_k^2/(n-k) terms fold in the fixed
+    k order, so the Q sum is order-free by construction."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("x"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("d")
+            ),
+        )
+        .drop("d")
+    )
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    full_s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        as_d(F.sum("x")).alias("sx"),
+        as_d(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    ks = spark.range(1, 4).select(F.col("id").cast("int").alias("k"))
+    b = daily.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("rn").alias("rn_b"),
+        F.col("x").alias("xl"),
+    )
+    pairs = (
+        daily.join(F.broadcast(ks))
+        .join(
+            b,
+            (F.col("event_type") == F.col("event_type_b"))
+            & (F.col("rn_b") == F.col("rn") - F.col("k")),
+        )
+        .groupBy("event_type", "k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            as_d(F.sum("x")).alias("spx"),
+            as_d(F.sum("xl")).alias("spy"),
+            as_d(F.sum(F.col("x") * F.col("xl"))).alias("spxy"),
+        )
+    )
+    f = full_s.select(
+        F.col("event_type").alias("event_type_f"), "n", "sx", "sxx"
+    )
+    m = F.col("sx") / F.col("n").cast("double")
+    rk = (
+        pairs.join(f, F.col("event_type") == F.col("event_type_f"))
+        .select(
+            "event_type",
+            "k",
+            "n",
+            (
+                (
+                    F.col("spxy")
+                    - m * (F.col("spx") + F.col("spy"))
+                    + F.col("c").cast("double") * m * m
+                )
+                / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n").cast("double"))
+            ).alias("r"),
+        )
+    )
+    nd_ = F.max("n").cast("double")
+    r_at = lambda i: F.max(F.when(F.col("k") == i, F.col("r")))  # noqa: E731
+    return (
+        rk.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            r_at(1).alias("r1"),
+            r_at(2).alias("r2"),
+            r_at(3).alias("r3"),
+            (
+                nd_
+                * (nd_ + F.lit(2.0))
+                * (
+                    r_at(1) * r_at(1) / (nd_ - F.lit(1.0))
+                    + r_at(2) * r_at(2) / (nd_ - F.lit(2.0))
+                    + r_at(3) * r_at(3) / (nd_ - F.lit(3.0))
+                )
+            ).alias("q_stat"),
+            F.lit(3).cast("bigint").alias("df"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands (round 9): the rolling mean +/- 2 sigma envelope on
+# each daily series, with breach flags. Rolling moments come from
+# EXACT decimal sum/sumsq window frames (7 rows), converted to mean
+# and population sigma in one double expression per day — the same
+# no-float-accumulation contract as the global stats, applied per
+# frame. Bandwidths quantize to q6 BIGINTs before the per-series sum
+# so the aggregate is exact-integer.
+
+
+@register(
+    "ts_bollinger_bands",
+    tags=("timeseries", "window"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        AS DECIMAL(18,6)) AS x,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(ts AS DATE)) AS rn
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        roll AS (
+            SELECT event_type, rn,
+                   CAST(CAST(x AS VARCHAR) AS DOUBLE) AS xd,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS wn,
+                   CAST(CAST(SUM(x) OVER w AS VARCHAR) AS DOUBLE) AS ws,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(19,6)) * x) OVER w AS VARCHAR) AS DOUBLE) AS wq
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY rn
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ),
+        bands AS (
+            SELECT event_type, rn, xd, wn,
+                   ws / CAST(wn AS DOUBLE) AS mid,
+                   sqrt((wq - ws * ws / CAST(wn AS DOUBLE))
+                        / CAST(wn AS DOUBLE)) AS sigma
+            FROM roll WHERE wn = 7
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CASE WHEN xd > mid + 2 * sigma
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_upper,
+               CAST(SUM(CASE WHEN xd < mid - 2 * sigma
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_lower,
+               CAST(SUM(CAST(FLOOR(4 * sigma * 1e6) AS BIGINT))
+                    AS BIGINT) AS bandwidth_q6_sum
+        FROM bands GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger envelope per daily series: 7-day rolling mean and
+    population sigma from exact DECIMAL window sums (sum and sum-of-
+    squares over a 7-row frame stay exact; mean/sigma are single
+    double expressions per day shared verbatim with the oracle), bands
+    at +/- 2 sigma, and a per-series breach census. Total bandwidth
+    survives aggregation as floor-quantized q6 BIGINTs, so the
+    per-series SUM is exact integer arithmetic — no double folds
+    anywhere. Windows partition by series over the 30-row daily
+    aggregate; corpus-scale work is one map-side-combining agg."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("x"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("event_type").orderBy("d")),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    roll = daily.select(
+        "event_type",
+        "rn",
+        as_d(F.col("x")).alias("xd"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("wn"),
+        as_d(F.sum("x").over(w)).alias("ws"),
+        as_d(F.sum(F.col("x") * F.col("x")).over(w)).alias("wq"),
+    )
+    wnd = F.col("wn").cast("double")
+    bands = roll.filter(F.col("wn") == 7).select(
+        "event_type",
+        "xd",
+        (F.col("ws") / wnd).alias("mid"),
+        F.sqrt(
+            (F.col("wq") - F.col("ws") * F.col("ws") / wnd) / wnd
+        ).alias("sigma"),
+    )
+    return (
+        bands.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(
+                F.when(
+                    F.col("xd") > F.col("mid") + 2 * F.col("sigma"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_upper"),
+            F.sum(
+                F.when(
+                    F.col("xd") < F.col("mid") - 2 * F.col("sigma"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_lower"),
+            F.sum(
+                F.floor(F.lit(4.0) * F.col("sigma") * F.lit(1e6)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("bandwidth_q6_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization (round 9): Piecewise Aggregate Approximation over
+# 5-day segments + Gaussian-breakpoint binning to a 4-letter alphabet
+# — the standard motif/novelty representation for massive series
+# collections. Per-series z-normalization uses global exact sums; each
+# segment mean is one double expression over the segment's exact
+# decimal sum; breakpoints (-0.6745, 0, 0.6745) are literal doubles
+# shared with the oracle.
+
+
+@register(
+    "ts_sax_symbols",
+    tags=("timeseries", "window", "text"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        AS DECIMAL(18,6)) AS x,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(ts AS DATE)) AS rn
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        stats AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(19,6)) * x) AS VARCHAR) AS DOUBLE) AS sxx
+            FROM daily GROUP BY event_type
+        ),
+        seg AS (
+            SELECT d.event_type,
+                   CAST((d.rn - 1) // 5 AS BIGINT) AS seg_id,
+                   CAST(COUNT(*) AS BIGINT) AS seg_n,
+                   CAST(CAST(SUM(d.x) AS VARCHAR) AS DOUBLE) AS seg_s
+            FROM daily d GROUP BY 1, 2
+        ),
+        z AS (
+            SELECT s.event_type, s.seg_id,
+                   (seg_s / CAST(seg_n AS DOUBLE)
+                    - st.sx / CAST(st.n AS DOUBLE))
+                   / sqrt((st.sxx - st.sx * st.sx / CAST(st.n AS DOUBLE))
+                          / CAST(st.n AS DOUBLE)) AS zmean
+            FROM seg s JOIN stats st ON st.event_type = s.event_type
+        ),
+        sym AS (
+            SELECT event_type, seg_id, zmean,
+                   CASE WHEN zmean < -0.6745 THEN 'a'
+                        WHEN zmean < 0.0 THEN 'b'
+                        WHEN zmean < 0.6745 THEN 'c'
+                        ELSE 'd' END AS sym
+            FROM z
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               string_agg(sym, '' ORDER BY seg_id) AS sax_word,
+               CAST(SUM(CASE WHEN sym = 'a' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN sym = 'b' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN sym = 'c' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_c,
+               CAST(SUM(CASE WHEN sym = 'd' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_d
+        FROM sym GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX words per daily series: PAA over 5-day segments, z-scored
+    against per-series exact global moments, binned at the N(0,1)
+    quartile breakpoints into 'a'..'d'. Segment means and z-scores are
+    single double expressions over exact DECIMAL sums (the VARCHAR
+    route), so the symbol decision — a comparison of bit-identical
+    doubles against literal breakpoints — cannot diverge cross-engine.
+    The SAX word concatenates in segment order via the ordered
+    string_agg / sorted collect_list recipe (agg_string_concat_
+    ordered). All window/group work is over the model-sized daily
+    relation; the corpus collapses in the first agg."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("x"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("event_type").orderBy("d")),
+        )
+    )
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        as_d(F.sum("x")).alias("sx"),
+        as_d(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    seg = (
+        daily.groupBy(
+            "event_type",
+            F.floor((F.col("rn") - 1) / 5).cast("bigint").alias("seg_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("seg_n"),
+            as_d(F.sum("x")).alias("seg_s"),
+        )
+    )
+    st = stats.select(
+        F.col("event_type").alias("event_type_s"), "n", "sx", "sxx"
+    )
+    mean_g = F.col("sx") / F.col("n").cast("double")
+    z = seg.join(
+        F.broadcast(st), F.col("event_type") == F.col("event_type_s")
+    ).select(
+        "event_type",
+        "seg_id",
+        (
+            (F.col("seg_s") / F.col("seg_n").cast("double") - mean_g)
+            / F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n").cast("double"))
+                / F.col("n").cast("double")
+            )
+        ).alias("zmean"),
+    )
+    sym = z.select(
+        "event_type",
+        "seg_id",
+        F.when(F.col("zmean") < -0.6745, "a")
+        .when(F.col("zmean") < 0.0, "b")
+        .when(F.col("zmean") < 0.6745, "c")
+        .otherwise("d")
+        .alias("sym"),
+    )
+    return (
+        sym.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_id", "sym"))
+                    ),
+                    lambda s: s["sym"],
+                ),
+            ).alias("sax_word"),
+            F.sum(F.when(F.col("sym") == "a", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("sym") == "b", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+            F.sum(F.when(F.col("sym") == "c", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_c"),
+            F.sum(F.when(F.col("sym") == "d", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_d"),
+        )
+        .orderBy("event_type")
+    )

@@ -749,3 +749,71 @@ def test_bh_fdr_matches_erfc_reference(spark):
         assert r["k_star"] == k_star
         assert r["reject"] == (1 if r["rnk"] <= k_star else 0)
         assert r["nj"] == len(by_nation[r["nation"]])
+
+
+@pytest.fixture(scope="module")
+def daily_series():
+    rows = _fetch(
+        "SELECT event_type, CAST(ts AS DATE) AS d,"
+        " CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))"
+        "      AS DOUBLE)"
+        f" FROM read_parquet('{SF}/events.parquet')"
+        " GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    series = {}
+    for et, _, x in rows:
+        series.setdefault(et, []).append(x)
+    return {et: np.array(v, dtype=np.float64) for et, v in series.items()}
+
+
+def test_ljung_box_matches_direct_acf(spark, daily_series):
+    got = {r["event_type"]: r for r in plans.get("ts_ljung_box").build(spark, SF).collect()}
+    for et, x in daily_series.items():
+        n = len(x)
+        xc = x - x.mean()
+        denom = float((xc * xc).sum())
+        rs = [float((xc[k:] * xc[:-k]).sum()) / denom for k in (1, 2, 3)]
+        q = n * (n + 2) * sum(r * r / (n - k) for k, r in zip((1, 2, 3), rs))
+        r = got[et]
+        assert r["n"] == n
+        for i, rk in enumerate(rs, start=1):
+            assert r[f"r{i}"] == pytest.approx(rk, rel=1e-9)
+        assert r["q_stat"] == pytest.approx(q, rel=1e-9)
+        assert r["df"] == 3
+
+
+def test_bollinger_matches_rolling_numpy(spark, daily_series):
+    got = {r["event_type"]: r for r in plans.get("ts_bollinger_bands").build(spark, SF).collect()}
+    for et, x in daily_series.items():
+        nu = nl = 0
+        bw = 0
+        for i in range(6, len(x)):
+            w = x[i - 6 : i + 1]
+            mid, sig = w.mean(), w.std()
+            if x[i] > mid + 2 * sig:
+                nu += 1
+            if x[i] < mid - 2 * sig:
+                nl += 1
+            bw += math.floor(4 * sig * 1e6)
+        r = got[et]
+        assert r["n_days"] == len(x) - 6
+        assert r["n_upper"] == nu and r["n_lower"] == nl
+        assert r["bandwidth_q6_sum"] == pytest.approx(bw, abs=2)
+
+
+def test_sax_matches_direct_paa(spark, daily_series):
+    got = {r["event_type"]: r for r in plans.get("ts_sax_symbols").build(spark, SF).collect()}
+    for et, x in daily_series.items():
+        mu, sd = x.mean(), x.std()
+        word = ""
+        for s0 in range(0, len(x), 5):
+            zm = (x[s0 : s0 + 5].mean() - mu) / sd
+            word += (
+                "a" if zm < -0.6745 else "b" if zm < 0 else "c" if zm < 0.6745 else "d"
+            )
+        r = got[et]
+        assert r["n_segments"] == math.ceil(len(x) / 5)
+        assert r["sax_word"] == word
+        assert (r["n_a"], r["n_b"], r["n_c"], r["n_d"]) == (
+            word.count("a"), word.count("b"), word.count("c"), word.count("d"),
+        )
