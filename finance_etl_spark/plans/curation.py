@@ -3750,3 +3750,400 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / denom
         ).alias("modularity"),
     ).orderBy("regionkey")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 graph additions: local clustering coefficient, Adamic-Adar
+# link prediction, and HITS hubs/authorities — all on the same
+# corpus-thresholded nation trade graph as graph_triangle_count /
+# graph_jaccard_linkpred (reference scope: graph analytics over the
+# trade fact table). The fact-to-edges reduction is the shared
+# two-broadcast-join + count shape; everything after runs on the
+# O(|V|^2)-bounded edge relation.
+
+
+def _trade_edges_undirected(spark, sf_dir):
+    """(a<b, w) edge list of the strong-trade graph + its 0.6-quantile
+    threshold — the shared base of the round-9 graph queries."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    u = (
+        e.filter(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .agg(F.sum("w").alias("w"))
+    )
+    thr = u.select(F.expr("percentile(w, 0.6)").alias("t"))
+    return (
+        u.join(F.broadcast(thr))
+        .filter(F.col("w") >= F.col("t"))
+        .select("a", "b")
+    )
+
+
+_GRAPH_EDGE_CTE = """
+        e AS MATERIALIZED (
+            SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY src, dst
+        ),
+        u AS MATERIALIZED (
+            SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                   CAST(SUM(w) AS BIGINT) AS w
+            FROM e WHERE src <> dst GROUP BY a, b
+        ),
+        thr AS MATERIALIZED (SELECT quantile_cont(w, 0.6) AS t FROM u),
+        ku AS MATERIALIZED (SELECT a, b FROM u, thr WHERE w >= t),
+        nbr AS MATERIALIZED (
+            SELECT a AS v, b AS n FROM ku
+            UNION ALL SELECT b AS v, a AS n FROM ku
+        ),
+        deg AS MATERIALIZED (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM nbr GROUP BY v
+        )
+"""
+
+
+@register(
+    "graph_clustering_coeff",
+    tags=("graph", "join"),
+    oracle=f"""
+        WITH {_GRAPH_EDGE_CTE},
+        wedge AS (
+            SELECT x.v, x.n AS n1, y.n AS n2
+            FROM nbr x JOIN nbr y ON y.v = x.v AND x.n < y.n
+        ),
+        closed AS (
+            SELECT w.v,
+                   CAST(COUNT(*) AS BIGINT) AS n_wedges,
+                   CAST(SUM(CASE WHEN k.a IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tri
+            FROM wedge w
+            LEFT JOIN ku k ON k.a = w.n1 AND k.b = w.n2
+            GROUP BY w.v
+        )
+        SELECT d.v AS nationkey, d.deg,
+               CAST(COALESCE(c.n_wedges, 0) AS BIGINT) AS n_wedges,
+               CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri,
+               CASE WHEN d.deg >= 2 THEN
+                   CAST(2 * COALESCE(c.n_tri, 0) AS DOUBLE)
+                     / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1))
+               END AS clustering_coeff
+        FROM deg d LEFT JOIN closed c ON c.v = d.v
+        ORDER BY nationkey
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per nation on the strong-trade
+    graph: C(v) = 2*T(v) / (deg(v)(deg(v)-1)) with T(v) counted by the
+    wedge-close join (neighbor pairs n1<n2 probed against the
+    canonical a<b edge list — the distributed edge-iterator, input
+    |wedges| never cubic). Counts are exact integers; the coefficient
+    is one double division guarded NULL for deg<2 on both engines.
+    Corpus work is the shared fact-to-edges reduction; the wedge join
+    runs on the |V|-bounded neighbor relation."""
+    ku = _trade_edges_undirected(spark, sf_dir)
+    nbr = ku.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        ku.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = nbr.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    x = nbr.select("v", F.col("n").alias("n1"))
+    y = nbr.select(F.col("v").alias("v2"), F.col("n").alias("n2"))
+    wedge = x.join(y, (F.col("v") == F.col("v2")) & (F.col("n1") < F.col("n2"))).select(
+        "v", "n1", "n2"
+    )
+    k = ku.select(F.col("a").alias("ka"), F.col("b").alias("kb"))
+    closed = (
+        wedge.join(
+            k,
+            (F.col("ka") == F.col("n1")) & (F.col("kb") == F.col("n2")),
+            "left",
+        )
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_wedges"),
+            F.sum(F.when(F.col("ka").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_tri"),
+        )
+    )
+    dd = F.col("deg").cast("double")
+    return (
+        deg.join(closed, "v", "left")
+        .select(
+            F.col("v").alias("nationkey"),
+            "deg",
+            F.coalesce(F.col("n_wedges"), F.lit(0)).cast("bigint").alias("n_wedges"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                (2 * F.coalesce(F.col("n_tri"), F.lit(0))).cast("double")
+                / (dd * (dd - F.lit(1.0))),
+            ).alias("clustering_coeff"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "graph_adamic_adar",
+    tags=("graph", "join"),
+    oracle=f"""
+        WITH {_GRAPH_EDGE_CTE},
+        cand AS (
+            SELECT x.v AS a, y.v AS b, x.n AS z
+            FROM nbr x JOIN nbr y ON x.n = y.n AND x.v < y.v
+        ),
+        nonadj AS (
+            SELECT c.a, c.b, c.z FROM cand c
+            LEFT JOIN ku k ON k.a = c.a AND k.b = c.b
+            WHERE k.a IS NULL
+        ),
+        scored AS (
+            SELECT na.a, na.b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common,
+                   list_reduce(
+                       list(CAST(1 AS DOUBLE) / ln(CAST(d.deg AS DOUBLE))
+                            ORDER BY na.z),
+                       (acc, x) -> acc + x) AS aa_score
+            FROM nonadj na JOIN deg d ON d.v = na.z
+            GROUP BY na.a, na.b
+        )
+        SELECT a, b, n_common, aa_score FROM scored ORDER BY a, b
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over non-adjacent nation pairs:
+    AA(a,b) = sum over common neighbors z of 1/ln(deg(z)). The
+    common-neighbor enumeration inverts the neighbor relation (join on
+    the shared neighbor, a<b — |wedges| work, never |V|^2 blind), adjacency
+    is removed with a left-anti probe, and the per-pair sum folds the
+    1/ln(deg) doubles in ascending-z order on BOTH engines (sorted
+    collect_list fold here, ordered list_reduce there) so the float
+    reduction is order-free. deg(z) >= 2 for any common neighbor, so
+    ln is never zero."""
+    ku = _trade_edges_undirected(spark, sf_dir)
+    nbr = ku.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        ku.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = nbr.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    x = nbr.select(F.col("v").alias("pa"), "n")
+    y = nbr.select(F.col("v").alias("pb"), "n")
+    cand = (
+        x.join(y, "n")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"), F.col("n").alias("z"))
+    )
+    nonadj = cand.join(ku, ["a", "b"], "left_anti")
+    dz = deg.select(F.col("v").alias("z"), "deg")
+    scored = (
+        nonadj.join(F.broadcast(dz), "z")
+        .withColumn("val", F.lit(1.0) / F.log(F.col("deg").cast("double")))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("z", "val"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["val"],
+            ).alias("aa_score"),
+        )
+    )
+    return scored.select("a", "b", "n_common", "aa_score").orderBy("a", "b")
+
+
+@register(
+    "graph_hits",
+    tags=("graph", "join", "iterative"),
+    oracle="""
+        WITH e AS MATERIALIZED (
+            SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE s.s_nationkey <> c.c_nationkey
+            GROUP BY src, dst
+        ),
+        thr AS MATERIALIZED (SELECT quantile_cont(w, 0.6) AS t FROM e),
+        kd AS MATERIALIZED (SELECT src, dst FROM e, thr WHERE w >= t),
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT v FROM (
+                SELECT src AS v FROM kd UNION ALL SELECT dst AS v FROM kd
+            )
+        ),
+        h0 AS (SELECT v, CAST(1 AS BIGINT) AS h FROM nodes),
+        a1 AS (
+            SELECT n.v, CAST(COALESCE(SUM(h0.h), 0) AS BIGINT) AS a
+            FROM nodes n
+            LEFT JOIN kd ON kd.dst = n.v
+            LEFT JOIN h0 ON h0.v = kd.src
+            GROUP BY n.v
+        ),
+        h1 AS (
+            SELECT n.v, CAST(COALESCE(SUM(a1.a), 0) AS BIGINT) AS h
+            FROM nodes n
+            LEFT JOIN kd ON kd.src = n.v
+            LEFT JOIN a1 ON a1.v = kd.dst
+            GROUP BY n.v
+        ),
+        a2 AS (
+            SELECT n.v, CAST(COALESCE(SUM(h1.h), 0) AS BIGINT) AS a
+            FROM nodes n
+            LEFT JOIN kd ON kd.dst = n.v
+            LEFT JOIN h1 ON h1.v = kd.src
+            GROUP BY n.v
+        ),
+        h2 AS (
+            SELECT n.v, CAST(COALESCE(SUM(a2.a), 0) AS BIGINT) AS h
+            FROM nodes n
+            LEFT JOIN kd ON kd.src = n.v
+            LEFT JOIN a2 ON a2.v = kd.dst
+            GROUP BY n.v
+        ),
+        a3 AS (
+            SELECT n.v, CAST(COALESCE(SUM(h2.h), 0) AS BIGINT) AS a
+            FROM nodes n
+            LEFT JOIN kd ON kd.dst = n.v
+            LEFT JOIN h2 ON h2.v = kd.src
+            GROUP BY n.v
+        ),
+        h3 AS (
+            SELECT n.v, CAST(COALESCE(SUM(a3.a), 0) AS BIGINT) AS h
+            FROM nodes n
+            LEFT JOIN kd ON kd.src = n.v
+            LEFT JOIN a3 ON a3.v = kd.dst
+            GROUP BY n.v
+        ),
+        a4 AS (
+            SELECT n.v, CAST(COALESCE(SUM(h3.h), 0) AS BIGINT) AS a
+            FROM nodes n
+            LEFT JOIN kd ON kd.dst = n.v
+            LEFT JOIN h3 ON h3.v = kd.src
+            GROUP BY n.v
+        ),
+        h4 AS (
+            SELECT n.v, CAST(COALESCE(SUM(a4.a), 0) AS BIGINT) AS h
+            FROM nodes n
+            LEFT JOIN kd ON kd.src = n.v
+            LEFT JOIN a4 ON a4.v = kd.dst
+            GROUP BY n.v
+        ),
+        norms AS (
+            SELECT
+                sqrt(CAST(CAST((SELECT SUM(CAST(a AS DECIMAL(19,0)) * a)
+                                FROM a4) AS VARCHAR) AS DOUBLE)) AS na,
+                sqrt(CAST(CAST((SELECT SUM(CAST(h AS DECIMAL(19,0)) * h)
+                                FROM h4) AS VARCHAR) AS DOUBLE)) AS nh
+        )
+        SELECT a4.v AS nationkey, a4.a AS auth_raw, h4.h AS hub_raw,
+               CAST(a4.a AS DOUBLE) / norms.na AS authority,
+               CAST(h4.h AS DOUBLE) / norms.nh AS hub
+        FROM a4 JOIN h4 ON h4.v = a4.v CROSS JOIN norms
+        ORDER BY nationkey
+    """,
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the thresholded DIRECTED trade graph
+    (supplier nation -> customer nation), 4 unnormalized power
+    iterations in EXACT BIGINT arithmetic (adjacency times an integer
+    vector stays integer; 25-node graph bounds entries by 25^8 —
+    well inside int64), then ONE L2 normalization at the edge from a
+    DECIMAL(38,0) sum of squares. Skipping per-iteration float
+    normalization is what makes the trajectory hash-exact cross-engine
+    (the IRR/pagerank fixed-round promotion recipe); the oracle
+    unrolls the same 4 rounds as chained CTEs. Corpus work is the
+    fact-to-edges reduction; each iteration is a model-sized
+    broadcast join + exact agg."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    thr = e.select(F.expr("percentile(w, 0.6)").alias("t"))
+    kd = (
+        e.join(F.broadcast(thr))
+        .filter(F.col("w") >= F.col("t"))
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    nodes = (
+        kd.select(F.col("src").alias("v"))
+        .unionAll(kd.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = nodes.withColumn("h", F.lit(1).cast("bigint"))
+    a = None
+    for _ in range(4):
+        a = (
+            nodes.join(kd, nodes.v == kd.dst, "left")
+            .join(
+                h.select(F.col("v").alias("hv"), F.col("h").alias("hval")),
+                F.col("src") == F.col("hv"),
+                "left",
+            )
+            .groupBy(nodes.v)
+            .agg(F.coalesce(F.sum("hval"), F.lit(0)).cast("bigint").alias("a"))
+        )
+        h = (
+            nodes.join(kd, nodes.v == kd.src, "left")
+            .join(
+                a.select(F.col("v").alias("av"), F.col("a").alias("aval")),
+                F.col("dst") == F.col("av"),
+                "left",
+            )
+            .groupBy(nodes.v)
+            .agg(F.coalesce(F.sum("aval"), F.lit(0)).cast("bigint").alias("h"))
+        )
+    as_d = lambda c_: c_.cast("string").cast("double")  # noqa: E731
+    na = a.agg(
+        F.sqrt(
+            as_d(F.sum(F.col("a").cast("decimal(19,0)") * F.col("a")).cast("decimal(38,0)"))
+        ).alias("na")
+    )
+    nh = h.agg(
+        F.sqrt(
+            as_d(F.sum(F.col("h").cast("decimal(19,0)") * F.col("h")).cast("decimal(38,0)"))
+        ).alias("nh")
+    )
+    out = (
+        a.join(h, "v")
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            F.col("v").alias("nationkey"),
+            F.col("a").alias("auth_raw"),
+            F.col("h").alias("hub_raw"),
+            (F.col("a").cast("double") / F.col("na")).alias("authority"),
+            (F.col("h").cast("double") / F.col("nh")).alias("hub"),
+        )
+        .orderBy("nationkey")
+    )
+    return out

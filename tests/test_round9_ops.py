@@ -817,3 +817,113 @@ def test_sax_matches_direct_paa(spark, daily_series):
         assert (r["n_a"], r["n_b"], r["n_c"], r["n_d"]) == (
             word.count("a"), word.count("b"), word.count("c"), word.count("d"),
         )
+
+
+def _trade_graph():
+    """(undirected edge set, directed edge set) of the thresholded
+    trade graph, rebuilt independently from the raw parquet."""
+    rows = _fetch(
+        "SELECT s.s_nationkey, c.c_nationkey, COUNT(*)"
+        f" FROM read_parquet('{SF}/lineitem.parquet') l"
+        f" JOIN read_parquet('{SF}/orders.parquet') o ON l.l_orderkey = o.o_orderkey"
+        f" JOIN read_parquet('{SF}/customer.parquet') c ON o.o_custkey = c.c_custkey"
+        f" JOIN read_parquet('{SF}/supplier.parquet') s ON l.l_suppkey = s.s_suppkey"
+        " GROUP BY 1, 2"
+    )
+    und = {}
+    for s, c, w in rows:
+        if s != c:
+            k = (min(s, c), max(s, c))
+            und[k] = und.get(k, 0) + w
+    uw = sorted(und.values())
+    # quantile_cont(0.6) with linear interpolation
+    def q60(ws):
+        h = 0.6 * (len(ws) - 1)
+        lo, hi = int(math.floor(h)), int(math.ceil(h))
+        return ws[lo] + (h - lo) * (ws[hi] - ws[lo])
+    ku = {k for k, w in und.items() if w >= q60(uw)}
+    dire = {(s, c): w for s, c, w in rows if s != c}
+    dw = sorted(dire.values())
+    kd = {k for k, w in dire.items() if w >= q60(dw)}
+    return ku, kd
+
+
+@pytest.fixture(scope="module")
+def trade_graph():
+    return _trade_graph()
+
+
+def test_clustering_coeff_matches_pure_python(spark, trade_graph):
+    ku, _ = trade_graph
+    nbrs = {}
+    for a, b in ku:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    got = {r["nationkey"]: r for r in plans.get("graph_clustering_coeff").build(spark, SF).collect()}
+    assert set(got) == set(nbrs)
+    for v, ns in nbrs.items():
+        deg = len(ns)
+        tri = sum(
+            1
+            for x in ns
+            for y in ns
+            if x < y and (min(x, y), max(x, y)) in ku
+        )
+        r = got[v]
+        assert r["deg"] == deg
+        assert r["n_wedges"] == deg * (deg - 1) // 2
+        assert r["n_tri"] == tri
+        if deg >= 2:
+            assert r["clustering_coeff"] == pytest.approx(
+                2 * tri / (deg * (deg - 1)), rel=1e-12
+            )
+        else:
+            assert r["clustering_coeff"] is None
+
+
+def test_adamic_adar_matches_pure_python(spark, trade_graph):
+    ku, _ = trade_graph
+    nbrs = {}
+    for a, b in ku:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    got = {(r["a"], r["b"]): r for r in plans.get("graph_adamic_adar").build(spark, SF).collect()}
+    expect = {}
+    vs = sorted(nbrs)
+    for i, a in enumerate(vs):
+        for b in vs[i + 1 :]:
+            if (a, b) in ku:
+                continue
+            common = nbrs[a] & nbrs[b]
+            if common:
+                expect[(a, b)] = (
+                    len(common),
+                    sum(1.0 / math.log(len(nbrs[z])) for z in sorted(common)),
+                )
+    assert set(got) == set(expect)
+    for k, (nc, aa) in expect.items():
+        assert got[k]["n_common"] == nc
+        assert got[k]["aa_score"] == pytest.approx(aa, rel=1e-12)
+
+
+def test_hits_matches_integer_power_iteration(spark, trade_graph):
+    _, kd = trade_graph
+    nodes = sorted({v for e in kd for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)), dtype=np.int64)
+    for s, c in kd:
+        A[idx[s], idx[c]] = 1
+    h = np.ones(len(nodes), dtype=np.int64)
+    for _ in range(4):
+        a = A.T @ h
+        h = A @ a
+    got = {r["nationkey"]: r for r in plans.get("graph_hits").build(spark, SF).collect()}
+    assert set(got) == set(nodes)
+    na = math.sqrt(float((a.astype(object) ** 2).sum()))
+    nh = math.sqrt(float((h.astype(object) ** 2).sum()))
+    for v in nodes:
+        r = got[v]
+        assert r["auth_raw"] == a[idx[v]]
+        assert r["hub_raw"] == h[idx[v]]
+        assert r["authority"] == pytest.approx(a[idx[v]] / na, rel=1e-12)
+        assert r["hub"] == pytest.approx(h[idx[v]] / nh, rel=1e-12)
