@@ -1676,3 +1676,298 @@ def fin_black_scholes_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(FLOOR({_BS_CALL} * 1e6) AS BIGINT)").alias("call_q6"),
         F.expr(f"CAST(FLOOR({_BS_PUT} * 1e6) AS BIGINT)").alias("put_q6"),
     ).orderBy("n_nationkey", "k_pct")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 finance additions: risk-adjusted performance (Sharpe /
+# Sortino), closed-form bond pricing with duration, and IFRS9-style
+# expected-credit-loss staging. All three keep the decimal-exact
+# contract: corpus-scale sums are exact (DECIMAL / quantized BIGINT),
+# doubles appear only in per-row shared expressions or at the final
+# presentation edge.
+
+
+@register(
+    "fin_sharpe_sortino",
+    tags=("finance", "window", "stats"),
+    oracle="""
+        WITH daily AS (
+            SELECT c.c_mktsegment AS segment, CAST(o.o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS x
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        ret AS (
+            SELECT segment,
+                   CAST(FLOOR((CAST(CAST(x AS VARCHAR) AS DOUBLE)
+                               / CAST(CAST(xp AS VARCHAR) AS DOUBLE)
+                               - CAST(1 AS DOUBLE)) * CAST(1e9 AS DOUBLE))
+                        AS BIGINT) AS r_q9
+            FROM (
+                SELECT segment, x,
+                       LAG(x) OVER (PARTITION BY segment ORDER BY d) AS xp
+                FROM daily
+            ) WHERE xp IS NOT NULL
+        ),
+        s AS (
+            SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(r_q9) AS BIGINT) AS sr,
+                   CAST(CAST(SUM(CAST(r_q9 AS DECIMAL(19,0)) * r_q9)
+                        AS VARCHAR) AS DOUBLE) AS srr,
+                   CAST(SUM(CASE WHEN r_q9 < 0 THEN r_q9 ELSE 0 END)
+                        AS BIGINT) AS sd_,
+                   CAST(CAST(SUM(CASE WHEN r_q9 < 0
+                                 THEN CAST(r_q9 AS DECIMAL(19,0)) * r_q9
+                                 ELSE CAST(0 AS DECIMAL(19,0)) END)
+                        AS VARCHAR) AS DOUBLE) AS sdd
+            FROM ret GROUP BY segment
+        )
+        SELECT segment, n,
+               CAST(sr AS DOUBLE) / CAST(n AS DOUBLE) / 1e9 AS mean_ret,
+               sqrt(srr / CAST(n AS DOUBLE)
+                    - (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))) / 1e9
+                   AS vol,
+               sqrt(sdd / CAST(n AS DOUBLE)) / 1e9 AS downside_vol,
+               (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt(srr / CAST(n AS DOUBLE)
+                        - (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)))
+                 * sqrt(CAST(252 AS DOUBLE)) AS sharpe_ann,
+               (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt(sdd / CAST(n AS DOUBLE))
+                 * sqrt(CAST(252 AS DOUBLE)) AS sortino_ann
+        FROM s ORDER BY segment
+    """,
+)
+def fin_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe and Sortino (target 0) per market segment on
+    day-over-day revenue returns. The corpus collapses to exact
+    decimal daily sums; each return is ONE shared double expression
+    immediately floor-quantized to a q9 BIGINT, so every cross-day
+    aggregate (sum, sum-of-squares, downside sums) is exact integer /
+    DECIMAL arithmetic — no float accumulation-order exposure — and
+    the ratios are single double edge expressions. The lag window
+    partitions by segment over calendar-bounded day counts; corpus
+    work is one map-side-combining agg + one broadcast dim join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("x")
+        )
+    )
+    as_d = lambda col: col.cast("string").cast("double")  # noqa: E731
+    w = Window.partitionBy("segment").orderBy("d")
+    ret = (
+        daily.withColumn("xp", F.lag("x").over(w))
+        .filter(F.col("xp").isNotNull())
+        .select(
+            "segment",
+            F.floor(
+                (as_d(F.col("x")) / as_d(F.col("xp")) - F.lit(1.0)) * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("r_q9"),
+        )
+    )
+    s = ret.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r_q9").cast("bigint").alias("sr"),
+        as_d(
+            F.sum(F.col("r_q9").cast("decimal(19,0)") * F.col("r_q9")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("srr"),
+        F.sum(F.when(F.col("r_q9") < 0, F.col("r_q9")).otherwise(0))
+        .cast("bigint")
+        .alias("sd_"),
+        as_d(
+            F.sum(
+                F.when(
+                    F.col("r_q9") < 0,
+                    F.col("r_q9").cast("decimal(19,0)") * F.col("r_q9"),
+                ).otherwise(F.lit(0).cast("decimal(19,0)"))
+            ).cast("decimal(38,0)")
+        ).alias("sdd"),
+    )
+    nd_ = F.col("n").cast("double")
+    mean = F.col("sr").cast("double") / nd_
+    var = F.col("srr") / nd_ - mean * mean
+    dvol = F.sqrt(F.col("sdd") / nd_)
+    return s.select(
+        "segment",
+        "n",
+        (mean / F.lit(1e9)).alias("mean_ret"),
+        (F.sqrt(var) / F.lit(1e9)).alias("vol"),
+        (dvol / F.lit(1e9)).alias("downside_vol"),
+        (mean / F.sqrt(var) * F.sqrt(F.lit(252.0))).alias("sharpe_ann"),
+        (mean / dvol * F.sqrt(F.lit(252.0))).alias("sortino_ann"),
+    ).orderBy("segment")
+
+
+@register(
+    "fin_bond_duration_grid",
+    tags=("finance", "closed-form"),
+    oracle="""
+        WITH y AS (
+            SELECT n_nationkey,
+                   CAST(0.01 AS DOUBLE)
+                     + CAST(n_nationkey % 10 AS DOUBLE) * CAST(0.005 AS DOUBLE)
+                       AS yld
+            FROM nation
+        ),
+        grid AS (
+            SELECT n_nationkey, yld, c.cpn, m.mat
+            FROM y
+            CROSS JOIN (SELECT unnest([CAST(0.02 AS DOUBLE),
+                                       CAST(0.04 AS DOUBLE),
+                                       CAST(0.06 AS DOUBLE)]) AS cpn) c
+            CROSS JOIN (SELECT unnest([2, 5, 10, 30]) AS mat) m
+        )
+        SELECT n_nationkey, cpn, mat, yld,
+               CAST(FLOOR((cpn / yld
+                    * (CAST(1 AS DOUBLE) - pow(CAST(1 AS DOUBLE) + yld, -mat))
+                    + pow(CAST(1 AS DOUBLE) + yld, -mat)) * 1e8) AS BIGINT)
+                   AS price_q8,
+               CAST(FLOOR((
+                    (CAST(1 AS DOUBLE) + yld) / yld
+                    - (CAST(1 AS DOUBLE) + yld
+                       + CAST(mat AS DOUBLE) * (cpn - yld))
+                      / (cpn * (pow(CAST(1 AS DOUBLE) + yld, mat)
+                                - CAST(1 AS DOUBLE)) + yld)
+               ) * 1e8) AS BIGINT) AS macaulay_q8
+        FROM grid
+        ORDER BY n_nationkey, cpn, mat
+    """,
+)
+def fin_bond_duration_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form annual-coupon bond pricing over a (nation-yield x
+    coupon x maturity) grid: price = c/y (1-(1+y)^-T) + (1+y)^-T and
+    the Macaulay duration closed form D = (1+y)/y - [1+y+T(c-y)] /
+    [c((1+y)^T - 1) + y] (face 1). Yields derive deterministically
+    from the nation key (1%..5.5%); the grid is a 25x3x4 broadcast
+    fan-out — model-sized at any SF. Both outputs floor-quantize at
+    q8 so the driver hash sees integers; the pytest reference re-
+    derives both from the explicit cashflow sum."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    y = n.withColumn(
+        "yld",
+        F.lit(0.01) + (F.col("n_nationkey") % 10).cast("double") * F.lit(0.005),
+    )
+    cpn = spark.createDataFrame([(0.02,), (0.04,), (0.06,)], "cpn double")
+    mat = spark.createDataFrame([(2,), (5,), (10,), (30,)], "mat int")
+    grid = y.crossJoin(F.broadcast(cpn)).crossJoin(F.broadcast(mat))
+    one = F.lit(1.0)
+    yld, c_, t_ = F.col("yld"), F.col("cpn"), F.col("mat").cast("double")
+    disc = F.pow(one + yld, -F.col("mat").cast("double"))
+    price = c_ / yld * (one - disc) + disc
+    mac = (one + yld) / yld - (one + yld + t_ * (c_ - yld)) / (
+        c_ * (F.pow(one + yld, t_) - one) + yld
+    )
+    return grid.select(
+        "n_nationkey",
+        "cpn",
+        "mat",
+        "yld",
+        F.floor(price * F.lit(1e8)).cast("bigint").alias("price_q8"),
+        F.floor(mac * F.lit(1e8)).cast("bigint").alias("macaulay_q8"),
+    ).orderBy("n_nationkey", "cpn", "mat")
+
+
+@register(
+    "fin_ecl_staging",
+    tags=("finance", "agg"),
+    oracle="""
+        WITH open_ar AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS ead_cents,
+                   CAST(DATE '1998-08-02' - CAST(o_orderdate AS DATE)
+                        AS BIGINT) AS dpd
+            FROM orders WHERE o_orderstatus = 'O'
+        ),
+        staged AS (
+            SELECT CASE WHEN dpd <= 180 THEN 1
+                        WHEN dpd <= 540 THEN 2
+                        ELSE 3 END AS stage,
+                   ead_cents,
+                   CASE WHEN dpd <= 180 THEN 200
+                        WHEN dpd <= 540 THEN 1500
+                        ELSE 10000 END AS pd_bp
+            FROM open_ar
+        ),
+        agg AS (
+            SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_receivables,
+                   CAST(SUM(ead_cents) AS BIGINT) AS ead_cents,
+                   CAST(SUM(CAST(ead_cents AS DECIMAL(29,0)) * pd_bp * 45)
+                        AS DECIMAL(38,0)) AS ecl_num
+            FROM staged GROUP BY stage
+        ),
+        tot AS (SELECT CAST(SUM(ead_cents) AS BIGINT) AS ead_all FROM agg)
+        SELECT stage, n_receivables,
+               CAST(ead_cents AS DOUBLE) / 100 AS ead,
+               CAST(CAST(ecl_num AS VARCHAR) AS DOUBLE) / 1e8 AS ecl,
+               CAST(ead_cents AS DOUBLE) / CAST(ead_all AS DOUBLE)
+                   AS ead_share
+        FROM agg CROSS JOIN tot
+        ORDER BY stage
+    """,
+)
+def fin_ecl_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IFRS9-style expected-credit-loss staging over the open
+    receivables book: days-past-due as of the fixture horizon
+    (1998-08-02) buckets each open order into stage 1/2/3, a literal
+    PD curve in BASIS POINTS and a 45% LGD make the per-row loss
+    ead_cents * pd_bp * 45 exact integer arithmetic, and per-stage
+    sums accumulate in DECIMAL(38,0) (overflow-safe at 100-TB EAD).
+    Presentation divides once at the edge. One corpus scan, one
+    3-group agg — nothing else."""
+    o = load_table(spark, sf_dir, "orders")
+    open_ar = o.filter(F.col("o_orderstatus") == "O").select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("ead_cents"),
+        F.datediff(F.lit("1998-08-02").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("dpd"),
+    )
+    staged = open_ar.select(
+        F.when(F.col("dpd") <= 180, 1)
+        .when(F.col("dpd") <= 540, 2)
+        .otherwise(3)
+        .alias("stage"),
+        "ead_cents",
+        F.when(F.col("dpd") <= 180, 200)
+        .when(F.col("dpd") <= 540, 1500)
+        .otherwise(10000)
+        .alias("pd_bp"),
+    )
+    agg = staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_receivables"),
+        F.sum("ead_cents").cast("bigint").alias("ead_cents"),
+        F.sum(F.col("ead_cents").cast("decimal(29,0)") * F.col("pd_bp") * 45)
+        .cast("decimal(38,0)")
+        .alias("ecl_num"),
+    )
+    tot = agg.agg(F.sum("ead_cents").cast("bigint").alias("ead_all"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "stage",
+            "n_receivables",
+            (F.col("ead_cents").cast("double") / 100).alias("ead"),
+            (F.col("ecl_num").cast("string").cast("double") / F.lit(1e8)).alias("ecl"),
+            (F.col("ead_cents").cast("double") / F.col("ead_all").cast("double")).alias(
+                "ead_share"
+            ),
+        )
+        .orderBy("stage")
+    )

@@ -927,3 +927,77 @@ def test_hits_matches_integer_power_iteration(spark, trade_graph):
         assert r["hub_raw"] == h[idx[v]]
         assert r["authority"] == pytest.approx(a[idx[v]] / na, rel=1e-12)
         assert r["hub"] == pytest.approx(h[idx[v]] / nh, rel=1e-12)
+
+
+def test_sharpe_sortino_matches_pure_python(spark):
+    got = {r["segment"]: r for r in plans.get("fin_sharpe_sortino").build(spark, SF).collect()}
+    rows = _fetch(
+        "SELECT c.c_mktsegment, CAST(o.o_orderdate AS DATE),"
+        " CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))"
+        "      AS DECIMAL(18,2)) AS DOUBLE)"
+        f" FROM read_parquet('{SF}/orders.parquet') o"
+        f" JOIN read_parquet('{SF}/customer.parquet') c"
+        " ON o.o_custkey = c.c_custkey"
+        " GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    series = {}
+    for seg, _, x in rows:
+        series.setdefault(seg, []).append(x)
+    for seg, xs in series.items():
+        rq = [
+            math.floor((xs[i] / xs[i - 1] - 1.0) * 1e9)
+            for i in range(1, len(xs))
+        ]
+        n = len(rq)
+        mean = sum(rq) / n
+        var = sum(v * v for v in rq) / n - mean * mean
+        dvar = sum(v * v for v in rq if v < 0) / n
+        r = got[seg]
+        assert r["n"] == n
+        assert r["mean_ret"] == pytest.approx(mean / 1e9, rel=1e-9)
+        assert r["vol"] == pytest.approx(math.sqrt(var) / 1e9, rel=1e-9)
+        assert r["downside_vol"] == pytest.approx(math.sqrt(dvar) / 1e9, rel=1e-9)
+        assert r["sharpe_ann"] == pytest.approx(
+            mean / math.sqrt(var) * math.sqrt(252.0), rel=1e-9
+        )
+        assert r["sortino_ann"] == pytest.approx(
+            mean / math.sqrt(dvar) * math.sqrt(252.0), rel=1e-9
+        )
+
+
+def test_bond_grid_matches_cashflow_sum(spark):
+    got = plans.get("fin_bond_duration_grid").build(spark, SF).collect()
+    assert len(got) == 25 * 3 * 4
+    for r in got:
+        y, c, t = r["yld"], r["cpn"], r["mat"]
+        cfs = [(k, c + (1.0 if k == t else 0.0)) for k in range(1, t + 1)]
+        price = sum(cf / (1 + y) ** k for k, cf in cfs)
+        mac = sum(k * cf / (1 + y) ** k for k, cf in cfs) / price
+        # closed form vs explicit sum agree to float noise; q8 floor
+        # can differ by 1 ulp-of-quantum at the boundary
+        assert r["price_q8"] == pytest.approx(math.floor(price * 1e8), abs=2)
+        assert r["macaulay_q8"] == pytest.approx(math.floor(mac * 1e8), abs=2)
+
+
+def test_ecl_staging_matches_pure_python(spark):
+    got = {r["stage"]: r for r in plans.get("fin_ecl_staging").build(spark, SF).collect()}
+    rows = _fetch(
+        "SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT),"
+        " CAST(DATE '1998-08-02' - CAST(o_orderdate AS DATE) AS BIGINT)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+        " WHERE o_orderstatus = 'O'"
+    )
+    agg = {}
+    for ead, dpd in rows:
+        stage = 1 if dpd <= 180 else 2 if dpd <= 540 else 3
+        pd_bp = {1: 200, 2: 1500, 3: 10000}[stage]
+        n, e, num = agg.get(stage, (0, 0, 0))
+        agg[stage] = (n + 1, e + ead, num + ead * pd_bp * 45)
+    ead_all = sum(e for _, e, _ in agg.values())
+    assert set(got) == set(agg)
+    for stage, (n, e, num) in agg.items():
+        r = got[stage]
+        assert r["n_receivables"] == n
+        assert r["ead"] == pytest.approx(e / 100, rel=1e-12)
+        assert r["ecl"] == pytest.approx(num / 1e8, rel=1e-12)
+        assert r["ead_share"] == pytest.approx(e / ead_all, rel=1e-12)
