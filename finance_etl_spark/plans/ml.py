@@ -4027,3 +4027,151 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r2_perm",
         (F.col("r2_base") - F.col("r2_perm")).alias("importance"),
     )
+
+
+@register(
+    "ml_adaboost_round",
+    tags=("ml", "boosting", "agg"),
+    oracle=f"""
+        WITH rng AS (
+            SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS xmin,
+                   CAST(MAX(l_extendedprice) AS DOUBLE) AS xmax
+            FROM lineitem
+        ),
+        hist AS (
+            SELECT LEAST({_STUMP_BINS - 1},
+                   CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - rng.xmin)
+                        / ((rng.xmax - rng.xmin)
+                           / {float(_STUMP_BINS)})) AS INT)) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos
+            FROM lineitem CROSS JOIN rng
+            GROUP BY 1
+        ),
+        cum AS (
+            SELECT bin,
+                   CAST(SUM(n) OVER (ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+                   CAST(SUM(n_pos) OVER (ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+                   CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+                   CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+            FROM hist
+        ),
+        cand AS (
+            SELECT bin, pol.polarity,
+                   CASE WHEN pol.polarity = 'left_pos'
+                        THEN (cum_n - cum_pos) + (tot_pos - cum_pos)
+                        ELSE cum_pos + (tot_n - cum_n) - (tot_pos - cum_pos)
+                   END AS n_wrong,
+                   tot_n
+            FROM cum
+            CROSS JOIN (SELECT unnest(['left_pos', 'left_neg'])
+                        AS polarity) pol
+            WHERE cum_n < tot_n
+        ),
+        best AS (
+            SELECT * FROM cand
+            ORDER BY n_wrong, bin, polarity LIMIT 1
+        )
+        SELECT CAST(bin AS INT) AS split_bin, polarity,
+               CAST(n_wrong AS BIGINT) AS n_wrong,
+               CAST(tot_n AS BIGINT) AS n,
+               CAST(n_wrong AS DOUBLE) / CAST(tot_n AS DOUBLE) AS err,
+               CASE WHEN n_wrong > 0 AND n_wrong < tot_n THEN
+                   0.5 * ln(CAST(tot_n - n_wrong AS DOUBLE)
+                            / CAST(n_wrong AS DOUBLE)) END AS alpha,
+               CASE WHEN n_wrong > 0 THEN
+                   CAST(1 AS DOUBLE) / (2 * CAST(n_wrong AS DOUBLE))
+               END AS w_wrong,
+               CASE WHEN n_wrong < tot_n THEN
+                   CAST(1 AS DOUBLE) / (2 * CAST(tot_n - n_wrong AS DOUBLE))
+               END AS w_right
+        FROM best
+    """,
+)
+def ml_adaboost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One AdaBoost round with a histogram decision stump as the weak
+    learner: under the uniform initial distribution the weighted error
+    is a pure INTEGER misclassification count, so the best (boundary,
+    polarity) pair is an exact arg-min over 62 candidates from one
+    32-bin histogram scan (the ml_decision_stump_split shape — only
+    the histogram ever shuffles). alpha = 0.5 ln((n-wrong)/wrong) and
+    the two post-update normalized weights (every wrong row gets
+    1/(2*wrong), every right row 1/(2*(n-wrong)) — the classic
+    half-mass-to-errors property) are single double edge expressions,
+    NULL-guarded for the degenerate perfect/degenerate-worst stump on
+    both engines. Deterministic tiebreak: (n_wrong, bin, polarity)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rng = li.agg(
+        F.min("l_extendedprice").cast("double").alias("xmin"),
+        F.max("l_extendedprice").cast("double").alias("xmax"),
+    )
+    hist = (
+        li.crossJoin(F.broadcast(rng))
+        .select(
+            F.least(
+                F.lit(_STUMP_BINS - 1),
+                F.floor(
+                    (F.col("l_extendedprice").cast("double") - F.col("xmin"))
+                    / ((F.col("xmax") - F.col("xmin")) / F.lit(float(_STUMP_BINS)))
+                ).cast("int"),
+            ).alias("bin"),
+            (F.col("l_returnflag") == "R").cast("int").alias("pos"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "bin",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+        F.sum("n_pos").over(w).cast("bigint").alias("cum_pos"),
+        F.sum("n").over(wall).cast("bigint").alias("tot_n"),
+        F.sum("n_pos").over(wall).cast("bigint").alias("tot_pos"),
+    ).filter(F.col("cum_n") < F.col("tot_n"))
+    pol = spark.createDataFrame(
+        [("left_pos",), ("left_neg",)], "polarity string"
+    )
+    cand = cum.crossJoin(F.broadcast(pol)).select(
+        "bin",
+        "polarity",
+        F.when(
+            F.col("polarity") == "left_pos",
+            (F.col("cum_n") - F.col("cum_pos"))
+            + (F.col("tot_pos") - F.col("cum_pos")),
+        )
+        .otherwise(
+            F.col("cum_pos")
+            + (F.col("tot_n") - F.col("cum_n"))
+            - (F.col("tot_pos") - F.col("cum_pos"))
+        )
+        .alias("n_wrong"),
+        "tot_n",
+    )
+    best = cand.orderBy("n_wrong", "bin", "polarity").limit(1)
+    wrong_d = F.col("n_wrong").cast("double")
+    tot_d = F.col("tot_n").cast("double")
+    return best.select(
+        F.col("bin").cast("int").alias("split_bin"),
+        "polarity",
+        F.col("n_wrong").cast("bigint").alias("n_wrong"),
+        F.col("tot_n").cast("bigint").alias("n"),
+        (wrong_d / tot_d).alias("err"),
+        F.when(
+            (F.col("n_wrong") > 0) & (F.col("n_wrong") < F.col("tot_n")),
+            F.lit(0.5) * F.log((tot_d - wrong_d) / wrong_d),
+        ).alias("alpha"),
+        F.when(F.col("n_wrong") > 0, F.lit(1.0) / (2 * wrong_d)).alias("w_wrong"),
+        F.when(
+            F.col("n_wrong") < F.col("tot_n"),
+            F.lit(1.0) / (2 * (tot_d - wrong_d)),
+        ).alias("w_right"),
+    )

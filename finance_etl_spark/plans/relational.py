@@ -3817,3 +3817,136 @@ def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("raw"))
         .alias("hll_estimate"),
     ).orderBy("o_orderstatus")
+
+
+@register(
+    "agg_bloom_portable",
+    tags=("agg", "sketch", "approx"),
+    oracle="""
+        WITH buyers AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS k FROM orders
+        ),
+        rs AS (SELECT unnest(generate_series(0, 2)) AS r),
+        bits AS MATERIALIZED (
+            SELECT DISTINCT
+                   CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+                        || CAST(k AS VARCHAR)), 1, 15) AS BIGINT) % 2048
+                       AS pos
+            FROM buyers CROSS JOIN rs
+        ),
+        probes AS (
+            SELECT c.c_custkey AS k, r.r,
+                   CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                        || CAST(c.c_custkey AS VARCHAR)), 1, 15) AS BIGINT)
+                       % 2048 AS pos
+            FROM customer c CROSS JOIN rs r
+        ),
+        hit AS (
+            SELECT p.k,
+                   CAST(SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hit
+            FROM probes p LEFT JOIN bits b ON b.pos = p.pos
+            GROUP BY p.k
+        ),
+        verdict AS (
+            SELECT h.k, (h.n_hit = 3) AS bloom_pos,
+                   (bu.k IS NOT NULL) AS is_member
+            FROM hit h LEFT JOIN buyers bu ON bu.k = h.k
+        )
+        SELECT CAST(2048 AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k_hashes,
+               CAST((SELECT COUNT(*) FROM buyers) AS BIGINT) AS n_keys,
+               CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_set_bits,
+               CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true_members,
+               CAST(SUM(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bloom_positive,
+               CAST(SUM(CASE WHEN bloom_pos AND NOT is_member
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_false_positives,
+               CAST(SUM(CASE WHEN is_member AND NOT bloom_pos
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_false_negatives
+        FROM verdict
+    """,
+)
+def agg_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter (m=2048 bits, k=3) over the buyer-key set
+    with engine-reproducible md5 bit positions, probed by the full
+    customer dim: the build aggregates the corpus to DISTINCT keys
+    first (one shuffle), fans out only the |keys|-sized relation x3
+    into bit positions, and the membership probe is a bit-relation
+    join — the corpus never multiplies, and the filter itself is a
+    relation (mergeable by union, shippable as a broadcast side input
+    for join pruning at 100 TB). Zero false negatives is structural
+    and pinned; the false-positive census is exact integer output."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    buyers = o.select(F.col("o_custkey").alias("k")).distinct().persist()
+    rs = spark.range(0, 3).select(F.col("id").cast("int").alias("r"))
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("r").cast("string"), F.lit(":"), F.col("k").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2048
+    )
+    bits = (
+        buyers.crossJoin(F.broadcast(rs)).select(pos.alias("pos")).distinct()
+    )
+    probes = (
+        c.select(F.col("c_custkey").alias("k"))
+        .crossJoin(F.broadcast(rs))
+        .select("k", pos.alias("pos"))
+    )
+    hit = (
+        probes.join(F.broadcast(bits.withColumn("set_", F.lit(1))), "pos", "left")
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("set_").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hit")
+        )
+    )
+    verdict = hit.join(
+        buyers.withColumn("member_", F.lit(1)), "k", "left"
+    ).select(
+        (F.col("n_hit") == 3).alias("bloom_pos"),
+        F.col("member_").isNotNull().alias("is_member"),
+    )
+    n_keys = buyers.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_set_bits"))
+    summary = verdict.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true_members"),
+        F.sum(F.when(F.col("bloom_pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_positive"),
+        F.sum(F.when(F.col("bloom_pos") & ~F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_positives"),
+        F.sum(F.when(F.col("is_member") & ~F.col("bloom_pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_negatives"),
+    )
+    return (
+        spark.range(1)
+        .select(
+            F.lit(2048).cast("bigint").alias("m_bits"),
+            F.lit(3).cast("bigint").alias("k_hashes"),
+        )
+        .crossJoin(F.broadcast(n_keys))
+        .crossJoin(F.broadcast(n_bits))
+        .crossJoin(F.broadcast(summary))
+    )

@@ -2474,3 +2474,108 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_c4_gopher_filters",
+    tags=("text", "quality", "curation"),
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        per_tok AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY doc_id, tok
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_words,
+                   CAST(SUM(CAST(length(tok) AS BIGINT) * c) AS BIGINT)
+                       AS n_word_chars,
+                   CAST(MAX(length(tok)) AS BIGINT) AS max_word_len,
+                   CAST(MAX(c) AS BIGINT) AS top_word_count,
+                   CAST(SUM(CASE WHEN regexp_matches(tok, '[a-z]')
+                            THEN c ELSE 0 END) AS BIGINT) AS n_alpha_words
+            FROM per_tok GROUP BY doc_id
+        )
+        SELECT d.doc_id, p.n_words,
+               CAST(p.n_word_chars AS DOUBLE) / CAST(p.n_words AS DOUBLE)
+                   AS mean_word_len,
+               p.max_word_len,
+               CAST(p.top_word_count AS DOUBLE) / CAST(p.n_words AS DOUBLE)
+                   AS top_word_frac,
+               CAST(p.n_alpha_words AS DOUBLE) / CAST(p.n_words AS DOUBLE)
+                   AS alpha_word_frac,
+               (d.text LIKE '%lorem ipsum%') AS has_lorem,
+               (d.text LIKE '%{{%' OR d.text LIKE '%}}%') AS has_brace,
+               (p.n_words >= 50 AND p.n_words <= 100000
+                AND CAST(p.n_word_chars AS DOUBLE) / CAST(p.n_words AS DOUBLE)
+                    BETWEEN 3 AND 10
+                AND p.max_word_len <= 1000
+                AND CAST(p.top_word_count AS DOUBLE)
+                    / CAST(p.n_words AS DOUBLE) <= 0.10
+                AND CAST(p.n_alpha_words AS DOUBLE)
+                    / CAST(p.n_words AS DOUBLE) >= 0.80
+                AND NOT (d.text LIKE '%lorem ipsum%')
+                AND NOT (d.text LIKE '%{{%' OR d.text LIKE '%}}%'))
+                   AS keep
+        FROM documents d JOIN per_doc p ON p.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """,
+)
+def text_c4_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style pretraining document filter battery: word
+    count bounds, mean word length 3-10, max word length, most-
+    frequent-word fraction <= 10% (the Gopher repetition gate), alpha-
+    word fraction >= 80%, and the C4 blocklist checks (lorem ipsum,
+    curly braces). One explode + per-(doc,token) count agg feeds every
+    signal — the token relation shuffles once on (doc_id, tok) with
+    map-side combine, ratios are single double expressions over exact
+    integers, and the keep verdict is a pure boolean of those shared
+    fragments. Joins carry doc_id + counters, never document bytes."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    per_tok = (
+        _tokens(d)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.sum(F.length("tok").cast("bigint") * F.col("c"))
+        .cast("bigint")
+        .alias("n_word_chars"),
+        F.max(F.length("tok")).cast("bigint").alias("max_word_len"),
+        F.max("c").cast("bigint").alias("top_word_count"),
+        F.sum(F.when(F.col("tok").rlike("[a-z]"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_alpha_words"),
+    )
+    nw = F.col("n_words").cast("double")
+    mean_len = F.col("n_word_chars").cast("double") / nw
+    top_frac = F.col("top_word_count").cast("double") / nw
+    alpha_frac = F.col("n_alpha_words").cast("double") / nw
+    has_lorem = F.col("text").contains("lorem ipsum")
+    has_brace = F.col("text").contains("{") | F.col("text").contains("}")
+    return (
+        d.select("doc_id", "text")
+        .join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            mean_len.alias("mean_word_len"),
+            "max_word_len",
+            top_frac.alias("top_word_frac"),
+            alpha_frac.alias("alpha_word_frac"),
+            has_lorem.alias("has_lorem"),
+            has_brace.alias("has_brace"),
+            (
+                (F.col("n_words") >= 50)
+                & (F.col("n_words") <= 100000)
+                & mean_len.between(3, 10)
+                & (F.col("max_word_len") <= 1000)
+                & (top_frac <= 0.10)
+                & (alpha_frac >= 0.80)
+                & ~has_lorem
+                & ~has_brace
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

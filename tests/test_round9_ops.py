@@ -1001,3 +1001,116 @@ def test_ecl_staging_matches_pure_python(spark):
         assert r["ead"] == pytest.approx(e / 100, rel=1e-12)
         assert r["ecl"] == pytest.approx(num / 1e8, rel=1e-12)
         assert r["ead_share"] == pytest.approx(e / ead_all, rel=1e-12)
+
+
+def test_bloom_portable_matches_hashlib(spark):
+    import hashlib
+
+    row = plans.get("agg_bloom_portable").build(spark, SF).collect()[0]
+    buyers = {
+        r[0]
+        for r in _fetch(
+            f"SELECT DISTINCT o_custkey FROM read_parquet('{SF}/orders.parquet')"
+        )
+    }
+    custs = [
+        r[0]
+        for r in _fetch(
+            f"SELECT c_custkey FROM read_parquet('{SF}/customer.parquet')"
+        )
+    ]
+
+    def positions(k):
+        return [
+            int(hashlib.md5(f"{r}:{k}".encode()).hexdigest()[:15], 16) % 2048
+            for r in range(3)
+        ]
+
+    bits = {p for k in buyers for p in positions(k)}
+    fp = fn = pos_n = 0
+    for k in custs:
+        hit = all(p in bits for p in positions(k))
+        if hit:
+            pos_n += 1
+            if k not in buyers:
+                fp += 1
+        elif k in buyers:
+            fn += 1
+    assert row["n_keys"] == len(buyers)
+    assert row["n_set_bits"] == len(bits)
+    assert row["n_probes"] == len(custs)
+    assert row["n_true_members"] == len(buyers & set(custs))
+    assert row["n_bloom_positive"] == pos_n
+    assert row["n_false_positives"] == fp
+    assert row["n_false_negatives"] == fn == 0  # structural
+
+
+def test_c4_gopher_filters_matches_pure_python(spark):
+    got = {r["doc_id"]: r for r in plans.get("text_c4_gopher_filters").build(spark, SF).collect()}
+    docs = _fetch(f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')")
+    assert len(got) == len(docs)
+    import re as _re
+
+    for doc_id, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        n = len(toks)
+        counts = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        mean_len = sum(len(t) for t in toks) / n
+        top = max(counts.values())
+        alpha = sum(c for t, c in counts.items() if _re.search("[a-z]", t))
+        r = got[doc_id]
+        assert r["n_words"] == n
+        assert r["mean_word_len"] == pytest.approx(mean_len, rel=1e-12)
+        assert r["max_word_len"] == max(len(t) for t in toks)
+        assert r["top_word_frac"] == pytest.approx(top / n, rel=1e-12)
+        assert r["alpha_word_frac"] == pytest.approx(alpha / n, rel=1e-12)
+        keep = (
+            50 <= n <= 100000
+            and 3 <= mean_len <= 10
+            and max(len(t) for t in toks) <= 1000
+            and top / n <= 0.10
+            and alpha / n >= 0.80
+            and "lorem ipsum" not in text
+            and "{" not in text
+            and "}" not in text
+        )
+        assert r["keep"] == keep
+
+
+def test_adaboost_round_matches_numpy(spark):
+    row = plans.get("ml_adaboost_round").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT CAST(l_extendedprice AS DOUBLE),"
+        " CAST(l_returnflag = 'R' AS INT)"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    x = np.array([r[0] for r in rows])
+    y = np.array([r[1] for r in rows])
+    xmin, xmax = x.min(), x.max()
+    bins = np.minimum(31, np.floor((x - xmin) / ((xmax - xmin) / 32.0)).astype(int))
+    n_tot, n_pos_tot = len(x), int(y.sum())
+    best = None
+    for b in sorted(set(bins)):
+        left = bins <= b
+        if left.all():
+            continue
+        ln, lp = int(left.sum()), int(y[left].sum())
+        for polarity in ("left_neg", "left_pos"):
+            if polarity == "left_pos":
+                wrong = (ln - lp) + (n_pos_tot - lp)
+            else:
+                wrong = lp + (n_tot - ln) - (n_pos_tot - lp)
+            key = (wrong, b, polarity)
+            if best is None or key < best:
+                best = key
+    wrong, b, polarity = best
+    assert (row["split_bin"], row["polarity"], row["n_wrong"]) == (b, polarity, wrong)
+    assert row["n"] == n_tot
+    assert row["err"] == pytest.approx(wrong / n_tot, rel=1e-12)
+    assert row["alpha"] == pytest.approx(
+        0.5 * math.log((n_tot - wrong) / wrong), rel=1e-12
+    )
+    assert row["w_wrong"] == pytest.approx(1 / (2 * wrong), rel=1e-12)
+    assert row["w_right"] == pytest.approx(1 / (2 * (n_tot - wrong)), rel=1e-12)
