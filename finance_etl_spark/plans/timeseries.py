@@ -3872,3 +3872,203 @@ def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention and seasonal decomposition (round 9). All
+# exact-integer or exact-decimal until single double edges.
+
+
+@register(
+    "ts_retention_cohorts",
+    tags=("timeseries", "events", "agg"),
+    oracle="""
+        WITH act AS (
+            SELECT user_id,
+                   CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7
+                        AS BIGINT) AS week
+            FROM events GROUP BY user_id, week
+        ),
+        first_w AS (
+            SELECT user_id, CAST(MIN(week) AS BIGINT) AS cohort
+            FROM act GROUP BY user_id
+        ),
+        sizes AS (
+            SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+            FROM first_w GROUP BY cohort
+        ),
+        cells AS (
+            SELECT f.cohort, a.week - f.cohort AS week_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_active
+            FROM act a JOIN first_w f ON f.user_id = a.user_id
+            GROUP BY 1, 2
+        )
+        SELECT c.cohort, CAST(c.week_offset AS BIGINT) AS week_offset,
+               c.n_active, s.cohort_size,
+               CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+                   AS retention
+        FROM cells c JOIN sizes s ON s.cohort = c.cohort
+        ORDER BY c.cohort, week_offset
+    """,
+)
+def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix: users cohorted by first-active
+    week (epoch-anchored integer week arithmetic — engine-neutral),
+    cells count distinct users active at each week offset, rates are
+    one double division at the edge. The corpus reduces to the
+    (user, week) distinct relation in a single map-side-combining
+    aggregate; everything downstream is user- or cohort-sized. This is
+    the canonical activity-retention query every event warehouse
+    serves."""
+    e = load_table(spark, sf_dir, "events")
+    act = (
+        e.select(
+            "user_id",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week"),
+        )
+        .distinct()
+    )
+    first_w = act.groupBy("user_id").agg(F.min("week").cast("bigint").alias("cohort"))
+    sizes = first_w.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    cells = (
+        act.join(first_w, "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            F.col("week_offset").cast("bigint").alias("week_offset"),
+            "n_active",
+            "cohort_size",
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+        .orderBy("cohort", "week_offset")
+    )
+
+
+@register(
+    "ts_stl_decompose",
+    tags=("timeseries", "window"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST((CAST(ts AS DATE) - DATE '1970-01-01') AS BIGINT) % 7
+                       AS dow,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        AS DECIMAL(18,6)) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        tr AS (
+            SELECT event_type, d, dow, x,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS wn,
+                   CAST(SUM(x) OVER w AS DECIMAL(38,6)) AS ws
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        trend AS (
+            SELECT event_type, d, dow, x, ws
+            FROM tr WHERE wn = 7
+        ),
+        seas AS (
+            SELECT event_type, dow,
+                   CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(ws) AS VARCHAR) AS DOUBLE) AS sws
+            FROM trend GROUP BY event_type, dow
+        )
+        SELECT t.event_type, t.d, t.dow,
+               CAST(CAST(t.x AS VARCHAR) AS DOUBLE) AS x,
+               CAST(CAST(t.ws AS VARCHAR) AS DOUBLE) / 7 AS trend,
+               s.sx / CAST(s.c AS DOUBLE)
+                 - s.sws / (7 * CAST(s.c AS DOUBLE)) AS seasonal,
+               CAST(CAST(t.x AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(t.ws AS VARCHAR) AS DOUBLE) / 7
+                 - (s.sx / CAST(s.c AS DOUBLE)
+                    - s.sws / (7 * CAST(s.c AS DOUBLE))) AS residual
+        FROM trend t JOIN seas s
+          ON s.event_type = t.event_type AND s.dow = t.dow
+        ORDER BY t.event_type, t.d
+    """,
+)
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STL-style decomposition per daily series: trend =
+    centered 7-day moving average from EXACT decimal window sums,
+    seasonal(dow) = mean(x) - mean(trend) over that weekday — the
+    algebraic re-expression that keeps every aggregate an exact
+    decimal sum (summing already-rounded doubles would be order-
+    dependent; summing the exact window sums is not), residual = x -
+    trend - seasonal as one shared double expression. Weekday is
+    epoch-day mod 7 (both engines' named dow functions disagree on
+    numbering). Windows partition per series over calendar-bounded
+    rows; corpus work is one map-side-combining daily agg."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("x")
+    ).withColumn(
+        "dow",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("bigint")
+            % 7
+        ),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "d",
+        "dow",
+        "x",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("wn"),
+        F.sum("x").over(w).cast("decimal(38,6)").alias("ws"),
+    )
+    trend = tr.filter(F.col("wn") == 7)
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    seas = trend.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        as_d(F.sum("x")).alias("sx"),
+        as_d(F.sum("ws")).alias("sws"),
+    )
+    cd = F.col("c").cast("double")
+    seasonal = F.col("sx") / cd - F.col("sws") / (F.lit(7.0) * cd)
+    s2 = seas.select(
+        F.col("event_type").alias("et_s"),
+        F.col("dow").alias("dow_s"),
+        seasonal.alias("seasonal"),
+    )
+    xd = as_d(F.col("x"))
+    trd = as_d(F.col("ws")) / F.lit(7.0)
+    return (
+        trend.join(
+            F.broadcast(s2),
+            (F.col("event_type") == F.col("et_s")) & (F.col("dow") == F.col("dow_s")),
+        )
+        .select(
+            "event_type",
+            "d",
+            "dow",
+            xd.alias("x"),
+            trd.alias("trend"),
+            "seasonal",
+            (xd - trd - F.col("seasonal")).alias("residual"),
+        )
+        .orderBy("event_type", "d")
+    )

@@ -1114,3 +1114,58 @@ def test_adaboost_round_matches_numpy(spark):
     )
     assert row["w_wrong"] == pytest.approx(1 / (2 * wrong), rel=1e-12)
     assert row["w_right"] == pytest.approx(1 / (2 * (n_tot - wrong)), rel=1e-12)
+
+
+def test_retention_cohorts_matches_pure_python(spark):
+    got = {
+        (r["cohort"], r["week_offset"]): r
+        for r in plans.get("ts_retention_cohorts").build(spark, SF).collect()
+    }
+    rows = _fetch(
+        "SELECT user_id,"
+        " CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS BIGINT)"
+        f" FROM read_parquet('{SF}/events.parquet')"
+    )
+    act = {}
+    for u, w in rows:
+        act.setdefault(u, set()).add(w)
+    cells, sizes = {}, {}
+    for u, ws in act.items():
+        c = min(ws)
+        sizes[c] = sizes.get(c, 0) + 1
+        for w in ws:
+            cells[(c, w - c)] = cells.get((c, w - c), 0) + 1
+    assert set(got) == set(cells)
+    for k, n in cells.items():
+        r = got[k]
+        assert r["n_active"] == n
+        assert r["cohort_size"] == sizes[k[0]]
+        assert r["retention"] == pytest.approx(n / sizes[k[0]], rel=1e-12)
+
+
+def test_stl_decompose_matches_numpy(spark, daily_series):
+    got = plans.get("ts_stl_decompose").build(spark, SF).collect()
+    by_et = {}
+    for r in got:
+        by_et.setdefault(r["event_type"], []).append(r)
+    for et, x in daily_series.items():
+        rows = sorted(by_et[et], key=lambda r: r["d"])
+        n = len(x)
+        assert len(rows) == n - 6  # centered 7-day MA trims 3 each side
+        trend = np.array(
+            [x[i - 3 : i + 4].mean() for i in range(3, n - 3)]
+        )
+        detr = x[3 : n - 3] - trend
+        dows = np.array([r["dow"] for r in rows])
+        for i, r in enumerate(rows):
+            assert r["x"] == pytest.approx(x[3 + i], rel=1e-12)
+            assert r["trend"] == pytest.approx(trend[i], rel=1e-9)
+            mask = dows == r["dow"]
+            seas = detr[mask].mean()
+            assert r["seasonal"] == pytest.approx(seas, rel=1e-9)
+            assert r["residual"] == pytest.approx(detr[i] - seas, rel=1e-6)
+        # decomposition identity: x = trend + seasonal + residual
+        for r in rows:
+            assert r["x"] == pytest.approx(
+                r["trend"] + r["seasonal"] + r["residual"], abs=1e-9
+            )
