@@ -4072,3 +4072,166 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+@register(
+    "ts_viterbi_2state",
+    tags=("timeseries", "dp", "hmm"),
+    oracle="""
+        WITH RECURSIVE daily AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        AS DECIMAL(18,6)) AS x,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(ts AS DATE)) AS rn
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        st AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx
+            FROM daily GROUP BY event_type
+        ),
+        obs AS (
+            SELECT d.event_type, d.rn,
+                   CASE WHEN CAST(CAST(d.x AS VARCHAR) AS DOUBLE)
+                             > st.sx / CAST(st.n AS DOUBLE)
+                        THEN 1 ELSE 0 END AS o,
+                   st.n
+            FROM daily d JOIN st ON st.event_type = d.event_type
+        ),
+        dp AS (
+            SELECT event_type, CAST(0 AS BIGINT) AS t,
+                   CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
+                   '' AS p0, '' AS p1
+            FROM st
+            UNION ALL
+            SELECT d.event_type, d.t + 1,
+                   GREATEST(d.s0, d.s1 - 3)
+                     + CASE WHEN o.o = 0 THEN 0 ELSE -2 END,
+                   GREATEST(d.s1, d.s0 - 3)
+                     + CASE WHEN o.o = 1 THEN 0 ELSE -2 END,
+                   (CASE WHEN d.s0 >= d.s1 - 3 THEN d.p0 ELSE d.p1 END)
+                       || '0',
+                   (CASE WHEN d.s1 >= d.s0 - 3 THEN d.p1 ELSE d.p0 END)
+                       || '1'
+            FROM dp d JOIN obs o
+              ON o.event_type = d.event_type AND o.rn = d.t + 1
+        ),
+        fin AS (
+            SELECT dp.event_type, dp.t AS n, dp.s0, dp.s1,
+                   CASE WHEN dp.s0 >= dp.s1 THEN 0 ELSE 1 END AS final_state,
+                   GREATEST(dp.s0, dp.s1) AS best_score,
+                   CASE WHEN dp.s0 >= dp.s1 THEN dp.p0 ELSE dp.p1 END AS path
+            FROM dp JOIN st ON st.event_type = dp.event_type
+                           AND dp.t = st.n
+        )
+        SELECT event_type, n, CAST(final_state AS INT) AS final_state,
+               best_score, path,
+               CAST((length(path) - length(replace(path, '01', ''))) // 2
+                    + (length(path) - length(replace(path, '10', ''))) // 2
+                    AS BIGINT) AS n_switches
+        FROM fin ORDER BY event_type
+    """,
+)
+def ts_viterbi_2state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-state Viterbi regime decoding per daily series under an
+    integer-log-score HMM (stay 0 / switch -3; emission match 0 /
+    mismatch -2; symbols = above/below the series mean). The DP runs
+    ENTIRELY in exact integer arithmetic, so the decoded path is
+    hash-exact cross-engine: Spark folds the per-series ordered
+    observation array with one higher-order F.aggregate (JVM-side, no
+    UDF; the series is calendar-bounded so the array is model-sized),
+    while the oracle replays the identical recurrence as a recursive
+    CTE. Ties prefer the incumbent state on both engines (>=). At
+    100 TB the corpus collapses to per-series daily sums first; the
+    DP state is 2 integers + 2 path strings per series."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("x")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("event_type").orderBy("d")),
+        )
+    )
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        as_d(F.sum("x")).alias("sx"),
+    )
+    obs = (
+        daily.join(
+            F.broadcast(
+                st.select(F.col("event_type").alias("et_s"), "n", "sx")
+            ),
+            F.col("event_type") == F.col("et_s"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "rn",
+            F.when(
+                as_d(F.col("x")) > F.col("sx") / F.col("n").cast("double"), 1
+            )
+            .otherwise(0)
+            .alias("o"),
+        )
+    )
+    seq = obs.groupBy("event_type", "n").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "o"))),
+            lambda s: s["o"],
+        ).alias("os")
+    )
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("s0"),
+        F.lit(0).cast("bigint").alias("s1"),
+        F.lit("").alias("p0"),
+        F.lit("").alias("p1"),
+    )
+
+    def step(acc, o):
+        e0 = F.when(o == 0, 0).otherwise(-2).cast("bigint")
+        e1 = F.when(o == 1, 0).otherwise(-2).cast("bigint")
+        take0 = acc["s0"] >= acc["s1"] - 3
+        take1 = acc["s1"] >= acc["s0"] - 3
+        return F.struct(
+            (F.greatest(acc["s0"], acc["s1"] - 3) + e0).alias("s0"),
+            (F.greatest(acc["s1"], acc["s0"] - 3) + e1).alias("s1"),
+            F.concat(F.when(take0, acc["p0"]).otherwise(acc["p1"]), F.lit("0")).alias(
+                "p0"
+            ),
+            F.concat(F.when(take1, acc["p1"]).otherwise(acc["p0"]), F.lit("1")).alias(
+                "p1"
+            ),
+        )
+
+    dp = seq.select(
+        "event_type",
+        "n",
+        F.aggregate(F.col("os"), init, step).alias("v"),
+    )
+    path = F.when(F.col("v.s0") >= F.col("v.s1"), F.col("v.p0")).otherwise(
+        F.col("v.p1")
+    )
+    return dp.select(
+        "event_type",
+        "n",
+        F.when(F.col("v.s0") >= F.col("v.s1"), 0).otherwise(1).cast("int").alias(
+            "final_state"
+        ),
+        F.greatest(F.col("v.s0"), F.col("v.s1")).alias("best_score"),
+        path.alias("path"),
+        (
+            (F.length(path) - F.length(F.replace(path, F.lit("01"), F.lit(""))))
+            / 2
+            + (F.length(path) - F.length(F.replace(path, F.lit("10"), F.lit(""))))
+            / 2
+        )
+        .cast("bigint")
+        .alias("n_switches"),
+    ).orderBy("event_type")

@@ -1169,3 +1169,28 @@ def test_stl_decompose_matches_numpy(spark, daily_series):
             assert r["x"] == pytest.approx(
                 r["trend"] + r["seasonal"] + r["residual"], abs=1e-9
             )
+
+
+def test_viterbi_matches_pure_python_dp(spark, daily_series):
+    got = {r["event_type"]: r for r in plans.get("ts_viterbi_2state").build(spark, SF).collect()}
+    for et, x in daily_series.items():
+        mean = x.sum() / len(x)
+        obs = [1 if v > mean else 0 for v in x]
+        s0, s1, p0, p1 = 0, 0, "", ""
+        for o in obs:
+            e0 = 0 if o == 0 else -2
+            e1 = 0 if o == 1 else -2
+            ns0 = max(s0, s1 - 3) + e0
+            ns1 = max(s1, s0 - 3) + e1
+            np0 = (p0 if s0 >= s1 - 3 else p1) + "0"
+            np1 = (p1 if s1 >= s0 - 3 else p0) + "1"
+            s0, s1, p0, p1 = ns0, ns1, np0, np1
+        state = 0 if s0 >= s1 else 1
+        path = p0 if s0 >= s1 else p1
+        switches = sum(1 for a, b in zip(path, path[1:]) if a != b)
+        r = got[et]
+        assert r["n"] == len(obs)
+        assert r["final_state"] == state
+        assert r["best_score"] == max(s0, s1)
+        assert r["path"] == path
+        assert r["n_switches"] == switches
