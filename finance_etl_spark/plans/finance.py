@@ -1971,3 +1971,90 @@ def fin_ecl_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+@register(
+    "fin_woe_iv_binning",
+    tags=("finance", "ml", "agg"),
+    oracle="""
+        WITH lab AS (
+            SELECT o_orderpriority AS bin,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+            FROM orders
+        ),
+        per AS (
+            SELECT bin,
+                   CAST(SUM(1 - bad) AS BIGINT) AS n_good,
+                   CAST(SUM(bad) AS BIGINT) AS n_bad
+            FROM lab GROUP BY bin
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_good) AS BIGINT) AS g,
+                   CAST(SUM(n_bad) AS BIGINT) AS b
+            FROM per
+        ),
+        woe AS (
+            SELECT p.bin, p.n_good, p.n_bad,
+                   CAST(p.n_good AS DOUBLE) / CAST(t.g AS DOUBLE) AS dg,
+                   CAST(p.n_bad AS DOUBLE) / CAST(t.b AS DOUBLE) AS db,
+                   ln((CAST(p.n_good AS DOUBLE) / CAST(t.g AS DOUBLE))
+                      / (CAST(p.n_bad AS DOUBLE) / CAST(t.b AS DOUBLE)))
+                       AS woe
+            FROM per p CROSS JOIN tot t
+        ),
+        iv AS (
+            SELECT list_reduce(
+                       list((dg - db) * woe ORDER BY bin),
+                       (acc, x) -> acc + x) AS iv_total
+            FROM woe
+        )
+        SELECT w.bin, w.n_good, w.n_bad, w.dg, w.db, w.woe, i.iv_total
+        FROM woe w CROSS JOIN iv i
+        ORDER BY w.bin
+    """,
+)
+def fin_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value binning — the credit-
+    scorecard feature transform: order priority as the candidate
+    variable, finalized status as the 'bad' flag. Per-bin good/bad
+    counts are one exact-integer corpus agg; distribution shares and
+    WoE = ln(dg/db) are single shared double expressions; the IV total
+    folds (dg-db)*woe over the 5 bins in PINNED bin order on both
+    engines. Degenerate bins (zero good or bad) cannot occur on this
+    fixture; at production the same NULL-guard pattern as
+    ml_cohen_kappa applies."""
+    o = load_table(spark, sf_dir, "orders")
+    lab = o.select(
+        F.col("o_orderpriority").alias("bin"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
+    )
+    per = lab.groupBy("bin").agg(
+        F.sum(1 - F.col("bad")).cast("bigint").alias("n_good"),
+        F.sum("bad").cast("bigint").alias("n_bad"),
+    )
+    tot = per.agg(
+        F.sum("n_good").cast("bigint").alias("g"),
+        F.sum("n_bad").cast("bigint").alias("b"),
+    )
+    dg = F.col("n_good").cast("double") / F.col("g").cast("double")
+    db = F.col("n_bad").cast("double") / F.col("b").cast("double")
+    woe = per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_good",
+        "n_bad",
+        dg.alias("dg"),
+        db.alias("db"),
+        F.log(dg / db).alias("woe"),
+    )
+    iv = woe.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bin", ((F.col("dg") - F.col("db")) * F.col("woe")).alias("term")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("iv_total")
+    )
+    return (
+        woe.crossJoin(F.broadcast(iv))
+        .select("bin", "n_good", "n_bad", "dg", "db", "woe", "iv_total")
+        .orderBy("bin")
+    )

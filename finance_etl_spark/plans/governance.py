@@ -692,3 +692,125 @@ def obs_file_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("tbl")
+
+
+@register(
+    "dq_rule_engine",
+    tags=("dq", "governance", "agg"),
+    oracle="""
+        WITH stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT)
+                       AS null_custkey,
+                   CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                        ) AS BIGINT) AS min_price_cents,
+                   CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                        ) AS BIGINT) AS max_price_cents,
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+                       AS nd_status,
+                   CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                                   OR o_orderdate >= TIMESTAMP '2000-01-01'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_date_oob
+            FROM orders
+        ),
+        rules AS (
+            SELECT * FROM (VALUES
+                (1, 'row_count_min',     'table',         CAST(100 AS BIGINT)),
+                (2, 'null_count_max',    'o_custkey',     CAST(0 AS BIGINT)),
+                (3, 'min_value_cents',   'o_totalprice',  CAST(1 AS BIGINT)),
+                (4, 'max_value_cents',   'o_totalprice',  CAST(100000000 AS BIGINT)),
+                (5, 'distinct_count_max','o_orderstatus', CAST(3 AS BIGINT)),
+                (6, 'date_in_range',     'o_orderdate',   CAST(0 AS BIGINT))
+            ) AS t(rule_id, rule_type, target, threshold)
+        )
+        SELECT r.rule_id, r.rule_type, r.target, r.threshold,
+               CAST(CASE r.rule_type
+                    WHEN 'row_count_min' THEN s.n_rows
+                    WHEN 'null_count_max' THEN s.null_custkey
+                    WHEN 'min_value_cents' THEN s.min_price_cents
+                    WHEN 'max_value_cents' THEN s.max_price_cents
+                    WHEN 'distinct_count_max' THEN s.nd_status
+                    WHEN 'date_in_range' THEN s.n_date_oob
+               END AS BIGINT) AS observed,
+               CASE r.rule_type
+                    WHEN 'row_count_min' THEN s.n_rows >= r.threshold
+                    WHEN 'null_count_max' THEN s.null_custkey <= r.threshold
+                    WHEN 'min_value_cents' THEN s.min_price_cents >= r.threshold
+                    WHEN 'max_value_cents' THEN s.max_price_cents <= r.threshold
+                    WHEN 'distinct_count_max' THEN s.nd_status <= r.threshold
+                    WHEN 'date_in_range' THEN s.n_date_oob <= r.threshold
+               END AS passed
+        FROM rules r CROSS JOIN stats s
+        ORDER BY r.rule_id
+    """,
+)
+def dq_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule engine: rules live as DATA (a
+    broadcast rule table: row-count floor, null ceiling, value fences,
+    distinct-cardinality cap, date-range window) and are evaluated
+    against ONE exact-integer stats scan of the target table — the
+    Deequ/GreatExpectations execution shape re-expressed relationally.
+    Adding a rule never adds a scan: the stats row is computed once
+    and every rule is a CASE lookup against it. All comparisons are
+    exact integers (prices as cents), so verdicts are hash-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).cast("bigint").alias("null_custkey"),
+        F.min((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("min_price_cents"),
+        F.max((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("max_price_cents"),
+        F.count_distinct("o_orderstatus").cast("bigint").alias("nd_status"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_date_oob"),
+    )
+    rules = spark.createDataFrame(
+        [
+            (1, "row_count_min", "table", 100),
+            (2, "null_count_max", "o_custkey", 0),
+            (3, "min_value_cents", "o_totalprice", 1),
+            (4, "max_value_cents", "o_totalprice", 100000000),
+            (5, "distinct_count_max", "o_orderstatus", 3),
+            (6, "date_in_range", "o_orderdate", 0),
+        ],
+        "rule_id int, rule_type string, target string, threshold bigint",
+    )
+    rt = F.col("rule_type")
+    observed = (
+        F.when(rt == "row_count_min", F.col("n_rows"))
+        .when(rt == "null_count_max", F.col("null_custkey"))
+        .when(rt == "min_value_cents", F.col("min_price_cents"))
+        .when(rt == "max_value_cents", F.col("max_price_cents"))
+        .when(rt == "distinct_count_max", F.col("nd_status"))
+        .when(rt == "date_in_range", F.col("n_date_oob"))
+    )
+    passed = (
+        F.when(rt == "row_count_min", F.col("n_rows") >= F.col("threshold"))
+        .when(rt == "null_count_max", F.col("null_custkey") <= F.col("threshold"))
+        .when(rt == "min_value_cents", F.col("min_price_cents") >= F.col("threshold"))
+        .when(rt == "max_value_cents", F.col("max_price_cents") <= F.col("threshold"))
+        .when(rt == "distinct_count_max", F.col("nd_status") <= F.col("threshold"))
+        .when(rt == "date_in_range", F.col("n_date_oob") <= F.col("threshold"))
+    )
+    return (
+        rules.crossJoin(F.broadcast(stats))
+        .select(
+            "rule_id",
+            "rule_type",
+            "target",
+            "threshold",
+            observed.cast("bigint").alias("observed"),
+            passed.alias("passed"),
+        )
+        .orderBy("rule_id")
+    )

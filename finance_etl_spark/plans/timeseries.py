@@ -4235,3 +4235,120 @@ def ts_viterbi_2state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_switches"),
     ).orderBy("event_type")
+
+
+@register(
+    "ts_cusum_changepoint",
+    tags=("timeseries", "window", "stats"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xq,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(ts AS DATE)) AS rn
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        pre AS (
+            SELECT event_type, d, rn, xq,
+                   CAST(SUM(xq) OVER (PARTITION BY event_type ORDER BY rn
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+                   CAST(SUM(xq) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS s,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n
+            FROM daily
+        ),
+        dev AS (
+            SELECT event_type, d, rn, prefix, s, n,
+                   abs(CAST(n AS DECIMAL(38,0)) * prefix
+                       - CAST(rn AS DECIMAL(38,0)) * s) AS dabs
+            FROM pre WHERE rn < n
+        ),
+        best AS (
+            SELECT event_type, d, rn, prefix, s, n, dabs,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY dabs DESC, rn) AS pick
+            FROM dev
+        )
+        SELECT event_type, n, CAST(rn AS BIGINT) AS cp_index, d AS cp_date,
+               CAST(CAST(dabs AS VARCHAR) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * 1e6) AS cusum_peak,
+               CAST(prefix AS DOUBLE) / (CAST(rn AS DOUBLE) * 1e6)
+                   AS mean_before,
+               CAST(s - prefix AS DOUBLE)
+                 / (CAST(n - rn AS DOUBLE) * 1e6) AS mean_after
+        FROM best WHERE pick = 1
+        ORDER BY event_type
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM single-changepoint detection per daily series, EXACT: the
+    deviation cumsum S_t - t*mean scales by n into n*prefix_t - t*S —
+    pure integer arithmetic (q6-quantized daily values, DECIMAL(38,0)
+    products), so the arg-max split point is hash-exact cross-engine
+    with an earliest-index tiebreak. The reported peak and the two
+    segment means divide exact integers once at the edge. Windows
+    partition per series over calendar-bounded rows; corpus work is
+    one map-side-combining daily agg. This is the screening pass a
+    monitoring pipeline runs before fitting anything heavier."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)")
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("xq")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("event_type").orderBy("d")),
+        )
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "d",
+        "rn",
+        F.sum("xq").over(wcum).cast("bigint").alias("prefix"),
+        F.sum("xq").over(wall).cast("bigint").alias("s"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+    )
+    dev = pre.filter(F.col("rn") < F.col("n")).withColumn(
+        "dabs",
+        F.abs(
+            F.col("n").cast("decimal(38,0)") * F.col("prefix")
+            - F.col("rn").cast("decimal(38,0)") * F.col("s")
+        ),
+    )
+    wpick = Window.partitionBy("event_type").orderBy(
+        F.col("dabs").desc(), F.col("rn")
+    )
+    best = dev.withColumn("pick", F.row_number().over(wpick)).filter(
+        F.col("pick") == 1
+    )
+    return best.select(
+        "event_type",
+        "n",
+        F.col("rn").cast("bigint").alias("cp_index"),
+        F.col("d").alias("cp_date"),
+        (
+            F.col("dabs").cast("string").cast("double")
+            / (F.col("n").cast("double") * F.lit(1e6))
+        ).alias("cusum_peak"),
+        (
+            F.col("prefix").cast("double") / (F.col("rn").cast("double") * F.lit(1e6))
+        ).alias("mean_before"),
+        (
+            (F.col("s") - F.col("prefix")).cast("double")
+            / ((F.col("n") - F.col("rn")).cast("double") * F.lit(1e6))
+        ).alias("mean_after"),
+    ).orderBy("event_type")

@@ -1194,3 +1194,79 @@ def test_viterbi_matches_pure_python_dp(spark, daily_series):
         assert r["best_score"] == max(s0, s1)
         assert r["path"] == path
         assert r["n_switches"] == switches
+
+
+def test_woe_iv_matches_pure_python(spark):
+    got = plans.get("fin_woe_iv_binning").build(spark, SF).collect()
+    rows = _fetch(
+        "SELECT o_orderpriority, CAST(o_orderstatus = 'F' AS INT)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    )
+    per = {}
+    for b, bad in rows:
+        g, d = per.get(b, (0, 0))
+        per[b] = (g + (1 - bad), d + bad)
+    G = sum(g for g, _ in per.values())
+    B = sum(b for _, b in per.values())
+    iv = sum(
+        (g / G - b / B) * math.log((g / G) / (b / B))
+        for _, (g, b) in sorted(per.items())
+    )
+    assert len(got) == len(per)
+    for r in got:
+        g, b = per[r["bin"]]
+        assert (r["n_good"], r["n_bad"]) == (g, b)
+        assert r["woe"] == pytest.approx(math.log((g / G) / (b / B)), rel=1e-12)
+        assert r["iv_total"] == pytest.approx(iv, rel=1e-9)
+
+
+def test_cusum_changepoint_matches_pure_python(spark, daily_series):
+    got = {r["event_type"]: r for r in plans.get("ts_cusum_changepoint").build(spark, SF).collect()}
+    for et, x in daily_series.items():
+        xq = [round(v * 1e6) for v in x]  # exact: values are 6-dp decimals
+        n = len(xq)
+        s = sum(xq)
+        best = None
+        for t in range(1, n):
+            prefix = sum(xq[:t])
+            d = abs(n * prefix - t * s)
+            if best is None or d > best[0]:
+                best = (d, t, prefix)
+        d, t, prefix = best
+        r = got[et]
+        assert r["n"] == n and r["cp_index"] == t
+        assert r["cusum_peak"] == pytest.approx(d / (n * 1e6), rel=1e-12)
+        assert r["mean_before"] == pytest.approx(prefix / (t * 1e6), rel=1e-12)
+        assert r["mean_after"] == pytest.approx((s - prefix) / ((n - t) * 1e6), rel=1e-12)
+
+
+def test_dq_rule_engine_matches_pure_python(spark):
+    got = {r["rule_id"]: r for r in plans.get("dq_rule_engine").build(spark, SF).collect()}
+    (n_rows,) = _fetch(f"SELECT COUNT(*) FROM read_parquet('{SF}/orders.parquet')")[0]
+    rows = _fetch(
+        "SELECT o_custkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT),"
+        " o_orderstatus, o_orderdate"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    )
+    import datetime
+
+    nulls = sum(1 for r in rows if r[0] is None)
+    prices = [r[1] for r in rows]
+    statuses = {r[2] for r in rows}
+    oob = sum(
+        1
+        for r in rows
+        if not (datetime.datetime(1990, 1, 1) <= r[3] < datetime.datetime(2000, 1, 1))
+    )
+    expect = {
+        1: (n_rows, n_rows >= 100),
+        2: (nulls, nulls <= 0),
+        3: (min(prices), min(prices) >= 1),
+        4: (max(prices), max(prices) <= 100000000),
+        5: (len(statuses), len(statuses) <= 3),
+        6: (oob, oob <= 0),
+    }
+    assert set(got) == set(expect)
+    for rid, (obs, ok) in expect.items():
+        assert got[rid]["observed"] == obs
+        assert got[rid]["passed"] == ok
