@@ -4175,3 +4175,83 @@ def ml_adaboost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) / (2 * (tot_d - wrong_d)),
         ).alias("w_right"),
     )
+
+
+@register(
+    "ml_item_item_cf",
+    tags=("ml", "recommender", "join"),
+    oracle="""
+        WITH p AS MATERIALIZED (
+            SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        n AS MATERIALIZED (
+            SELECT i, CAST(COUNT(*) AS BIGINT) AS ni FROM p GROUP BY i
+        ),
+        co AS (
+            SELECT a.i AS i1, b.i AS i2, CAST(COUNT(*) AS BIGINT) AS co
+            FROM p a JOIN p b ON a.u = b.u AND a.i < b.i
+            GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT i1, i2, co FROM co
+            ORDER BY co DESC, i1, i2 LIMIT 50
+        )
+        SELECT t.i1, t.i2, t.co, na.ni AS n1, nb.ni AS n2,
+               CAST(t.co AS DOUBLE)
+                 / (sqrt(CAST(na.ni AS DOUBLE)) * sqrt(CAST(nb.ni AS DOUBLE)))
+                   AS cosine
+        FROM top t
+        JOIN n na ON na.i = t.i1
+        JOIN n nb ON nb.i = t.i2
+        ORDER BY t.co DESC, t.i1, t.i2
+    """,
+)
+def ml_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering on the co-purchase matrix:
+    binarized (customer, part) baskets, exact integer co-occurrence
+    counts via the per-user self-join (work is sum of squared basket
+    sizes — bounded by purchase behavior, not SF; the containment-
+    pairs df-capping recipe drops in when baskets are heavy), and
+    cosine similarity co/sqrt(n1*n2) as ONE double edge expression per
+    surviving pair. The report ranks by the EXACT integer key
+    (co DESC, i1, i2) — hash-stable — and cosine rides along as a
+    value. This is the classic 'customers who bought X also bought Y'
+    batch job every retail warehouse runs."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    n = p.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("ni"))
+    a = p.select(F.col("u"), F.col("i").alias("i1"))
+    b = p.select(F.col("u").alias("u2"), F.col("i").alias("i2"))
+    co = (
+        a.join(b, (F.col("u") == F.col("u2")) & (F.col("i1") < F.col("i2")))
+        .groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+    )
+    top = co.orderBy(F.col("co").desc(), "i1", "i2").limit(50)
+    na = n.select(F.col("i").alias("i1"), F.col("ni").alias("n1"))
+    nb = n.select(F.col("i").alias("i2"), F.col("ni").alias("n2"))
+    return (
+        top.join(F.broadcast(na), "i1")
+        .join(F.broadcast(nb), "i2")
+        .select(
+            "i1",
+            "i2",
+            "co",
+            "n1",
+            "n2",
+            (
+                F.col("co").cast("double")
+                / (
+                    F.sqrt(F.col("n1").cast("double"))
+                    * F.sqrt(F.col("n2").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("co").desc(), "i1", "i2")
+    )

@@ -2579,3 +2579,104 @@ def text_c4_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_kneser_ney_bigram",
+    tags=("text", "lm", "agg"),
+    oracle=f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        bg AS MATERIALIZED (
+            SELECT a.tok AS w1, b.tok AS w2
+            FROM toks a JOIN toks b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        ),
+        c12 AS MATERIALIZED (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY w1, w2
+        ),
+        c1 AS (
+            SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS n_post
+            FROM c12 GROUP BY w1
+        ),
+        cont AS (
+            SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_pre
+            FROM c12 GROUP BY w2
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c12),
+        top AS (
+            SELECT w1, w2, c12 FROM c12
+            ORDER BY c12 DESC, w1, w2 LIMIT 20
+        )
+        SELECT t.w1, t.w2, t.c12, a.c1, a.n_post, b.n_pre, x.n_types,
+               (CAST(t.c12 AS DOUBLE) - 0.75) / CAST(a.c1 AS DOUBLE)
+               + 0.75 * CAST(a.n_post AS DOUBLE) / CAST(a.c1 AS DOUBLE)
+                 * (CAST(b.n_pre AS DOUBLE) / CAST(x.n_types AS DOUBLE))
+                   AS p_kn
+        FROM top t
+        JOIN c1 a ON a.w1 = t.w1
+        JOIN cont b ON b.w2 = t.w2
+        CROSS JOIN tot x
+        ORDER BY t.c12 DESC, t.w1, t.w2
+    """,
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (discount 0.75)
+    for the corpus's 20 hottest bigrams: absolute discounting on the
+    bigram count, backoff mass proportional to the left context's
+    distinct-continuation count, and the continuation unigram
+    N1+(.w2)/|bigram types| — the smoothing every n-gram LM pipeline
+    ships. All counts are exact integers from two hash aggs over the
+    exploded token relation (bigram pairing is a (doc, pos+1)
+    self-join — shuffle on doc_id, never |tokens|²); p_KN is one
+    shared double expression; ranking is the exact integer key
+    (c12 DESC, w1, w2). c12 >= 1 > d, so max(c12-d, 0) simplifies
+    away exactly."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    t = _tokens(d)
+    a = t.select("doc_id", "pos", F.col("tok").alias("w1"))
+    b = t.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("tok").alias("w2"),
+    )
+    bg = a.join(
+        b,
+        (F.col("doc_id") == F.col("doc_id_b")) & (F.col("pos_b") == F.col("pos") + 1),
+    ).select("w1", "w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    c12 = c12.persist()
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_post"),
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n_pre"))
+    tot = c12.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    top = c12.orderBy(F.col("c12").desc(), "w1", "w2").limit(20)
+    return (
+        top.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "n_post",
+            "n_pre",
+            "n_types",
+            (
+                (F.col("c12").cast("double") - F.lit(0.75))
+                / F.col("c1").cast("double")
+                + F.lit(0.75)
+                * F.col("n_post").cast("double")
+                / F.col("c1").cast("double")
+                * (
+                    F.col("n_pre").cast("double")
+                    / F.col("n_types").cast("double")
+                )
+            ).alias("p_kn"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+    )

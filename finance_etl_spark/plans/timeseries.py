@@ -4352,3 +4352,86 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((F.col("n") - F.col("rn")).cast("double") * F.lit(1e6))
         ).alias("mean_after"),
     ).orderBy("event_type")
+
+
+@register(
+    "ts_peak_detection",
+    tags=("timeseries", "window"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        AS DECIMAL(18,6)) AS x
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        st AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx
+            FROM daily GROUP BY event_type
+        ),
+        lagged AS (
+            SELECT event_type, d, x,
+                   LAG(x) OVER w AS xp, LEAD(x) OVER w AS xn
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d)
+        )
+        SELECT l.event_type, l.d,
+               CAST(CAST(l.x AS VARCHAR) AS DOUBLE) AS x,
+               CAST(CAST(CASE WHEN l.xp >= l.xn THEN l.x - l.xp
+                              ELSE l.x - l.xn END AS VARCHAR) AS DOUBLE)
+                   AS prominence
+        FROM lagged l JOIN st ON st.event_type = l.event_type
+        WHERE l.xp IS NOT NULL AND l.xn IS NOT NULL
+          AND l.x > l.xp AND l.x > l.xn
+          AND CAST(CAST(l.x AS VARCHAR) AS DOUBLE)
+              > st.sx / CAST(st.n AS DOUBLE)
+        ORDER BY l.event_type, l.d
+    """,
+)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection per daily series: strict local maxima
+    (x > both neighbors — EXACT decimal comparisons, no float
+    involved) above the series mean (one shared double comparison).
+    Prominence-over-neighbors stays exact decimal until the VARCHAR-
+    routed presentation cast. Lag/lead windows partition per series
+    over calendar-bounded rows; the corpus collapses in the first
+    agg."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("x")
+    )
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        as_d(F.sum("x")).alias("sx"),
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "d",
+        "x",
+        F.lag("x").over(w).alias("xp"),
+        F.lead("x").over(w).alias("xn"),
+    )
+    stj = st.select(F.col("event_type").alias("et_s"), "n", "sx")
+    return (
+        lagged.join(F.broadcast(stj), F.col("event_type") == F.col("et_s"))
+        .filter(
+            F.col("xp").isNotNull()
+            & F.col("xn").isNotNull()
+            & (F.col("x") > F.col("xp"))
+            & (F.col("x") > F.col("xn"))
+            & (as_d(F.col("x")) > F.col("sx") / F.col("n").cast("double"))
+        )
+        .select(
+            "event_type",
+            "d",
+            as_d(F.col("x")).alias("x"),
+            as_d(
+                F.when(
+                    F.col("xp") >= F.col("xn"), F.col("x") - F.col("xp")
+                ).otherwise(F.col("x") - F.col("xn"))
+            ).alias("prominence"),
+        )
+        .orderBy("event_type", "d")
+    )

@@ -1270,3 +1270,75 @@ def test_dq_rule_engine_matches_pure_python(spark):
     for rid, (obs, ok) in expect.items():
         assert got[rid]["observed"] == obs
         assert got[rid]["passed"] == ok
+
+
+def test_item_item_cf_matches_pure_python(spark):
+    got = plans.get("ml_item_item_cf").build(spark, SF).collect()
+    rows = _fetch(
+        "SELECT DISTINCT o.o_custkey, l.l_partkey"
+        f" FROM read_parquet('{SF}/orders.parquet') o"
+        f" JOIN read_parquet('{SF}/lineitem.parquet') l"
+        " ON l.l_orderkey = o.o_orderkey"
+    )
+    baskets, n = {}, {}
+    for u, i in rows:
+        baskets.setdefault(u, set()).add(i)
+        n[i] = n.get(i, 0) + 1
+    co = {}
+    for items in baskets.values():
+        si = sorted(items)
+        for ai in range(len(si)):
+            for bi in range(ai + 1, len(si)):
+                k = (si[ai], si[bi])
+                co[k] = co.get(k, 0) + 1
+    top = sorted(co.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert len(got) == 50
+    for r, ((i1, i2), c) in zip(got, top):
+        assert (r["i1"], r["i2"], r["co"]) == (i1, i2, c)
+        assert (r["n1"], r["n2"]) == (n[i1], n[i2])
+        assert r["cosine"] == pytest.approx(
+            c / math.sqrt(n[i1] * n[i2]), rel=1e-12
+        )
+
+
+def test_peak_detection_matches_pure_python(spark, daily_series):
+    got = {}
+    for r in plans.get("ts_peak_detection").build(spark, SF).collect():
+        got.setdefault(r["event_type"], []).append(r)
+    for et, x in daily_series.items():
+        mean = x.sum() / len(x)
+        peaks = [
+            (i, x[i], x[i] - max(x[i - 1], x[i + 1]))
+            for i in range(1, len(x) - 1)
+            if x[i] > x[i - 1] and x[i] > x[i + 1] and x[i] > mean
+        ]
+        rows = got.get(et, [])
+        assert len(rows) == len(peaks)
+        for r, (_, xv, prom) in zip(rows, peaks):
+            assert r["x"] == pytest.approx(xv, rel=1e-12)
+            assert r["prominence"] == pytest.approx(prom, abs=1e-9)
+
+
+def test_kneser_ney_matches_pure_python(spark):
+    got = plans.get("text_kneser_ney_bigram").build(spark, SF).collect()
+    docs = _fetch(f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')")
+    c12, c1, npost, npre = {}, {}, {}, {}
+    for _, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        for w1, w2 in zip(toks, toks[1:]):
+            c12[(w1, w2)] = c12.get((w1, w2), 0) + 1
+    for (w1, w2), c in c12.items():
+        c1[w1] = c1.get(w1, 0) + c
+    npost = {w1: sum(1 for (a, _) in c12 if a == w1) for w1 in c1}
+    seen2 = {w2 for (_, w2) in c12}
+    npre = {w2: sum(1 for (_, b) in c12 if b == w2) for w2 in seen2}
+    T = len(c12)
+    top = sorted(c12.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert len(got) == 20
+    for r, ((w1, w2), c) in zip(got, top):
+        assert (r["w1"], r["w2"], r["c12"]) == (w1, w2, c)
+        assert (r["c1"], r["n_post"], r["n_pre"], r["n_types"]) == (
+            c1[w1], npost[w1], npre[w2], T,
+        )
+        pkn = (c - 0.75) / c1[w1] + 0.75 * npost[w1] / c1[w1] * (npre[w2] / T)
+        assert r["p_kn"] == pytest.approx(pkn, rel=1e-12)
