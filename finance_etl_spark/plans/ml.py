@@ -4255,3 +4255,117 @@ def ml_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("co").desc(), "i1", "i2")
     )
+
+
+@register(
+    "ml_shapley_2feature",
+    tags=("ml", "explain", "agg"),
+    oracle="""
+        WITH feat AS (
+            SELECT CAST(l_quantity AS DECIMAL(20,2)) AS x1,
+                   CAST(l_discount AS DECIMAL(20,2)) AS x2,
+                   CAST(l_extendedprice AS DECIMAL(20,2)) AS y
+            FROM lineitem
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(x1) AS VARCHAR) AS DOUBLE) AS s1,
+                   CAST(CAST(SUM(x2) AS VARCHAR) AS DOUBLE) AS s2,
+                   CAST(CAST(SUM(y)  AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(x1*x1) AS VARCHAR) AS DOUBLE) AS s11,
+                   CAST(CAST(SUM(CAST(x1 AS DECIMAL(21,2)) * x2)
+                        AS VARCHAR) AS DOUBLE) AS s12,
+                   CAST(CAST(SUM(x2*x2) AS VARCHAR) AS DOUBLE) AS s22,
+                   CAST(CAST(SUM(CAST(x1 AS DECIMAL(21,2)) * y)
+                        AS VARCHAR) AS DOUBLE) AS s1y,
+                   CAST(CAST(SUM(CAST(x2 AS DECIMAL(21,2)) * y)
+                        AS VARCHAR) AS DOUBLE) AS s2y,
+                   CAST(CAST(SUM(y*y) AS VARCHAR) AS DOUBLE) AS syy
+            FROM feat
+        ),
+        c AS (
+            SELECT n,
+                   s11 - s1*s1/n AS v11, s12 - s1*s2/n AS v12,
+                   s22 - s2*s2/n AS v22, s1y - s1*sy/n AS v1y,
+                   s2y - s2*sy/n AS v2y, syy - sy*sy/n AS vyy
+            FROM s
+        ),
+        r AS (
+            SELECT n,
+                   (v1y * v1y) / (v11 * vyy) AS r2_1,
+                   (v2y * v2y) / (v22 * vyy) AS r2_2,
+                   (v22*v1y*v1y - 2*v12*v1y*v2y + v11*v2y*v2y)
+                     / ((v11*v22 - v12*v12) * vyy) AS r2_12
+            FROM c
+        )
+        SELECT n, r2_1, r2_2, r2_12,
+               0.5 * (r2_1 + (r2_12 - r2_2)) AS shapley_x1,
+               0.5 * (r2_2 + (r2_12 - r2_1)) AS shapley_x2
+        FROM r
+    """,
+)
+def ml_shapley_2feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley decomposition of OLS R² across two features
+    (quantity, discount → extendedprice): with two players the
+    marginal-contribution average is closed-form, and every coalition
+    R² (single-feature and both-feature) comes from the SAME ten exact
+    decimal sufficient statistics in one scan — the two-feature R²
+    via the explicit 2x2 normal-equation solution. shapley_x1 +
+    shapley_x2 == r2_12 by construction (efficiency axiom, pytest-
+    pinned). One corpus scan to ten numbers; everything after is
+    constant-sized shared double expressions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feat = li.select(
+        F.col("l_quantity").cast("decimal(20,2)").alias("x1"),
+        F.col("l_discount").cast("decimal(20,2)").alias("x2"),
+        F.col("l_extendedprice").cast("decimal(20,2)").alias("y"),
+    )
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    wide = lambda c: F.col(c).cast("decimal(21,2)")  # noqa: E731
+    s = feat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        as_d(F.sum("x1")).alias("s1"),
+        as_d(F.sum("x2")).alias("s2"),
+        as_d(F.sum("y")).alias("sy"),
+        as_d(F.sum(F.col("x1") * F.col("x1"))).alias("s11"),
+        as_d(F.sum(wide("x1") * F.col("x2"))).alias("s12"),
+        as_d(F.sum(F.col("x2") * F.col("x2"))).alias("s22"),
+        as_d(F.sum(wide("x1") * F.col("y"))).alias("s1y"),
+        as_d(F.sum(wide("x2") * F.col("y"))).alias("s2y"),
+        as_d(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    nd_ = F.col("n").cast("double")
+    c = s.select(
+        "n",
+        (F.col("s11") - F.col("s1") * F.col("s1") / nd_).alias("v11"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / nd_).alias("v12"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / nd_).alias("v22"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / nd_).alias("v1y"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / nd_).alias("v2y"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / nd_).alias("vyy"),
+    )
+    r = c.select(
+        "n",
+        (F.col("v1y") * F.col("v1y") / (F.col("v11") * F.col("vyy"))).alias("r2_1"),
+        (F.col("v2y") * F.col("v2y") / (F.col("v22") * F.col("vyy"))).alias("r2_2"),
+        (
+            (
+                F.col("v22") * F.col("v1y") * F.col("v1y")
+                - 2 * F.col("v12") * F.col("v1y") * F.col("v2y")
+                + F.col("v11") * F.col("v2y") * F.col("v2y")
+            )
+            / ((F.col("v11") * F.col("v22") - F.col("v12") * F.col("v12")) * F.col("vyy"))
+        ).alias("r2_12"),
+    )
+    return r.select(
+        "n",
+        "r2_1",
+        "r2_2",
+        "r2_12",
+        (F.lit(0.5) * (F.col("r2_1") + (F.col("r2_12") - F.col("r2_2")))).alias(
+            "shapley_x1"
+        ),
+        (F.lit(0.5) * (F.col("r2_2") + (F.col("r2_12") - F.col("r2_1")))).alias(
+            "shapley_x2"
+        ),
+    )

@@ -1342,3 +1342,32 @@ def test_kneser_ney_matches_pure_python(spark):
         )
         pkn = (c - 0.75) / c1[w1] + 0.75 * npost[w1] / c1[w1] * (npre[w2] / T)
         assert r["p_kn"] == pytest.approx(pkn, rel=1e-12)
+
+
+def test_shapley_2feature_matches_numpy(spark):
+    row = plans.get("ml_shapley_2feature").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE),"
+        " CAST(l_extendedprice AS DOUBLE)"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    X = np.array(rows)
+    x1, x2, y = X[:, 0], X[:, 1], X[:, 2]
+
+    def r2(*feats):
+        A = np.column_stack([np.ones(len(y))] + list(feats))
+        beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+        resid = y - A @ beta
+        return 1 - (resid @ resid) / ((y - y.mean()) @ (y - y.mean()))
+
+    r1, r2_, r12 = r2(x1), r2(x2), r2(x1, x2)
+    assert row["n"] == len(y)
+    assert row["r2_1"] == pytest.approx(r1, rel=1e-9)
+    assert row["r2_2"] == pytest.approx(r2_, rel=1e-9)
+    assert row["r2_12"] == pytest.approx(r12, rel=1e-9)
+    assert row["shapley_x1"] == pytest.approx(0.5 * (r1 + r12 - r2_), rel=1e-9)
+    assert row["shapley_x2"] == pytest.approx(0.5 * (r2_ + r12 - r1), rel=1e-9)
+    # efficiency axiom: contributions partition the full-model R2
+    assert row["shapley_x1"] + row["shapley_x2"] == pytest.approx(
+        row["r2_12"], abs=1e-12
+    )
