@@ -2058,3 +2058,86 @@ def fin_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin", "n_good", "n_bad", "dg", "db", "woe", "iv_total")
         .orderBy("bin")
     )
+
+
+@register(
+    "fin_velocity_flags",
+    tags=("finance", "fraud", "window"),
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey AS cust,
+                   CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT) AS day
+            FROM orders
+        ),
+        vel AS (
+            SELECT cust, day,
+                   CAST(COUNT(*) OVER (PARTITION BY cust ORDER BY day
+                        RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS v30
+            FROM o
+        ),
+        per AS (
+            SELECT cust,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(MAX(v30) AS BIGINT) AS max_velocity
+            FROM vel GROUP BY cust
+        ),
+        peak AS (
+            SELECT v.cust, CAST(MIN(v.day) AS BIGINT) AS first_peak_day
+            FROM vel v JOIN per p
+              ON p.cust = v.cust AND v.v30 = p.max_velocity
+            GROUP BY v.cust
+        )
+        SELECT p.cust AS custkey, p.n_orders, p.max_velocity,
+               DATE '1970-01-01' + CAST(k.first_peak_day AS INT)
+                   AS first_peak_date
+        FROM per p JOIN peak k ON k.cust = p.cust
+        WHERE p.max_velocity >= 3
+        ORDER BY p.max_velocity DESC, p.cust
+    """,
+)
+def fin_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-velocity fraud screen: for every customer, the
+    maximum number of orders inside ANY trailing 30-day window (a
+    per-customer RANGE frame over integer epoch days — group sizes
+    bounded by customer behavior, not SF), flagging customers whose
+    peak velocity clears the threshold, with the earliest day the
+    peak occurs (deterministic min-day tiebreak). All exact integer
+    arithmetic; the date arithmetic is epoch-day based so both
+    engines agree byte-for-byte."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+    )
+    w = Window.partitionBy("cust").orderBy("day").rangeBetween(-29, 0)
+    vel = o.select(
+        "cust", "day", F.count(F.lit(1)).over(w).cast("bigint").alias("v30")
+    )
+    per = vel.groupBy("cust").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.max("v30").cast("bigint").alias("max_velocity"),
+    )
+    peak = (
+        vel.join(
+            per.select(F.col("cust").alias("cust_p"), "max_velocity"),
+            (F.col("cust") == F.col("cust_p")) & (F.col("v30") == F.col("max_velocity")),
+        )
+        .groupBy("cust")
+        .agg(F.min("day").cast("bigint").alias("first_peak_day"))
+    )
+    return (
+        per.join(peak, "cust")
+        .filter(F.col("max_velocity") >= 3)
+        .select(
+            F.col("cust").alias("custkey"),
+            "n_orders",
+            "max_velocity",
+            F.date_add(
+                F.lit("1970-01-01").cast("date"), F.col("first_peak_day").cast("int")
+            ).alias("first_peak_date"),
+        )
+        .orderBy(F.col("max_velocity").desc(), "custkey")
+    )

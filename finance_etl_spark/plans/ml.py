@@ -4369,3 +4369,161 @@ def ml_shapley_2feature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shapley_x2"
         ),
     )
+
+
+@register(
+    "ml_conformal_ols_interval",
+    tags=("ml", "uncertainty", "agg"),
+    oracle="""
+        WITH lab AS (
+            SELECT CAST(l_orderkey % 2 AS INT) AS fold,
+                   CAST(l_quantity AS DECIMAL(20,2)) AS x,
+                   CAST(l_extendedprice AS DECIMAL(20,2)) AS y
+            FROM lineitem
+        ),
+        tr AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(x*x) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(21,2)) * y)
+                        AS VARCHAR) AS DOUBLE) AS sxy
+            FROM lab WHERE fold = 0
+        ),
+        beta AS (
+            SELECT n,
+                   (CAST(n AS DOUBLE)*sxy - sx*sy)
+                     / (CAST(n AS DOUBLE)*sxx - sx*sx) AS b1,
+                   sy/CAST(n AS DOUBLE)
+                     - (CAST(n AS DOUBLE)*sxy - sx*sy)
+                       / (CAST(n AS DOUBLE)*sxx - sx*sx)
+                       * sx/CAST(n AS DOUBLE) AS b0
+            FROM tr
+        ),
+        cal AS (
+            SELECT CAST(FLOOR(abs(
+                       CAST(CAST(l.y AS VARCHAR) AS DOUBLE)
+                       - b.b0
+                       - b.b1 * CAST(CAST(l.x AS VARCHAR) AS DOUBLE)
+                   ) * 1e6) AS BIGINT) AS r_q6
+            FROM lab l CROSS JOIN beta b WHERE l.fold = 1
+        ),
+        dist AS (
+            SELECT r_q6, CAST(COUNT(*) AS BIGINT) AS c FROM cal GROUP BY r_q6
+        ),
+        cum AS (
+            SELECT r_q6, c,
+                   SUM(c) OVER (ORDER BY r_q6
+                        ROWS UNBOUNDED PRECEDING) AS cum_c,
+                   SUM(c) OVER () AS n_cal
+            FROM dist
+        ),
+        q AS (
+            SELECT r_q6 AS q_hat_q6, n_cal FROM cum
+            WHERE cum_c >= CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT)
+            ORDER BY r_q6 LIMIT 1
+        ),
+        cov AS (
+            SELECT CAST(SUM(CASE WHEN cal.r_q6 <= q.q_hat_q6
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+            FROM cal CROSS JOIN q
+        )
+        SELECT b.n AS n_train, CAST(q.n_cal AS BIGINT) AS n_cal,
+               b.b0 AS beta0, b.b1 AS beta1,
+               q.q_hat_q6,
+               CAST(c.n_cov AS DOUBLE) / CAST(q.n_cal AS DOUBLE) AS coverage
+        FROM beta b CROSS JOIN q CROSS JOIN cov c
+    """,
+)
+def ml_conformal_ols_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval around a one-feature OLS
+    fit: train on the even-orderkey fold from exact sufficient
+    statistics, score the odd fold's ABSOLUTE residuals (one shared
+    double expression, immediately floor-quantized to q6 BIGINTs),
+    and take q_hat as the ceil(0.9(n+1))-th order statistic via the
+    distinct-value cumulative — the scale-safe selection the repo uses
+    everywhere instead of a global sort (the rank window runs over
+    DISTINCT quantized residuals with a bucketable shuffle, never the
+    corpus in one task). Coverage is an exact integer census. This is
+    the distribution-free uncertainty wrapper modern ML pipelines
+    bolt onto any regressor."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lab = li.select(
+        (F.col("l_orderkey") % 2).cast("int").alias("fold"),
+        F.col("l_quantity").cast("decimal(20,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(20,2)").alias("y"),
+    )
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    tr = lab.filter(F.col("fold") == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        as_d(F.sum("x")).alias("sx"),
+        as_d(F.sum("y")).alias("sy"),
+        as_d(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        as_d(F.sum(F.col("x").cast("decimal(21,2)") * F.col("y"))).alias("sxy"),
+    )
+    nd_ = F.col("n").cast("double")
+    b1 = (nd_ * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd_ * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    beta = tr.select(
+        "n",
+        b1.alias("b1"),
+        (F.col("sy") / nd_ - b1 * F.col("sx") / nd_).alias("b0"),
+    )
+    cal = (
+        lab.filter(F.col("fold") == 1)
+        .crossJoin(F.broadcast(beta))
+        .select(
+            F.floor(
+                F.abs(
+                    as_d(F.col("y"))
+                    - F.col("b0")
+                    - F.col("b1") * as_d(F.col("x"))
+                )
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("r_q6")
+        )
+    )
+    dist = cal.groupBy("r_q6").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wc = Window.orderBy("r_q6").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = dist.select(
+        "r_q6",
+        F.sum("c").over(wc).cast("bigint").alias("cum_c"),
+        F.sum("c").over(wall).cast("bigint").alias("n_cal"),
+    )
+    q = (
+        cum.filter(
+            F.col("cum_c")
+            >= F.ceil(F.lit(0.9) * (F.col("n_cal") + 1)).cast("bigint")
+        )
+        .orderBy("r_q6")
+        .limit(1)
+        .select(F.col("r_q6").alias("q_hat_q6"), "n_cal")
+    )
+    cov = (
+        cal.crossJoin(F.broadcast(q))
+        .agg(
+            F.sum(F.when(F.col("r_q6") <= F.col("q_hat_q6"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cov")
+        )
+    )
+    return (
+        beta.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(cov))
+        .select(
+            F.col("n").alias("n_train"),
+            F.col("n_cal").cast("bigint").alias("n_cal"),
+            F.col("b0").alias("beta0"),
+            F.col("b1").alias("beta1"),
+            "q_hat_q6",
+            (F.col("n_cov").cast("double") / F.col("n_cal").cast("double")).alias(
+                "coverage"
+            ),
+        )
+    )

@@ -2229,3 +2229,100 @@ def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@register(
+    "stat_partial_corr",
+    tags=("stats", "agg"),
+    oracle="""
+        WITH feat AS (
+            SELECT CAST(l_quantity AS DECIMAL(20,2)) AS x,
+                   CAST(l_extendedprice AS DECIMAL(20,2)) AS y,
+                   CAST(l_discount AS DECIMAL(20,2)) AS z
+            FROM lineitem
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(z) AS VARCHAR) AS DOUBLE) AS sz,
+                   CAST(CAST(SUM(x*x) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(y*y) AS VARCHAR) AS DOUBLE) AS syy,
+                   CAST(CAST(SUM(z*z) AS VARCHAR) AS DOUBLE) AS szz,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(21,2)) * y)
+                        AS VARCHAR) AS DOUBLE) AS sxy,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(21,2)) * z)
+                        AS VARCHAR) AS DOUBLE) AS sxz,
+                   CAST(CAST(SUM(CAST(y AS DECIMAL(21,2)) * z)
+                        AS VARCHAR) AS DOUBLE) AS syz
+            FROM feat
+        ),
+        r AS (
+            SELECT n,
+                   (n*sxy - sx*sy)
+                     / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS rxy,
+                   (n*sxz - sx*sz)
+                     / (sqrt(n*sxx - sx*sx) * sqrt(n*szz - sz*sz)) AS rxz,
+                   (n*syz - sy*sz)
+                     / (sqrt(n*syy - sy*sy) * sqrt(n*szz - sz*sz)) AS ryz
+            FROM s
+        )
+        SELECT n, rxy, rxz, ryz,
+               (rxy - rxz*ryz) / (sqrt(1 - rxz*rxz) * sqrt(1 - ryz*ryz))
+                   AS partial_rxy_given_z
+        FROM r
+    """,
+)
+def stat_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation of quantity and revenue
+    controlling for discount: all three pairwise Pearson r's from ONE
+    scan's exact decimal sufficient statistics, then the textbook
+    r_xy.z = (r_xy − r_xz r_zy)/sqrt((1−r_xz²)(1−r_zy²)) as a single
+    shared double expression — the building block of Gaussian
+    graphical-model edge tests at any scale (the scan is the only
+    corpus-sized work)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feat = li.select(
+        F.col("l_quantity").cast("decimal(20,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(20,2)").alias("y"),
+        F.col("l_discount").cast("decimal(20,2)").alias("z"),
+    )
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    wide = lambda c: F.col(c).cast("decimal(21,2)")  # noqa: E731
+    s = feat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        as_d(F.sum("x")).alias("sx"),
+        as_d(F.sum("y")).alias("sy"),
+        as_d(F.sum("z")).alias("sz"),
+        as_d(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        as_d(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+        as_d(F.sum(F.col("z") * F.col("z"))).alias("szz"),
+        as_d(F.sum(wide("x") * F.col("y"))).alias("sxy"),
+        as_d(F.sum(wide("x") * F.col("z"))).alias("sxz"),
+        as_d(F.sum(wide("y") * F.col("z"))).alias("syz"),
+    )
+    nd_ = F.col("n").cast("double")
+    def corr(sab, sa, sb, saa, sbb):
+        return (nd_ * F.col(sab) - F.col(sa) * F.col(sb)) / (
+            F.sqrt(nd_ * F.col(saa) - F.col(sa) * F.col(sa))
+            * F.sqrt(nd_ * F.col(sbb) - F.col(sb) * F.col(sb))
+        )
+    r = s.select(
+        "n",
+        corr("sxy", "sx", "sy", "sxx", "syy").alias("rxy"),
+        corr("sxz", "sx", "sz", "sxx", "szz").alias("rxz"),
+        corr("syz", "sy", "sz", "syy", "szz").alias("ryz"),
+    )
+    return r.select(
+        "n",
+        "rxy",
+        "rxz",
+        "ryz",
+        (
+            (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+            / (
+                F.sqrt(1 - F.col("rxz") * F.col("rxz"))
+                * F.sqrt(1 - F.col("ryz") * F.col("ryz"))
+            )
+        ).alias("partial_rxy_given_z"),
+    )

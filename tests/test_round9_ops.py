@@ -1371,3 +1371,75 @@ def test_shapley_2feature_matches_numpy(spark):
     assert row["shapley_x1"] + row["shapley_x2"] == pytest.approx(
         row["r2_12"], abs=1e-12
     )
+
+
+def test_conformal_interval_matches_numpy(spark):
+    row = plans.get("ml_conformal_ols_interval").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT CAST(l_orderkey % 2 AS INT), CAST(l_quantity AS DOUBLE),"
+        " CAST(l_extendedprice AS DOUBLE)"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    tr = np.array([(x, y) for f, x, y in rows if f == 0])
+    ca = np.array([(x, y) for f, x, y in rows if f == 1])
+    n = len(tr)
+    sx, sy = tr[:, 0].sum(), tr[:, 1].sum()
+    sxx, sxy = (tr[:, 0] ** 2).sum(), (tr[:, 0] * tr[:, 1]).sum()
+    b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    b0 = sy / n - b1 * sx / n
+    rq = np.floor(np.abs(ca[:, 1] - b0 - b1 * ca[:, 0]) * 1e6).astype(np.int64)
+    k = math.ceil(0.9 * (len(rq) + 1))
+    q_hat = int(np.sort(rq)[k - 1])
+    cov = float((rq <= q_hat).mean())
+    assert (row["n_train"], row["n_cal"]) == (n, len(rq))
+    assert row["beta1"] == pytest.approx(b1, rel=1e-9)
+    assert row["beta0"] == pytest.approx(b0, rel=1e-9)
+    assert row["q_hat_q6"] == q_hat
+    assert row["coverage"] == pytest.approx(cov, rel=1e-12)
+    assert cov >= 0.9  # split-conformal guarantee on the cal set
+
+
+def test_velocity_flags_matches_pure_python(spark):
+    got = {r["custkey"]: r for r in plans.get("fin_velocity_flags").build(spark, SF).collect()}
+    rows = _fetch(
+        "SELECT o_custkey,"
+        " CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)"
+        f" FROM read_parquet('{SF}/orders.parquet') ORDER BY 1, 2"
+    )
+    days = {}
+    for c, d in rows:
+        days.setdefault(c, []).append(d)
+    expect = {}
+    for c, ds in days.items():
+        best, first = 0, None
+        for d in ds:
+            v = sum(1 for e in ds if d - 29 <= e <= d)
+            if v > best:
+                best, first = v, d
+        if best >= 3:
+            expect[c] = (len(ds), best, first)
+    assert set(got) == set(expect)
+    import datetime
+
+    for c, (n, v, fd) in expect.items():
+        r = got[c]
+        assert (r["n_orders"], r["max_velocity"]) == (n, v)
+        assert r["first_peak_date"] == datetime.date(1970, 1, 1) + datetime.timedelta(days=fd)
+
+
+def test_partial_corr_matches_numpy(spark):
+    row = plans.get("stat_partial_corr").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE),"
+        " CAST(l_discount AS DOUBLE)"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    X = np.array(rows)
+    C = np.corrcoef(X.T)
+    rxy, rxz, ryz = C[0, 1], C[0, 2], C[1, 2]
+    part = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    assert row["n"] == len(rows)
+    assert row["rxy"] == pytest.approx(rxy, rel=1e-9)
+    assert row["rxz"] == pytest.approx(rxz, rel=1e-9)
+    assert row["ryz"] == pytest.approx(ryz, rel=1e-9)
+    assert row["partial_rxy_given_z"] == pytest.approx(part, rel=1e-9)
