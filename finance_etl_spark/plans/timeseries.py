@@ -4435,3 +4435,210 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "d")
     )
+
+
+@register(
+    "ts_hurst_rs",
+    tags=("timeseries", "window", "stats"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xq,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(ts AS DATE)) AS rn
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        ms AS (SELECT unnest([5, 10, 15, 30]) AS m),
+        blk AS (
+            SELECT d.event_type, ms.m,
+                   CAST((d.rn - 1) // ms.m AS BIGINT) AS b,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY d.event_type, ms.m, (d.rn - 1) // ms.m
+                        ORDER BY d.rn) AS BIGINT) AS t,
+                   d.xq
+            FROM daily d CROSS JOIN ms
+        ),
+        pre AS (
+            SELECT event_type, m, b, t, xq,
+                   CAST(SUM(xq) OVER (PARTITION BY event_type, m, b
+                        ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS prefix,
+                   CAST(SUM(xq) OVER (PARTITION BY event_type, m, b)
+                        AS BIGINT) AS sb,
+                   CAST(SUM(CAST(xq AS DECIMAL(19,0)) * xq)
+                        OVER (PARTITION BY event_type, m, b)
+                        AS DECIMAL(38,0)) AS sq
+            FROM blk
+        ),
+        per_blk AS (
+            SELECT event_type, m, b,
+                   CAST(CAST(MAX(CAST(m AS DECIMAL(38,0)) * prefix
+                                 - CAST(t AS DECIMAL(38,0)) * sb)
+                           - MIN(CAST(m AS DECIMAL(38,0)) * prefix
+                                 - CAST(t AS DECIMAL(38,0)) * sb)
+                        AS VARCHAR) AS DOUBLE) AS rng,
+                   CAST(CAST(CAST(MAX(m) AS DECIMAL(38,0)) * MAX(sq)
+                             - CAST(MAX(sb) AS DECIMAL(38,0)) * MAX(sb)
+                        AS VARCHAR) AS DOUBLE) AS var_num
+            FROM pre GROUP BY event_type, m, b
+        ),
+        rs AS (
+            SELECT event_type, m,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   list_reduce(
+                       list(rng / sqrt(var_num) ORDER BY b),
+                       (acc, x) -> acc + x)
+                     / CAST(COUNT(*) AS DOUBLE) AS mean_rs
+            FROM per_blk WHERE var_num > 0
+            GROUP BY event_type, m
+        ),
+        pts AS (
+            SELECT event_type, m,
+                   CAST(FLOOR(ln(CAST(m AS DOUBLE)) * 1e9) AS BIGINT) AS lxq,
+                   CAST(FLOOR(ln(mean_rs) * 1e9) AS BIGINT) AS lyq,
+                   mean_rs
+            FROM rs
+        ),
+        fold AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(lxq) AS BIGINT) AS sx,
+                   CAST(SUM(lyq) AS BIGINT) AS sy,
+                   CAST(SUM(CAST(lxq AS DECIMAL(19,0)) * lxq)
+                        AS DECIMAL(38,0)) AS sxx,
+                   CAST(SUM(CAST(lxq AS DECIMAL(19,0)) * lyq)
+                        AS DECIMAL(38,0)) AS sxy,
+                   MAX(CASE WHEN m = 5 THEN mean_rs END) AS rs_5,
+                   MAX(CASE WHEN m = 30 THEN mean_rs END) AS rs_30
+            FROM pts GROUP BY event_type
+        )
+        SELECT event_type, k, rs_5, rs_30,
+               (CAST(k AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(k AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS hurst
+        FROM fold ORDER BY event_type
+    """,
+)
+def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis per daily
+    series — the long-memory diagnostic. The cancellation-prone core
+    is EXACT: within each block, range and variance reduce to integer
+    forms (R/S = (max−min of m·prefix_t − t·S) / sqrt(m·Σx² − S²),
+    all DECIMAL(38,0)), so each block's R/S is ONE double expression
+    over exact integers; block means fold in pinned block order, and the
+    log-log regression runs on q9-FLOOR-QUANTIZED points (ln is the
+    one libm call whose last ulp differs JVM-vs-C — quantization
+    absorbs it, the lnq6 recipe one scale finer) with exact integer
+    sums. Window sizes
+    {5,10,15,30} divide the 30-day calendar exactly. Corpus work is
+    the daily agg; every window partitions by (series, m, block)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)")
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("xq")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("event_type").orderBy("d")),
+        )
+    )
+    ms = spark.createDataFrame([(5,), (10,), (15,), (30,)], "m int")
+    blk = (
+        daily.crossJoin(F.broadcast(ms))
+        .withColumn("b", F.floor((F.col("rn") - 1) / F.col("m")).cast("bigint"))
+        .withColumn(
+            "t",
+            F.row_number()
+            .over(Window.partitionBy("event_type", "m", "b").orderBy("rn"))
+            .cast("bigint"),
+        )
+    )
+    wb = Window.partitionBy("event_type", "m", "b")
+    wcum = wb.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    pre = blk.select(
+        "event_type",
+        "m",
+        "b",
+        "t",
+        "xq",
+        F.sum("xq").over(wcum).cast("bigint").alias("prefix"),
+        F.sum("xq").over(wb).cast("bigint").alias("sb"),
+        F.sum(F.col("xq").cast("decimal(19,0)") * F.col("xq"))
+        .over(wb)
+        .cast("decimal(38,0)")
+        .alias("sq"),
+    )
+    dv = (
+        F.col("m").cast("decimal(38,0)") * F.col("prefix")
+        - F.col("t").cast("decimal(38,0)") * F.col("sb")
+    )
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    per_blk = (
+        pre.withColumn("dv", dv)
+        .groupBy("event_type", "m", "b")
+        .agg(
+            as_d(F.max("dv") - F.min("dv")).alias("rng"),
+            as_d(
+                F.max("m").cast("decimal(38,0)") * F.max("sq")
+                - F.max("sb").cast("decimal(38,0)") * F.max("sb")
+            ).alias("var_num"),
+        )
+    )
+    rs = (
+        per_blk.filter(F.col("var_num") > 0)
+        .withColumn("rs", F.col("rng") / F.sqrt(F.col("var_num")))
+        .groupBy("event_type", "m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            (
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("b", "rs"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["rs"],
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_rs"),
+        )
+    )
+    pts = rs.select(
+        "event_type",
+        "m",
+        F.floor(F.log(F.col("m").cast("double")) * F.lit(1e9))
+        .cast("bigint")
+        .alias("lxq"),
+        F.floor(F.log("mean_rs") * F.lit(1e9)).cast("bigint").alias("lyq"),
+        "mean_rs",
+    )
+    fold = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("lxq").cast("bigint").alias("sx"),
+        F.sum("lyq").cast("bigint").alias("sy"),
+        F.sum(F.col("lxq").cast("decimal(19,0)") * F.col("lxq"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("lxq").cast("decimal(19,0)") * F.col("lyq"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.max(F.when(F.col("m") == 5, F.col("mean_rs"))).alias("rs_5"),
+        F.max(F.when(F.col("m") == 30, F.col("mean_rs"))).alias("rs_30"),
+    )
+    kd = F.col("k").cast("double")
+    as_d2 = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return fold.select(
+        "event_type",
+        "k",
+        "rs_5",
+        "rs_30",
+        (
+            (kd * as_d2(F.col("sxy")) - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (kd * as_d2(F.col("sxx")) - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        ).alias("hurst"),
+    ).orderBy("event_type")

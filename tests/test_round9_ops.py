@@ -1443,3 +1443,43 @@ def test_partial_corr_matches_numpy(spark):
     assert row["rxz"] == pytest.approx(rxz, rel=1e-9)
     assert row["ryz"] == pytest.approx(ryz, rel=1e-9)
     assert row["partial_rxy_given_z"] == pytest.approx(part, rel=1e-9)
+
+
+def test_hurst_rs_matches_pure_python(spark, daily_series):
+    got = {r["event_type"]: r for r in plans.get("ts_hurst_rs").build(spark, SF).collect()}
+    for et, x in daily_series.items():
+        xq = [round(v * 1e6) for v in x]
+        pts = []
+        rs_by_m = {}
+        for m in (5, 10, 15, 30):
+            rss = []
+            for b0 in range(0, len(xq), m):
+                blkv = xq[b0 : b0 + m]
+                sb = sum(blkv)
+                sq = sum(v * v for v in blkv)
+                var_num = m * sq - sb * sb
+                if var_num <= 0:
+                    continue
+                devs = []
+                pref = 0
+                for t, v in enumerate(blkv, start=1):
+                    pref += v
+                    devs.append(m * pref - t * sb)
+                rss.append((max(devs) - min(devs)) / math.sqrt(var_num))
+            mean_rs = sum(rss) / len(rss)
+            rs_by_m[m] = mean_rs
+            pts.append(
+                (math.floor(math.log(m) * 1e9), math.floor(math.log(mean_rs) * 1e9))
+            )
+        k = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        hurst = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+        r = got[et]
+        assert r["k"] == k
+        assert r["rs_5"] == pytest.approx(rs_by_m[5], rel=1e-9)
+        assert r["rs_30"] == pytest.approx(rs_by_m[30], rel=1e-9)
+        assert r["hurst"] == pytest.approx(hurst, rel=1e-9)
+        assert 0.0 < r["hurst"] < 1.0  # sane range for R/S on real data
