@@ -2326,3 +2326,154 @@ def stat_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("partial_rxy_given_z"),
     )
+
+
+@register(
+    "stat_effect_sizes",
+    tags=("stats", "agg", "join"),
+    oracle="""
+        WITH lab AS (
+            SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                       AS grp,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS xc
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        s AS (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(xc) AS BIGINT) AS sx,
+                   CAST(CAST(SUM(CAST(xc AS DECIMAL(19,0)) * xc)
+                        AS VARCHAR) AS DOUBLE) AS sxx
+            FROM lab GROUP BY grp
+        ),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+                MAX(CASE WHEN grp = 1 THEN sx END) AS s1,
+                MAX(CASE WHEN grp = 1 THEN sxx END) AS q1,
+                MAX(CASE WHEN grp = 0 THEN n END) AS n2,
+                MAX(CASE WHEN grp = 0 THEN sx END) AS s2,
+                MAX(CASE WHEN grp = 0 THEN sxx END) AS q2
+            FROM s
+        ),
+        cells AS (
+            SELECT xc, grp, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lab GROUP BY xc, grp
+        ),
+        pairs AS (
+            SELECT
+                CAST(SUM(CASE WHEN a.xc > b.xc
+                     THEN CAST(a.c AS DECIMAL(38,0)) * b.c
+                     ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+                    AS n_gt,
+                CAST(SUM(CASE WHEN a.xc < b.xc
+                     THEN CAST(a.c AS DECIMAL(38,0)) * b.c
+                     ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+                    AS n_lt
+            FROM cells a JOIN cells b ON a.grp = 1 AND b.grp = 0
+        )
+        SELECT w.n1, w.n2,
+               (CAST(w.s1 AS DOUBLE) / w.n1 - CAST(w.s2 AS DOUBLE) / w.n2)
+                 / 100 AS mean_diff,
+               ((CAST(w.s1 AS DOUBLE) / w.n1 - CAST(w.s2 AS DOUBLE) / w.n2)
+                / sqrt(((w.q1 - CAST(w.s1 AS DOUBLE) * w.s1 / w.n1)
+                        + (w.q2 - CAST(w.s2 AS DOUBLE) * w.s2 / w.n2))
+                       / CAST(w.n1 + w.n2 - 2 AS DOUBLE))) AS cohens_d,
+               ((CAST(w.s1 AS DOUBLE) / w.n1 - CAST(w.s2 AS DOUBLE) / w.n2)
+                / sqrt(((w.q1 - CAST(w.s1 AS DOUBLE) * w.s1 / w.n1)
+                        + (w.q2 - CAST(w.s2 AS DOUBLE) * w.s2 / w.n2))
+                       / CAST(w.n1 + w.n2 - 2 AS DOUBLE)))
+                 * (CAST(1 AS DOUBLE)
+                    - CAST(3 AS DOUBLE)
+                      / (CAST(4 AS DOUBLE) * (w.n1 + w.n2) - 9))
+                   AS hedges_g,
+               (CAST(CAST(p.n_gt AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(p.n_lt AS VARCHAR) AS DOUBLE))
+                 / (CAST(w.n1 AS DOUBLE) * CAST(w.n2 AS DOUBLE))
+                   AS cliffs_delta
+        FROM wide w CROSS JOIN pairs p
+    """,
+)
+def stat_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect sizes between the URGENT and LOW order cohorts: Cohen's
+    d and Hedges' g from exact integer sufficient statistics (pooled
+    SD, small-sample correction 1 - 3/(4N-9)), and Cliff's delta via
+    the distinct-value contingency reduction — the |n1 x n2| dominance
+    pair count collapses to an O(cells²) model-sized join with exact
+    DECIMAL(38,0) products (the Kendall-tau recipe). Every output is a
+    single shared double expression over exact integers."""
+    o = load_table(spark, sf_dir, "orders")
+    lab = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("grp"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("xc"),
+    )
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    s = lab.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xc").cast("bigint").alias("sx"),
+        as_d(
+            F.sum(F.col("xc").cast("decimal(19,0)") * F.col("xc")).cast("decimal(38,0)")
+        ).alias("sxx"),
+    )
+    pick = lambda g, c: F.max(F.when(F.col("grp") == g, F.col(c)))  # noqa: E731
+    wide = s.agg(
+        pick(1, "n").alias("n1"),
+        pick(1, "sx").alias("s1"),
+        pick(1, "sxx").alias("q1"),
+        pick(0, "n").alias("n2"),
+        pick(0, "sx").alias("s2"),
+        pick(0, "sxx").alias("q2"),
+    )
+    cells = lab.groupBy("xc", "grp").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = cells.filter(F.col("grp") == 1).select(
+        F.col("xc").alias("xa"), F.col("c").alias("ca")
+    )
+    b = cells.filter(F.col("grp") == 0).select(
+        F.col("xc").alias("xb"), F.col("c").alias("cb")
+    )
+    dec = "decimal(38,0)"
+    pairs = a.crossJoin(b).agg(
+        F.sum(
+            F.when(
+                F.col("xa") > F.col("xb"), F.col("ca").cast(dec) * F.col("cb")
+            ).otherwise(F.lit(0).cast(dec))
+        )
+        .cast(dec)
+        .alias("n_gt"),
+        F.sum(
+            F.when(
+                F.col("xa") < F.col("xb"), F.col("ca").cast(dec) * F.col("cb")
+            ).otherwise(F.lit(0).cast(dec))
+        )
+        .cast(dec)
+        .alias("n_lt"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    mdiff = F.col("s1").cast("double") / n1d - F.col("s2").cast("double") / n2d
+    pooled = F.sqrt(
+        (
+            (F.col("q1") - F.col("s1").cast("double") * F.col("s1") / n1d)
+            + (F.col("q2") - F.col("s2").cast("double") * F.col("s2") / n2d)
+        )
+        / (F.col("n1") + F.col("n2") - 2).cast("double")
+    )
+    d_ = mdiff / pooled
+    corr = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (F.col("n1") + F.col("n2")).cast("double") - 9
+    )
+    return wide.crossJoin(F.broadcast(pairs)).select(
+        "n1",
+        "n2",
+        (mdiff / F.lit(100.0)).alias("mean_diff"),
+        d_.alias("cohens_d"),
+        (d_ * corr).alias("hedges_g"),
+        ((as_d(F.col("n_gt")) - as_d(F.col("n_lt"))) / (n1d * n2d)).alias(
+            "cliffs_delta"
+        ),
+    )

@@ -1483,3 +1483,29 @@ def test_hurst_rs_matches_pure_python(spark, daily_series):
         assert r["rs_30"] == pytest.approx(rs_by_m[30], rel=1e-9)
         assert r["hurst"] == pytest.approx(hurst, rel=1e-9)
         assert 0.0 < r["hurst"] < 1.0  # sane range for R/S on real data
+
+
+def test_effect_sizes_match_numpy(spark):
+    row = plans.get("stat_effect_sizes").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT o_orderpriority,"
+        " CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+        " WHERE o_orderpriority IN ('1-URGENT', '5-LOW')"
+    )
+    a = np.array([x for p, x in rows if p == "1-URGENT"], dtype=np.float64)
+    b = np.array([x for p, x in rows if p == "5-LOW"], dtype=np.float64)
+    n1, n2 = len(a), len(b)
+    pooled = math.sqrt(
+        (a.var() * n1 + b.var() * n2) / (n1 + n2 - 2)
+    )
+    d = (a.mean() - b.mean()) / pooled
+    g = d * (1 - 3 / (4 * (n1 + n2) - 9))
+    gt = int((a[:, None] > b[None, :]).sum())
+    lt = int((a[:, None] < b[None, :]).sum())
+    delta = (gt - lt) / (n1 * n2)
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert row["mean_diff"] == pytest.approx((a.mean() - b.mean()) / 100, rel=1e-9)
+    assert row["cohens_d"] == pytest.approx(d, rel=1e-9)
+    assert row["hedges_g"] == pytest.approx(g, rel=1e-9)
+    assert row["cliffs_delta"] == pytest.approx(delta, rel=1e-12)
