@@ -4642,3 +4642,125 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (kd * as_d2(F.col("sxx")) - F.col("sx").cast("double") * F.col("sx").cast("double"))
         ).alias("hurst"),
     ).orderBy("event_type")
+
+
+@register(
+    "ts_forecast_backtest_mase",
+    tags=("timeseries", "window", "eval"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xq,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(ts AS DATE)) AS rn
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        lagged AS (
+            SELECT event_type, rn, xq,
+                   LAG(xq, 7) OVER w AS x7, LAG(xq, 1) OVER w AS x1
+            FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY rn)
+        ),
+        err AS (
+            SELECT event_type,
+                   CAST(COUNT(CASE WHEN x7 IS NOT NULL THEN 1 END)
+                        AS BIGINT) AS n_f,
+                   CAST(SUM(CASE WHEN x7 IS NOT NULL
+                            THEN abs(xq - x7) ELSE 0 END) AS BIGINT) AS se,
+                   CAST(COUNT(CASE WHEN x1 IS NOT NULL THEN 1 END)
+                        AS BIGINT) AS n_d,
+                   CAST(SUM(CASE WHEN x1 IS NOT NULL
+                            THEN abs(xq - x1) ELSE 0 END) AS BIGINT) AS sd,
+                   CAST(SUM(CASE WHEN x7 IS NOT NULL THEN
+                        CAST(FLOOR(CAST(2 AS DOUBLE) * abs(xq - x7)
+                             / (abs(CAST(xq AS DOUBLE))
+                                + abs(CAST(x7 AS DOUBLE)))
+                             * 1e9) AS BIGINT) ELSE 0 END) AS BIGINT)
+                       AS smape_q9_sum
+            FROM lagged GROUP BY event_type
+        )
+        SELECT event_type, n_f,
+               CAST(se AS DOUBLE) / CAST(n_f AS DOUBLE) / 1e6
+                   AS seasonal_mae,
+               CAST(sd AS DOUBLE) / CAST(n_d AS DOUBLE) / 1e6 AS naive_mae,
+               (CAST(se AS DOUBLE) / CAST(n_f AS DOUBLE))
+                 / (CAST(sd AS DOUBLE) / CAST(n_d AS DOUBLE)) AS mase,
+               CAST(smape_q9_sum AS DOUBLE) / CAST(n_f AS DOUBLE) / 1e9
+                   AS smape
+        FROM err ORDER BY event_type
+    """,
+)
+def ts_forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest of the seasonal-naive predictor (x_{t-7}) per
+    daily series, scored with MASE (scaled by the one-step naive MAE —
+    Hyndman's scale-free standard) and sMAPE. Absolute errors are
+    EXACT integers (q6-quantized dailies), so both MAEs and the MASE
+    ratio are exact-integer arithmetic with double edges; each row's
+    sMAPE term is one shared double expression floor-quantized to q9
+    before the exact integer sum (no float accumulation). Lag windows
+    partition per series; the corpus collapses in the first agg. This
+    is the eval harness any forecasting pipeline runs before shipping
+    a model fancier than the naive baseline."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)")
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("xq")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("event_type").orderBy("d")),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("rn")
+    lagged = daily.select(
+        "event_type",
+        "xq",
+        F.lag("xq", 7).over(w).alias("x7"),
+        F.lag("xq", 1).over(w).alias("x1"),
+    )
+    has7 = F.col("x7").isNotNull()
+    has1 = F.col("x1").isNotNull()
+    smape_term = (
+        F.floor(
+            F.lit(2.0)
+            * F.abs(F.col("xq") - F.col("x7")).cast("double")
+            / (
+                F.abs(F.col("xq").cast("double"))
+                + F.abs(F.col("x7").cast("double"))
+            )
+            * F.lit(1e9)
+        )
+        .cast("bigint")
+    )
+    err = lagged.groupBy("event_type").agg(
+        F.sum(F.when(has7, 1).otherwise(0)).cast("bigint").alias("n_f"),
+        F.sum(F.when(has7, F.abs(F.col("xq") - F.col("x7"))).otherwise(0))
+        .cast("bigint")
+        .alias("se"),
+        F.sum(F.when(has1, 1).otherwise(0)).cast("bigint").alias("n_d"),
+        F.sum(F.when(has1, F.abs(F.col("xq") - F.col("x1"))).otherwise(0))
+        .cast("bigint")
+        .alias("sd"),
+        F.sum(F.when(has7, smape_term).otherwise(0))
+        .cast("bigint")
+        .alias("smape_q9_sum"),
+    )
+    nf = F.col("n_f").cast("double")
+    nd_ = F.col("n_d").cast("double")
+    return err.select(
+        "event_type",
+        "n_f",
+        (F.col("se").cast("double") / nf / F.lit(1e6)).alias("seasonal_mae"),
+        (F.col("sd").cast("double") / nd_ / F.lit(1e6)).alias("naive_mae"),
+        (
+            (F.col("se").cast("double") / nf)
+            / (F.col("sd").cast("double") / nd_)
+        ).alias("mase"),
+        (F.col("smape_q9_sum").cast("double") / nf / F.lit(1e9)).alias("smape"),
+    ).orderBy("event_type")

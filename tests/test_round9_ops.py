@@ -1509,3 +1509,23 @@ def test_effect_sizes_match_numpy(spark):
     assert row["cohens_d"] == pytest.approx(d, rel=1e-9)
     assert row["hedges_g"] == pytest.approx(g, rel=1e-9)
     assert row["cliffs_delta"] == pytest.approx(delta, rel=1e-12)
+
+
+def test_mase_backtest_matches_pure_python(spark, daily_series):
+    got = {r["event_type"]: r for r in plans.get("ts_forecast_backtest_mase").build(spark, SF).collect()}
+    for et, x in daily_series.items():
+        xq = [round(v * 1e6) for v in x]
+        se = [abs(xq[t] - xq[t - 7]) for t in range(7, len(xq))]
+        sd = [abs(xq[t] - xq[t - 1]) for t in range(1, len(xq))]
+        smape = [
+            math.floor(2.0 * abs(xq[t] - xq[t - 7]) / (abs(xq[t]) + abs(xq[t - 7])) * 1e9)
+            for t in range(7, len(xq))
+        ]
+        r = got[et]
+        assert r["n_f"] == len(se)
+        assert r["seasonal_mae"] == pytest.approx(sum(se) / len(se) / 1e6, rel=1e-12)
+        assert r["naive_mae"] == pytest.approx(sum(sd) / len(sd) / 1e6, rel=1e-12)
+        assert r["mase"] == pytest.approx(
+            (sum(se) / len(se)) / (sum(sd) / len(sd)), rel=1e-12
+        )
+        assert r["smape"] == pytest.approx(sum(smape) / len(smape) / 1e9, rel=1e-12)
