@@ -1451,3 +1451,133 @@ def stream_live_perplexity_admission(
     for c in (corpus_big, c12, c1, vocab):
         c.unpersist()
     return spark.read.parquet(sink).orderBy("new_id")
+
+
+_CUSUM_ALARM_ORACLE = """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xq,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(ts AS DATE)) AS rn
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        pre AS (
+            SELECT event_type, d, rn, xq,
+                   CAST(SUM(xq) OVER (PARTITION BY event_type ORDER BY rn
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+                   CAST(SUM(xq) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS s,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n
+            FROM daily
+        ),
+        dev AS (
+            SELECT event_type, d, rn, prefix, s, n,
+                   abs(CAST(n AS DECIMAL(38,0)) * prefix
+                       - CAST(rn AS DECIMAL(38,0)) * s) AS dabs
+            FROM pre WHERE rn < n
+        ),
+        best AS (
+            SELECT event_type, d, rn, prefix, s, n, dabs,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY dabs DESC, rn) AS pick
+            FROM dev
+        )
+        SELECT event_type, n, CAST(rn AS BIGINT) AS cp_index, d AS cp_date,
+               CAST(CAST(dabs AS VARCHAR) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * 1e6) AS cusum_peak,
+               CAST(prefix AS DOUBLE) / (CAST(rn AS DOUBLE) * 1e6)
+                   AS mean_before,
+               CAST(s - prefix AS DOUBLE)
+                 / (CAST(n - rn AS DOUBLE) * 1e6) AS mean_after
+        FROM best WHERE pick = 1
+        ORDER BY event_type
+    """
+
+
+@register(
+    "stream_live_cusum_alarm",
+    tags=("streaming", "live", "stats"),
+    oracle=_CUSUM_ALARM_ORACLE,
+)
+def stream_live_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming change-detection alarm: a real Structured Streaming
+    tumbling-day aggregation (watermark 1h, update mode) feeds the
+    EXACT integer CUSUM arg-max from ts_cusum_changepoint at
+    end-of-stream — the monitoring shape where ingestion is continuous
+    and the alarm sweep runs on the finalized daily relation. The
+    finite fixture makes the answer equal the batch CUSUM, which the
+    oracle checks byte-for-byte (q6 dailies, DECIMAL(38,0) deviation
+    products, earliest-index tiebreak). State is bounded by the
+    watermark horizon; the alarm stage runs on calendar-bounded rows."""
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from finance_etl_spark.streaming.runner import events_stream, run_stream_to_memory
+
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("xs"))
+    )
+    sink = run_stream_to_memory(
+        agg, f"live_cusum_{_uuid.uuid4().hex[:8]}", mode="update"
+    )
+    daily = (
+        sink.select(
+            "event_type",
+            F.col("window.start").cast("date").alias("d"),
+            (F.col("xs").cast("decimal(18,6)") * 1000000)
+            .cast("bigint")
+            .alias("xq"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("event_type").orderBy("d")),
+        )
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "d",
+        "rn",
+        F.sum("xq").over(wcum).cast("bigint").alias("prefix"),
+        F.sum("xq").over(wall).cast("bigint").alias("s"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+    )
+    dev = pre.filter(F.col("rn") < F.col("n")).withColumn(
+        "dabs",
+        F.abs(
+            F.col("n").cast("decimal(38,0)") * F.col("prefix")
+            - F.col("rn").cast("decimal(38,0)") * F.col("s")
+        ),
+    )
+    wpick = Window.partitionBy("event_type").orderBy(F.col("dabs").desc(), F.col("rn"))
+    best = dev.withColumn("pick", F.row_number().over(wpick)).filter(
+        F.col("pick") == 1
+    )
+    return best.select(
+        "event_type",
+        "n",
+        F.col("rn").cast("bigint").alias("cp_index"),
+        F.col("d").alias("cp_date"),
+        (
+            F.col("dabs").cast("string").cast("double")
+            / (F.col("n").cast("double") * F.lit(1e6))
+        ).alias("cusum_peak"),
+        (
+            F.col("prefix").cast("double") / (F.col("rn").cast("double") * F.lit(1e6))
+        ).alias("mean_before"),
+        (
+            (F.col("s") - F.col("prefix")).cast("double")
+            / ((F.col("n") - F.col("rn")).cast("double") * F.lit(1e6))
+        ).alias("mean_after"),
+    ).orderBy("event_type")

@@ -1529,3 +1529,15 @@ def test_mase_backtest_matches_pure_python(spark, daily_series):
             (sum(se) / len(se)) / (sum(sd) / len(sd)), rel=1e-12
         )
         assert r["smape"] == pytest.approx(sum(smape) / len(smape) / 1e9, rel=1e-12)
+
+
+def test_stream_cusum_alarm_equals_batch(spark):
+    live = {r["event_type"]: r for r in plans.get("stream_live_cusum_alarm").build(spark, SF).collect()}
+    batch = {r["event_type"]: r for r in plans.get("ts_cusum_changepoint").build(spark, SF).collect()}
+    assert set(live) == set(batch)
+    for et, b in batch.items():
+        l = live[et]
+        assert (l["n"], l["cp_index"], l["cp_date"]) == (b["n"], b["cp_index"], b["cp_date"])
+        assert l["cusum_peak"] == b["cusum_peak"]
+        assert l["mean_before"] == b["mean_before"]
+        assert l["mean_after"] == b["mean_after"]
