@@ -2030,3 +2030,170 @@ def vec_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "vec_kmeans_unrolled2",
+    tags=("vector", "cluster", "agg"),
+    oracle="""
+        WITH elems AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ),
+        seeds AS (
+            SELECT vec_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                       AS cluster_id
+            FROM (SELECT DISTINCT vec_id FROM embeddings
+                  ORDER BY vec_id LIMIT 8)
+        ),
+        c0 AS (
+            SELECT s.cluster_id, e.dim, e.val AS c
+            FROM seeds s JOIN elems e ON e.vec_id = s.vec_id
+        ),
+        d1 AS (
+            SELECT e.vec_id, c.cluster_id,
+                   CAST(SUM(CAST(FLOOR((e.val - c.c) * (e.val - c.c) * 1e12)
+                        AS DECIMAL(38,0))) AS BIGINT) AS dq
+            FROM elems e JOIN c0 c ON c.dim = e.dim
+            GROUP BY e.vec_id, c.cluster_id
+        ),
+        a1 AS (
+            SELECT vec_id, cluster_id FROM (
+                SELECT vec_id, cluster_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY dq, cluster_id) AS rn
+                FROM d1
+            ) WHERE rn = 1
+        ),
+        c1 AS (
+            SELECT a.cluster_id, e.dim,
+                   list_sum(list_transform(
+                       list(e.val ORDER BY e.vec_id), x -> x))
+                     / COUNT(*) AS c
+            FROM a1 a JOIN elems e ON e.vec_id = a.vec_id
+            GROUP BY a.cluster_id, e.dim
+        ),
+        d2 AS (
+            SELECT e.vec_id, c.cluster_id,
+                   CAST(SUM(CAST(FLOOR((e.val - c.c) * (e.val - c.c) * 1e12)
+                        AS DECIMAL(38,0))) AS BIGINT) AS dq
+            FROM elems e JOIN c1 c ON c.dim = e.dim
+            GROUP BY e.vec_id, c.cluster_id
+        ),
+        a2 AS (
+            SELECT vec_id, cluster_id, dq FROM (
+                SELECT vec_id, cluster_id, dq,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY dq, cluster_id) AS rn
+                FROM d2
+            ) WHERE rn = 1
+        )
+        SELECT a2.cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(CAST(SUM(CAST(a2.dq AS DECIMAL(38,0)))
+                    AS VARCHAR) AS DOUBLE) / 1e12 AS inertia,
+               CAST(SUM(CASE WHEN a1.cluster_id <> a2.cluster_id
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in
+        FROM a2 JOIN a1 ON a1.vec_id = a2.vec_id
+        GROUP BY a2.cluster_id
+        ORDER BY a2.cluster_id
+    """,
+)
+def vec_kmeans_unrolled2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-oracled k-means, two unrolled Lloyd rounds (k=8, seeds =
+    the 8 smallest vec_ids) — the oracle-promotion twin of the rows-
+    only vec_kmeans_clusters, built entirely from cross-engine-stable
+    pieces: squared-distance terms floor-scaled at 1e-12 and integer-
+    summed (order-free, the silhouette recipe), argmin assignment with
+    the (distance, cluster_id) tiebreak, and round-2 centroids from
+    the vec_id-ORDERED sequential fold (a plain SUM of float-origin
+    doubles is not cross-engine-stable; the pinned fold is). Inertia
+    and the migration census are exact integers. At 100 TB each round
+    is one broadcast-centroid join + two hash aggs — the same
+    data-parallel shape as the production ml_kmeans_lloyd, here
+    unrolled to stay ANSI-expressible."""
+    e = load_table(spark, sf_dir, "embeddings")
+    elems = (
+        e.select("vec_id", F.posexplode("embedding").alias("dim0", "val"))
+        .select(
+            "vec_id",
+            (F.col("dim0") + 1).alias("dim"),
+            F.col("val").cast("double").alias("val"),
+        )
+        .persist()
+    )
+    seeds = (
+        e.select("vec_id")
+        .orderBy("vec_id")
+        .limit(8)
+        .select(
+            "vec_id",
+            (
+                F.row_number().over(Window.orderBy("vec_id")) - 1
+            ).cast("bigint").alias("cluster_id"),
+        )
+    )
+    c0 = seeds.join(
+        elems.select(F.col("vec_id").alias("svid"), "dim", "val"),
+        F.col("vec_id") == F.col("svid"),
+    ).select("cluster_id", "dim", F.col("val").alias("c"))
+
+    def dists(cents):
+        return (
+            elems.join(F.broadcast(cents), "dim")
+            .groupBy("vec_id", "cluster_id")
+            .agg(
+                F.sum(
+                    F.floor(
+                        (F.col("val") - F.col("c"))
+                        * (F.col("val") - F.col("c"))
+                        * F.lit(1e12)
+                    ).cast("decimal(38,0)")
+                )
+                .cast("bigint")
+                .alias("dq")
+            )
+        )
+
+    def assign(d):
+        w = Window.partitionBy("vec_id").orderBy("dq", "cluster_id")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster_id", "dq")
+        )
+
+    a1 = assign(dists(c0)).select("vec_id", F.col("cluster_id").alias("c1id"))
+    ordered = F.array_sort(F.collect_list(F.struct("vec_id", "val")))
+    fold = F.aggregate(
+        F.transform(ordered, lambda s: s.getField("val")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    c1 = (
+        a1.join(elems, "vec_id")
+        .groupBy(F.col("c1id").alias("cluster_id"), "dim")
+        .agg((fold / F.count("val")).alias("c"))
+    )
+    a2 = assign(dists(c1))
+    return (
+        a2.join(a1, "vec_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            (
+                F.sum(F.col("dq").cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .cast("string")
+                .cast("double")
+                / F.lit(1e12)
+            ).alias("inertia"),
+            F.sum(F.when(F.col("c1id") != F.col("cluster_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_moved_in"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1541,3 +1541,49 @@ def test_stream_cusum_alarm_equals_batch(spark):
         assert l["cusum_peak"] == b["cusum_peak"]
         assert l["mean_before"] == b["mean_before"]
         assert l["mean_after"] == b["mean_after"]
+
+
+def test_kmeans_unrolled2_matches_pure_python(spark):
+    got = {r["cluster_id"]: r for r in plans.get("vec_kmeans_unrolled2").build(spark, SF).collect()}
+    rows = _fetch(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF}/embeddings.parquet')"
+        " ORDER BY vec_id"
+    )
+    vecs = {vid: [float(x) for x in emb] for vid, emb in rows}
+    vids = sorted(vecs)
+    cents = {i: vecs[vid][:] for i, vid in enumerate(vids[:8])}
+
+    def dq(v, c):
+        return sum(int(math.floor((a - b) * (a - b) * 1e12)) for a, b in zip(v, c))
+
+    def assign(cents):
+        out = {}
+        for vid in vids:
+            best = min(
+                ((dq(vecs[vid], c), cid) for cid, c in cents.items())
+            )
+            out[vid] = (best[1], best[0])
+        return out
+
+    a1 = assign(cents)
+    c1 = {}
+    for cid in set(c for c, _ in a1.values()):
+        members = [vid for vid in vids if a1[vid][0] == cid]
+        dims = len(vecs[members[0]])
+        # sequential left fold in vec_id order — the engine contract
+        c1[cid] = [
+            sum(vecs[vid][d] for vid in members) / len(members)
+            for d in range(dims)
+        ]
+    a2 = assign(c1)
+    expect = {}
+    for vid in vids:
+        cid, d = a2[vid]
+        n, inert, moved = expect.get(cid, (0, 0, 0))
+        expect[cid] = (n + 1, inert + d, moved + (a1[vid][0] != cid))
+    assert set(got) == set(expect)
+    for cid, (n, inert, moved) in expect.items():
+        r = got[cid]
+        assert r["n_vectors"] == n
+        assert r["inertia"] == pytest.approx(inert / 1e12, rel=1e-12)
+        assert r["n_moved_in"] == moved
