@@ -421,7 +421,34 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_tokenizer_fertility", tags=("text", "tokenizer"))
+_FERT_ORACLE = _WP_ORACLE[: _WP_ORACLE.index("SELECT piece,")] + """
+ppw AS (
+    SELECT word, CAST(COUNT(piece) AS BIGINT) AS n_pieces
+    FROM rec WHERE piece IS NOT NULL GROUP BY word
+),
+src AS (
+    SELECT source, u.word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents,
+         unnest(regexp_extract_all(lower(text), '""" + _TOKEN_SQL + """')) u(word)
+    GROUP BY source, u.word
+)
+SELECT s.source,
+       CAST(SUM(s.n) AS BIGINT) AS n_words,
+       CAST(SUM(s.n * p.n_pieces) AS BIGINT) AS n_pieces,
+       CAST(SUM(s.n * p.n_pieces) AS DOUBLE) / CAST(SUM(s.n) AS DOUBLE)
+           AS fertility
+FROM src s JOIN ppw p ON p.word = s.word
+GROUP BY s.source ORDER BY s.source
+"""
+# the path-following CTE ends with the rec block; splice needs the comma
+_FERT_ORACLE = _FERT_ORACLE.replace(")\n\nppw AS", "),\nppw AS", 1)
+
+
+@register(
+    "text_tokenizer_fertility",
+    tags=("text", "tokenizer"),
+    oracle=_FERT_ORACLE,
+)
 def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer FERTILITY per corpus source — pieces emitted per word,
     the metric tokenizer teams track per language/domain to catch
@@ -431,9 +458,11 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocabulary-sized Python), then join the per-word piece counts
     back to per-(source, word) frequencies — the corpus text itself is
     scanned once for the frequency table and once for the source map;
-    no per-document Python. Rows-only (greedy encode is
-    engine-specific); the piece counts feeding it are pinned by
-    test_round4_ops.py's reference encode."""
+    no per-document Python. PROMOTED to a hash oracle in round 9:
+    the oracle replays the greedy longest-match as the same
+    precomputed-lookup recursive CTE as text_wordpiece_encode, counts
+    pieces per word, and joins the per-source frequencies — all
+    integer/string, one double division at the edge."""
     import pandas as pd
 
     d = load_table(spark, sf_dir, "documents")
