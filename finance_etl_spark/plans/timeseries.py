@@ -4764,3 +4764,85 @@ def ts_forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mase"),
         (F.col("smape_q9_sum").cast("double") / nf / F.lit(1e9)).alias("smape"),
     ).orderBy("event_type")
+
+
+@register(
+    "ts_attribution_last_touch",
+    tags=("timeseries", "events", "join"),
+    oracle="""
+        WITH buys AS (
+            SELECT user_id, event_id AS buy_id, ts AS buy_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        touches AS (
+            SELECT user_id, event_type AS channel, ts AS touch_ts
+            FROM events WHERE event_type IN ('view', 'click')
+        ),
+        attrib AS (
+            SELECT b.buy_id, t.channel, t.touch_ts,
+                   ROW_NUMBER() OVER (PARTITION BY b.buy_id
+                       ORDER BY t.touch_ts DESC, t.channel) AS rn
+            FROM buys b JOIN touches t
+              ON t.user_id = b.user_id
+             AND t.touch_ts < b.buy_ts
+             AND t.touch_ts >= b.buy_ts - INTERVAL 7 DAY
+        ),
+        last_t AS (SELECT buy_id, channel FROM attrib WHERE rn = 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buys FROM buys)
+        SELECT l.channel,
+               CAST(COUNT(*) AS BIGINT) AS n_attributed,
+               t.n_buys,
+               CAST(COUNT(*) AS DOUBLE) / CAST(t.n_buys AS DOUBLE)
+                   AS share_of_purchases
+        FROM last_t l CROSS JOIN tot t
+        GROUP BY l.channel, t.n_buys
+        ORDER BY l.channel
+    """,
+)
+def ts_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent view/click inside a 7-day lookback (strict
+    before-purchase, deterministic (ts DESC, channel) tiebreak for
+    simultaneous touches). The join is user-keyed with a bounded time
+    band — the as-of-join shape, shuffle on user_id with map-side
+    pruning, never a cross product — and the report is exact integer
+    counts with one share division. The 100-TB version swaps the band
+    join for the repo's asof_join operator unchanged; the fixture's
+    30-day horizon keeps per-user fan-in bounded here."""
+    e = load_table(spark, sf_dir, "events")
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("buy_id"), F.col("ts").alias("buy_ts")
+    )
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("touch_ts"),
+    )
+    attrib = buys.join(touches, "user_id").filter(
+        (F.col("touch_ts") < F.col("buy_ts"))
+        & (F.col("touch_ts") >= F.col("buy_ts") - F.expr("INTERVAL 7 DAY"))
+    )
+    w = Window.partitionBy("buy_id").orderBy(
+        F.col("touch_ts").desc(), F.col("channel")
+    )
+    last_t = (
+        attrib.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("buy_id", "channel")
+    )
+    tot = buys.agg(F.count(F.lit(1)).cast("bigint").alias("n_buys"))
+    return (
+        last_t.crossJoin(F.broadcast(tot))
+        .groupBy("channel", "n_buys")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_attributed"))
+        .select(
+            "channel",
+            "n_attributed",
+            "n_buys",
+            (
+                F.col("n_attributed").cast("double")
+                / F.col("n_buys").cast("double")
+            ).alias("share_of_purchases"),
+        )
+        .orderBy("channel")
+    )

@@ -1587,3 +1587,33 @@ def test_kmeans_unrolled2_matches_pure_python(spark):
         assert r["n_vectors"] == n
         assert r["inertia"] == pytest.approx(inert / 1e12, rel=1e-12)
         assert r["n_moved_in"] == moved
+
+
+def test_attribution_last_touch_matches_pure_python(spark):
+    got = {r["channel"]: r for r in plans.get("ts_attribution_last_touch").build(spark, SF).collect()}
+    rows = _fetch(
+        f"SELECT user_id, event_id, event_type, ts FROM read_parquet('{SF}/events.parquet')"
+    )
+    import datetime
+
+    buys = [(u, e, t) for u, e, ty, t in rows if ty == "purchase"]
+    touches = [(u, ty, t) for u, e, ty, t in rows if ty in ("view", "click")]
+    counts = {}
+    for u, _, bt in buys:
+        cand = [
+            (t, ch)
+            for (tu, ch, t) in touches
+            if tu == u and t < bt and t >= bt - datetime.timedelta(days=7)
+        ]
+        if cand:
+            # latest ts; ties broken by channel ascending
+            best = max(cand, key=lambda c: (c[0], [c[1]]))
+            latest = max(t for t, _ in cand)
+            ch = min(ch for t, ch in cand if t == latest)
+            counts[ch] = counts.get(ch, 0) + 1
+    assert set(got) == set(counts)
+    for ch, n in counts.items():
+        r = got[ch]
+        assert r["n_attributed"] == n
+        assert r["n_buys"] == len(buys)
+        assert r["share_of_purchases"] == pytest.approx(n / len(buys), rel=1e-12)
