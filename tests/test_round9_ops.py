@@ -1607,7 +1607,6 @@ def test_attribution_last_touch_matches_pure_python(spark):
         ]
         if cand:
             # latest ts; ties broken by channel ascending
-            best = max(cand, key=lambda c: (c[0], [c[1]]))
             latest = max(t for t, _ in cand)
             ch = min(ch for t, ch in cand if t == latest)
             counts[ch] = counts.get(ch, 0) + 1
