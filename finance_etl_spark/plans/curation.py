@@ -4147,3 +4147,83 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("nationkey")
     )
     return out
+
+
+@register(
+    "cur_rejection_sample_md5",
+    tags=("curation", "sampling"),
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang, n_chars,
+                   CAST('0x' || substr(md5('rej:' || CAST(doc_id AS VARCHAR)),
+                        1, 15) AS BIGINT) AS h
+            FROM documents
+        ),
+        mx AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS qmax FROM documents),
+        dec AS (
+            SELECT s.doc_id, s.lang, s.n_chars, mx.qmax,
+                   (CAST(s.h AS DECIMAL(38,0)) * mx.qmax
+                    < CAST(s.n_chars AS DECIMAL(38,0)) * 1152921504606846976)
+                       AS accepted
+            FROM scored s CROSS JOIN mx
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_accepted,
+               CAST(SUM(CASE WHEN accepted THEN n_chars ELSE 0 END)
+                    AS BIGINT) AS accepted_chars,
+               CAST(SUM(CASE WHEN accepted THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS accept_rate
+        FROM dec GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def cur_rejection_sample_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quality-proportional rejection sampling: accept document d
+    with probability n_chars(d)/max_chars, decided by the md5 coin
+    h(d)/2^60 — the accept test cross-multiplies to pure integer
+    arithmetic (h·qmax < n_chars·2^60 in DECIMAL(38,0)), so the
+    accepted SET is replayable on any engine, any partitioning, any
+    day: the property that makes a sampling step auditable in a
+    training-data lineage review, which rand()-based sampling can
+    never be. One scan + one broadcast max; the census is exact
+    integers."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rej:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    mx = d.agg(F.max("n_chars").cast("bigint").alias("qmax"))
+    dec = scored.crossJoin(F.broadcast(mx)).withColumn(
+        "accepted",
+        F.col("h").cast("decimal(38,0)") * F.col("qmax")
+        < F.col("n_chars").cast("decimal(38,0)") * F.lit(1152921504606846976).cast("decimal(38,0)"),
+    )
+    return (
+        dec.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("accepted"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_accepted"),
+            F.sum(F.when(F.col("accepted"), F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("accepted_chars"),
+            (
+                F.sum(F.when(F.col("accepted"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("accept_rate"),
+        )
+        .orderBy("lang")
+    )

@@ -4527,3 +4527,73 @@ def ml_conformal_ols_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ml_class_weights",
+    tags=("ml", "agg"),
+    oracle="""
+        WITH per AS (
+            SELECT l_returnflag AS label, CAST(COUNT(*) AS BIGINT) AS n_c
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM per
+        ),
+        w AS (
+            SELECT p.label, p.n_c, t.n, t.k,
+                   CAST(t.n AS DOUBLE)
+                     / (CAST(t.k AS DOUBLE) * CAST(p.n_c AS DOUBLE))
+                       AS w_inverse_freq,
+                   CAST(FLOOR(pow(CAST(0.9999 AS DOUBLE),
+                        CAST(p.n_c AS DOUBLE)) * 1e12) AS BIGINT) AS beta_q12
+            FROM per p CROSS JOIN tot t
+        )
+        SELECT label, n_c, w_inverse_freq,
+               CAST(0.0001 AS DOUBLE) * 1e12
+                 / (CAST(1e12 AS DOUBLE) - CAST(beta_q12 AS DOUBLE))
+                   AS w_effective_number
+        FROM w ORDER BY label
+    """,
+)
+def ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class weights for imbalanced training, two standard recipes:
+    inverse frequency n/(k*n_c) (exact-integer ratio, one double
+    edge) and the effective-number-of-samples weight (Cui et al. 2019)
+    (1-beta)/(1-beta^n_c) at beta=0.9999 — the ONE libm pow call is
+    floor-quantized to q12 before any further arithmetic (the
+    libm-ulp lesson from ts_hurst_rs: JVM and C transcendentals can
+    differ in the last ulp on identical inputs; the quantize-then-
+    exact pattern absorbs it). One corpus scan to k rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_returnflag").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c")
+    )
+    tot = per.agg(
+        F.sum("n_c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    w = per.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n_c",
+        (
+            F.col("n").cast("double")
+            / (F.col("k").cast("double") * F.col("n_c").cast("double"))
+        ).alias("w_inverse_freq"),
+        F.floor(
+            F.pow(F.lit(0.9999), F.col("n_c").cast("double")) * F.lit(1e12)
+        )
+        .cast("bigint")
+        .alias("beta_q12"),
+    )
+    return w.select(
+        "label",
+        "n_c",
+        "w_inverse_freq",
+        (
+            F.lit(0.0001) * F.lit(1e12)
+            / (F.lit(1e12) - F.col("beta_q12").cast("double"))
+        ).alias("w_effective_number"),
+    ).orderBy("label")

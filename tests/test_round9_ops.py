@@ -1616,3 +1616,39 @@ def test_attribution_last_touch_matches_pure_python(spark):
         assert r["n_attributed"] == n
         assert r["n_buys"] == len(buys)
         assert r["share_of_purchases"] == pytest.approx(n / len(buys), rel=1e-12)
+
+
+def test_rejection_sample_matches_hashlib(spark):
+    import hashlib
+
+    got = {r["lang"]: r for r in plans.get("cur_rejection_sample_md5").build(spark, SF).collect()}
+    rows = _fetch(f"SELECT doc_id, lang, n_chars FROM read_parquet('{SF}/documents.parquet')")
+    qmax = max(r[2] for r in rows)
+    agg = {}
+    for doc_id, lang, nc in rows:
+        h = int(hashlib.md5(f"rej:{doc_id}".encode()).hexdigest()[:15], 16)
+        acc = h * qmax < nc * (1 << 60)
+        n, na, ch = agg.get(lang, (0, 0, 0))
+        agg[lang] = (n + 1, na + acc, ch + (nc if acc else 0))
+    assert set(got) == set(agg)
+    for lang, (n, na, ch) in agg.items():
+        r = got[lang]
+        assert (r["n_docs"], r["n_accepted"], r["accepted_chars"]) == (n, na, ch)
+        assert r["accept_rate"] == pytest.approx(na / n, rel=1e-12)
+
+
+def test_class_weights_match_pure_python(spark):
+    got = {r["label"]: r for r in plans.get("ml_class_weights").build(spark, SF).collect()}
+    rows = _fetch(
+        f"SELECT l_returnflag, COUNT(*) FROM read_parquet('{SF}/lineitem.parquet') GROUP BY 1"
+    )
+    n = sum(c for _, c in rows)
+    k = len(rows)
+    for label, c in rows:
+        r = got[label]
+        assert r["n_c"] == c
+        assert r["w_inverse_freq"] == pytest.approx(n / (k * c), rel=1e-12)
+        bq = math.floor(0.9999**c * 1e12)
+        assert r["w_effective_number"] == pytest.approx(
+            0.0001 * 1e12 / (1e12 - bq), rel=1e-9
+        )
