@@ -3950,3 +3950,114 @@ def agg_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_bits))
         .crossJoin(F.broadcast(summary))
     )
+
+
+@register(
+    "geo_grid_knn_join",
+    tags=("geo", "join", "spatial"),
+    oracle="""
+        WITH pts AS MATERIALIZED (
+            SELECT c_custkey AS id,
+                   CAST((c_custkey * 7919) % 18000000 AS BIGINT) - 9000000
+                       AS lat_u,
+                   CAST((c_custkey * 104729) % 36000000 AS BIGINT) - 18000000
+                       AS lon_u
+            FROM customer
+        ),
+        cells AS MATERIALIZED (
+            SELECT id, lat_u, lon_u,
+                   CAST(FLOOR(lat_u / 1000000.0) AS BIGINT) AS cy,
+                   CAST(FLOOR(lon_u / 1000000.0) AS BIGINT) AS cx
+            FROM pts
+        ),
+        probes AS (
+            SELECT * FROM cells WHERE id % 100 = 1
+        ),
+        offs AS (
+            SELECT dx.v AS dx, dy.v AS dy
+            FROM (SELECT unnest([-1, 0, 1]) AS v) dx
+            CROSS JOIN (SELECT unnest([-1, 0, 1]) AS v) dy
+        ),
+        cand AS (
+            SELECT p.id AS probe_id, c.id AS cand_id,
+                   (p.lat_u - c.lat_u) * (p.lat_u - c.lat_u)
+                 + (p.lon_u - c.lon_u) * (p.lon_u - c.lon_u) AS d2
+            FROM probes p
+            JOIN offs o ON TRUE
+            JOIN cells c ON c.cy = p.cy + o.dy AND c.cx = p.cx + o.dx
+            WHERE c.id <> p.id
+        ),
+        ranked AS (
+            SELECT probe_id, cand_id, d2,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                       ORDER BY d2, cand_id) AS rnk
+            FROM cand
+        )
+        SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cand_id, d2
+        FROM ranked WHERE rnk <= 3
+        ORDER BY probe_id, rnk
+    """,
+)
+def geo_grid_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial k-NN via grid bucketing — the pattern that replaces the
+    |points|² distance join at scale: points land in 1-degree cells
+    (integer micro-degree coordinates derived deterministically from
+    the customer key), each probe only meets candidates from its 3x3
+    cell neighborhood (a 9-way equi-join on cell ids — shuffle is
+    |probes|x9 cell lookups, never all-pairs), and distances are EXACT
+    integer squared micro-degrees (equirectangular on synthetic
+    coords; swap in haversine behind the same bucketing for real
+    geodata). Top-3 per probe with the (d2, cand_id) tiebreak. This is
+    the geohash/S2 join shape every geospatial warehouse query
+    uses."""
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919) % 18000000 - 9000000)
+        .cast("bigint")
+        .alias("lat_u"),
+        ((F.col("c_custkey") * 104729) % 36000000 - 18000000)
+        .cast("bigint")
+        .alias("lon_u"),
+    )
+    cells = pts.select(
+        "id",
+        "lat_u",
+        "lon_u",
+        F.floor(F.col("lat_u") / 1000000.0).cast("bigint").alias("cy"),
+        F.floor(F.col("lon_u") / 1000000.0).cast("bigint").alias("cx"),
+    )
+    probes = cells.filter(F.col("id") % 100 == 1).select(
+        F.col("id").alias("probe_id"),
+        F.col("lat_u").alias("plat"),
+        F.col("lon_u").alias("plon"),
+        F.col("cy").alias("pcy"),
+        F.col("cx").alias("pcx"),
+    )
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    cand = (
+        probes.join(F.broadcast(offs))
+        .join(
+            cells,
+            (F.col("cy") == F.col("pcy") + F.col("dy"))
+            & (F.col("cx") == F.col("pcx") + F.col("dx")),
+        )
+        .filter(F.col("id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("id").alias("cand_id"),
+            (
+                (F.col("plat") - F.col("lat_u")) * (F.col("plat") - F.col("lat_u"))
+                + (F.col("plon") - F.col("lon_u")) * (F.col("plon") - F.col("lon_u"))
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy("d2", "cand_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("probe_id", "rnk", "cand_id", "d2")
+        .orderBy("probe_id", "rnk")
+    )

@@ -1652,3 +1652,31 @@ def test_class_weights_match_pure_python(spark):
         assert r["w_effective_number"] == pytest.approx(
             0.0001 * 1e12 / (1e12 - bq), rel=1e-9
         )
+
+
+def test_geo_grid_knn_matches_brute_force(spark):
+    got = {}
+    for r in plans.get("geo_grid_knn_join").build(spark, SF).collect():
+        got.setdefault(r["probe_id"], []).append((r["rnk"], r["cand_id"], r["d2"]))
+    ids = [r[0] for r in _fetch(f"SELECT c_custkey FROM read_parquet('{SF}/customer.parquet')")]
+    pts = {
+        i: ((i * 7919) % 18000000 - 9000000, (i * 104729) % 36000000 - 18000000)
+        for i in ids
+    }
+    cell = {i: (p[0] // 1000000, p[1] // 1000000) for i, p in pts.items()}
+    for pid in [i for i in ids if i % 100 == 1]:
+        plat, plon = pts[pid]
+        pcy, pcx = cell[pid]
+        cands = sorted(
+            (
+                ((plat - lat) ** 2 + (plon - lon) ** 2, i)
+                for i, (lat, lon) in pts.items()
+                if i != pid
+                and abs(cell[i][0] - pcy) <= 1
+                and abs(cell[i][1] - pcx) <= 1
+            )
+        )[:3]
+        rows = sorted(got.get(pid, []))
+        assert len(rows) == len(cands)
+        for (rnk, cid, d2), (ed2, eid) in zip(rows, cands):
+            assert (cid, d2) == (eid, ed2)
