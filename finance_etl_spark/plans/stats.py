@@ -2477,3 +2477,141 @@ def stat_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cliffs_delta"
         ),
     )
+
+
+@register(
+    "stat_diff_in_diff",
+    tags=("stats", "agg"),
+    oracle="""
+        WITH lab AS (
+            SELECT CASE WHEN event_type IN ('purchase', 'click')
+                        THEN 1 ELSE 0 END AS treated,
+                   CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                        THEN 1 ELSE 0 END AS post,
+                   CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                       AS xq
+            FROM events
+        ),
+        cells AS (
+            SELECT treated, post,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(xq) AS BIGINT) AS s,
+                   CAST(CAST(SUM(CAST(xq AS DECIMAL(19,0)) * xq)
+                        AS VARCHAR) AS DOUBLE) AS q
+            FROM lab GROUP BY treated, post
+        ),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN treated = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS t1,
+                MAX(CASE WHEN treated = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS t0,
+                MAX(CASE WHEN treated = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS c1,
+                MAX(CASE WHEN treated = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS c0,
+                MAX(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_t1,
+                MAX(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n_t0,
+                MAX(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_c1,
+                MAX(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n_c0,
+                CAST(SUM(n) AS BIGINT) AS n_all,
+                list_reduce(
+                    list(q - CAST(s AS DOUBLE) * s / n
+                         ORDER BY treated, post),
+                    (a, x) -> a + x) AS ss_within
+            FROM cells
+        )
+        SELECT n_all, n_t1, n_t0, n_c1, n_c0,
+               (t1 - t0) / 1e6 AS treated_delta,
+               (c1 - c0) / 1e6 AS control_delta,
+               ((t1 - t0) - (c1 - c0)) / 1e6 AS did_estimate,
+               sqrt(ss_within / CAST(n_all - 4 AS DOUBLE)
+                    * (CAST(1 AS DOUBLE)/n_t1 + CAST(1 AS DOUBLE)/n_t0
+                       + CAST(1 AS DOUBLE)/n_c1 + CAST(1 AS DOUBLE)/n_c0))
+                 / 1e6 AS did_se
+        FROM wide
+    """,
+)
+def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: engaged event streams (purchase,
+    click) as the treated group, the 2024-01-16 midpoint as the
+    intervention, per-event value as the outcome. The four cell means
+    come from exact integer sums (q6 values); the DiD point estimate
+    is the textbook double difference; the SE uses the pooled within-
+    cell variance (each cell's SS from exact sums, the four cells
+    folded in PINNED (treated, post) order) over the four-mean
+    contrast. One corpus scan to four rows — the causal-inference
+    primitive every experimentation platform ships."""
+    e = load_table(spark, sf_dir, "events")
+    lab = e.select(
+        F.when(F.col("event_type").isin("purchase", "click"), 1)
+        .otherwise(0)
+        .alias("treated"),
+        F.when(F.col("ts").cast("date") >= F.lit("2024-01-16").cast("date"), 1)
+        .otherwise(0)
+        .alias("post"),
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("bigint")
+        .alias("xq"),
+    )
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    cells = lab.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xq").cast("bigint").alias("s"),
+        as_d(
+            F.sum(F.col("xq").cast("decimal(19,0)") * F.col("xq")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("q"),
+    )
+    mean_ = F.col("s").cast("double") / F.col("n")
+    pick = lambda t, p, col: F.max(  # noqa: E731
+        F.when((F.col("treated") == t) & (F.col("post") == p), col)
+    )
+    wide = cells.agg(
+        pick(1, 1, mean_).alias("t1"),
+        pick(1, 0, mean_).alias("t0"),
+        pick(0, 1, mean_).alias("c1"),
+        pick(0, 0, mean_).alias("c0"),
+        pick(1, 1, F.col("n")).alias("n_t1"),
+        pick(1, 0, F.col("n")).alias("n_t0"),
+        pick(0, 1, F.col("n")).alias("n_c1"),
+        pick(0, 0, F.col("n")).alias("n_c0"),
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "treated",
+                        "post",
+                        (
+                            F.col("q")
+                            - F.col("s").cast("double") * F.col("s") / F.col("n")
+                        ).alias("ss"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["ss"],
+        ).alias("ss_within"),
+    )
+    did = (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0"))
+    return wide.select(
+        "n_all",
+        "n_t1",
+        "n_t0",
+        "n_c1",
+        "n_c0",
+        ((F.col("t1") - F.col("t0")) / F.lit(1e6)).alias("treated_delta"),
+        ((F.col("c1") - F.col("c0")) / F.lit(1e6)).alias("control_delta"),
+        (did / F.lit(1e6)).alias("did_estimate"),
+        (
+            F.sqrt(
+                F.col("ss_within")
+                / (F.col("n_all") - 4).cast("double")
+                * (
+                    F.lit(1.0) / F.col("n_t1")
+                    + F.lit(1.0) / F.col("n_t0")
+                    + F.lit(1.0) / F.col("n_c1")
+                    + F.lit(1.0) / F.col("n_c0")
+                )
+            )
+            / F.lit(1e6)
+        ).alias("did_se"),
+    )

@@ -1680,3 +1680,28 @@ def test_geo_grid_knn_matches_brute_force(spark):
         assert len(rows) == len(cands)
         for (rnk, cid, d2), (ed2, eid) in zip(rows, cands):
             assert (cid, d2) == (eid, ed2)
+
+
+def test_diff_in_diff_matches_numpy(spark):
+    row = plans.get("stat_diff_in_diff").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT event_type, CAST(ts AS DATE) >= DATE '2024-01-16',"
+        " CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+        f" FROM read_parquet('{SF}/events.parquet')"
+    )
+    cells = {}
+    for et, post, xq in rows:
+        key = (1 if et in ("purchase", "click") else 0, 1 if post else 0)
+        cells.setdefault(key, []).append(xq)
+    m = {k: np.mean(v) for k, v in cells.items()}
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    n_all = sum(len(v) for v in cells.values())
+    ssw = sum(float(((np.array(v) - np.mean(v)) ** 2).sum()) for v in cells.values())
+    se = math.sqrt(
+        ssw / (n_all - 4) * sum(1 / len(cells[k]) for k in cells)
+    )
+    assert row["n_all"] == n_all
+    assert row["did_estimate"] == pytest.approx(did / 1e6, rel=1e-9)
+    assert row["treated_delta"] == pytest.approx((m[(1, 1)] - m[(1, 0)]) / 1e6, rel=1e-9)
+    assert row["control_delta"] == pytest.approx((m[(0, 1)] - m[(0, 0)]) / 1e6, rel=1e-9)
+    assert row["did_se"] == pytest.approx(se / 1e6, rel=1e-9)
