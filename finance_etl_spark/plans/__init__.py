@@ -88,7 +88,16 @@ front_queries(
     # leftovers (mixture, epoch, e2e prep, perplexity batch, novelty,
     # zipf, recall eval, rouge, skew/file-layout), scalar_deterministic
     # _uuid, mm_video_scene_cut, udf_window_grouped_agg, subquery/set/
-    # q14/q16/window leftovers — that closes the full registry.
+    # q14/q16/window leftovers — then rotate in the ~60 round-9
+    # additions (stat kendall/kruskal/chi2gof/bh_fdr/partial/effect/
+    # did, ts ljung/bollinger/sax/stl/retention/viterbi/cusum/peaks/
+    # hurst/mase/attribution, graph clustering/adamic/hits, fin
+    # sharpe/bond/ecl/woe/velocity, agg_bloom_portable, text c4/
+    # kneser_ney, ml adaboost/item_cf/shapley/conformal/class_weights,
+    # vec_kmeans_unrolled2, text_tokenizer_fertility (promoted),
+    # cur_rejection_sample_md5, geo_grid_knn_join, dq_rule_engine,
+    # stream_live_cusum_alarm) over rounds 10-11 to close the
+    # registry.
     [
         "ml_cohen_kappa", "ml_mcc_binary", "ml_pr_auc", "ml_ndcg_at_k",
         "ml_lift_gains_table", "ml_psi_drift",
