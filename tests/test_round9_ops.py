@@ -1705,3 +1705,68 @@ def test_diff_in_diff_matches_numpy(spark):
     assert row["treated_delta"] == pytest.approx((m[(1, 1)] - m[(1, 0)]) / 1e6, rel=1e-9)
     assert row["control_delta"] == pytest.approx((m[(0, 1)] - m[(0, 0)]) / 1e6, rel=1e-9)
     assert row["did_se"] == pytest.approx(se / 1e6, rel=1e-9)
+
+
+def test_cuped_matches_numpy(spark):
+    import hashlib
+
+    row = plans.get("ml_ab_cuped").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT o_custkey,"
+        " SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'"
+        "     THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))*100 AS BIGINT)"
+        "     ELSE 0 END),"
+        " SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'"
+        "     THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))*100 AS BIGINT)"
+        "     ELSE 0 END)"
+        f" FROM read_parquet('{SF}/orders.parquet') GROUP BY 1 ORDER BY 1"
+    )
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    y = np.array([r[2] for r in rows], dtype=np.float64)
+    n = len(x)
+    cxy = ((x - x.mean()) * (y - y.mean())).sum()
+    cxx = ((x - x.mean()) ** 2).sum()
+    cyy = ((y - y.mean()) ** 2).sum()
+    th = cxy / cxx
+    assert row["n"] == n
+    assert row["theta"] == pytest.approx(th, rel=1e-9)
+    assert row["var_y"] == pytest.approx(cyy / (n - 1) / 1e4, rel=1e-9)
+    assert row["var_cuped"] == pytest.approx(
+        (cyy - cxy * cxy / cxx) / (n - 1) / 1e4, rel=1e-9
+    )
+    assert row["var_reduction"] == pytest.approx(cxy**2 / (cxx * cyy), rel=1e-9)
+    # adjusted means per md5 arm
+    adj = y - th * (x - x.mean())
+    arms = np.array(
+        [
+            int(hashlib.md5(f"arm:{r[0]}".encode()).hexdigest()[:15], 16) % 2
+            for r in rows
+        ]
+    )
+    assert row["adj_mean_treat"] == pytest.approx(adj[arms == 1].mean() / 100, rel=1e-9)
+    assert row["adj_mean_control"] == pytest.approx(adj[arms == 0].mean() / 100, rel=1e-9)
+
+
+def test_spc_rules_match_pure_python(spark, daily_series):
+    got = {}
+    for r in plans.get("dq_spc_western_electric").build(spark, SF).collect():
+        got.setdefault(r["event_type"], []).append(r)
+    for et, x in daily_series.items():
+        mu, sd = x.mean(), x.std()
+        z = (x - mu) / sd
+        side = np.where(z > 0, 1, -1)
+        rows = got[et]
+        assert len(rows) == len(x)
+        run = 0
+        prev = 0
+        for i, r in enumerate(rows):
+            assert r["z"] == pytest.approx(z[i], rel=1e-9)
+            assert r["rule1"] == (abs(z[i]) > 3)
+            lo = max(0, i - 2)
+            assert r["rule2"] == (
+                (z[lo : i + 1] > 2).sum() >= 2 or (z[lo : i + 1] < -2).sum() >= 2
+            )
+            run = run + 1 if side[i] == prev else 1
+            prev = side[i]
+            assert r["rule8"] == (run >= 8)
+            assert r["alarm"] == (r["rule1"] or r["rule2"] or r["rule8"])
