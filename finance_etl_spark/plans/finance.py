@@ -2141,3 +2141,101 @@ def fin_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("max_velocity").desc(), "custkey")
     )
+
+
+@register(
+    "fin_vwap_benchmark",
+    tags=("finance", "agg"),
+    oracle="""
+        WITH fills AS (
+            SELECT l_partkey AS part,
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS notional_cents,
+                   CAST(l_quantity AS BIGINT) AS qty,
+                   l_orderkey, l_linenumber
+            FROM lineitem
+        ),
+        vwap AS (
+            SELECT part,
+                   CAST(COUNT(*) AS BIGINT) AS n_fills,
+                   CAST(SUM(qty) AS BIGINT) AS total_qty,
+                   CAST(SUM(notional_cents) AS BIGINT) AS total_notional,
+                   CAST(SUM(notional_cents) AS DOUBLE)
+                     / CAST(SUM(qty) AS DOUBLE) AS vwap_cents
+            FROM fills GROUP BY part
+        ),
+        top AS (
+            SELECT * FROM vwap
+            ORDER BY total_notional DESC, part LIMIT 25
+        ),
+        shortfall AS (
+            SELECT t.part, t.n_fills, t.total_qty, t.vwap_cents,
+                   CAST(SUM(CASE WHEN CAST(f.notional_cents AS DOUBLE)
+                                      / f.qty > t.vwap_cents
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_above_vwap
+            FROM top t JOIN fills f ON f.part = t.part
+            GROUP BY t.part, t.n_fills, t.total_qty, t.vwap_cents
+        )
+        SELECT part, n_fills, total_qty,
+               vwap_cents / 100 AS vwap,
+               n_above_vwap,
+               CAST(n_above_vwap AS DOUBLE) / CAST(n_fills AS DOUBLE)
+                   AS frac_above_vwap
+        FROM shortfall
+        ORDER BY part
+    """,
+)
+def fin_vwap_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per instrument (part) and the
+    execution-quality census against it: VWAP = Σ notional / Σ qty
+    from EXACT integer cents and quantities (one double division),
+    then for the 25 highest-notional parts, the fraction of fills
+    executed above their VWAP — each fill's unit price and the
+    comparison are shared double expressions over exact integers. Two
+    map-side-combining aggregations; the benchmark join broadcasts
+    the 25-row top relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fills = li.select(
+        F.col("l_partkey").alias("part"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("notional_cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    vwap = fills.groupBy("part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fills"),
+        F.sum("qty").cast("bigint").alias("total_qty"),
+        F.sum("notional_cents").cast("bigint").alias("total_notional"),
+        (
+            F.sum("notional_cents").cast("double") / F.sum("qty").cast("double")
+        ).alias("vwap_cents"),
+    )
+    top = vwap.orderBy(F.col("total_notional").desc(), "part").limit(25)
+    tj = top.select(
+        F.col("part").alias("tpart"), "n_fills", "total_qty", "vwap_cents"
+    )
+    shortfall = (
+        fills.join(F.broadcast(tj), F.col("part") == F.col("tpart"))
+        .groupBy("part", "n_fills", "total_qty", "vwap_cents")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("notional_cents").cast("double") / F.col("qty")
+                    > F.col("vwap_cents"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_above_vwap")
+        )
+    )
+    return shortfall.select(
+        "part",
+        "n_fills",
+        "total_qty",
+        (F.col("vwap_cents") / F.lit(100.0)).alias("vwap"),
+        "n_above_vwap",
+        (
+            F.col("n_above_vwap").cast("double") / F.col("n_fills").cast("double")
+        ).alias("frac_above_vwap"),
+    ).orderBy("part")

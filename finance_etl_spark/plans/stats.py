@@ -2615,3 +2615,93 @@ def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("did_se"),
     )
+
+
+@register(
+    "stat_ratio_delta_method",
+    tags=("stats", "agg"),
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM orders GROUP BY o_custkey
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(n_orders) AS BIGINT) AS sx,
+                   CAST(SUM(rev_cents) AS BIGINT) AS sy,
+                   CAST(CAST(SUM(CAST(n_orders AS DECIMAL(19,0)) * n_orders)
+                        AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(n_orders AS DECIMAL(19,0)) * rev_cents)
+                        AS VARCHAR) AS DOUBLE) AS sxy,
+                   CAST(CAST(SUM(CAST(rev_cents AS DECIMAL(19,0)) * rev_cents)
+                        AS VARCHAR) AS DOUBLE) AS syy
+            FROM per_cust
+        )
+        SELECT n,
+               CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) / 100
+                   AS revenue_per_order,
+               sqrt(
+                   ((syy - CAST(sy AS DOUBLE) * sy / n) / (n - 1)
+                    + (CAST(sy AS DOUBLE) / sx) * (CAST(sy AS DOUBLE) / sx)
+                      * (sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1)
+                    - 2 * (CAST(sy AS DOUBLE) / sx)
+                      * (sxy - CAST(sx AS DOUBLE) * sy / n) / (n - 1))
+                   / n
+               ) / (CAST(sx AS DOUBLE) / n) / 100 AS se_delta_method
+        FROM s
+    """,
+)
+def stat_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for a ratio-of-sums metric (revenue
+    per order, unit of analysis = customer — the
+    ratio-metric-with-clustered-denominator every experimentation
+    platform must get right, because orders within a customer are not
+    independent): SE = sqrt((var_y + R² var_x − 2R cov)/n)/mean_x with
+    every moment from ONE scan's exact integer sufficient statistics.
+    The naive per-order SE understates uncertainty; this is the
+    correct cluster-aware readout, closed-form."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+    )
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    s = per_cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_orders").cast("bigint").alias("sx"),
+        F.sum("rev_cents").cast("bigint").alias("sy"),
+        as_d(
+            F.sum(F.col("n_orders").cast("decimal(19,0)") * F.col("n_orders")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sxx"),
+        as_d(
+            F.sum(F.col("n_orders").cast("decimal(19,0)") * F.col("rev_cents")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sxy"),
+        as_d(
+            F.sum(F.col("rev_cents").cast("decimal(19,0)") * F.col("rev_cents")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("syy"),
+    )
+    nd_ = F.col("n").cast("double")
+    R = F.col("sy").cast("double") / F.col("sx").cast("double")
+    var_y = (F.col("syy") - F.col("sy").cast("double") * F.col("sy") / nd_) / (nd_ - 1)
+    var_x = (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / nd_) / (nd_ - 1)
+    cov = (F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / nd_) / (nd_ - 1)
+    return s.select(
+        "n",
+        (R / F.lit(100.0)).alias("revenue_per_order"),
+        (
+            F.sqrt((var_y + R * R * var_x - 2 * R * cov) / nd_)
+            / (F.col("sx").cast("double") / nd_)
+            / F.lit(100.0)
+        ).alias("se_delta_method"),
+    )

@@ -1770,3 +1770,47 @@ def test_spc_rules_match_pure_python(spark, daily_series):
             prev = side[i]
             assert r["rule8"] == (run >= 8)
             assert r["alarm"] == (r["rule1"] or r["rule2"] or r["rule8"])
+
+
+def test_vwap_benchmark_matches_pure_python(spark):
+    got = {r["part"]: r for r in plans.get("fin_vwap_benchmark").build(spark, SF).collect()}
+    rows = _fetch(
+        "SELECT l_partkey,"
+        " CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT),"
+        " CAST(l_quantity AS BIGINT)"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    agg = {}
+    for p, nc, q in rows:
+        n, tq, tn = agg.get(p, (0, 0, 0))
+        agg[p] = (n + 1, tq + q, tn + nc)
+    top = sorted(agg.items(), key=lambda kv: (-kv[1][2], kv[0]))[:25]
+    assert set(got) == {p for p, _ in top}
+    for p, (n, tq, tn) in top:
+        vwap_c = tn / tq
+        above = sum(1 for pp, nc, q in rows if pp == p and nc / q > vwap_c)
+        r = got[p]
+        assert (r["n_fills"], r["total_qty"]) == (n, tq)
+        assert r["vwap"] == pytest.approx(vwap_c / 100, rel=1e-12)
+        assert r["n_above_vwap"] == above
+        assert r["frac_above_vwap"] == pytest.approx(above / n, rel=1e-12)
+
+
+def test_ratio_delta_method_matches_numpy(spark):
+    row = plans.get("stat_ratio_delta_method").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT o_custkey, COUNT(*),"
+        " SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
+        f" FROM read_parquet('{SF}/orders.parquet') GROUP BY 1"
+    )
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    y = np.array([r[2] for r in rows], dtype=np.float64)
+    n = len(x)
+    R = y.sum() / x.sum()
+    var_y = y.var(ddof=1)
+    var_x = x.var(ddof=1)
+    cov = float(((x - x.mean()) * (y - y.mean())).sum() / (n - 1))
+    se = math.sqrt((var_y + R * R * var_x - 2 * R * cov) / n) / x.mean()
+    assert row["n"] == n
+    assert row["revenue_per_order"] == pytest.approx(R / 100, rel=1e-9)
+    assert row["se_delta_method"] == pytest.approx(se / 100, rel=1e-9)
