@@ -1730,14 +1730,18 @@ def fin_black_scholes_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))) / 1e9
                    AS vol,
                sqrt(sdd / CAST(n AS DOUBLE)) / 1e9 AS downside_vol,
+               CASE WHEN srr / CAST(n AS DOUBLE)
+                       - (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)) > 0 THEN
                (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
                  / sqrt(srr / CAST(n AS DOUBLE)
                         - (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
                           * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)))
-                 * sqrt(CAST(252 AS DOUBLE)) AS sharpe_ann,
+                 * sqrt(CAST(252 AS DOUBLE)) END AS sharpe_ann,
+               CASE WHEN sdd > 0 THEN
                (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
                  / sqrt(sdd / CAST(n AS DOUBLE))
-                 * sqrt(CAST(252 AS DOUBLE)) AS sortino_ann
+                 * sqrt(CAST(252 AS DOUBLE)) END AS sortino_ann
         FROM s ORDER BY segment
     """,
 )
@@ -1809,8 +1813,12 @@ def fin_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mean / F.lit(1e9)).alias("mean_ret"),
         (F.sqrt(var) / F.lit(1e9)).alias("vol"),
         (dvol / F.lit(1e9)).alias("downside_vol"),
-        (mean / F.sqrt(var) * F.sqrt(F.lit(252.0))).alias("sharpe_ann"),
-        (mean / dvol * F.sqrt(F.lit(252.0))).alias("sortino_ann"),
+        F.when(var > 0, mean / F.sqrt(var) * F.sqrt(F.lit(252.0))).alias(
+            "sharpe_ann"
+        ),
+        F.when(
+            F.col("sdd") > 0, mean / dvol * F.sqrt(F.lit(252.0))
+        ).alias("sortino_ann"),
     ).orderBy("segment")
 
 
@@ -1997,14 +2005,16 @@ def fin_ecl_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT p.bin, p.n_good, p.n_bad,
                    CAST(p.n_good AS DOUBLE) / CAST(t.g AS DOUBLE) AS dg,
                    CAST(p.n_bad AS DOUBLE) / CAST(t.b AS DOUBLE) AS db,
+                   CASE WHEN p.n_good > 0 AND p.n_bad > 0 THEN
                    ln((CAST(p.n_good AS DOUBLE) / CAST(t.g AS DOUBLE))
-                      / (CAST(p.n_bad AS DOUBLE) / CAST(t.b AS DOUBLE)))
+                      / (CAST(p.n_bad AS DOUBLE) / CAST(t.b AS DOUBLE))) END
                        AS woe
             FROM per p CROSS JOIN tot t
         ),
         iv AS (
             SELECT list_reduce(
-                       list((dg - db) * woe ORDER BY bin),
+                       list((dg - db) * woe ORDER BY bin)
+                           FILTER (WHERE woe IS NOT NULL),
                        (acc, x) -> acc + x) AS iv_total
             FROM woe
         )
@@ -2044,9 +2054,11 @@ def fin_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bad",
         dg.alias("dg"),
         db.alias("db"),
-        F.log(dg / db).alias("woe"),
+        F.when(
+            (F.col("n_good") > 0) & (F.col("n_bad") > 0), F.log(dg / db)
+        ).alias("woe"),
     )
-    iv = woe.agg(
+    iv = woe.filter(F.col("woe").isNotNull()).agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("bin", ((F.col("dg") - F.col("db")) * F.col("woe")).alias("term")))),
             F.lit(0.0),

@@ -4629,8 +4629,10 @@ def ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         theta AS (
             SELECT n, sx, sy, sxx, sxy, syy,
-                   (sxy - CAST(sx AS DOUBLE) * sy / n)
-                     / (sxx - CAST(sx AS DOUBLE) * sx / n) AS th
+                   CASE WHEN sxx - CAST(sx AS DOUBLE) * sx / n > 0 THEN
+                       (sxy - CAST(sx AS DOUBLE) * sy / n)
+                         / (sxx - CAST(sx AS DOUBLE) * sx / n)
+                   ELSE CAST(0 AS DOUBLE) END AS th
             FROM s
         ),
         arms AS (
@@ -4650,15 +4652,18 @@ def ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                t.th AS theta,
                (t.syy - CAST(t.sy AS DOUBLE) * t.sy / t.n) / (t.n - 1)
                  / 1e4 AS var_y,
+               CASE WHEN t.sxx - CAST(t.sx AS DOUBLE) * t.sx / t.n > 0 THEN
                ((t.syy - CAST(t.sy AS DOUBLE) * t.sy / t.n)
                 - (t.sxy - CAST(t.sx AS DOUBLE) * t.sy / t.n)
                   * (t.sxy - CAST(t.sx AS DOUBLE) * t.sy / t.n)
                   / (t.sxx - CAST(t.sx AS DOUBLE) * t.sx / t.n))
-                 / (t.n - 1) / 1e4 AS var_cuped,
+                 / (t.n - 1) / 1e4 END AS var_cuped,
+               CASE WHEN (t.sxx - CAST(t.sx AS DOUBLE) * t.sx / t.n)
+                       * (t.syy - CAST(t.sy AS DOUBLE) * t.sy / t.n) > 0 THEN
                (t.sxy - CAST(t.sx AS DOUBLE) * t.sy / t.n)
                  * (t.sxy - CAST(t.sx AS DOUBLE) * t.sy / t.n)
                  / ((t.sxx - CAST(t.sx AS DOUBLE) * t.sx / t.n)
-                    * (t.syy - CAST(t.sy AS DOUBLE) * t.sy / t.n))
+                    * (t.syy - CAST(t.sy AS DOUBLE) * t.sy / t.n)) END
                    AS var_reduction,
                MAX(CASE WHEN a.arm = 1 THEN a.s_adj / a.n_arm END) / 100
                    AS adj_mean_treat,
@@ -4710,7 +4715,9 @@ def ml_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     cxy = F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / nd_
     cxx = F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / nd_
     cyy = F.col("syy") - F.col("sy").cast("double") * F.col("sy") / nd_
-    theta = s.withColumn("th", cxy / cxx)
+    theta = s.withColumn(
+        "th", F.when(cxx > 0, cxy / cxx).otherwise(F.lit(0.0))
+    )
     adj = (
         per_cust.crossJoin(F.broadcast(theta.select("n", "sx", "th")))
         .select(
@@ -4745,8 +4752,12 @@ def ml_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             F.col("th").alias("theta"),
             (cyy / (nd_ - 1) / F.lit(1e4)).alias("var_y"),
-            ((cyy - cxy * cxy / cxx) / (nd_ - 1) / F.lit(1e4)).alias("var_cuped"),
-            (cxy * cxy / (cxx * cyy)).alias("var_reduction"),
+            F.when(
+                cxx > 0, (cyy - cxy * cxy / cxx) / (nd_ - 1) / F.lit(1e4)
+            ).alias("var_cuped"),
+            F.when(cxx * cyy > 0, cxy * cxy / (cxx * cyy)).alias(
+                "var_reduction"
+            ),
             (F.col("am_t") / F.lit(100.0)).alias("adj_mean_treat"),
             (F.col("am_c") / F.lit(100.0)).alias("adj_mean_control"),
         )

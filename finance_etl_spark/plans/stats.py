@@ -1728,7 +1728,11 @@ def stat_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS ties_x,
                CAST(CAST(td.t2 AS VARCHAR) AS DOUBLE) / CAST(2 AS DOUBLE)
                    AS ties_y,
-               (CAST(CAST(p.nc AS VARCHAR) AS DOUBLE)
+               CASE WHEN m.n * (m.n - 1) / 2
+                         > CAST(CAST(tq.t2 AS VARCHAR) AS DOUBLE) / 2
+                     AND m.n * (m.n - 1) / 2
+                         > CAST(CAST(td.t2 AS VARCHAR) AS DOUBLE) / 2
+               THEN (CAST(CAST(p.nc AS VARCHAR) AS DOUBLE)
                 - CAST(CAST(p.nd AS VARCHAR) AS DOUBLE))
                / sqrt(
                    (CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE)
@@ -1739,7 +1743,7 @@ def stat_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
                         - CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE)
                     - CAST(CAST(td.t2 AS VARCHAR) AS DOUBLE)
                         / CAST(2 AS DOUBLE))
-               ) AS tau_b
+               ) END AS tau_b
         FROM pairs p, marg m, tq, td
     """,
 )
@@ -1820,12 +1824,13 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_d("nd").alias("n_discordant"),
         (as_d("t2q") / F.lit(2.0)).alias("ties_x"),
         (as_d("t2d") / F.lit(2.0)).alias("ties_y"),
-        (
+        F.when(
+            (n0 > as_d("t2q") / F.lit(2.0)) & (n0 > as_d("t2d") / F.lit(2.0)),
             (as_d("nc") - as_d("nd"))
             / F.sqrt(
                 (n0 - as_d("t2q") / F.lit(2.0))
                 * (n0 - as_d("t2d") / F.lit(2.0))
-            )
+            ),
         ).alias("tau_b"),
     )
 
@@ -1888,12 +1893,15 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(1 AS DOUBLE) - ties.t3
                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                     - CAST(n AS DOUBLE)) AS tie_correction,
+               CASE WHEN CAST(1 AS DOUBLE) - ties.t3
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    - CAST(n AS DOUBLE)) > 0 THEN
                (CAST(12 AS DOUBLE)
                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)) * t_sum
                  - CAST(3 AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
                / (CAST(1 AS DOUBLE) - ties.t3
                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                    - CAST(n AS DOUBLE))) AS h_corrected
+                    - CAST(n AS DOUBLE))) END AS h_corrected
         FROM red, ties
     """,
 )
@@ -1965,7 +1973,7 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         h.alias("h_stat"),
         corr.alias("tie_correction"),
-        (h / corr).alias("h_corrected"),
+        F.when(corr > 0, h / corr).alias("h_corrected"),
     )
 
 
@@ -2268,7 +2276,9 @@ def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM s
         )
         SELECT n, rxy, rxz, ryz,
-               (rxy - rxz*ryz) / (sqrt(1 - rxz*rxz) * sqrt(1 - ryz*ryz))
+               CASE WHEN 1 - rxz*rxz > 0 AND 1 - ryz*ryz > 0 THEN
+                   (rxy - rxz*ryz)
+                   / (sqrt(1 - rxz*rxz) * sqrt(1 - ryz*ryz)) END
                    AS partial_rxy_given_z
         FROM r
     """,
@@ -2318,12 +2328,14 @@ def stat_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rxy",
         "rxz",
         "ryz",
-        (
+        F.when(
+            (1 - F.col("rxz") * F.col("rxz") > 0)
+            & (1 - F.col("ryz") * F.col("ryz") > 0),
             (F.col("rxy") - F.col("rxz") * F.col("ryz"))
             / (
                 F.sqrt(1 - F.col("rxz") * F.col("rxz"))
                 * F.sqrt(1 - F.col("ryz") * F.col("ryz"))
-            )
+            ),
         ).alias("partial_rxy_given_z"),
     )
 
@@ -2376,17 +2388,21 @@ def stat_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT w.n1, w.n2,
                (CAST(w.s1 AS DOUBLE) / w.n1 - CAST(w.s2 AS DOUBLE) / w.n2)
                  / 100 AS mean_diff,
+               CASE WHEN (w.q1 - CAST(w.s1 AS DOUBLE) * w.s1 / w.n1)
+                       + (w.q2 - CAST(w.s2 AS DOUBLE) * w.s2 / w.n2) > 0 THEN
                ((CAST(w.s1 AS DOUBLE) / w.n1 - CAST(w.s2 AS DOUBLE) / w.n2)
                 / sqrt(((w.q1 - CAST(w.s1 AS DOUBLE) * w.s1 / w.n1)
                         + (w.q2 - CAST(w.s2 AS DOUBLE) * w.s2 / w.n2))
-                       / CAST(w.n1 + w.n2 - 2 AS DOUBLE))) AS cohens_d,
+                       / CAST(w.n1 + w.n2 - 2 AS DOUBLE))) END AS cohens_d,
+               CASE WHEN (w.q1 - CAST(w.s1 AS DOUBLE) * w.s1 / w.n1)
+                       + (w.q2 - CAST(w.s2 AS DOUBLE) * w.s2 / w.n2) > 0 THEN
                ((CAST(w.s1 AS DOUBLE) / w.n1 - CAST(w.s2 AS DOUBLE) / w.n2)
                 / sqrt(((w.q1 - CAST(w.s1 AS DOUBLE) * w.s1 / w.n1)
                         + (w.q2 - CAST(w.s2 AS DOUBLE) * w.s2 / w.n2))
                        / CAST(w.n1 + w.n2 - 2 AS DOUBLE)))
                  * (CAST(1 AS DOUBLE)
                     - CAST(3 AS DOUBLE)
-                      / (CAST(4 AS DOUBLE) * (w.n1 + w.n2) - 9))
+                      / (CAST(4 AS DOUBLE) * (w.n1 + w.n2) - 9)) END
                    AS hedges_g,
                (CAST(CAST(p.n_gt AS VARCHAR) AS DOUBLE)
                 - CAST(CAST(p.n_lt AS VARCHAR) AS DOUBLE))
@@ -2467,12 +2483,16 @@ def stat_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = F.lit(1.0) - F.lit(3.0) / (
         F.lit(4.0) * (F.col("n1") + F.col("n2")).cast("double") - 9
     )
+    ss_pos = (
+        (F.col("q1") - F.col("s1").cast("double") * F.col("s1") / n1d)
+        + (F.col("q2") - F.col("s2").cast("double") * F.col("s2") / n2d)
+    ) > 0
     return wide.crossJoin(F.broadcast(pairs)).select(
         "n1",
         "n2",
         (mdiff / F.lit(100.0)).alias("mean_diff"),
-        d_.alias("cohens_d"),
-        (d_ * corr).alias("hedges_g"),
+        F.when(ss_pos, d_).alias("cohens_d"),
+        F.when(ss_pos, d_ * corr).alias("hedges_g"),
         ((as_d(F.col("n_gt")) - as_d(F.col("n_lt"))) / (n1d * n2d)).alias(
             "cliffs_delta"
         ),

@@ -4683,8 +4683,9 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(se AS DOUBLE) / CAST(n_f AS DOUBLE) / 1e6
                    AS seasonal_mae,
                CAST(sd AS DOUBLE) / CAST(n_d AS DOUBLE) / 1e6 AS naive_mae,
-               (CAST(se AS DOUBLE) / CAST(n_f AS DOUBLE))
-                 / (CAST(sd AS DOUBLE) / CAST(n_d AS DOUBLE)) AS mase,
+               CASE WHEN sd > 0 THEN
+                   (CAST(se AS DOUBLE) / CAST(n_f AS DOUBLE))
+                 / (CAST(sd AS DOUBLE) / CAST(n_d AS DOUBLE)) END AS mase,
                CAST(smape_q9_sum AS DOUBLE) / CAST(n_f AS DOUBLE) / 1e9
                    AS smape
         FROM err ORDER BY event_type
@@ -4758,9 +4759,10 @@ def ts_forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_f",
         (F.col("se").cast("double") / nf / F.lit(1e6)).alias("seasonal_mae"),
         (F.col("sd").cast("double") / nd_ / F.lit(1e6)).alias("naive_mae"),
-        (
+        F.when(
+            F.col("sd") > 0,
             (F.col("se").cast("double") / nf)
-            / (F.col("sd").cast("double") / nd_)
+            / (F.col("sd").cast("double") / nd_),
         ).alias("mase"),
         (F.col("smape_q9_sum").cast("double") / nf / F.lit(1e9)).alias("smape"),
     ).orderBy("event_type")
