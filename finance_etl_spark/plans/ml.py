@@ -4441,10 +4441,11 @@ def ml_conformal_ols_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics, score the odd fold's ABSOLUTE residuals (one shared
     double expression, immediately floor-quantized to q6 BIGINTs),
     and take q_hat as the ceil(0.9(n+1))-th order statistic via the
-    distinct-value cumulative — the scale-safe selection the repo uses
-    everywhere instead of a global sort (the rank window runs over
-    DISTINCT quantized residuals with a bucketable shuffle, never the
-    corpus in one task). Coverage is an exact integer census. This is
+    TWO-LEVEL bucket+carry cumulative (_midranks2 shape): within-
+    bucket windows partition by a value-range-bounded bucket key and
+    the carry is O(buckets), so no corpus-scale relation ever crosses
+    one task — distinct quantized residuals scale with the corpus, a
+    flat ORDER BY window over them would not survive 100x. Coverage is an exact integer census. This is
     the distribution-free uncertainty wrapper modern ML pipelines
     bolt onto any regressor."""
     from pyspark.sql import Window
@@ -4488,13 +4489,43 @@ def ml_conformal_ols_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r_q6")
         )
     )
-    dist = cal.groupBy("r_q6").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    wc = Window.orderBy("r_q6").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    cum = dist.select(
-        "r_q6",
-        F.sum("c").over(wc).cast("bigint").alias("cum_c"),
-        F.sum("c").over(wall).cast("bigint").alias("n_cal"),
+    # two-level cumulative (the _midranks2 / ranks.py shape): the
+    # distinct-residual relation scales with the corpus, so a single
+    # unpartitioned ORDER BY r_q6 window would funnel it through one
+    # task at 100x. Buckets are value-range-bounded; within-bucket
+    # windows partition by bucket; the carry is O(buckets).
+    dist = (
+        cal.groupBy("r_q6")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("bkt", F.floor(F.col("r_q6") / F.lit(1000000)).cast("long"))
+        .persist()
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("r_q6")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = dist.select(
+        "bkt", "r_q6", F.sum("c").over(w_in).alias("wc_")
+    )
+    w_carry = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        dist.groupBy("bkt")
+        .agg(F.sum("c").alias("tb"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("tb").over(w_carry), F.lit(0)).alias("cb"),
+        )
+    )
+    n_cal_rel = dist.agg(F.sum("c").cast("bigint").alias("n_cal"))
+    cum = (
+        within.join(F.broadcast(carry), "bkt")
+        .crossJoin(F.broadcast(n_cal_rel))
+        .select(
+            "r_q6",
+            (F.col("wc_") + F.col("cb")).cast("bigint").alias("cum_c"),
+            "n_cal",
+        )
     )
     q = (
         cum.filter(

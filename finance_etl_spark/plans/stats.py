@@ -2445,27 +2445,20 @@ def stat_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0, "sx").alias("s2"),
         pick(0, "sxx").alias("q2"),
     )
-    cells = lab.groupBy("xc", "grp").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    a = cells.filter(F.col("grp") == 1).select(
-        F.col("xc").alias("xa"), F.col("c").alias("ca")
-    )
-    b = cells.filter(F.col("grp") == 0).select(
-        F.col("xc").alias("xb"), F.col("c").alias("cb")
-    )
+    # dominance pair counts WITHOUT the |cells_1| x |cells_0| join:
+    # money is near-continuous, so the cell relation scales with the
+    # corpus and a cell cross join is quadratic at 100x. The pooled
+    # bucket+carry cumulative (the KS/Mann-Whitney machinery) gives
+    # n_gt = sum_v a_v * (#b strictly below v) and n_lt its mirror in
+    # one scale-safe pass — exact DECIMAL(38,0) throughout.
+    cum = _pooled_cumulative(_two_sample(spark, sf_dir))
+    btot = cum.agg(F.sum("b").cast("bigint").alias("btot"))
     dec = "decimal(38,0)"
-    pairs = a.crossJoin(b).agg(
-        F.sum(
-            F.when(
-                F.col("xa") > F.col("xb"), F.col("ca").cast(dec) * F.col("cb")
-            ).otherwise(F.lit(0).cast(dec))
-        )
+    pairs = cum.crossJoin(F.broadcast(btot)).agg(
+        F.sum(F.col("a").cast(dec) * (F.col("cum_b") - F.col("b")))
         .cast(dec)
         .alias("n_gt"),
-        F.sum(
-            F.when(
-                F.col("xa") < F.col("xb"), F.col("ca").cast(dec) * F.col("cb")
-            ).otherwise(F.lit(0).cast(dec))
-        )
+        F.sum(F.col("a").cast(dec) * (F.col("btot") - F.col("cum_b")))
         .cast(dec)
         .alias("n_lt"),
     )
