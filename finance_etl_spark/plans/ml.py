@@ -4670,14 +4670,16 @@ def ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT p.arm,
                    CAST(COUNT(*) AS BIGINT) AS n_arm,
                    CAST(SUM(p.y) AS BIGINT) AS sy_arm,
-                   list_reduce(
-                       list(CAST(p.y AS DOUBLE)
-                            - t.th * (CAST(p.x AS DOUBLE)
-                                      - CAST(t.sx AS DOUBLE) / t.n)
-                            ORDER BY p.cust),
-                       (a, v) -> a + v) AS s_adj
-            FROM per_cust p CROSS JOIN theta t
-            GROUP BY p.arm
+                   CAST(SUM(p.x) AS BIGINT) AS sx_arm
+            FROM per_cust p GROUP BY p.arm
+        ),
+        adj AS (
+            SELECT a.arm, a.n_arm,
+                   CAST(a.sy_arm AS DOUBLE)
+                     - t.th * (CAST(a.sx_arm AS DOUBLE)
+                               - CAST(a.n_arm AS DOUBLE)
+                                 * CAST(t.sx AS DOUBLE) / t.n) AS s_adj
+            FROM arms a CROSS JOIN theta t
         )
         SELECT t.n,
                t.th AS theta,
@@ -4700,7 +4702,7 @@ def ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS adj_mean_treat,
                MAX(CASE WHEN a.arm = 0 THEN a.s_adj / a.n_arm END) / 100
                    AS adj_mean_control
-        FROM theta t CROSS JOIN arms a
+        FROM theta t CROSS JOIN adj a
         GROUP BY t.n, t.th, t.sx, t.sy, t.sxx, t.sxy, t.syy
     """,
 )
@@ -4710,8 +4712,10 @@ def ml_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric, md5-parity arms. theta = cov(X,Y)/var(X) and both
     variances come from ONE scan's exact integer sufficient statistics
     (the variance-reduction ratio is exactly the squared correlation —
-    reported from the same sums); per-arm CUPED-adjusted means fold
-    the per-customer adjusted doubles in pinned cust order. This is
+    reported from the same sums); per-arm CUPED-adjusted means use
+    the algebraic identity sum_adj = sum_y - theta*(sum_x - n*mu_x)
+    over exact per-arm integer sums — a per-customer double fold would
+    need a corpus-scale collect, the identity needs two BIGINTs. This is
     the standard pre-experiment-data trick that makes experiment
     readouts converge ~rho² faster."""
     o = load_table(spark, sf_dir, "orders")
@@ -4749,24 +4753,29 @@ def ml_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     theta = s.withColumn(
         "th", F.when(cxx > 0, cxy / cxx).otherwise(F.lit(0.0))
     )
-    adj = (
-        per_cust.crossJoin(F.broadcast(theta.select("n", "sx", "th")))
-        .select(
-            "cust",
-            "arm",
-            (
-                F.col("y").cast("double")
-                - F.col("th")
-                * (F.col("x").cast("double") - F.col("sx").cast("double") / nd_)
-            ).alias("v"),
-        )
-    )
-    arms = adj.groupBy("arm").agg(
+    # per-arm adjusted SUM in closed form from exact integer sums:
+    # sum(y - th*(x - mu_x)) == sum_y - th*(sum_x - n_arm*mu_x). A
+    # per-customer fold would need a corpus-scale collect_list; the
+    # algebraic identity needs two BIGINT sums per arm.
+    arm_sums = per_cust.groupBy("arm").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_arm"),
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("cust", "v"))),
-            F.lit(0.0),
-            lambda acc, r: acc + r["v"],
+        F.sum("y").cast("bigint").alias("sy_arm"),
+        F.sum("x").cast("bigint").alias("sx_arm"),
+    )
+    arms = arm_sums.crossJoin(
+        F.broadcast(theta.select(F.col("n").alias("n_t"), F.col("sx").alias("sx_t"), "th"))
+    ).select(
+        "arm",
+        "n_arm",
+        (
+            F.col("sy_arm").cast("double")
+            - F.col("th")
+            * (
+                F.col("sx_arm").cast("double")
+                - F.col("n_arm").cast("double")
+                * F.col("sx_t").cast("double")
+                / F.col("n_t").cast("double")
+            )
         ).alias("s_adj"),
     )
     pick = lambda a: F.max(  # noqa: E731
