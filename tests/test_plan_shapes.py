@@ -793,3 +793,39 @@ def test_permutation_importance_no_global_window(spark, sf_dir):
     assert specs, "no Window nodes found"
     for s in specs:
         assert "__pid" in s, f"unpartitioned ranking window: {s}"
+
+
+def test_conformal_interval_windows_are_bucketed(spark, sf_dir):
+    """ml_conformal_ols_interval's order statistic must come from the
+    two-level bucket + carry cumulative: every window over the
+    (corpus-scaled) distinct-residual relation partitions by the
+    value-range-bounded bucket key. An unpartitioned spec may only
+    appear for the O(buckets) carry (partition key absent but input
+    is the bucket-total relation) — we pin the stronger property that
+    every Window spec names bkt."""
+    import re
+
+    p = plan_str(
+        plans.get("ml_conformal_ols_interval").build(spark, sf_dir), "extended"
+    )
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+    assert specs, "expected window operators in the conformal plan"
+    for spec in specs:
+        assert "bkt" in spec, f"window not bucket-partitioned: [{spec}]"
+
+
+def test_effect_sizes_has_no_cell_cross_join(spark, sf_dir):
+    """stat_effect_sizes' Cliff delta must use the pooled bucket+carry
+    cumulative, not a |cells_1| x |cells_0| join (money is near-
+    continuous, so cells scale with the corpus): no cartesian or
+    non-broadcast join between two corpus-derived aggregates, and the
+    cumulative windows partition by bkt."""
+    import re
+
+    p = plan_str(plans.get("stat_effect_sizes").build(spark, sf_dir), "extended")
+    phys = p.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in phys
+    assert "SortMergeJoin" not in phys and "ShuffledHashJoin" not in phys
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+    for spec in specs:
+        assert "bkt" in spec, f"window not bucket-partitioned: [{spec}]"
