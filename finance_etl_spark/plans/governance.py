@@ -962,3 +962,140 @@ def dq_spc_western_electric(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule8",
         (F.col("rule1") | F.col("rule2") | F.col("rule8")).alias("alarm"),
     ).orderBy("event_type", "d")
+
+
+@register(
+    "dq_join_fanout_audit",
+    tags=("dq", "join", "governance"),
+    oracle="""
+        WITH rels AS (
+            SELECT * FROM (VALUES
+                ('orders->customer', 'n:1'),
+                ('lineitem->orders', 'n:1'),
+                ('lineitem->part', 'n:1')
+            ) AS t(relationship, declared)
+        ),
+        oc AS (
+            SELECT 'orders->customer' AS relationship,
+                   CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS left_rows,
+                   CAST((SELECT COUNT(DISTINCT c_custkey) FROM customer)
+                        AS BIGINT) AS right_keys,
+                   CAST((SELECT MAX(c) FROM (
+                        SELECT COUNT(*) AS c FROM customer
+                        GROUP BY c_custkey)) AS BIGINT) AS max_key_dup,
+                   CAST((SELECT COUNT(*) FROM orders o
+                         LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                           ON c.c_custkey = o.o_custkey
+                         WHERE c.c_custkey IS NULL) AS BIGINT) AS n_orphans
+        ),
+        lo AS (
+            SELECT 'lineitem->orders',
+                   CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+                   CAST((SELECT COUNT(DISTINCT o_orderkey) FROM orders)
+                        AS BIGINT),
+                   CAST((SELECT MAX(c) FROM (
+                        SELECT COUNT(*) AS c FROM orders
+                        GROUP BY o_orderkey)) AS BIGINT),
+                   CAST((SELECT COUNT(*) FROM lineitem l
+                         LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                           ON o.o_orderkey = l.l_orderkey
+                         WHERE o.o_orderkey IS NULL) AS BIGINT)
+        ),
+        lp AS (
+            SELECT 'lineitem->part',
+                   CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+                   CAST((SELECT COUNT(DISTINCT p_partkey) FROM part)
+                        AS BIGINT),
+                   CAST((SELECT MAX(c) FROM (
+                        SELECT COUNT(*) AS c FROM part
+                        GROUP BY p_partkey)) AS BIGINT),
+                   CAST((SELECT COUNT(*) FROM lineitem l
+                         LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+                           ON p.p_partkey = l.l_partkey
+                         WHERE p.p_partkey IS NULL) AS BIGINT)
+        ),
+        m AS (
+            SELECT * FROM oc UNION ALL SELECT * FROM lo
+            UNION ALL SELECT * FROM lp
+        )
+        SELECT r.relationship, r.declared, m.left_rows, m.right_keys,
+               m.max_key_dup, m.n_orphans,
+               (m.max_key_dup = 1 AND m.n_orphans = 0) AS holds_n_to_1
+        FROM rels r JOIN m ON m.relationship = r.relationship
+        ORDER BY r.relationship
+    """,
+)
+def dq_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join fan-out audit for declared n:1 relationships, formulated
+    so it is well-defined even when the LEFT side has no unique key
+    (this fixture's (orderkey, linenumber) is famously non-unique):
+    an n:1 join neither drops nor duplicates left rows iff the RIGHT
+    side's join key is unique (max_key_dup == 1 — a duplicated
+    dimension key is the silent overcount bug behind most wrong
+    revenue dashboards) and no left row is an orphan (left-anti count
+    == 0). Each audit is one key-grouped dimension agg plus one
+    broadcast anti join; adding a relationship adds a rule row, not a
+    hand-written check."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+
+    def audit(name, left, lkey, right, rkey):
+        key_stats = right.groupBy(rkey).agg(F.count(F.lit(1)).alias("c")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("right_keys"),
+            F.max("c").cast("bigint").alias("max_key_dup"),
+        )
+        n_left = left.agg(F.count(F.lit(1)).cast("bigint").alias("left_rows"))
+        orphans = left.join(
+            F.broadcast(right.select(rkey).distinct()),
+            F.col(lkey) == F.col(rkey),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        return (
+            n_left.crossJoin(F.broadcast(key_stats))
+            .crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(name).alias("relationship"),
+                "left_rows",
+                "right_keys",
+                "max_key_dup",
+                "n_orphans",
+            )
+        )
+
+    m = (
+        audit("orders->customer", o.select("o_custkey"), "o_custkey",
+              c.select("c_custkey"), "c_custkey")
+        .unionAll(
+            audit("lineitem->orders", li.select("l_orderkey"), "l_orderkey",
+                  o.select("o_orderkey"), "o_orderkey")
+        )
+        .unionAll(
+            audit("lineitem->part", li.select("l_partkey"), "l_partkey",
+                  p.select("p_partkey"), "p_partkey")
+        )
+    )
+    rels = spark.createDataFrame(
+        [
+            ("orders->customer", "n:1"),
+            ("lineitem->orders", "n:1"),
+            ("lineitem->part", "n:1"),
+        ],
+        "relationship string, declared string",
+    )
+    return (
+        rels.join(m, "relationship")
+        .select(
+            "relationship",
+            "declared",
+            "left_rows",
+            "right_keys",
+            "max_key_dup",
+            "n_orphans",
+            (
+                (F.col("max_key_dup") == 1) & (F.col("n_orphans") == 0)
+            ).alias("holds_n_to_1"),
+        )
+        .orderBy("relationship")
+    )

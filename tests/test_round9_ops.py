@@ -1814,3 +1814,24 @@ def test_ratio_delta_method_matches_numpy(spark):
     assert row["n"] == n
     assert row["revenue_per_order"] == pytest.approx(R / 100, rel=1e-9)
     assert row["se_delta_method"] == pytest.approx(se / 100, rel=1e-9)
+
+
+def test_join_fanout_audit_matches_pure_python(spark):
+    got = {r["relationship"]: r for r in plans.get("dq_join_fanout_audit").build(spark, SF).collect()}
+    for rel, left_t, lkey, right_t, rkey in (
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ):
+        lvals = [r[0] for r in _fetch(f"SELECT {lkey} FROM read_parquet('{SF}/{left_t}.parquet')")]
+        rvals = [r[0] for r in _fetch(f"SELECT {rkey} FROM read_parquet('{SF}/{right_t}.parquet')")]
+        counts = {}
+        for v in rvals:
+            counts[v] = counts.get(v, 0) + 1
+        orphans = sum(1 for v in lvals if v not in counts)
+        r = got[rel]
+        assert r["left_rows"] == len(lvals)
+        assert r["right_keys"] == len(counts)
+        assert r["max_key_dup"] == max(counts.values())
+        assert r["n_orphans"] == orphans
+        assert r["holds_n_to_1"] == (max(counts.values()) == 1 and orphans == 0)
