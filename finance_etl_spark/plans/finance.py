@@ -2251,3 +2251,143 @@ def fin_vwap_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_above_vwap").cast("double") / F.col("n_fills").cast("double")
         ).alias("frac_above_vwap"),
     ).orderBy("part")
+
+
+@register(
+    "fin_stress_delta_gamma",
+    tags=("finance", "closed-form", "risk"),
+    oracle="""
+        WITH y AS (
+            SELECT n_nationkey,
+                   CAST(0.01 AS DOUBLE)
+                     + CAST(n_nationkey % 10 AS DOUBLE) * CAST(0.005 AS DOUBLE)
+                       AS yld
+            FROM nation
+        ),
+        grid AS (
+            SELECT n_nationkey, yld, m.mat
+            FROM y CROSS JOIN (SELECT unnest([2, 5, 10, 30]) AS mat) m
+        ),
+        base AS (
+            SELECT n_nationkey, yld, mat,
+                   CAST(0.04 AS DOUBLE) / yld
+                     * (CAST(1 AS DOUBLE) - pow(CAST(1 AS DOUBLE) + yld, -mat))
+                     + pow(CAST(1 AS DOUBLE) + yld, -mat) AS p0,
+                   (CAST(1 AS DOUBLE) + yld) / yld
+                     - (CAST(1 AS DOUBLE) + yld
+                        + CAST(mat AS DOUBLE) * (CAST(0.04 AS DOUBLE) - yld))
+                       / (CAST(0.04 AS DOUBLE)
+                          * (pow(CAST(1 AS DOUBLE) + yld, mat)
+                             - CAST(1 AS DOUBLE)) + yld) AS mac,
+                   list_reduce(
+                       list_transform(generate_series(1, mat),
+                           t -> CAST(t AS DOUBLE) * (t + 1)
+                                * (CASE WHEN t = mat
+                                   THEN CAST(1.04 AS DOUBLE)
+                                   ELSE CAST(0.04 AS DOUBLE) END)
+                                * pow(CAST(1 AS DOUBLE) + yld,
+                                      -(CAST(t AS DOUBLE) + 2))),
+                       (a, x) -> a + x) AS cx_num
+            FROM grid
+        ),
+        shocked AS (
+            SELECT b.*, s.dy_bp,
+                   CAST(s.dy_bp AS DOUBLE) / 10000 AS dy
+            FROM base b
+            CROSS JOIN (SELECT unnest([-200, -100, -50, 50, 100, 200])
+                        AS dy_bp) s
+        )
+        SELECT n_nationkey, mat, dy_bp,
+               CAST(FLOOR(p0 * 1e8) AS BIGINT) AS p0_q8,
+               CAST(FLOOR((
+                   CASE WHEN abs(yld + dy) < 1e-12
+                        THEN CAST(0.04 AS DOUBLE) * mat + 1
+                        ELSE CAST(0.04 AS DOUBLE) / (yld + dy)
+                          * (CAST(1 AS DOUBLE)
+                             - pow(CAST(1 AS DOUBLE) + yld + dy, -mat))
+                          + pow(CAST(1 AS DOUBLE) + yld + dy, -mat) END - p0
+               ) * 1e8) AS BIGINT) AS pnl_exact_q8,
+               CAST(FLOOR((
+                   - mac / (CAST(1 AS DOUBLE) + yld) * dy * p0
+                   + CAST(0.5 AS DOUBLE) * (cx_num / p0) * dy * dy * p0
+               ) * 1e8) AS BIGINT) AS pnl_delta_gamma_q8
+        FROM shocked
+        ORDER BY n_nationkey, mat, dy_bp
+    """,
+)
+def fin_stress_delta_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-gamma stress P&L for the 4%-coupon bond book across six
+    parallel yield shocks: exact closed-form repricing versus the
+    modified-duration + convexity second-order approximation. The
+    convexity numerator folds t(t+1)·cf·(1+y)^-(t+2) over the cashflow
+    sequence in ASCENDING t on both engines (ordered left fold —
+    deterministic); everything else is the shared closed-form double
+    fragments of fin_bond_duration_grid, floor-quantized at q8. The
+    25x4x6 grid is a broadcast fan-out — model-sized at any SF. The
+    pytest reference checks the approximation error shrinks with
+    |shock| (the gamma term's job)."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    y = n.withColumn(
+        "yld",
+        F.lit(0.01) + (F.col("n_nationkey") % 10).cast("double") * F.lit(0.005),
+    )
+    mat = spark.createDataFrame([(2,), (5,), (10,), (30,)], "mat int")
+    grid = y.crossJoin(F.broadcast(mat))
+    one = F.lit(1.0)
+    c_ = F.lit(0.04)
+    yld, t_ = F.col("yld"), F.col("mat").cast("double")
+    disc = F.pow(one + yld, -t_)
+    p0 = c_ / yld * (one - disc) + disc
+    mac = (one + yld) / yld - (one + yld + t_ * (c_ - yld)) / (
+        c_ * (F.pow(one + yld, t_) - one) + yld
+    )
+    cx_num = F.aggregate(
+        F.sequence(F.lit(1), F.col("mat")),
+        F.lit(0.0),
+        lambda acc, t: acc
+        + t.cast("double")
+        * (t + 1).cast("double")
+        * F.when(t == F.col("mat"), F.lit(1.04)).otherwise(F.lit(0.04))
+        * F.pow(one + yld, -(t.cast("double") + 2)),
+    )
+    base = grid.select(
+        "n_nationkey", "yld", "mat",
+        p0.alias("p0"), mac.alias("mac"), cx_num.alias("cx_num"),
+    )
+    shocks = spark.createDataFrame(
+        [(-200,), (-100,), (-50,), (50,), (100,), (200,)], "dy_bp int"
+    )
+    shocked = base.crossJoin(F.broadcast(shocks)).withColumn(
+        "dy", F.col("dy_bp").cast("double") / 10000
+    )
+    ys = F.col("yld") + F.col("dy")
+    disc_s = F.pow(one + ys, -F.col("mat").cast("double"))
+    # y -> 0 limit: price is just the undiscounted cashflow sum
+    p_s = F.when(
+        F.abs(ys) < 1e-12, c_ * F.col("mat").cast("double") + 1
+    ).otherwise(c_ / ys * (one - disc_s) + disc_s)
+    return shocked.select(
+        "n_nationkey",
+        "mat",
+        "dy_bp",
+        F.floor(F.col("p0") * F.lit(1e8)).cast("bigint").alias("p0_q8"),
+        F.floor((p_s - F.col("p0")) * F.lit(1e8)).cast("bigint").alias(
+            "pnl_exact_q8"
+        ),
+        F.floor(
+            (
+                -F.col("mac")
+                / (one + F.col("yld"))
+                * F.col("dy")
+                * F.col("p0")
+                + F.lit(0.5)
+                * (F.col("cx_num") / F.col("p0"))
+                * F.col("dy")
+                * F.col("dy")
+                * F.col("p0")
+            )
+            * F.lit(1e8)
+        )
+        .cast("bigint")
+        .alias("pnl_delta_gamma_q8"),
+    ).orderBy("n_nationkey", "mat", "dy_bp")

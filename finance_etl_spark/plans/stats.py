@@ -2718,3 +2718,72 @@ def stat_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("se_delta_method"),
     )
+
+
+@register(
+    "stat_wilson_ci",
+    tags=("stats", "agg"),
+    oracle="""
+        WITH per AS (
+            SELECT c.c_mktsegment AS segment,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN o.o_orderstatus = 'F'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS k
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment
+        )
+        SELECT segment, n, k,
+               CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+               (CAST(k AS DOUBLE) / n + 1.9599639845400545 * 1.9599639845400545
+                    / (2 * CAST(n AS DOUBLE))
+                - 1.9599639845400545
+                  * sqrt(CAST(k AS DOUBLE) / n * (1 - CAST(k AS DOUBLE) / n) / n
+                         + 1.9599639845400545 * 1.9599639845400545
+                           / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+               / (1 + 1.9599639845400545 * 1.9599639845400545
+                      / CAST(n AS DOUBLE)) AS wilson_lo,
+               (CAST(k AS DOUBLE) / n + 1.9599639845400545 * 1.9599639845400545
+                    / (2 * CAST(n AS DOUBLE))
+                + 1.9599639845400545
+                  * sqrt(CAST(k AS DOUBLE) / n * (1 - CAST(k AS DOUBLE) / n) / n
+                         + 1.9599639845400545 * 1.9599639845400545
+                           / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+               / (1 + 1.9599639845400545 * 1.9599639845400545
+                      / CAST(n AS DOUBLE)) AS wilson_hi
+        FROM per ORDER BY segment
+    """,
+)
+def stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Wilson score interval for the finalized-order proportion
+    per market segment — the binomial CI that behaves at the
+    boundaries where Wald collapses. Counts are exact integers from
+    one broadcast-join scan; the interval is a single shared double
+    expression with the z=1.96 quantile pinned as an exact literal
+    (no inverse-CDF call to diverge cross-engine)."""
+    Z = 1.9599639845400545
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    nd_ = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd_
+    z2 = F.lit(Z) * F.lit(Z)
+    center = p + z2 / (2 * nd_)
+    half = F.lit(Z) * F.sqrt(p * (1 - p) / nd_ + z2 / (4 * nd_ * nd_))
+    denom = 1 + z2 / nd_
+    return per.select(
+        "segment",
+        "n",
+        "k",
+        p.alias("p_hat"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    ).orderBy("segment")

@@ -1835,3 +1835,44 @@ def test_join_fanout_audit_matches_pure_python(spark):
         assert r["max_key_dup"] == max(counts.values())
         assert r["n_orphans"] == orphans
         assert r["holds_n_to_1"] == (max(counts.values()) == 1 and orphans == 0)
+
+
+def test_wilson_ci_matches_pure_python(spark):
+    got = {r["segment"]: r for r in plans.get("stat_wilson_ci").build(spark, SF).collect()}
+    rows = _fetch(
+        "SELECT c.c_mktsegment, COUNT(*),"
+        " SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)"
+        f" FROM read_parquet('{SF}/orders.parquet') o"
+        f" JOIN read_parquet('{SF}/customer.parquet') c"
+        " ON c.c_custkey = o.o_custkey GROUP BY 1"
+    )
+    z = 1.9599639845400545
+    for seg, n, k in rows:
+        p = k / n
+        center = p + z * z / (2 * n)
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        denom = 1 + z * z / n
+        r = got[seg]
+        assert (r["n"], r["k"]) == (n, k)
+        assert r["wilson_lo"] == pytest.approx((center - half) / denom, rel=1e-12)
+        assert r["wilson_hi"] == pytest.approx((center + half) / denom, rel=1e-12)
+        assert r["wilson_lo"] < p < r["wilson_hi"]
+
+
+def test_stress_delta_gamma_approx_quality(spark):
+    got = plans.get("fin_stress_delta_gamma").build(spark, SF).collect()
+    assert len(got) == 25 * 4 * 6
+    for r in got:
+        exact = r["pnl_exact_q8"]
+        approx = r["pnl_delta_gamma_q8"]
+        # second-order approximation: relative error vs exact repricing
+        # stays small for +-50bp and is bounded for the big shocks
+        if abs(exact) > 1000:
+            rel = abs(approx - exact) / abs(exact)
+            if abs(r["dy_bp"]) <= 50:
+                assert rel < 0.02
+            else:
+                assert rel < 0.35
+        # sign agreement: rate up -> price down and vice versa
+        if abs(exact) > 1000 and abs(r["dy_bp"]) <= 100:
+            assert (exact < 0) == (r["dy_bp"] > 0)
