@@ -4802,3 +4802,188 @@ def ml_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("am_c") / F.lit(100.0)).alias("adj_mean_control"),
         )
     )
+
+
+@register(
+    "ml_logrank_test",
+    tags=("ml", "survival", "agg"),
+    oracle="""
+        WITH span AS (
+            SELECT o_custkey, MIN(o_orderdate) AS f, MAX(o_orderdate) AS l
+            FROM orders GROUP BY o_custkey
+        ),
+        gmax AS (SELECT MAX(o_orderdate) AS gm FROM orders),
+        cust AS (
+            SELECT CASE WHEN c.c_mktsegment = 'BUILDING'
+                        THEN 1 ELSE 0 END AS grp,
+                   LEAST(7, CAST(FLOOR(
+                       CAST(date_diff('day', s.f, s.l) AS BIGINT) / 365.0)
+                       AS BIGINT)) AS bkt,
+                   CASE WHEN CAST(date_diff('day', s.l, g.gm) AS BIGINT) > 180
+                        THEN 1 ELSE 0 END AS ev
+            FROM span s
+            JOIN customer c ON c.c_custkey = s.o_custkey
+            CROSS JOIN gmax g
+        ),
+        counts AS (
+            SELECT grp, bkt,
+                   CAST(COUNT(*) AS BIGINT) AS n_b,
+                   CAST(SUM(ev) AS BIGINT) AS d
+            FROM cust GROUP BY grp, bkt
+        ),
+        spine AS (
+            SELECT DISTINCT bkt FROM counts
+        ),
+        aligned AS (
+            SELECT sp.bkt, g.grp,
+                   COALESCE(c.n_b, 0) AS n_b, COALESCE(c.d, 0) AS d
+            FROM spine sp
+            CROSS JOIN (SELECT unnest([0, 1]) AS grp) g
+            LEFT JOIN counts c ON c.bkt = sp.bkt AND c.grp = g.grp
+        ),
+        risk AS (
+            SELECT bkt, grp, d,
+                   CAST(SUM(n_b) OVER (PARTITION BY grp ORDER BY bkt DESC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+            FROM aligned
+        ),
+        wide AS (
+            SELECT bkt,
+                   MAX(CASE WHEN grp = 1 THEN n_risk END) AS n1,
+                   MAX(CASE WHEN grp = 0 THEN n_risk END) AS n2,
+                   MAX(CASE WHEN grp = 1 THEN d END) AS d1,
+                   MAX(CASE WHEN grp = 0 THEN d END) AS d2
+            FROM risk GROUP BY bkt
+        ),
+        terms AS (
+            SELECT bkt, n1, n2, d1, d2, n1 + n2 AS n, d1 + d2 AS d
+            FROM wide WHERE n1 + n2 > 0
+        ),
+        fold AS (
+            SELECT
+                CAST(SUM(d1) AS BIGINT) AS o1,
+                list_reduce(
+                    list(CAST(d AS DOUBLE) * n1 / n ORDER BY bkt),
+                    (a, x) -> a + x) AS e1,
+                list_reduce(
+                    list(CASE WHEN n > 1 THEN
+                         CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)
+                           * (CAST(n2 AS DOUBLE) / n)
+                           * (CAST(n - d AS DOUBLE) / (n - 1))
+                         ELSE CAST(0 AS DOUBLE) END ORDER BY bkt),
+                    (a, x) -> a + x) AS v
+            FROM terms
+        )
+        SELECT o1, e1, v,
+               CASE WHEN v > 0 THEN
+                   (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v
+               END AS chi2_logrank
+        FROM fold
+    """,
+)
+def ml_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing customer-tenure survival between the
+    BUILDING segment and everyone else — the standard two-group
+    survival comparison that pairs with ml_kaplan_meier's curves.
+    Observed group-1 deaths are exact integers; the expected count
+    E1 = Σ d·n1/n and the hypergeometric variance fold per-bucket
+    double terms (each from exact integer at-risk/death counts via the
+    same descending-cumsum risk sets as KM, on a bucket spine so both
+    groups align) in PINNED bucket order; chi² is one guarded double
+    edge. Corpus work: one per-customer span agg + one broadcast dim
+    join; everything after is O(8) rows per group."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    span = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
+    )
+    gmax = o.agg(F.max("o_orderdate").alias("gm"))
+    cust = (
+        span.join(
+            c.select("c_custkey", "c_mktsegment"),
+            span["o_custkey"] == F.col("c_custkey"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("grp"),
+            F.least(
+                F.lit(7),
+                F.floor(
+                    F.datediff(F.col("l"), F.col("f")).cast("bigint") / F.lit(365.0)
+                ).cast("bigint"),
+            ).alias("bkt"),
+            (F.datediff(F.col("gm"), F.col("l")).cast("bigint") > 180)
+            .cast("int")
+            .alias("ev"),
+        )
+    )
+    counts = cust.groupBy("grp", "bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("ev").cast("bigint").alias("d"),
+    )
+    spine = counts.select("bkt").distinct()
+    grps = spark.createDataFrame([(0,), (1,)], "grp int")
+    both = (
+        spine.crossJoin(F.broadcast(grps))
+        .join(counts, ["bkt", "grp"], "left")
+        .select(
+            "bkt",
+            "grp",
+            F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = both.select(
+        "bkt", "grp", "d", F.sum("n_b").over(w).cast("bigint").alias("n_risk")
+    )
+    pick = lambda g, col: F.max(F.when(F.col("grp") == g, F.col(col)))  # noqa: E731
+    wide = risk.groupBy("bkt").agg(
+        pick(1, "n_risk").alias("n1"),
+        pick(0, "n_risk").alias("n2"),
+        pick(1, "d").alias("d1"),
+        pick(0, "d").alias("d2"),
+    )
+    terms = wide.withColumn("n", F.col("n1") + F.col("n2")).withColumn(
+        "d", F.col("d1") + F.col("d2")
+    ).filter(F.col("n") > 0)
+    e_term = F.col("d").cast("double") * F.col("n1") / F.col("n")
+    v_term = F.when(
+        F.col("n") > 1,
+        F.col("d").cast("double")
+        * (F.col("n1").cast("double") / F.col("n"))
+        * (F.col("n2").cast("double") / F.col("n"))
+        * ((F.col("n") - F.col("d")).cast("double") / (F.col("n") - 1)),
+    ).otherwise(F.lit(0.0))
+    fold = terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bkt", e_term.alias("t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("e1"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bkt", v_term.alias("t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("v"),
+    )
+    return fold.select(
+        "o1",
+        "e1",
+        "v",
+        F.when(
+            F.col("v") > 0,
+            (F.col("o1").cast("double") - F.col("e1"))
+            * (F.col("o1").cast("double") - F.col("e1"))
+            / F.col("v"),
+        ).alias("chi2_logrank"),
+    )

@@ -1876,3 +1876,36 @@ def test_stress_delta_gamma_approx_quality(spark):
         # sign agreement: rate up -> price down and vice versa
         if abs(exact) > 1000 and abs(r["dy_bp"]) <= 100:
             assert (exact < 0) == (r["dy_bp"] > 0)
+
+
+def test_logrank_matches_pure_python(spark):
+    row = plans.get("ml_logrank_test").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT c.c_mktsegment = 'BUILDING',"
+        " LEAST(7, CAST(FLOOR(CAST(date_diff('day', s.f, s.l) AS BIGINT)"
+        "   / 365.0) AS BIGINT)),"
+        " CAST(date_diff('day', s.l, g.gm) AS BIGINT) > 180"
+        " FROM (SELECT o_custkey, MIN(o_orderdate) f, MAX(o_orderdate) l"
+        f"      FROM read_parquet('{SF}/orders.parquet') GROUP BY 1) s"
+        f" JOIN read_parquet('{SF}/customer.parquet') c"
+        " ON c.c_custkey = s.o_custkey"
+        f" CROSS JOIN (SELECT MAX(o_orderdate) gm"
+        f"             FROM read_parquet('{SF}/orders.parquet')) g"
+    )
+    buckets = sorted({b for _, b, _ in rows})
+    o1 = 0
+    e1 = v = 0.0
+    for bkt in buckets:
+        n1 = sum(1 for g, b, _ in rows if g and b >= bkt)
+        n2 = sum(1 for g, b, _ in rows if not g and b >= bkt)
+        d1 = sum(1 for g, b, ev in rows if g and b == bkt and ev)
+        d2 = sum(1 for g, b, ev in rows if not g and b == bkt and ev)
+        n, d = n1 + n2, d1 + d2
+        o1 += d1
+        e1 += d * n1 / n
+        if n > 1:
+            v += d * (n1 / n) * (n2 / n) * ((n - d) / (n - 1))
+    assert row["o1"] == o1
+    assert row["e1"] == pytest.approx(e1, rel=1e-9)
+    assert row["v"] == pytest.approx(v, rel=1e-9)
+    assert row["chi2_logrank"] == pytest.approx((o1 - e1) ** 2 / v, rel=1e-9)
