@@ -2391,3 +2391,92 @@ def fin_stress_delta_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pnl_delta_gamma_q8"),
     ).orderBy("n_nationkey", "mat", "dy_bp")
+
+
+@register(
+    "fin_netting_sets",
+    tags=("finance", "agg", "join"),
+    oracle="""
+        WITH flows AS (
+            SELECT s.s_nationkey AS dr, c.c_nationkey AS cr,
+                   CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * 100 AS BIGINT)) AS BIGINT) AS cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE s.s_nationkey <> c.c_nationkey
+            GROUP BY dr, cr
+        ),
+        pairs AS (
+            SELECT LEAST(dr, cr) AS a, GREATEST(dr, cr) AS b,
+                   CAST(SUM(cents) AS BIGINT) AS gross_cents,
+                   CAST(SUM(CASE WHEN dr < cr THEN cents
+                            ELSE -cents END) AS BIGINT) AS signed_cents
+            FROM flows GROUP BY a, b
+        )
+        SELECT a, b, gross_cents,
+               CAST(abs(signed_cents) AS BIGINT) AS net_cents,
+               CAST(1 AS DOUBLE)
+                 - CAST(abs(signed_cents) AS DOUBLE)
+                   / CAST(gross_cents AS DOUBLE) AS netting_benefit
+        FROM pairs
+        ORDER BY a, b
+    """,
+)
+def fin_netting_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral netting sets on the cross-border trade flows: for
+    every nation pair, the gross two-way exposure versus the netted
+    single payment (|a→b − b→a|) and the netting benefit — the
+    settlement-compression number clearing houses quote. Flows are
+    exact integer cents from one 4-way fact join (dims broadcast);
+    the pair reduction is canonical least/greatest keying with a
+    signed sum — gross and net stay exact BIGINTs, the benefit is one
+    double division. 300 output rows at any SF."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    flows = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("dr"), F.col("c_nationkey").alias("cr")
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    pairs = flows.groupBy(
+        F.least("dr", "cr").alias("a"), F.greatest("dr", "cr").alias("b")
+    ).agg(
+        F.sum("cents").cast("bigint").alias("gross_cents"),
+        F.sum(
+            F.when(F.col("dr") < F.col("cr"), F.col("cents")).otherwise(
+                -F.col("cents")
+            )
+        )
+        .cast("bigint")
+        .alias("signed_cents"),
+    )
+    return pairs.select(
+        "a",
+        "b",
+        "gross_cents",
+        F.abs(F.col("signed_cents")).cast("bigint").alias("net_cents"),
+        (
+            F.lit(1.0)
+            - F.abs(F.col("signed_cents")).cast("double")
+            / F.col("gross_cents").cast("double")
+        ).alias("netting_benefit"),
+    ).orderBy("a", "b")

@@ -1909,3 +1909,27 @@ def test_logrank_matches_pure_python(spark):
     assert row["e1"] == pytest.approx(e1, rel=1e-9)
     assert row["v"] == pytest.approx(v, rel=1e-9)
     assert row["chi2_logrank"] == pytest.approx((o1 - e1) ** 2 / v, rel=1e-9)
+
+
+def test_netting_sets_matches_pure_python(spark):
+    got = {(r["a"], r["b"]): r for r in plans.get("fin_netting_sets").build(spark, SF).collect()}
+    rows = _fetch(
+        "SELECT s.s_nationkey, c.c_nationkey,"
+        " SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
+        f" FROM read_parquet('{SF}/lineitem.parquet') l"
+        f" JOIN read_parquet('{SF}/orders.parquet') o ON l.l_orderkey = o.o_orderkey"
+        f" JOIN read_parquet('{SF}/customer.parquet') c ON o.o_custkey = c.c_custkey"
+        f" JOIN read_parquet('{SF}/supplier.parquet') s ON l.l_suppkey = s.s_suppkey"
+        " WHERE s.s_nationkey <> c.c_nationkey GROUP BY 1, 2"
+    )
+    pairs = {}
+    for dr, cr, cents in rows:
+        k = (min(dr, cr), max(dr, cr))
+        g, sgn = pairs.get(k, (0, 0))
+        pairs[k] = (g + cents, sgn + (cents if dr < cr else -cents))
+    assert set(got) == set(pairs)
+    for k, (g, sgn) in pairs.items():
+        r = got[k]
+        assert r["gross_cents"] == g
+        assert r["net_cents"] == abs(sgn)
+        assert r["netting_benefit"] == pytest.approx(1 - abs(sgn) / g, rel=1e-12)
