@@ -4227,3 +4227,71 @@ def cur_rejection_sample_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "graph_reciprocity",
+    tags=("graph", "agg"),
+    oracle="""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE s.s_nationkey <> c.c_nationkey
+        ),
+        thr AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e
+        ),
+        recip AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_recip
+            FROM e a JOIN e b ON b.src = a.dst AND b.dst = a.src
+        )
+        SELECT t.n_edges, r.n_recip,
+               CAST(r.n_recip AS DOUBLE) / CAST(t.n_edges AS DOUBLE)
+                   AS reciprocity
+        FROM thr t CROSS JOIN recip r
+    """,
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed reciprocity of the nation trade graph: the fraction of
+    directed edges whose reverse edge also exists (Garlaschelli-
+    Loffredo r without the density correction — exact integer counts,
+    one double division). The reverse-edge probe is a self equi-join
+    on the |V|²-bounded distinct edge relation; corpus work is the
+    shared fact-to-edges reduction."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .distinct()
+        .persist()
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    b = e.select(F.col("src").alias("bsrc"), F.col("dst").alias("bdst"))
+    n_recip = (
+        e.join(
+            b,
+            (F.col("bsrc") == F.col("dst")) & (F.col("bdst") == F.col("src")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_recip"))
+    )
+    return (
+        n_edges.crossJoin(F.broadcast(n_recip))
+        .select(
+            "n_edges",
+            "n_recip",
+            (
+                F.col("n_recip").cast("double") / F.col("n_edges").cast("double")
+            ).alias("reciprocity"),
+        )
+    )

@@ -2480,3 +2480,68 @@ def fin_netting_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("gross_cents").cast("double")
         ).alias("netting_benefit"),
     ).orderBy("a", "b")
+
+
+@register(
+    "fin_revenue_recognition",
+    tags=("finance", "agg"),
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS cents,
+                   date_trunc('month', CAST(o_orderdate AS DATE)) AS m0
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        ),
+        sched AS (
+            SELECT o_orderkey, m0, k.i,
+                   CASE WHEN k.i < 5 THEN cents // 6
+                        ELSE cents - 5 * (cents // 6) END AS rec_cents,
+                   m0 + to_months(CAST(k.i AS INT)) AS rec_month
+            FROM base CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS i) k
+        )
+        SELECT CAST(rec_month AS DATE) AS rec_month,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_contracts,
+               CAST(SUM(rec_cents) AS BIGINT) AS recognized_cents
+        FROM sched
+        GROUP BY rec_month
+        ORDER BY rec_month
+    """,
+)
+def fin_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Straight-line revenue recognition over a 6-month service
+    period for 1998 bookings: each contract's cents split by INTEGER
+    division with the remainder recognized in the final month — the
+    accounting-exact allocation (the six tranches sum back to the
+    contract total by construction, pytest-pinned). The 6x fan-out is
+    a broadcast spine on the already-aggregated base; monthly rollup
+    is one exact-integer agg. This is the deferred-revenue waterfall
+    every SaaS ledger materializes."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("m0"),
+    )
+    k = spark.range(0, 6).select(F.col("id").cast("int").alias("i"))
+    sched = base.crossJoin(F.broadcast(k)).select(
+        "o_orderkey",
+        F.add_months(F.col("m0"), F.col("i")).alias("rec_month"),
+        F.when(F.col("i") < 5, F.floor(F.col("cents") / 6).cast("bigint"))
+        .otherwise(
+            F.col("cents") - 5 * F.floor(F.col("cents") / 6).cast("bigint")
+        )
+        .alias("rec_cents"),
+    )
+    return (
+        sched.groupBy("rec_month")
+        .agg(
+            F.count_distinct("o_orderkey").cast("bigint").alias("n_contracts"),
+            F.sum("rec_cents").cast("bigint").alias("recognized_cents"),
+        )
+        .orderBy("rec_month")
+    )

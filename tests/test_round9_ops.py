@@ -1933,3 +1933,56 @@ def test_netting_sets_matches_pure_python(spark):
         assert r["gross_cents"] == g
         assert r["net_cents"] == abs(sgn)
         assert r["netting_benefit"] == pytest.approx(1 - abs(sgn) / g, rel=1e-12)
+
+
+def test_revenue_recognition_conserves_totals(spark):
+    got = plans.get("fin_revenue_recognition").build(spark, SF).collect()
+    rows = _fetch(
+        "SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+        " WHERE o_orderdate >= TIMESTAMP '1998-01-01'"
+    )
+    total = sum(r[0] for r in rows)
+    # the integer-division waterfall must conserve every contract's cents
+    assert sum(r["recognized_cents"] for r in got) == total
+    import datetime
+
+    months = [r["rec_month"] for r in got]
+    assert months == sorted(months)
+    # per-month re-derivation
+    sched = {}
+    detail = _fetch(
+        "SELECT date_trunc('month', CAST(o_orderdate AS DATE)),"
+        " CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+        " WHERE o_orderdate >= TIMESTAMP '1998-01-01'"
+    )
+    def add_months(d, k):
+        mo = d.month - 1 + k
+        return datetime.date(d.year + mo // 12, mo % 12 + 1, 1)
+    for m0, cents in detail:
+        base = cents // 6
+        for i in range(6):
+            rec = base if i < 5 else cents - 5 * base
+            key = add_months(m0, i)
+            sched[key] = sched.get(key, 0) + rec
+    for r in got:
+        assert r["recognized_cents"] == sched[r["rec_month"]]
+
+
+def test_reciprocity_matches_pure_python(spark, trade_graph):
+    # rebuild the directed distinct edge set independently
+    rows = _fetch(
+        "SELECT DISTINCT s.s_nationkey, c.c_nationkey"
+        f" FROM read_parquet('{SF}/lineitem.parquet') l"
+        f" JOIN read_parquet('{SF}/orders.parquet') o ON l.l_orderkey = o.o_orderkey"
+        f" JOIN read_parquet('{SF}/customer.parquet') c ON o.o_custkey = c.c_custkey"
+        f" JOIN read_parquet('{SF}/supplier.parquet') s ON l.l_suppkey = s.s_suppkey"
+        " WHERE s.s_nationkey <> c.c_nationkey"
+    )
+    edges = set(map(tuple, rows))
+    recip = sum(1 for (a, b) in edges if (b, a) in edges)
+    row = plans.get("graph_reciprocity").build(spark, SF).collect()[0]
+    assert row["n_edges"] == len(edges)
+    assert row["n_recip"] == recip
+    assert row["reciprocity"] == pytest.approx(recip / len(edges), rel=1e-12)
