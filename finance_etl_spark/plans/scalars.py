@@ -747,3 +747,87 @@ def scalar_deterministic_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(h, 21, 12),
         ).alias("order_uuid"),
     )
+
+
+@register(
+    "scalar_luhn_validate",
+    tags=("scalar", "validation", "finance"),
+    oracle="""
+        WITH pans AS (
+            SELECT c_custkey,
+                   '4' || lpad(CAST(c_custkey * 37 % 100000000 AS VARCHAR),
+                               8, '0')
+                       || lpad(CAST(c_custkey * 101 % 1000000 AS VARCHAR),
+                               6, '0') AS pan15
+            FROM customer
+        ),
+        digits AS (
+            SELECT c_custkey, pan15, i,
+                   CAST(substr(pan15, 16 - i, 1) AS BIGINT) AS d
+            FROM pans
+            CROSS JOIN (SELECT unnest(generate_series(1, 15)) AS i) s
+        ),
+        summed AS (
+            SELECT c_custkey, pan15,
+                   CAST(SUM(CASE WHEN i % 2 = 1 THEN
+                        CASE WHEN d * 2 > 9 THEN d * 2 - 9 ELSE d * 2 END
+                        ELSE d END) AS BIGINT) AS luhn_sum
+            FROM digits GROUP BY c_custkey, pan15
+        )
+        SELECT c_custkey,
+               pan15 || CAST((10 - luhn_sum % 10) % 10 AS VARCHAR) AS pan,
+               CAST((10 - luhn_sum % 10) % 10 AS BIGINT) AS check_digit,
+               ((luhn_sum + (10 - luhn_sum % 10) % 10) % 10 = 0)
+                   AS luhn_valid
+        FROM summed
+        ORDER BY c_custkey
+        LIMIT 500
+    """,
+)
+def scalar_luhn_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checksum (ISO/IEC 7812) computation and validation over
+    synthetic 16-digit PANs derived deterministically from the
+    customer key: the 15 payload digits explode against a broadcast
+    position spine, doubled-every-second-from-the-right with the
+    digits-sum fold expressed as d*2-9, the check digit closes the
+    sum to a multiple of 10, and validity is re-verified from the
+    completed number — all exact integer/string operations. This is
+    the ingest-validation primitive every payments pipeline runs on
+    card-number columns; the explode-against-spine shape is the
+    scale-safe per-character loop."""
+    c = load_table(spark, sf_dir, "customer")
+    pans = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("4"),
+            F.lpad((F.col("c_custkey") * 37 % 100000000).cast("string"), 8, "0"),
+            F.lpad((F.col("c_custkey") * 101 % 1000000).cast("string"), 6, "0"),
+        ).alias("pan15"),
+    )
+    spine = spark.range(1, 16).select(F.col("id").cast("int").alias("i"))
+    digits = pans.crossJoin(F.broadcast(spine)).select(
+        "c_custkey",
+        "pan15",
+        "i",
+        F.substring(F.col("pan15"), F.lit(16) - F.col("i"), 1)
+        .cast("bigint")
+        .alias("d"),
+    )
+    term = F.when(
+        F.col("i") % 2 == 1,
+        F.when(F.col("d") * 2 > 9, F.col("d") * 2 - 9).otherwise(F.col("d") * 2),
+    ).otherwise(F.col("d"))
+    summed = digits.groupBy("c_custkey", "pan15").agg(
+        F.sum(term).cast("bigint").alias("luhn_sum")
+    )
+    check = (10 - F.col("luhn_sum") % 10) % 10
+    return (
+        summed.select(
+            "c_custkey",
+            F.concat(F.col("pan15"), check.cast("string")).alias("pan"),
+            check.cast("bigint").alias("check_digit"),
+            ((F.col("luhn_sum") + check) % 10 == 0).alias("luhn_valid"),
+        )
+        .orderBy("c_custkey")
+        .limit(500)
+    )

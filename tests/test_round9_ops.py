@@ -1986,3 +1986,32 @@ def test_reciprocity_matches_pure_python(spark, trade_graph):
     assert row["n_edges"] == len(edges)
     assert row["n_recip"] == recip
     assert row["reciprocity"] == pytest.approx(recip / len(edges), rel=1e-12)
+
+
+def test_luhn_matches_pure_python(spark):
+    got = plans.get("scalar_luhn_validate").build(spark, SF).collect()
+    assert len(got) > 0
+    for r in got:
+        pan15 = f"4{r['c_custkey'] * 37 % 100000000:08d}{r['c_custkey'] * 101 % 1000000:06d}"
+        total = 0
+        for i, ch in enumerate(reversed(pan15), start=1):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        check = (10 - total % 10) % 10
+        assert r["pan"] == pan15 + str(check)
+        assert r["check_digit"] == check
+        assert r["luhn_valid"] is True
+        # the completed PAN passes the standard full-number Luhn check
+        full = 0
+        for i, ch in enumerate(reversed(r["pan"]), start=1):
+            d = int(ch)
+            if i % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            full += d
+        assert full % 10 == 0
