@@ -4061,3 +4061,90 @@ def geo_grid_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "rnk", "cand_id", "d2")
         .orderBy("probe_id", "rnk")
     )
+
+
+@register(
+    "agg_decayed_counters",
+    tags=("agg", "timeseries"),
+    oracle="""
+        WITH mx AS (
+            SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax FROM orders
+        ),
+        lab AS (
+            SELECT c.c_mktsegment AS segment,
+                   CAST(mx.dmax - CAST(o.o_orderdate AS DATE) AS BIGINT)
+                       AS days_ago,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            CROSS JOIN mx
+        ),
+        weighted AS (
+            SELECT segment,
+                   CAST(FLOOR(pow(CAST(0.999 AS DOUBLE),
+                        CAST(days_ago AS DOUBLE)) * 1e12) AS BIGINT) AS w_q12,
+                   cents
+            FROM lab
+        )
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n_raw,
+               CAST(SUM(w_q12) AS BIGINT) AS decayed_count_q12,
+               CAST(CAST(SUM(CAST(w_q12 AS DECIMAL(19,0)) * cents)
+                    AS VARCHAR) AS DOUBLE) / 1e14 AS decayed_revenue,
+               CAST(SUM(w_q12) AS DOUBLE) / 1e12 AS decayed_count
+        FROM weighted GROUP BY segment
+        ORDER BY segment
+    """,
+)
+def agg_decayed_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed counters (half-life ~693 days at
+    lambda=0.999/day) per segment as of the corpus horizon — the
+    'trending now' primitive behind recency-weighted dashboards and
+    feature stores. Each row's decay weight is ONE libm pow call
+    floor-quantized to q12 at birth (the libm-ulp discipline), so
+    every aggregate downstream is exact integer / DECIMAL arithmetic
+    — merge-safe across partitions and replayable. Decayed counters
+    beat sliding windows at scale because state is one number per
+    (group), not a window buffer."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("dmax"))
+    lab = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(F.col("dmax"), F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("days_ago"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    weighted = lab.select(
+        "segment",
+        F.floor(
+            F.pow(F.lit(0.999), F.col("days_ago").cast("double")) * F.lit(1e12)
+        )
+        .cast("bigint")
+        .alias("w_q12"),
+        "cents",
+    )
+    return (
+        weighted.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+            F.sum("w_q12").cast("bigint").alias("decayed_count_q12"),
+            (
+                F.sum(F.col("w_q12").cast("decimal(19,0)") * F.col("cents"))
+                .cast("decimal(38,0)")
+                .cast("string")
+                .cast("double")
+                / F.lit(1e14)
+            ).alias("decayed_revenue"),
+            (F.sum("w_q12").cast("double") / F.lit(1e12)).alias("decayed_count"),
+        )
+        .orderBy("segment")
+    )

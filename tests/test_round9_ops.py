@@ -2015,3 +2015,48 @@ def test_luhn_matches_pure_python(spark):
                     d -= 9
             full += d
         assert full % 10 == 0
+
+
+def test_decayed_counters_match_pure_python(spark):
+    got = {r["segment"]: r for r in plans.get("agg_decayed_counters").build(spark, SF).collect()}
+    rows = _fetch(
+        "SELECT c.c_mktsegment,"
+        " CAST((SELECT MAX(CAST(o_orderdate AS DATE))"
+        f"       FROM read_parquet('{SF}/orders.parquet'))"
+        "      - CAST(o.o_orderdate AS DATE) AS BIGINT),"
+        " CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        f" FROM read_parquet('{SF}/orders.parquet') o"
+        f" JOIN read_parquet('{SF}/customer.parquet') c"
+        " ON c.c_custkey = o.o_custkey"
+    )
+    agg = {}
+    for seg, days, cents in rows:
+        w = math.floor(0.999**days * 1e12)
+        n, cq, rev = agg.get(seg, (0, 0, 0))
+        agg[seg] = (n + 1, cq + w, rev + w * cents)
+    assert set(got) == set(agg)
+    for seg, (n, cq, rev) in agg.items():
+        r = got[seg]
+        assert r["n_raw"] == n
+        assert r["decayed_count_q12"] == cq
+        assert r["decayed_revenue"] == pytest.approx(rev / 1e14, rel=1e-12)
+        assert r["decayed_count"] == pytest.approx(cq / 1e12, rel=1e-12)
+
+
+def test_code_detect_matches_pure_python(spark):
+    import re as _re
+
+    got = {r["doc_id"]: r for r in plans.get("text_code_detect").build(spark, SF).collect()}
+    docs = _fetch(f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')")
+    for doc_id, text in docs:
+        r = got[doc_id]
+        assert r["n_braces"] == text.count("{") + text.count("}")
+        assert r["n_semicolons"] == text.count(";")
+        assert r["n_camel"] == len(_re.findall("[a-z]+[A-Z][a-zA-Z]*", text))
+        assert r["n_snake"] == len(_re.findall("[a-z0-9]+_[a-z0-9_]+", text))
+        assert r["n_digits"] == sum(ch.isdigit() for ch in text)
+        looks = (
+            (text.count("{") + text.count("}") + text.count(";")) / len(text) > 0.01
+            or len(_re.findall("[a-z]+[A-Z][a-zA-Z]*", text)) / len(text.split(" ")) > 0.05
+        )
+        assert r["looks_like_code"] == looks
