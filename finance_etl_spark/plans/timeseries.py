@@ -4848,3 +4848,192 @@ def ts_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "ts_lttb_unrolled",
+    tags=("timeseries", "downsample"),
+    oracle="""
+        WITH pts AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn,
+                   CAST(x * 1000000 AS BIGINT) AS yq
+            FROM (
+                SELECT CAST(ts AS DATE) AS d,
+                       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                            AS DECIMAL(18,6)) AS x
+                FROM events WHERE event_type = 'click'
+                GROUP BY CAST(ts AS DATE)
+            )
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts),
+        bounds AS (
+            SELECT i, 1 + (i * (n - 2)) // 6 AS bd
+            FROM generate_series(0, 6) t(i), nn
+        ),
+        bk AS (
+            SELECT gi.i AS b,
+                   b1.bd + 1 AS lo, b2.bd AS hi,
+                   CASE WHEN gi.i = 5 THEN nn.n ELSE b2.bd + 1 END AS nlo,
+                   CASE WHEN gi.i = 5 THEN nn.n ELSE b3.bd END AS nhi
+            FROM generate_series(0, 5) gi(i)
+            JOIN bounds b1 ON b1.i = gi.i
+            JOIN bounds b2 ON b2.i = gi.i + 1
+            LEFT JOIN bounds b3 ON b3.i = gi.i + 2
+            CROSS JOIN nn
+        ),
+        bstat AS (
+            SELECT bk.b, bk.lo, bk.hi,
+                   CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(p.rn) AS BIGINT) AS sx,
+                   CAST(SUM(p.yq) AS BIGINT) AS sy
+            FROM bk JOIN pts p ON p.rn BETWEEN bk.nlo AND bk.nhi
+            GROUP BY bk.b, bk.lo, bk.hi
+        ),
+        a0 AS (SELECT rn, yq FROM pts WHERE rn = 1),
+        a1 AS (
+            SELECT rn, yq FROM (
+                SELECT p.rn, p.yq, ROW_NUMBER() OVER (ORDER BY
+                    abs((s.m * a.rn - s.sx) * (p.yq - a.yq)
+                        - (a.rn - p.rn) * (s.m * a.yq - s.sy)) DESC,
+                    p.rn) AS pk
+                FROM bstat s, a0 a, pts p
+                WHERE s.b = 0 AND p.rn BETWEEN s.lo AND s.hi
+            ) WHERE pk = 1
+        ),
+        a2 AS (
+            SELECT rn, yq FROM (
+                SELECT p.rn, p.yq, ROW_NUMBER() OVER (ORDER BY
+                    abs((s.m * a.rn - s.sx) * (p.yq - a.yq)
+                        - (a.rn - p.rn) * (s.m * a.yq - s.sy)) DESC,
+                    p.rn) AS pk
+                FROM bstat s, a1 a, pts p
+                WHERE s.b = 1 AND p.rn BETWEEN s.lo AND s.hi
+            ) WHERE pk = 1
+        ),
+        a3 AS (
+            SELECT rn, yq FROM (
+                SELECT p.rn, p.yq, ROW_NUMBER() OVER (ORDER BY
+                    abs((s.m * a.rn - s.sx) * (p.yq - a.yq)
+                        - (a.rn - p.rn) * (s.m * a.yq - s.sy)) DESC,
+                    p.rn) AS pk
+                FROM bstat s, a2 a, pts p
+                WHERE s.b = 2 AND p.rn BETWEEN s.lo AND s.hi
+            ) WHERE pk = 1
+        ),
+        a4 AS (
+            SELECT rn, yq FROM (
+                SELECT p.rn, p.yq, ROW_NUMBER() OVER (ORDER BY
+                    abs((s.m * a.rn - s.sx) * (p.yq - a.yq)
+                        - (a.rn - p.rn) * (s.m * a.yq - s.sy)) DESC,
+                    p.rn) AS pk
+                FROM bstat s, a3 a, pts p
+                WHERE s.b = 3 AND p.rn BETWEEN s.lo AND s.hi
+            ) WHERE pk = 1
+        ),
+        a5 AS (
+            SELECT rn, yq FROM (
+                SELECT p.rn, p.yq, ROW_NUMBER() OVER (ORDER BY
+                    abs((s.m * a.rn - s.sx) * (p.yq - a.yq)
+                        - (a.rn - p.rn) * (s.m * a.yq - s.sy)) DESC,
+                    p.rn) AS pk
+                FROM bstat s, a4 a, pts p
+                WHERE s.b = 4 AND p.rn BETWEEN s.lo AND s.hi
+            ) WHERE pk = 1
+        ),
+        a6 AS (
+            SELECT rn, yq FROM (
+                SELECT p.rn, p.yq, ROW_NUMBER() OVER (ORDER BY
+                    abs((s.m * a.rn - s.sx) * (p.yq - a.yq)
+                        - (a.rn - p.rn) * (s.m * a.yq - s.sy)) DESC,
+                    p.rn) AS pk
+                FROM bstat s, a5 a, pts p
+                WHERE s.b = 5 AND p.rn BETWEEN s.lo AND s.hi
+            ) WHERE pk = 1
+        ),
+        sel AS (
+            SELECT 0 AS ord, rn, yq FROM a0
+            UNION ALL SELECT 1, rn, yq FROM a1
+            UNION ALL SELECT 2, rn, yq FROM a2
+            UNION ALL SELECT 3, rn, yq FROM a3
+            UNION ALL SELECT 4, rn, yq FROM a4
+            UNION ALL SELECT 5, rn, yq FROM a5
+            UNION ALL SELECT 6, rn, yq FROM a6
+            UNION ALL SELECT 7, p.rn, p.yq FROM pts p, nn WHERE p.rn = nn.n
+        )
+        SELECT CAST(ord AS INT) AS ord, CAST(rn AS BIGINT) AS rn,
+               CAST(yq AS BIGINT) AS yq
+        FROM sel ORDER BY ord
+    """,
+)
+def ts_lttb_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-oracled LTTB downsample (30 daily points -> 8) of the
+    click series — the oracle-promotion twin of the rows-only
+    ts_downsample_lttb, made exact by integer geometry: with x = the
+    day index and y = the q6-quantized daily value, the LTTB triangle
+    area (scaled by the next-bucket count m to clear the average's
+    division) is |(m*ax - Sx)(py - ay) - (ax - px)(m*ay - Sy)| — PURE
+    BIGINT, so every greedy pick is an exact arg-max with the
+    first-maximum (smallest-rn) tiebreak, and the oracle unrolls the
+    six bucket picks as chained CTEs (the farthest-point recipe). The
+    variant pins its own bucket convention (next-bucket = the points
+    of the following bucket; last interior bucket looks at the final
+    point). Spark runs the same six rounds over a persisted 30-row
+    relation with broadcast single-row anchors."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)")
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("yq")
+        )
+        .select(
+            F.row_number().over(Window.orderBy("d")).cast("bigint").alias("rn"),
+            "yq",
+        )
+        .persist()
+    )
+    n = daily.count()  # ONE scalar collect over the calendar-bounded relation
+    bounds = [1 + (i * (n - 2)) // 6 for i in range(7)]
+    sel = [daily.filter(F.col("rn") == 1).select("rn", "yq")]
+    anchor = sel[0]
+    for b in range(6):
+        lo, hi = bounds[b] + 1, bounds[b + 1]
+        if b == 5:
+            nlo, nhi = n, n
+        else:
+            nlo, nhi = bounds[b + 1] + 1, bounds[b + 2]
+        st = daily.filter(F.col("rn").between(nlo, nhi)).agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum("rn").cast("bigint").alias("sx"),
+            F.sum("yq").cast("bigint").alias("sy"),
+        )
+        a = anchor.select(F.col("rn").alias("arn"), F.col("yq").alias("ayq"))
+        area2 = F.abs(
+            (F.col("m") * F.col("arn") - F.col("sx")) * (F.col("yq") - F.col("ayq"))
+            - (F.col("arn") - F.col("rn")) * (F.col("m") * F.col("ayq") - F.col("sy"))
+        )
+        pick = (
+            daily.filter(F.col("rn").between(lo, hi))
+            .crossJoin(F.broadcast(a))
+            .crossJoin(F.broadcast(st))
+            .orderBy(area2.desc(), "rn")
+            .limit(1)
+            .select("rn", "yq")
+        )
+        sel.append(pick)
+        anchor = pick
+    sel.append(daily.filter(F.col("rn") == n).select("rn", "yq"))
+    out = None
+    for i, s_ in enumerate(sel):
+        row = s_.select(
+            F.lit(i).cast("int").alias("ord"),
+            F.col("rn").cast("bigint").alias("rn"),
+            F.col("yq").cast("bigint").alias("yq"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("ord")

@@ -2060,3 +2060,40 @@ def test_code_detect_matches_pure_python(spark):
             or len(_re.findall("[a-z]+[A-Z][a-zA-Z]*", text)) / len(text.split(" ")) > 0.05
         )
         assert r["looks_like_code"] == looks
+
+
+def test_lttb_unrolled_matches_pure_python(spark):
+    got = plans.get("ts_lttb_unrolled").build(spark, SF).collect()
+    rows = _fetch(
+        "SELECT CAST(ts AS DATE) d,"
+        " CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))"
+        "      * 1000000 AS BIGINT)"
+        f" FROM read_parquet('{SF}/events.parquet')"
+        " WHERE event_type = 'click' GROUP BY 1 ORDER BY 1"
+    )
+    yq = [r[1] for r in rows]
+    n = len(yq)
+    bounds = [1 + (i * (n - 2)) // 6 for i in range(7)]
+    sel = [(1, yq[0])]
+    arn, ayq = 1, yq[0]
+    for b in range(6):
+        lo, hi = bounds[b] + 1, bounds[b + 1]
+        if b == 5:
+            nlo, nhi = n, n
+        else:
+            nlo, nhi = bounds[b + 1] + 1, bounds[b + 2]
+        m = nhi - nlo + 1
+        sx = sum(range(nlo, nhi + 1))
+        sy = sum(yq[i - 1] for i in range(nlo, nhi + 1))
+        best = None
+        for rn in range(lo, hi + 1):
+            a2 = abs(
+                (m * arn - sx) * (yq[rn - 1] - ayq)
+                - (arn - rn) * (m * ayq - sy)
+            )
+            if best is None or a2 > best[0]:
+                best = (a2, rn)
+        arn, ayq = best[1], yq[best[1] - 1]
+        sel.append((arn, ayq))
+    sel.append((n, yq[-1]))
+    assert [(r["rn"], r["yq"]) for r in sorted(got, key=lambda r: r["ord"])] == sel
