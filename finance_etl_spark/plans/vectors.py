@@ -2197,3 +2197,244 @@ def vec_kmeans_unrolled2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "vec_mmr_unrolled",
+    tags=("vector", "rerank", "agg"),
+    oracle="""
+        WITH el AS MATERIALIZED (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, dim, val AS qval
+            FROM el WHERE vec_id IN (1, 100, 250)
+        ),
+        rel AS MATERIALIZED (
+            SELECT p.query_id, e.vec_id,
+                   CAST(SUM(CAST(FLOOR(e.val * p.qval * 1e12)
+                        AS DECIMAL(38,0))) AS BIGINT) AS relq
+            FROM el e JOIN probes p ON p.dim = e.dim
+            WHERE e.vec_id <> p.query_id
+            GROUP BY p.query_id, e.vec_id
+        ),
+        pool AS MATERIALIZED (
+            SELECT query_id, vec_id, relq FROM (
+                SELECT query_id, vec_id, relq,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY relq DESC, vec_id) AS rk
+                FROM rel
+            ) WHERE rk <= 8
+        ),
+        sim AS MATERIALIZED (
+            SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+                   CAST(SUM(CAST(FLOOR(ea.val * eb.val * 1e12)
+                        AS DECIMAL(38,0))) AS BIGINT) AS simq
+            FROM pool a
+            JOIN pool b ON b.query_id = a.query_id AND b.vec_id <> a.vec_id
+            JOIN el ea ON ea.vec_id = a.vec_id
+            JOIN el eb ON eb.vec_id = b.vec_id AND eb.dim = ea.dim
+            GROUP BY a.query_id, a.vec_id, b.vec_id
+        ),
+        s1 AS (
+            SELECT query_id, vec_id, relq FROM (
+                SELECT query_id, vec_id, relq,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY relq DESC, vec_id) AS pk
+                FROM pool
+            ) WHERE pk = 1
+        ),
+        c2 AS (
+            SELECT p.query_id, p.vec_id, p.relq,
+                   7 * p.relq - 3 * MAX(s.simq) AS score
+            FROM pool p
+            JOIN s1 ON s1.query_id = p.query_id AND p.vec_id <> s1.vec_id
+            JOIN sim s ON s.query_id = p.query_id AND s.va = p.vec_id
+                      AND s.vb = s1.vec_id
+            GROUP BY p.query_id, p.vec_id, p.relq
+        ),
+        s2 AS (
+            SELECT query_id, vec_id, relq FROM (
+                SELECT query_id, vec_id, relq,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, vec_id) AS pk
+                FROM c2
+            ) WHERE pk = 1
+        ),
+        sel2 AS (
+            SELECT query_id, vec_id FROM s1
+            UNION ALL SELECT query_id, vec_id FROM s2
+        ),
+        c3 AS (
+            SELECT p.query_id, p.vec_id, p.relq,
+                   7 * p.relq - 3 * MAX(s.simq) AS score
+            FROM pool p
+            JOIN sim s ON s.query_id = p.query_id AND s.va = p.vec_id
+            JOIN sel2 ON sel2.query_id = s.query_id
+                     AND sel2.vec_id = s.vb
+            WHERE p.vec_id NOT IN (SELECT vec_id FROM sel2
+                                   WHERE sel2.query_id = p.query_id)
+            GROUP BY p.query_id, p.vec_id, p.relq
+        ),
+        s3 AS (
+            SELECT query_id, vec_id, relq FROM (
+                SELECT query_id, vec_id, relq,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, vec_id) AS pk
+                FROM c3
+            ) WHERE pk = 1
+        ),
+        sel3 AS (
+            SELECT query_id, vec_id FROM sel2
+            UNION ALL SELECT query_id, vec_id FROM s3
+        ),
+        c4 AS (
+            SELECT p.query_id, p.vec_id, p.relq,
+                   7 * p.relq - 3 * MAX(s.simq) AS score
+            FROM pool p
+            JOIN sim s ON s.query_id = p.query_id AND s.va = p.vec_id
+            JOIN sel3 ON sel3.query_id = s.query_id
+                     AND sel3.vec_id = s.vb
+            WHERE p.vec_id NOT IN (SELECT vec_id FROM sel3
+                                   WHERE sel3.query_id = p.query_id)
+            GROUP BY p.query_id, p.vec_id, p.relq
+        ),
+        s4 AS (
+            SELECT query_id, vec_id, relq FROM (
+                SELECT query_id, vec_id, relq,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, vec_id) AS pk
+                FROM c4
+            ) WHERE pk = 1
+        ),
+        final AS (
+            SELECT query_id, 1 AS pick, vec_id, relq FROM s1
+            UNION ALL SELECT query_id, 2, vec_id, relq FROM s2
+            UNION ALL SELECT query_id, 3, vec_id, relq FROM s3
+            UNION ALL SELECT query_id, 4, vec_id, relq FROM s4
+        )
+        SELECT query_id, CAST(pick AS INT) AS pick, vec_id, relq
+        FROM final ORDER BY query_id, pick
+    """,
+)
+def vec_mmr_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-oracled MMR re-ranking (lambda=0.7, 4 picks from a MIPS
+    top-8 pool per probe) — the oracle-promotion twin of the rows-only
+    vec_mmr_rerank, made integer-decidable by quantization at birth:
+    relevance and pairwise similarity are sums of per-dimension
+    FLOOR(product * 1e12) terms (order-free exact integers from
+    bit-identical doubles), so the greedy selection 7*rel - 3*max_sim
+    is pure BIGINT arithmetic with a (score, vec_id) tiebreak, and the
+    oracle unrolls the picks as chained CTEs. Spark runs the same
+    rounds over a persisted pool/sim pair (24 and ~170 rows); the only
+    corpus-scale work is the relevance scan against three broadcast
+    probes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    el = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "val")
+    ).select(
+        "vec_id", (F.col("dim0") + 1).alias("dim"), F.col("val").cast("double").alias("val")
+    )
+    probes = el.filter(F.col("vec_id").isin(1, 100, 250)).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("val").alias("qval")
+    )
+    rel = (
+        el.join(F.broadcast(probes), "dim")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(
+                F.floor(F.col("val") * F.col("qval") * F.lit(1e12)).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("bigint")
+            .alias("relq")
+        )
+    )
+    wpool = Window.partitionBy("query_id").orderBy(F.col("relq").desc(), "vec_id")
+    pool = (
+        rel.withColumn("rk", F.row_number().over(wpool))
+        .filter(F.col("rk") <= 8)
+        .select("query_id", "vec_id", "relq")
+        .persist()
+    )
+    pa = pool.select("query_id", F.col("vec_id").alias("va"))
+    pb = pool.select(F.col("query_id").alias("qb"), F.col("vec_id").alias("vb"))
+    ea = el.select(F.col("vec_id").alias("va"), "dim", F.col("val").alias("va_val"))
+    eb = el.select(
+        F.col("vec_id").alias("vbx"),
+        F.col("dim").alias("dim_b"),
+        F.col("val").alias("vb_val"),
+    )
+    sim = (
+        pa.join(pb, (F.col("query_id") == F.col("qb")) & (F.col("va") != F.col("vb")))
+        .join(ea, "va")
+        .join(eb, (F.col("vb") == F.col("vbx")) & (F.col("dim") == F.col("dim_b")))
+        .groupBy("query_id", "va", "vb")
+        .agg(
+            F.sum(
+                F.floor(F.col("va_val") * F.col("vb_val") * F.lit(1e12)).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("bigint")
+            .alias("simq")
+        )
+        .persist()
+    )
+    wpick = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+    s1 = (
+        pool.withColumn("score", F.col("relq"))
+        .withColumn("pk", F.row_number().over(wpick))
+        .filter(F.col("pk") == 1)
+        .select("query_id", "vec_id", "relq")
+    )
+    picks = [s1]
+    selected = s1.select("query_id", F.col("vec_id").alias("sel_vid"))
+    for _ in range(3):
+        cand = (
+            pool.join(selected, ["query_id"], "inner")
+            .filter(F.col("vec_id") != F.col("sel_vid"))
+            .groupBy("query_id", "vec_id", "relq")
+            .agg(F.count(F.lit(1)).alias("n_ok"))
+            .join(
+                selected.groupBy("query_id").agg(
+                    F.count(F.lit(1)).alias("n_sel")
+                ),
+                "query_id",
+            )
+            .filter(F.col("n_ok") == F.col("n_sel"))  # not yet selected
+            .select("query_id", "vec_id", "relq")
+        )
+        scored = (
+            cand.join(
+                sim.withColumnRenamed("va", "vec_id"),
+                ["query_id", "vec_id"],
+            )
+            .join(
+                selected.withColumnRenamed("sel_vid", "vb"),
+                ["query_id", "vb"],
+            )
+            .groupBy("query_id", "vec_id", "relq")
+            .agg(F.max("simq").alias("max_sim"))
+            .withColumn("score", 7 * F.col("relq") - 3 * F.col("max_sim"))
+        )
+        pick = (
+            scored.withColumn("pk", F.row_number().over(wpick))
+            .filter(F.col("pk") == 1)
+            .select("query_id", "vec_id", "relq")
+        )
+        picks.append(pick)
+        selected = selected.unionAll(
+            pick.select("query_id", F.col("vec_id").alias("sel_vid"))
+        )
+    out = None
+    for i, p_ in enumerate(picks, start=1):
+        row = p_.select(
+            "query_id", F.lit(i).cast("int").alias("pick"), "vec_id", "relq"
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("query_id", "pick")

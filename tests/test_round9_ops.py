@@ -2097,3 +2097,37 @@ def test_lttb_unrolled_matches_pure_python(spark):
         sel.append((arn, ayq))
     sel.append((n, yq[-1]))
     assert [(r["rn"], r["yq"]) for r in sorted(got, key=lambda r: r["ord"])] == sel
+
+
+def test_mmr_unrolled_matches_pure_python(spark):
+    got = {}
+    for r in plans.get("vec_mmr_unrolled").build(spark, SF).collect():
+        got.setdefault(r["query_id"], []).append((r["pick"], r["vec_id"], r["relq"]))
+    rows = _fetch(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    vecs = {vid: [float(x) for x in emb] for vid, emb in rows}
+
+    def iq(u, v):
+        return sum(int(math.floor(a * b * 1e12)) for a, b in zip(u, v))
+
+    for q in (1, 100, 250):
+        rel = {
+            vid: iq(vecs[vid], vecs[q]) for vid in vecs if vid != q
+        }
+        pool = sorted(rel, key=lambda v: (-rel[v], v))[:8]
+        selected = []
+        picks = []
+        for step in range(4):
+            if step == 0:
+                best = min(pool, key=lambda v: (-rel[v], v))
+            else:
+                cands = [v for v in pool if v not in selected]
+                def score(v):
+                    return 7 * rel[v] - 3 * max(
+                        iq(vecs[v], vecs[s]) for s in selected
+                    )
+                best = min(cands, key=lambda v: (-score(v), v))
+            selected.append(best)
+            picks.append((step + 1, best, rel[best]))
+        assert sorted(got[q]) == picks
