@@ -4987,3 +4987,86 @@ def ml_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("v"),
         ).alias("chi2_logrank"),
     )
+
+
+@register(
+    "ml_calibration_ece",
+    tags=("ml", "eval", "agg"),
+    oracle="""
+        WITH scored AS (
+            SELECT LEAST(9, CAST(FLOOR(CAST(l_quantity AS DOUBLE) / 50.0
+                        * 10) AS INT)) AS bin,
+                   CAST(l_quantity AS DECIMAL(12,2)) AS q,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+            FROM lineitem
+        ),
+        bins AS (
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_b,
+                   CAST(CAST(SUM(q) AS VARCHAR) AS DOUBLE) / 50 AS sp,
+                   CAST(SUM(y) AS BIGINT) AS k
+            FROM scored GROUP BY bin
+        ),
+        tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n FROM bins),
+        terms AS (
+            SELECT b.bin, b.n_b, t.n,
+                   abs(CAST(b.k AS DOUBLE) / b.n_b - b.sp / b.n_b) AS gap,
+                   CAST(b.n_b AS DOUBLE) / t.n
+                     * abs(CAST(b.k AS DOUBLE) / b.n_b - b.sp / b.n_b)
+                       AS w_gap
+            FROM bins b CROSS JOIN tot t
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               list_reduce(list(w_gap ORDER BY bin), (a, x) -> a + x) AS ece,
+               MAX(gap) AS mce
+        FROM terms
+    """,
+)
+def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected and Maximum Calibration Error over the same declared
+    score map as ml_calibration_bins: per-bin accuracy and confidence
+    come from exact integer counts and exact decimal score sums; each
+    bin's |acc - conf| gap is one shared double expression, the ECE
+    weights fold in PINNED bin order, and MCE is a plain max. The
+    single scalar every calibration paper quotes, from one grouped
+    scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.least(
+            F.lit(9),
+            F.floor(F.col("l_quantity").cast("double") / F.lit(50.0) * 10).cast(
+                "int"
+            ),
+        ).alias("bin"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("q"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    # sum the EXACT decimal quantity and divide by 50 once at the edge
+    # (a per-row DECIMAL/INT division demotes to DOUBLE on DuckDB and
+    # the per-bin sum becomes order-dependent — the Brier lesson)
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        (as_d(F.sum("q")) / F.lit(50.0)).alias("sp"),
+        F.sum("y").cast("bigint").alias("k"),
+    )
+    tot = bins.agg(F.sum("n_b").cast("bigint").alias("n"))
+    gap = F.abs(
+        F.col("k").cast("double") / F.col("n_b") - F.col("sp") / F.col("n_b")
+    )
+    terms = bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        gap.alias("gap"),
+        (F.col("n_b").cast("double") / F.col("n") * gap).alias("w_gap"),
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bin", F.col("w_gap").alias("t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("ece"),
+        F.max("gap").alias("mce"),
+    )

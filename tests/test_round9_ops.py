@@ -2131,3 +2131,30 @@ def test_mmr_unrolled_matches_pure_python(spark):
             selected.append(best)
             picks.append((step + 1, best, rel[best]))
         assert sorted(got[q]) == picks
+
+
+def test_calibration_ece_matches_numpy(spark):
+    row = plans.get("ml_calibration_ece").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT CAST(l_quantity AS DOUBLE), CAST(l_returnflag = 'R' AS INT)"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    q = np.array([r[0] for r in rows])
+    y = np.array([r[1] for r in rows])
+    bins = np.minimum(9, np.floor(q / 50.0 * 10).astype(int))
+    n = len(q)
+    ece = 0.0
+    mce = 0.0
+    n_bins = 0
+    for b in sorted(set(bins)):
+        m = bins == b
+        nb = int(m.sum())
+        acc = y[m].mean()
+        conf = q[m].mean() / 50.0
+        gap = abs(acc - conf)
+        ece += nb / n * gap
+        mce = max(mce, gap)
+        n_bins += 1
+    assert row["n"] == n and row["n_bins"] == n_bins
+    assert row["ece"] == pytest.approx(ece, rel=1e-9)
+    assert row["mce"] == pytest.approx(mce, rel=1e-9)
