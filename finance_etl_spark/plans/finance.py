@@ -2545,3 +2545,108 @@ def fin_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rec_month")
     )
+
+
+@register(
+    "fin_zero_curve_bootstrap",
+    tags=("finance", "closed-form"),
+    oracle="""
+        WITH par AS (
+            SELECT n_nationkey,
+                   CAST(0.01 AS DOUBLE)
+                     + CAST(n_nationkey % 10 AS DOUBLE) * CAST(0.004 AS DOUBLE)
+                       AS p1
+            FROM nation
+        ),
+        curve AS (
+            SELECT n_nationkey, p1,
+                   p1 + CAST(0.0020 AS DOUBLE) AS p2,
+                   p1 + CAST(0.0035 AS DOUBLE) AS p3,
+                   p1 + CAST(0.0045 AS DOUBLE) AS p4,
+                   p1 + CAST(0.0050 AS DOUBLE) AS p5
+            FROM par
+        ),
+        boot AS (
+            SELECT *,
+                   CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + p1) AS d1
+            FROM curve
+        ),
+        b2 AS (SELECT *, (CAST(1 AS DOUBLE) - p2 * d1)
+                         / (CAST(1 AS DOUBLE) + p2) AS d2 FROM boot),
+        b3 AS (SELECT *, (CAST(1 AS DOUBLE) - p3 * (d1 + d2))
+                         / (CAST(1 AS DOUBLE) + p3) AS d3 FROM b2),
+        b4 AS (SELECT *, (CAST(1 AS DOUBLE) - p4 * (d1 + d2 + d3))
+                         / (CAST(1 AS DOUBLE) + p4) AS d4 FROM b3),
+        b5 AS (SELECT *, (CAST(1 AS DOUBLE) - p5 * (d1 + d2 + d3 + d4))
+                         / (CAST(1 AS DOUBLE) + p5) AS d5 FROM b4)
+        SELECT n_nationkey,
+               CAST(FLOOR(d1 * 1e8) AS BIGINT) AS d1_q8,
+               CAST(FLOOR(d5 * 1e8) AS BIGINT) AS d5_q8,
+               CAST(FLOOR((pow(d1, CAST(-1 AS DOUBLE)) - 1) * 1e8)
+                    AS BIGINT) AS z1_q8,
+               CAST(FLOOR((pow(d2, CAST(-1 AS DOUBLE) / 2) - 1) * 1e8)
+                    AS BIGINT) AS z2_q8,
+               CAST(FLOOR((pow(d3, CAST(-1 AS DOUBLE) / 3) - 1) * 1e8)
+                    AS BIGINT) AS z3_q8,
+               CAST(FLOOR((pow(d4, CAST(-1 AS DOUBLE) / 4) - 1) * 1e8)
+                    AS BIGINT) AS z4_q8,
+               CAST(FLOOR((pow(d5, CAST(-1 AS DOUBLE) / 5) - 1) * 1e8)
+                    AS BIGINT) AS z5_q8
+        FROM b5
+        ORDER BY n_nationkey
+    """,
+)
+def fin_zero_curve_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-coupon curve bootstrapping from a 5-point par-yield curve
+    per nation: the classic recursion d_t = (1 - p_t * sum_{i<t} d_i)
+    / (1 + p_t) unrolled as five chained column expressions — pure
+    per-row arithmetic, no aggregation, no shuffle, bit-identical on
+    both engines; annualized zero rates come off the discount factors
+    with one pow each, and every output floor-quantizes at q8 (pow is
+    libm — the quantize discipline). This is the curve-construction
+    step upstream of every pricing op in the fin family."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    one = F.lit(1.0)
+    p1 = F.lit(0.01) + (F.col("n_nationkey") % 10).cast("double") * F.lit(0.004)
+    c = n.select(
+        "n_nationkey",
+        p1.alias("p1"),
+        (p1 + F.lit(0.0020)).alias("p2"),
+        (p1 + F.lit(0.0035)).alias("p3"),
+        (p1 + F.lit(0.0045)).alias("p4"),
+        (p1 + F.lit(0.0050)).alias("p5"),
+    )
+    c = c.withColumn("d1", one / (one + F.col("p1")))
+    c = c.withColumn(
+        "d2", (one - F.col("p2") * F.col("d1")) / (one + F.col("p2"))
+    )
+    c = c.withColumn(
+        "d3",
+        (one - F.col("p3") * (F.col("d1") + F.col("d2"))) / (one + F.col("p3")),
+    )
+    c = c.withColumn(
+        "d4",
+        (one - F.col("p4") * (F.col("d1") + F.col("d2") + F.col("d3")))
+        / (one + F.col("p4")),
+    )
+    c = c.withColumn(
+        "d5",
+        (
+            one
+            - F.col("p5")
+            * (F.col("d1") + F.col("d2") + F.col("d3") + F.col("d4"))
+        )
+        / (one + F.col("p5")),
+    )
+    q8 = lambda col: F.floor(col * F.lit(1e8)).cast("bigint")  # noqa: E731
+    z = lambda d, t: F.pow(F.col(d), F.lit(-1.0) / t) - one  # noqa: E731
+    return c.select(
+        "n_nationkey",
+        q8(F.col("d1")).alias("d1_q8"),
+        q8(F.col("d5")).alias("d5_q8"),
+        q8(z("d1", 1)).alias("z1_q8"),
+        q8(z("d2", 2)).alias("z2_q8"),
+        q8(z("d3", 3)).alias("z3_q8"),
+        q8(z("d4", 4)).alias("z4_q8"),
+        q8(z("d5", 5)).alias("z5_q8"),
+    ).orderBy("n_nationkey")

@@ -2158,3 +2158,24 @@ def test_calibration_ece_matches_numpy(spark):
     assert row["n"] == n and row["n_bins"] == n_bins
     assert row["ece"] == pytest.approx(ece, rel=1e-9)
     assert row["mce"] == pytest.approx(mce, rel=1e-9)
+
+
+def test_zero_curve_bootstrap_matches_pure_python(spark):
+    got = {r["n_nationkey"]: r for r in plans.get("fin_zero_curve_bootstrap").build(spark, SF).collect()}
+    for nk in range(25):
+        p1 = 0.01 + (nk % 10) * 0.004
+        ps = [p1, p1 + 0.0020, p1 + 0.0035, p1 + 0.0045, p1 + 0.0050]
+        ds = []
+        for t, p in enumerate(ps, start=1):
+            d = (1 - p * sum(ds)) / (1 + p)
+            ds.append(d)
+        r = got[nk]
+        assert r["d1_q8"] == math.floor(ds[0] * 1e8)
+        assert r["d5_q8"] == math.floor(ds[4] * 1e8)
+        for t in range(1, 6):
+            z = ds[t - 1] ** (-1.0 / t) - 1
+            assert r[f"z{t}_q8"] == pytest.approx(math.floor(z * 1e8), abs=1)
+        # sanity: par bond at each tenor reprices to 1 under the curve
+        for t, p in enumerate(ps, start=1):
+            pv = p * sum(ds[:t]) + ds[t - 1]
+            assert pv == pytest.approx(1.0, abs=1e-12)
