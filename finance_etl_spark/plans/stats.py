@@ -2787,3 +2787,84 @@ def stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - half) / denom).alias("wilson_lo"),
         ((center + half) / denom).alias("wilson_hi"),
     ).orderBy("segment")
+
+
+@register(
+    "stat_ttest_paired",
+    tags=("stats", "agg"),
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                        THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT) ELSE 0 END) AS BIGINT) AS pre,
+                   CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                        THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT) ELSE 0 END) AS BIGINT) AS post
+            FROM orders GROUP BY o_custkey
+        ),
+        d AS (
+            SELECT post - pre AS diff FROM per_cust
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(diff) AS BIGINT) AS sd_,
+                   CAST(CAST(SUM(CAST(diff AS DECIMAL(19,0)) * diff)
+                        AS VARCHAR) AS DOUBLE) AS sdd
+            FROM d
+        )
+        SELECT n,
+               CAST(sd_ AS DOUBLE) / CAST(n AS DOUBLE) / 100 AS mean_diff,
+               sqrt((sdd - CAST(sd_ AS DOUBLE) * sd_ / n) / (n - 1)) / 100
+                   AS sd_diff,
+               CASE WHEN sdd - CAST(sd_ AS DOUBLE) * sd_ / n > 0 THEN
+                   (CAST(sd_ AS DOUBLE) / n)
+                   / (sqrt((sdd - CAST(sd_ AS DOUBLE) * sd_ / n) / (n - 1))
+                      / sqrt(CAST(n AS DOUBLE))) END AS t_stat,
+               CAST(n - 1 AS BIGINT) AS df
+        FROM s
+    """,
+)
+def stat_ttest_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t-test on per-customer spend, pre- vs post-1996: the
+    pair differences are EXACT integer cents (one grouped scan), so
+    mean, SD, and the t statistic are single double expressions over
+    exact sufficient statistics, NULL-guarded for the zero-variance
+    degenerate. The pairing-by-entity shape (difference first, then
+    one-sample t) is what removes the between-customer variance that
+    an unpaired test would drown in."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("o_orderdate") < cutoff, cents).otherwise(0))
+        .cast("bigint")
+        .alias("pre"),
+        F.sum(F.when(F.col("o_orderdate") >= cutoff, cents).otherwise(0))
+        .cast("bigint")
+        .alias("post"),
+    )
+    d = per_cust.select((F.col("post") - F.col("pre")).alias("diff"))
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    s = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("diff").cast("bigint").alias("sd_"),
+        as_d(
+            F.sum(F.col("diff").cast("decimal(19,0)") * F.col("diff")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sdd"),
+    )
+    nd_ = F.col("n").cast("double")
+    ss = F.col("sdd") - F.col("sd_").cast("double") * F.col("sd_") / nd_
+    sd_diff = F.sqrt(ss / (nd_ - 1))
+    return s.select(
+        "n",
+        (F.col("sd_").cast("double") / nd_ / F.lit(100.0)).alias("mean_diff"),
+        (sd_diff / F.lit(100.0)).alias("sd_diff"),
+        F.when(
+            ss > 0,
+            (F.col("sd_").cast("double") / nd_) / (sd_diff / F.sqrt(nd_)),
+        ).alias("t_stat"),
+        (F.col("n") - 1).cast("bigint").alias("df"),
+    )

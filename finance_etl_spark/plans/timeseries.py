@@ -5037,3 +5037,225 @@ def ts_lttb_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("ord")
+
+
+@register(
+    "ts_kpss_level",
+    tags=("timeseries", "stats", "window"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xq,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(ts AS DATE)) AS rn
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        st AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(xq) AS BIGINT) AS sx,
+                   CAST(CAST(SUM(CAST(xq AS DECIMAL(19,0)) * xq)
+                        AS VARCHAR) AS DOUBLE) AS sxx
+            FROM daily GROUP BY event_type
+        ),
+        pre AS (
+            SELECT d.event_type, d.rn,
+                   CAST(SUM(d.xq) OVER (PARTITION BY d.event_type ORDER BY d.rn
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix
+            FROM daily d
+        ),
+        num AS (
+            SELECT p.event_type,
+                   CAST(CAST(SUM(
+                       (CAST(s.n AS DECIMAL(38,0)) * p.prefix
+                        - CAST(p.rn AS DECIMAL(38,0)) * s.sx)
+                       * (CAST(s.n AS DECIMAL(38,0)) * p.prefix
+                          - CAST(p.rn AS DECIMAL(38,0)) * s.sx)
+                   ) AS VARCHAR) AS DOUBLE) AS ss2_scaled
+            FROM pre p JOIN st s ON s.event_type = p.event_type
+            GROUP BY p.event_type
+        ),
+        pairs AS (
+            SELECT a.event_type, ks.l,
+                   CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(SUM(a.xq) AS BIGINT) AS spx,
+                   CAST(SUM(b.xq) AS BIGINT) AS spy,
+                   CAST(CAST(SUM(CAST(a.xq AS DECIMAL(19,0)) * b.xq)
+                        AS VARCHAR) AS DOUBLE) AS spxy
+            FROM daily a
+            CROSS JOIN (SELECT unnest([1, 2, 3]) AS l) ks
+            JOIN daily b ON b.event_type = a.event_type
+                        AND b.rn = a.rn - ks.l
+            GROUP BY a.event_type, ks.l
+        ),
+        gam AS (
+            SELECT p.event_type, p.l,
+                   (p.spxy
+                    - (CAST(s.sx AS DOUBLE) / s.n)
+                      * (CAST(p.spx AS DOUBLE) + p.spy)
+                    + CAST(p.c AS DOUBLE)
+                      * (CAST(s.sx AS DOUBLE) / s.n)
+                      * (CAST(s.sx AS DOUBLE) / s.n)) / s.n AS g
+            FROM pairs p JOIN st s ON s.event_type = p.event_type
+        ),
+        lrv AS (
+            SELECT s.event_type, s.n,
+                   (s.sxx - CAST(s.sx AS DOUBLE) * s.sx / s.n) / s.n
+                     + 2 * list_reduce(
+                           list((1 - CAST(g2.l AS DOUBLE) / 4) * g2.g
+                                ORDER BY g2.l),
+                           (a, x) -> a + x) AS s2_lr
+            FROM st s JOIN gam g2 ON g2.event_type = s.event_type
+            GROUP BY s.event_type, s.n, s.sxx, s.sx
+        )
+        SELECT l.event_type, l.n,
+               l.s2_lr / 1e12 AS long_run_var,
+               CASE WHEN l.s2_lr > 0 THEN
+                   (m.ss2_scaled
+                    / (CAST(l.n AS DOUBLE) * l.n * l.n * l.n))
+                   / l.s2_lr END AS kpss_stat
+        FROM lrv l JOIN num m ON m.event_type = l.event_type
+        ORDER BY l.event_type
+    """,
+)
+def ts_kpss_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic per daily series (Bartlett
+    window, 3 lags): the partial sums of demeaned values ride the
+    CUSUM integer scaling (S_t = (n*prefix_t - t*S)/n, so sum of S_t²
+    is an EXACT DECIMAL(38,0) sum divided by n⁴ once), and each
+    autocovariance expands into exact power sums exactly as in
+    ts_ljung_box — no order-dependent float accumulation anywhere.
+    The Bartlett-weighted long-run variance folds its three lag terms
+    in pinned lag order; the statistic is one guarded double edge.
+    The complement of the Mann-Kendall/runs tests: KPSS's null is
+    stationarity, so it catches drifting pipelines those tests
+    miss."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)")
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("xq")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("event_type").orderBy("d")),
+        )
+    )
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xq").cast("bigint").alias("sx"),
+        as_d(
+            F.sum(F.col("xq").cast("decimal(19,0)") * F.col("xq")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sxx"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = daily.select(
+        "event_type",
+        "rn",
+        F.sum("xq").over(wcum).cast("bigint").alias("prefix"),
+    )
+    stj = st.select(F.col("event_type").alias("et_s"), "n", "sx", "sxx")
+    dev = (
+        F.col("n").cast("decimal(38,0)") * F.col("prefix")
+        - F.col("rn").cast("decimal(38,0)") * F.col("sx")
+    )
+    num = (
+        pre.join(F.broadcast(stj), F.col("event_type") == F.col("et_s"))
+        .groupBy("event_type")
+        .agg(as_d(F.sum(dev * dev)).alias("ss2_scaled"))
+    )
+    ks = spark.range(1, 4).select(F.col("id").cast("int").alias("l"))
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("rn").alias("rn_b"),
+        F.col("xq").alias("xl"),
+    )
+    pairs = (
+        daily.join(F.broadcast(ks))
+        .join(
+            b,
+            (F.col("event_type") == F.col("et_b"))
+            & (F.col("rn_b") == F.col("rn") - F.col("l")),
+        )
+        .groupBy("event_type", "l")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum("xq").cast("bigint").alias("spx"),
+            F.sum("xl").cast("bigint").alias("spy"),
+            as_d(
+                F.sum(F.col("xq").cast("decimal(19,0)") * F.col("xl")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("spxy"),
+        )
+    )
+    mu = F.col("sx").cast("double") / F.col("n")
+    gam = pairs.join(
+        F.broadcast(stj), F.col("event_type") == F.col("et_s")
+    ).select(
+        "event_type",
+        "l",
+        (
+            (
+                F.col("spxy")
+                - mu * (F.col("spx").cast("double") + F.col("spy"))
+                + F.col("c").cast("double") * mu * mu
+            )
+            / F.col("n")
+        ).alias("g"),
+    )
+    lrv = (
+        st.join(gam, "event_type")
+        .groupBy("event_type", "n", "sxx", "sx")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "l",
+                            (
+                                (1 - F.col("l").cast("double") / 4) * F.col("g")
+                            ).alias("t"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, s_: acc + s_["t"],
+            ).alias("wsum")
+        )
+        .select(
+            "event_type",
+            "n",
+            (
+                (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+                / F.col("n")
+                + 2 * F.col("wsum")
+            ).alias("s2_lr"),
+        )
+    )
+    nd_ = F.col("n").cast("double")
+    return (
+        lrv.join(num, "event_type")
+        .select(
+            "event_type",
+            "n",
+            (F.col("s2_lr") / F.lit(1e12)).alias("long_run_var"),
+            F.when(
+                F.col("s2_lr") > 0,
+                (F.col("ss2_scaled") / (nd_ * nd_ * nd_ * nd_)) / F.col("s2_lr"),
+            ).alias("kpss_stat"),
+        )
+        .orderBy("event_type")
+    )

@@ -2179,3 +2179,42 @@ def test_zero_curve_bootstrap_matches_pure_python(spark):
         for t, p in enumerate(ps, start=1):
             pv = p * sum(ds[:t]) + ds[t - 1]
             assert pv == pytest.approx(1.0, abs=1e-12)
+
+
+def test_ttest_paired_matches_numpy(spark):
+    row = plans.get("stat_ttest_paired").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'"
+        " THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))*100 AS BIGINT) ELSE 0 END)"
+        " - SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'"
+        " THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))*100 AS BIGINT) ELSE 0 END)"
+        f" FROM read_parquet('{SF}/orders.parquet') GROUP BY o_custkey"
+    )
+    d = np.array([r[0] for r in rows], dtype=np.float64)
+    n = len(d)
+    t = d.mean() / (d.std(ddof=1) / math.sqrt(n))
+    assert row["n"] == n and row["df"] == n - 1
+    assert row["mean_diff"] == pytest.approx(d.mean() / 100, rel=1e-9)
+    assert row["sd_diff"] == pytest.approx(d.std(ddof=1) / 100, rel=1e-9)
+    assert row["t_stat"] == pytest.approx(t, rel=1e-9)
+
+
+def test_kpss_matches_numpy(spark, daily_series):
+    got = {r["event_type"]: r for r in plans.get("ts_kpss_level").build(spark, SF).collect()}
+    for et, x in daily_series.items():
+        xq = np.array([round(v * 1e6) for v in x], dtype=np.float64)
+        n = len(xq)
+        e = xq - xq.mean()
+        s_t = np.cumsum(e)
+        num = (s_t**2).sum() / n**2
+        g0 = (e * e).sum() / n
+        s2 = g0
+        for l in (1, 2, 3):
+            g = (e[l:] * e[:-l]).sum() / n
+            s2 += 2 * (1 - l / 4) * g
+        kpss = num / n / s2 * n  # = num/(n*s2) ... see below
+        # canonical: eta = n^-2 * sum S_t^2 / s2_lr
+        kpss = ((s_t**2).sum() / n**2) / s2
+        r = got[et]
+        assert r["long_run_var"] == pytest.approx(s2 / 1e12, rel=1e-9)
+        assert r["kpss_stat"] == pytest.approx(kpss, rel=1e-9)
