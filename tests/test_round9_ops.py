@@ -2212,9 +2212,8 @@ def test_kpss_matches_numpy(spark, daily_series):
         for l in (1, 2, 3):
             g = (e[l:] * e[:-l]).sum() / n
             s2 += 2 * (1 - l / 4) * g
-        kpss = num / n / s2 * n  # = num/(n*s2) ... see below
         # canonical: eta = n^-2 * sum S_t^2 / s2_lr
-        kpss = ((s_t**2).sum() / n**2) / s2
+        kpss = num / s2
         r = got[et]
         assert r["long_run_var"] == pytest.approx(s2 / 1e12, rel=1e-9)
         assert r["kpss_stat"] == pytest.approx(kpss, rel=1e-9)
