@@ -5070,3 +5070,248 @@ def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ece"),
         F.max("gap").alias("mce"),
     )
+
+
+_BAG_B = 16
+_BAG_POIS = (24109, 48218, 60273, 64291, 65296, 65497, 65530, 65535)
+
+
+def _bag_pois_sql(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BAG_POIS)
+    )
+    return f"CASE {arms} ELSE {len(_BAG_POIS)} END"
+
+
+@register(
+    "ml_bagging_oob",
+    tags=("ml", "ensemble", "agg"),
+    oracle=f"""
+        WITH rng AS (
+            SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS xmin,
+                   CAST(MAX(l_extendedprice) AS DOUBLE) AS xmax
+            FROM lineitem
+        ),
+        base AS (
+            SELECT CAST(l_orderkey AS VARCHAR) || '-'
+                       || CAST(l_linenumber AS VARCHAR) || '-'
+                       || CAST(l_partkey AS VARCHAR) AS k,
+                   LEAST(31, CAST(FLOOR(
+                       (CAST(l_extendedprice AS DOUBLE) - rng.xmin)
+                       / ((rng.xmax - rng.xmin) / 32.0)) AS INT)) AS bin,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem CROSS JOIN rng
+            GROUP BY 1, 2, 3
+        ),
+        rep AS (
+            SELECT b.k, b.bin, b.y, b.cnt, r.b,
+                   {_bag_pois_sql(
+                       "CAST('0x' || substr(md5(b.k || '#' "
+                       "|| CAST(r.b AS VARCHAR)), 1, 4) AS BIGINT)"
+                   )} AS w
+            FROM base b
+            CROSS JOIN (SELECT UNNEST(range({_BAG_B})) AS b) r
+        ),
+        hist AS (
+            SELECT b, bin,
+                   CAST(SUM(w * cnt) AS BIGINT) AS n_w,
+                   CAST(SUM(w * cnt * y) AS BIGINT) AS pos_w
+            FROM rep GROUP BY b, bin
+        ),
+        cum AS (
+            SELECT b, bin,
+                   CAST(SUM(n_w) OVER (PARTITION BY b ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+                   CAST(SUM(pos_w) OVER (PARTITION BY b ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+                   CAST(SUM(n_w) OVER (PARTITION BY b) AS BIGINT) AS tot_n,
+                   CAST(SUM(pos_w) OVER (PARTITION BY b) AS BIGINT) AS tot_pos
+            FROM hist
+        ),
+        cand AS (
+            SELECT b, bin, pol.polarity,
+                   CASE WHEN pol.polarity = 'left_pos'
+                        THEN (cum_n - cum_pos) + (tot_pos - cum_pos)
+                        ELSE cum_pos + (tot_n - cum_n) - (tot_pos - cum_pos)
+                   END AS wrong
+            FROM cum
+            CROSS JOIN (SELECT unnest(['left_pos', 'left_neg'])
+                        AS polarity) pol
+            WHERE cum_n < tot_n
+        ),
+        stumps AS (
+            SELECT b, bin AS split_bin, polarity, wrong FROM (
+                SELECT b, bin, polarity, wrong,
+                       ROW_NUMBER() OVER (PARTITION BY b
+                           ORDER BY wrong, bin, polarity) AS pk
+                FROM cand
+            ) WHERE pk = 1
+        ),
+        oob AS (
+            SELECT r.k, r.bin, r.y, r.cnt,
+                   CAST(COUNT(*) AS BIGINT) AS n_oob,
+                   CAST(SUM(CASE WHEN (r.bin <= s.split_bin)
+                                      = (s.polarity = 'left_pos')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS votes_1
+            FROM rep r JOIN stumps s ON s.b = r.b
+            WHERE r.w = 0
+            GROUP BY r.k, r.bin, r.y, r.cnt
+        ),
+        scored AS (
+            SELECT cnt, y,
+                   CASE WHEN 2 * votes_1 > n_oob THEN 1 ELSE 0 END AS pred
+            FROM oob
+        ),
+        summary AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n_oob_rows,
+                   CAST(SUM(CASE WHEN pred <> y THEN cnt ELSE 0 END)
+                        AS BIGINT) AS n_err
+            FROM scored
+        )
+        SELECT s.b, CAST(s.split_bin AS INT) AS split_bin, s.polarity,
+               CAST(s.wrong AS BIGINT) AS weighted_wrong,
+               m.n_oob_rows,
+               CAST(m.n_err AS DOUBLE) / CAST(m.n_oob_rows AS DOUBLE)
+                   AS oob_error
+        FROM stumps s CROSS JOIN summary m
+        ORDER BY s.b
+    """,
+)
+def ml_bagging_oob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bagged decision stumps with out-of-bag error — RNG-FREE
+    bagging: each of 16 replicates draws per-row Poisson(1) weights
+    from an md5 ladder (the stat_bootstrap_ci recipe), each replicate
+    fits its stump from ONE weighted 32-bin histogram (so the whole
+    ensemble trains in a single grouped aggregation over the x16
+    fan-out — map-side combine keeps the shuffle at 16x32 cells), and
+    rows with weight 0 in a replicate are that stump's out-of-bag
+    test set; the OOB majority vote and its error are exact integers.
+    This is the distributed random-forest training shape with the
+    forest's free generalization estimate, end-to-end replayable.
+    Duplicate (orderkey,linenumber,partkey) rows collapse with
+    multiplicities so the census stays exact."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rng = li.agg(
+        F.min("l_extendedprice").cast("double").alias("xmin"),
+        F.max("l_extendedprice").cast("double").alias("xmax"),
+    )
+    base = (
+        li.crossJoin(F.broadcast(rng))
+        .select(
+            F.concat_ws(
+                "-",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                F.col("l_partkey").cast("string"),
+            ).alias("k"),
+            F.least(
+                F.lit(31),
+                F.floor(
+                    (F.col("l_extendedprice").cast("double") - F.col("xmin"))
+                    / ((F.col("xmax") - F.col("xmin")) / F.lit(32.0))
+                ).cast("int"),
+            ).alias("bin"),
+            (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        )
+        .groupBy("k", "bin", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    reps = spark.range(0, _BAG_B).select(F.col("id").cast("int").alias("b"))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("k"), F.lit("#"), F.col("b").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = F.when(u < _BAG_POIS[0], 0)
+    for i, t in enumerate(_BAG_POIS[1:], start=1):
+        w = w.when(u < t, i)
+    w = w.otherwise(len(_BAG_POIS))
+    rep = base.crossJoin(F.broadcast(reps)).withColumn("w", w).persist()
+    hist = rep.groupBy("b", "bin").agg(
+        F.sum(F.col("w") * F.col("cnt")).cast("bigint").alias("n_w"),
+        F.sum(F.col("w") * F.col("cnt") * F.col("y")).cast("bigint").alias("pos_w"),
+    )
+    wc = Window.partitionBy("b").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("b")
+    cum = hist.select(
+        "b",
+        "bin",
+        F.sum("n_w").over(wc).cast("bigint").alias("cum_n"),
+        F.sum("pos_w").over(wc).cast("bigint").alias("cum_pos"),
+        F.sum("n_w").over(wall).cast("bigint").alias("tot_n"),
+        F.sum("pos_w").over(wall).cast("bigint").alias("tot_pos"),
+    ).filter(F.col("cum_n") < F.col("tot_n"))
+    pol = spark.createDataFrame([("left_pos",), ("left_neg",)], "polarity string")
+    cand = cum.crossJoin(F.broadcast(pol)).select(
+        "b",
+        "bin",
+        "polarity",
+        F.when(
+            F.col("polarity") == "left_pos",
+            (F.col("cum_n") - F.col("cum_pos"))
+            + (F.col("tot_pos") - F.col("cum_pos")),
+        )
+        .otherwise(
+            F.col("cum_pos")
+            + (F.col("tot_n") - F.col("cum_n"))
+            - (F.col("tot_pos") - F.col("cum_pos"))
+        )
+        .alias("wrong"),
+    )
+    wpick = Window.partitionBy("b").orderBy("wrong", "bin", "polarity")
+    stumps = (
+        cand.withColumn("pk", F.row_number().over(wpick))
+        .filter(F.col("pk") == 1)
+        .select("b", F.col("bin").alias("split_bin"), "polarity", "wrong")
+    )
+    oob = (
+        rep.filter(F.col("w") == 0)
+        .join(F.broadcast(stumps), "b")
+        .groupBy("k", "bin", "y", "cnt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_oob"),
+            F.sum(
+                F.when(
+                    (F.col("bin") <= F.col("split_bin"))
+                    == (F.col("polarity") == "left_pos"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("votes_1"),
+        )
+    )
+    scored = oob.select(
+        "cnt",
+        "y",
+        F.when(2 * F.col("votes_1") > F.col("n_oob"), 1).otherwise(0).alias("pred"),
+    )
+    summary = scored.agg(
+        F.sum("cnt").cast("bigint").alias("n_oob_rows"),
+        F.sum(F.when(F.col("pred") != F.col("y"), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_err"),
+    )
+    return (
+        stumps.crossJoin(F.broadcast(summary))
+        .select(
+            "b",
+            F.col("split_bin").cast("int").alias("split_bin"),
+            "polarity",
+            F.col("wrong").cast("bigint").alias("weighted_wrong"),
+            "n_oob_rows",
+            (
+                F.col("n_err").cast("double") / F.col("n_oob_rows").cast("double")
+            ).alias("oob_error"),
+        )
+        .orderBy("b")
+    )

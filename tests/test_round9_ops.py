@@ -2217,3 +2217,75 @@ def test_kpss_matches_numpy(spark, daily_series):
         r = got[et]
         assert r["long_run_var"] == pytest.approx(s2 / 1e12, rel=1e-9)
         assert r["kpss_stat"] == pytest.approx(kpss, rel=1e-9)
+
+
+def test_bagging_oob_matches_pure_python(spark):
+    import hashlib
+
+    got = plans.get("ml_bagging_oob").build(spark, SF).collect()
+    assert len(got) == 16
+    rows = _fetch(
+        "SELECT CAST(l_orderkey AS VARCHAR) || '-'"
+        " || CAST(l_linenumber AS VARCHAR) || '-'"
+        " || CAST(l_partkey AS VARCHAR),"
+        " CAST(l_extendedprice AS DOUBLE), CAST(l_returnflag = 'R' AS INT)"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    xs = np.array([r[1] for r in rows])
+    xmin, xmax = xs.min(), xs.max()
+    TH = (24109, 48218, 60273, 64291, 65296, 65497, 65530, 65535)
+
+    def pois(k, b):
+        u = int(hashlib.md5(f"{k}#{b}".encode()).hexdigest()[:4], 16)
+        for i, t in enumerate(TH):
+            if u < t:
+                return i
+        return len(TH)
+
+    recs = [
+        (k, min(31, int(math.floor((x - xmin) / ((xmax - xmin) / 32.0)))), y)
+        for k, x, y in rows
+    ]
+    stumps = {}
+    for b in range(16):
+        hist = np.zeros((32, 2), dtype=np.int64)
+        for k, bi, y in recs:
+            w = pois(k, b)
+            hist[bi, 0] += w
+            hist[bi, 1] += w * y
+        tot_n, tot_pos = hist[:, 0].sum(), hist[:, 1].sum()
+        best = None
+        cn = cp = 0
+        for bi in range(32):
+            cn += hist[bi, 0]
+            cp += hist[bi, 1]
+            if cn >= tot_n:
+                continue
+            for pol in ("left_neg", "left_pos"):
+                if pol == "left_pos":
+                    wrong = (cn - cp) + (tot_pos - cp)
+                else:
+                    wrong = cp + (tot_n - cn) - (tot_pos - cp)
+                key = (wrong, bi, pol)
+                if best is None or key < best:
+                    best = key
+        stumps[b] = best
+        g = got[b]
+        assert (g["b"], g["weighted_wrong"], g["split_bin"], g["polarity"]) == (
+            b, best[0], best[1], best[2],
+        )
+    n_oob_rows = n_err = 0
+    for k, bi, y in recs:
+        oob_bs = [b for b in range(16) if pois(k, b) == 0]
+        if not oob_bs:
+            continue
+        votes = sum(
+            1
+            for b in oob_bs
+            if (bi <= stumps[b][1]) == (stumps[b][2] == "left_pos")
+        )
+        pred = 1 if 2 * votes > len(oob_bs) else 0
+        n_oob_rows += 1
+        n_err += pred != y
+    assert got[0]["n_oob_rows"] == n_oob_rows
+    assert got[0]["oob_error"] == pytest.approx(n_err / n_oob_rows, rel=1e-12)
