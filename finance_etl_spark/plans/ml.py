@@ -5315,3 +5315,130 @@ def ml_bagging_oob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("b")
     )
+
+
+@register(
+    "ml_ols_influence",
+    tags=("ml", "diagnostics", "agg"),
+    oracle="""
+        WITH feat AS (
+            SELECT o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS yc,
+                   CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01'
+                        AS BIGINT) AS x
+            FROM orders
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(yc) AS BIGINT) AS sy,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(19,0)) * x)
+                        AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(19,0)) * yc)
+                        AS VARCHAR) AS DOUBLE) AS sxy,
+                   CAST(CAST(SUM(CAST(yc AS DECIMAL(19,0)) * yc)
+                        AS VARCHAR) AS DOUBLE) AS syy
+            FROM feat
+        ),
+        fit AS (
+            SELECT n, sx, sy, sxx, syy,
+                   (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx) AS b1,
+                   sxx - CAST(sx AS DOUBLE) * sx / n AS cxx,
+                   (syy - CAST(sy AS DOUBLE) * sy / n
+                    - (sxy - CAST(sx AS DOUBLE) * sy / n)
+                      * (sxy - CAST(sx AS DOUBLE) * sy / n)
+                      / (sxx - CAST(sx AS DOUBLE) * sx / n))
+                     / (n - 2) AS mse
+            FROM s
+        ),
+        scored AS (
+            SELECT f.o_orderkey,
+                   CAST(1 AS DOUBLE) / t.n
+                     + (f.x - CAST(t.sx AS DOUBLE) / t.n)
+                       * (f.x - CAST(t.sx AS DOUBLE) / t.n) / t.cxx AS h,
+                   f.yc - (CAST(t.sy AS DOUBLE) / t.n
+                           + t.b1 * (f.x - CAST(t.sx AS DOUBLE) / t.n)) AS e
+            FROM feat f CROSS JOIN fit t
+        ),
+        cook AS (
+            SELECT o_orderkey, h,
+                   CAST(FLOOR(
+                       (e * e / (2 * t.mse)) * (h / ((1 - h) * (1 - h)))
+                       * 1e12) AS BIGINT) AS cook_q12
+            FROM scored CROSS JOIN fit t
+        )
+        SELECT o_orderkey, h AS leverage, cook_q12
+        FROM cook
+        ORDER BY cook_q12 DESC, o_orderkey
+        LIMIT 20
+    """,
+)
+def ml_ols_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS influence diagnostics (order value on order age): per-row
+    leverage h_i = 1/n + (x_i - x̄)²/Sxx and Cook's distance, the top-20
+    most influential observations — what a modeling pipeline checks
+    before trusting a fit. One scan gives the six exact sufficient
+    statistics; leverage, residual, and Cook's D are shared double
+    expressions, and the ranking key is Cook floor-quantized to q12 so
+    the top-20 cut is an exact integer ordering (double-ordered LIMITs
+    are the cross-engine tie trap). The per-row pass is a broadcast of
+    one 6-number row — nothing quadratic, no hat matrix."""
+    o = load_table(spark, sf_dir, "orders")
+    feat = o.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("yc"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+    )
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    s = feat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("yc").cast("bigint").alias("sy"),
+        as_d(F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        as_d(F.sum(F.col("x").cast("decimal(19,0)") * F.col("yc")).cast("decimal(38,0)")).alias("sxy"),
+        as_d(F.sum(F.col("yc").cast("decimal(19,0)") * F.col("yc")).cast("decimal(38,0)")).alias("syy"),
+    )
+    nd_ = F.col("n").cast("double")
+    cxy = F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / nd_
+    cxx = F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / nd_
+    cyy = F.col("syy") - F.col("sy").cast("double") * F.col("sy") / nd_
+    fit = s.select(
+        "n",
+        "sx",
+        "sy",
+        (
+            (nd_ * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (nd_ * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        ).alias("b1"),
+        cxx.alias("cxx"),
+        ((cyy - cxy * cxy / cxx) / (nd_ - 2)).alias("mse"),
+    )
+    xbar = F.col("sx").cast("double") / F.col("n")
+    ybar = F.col("sy").cast("double") / F.col("n")
+    h = (
+        F.lit(1.0) / F.col("n")
+        + (F.col("x") - xbar) * (F.col("x") - xbar) / F.col("cxx")
+    )
+    e = F.col("yc") - (ybar + F.col("b1") * (F.col("x") - xbar))
+    cook_q12 = F.floor(
+        (e * e / (2 * F.col("mse")))
+        * (h / ((1 - h) * (1 - h)))
+        * F.lit(1e12)
+    ).cast("bigint")
+    return (
+        feat.crossJoin(F.broadcast(fit))
+        .select(
+            "o_orderkey",
+            h.alias("leverage"),
+            cook_q12.alias("cook_q12"),
+        )
+        .orderBy(F.col("cook_q12").desc(), "o_orderkey")
+        .limit(20)
+    )

@@ -2289,3 +2289,29 @@ def test_bagging_oob_matches_pure_python(spark):
         n_err += pred != y
     assert got[0]["n_oob_rows"] == n_oob_rows
     assert got[0]["oob_error"] == pytest.approx(n_err / n_oob_rows, rel=1e-12)
+
+
+def test_ols_influence_matches_numpy(spark):
+    got = plans.get("ml_ols_influence").build(spark, SF).collect()
+    rows = _fetch(
+        "SELECT o_orderkey,"
+        " CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT),"
+        " CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    )
+    keys = np.array([r[0] for r in rows])
+    y = np.array([r[1] for r in rows], dtype=np.float64)
+    x = np.array([r[2] for r in rows], dtype=np.float64)
+    n = len(x)
+    cxx = ((x - x.mean()) ** 2).sum()
+    b1 = ((x - x.mean()) * (y - y.mean())).sum() / cxx
+    e = y - (y.mean() + b1 * (x - x.mean()))
+    mse = (e**2).sum() / (n - 2)
+    h = 1.0 / n + (x - x.mean()) ** 2 / cxx
+    cook = np.floor((e**2 / (2 * mse)) * (h / (1 - h) ** 2) * 1e12).astype(np.int64)
+    order = sorted(range(n), key=lambda i: (-cook[i], keys[i]))[:20]
+    assert [(r["o_orderkey"], r["cook_q12"]) for r in got] == [
+        (int(keys[i]), int(cook[i])) for i in order
+    ]
+    for r, i in zip(got, order):
+        assert r["leverage"] == pytest.approx(h[i], rel=1e-9)
