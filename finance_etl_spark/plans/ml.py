@@ -5442,3 +5442,163 @@ def ml_ols_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cook_q12").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "ml_uplift_qini",
+    tags=("ml", "experiment", "agg"),
+    oracle="""
+        WITH lab AS (
+            SELECT CAST('0x' || substr(md5('arm:'
+                       || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+                       % 2 AS arm,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS v,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+            FROM orders
+        ),
+        vals AS (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM lab GROUP BY v
+        ),
+        cumv AS (
+            SELECT v, c,
+                   CAST(SUM(c) OVER (ORDER BY v DESC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_desc,
+                   CAST(SUM(c) OVER () AS BIGINT) AS n
+            FROM vals
+        ),
+        dec AS (
+            SELECT v,
+                   CAST((10 * cum_desc + n - 1) // n AS INT) AS decile
+            FROM cumv
+        ),
+        cells AS (
+            SELECT d.decile,
+                   CAST(SUM(l.arm) AS BIGINT) AS n_t,
+                   CAST(SUM(1 - l.arm) AS BIGINT) AS n_c,
+                   CAST(SUM(l.arm * l.y) AS BIGINT) AS y_t,
+                   CAST(SUM((1 - l.arm) * l.y) AS BIGINT) AS y_c
+            FROM lab l JOIN dec d ON d.v = l.v
+            GROUP BY d.decile
+        ),
+        cum AS (
+            SELECT decile,
+                   CAST(SUM(n_t) OVER w AS BIGINT) AS cn_t,
+                   CAST(SUM(n_c) OVER w AS BIGINT) AS cn_c,
+                   CAST(SUM(y_t) OVER w AS BIGINT) AS cy_t,
+                   CAST(SUM(y_c) OVER w AS BIGINT) AS cy_c
+            FROM cells
+            WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT decile, cn_t, cn_c, cy_t, cy_c,
+               CAST(cy_t AS DOUBLE)
+                 - CAST(cy_c AS DOUBLE) * cn_t / cn_c AS qini,
+               CAST(cy_t AS DOUBLE) / cn_t
+                 - CAST(cy_c AS DOUBLE) / cn_c AS uplift_rate
+        FROM cum ORDER BY decile
+    """,
+)
+def ml_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve for uplift evaluation: md5-parity treatment arms,
+    orders ranked by value into VALUE-BASED deciles (a whole tie block
+    shares a decile: decile = ceil(10*cum_desc/n) over the DISTINCT-
+    value cumulative, computed with the two-level bucket+carry — never
+    a global NTILE funnelling the corpus through one task), then
+    per-decile cumulative treated/control response counts. The Qini
+    statistic cy_t - cy_c*(cn_t/cn_c) and the uplift rate are single
+    double expressions over exact integers. The decision tool behind
+    'who should we target': no uplift signal tracks the diagonal."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    lab = o.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("arm:"), F.col("o_orderkey").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("arm"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    # distinct-value cumulative via bucket + carry (ascending), then
+    # the descending cumulative by complement: cum_desc = n - cum_asc + c
+    vals = (
+        lab.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("bkt", F.floor(F.col("v") / F.lit(1000000)).cast("long"))
+        .persist()
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = vals.select("bkt", "v", "c", F.sum("c").over(w_in).alias("wc"))
+    w_carry = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        vals.groupBy("bkt")
+        .agg(F.sum("c").alias("tb"))
+        .select(
+            "bkt", F.coalesce(F.sum("tb").over(w_carry), F.lit(0)).alias("cb")
+        )
+    )
+    ntot = vals.agg(F.sum("c").cast("bigint").alias("n"))
+    dec = (
+        within.join(F.broadcast(carry), "bkt")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "v",
+            F.floor(
+                (
+                    10 * (F.col("n") - (F.col("wc") + F.col("cb")) + F.col("c"))
+                    + F.col("n")
+                    - 1
+                )
+                / F.col("n")
+            )
+            .cast("int")
+            .alias("decile"),
+        )
+    )
+    cells = (
+        lab.join(dec, "v")
+        .groupBy("decile")
+        .agg(
+            F.sum("arm").cast("bigint").alias("n_t"),
+            F.sum(1 - F.col("arm")).cast("bigint").alias("n_c"),
+            F.sum(F.col("arm") * F.col("y")).cast("bigint").alias("y_t"),
+            F.sum((1 - F.col("arm")) * F.col("y")).cast("bigint").alias("y_c"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "decile",
+        F.sum("n_t").over(w).cast("bigint").alias("cn_t"),
+        F.sum("n_c").over(w).cast("bigint").alias("cn_c"),
+        F.sum("y_t").over(w).cast("bigint").alias("cy_t"),
+        F.sum("y_c").over(w).cast("bigint").alias("cy_c"),
+    )
+    return cum.select(
+        "decile",
+        "cn_t",
+        "cn_c",
+        "cy_t",
+        "cy_c",
+        (
+            F.col("cy_t").cast("double")
+            - F.col("cy_c").cast("double") * F.col("cn_t") / F.col("cn_c")
+        ).alias("qini"),
+        (
+            F.col("cy_t").cast("double") / F.col("cn_t")
+            - F.col("cy_c").cast("double") / F.col("cn_c")
+        ).alias("uplift_rate"),
+    ).orderBy("decile")

@@ -2315,3 +2315,38 @@ def test_ols_influence_matches_numpy(spark):
     ]
     for r, i in zip(got, order):
         assert r["leverage"] == pytest.approx(h[i], rel=1e-9)
+
+
+def test_uplift_qini_matches_pure_python(spark):
+    import hashlib
+
+    got = {r["decile"]: r for r in plans.get("ml_uplift_qini").build(spark, SF).collect()}
+    rows = _fetch(
+        "SELECT o_orderkey,"
+        " CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT),"
+        " CAST(o_orderstatus = 'F' AS INT)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    )
+    n = len(rows)
+    vals = {}
+    for _, v, _ in rows:
+        vals[v] = vals.get(v, 0) + 1
+    cum = 0
+    dec_of = {}
+    for v in sorted(vals, reverse=True):
+        cum += vals[v]
+        dec_of[v] = (10 * cum + n - 1) // n
+    cells = {}
+    for k, v, y in rows:
+        arm = int(hashlib.md5(f"arm:{k}".encode()).hexdigest()[:15], 16) % 2
+        d = dec_of[v]
+        nt, nc, yt, yc = cells.get(d, (0, 0, 0, 0))
+        cells[d] = (nt + arm, nc + 1 - arm, yt + arm * y, yc + (1 - arm) * y)
+    cnt = cnc = cyt = cyc = 0
+    for d in sorted(cells):
+        nt, nc, yt, yc = cells[d]
+        cnt += nt; cnc += nc; cyt += yt; cyc += yc
+        r = got[d]
+        assert (r["cn_t"], r["cn_c"], r["cy_t"], r["cy_c"]) == (cnt, cnc, cyt, cyc)
+        assert r["qini"] == pytest.approx(cyt - cyc * cnt / cnc, rel=1e-12)
+        assert r["uplift_rate"] == pytest.approx(cyt / cnt - cyc / cnc, rel=1e-12)
