@@ -5602,3 +5602,122 @@ def ml_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("cy_c").cast("double") / F.col("cn_c")
         ).alias("uplift_rate"),
     ).orderBy("decile")
+
+
+@register(
+    "ml_stratified_ate",
+    tags=("ml", "experiment", "agg"),
+    oracle="""
+        WITH lab AS (
+            SELECT c.c_mktsegment AS stratum,
+                   CAST('0x' || substr(md5('arm:'
+                        || CAST(o.o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+                       % 2 AS arm,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS yc
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        ),
+        per AS (
+            SELECT stratum,
+                   CAST(COUNT(*) AS BIGINT) AS n_s,
+                   CAST(SUM(arm) AS BIGINT) AS n_t,
+                   CAST(SUM(1 - arm) AS BIGINT) AS n_c,
+                   CAST(SUM(arm * yc) AS BIGINT) AS y_t,
+                   CAST(SUM((1 - arm) * yc) AS BIGINT) AS y_c
+            FROM lab GROUP BY stratum
+        ),
+        tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM per),
+        strata AS (
+            SELECT p.stratum, p.n_s, p.n_t, p.n_c,
+                   CAST(p.y_t AS DOUBLE) / p.n_t / 100 AS mean_t,
+                   CAST(p.y_c AS DOUBLE) / p.n_c / 100 AS mean_c,
+                   (CAST(p.y_t AS DOUBLE) / p.n_t
+                    - CAST(p.y_c AS DOUBLE) / p.n_c) / 100 AS effect_s,
+                   CAST(p.n_s AS DOUBLE) / t.n AS w_s
+            FROM per p CROSS JOIN tot t
+        ),
+        ate AS (
+            SELECT list_reduce(
+                       list(w_s * effect_s ORDER BY stratum),
+                       (a, x) -> a + x) AS ate
+            FROM strata
+        )
+        SELECT s.stratum, s.n_s, s.n_t, s.n_c, s.mean_t, s.mean_c,
+               s.effect_s, s.w_s, a.ate
+        FROM strata s CROSS JOIN ate a
+        ORDER BY s.stratum
+    """,
+)
+def ml_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average treatment effect: md5-parity arms, market
+    segment as the confounding stratum, order value as the outcome —
+    the observational-causal workhorse (stratify, estimate the effect
+    inside each stratum from exact integer sums, reweight by stratum
+    share). Per-stratum effects are single double expressions; the
+    pooled ATE folds w_s * effect_s in PINNED stratum order. Together
+    with stat_diff_in_diff, ml_ab_cuped, and ml_uplift_qini this
+    completes the experimentation-analysis quartet. One broadcast-dim
+    scan; everything after is 5 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    lab = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("stratum"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("arm:"), F.col("o_orderkey").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("arm"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("yc"),
+    )
+    per = lab.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s"),
+        F.sum("arm").cast("bigint").alias("n_t"),
+        F.sum(1 - F.col("arm")).cast("bigint").alias("n_c"),
+        F.sum(F.col("arm") * F.col("yc")).cast("bigint").alias("y_t"),
+        F.sum((1 - F.col("arm")) * F.col("yc")).cast("bigint").alias("y_c"),
+    )
+    tot = per.agg(F.sum("n_s").cast("bigint").alias("n"))
+    eff = (
+        F.col("y_t").cast("double") / F.col("n_t")
+        - F.col("y_c").cast("double") / F.col("n_c")
+    ) / 100
+    strata = per.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_s",
+        "n_t",
+        "n_c",
+        (F.col("y_t").cast("double") / F.col("n_t") / 100).alias("mean_t"),
+        (F.col("y_c").cast("double") / F.col("n_c") / 100).alias("mean_c"),
+        eff.alias("effect_s"),
+        (F.col("n_s").cast("double") / F.col("n")).alias("w_s"),
+    )
+    ate = strata.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "stratum", (F.col("w_s") * F.col("effect_s")).alias("t")
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s_: acc + s_["t"],
+        ).alias("ate")
+    )
+    return (
+        strata.crossJoin(F.broadcast(ate))
+        .select(
+            "stratum", "n_s", "n_t", "n_c", "mean_t", "mean_c",
+            "effect_s", "w_s", "ate",
+        )
+        .orderBy("stratum")
+    )

@@ -2350,3 +2350,32 @@ def test_uplift_qini_matches_pure_python(spark):
         assert (r["cn_t"], r["cn_c"], r["cy_t"], r["cy_c"]) == (cnt, cnc, cyt, cyc)
         assert r["qini"] == pytest.approx(cyt - cyc * cnt / cnc, rel=1e-12)
         assert r["uplift_rate"] == pytest.approx(cyt / cnt - cyc / cnc, rel=1e-12)
+
+
+def test_stratified_ate_matches_pure_python(spark):
+    import hashlib
+
+    got = {r["stratum"]: r for r in plans.get("ml_stratified_ate").build(spark, SF).collect()}
+    rows = _fetch(
+        "SELECT c.c_mktsegment, o.o_orderkey,"
+        " CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        f" FROM read_parquet('{SF}/orders.parquet') o"
+        f" JOIN read_parquet('{SF}/customer.parquet') c"
+        " ON c.c_custkey = o.o_custkey"
+    )
+    per = {}
+    for seg, k, yc in rows:
+        arm = int(hashlib.md5(f"arm:{k}".encode()).hexdigest()[:15], 16) % 2
+        ns, nt, nc, yt, ycs = per.get(seg, (0, 0, 0, 0, 0))
+        per[seg] = (ns + 1, nt + arm, nc + 1 - arm, yt + arm * yc, ycs + (1 - arm) * yc)
+    n = sum(v[0] for v in per.values())
+    ate = sum(
+        v[0] / n * (v[3] / v[1] - v[4] / v[2]) / 100
+        for _, v in sorted(per.items())
+    )
+    for seg, (ns, nt, nc, yt, yc) in per.items():
+        r = got[seg]
+        assert (r["n_s"], r["n_t"], r["n_c"]) == (ns, nt, nc)
+        assert r["effect_s"] == pytest.approx((yt / nt - yc / nc) / 100, rel=1e-12)
+        assert r["w_s"] == pytest.approx(ns / n, rel=1e-12)
+        assert r["ate"] == pytest.approx(ate, rel=1e-9)
