@@ -5721,3 +5721,98 @@ def ml_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+@register(
+    "ml_cost_optimal_threshold",
+    tags=("ml", "eval", "agg"),
+    oracle="""
+        WITH grp AS (
+            SELECT CAST(l_quantity AS BIGINT) AS threshold,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS pos
+            FROM lineitem GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(SUM(pos) AS BIGINT) AS p
+            FROM grp
+        ),
+        cum AS (
+            SELECT threshold,
+                   CAST(SUM(cnt) OVER w AS BIGINT) AS pred_pos,
+                   CAST(SUM(pos) OVER w AS BIGINT) AS tp
+            FROM grp
+            WINDOW w AS (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING)
+        ),
+        cost AS (
+            SELECT c.threshold, c.tp,
+                   c.pred_pos - c.tp AS fp,
+                   t.p - c.tp AS fn,
+                   5 * (t.p - c.tp) + 1 * (c.pred_pos - c.tp) AS total_cost
+            FROM cum c CROSS JOIN tot t
+        ),
+        best AS (
+            SELECT * FROM cost
+            ORDER BY total_cost, threshold DESC LIMIT 1
+        )
+        SELECT b.threshold AS optimal_threshold,
+               CAST(b.tp AS BIGINT) AS tp, CAST(b.fp AS BIGINT) AS fp,
+               CAST(b.fn AS BIGINT) AS fn,
+               CAST(b.total_cost AS BIGINT) AS total_cost,
+               CAST(5 * t.p AS BIGINT) AS cost_reject_all,
+               CAST(t.n - t.p AS BIGINT) AS cost_accept_all
+        FROM best b CROSS JOIN tot t
+    """,
+)
+def ml_cost_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-sensitive threshold selection on the threshold-sweep
+    machinery: with a 5:1 false-negative:false-positive cost ratio,
+    total cost at every candidate threshold is PURE INTEGER arithmetic
+    over the descending cumulative confusion counts, so the arg-min
+    (tie -> highest threshold, the conservative pick) is exact. The
+    two degenerate policies (reject-all, accept-all) are reported as
+    the baselines the picked threshold must beat. |distinct scores|
+    rows of work after one grouped scan — never a per-threshold
+    rescan."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    grp = li.groupBy(F.col("l_quantity").cast("bigint").alias("threshold")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    tot = grp.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("p"),
+    )
+    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grp.select(
+        "threshold",
+        F.sum("cnt").over(w).cast("bigint").alias("pred_pos"),
+        F.sum("pos").over(w).cast("bigint").alias("tp"),
+    )
+    cost = cum.crossJoin(F.broadcast(tot)).select(
+        "threshold",
+        "tp",
+        (F.col("pred_pos") - F.col("tp")).alias("fp"),
+        (F.col("p") - F.col("tp")).alias("fn"),
+        (
+            5 * (F.col("p") - F.col("tp")) + (F.col("pred_pos") - F.col("tp"))
+        ).alias("total_cost"),
+    )
+    best = cost.orderBy("total_cost", F.col("threshold").desc()).limit(1)
+    return best.crossJoin(F.broadcast(tot)).select(
+        F.col("threshold").alias("optimal_threshold"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.col("total_cost").cast("bigint").alias("total_cost"),
+        (5 * F.col("p")).cast("bigint").alias("cost_reject_all"),
+        (F.col("n") - F.col("p")).cast("bigint").alias("cost_accept_all"),
+    )

@@ -2379,3 +2379,27 @@ def test_stratified_ate_matches_pure_python(spark):
         assert r["effect_s"] == pytest.approx((yt / nt - yc / nc) / 100, rel=1e-12)
         assert r["w_s"] == pytest.approx(ns / n, rel=1e-12)
         assert r["ate"] == pytest.approx(ate, rel=1e-9)
+
+
+def test_cost_optimal_threshold_matches_pure_python(spark):
+    row = plans.get("ml_cost_optimal_threshold").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT CAST(l_quantity AS BIGINT), CAST(l_returnflag = 'R' AS INT)"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    n = len(rows)
+    p = sum(y for _, y in rows)
+    best = None
+    for t in sorted({q for q, _ in rows}, reverse=True):
+        tp = sum(y for q, y in rows if q >= t)
+        pred = sum(1 for q, _ in rows if q >= t)
+        cost = 5 * (p - tp) + (pred - tp)
+        key = (cost, -t)
+        if best is None or key < best[0]:
+            best = (key, t, tp, pred - tp, p - tp, cost)
+    _, t, tp, fp, fn, cost = best
+    assert row["optimal_threshold"] == t
+    assert (row["tp"], row["fp"], row["fn"], row["total_cost"]) == (tp, fp, fn, cost)
+    assert row["cost_reject_all"] == 5 * p
+    assert row["cost_accept_all"] == n - p
+    assert cost <= min(5 * p, n - p)  # beats both degenerate policies
