@@ -5816,3 +5816,84 @@ def ml_cost_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         (5 * F.col("p")).cast("bigint").alias("cost_reject_all"),
         (F.col("n") - F.col("p")).cast("bigint").alias("cost_accept_all"),
     )
+
+
+@register(
+    "ml_lr_grid_one_step",
+    tags=("ml", "train", "agg"),
+    oracle="""
+        WITH feat AS (
+            SELECT CAST(l_quantity AS DECIMAL(20,2)) AS x,
+                   CAST(l_discount AS DECIMAL(20,2)) * 10 AS y
+            FROM lineitem
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(21,2)) * y)
+                        AS VARCHAR) AS DOUBLE) AS sxy,
+                   CAST(CAST(SUM(x*x) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(y*y) AS VARCHAR) AS DOUBLE) AS syy
+            FROM feat
+        ),
+        grid AS (
+            SELECT unnest([CAST(0.0001 AS DOUBLE), CAST(0.0005 AS DOUBLE),
+                           CAST(0.001 AS DOUBLE), CAST(0.005 AS DOUBLE)])
+                       AS lr
+        ),
+        stepped AS (
+            SELECT g.lr, s.n,
+                   g.lr * 2 * s.sxy / s.n AS w1,
+                   (s.syy - 2 * (g.lr * 2 * s.sxy / s.n) * s.sxy
+                    + (g.lr * 2 * s.sxy / s.n)
+                      * (g.lr * 2 * s.sxy / s.n) * s.sxx) / s.n AS loss1,
+                   s.syy / s.n AS loss0
+            FROM grid g CROSS JOIN s
+        )
+        SELECT lr, n, w1, loss0, loss1,
+               (loss0 - loss1) / loss0 AS improvement
+        FROM stepped ORDER BY lr
+    """,
+)
+def ml_lr_grid_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning-rate grid search as a RELATIONAL op: one gradient
+    step of no-intercept least squares (w0 = 0, w1 = lr * 2*Sxy/n) at
+    four learning rates, with the post-step loss in CLOSED FORM from
+    the same three exact sufficient statistics — the whole grid
+    evaluates from ONE corpus scan plus a 4-row broadcast, the shape
+    hyperparameter sweeps should take before anyone reaches for a
+    per-trial rescan. All shared double expressions over exact decimal
+    sums; too-large rates show loss DIVERGENCE (improvement < 0),
+    pytest-pinned against numpy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feat = li.select(
+        F.col("l_quantity").cast("decimal(20,2)").alias("x"),
+        (F.col("l_discount").cast("decimal(20,2)") * 10).alias("y"),
+    )
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    s = feat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        as_d(F.sum(F.col("x").cast("decimal(21,2)") * F.col("y"))).alias("sxy"),
+        as_d(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        as_d(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    grid = spark.createDataFrame(
+        [(0.0001,), (0.0005,), (0.001,), (0.005,)], "lr double"
+    )
+    nd_ = F.col("n").cast("double")
+    w1 = F.col("lr") * 2 * F.col("sxy") / nd_
+    loss1 = (
+        F.col("syy") - 2 * w1 * F.col("sxy") + w1 * w1 * F.col("sxx")
+    ) / nd_
+    loss0 = F.col("syy") / nd_
+    return (
+        grid.crossJoin(F.broadcast(s))
+        .select(
+            "lr",
+            "n",
+            w1.alias("w1"),
+            loss0.alias("loss0"),
+            loss1.alias("loss1"),
+            ((loss0 - loss1) / loss0).alias("improvement"),
+        )
+        .orderBy("lr")
+    )

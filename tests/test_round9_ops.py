@@ -2403,3 +2403,24 @@ def test_cost_optimal_threshold_matches_pure_python(spark):
     assert row["cost_reject_all"] == 5 * p
     assert row["cost_accept_all"] == n - p
     assert cost <= min(5 * p, n - p)  # beats both degenerate policies
+
+
+def test_lr_grid_one_step_matches_numpy(spark):
+    got = {r["lr"]: r for r in plans.get("ml_lr_grid_one_step").build(spark, SF).collect()}
+    rows = _fetch(
+        "SELECT CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE) * 10"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    x = np.array([r[0] for r in rows])
+    y = np.array([r[1] for r in rows])
+    n = len(x)
+    for lr in (0.0001, 0.0005, 0.001, 0.005):
+        w1 = lr * 2 * (x * y).sum() / n
+        loss0 = (y**2).sum() / n
+        loss1 = ((y - w1 * x) ** 2).sum() / n
+        r = got[lr]
+        assert r["n"] == n
+        assert r["w1"] == pytest.approx(w1, rel=1e-9)
+        assert r["loss0"] == pytest.approx(loss0, rel=1e-9)
+        assert r["loss1"] == pytest.approx(loss1, rel=1e-9)
+        assert r["improvement"] == pytest.approx((loss0 - loss1) / loss0, rel=1e-6)
