@@ -1268,3 +1268,93 @@ def ingest_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "ingest_type_inference_audit",
+    tags=("ingest", "schema", "dq"),
+    oracle=r"""
+        WITH raw AS (
+            SELECT CAST(o_orderkey AS VARCHAR) AS c_key,
+                   CAST(o_totalprice AS VARCHAR) AS c_amount,
+                   strftime(o_orderdate, '%Y-%m-%d') AS c_date,
+                   o_orderpriority AS c_text
+            FROM orders
+        ),
+        long AS (
+            SELECT 'c_key' AS col_name, c_key AS v FROM raw
+            UNION ALL SELECT 'c_amount', c_amount FROM raw
+            UNION ALL SELECT 'c_date', c_date FROM raw
+            UNION ALL SELECT 'c_text', c_text FROM raw
+        )
+        SELECT col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               CAST(SUM(CASE WHEN regexp_matches(v, '^-?[0-9]+$')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_int_like,
+               CAST(SUM(CASE WHEN regexp_matches(v,
+                        '^-?[0-9]+\.[0-9]+$')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_float_like,
+               CAST(SUM(CASE WHEN regexp_matches(v,
+                        '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_date_like,
+               CASE
+                   WHEN SUM(CASE WHEN regexp_matches(v,
+                        '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                        THEN 1 ELSE 0 END) = COUNT(*) THEN 'date'
+                   WHEN SUM(CASE WHEN regexp_matches(v, '^-?[0-9]+$')
+                        THEN 1 ELSE 0 END) = COUNT(*) THEN 'bigint'
+                   WHEN SUM(CASE WHEN regexp_matches(v,
+                        '^-?[0-9]+(\.[0-9]+)?$')
+                        THEN 1 ELSE 0 END) = COUNT(*) THEN 'double'
+                   ELSE 'string'
+               END AS inferred_type
+        FROM long GROUP BY col_name
+        ORDER BY col_name
+    """,
+)
+def ingest_type_inference_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema type inference over string-typed raw columns — what a
+    CSV ingester decides before casting (the reference dispatches
+    per-file schemas from config; this op is the inference audit that
+    validates such configs against the data): every column's values
+    are classified by anchored integer/float/date regexes (RE2-stable
+    classes) and a column-level verdict requires 100% conformance —
+    exact integer counts, engine-identical regex semantics, one
+    unpivot + one grouped scan. Disagreements between declared and
+    inferred types are the #1 silent ingest failure."""
+    o = load_table(spark, sf_dir, "orders")
+    raw = o.select(
+        F.col("o_orderkey").cast("string").alias("c_key"),
+        F.col("o_totalprice").cast("string").alias("c_amount"),
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("c_date"),
+        F.col("o_orderpriority").alias("c_text"),
+    )
+    long = None
+    for col in ("c_key", "c_amount", "c_date", "c_text"):
+        part = raw.select(
+            F.lit(col).alias("col_name"), F.col(col).alias("v")
+        )
+        long = part if long is None else long.unionAll(part)
+    is_int = F.col("v").rlike("^-?[0-9]+$")
+    is_float = F.col("v").rlike(r"^-?[0-9]+\.[0-9]+$")
+    is_date = F.col("v").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
+    is_num = F.col("v").rlike(r"^-?[0-9]+(\.[0-9]+)?$")
+    agg = long.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.sum(is_int.cast("int")).cast("bigint").alias("n_int_like"),
+        F.sum(is_float.cast("int")).cast("bigint").alias("n_float_like"),
+        F.sum(is_date.cast("int")).cast("bigint").alias("n_date_like"),
+        F.sum(is_num.cast("int")).cast("bigint").alias("n_num_like"),
+    )
+    return agg.select(
+        "col_name",
+        "n_values",
+        "n_int_like",
+        "n_float_like",
+        "n_date_like",
+        F.when(F.col("n_date_like") == F.col("n_values"), "date")
+        .when(F.col("n_int_like") == F.col("n_values"), "bigint")
+        .when(F.col("n_num_like") == F.col("n_values"), "double")
+        .otherwise("string")
+        .alias("inferred_type"),
+    ).orderBy("col_name")

@@ -2424,3 +2424,39 @@ def test_lr_grid_one_step_matches_numpy(spark):
         assert r["loss0"] == pytest.approx(loss0, rel=1e-9)
         assert r["loss1"] == pytest.approx(loss1, rel=1e-9)
         assert r["improvement"] == pytest.approx((loss0 - loss1) / loss0, rel=1e-6)
+
+
+def test_type_inference_audit_matches_pure_python(spark):
+    import re as _re
+
+    got = {r["col_name"]: r for r in plans.get("ingest_type_inference_audit").build(spark, SF).collect()}
+    rows = _fetch(
+        "SELECT CAST(o_orderkey AS VARCHAR), CAST(o_totalprice AS VARCHAR),"
+        " strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    )
+    cols = {"c_key": 0, "c_amount": 1, "c_date": 2, "c_text": 3}
+    for name, idx in cols.items():
+        vals = [r[idx] for r in rows]
+        n_int = sum(1 for v in vals if _re.fullmatch(r"-?[0-9]+", v))
+        n_float = sum(1 for v in vals if _re.fullmatch(r"-?[0-9]+\.[0-9]+", v))
+        n_date = sum(
+            1 for v in vals if _re.fullmatch(r"[0-9]{4}-[0-9]{2}-[0-9]{2}", v)
+        )
+        n_num = sum(1 for v in vals if _re.fullmatch(r"-?[0-9]+(\.[0-9]+)?", v))
+        n = len(vals)
+        inferred = (
+            "date" if n_date == n
+            else "bigint" if n_int == n
+            else "double" if n_num == n
+            else "string"
+        )
+        r = got[name]
+        assert r["n_values"] == n
+        assert (r["n_int_like"], r["n_float_like"], r["n_date_like"]) == (
+            n_int, n_float, n_date,
+        )
+        assert r["inferred_type"] == inferred
+    assert got["c_key"]["inferred_type"] == "bigint"
+    assert got["c_date"]["inferred_type"] == "date"
+    assert got["c_text"]["inferred_type"] == "string"
