@@ -5259,3 +5259,119 @@ def ts_kpss_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_cusum_tabular",
+    tags=("timeseries", "window", "dq"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(ts AS DATE) AS d,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xq,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(ts AS DATE)) AS rn
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        st AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(xq) AS BIGINT) AS sx
+            FROM daily GROUP BY event_type
+        ),
+        z AS (
+            -- n-scaled deviation minus slack: zk = n*x - S - n*k with
+            -- slack k = S/(2n) i.e. half the mean -> zk = n*x - 1.5*S
+            -- (kept integral by doubling: 2*n*x - 3*S)
+            SELECT d.event_type, d.d, d.rn,
+                   CAST(2 AS DECIMAL(38,0)) * st.n * d.xq - 3 * st.sx AS zk,
+                   st.n
+            FROM daily d JOIN st ON st.event_type = d.event_type
+        ),
+        cums AS (
+            SELECT event_type, d, rn, n,
+                   CAST(SUM(zk) OVER (PARTITION BY event_type ORDER BY rn
+                        ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0)) AS cum
+            FROM z
+        ),
+        pre AS (
+            SELECT event_type, d, rn, n, cum,
+                   CAST(MIN(cum) OVER (PARTITION BY event_type ORDER BY rn
+                        ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0))
+                       AS run_min
+            FROM cums
+        )
+        SELECT event_type, d,
+               CAST(CAST(cum - LEAST(run_min, 0) AS VARCHAR) AS DOUBLE)
+                 / (2 * CAST(n AS DOUBLE) * 1e6) AS cusum_hi,
+               (cum - LEAST(run_min, 0)
+                > CAST(8 AS DECIMAL(38,0)) * n * 1000000) AS alarm
+        FROM pre
+        ORDER BY event_type, d
+    """,
+)
+def ts_cusum_tabular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular (one-sided, resetting) CUSUM per daily series — the
+    sequential recursion C_t = max(0, C_{t-1} + x_t - k) expressed in
+    CLOSED FORM: C_t = P_t - min(0, min_{i<=t} P_i) where P is the
+    prefix sum of the slack-adjusted deviations — so the 'inherently
+    sequential' control chart becomes two stacked windows (prefix sum,
+    then running min of it), both per-series partitioned. Slack
+    k = mean/2; everything scales by 2n to stay EXACT DECIMAL(38,0)
+    integers, with one presentation division and an integer alarm
+    comparison at h = 8 units. The recursion-to-prefix-identity is the
+    same trick as ts_cusum_changepoint's scaling — no fold, no UDF, no
+    state."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)")
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("xq")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("event_type").orderBy("d")),
+        )
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xq").cast("bigint").alias("sx"),
+    )
+    stj = st.select(F.col("event_type").alias("et_s"), "n", "sx")
+    z = daily.join(F.broadcast(stj), F.col("event_type") == F.col("et_s")).select(
+        "event_type",
+        "d",
+        "rn",
+        "n",
+        (
+            F.lit(2).cast("decimal(38,0)") * F.col("n") * F.col("xq")
+            - 3 * F.col("sx").cast("decimal(38,0)")
+        ).alias("zk"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = z.withColumn("cum", F.sum("zk").over(wcum).cast("decimal(38,0)"))
+    pre = pre.withColumn(
+        "run_min", F.min("cum").over(wcum).cast("decimal(38,0)")
+    )
+    c_hi = F.col("cum") - F.least(F.col("run_min"), F.lit(0).cast("decimal(38,0)"))
+    return pre.select(
+        "event_type",
+        "d",
+        (
+            c_hi.cast("string").cast("double")
+            / (2 * F.col("n").cast("double") * F.lit(1e6))
+        ).alias("cusum_hi"),
+        (
+            c_hi
+            > F.lit(8).cast("decimal(38,0)") * F.col("n") * 1000000
+        ).alias("alarm"),
+    ).orderBy("event_type", "d")

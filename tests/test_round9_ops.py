@@ -2460,3 +2460,23 @@ def test_type_inference_audit_matches_pure_python(spark):
     assert got["c_key"]["inferred_type"] == "bigint"
     assert got["c_date"]["inferred_type"] == "date"
     assert got["c_text"]["inferred_type"] == "string"
+
+
+def test_cusum_tabular_matches_sequential_recursion(spark, daily_series):
+    got = {}
+    for r in plans.get("ts_cusum_tabular").build(spark, SF).collect():
+        got.setdefault(r["event_type"], []).append(r)
+    for et, x in daily_series.items():
+        xq = [round(v * 1e6) for v in x]
+        n = len(xq)
+        s = sum(xq)
+        # sequential: C_t = max(0, C_{t-1} + (x_t - mean) - mean/2),
+        # everything scaled by 2n to stay integral
+        c = 0
+        rows = got[et]
+        assert len(rows) == n
+        for i, r in enumerate(rows):
+            zk = 2 * n * xq[i] - 3 * s
+            c = max(0, c + zk)
+            assert r["cusum_hi"] == pytest.approx(c / (2 * n * 1e6), rel=1e-12)
+            assert r["alarm"] == (c > 8 * n * 1000000)
