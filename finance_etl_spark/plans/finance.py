@@ -2650,3 +2650,114 @@ def fin_zero_curve_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         q8(z("d4", 4)).alias("z4_q8"),
         q8(z("d5", 5)).alias("z5_q8"),
     ).orderBy("n_nationkey")
+
+
+@register(
+    "fin_max_drawdown",
+    tags=("finance", "window", "risk"),
+    oracle="""
+        WITH daily AS (
+            SELECT c.c_mktsegment AS segment, CAST(o.o_orderdate AS DATE) AS d,
+                   CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE -1 END
+                        * CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                          AS BIGINT)) AS BIGINT) AS pnl_cents
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+        ),
+        eq AS (
+            SELECT segment, d,
+                   CAST(SUM(pnl_cents) OVER w AS BIGINT) AS equity,
+                   ROW_NUMBER() OVER (PARTITION BY segment ORDER BY d) AS rn
+            FROM daily
+            WINDOW w AS (PARTITION BY segment ORDER BY d
+                         ROWS UNBOUNDED PRECEDING)
+        ),
+        dd AS (
+            SELECT segment, d, rn, equity,
+                   CAST(MAX(equity) OVER (PARTITION BY segment ORDER BY rn
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+            FROM eq
+        ),
+        scored AS (
+            SELECT segment, d, equity, peak, peak - equity AS drawdown
+            FROM dd
+        ),
+        best AS (
+            SELECT segment, d AS trough_date, equity, peak, drawdown,
+                   ROW_NUMBER() OVER (PARTITION BY segment
+                       ORDER BY drawdown DESC, d) AS pk
+            FROM scored
+        )
+        SELECT segment,
+               CAST(drawdown AS BIGINT) AS max_drawdown_cents,
+               trough_date,
+               CAST(peak AS BIGINT) AS peak_equity_cents,
+               CAST(drawdown AS DOUBLE) / CAST(peak AS DOUBLE)
+                   AS drawdown_frac
+        FROM best WHERE pk = 1
+        ORDER BY segment
+    """,
+)
+def fin_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per market segment on the signed daily P&L
+    equity curve: drawdown_t = running-max(equity) - equity — the
+    min-reset mirror of the tabular-CUSUM identity, again two stacked
+    per-segment windows over exact integer cents with no fold or UDF.
+    The deepest trough (deterministic earliest-date tiebreak) with its
+    peak and fractional depth is THE risk number portfolio reviews
+    lead with. Complements ts_max_drawdown (relative drawdown of an
+    always-positive activity curve per event series): this one runs on
+    a SIGNED P&L curve in exact integer cents and reports the trough
+    date and peak, the fields a risk report needs. Corpus work is one
+    broadcast-join daily agg; windows partition per segment over
+    calendar-bounded rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", cents).otherwise(-cents)
+            )
+            .cast("bigint")
+            .alias("pnl_cents")
+        )
+    )
+    weq = (
+        Window.partitionBy("segment")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    eq = daily.select(
+        "segment",
+        "d",
+        F.sum("pnl_cents").over(weq).cast("bigint").alias("equity"),
+        F.row_number().over(Window.partitionBy("segment").orderBy("d")).alias("rn"),
+    )
+    wmax = (
+        Window.partitionBy("segment")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = eq.withColumn("peak", F.max("equity").over(wmax).cast("bigint"))
+    scored = dd.withColumn("drawdown", F.col("peak") - F.col("equity"))
+    wpick = Window.partitionBy("segment").orderBy(
+        F.col("drawdown").desc(), F.col("d")
+    )
+    best = scored.withColumn("pk", F.row_number().over(wpick)).filter(
+        F.col("pk") == 1
+    )
+    return best.select(
+        "segment",
+        F.col("drawdown").cast("bigint").alias("max_drawdown_cents"),
+        F.col("d").alias("trough_date"),
+        F.col("peak").cast("bigint").alias("peak_equity_cents"),
+        (F.col("drawdown").cast("double") / F.col("peak").cast("double")).alias(
+            "drawdown_frac"
+        ),
+    ).orderBy("segment")

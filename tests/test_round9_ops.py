@@ -2480,3 +2480,34 @@ def test_cusum_tabular_matches_sequential_recursion(spark, daily_series):
             c = max(0, c + zk)
             assert r["cusum_hi"] == pytest.approx(c / (2 * n * 1e6), rel=1e-12)
             assert r["alarm"] == (c > 8 * n * 1000000)
+
+
+def test_max_drawdown_matches_pure_python(spark):
+    got = {r["segment"]: r for r in plans.get("fin_max_drawdown").build(spark, SF).collect()}
+    rows = _fetch(
+        "SELECT c.c_mktsegment, CAST(o.o_orderdate AS DATE),"
+        " SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE -1 END"
+        "     * CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
+        f" FROM read_parquet('{SF}/orders.parquet') o"
+        f" JOIN read_parquet('{SF}/customer.parquet') c"
+        " ON c.c_custkey = o.o_custkey GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    series = {}
+    for seg, d, pnl in rows:
+        series.setdefault(seg, []).append((d, pnl))
+    for seg, pts in series.items():
+        eq = peak = 0
+        best = None
+        first = True
+        for d, pnl in pts:
+            eq += pnl
+            peak = eq if first else max(peak, eq)
+            first = False
+            dd = peak - eq
+            if best is None or dd > best[0]:
+                best = (dd, d, peak)
+        r = got[seg]
+        assert r["max_drawdown_cents"] == best[0]
+        assert r["trough_date"] == best[1]
+        assert r["peak_equity_cents"] == best[2]
+        assert r["drawdown_frac"] == pytest.approx(best[0] / best[2], rel=1e-12)
