@@ -77,48 +77,44 @@ for _mod in (
 # exactly 50 slots. Round 9 should front: vec rows-only tail (5),
 # sql (7), stat (7), ts (6), stream (7), graph/sink/window leftovers.
 front_queries(
-    # ROUND-9 WINDOW (cumulative driver-sampled after r8: 320/423):
-    # (a) the 6 round-8 model-eval ops (kappa/ndcg/psi carry this
-    # round's advisor guards — driver-confirm them), (b) the 3 BPE/
-    # WordPiece oracle promotions, then the never-sampled tails from
-    # the rotation note: sql (7), stat (7), ts (6), stream (7), graph
-    # (7), the vec rows-only tail (5), plus window_interval_range_frame
-    # and headline q5 — exactly 50 slots. Round 10 should front: the
-    # sink family (7), remaining ml round-7 suite (18), cur/text/obs
-    # leftovers (mixture, epoch, e2e prep, perplexity batch, novelty,
-    # zipf, recall eval, rouge, skew/file-layout), scalar_deterministic
-    # _uuid, mm_video_scene_cut, udf_window_grouped_agg, subquery/set/
-    # q14/q16/window leftovers — then rotate in the ~60 round-9
-    # additions (stat kendall/kruskal/chi2gof/bh_fdr/partial/effect/
-    # did, ts ljung/bollinger/sax/stl/retention/viterbi/cusum/peaks/
-    # hurst/mase/attribution, graph clustering/adamic/hits, fin
-    # sharpe/bond/ecl/woe/velocity, agg_bloom_portable, text c4/
-    # kneser_ney, ml adaboost/item_cf/shapley/conformal/class_weights,
-    # vec_kmeans_unrolled2, text_tokenizer_fertility (promoted),
-    # cur_rejection_sample_md5, geo_grid_knn_join, dq_rule_engine,
-    # stream_live_cusum_alarm) over rounds 10-11 to close the
-    # registry.
+    # ROUND-10 WINDOW (cumulative driver-sampled after r9: 370/513;
+    # 143 never sampled — all from the round-9 wave that landed after
+    # the r9 window froze): the full unsampled ml tail (39 — includes
+    # ml_ab_sequential_sprt, reshaped this round through operators/
+    # ranks.py, so the de-serialization gets driver-confirmed in the
+    # same window, and ml_bagging_oob, promoted to headline) plus the
+    # first 11 of the ts tail — exactly 50 slots. Round 11 should
+    # front: the remaining ts (7: ts_peak_detection, ts_hurst_rs,
+    # ts_forecast_backtest_mase, ts_attribution_last_touch,
+    # ts_lttb_unrolled, ts_kpss_level, ts_cusum_tabular), stat (14),
+    # fin (12), text (10), sink (7) = 50. Round 12 closes the rest:
+    # graph (6), cur (5), agg portable
+    # sketches (5), scalar (3), dq (3), vec (3), window (3), obs (2),
+    # subquery (2), set (2), join (2), q14/q16, geo_grid_knn_join,
+    # mm_video_scene_cut, udf_window_grouped_agg, ingest_type_
+    # inference_audit, stream_live_cusum_alarm — plus any round-10
+    # additions.
     [
-        "ml_cohen_kappa", "ml_mcc_binary", "ml_pr_auc", "ml_ndcg_at_k",
-        "ml_lift_gains_table", "ml_psi_drift",
-        "text_bpe_train_merges", "text_bpe_encode", "text_wordpiece_encode",
-        "sql_group_by_all", "sql_scripting_control_flow", "sql_pipe_syntax",
-        "sql_filter_clause", "sql_parameterized_query",
-        "sql_udf_create_function", "sql_execute_immediate",
-        "stat_bootstrap_ci", "stat_randomization_test", "stat_spearman_corr",
-        "stat_cramers_v", "stat_runs_test", "stat_gini_coefficient",
-        "stat_lorenz_deciles",
-        "ts_anomaly_mad_robust", "ts_pattern_reversal", "ts_yule_walker_ar2",
-        "ts_dtw_band", "ts_haar_energy", "ts_pacf",
-        "stream_live_cdc_to_snapshot", "stream_live_scd2_enrich",
-        "stream_live_topk_per_window", "stream_live_observed_metrics",
-        "stream_live_dedup_admission", "stream_live_backfill_tail",
-        "stream_live_perplexity_admission",
-        "graph_pagerank_trade", "graph_triangle_count", "graph_bfs_distance",
-        "graph_community_labelprop", "graph_components_star",
-        "graph_jaccard_linkpred", "graph_kcore_peel",
-        "vec_semantic_dedup", "vec_ann_pq_topk", "vec_matmul_topk",
-        "vec_mmr_rerank", "vec_recall_curve",
-        "window_interval_range_frame", "q5_local_supplier_volume",
+        "ml_ab_sequential_sprt", "ml_bagging_oob",
+        "ml_standard_scaler", "ml_target_encode_smoothed",
+        "ml_decision_stump_split", "ml_kfold_ols_eval",
+        "ml_one_hot_encode", "ml_quantile_binning", "ml_roc_auc",
+        "ml_threshold_sweep", "ml_calibration_bins",
+        "ml_ridge_normal_equations", "ml_feature_corr_matrix",
+        "ml_gbdt_boost_round", "ml_mutual_information",
+        "ml_chi2_feature_select", "ml_markov_transition",
+        "ml_decision_tree_depth2", "ml_gbdt_two_rounds",
+        "ml_learning_curve", "ml_isotonic_calibration",
+        "ml_kaplan_meier", "ml_feature_hashing", "ml_brier_log_loss",
+        "ml_multiclass_prf", "ml_permutation_importance",
+        "ml_adaboost_round", "ml_item_item_cf", "ml_shapley_2feature",
+        "ml_conformal_ols_interval", "ml_class_weights", "ml_ab_cuped",
+        "ml_logrank_test", "ml_calibration_ece", "ml_ols_influence",
+        "ml_uplift_qini", "ml_stratified_ate",
+        "ml_cost_optimal_threshold", "ml_lr_grid_one_step",
+        "ts_gapfill_interpolate", "ts_theil_sen", "ts_mann_kendall",
+        "ts_granger_causality_1lag", "ts_ljung_box",
+        "ts_bollinger_bands", "ts_sax_symbols", "ts_retention_cohorts",
+        "ts_stl_decompose", "ts_viterbi_2state", "ts_cusum_changepoint",
     ]
 )

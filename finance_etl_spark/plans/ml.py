@@ -1817,31 +1817,34 @@ def ml_ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-combination of quantized per-trial constants, so the FIRST
     boundary crossing — the early-stopping decision sequential testing
     exists for — is engine- and relayout-exact. The fixed-n companion
-    is agg_ab_test_ztest; this is the peeking-safe version. The global
-    trial-order window is the demo shape; at unbounded scale route the
-    cumulative through the two-phase range-partitioned rank
-    (operators/ranks.py) exactly as the vocab-window queries do."""
-    from pyspark.sql import Window
+    is agg_ab_test_ztest; this is the peeking-safe version. The
+    cumulative (n_trials, n_success) over the global trial order runs
+    through the two-phase range-partitioned rank+running-sum
+    (operators/ranks.py::global_rank_running_sums) — per-partition
+    windows keyed on the physical partition id plus O(numPartitions)
+    offsets — so no Exchange SinglePartition ever sees the events
+    table, exactly as the vocab-window queries are shaped."""
+    from finance_etl_spark.operators.ranks import global_rank_running_sums
 
     e = load_table(spark, sf_dir, "events")
     trials = e.select(
         "event_id", (F.col("event_type") == "purchase").cast("int").alias("s")
     )
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
     l1, l0 = F.expr(_SPRT_L1), F.expr(_SPRT_L0)
-    cum = trials.select(
+    ranked, _ = global_rank_running_sums(
+        trials, order_by=[F.col("event_id")], sum_cols=["s"],
+        rank_col="n_trials",
+    )
+    cum = ranked.select(
         "event_id",
-        F.row_number().over(w).cast("bigint").alias("n_trials"),
-        F.sum("s").over(w).cast("bigint").alias("n_success"),
+        F.col("n_trials").cast("bigint").alias("n_trials"),
+        F.col("cum_s").cast("bigint").alias("n_success"),
         (
-            F.sum("s").over(w).cast("decimal(20,0)") * l1
-            + (
-                F.row_number().over(w).cast("bigint")
-                - F.sum("s").over(w)
-            ).cast("decimal(20,0)")
+            F.col("cum_s").cast("decimal(20,0)") * l1
+            + (F.col("n_trials") - F.col("cum_s")).cast("decimal(20,0)")
             * l0
         ).alias("llr"),
-    ).persist()
+    )
     crossing = (
         cum.filter(
             (F.col("llr") >= F.expr(_SPRT_A))

@@ -829,3 +829,20 @@ def test_effect_sizes_has_no_cell_cross_join(spark, sf_dir):
     specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
     for spec in specs:
         assert "bkt" in spec, f"window not bucket-partitioned: [{spec}]"
+
+
+def test_sprt_no_single_partition_window_over_events(spark, sf_dir):
+    """ml_ab_sequential_sprt's cumulative LLR must come from the
+    two-phase range-partitioned rank+running-sum (operators/ranks.py),
+    not Window.orderBy over the full events table: every Window spec
+    partitions by the physical partition id, so no Exchange
+    SinglePartition funnels the corpus through one task (the limit(1)
+    decision rows are the only single-partition consumers, and they
+    run on pre-reduced inputs)."""
+    import re
+
+    p = plan_str(plans.get("ml_ab_sequential_sprt").build(spark, sf_dir), "extended")
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+    assert specs, f"no Window nodes matched extended plan:\n{p[:500]}"
+    for spec in specs:
+        assert "__pid" in spec, f"unpartitioned window spec: [{spec}]"
