@@ -5089,6 +5089,7 @@ def _bag_pois_sql(u: str) -> str:
 @register(
     "ml_bagging_oob",
     tags=("ml", "ensemble", "agg"),
+    headline=True,  # tracks the xB replicate fan-out cost in BENCH_r{N}
     oracle=f"""
         WITH rng AS (
             SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS xmin,

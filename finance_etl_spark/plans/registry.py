@@ -38,6 +38,17 @@ their fixes — check new queries against all three:
    COUNT(*) / COUNT(DISTINCT) are plain BIGINT in DuckDB and are safe
    uncast. tools/check.py fetches oracle results via Arrow so this
    class now fails locally too.
+5. DEGENERATE-DIVISION EDGES (round-9 advisor found three in one PR:
+   kappa pe=1, NDCG idcg=0, PSI zero-bin): any statistic with a
+   denominator that a lawful-but-extreme input drives to 0 (or a
+   log/ratio whose argument can hit 0) must NULL-guard the edge ON
+   BOTH ENGINES with the same NULLIF/CASE — Spark returns NULL for
+   x/0 while DuckDB raises or returns inf depending on types, so an
+   unguarded edge is a latent driver red even when the test fixture
+   never trips it. Checklist for every new query: enumerate each
+   division/log/sqrt, name the input that degenerates it, and either
+   prove the fixture+schema can't produce it (say so in the docstring)
+   or guard it identically in builder and oracle.
 """
 
 from __future__ import annotations

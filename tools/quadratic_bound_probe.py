@@ -1,0 +1,93 @@
+"""Scaling probe for the two documented-bound quadratics:
+ts_theil_sen and stat_kendall_tau.
+
+Design claims being measured (not asserted):
+- ts_theil_sen: the O(days²) pairwise-slope join squares the
+  DAYS-PER-SERIES, not the corpus — the events span a fixed date
+  range at every SF, so a 10x corpus collapses to the same daily
+  relation in one map-side agg and the pair join's input is
+  unchanged. Wall should grow like the first scan, nowhere near
+  the 100x a naive row-pair join would show.
+- stat_kendall_tau: the O((RC)²) cell self-join runs on the <=550
+  (quantity, discount) contingency cells, which are value-domain-
+  bounded and SF-invariant; only the corpus->cells hash agg scales.
+
+Usage:
+  python tools/quadratic_bound_probe.py [--md]   # --md appends SCALING.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from finance_etl_spark import plans  # noqa: E402
+from finance_etl_spark.session import get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_RUNS = 2
+QUERIES = ("ts_theil_sen", "stat_kendall_tau")
+
+
+def _time(spark, name: str, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(N_RUNS):
+        t0 = time.time()
+        plans.get(name).build(spark, sf_dir).count()
+        best = min(best, time.time() - t0)
+        spark.catalog.clearCache()
+    return best
+
+
+def main() -> int:
+    emit_md = "--md" in sys.argv
+    spark = get_spark("quadratic-bound-probe")
+    results = []
+    for name in QUERIES:
+        # warm the JVM/codegen path once
+        plans.get(name).build(spark, "/root/testdata/sf0.001").count()
+        t_small = _time(spark, name, "/root/testdata/sf0.001")
+        t_big = _time(spark, name, "/root/testdata/sf0.01")
+        ratio = t_big / t_small
+        out = {
+            "probe": name,
+            "sf_small": 0.001,
+            "sf_big": 0.01,
+            "wall_small_s": round(t_small, 3),
+            "wall_big_s": round(t_big, 3),
+            "ratio_per_10x_corpus": round(ratio, 2),
+        }
+        results.append(out)
+        print(json.dumps(out))
+    if emit_md:
+        bound = {
+            "ts_theil_sen": (
+                "O(days²)-per-series pair join runs on the SF-invariant "
+                "daily relation; only the corpus->daily agg scales"
+            ),
+            "stat_kendall_tau": (
+                "O((RC)²) cell self-join runs on <=550 value-domain-"
+                "bounded contingency cells; only the corpus->cells agg "
+                "scales"
+            ),
+        }
+        with open(os.path.join(REPO, "SCALING.md"), "a") as f:
+            for r in results:
+                f.write(
+                    f"\n- **{r['probe']} 10x probe**: "
+                    f"{r['wall_small_s']:.2f}s @ sf0.001 -> "
+                    f"{r['wall_big_s']:.2f}s @ sf0.01 (ratio "
+                    f"{r['ratio_per_10x_corpus']:.2f}x per 10x corpus; "
+                    f"{bound[r['probe']]} — measured, not claimed; "
+                    "tools/quadratic_bound_probe.py).\n"
+                )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
