@@ -2868,3 +2868,527 @@ def stat_ttest_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t_stat"),
         (F.col("n") - 1).cast("bigint").alias("df"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 inference wave: paired-binary and trend tests, outlier
+# screening, and regression-diagnostic statistics (Durbin-Watson,
+# Breusch-Pagan). All exact-sufficient-statistic constructions: counts
+# and integer/decimal power sums reduce the corpus, one IEEE-exact
+# double expression assembles each statistic at the presentation edge.
+# Degenerate-division edges (registry docstring class 5) are NULL-
+# guarded identically on both engines.
+
+
+@register(
+    "stat_mcnemar",
+    tags=("stats", "agg"),
+    oracle="""
+        WITH flags AS (
+            SELECT o_custkey,
+                   MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1995
+                            THEN 1 ELSE 0 END) AS f1,
+                   MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                            THEN 1 ELSE 0 END) AS f2
+            FROM orders GROUP BY o_custkey
+        ),
+        cells AS (
+            SELECT CAST(SUM(f1 * f2) AS BIGINT) AS n11,
+                   CAST(SUM(f1 * (1 - f2)) AS BIGINT) AS b,
+                   CAST(SUM((1 - f1) * f2) AS BIGINT) AS c
+            FROM flags
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM customer)
+        SELECT n11, b, c,
+               (nc - n11 - b - c) AS n00,
+               CASE WHEN b + c > 0 THEN
+                 CAST(b - c AS DOUBLE) * CAST(b - c AS DOUBLE)
+                   / CAST(b + c AS DOUBLE) END AS chi2,
+               CASE WHEN b + c > 0 THEN
+                 GREATEST(CAST(ABS(b - c) AS DOUBLE) - 1, 0)
+                   * GREATEST(CAST(ABS(b - c) AS DOUBLE) - 1, 0)
+                   / CAST(b + c AS DOUBLE) END AS chi2_cc
+        FROM cells CROSS JOIN tot
+    """,
+)
+def stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for paired binary outcomes: did each customer
+    order in 1995 vs in 1996 — the marginal-homogeneity question
+    ("did the active-customer base shift?") that an unpaired 2x2 chi2
+    gets wrong because the two observations share a customer. The
+    corpus reduces to per-customer (f1, f2) flags in ONE custkey hash
+    agg (map-side combining), the discordant cells b=(1,0) / c=(0,1)
+    are exact integer sums, and the statistic (b-c)^2/(b+c) — plus the
+    continuity-corrected (|b-c|-1)^2/(b+c) with the max(.,0) floor for
+    the b=c edge — is a single double expression, NULL-guarded for the
+    b+c=0 degenerate (no discordant pairs). Never-ordered customers
+    enter n00 through the customer-table total, avoiding the
+    customer⋈flags join entirely."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    yr = F.year("o_orderdate")
+    flags = o.groupBy("o_custkey").agg(
+        F.max(F.when(yr == 1995, 1).otherwise(0)).alias("f1"),
+        F.max(F.when(yr == 1996, 1).otherwise(0)).alias("f2"),
+    )
+    cells = flags.agg(
+        F.sum(F.col("f1") * F.col("f2")).cast("bigint").alias("n11"),
+        F.sum(F.col("f1") * (F.lit(1) - F.col("f2"))).cast("bigint").alias("b"),
+        F.sum((F.lit(1) - F.col("f1")) * F.col("f2")).cast("bigint").alias("c"),
+    )
+    tot = cust.agg(F.count(F.lit(1)).cast("bigint").alias("nc"))
+    bc = (F.col("b") + F.col("c")).cast("double")
+    d = (F.col("b") - F.col("c")).cast("double")
+    dcc = F.greatest(F.abs(F.col("b") - F.col("c")).cast("double") - 1, F.lit(0.0))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "n11",
+        "b",
+        "c",
+        (F.col("nc") - F.col("n11") - F.col("b") - F.col("c")).alias("n00"),
+        F.when(F.col("b") + F.col("c") > 0, d * d / bc).alias("chi2"),
+        F.when(F.col("b") + F.col("c") > 0, dcc * dcc / bc).alias("chi2_cc"),
+    )
+
+
+@register(
+    "stat_cochran_armitage",
+    tags=("stats", "agg"),
+    oracle="""
+        WITH bands AS (
+            SELECT CAST(1 + FLOOR((l_quantity - 1) / 10) AS BIGINT) AS s,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+            FROM lineitem
+        ),
+        suff AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS r,
+                   CAST(SUM(s * y) AS BIGINT) AS t1,
+                   CAST(SUM(s) AS BIGINT) AS t2,
+                   CAST(SUM(s * s) AS BIGINT) AS t3
+            FROM bands
+        )
+        SELECT n, r, t1, t2, t3,
+               CASE WHEN r > 0 AND r < n
+                         AND CAST(t3 AS DOUBLE)
+                             - CAST(t2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+                               / CAST(n AS DOUBLE) > 0 THEN
+                 (CAST(t1 AS DOUBLE)
+                  - CAST(r AS DOUBLE) * CAST(t2 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(t3 AS DOUBLE)
+                           - CAST(t2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+                             / CAST(n AS DOUBLE)))
+               END AS z_trend
+        FROM suff
+    """,
+)
+def stat_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does the return rate rise (or
+    fall) monotonically across ordered quantity bands (1-10 ... 41-50,
+    scores 1..5)? The entire test reduces to five exact integer sums
+    over one lineitem scan — N, returns R, score-weighted sums
+    sum(s*y), sum(s), sum(s^2) — all map-side-combining; z assembles
+    in ONE double expression with sqrt (IEEE-correctly-rounded, so
+    cross-engine exact on identical inputs). Degenerate edges per the
+    class-5 checklist: all-returned / none-returned (p(1-p)=0) and a
+    single occupied band (zero score variance) both NULL the z via the
+    same CASE on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = li.select(
+        (F.lit(1) + F.floor((F.col("l_quantity") - 1) / 10)).cast("bigint").alias("s"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    suff = bands.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("r"),
+        F.sum(F.col("s") * F.col("y")).cast("bigint").alias("t1"),
+        F.sum("s").cast("bigint").alias("t2"),
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("t3"),
+    )
+    n_d = F.col("n").cast("double")
+    r_d = F.col("r").cast("double")
+    t1_d = F.col("t1").cast("double")
+    t2_d = F.col("t2").cast("double")
+    t3_d = F.col("t3").cast("double")
+    svar = t3_d - t2_d * t2_d / n_d
+    p = r_d / n_d
+    return suff.select(
+        "n",
+        "r",
+        "t1",
+        "t2",
+        "t3",
+        F.when(
+            (F.col("r") > 0) & (F.col("r") < F.col("n")) & (svar > 0),
+            (t1_d - r_d * t2_d / n_d) / F.sqrt(p * (1 - p) * svar),
+        ).alias("z_trend"),
+    )
+
+
+@register(
+    "stat_grubbs_outlier",
+    tags=("stats", "agg"),
+    oracle="""
+        WITH s AS (
+            SELECT c_mktsegment AS segment,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+                        AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))
+                                 * CAST(c_acctbal AS DECIMAL(12,2)))
+                        AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2)))
+                        AS VARCHAR) AS DOUBLE) AS mn,
+                   CAST(CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2)))
+                        AS VARCHAR) AS DOUBLE) AS mx
+            FROM customer GROUP BY c_mktsegment
+        )
+        SELECT segment, n,
+               sx / CAST(n AS DOUBLE) AS mean_bal,
+               CASE WHEN n > 1 AND sxx - sx * sx / CAST(n AS DOUBLE) > 0 THEN
+                 GREATEST(sx / CAST(n AS DOUBLE) - mn,
+                          mx - sx / CAST(n AS DOUBLE))
+                   / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - 1))
+               END AS g_stat,
+               CASE WHEN n > 1 AND sxx - sx * sx / CAST(n AS DOUBLE) > 0 THEN
+                 GREATEST(sx / CAST(n AS DOUBLE) - mn,
+                          mx - sx / CAST(n AS DOUBLE))
+                   / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - 1)) > 3.0
+               END AS flagged
+        FROM s ORDER BY segment
+    """,
+)
+def stat_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' max-studentized-deviation outlier screen per market
+    segment on account balance: G = max(|x - mean|)/sd, where the
+    extreme deviation is provably attained at the group MIN or MAX —
+    so the WHOLE test needs only (n, sum, sum-of-squares, min, max),
+    one exact-decimal hash agg per segment, never a second pass or a
+    sort. The 3.0 threshold is a fixed screening constant (the
+    n-dependent t-quantile critical value is a lookup, not a query
+    concern). sd=0 (all-equal group) and n=1 NULL the statistic via
+    the same CASE on both engines; decimal sums present through the
+    VARCHAR-routed double edge."""
+    cust = load_table(spark, sf_dir, "customer")
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    s = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        as_d(F.sum(bal)).alias("sx"),
+        as_d(F.sum(bal * bal)).alias("sxx"),
+        as_d(F.min(bal)).alias("mn"),
+        as_d(F.max(bal)).alias("mx"),
+    )
+    n_d = F.col("n").cast("double")
+    mean = F.col("sx") / n_d
+    ss = F.col("sxx") - F.col("sx") * F.col("sx") / n_d
+    g = F.greatest(mean - F.col("mn"), F.col("mx") - mean) / F.sqrt(
+        ss / (n_d - 1)
+    )
+    ok = (F.col("n") > 1) & (ss > 0)
+    return s.select(
+        "segment",
+        "n",
+        mean.alias("mean_bal"),
+        F.when(ok, g).alias("g_stat"),
+        F.when(ok, g > 3.0).alias("flagged"),
+    ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Regression diagnostics (Durbin-Watson, Breusch-Pagan) share one
+# residual construction: simple OLS of the exact floor-scaled daily
+# event total v on the day index t, per event_type. The coefficients
+# are single double expressions over exact integer/decimal sufficient
+# sums (identical text on both engines => bit-identical), so each
+# residual e_t = v - alpha - beta*t is one IEEE-deterministic per-row
+# expression; every cross-row reduction over residuals floor-quantizes
+# BEFORE summing (exact DECIMAL(38,0) integer sums — order- and
+# engine-free), per registry divergence class 1.
+
+_DAILY_EVENTS_SQL = """
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(FLOOR(value * 1e6) AS DECIMAL(38,0)))
+                        AS BIGINT) AS v
+            FROM events GROUP BY 1, 2
+"""
+
+_RESID_CTES = f"""
+        daily AS ({_DAILY_EVENTS_SQL}),
+        base AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT)
+                       AS t,
+                   v
+            FROM daily
+        ),
+        suff AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(t) AS BIGINT) AS st,
+                   CAST(SUM(v) AS BIGINT) AS sv,
+                   CAST(CAST(SUM(CAST(t AS DECIMAL(38,0)) * t) AS VARCHAR)
+                        AS DOUBLE) AS stt,
+                   CAST(CAST(SUM(CAST(t AS DECIMAL(38,0)) * v) AS VARCHAR)
+                        AS DOUBLE) AS stv
+            FROM base GROUP BY event_type
+        ),
+        coef AS (
+            SELECT event_type, n, st, sv, stt, stv,
+                   (CAST(n AS DOUBLE) * stv
+                    - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+                     / NULLIF(CAST(n AS DOUBLE) * stt
+                              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE), 0)
+                       AS beta
+            FROM suff
+        ),
+        coef2 AS (
+            SELECT *, (CAST(sv AS DOUBLE) - beta * CAST(st AS DOUBLE))
+                        / CAST(n AS DOUBLE) AS alpha
+            FROM coef
+        ),
+        resid AS (
+            SELECT b.event_type, b.t,
+                   CAST(b.v AS DOUBLE) - c.alpha
+                     - c.beta * CAST(b.t AS DOUBLE) AS e
+            FROM base b JOIN coef2 c ON c.event_type = b.event_type
+        )
+"""
+
+
+def _ols_daily_resid(spark: SparkSession, sf_dir: str):
+    """(resid, coef): per-(event_type, t) OLS residuals of the daily
+    exact-integer series plus the per-type coefficient relation.
+    Corpus work is ONE map-side-combining (type, day) agg; everything
+    downstream runs on O(types x days) rows, coefficients broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * F.lit(1e6)).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("v")
+    )
+    base = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("t"),
+        "v",
+    )
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    suff = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("v").cast("bigint").alias("sv"),
+        as_d(F.sum(F.col("t").cast("decimal(38,0)") * F.col("t"))).alias("stt"),
+        as_d(F.sum(F.col("t").cast("decimal(38,0)") * F.col("v"))).alias("stv"),
+    )
+    n_d = F.col("n").cast("double")
+    st_d = F.col("st").cast("double")
+    sv_d = F.col("sv").cast("double")
+    denom = n_d * F.col("stt") - st_d * st_d
+    coef = suff.withColumn(
+        "beta",
+        (n_d * F.col("stv") - st_d * sv_d)
+        / F.when(denom != 0, denom),  # NULLIF twin: single-day series
+    ).withColumn(
+        "alpha", (sv_d - F.col("beta") * st_d) / n_d
+    )
+    resid = base.join(
+        F.broadcast(coef.select("event_type", "alpha", "beta")), "event_type"
+    ).select(
+        "event_type",
+        "t",
+        (
+            F.col("v").cast("double")
+            - F.col("alpha")
+            - F.col("beta") * F.col("t").cast("double")
+        ).alias("e"),
+    )
+    return resid, coef
+
+
+@register(
+    "stat_durbin_watson",
+    tags=("stats", "ts", "window"),
+    oracle=f"""
+        WITH {_RESID_CTES},
+        qr AS (
+            SELECT event_type, t, CAST(FLOOR(e) AS BIGINT) AS ef
+            FROM resid
+        ),
+        lagd AS (
+            SELECT event_type, ef,
+                   LAG(ef) OVER (PARTITION BY event_type ORDER BY t) AS ep
+            FROM qr
+        ),
+        sums AS (
+            SELECT event_type,
+                   CAST(CAST(SUM(CAST(ef AS DECIMAL(19,0)) * ef)
+                        AS VARCHAR) AS DOUBLE) AS se2,
+                   CAST(CAST(SUM(CASE WHEN ep IS NOT NULL
+                        THEN CAST(ef - ep AS DECIMAL(19,0)) * (ef - ep)
+                        ELSE CAST(0 AS DECIMAL(19,0)) END)
+                        AS VARCHAR) AS DOUBLE) AS sdiff
+            FROM lagd GROUP BY event_type
+        )
+        SELECT s.event_type, c.n, c.beta,
+               CASE WHEN s.se2 > 0 THEN s.sdiff / s.se2 END AS dw
+        FROM sums s JOIN coef2 c ON c.event_type = s.event_type
+        ORDER BY s.event_type
+    """,
+)
+def stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson first-order autocorrelation diagnostic on the
+    daily-trend OLS residuals, per event series: DW = sum((e_t -
+    e_(t-1))^2) / sum(e_t^2), DW≈2 meaning uncorrelated. Residuals are
+    one deterministic double expression per DAILY row (coefficients
+    are single expressions over exact sufficient sums, broadcast
+    back), then floor-quantized to q0 BIGINTs BEFORE any squaring —
+    squaring first and casting the >2^53 double product to DECIMAL
+    hits the engine-divergent double->decimal rounding path (registry
+    class 2, measured at sf0.1); integer-first keeps every sum exact
+    DECIMAL arithmetic with no float accumulation. The lag window
+    partitions per series over O(days) rows — the corpus itself never
+    reaches a window. Class-5 edges: a flat series (all residuals 0)
+    NULLs DW via the same CASE; a single-day series NULLs beta via
+    NULLIF upstream."""
+    resid, coef = _ols_daily_resid(spark, sf_dir)
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    qr = resid.select(
+        "event_type", "t", F.floor(F.col("e")).cast("bigint").alias("ef")
+    )
+    w = Window.partitionBy("event_type").orderBy("t")
+    lagd = qr.withColumn("ep", F.lag("ef").over(w))
+    dec19 = "decimal(19,0)"
+    sums = lagd.groupBy("event_type").agg(
+        as_d(F.sum(F.col("ef").cast(dec19) * F.col("ef"))).alias("se2"),
+        as_d(
+            F.sum(
+                F.when(
+                    F.col("ep").isNotNull(),
+                    (F.col("ef") - F.col("ep")).cast(dec19)
+                    * (F.col("ef") - F.col("ep")),
+                ).otherwise(F.lit(0).cast(dec19))
+            )
+        ).alias("sdiff"),
+    )
+    return (
+        sums.join(
+            F.broadcast(coef.select("event_type", "n", "beta")), "event_type"
+        )
+        .select(
+            "event_type",
+            "n",
+            "beta",
+            F.when(F.col("se2") > 0, F.col("sdiff") / F.col("se2")).alias("dw"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stat_breusch_pagan",
+    tags=("stats", "ts", "agg"),
+    oracle=f"""
+        WITH {_RESID_CTES},
+        q AS (
+            SELECT event_type, t,
+                   CAST(FLOOR(e * CAST(0.001 AS DOUBLE)) AS BIGINT) AS e3
+            FROM resid
+        ),
+        u AS (
+            SELECT event_type, t,
+                   CAST(e3 AS DECIMAL(19,0)) * e3 AS uu
+            FROM q
+        ),
+        s AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(t) AS BIGINT) AS st,
+                   CAST(CAST(SUM(CAST(t AS DECIMAL(38,0)) * t) AS VARCHAR)
+                        AS DOUBLE) AS stt,
+                   CAST(CAST(SUM(uu) AS VARCHAR) AS DOUBLE) AS su,
+                   CAST(CAST(SUM(CAST(t AS DECIMAL(19,0)) * uu) AS VARCHAR)
+                        AS DOUBLE) AS stu,
+                   CAST(CAST(SUM(CAST(uu AS DECIMAL(19,0))
+                                 * CAST(uu AS DECIMAL(19,0))) AS VARCHAR)
+                        AS DOUBLE) AS suu
+            FROM u GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CASE WHEN (CAST(n AS DOUBLE) * stt
+                          - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) > 0
+                     AND (CAST(n AS DOUBLE) * suu - su * su) > 0 THEN
+                 (CAST(n AS DOUBLE) * stu - CAST(st AS DOUBLE) * su)
+                   * (CAST(n AS DOUBLE) * stu - CAST(st AS DOUBLE) * su)
+                   / ((CAST(n AS DOUBLE) * stt
+                       - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * suu - su * su))
+               END AS r2_aux,
+               CASE WHEN (CAST(n AS DOUBLE) * stt
+                          - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) > 0
+                     AND (CAST(n AS DOUBLE) * suu - su * su) > 0 THEN
+                 CAST(n AS DOUBLE)
+                   * (CAST(n AS DOUBLE) * stu - CAST(st AS DOUBLE) * su)
+                   * (CAST(n AS DOUBLE) * stu - CAST(st AS DOUBLE) * su)
+                   / ((CAST(n AS DOUBLE) * stt
+                       - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * suu - su * su))
+               END AS lm_stat
+        FROM s ORDER BY event_type
+    """,
+)
+def stat_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity test on the daily-trend OLS
+    fit, per event series: regress the squared residual on the day
+    index and report LM = n*R^2 of that auxiliary regression (large =>
+    variance drifts over time and the OLS standard errors lie).
+    Residuals are floor-quantized to q-3 BIGINTs (e3 = floor(e/1000))
+    BEFORE squaring, so u = e3^2 and every auxiliary sufficient sum —
+    su, stu, and the fourth-power-scale suu — is exact integer/DECIMAL
+    arithmetic with zero float accumulation; the DECIMAL(19,0) re-caps
+    keep every product inside both engines' 38-digit multiply width.
+    R^2 and LM assemble in one guarded double expression: zero
+    day-variance or zero u-variance (a perfectly homoscedastic
+    quantized series) NULLs both outputs via the same CASE on both
+    engines."""
+    resid, _ = _ols_daily_resid(spark, sf_dir)
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    q = resid.select(
+        "event_type",
+        "t",
+        F.floor(F.col("e") * F.lit(0.001)).cast("bigint").alias("e3"),
+    )
+    u = q.select(
+        "event_type",
+        "t",
+        (F.col("e3").cast("decimal(19,0)") * F.col("e3")).alias("uu"),
+    )
+    s = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        as_d(F.sum(F.col("t").cast("decimal(38,0)") * F.col("t"))).alias("stt"),
+        as_d(F.sum("uu")).alias("su"),
+        as_d(F.sum(F.col("t").cast("decimal(19,0)") * F.col("uu"))).alias("stu"),
+        as_d(
+            F.sum(
+                F.col("uu").cast("decimal(19,0)")
+                * F.col("uu").cast("decimal(19,0)")
+            )
+        ).alias("suu"),
+    )
+    n_d = F.col("n").cast("double")
+    st_d = F.col("st").cast("double")
+    vt = n_d * F.col("stt") - st_d * st_d
+    vu = n_d * F.col("suu") - F.col("su") * F.col("su")
+    num = n_d * F.col("stu") - st_d * F.col("su")
+    ok = (vt > 0) & (vu > 0)
+    return s.select(
+        "event_type",
+        "n",
+        F.when(ok, num * num / (vt * vu)).alias("r2_aux"),
+        F.when(ok, n_d * num * num / (vt * vu)).alias("lm_stat"),
+    ).orderBy("event_type")

@@ -1,0 +1,138 @@
+"""Round-10: pure-Python/numpy references for the new operators. Each
+test re-derives the statistic from the raw sf0.001 parquet with an
+INDEPENDENT formulation (numpy float64, no floor-scaling, no shared SQL
+fragments) so a formula bug shared between the Spark build and the
+DuckDB oracle cannot hide."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from finance_etl_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+
+def _fetch(sql: str):
+    con = duckdb.connect()
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+def test_mcnemar_matches_reference(spark):
+    row = plans.get("stat_mcnemar").build(spark, SF).collect()[0]
+    orders = _fetch(
+        "SELECT o_custkey, EXTRACT(year FROM o_orderdate)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    )
+    n_cust = _fetch(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/customer.parquet')"
+    )[0][0]
+    per = {}
+    for ck, yr in orders:
+        f1, f2 = per.get(ck, (0, 0))
+        per[ck] = (f1 or yr == 1995, f2 or yr == 1996)
+    n11 = sum(1 for a, b in per.values() if a and b)
+    b = sum(1 for a, c in per.values() if a and not c)
+    c = sum(1 for a, d in per.values() if not a and d)
+    assert (row["n11"], row["b"], row["c"]) == (n11, b, c)
+    assert row["n00"] == n_cust - n11 - b - c
+    assert row["chi2"] == pytest.approx((b - c) ** 2 / (b + c), rel=1e-12)
+    assert row["chi2_cc"] == pytest.approx(
+        max(abs(b - c) - 1, 0) ** 2 / (b + c), rel=1e-12
+    )
+
+
+def test_cochran_armitage_matches_numpy(spark):
+    row = plans.get("stat_cochran_armitage").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT CAST(1 + FLOOR((l_quantity - 1) / 10) AS BIGINT),"
+        " CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    s = np.array([r[0] for r in rows], dtype=np.float64)
+    y = np.array([r[1] for r in rows], dtype=np.float64)
+    n, r = len(s), y.sum()
+    p = r / n
+    num = (s * y).sum() - p * s.sum()
+    var = p * (1 - p) * ((s * s).sum() - s.sum() ** 2 / n)
+    assert row["n"] == n and row["r"] == int(r)
+    assert row["z_trend"] == pytest.approx(num / np.sqrt(var), rel=1e-9)
+
+
+def test_grubbs_matches_numpy(spark):
+    got = {
+        r["segment"]: r
+        for r in plans.get("stat_grubbs_outlier").build(spark, SF).collect()
+    }
+    rows = _fetch(
+        "SELECT c_mktsegment, CAST(c_acctbal AS DOUBLE)"
+        f" FROM read_parquet('{SF}/customer.parquet')"
+    )
+    per = {}
+    for seg, x in rows:
+        per.setdefault(seg, []).append(x)
+    for seg, xs in per.items():
+        x = np.array(xs)
+        g = max(x.mean() - x.min(), x.max() - x.mean()) / x.std(ddof=1)
+        assert got[seg]["n"] == len(x)
+        assert got[seg]["mean_bal"] == pytest.approx(x.mean(), rel=1e-9)
+        assert got[seg]["g_stat"] == pytest.approx(g, rel=1e-9)
+        assert got[seg]["flagged"] == bool(g > 3.0)
+
+
+@pytest.fixture(scope="module")
+def daily_resid():
+    """Per-type (t, v, e): numpy OLS residuals of the daily totals —
+    float64 end-to-end, no quantization (the engines quantize; the
+    reference checks they land within quantization tolerance)."""
+    rows = _fetch(
+        "SELECT event_type, CAST(ts AS DATE), SUM(FLOOR(value * 1e6))"
+        f" FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2"
+    )
+    import datetime
+
+    epoch = datetime.date(2024, 1, 1)
+    per = {}
+    for et, d, v in rows:
+        per.setdefault(et, []).append(((d - epoch).days, float(v)))
+    out = {}
+    for et, tv in per.items():
+        tv.sort()
+        t = np.array([a for a, _ in tv])
+        v = np.array([b for _, b in tv])
+        beta, alpha = np.polyfit(t, v, 1)
+        out[et] = (t, v, v - alpha - beta * t)
+    return out
+
+
+def test_durbin_watson_matches_numpy(spark, daily_resid):
+    got = {
+        r["event_type"]: r
+        for r in plans.get("stat_durbin_watson").build(spark, SF).collect()
+    }
+    for et, (t, v, e) in daily_resid.items():
+        dw = (np.diff(e) ** 2).sum() / (e ** 2).sum()
+        # engines compute DW on floor-quantized residuals: tolerance
+        # covers the <=1-unit-per-residual quantization on ~1e8 values
+        assert got[et]["dw"] == pytest.approx(dw, rel=1e-5)
+        assert got[et]["n"] == len(t)
+
+
+def test_breusch_pagan_matches_numpy(spark, daily_resid):
+    got = {
+        r["event_type"]: r
+        for r in plans.get("stat_breusch_pagan").build(spark, SF).collect()
+    }
+    for et, (t, v, e) in daily_resid.items():
+        u = np.floor(e * 1e-3) ** 2  # the engines' q-3 contract
+        n = len(t)
+        num = n * (t * u).sum() - t.sum() * u.sum()
+        den = (n * (t * t).sum() - t.sum() ** 2) * (
+            n * (u * u).sum() - u.sum() ** 2
+        )
+        r2 = num * num / den
+        assert got[et]["r2_aux"] == pytest.approx(r2, rel=1e-9)
+        assert got[et]["lm_stat"] == pytest.approx(n * r2, rel=1e-9)
