@@ -2761,3 +2761,538 @@ def fin_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drawdown_frac"
         ),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Round-10 finance wave: factor exposure (CAPM), day-count convention
+# comparison, bet sizing (Kelly), liquidity (Amihud), and drawdown-
+# normalized performance (Calmar). Same exact-arithmetic contract as
+# fin_sharpe_sortino: the corpus collapses to exact decimal daily
+# sums, every cross-day return is ONE shared double expression floor-
+# quantized to an integer immediately, and all cross-row reductions
+# run on exact integers/decimals. Class-5 division edges NULL-guarded
+# identically on both engines.
+
+_SEG_DAILY_SQL = """
+            SELECT c.c_mktsegment AS segment,
+                   CAST(o.o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS x
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+"""
+
+
+def _seg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(segment, d, x): exact decimal daily revenue per market segment
+    — one broadcast dim join + one map-side-combining hash agg."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("x")
+        )
+    )
+
+
+@register(
+    "fin_capm_beta",
+    tags=("finance", "window", "stats"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        mkt AS (
+            SELECT d, CAST(SUM(x) AS DECIMAL(18,2)) AS xm
+            FROM daily GROUP BY d
+        ),
+        rs AS (
+            SELECT segment, d,
+                   CAST(FLOOR((CAST(CAST(x AS VARCHAR) AS DOUBLE)
+                               / CAST(CAST(xp AS VARCHAR) AS DOUBLE)
+                               - CAST(1 AS DOUBLE)) * CAST(1e9 AS DOUBLE))
+                        AS BIGINT) AS r
+            FROM (SELECT segment, d, x,
+                         LAG(x) OVER (PARTITION BY segment ORDER BY d) AS xp
+                  FROM daily)
+            WHERE xp IS NOT NULL
+        ),
+        rm AS (
+            SELECT d,
+                   CAST(FLOOR((CAST(CAST(xm AS VARCHAR) AS DOUBLE)
+                               / CAST(CAST(xmp AS VARCHAR) AS DOUBLE)
+                               - CAST(1 AS DOUBLE)) * CAST(1e9 AS DOUBLE))
+                        AS BIGINT) AS m
+            FROM (SELECT d, xm, LAG(xm) OVER (ORDER BY d) AS xmp FROM mkt)
+            WHERE xmp IS NOT NULL
+        ),
+        j AS (SELECT rs.segment, rs.r, rm.m FROM rs JOIN rm ON rm.d = rs.d),
+        s AS (
+            SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(r) AS BIGINT) AS sr,
+                   CAST(SUM(m) AS BIGINT) AS sm,
+                   CAST(CAST(SUM(CAST(r AS DECIMAL(19,0)) * m) AS VARCHAR)
+                        AS DOUBLE) AS srm,
+                   CAST(CAST(SUM(CAST(m AS DECIMAL(19,0)) * m) AS VARCHAR)
+                        AS DOUBLE) AS smm
+            FROM j GROUP BY segment
+        )
+        SELECT segment, n,
+               CASE WHEN CAST(n AS DOUBLE) * smm
+                         - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) > 0 THEN
+                 (CAST(n AS DOUBLE) * srm
+                  - CAST(sr AS DOUBLE) * CAST(sm AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * smm
+                    - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+               END AS beta,
+               CASE WHEN CAST(n AS DOUBLE) * smm
+                         - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) > 0 THEN
+                 (CAST(sr AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * srm
+                     - CAST(sr AS DOUBLE) * CAST(sm AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * smm
+                       - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+                    * CAST(sm AS DOUBLE))
+                 / CAST(n AS DOUBLE) / CAST(1e9 AS DOUBLE)
+               END AS alpha_daily
+        FROM s ORDER BY segment
+    """,
+)
+def fin_capm_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPM market-model regression per segment: beta and daily alpha
+    of each segment's day-over-day revenue return against the whole-
+    market return (the all-segment daily total) — the factor-exposure
+    decomposition behind every performance-attribution report. Both
+    return series floor-quantize to q9 BIGINTs off exact decimal daily
+    sums (the fin_sharpe_sortino recipe), so the five sufficient sums
+    are exact integer/DECIMAL arithmetic and beta/alpha assemble in
+    one guarded double expression (zero market variance NULLs both).
+    Scale: corpus work is one broadcast-join daily agg; the market
+    series and all windows live on O(days) calendar-bounded rows (the
+    unpartitioned market lag window is a ~730-row relation, never the
+    corpus)."""
+    daily = _seg_daily(spark, sf_dir).persist()
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    mkt = daily.groupBy("d").agg(
+        F.sum("x").cast("decimal(18,2)").alias("xm")
+    )
+    ws = Window.partitionBy("segment").orderBy("d")
+    rs = (
+        daily.withColumn("xp", F.lag("x").over(ws))
+        .filter(F.col("xp").isNotNull())
+        .select(
+            "segment",
+            "d",
+            F.floor(
+                (as_d(F.col("x")) / as_d(F.col("xp")) - F.lit(1.0))
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    wm = Window.orderBy("d")
+    rm = (
+        mkt.withColumn("xmp", F.lag("xm").over(wm))
+        .filter(F.col("xmp").isNotNull())
+        .select(
+            "d",
+            F.floor(
+                (as_d(F.col("xm")) / as_d(F.col("xmp")) - F.lit(1.0))
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("m"),
+        )
+    )
+    j = rs.join(F.broadcast(rm), "d").select("segment", "r", "m")
+    s = j.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("sr"),
+        F.sum("m").cast("bigint").alias("sm"),
+        as_d(F.sum(F.col("r").cast("decimal(19,0)") * F.col("m"))).alias("srm"),
+        as_d(F.sum(F.col("m").cast("decimal(19,0)") * F.col("m"))).alias("smm"),
+    )
+    n_d = F.col("n").cast("double")
+    sr_d = F.col("sr").cast("double")
+    sm_d = F.col("sm").cast("double")
+    var_m = n_d * F.col("smm") - sm_d * sm_d
+    beta = (n_d * F.col("srm") - sr_d * sm_d) / var_m
+    return s.select(
+        "segment",
+        "n",
+        F.when(var_m > 0, beta).alias("beta"),
+        F.when(
+            var_m > 0, (sr_d - beta * sm_d) / n_d / F.lit(1e9)
+        ).alias("alpha_daily"),
+    ).orderBy("segment")
+
+
+@register(
+    "fin_daycount_conventions",
+    tags=("finance", "scalar", "agg"),
+    oracle="""
+        WITH accr AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(FLOOR(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                   AS VARCHAR) AS DOUBLE)
+                        * CAST(0.05 AS DOUBLE)
+                        * CAST(360 * (2002 - EXTRACT(year FROM o_orderdate))
+                               + 30 * (1 - EXTRACT(month FROM o_orderdate))
+                               + (1 - LEAST(EXTRACT(day FROM o_orderdate), 30))
+                               AS DOUBLE)
+                        / CAST(360 AS DOUBLE) * 100) AS BIGINT) AS a30360,
+                   CAST(FLOOR(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                   AS VARCHAR) AS DOUBLE)
+                        * CAST(0.05 AS DOUBLE)
+                        * CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                         DATE '2002-01-01') AS DOUBLE)
+                        / CAST(360 AS DOUBLE) * 100) AS BIGINT) AS aact360,
+                   CAST(FLOOR(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                   AS VARCHAR) AS DOUBLE)
+                        * CAST(0.05 AS DOUBLE)
+                        * CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                         DATE '2002-01-01') AS DOUBLE)
+                        / CAST(365 AS DOUBLE) * 100) AS BIGINT) AS aact365
+            FROM orders
+        )
+        SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a30360) AS DOUBLE) / 100 AS accrued_30_360,
+               CAST(SUM(aact360) AS DOUBLE) / 100 AS accrued_act_360,
+               CAST(SUM(aact365) AS DOUBLE) / 100 AS accrued_act_365,
+               CAST(SUM(a30360) - SUM(aact360) AS DOUBLE) / 100
+                   AS basis_30_360_vs_act_360
+        FROM accr GROUP BY priority ORDER BY priority
+    """,
+)
+def fin_daycount_conventions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accrued-interest comparison under the three day-count
+    conventions every fixed-income system must agree on — US 30/360
+    (without the Feb end-of-month rule; documented simplification),
+    ACT/360 (money market), ACT/365 (bond basis) — at 5% from each
+    order date to a fixed 2002-01-01 settlement. The day counts are
+    pure integer date arithmetic; each per-row accrual is ONE
+    IEEE-deterministic double expression floor-quantized to exact
+    cents, so the per-priority totals and the 30/360-vs-ACT/360 basis
+    gap are exact integer sums (class-1: no raw double reduction).
+    One scan, one hash agg, no joins; no division by data (class-5:
+    denominators are literal constants)."""
+    o = load_table(spark, sf_dir, "orders")
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    p_d = as_d(F.col("o_totalprice").cast("decimal(12,2)"))
+    d30 = (
+        F.lit(360) * (F.lit(2002) - F.year("o_orderdate"))
+        + F.lit(30) * (F.lit(1) - F.month("o_orderdate"))
+        + (F.lit(1) - F.least(F.dayofmonth("o_orderdate"), F.lit(30)))
+    ).cast("double")
+    dact = F.datediff(
+        F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("double")
+    accr = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(p_d * F.lit(0.05) * d30 / F.lit(360.0) * 100)
+        .cast("bigint")
+        .alias("a30360"),
+        F.floor(p_d * F.lit(0.05) * dact / F.lit(360.0) * 100)
+        .cast("bigint")
+        .alias("aact360"),
+        F.floor(p_d * F.lit(0.05) * dact / F.lit(365.0) * 100)
+        .cast("bigint")
+        .alias("aact365"),
+    )
+    return (
+        accr.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum("a30360").cast("double") / 100).alias("accrued_30_360"),
+            (F.sum("aact360").cast("double") / 100).alias("accrued_act_360"),
+            (F.sum("aact365").cast("double") / 100).alias("accrued_act_365"),
+            (
+                (F.sum("a30360") - F.sum("aact360")).cast("double") / 100
+            ).alias("basis_30_360_vs_act_360"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "fin_kelly_fraction",
+    tags=("finance", "agg"),
+    oracle="""
+        WITH bets AS (
+            SELECT o.o_orderpriority AS priority,
+                   CASE WHEN l.l_returnflag <> 'R' THEN 1 ELSE 0 END AS win,
+                   CAST(l.l_extendedprice AS DECIMAL(18,2)) AS v
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        s AS (
+            SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(win) AS BIGINT) AS wins,
+                   CAST(CAST(SUM(CASE WHEN win = 1 THEN v
+                                      ELSE CAST(0 AS DECIMAL(18,2)) END)
+                        AS VARCHAR) AS DOUBLE) AS wv,
+                   CAST(CAST(SUM(CASE WHEN win = 0 THEN v
+                                      ELSE CAST(0 AS DECIMAL(18,2)) END)
+                        AS VARCHAR) AS DOUBLE) AS lv
+            FROM bets GROUP BY priority
+        )
+        SELECT priority, n, wins,
+               CAST(wins AS DOUBLE) / CAST(n AS DOUBLE) AS p_win,
+               CASE WHEN wins > 0 AND wins < n AND lv / CAST(n - wins AS DOUBLE) > 0
+                    THEN (wv / CAST(wins AS DOUBLE))
+                         / (lv / CAST(n - wins AS DOUBLE)) END AS odds_b,
+               CASE WHEN wins > 0 AND wins < n AND wv > 0 THEN
+                 CAST(wins AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(1 AS DOUBLE)
+                    - CAST(wins AS DOUBLE) / CAST(n AS DOUBLE))
+                   / ((wv / CAST(wins AS DOUBLE))
+                      / (lv / CAST(n - wins AS DOUBLE)))
+               END AS kelly_f
+        FROM s ORDER BY priority
+    """,
+)
+def fin_kelly_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kelly-criterion bet sizing per order priority, treating each
+    line as a bet that wins when the item is kept (returnflag <> 'R'):
+    f* = p - (1-p)/b with win probability p from exact counts and odds
+    b = avg win value / avg loss value from exact decimal sums —
+    everything reduces in ONE co-partitioned lineitem⋈orders join +
+    one hash agg, statistics assemble in one guarded double edge
+    expression. Class-5 edges: all-win (no losses => b undefined),
+    all-loss (p=0), and zero win value all NULL f* via the same CASE
+    on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    dec = "decimal(18,2)"
+    bets = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.when(F.col("l_returnflag") != "R", 1).otherwise(0).alias("win"),
+        F.col("l_extendedprice").cast(dec).alias("v"),
+    )
+    s = bets.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("win").cast("bigint").alias("wins"),
+        as_d(
+            F.sum(
+                F.when(F.col("win") == 1, F.col("v")).otherwise(
+                    F.lit(0).cast(dec)
+                )
+            )
+        ).alias("wv"),
+        as_d(
+            F.sum(
+                F.when(F.col("win") == 0, F.col("v")).otherwise(
+                    F.lit(0).cast(dec)
+                )
+            )
+        ).alias("lv"),
+    )
+    n_d = F.col("n").cast("double")
+    w_d = F.col("wins").cast("double")
+    l_d = (F.col("n") - F.col("wins")).cast("double")
+    p = w_d / n_d
+    b = (F.col("wv") / w_d) / (F.col("lv") / l_d)
+    has_both = (F.col("wins") > 0) & (F.col("wins") < F.col("n"))
+    return s.select(
+        "priority",
+        "n",
+        "wins",
+        p.alias("p_win"),
+        F.when(has_both & (F.col("lv") / l_d > 0), b).alias("odds_b"),
+        F.when(has_both & (F.col("wv") > 0), p - (1 - p) / b).alias("kelly_f"),
+    ).orderBy("priority")
+
+
+@register(
+    "fin_amihud_illiquidity",
+    tags=("finance", "window", "risk"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        r AS (
+            SELECT segment, d, x,
+                   LAG(x) OVER (PARTITION BY segment ORDER BY d) AS xp
+            FROM daily
+        ),
+        q AS (
+            SELECT segment,
+                   CAST(FLOOR(ABS(CAST(CAST(x AS VARCHAR) AS DOUBLE)
+                                  / CAST(CAST(xp AS VARCHAR) AS DOUBLE)
+                                  - CAST(1 AS DOUBLE))
+                              / CAST(CAST(x AS VARCHAR) AS DOUBLE)
+                              * CAST(1e18 AS DOUBLE)) AS BIGINT) AS iq
+            FROM r WHERE xp IS NOT NULL
+        )
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(CAST(SUM(CAST(iq AS DECIMAL(38,0))) AS VARCHAR)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e18
+                   AS amihud_illiq
+        FROM q GROUP BY segment ORDER BY segment
+    """,
+)
+def fin_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud illiquidity per market segment: the mean over days of
+    |daily return| / daily dollar volume — price impact per traded
+    dollar, THE standard cross-sectional liquidity proxy. Returns and
+    volumes come from the exact decimal daily relation; each day's
+    ratio is ONE IEEE-deterministic double expression floor-quantized
+    at q18 (ratios live near 1e-8, so q18 keeps ~10 significant
+    digits), making the mean an exact integer sum divided once at the
+    edge. Scale: one broadcast-join daily agg; the lag window
+    partitions per segment over calendar-bounded rows. Class-5 note:
+    the volume denominator is a sum of strictly positive order totals
+    and the lag filter removes the missing-previous-day edge, so no
+    division can degenerate — documented rather than guarded."""
+    daily = _seg_daily(spark, sf_dir)
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    w = Window.partitionBy("segment").orderBy("d")
+    q = (
+        daily.withColumn("xp", F.lag("x").over(w))
+        .filter(F.col("xp").isNotNull())
+        .select(
+            "segment",
+            F.floor(
+                F.abs(as_d(F.col("x")) / as_d(F.col("xp")) - F.lit(1.0))
+                / as_d(F.col("x"))
+                * F.lit(1e18)
+            )
+            .cast("bigint")
+            .alias("iq"),
+        )
+    )
+    return (
+        q.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            (
+                as_d(F.sum(F.col("iq").cast("decimal(38,0)")))
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e18)
+            ).alias("amihud_illiq"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "fin_calmar_ratio",
+    tags=("finance", "window", "risk"),
+    oracle="""
+        WITH daily AS (
+            SELECT c.c_mktsegment AS segment, CAST(o.o_orderdate AS DATE) AS d,
+                   CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE -1 END
+                        * CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                          AS BIGINT)) AS BIGINT) AS pnl_cents
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+        ),
+        eq AS (
+            SELECT segment, d,
+                   CAST(SUM(pnl_cents) OVER (PARTITION BY segment ORDER BY d
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS equity
+            FROM daily
+        ),
+        dd AS (
+            SELECT segment, equity,
+                   CAST(MAX(equity) OVER (PARTITION BY segment ORDER BY d
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+            FROM eq
+        ),
+        s AS (
+            SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(MAX(peak - equity) AS BIGINT) AS max_dd_cents
+            FROM dd GROUP BY segment
+        ),
+        tot AS (
+            SELECT segment, CAST(SUM(pnl_cents) AS BIGINT) AS total_cents
+            FROM daily GROUP BY segment
+        )
+        SELECT s.segment, s.n_days, s.max_dd_cents,
+               CAST(t.total_cents AS DOUBLE) * 252
+                   / CAST(s.n_days AS DOUBLE) / 100 AS ann_pnl,
+               CASE WHEN s.max_dd_cents > 0 THEN
+                 (CAST(t.total_cents AS DOUBLE) * 252
+                  / CAST(s.n_days AS DOUBLE))
+                 / CAST(s.max_dd_cents AS DOUBLE) END AS calmar
+        FROM s JOIN tot t ON t.segment = s.segment
+        ORDER BY s.segment
+    """,
+)
+def fin_calmar_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calmar ratio per market segment on the signed daily P&L curve:
+    annualized P&L (total / active days x 252) divided by the maximum
+    drawdown — the drawdown-normalized performance number CTA/fund
+    reports lead with, complementing fin_max_drawdown (which reports
+    the trough) by turning it into a return-per-unit-pain ratio. The
+    equity curve and running peak are the same two stacked per-segment
+    windows over exact integer cents (prefix sum + running max — the
+    max-reset identity family); the ratio is one guarded double edge
+    expression (a never-drawn-down segment NULLs via the same CASE on
+    both engines). Corpus work: one broadcast-join daily agg; windows
+    per segment over calendar-bounded rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", cents).otherwise(-cents)
+            )
+            .cast("bigint")
+            .alias("pnl_cents")
+        )
+        .persist()
+    )
+    w = Window.partitionBy("segment").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    eq = daily.select(
+        "segment", "d", F.sum("pnl_cents").over(w).cast("bigint").alias("equity")
+    )
+    dd = eq.select(
+        "segment",
+        "equity",
+        F.max("equity").over(w).cast("bigint").alias("peak"),
+    )
+    s = dd.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max(F.col("peak") - F.col("equity")).cast("bigint").alias("max_dd_cents"),
+    )
+    tot = daily.groupBy("segment").agg(
+        F.sum("pnl_cents").cast("bigint").alias("total_cents")
+    )
+    ann = (
+        F.col("total_cents").cast("double")
+        * 252
+        / F.col("n_days").cast("double")
+    )
+    return (
+        s.join(tot, "segment")
+        .select(
+            "segment",
+            "n_days",
+            "max_dd_cents",
+            (ann / 100).alias("ann_pnl"),
+            F.when(
+                F.col("max_dd_cents") > 0,
+                ann / F.col("max_dd_cents").cast("double"),
+            ).alias("calmar"),
+        )
+        .orderBy("segment")
+    )

@@ -136,3 +136,107 @@ def test_breusch_pagan_matches_numpy(spark, daily_resid):
         r2 = num * num / den
         assert got[et]["r2_aux"] == pytest.approx(r2, rel=1e-9)
         assert got[et]["lm_stat"] == pytest.approx(n * r2, rel=1e-9)
+
+
+@pytest.fixture(scope="module")
+def seg_daily():
+    rows = _fetch(
+        "SELECT c.c_mktsegment, CAST(o.o_orderdate AS DATE),"
+        " SUM(CAST(o_totalprice AS DOUBLE))"
+        f" FROM read_parquet('{SF}/orders.parquet') o"
+        f" JOIN read_parquet('{SF}/customer.parquet') c"
+        " ON o.o_custkey = c.c_custkey GROUP BY 1, 2"
+    )
+    per = {}
+    for seg, d, x in rows:
+        per.setdefault(seg, []).append((d, x))
+    return {s: sorted(v) for s, v in per.items()}
+
+
+def test_capm_beta_matches_numpy(spark, seg_daily):
+    got = {
+        r["segment"]: r
+        for r in plans.get("fin_capm_beta").build(spark, SF).collect()
+    }
+    mkt = {}
+    for seg, dv in seg_daily.items():
+        for d, x in dv:
+            mkt[d] = mkt.get(d, 0.0) + x
+    mdays = sorted(mkt)
+    mret = {
+        mdays[i]: mkt[mdays[i]] / mkt[mdays[i - 1]] - 1
+        for i in range(1, len(mdays))
+    }
+    for seg, dv in seg_daily.items():
+        r, m = [], []
+        for i in range(1, len(dv)):
+            d, x = dv[i]
+            if d in mret:
+                r.append(x / dv[i - 1][1] - 1)
+                m.append(mret[d])
+        r, m = np.array(r), np.array(m)
+        beta = np.cov(r, m, ddof=0)[0, 1] / np.var(m)
+        alpha = r.mean() - beta * m.mean()
+        # engines quantize returns at q9: ~1e-9 absolute on the inputs
+        assert got[seg]["n"] == len(r)
+        assert got[seg]["beta"] == pytest.approx(beta, rel=1e-5)
+        assert got[seg]["alpha_daily"] == pytest.approx(alpha, abs=1e-7)
+
+
+def test_kelly_matches_reference(spark):
+    got = {
+        r["priority"]: r
+        for r in plans.get("fin_kelly_fraction").build(spark, SF).collect()
+    }
+    rows = _fetch(
+        "SELECT o.o_orderpriority, l.l_returnflag <> 'R',"
+        " CAST(l.l_extendedprice AS DOUBLE)"
+        f" FROM read_parquet('{SF}/lineitem.parquet') l"
+        f" JOIN read_parquet('{SF}/orders.parquet') o"
+        " ON l.l_orderkey = o.o_orderkey"
+    )
+    per = {}
+    for pri, win, v in rows:
+        per.setdefault(pri, []).append((win, v))
+    for pri, bets in per.items():
+        n = len(bets)
+        wins = sum(1 for w, _ in bets if w)
+        wv = sum(v for w, v in bets if w)
+        lv = sum(v for w, v in bets if not w)
+        p = wins / n
+        b = (wv / wins) / (lv / (n - wins))
+        assert got[pri]["n"] == n and got[pri]["wins"] == wins
+        assert got[pri]["p_win"] == pytest.approx(p, rel=1e-12)
+        assert got[pri]["odds_b"] == pytest.approx(b, rel=1e-9)
+        assert got[pri]["kelly_f"] == pytest.approx(p - (1 - p) / b, rel=1e-6)
+
+
+def test_calmar_matches_reference(spark):
+    got = {
+        r["segment"]: r
+        for r in plans.get("fin_calmar_ratio").build(spark, SF).collect()
+    }
+    rows = _fetch(
+        "SELECT c.c_mktsegment, CAST(o.o_orderdate AS DATE),"
+        " SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE -1 END"
+        "     * CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
+        f" FROM read_parquet('{SF}/orders.parquet') o"
+        f" JOIN read_parquet('{SF}/customer.parquet') c"
+        " ON o.o_custkey = c.c_custkey GROUP BY 1, 2"
+    )
+    per = {}
+    for seg, d, pnl in rows:
+        per.setdefault(seg, []).append((d, int(pnl)))
+    for seg, dv in per.items():
+        dv.sort()
+        eq = np.cumsum([p for _, p in dv])
+        peak = np.maximum.accumulate(eq)
+        mdd = int((peak - eq).max())
+        ann = eq[-1] * 252 / len(dv)
+        assert got[seg]["n_days"] == len(dv)
+        assert got[seg]["max_dd_cents"] == mdd
+        assert got[seg]["ann_pnl"] == pytest.approx(ann / 100, rel=1e-12)
+        if mdd > 0:
+            assert got[seg]["calmar"] == pytest.approx(ann / mdd, rel=1e-12)
+        else:
+            assert got[seg]["calmar"] is None
