@@ -4295,3 +4295,139 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reciprocity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: Katz centrality — the attenuation-weighted walk-count
+# centrality (alpha^k per length-k walk), the damped cousin of
+# graph_hits' raw power iteration. Same promotion recipe: fixed
+# rounds, EXACT integer/decimal walk counts (no per-round float
+# normalization), one double presentation edge.
+
+_KATZ_EDGE_SQL = """
+            SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                   CAST(COUNT(*) AS DECIMAL(12,0)) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE s.s_nationkey <> c.c_nationkey
+            GROUP BY src, dst
+"""
+
+
+@register(
+    "graph_katz_centrality",
+    tags=("graph", "join", "iterative"),
+    oracle=f"""
+        WITH e AS MATERIALIZED ({_KATZ_EDGE_SQL}),
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT v FROM (
+                SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e
+            )
+        ),
+        c1 AS (
+            SELECT n.v,
+                   CAST(COALESCE(SUM(e.w), 0) AS DECIMAL(25,0)) AS c
+            FROM nodes n LEFT JOIN e ON e.dst = n.v
+            GROUP BY n.v
+        ),
+        c2 AS (
+            SELECT n.v,
+                   CAST(COALESCE(SUM(e.w * c1.c), 0) AS DECIMAL(25,0)) AS c
+            FROM nodes n
+            LEFT JOIN e ON e.dst = n.v
+            LEFT JOIN c1 ON c1.v = e.src
+            GROUP BY n.v
+        ),
+        c3 AS (
+            SELECT n.v,
+                   CAST(COALESCE(SUM(e.w * c2.c), 0) AS DECIMAL(25,0)) AS c
+            FROM nodes n
+            LEFT JOIN e ON e.dst = n.v
+            LEFT JOIN c2 ON c2.v = e.src
+            GROUP BY n.v
+        )
+        SELECT c1.v AS nationkey,
+               CAST(CAST(c1.c AS VARCHAR) AS DOUBLE) AS walks1,
+               CAST(CAST(c2.c AS VARCHAR) AS DOUBLE) AS walks2,
+               CAST(CAST(c3.c AS VARCHAR) AS DOUBLE) AS walks3,
+               CAST(CAST(c1.c AS VARCHAR) AS DOUBLE) * CAST(1e-2 AS DOUBLE)
+                 + CAST(CAST(c2.c AS VARCHAR) AS DOUBLE) * CAST(1e-4 AS DOUBLE)
+                 + CAST(CAST(c3.c AS VARCHAR) AS DOUBLE) * CAST(1e-6 AS DOUBLE)
+                   AS katz
+        FROM c1 JOIN c2 ON c2.v = c1.v JOIN c3 ON c3.v = c1.v
+        ORDER BY nationkey
+    """,
+)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (3 attenuation rounds, alpha=0.01) on the
+    weighted directed trade graph: katz(j) = sum_k alpha^k * (number
+    of weighted length-k walks ending at j). Walk counts stay EXACT —
+    each round is one broadcast join + one DECIMAL agg, with operand
+    widths pinned at (12,0) x (25,0) so every product fits both
+    engines' 38-digit multiply (supports edge weights to 1e12 and walk
+    counts to 1e25 — ~sf1000 headroom; beyond that, re-scale the cap);
+    alpha enters ONLY in the single presentation-edge double
+    expression, the graph_hits/pagerank promotion recipe that keeps
+    fixed-round iteration hash-exact cross-engine. Corpus work is the
+    one fact-to-edges reduction; every round runs on the |V|-bounded
+    model relation. No divisions (class-5 clean)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("decimal(12,0)").alias("w"))
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    dec25 = "decimal(25,0)"
+    prev = nodes.withColumn("c", F.lit(1).cast(dec25))
+    rounds = []
+    for _ in range(3):
+        prev = (
+            nodes.join(e, nodes.v == e.dst, "left")
+            .join(
+                prev.select(F.col("v").alias("pv"), F.col("c").alias("pc")),
+                F.col("src") == F.col("pv"),
+                "left",
+            )
+            .groupBy(nodes.v)
+            .agg(
+                F.coalesce(F.sum(F.col("w") * F.col("pc")), F.lit(0))
+                .cast(dec25)
+                .alias("c")
+            )
+        )
+        rounds.append(prev)
+    as_d = lambda col: col.cast("string").cast("double")  # noqa: E731
+    c1, c2, c3 = rounds
+    out = (
+        c1.select(F.col("v"), as_d(F.col("c")).alias("walks1"))
+        .join(c2.select(F.col("v"), as_d(F.col("c")).alias("walks2")), "v")
+        .join(c3.select(F.col("v"), as_d(F.col("c")).alias("walks3")), "v")
+    )
+    return out.select(
+        F.col("v").alias("nationkey"),
+        "walks1",
+        "walks2",
+        "walks3",
+        (
+            F.col("walks1") * F.lit(1e-2)
+            + F.col("walks2") * F.lit(1e-4)
+            + F.col("walks3") * F.lit(1e-6)
+        ).alias("katz"),
+    ).orderBy("nationkey")

@@ -5375,3 +5375,101 @@ def ts_cusum_tabular(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(8).cast("decimal(38,0)") * F.col("n") * 1000000
         ).alias("alarm"),
     ).orderBy("event_type", "d")
+
+
+@register(
+    "ts_rolling_slope",
+    tags=("ts", "window", "stats"),
+    oracle=f"""
+        WITH daily AS ({_DAILY_SCALED_SQL}),
+        base AS (
+            SELECT event_type, day,
+                   CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT)
+                       AS t,
+                   v
+            FROM daily
+        ),
+        fr AS (
+            SELECT event_type, day,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                   CAST(SUM(t) OVER w AS BIGINT) AS st,
+                   CAST(SUM(v) OVER w AS BIGINT) AS sv,
+                   CAST(CAST(SUM(CAST(t AS DECIMAL(19,0)) * t) OVER w
+                        AS VARCHAR) AS DOUBLE) AS stt,
+                   CAST(CAST(SUM(CAST(t AS DECIMAL(19,0)) * v) OVER w
+                        AS VARCHAR) AS DOUBLE) AS stv
+            FROM base
+            WINDOW w AS (PARTITION BY event_type ORDER BY t
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, day,
+               CASE WHEN CAST(n AS DOUBLE) * stt
+                         - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) > 0 THEN
+                 (CAST(n AS DOUBLE) * stv
+                  - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * stt
+                    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) / 1e6
+               END AS slope_per_day
+        FROM fr WHERE n = 14
+        ORDER BY event_type, day
+    """,
+)
+def ts_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-14-day OLS trend slope per event series — the rolling
+    momentum/regression indicator (pandas rolling().apply(polyfit)
+    without leaving SQL): all five sufficient sums accumulate INSIDE
+    one ROWS frame over the exact floor-scaled daily integers, so each
+    day's slope is one guarded double edge expression over exact
+    frame-local sums — no float accumulation, no per-window refit.
+    Complements agg_regr_slope_exact (global slope) and ts_rolling_corr
+    (frame correlation of two streams) with the trend-of-one-stream
+    version. Only full 14-row frames emit (shorter warm-up frames and
+    their near-degenerate fits are suppressed); gap days make t
+    non-uniform inside the frame, which the closed form handles, and
+    the zero-day-variance degenerate NULLs via the same CASE on both
+    engines. Windows partition per series over calendar-bounded daily
+    rows; the corpus reduces map-side first."""
+    daily = _daily_scaled(spark, sf_dir)
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    base = daily.select(
+        "event_type",
+        "day",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("t"),
+        "v",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    fr = base.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("t").over(w).cast("bigint").alias("st"),
+        F.sum("v").over(w).cast("bigint").alias("sv"),
+        as_d(F.sum(F.col("t").cast("decimal(19,0)") * F.col("t")).over(w)).alias(
+            "stt"
+        ),
+        as_d(F.sum(F.col("t").cast("decimal(19,0)") * F.col("v")).over(w)).alias(
+            "stv"
+        ),
+    )
+    n_d = F.col("n").cast("double")
+    st_d = F.col("st").cast("double")
+    sv_d = F.col("sv").cast("double")
+    denom = n_d * F.col("stt") - st_d * st_d
+    return (
+        fr.filter(F.col("n") == 14)
+        .select(
+            "event_type",
+            "day",
+            F.when(
+                denom > 0,
+                (n_d * F.col("stv") - st_d * sv_d) / denom / F.lit(1e6),
+            ).alias("slope_per_day"),
+        )
+        .orderBy("event_type", "day")
+    )

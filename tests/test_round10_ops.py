@@ -240,3 +240,64 @@ def test_calmar_matches_reference(spark):
             assert got[seg]["calmar"] == pytest.approx(ann / mdd, rel=1e-12)
         else:
             assert got[seg]["calmar"] is None
+
+
+def test_katz_matches_reference(spark):
+    got = {
+        r["nationkey"]: r
+        for r in plans.get("graph_katz_centrality").build(spark, SF).collect()
+    }
+    rows = _fetch(
+        "SELECT s.s_nationkey, c.c_nationkey, COUNT(*)"
+        f" FROM read_parquet('{SF}/lineitem.parquet') l"
+        f" JOIN read_parquet('{SF}/orders.parquet') o ON l.l_orderkey = o.o_orderkey"
+        f" JOIN read_parquet('{SF}/customer.parquet') c ON o.o_custkey = c.c_custkey"
+        f" JOIN read_parquet('{SF}/supplier.parquet') s ON l.l_suppkey = s.s_suppkey"
+        " WHERE s.s_nationkey <> c.c_nationkey GROUP BY 1, 2"
+    )
+    nodes = sorted({r[0] for r in rows} | {r[1] for r in rows})
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s_, d_, w in rows:
+        A[idx[s_], idx[d_]] = w
+    c = np.ones(len(nodes))
+    walks = []
+    for _ in range(3):
+        c = A.T @ c
+        walks.append(c.copy())
+    for v in nodes:
+        i = idx[v]
+        assert got[v]["walks1"] == walks[0][i]
+        assert got[v]["walks2"] == walks[1][i]
+        assert got[v]["walks3"] == pytest.approx(walks[2][i], rel=1e-12)
+        katz = (
+            walks[0][i] * 1e-2 + walks[1][i] * 1e-4 + walks[2][i] * 1e-6
+        )
+        assert got[v]["katz"] == pytest.approx(katz, rel=1e-9)
+
+
+def test_rolling_slope_matches_numpy(spark):
+    got = {
+        (r["event_type"], r["day"]): r["slope_per_day"]
+        for r in plans.get("ts_rolling_slope").build(spark, SF).collect()
+    }
+    rows = _fetch(
+        "SELECT event_type, CAST(ts AS DATE), SUM(FLOOR(value * 1e6))"
+        f" FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2"
+    )
+    per = {}
+    for et, d, v in rows:
+        per.setdefault(et, []).append((d, float(v)))
+    n_checked = 0
+    for et, dv in per.items():
+        dv.sort()
+        for i in range(13, len(dv)):
+            win = dv[i - 13 : i + 1]
+            t = np.array([(d - dv[0][0]).days for d, _ in win], dtype=float)
+            v = np.array([x for _, x in win])
+            beta = np.polyfit(t, v, 1)[0]
+            assert got[(et, win[-1][0])] == pytest.approx(
+                beta / 1e6, rel=1e-9
+            )
+            n_checked += 1
+    assert n_checked == len(got)
