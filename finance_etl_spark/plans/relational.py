@@ -4148,3 +4148,164 @@ def agg_decayed_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "agg_ams_f2_portable",
+    tags=("agg", "sketch", "approx"),
+    oracle="""
+        WITH kc AS (
+            SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_partkey
+        ),
+        rs AS (SELECT unnest(generate_series(0, 15)) AS j),
+        xs AS (
+            SELECT j,
+                   CAST(SUM((CAST('0x' || substr(md5(CAST(j AS VARCHAR)
+                        || ':' || CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+                        % 2 * 2 - 1) * n) AS BIGINT) AS x
+            FROM kc CROSS JOIN rs
+            GROUP BY j
+        ),
+        gs AS (
+            SELECT j // 4 AS g,
+                   CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0))
+                       AS gsum
+            FROM xs GROUP BY 1
+        ),
+        med AS (
+            SELECT list(CAST(CAST(gsum AS VARCHAR) AS DOUBLE)
+                        ORDER BY gsum) AS l
+            FROM gs
+        ),
+        exact AS (
+            SELECT CAST(CAST(SUM(CAST(n AS DECIMAL(19,0)) * n) AS VARCHAR)
+                        AS DOUBLE) AS f2
+            FROM kc
+        )
+        SELECT exact.f2 AS exact_f2,
+               (med.l[2] + med.l[3]) / 8 AS ams_estimate,
+               CASE WHEN exact.f2 > 0 THEN
+                 ABS((med.l[2] + med.l[3]) / 8 - exact.f2) / exact.f2
+               END AS rel_error
+        FROM med CROSS JOIN exact
+    """,
+)
+def agg_ams_f2_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable AMS (tug-of-war) sketch of the second frequency moment
+    F2 = sum_k count(k)^2 over part keys — the self-join-size /
+    skew-detection estimator, completing the portable-sketch family
+    (CMS/KMV/HLL/Bloom) with the moments member. 16 independent
+    estimators X_j = sum_k sign_j(k)*n_k use md5-derived +-1 signs
+    (engine-reproducible, unlike any native hash), combined
+    median-of-4-means for the classic variance bound; every X_j, every
+    square, and the exact-F2 baseline are exact BIGINT/DECIMAL
+    arithmetic, and the 4 group sums reduce through an ORDERED fold
+    (sorted list there, array_sort here) so even the median is
+    order-free — the whole output hash-oracles. Build order is the
+    scale story: ONE map-side-combining key agg reduces the corpus,
+    and only the |keys| relation fans out x16; mergeability is
+    structural (X_j are sums). Class-5: empty-input F2=0 guards the
+    relative error; the estimate itself needs no division by data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    kc = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).persist()  # |keys| rows: sketch build AND exact-F2 baseline
+    rs = spark.range(0, 16).select(F.col("id").cast("int").alias("j"))
+    sign = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        * 2
+        - 1
+    )
+    xs = (
+        kc.crossJoin(F.broadcast(rs))
+        .select("j", (sign * F.col("n")).alias("sx"))
+        .groupBy("j")
+        .agg(F.sum("sx").cast("bigint").alias("x"))
+    )
+    gs = xs.groupBy((F.col("j") / 4).cast("int").alias("g")).agg(
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("gsum")
+    )
+    med = gs.agg(
+        F.array_sort(
+            F.collect_list(F.col("gsum").cast("string").cast("double"))
+        ).alias("l")
+    )
+    exact = kc.agg(
+        F.sum(F.col("n").cast("decimal(19,0)") * F.col("n"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .cast("double")
+        .alias("f2")
+    )
+    est = (F.element_at("l", 2) + F.element_at("l", 3)) / 8
+    return med.crossJoin(F.broadcast(exact)).select(
+        F.col("f2").alias("exact_f2"),
+        est.alias("ams_estimate"),
+        F.when(F.col("f2") > 0, F.abs(est - F.col("f2")) / F.col("f2")).alias(
+            "rel_error"
+        ),
+    )
+
+
+@register(
+    "sql_distinct_on",
+    tags=("sql", "window"),
+    oracle="""
+        SELECT DISTINCT ON (o_custkey)
+               o_custkey,
+               o_orderkey AS latest_orderkey,
+               CAST(o_orderdate AS DATE) AS latest_orderdate,
+               CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+                    AS DOUBLE) AS latest_total
+        FROM orders
+        ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+    """,
+)
+def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON emulation — Postgres/DuckDB's pick-one-row-per-key
+    surface, which Spark SQL lacks: latest order per customer with the
+    deterministic (o_orderdate DESC, o_orderkey) tiebreak, planned as
+    a per-key row_number window + rank-1 filter. The window partitions
+    by custkey (bounded orders per customer — parallel across keys,
+    never a global sort); at 100 TB the same plan holds because the
+    per-partition top-1 is a streaming min over each key group. The
+    oracle IS the native DISTINCT ON, pinning that the emulation
+    matches the engine-native semantics row-for-row. Money presents
+    through the VARCHAR-routed double edge (raw DECIMAL outputs are
+    banned fleet-wide — check.py's driver-canon guard)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").cast("date").alias("latest_orderdate"),
+            F.col("o_totalprice")
+            .cast("decimal(12,2)")
+            .cast("string")
+            .cast("double")
+            .alias("latest_total"),
+        )
+    )

@@ -301,3 +301,47 @@ def test_rolling_slope_matches_numpy(spark):
             )
             n_checked += 1
     assert n_checked == len(got)
+
+
+def test_ams_f2_matches_md5_replay(spark):
+    import hashlib
+
+    row = plans.get("agg_ams_f2_portable").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT l_partkey, COUNT(*)"
+        f" FROM read_parquet('{SF}/lineitem.parquet') GROUP BY 1"
+    )
+    exact = float(sum(n * n for _, n in rows))
+    assert row["exact_f2"] == exact
+    xs = []
+    for j in range(16):
+        x = 0
+        for k, n in rows:
+            h = hashlib.md5(f"{j}:{k}".encode()).hexdigest()[:15]
+            x += (int(h, 16) % 2 * 2 - 1) * n
+        xs.append(x)
+    gsums = sorted(
+        float(sum(x * x for x in xs[g * 4 : g * 4 + 4])) for g in range(4)
+    )
+    est = (gsums[1] + gsums[2]) / 8
+    assert row["ams_estimate"] == pytest.approx(est, rel=1e-12)
+    assert row["rel_error"] == pytest.approx(abs(est - exact) / exact, rel=1e-9)
+    # the estimator should land within the theoretical few-x band
+    assert row["rel_error"] < 1.0
+
+
+def test_distinct_on_matches_reference(spark):
+    got = {
+        r["o_custkey"]: (r["latest_orderkey"], r["latest_orderdate"])
+        for r in plans.get("sql_distinct_on").build(spark, SF).collect()
+    }
+    rows = _fetch(
+        "SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    )
+    best = {}
+    for ck, ok, d in rows:
+        cur = best.get(ck)
+        if cur is None or (d, -ok) > (cur[1], -cur[0]):
+            best[ck] = (ok, d)
+    assert got == best
