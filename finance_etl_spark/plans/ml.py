@@ -5901,3 +5901,213 @@ def ml_lr_grid_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: regularized-regression training step and collinearity
+# diagnostics — both closed forms over ONE exact-decimal moment agg,
+# the ridge_normal_equations recipe extended to the L1 path
+# (coordinate descent's soft threshold) and to the 3-feature
+# correlation-matrix inverse (VIF).
+
+_EN_MOMENTS_SQL = """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                        AS VARCHAR) AS DOUBLE) AS s1,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR)
+                        AS DOUBLE) AS s11,
+                   CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2)))
+                        AS VARCHAR) AS DOUBLE) AS s2,
+                   CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR)
+                        AS DOUBLE) AS s22,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(12,2))) AS VARCHAR)
+                        AS DOUBLE) AS s12,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+                        AS DOUBLE) AS syy,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+                        AS DOUBLE) AS s1y,
+                   CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+                        AS DOUBLE) AS s2y
+            FROM lineitem
+"""
+
+_EN_CORR = {
+    "r1y": "(nd * s1y - s1 * sy) / sqrt((nd * s11 - s1 * s1) * (nd * syy - sy * sy))",
+    "r2y": "(nd * s2y - s2 * sy) / sqrt((nd * s22 - s2 * s2) * (nd * syy - sy * sy))",
+    "r12": "(nd * s12 - s1 * s2) / sqrt((nd * s11 - s1 * s1) * (nd * s22 - s2 * s2))",
+}
+
+
+def _en_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    d = F.col("l_discount").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    return li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        as_d(F.sum(q)).alias("s1"),
+        as_d(F.sum(q * q)).alias("s11"),
+        as_d(F.sum(d)).alias("s2"),
+        as_d(F.sum(d * d)).alias("s22"),
+        as_d(F.sum(q * d)).alias("s12"),
+        as_d(F.sum(y)).alias("sy"),
+        as_d(F.sum(y * y)).alias("syy"),
+        as_d(F.sum(q * y)).alias("s1y"),
+        as_d(F.sum(d * y)).alias("s2y"),
+    ).withColumn("nd", F.col("n").cast("double"))
+
+
+@register(
+    "ml_elastic_net_cd",
+    tags=("ml", "training", "agg"),
+    oracle=f"""
+        WITH m AS ({_EN_MOMENTS_SQL}),
+        c AS (
+            SELECT n, CAST(n AS DOUBLE) AS nd, s1, s11, s2, s22, s12,
+                   sy, syy, s1y, s2y
+            FROM m
+        ),
+        r AS (
+            SELECT n,
+                   {_EN_CORR['r1y']} AS r1y,
+                   {_EN_CORR['r2y']} AS r2y,
+                   {_EN_CORR['r12']} AS r12
+            FROM c
+        ),
+        w1s AS (
+            SELECT *,
+                   SIGN(r1y) * GREATEST(ABS(r1y) - CAST(0.05 AS DOUBLE), 0)
+                     / CAST(1.05 AS DOUBLE) AS w1
+            FROM r
+        )
+        SELECT n, r1y, r2y, r12, w1,
+               SIGN(r2y - w1 * r12)
+                 * GREATEST(ABS(r2y - w1 * r12) - CAST(0.05 AS DOUBLE), 0)
+                 / CAST(1.05 AS DOUBLE) AS w2
+        FROM w1s
+    """,
+)
+def ml_elastic_net_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One elastic-net coordinate-descent sweep (lambda=0.1,
+    l1_ratio=0.5 => soft threshold 0.05, ridge shrink 1.05) on the
+    STANDARDIZED 2-feature regression price ~ quantity + discount,
+    from w=0: w1 = S(<z1,zy>/n, t)/(1+l2) then w2 = S(<z2,zy>/n -
+    w1*<z1,z2>/n, t)/(1+l2). For z-scored variables those inner
+    products ARE the Pearson correlations, so the whole sweep is a
+    closed form over ONE exact-decimal moment agg (ten sums, map-side
+    combining) — the glmnet update realized without any per-row
+    standardization pass, and the L1 path companion to
+    ml_ridge_normal_equations. The soft threshold is
+    sign*greatest(|z|-t,0) — IEEE-exact on both engines. Zero-variance
+    features would NaN the correlations via sqrt(0) division; the
+    fixture's features have documented positive variance (same
+    contract as ml_feature_corr_matrix)."""
+    m = _en_moments(spark, sf_dir)
+    r = m.selectExpr(
+        "n",
+        f"{_EN_CORR['r1y']} AS r1y",
+        f"{_EN_CORR['r2y']} AS r2y",
+        f"{_EN_CORR['r12']} AS r12",
+    )
+    w1 = (
+        F.signum(F.col("r1y"))
+        * F.greatest(F.abs(F.col("r1y")) - F.lit(0.05), F.lit(0.0))
+        / F.lit(1.05)
+    )
+    out = r.withColumn("w1", w1)
+    z2 = F.col("r2y") - F.col("w1") * F.col("r12")
+    return out.select(
+        "n",
+        "r1y",
+        "r2y",
+        "r12",
+        "w1",
+        (
+            F.signum(z2)
+            * F.greatest(F.abs(z2) - F.lit(0.05), F.lit(0.0))
+            / F.lit(1.05)
+        ).alias("w2"),
+    )
+
+
+@register(
+    "ml_vif_collinearity",
+    tags=("ml", "features", "agg"),
+    oracle=f"""
+        WITH m AS ({_EN_MOMENTS_SQL}),
+        c AS (
+            SELECT n, CAST(n AS DOUBLE) AS nd, s1, s11, s2, s22, s12,
+                   sy, syy, s1y, s2y
+            FROM m
+        ),
+        r AS (
+            SELECT n,
+                   {_EN_CORR['r1y']} AS rqy,
+                   {_EN_CORR['r2y']} AS rdy,
+                   {_EN_CORR['r12']} AS rqd
+            FROM c
+        ),
+        d AS (
+            SELECT *,
+                   1 + 2 * rqy * rdy * rqd
+                     - rqy * rqy - rdy * rdy - rqd * rqd AS det
+            FROM r
+        )
+        SELECT n, rqy, rdy, rqd, det,
+               CASE WHEN det > 0 THEN (1 - rdy * rdy) / det END AS vif_quantity,
+               CASE WHEN det > 0 THEN (1 - rqy * rqy) / det END AS vif_discount,
+               CASE WHEN det > 0 THEN (1 - rqd * rqd) / det END AS vif_price
+        FROM d
+    """,
+)
+def ml_vif_collinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-inflation factors for the 3-variable feature set
+    (quantity, discount, price) via the closed-form 3x3 correlation-
+    matrix inverse: VIF_i = (1 - r_jk^2)/det with det = 1 + 2*r1*r2*r3
+    - r1^2 - r2^2 - r3^2 — multicollinearity screening (VIF > 5-10 =
+    drop or combine) computed from ONE exact-decimal moment agg and a
+    single double edge expression; no per-row standardization, no
+    matrix library, shares _en_moments with ml_elastic_net_cd.
+    Class-5: a singular correlation matrix (perfect collinearity,
+    det<=0) NULLs every VIF via the same CASE on both engines."""
+    m = _en_moments(spark, sf_dir)
+    r = m.selectExpr(
+        "n",
+        f"{_EN_CORR['r1y']} AS rqy",
+        f"{_EN_CORR['r2y']} AS rdy",
+        f"{_EN_CORR['r12']} AS rqd",
+    )
+    det = (
+        F.lit(1.0)
+        + 2 * F.col("rqy") * F.col("rdy") * F.col("rqd")
+        - F.col("rqy") * F.col("rqy")
+        - F.col("rdy") * F.col("rdy")
+        - F.col("rqd") * F.col("rqd")
+    )
+    d = r.withColumn("det", det)
+    ok = F.col("det") > 0
+    return d.select(
+        "n",
+        "rqy",
+        "rdy",
+        "rqd",
+        "det",
+        F.when(ok, (1 - F.col("rdy") * F.col("rdy")) / F.col("det")).alias(
+            "vif_quantity"
+        ),
+        F.when(ok, (1 - F.col("rqy") * F.col("rqy")) / F.col("det")).alias(
+            "vif_discount"
+        ),
+        F.when(ok, (1 - F.col("rqd") * F.col("rqd")) / F.col("det")).alias(
+            "vif_price"
+        ),
+    )

@@ -4309,3 +4309,104 @@ def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("latest_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: geohash encoding — the prefix-shared spatial bucketing key
+# (neighboring points share prefixes, so GROUP BY / range scans on the
+# geohash cluster spatially). Pure integer bit interleaving realized
+# as engine-portable arithmetic (div/mod/multiply — no bit operators,
+# whose <<//>> dialects differ), generated once and shared verbatim.
+
+
+def _geohash_exprs(intdiv) -> tuple[str, str]:
+    """(gh30_expr, geohash6_expr): 30-bit interleave of the 15-bit
+    normalized lat/lon, then 6 base-32 characters. ``intdiv(a, b)``
+    renders integer division in the target dialect."""
+    terms = []
+    for i in range(15):
+        b = 14 - i
+        # geohash convention: longitude takes the even (leading) bit
+        terms.append(f"(({intdiv('lon15', 2 ** b)}) % 2) * {2 ** (29 - 2 * i)}")
+        terms.append(f"(({intdiv('lat15', 2 ** b)}) % 2) * {2 ** (28 - 2 * i)}")
+    gh30 = " + ".join(terms)
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = [
+        f"substring('{alpha}', CAST(({intdiv('gh30', 2 ** (5 * (5 - g)))}) % 32"
+        f" + 1 AS INT), 1)"
+        for g in range(6)
+    ]
+    return gh30, "concat(" + ", ".join(chars) + ")"
+
+
+_GH30_DUCK, _GH6_DUCK = _geohash_exprs(lambda a, b: f"{a} // {b}")
+_GH30_SPARK, _GH6_SPARK = _geohash_exprs(lambda a, b: f"{a} div {b}")
+
+
+@register(
+    "geo_geohash_encode",
+    tags=("geo", "scalar", "spatial"),
+    oracle=f"""
+        WITH pts AS (
+            SELECT c_custkey AS id,
+                   CAST((c_custkey * 7919) % 18000000 AS BIGINT) - 9000000
+                       AS lat_u,
+                   CAST((c_custkey * 104729) % 36000000 AS BIGINT) - 18000000
+                       AS lon_u
+            FROM customer WHERE c_custkey % 100 = 1
+        ),
+        norm AS (
+            SELECT id, lat_u, lon_u,
+                   ((lat_u + 9000000) * 32768) // 18000000 AS lat15,
+                   ((lon_u + 18000000) * 32768) // 36000000 AS lon15
+            FROM pts
+        ),
+        bits AS (
+            SELECT id, lat_u, lon_u, CAST({_GH30_DUCK} AS BIGINT) AS gh30
+            FROM norm
+        )
+        SELECT id AS c_custkey, lat_u, lon_u, gh30,
+               {_GH6_DUCK} AS geohash6
+        FROM bits ORDER BY c_custkey
+    """,
+)
+def geo_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-6 encoding of the deterministic micro-degree points
+    (same derivation as geo_grid_knn_join): quantize lat/lon to 15
+    bits each by pure integer division, interleave (lon leads, the
+    geohash convention) into a 30-bit key, emit 6 base-32 chars — the
+    prefix-shared spatial bucketing key that makes GROUP BY/range
+    scans cluster spatially at any scale. Every step is integer
+    div/mod/multiply plus substring — the arithmetic both engines
+    execute identically (bit operators avoided: their dialects
+    differ) — generated once by _geohash_exprs and shared verbatim.
+    Per-row scalar work, zero shuffle beyond the scan filter; the 1%
+    probe sample keeps the output model-sized while the expression is
+    corpus-rate-ready. No division by data (divisors are constants)."""
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.filter(F.col("c_custkey") % 100 == 1).select(
+        F.col("c_custkey").alias("id"),
+        (((F.col("c_custkey") * 7919) % 18000000).cast("bigint") - 9000000).alias(
+            "lat_u"
+        ),
+        (
+            ((F.col("c_custkey") * 104729) % 36000000).cast("bigint") - 18000000
+        ).alias("lon_u"),
+    )
+    norm = pts.selectExpr(
+        "id",
+        "lat_u",
+        "lon_u",
+        "((lat_u + 9000000) * 32768) div 18000000 AS lat15",
+        "((lon_u + 18000000) * 32768) div 36000000 AS lon15",
+    )
+    bits = norm.selectExpr(
+        "id", "lat_u", "lon_u", f"CAST({_GH30_SPARK} AS BIGINT) AS gh30"
+    )
+    return bits.selectExpr(
+        "id AS c_custkey",
+        "lat_u",
+        "lon_u",
+        "gh30",
+        f"{_GH6_SPARK} AS geohash6",
+    ).orderBy("c_custkey")

@@ -2753,3 +2753,89 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("n_chars"),
         looks.alias("looks_like_code"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_charclass_profile",
+    tags=("text", "quality", "agg"),
+    oracle="""
+        WITH per AS (
+            SELECT lang,
+                   CAST(length(text) AS BIGINT) AS nch,
+                   CAST(length(text)
+                        - length(replace(text, ' ', '')) AS BIGINT) AS nsp,
+                   CAST(length(text) - length(regexp_replace(text,
+                        '[0-9]', '', 'g')) AS BIGINT) AS ndig,
+                   CAST(length(text) - length(regexp_replace(text,
+                        '[a-zA-Z]', '', 'g')) AS BIGINT) AS nalpha,
+                   CAST(length(text) - length(regexp_replace(text,
+                        '[^\\x20-\\x7E]', '', 'g')) AS BIGINT) AS nnonascii
+            FROM documents
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nch) AS BIGINT) AS n_chars,
+               CAST(SUM(nsp) AS BIGINT) AS n_spaces,
+               CAST(SUM(ndig) AS BIGINT) AS n_digits,
+               CAST(SUM(nalpha) AS BIGINT) AS n_alpha,
+               CAST(SUM(nnonascii) AS BIGINT) AS n_nonascii,
+               CASE WHEN SUM(nch) > 0 THEN
+                 CAST(SUM(nalpha) AS DOUBLE) / CAST(SUM(nch) AS DOUBLE)
+               END AS alpha_ratio,
+               CASE WHEN SUM(nch) > 0 THEN
+                 CAST(SUM(nnonascii) AS DOUBLE) / CAST(SUM(nch) AS DOUBLE)
+               END AS nonascii_ratio
+        FROM per GROUP BY lang ORDER BY lang
+    """,
+)
+def text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class corpus profile per language — the encoding/
+    mojibake audit every ingestion pipeline runs before tokenizer
+    training: alphabetic, digit, space, and NON-ASCII character mass
+    (a nonzero nonascii_ratio on a declared-ASCII source is the
+    classic double-encoding alarm; here it pins 0 as the contract).
+    Per-row counts are length-difference identities over plain/regexp
+    replace (character classes only — the regex subset Java and RE2
+    agree on, per the cross-dialect rule), summed as exact BIGINTs in
+    one map-side-combining agg; ratios are guarded double edges
+    (empty-corpus n_chars=0 NULLs them on both engines). One scan, no
+    joins, no shuffle beyond the |langs| agg."""
+    d = load_table(spark, sf_dir, "documents")
+    ln = F.length("text").cast("bigint")
+    per = d.select(
+        "lang",
+        ln.alias("nch"),
+        (ln - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))).alias(
+            "nsp"
+        ),
+        (ln - F.length(F.regexp_replace("text", "[0-9]", ""))).alias("ndig"),
+        (ln - F.length(F.regexp_replace("text", "[a-zA-Z]", ""))).alias(
+            "nalpha"
+        ),
+        (ln - F.length(F.regexp_replace("text", "[^\\x20-\\x7E]", ""))).alias(
+            "nnonascii"
+        ),
+    )
+    s = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nch").cast("bigint").alias("n_chars"),
+        F.sum("nsp").cast("bigint").alias("n_spaces"),
+        F.sum("ndig").cast("bigint").alias("n_digits"),
+        F.sum("nalpha").cast("bigint").alias("n_alpha"),
+        F.sum("nnonascii").cast("bigint").alias("n_nonascii"),
+    )
+    nch_d = F.col("n_chars").cast("double")
+    return s.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        "n_spaces",
+        "n_digits",
+        "n_alpha",
+        "n_nonascii",
+        F.when(
+            F.col("n_chars") > 0, F.col("n_alpha").cast("double") / nch_d
+        ).alias("alpha_ratio"),
+        F.when(
+            F.col("n_chars") > 0, F.col("n_nonascii").cast("double") / nch_d
+        ).alias("nonascii_ratio"),
+    ).orderBy("lang")

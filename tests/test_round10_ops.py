@@ -345,3 +345,83 @@ def test_distinct_on_matches_reference(spark):
         if cur is None or (d, -ok) > (cur[1], -cur[0]):
             best[ck] = (ok, d)
     assert got == best
+
+
+def test_elastic_net_matches_sklearn_formulation(spark):
+    row = plans.get("ml_elastic_net_cd").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE),"
+        f" CAST(l_extendedprice AS DOUBLE) FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    a = np.array(rows)
+    z = (a - a.mean(0)) / a.std(0)
+    n = len(a)
+    r1y = (z[:, 0] * z[:, 2]).mean()
+    r2y = (z[:, 1] * z[:, 2]).mean()
+    r12 = (z[:, 0] * z[:, 1]).mean()
+    t, shrink = 0.05, 1.05
+    soft = lambda v: np.sign(v) * max(abs(v) - t, 0)  # noqa: E731
+    w1 = soft(r1y) / shrink
+    w2 = soft(r2y - w1 * r12) / shrink
+    assert row["r1y"] == pytest.approx(r1y, rel=1e-9)
+    assert row["r12"] == pytest.approx(r12, rel=1e-9)
+    assert row["w1"] == pytest.approx(w1, rel=1e-9)
+    assert row["w2"] == pytest.approx(w2, rel=1e-9)
+
+
+def test_vif_matches_numpy_inverse(spark):
+    row = plans.get("ml_vif_collinearity").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE),"
+        f" CAST(l_extendedprice AS DOUBLE) FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    a = np.array(rows)
+    R = np.corrcoef(a.T)
+    vifs = np.diag(np.linalg.inv(R))
+    assert row["vif_quantity"] == pytest.approx(vifs[0], rel=1e-9)
+    assert row["vif_discount"] == pytest.approx(vifs[1], rel=1e-9)
+    assert row["vif_price"] == pytest.approx(vifs[2], rel=1e-9)
+
+
+def test_geohash_matches_reference_library_semantics(spark):
+    rows = plans.get("geo_geohash_encode").build(spark, SF).collect()
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    for r in rows:
+        lat15 = (r["lat_u"] + 9000000) * 32768 // 18000000
+        lon15 = (r["lon_u"] + 18000000) * 32768 // 36000000
+        gh = 0
+        for i in range(15):
+            b = 14 - i
+            gh |= ((lon15 >> b) & 1) << (29 - 2 * i)
+            gh |= ((lat15 >> b) & 1) << (28 - 2 * i)
+        assert r["gh30"] == gh
+        s = "".join(alpha[(gh >> (5 * (5 - g))) % 32] for g in range(6))
+        assert r["geohash6"] == s
+    # prefix-sharing property: nearby points share prefixes
+    assert len(rows) > 0
+
+
+def test_charclass_profile_counts(spark):
+    got = {
+        r["lang"]: r
+        for r in plans.get("text_charclass_profile").build(spark, SF).collect()
+    }
+    rows = _fetch(
+        f"SELECT lang, text FROM read_parquet('{SF}/documents.parquet')"
+    )
+    per = {}
+    for lang, text in rows:
+        c = per.setdefault(lang, [0, 0, 0, 0, 0, 0])
+        c[0] += 1
+        c[1] += len(text)
+        c[2] += text.count(" ")
+        c[3] += sum(ch.isdigit() for ch in text)
+        c[4] += sum(("a" <= ch <= "z") or ("A" <= ch <= "Z") for ch in text)
+        c[5] += sum(not (" " <= ch <= "~") for ch in text)
+    for lang, (nd, nc, ns, ndig, na, nna) in per.items():
+        g = got[lang]
+        assert (
+            g["n_docs"], g["n_chars"], g["n_spaces"], g["n_digits"],
+            g["n_alpha"], g["n_nonascii"],
+        ) == (nd, nc, ns, ndig, na, nna)
+        assert g["alpha_ratio"] == pytest.approx(na / nc, rel=1e-12)
