@@ -3392,3 +3392,92 @@ def stat_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, num * num / (vt * vu)).alias("r2_aux"),
         F.when(ok, n_d * num * num / (vt * vu)).alias("lm_stat"),
     ).orderBy("event_type")
+
+
+@register(
+    "stat_hodges_lehmann",
+    tags=("stats", "window", "agg"),
+    oracle="""
+        WITH cx AS (
+            SELECT CAST(l_quantity AS DECIMAL(12,2)) AS v,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+        ),
+        cy AS (
+            SELECT CAST(l_quantity AS DECIMAL(12,2)) AS v,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem WHERE l_returnflag <> 'R' GROUP BY 1
+        ),
+        dd AS (
+            SELECT cx.v - cy.v AS d,
+                   CAST(SUM(CAST(cx.n AS DECIMAL(19,0)) * cy.n)
+                        AS DECIMAL(38,0)) AS w
+            FROM cx CROSS JOIN cy
+            GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(w) AS DECIMAL(38,0)) AS t FROM dd),
+        cum AS (
+            SELECT d, w,
+                   CAST(SUM(w) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                        AS DECIMAL(38,0)) AS cw
+            FROM dd
+        )
+        SELECT CAST(CAST(MIN(tot.t) AS VARCHAR) AS DOUBLE) AS n_pairs,
+               CAST(CAST(MIN(CASE WHEN cum.cw * 2 >= tot.t
+                                  THEN cum.d END) AS VARCHAR) AS DOUBLE)
+                   AS hl_shift
+        FROM cum CROSS JOIN tot
+    """,
+)
+def stat_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann two-sample shift estimator: the MEDIAN of all
+    n*m pairwise differences (returned-line quantity minus kept-line
+    quantity) — the robust location-shift companion to
+    stat_mannwhitney_u (it inverts the same rank test; breakdown 29%).
+    The quadratic pair space collapses through the contingency-cell
+    reduction (the stat_kendall_tau recipe): one corpus hash agg per
+    sample to <=50 quantity cells each, a <=2500-row broadcast cell
+    cross join carrying exact DECIMAL pair multiplicities, and the
+    weighted LOWER median (2*cum >= total picks rank ceil(T/2) on
+    exact integers — no interpolation, engine-exact) from one
+    cumulative window over the <=99-value model relation (unpartitioned
+    by design: value-domain-bounded, never the corpus). Pair counts
+    present as DOUBLE — they are ~n*m and outgrow BIGINT at petabyte
+    corpus scale. Class-5: an empty sample empties the cross join and
+    both outputs go NULL identically on the two engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    cx = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(q.alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cy = (
+        li.filter(F.col("l_returnflag") != "R")
+        .groupBy(q.alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    dd = (
+        cx.select(F.col("v").alias("vx"), F.col("n").alias("nx"))
+        .crossJoin(
+            F.broadcast(cy.select(F.col("v").alias("vy"), F.col("n").alias("ny")))
+        )
+        .groupBy((F.col("vx") - F.col("vy")).alias("d"))
+        .agg(
+            F.sum(F.col("nx").cast("decimal(19,0)") * F.col("ny"))
+            .cast("decimal(38,0)")
+            .alias("w")
+        )
+    )
+    tot = dd.agg(F.sum("w").cast("decimal(38,0)").alias("t"))
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dd.select(
+        "d", F.sum("w").over(wcum).cast("decimal(38,0)").alias("cw")
+    )
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return cum.crossJoin(F.broadcast(tot)).agg(
+        as_d(F.min(F.col("t"))).alias("n_pairs"),
+        as_d(
+            F.min(F.when(F.col("cw") * 2 >= F.col("t"), F.col("d")))
+        ).alias("hl_shift"),
+    )

@@ -425,3 +425,18 @@ def test_charclass_profile_counts(spark):
             g["n_alpha"], g["n_nonascii"],
         ) == (nd, nc, ns, ndig, na, nna)
         assert g["alpha_ratio"] == pytest.approx(na / nc, rel=1e-12)
+
+
+def test_hodges_lehmann_matches_numpy(spark):
+    row = plans.get("stat_hodges_lehmann").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT l_returnflag = 'R', CAST(l_quantity AS DOUBLE)"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    x = np.array([q for r, q in rows if r])
+    y = np.array([q for r, q in rows if not r])
+    diffs = np.sort((x[:, None] - y[None, :]).ravel())
+    t = len(diffs)
+    lower_median = diffs[(t + 1) // 2 - 1]  # rank ceil(T/2), 1-based
+    assert row["n_pairs"] == float(t)
+    assert row["hl_shift"] == lower_median
