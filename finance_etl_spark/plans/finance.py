@@ -1549,7 +1549,7 @@ def _ncdf_sql(d: str) -> str:
     between engine and oracle, so the independent erf-based pytest in
     tests/test_round9_ops.py is the guard against fragment bugs."""
     t = (
-        "(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        "(CAST('1.0' AS DOUBLE) / (CAST('1.0' AS DOUBLE)"
         f" + CAST(0.2316419 AS DOUBLE) * abs({d})))"
     )
     poly = (
@@ -1563,10 +1563,10 @@ def _ncdf_sql(d: str) -> str:
         f"(exp(-((abs({d})) * (abs({d}))) / CAST(2.0 AS DOUBLE))"
         " / sqrt(CAST(2.0 AS DOUBLE) * PI()))"
     )
-    nabs = f"(CAST(1.0 AS DOUBLE) - {phi} * {poly})"
+    nabs = f"(CAST('1.0' AS DOUBLE) - {phi} * {poly})"
     return (
         f"(CASE WHEN ({d}) >= CAST(0.0 AS DOUBLE) THEN {nabs}"
-        f" ELSE CAST(1.0 AS DOUBLE) - {nabs} END)"
+        f" ELSE CAST('1.0' AS DOUBLE) - {nabs} END)"
     )
 
 
@@ -3293,6 +3293,142 @@ def fin_calmar_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("max_dd_cents") > 0,
                 ann / F.col("max_dd_cents").cast("double"),
             ).alias("calmar"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 continuation: NPV rate grid and Ulcer index.
+
+
+@register(
+    "fin_npv_rate_grid",
+    tags=("finance", "agg"),
+    oracle="""
+        WITH cf AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(EXTRACT(year FROM o_orderdate) - 1995 AS BIGINT) AS t,
+                   CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+                        AS DOUBLE) AS cf
+            FROM orders
+        )
+        SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(CAST(FLOOR(cf * (CASE WHEN t = 0 THEN CAST('1.0' AS DOUBLE) WHEN t = 1 THEN CAST('0.970873786407767' AS DOUBLE) WHEN t = 2 THEN CAST('0.9425959091337544' AS DOUBLE) WHEN t = 3 THEN CAST('0.9151416593531595' AS DOUBLE) WHEN t = 4 THEN CAST('0.8884870479156888' AS DOUBLE) WHEN t = 5 THEN CAST('0.8626087843841639' AS DOUBLE) WHEN t = 6 THEN CAST('0.8374842566836542' AS DOUBLE) WHEN t = 7 THEN CAST('0.8130915113433536' AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * 100) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 100 AS npv_3pct,
+               CAST(CAST(SUM(CAST(FLOOR(cf * (CASE WHEN t = 0 THEN CAST('1.0' AS DOUBLE) WHEN t = 1 THEN CAST('0.9523809523809523' AS DOUBLE) WHEN t = 2 THEN CAST('0.9070294784580498' AS DOUBLE) WHEN t = 3 THEN CAST('0.863837598531476' AS DOUBLE) WHEN t = 4 THEN CAST('0.8227024747918819' AS DOUBLE) WHEN t = 5 THEN CAST('0.7835261664684589' AS DOUBLE) WHEN t = 6 THEN CAST('0.7462153966366275' AS DOUBLE) WHEN t = 7 THEN CAST('0.7106813301301214' AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * 100) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 100 AS npv_5pct,
+               CAST(CAST(SUM(CAST(FLOOR(cf * (CASE WHEN t = 0 THEN CAST('1.0' AS DOUBLE) WHEN t = 1 THEN CAST('0.9259259259259258' AS DOUBLE) WHEN t = 2 THEN CAST('0.8573388203017831' AS DOUBLE) WHEN t = 3 THEN CAST('0.7938322410201696' AS DOUBLE) WHEN t = 4 THEN CAST('0.7350298527964533' AS DOUBLE) WHEN t = 5 THEN CAST('0.6805831970337529' AS DOUBLE) WHEN t = 6 THEN CAST('0.6301696268831045' AS DOUBLE) WHEN t = 7 THEN CAST('0.5834903952621338' AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * 100) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 100 AS npv_8pct
+        FROM cf GROUP BY priority ORDER BY priority
+    """,
+)
+def fin_npv_rate_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net present value of each priority's order cash-flow stream at
+    a 3/5/8% discount-rate grid, with flows bucketed to whole years
+    from the 1995 epoch — the rate-sensitivity table every treasury
+    model tabulates (the closed-form companion to fin_irr_per_order's
+    root-finder). The discount factors (1+r)^-t are Python-generated
+    double LITERALS shared verbatim by both dialects (both engines
+    parse the identical literal to the identical IEEE double), so each
+    per-row discounted flow is one deterministic double product,
+    floor-quantized to exact cents before summation — no libm pow at
+    query time, no float accumulation (class-1), no division by data
+    (class-5). One scan, one hash agg per priority."""
+    o = load_table(spark, sf_dir, "orders")
+    cf = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.year("o_orderdate") - 1995).cast("bigint").alias("t"),
+        F.col("o_totalprice")
+        .cast("decimal(12,2)")
+        .cast("string")
+        .cast("double")
+        .alias("cf"),
+    )
+    agg = cf.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("CAST(SUM(CAST(FLOOR(cf * (CASE WHEN t = 0 THEN CAST('1.0' AS DOUBLE) WHEN t = 1 THEN CAST('0.970873786407767' AS DOUBLE) WHEN t = 2 THEN CAST('0.9425959091337544' AS DOUBLE) WHEN t = 3 THEN CAST('0.9151416593531595' AS DOUBLE) WHEN t = 4 THEN CAST('0.8884870479156888' AS DOUBLE) WHEN t = 5 THEN CAST('0.8626087843841639' AS DOUBLE) WHEN t = 6 THEN CAST('0.8374842566836542' AS DOUBLE) WHEN t = 7 THEN CAST('0.8130915113433536' AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * 100) AS DECIMAL(38,0))) AS STRING)").cast("double").alias("raw_npv_3pct"),
+        F.expr("CAST(SUM(CAST(FLOOR(cf * (CASE WHEN t = 0 THEN CAST('1.0' AS DOUBLE) WHEN t = 1 THEN CAST('0.9523809523809523' AS DOUBLE) WHEN t = 2 THEN CAST('0.9070294784580498' AS DOUBLE) WHEN t = 3 THEN CAST('0.863837598531476' AS DOUBLE) WHEN t = 4 THEN CAST('0.8227024747918819' AS DOUBLE) WHEN t = 5 THEN CAST('0.7835261664684589' AS DOUBLE) WHEN t = 6 THEN CAST('0.7462153966366275' AS DOUBLE) WHEN t = 7 THEN CAST('0.7106813301301214' AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * 100) AS DECIMAL(38,0))) AS STRING)").cast("double").alias("raw_npv_5pct"),
+        F.expr("CAST(SUM(CAST(FLOOR(cf * (CASE WHEN t = 0 THEN CAST('1.0' AS DOUBLE) WHEN t = 1 THEN CAST('0.9259259259259258' AS DOUBLE) WHEN t = 2 THEN CAST('0.8573388203017831' AS DOUBLE) WHEN t = 3 THEN CAST('0.7938322410201696' AS DOUBLE) WHEN t = 4 THEN CAST('0.7350298527964533' AS DOUBLE) WHEN t = 5 THEN CAST('0.6805831970337529' AS DOUBLE) WHEN t = 6 THEN CAST('0.6301696268831045' AS DOUBLE) WHEN t = 7 THEN CAST('0.5834903952621338' AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * 100) AS DECIMAL(38,0))) AS STRING)").cast("double").alias("raw_npv_8pct"),
+    )
+    return agg.select(
+        "priority",
+        "n",
+        (F.col("raw_npv_3pct") / 100).alias("npv_3pct"),
+        (F.col("raw_npv_5pct") / 100).alias("npv_5pct"),
+        (F.col("raw_npv_8pct") / 100).alias("npv_8pct"),
+    ).orderBy("priority")
+
+
+@register(
+    "fin_ulcer_index",
+    tags=("finance", "window", "risk"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        dd AS (
+            SELECT segment,
+                   CAST(FLOOR((CAST(CAST(mx AS VARCHAR) AS DOUBLE)
+                               - CAST(CAST(x AS VARCHAR) AS DOUBLE))
+                              / CAST(CAST(mx AS VARCHAR) AS DOUBLE)
+                              * CAST(100 AS DOUBLE) * CAST(1e6 AS DOUBLE))
+                        AS BIGINT) AS ddq
+            FROM (
+                SELECT segment, x,
+                       MAX(x) OVER (PARTITION BY segment ORDER BY d
+                                    ROWS UNBOUNDED PRECEDING) AS mx
+                FROM daily
+            )
+        )
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_days,
+               sqrt(CAST(CAST(SUM(CAST(ddq AS DECIMAL(19,0)) * ddq)
+                          AS VARCHAR) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)) / 1e6 AS ulcer_index,
+               CAST(MAX(ddq) AS DOUBLE) / 1e6 AS max_dd_pct
+        FROM dd GROUP BY segment ORDER BY segment
+    """,
+)
+def fin_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index per market segment on the daily revenue level: the
+    ROOT-MEAN-SQUARE percentage drawdown from the running peak — the
+    depth-AND-duration pain measure (a long shallow slump hurts the
+    ulcer index where fin_max_drawdown's single trough misses it).
+    Each day's drawdown percentage is one deterministic double
+    expression over exact decimal (x, running-max) pairs, floor-
+    quantized at q6 BEFORE squaring (the class-2 rule: the square
+    stays exact DECIMAL integer arithmetic, never a >2^53 double cast
+    back to decimal); the RMS is one sqrt edge over exact sums.
+    Class-5: the running max is bounded below by the first day's
+    strictly positive revenue, so the divisor cannot degenerate —
+    documented, not guarded. Windows partition per segment over
+    calendar-bounded rows; corpus work is the one daily agg."""
+    daily = _seg_daily(spark, sf_dir)
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    w = Window.partitionBy("segment").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dd = daily.select(
+        "segment",
+        F.floor(
+            (as_d(F.max("x").over(w)) - as_d(F.col("x")))
+            / as_d(F.max("x").over(w))
+            * F.lit(100.0)
+            * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("ddq"),
+    )
+    return (
+        dd.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            (
+                F.sqrt(
+                    F.sum(F.col("ddq").cast("decimal(19,0)") * F.col("ddq"))
+                    .cast("decimal(38,0)")
+                    .cast("string")
+                    .cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                )
+                / F.lit(1e6)
+            ).alias("ulcer_index"),
+            (F.max("ddq").cast("double") / F.lit(1e6)).alias("max_dd_pct"),
         )
         .orderBy("segment")
     )

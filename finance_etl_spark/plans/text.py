@@ -2839,3 +2839,82 @@ def text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars") > 0, F.col("n_nonascii").cast("double") / nch_d
         ).alias("nonascii_ratio"),
     ).orderBy("lang")
+
+
+@register(
+    "text_type_token_ratio",
+    tags=("text", "quality", "agg"),
+    oracle="""
+        WITH toks AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        tc AS (
+            SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks WHERE tok <> '' GROUP BY lang, tok
+        ),
+        s AS (
+            SELECT lang,
+                   CAST(SUM(n) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax
+            FROM tc GROUP BY lang
+        )
+        SELECT lang, n_tokens, n_types, n_hapax,
+               CASE WHEN n_tokens > 0 THEN
+                 CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               END AS ttr,
+               CASE WHEN n_tokens > 0 THEN
+                 CAST(n_types AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE))
+               END AS guiraud_r,
+               CASE WHEN n_types > 0 THEN
+                 CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)
+               END AS hapax_ratio
+        FROM s ORDER BY lang
+    """,
+)
+def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per language: type-token ratio,
+    Guiraud's R = types/sqrt(tokens) (the length-robust variant), and
+    the hapax-legomena share — the corpus-health triple that flags
+    template spam (low TTR) and OCR noise (high hapax) before
+    tokenizer training; complements text_vocab_coverage (coverage
+    budget) and text_zipf_fit (rank-frequency shape) with the
+    diversity summary. One explode + (lang, tok) hash agg reduces the
+    corpus; everything after runs on the vocabulary relation; counts
+    exact BIGINT, ratios guarded double edges (empty-language corpus
+    NULLs all three identically)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.col("text"), _SPACE), lambda t: t != "")
+        ).alias("tok"),
+    )
+    tc = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    s = tc.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+    )
+    tok_d = F.col("n_tokens").cast("double")
+    typ_d = F.col("n_types").cast("double")
+    return s.select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.when(F.col("n_tokens") > 0, typ_d / tok_d).alias("ttr"),
+        F.when(F.col("n_tokens") > 0, typ_d / F.sqrt(tok_d)).alias(
+            "guiraud_r"
+        ),
+        F.when(
+            F.col("n_types") > 0,
+            F.col("n_hapax").cast("double") / typ_d,
+        ).alias("hapax_ratio"),
+    ).orderBy("lang")

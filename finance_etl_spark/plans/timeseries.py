@@ -5473,3 +5473,78 @@ def ts_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "ts_turning_points",
+    tags=("ts", "stats", "window"),
+    oracle=f"""
+        WITH daily AS ({_DAILY_SCALED_SQL}),
+        lagged AS (
+            SELECT event_type, v,
+                   LAG(v) OVER w AS vp, LEAD(v) OVER w AS vn
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN vp IS NOT NULL AND vn IS NOT NULL
+                        AND ((v > vp AND v > vn) OR (v < vp AND v < vn))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS t
+            FROM lagged GROUP BY event_type
+        )
+        SELECT event_type, n, t,
+               CAST(2 * (n - 2) AS DOUBLE) / 3 AS expected_t,
+               CASE WHEN n >= 3 THEN
+                 (CAST(t AS DOUBLE) - CAST(2 * (n - 2) AS DOUBLE) / 3)
+                 / sqrt(CAST(16 * n - 29 AS DOUBLE) / 90)
+               END AS z_stat
+        FROM s ORDER BY event_type
+    """,
+)
+def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point test of series randomness per event stream: count
+    the strict local extrema of the daily totals (plateau days are not
+    turning points — strict inequalities both sides, documented tie
+    convention) and compare against the iid expectation 2(n-2)/3 with
+    variance (16n-29)/90 — fewer turns than chance means trend/
+    persistence, more means oscillation; the randomness screen that
+    complements stat_runs_test (sign-based) with a shape-based one.
+    Counts are exact integers off the exact floor-scaled daily
+    relation; z is one guarded sqrt edge (n<3 NULLs — no interior
+    points). Lag/lead windows partition per series over
+    calendar-bounded rows; corpus work is the one daily agg."""
+    daily = _daily_scaled(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "v",
+        F.lag("v").over(w).alias("vp"),
+        F.lead("v").over(w).alias("vn"),
+    )
+    is_turn = (
+        F.col("vp").isNotNull()
+        & F.col("vn").isNotNull()
+        & (
+            ((F.col("v") > F.col("vp")) & (F.col("v") > F.col("vn")))
+            | ((F.col("v") < F.col("vp")) & (F.col("v") < F.col("vn")))
+        )
+    )
+    s = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(is_turn, 1).otherwise(0)).cast("bigint").alias("t"),
+    )
+    n_d = F.col("n").cast("double")
+    exp_t = (2 * (F.col("n") - 2)).cast("double") / 3
+    return s.select(
+        "event_type",
+        "n",
+        "t",
+        exp_t.alias("expected_t"),
+        F.when(
+            F.col("n") >= 3,
+            (F.col("t").cast("double") - exp_t)
+            / F.sqrt((16 * n_d - 29) / 90),
+        ).alias("z_stat"),
+    ).orderBy("event_type")

@@ -440,3 +440,97 @@ def test_hodges_lehmann_matches_numpy(spark):
     lower_median = diffs[(t + 1) // 2 - 1]  # rank ceil(T/2), 1-based
     assert row["n_pairs"] == float(t)
     assert row["hl_shift"] == lower_median
+
+
+def test_turning_points_matches_reference(spark):
+    got = {
+        r["event_type"]: r
+        for r in plans.get("ts_turning_points").build(spark, SF).collect()
+    }
+    rows = _fetch(
+        "SELECT event_type, CAST(ts AS DATE), SUM(FLOOR(value * 1e6))"
+        f" FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2"
+    )
+    per = {}
+    for et, d, v in rows:
+        per.setdefault(et, []).append((d, int(v)))
+    for et, dv in per.items():
+        dv.sort()
+        v = [x for _, x in dv]
+        n = len(v)
+        t = sum(
+            1
+            for i in range(1, n - 1)
+            if (v[i - 1] < v[i] > v[i + 1]) or (v[i - 1] > v[i] < v[i + 1])
+        )
+        z = (t - 2 * (n - 2) / 3) / np.sqrt((16 * n - 29) / 90)
+        assert got[et]["n"] == n and got[et]["t"] == t
+        assert got[et]["z_stat"] == pytest.approx(z, rel=1e-12)
+
+
+def test_type_token_ratio_matches_reference(spark):
+    got = {
+        r["lang"]: r
+        for r in plans.get("text_type_token_ratio").build(spark, SF).collect()
+    }
+    rows = _fetch(
+        f"SELECT lang, text FROM read_parquet('{SF}/documents.parquet')"
+    )
+    per = {}
+    for lang, text in rows:
+        c = per.setdefault(lang, {})
+        for tok in text.split(" "):
+            if tok:
+                c[tok] = c.get(tok, 0) + 1
+    for lang, c in per.items():
+        toks = sum(c.values())
+        types = len(c)
+        hapax = sum(1 for v in c.values() if v == 1)
+        g = got[lang]
+        assert (g["n_tokens"], g["n_types"], g["n_hapax"]) == (
+            toks, types, hapax,
+        )
+        assert g["ttr"] == pytest.approx(types / toks, rel=1e-12)
+        assert g["guiraud_r"] == pytest.approx(
+            types / np.sqrt(toks), rel=1e-12
+        )
+        assert g["hapax_ratio"] == pytest.approx(hapax / types, rel=1e-12)
+
+
+def test_npv_rate_grid_matches_reference(spark):
+    got = {
+        r["priority"]: r
+        for r in plans.get("fin_npv_rate_grid").build(spark, SF).collect()
+    }
+    rows = _fetch(
+        "SELECT o_orderpriority, EXTRACT(year FROM o_orderdate) - 1995,"
+        f" CAST(o_totalprice AS DOUBLE) FROM read_parquet('{SF}/orders.parquet')"
+    )
+    per = {}
+    for pri, t, cf in rows:
+        per.setdefault(pri, []).append((int(t), cf))
+    for pri, flows in per.items():
+        for lbl, r in [("npv_3pct", 0.03), ("npv_5pct", 0.05), ("npv_8pct", 0.08)]:
+            npv = sum(cf * (1 + r) ** -t for t, cf in flows)
+            # engines floor-quantize each flow to cents: tolerance is
+            # one cent per row
+            assert got[pri][lbl] == pytest.approx(
+                npv, abs=len(flows) * 0.011
+            )
+
+
+def test_ulcer_index_matches_reference(spark, seg_daily):
+    got = {
+        r["segment"]: r
+        for r in plans.get("fin_ulcer_index").build(spark, SF).collect()
+    }
+    for seg, dv in seg_daily.items():
+        x = np.array([v for _, v in dv])
+        peak = np.maximum.accumulate(x)
+        ddpct = (peak - x) / peak * 100
+        ui = np.sqrt((ddpct ** 2).mean())
+        assert got[seg]["n_days"] == len(x)
+        assert got[seg]["ulcer_index"] == pytest.approx(ui, rel=1e-5)
+        assert got[seg]["max_dd_pct"] == pytest.approx(
+            ddpct.max(), rel=1e-5
+        )
