@@ -3481,3 +3481,227 @@ def stat_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("cw") * 2 >= F.col("t"), F.col("d")))
         ).alias("hl_shift"),
     )
+
+
+@register(
+    "stat_wilcoxon_signed_rank",
+    tags=("stats", "window", "agg"),
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                        THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT) ELSE 0 END) AS BIGINT) AS pre,
+                   CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                        THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT) ELSE 0 END) AS BIGINT) AS post
+            FROM orders GROUP BY o_custkey
+        ),
+        d AS (
+            SELECT post - pre AS diff, ABS(post - pre) AS ad
+            FROM per_cust WHERE post - pre <> 0
+        ),
+        rv AS (
+            SELECT v, t,
+                   2 * (SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t)
+                       + t + 1 AS mr2
+            FROM (SELECT ad AS v, COUNT(*) AS t FROM d GROUP BY ad)
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(CASE WHEN d.diff > 0
+                        THEN CAST(rv.mr2 AS DECIMAL(38,0))
+                        ELSE CAST(0 AS DECIMAL(38,0)) END) AS VARCHAR)
+                        AS DOUBLE) AS w2p
+            FROM d JOIN rv ON rv.v = d.ad
+        ),
+        ties AS (
+            SELECT CAST(CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t)
+                        AS VARCHAR) AS DOUBLE) AS t3
+            FROM (SELECT COUNT(*) AS t FROM d GROUP BY ad)
+        )
+        SELECT n, w2p / 2 AS w_plus,
+               CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) / 4 AS mu,
+               CASE WHEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+                         * (2 * CAST(n AS DOUBLE) + 1) / 24
+                         - ties.t3 / 48 > 0 THEN
+                 (w2p / 2 - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) / 4)
+                 / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+                        * (2 * CAST(n AS DOUBLE) + 1) / 24 - ties.t3 / 48)
+               END AS z_stat
+        FROM s CROSS JOIN ties
+    """,
+)
+def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on the paired pre/post-1996 customer
+    spend (the nonparametric twin of stat_ttest_paired — no normality
+    assumption, and the third member of the paired family with
+    stat_mcnemar): zero diffs drop per convention, |diff| midranks
+    come from the scale-safe distinct-value decomposition (_midranks2
+    shape — per-bucket window + O(buckets) carry, never a global
+    unpartitioned rank), W+ accumulates exact DECIMAL doubled
+    midranks, and the tie-corrected normal z (no continuity
+    correction; documented) is one guarded double edge — zero variance
+    (all diffs tie at one magnitude) NULLs identically on both
+    engines."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("o_orderdate") < cutoff, cents).otherwise(0))
+        .cast("bigint")
+        .alias("pre"),
+        F.sum(F.when(F.col("o_orderdate") >= cutoff, cents).otherwise(0))
+        .cast("bigint")
+        .alias("post"),
+    )
+    d = (
+        per_cust.select((F.col("post") - F.col("pre")).alias("diff"))
+        .filter(F.col("diff") != 0)
+        .withColumn("ad", F.abs(F.col("diff")))
+        .persist()  # consumed by the rank join AND the tie sum
+    )
+    rv = _midranks2(d, "ad", 1000000)
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    s = d.join(rv, d.ad == rv.v).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        as_d(
+            F.sum(
+                F.when(
+                    F.col("diff") > 0, F.col("mr2").cast("decimal(38,0)")
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            )
+        ).alias("w2p"),
+    )
+    ties = (
+        d.groupBy("ad")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            as_d(
+                F.sum(
+                    F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+                    - F.col("t")
+                )
+            ).alias("t3")
+        )
+    )
+    n_d = F.col("n").cast("double")
+    mu = n_d * (n_d + 1) / 4
+    var = n_d * (n_d + 1) * (2 * n_d + 1) / 24 - F.col("t3") / 48
+    return s.crossJoin(F.broadcast(ties)).select(
+        "n",
+        (F.col("w2p") / 2).alias("w_plus"),
+        mu.alias("mu"),
+        F.when(var > 0, (F.col("w2p") / 2 - mu) / F.sqrt(var)).alias("z_stat"),
+    )
+
+
+@register(
+    "stat_friedman_test",
+    tags=("stats", "window", "agg"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(FLOOR(value * 1e6) AS DECIMAL(38,0)))
+                        AS BIGINT) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT event_type, day,
+                   2 * (RANK() OVER (PARTITION BY day ORDER BY v))
+                     + (COUNT(*) OVER (PARTITION BY day, v)) - 1 AS mr2
+            FROM daily
+        ),
+        rj AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS nb,
+                   CAST(SUM(mr2) AS BIGINT) AS r2j
+            FROM ranked GROUP BY event_type
+        ),
+        dims AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(MIN(nb) AS BIGINT) AS n
+            FROM rj
+        ),
+        q AS (
+            SELECT dims.k, dims.n,
+                   12 / (CAST(dims.n AS DOUBLE) * CAST(dims.k AS DOUBLE)
+                         * (CAST(dims.k AS DOUBLE) + 1))
+                     * list_reduce(
+                           list(CAST(rj.r2j AS DOUBLE) * CAST(rj.r2j AS DOUBLE)
+                                / 4 ORDER BY rj.event_type),
+                           (a, x) -> a + x)
+                     - 3 * CAST(dims.n AS DOUBLE)
+                       * (CAST(dims.k AS DOUBLE) + 1) AS q_stat
+            FROM rj CROSS JOIN dims
+            GROUP BY dims.k, dims.n
+        )
+        SELECT k, n, q_stat FROM q
+    """,
+)
+def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test for k related samples: do the five event
+    streams differ in level once each DAY is its own block? Within-day
+    midranks (2*rank + ties - 1 doubled-midrank identity) come from
+    windows PARTITIONED BY DAY — k=5 rows per partition, so the rank
+    work is bounded per block and embarrassingly parallel at any
+    corpus size; per-treatment rank sums are exact integers; Q =
+    12/(nk(k+1)) * sum_j R_j^2 - 3n(k+1) folds the k per-treatment
+    doubles in PINNED treatment order (array_sort fold ≡ ordered
+    list_reduce), the ANOVA/Kruskal recipe. The complete-block shape
+    is verified by construction (every type has every day); unequal
+    blocks would shift n = min(n_b), visible in the output. No
+    division by data (class-5: denominators are k,n counts >= 1)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * F.lit(1e6)).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("v")
+    )
+    wd = Window.partitionBy("day").orderBy("v")
+    wt = Window.partitionBy("day", "v")
+    ranked = daily.select(
+        "event_type",
+        (
+            2 * F.rank().over(wd) + F.count(F.lit(1)).over(wt) - 1
+        ).alias("mr2"),
+    )
+    rj = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("mr2").cast("bigint").alias("r2j"),
+    )
+    dims = rj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.min("nb").cast("bigint").alias("n"),
+    )
+    k_d = F.col("k").cast("double")
+    n_d = F.col("n").cast("double")
+    return (
+        rj.crossJoin(F.broadcast(dims))
+        .groupBy("k", "n")
+        .agg(
+            (
+                F.lit(12.0)
+                / (n_d * k_d * (k_d + 1))
+                * F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("event_type"),
+                                (
+                                    F.col("r2j").cast("double")
+                                    * F.col("r2j").cast("double")
+                                    / 4
+                                ).alias("tj"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["tj"],
+                )
+                - 3 * n_d * (k_d + 1)
+            ).alias("q_stat")
+        )
+    )

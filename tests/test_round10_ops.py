@@ -534,3 +534,153 @@ def test_ulcer_index_matches_reference(spark, seg_daily):
         assert got[seg]["max_dd_pct"] == pytest.approx(
             ddpct.max(), rel=1e-5
         )
+
+
+def test_tracking_error_matches_numpy(spark, seg_daily):
+    got = {
+        r["segment"]: r
+        for r in plans.get("fin_tracking_error").build(spark, SF).collect()
+    }
+    mkt = {}
+    for seg, dv in seg_daily.items():
+        for d, x in dv:
+            mkt[d] = mkt.get(d, 0.0) + x
+    mdays = sorted(mkt)
+    mret = {
+        mdays[i]: mkt[mdays[i]] / mkt[mdays[i - 1]] - 1
+        for i in range(1, len(mdays))
+    }
+    for seg, dv in seg_daily.items():
+        a = []
+        for i in range(1, len(dv)):
+            d, x = dv[i]
+            if d in mret:
+                a.append(x / dv[i - 1][1] - 1 - mret[d])
+        a = np.array(a)
+        te = a.std(ddof=1) * np.sqrt(252)
+        ir = a.mean() / (a.std(ddof=1) / np.sqrt(252))
+        assert got[seg]["n"] == len(a)
+        assert got[seg]["mean_active_ret"] == pytest.approx(
+            a.mean(), abs=2e-9
+        )
+        assert got[seg]["tracking_error_ann"] == pytest.approx(te, rel=1e-5)
+        assert got[seg]["information_ratio_ann"] == pytest.approx(
+            ir, rel=1e-4
+        )
+
+
+def test_wilcoxon_matches_scipy_formulation(spark):
+    row = plans.get("stat_wilcoxon_signed_rank").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'"
+        " THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        " ELSE 0 END) - SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'"
+        " THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        " ELSE 0 END)"
+        f" FROM read_parquet('{SF}/orders.parquet') GROUP BY o_custkey"
+    )
+    d = np.array([int(r[0]) for r in rows if r[0] != 0], dtype=np.int64)
+    ad = np.abs(d)
+    order = np.argsort(ad, kind="stable")
+    ranks = np.empty(len(d), dtype=np.float64)
+    sorted_ad = ad[order]
+    i = 0
+    r = 1
+    while i < len(d):
+        j = i
+        while j < len(d) and sorted_ad[j] == sorted_ad[i]:
+            j += 1
+        mid = (r + (r + (j - i) - 1)) / 2
+        ranks[order[i:j]] = mid
+        r += j - i
+        i = j
+    wplus = ranks[d > 0].sum()
+    n = len(d)
+    mu = n * (n + 1) / 4
+    _, counts = np.unique(ad, return_counts=True)
+    var = n * (n + 1) * (2 * n + 1) / 24 - (
+        (counts.astype(float) ** 3 - counts).sum() / 48
+    )
+    z = (wplus - mu) / np.sqrt(var)
+    assert row["n"] == n
+    assert row["w_plus"] == wplus
+    assert row["z_stat"] == pytest.approx(z, rel=1e-9)
+
+
+def test_friedman_matches_scipy_formulation(spark, daily_resid):
+    row = plans.get("stat_friedman_test").build(spark, SF).collect()[0]
+    # rebuild per-day cross-treatment ranks from the daily fixture
+    rows = _fetch(
+        "SELECT event_type, CAST(ts AS DATE), SUM(FLOOR(value * 1e6))"
+        f" FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2"
+    )
+    byday = {}
+    for et, d, v in rows:
+        byday.setdefault(d, []).append((et, float(v)))
+    rsums = {}
+    for d, tv in byday.items():
+        vals = np.array([v for _, v in tv])
+        order = np.argsort(vals)
+        ranks = np.empty(len(vals))
+        i = 0
+        while i < len(vals):
+            j = i
+            sv = vals[order]
+            while j < len(vals) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2
+            i = j
+        for (et, _), rk in zip([tv[o] for o in order], ranks[order]):
+            rsums[et] = rsums.get(et, 0.0) + rk
+    k = len(rsums)
+    n = len(byday)
+    q = 12 / (n * k * (k + 1)) * sum(v * v for v in rsums.values()) - 3 * n * (
+        k + 1
+    )
+    assert (row["k"], row["n"]) == (k, n)
+    assert row["q_stat"] == pytest.approx(q, rel=1e-9)
+
+
+def test_harmonic_closeness_matches_bfs(spark):
+    got = {
+        r["nationkey"]: r
+        for r in plans.get("graph_harmonic_closeness").build(spark, SF).collect()
+    }
+    rows = _fetch(
+        "WITH e AS (SELECT s.s_nationkey AS src, c.c_nationkey AS dst,"
+        " COUNT(*) AS w"
+        f" FROM read_parquet('{SF}/lineitem.parquet') l"
+        f" JOIN read_parquet('{SF}/orders.parquet') o ON l.l_orderkey = o.o_orderkey"
+        f" JOIN read_parquet('{SF}/customer.parquet') c ON o.o_custkey = c.c_custkey"
+        f" JOIN read_parquet('{SF}/supplier.parquet') s ON l.l_suppkey = s.s_suppkey"
+        " GROUP BY 1, 2),"
+        " u AS (SELECT LEAST(src,dst) a, GREATEST(src,dst) b, SUM(w) w"
+        " FROM e WHERE src <> dst GROUP BY 1, 2),"
+        " thr AS (SELECT quantile_cont(w, 0.6) t FROM u)"
+        " SELECT a, b FROM u, thr WHERE w >= t"
+    )
+    adj = {}
+    for a, b in rows:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    from collections import deque
+
+    for s in adj:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= 5:
+                continue
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    dq.append(w)
+        cnts = [0] * 6
+        for v, d in dist.items():
+            if v != s:
+                cnts[d] += 1
+        h = sum(cnts[d] / d for d in range(1, 6))
+        g = got[s]
+        assert [g["d1"], g["d2"], g["d3"], g["d4"], g["d5"]] == cnts[1:]
+        assert g["harmonic_5hop"] == pytest.approx(h, rel=1e-12)
