@@ -3545,3 +3545,91 @@ def fin_tracking_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "information_ratio_ann"
         ),
     ).orderBy("segment")
+
+
+@register(
+    "fin_omega_ratio",
+    tags=("finance", "window", "risk"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        ret AS (
+            SELECT segment,
+                   CAST(FLOOR((CAST(CAST(x AS VARCHAR) AS DOUBLE)
+                               / CAST(CAST(xp AS VARCHAR) AS DOUBLE)
+                               - CAST(1 AS DOUBLE)) * CAST(1e9 AS DOUBLE))
+                        AS BIGINT) AS r
+            FROM (SELECT segment, d, x,
+                         LAG(x) OVER (PARTITION BY segment ORDER BY d) AS xp
+                  FROM daily)
+            WHERE xp IS NOT NULL
+        ),
+        s AS (
+            SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN r > 0 THEN r ELSE 0 END) AS BIGINT)
+                       AS gains,
+                   CAST(SUM(CASE WHEN r < 0 THEN -r ELSE 0 END) AS BIGINT)
+                       AS losses,
+                   CAST(SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_up
+            FROM ret GROUP BY segment
+        )
+        SELECT segment, n,
+               CAST(gains AS DOUBLE) / 1e9 AS gain_sum,
+               CAST(losses AS DOUBLE) / 1e9 AS loss_sum,
+               CAST(n_up AS DOUBLE) / CAST(n AS DOUBLE) AS win_rate,
+               CASE WHEN losses > 0 THEN
+                 CAST(gains AS DOUBLE) / CAST(losses AS DOUBLE)
+               END AS omega
+        FROM s ORDER BY segment
+    """,
+)
+def fin_omega_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Omega ratio at threshold 0 per market segment: the probability-
+    weighted gains over losses (sum of positive daily returns / sum of
+    |negative| returns) — the risk measure that uses the WHOLE return
+    distribution where Sharpe keeps two moments; plus the win rate.
+    On the q9-quantized return series every sum is an exact BIGINT, so
+    Omega is a single guarded double division (a segment with no down
+    days NULLs on both engines — class 5). Same one-daily-agg +
+    per-segment-window shape as the rest of the return family."""
+    daily = _seg_daily(spark, sf_dir)
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    w = Window.partitionBy("segment").orderBy("d")
+    ret = (
+        daily.withColumn("xp", F.lag("x").over(w))
+        .filter(F.col("xp").isNotNull())
+        .select(
+            "segment",
+            F.floor(
+                (as_d(F.col("x")) / as_d(F.col("xp")) - F.lit(1.0))
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    s = ret.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("r") > 0, F.col("r")).otherwise(0))
+        .cast("bigint")
+        .alias("gains"),
+        F.sum(F.when(F.col("r") < 0, -F.col("r")).otherwise(0))
+        .cast("bigint")
+        .alias("losses"),
+        F.sum(F.when(F.col("r") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up"),
+    )
+    return s.select(
+        "segment",
+        "n",
+        (F.col("gains").cast("double") / F.lit(1e9)).alias("gain_sum"),
+        (F.col("losses").cast("double") / F.lit(1e9)).alias("loss_sum"),
+        (F.col("n_up").cast("double") / F.col("n").cast("double")).alias(
+            "win_rate"
+        ),
+        F.when(
+            F.col("losses") > 0,
+            F.col("gains").cast("double") / F.col("losses").cast("double"),
+        ).alias("omega"),
+    ).orderBy("segment")

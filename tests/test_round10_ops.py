@@ -684,3 +684,45 @@ def test_harmonic_closeness_matches_bfs(spark):
         g = got[s]
         assert [g["d1"], g["d2"], g["d3"], g["d4"], g["d5"]] == cnts[1:]
         assert g["harmonic_5hop"] == pytest.approx(h, rel=1e-12)
+
+
+def test_cvm_matches_reference(spark):
+    row = plans.get("stat_cvm_two_sample").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT CAST(o_totalprice AS DECIMAL(12,2)),"
+        " o_orderpriority = '1-URGENT'"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+        " WHERE o_orderpriority IN ('1-URGENT', '5-LOW')"
+    )
+    x = np.array(sorted(float(v) for v, g in rows if g))
+    y = np.array(sorted(float(v) for v, g in rows if not g))
+    n, m = len(x), len(y)
+    pooled = np.concatenate([x, y])
+    t = 0.0
+    for z in np.unique(pooled):
+        f1 = (x <= z).sum() / n
+        f2 = (y <= z).sum() / m
+        mult = (pooled == z).sum()
+        t += mult * (f1 - f2) ** 2
+    t *= n * m / (n + m) ** 2
+    assert (row["n"], row["m"]) == (n, m)
+    assert row["cvm_t"] == pytest.approx(t, rel=1e-9)
+
+
+def test_omega_matches_reference(spark, seg_daily):
+    got = {
+        r["segment"]: r
+        for r in plans.get("fin_omega_ratio").build(spark, SF).collect()
+    }
+    for seg, dv in seg_daily.items():
+        r = np.array(
+            [dv[i][1] / dv[i - 1][1] - 1 for i in range(1, len(dv))]
+        )
+        gains = r[r > 0].sum()
+        losses = -r[r < 0].sum()
+        g = got[seg]
+        assert g["n"] == len(r)
+        assert g["gain_sum"] == pytest.approx(gains, abs=len(r) * 2e-9)
+        assert g["loss_sum"] == pytest.approx(losses, abs=len(r) * 2e-9)
+        assert g["omega"] == pytest.approx(gains / losses, rel=1e-5)
+        assert g["win_rate"] == pytest.approx((r > 0).mean(), abs=0.05)
