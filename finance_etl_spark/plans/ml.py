@@ -6111,3 +6111,294 @@ def ml_vif_collinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vif_price"
         ),
     )
+
+
+@register(
+    "ml_delong_auc_se",
+    tags=("ml", "eval", "window", "agg"),
+    oracle="""
+        WITH grp AS (
+            SELECT l_quantity AS score,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(CAST(l_returnflag = 'R' AS INT)) AS BIGINT) AS pos
+            FROM lineitem GROUP BY l_quantity
+        ),
+        cum AS (
+            SELECT cnt, pos, cnt - pos AS neg,
+                   CAST(COALESCE(SUM(cnt - pos) OVER
+                        (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS cnb,
+                   CAST(COALESCE(SUM(pos) OVER
+                        (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS cpb
+            FROM grp
+        ),
+        tot AS (
+            SELECT CAST(SUM(pos) AS BIGINT) AS m,
+                   CAST(SUM(cnt - pos) AS BIGINT) AS n
+            FROM grp
+        ),
+        u AS (
+            SELECT c.pos, c.neg,
+                   2 * c.cnb + c.neg AS u10,
+                   2 * (t.m - c.cpb - c.pos) + c.pos AS u01
+            FROM cum c CROSS JOIN tot t
+        ),
+        s AS (
+            SELECT CAST(CAST(SUM(CAST(pos AS DECIMAL(19,0)) * u10)
+                        AS VARCHAR) AS DOUBLE) AS su10,
+                   CAST(CAST(SUM(CAST(pos AS DECIMAL(19,0))
+                                 * CAST(u10 AS DECIMAL(15,0)) * u10)
+                        AS VARCHAR) AS DOUBLE) AS su10sq,
+                   CAST(CAST(SUM(CAST(neg AS DECIMAL(19,0)) * u01)
+                        AS VARCHAR) AS DOUBLE) AS su01,
+                   CAST(CAST(SUM(CAST(neg AS DECIMAL(19,0))
+                                 * CAST(u01 AS DECIMAL(15,0)) * u01)
+                        AS VARCHAR) AS DOUBLE) AS su01sq
+            FROM u
+        )
+        SELECT t.m AS n_pos, t.n AS n_neg,
+               s.su10 / (2 * CAST(t.n AS DOUBLE) * CAST(t.m AS DOUBLE))
+                   AS auc,
+               CASE WHEN t.m > 1 AND t.n > 1 THEN
+                 sqrt(
+                   (s.su10sq / (4 * CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE))
+                    - CAST(t.m AS DOUBLE)
+                      * (s.su10 / (2 * CAST(t.n AS DOUBLE)
+                                   * CAST(t.m AS DOUBLE)))
+                      * (s.su10 / (2 * CAST(t.n AS DOUBLE)
+                                   * CAST(t.m AS DOUBLE))))
+                   / (CAST(t.m AS DOUBLE) - 1) / CAST(t.m AS DOUBLE)
+                   + (s.su01sq / (4 * CAST(t.m AS DOUBLE)
+                                  * CAST(t.m AS DOUBLE))
+                      - CAST(t.n AS DOUBLE)
+                        * (s.su01 / (2 * CAST(t.m AS DOUBLE)
+                                     * CAST(t.n AS DOUBLE)))
+                        * (s.su01 / (2 * CAST(t.m AS DOUBLE)
+                                     * CAST(t.n AS DOUBLE))))
+                     / (CAST(t.n AS DOUBLE) - 1) / CAST(t.n AS DOUBLE))
+               END AS delong_se
+        FROM s CROSS JOIN tot t
+    """,
+)
+def ml_delong_auc_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong standard error of the ROC-AUC — the number that turns
+    ml_roc_auc's point estimate into a confidence interval / model
+    comparison, computed EXACTLY from the distinct-score relation: for
+    every positive at score v the placement value V10 is identical, so
+    its 2n-scaled integer u10 = 2*cum_neg_below + neg_at (and the
+    mirrored u01 for negatives) collapses the per-observation DeLong
+    structural components into per-score exact integer sums with
+    width-pinned DECIMAL squares; AUC, S10, S01 and the SE assemble in
+    one guarded double edge (m<=1 or n<=1 NULLs on both engines). Same
+    50-value distinct-score window as ml_roc_auc (high-cardinality
+    scores route through operators/ranks.py, the documented escape);
+    never a |pos|x|neg| pair join. AUC here equals ml_roc_auc's
+    midrank identity by construction — the reference test pins both
+    to a direct numpy computation."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    grp = li.groupBy(F.col("l_quantity").alias("score")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum((F.col("l_returnflag") == "R").cast("int"))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grp.select(
+        "cnt",
+        "pos",
+        (F.col("cnt") - F.col("pos")).alias("neg"),
+        F.coalesce(F.sum(F.col("cnt") - F.col("pos")).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cnb"),
+        F.coalesce(F.sum("pos").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cpb"),
+    )
+    tot = grp.agg(
+        F.sum("pos").cast("bigint").alias("m"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("bigint").alias("n"),
+    )
+    u = cum.crossJoin(F.broadcast(tot)).select(
+        "pos",
+        "neg",
+        "m",
+        "n",
+        (2 * F.col("cnb") + F.col("neg")).alias("u10"),
+        (2 * (F.col("m") - F.col("cpb") - F.col("pos")) + F.col("pos")).alias(
+            "u01"
+        ),
+    )
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    s = u.groupBy("m", "n").agg(
+        as_d(F.sum(F.col("pos").cast("decimal(19,0)") * F.col("u10"))).alias(
+            "su10"
+        ),
+        as_d(
+            F.sum(
+                F.col("pos").cast("decimal(19,0)")
+                * F.col("u10").cast("decimal(15,0)")
+                * F.col("u10")
+            )
+        ).alias("su10sq"),
+        as_d(F.sum(F.col("neg").cast("decimal(19,0)") * F.col("u01"))).alias(
+            "su01"
+        ),
+        as_d(
+            F.sum(
+                F.col("neg").cast("decimal(19,0)")
+                * F.col("u01").cast("decimal(15,0)")
+                * F.col("u01")
+            )
+        ).alias("su01sq"),
+    )
+    m_d = F.col("m").cast("double")
+    n_d = F.col("n").cast("double")
+    auc = F.col("su10") / (2 * n_d * m_d)
+    auc01 = F.col("su01") / (2 * m_d * n_d)
+    s10 = (
+        F.col("su10sq") / (4 * n_d * n_d) - m_d * auc * auc
+    ) / (m_d - 1)
+    s01 = (
+        F.col("su01sq") / (4 * m_d * m_d) - n_d * auc01 * auc01
+    ) / (n_d - 1)
+    return s.select(
+        F.col("m").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        auc.alias("auc"),
+        F.when(
+            (F.col("m") > 1) & (F.col("n") > 1),
+            F.sqrt(s10 / m_d + s01 / n_d),
+        ).alias("delong_se"),
+    )
+
+
+@register(
+    "ml_brier_decomposition",
+    tags=("ml", "eval", "agg"),
+    oracle="""
+        WITH scored AS (
+            SELECT LEAST(9, CAST(FLOOR((CAST(CAST(l_quantity AS VARCHAR)
+                       AS DOUBLE) / 50.0) * 10.0) AS INT)) AS bin,
+                   CAST(l_quantity AS DECIMAL(20,2)) AS q,
+                   CAST(l_returnflag = 'R' AS INT) AS y
+            FROM lineitem
+        ),
+        bins AS (
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+                   CAST(SUM(y) AS BIGINT) AS yb,
+                   CAST(CAST(SUM(q) AS VARCHAR) AS DOUBLE) / 50.0 AS fq
+            FROM scored GROUP BY bin
+        ),
+        tot AS (
+            SELECT CAST(SUM(nb) AS BIGINT) AS n,
+                   CAST(SUM(yb) AS BIGINT) AS y
+            FROM bins
+        ),
+        terms AS (
+            SELECT b.bin, b.nb,
+                   CAST(b.nb AS DOUBLE)
+                     * (b.fq / CAST(b.nb AS DOUBLE)
+                        - CAST(b.yb AS DOUBLE) / CAST(b.nb AS DOUBLE))
+                     * (b.fq / CAST(b.nb AS DOUBLE)
+                        - CAST(b.yb AS DOUBLE) / CAST(b.nb AS DOUBLE))
+                       AS rel_t,
+                   CAST(b.nb AS DOUBLE)
+                     * (CAST(b.yb AS DOUBLE) / CAST(b.nb AS DOUBLE)
+                        - CAST(t.y AS DOUBLE) / CAST(t.n AS DOUBLE))
+                     * (CAST(b.yb AS DOUBLE) / CAST(b.nb AS DOUBLE)
+                        - CAST(t.y AS DOUBLE) / CAST(t.n AS DOUBLE))
+                       AS res_t
+            FROM bins b CROSS JOIN tot t
+        )
+        SELECT t.n,
+               list_reduce(list(terms.rel_t ORDER BY terms.bin),
+                           (a, x) -> a + x) / CAST(t.n AS DOUBLE)
+                   AS reliability,
+               list_reduce(list(terms.res_t ORDER BY terms.bin),
+                           (a, x) -> a + x) / CAST(t.n AS DOUBLE)
+                   AS resolution,
+               (CAST(t.y AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 * (1 - CAST(t.y AS DOUBLE) / CAST(t.n AS DOUBLE))
+                   AS uncertainty,
+               list_reduce(list(terms.rel_t ORDER BY terms.bin),
+                           (a, x) -> a + x) / CAST(t.n AS DOUBLE)
+                 - list_reduce(list(terms.res_t ORDER BY terms.bin),
+                               (a, x) -> a + x) / CAST(t.n AS DOUBLE)
+                 + (CAST(t.y AS DOUBLE) / CAST(t.n AS DOUBLE))
+                   * (1 - CAST(t.y AS DOUBLE) / CAST(t.n AS DOUBLE))
+                   AS brier_binned
+        FROM terms CROSS JOIN tot t
+        GROUP BY t.n, t.y
+    """,
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the (binned-forecast) Brier score —
+    reliability (calibration error mass), resolution (how much the
+    bins separate outcomes), uncertainty (base-rate entropy term),
+    with brier_binned = REL - RES + UNC holding exactly because the
+    forecast is the bin-mean by construction (the identity's
+    condition; documented). Reuses ml_calibration_bins' 10-bin score
+    map; per-bin terms are doubles over exact integer/decimal bin sums
+    and the 10-term folds run in PINNED bin order on both engines
+    (array_sort fold ≡ ordered list_reduce) — no unordered float
+    reduction. Class-5: nb >= 1 per existing bin and n >= 1 by fixture
+    contract; no other division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("l_quantity").cast("string").cast("double") / F.lit(50.0))
+                * F.lit(10.0)
+            ).cast("int"),
+        ).alias("bin"),
+        F.col("l_quantity").cast("decimal(20,2)").alias("q"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("y").cast("bigint").alias("yb"),
+        (F.sum("q").cast("string").cast("double") / F.lit(50.0)).alias("fq"),
+    )
+    tot = bins.agg(
+        F.sum("nb").cast("bigint").alias("n"),
+        F.sum("yb").cast("bigint").alias("y"),
+    )
+    nb_d = F.col("nb").cast("double")
+    ob = F.col("yb").cast("double") / nb_d
+    fb = F.col("fq") / nb_d
+    obar = F.col("y").cast("double") / F.col("n").cast("double")
+    terms = bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "y",
+        (nb_d * (fb - ob) * (fb - ob)).alias("rel_t"),
+        (nb_d * (ob - obar) * (ob - obar)).alias("res_t"),
+    )
+    folded = terms.groupBy("n", "y").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bin", "rel_t"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["rel_t"],
+        ).alias("rel_sum"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bin", "res_t"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["res_t"],
+        ).alias("res_sum"),
+    )
+    n_d = F.col("n").cast("double")
+    obar2 = F.col("y").cast("double") / n_d
+    rel = F.col("rel_sum") / n_d
+    res = F.col("res_sum") / n_d
+    unc = obar2 * (1 - obar2)
+    return folded.select(
+        "n",
+        rel.alias("reliability"),
+        res.alias("resolution"),
+        unc.alias("uncertainty"),
+        (rel - res + unc).alias("brier_binned"),
+    )

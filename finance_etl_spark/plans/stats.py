@@ -3792,3 +3792,89 @@ def stat_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m",
         (F.col("sq") / (n_d * m_d * (n_d + m_d) * (n_d + m_d))).alias("cvm_t"),
     )
+
+
+@register(
+    "stat_power_two_prop",
+    tags=("stats", "agg"),
+    oracle="""
+        WITH p AS (
+            SELECT CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                        AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x1,
+                   CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                   CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                        AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x2
+            FROM orders
+        ),
+        r AS (
+            SELECT n1, x1, n2, x2,
+                   CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+                   CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+                   (CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE))
+                     / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) AS pbar
+            FROM p
+        )
+        SELECT n1, n2, p1, p2,
+               CASE WHEN p1 <> p2 THEN
+                 CAST(CEIL(
+                   (CAST('1.959963984540054' AS DOUBLE)
+                      * sqrt(2 * pbar * (1 - pbar))
+                    + CAST('0.8416212335729143' AS DOUBLE)
+                      * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+                   * (CAST('1.959963984540054' AS DOUBLE)
+                      * sqrt(2 * pbar * (1 - pbar))
+                    + CAST('0.8416212335729143' AS DOUBLE)
+                      * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+                   / ((p1 - p2) * (p1 - p2))) AS BIGINT)
+               END AS n_per_arm_80pct
+        FROM r
+    """,
+)
+def stat_power_two_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion sample-size calculator at 80% power / 5%
+    two-sided alpha, parameterized by the OBSERVED fulfillment rates
+    of URGENT vs LOW orders — the pre-experiment question ('how many
+    orders per arm before this gap is detectable?') answered as a
+    query so it runs on live data. The normal quantiles z_0.975 and
+    z_0.80 are STRING-routed double literals shared verbatim by both
+    dialects (the fin_npv_rate_grid lesson: bare decimal literals hit
+    DuckDB's 1-ulp decimal->double); rates come from exact counts in
+    one scan; the formula is one guarded double edge (p1=p2 — nothing
+    to detect — NULLs identically). ceil on a double is exact on both
+    engines."""
+    o = load_table(spark, sf_dir, "orders")
+    is1 = F.col("o_orderpriority") == "1-URGENT"
+    is2 = F.col("o_orderpriority") == "5-LOW"
+    isf = F.col("o_orderstatus") == "F"
+    p = o.agg(
+        F.sum(is1.cast("int")).cast("bigint").alias("n1"),
+        F.sum((is1 & isf).cast("int")).cast("bigint").alias("x1"),
+        F.sum(is2.cast("int")).cast("bigint").alias("n2"),
+        F.sum((is2 & isf).cast("int")).cast("bigint").alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1").cast("double")
+    p2 = F.col("x2").cast("double") / F.col("n2").cast("double")
+    pbar = (F.col("x1").cast("double") + F.col("x2").cast("double")) / (
+        F.col("n1").cast("double") + F.col("n2").cast("double")
+    )
+    za = F.lit("1.959963984540054").cast("double")
+    zb = F.lit("0.8416212335729143").cast("double")
+    root = za * F.sqrt(2 * pbar * (1 - pbar)) + zb * F.sqrt(
+        p1 * (1 - p1) + p2 * (1 - p2)
+    )
+    r = p.select(
+        "n1",
+        "n2",
+        p1.alias("p1"),
+        p2.alias("p2"),
+        F.when(
+            p1 != p2,
+            F.ceil(root * root / ((p1 - p2) * (p1 - p2))).cast("bigint"),
+        ).alias("n_per_arm_80pct"),
+    )
+    return r

@@ -726,3 +726,79 @@ def test_omega_matches_reference(spark, seg_daily):
         assert g["loss_sum"] == pytest.approx(losses, abs=len(r) * 2e-9)
         assert g["omega"] == pytest.approx(gains / losses, rel=1e-5)
         assert g["win_rate"] == pytest.approx((r > 0).mean(), abs=0.05)
+
+
+def test_delong_matches_numpy(spark):
+    row = plans.get("ml_delong_auc_se").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT CAST(l_quantity AS DOUBLE), l_returnflag = 'R'"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    pos = np.array([s for s, y in rows if y])
+    neg = np.array([s for s, y in rows if not y])
+    m, n = len(pos), len(neg)
+    v10 = np.array(
+        [((neg < s).sum() + 0.5 * (neg == s).sum()) / n for s in pos]
+    )
+    v01 = np.array(
+        [((pos > s).sum() + 0.5 * (pos == s).sum()) / m for s in neg]
+    )
+    auc = v10.mean()
+    se = np.sqrt(v10.var(ddof=1) / m + v01.var(ddof=1) / n)
+    assert (row["n_pos"], row["n_neg"]) == (m, n)
+    assert row["auc"] == pytest.approx(auc, rel=1e-12)
+    assert row["auc"] == pytest.approx(v01.mean(), rel=1e-12)  # identity
+    assert row["delong_se"] == pytest.approx(se, rel=1e-9)
+    # cross-check against the registered midrank AUC
+    other = plans.get("ml_roc_auc").build(spark, SF).collect()[0]
+    assert row["auc"] == pytest.approx(other["auc"], rel=1e-12)
+
+
+def test_brier_decomposition_matches_numpy(spark):
+    row = plans.get("ml_brier_decomposition").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT LEAST(9, CAST(FLOOR(l_quantity / 50.0 * 10.0) AS INT)),"
+        " l_quantity / 50.0, CAST(l_returnflag = 'R' AS INT)"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    bins = {}
+    for b, f, y in rows:
+        c = bins.setdefault(b, [0, 0.0, 0])
+        c[0] += 1
+        c[1] += f
+        c[2] += y
+    n = sum(c[0] for c in bins.values())
+    ybar = sum(c[2] for c in bins.values()) / n
+    rel = sum(c[0] * (c[1] / c[0] - c[2] / c[0]) ** 2 for c in bins.values()) / n
+    res = sum(c[0] * (c[2] / c[0] - ybar) ** 2 for c in bins.values()) / n
+    unc = ybar * (1 - ybar)
+    assert row["n"] == n
+    assert row["reliability"] == pytest.approx(rel, rel=1e-9)
+    assert row["resolution"] == pytest.approx(res, rel=1e-9)
+    assert row["uncertainty"] == pytest.approx(unc, rel=1e-12)
+    assert row["brier_binned"] == pytest.approx(rel - res + unc, rel=1e-9)
+
+
+def test_power_two_prop_matches_reference(spark):
+    row = plans.get("stat_power_two_prop").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT o_orderpriority, o_orderstatus"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+        " WHERE o_orderpriority IN ('1-URGENT', '5-LOW')"
+    )
+    import math
+
+    n1 = sum(1 for p, _ in rows if p == "1-URGENT")
+    x1 = sum(1 for p, s in rows if p == "1-URGENT" and s == "F")
+    n2 = sum(1 for p, _ in rows if p == "5-LOW")
+    x2 = sum(1 for p, s in rows if p == "5-LOW" and s == "F")
+    p1, p2 = x1 / n1, x2 / n2
+    pbar = (x1 + x2) / (n1 + n2)
+    za, zb = 1.959963984540054, 0.8416212335729143
+    root = za * math.sqrt(2 * pbar * (1 - pbar)) + zb * math.sqrt(
+        p1 * (1 - p1) + p2 * (1 - p2)
+    )
+    want = math.ceil(root * root / (p1 - p2) ** 2)
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert row["p1"] == pytest.approx(p1, rel=1e-12)
+    assert row["n_per_arm_80pct"] == want
