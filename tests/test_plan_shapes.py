@@ -846,3 +846,45 @@ def test_sprt_no_single_partition_window_over_events(spark, sf_dir):
     assert specs, f"no Window nodes matched extended plan:\n{p[:500]}"
     for spec in specs:
         assert "__pid" in spec, f"unpartitioned window spec: [{spec}]"
+
+
+def test_cvm_windows_are_bucket_partitioned(spark, sf_dir):
+    """stat_cvm_two_sample inherits the KS bucket+carry cumulative:
+    every Window spec must partition by the value bucket (or be the
+    O(buckets) carry keyed on bkt) — never an unpartitioned cumulative
+    over the corpus-scaled distinct-value relation."""
+    import re
+
+    p = plan_str(plans.get("stat_cvm_two_sample").build(spark, sf_dir), "extended")
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+    assert specs, f"no Window nodes matched extended plan:\n{p[:500]}"
+    for spec in specs:
+        assert "bkt" in spec, f"unpartitioned window spec: [{spec}]"
+
+
+def test_wilcoxon_windows_are_bucket_partitioned(spark, sf_dir):
+    """stat_wilcoxon_signed_rank's |diff| midranks must come from the
+    _midranks2 bucket+carry decomposition — per-customer diffs are
+    corpus-scaled, so an unpartitioned rank window would serialize."""
+    import re
+
+    p = plan_str(
+        plans.get("stat_wilcoxon_signed_rank").build(spark, sf_dir), "extended"
+    )
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+    assert specs, f"no Window nodes matched extended plan:\n{p[:500]}"
+    for spec in specs:
+        assert "bkt" in spec, f"unpartitioned window spec: [{spec}]"
+
+
+def test_friedman_windows_partition_by_day(spark, sf_dir):
+    """stat_friedman_test ranks WITHIN day blocks: every Window spec
+    partitions by day (k=5 rows per partition — bounded per block at
+    any corpus size)."""
+    import re
+
+    p = plan_str(plans.get("stat_friedman_test").build(spark, sf_dir), "extended")
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+    assert specs, f"no Window nodes matched extended plan:\n{p[:500]}"
+    for spec in specs:
+        assert "day" in spec, f"window not day-partitioned: [{spec}]"
