@@ -6402,3 +6402,93 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         unc.alias("uncertainty"),
         (rel - res + unc).alias("brier_binned"),
     )
+
+
+@register(
+    "ml_quantile_regression_grid",
+    tags=("ml", "training", "agg"),
+    oracle="""
+        WITH grid AS (
+            SELECT tau.t AS tau, 3000 + 50 * b.j AS b
+            FROM (SELECT unnest([CAST(0.25 AS DECIMAL(3,2)),
+                                 CAST(0.50 AS DECIMAL(3,2)),
+                                 CAST(0.75 AS DECIMAL(3,2))]) AS t) tau
+            CROSS JOIN (SELECT unnest(generate_series(0, 40)) AS j) b
+        ),
+        losses AS (
+            SELECT g.tau, g.b,
+                   CAST(SUM(CASE WHEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                      - g.b * CAST(l.l_quantity
+                                                   AS DECIMAL(12,2)) >= 0
+                        THEN g.tau * (CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                      - g.b * CAST(l.l_quantity
+                                                   AS DECIMAL(12,2)))
+                        ELSE (g.tau - 1)
+                             * (CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                - g.b * CAST(l.l_quantity AS DECIMAL(12,2)))
+                        END) AS DECIMAL(38,4)) AS loss
+            FROM lineitem l CROSS JOIN grid g
+            GROUP BY g.tau, g.b
+        ),
+        ranked AS (
+            SELECT tau, b, loss,
+                   ROW_NUMBER() OVER (PARTITION BY tau
+                                      ORDER BY loss, b) AS rk
+            FROM losses
+        )
+        SELECT CAST(CAST(tau AS VARCHAR) AS DOUBLE) AS tau,
+               CAST(b AS BIGINT) AS best_b,
+               CAST(CAST(loss AS VARCHAR) AS DOUBLE) AS check_loss
+        FROM ranked WHERE rk = 1
+        ORDER BY tau
+    """,
+)
+def ml_quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile regression through the origin (price ~ b*quantity) by
+    EXACT check-loss grid search at tau = 0.25/0.5/0.75 over a fixed
+    41-point literal slope grid — the distributed profile-likelihood
+    pattern (fin_black_scholes_grid / ml_lr_grid_one_step family)
+    applied to the pinball loss: every residual, every tau-weighted
+    loss term, and every per-(tau,b) total is EXACT DECIMAL arithmetic
+    (tau is a decimal literal, the grid is integer literals), so the
+    argmin — the entire fitted model — hash-oracles with zero float
+    anywhere. Scale: the corpus fans out x123 against a broadcast
+    grid and collapses map-side to 123 partial sums; the argmin
+    window runs on the 123-row model relation with a deterministic
+    (loss, b) tiebreak. No division at all (class-5 clean); the
+    median (tau=0.5) column doubles as a robust-slope cross-check
+    against ts_theil_sen's estimator family."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    taus = spark.range(3).select(
+        F.when(F.col("id") == 0, F.lit("0.25"))
+        .when(F.col("id") == 1, F.lit("0.50"))
+        .otherwise(F.lit("0.75"))
+        .cast("decimal(3,2)")
+        .alias("tau")
+    )
+    bs = spark.range(41).select((3000 + 50 * F.col("id")).alias("b"))
+    grid = taus.crossJoin(bs)
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    r = y - F.col("b") * x
+    loss_term = F.when(r >= 0, F.col("tau") * r).otherwise(
+        (F.col("tau") - 1) * r
+    )
+    losses = (
+        li.crossJoin(F.broadcast(grid))
+        .groupBy("tau", "b")
+        .agg(F.sum(loss_term).cast("decimal(38,4)").alias("loss"))
+    )
+    w = Window.partitionBy("tau").orderBy("loss", "b")
+    return (
+        losses.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("tau").cast("string").cast("double").alias("tau"),
+            F.col("b").cast("bigint").alias("best_b"),
+            F.col("loss").cast("string").cast("double").alias("check_loss"),
+        )
+        .orderBy("tau")
+    )

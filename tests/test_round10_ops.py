@@ -802,3 +802,29 @@ def test_power_two_prop_matches_reference(spark):
     assert (row["n1"], row["n2"]) == (n1, n2)
     assert row["p1"] == pytest.approx(p1, rel=1e-12)
     assert row["n_per_arm_80pct"] == want
+
+
+def test_quantile_regression_grid_matches_numpy(spark):
+    got = {
+        r["tau"]: r
+        for r in plans.get("ml_quantile_regression_grid")
+        .build(spark, SF)
+        .collect()
+    }
+    rows = _fetch(
+        "SELECT CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    x = np.array([a for a, _ in rows])
+    y = np.array([b for _, b in rows])
+    bs = np.array([3000 + 50 * j for j in range(41)])
+    for tau in (0.25, 0.50, 0.75):
+        losses = []
+        for b in bs:
+            r = y - b * x
+            losses.append(np.where(r >= 0, tau * r, (tau - 1) * r).sum())
+        j = int(np.argmin(losses))
+        assert got[tau]["best_b"] == bs[j]
+        assert got[tau]["check_loss"] == pytest.approx(losses[j], rel=1e-9)
+    # quantile monotonicity: higher tau => slope no smaller
+    assert got[0.25]["best_b"] <= got[0.50]["best_b"] <= got[0.75]["best_b"]
