@@ -5548,3 +5548,321 @@ def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((16 * n_d - 29) / 90),
         ).alias("z_stat"),
     ).orderBy("event_type")
+
+
+@register(
+    "ts_attribution_markov_removal",
+    tags=("ts", "ml", "iterative", "attribution"),
+    oracle="""
+        WITH e AS (
+            SELECT user_id, ts, event_id, event_type FROM events
+        ),
+        kept AS (
+            SELECT user_id, ts, event_id, event_type,
+                   COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS p_before
+            FROM e
+        ),
+        j AS (SELECT * FROM kept WHERE p_before = 0),
+        steps AS (
+            SELECT user_id, ts, event_id, event_type,
+                   LAG(event_type) OVER w AS prev,
+                   LEAD(event_type) OVER w AS nxt
+            FROM j
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        raw_t AS (
+            SELECT COALESCE(prev, 'START') AS src,
+                   CASE WHEN event_type = 'purchase' THEN 'CONV'
+                        ELSE event_type END AS dst
+            FROM steps
+            UNION ALL
+            SELECT event_type AS src, 'NULL' AS dst
+            FROM steps
+            WHERE nxt IS NULL AND event_type <> 'purchase'
+        ),
+        cnt AS (
+            SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+            FROM raw_t GROUP BY src, dst
+        ),
+        outs AS (SELECT src, CAST(SUM(c) AS BIGINT) AS o FROM cnt GROUP BY src),
+        trans AS (
+            SELECT cnt.src, cnt.dst,
+                   CAST((cnt.c * 1000000) // outs.o AS BIGINT) AS p6
+            FROM cnt JOIN outs ON outs.src = cnt.src
+        ),
+        scens AS (
+            SELECT unnest(['full', 'click', 'view', 'signup', 'error'])
+                AS scen
+        ),
+        trans_s AS (
+            SELECT s.scen, t.src,
+                   CASE WHEN t.dst = s.scen THEN 'NULL' ELSE t.dst END AS dst,
+                   CAST(SUM(t.p6) AS BIGINT) AS p6
+            FROM trans t CROSS JOIN scens s
+            WHERE t.src <> s.scen
+            GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT scen, a.st, a.st, CAST(1000000 AS BIGINT)
+            FROM scens CROSS JOIN
+                 (SELECT unnest(['CONV', 'NULL']) AS st) a
+        ),
+        v0 AS (
+            SELECT scen, 'START' AS st, CAST(1000000 AS BIGINT) AS m
+            FROM scens
+        ),
+        v1 AS (
+            SELECT t.scen, t.dst AS st,
+                   CAST(SUM(v.m * t.p6) // 1000000 AS BIGINT) AS m
+            FROM v0 v JOIN trans_s t
+              ON t.scen = v.scen AND t.src = v.st
+            GROUP BY 1, 2
+        ),
+        v2 AS (
+            SELECT t.scen, t.dst AS st,
+                   CAST(SUM(v.m * t.p6) // 1000000 AS BIGINT) AS m
+            FROM v1 v JOIN trans_s t
+              ON t.scen = v.scen AND t.src = v.st
+            GROUP BY 1, 2
+        ),
+        v3 AS (
+            SELECT t.scen, t.dst AS st,
+                   CAST(SUM(v.m * t.p6) // 1000000 AS BIGINT) AS m
+            FROM v2 v JOIN trans_s t
+              ON t.scen = v.scen AND t.src = v.st
+            GROUP BY 1, 2
+        ),
+        v4 AS (
+            SELECT t.scen, t.dst AS st,
+                   CAST(SUM(v.m * t.p6) // 1000000 AS BIGINT) AS m
+            FROM v3 v JOIN trans_s t
+              ON t.scen = v.scen AND t.src = v.st
+            GROUP BY 1, 2
+        ),
+        v5 AS (
+            SELECT t.scen, t.dst AS st,
+                   CAST(SUM(v.m * t.p6) // 1000000 AS BIGINT) AS m
+            FROM v4 v JOIN trans_s t
+              ON t.scen = v.scen AND t.src = v.st
+            GROUP BY 1, 2
+        ),
+        v6 AS (
+            SELECT t.scen, t.dst AS st,
+                   CAST(SUM(v.m * t.p6) // 1000000 AS BIGINT) AS m
+            FROM v5 v JOIN trans_s t
+              ON t.scen = v.scen AND t.src = v.st
+            GROUP BY 1, 2
+        ),
+        v7 AS (
+            SELECT t.scen, t.dst AS st,
+                   CAST(SUM(v.m * t.p6) // 1000000 AS BIGINT) AS m
+            FROM v6 v JOIN trans_s t
+              ON t.scen = v.scen AND t.src = v.st
+            GROUP BY 1, 2
+        ),
+        v8 AS (
+            SELECT t.scen, t.dst AS st,
+                   CAST(SUM(v.m * t.p6) // 1000000 AS BIGINT) AS m
+            FROM v7 v JOIN trans_s t
+              ON t.scen = v.scen AND t.src = v.st
+            GROUP BY 1, 2
+        ),
+        v9 AS (
+            SELECT t.scen, t.dst AS st,
+                   CAST(SUM(v.m * t.p6) // 1000000 AS BIGINT) AS m
+            FROM v8 v JOIN trans_s t
+              ON t.scen = v.scen AND t.src = v.st
+            GROUP BY 1, 2
+        ),
+        v10 AS (
+            SELECT t.scen, t.dst AS st,
+                   CAST(SUM(v.m * t.p6) // 1000000 AS BIGINT) AS m
+            FROM v9 v JOIN trans_s t
+              ON t.scen = v.scen AND t.src = v.st
+            GROUP BY 1, 2
+        ),
+        v11 AS (
+            SELECT t.scen, t.dst AS st,
+                   CAST(SUM(v.m * t.p6) // 1000000 AS BIGINT) AS m
+            FROM v10 v JOIN trans_s t
+              ON t.scen = v.scen AND t.src = v.st
+            GROUP BY 1, 2
+        ),
+        v12 AS (
+            SELECT t.scen, t.dst AS st,
+                   CAST(SUM(v.m * t.p6) // 1000000 AS BIGINT) AS m
+            FROM v11 v JOIN trans_s t
+              ON t.scen = v.scen AND t.src = v.st
+            GROUP BY 1, 2
+        ),
+        conv AS (
+            SELECT scen, m FROM v12 WHERE st = 'CONV'
+        ),
+        full_c AS (SELECT m AS fm FROM conv WHERE scen = 'full'),
+        eff AS (
+            SELECT c.scen AS channel, c.m AS rm, f.fm,
+                   f.fm - c.m AS effnum
+            FROM conv c CROSS JOIN full_c f
+            WHERE c.scen <> 'full'
+        ),
+        tot AS (SELECT CAST(SUM(effnum) AS BIGINT) AS te FROM eff)
+        SELECT e.channel,
+               CAST(e.fm AS DOUBLE) / 1e6 AS conv_full_prob,
+               CAST(e.rm AS DOUBLE) / 1e6 AS conv_removed_prob,
+               CASE WHEN e.fm > 0 THEN
+                 CAST(e.effnum AS DOUBLE) / CAST(e.fm AS DOUBLE)
+               END AS removal_effect,
+               CASE WHEN t.te > 0 THEN
+                 CAST(e.effnum AS DOUBLE) / CAST(t.te AS DOUBLE)
+               END AS attribution_share
+        FROM eff e CROSS JOIN tot t
+        ORDER BY e.channel
+    """,
+)
+def ts_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution — the principled upgrade of
+    ts_attribution_last_touch: build the first-order journey chain
+    (START -> channel -> ... -> CONV at first purchase / NULL at
+    journey end), then for each channel ask what fraction of
+    conversion probability DISAPPEARS when every flow into that
+    channel is redirected to NULL (the classic removal semantics, no
+    renormalization); shares are removal effects normalized across
+    channels. Everything hash-oracles because the whole computation is
+    integer arithmetic: transition probabilities are q6 ints by exact
+    integer division (c*1e6 // out — both dialects' floor division),
+    absorption runs 12 QUANTIZED power rounds (mass*p6 // 1e6 per
+    round — a documented k-step truncation of (I-Q)^-1 R, identical on
+    both engines by construction), and effects/shares divide exact
+    integer masses once at the edge. Scale: corpus work is ONE
+    per-user window pass to transition counts; the chain, the 5
+    scenarios, and all 12 rounds live on a <=|states|^2 x scenarios
+    model relation (broadcast joins). Class-5: zero full-chain
+    conversion and zero total effect both NULL via the same CASE.
+    Removal can only reduce conversion, so effects are nonnegative by
+    construction (pinned in tests)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    kept = e.withColumn(
+        "p_before",
+        F.coalesce(
+            F.sum((F.col("event_type") == "purchase").cast("int")).over(
+                wseq.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).filter(F.col("p_before") == 0)
+    steps = kept.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(wseq).alias("prev"),
+        F.lead("event_type").over(wseq).alias("nxt"),
+    )
+    raw_t = steps.select(
+        F.coalesce(F.col("prev"), F.lit("START")).alias("src"),
+        F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+        .otherwise(F.col("event_type"))
+        .alias("dst"),
+    ).unionByName(
+        steps.filter(
+            F.col("nxt").isNull() & (F.col("event_type") != "purchase")
+        ).select(
+            F.col("event_type").alias("src"), F.lit("NULL").alias("dst")
+        )
+    )
+    cnt = raw_t.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    outs = cnt.groupBy("src").agg(F.sum("c").cast("bigint").alias("o"))
+    trans = cnt.join(outs, "src").selectExpr(
+        "src", "dst", "CAST((c * 1000000) div o AS BIGINT) AS p6"
+    )
+    chans = ["full", "click", "view", "signup", "error"]
+    scens = spark.range(5).select(
+        F.element_at(
+            F.array(*[F.lit(c) for c in chans]), (F.col("id") + 1).cast("int")
+        ).alias("scen")
+    )
+    trans_s = (
+        trans.crossJoin(F.broadcast(scens))
+        .filter(F.col("src") != F.col("scen"))
+        .select(
+            "scen",
+            "src",
+            F.when(F.col("dst") == F.col("scen"), F.lit("NULL"))
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "p6",
+        )
+        .groupBy("scen", "src", "dst")
+        .agg(F.sum("p6").cast("bigint").alias("p6"))
+        .unionByName(
+            scens.crossJoin(
+                spark.range(2).select(
+                    F.when(F.col("id") == 0, F.lit("CONV"))
+                    .otherwise(F.lit("NULL"))
+                    .alias("st")
+                )
+            ).select(
+                "scen",
+                F.col("st").alias("src"),
+                F.col("st").alias("dst"),
+                F.lit(1000000).cast("bigint").alias("p6"),
+            )
+        )
+        .localCheckpoint()  # pin the model relation for the 12 rounds
+    )
+    v = scens.select(
+        "scen", F.lit("START").alias("st"), F.lit(1000000).cast("bigint").alias("m")
+    )
+    for _ in range(12):
+        v = (
+            v.alias("v")
+            .join(
+                trans_s.alias("t"),
+                (F.col("t.scen") == F.col("v.scen"))
+                & (F.col("t.src") == F.col("v.st")),
+            )
+            .groupBy(F.col("t.scen").alias("scen"), F.col("t.dst").alias("st"))
+            .agg(
+                F.expr("CAST(sum(m * p6) div 1000000 AS BIGINT)").alias("m")
+            )
+        )
+    conv = v.filter(F.col("st") == "CONV").select("scen", "m")
+    full_c = conv.filter(F.col("scen") == "full").select(
+        F.col("m").alias("fm")
+    )
+    eff = (
+        conv.filter(F.col("scen") != "full")
+        .crossJoin(F.broadcast(full_c))
+        .select(
+            F.col("scen").alias("channel"),
+            F.col("m").alias("rm"),
+            "fm",
+            (F.col("fm") - F.col("m")).alias("effnum"),
+        )
+    )
+    tot = eff.agg(F.sum("effnum").cast("bigint").alias("te"))
+    return (
+        eff.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            (F.col("fm").cast("double") / F.lit(1e6)).alias("conv_full_prob"),
+            (F.col("rm").cast("double") / F.lit(1e6)).alias(
+                "conv_removed_prob"
+            ),
+            F.when(
+                F.col("fm") > 0,
+                F.col("effnum").cast("double") / F.col("fm").cast("double"),
+            ).alias("removal_effect"),
+            F.when(
+                F.col("te") > 0,
+                F.col("effnum").cast("double") / F.col("te").cast("double"),
+            ).alias("attribution_share"),
+        )
+        .orderBy("channel")
+    )

@@ -828,3 +828,77 @@ def test_quantile_regression_grid_matches_numpy(spark):
         assert got[tau]["check_loss"] == pytest.approx(losses[j], rel=1e-9)
     # quantile monotonicity: higher tau => slope no smaller
     assert got[0.25]["best_b"] <= got[0.50]["best_b"] <= got[0.75]["best_b"]
+
+
+def test_markov_attribution_matches_reference(spark):
+    got = {
+        r["channel"]: r
+        for r in plans.get("ts_attribution_markov_removal")
+        .build(spark, SF)
+        .collect()
+    }
+    rows = _fetch(
+        "SELECT user_id, ts, event_id, event_type"
+        f" FROM read_parquet('{SF}/events.parquet')"
+        " ORDER BY user_id, ts, event_id"
+    )
+    # journeys cut at first purchase
+    from collections import defaultdict
+
+    journeys = defaultdict(list)
+    done = set()
+    for u, _, _, et in rows:
+        if u in done:
+            continue
+        journeys[u].append(et)
+        if et == "purchase":
+            done.add(u)
+    # transition counts
+    cnt = defaultdict(int)
+    for seq in journeys.values():
+        prev = "START"
+        for et in seq:
+            dst = "CONV" if et == "purchase" else et
+            cnt[(prev, dst)] += 1
+            prev = dst
+        if prev != "CONV":
+            cnt[(prev, "NULL")] += 1
+    outs = defaultdict(int)
+    for (s, d), c in cnt.items():
+        outs[s] += c
+    p6 = {(s, d): c * 1000000 // outs[s] for (s, d), c in cnt.items()}
+
+    def conv_mass(removed):
+        trans = defaultdict(int)
+        for (s, d), p in p6.items():
+            if s == removed:
+                continue
+            dd = "NULL" if d == removed else d
+            trans[(s, dd)] += p
+        trans[("CONV", "CONV")] = 1000000
+        trans[("NULL", "NULL")] = 1000000
+        v = {"START": 1000000}
+        for _ in range(12):
+            nv = defaultdict(int)
+            for (s, d), p in trans.items():
+                if s in v:
+                    nv[d] += v[s] * p
+            v = {d: m // 1000000 for d, m in nv.items()}
+        return v.get("CONV", 0)
+
+    full = conv_mass(None)
+    effs = {}
+    for ch in ("click", "view", "signup", "error"):
+        rm = conv_mass(ch)
+        effs[ch] = full - rm
+        assert got[ch]["conv_full_prob"] == full / 1e6
+        assert got[ch]["conv_removed_prob"] == rm / 1e6
+        assert effs[ch] >= 0  # removal can only reduce conversion
+        assert got[ch]["removal_effect"] == pytest.approx(
+            effs[ch] / full, rel=1e-12
+        )
+    te = sum(effs.values())
+    for ch, e in effs.items():
+        assert got[ch]["attribution_share"] == pytest.approx(
+            e / te, rel=1e-12
+        )
