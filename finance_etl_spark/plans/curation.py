@@ -4558,3 +4558,93 @@ def graph_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("d5").cast("double") / 5
         ).alias("harmonic_5hop"),
     ).orderBy("nationkey")
+
+
+@register(
+    "graph_rich_club",
+    tags=("graph", "join", "agg"),
+    oracle=f"""
+        WITH {_GRAPH_EDGE_CTE},
+        dd AS (
+            SELECT k.a, k.b, da.deg AS da, db.deg AS db
+            FROM ku k
+            JOIN deg da ON da.v = k.a
+            JOIN deg db ON db.v = k.b
+        ),
+        ks AS (SELECT unnest(generate_series(1, 8)) AS k),
+        ek AS (
+            SELECT ks.k,
+                   CAST(SUM(CASE WHEN LEAST(dd.da, dd.db) > ks.k
+                        THEN 1 ELSE 0 END) AS BIGINT) AS e_k
+            FROM dd CROSS JOIN ks GROUP BY ks.k
+        ),
+        nk AS (
+            SELECT ks.k,
+                   CAST(SUM(CASE WHEN deg.deg > ks.k THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_k
+            FROM deg CROSS JOIN ks GROUP BY ks.k
+        )
+        SELECT nk.k, nk.n_k, ek.e_k,
+               CASE WHEN nk.n_k >= 2 THEN
+                 CAST(2 * ek.e_k AS DOUBLE)
+                 / (CAST(nk.n_k AS DOUBLE) * (CAST(nk.n_k AS DOUBLE) - 1))
+               END AS rich_club_phi
+        FROM nk JOIN ek ON ek.k = nk.k
+        ORDER BY nk.k
+    """,
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(k) = 2*E_k / (N_k(N_k-1)) of the
+    strong-trade graph for k = 1..8: how densely the hubs (degree > k)
+    interconnect — the elite-cohesion diagnostic that complements
+    degree assortativity (correlation) with the subgraph-density view.
+    An edge counts toward E_k for every k below min(deg(a), deg(b)),
+    so both counts come from ONE pass each over the |V|-bounded
+    edge/degree relations against a broadcast k-spine — exact integers
+    with one guarded division per k (N_k < 2 NULLs on both engines).
+    Corpus work is the shared fact-to-edges reduction."""
+    ku = _trade_edges_undirected(spark, sf_dir)
+    nbr = ku.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        ku.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = nbr.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    dd = (
+        ku.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+        .select("a", "b", "da", "db")
+    )
+    ks = spark.range(1, 9).select(F.col("id").cast("int").alias("k"))
+    ek = (
+        dd.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.least("da", "db") > F.col("k"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("e_k")
+        )
+    )
+    nk = (
+        deg.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("deg") > F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_k")
+        )
+    )
+    n_d = F.col("n_k").cast("double")
+    return (
+        nk.join(ek, "k")
+        .select(
+            "k",
+            "n_k",
+            "e_k",
+            F.when(
+                F.col("n_k") >= 2,
+                (2 * F.col("e_k")).cast("double") / (n_d * (n_d - 1)),
+            ).alias("rich_club_phi"),
+        )
+        .orderBy("k")
+    )

@@ -902,3 +902,38 @@ def test_markov_attribution_matches_reference(spark):
         assert got[ch]["attribution_share"] == pytest.approx(
             e / te, rel=1e-12
         )
+
+
+def test_rich_club_matches_reference(spark):
+    got = {
+        r["k"]: r for r in plans.get("graph_rich_club").build(spark, SF).collect()
+    }
+    rows = _fetch(
+        "WITH e AS (SELECT s.s_nationkey AS src, c.c_nationkey AS dst,"
+        " COUNT(*) AS w"
+        f" FROM read_parquet('{SF}/lineitem.parquet') l"
+        f" JOIN read_parquet('{SF}/orders.parquet') o ON l.l_orderkey = o.o_orderkey"
+        f" JOIN read_parquet('{SF}/customer.parquet') c ON o.o_custkey = c.c_custkey"
+        f" JOIN read_parquet('{SF}/supplier.parquet') s ON l.l_suppkey = s.s_suppkey"
+        " GROUP BY 1, 2),"
+        " u AS (SELECT LEAST(src,dst) a, GREATEST(src,dst) b, SUM(w) w"
+        " FROM e WHERE src <> dst GROUP BY 1, 2),"
+        " thr AS (SELECT quantile_cont(w, 0.6) t FROM u)"
+        " SELECT a, b FROM u, thr WHERE w >= t"
+    )
+    deg = {}
+    for a, b in rows:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for k in range(1, 9):
+        rich = {v for v, d in deg.items() if d > k}
+        e_k = sum(1 for a, b in rows if a in rich and b in rich)
+        n_k = len(rich)
+        g = got[k]
+        assert (g["n_k"], g["e_k"]) == (n_k, e_k)
+        if n_k >= 2:
+            assert g["rich_club_phi"] == pytest.approx(
+                2 * e_k / (n_k * (n_k - 1)), rel=1e-12
+            )
+        else:
+            assert g["rich_club_phi"] is None
