@@ -3633,3 +3633,133 @@ def fin_omega_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("gains").cast("double") / F.col("losses").cast("double"),
         ).alias("omega"),
     ).orderBy("segment")
+
+
+@register(
+    "fin_var_exception_backtest",
+    tags=("finance", "window", "risk"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        ret AS (
+            SELECT segment, d,
+                   CAST(FLOOR((CAST(CAST(x AS VARCHAR) AS DOUBLE)
+                               / CAST(CAST(xp AS VARCHAR) AS DOUBLE)
+                               - CAST(1 AS DOUBLE)) * CAST(1e9 AS DOUBLE))
+                        AS BIGINT) AS r
+            FROM (SELECT segment, d, x,
+                         LAG(x) OVER (PARTITION BY segment ORDER BY d) AS xp
+                  FROM daily)
+            WHERE xp IS NOT NULL
+        ),
+        est AS (SELECT * FROM ret WHERE d < DATE '1998-01-01'),
+        ranked AS (
+            SELECT segment, r,
+                   ROW_NUMBER() OVER (PARTITION BY segment ORDER BY r, d)
+                       AS rk,
+                   COUNT(*) OVER (PARTITION BY segment) AS n1
+            FROM est
+        ),
+        var_t AS (
+            SELECT segment,
+                   MIN(CASE WHEN rk = CAST(CEIL(0.05 * n1) AS BIGINT)
+                            THEN r END) AS var_q9
+            FROM ranked GROUP BY segment
+        ),
+        test AS (
+            SELECT ret.segment, ret.r, v.var_q9
+            FROM ret JOIN var_t v ON v.segment = ret.segment
+            WHERE ret.d >= DATE '1998-01-01'
+        ),
+        s AS (
+            SELECT segment, CAST(MIN(var_q9) AS BIGINT) AS var_q9,
+                   CAST(COUNT(*) AS BIGINT) AS n_test,
+                   CAST(SUM(CASE WHEN r < var_q9 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS exceptions
+            FROM test GROUP BY segment
+        )
+        SELECT segment,
+               CAST(var_q9 AS DOUBLE) / 1e9 AS var_95,
+               n_test, exceptions,
+               CAST(n_test AS DOUBLE) * CAST('0.05' AS DOUBLE) AS expected,
+               CASE WHEN n_test > 0 THEN
+                 (CAST(exceptions AS DOUBLE)
+                  - CAST(n_test AS DOUBLE) * CAST('0.05' AS DOUBLE))
+                 / sqrt(CAST(n_test AS DOUBLE) * CAST('0.05' AS DOUBLE)
+                        * (1 - CAST('0.05' AS DOUBLE)))
+               END AS binom_z
+        FROM s ORDER BY segment
+    """,
+)
+def fin_var_exception_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-sample VaR exception backtest per segment — the Basel-
+    style count test behind every traffic-light report: estimate the
+    95% historical VaR on the FIRST half of the return series (the
+    lower order statistic at rank ceil(0.05*n), deterministic (r, d)
+    tiebreak), count second-half days breaching it, and score the
+    count against Binomial(n, 5%) with the normal-approximation z
+    (the Kupiec POF likelihood ratio needs ln — kept off the oracle
+    surface per the libm rule; the binomial z is the same evidence).
+    Exact q9 integer returns, exact counts, one guarded double edge;
+    the per-segment rank window runs on O(days) calendar-bounded rows.
+    Class-5: an empty test window NULLs z via the same CASE (and the
+    estimation window is non-empty by the fixture's date span,
+    documented)."""
+    daily = _seg_daily(spark, sf_dir)
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    w = Window.partitionBy("segment").orderBy("d")
+    ret = (
+        daily.withColumn("xp", F.lag("x").over(w))
+        .filter(F.col("xp").isNotNull())
+        .select(
+            "segment",
+            "d",
+            F.floor(
+                (as_d(F.col("x")) / as_d(F.col("xp")) - F.lit(1.0))
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+        .persist()  # estimation window AND test window
+    )
+    cut = F.lit("1998-01-01").cast("date")
+    est = ret.filter(F.col("d") < cut)
+    wr = Window.partitionBy("segment").orderBy("r", "d")
+    wn = Window.partitionBy("segment")
+    ranked = est.select(
+        "segment",
+        "r",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n1"),
+    )
+    var_t = ranked.groupBy("segment").agg(
+        F.min(
+            F.when(
+                F.col("rk")
+                == F.ceil(F.lit(0.05) * F.col("n1")).cast("bigint"),
+                F.col("r"),
+            )
+        ).alias("var_q9")
+    )
+    test = ret.filter(F.col("d") >= cut).join(F.broadcast(var_t), "segment")
+    s = test.groupBy("segment").agg(
+        F.min("var_q9").cast("bigint").alias("var_q9"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(F.when(F.col("r") < F.col("var_q9"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("exceptions"),
+    )
+    p = F.lit("0.05").cast("double")
+    n_d = F.col("n_test").cast("double")
+    return s.select(
+        "segment",
+        (F.col("var_q9").cast("double") / F.lit(1e9)).alias("var_95"),
+        "n_test",
+        "exceptions",
+        (n_d * p).alias("expected"),
+        F.when(
+            F.col("n_test") > 0,
+            (F.col("exceptions").cast("double") - n_d * p)
+            / F.sqrt(n_d * p * (1 - p)),
+        ).alias("binom_z"),
+    ).orderBy("segment")

@@ -3878,3 +3878,109 @@ def stat_power_two_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_per_arm_80pct"),
     )
     return r
+
+
+@register(
+    "stat_tost_equivalence",
+    tags=("stats", "agg"),
+    oracle="""
+        WITH s AS (
+            SELECT CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN CAST(o_totalprice AS DECIMAL(12,2))
+                        ELSE CAST(0 AS DECIMAL(12,2)) END) AS VARCHAR)
+                        AS DOUBLE) AS s1,
+                   CAST(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN CAST(o_totalprice AS DECIMAL(12,2))
+                             * CAST(o_totalprice AS DECIMAL(12,2))
+                        ELSE CAST(0 AS DECIMAL(25,4)) END) AS VARCHAR)
+                        AS DOUBLE) AS ss1,
+                   CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                   CAST(CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                        THEN CAST(o_totalprice AS DECIMAL(12,2))
+                        ELSE CAST(0 AS DECIMAL(12,2)) END) AS VARCHAR)
+                        AS DOUBLE) AS s2,
+                   CAST(CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                        THEN CAST(o_totalprice AS DECIMAL(12,2))
+                             * CAST(o_totalprice AS DECIMAL(12,2))
+                        ELSE CAST(0 AS DECIMAL(25,4)) END) AS VARCHAR)
+                        AS DOUBLE) AS ss2
+            FROM orders
+        ),
+        d AS (
+            SELECT n1, n2,
+                   s1 / CAST(n1 AS DOUBLE) AS m1,
+                   s2 / CAST(n2 AS DOUBLE) AS m2,
+                   (ss1 - s1 * s1 / CAST(n1 AS DOUBLE))
+                     / (CAST(n1 AS DOUBLE) - 1) / CAST(n1 AS DOUBLE)
+                   + (ss2 - s2 * s2 / CAST(n2 AS DOUBLE))
+                     / (CAST(n2 AS DOUBLE) - 1) / CAST(n2 AS DOUBLE) AS se2
+            FROM s
+        )
+        SELECT n1, n2, m1, m2, m1 - m2 AS diff, sqrt(se2) AS se,
+               CASE WHEN se2 > 0 THEN
+                 ((m1 - m2) + CAST('2000.0' AS DOUBLE)) / sqrt(se2)
+               END AS t_lower,
+               CASE WHEN se2 > 0 THEN
+                 (CAST('2000.0' AS DOUBLE) - (m1 - m2)) / sqrt(se2)
+               END AS t_upper,
+               CASE WHEN se2 > 0 THEN
+                 ((m1 - m2) + CAST('2000.0' AS DOUBLE)) / sqrt(se2)
+                   > CAST('1.6448536269514722' AS DOUBLE)
+                 AND (CAST('2000.0' AS DOUBLE) - (m1 - m2)) / sqrt(se2)
+                   > CAST('1.6448536269514722' AS DOUBLE)
+               END AS equivalent
+        FROM d
+    """,
+)
+def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests) for the URGENT vs
+    LOW mean order totals at a ±2000.0 equivalence margin: the
+    non-inferiority question a plain t-test cannot answer (failing to
+    reject difference is NOT evidence of equivalence). Welch-style SE
+    from exact decimal sums in ONE scan; both one-sided statistics and
+    the joint verdict (each t beyond the z_0.95 critical value — the
+    large-n normal approximation, documented) are guarded double
+    edges; the margin and critical value are string-routed shared
+    literals (the NPV decimal-literal lesson). Class-5: se=0 NULLs all
+    three outputs identically on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    p = F.col("o_totalprice").cast("decimal(12,2)")
+    is1 = F.col("o_orderpriority") == "1-URGENT"
+    is2 = F.col("o_orderpriority") == "5-LOW"
+    z0 = F.lit("0").cast("decimal(12,2)")
+    z04 = F.lit("0").cast("decimal(25,4)")
+    s = o.agg(
+        F.sum(is1.cast("int")).cast("bigint").alias("n1"),
+        as_d(F.sum(F.when(is1, p).otherwise(z0))).alias("s1"),
+        as_d(F.sum(F.when(is1, p * p).otherwise(z04))).alias("ss1"),
+        F.sum(is2.cast("int")).cast("bigint").alias("n2"),
+        as_d(F.sum(F.when(is2, p).otherwise(z0))).alias("s2"),
+        as_d(F.sum(F.when(is2, p * p).otherwise(z04))).alias("ss2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    m1 = F.col("s1") / n1d
+    m2 = F.col("s2") / n2d
+    se2 = (F.col("ss1") - F.col("s1") * F.col("s1") / n1d) / (n1d - 1) / n1d + (
+        F.col("ss2") - F.col("s2") * F.col("s2") / n2d
+    ) / (n2d - 1) / n2d
+    delta = F.lit("2000.0").cast("double")
+    zc = F.lit("1.6448536269514722").cast("double")
+    diff = m1 - m2
+    tl = (diff + delta) / F.sqrt(se2)
+    tu = (delta - diff) / F.sqrt(se2)
+    return s.select(
+        "n1",
+        "n2",
+        m1.alias("m1"),
+        m2.alias("m2"),
+        diff.alias("diff"),
+        F.sqrt(se2).alias("se"),
+        F.when(se2 > 0, tl).alias("t_lower"),
+        F.when(se2 > 0, tu).alias("t_upper"),
+        F.when(se2 > 0, (tl > zc) & (tu > zc)).alias("equivalent"),
+    )

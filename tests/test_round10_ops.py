@@ -937,3 +937,56 @@ def test_rich_club_matches_reference(spark):
             )
         else:
             assert g["rich_club_phi"] is None
+
+
+def test_tost_matches_reference(spark):
+    row = plans.get("stat_tost_equivalence").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+        " WHERE o_orderpriority IN ('1-URGENT', '5-LOW')"
+    )
+    a = np.array([v for p, v in rows if p == "1-URGENT"])
+    b = np.array([v for p, v in rows if p == "5-LOW"])
+    se = np.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+    diff = a.mean() - b.mean()
+    tl = (diff + 2000.0) / se
+    tu = (2000.0 - diff) / se
+    zc = 1.6448536269514722
+    assert (row["n1"], row["n2"]) == (len(a), len(b))
+    assert row["diff"] == pytest.approx(diff, rel=1e-9)
+    assert row["se"] == pytest.approx(se, rel=1e-9)
+    assert row["t_lower"] == pytest.approx(tl, rel=1e-9)
+    assert row["t_upper"] == pytest.approx(tu, rel=1e-9)
+    assert row["equivalent"] == bool(tl > zc and tu > zc)
+
+
+def test_var_backtest_matches_reference(spark, seg_daily):
+    import datetime
+    import math
+
+    got = {
+        r["segment"]: r
+        for r in plans.get("fin_var_exception_backtest")
+        .build(spark, SF)
+        .collect()
+    }
+    cut = datetime.date(1998, 1, 1)
+    for seg, dv in seg_daily.items():
+        rets = [
+            (dv[i][0], math.floor((dv[i][1] / dv[i - 1][1] - 1) * 1e9))
+            for i in range(1, len(dv))
+        ]
+        est = sorted(
+            [(r, d) for d, r in rets if d < cut]
+        )  # (r, d) tiebreak order
+        n1 = len(est)
+        var_q9 = est[math.ceil(0.05 * n1) - 1][0]
+        test = [(d, r) for d, r in rets if d >= cut]
+        x = sum(1 for _, r in test if r < var_q9)
+        n2 = len(test)
+        g = got[seg]
+        assert g["var_95"] == pytest.approx(var_q9 / 1e9, rel=1e-12)
+        assert (g["n_test"], g["exceptions"]) == (n2, x)
+        z = (x - n2 * 0.05) / math.sqrt(n2 * 0.05 * 0.95)
+        assert g["binom_z"] == pytest.approx(z, rel=1e-9)

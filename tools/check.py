@@ -192,6 +192,18 @@ def main(argv: list[str]) -> int:
             print(f"FAIL {name}: raw DECIMAL output columns {dec_cols}")
             n_fail += 1
             continue
+        # fleet-wide ban #3: an EMPTY result is the one output the
+        # twin-sided differential gate is structurally blind to — a
+        # Spark bug and an oracle bug that both produce 0 rows "match"
+        # (round-10 fin_var_exception_backtest shipped with a cut date
+        # outside the orders span and passed with 0 rows until the
+        # independent reference test caught it). Every registered
+        # query must return rows at every SF; genuinely-empty
+        # semantics need an explicit allowlist entry here.
+        if not s_rows and name not in ("join_left_anti",):
+            print(f"FAIL {name}: empty result (0 rows) — twin-oracle blind spot")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"PASS {name} (rows-only: {len(s_rows)} rows) [{time.time()-t0:.1f}s]")
             n_pass += 1
