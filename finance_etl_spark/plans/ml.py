@@ -6492,3 +6492,169 @@ def ml_quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tau")
     )
+
+
+@register(
+    "ml_nelson_aalen",
+    tags=("ml", "eval", "survival"),
+    oracle="""
+        WITH span AS (
+            SELECT o_custkey,
+                   MIN(o_orderdate) AS f, MAX(o_orderdate) AS l
+            FROM orders GROUP BY o_custkey
+        ),
+        g AS (SELECT MAX(o_orderdate) AS gm FROM orders),
+        cust AS (
+            SELECT c.c_mktsegment AS seg,
+                   LEAST(7, CAST(FLOOR(CAST(date_diff('day', s.f, s.l) AS BIGINT) / 365.0)
+                        AS BIGINT)) AS bkt,
+                   CAST(CAST(date_diff('day', s.l, gm) AS BIGINT) > 180 AS INT) AS ev
+            FROM span s
+            JOIN customer c ON c.c_custkey = s.o_custkey
+            CROSS JOIN g
+        ),
+        counts AS (
+            SELECT seg, bkt,
+                   CAST(COUNT(*) AS BIGINT) AS n_b,
+                   CAST(SUM(ev) AS BIGINT) AS d
+            FROM cust GROUP BY seg, bkt
+        ),
+        risk AS (
+            SELECT seg, bkt, d,
+                   CAST(SUM(n_b) OVER (PARTITION BY seg ORDER BY bkt DESC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+            FROM counts
+        ),
+        haz AS (
+            SELECT a.seg, a.bkt,
+                   list_reduce(
+                       list(CAST(b.d AS DOUBLE) / CAST(b.n_risk AS DOUBLE)
+                            ORDER BY b.bkt),
+                       (acc, x) -> acc + x) AS h,
+                   list_reduce(
+                       list(CAST(b.d AS DOUBLE)
+                            / (CAST(b.n_risk AS DOUBLE)
+                               * CAST(b.n_risk AS DOUBLE)) ORDER BY b.bkt),
+                       (acc, x) -> acc + x) AS v
+            FROM risk a JOIN risk b ON b.seg = a.seg AND b.bkt <= a.bkt
+            GROUP BY a.seg, a.bkt
+        )
+        SELECT r.seg AS c_mktsegment, r.bkt AS tenure_years,
+               r.n_risk AS n_at_risk, r.d AS d_events,
+               h.h AS cum_hazard, sqrt(h.v) AS hazard_se
+        FROM risk r JOIN haz h ON h.seg = r.seg AND h.bkt = r.bkt
+        ORDER BY c_mktsegment, tenure_years
+    """,
+)
+def ml_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H_j = sum_{i<=j} d_i/n_i with
+    its Poisson-type standard error sqrt(sum d_i/n_i^2) — the
+    estimator-of-choice companion to ml_kaplan_meier on the identical
+    censored tenure base (same per-customer span aggregate, same <=8
+    bucket rows per segment, same descending at-risk cumulative):
+    where KM multiplies survival ratios, NA sums hazard increments,
+    and -ln(KM) ~ NA is the classic cross-check (pinned in tests).
+    Both per-segment folds run in PINNED bucket order (array_sort +
+    F.aggregate == list ORDER BY + list_reduce) so the <=8-term double
+    reductions are identical cross-engine. Corpus work: one custkey
+    agg + one broadcast dim join; n_risk >= d >= 0 and n_risk >= 1 on
+    every existing bucket row, so no division degenerates (class-5
+    documented)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    span = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
+    )
+    g = o.agg(F.max("o_orderdate").alias("gm"))
+    cust = (
+        span.join(c, span.o_custkey == c.c_custkey)
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.least(
+                F.lit(7),
+                F.floor(
+                    F.datediff(F.col("l"), F.col("f")).cast("bigint") / 365.0
+                ).cast("bigint"),
+            ).alias("bkt"),
+            (F.datediff(F.col("gm"), F.col("l")).cast("bigint") > 180)
+            .cast("int")
+            .alias("ev"),
+        )
+    )
+    counts = cust.groupBy("seg", "bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("ev").cast("bigint").alias("d"),
+    )
+    wdesc = (
+        Window.partitionBy("seg")
+        .orderBy(F.col("bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = counts.select(
+        "seg",
+        "bkt",
+        "d",
+        F.sum("n_b").over(wdesc).cast("bigint").alias("n_risk"),
+    )
+    a = risk.alias("a")
+    b = risk.alias("b")
+    haz = (
+        a.join(
+            b,
+            (F.col("b.seg") == F.col("a.seg"))
+            & (F.col("b.bkt") <= F.col("a.bkt")),
+        )
+        .groupBy(F.col("a.seg").alias("seg"), F.col("a.bkt").alias("bkt"))
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("b.bkt").alias("ob"),
+                            (
+                                F.col("b.d").cast("double")
+                                / F.col("b.n_risk").cast("double")
+                            ).alias("t"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["t"],
+            ).alias("h"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("b.bkt").alias("ob"),
+                            (
+                                F.col("b.d").cast("double")
+                                / (
+                                    F.col("b.n_risk").cast("double")
+                                    * F.col("b.n_risk").cast("double")
+                                )
+                            ).alias("t"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["t"],
+            ).alias("v"),
+        )
+    )
+    return (
+        risk.join(haz, ["seg", "bkt"])
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            F.col("bkt").alias("tenure_years"),
+            F.col("n_risk").alias("n_at_risk"),
+            F.col("d").alias("d_events"),
+            F.col("h").alias("cum_hazard"),
+            F.sqrt(F.col("v")).alias("hazard_se"),
+        )
+        .orderBy("c_mktsegment", "tenure_years")
+    )

@@ -3984,3 +3984,95 @@ def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(se2 > 0, tu).alias("t_upper"),
         F.when(se2 > 0, (tl > zc) & (tu > zc)).alias("equivalent"),
     )
+
+
+@register(
+    "stat_hartley_fmax",
+    tags=("stats", "agg"),
+    oracle="""
+        WITH s AS (
+            SELECT o_orderpriority AS g, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                        AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+                                 * CAST(o_totalprice AS DECIMAL(12,2)))
+                        AS VARCHAR) AS DOUBLE) AS sxx
+            FROM orders GROUP BY o_orderpriority
+        ),
+        v AS (
+            SELECT g, n,
+                   (sxx - sx * sx / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1) AS var
+            FROM s WHERE n > 1
+        ),
+        ex AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   MAX(var) AS vmax, MIN(var) AS vmin,
+                   MIN(CASE WHEN var = (SELECT MAX(var) FROM v)
+                            THEN g END) AS g_max,
+                   MIN(CASE WHEN var = (SELECT MIN(var) FROM v)
+                            THEN g END) AS g_min
+            FROM v
+        )
+        SELECT k, g_max, g_min, vmax, vmin,
+               CASE WHEN vmin > 0 THEN vmax / vmin END AS f_max
+        FROM ex
+    """,
+)
+def stat_hartley_fmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hartley's F-max variance-ratio screen across the five priority
+    cohorts on order totals: max group variance / min group variance —
+    the quick homogeneity check run before trusting a pooled-variance
+    ANOVA (its formal siblings stat_levene_brown_forsythe and
+    stat_anova_oneway share the same base). Group variances are single
+    double expressions over exact decimal sums (one scan, one hash
+    agg); the extreme groups are picked with a deterministic
+    min-group-name tiebreak on exact variance equality, and vmin=0
+    (a constant cohort) NULLs the ratio identically on both engines.
+    Only k model-sized rows exist after the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    p = F.col("o_totalprice").cast("decimal(12,2)")
+    s = o.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        as_d(F.sum(p)).alias("sx"),
+        as_d(F.sum(p * p)).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    v = s.filter(F.col("n") > 1).select(
+        "g",
+        "n",
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / n_d) / (n_d - 1)).alias(
+            "var"
+        ),
+    )
+    # deterministic extreme-group names: re-join on exact equality
+    vmax_g = (
+        v.crossJoin(F.broadcast(v.agg(F.max("var").alias("vm"))))
+        .filter(F.col("var") == F.col("vm"))
+        .agg(F.min("g").alias("g_max"))
+    )
+    vmin_g = (
+        v.crossJoin(F.broadcast(v.agg(F.min("var").alias("vm"))))
+        .filter(F.col("var") == F.col("vm"))
+        .agg(F.min("g").alias("g_min"))
+    )
+    base = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("var").alias("vmax"),
+        F.min("var").alias("vmin"),
+    )
+    return (
+        base.crossJoin(F.broadcast(vmax_g))
+        .crossJoin(F.broadcast(vmin_g))
+        .select(
+            "k",
+            "g_max",
+            "g_min",
+            "vmax",
+            "vmin",
+            F.when(F.col("vmin") > 0, F.col("vmax") / F.col("vmin")).alias(
+                "f_max"
+            ),
+        )
+    )

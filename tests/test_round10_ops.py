@@ -990,3 +990,54 @@ def test_var_backtest_matches_reference(spark, seg_daily):
         assert (g["n_test"], g["exceptions"]) == (n2, x)
         z = (x - n2 * 0.05) / math.sqrt(n2 * 0.05 * 0.95)
         assert g["binom_z"] == pytest.approx(z, rel=1e-9)
+
+
+def test_nelson_aalen_matches_reference(spark):
+    na = {
+        (r["c_mktsegment"], r["tenure_years"]): r
+        for r in plans.get("ml_nelson_aalen").build(spark, SF).collect()
+    }
+    km = {
+        (r["c_mktsegment"], r["tenure_years"]): r
+        for r in plans.get("ml_kaplan_meier").build(spark, SF).collect()
+    }
+    assert set(na) == set(km)
+    import math
+
+    for key in na:
+        seg = key[0]
+        # rebuild H from the shared (n_risk, d) relation KM exposes
+        rows = sorted(
+            (k[1], v["n_at_risk"], v["d_events"])
+            for k, v in km.items()
+            if k[0] == seg and k[1] <= key[1]
+        )
+        h = sum(d / n for _, n, d in rows)
+        v = sum(d / (n * n) for _, n, d in rows)
+        assert na[key]["n_at_risk"] == km[key]["n_at_risk"]
+        assert na[key]["cum_hazard"] == pytest.approx(h, rel=1e-12)
+        assert na[key]["hazard_se"] == pytest.approx(math.sqrt(v), rel=1e-12)
+        # classic cross-check: -ln(KM) ~= NA (equal as d/n -> 0)
+        s = km[key]["survival"]
+        if s > 0 and all(d < n for _, n, d in rows):
+            assert abs(-math.log(s) - h) <= h * 0.25 + 0.05
+
+
+def test_hartley_fmax_matches_numpy(spark):
+    row = plans.get("stat_hartley_fmax").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    )
+    per = {}
+    for g, x in rows:
+        per.setdefault(g, []).append(x)
+    vs = {g: np.var(xs, ddof=1) for g, xs in per.items() if len(xs) > 1}
+    gmax = min(g for g, v in vs.items() if v == max(vs.values()))
+    gmin = min(g for g, v in vs.items() if v == min(vs.values()))
+    assert row["k"] == len(vs)
+    assert (row["g_max"], row["g_min"]) == (gmax, gmin)
+    assert row["vmax"] == pytest.approx(max(vs.values()), rel=1e-9)
+    assert row["f_max"] == pytest.approx(
+        max(vs.values()) / min(vs.values()), rel=1e-9
+    )
