@@ -30,7 +30,10 @@ from finance_etl_spark.session import get_spark  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_RUNS = 2
-QUERIES = ("ts_theil_sen", "stat_kendall_tau")
+QUERIES = tuple(a for a in sys.argv[1:] if not a.startswith("--")) or (
+    "ts_theil_sen",
+    "stat_kendall_tau",
+)
 
 
 def _time(spark, name: str, sf_dir: str) -> float:
