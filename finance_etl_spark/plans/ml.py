@@ -6658,3 +6658,184 @@ def ml_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "tenure_years")
     )
+
+
+_SWEEP_CUM_SQL = """
+        grp AS (
+            SELECT l_quantity AS threshold,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(CAST(l_returnflag = 'R' AS INT)) AS BIGINT) AS pos
+            FROM lineitem GROUP BY l_quantity
+        ),
+        cum AS (
+            SELECT threshold,
+                   CAST(SUM(pos) OVER w AS BIGINT) AS tp,
+                   CAST(SUM(cnt - pos) OVER w AS BIGINT) AS fp,
+                   CAST(SUM(pos) OVER () AS BIGINT) AS all_pos,
+                   CAST(SUM(cnt - pos) OVER () AS BIGINT) AS all_neg
+            FROM grp
+            WINDOW w AS (ORDER BY threshold DESC
+                         ROWS UNBOUNDED PRECEDING)
+        )
+"""
+
+
+@register(
+    "ml_youden_j",
+    tags=("ml", "eval", "window"),
+    oracle=f"""
+        WITH {_SWEEP_CUM_SQL},
+        scored AS (
+            SELECT threshold, tp, fp,
+                   CAST(tp * all_neg - fp * all_pos AS BIGINT) AS j_num,
+                   all_pos, all_neg
+            FROM cum
+        ),
+        best AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY j_num DESC, threshold)
+                       AS rk
+            FROM scored
+        )
+        SELECT threshold AS best_threshold, tp, fp,
+               CAST(tp AS DOUBLE) / CAST(all_pos AS DOUBLE) AS tpr,
+               CAST(fp AS DOUBLE) / CAST(all_neg AS DOUBLE) AS fpr,
+               CAST(j_num AS DOUBLE)
+                 / (CAST(all_pos AS DOUBLE) * CAST(all_neg AS DOUBLE))
+                   AS youden_j
+        FROM best WHERE rk = 1
+    """,
+)
+def ml_youden_j(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Youden-J optimal operating point: the threshold maximizing
+    J = TPR - FPR over the descending-cumulative confusion sweep —
+    the canonical ROC corner picker (complementing
+    ml_cost_optimal_threshold's asymmetric-cost argmin with the
+    cost-neutral one). The argmax runs on the EXACT integer numerator
+    tp*all_neg - fp*all_pos (common denominator factored out), so the
+    selection is integer-exact with a deterministic threshold
+    tiebreak; TPR/FPR/J divide once at the edge. |distinct scores|
+    rows end-to-end (bounded at 50 here; the ranks.py escape applies
+    at unbounded cardinality, as documented on ml_roc_auc). all_pos
+    and all_neg are both nonzero in any fixture with both labels —
+    documented, and the J numerator needs no division anyway."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    grp = li.groupBy(F.col("l_quantity").alias("threshold")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum((F.col("l_returnflag") == "R").cast("int"))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    wd = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cum = grp.select(
+        "threshold",
+        F.sum("pos").over(wd).cast("bigint").alias("tp"),
+        F.sum(F.col("cnt") - F.col("pos")).over(wd).cast("bigint").alias("fp"),
+        F.sum("pos").over(wall).cast("bigint").alias("all_pos"),
+        F.sum(F.col("cnt") - F.col("pos"))
+        .over(wall)
+        .cast("bigint")
+        .alias("all_neg"),
+    )
+    scored = cum.withColumn(
+        "j_num",
+        (F.col("tp") * F.col("all_neg") - F.col("fp") * F.col("all_pos"))
+        .cast("bigint"),
+    )
+    wbest = Window.orderBy(F.col("j_num").desc(), F.col("threshold"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("threshold").alias("best_threshold"),
+            "tp",
+            "fp",
+            (F.col("tp").cast("double") / F.col("all_pos").cast("double")).alias(
+                "tpr"
+            ),
+            (F.col("fp").cast("double") / F.col("all_neg").cast("double")).alias(
+                "fpr"
+            ),
+            (
+                F.col("j_num").cast("double")
+                / (
+                    F.col("all_pos").cast("double")
+                    * F.col("all_neg").cast("double")
+                )
+            ).alias("youden_j"),
+        )
+    )
+
+
+@register(
+    "ml_precision_at_recall",
+    tags=("ml", "eval", "window"),
+    oracle=f"""
+        WITH {_SWEEP_CUM_SQL},
+        feas AS (
+            SELECT threshold, tp, fp, all_pos,
+                   ROW_NUMBER() OVER (
+                       ORDER BY CAST(tp AS DOUBLE) / (tp + fp) DESC,
+                                threshold DESC) AS rk
+            FROM cum
+            WHERE tp * 10 >= all_pos * 8
+        )
+        SELECT threshold AS best_threshold, tp, fp,
+               CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision_,
+               CAST(tp AS DOUBLE) / CAST(all_pos AS DOUBLE) AS recall_
+        FROM feas WHERE rk = 1
+    """,
+)
+def ml_precision_at_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-precision operating point subject to recall >= 80% — the
+    constrained threshold pick behind production alerting budgets
+    ("catch at least 80% of returns, then minimize noise"). The
+    feasibility test is the EXACT integer inequality tp*10 >=
+    all_pos*8 (no float recall), the argmax orders by precision with
+    a deterministic descending-threshold tiebreak, and tp+fp >= tp >=
+    0.8*all_pos > 0 on every feasible row so the precision division
+    cannot degenerate (class-5 documented; the feasible set is
+    non-empty because the all-positive threshold has recall 1). Same
+    |distinct scores| sweep relation as ml_youden_j /
+    ml_threshold_sweep."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    grp = li.groupBy(F.col("l_quantity").alias("threshold")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum((F.col("l_returnflag") == "R").cast("int"))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    wd = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cum = grp.select(
+        "threshold",
+        F.sum("pos").over(wd).cast("bigint").alias("tp"),
+        F.sum(F.col("cnt") - F.col("pos")).over(wd).cast("bigint").alias("fp"),
+        F.sum("pos").over(wall).cast("bigint").alias("all_pos"),
+    )
+    feas = cum.filter(F.col("tp") * 10 >= F.col("all_pos") * 8)
+    prec = F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast(
+        "double"
+    )
+    wbest = Window.orderBy(prec.desc(), F.col("threshold").desc())
+    return (
+        feas.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("threshold").alias("best_threshold"),
+            "tp",
+            "fp",
+            prec.alias("precision_"),
+            (F.col("tp").cast("double") / F.col("all_pos").cast("double")).alias(
+                "recall_"
+            ),
+        )
+    )

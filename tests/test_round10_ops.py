@@ -1041,3 +1041,54 @@ def test_hartley_fmax_matches_numpy(spark):
     assert row["f_max"] == pytest.approx(
         max(vs.values()) / min(vs.values()), rel=1e-9
     )
+
+
+@pytest.fixture(scope="module")
+def sweep_base():
+    rows = _fetch(
+        "SELECT CAST(l_quantity AS DOUBLE), l_returnflag = 'R'"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    s = np.array([a for a, _ in rows])
+    y = np.array([1 if b else 0 for _, b in rows])
+    return s, y
+
+
+def test_youden_j_matches_numpy(spark, sweep_base):
+    s, y = sweep_base
+    row = plans.get("ml_youden_j").build(spark, SF).collect()[0]
+    ap, an = y.sum(), (1 - y).sum()
+    best = None
+    for t in sorted(set(s)):
+        pred = s >= t
+        tp = int((pred & (y == 1)).sum())
+        fp = int((pred & (y == 0)).sum())
+        j = tp / ap - fp / an
+        if best is None or j > best[0] + 1e-15 or (
+            abs(j - best[0]) < 1e-15 and t < best[1]
+        ):
+            best = (j, t, tp, fp)
+    assert row["best_threshold"] == best[1]
+    assert (row["tp"], row["fp"]) == (best[2], best[3])
+    assert row["youden_j"] == pytest.approx(best[0], rel=1e-9)
+
+
+def test_precision_at_recall_matches_numpy(spark, sweep_base):
+    s, y = sweep_base
+    row = plans.get("ml_precision_at_recall").build(spark, SF).collect()[0]
+    ap = y.sum()
+    best = None
+    for t in sorted(set(s)):
+        pred = s >= t
+        tp = int((pred & (y == 1)).sum())
+        fp = int((pred & (y == 0)).sum())
+        if tp * 10 < ap * 8:
+            continue
+        prec = tp / (tp + fp)
+        if best is None or prec > best[0] + 1e-15 or (
+            abs(prec - best[0]) < 1e-15 and t > best[1]
+        ):
+            best = (prec, t, tp, fp)
+    assert row["best_threshold"] == best[1]
+    assert row["precision_"] == pytest.approx(best[0], rel=1e-12)
+    assert row["recall_"] >= 0.8
