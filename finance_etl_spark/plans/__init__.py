@@ -92,7 +92,7 @@ front_queries(
     # sketches (5), scalar (3), dq (3), vec (3), window (3), obs (2),
     # subquery (2), set (2), join (2), q14/q16, geo_grid_knn_join,
     # mm_video_scene_cut, udf_window_grouped_agg, ingest_type_
-    # inference_audit, stream_live_cusum_alarm — plus the 39 round-10
+    # inference_audit, stream_live_cusum_alarm — plus the 41 round-10
     # additions (stat mcnemar/cochran_armitage/grubbs/durbin_watson/
     # breusch_pagan/hodges_lehmann, fin capm_beta/daycount/kelly/
     # amihud/calmar, graph_katz_centrality, ts_rolling_slope,
@@ -106,8 +106,8 @@ front_queries(
     # ml_quantile_regression_grid, ts_attribution_markov_removal,
     # graph_rich_club, stat_tost_equivalence,
     # fin_var_exception_backtest, ml_nelson_aalen,
-    # stat_hartley_fmax), which overflow into a round-13 window
-    # of ~39.
+    # stat_hartley_fmax, ml_youden_j, ml_precision_at_recall),
+    # which overflow into a round-13 window of ~41.
     [
         "ml_ab_sequential_sprt", "ml_bagging_oob",
         "ml_standard_scaler", "ml_target_encode_smoothed",
