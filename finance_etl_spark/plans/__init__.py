@@ -66,6 +66,21 @@ for _mod in (
         if e.name != f"finance_etl_spark.plans.{_mod}":
             raise
 
+# ROUND-11 WINDOW (cumulative driver-sampled after r10: 420/554, zero
+# driver fails ever; 134 never sampled). The r10 verdict's top
+# directive is to close the evidence gap largest-families-first, so
+# this window is the ENTIRE stat tail (26) + the ENTIRE fin tail (22)
+# + 2 ts = exactly 50 slots, clearing the two biggest never-sampled
+# families in one round. Round 12 should front: remaining ts (8:
+# ts_peak... see list below minus the 2 fronted), text (12), sink (7),
+# graph (9), ml (8), agg portable sketches + AMS + decayed (6) = 50.
+# Round 13 closes the rest: cur (5), scalar (3), dq (3), vec (3),
+# window (3), obs (2), subquery (2), set (2), join (2), geo (2),
+# q14/q16, sql_distinct_on, mm_video_scene_cut, udf_window_grouped_agg,
+# ingest_type_inference_audit, stream_live_cusum_alarm (34) plus any
+# round-11 additions.
+#
+# --- earlier-window history (kept for the audit trail) ---
 # ROUND-8 WINDOW (cumulative driver-sampled after r7: 271/416):
 # (a) the 4 queries re-presented after the round-7 DECIMAL-output
 # driver-canon diagnosis (money now VARCHAR-routed DOUBLE on both
@@ -109,26 +124,29 @@ front_queries(
     # stat_hartley_fmax, ml_youden_j, ml_precision_at_recall),
     # which overflow into a round-13 window of ~41.
     [
-        "ml_ab_sequential_sprt", "ml_bagging_oob",
-        "ml_standard_scaler", "ml_target_encode_smoothed",
-        "ml_decision_stump_split", "ml_kfold_ols_eval",
-        "ml_one_hot_encode", "ml_quantile_binning", "ml_roc_auc",
-        "ml_threshold_sweep", "ml_calibration_bins",
-        "ml_ridge_normal_equations", "ml_feature_corr_matrix",
-        "ml_gbdt_boost_round", "ml_mutual_information",
-        "ml_chi2_feature_select", "ml_markov_transition",
-        "ml_decision_tree_depth2", "ml_gbdt_two_rounds",
-        "ml_learning_curve", "ml_isotonic_calibration",
-        "ml_kaplan_meier", "ml_feature_hashing", "ml_brier_log_loss",
-        "ml_multiclass_prf", "ml_permutation_importance",
-        "ml_adaboost_round", "ml_item_item_cf", "ml_shapley_2feature",
-        "ml_conformal_ols_interval", "ml_class_weights", "ml_ab_cuped",
-        "ml_logrank_test", "ml_calibration_ece", "ml_ols_influence",
-        "ml_uplift_qini", "ml_stratified_ate",
-        "ml_cost_optimal_threshold", "ml_lr_grid_one_step",
-        "ts_gapfill_interpolate", "ts_theil_sen", "ts_mann_kendall",
-        "ts_granger_causality_1lag", "ts_ljung_box",
-        "ts_bollinger_bands", "ts_sax_symbols", "ts_retention_cohorts",
-        "ts_stl_decompose", "ts_viterbi_2state", "ts_cusum_changepoint",
+        "stat_anova_oneway", "stat_jackknife_ratio_se",
+        "stat_qq_deciles", "stat_levene_brown_forsythe",
+        "stat_kendall_tau", "stat_kruskal_wallis", "stat_chi2_gof",
+        "stat_bh_fdr", "stat_partial_corr", "stat_effect_sizes",
+        "stat_diff_in_diff", "stat_ratio_delta_method",
+        "stat_wilson_ci", "stat_ttest_paired", "stat_mcnemar",
+        "stat_cochran_armitage", "stat_grubbs_outlier",
+        "stat_durbin_watson", "stat_breusch_pagan",
+        "stat_hodges_lehmann", "stat_wilcoxon_signed_rank",
+        "stat_friedman_test", "stat_cvm_two_sample",
+        "stat_power_two_prop", "stat_tost_equivalence",
+        "stat_hartley_fmax",
+        "fin_black_scholes_grid", "fin_sharpe_sortino",
+        "fin_bond_duration_grid", "fin_ecl_staging",
+        "fin_woe_iv_binning", "fin_velocity_flags",
+        "fin_vwap_benchmark", "fin_stress_delta_gamma",
+        "fin_netting_sets", "fin_revenue_recognition",
+        "fin_zero_curve_bootstrap", "fin_max_drawdown",
+        "fin_capm_beta", "fin_daycount_conventions",
+        "fin_kelly_fraction", "fin_amihud_illiquidity",
+        "fin_calmar_ratio", "fin_npv_rate_grid", "fin_ulcer_index",
+        "fin_tracking_error", "fin_omega_ratio",
+        "fin_var_exception_backtest",
+        "ts_peak_detection", "ts_hurst_rs",
     ]
 )

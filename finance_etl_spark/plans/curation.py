@@ -4538,7 +4538,7 @@ def graph_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     cnt = lambda k: F.sum(  # noqa: E731
         F.when(F.col("d") == k, 1).otherwise(0)
-    ).cast("bigint").alias(f"d{k}".format(k=k))
+    ).cast("bigint").alias(f"d{k}")
     counts = state.groupBy("s").agg(cnt(1), cnt(2), cnt(3), cnt(4), cnt(5))
     return counts.select(
         F.col("s").alias("nationkey"),

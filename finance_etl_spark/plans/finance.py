@@ -3661,7 +3661,7 @@ def fin_omega_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         var_t AS (
             SELECT segment,
-                   MIN(CASE WHEN rk = CAST(CEIL(0.05 * n1) AS BIGINT)
+                   MIN(CASE WHEN rk = CAST((n1 + 19) // 20 AS BIGINT)
                             THEN r END) AS var_q9
             FROM ranked GROUP BY segment
         ),
@@ -3694,8 +3694,10 @@ def fin_var_exception_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-sample VaR exception backtest per segment — the Basel-
     style count test behind every traffic-light report: estimate the
     95% historical VaR on the FIRST half of the return series (the
-    lower order statistic at rank ceil(0.05*n), deterministic (r, d)
-    tiebreak), count second-half days breaching it, and score the
+    lower order statistic at rank ceil(n/20) — computed as the exact
+    integer (n+19) div 20 on BOTH engines so the rank can never take a
+    double-rounding path, per the round-10 advisor note — deterministic
+    (r, d) tiebreak), count second-half days breaching it, and score the
     count against Binomial(n, 5%) with the normal-approximation z
     (the Kupiec POF likelihood ratio needs ln — kept off the oracle
     surface per the libm rule; the binomial z is the same evidence).
@@ -3736,7 +3738,7 @@ def fin_var_exception_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(
             F.when(
                 F.col("rk")
-                == F.ceil(F.lit(0.05) * F.col("n1")).cast("bigint"),
+                == F.expr("CAST((n1 + 19) DIV 20 AS BIGINT)"),
                 F.col("r"),
             )
         ).alias("var_q9")

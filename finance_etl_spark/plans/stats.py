@@ -3620,11 +3620,13 @@ def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         dims AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS k,
-                   CAST(MIN(nb) AS BIGINT) AS n
+                   CAST(MIN(nb) AS BIGINT) AS n,
+                   CAST(MAX(nb) AS BIGINT) AS mx
             FROM rj
         ),
         q AS (
             SELECT dims.k, dims.n,
+                   CASE WHEN dims.n = dims.mx THEN
                    12 / (CAST(dims.n AS DOUBLE) * CAST(dims.k AS DOUBLE)
                          * (CAST(dims.k AS DOUBLE) + 1))
                      * list_reduce(
@@ -3632,9 +3634,9 @@ def stat_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 / 4 ORDER BY rj.event_type),
                            (a, x) -> a + x)
                      - 3 * CAST(dims.n AS DOUBLE)
-                       * (CAST(dims.k AS DOUBLE) + 1) AS q_stat
+                       * (CAST(dims.k AS DOUBLE) + 1) END AS q_stat
             FROM rj CROSS JOIN dims
-            GROUP BY dims.k, dims.n
+            GROUP BY dims.k, dims.n, dims.mx
         )
         SELECT k, n, q_stat FROM q
     """,
@@ -3648,10 +3650,12 @@ def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size; per-treatment rank sums are exact integers; Q =
     12/(nk(k+1)) * sum_j R_j^2 - 3n(k+1) folds the k per-treatment
     doubles in PINNED treatment order (array_sort fold ≡ ordered
-    list_reduce), the ANOVA/Kruskal recipe. The complete-block shape
-    is verified by construction (every type has every day); unequal
-    blocks would shift n = min(n_b), visible in the output. No
-    division by data (class-5: denominators are k,n counts >= 1)."""
+    list_reduce), the ANOVA/Kruskal recipe. The complete-block
+    precondition is GUARDED, not assumed (round-10 advisor): when any
+    (event_type, day) cell is absent, max(n_b) != min(n_b) and q_stat
+    degrades to NULL identically on both engines instead of silently
+    mixing unequal block counts into Q. No division by data (class-5:
+    denominators are k,n counts >= 1)."""
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
@@ -3675,12 +3679,13 @@ def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = rj.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.min("nb").cast("bigint").alias("n"),
+        F.max("nb").cast("bigint").alias("mx"),
     )
     k_d = F.col("k").cast("double")
     n_d = F.col("n").cast("double")
     return (
         rj.crossJoin(F.broadcast(dims))
-        .groupBy("k", "n")
+        .groupBy("k", "n", "mx")
         .agg(
             (
                 F.lit(12.0)
@@ -3703,6 +3708,13 @@ def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 - 3 * n_d * (k_d + 1)
             ).alias("q_stat")
+        )
+        .select(
+            "k",
+            "n",
+            F.when(F.col("n") == F.col("mx"), F.col("q_stat")).alias(
+                "q_stat"
+            ),
         )
     )
 
