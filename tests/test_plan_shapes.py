@@ -888,3 +888,14 @@ def test_friedman_windows_partition_by_day(spark, sf_dir):
     assert specs, f"no Window nodes matched extended plan:\n{p[:500]}"
     for spec in specs:
         assert "day" in spec, f"window not day-partitioned: [{spec}]"
+
+
+def test_bagging_oob_no_fanout_persist(spark, sf_dir):
+    """ml_bagging_oob (round-11 reshape): the 16-replicate axis rides a
+    packed BIGINT on the 1x deduped base — the plan must contain no
+    16-row replicate spine (Range (0, 16)) crossJoined into a persisted
+    relation, and the cached relation must carry the packed word."""
+    df = plans.get("ml_bagging_oob").build(spark, sf_dir)
+    p = plan_str(df, "extended")
+    assert "Range (0, 16" not in p, "replicate fan-out spine is back in the plan"
+    assert "ws#" in p or "ws`" in p or " ws" in p, f"packed-word column missing:\n{p[:800]}"
