@@ -8,6 +8,13 @@ round-over-round comparisons don't require a judge re-run.
 
 Run this at round end when loadavg is low (< ~4 on this 32-vCPU VM);
 the script refuses noisy hosts unless --force is given.
+
+If BENCH_BUDGET.json exists (frozen from a quiet run by
+tools/bench_budget.py), the fresh numbers are gated against it: any
+query over its absolute budget, or a total over the total budget,
+makes this script exit 2 with a per-query breach report. That makes
+the perf gate an absolute, committed contract rather than a
+round-over-round comparison under variable load.
 """
 
 from __future__ import annotations
@@ -52,6 +59,32 @@ def main() -> int:
     with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"recorded": out["value"], "queries": len(out["queries"])}))
+
+    budget_path = os.path.join(REPO, "BENCH_BUDGET.json")
+    if os.path.exists(budget_path):
+        with open(budget_path) as f:
+            budget = json.load(f)
+        breaches = {
+            q: {"wall": t, "budget": budget["queries"][q]}
+            for q, t in out["queries"].items()
+            if q in budget["queries"] and t > budget["queries"][q]
+        }
+        missing = sorted(set(out["queries"]) - set(budget["queries"]))
+        if out["value"] > budget["total_budget"]:
+            breaches["__total__"] = {
+                "wall": out["value"],
+                "budget": budget["total_budget"],
+            }
+        if missing:
+            print(
+                f"note: {len(missing)} headline queries have no budget yet "
+                f"(regenerate via tools/bench_budget.py): {missing}",
+                file=sys.stderr,
+            )
+        if breaches:
+            print("BENCH BUDGET BREACH:", json.dumps(breaches, indent=1), file=sys.stderr)
+            return 2
+        print(json.dumps({"budget_gate": "pass", "total_budget": budget["total_budget"]}))
     return 0
 
 
