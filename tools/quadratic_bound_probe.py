@@ -77,6 +77,25 @@ def main() -> int:
                 "bounded contingency cells; only the corpus->cells agg "
                 "scales"
             ),
+            "graph_katz_centrality": (
+                "3 fixed decimal-walk rounds, each one broadcast join + "
+                "DECIMAL agg on the nation-bounded trade graph; only the "
+                "corpus->edge-weight agg scales"
+            ),
+            "graph_harmonic_closeness": (
+                "5 BFS rounds on the |V|²-bounded distance frontier of "
+                "the nation-level strong-trade graph (625 pairs max); "
+                "only the corpus->edge agg scales"
+            ),
+            "graph_rich_club": (
+                "phi(k) for k=1..8 over the nation-bounded degree "
+                "relation; corpus touches only the edge-strength agg"
+            ),
+            "ml_delong_auc_se": (
+                "placement values from the distinct-score relation via "
+                "bucket+carry cumulative counts — no per-row pair join; "
+                "only the corpus->score-histogram agg scales"
+            ),
         }
         with open(os.path.join(REPO, "SCALING.md"), "a") as f:
             for r in results:
