@@ -1,0 +1,1241 @@
+"""Round-11 operator wave: classical nonparametric / diagnostic
+statistics, portfolio analytics, forecast-accuracy metrics, and graph
+distance diagnostics the earlier waves left uncovered — every query
+hash-oracled on arrival (round-10 verdict directive: additions <= the
+driver sampling rate, oracle-checked from day one).
+
+House rules applied throughout (see plans/registry.py docstring):
+exact integer/decimal accumulation with doubles only at the
+presentation edge; order-pinned folds (array_sort + aggregate vs
+list(... ORDER BY) + list_reduce) wherever >1 double term is summed;
+string-routed shared constants; NULL-guarded degenerate divisions
+identical on both engines; bucket+carry instead of unpartitioned
+corpus windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from finance_etl_spark.io.readers import load_table
+from finance_etl_spark.plans.finance import _SEG_DAILY_SQL, _seg_daily
+from finance_etl_spark.plans.registry import register
+
+
+def _as_d(c):
+    """Decimal -> double via the VARCHAR route (cross-engine exact)."""
+    return c.cast("string").cast("double")
+
+
+def _ordered_fold_sum(order_col, term_col):
+    """Pinned-order double sum: collect (order, term) structs, sort by
+    the order field, fold — byte-identical on both engines because the
+    addition order is data-defined, not partition-defined. DuckDB twin:
+    list_reduce(list(term ORDER BY order_col), (a, x) -> a + x)."""
+    return F.aggregate(
+        F.array_sort(
+            F.collect_list(F.struct(order_col.alias("o"), term_col.alias("t")))
+        ),
+        F.lit(0.0),
+        lambda acc, s: acc + s["t"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_dixon_q — single-outlier screen on bounded per-segment series
+
+
+@register(
+    "stat_dixon_q",
+    tags=("stats", "agg"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        mx AS (
+            SELECT segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   MAX(x) AS xmax, MIN(x) AS xmin
+            FROM daily GROUP BY segment
+        ),
+        mx2 AS (
+            SELECT d.segment, MAX(d.x) AS xmax2
+            FROM daily d JOIN mx ON mx.segment = d.segment
+            WHERE d.x < mx.xmax
+            GROUP BY d.segment
+        )
+        SELECT mx.segment, mx.n_days,
+               CAST(CAST(mx.xmax - mx2.xmax2 AS VARCHAR) AS DOUBLE) AS gap,
+               CAST(CAST(mx.xmax - mx.xmin AS VARCHAR) AS DOUBLE) AS xrange,
+               CASE WHEN mx.xmax > mx.xmin THEN
+                 CAST(CAST(mx.xmax - mx2.xmax2 AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(mx.xmax - mx.xmin AS VARCHAR) AS DOUBLE)
+               END AS q_stat
+        FROM mx LEFT JOIN mx2 ON mx2.segment = mx.segment
+        ORDER BY mx.segment
+    """,
+)
+def stat_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dixon's Q for the largest observation of each segment's daily
+    revenue series: Q = (x_(n) - x_(n-1)) / (x_(n) - x_(1)) — the
+    classical small-sample single-outlier screen (Dean & Dixon 1951),
+    here as a per-segment data-quality diagnostic. Max/min/second-max
+    are exact DECIMAL aggregates (second max = max of values strictly
+    below the max, one broadcast-joined second pass over the bounded
+    daily relation); differences stay decimal-exact and convert to
+    double once, via the VARCHAR route. Degenerate all-equal series
+    (range 0) NULL the statistic identically on both engines; a tied
+    maximum makes gap 0 (Q = 0), not NULL, matching the order-statistic
+    definition. Corpus-scale work is only the daily aggregation."""
+    daily = _seg_daily(spark, sf_dir)
+    mx = daily.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("x").alias("xmax"),
+        F.min("x").alias("xmin"),
+    )
+    mx2 = (
+        daily.join(F.broadcast(mx.select("segment", "xmax")), "segment")
+        .filter(F.col("x") < F.col("xmax"))
+        .groupBy("segment")
+        .agg(F.max("x").alias("xmax2"))
+    )
+    gap = _as_d(F.col("xmax") - F.col("xmax2"))
+    rng = _as_d(F.col("xmax") - F.col("xmin"))
+    return (
+        mx.join(mx2, "segment", "left")
+        .select(
+            "segment",
+            "n_days",
+            gap.alias("gap"),
+            rng.alias("xrange"),
+            F.when(F.col("xmax") > F.col("xmin"), gap / rng).alias("q_stat"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_mood_median_test — k-sample location test on counts above the
+# pooled median
+
+
+@register(
+    "stat_mood_median_test",
+    tags=("stats", "window", "agg"),
+    oracle="""
+        WITH cents AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS v
+            FROM orders
+        ),
+        per_val AS (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM cents GROUP BY v
+        ),
+        cum AS (
+            SELECT v, SUM(t) OVER (ORDER BY v) AS c,
+                   SUM(t) OVER () AS n
+            FROM per_val
+        ),
+        med AS (
+            SELECT CAST(MIN(n) AS BIGINT) AS n,
+                   CAST(MIN(CASE WHEN c >= (n + 1) // 2 THEN v END)
+                        AS BIGINT) AS med_v
+            FROM cum
+        ),
+        grp AS (
+            SELECT cents.grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(CASE WHEN cents.v > med.med_v THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a_g
+            FROM cents CROSS JOIN med
+            GROUP BY cents.grp
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                   CAST(SUM(a_g) AS BIGINT) AS a,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM grp
+        )
+        SELECT tot.n, tot.k, tot.a,
+               CAST(med.med_v AS DOUBLE) / 100 AS pooled_median,
+               CASE WHEN tot.a > 0 AND tot.a < tot.n THEN
+                 list_reduce(
+                     list(
+                         CAST(grp.a_g * tot.n - grp.n_g * tot.a AS DOUBLE)
+                           * CAST(grp.a_g * tot.n - grp.n_g * tot.a
+                                  AS DOUBLE)
+                           / (CAST(grp.n_g AS DOUBLE) * tot.a
+                              * (tot.n - tot.a))
+                         ORDER BY grp.grp),
+                     (acc, x) -> acc + x)
+               END AS chi2,
+               (tot.k - 1) AS df
+        FROM grp CROSS JOIN tot CROSS JOIN med
+        GROUP BY tot.n, tot.k, tot.a, med.med_v
+    """,
+)
+def stat_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the five order priorities: does each
+    priority class place the same share of orders above the POOLED
+    median price? The k-sample location test that stays valid under
+    wildly non-normal money distributions. The pooled lower median is
+    an exact order statistic (rank ceil(N/2)) found by bucket+carry
+    cumulative counts over the distinct-cents relation — no global
+    sort, no unpartitioned corpus window; above-median counts are one
+    grouped agg against the broadcast median. chi2 folds the k
+    per-group terms in PINNED group order (array_sort fold ==
+    list_reduce ORDER BY) since k doubles summed in engine order would
+    diverge 1 ulp; each term uses the exact-integer identity
+    (a_g*N - n_g*A)^2 / (n_g * A * B). Degenerate all-above/all-below
+    splits (A=0 or A=N) NULL the statistic on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+    )
+    per_val = cents.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    # bucket+carry cumulative over distinct cents values
+    bkt = per_val.withColumn("bkt", F.floor(F.col("v") / F.lit(1000000)))
+    w_in = Window.partitionBy("bkt").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    within = bkt.select("bkt", "v", "t", F.sum("t").over(w_in).alias("wc"))
+    w_carry = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        bkt.groupBy("bkt")
+        .agg(F.sum("t").alias("tb"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("tb").over(w_carry), F.lit(0)).alias("cb"),
+        )
+    )
+    cum = within.join(F.broadcast(carry), "bkt").select(
+        "v", (F.col("wc") + F.col("cb")).alias("c")
+    )
+    n_tot = per_val.agg(F.sum("t").cast("bigint").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(n_tot))
+        .agg(
+            F.min("n").cast("bigint").alias("n"),
+            F.min(
+                F.when(
+                    F.col("c") >= F.expr("CAST((n + 1) DIV 2 AS BIGINT)"),
+                    F.col("v"),
+                )
+            )
+            .cast("bigint")
+            .alias("med_v"),
+        )
+    )
+    grp = (
+        cents.crossJoin(F.broadcast(med))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum(F.when(F.col("v") > F.col("med_v"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("a_g"),
+        )
+    )
+    tot = grp.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("a_g").cast("bigint").alias("a"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    # Difference exact in bigint; SQUARE in double (the bigint square
+    # would overflow past sf1 — a_g*n ~ 4.5e11 there, squared 2e23).
+    num = (
+        (F.col("a_g") * F.col("n") - F.col("n_g") * F.col("a"))
+    ).cast("double")
+    term = (num * num) / (
+        F.col("n_g").cast("double")
+        * F.col("a").cast("double")
+        * (F.col("n") - F.col("a")).cast("double")
+    )
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(med.select(F.col("med_v"))))
+        .groupBy("n", "k", "a", "med_v")
+        .agg(_ordered_fold_sum(F.col("grp"), term).alias("chi2_raw"))
+        .select(
+            "n",
+            "k",
+            "a",
+            (F.col("med_v").cast("double") / 100).alias("pooled_median"),
+            F.when(
+                (F.col("a") > 0) & (F.col("a") < F.col("n")),
+                F.col("chi2_raw"),
+            ).alias("chi2"),
+            (F.col("k") - 1).alias("df"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_cochran_q — k related binary outcomes
+
+
+@register(
+    "stat_cochran_q",
+    tags=("stats", "agg"),
+    oracle="""
+        WITH x AS (
+            SELECT user_id, event_type, 1 AS f
+            FROM events GROUP BY user_id, event_type
+        ),
+        k AS (
+            SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+            FROM events
+        ),
+        cols AS (
+            SELECT CAST(SUM(CAST(cj AS DECIMAL(38,0)) * cj) AS BIGINT)
+                       AS sum_cj2,
+                   CAST(SUM(cj) AS BIGINT) AS t
+            FROM (SELECT event_type, COUNT(*) AS cj FROM x GROUP BY event_type)
+        ),
+        rows_ AS (
+            SELECT CAST(SUM(CAST(ru AS DECIMAL(38,0)) * ru) AS BIGINT)
+                       AS sum_ru2,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM (SELECT user_id, COUNT(*) AS ru FROM x GROUP BY user_id)
+        )
+        SELECT k.k, rows_.n_users, cols.t,
+               CASE WHEN k.k * cols.t - rows_.sum_ru2 > 0 THEN
+                 CAST(k.k - 1 AS DOUBLE)
+                   * (CAST(k.k AS DOUBLE) * cols.sum_cj2
+                      - CAST(cols.t AS DOUBLE) * cols.t)
+                   / (CAST(k.k AS DOUBLE) * cols.t - rows_.sum_ru2)
+               END AS q_stat,
+               (k.k - 1) AS df
+        FROM k CROSS JOIN cols CROSS JOIN rows_
+    """,
+)
+def stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across the event types: treating each USER as a
+    block and each event type as a treatment with the binary outcome
+    "did this user ever fire this event type", do the k types have
+    equal incidence? The k-sample extension of McNemar, and the
+    engagement-breadth test behind feature-adoption dashboards.
+    Q = (k-1) * (k*sum(C_j^2) - T^2) / (k*T - sum(R_u^2)) needs only
+    column totals (k values), row totals (one per user, map-side
+    combining agg) and their exact integer square sums — squares
+    accumulate in DECIMAL(38,0) so the sf1-scale user counts cannot
+    overflow the pre-cast sum. The degenerate all-rows-complete case
+    (every user fired every type: denominator 0) NULLs Q identically
+    on both engines. Blocks with all-zero rows never enter x and
+    cancel from Q algebraically, so the distinct-pair relation is the
+    full computation."""
+    e = load_table(spark, sf_dir, "events")
+    x = e.groupBy("user_id", "event_type").agg(F.lit(1).alias("f"))
+    k = e.agg(F.countDistinct("event_type").cast("bigint").alias("k"))
+    cj = x.groupBy("event_type").agg(F.count(F.lit(1)).alias("cj"))
+    cols = cj.agg(
+        F.sum(F.col("cj").cast("decimal(38,0)") * F.col("cj"))
+        .cast("bigint")
+        .alias("sum_cj2"),
+        F.sum("cj").cast("bigint").alias("t"),
+    )
+    ru = x.groupBy("user_id").agg(F.count(F.lit(1)).alias("ru"))
+    rows_ = ru.agg(
+        F.sum(F.col("ru").cast("decimal(38,0)") * F.col("ru"))
+        .cast("bigint")
+        .alias("sum_ru2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    kd = F.col("k").cast("double")
+    td = F.col("t").cast("double")
+    return (
+        k.crossJoin(F.broadcast(cols))
+        .crossJoin(F.broadcast(rows_))
+        .select(
+            "k",
+            "n_users",
+            "t",
+            F.when(
+                F.col("k") * F.col("t") - F.col("sum_ru2") > 0,
+                (kd - 1)
+                * (kd * F.col("sum_cj2") - td * F.col("t"))
+                / (kd * F.col("t") - F.col("sum_ru2")),
+            ).alias("q_stat"),
+            (F.col("k") - 1).alias("df"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_bowker_test — symmetry of paired categorical outcomes
+
+
+@register(
+    "stat_bowker_test",
+    tags=("stats", "window", "agg"),
+    oracle="""
+        WITH pref AS (
+            SELECT o_custkey,
+                   EXTRACT(year FROM o_orderdate) AS yr,
+                   o_orderpriority AS p,
+                   COUNT(*) AS cnt
+            FROM orders
+            WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+            GROUP BY 1, 2, 3
+        ),
+        modal AS (
+            SELECT o_custkey, yr, p FROM (
+                SELECT o_custkey, yr, p,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey, yr
+                                          ORDER BY cnt DESC, p) AS rn
+                FROM pref
+            ) WHERE rn = 1
+        ),
+        pairs AS (
+            SELECT a.p AS p95, b.p AS p96
+            FROM modal a JOIN modal b
+              ON a.o_custkey = b.o_custkey AND a.yr = 1995 AND b.yr = 1996
+        ),
+        cells AS (
+            SELECT p95, p96, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pairs GROUP BY p95, p96
+        ),
+        offdiag AS (
+            SELECT LEAST(p95, p96) AS i, GREATEST(p95, p96) AS j,
+                   CAST(SUM(CASE WHEN p95 < p96 THEN n ELSE 0 END)
+                        AS BIGINT) AS nij,
+                   CAST(SUM(CASE WHEN p95 > p96 THEN n ELSE 0 END)
+                        AS BIGINT) AS nji
+            FROM cells WHERE p95 <> p96
+            GROUP BY 1, 2
+        )
+        SELECT CAST(SUM(nij + nji) AS BIGINT) AS n_discordant_pairs,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               list_reduce(
+                   list(CAST((nij - nji) * (nij - nji) AS DOUBLE)
+                        / (nij + nji) ORDER BY i, j),
+                   (acc, x) -> acc + x) AS chi2
+        FROM offdiag
+        WHERE nij + nji > 0
+    """,
+)
+def stat_bowker_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowker's symmetry test on the 5x5 transition table of each
+    customer's MODAL order priority, 1995 -> 1996: is the preference
+    migration symmetric, or is there a directed drift (the k-category
+    generalization of McNemar)? The modal priority per (customer,
+    year) uses the deterministic mode (count desc, priority asc
+    tiebreak) via a customer-partitioned row_number — corpus-scale but
+    partitioned; everything after the per-customer pair is a <=25-row
+    contingency relation. chi2 = sum over unordered off-diagonal pairs
+    of (n_ij - n_ji)^2 / (n_ij + n_ji), folded in PINNED (i, j) order;
+    zero-sum pairs are excluded (they contribute 0/0) and df counts
+    the pairs actually summed, per the classical definition. Rows-only
+    degenerate: a perfectly diagonal table leaves no off-diagonal
+    pairs — then the query returns an empty relation, which check.py
+    would flag; the fixture's mixed preferences guarantee non-empty
+    (documented, verified at all three SFs)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    pref = o.groupBy(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderpriority").alias("p"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("o_custkey", "yr").orderBy(
+        F.col("cnt").desc(), F.col("p")
+    )
+    modal = (
+        pref.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "yr", "p")
+    )
+    a = modal.filter(F.col("yr") == 1995).select(
+        "o_custkey", F.col("p").alias("p95")
+    )
+    b = modal.filter(F.col("yr") == 1996).select(
+        "o_custkey", F.col("p").alias("p96")
+    )
+    cells = a.join(b, "o_custkey").groupBy("p95", "p96").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # Fold BOTH orientations onto the unordered pair key so an
+    # (i, j) pair observed only as (j, i) still contributes its
+    # (0 - n_ji)^2 / n_ji term — a one-sided left join from the i<j
+    # cells would silently drop it.
+    offdiag = (
+        cells.filter(F.col("p95") != F.col("p96"))
+        .groupBy(
+            F.least("p95", "p96").alias("i"),
+            F.greatest("p95", "p96").alias("j"),
+        )
+        .agg(
+            F.sum(F.when(F.col("p95") < F.col("p96"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("nij"),
+            F.sum(F.when(F.col("p95") > F.col("p96"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("nji"),
+        )
+        .filter(F.col("nij") + F.col("nji") > 0)
+    )
+    term = ((F.col("nij") - F.col("nji")) * (F.col("nij") - F.col("nji"))).cast(
+        "double"
+    ) / (F.col("nij") + F.col("nji"))
+    return offdiag.agg(
+        F.sum(F.col("nij") + F.col("nji")).cast("bigint").alias(
+            "n_discordant_pairs"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        _ordered_fold_sum(
+            F.concat(F.col("i"), F.lit("|"), F.col("j")), term
+        ).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_ansari_bradley — two-sample scale (dispersion) test
+
+
+@register(
+    "stat_ansari_bradley",
+    tags=("stats", "window", "agg"),
+    oracle="""
+        WITH ts AS (
+            SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS x,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                       AS g
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        per_val AS (
+            SELECT x, CAST(SUM(g) AS BIGINT) AS a,
+                   CAST(SUM(1 - g) AS BIGINT) AS b
+            FROM ts GROUP BY x
+        ),
+        cum AS (
+            SELECT x, a, b,
+                   SUM(a + b) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                       AS cum_t
+            FROM per_val
+        ),
+        tot AS (
+            SELECT CAST(SUM(a) AS BIGINT) AS n1,
+                   CAST(SUM(b) AS BIGINT) AS n0,
+                   CAST(SUM(a + b) AS BIGINT) AS n
+            FROM per_val
+        ),
+        scored AS (
+            SELECT a, (a + b) AS t,
+                   LEAST(2 * cum_t - (a + b) + 1,
+                         2 * (tot.n + 1) - (2 * cum_t - (a + b) + 1)) AS s2
+            FROM cum CROSS JOIN tot
+        ),
+        s AS (
+            SELECT CAST(SUM(a * s2) AS BIGINT) AS ab2,
+                   CAST(SUM(CAST(t AS DECIMAL(38,0)) * s2) AS DECIMAL(38,0))
+                       AS sts2,
+                   CAST(SUM(CAST(t AS DECIMAL(38,0)) * s2 * s2)
+                        AS DECIMAL(38,0)) AS sts2sq
+            FROM scored
+        )
+        SELECT tot.n1, tot.n0,
+               CAST(s.ab2 AS DOUBLE) / 2 AS ab_stat,
+               CASE WHEN tot.n > 1 AND tot.n1 > 0 AND tot.n0 > 0 THEN
+                 (CAST(CAST(CAST(s.ab2 AS DECIMAL(38,0)) * tot.n
+                            - CAST(tot.n1 AS DECIMAL(38,0)) * s.sts2
+                        AS VARCHAR) AS DOUBLE) / (2 * CAST(tot.n AS DOUBLE)))
+                 / sqrt(CAST(tot.n1 AS DOUBLE) * tot.n0
+                        * CAST(CAST(CAST(tot.n AS DECIMAL(38,0)) * s.sts2sq
+                                    - s.sts2 * s.sts2
+                               AS VARCHAR) AS DOUBLE)
+                        / (4 * CAST(tot.n AS DOUBLE) * tot.n
+                           * (CAST(tot.n AS DOUBLE) - 1)))
+               END AS z_stat
+        FROM s CROSS JOIN tot
+    """,
+)
+def stat_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley two-sample SCALE test on URGENT-vs-LOW order
+    prices: are the two priority classes equally dispersed around a
+    common center? Scores fold the pooled ranks inward — s = min(r,
+    N+1-r) — so extreme observations get LOW scores and a small
+    group-1 score sum flags wider dispersion. Ties take the
+    score-of-midrank (documented definition: s2 = min(mr2,
+    2(N+1)-mr2) on doubled midranks, exact integers; this equals the
+    classical mean-of-scores for every tie block not spanning the
+    fold point). The z uses the EXACT finite-population moments of
+    the realized score multiset (tie-adjusted by construction):
+    Var(AB) = n1*n0*(N*Sum t*s^2 - (Sum t*s)^2) / (N^2 (N-1)), all
+    accumulated in DECIMAL(38,0) off the shared bucket+carry pooled
+    cumulative — no global sort, one distinct-value relation.
+    Class-5: z NULLs when either group is empty or N=1 (the fixture's
+    priority filter guarantees both populated; guarded anyway)."""
+    cum = _pooled_cumulative_ab(spark, sf_dir)
+    tot = cum.agg(
+        F.sum("a").cast("bigint").alias("n1"),
+        F.sum("b").cast("bigint").alias("n0"),
+        F.sum(F.col("a") + F.col("b")).cast("bigint").alias("n"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "a",
+        (F.col("a") + F.col("b")).alias("t"),
+        F.least(
+            2 * F.col("cum_t") - (F.col("a") + F.col("b")) + 1,
+            2 * (F.col("n") + 1)
+            - (2 * F.col("cum_t") - (F.col("a") + F.col("b")) + 1),
+        ).alias("s2"),
+    )
+    s = scored.agg(
+        F.sum(F.col("a") * F.col("s2")).cast("bigint").alias("ab2"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("s2"))
+        .cast("decimal(38,0)")
+        .alias("sts2"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("s2") * F.col("s2"))
+        .cast("decimal(38,0)")
+        .alias("sts2sq"),
+    )
+    n_d = F.col("n").cast("double")
+    num = _as_d(
+        F.col("ab2").cast("decimal(38,0)") * F.col("n")
+        - F.col("n1").cast("decimal(38,0)") * F.col("sts2")
+    ) / (2 * n_d)
+    var = (
+        F.col("n1").cast("double")
+        * F.col("n0")
+        * _as_d(
+            F.col("n").cast("decimal(38,0)") * F.col("sts2sq")
+            - F.col("sts2") * F.col("sts2")
+        )
+        / (4 * n_d * F.col("n") * (n_d - 1))
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n0",
+        (F.col("ab2").cast("double") / 2).alias("ab_stat"),
+        F.when(
+            (F.col("n") > 1) & (F.col("n1") > 0) & (F.col("n0") > 0),
+            num / F.sqrt(var),
+        ).alias("z_stat"),
+    )
+
+
+def _pooled_cumulative_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(x, a, b, cum_a, cum_b, cum_t): URGENT-vs-LOW distinct-price
+    counts with INCLUSIVE per-group and pooled cumulatives, bucket +
+    carry (no corpus-scale unpartitioned window). Shared by the
+    Ansari-Bradley, Anderson-Darling and Brunner-Munzel rank tests."""
+    o = load_table(spark, sf_dir, "orders")
+    ts = o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).select(
+        F.col("o_totalprice").cast("decimal(12,2)").alias("x"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("g"),
+    )
+    per_val = ts.groupBy("x").agg(
+        F.sum("g").cast("bigint").alias("a"),
+        F.sum(F.lit(1) - F.col("g")).cast("bigint").alias("b"),
+    )
+    per_val = per_val.withColumn(
+        "bkt", F.floor(F.col("x") / F.lit(10000)).cast("long")
+    ).persist()
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = per_val.select(
+        "bkt", "x", "a", "b",
+        F.sum("a").over(w_in).alias("wa"),
+        F.sum("b").over(w_in).alias("wb"),
+    )
+    w_carry = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        per_val.groupBy("bkt")
+        .agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("ta").over(w_carry), F.lit(0)).alias("ca"),
+            F.coalesce(F.sum("tb").over(w_carry), F.lit(0)).alias("cb"),
+        )
+    )
+    return within.join(F.broadcast(carry), "bkt").select(
+        "x",
+        "a",
+        "b",
+        (F.col("wa") + F.col("ca")).alias("cum_a"),
+        (F.col("wb") + F.col("cb")).alias("cum_b"),
+        (F.col("wa") + F.col("ca") + F.col("wb") + F.col("cb")).alias(
+            "cum_t"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_page_trend — ordered-alternative trend across treatments
+
+
+@register(
+    "stat_page_trend",
+    tags=("stats", "window", "agg"),
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(FLOOR(value * 1e6) AS DECIMAL(38,0)))
+                        AS BIGINT) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT event_type, day,
+                   2 * (RANK() OVER (PARTITION BY day ORDER BY v))
+                     + (COUNT(*) OVER (PARTITION BY day, v)) - 1 AS mr2
+            FROM daily
+        ),
+        tj AS (
+            SELECT event_type,
+                   ROW_NUMBER() OVER (ORDER BY event_type) AS j
+            FROM (SELECT DISTINCT event_type FROM daily)
+        ),
+        rj AS (
+            SELECT r.event_type, tj.j,
+                   CAST(COUNT(*) AS BIGINT) AS nb,
+                   CAST(SUM(r.mr2) AS BIGINT) AS r2j
+            FROM ranked r JOIN tj ON tj.event_type = r.event_type
+            GROUP BY 1, 2
+        ),
+        dims AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(MIN(nb) AS BIGINT) AS n,
+                   CAST(MAX(nb) AS BIGINT) AS mx,
+                   CAST(SUM(j * r2j) AS BIGINT) AS l2
+            FROM rj
+        )
+        SELECT k, n,
+               CAST(l2 AS DOUBLE) / 2 AS page_l,
+               CASE WHEN n = mx AND k > 1 THEN
+                 (CAST(l2 AS DOUBLE) / 2
+                  - CAST(n AS DOUBLE) * k * (k + 1) * (k + 1) / 4)
+                 / sqrt(CAST(n AS DOUBLE) * k * k * (k + 1) * (k + 1)
+                        * (k - 1) / 144)
+               END AS z_stat
+        FROM dims
+    """,
+)
+def stat_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's trend test for ordered alternatives across the five
+    event streams: with each DAY a block and treatments ordered
+    alphabetically by type, L = sum_j j * R_j rises when activity
+    level increases monotonically along the treatment order — the
+    rank test that detects a TREND Friedman's omnibus Q dilutes.
+    Within-day doubled midranks reuse the Friedman machinery (k rows
+    per day partition, embarrassingly parallel); the treatment index
+    comes from a k-row ranked relation; L and the per-treatment rank
+    sums are exact integers, halved once at the edge. z uses the
+    classical no-tie moments E[L] = nk(k+1)^2/4, Var[L] =
+    nk^2(k+1)^2(k-1)/144 (Page 1963; midranks keep L well-defined
+    under ties, documented approximation). Complete-block guard as in
+    stat_friedman_test: unequal block counts NULL the z identically
+    on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * F.lit(1e6)).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("v")
+    )
+    wd = Window.partitionBy("day").orderBy("v")
+    wt = Window.partitionBy("day", "v")
+    ranked = daily.select(
+        "event_type",
+        (2 * F.rank().over(wd) + F.count(F.lit(1)).over(wt) - 1).alias("mr2"),
+    )
+    types = daily.select("event_type").distinct()
+    wj = Window.orderBy("event_type")  # k rows — bounded by type domain
+    tj = types.select("event_type", F.row_number().over(wj).alias("j"))
+    rj = (
+        ranked.join(F.broadcast(tj), "event_type")
+        .groupBy("event_type", "j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nb"),
+            F.sum("mr2").cast("bigint").alias("r2j"),
+        )
+    )
+    dims = rj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.min("nb").cast("bigint").alias("n"),
+        F.max("nb").cast("bigint").alias("mx"),
+        F.sum(F.col("j") * F.col("r2j")).cast("bigint").alias("l2"),
+    )
+    k_d = F.col("k").cast("double")
+    n_d = F.col("n").cast("double")
+    mu = n_d * k_d * (k_d + 1) * (k_d + 1) / 4
+    var = n_d * k_d * k_d * (k_d + 1) * (k_d + 1) * (k_d - 1) / 144
+    return dims.select(
+        "k",
+        "n",
+        (F.col("l2").cast("double") / 2).alias("page_l"),
+        F.when(
+            (F.col("n") == F.col("mx")) & (F.col("k") > 1),
+            (F.col("l2").cast("double") / 2 - mu) / F.sqrt(var),
+        ).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_anderson_darling_2s — integral ECDF test, tail-weighted
+
+_AB_SAMPLE_SQL = """
+            SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS x,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                       AS g
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+"""
+
+
+@register(
+    "stat_anderson_darling_2s",
+    tags=("stats", "window", "agg"),
+    oracle=f"""
+        WITH ts AS ({_AB_SAMPLE_SQL}),
+        per_val AS (
+            SELECT x, CAST(SUM(g) AS BIGINT) AS a,
+                   CAST(SUM(1 - g) AS BIGINT) AS b
+            FROM ts GROUP BY x
+        ),
+        cum AS (
+            SELECT x, a, b,
+                   SUM(a) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum_a,
+                   SUM(a + b) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                       AS cum_t
+            FROM per_val
+        ),
+        tot AS (
+            SELECT CAST(SUM(a) AS BIGINT) AS n,
+                   CAST(SUM(b) AS BIGINT) AS m,
+                   CAST(SUM(a + b) AS BIGINT) AS nt
+            FROM per_val
+        ),
+        terms AS (
+            SELECT (a + b) *
+                   CAST(CAST(CAST(CAST(cum_a * tot.nt - tot.n * cum_t
+                                       AS DECIMAL(19,0))
+                                  * CAST(cum_a * tot.nt - tot.n * cum_t
+                                         AS DECIMAL(19,0)) AS DECIMAL(38,0))
+                        AS VARCHAR) AS DOUBLE)
+                     / (CAST(cum_t AS DOUBLE) * (tot.nt - cum_t)) AS ratio
+            FROM cum CROSS JOIN tot
+            WHERE cum_t < tot.nt
+        ),
+        s AS (
+            SELECT CAST(CAST(SUM(CAST(FLOOR(ratio * 1e6) AS DECIMAL(38,0)))
+                        AS VARCHAR) AS DOUBLE) / 1e6 AS sq
+            FROM terms
+        )
+        SELECT tot.n, tot.m,
+               s.sq / (CAST(tot.n AS DOUBLE) * CAST(tot.m AS DOUBLE))
+                   AS ad_stat
+        FROM s CROSS JOIN tot
+    """,
+)
+def stat_anderson_darling_2s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling statistic on the URGENT-vs-LOW
+    pooled price sample — the TAIL-WEIGHTED sibling of stat_ks (sup)
+    and stat_cvm (integral): A2 = (1/(nm)) * sum over distinct pooled
+    values below the top of t_v * (M_v*N - n*B_v)^2 / (B_v*(N - B_v))
+    (Pettitt 1976 discrete form; midrank-consistent under ties). The
+    gap numerator is an exact integer off the shared bucket+carry
+    cumulative, squared in width-pinned DECIMAL (19,0)^2 -> (38,0)
+    then VARCHAR-routed to double ONCE per distinct value; the
+    tail weight 1/(B(N-B)) makes the per-value terms unequal, so the
+    reduction floor-quantizes each double ratio at 1e6 and sums EXACT
+    DECIMAL(38,0) (the o_fsum recipe — engine-order-free by
+    construction, quantization error <= rows*1e-6/(nm)). The B=N top
+    row is excluded on both engines (0/0 by construction); n,m >= 1
+    by the fixture's priority contract."""
+    cum = _pooled_cumulative_ab(spark, sf_dir)
+    tot = cum.agg(
+        F.sum("a").cast("bigint").alias("n"),
+        F.sum("b").cast("bigint").alias("m"),
+        F.sum(F.col("a") + F.col("b")).cast("bigint").alias("nt"),
+    )
+    gap = (
+        F.col("cum_a") * F.col("nt") - F.col("n") * F.col("cum_t")
+    ).cast("decimal(19,0)")
+    ratio = (
+        (F.col("a") + F.col("b"))
+        * _as_d((gap * gap).cast("decimal(38,0)"))
+        / (F.col("cum_t").cast("double") * (F.col("nt") - F.col("cum_t")))
+    )
+    terms = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_t") < F.col("nt"))
+        .select(ratio.alias("ratio"))
+    )
+    s = terms.agg(
+        (
+            F.sum(
+                F.floor(F.col("ratio") * F.lit(1e6)).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("sq")
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "m",
+        (
+            F.col("sq")
+            / (F.col("n").cast("double") * F.col("m").cast("double"))
+        ).alias("ad_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_brunner_munzel — rank-based Behrens-Fisher test
+
+
+@register(
+    "stat_brunner_munzel",
+    tags=("stats", "window", "agg"),
+    oracle=f"""
+        WITH ts AS ({_AB_SAMPLE_SQL}),
+        per_val AS (
+            SELECT x, CAST(SUM(g) AS BIGINT) AS a,
+                   CAST(SUM(1 - g) AS BIGINT) AS b
+            FROM ts GROUP BY x
+        ),
+        cum AS (
+            SELECT x, a, b,
+                   SUM(a) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum_a,
+                   SUM(b) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum_b,
+                   SUM(a + b) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                       AS cum_t
+            FROM per_val
+        ),
+        tot AS (
+            SELECT CAST(SUM(a) AS BIGINT) AS n1,
+                   CAST(SUM(b) AS BIGINT) AS n0
+            FROM per_val
+        ),
+        dev AS (
+            SELECT a, b,
+                   (2 * cum_t - (a + b) + 1) AS mr2p,
+                   (2 * cum_t - (a + b) + 1) - (2 * cum_a - a + 1) AS d1,
+                   (2 * cum_t - (a + b) + 1) - (2 * cum_b - b + 1) AS d0
+            FROM cum
+        ),
+        s AS (
+            SELECT CAST(SUM(a * CAST(mr2p AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS r2sum1,
+                   CAST(SUM(b * CAST(mr2p AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS r2sum0,
+                   CAST(SUM(a * CAST(d1 AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                       AS s1,
+                   CAST(SUM(b * CAST(d0 AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                       AS s0,
+                   CAST(SUM(a * CAST(d1 AS DECIMAL(38,0)) * d1)
+                        AS DECIMAL(38,0)) AS q1,
+                   CAST(SUM(b * CAST(d0 AS DECIMAL(38,0)) * d0)
+                        AS DECIMAL(38,0)) AS q0
+            FROM dev
+        )
+        SELECT tot.n1, tot.n0,
+               (CAST(CAST(s.r2sum0 AS VARCHAR) AS DOUBLE)
+                  / (2 * CAST(tot.n0 AS DOUBLE))
+                - (CAST(tot.n0 AS DOUBLE) + 1) / 2) / tot.n1 AS p_hat,
+               CASE WHEN tot.n1 > 1 AND tot.n0 > 1
+                         AND (CAST(tot.n1 AS DOUBLE)
+                              * (CAST(CAST(s.q1 * tot.n1 - s.s1 * s.s1
+                                      AS VARCHAR) AS DOUBLE)
+                                 / (4.0 * tot.n1 * (tot.n1 - 1)))
+                              + CAST(tot.n0 AS DOUBLE)
+                              * (CAST(CAST(s.q0 * tot.n0 - s.s0 * s.s0
+                                      AS VARCHAR) AS DOUBLE)
+                                 / (4.0 * tot.n0 * (tot.n0 - 1))))
+                             > 0 THEN
+                 CAST(tot.n1 AS DOUBLE) * tot.n0
+                   * (CAST(CAST(s.r2sum0 AS VARCHAR) AS DOUBLE)
+                        / (2 * CAST(tot.n0 AS DOUBLE))
+                      - CAST(CAST(s.r2sum1 AS VARCHAR) AS DOUBLE)
+                        / (2 * CAST(tot.n1 AS DOUBLE)))
+                   / (CAST(tot.n1 AS DOUBLE) + tot.n0)
+                   / sqrt(CAST(tot.n1 AS DOUBLE)
+                          * (CAST(CAST(s.q1 * tot.n1 - s.s1 * s.s1
+                                  AS VARCHAR) AS DOUBLE)
+                             / (4.0 * tot.n1 * (tot.n1 - 1)))
+                          + CAST(tot.n0 AS DOUBLE)
+                          * (CAST(CAST(s.q0 * tot.n0 - s.s0 * s.s0
+                                  AS VARCHAR) AS DOUBLE)
+                             / (4.0 * tot.n0 * (tot.n0 - 1))))
+               END AS bm_stat
+        FROM s CROSS JOIN tot
+    """,
+)
+def stat_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel rank test (the nonparametric Behrens-Fisher
+    problem) on URGENT-vs-LOW prices: tests P(X < Y) + P(X = Y)/2 =
+    1/2 WITHOUT assuming equal variances — the modern replacement for
+    Mann-Whitney when dispersions differ. Everything reduces to exact
+    integers on the distinct-value relation: pooled doubled midranks
+    mr2p = 2*cum_t - t + 1, within-group doubled midranks from the
+    per-group cumulatives, and the deviation sums S_i = sum
+    cnt*(mr2p - mr2own), Q_i = sum cnt*(...)^2 in DECIMAL(38,0). The
+    rank variances S_i^2 = (Q_i*n_i - S_i^2)/(4 n_i^2 (n_i-1)) and
+    the scipy-consistent statistic W = n1*n0*(Rbar0 - Rbar1)/((n1+n0)
+    * sqrt(n1*S1^2 + n0*S0^2)) take doubles only at the edge (VARCHAR
+    route). p_hat = (Rbar0 - (n0+1)/2)/n1 estimates P(URGENT < LOW) +
+    ties/2. Guards: W NULLs when either group has < 2 observations or
+    both rank variances are 0 (identical constant samples)."""
+    cum = _pooled_cumulative_ab(spark, sf_dir)
+    tot = cum.agg(
+        F.sum("a").cast("bigint").alias("n1"),
+        F.sum("b").cast("bigint").alias("n0"),
+    )
+    t_v = F.col("a") + F.col("b")
+    mr2p = 2 * F.col("cum_t") - t_v + 1
+    d1 = mr2p - (2 * F.col("cum_a") - F.col("a") + 1)
+    d0 = mr2p - (2 * F.col("cum_b") - F.col("b") + 1)
+    dev = cum.select(
+        "a",
+        "b",
+        mr2p.alias("mr2p"),
+        d1.alias("d1"),
+        d0.alias("d0"),
+    )
+    s = dev.agg(
+        F.sum(F.col("a") * F.col("mr2p").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("r2sum1"),
+        F.sum(F.col("b") * F.col("mr2p").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("r2sum0"),
+        F.sum(F.col("a") * F.col("d1").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum(F.col("b") * F.col("d0").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s0"),
+        F.sum(F.col("a") * F.col("d1").cast("decimal(38,0)") * F.col("d1"))
+        .cast("decimal(38,0)")
+        .alias("q1"),
+        F.sum(F.col("b") * F.col("d0").cast("decimal(38,0)") * F.col("d0"))
+        .cast("decimal(38,0)")
+        .alias("q0"),
+    )
+    n1d = F.col("n1").cast("double")
+    n0d = F.col("n0").cast("double")
+    rbar1 = _as_d(F.col("r2sum1")) / (2 * n1d)
+    rbar0 = _as_d(F.col("r2sum0")) / (2 * n0d)
+    var1 = _as_d(F.col("q1") * F.col("n1") - F.col("s1") * F.col("s1")) / (
+        F.lit(4.0) * F.col("n1") * (F.col("n1") - 1)
+    )
+    var0 = _as_d(F.col("q0") * F.col("n0") - F.col("s0") * F.col("s0")) / (
+        F.lit(4.0) * F.col("n0") * (F.col("n0") - 1)
+    )
+    denom = n1d * var1 + n0d * var0
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n0",
+        ((rbar0 - (n0d + 1) / 2) / F.col("n1")).alias("p_hat"),
+        F.when(
+            (F.col("n1") > 1) & (F.col("n0") > 1) & (denom > 0),
+            n1d * F.col("n0") * (rbar0 - rbar1) / (n1d + F.col("n0"))
+            / F.sqrt(denom),
+        ).alias("bm_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_jonckheere_terpstra — ordered-alternative k-sample test
+
+_JT_PRIOS = (
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+)
+
+
+def _jt_pair_sql() -> str:
+    terms = []
+    for g in range(1, 6):
+        for h in range(g + 1, 6):
+            terms.append(
+                f"(2 * c{h} * (cc{g} - c{g}) + c{h} * c{g})"
+            )
+    return " + ".join(terms)
+
+
+@register(
+    "stat_jonckheere_terpstra",
+    tags=("stats", "window", "agg"),
+    oracle=f"""
+        WITH cents AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS v
+            FROM orders
+        ),
+        pv AS (
+            SELECT v,
+                   {", ".join(
+                       f"CAST(SUM(CASE WHEN grp = '{p}' THEN 1 ELSE 0 END) "
+                       f"AS BIGINT) AS c{i}"
+                       for i, p in enumerate(_JT_PRIOS, start=1)
+                   )}
+            FROM cents GROUP BY v
+        ),
+        cum AS (
+            SELECT v,
+                   {", ".join(f"c{i}" for i in range(1, 6))},
+                   {", ".join(
+                       f"SUM(c{i}) OVER (ORDER BY v ROWS UNBOUNDED "
+                       f"PRECEDING) AS cc{i}"
+                       for i in range(1, 6)
+                   )}
+            FROM pv
+        ),
+        jt AS (
+            SELECT CAST(SUM({_jt_pair_sql()}) AS BIGINT) AS jt2
+            FROM cum
+        ),
+        sizes AS (
+            SELECT CAST(SUM({" + ".join(f"c{i}" for i in range(1, 6))})
+                        AS BIGINT) AS n,
+                   {", ".join(
+                       f"CAST(SUM(c{i}) AS BIGINT) AS n{i}"
+                       for i in range(1, 6)
+                   )}
+            FROM pv
+        ),
+        mom AS (
+            SELECT n,
+                   CAST(CAST(n AS DECIMAL(38,0)) * n
+                        - ({" + ".join(
+                               f"CAST(n{i} AS DECIMAL(38,0)) * n{i}"
+                               for i in range(1, 6)
+                           )}) AS DECIMAL(38,0)) AS e2_num,
+                   CAST(CAST(n AS DECIMAL(38,0)) * n * (2 * n + 3)
+                        - ({" + ".join(
+                            f"CAST(n{i} AS DECIMAL(38,0)) * n{i} "
+                            f"* (2 * n{i} + 3)"
+                            for i in range(1, 6)
+                        )}) AS DECIMAL(38,0)) AS var72
+            FROM sizes
+        )
+        SELECT mom.n,
+               CAST(jt.jt2 AS DOUBLE) / 2 AS jt_u,
+               CASE WHEN mom.var72 > 0 THEN
+                 (CAST(jt.jt2 AS DOUBLE)
+                  - CAST(CAST(mom.e2_num AS VARCHAR) AS DOUBLE) / 2)
+                 / (2 * sqrt(CAST(CAST(mom.var72 AS VARCHAR) AS DOUBLE)
+                             / 72))
+               END AS z_stat
+        FROM jt CROSS JOIN mom
+    """,
+)
+def stat_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED alternative across the
+    five order priorities (1-URGENT < ... < 5-LOW): do prices trend
+    monotonically with declining urgency? JT = sum over group pairs
+    g < h of the Mann-Whitney count #{x_g < x_h} (+ ties/2) — more
+    powerful than Kruskal-Wallis when the alternative is a trend. The
+    2-scaled statistic is one exact integer pass over the distinct-
+    cents relation: per value, the 10 pair terms combine the per-group
+    counts c_g with EXCLUSIVE per-group cumulatives (from bucket+carry
+    inclusive cumulatives), i.e. 2*JT = sum_v sum_(g<h) (2 c_h (C_g -
+    c_g) + c_h c_g). Moments E[2JT] = (N^2 - sum n_g^2)/2 and 72*Var =
+    N^2(2N+3) - sum n_g^2(2n_g+3) (no-tie form, Jonckheere 1954;
+    midtie halves keep JT well-defined) accumulate in DECIMAL(38,0) —
+    N^2(2N+3) ~ 7e18 already at sf1, past bigint at sf10. z NULLs on
+    zero variance (all data in one group)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+    )
+    pv = cents.groupBy("v").agg(
+        *[
+            F.sum(F.when(F.col("grp") == p, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i, p in enumerate(_JT_PRIOS, start=1)
+        ]
+    )
+    bkt = pv.withColumn("bkt", F.floor(F.col("v") / F.lit(1000000)))
+    w_in = Window.partitionBy("bkt").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    within = bkt.select(
+        "bkt",
+        "v",
+        *[F.col(f"c{i}") for i in range(1, 6)],
+        *[F.sum(f"c{i}").over(w_in).alias(f"w{i}") for i in range(1, 6)],
+    )
+    w_carry = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        bkt.groupBy("bkt")
+        .agg(*[F.sum(f"c{i}").alias(f"t{i}") for i in range(1, 6)])
+        .select(
+            "bkt",
+            *[
+                F.coalesce(F.sum(f"t{i}").over(w_carry), F.lit(0)).alias(
+                    f"k{i}"
+                )
+                for i in range(1, 6)
+            ],
+        )
+    )
+    cum = within.join(F.broadcast(carry), "bkt").select(
+        "v",
+        *[F.col(f"c{i}") for i in range(1, 6)],
+        *[
+            (F.col(f"w{i}") + F.col(f"k{i}")).alias(f"cc{i}")
+            for i in range(1, 6)
+        ],
+    )
+    pair_term = None
+    for g in range(1, 6):
+        for h in range(g + 1, 6):
+            t = 2 * F.col(f"c{h}") * (F.col(f"cc{g}") - F.col(f"c{g}")) + F.col(
+                f"c{h}"
+            ) * F.col(f"c{g}")
+            pair_term = t if pair_term is None else pair_term + t
+    jt = cum.agg(F.sum(pair_term).cast("bigint").alias("jt2"))
+    sizes = pv.agg(
+        F.sum(sum(F.col(f"c{i}") for i in range(1, 6)))
+        .cast("bigint")
+        .alias("n"),
+        *[
+            F.sum(f"c{i}").cast("bigint").alias(f"n{i}")
+            for i in range(1, 6)
+        ],
+    )
+    nD = F.col("n").cast("decimal(38,0)")
+    e2_num = (nD * F.col("n")) - sum(
+        F.col(f"n{i}").cast("decimal(38,0)") * F.col(f"n{i}")
+        for i in range(1, 6)
+    )
+    var72 = (nD * F.col("n") * (2 * F.col("n") + 3)) - sum(
+        F.col(f"n{i}").cast("decimal(38,0)")
+        * F.col(f"n{i}")
+        * (2 * F.col(f"n{i}") + 3)
+        for i in range(1, 6)
+    )
+    mom = sizes.select(
+        "n",
+        e2_num.cast("decimal(38,0)").alias("e2_num"),
+        var72.cast("decimal(38,0)").alias("var72"),
+    )
+    return jt.crossJoin(F.broadcast(mom)).select(
+        "n",
+        (F.col("jt2").cast("double") / 2).alias("jt_u"),
+        F.when(
+            F.col("var72") > 0,
+            (F.col("jt2").cast("double") - _as_d(F.col("e2_num")) / 2)
+            / (2 * F.sqrt(_as_d(F.col("var72")) / 72)),
+        ).alias("z_stat"),
+    )

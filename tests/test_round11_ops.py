@@ -1,0 +1,293 @@
+"""Round-11: pure-Python/numpy references for the new operators. Each
+test re-derives the statistic from the raw sf0.001 parquet with an
+INDEPENDENT formulation (numpy float64 ranks, no floor-scaling, no
+shared SQL fragments) so a formula bug shared between the Spark build
+and the DuckDB oracle cannot hide."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from finance_etl_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+
+def _fetch(sql: str):
+    con = duckdb.connect()
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+def _midranks(values: np.ndarray) -> np.ndarray:
+    """Average ranks (1-based) with ties — rankdata('average')."""
+    order = np.argsort(values, kind="mergesort")
+    ranks = np.empty(len(values), dtype=np.float64)
+    sv = values[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    return ranks
+
+
+def _seg_daily_py():
+    return _fetch(
+        "SELECT c.c_mktsegment, CAST(o.o_orderdate AS DATE),"
+        " SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))"
+        f" FROM read_parquet('{SF}/orders.parquet') o"
+        f" JOIN read_parquet('{SF}/customer.parquet') c"
+        " ON o.o_custkey = c.c_custkey GROUP BY 1, 2"
+    )
+
+
+def _two_sample_py():
+    rows = _fetch(
+        "SELECT CAST(o_totalprice AS DECIMAL(12,2)),"
+        " CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+        " WHERE o_orderpriority IN ('1-URGENT', '5-LOW')"
+    )
+    x = np.array([float(r[0]) for r in rows])
+    g = np.array([r[1] for r in rows])
+    return x, g
+
+
+def test_dixon_q_matches_numpy(spark):
+    got = {
+        r["segment"]: r
+        for r in plans.get("stat_dixon_q").build(spark, SF).collect()
+    }
+    per_seg = {}
+    for seg, _, x in _seg_daily_py():
+        per_seg.setdefault(seg, []).append(float(x))
+    for seg, xs in per_seg.items():
+        xs = np.sort(np.array(xs))
+        row = got[seg]
+        assert row["n_days"] == len(xs)
+        gap = xs[-1] - xs[-2]
+        rng = xs[-1] - xs[0]
+        assert row["gap"] == pytest.approx(gap, rel=1e-12)
+        assert row["xrange"] == pytest.approx(rng, rel=1e-12)
+        if rng > 0:
+            assert row["q_stat"] == pytest.approx(gap / rng, rel=1e-12)
+
+
+def test_mood_median_matches_numpy(spark):
+    row = plans.get("stat_mood_median_test").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(12,2))"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    )
+    grp = np.array([r[0] for r in rows])
+    x = np.array([float(r[1]) for r in rows])
+    n = len(x)
+    med = np.sort(x)[(n + 1) // 2 - 1]  # lower median, rank ceil(n/2)
+    assert row["pooled_median"] == pytest.approx(med, rel=1e-12)
+    above = x > med
+    a_tot = int(above.sum())
+    assert (row["n"], row["a"]) == (n, a_tot)
+    chi2 = 0.0
+    for gname in sorted(set(grp)):
+        m = grp == gname
+        n_g, a_g = int(m.sum()), int(above[m].sum())
+        e1 = n_g * a_tot / n
+        e0 = n_g * (n - a_tot) / n
+        chi2 += (a_g - e1) ** 2 / e1 + ((n_g - a_g) - e0) ** 2 / e0
+    assert row["chi2"] == pytest.approx(chi2, rel=1e-9)
+    assert row["df"] == len(set(grp)) - 1
+
+
+def test_cochran_q_matches_reference(spark):
+    row = plans.get("stat_cochran_q").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT DISTINCT user_id, event_type"
+        f" FROM read_parquet('{SF}/events.parquet')"
+    )
+    k = len({et for _, et in rows})
+    users = {}
+    cols = {}
+    for u, et in rows:
+        users.setdefault(u, set()).add(et)
+        cols[et] = cols.get(et, 0) + 1
+    t = sum(cols.values())
+    sum_cj2 = sum(c * c for c in cols.values())
+    sum_ru2 = sum(len(s) ** 2 for s in users.values())
+    assert (row["k"], row["t"], row["n_users"]) == (k, t, len(users))
+    denom = k * t - sum_ru2
+    if denom > 0:
+        q = (k - 1) * (k * sum_cj2 - t * t) / denom
+        assert row["q_stat"] == pytest.approx(q, rel=1e-12)
+    else:
+        assert row["q_stat"] is None
+
+
+def test_bowker_matches_reference(spark):
+    row = plans.get("stat_bowker_test").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT o_custkey, EXTRACT(year FROM o_orderdate), o_orderpriority,"
+        " COUNT(*)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+        " WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)"
+        " GROUP BY 1, 2, 3"
+    )
+    best = {}
+    for ck, yr, p, cnt in rows:
+        key = (ck, yr)
+        cur = best.get(key)
+        if cur is None or (-cnt, p) < cur[0]:
+            best[key] = ((-cnt, p), p)
+    cells = {}
+    for ck in {k[0] for k in best}:
+        a, b = best.get((ck, 1995)), best.get((ck, 1996))
+        if a and b:
+            cells[(a[1], b[1])] = cells.get((a[1], b[1]), 0) + 1
+    chi2, df, nd = 0.0, 0, 0
+    seen = set()
+    for (i, j), nij in sorted(cells.items()):
+        if i == j or (j, i) in seen:
+            continue
+        seen.add((i, j))
+        nji = cells.get((j, i), 0)
+        s = nij + nji
+        if s > 0:
+            chi2 += (nij - nji) ** 2 / s
+            df += 1
+            nd += s
+    assert (row["df"], row["n_discordant_pairs"]) == (df, nd)
+    assert row["chi2"] == pytest.approx(chi2, rel=1e-9)
+
+
+def test_ansari_bradley_matches_numpy(spark):
+    row = plans.get("stat_ansari_bradley").build(spark, SF).collect()[0]
+    x, g = _two_sample_py()
+    n = len(x)
+    mr = _midranks(x)
+    s = np.minimum(mr, n + 1 - mr)  # score-of-midrank definition
+    ab = s[g == 1].sum()
+    n1, n0 = int((g == 1).sum()), int((g == 0).sum())
+    assert (row["n1"], row["n0"]) == (n1, n0)
+    assert row["ab_stat"] == pytest.approx(ab, rel=1e-12)
+    sbar = s.mean()
+    var = n1 * n0 * (n * (s * s).sum() - s.sum() ** 2) / (n * n * (n - 1))
+    z = (ab - n1 * sbar) / np.sqrt(var)
+    assert row["z_stat"] == pytest.approx(z, rel=1e-9)
+
+
+def test_page_trend_matches_numpy_and_mc_moments(spark):
+    row = plans.get("stat_page_trend").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT event_type, CAST(ts AS DATE),"
+        " SUM(CAST(FLOOR(value * 1e6) AS DECIMAL(38,0)))"
+        f" FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2"
+    )
+    days = {}
+    for et, d, v in rows:
+        days.setdefault(d, []).append((et, int(v)))
+    types = sorted({et for et, _, _ in rows})
+    k = len(types)
+    jidx = {t: i + 1 for i, t in enumerate(types)}
+    rj = {t: 0.0 for t in types}
+    for d, items in days.items():
+        vals = np.array([v for _, v in items], dtype=np.float64)
+        ranks = _midranks(vals)
+        for (et, _), r in zip(items, ranks):
+            rj[et] += r
+    ell = sum(jidx[t] * rj[t] for t in types)
+    assert row["k"] == k
+    assert row["page_l"] == pytest.approx(ell, rel=1e-12)
+    n = row["n"]
+    mu = n * k * (k + 1) ** 2 / 4
+    var = n * k * k * (k + 1) ** 2 * (k - 1) / 144
+    assert row["z_stat"] == pytest.approx((ell - mu) / np.sqrt(var), rel=1e-9)
+    # Monte-Carlo check of the moment formulas themselves (Page 1963):
+    # L under random within-block rank permutations has mean mu and
+    # variance var (no ties in the simulated blocks).
+    rng = np.random.default_rng(7)
+    sims = np.empty(4000)
+    base = np.arange(1, k + 1, dtype=np.float64)
+    weights = np.arange(1, k + 1, dtype=np.float64)
+    for s_i in range(len(sims)):
+        tot = 0.0
+        for _ in range(int(n)):
+            tot += float((weights * rng.permutation(base)).sum())
+        sims[s_i] = tot
+    assert sims.mean() == pytest.approx(mu, rel=0.01)
+    assert sims.var() == pytest.approx(var, rel=0.15)
+
+
+def test_anderson_darling_matches_numpy(spark):
+    row = plans.get("stat_anderson_darling_2s").build(spark, SF).collect()[0]
+    x, g = _two_sample_py()
+    n1 = int((g == 1).sum())
+    n0 = int((g == 0).sum())
+    nt = n1 + n0
+    vals = np.sort(np.unique(x))
+    acc = 0.0
+    for v in vals:
+        le = x <= v
+        b_cum = int(le.sum())
+        if b_cum == nt:
+            continue
+        m_cum = int((le & (g == 1)).sum())
+        t_v = int((x == v).sum())
+        acc += t_v * (m_cum * nt - n1 * b_cum) ** 2 / (b_cum * (nt - b_cum))
+    ad = acc / (n1 * n0)
+    assert (row["n"], row["m"]) == (n1, n0)
+    # the engine floor-quantizes each term at 1e-6 before the exact sum
+    assert row["ad_stat"] == pytest.approx(ad, rel=1e-5, abs=1e-5)
+
+
+def test_brunner_munzel_matches_scipy_formulation(spark):
+    row = plans.get("stat_brunner_munzel").build(spark, SF).collect()[0]
+    x, g = _two_sample_py()
+    xs, ys = x[g == 1], x[g == 0]  # x = URGENT, y = LOW
+    nx, ny = len(xs), len(ys)
+    rank_all = _midranks(np.concatenate([xs, ys]))
+    rx, ry = rank_all[:nx], rank_all[nx:]
+    rank_x_own = _midranks(xs)
+    rank_y_own = _midranks(ys)
+    sx = ((rx - rank_x_own - rx.mean() + (nx + 1) / 2) ** 2).sum() / (nx - 1)
+    sy = ((ry - rank_y_own - ry.mean() + (ny + 1) / 2) ** 2).sum() / (ny - 1)
+    # scipy.stats.brunnermunzel's statistic (variance-stabilized form)
+    wbfn = (
+        nx * ny * (ry.mean() - rx.mean())
+        / (nx + ny)
+        / np.sqrt(nx * sx + ny * sy)
+    )
+    p_hat = (ry.mean() - (ny + 1) / 2) / nx
+    assert (row["n1"], row["n0"]) == (nx, ny)
+    assert row["p_hat"] == pytest.approx(p_hat, rel=1e-9)
+    assert row["bm_stat"] == pytest.approx(wbfn, rel=1e-9)
+
+
+def test_jonckheere_matches_bruteforce(spark):
+    row = plans.get("stat_jonckheere_terpstra").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(12,2))"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    )
+    groups = {}
+    for p, v in rows:
+        groups.setdefault(p, []).append(float(v))
+    names = sorted(groups)
+    jt = 0.0
+    for gi in range(len(names)):
+        for hi in range(gi + 1, len(names)):
+            a = np.array(groups[names[gi]])[:, None]
+            b = np.array(groups[names[hi]])[None, :]
+            jt += (a < b).sum() + 0.5 * (a == b).sum()
+    n = sum(len(v) for v in groups.values())
+    assert row["n"] == n
+    assert row["jt_u"] == pytest.approx(jt, rel=1e-12)
+    e = (n * n - sum(len(v) ** 2 for v in groups.values())) / 4
+    var = (
+        n * n * (2 * n + 3)
+        - sum(len(v) ** 2 * (2 * len(v) + 3) for v in groups.values())
+    ) / 72
+    assert row["z_stat"] == pytest.approx((jt - e) / np.sqrt(var), rel=1e-9)
