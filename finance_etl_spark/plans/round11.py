@@ -1239,3 +1239,594 @@ def stat_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2 * F.sqrt(_as_d(F.col("var72")) / 72)),
         ).alias("z_stat"),
     )
+
+
+# ===========================================================================
+# Finance wave
+
+
+@register(
+    "fin_bond_convexity_grid",
+    tags=("finance", "closed-form"),
+    oracle="""
+        WITH y AS (
+            SELECT n_nationkey,
+                   CAST(0.01 AS DOUBLE)
+                     + CAST(n_nationkey % 10 AS DOUBLE) * CAST(0.005 AS DOUBLE)
+                       AS yld
+            FROM nation
+        ),
+        grid AS (
+            SELECT n_nationkey, yld, c.cpn, m.mat
+            FROM y
+            CROSS JOIN (SELECT unnest([CAST(0.02 AS DOUBLE),
+                                       CAST(0.04 AS DOUBLE),
+                                       CAST(0.06 AS DOUBLE)]) AS cpn) c
+            CROSS JOIN (SELECT unnest([2, 5, 10, 30]) AS mat) m
+        ),
+        priced AS (
+            SELECT n_nationkey, cpn, mat, yld,
+                   list_reduce(
+                       list_transform(range(1, mat + 1), t ->
+                           (CASE WHEN t = mat THEN 1 + cpn ELSE cpn END)
+                             * pow(1 + yld, -CAST(t AS DOUBLE))),
+                       (a, x) -> a + x) AS price,
+                   list_reduce(
+                       list_transform(range(1, mat + 1), t ->
+                           CAST(t AS DOUBLE) * (t + 1)
+                             * (CASE WHEN t = mat THEN 1 + cpn ELSE cpn END)
+                             * pow(1 + yld, -CAST(t + 2 AS DOUBLE))),
+                       (a, x) -> a + x) AS cx_num
+            FROM grid
+        )
+        SELECT n_nationkey, cpn, mat, yld,
+               CAST(FLOOR(price * 1e8) AS BIGINT) AS price_q8,
+               CAST(FLOOR(cx_num / price * 1e6) AS BIGINT) AS convexity_q6
+        FROM priced
+        ORDER BY n_nationkey, cpn, mat
+    """,
+)
+def fin_bond_convexity_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bond CONVEXITY over the same (nation-yield x coupon x maturity)
+    grid as fin_bond_duration_grid — the second-order rate sensitivity
+    risk desks pair with duration: Cx = sum_t t(t+1) CF_t (1+y)^-(t+2)
+    / P. The cash-flow sum folds a sequence(1..mat) IN ORDER on both
+    engines (<= 30 terms per grid row, model-sized fan-out of 300
+    rows), so the double accumulation order is pinned; price and
+    convexity floor-quantize at 1e8/1e6 per the transcendental-output
+    recipe (pow is libm territory — quantization makes the comparison
+    engine-exact, same as the sibling grid). Zero corpus involvement
+    beyond the 25-row nation spine."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    y = n.select(
+        "n_nationkey",
+        (
+            F.lit(0.01).cast("double")
+            + (F.col("n_nationkey") % 10).cast("double")
+            * F.lit(0.005).cast("double")
+        ).alias("yld"),
+    )
+    cpn = spark.createDataFrame([(0.02,), (0.04,), (0.06,)], "cpn double")
+    mat = spark.createDataFrame([(2,), (5,), (10,), (30,)], "mat int")
+    grid = y.crossJoin(F.broadcast(cpn)).crossJoin(F.broadcast(mat))
+
+    def _cf(t):
+        return F.when(t == F.col("mat"), 1 + F.col("cpn")).otherwise(
+            F.col("cpn")
+        )
+
+    seq = F.sequence(F.lit(1), F.col("mat"))
+    price = F.aggregate(
+        seq,
+        F.lit(0.0),
+        lambda a, t: a
+        + _cf(t) * F.pow(1 + F.col("yld"), -t.cast("double")),
+    )
+    cx_num = F.aggregate(
+        seq,
+        F.lit(0.0),
+        lambda a, t: a
+        + t.cast("double")
+        * (t + 1)
+        * _cf(t)
+        * F.pow(1 + F.col("yld"), -(t + 2).cast("double")),
+    )
+    return (
+        grid.select(
+            "n_nationkey",
+            "cpn",
+            "mat",
+            "yld",
+            F.floor(price * F.lit(1e8)).cast("bigint").alias("price_q8"),
+            F.floor(cx_num / price * F.lit(1e6))
+            .cast("bigint")
+            .alias("convexity_q6"),
+        )
+        .orderBy("n_nationkey", "cpn", "mat")
+    )
+
+
+@register(
+    "fin_twr_linked_returns",
+    tags=("finance", "window"),
+    oracle="""
+        WITH monthly AS (
+            SELECT c.c_mktsegment AS segment,
+                   CAST(strftime(o.o_orderdate, '%Y-%m') AS VARCHAR) AS ym,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS x
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        ret AS (
+            SELECT segment, ym,
+                   CAST(CAST(x AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(xp AS VARCHAR) AS DOUBLE) AS lnk
+            FROM (SELECT segment, ym, x,
+                         LAG(x) OVER (PARTITION BY segment ORDER BY ym) AS xp
+                  FROM monthly)
+            WHERE xp IS NOT NULL
+        )
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n_months,
+               list_reduce(list(lnk ORDER BY ym), (a, x) -> a * x) - 1
+                   AS twr,
+               CAST(FLOOR((pow(list_reduce(list(lnk ORDER BY ym),
+                                           (a, x) -> a * x),
+                               12.0 / COUNT(*)) - 1) * 1e8) AS BIGINT)
+                   AS twr_annualized_q8
+        FROM ret
+        GROUP BY segment
+        ORDER BY segment
+    """,
+)
+def fin_twr_linked_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted return per segment: geometric linking of monthly
+    revenue growth factors, TWR = prod_m (x_m / x_{m-1}) - 1 — the
+    GIPS-mandated performance number that strips flow timing out of
+    the return. Monthly factors are exact-decimal ratios converted to
+    double once (VARCHAR route); the product folds IN MONTH ORDER on
+    both engines (array_sort fold == list(... ORDER BY) reduce) so the
+    float multiplication order is pinned — a plain PRODUCT aggregate
+    would be partition-order-dependent. The annualization needs pow
+    (libm), so it ships floor-quantized at 1e8 per the transcendental
+    recipe; the raw TWR is libm-free and exact-comparable. Calendar-
+    bounded months per segment; corpus work is one hash agg."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("x")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("ym")
+    ret = (
+        monthly.withColumn("xp", F.lag("x").over(w))
+        .filter(F.col("xp").isNotNull())
+        .select(
+            "segment", "ym", (_as_d(F.col("x")) / _as_d(F.col("xp"))).alias("lnk")
+        )
+    )
+    prod = F.aggregate(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ym").alias("o"), F.col("lnk").alias("t")))
+        ),
+        F.lit(1.0),
+        lambda a, s: a * s["t"],
+    )
+    return (
+        ret.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_months"),
+            prod.alias("prod_raw"),
+        )
+        .select(
+            "segment",
+            "n_months",
+            (F.col("prod_raw") - 1).alias("twr"),
+            F.floor(
+                (
+                    F.pow(
+                        F.col("prod_raw"),
+                        F.lit(12.0) / F.col("n_months").cast("double"),
+                    )
+                    - 1
+                )
+                * F.lit(1e8)
+            )
+            .cast("bigint")
+            .alias("twr_annualized_q8"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "fin_rachev_ratio",
+    tags=("finance", "window", "risk"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        ret AS (
+            SELECT segment, d,
+                   CAST(FLOOR((CAST(CAST(x AS VARCHAR) AS DOUBLE)
+                               / CAST(CAST(xp AS VARCHAR) AS DOUBLE)
+                               - CAST(1 AS DOUBLE)) * CAST(1e9 AS DOUBLE))
+                        AS BIGINT) AS r
+            FROM (SELECT segment, d, x,
+                         LAG(x) OVER (PARTITION BY segment ORDER BY d) AS xp
+                  FROM daily)
+            WHERE xp IS NOT NULL
+        ),
+        ranked AS (
+            SELECT segment, r,
+                   ROW_NUMBER() OVER (PARTITION BY segment
+                                      ORDER BY r DESC, d) AS rk_hi,
+                   ROW_NUMBER() OVER (PARTITION BY segment
+                                      ORDER BY r, d) AS rk_lo,
+                   COUNT(*) OVER (PARTITION BY segment) AS n
+            FROM ret
+        ),
+        tails AS (
+            SELECT segment,
+                   CAST(MIN(n) AS BIGINT) AS n,
+                   CAST((MIN(n) + 19) // 20 AS BIGINT) AS q,
+                   CAST(SUM(CASE WHEN rk_hi <= (n + 19) // 20
+                                 THEN r ELSE 0 END) AS BIGINT) AS top_sum,
+                   CAST(SUM(CASE WHEN rk_lo <= (n + 19) // 20
+                                 THEN r ELSE 0 END) AS BIGINT) AS bot_sum
+            FROM ranked GROUP BY segment
+        )
+        SELECT segment, n, q,
+               CAST(top_sum AS DOUBLE) / q / 1e9 AS etg,
+               CAST(-bot_sum AS DOUBLE) / q / 1e9 AS etl,
+               CASE WHEN bot_sum < 0 THEN
+                 CAST(top_sum AS DOUBLE) / CAST(-bot_sum AS DOUBLE)
+               END AS rachev
+        FROM tails
+        ORDER BY segment
+    """,
+)
+def fin_rachev_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rachev ratio per segment at 5%/5%: expected tail GAIN over
+    expected tail LOSS — the reward-to-risk number that compares the
+    best 5% of days against the worst 5% instead of mean/variance
+    (Rachev et al. 2004). Daily returns quantize to exact 1e-9
+    integers (the VaR-family recipe) so both tails are exact integer
+    sums of the top/bottom ceil(n/20) order statistics — ranks from
+    per-segment windows over calendar-bounded rows, tail size in
+    exact integer arithmetic ((n+19) div 20, never a double rank).
+    The ratio NULLs when the lower tail sums to a non-negative value
+    (no losses — degenerate, documented); tail means are presented in
+    return units. Same deterministic (r, d) tiebreak as
+    fin_var_exception_backtest."""
+    daily = _seg_daily(spark, sf_dir)
+    w = Window.partitionBy("segment").orderBy("d")
+    ret = (
+        daily.withColumn("xp", F.lag("x").over(w))
+        .filter(F.col("xp").isNotNull())
+        .select(
+            "segment",
+            "d",
+            F.floor(
+                (_as_d(F.col("x")) / _as_d(F.col("xp")) - F.lit(1.0))
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    w_hi = Window.partitionBy("segment").orderBy(F.col("r").desc(), "d")
+    w_lo = Window.partitionBy("segment").orderBy("r", "d")
+    w_n = Window.partitionBy("segment")
+    ranked = ret.select(
+        "segment",
+        "r",
+        F.row_number().over(w_hi).alias("rk_hi"),
+        F.row_number().over(w_lo).alias("rk_lo"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    qexpr = F.expr("CAST((n + 19) DIV 20 AS BIGINT)")
+    tails = ranked.groupBy("segment").agg(
+        F.min("n").cast("bigint").alias("n"),
+        F.min(F.expr("CAST((n + 19) DIV 20 AS BIGINT)")).alias("q"),
+        F.sum(F.when(F.col("rk_hi") <= qexpr, F.col("r")).otherwise(0))
+        .cast("bigint")
+        .alias("top_sum"),
+        F.sum(F.when(F.col("rk_lo") <= qexpr, F.col("r")).otherwise(0))
+        .cast("bigint")
+        .alias("bot_sum"),
+    )
+    return tails.select(
+        "segment",
+        "n",
+        "q",
+        (F.col("top_sum").cast("double") / F.col("q") / F.lit(1e9)).alias(
+            "etg"
+        ),
+        ((-F.col("bot_sum")).cast("double") / F.col("q") / F.lit(1e9)).alias(
+            "etl"
+        ),
+        F.when(
+            F.col("bot_sum") < 0,
+            F.col("top_sum").cast("double") / (-F.col("bot_sum")).cast("double"),
+        ).alias("rachev"),
+    ).orderBy("segment")
+
+
+@register(
+    "fin_risk_parity_weights",
+    tags=("finance", "agg"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        ret AS (
+            SELECT segment,
+                   CAST(FLOOR((CAST(CAST(x AS VARCHAR) AS DOUBLE)
+                               / CAST(CAST(xp AS VARCHAR) AS DOUBLE)
+                               - CAST(1 AS DOUBLE)) * CAST(1e9 AS DOUBLE))
+                        AS BIGINT) AS r
+            FROM (SELECT segment, d, x,
+                         LAG(x) OVER (PARTITION BY segment ORDER BY d) AS xp
+                  FROM daily)
+            WHERE xp IS NOT NULL
+        ),
+        vol AS (
+            SELECT segment,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   sqrt((CAST(CAST(SUM(CAST(r AS DECIMAL(38,0)) * r)
+                              AS VARCHAR) AS DOUBLE)
+                         - CAST(CAST(SUM(CAST(r AS DECIMAL(38,0)))
+                                AS VARCHAR) AS DOUBLE)
+                           * CAST(CAST(SUM(CAST(r AS DECIMAL(38,0)))
+                                  AS VARCHAR) AS DOUBLE) / COUNT(*))
+                        / (COUNT(*) - 1)) / 1e9 AS sigma
+            FROM ret GROUP BY segment
+        ),
+        inv AS (
+            SELECT segment, n, sigma, 1.0 / sigma AS iv FROM vol
+        ),
+        tot AS (
+            SELECT list_reduce(list(iv ORDER BY segment), (a, x) -> a + x)
+                       AS iv_sum
+            FROM inv
+        )
+        SELECT inv.segment, inv.n, inv.sigma,
+               inv.iv / tot.iv_sum AS weight
+        FROM inv CROSS JOIN tot
+        ORDER BY inv.segment
+    """,
+)
+def fin_risk_parity_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive risk-parity (inverse-volatility) portfolio weights across
+    the five market segments: w_i = (1/sigma_i) / sum_j (1/sigma_j) —
+    the equal-risk-contribution first approximation every allocation
+    desk starts from. Daily-return volatility comes from exact
+    DECIMAL(38,0) sums of the 1e-9-quantized returns (sum r, sum r^2,
+    VARCHAR-routed to double at the edge; sample variance with n-1);
+    the inverse-vol normalizer folds the five terms in PINNED segment
+    order. sigma > 0 is guaranteed by the fixture's daily revenue
+    variation at every SF (a zero-variance segment would make iv
+    infinite — the weight column would propagate inf identically on
+    both engines rather than silently diverging). One corpus hash agg;
+    everything after is a 5-row relation."""
+    daily = _seg_daily(spark, sf_dir)
+    w = Window.partitionBy("segment").orderBy("d")
+    ret = (
+        daily.withColumn("xp", F.lag("x").over(w))
+        .filter(F.col("xp").isNotNull())
+        .select(
+            "segment",
+            F.floor(
+                (_as_d(F.col("x")) / _as_d(F.col("xp")) - F.lit(1.0))
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    vol = ret.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sqrt(
+                (
+                    _as_d(
+                        F.sum(F.col("r").cast("decimal(38,0)") * F.col("r"))
+                    )
+                    - _as_d(F.sum(F.col("r").cast("decimal(38,0)")))
+                    * _as_d(F.sum(F.col("r").cast("decimal(38,0)")))
+                    / F.count(F.lit(1))
+                )
+                / (F.count(F.lit(1)) - 1)
+            )
+            / F.lit(1e9)
+        ).alias("sigma"),
+    )
+    inv = vol.select(
+        "segment", "n", "sigma", (F.lit(1.0) / F.col("sigma")).alias("iv")
+    )
+    tot = inv.agg(
+        _ordered_fold_sum(F.col("segment"), F.col("iv")).alias("iv_sum")
+    )
+    return (
+        inv.crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            "n",
+            "sigma",
+            (F.col("iv") / F.col("iv_sum")).alias("weight"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "fin_drawdown_duration",
+    tags=("finance", "window", "risk"),
+    oracle="""
+        WITH daily AS (
+            SELECT c.c_mktsegment AS segment, CAST(o.o_orderdate AS DATE) AS d,
+                   CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE -1 END
+                        * CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                          AS BIGINT)) AS BIGINT) AS pnl_cents
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+        ),
+        eq AS (
+            SELECT segment, d,
+                   CAST(SUM(pnl_cents) OVER w AS BIGINT) AS equity,
+                   ROW_NUMBER() OVER (PARTITION BY segment ORDER BY d) AS rn
+            FROM daily
+            WINDOW w AS (PARTITION BY segment ORDER BY d
+                         ROWS UNBOUNDED PRECEDING)
+        ),
+        dd AS (
+            SELECT segment, d, rn, equity,
+                   CAST(MAX(equity) OVER (PARTITION BY segment ORDER BY rn
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+            FROM eq
+        ),
+        flagged AS (
+            SELECT segment, rn,
+                   CASE WHEN equity < peak THEN 1 ELSE 0 END AS under
+            FROM dd
+        ),
+        islands AS (
+            SELECT segment, rn, under,
+                   rn - CAST(SUM(under) OVER (PARTITION BY segment ORDER BY rn
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp_key
+            FROM flagged
+        ),
+        spells AS (
+            SELECT segment, CAST(COUNT(*) AS BIGINT) AS len,
+                   CAST(MIN(rn) AS BIGINT) AS start_rn
+            FROM islands WHERE under = 1
+            GROUP BY segment, grp_key
+        ),
+        best AS (
+            SELECT segment, len, start_rn,
+                   ROW_NUMBER() OVER (PARTITION BY segment
+                       ORDER BY len DESC, start_rn) AS pk
+            FROM spells
+        ),
+        agg AS (
+            SELECT segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_spells,
+                   CAST(SUM(len) AS BIGINT) AS days_underwater
+            FROM spells GROUP BY segment
+        )
+        SELECT agg.segment, agg.n_spells, agg.days_underwater,
+               best.len AS longest_spell_days,
+               best.start_rn AS longest_spell_start_rn
+        FROM agg JOIN best ON best.segment = agg.segment AND best.pk = 1
+        ORDER BY agg.segment
+    """,
+)
+def fin_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown DURATION per segment — the time dimension
+    fin_max_drawdown's depth number misses: how many trading days the
+    equity curve spends below its running peak, how many distinct
+    underwater spells there are, and the length/start of the longest
+    one (the lost-decade diagnostic; two portfolios with equal max
+    drawdown differ enormously in recovery time). Equity and running
+    peak are the same exact-cents stacked windows as fin_max_drawdown;
+    spells are gaps-and-islands on the below-peak flag (rn - running
+    count of flags keys each island, a pure window identity — no
+    iterative state), with the deterministic longest-spell tiebreak on
+    earliest start. All windows per-segment over calendar-bounded
+    rows; every output is an exact integer."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1)
+                .otherwise(-1)
+                * (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("pnl_cents")
+        )
+    )
+    w_eq = Window.partitionBy("segment").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_rn = Window.partitionBy("segment").orderBy("d")
+    eq = daily.select(
+        "segment",
+        "d",
+        F.sum("pnl_cents").over(w_eq).cast("bigint").alias("equity"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    w_pk = Window.partitionBy("segment").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dd = eq.select(
+        "segment",
+        "rn",
+        (F.col("equity") < F.max("equity").over(w_pk).cast("bigint"))
+        .cast("int")
+        .alias("under"),
+    )
+    w_cum = Window.partitionBy("segment").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islands = dd.select(
+        "segment",
+        "rn",
+        "under",
+        (F.col("rn") - F.sum("under").over(w_cum).cast("bigint")).alias(
+            "grp_key"
+        ),
+    )
+    spells = (
+        islands.filter(F.col("under") == 1)
+        .groupBy("segment", "grp_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("len"),
+            F.min("rn").cast("bigint").alias("start_rn"),
+        )
+    )
+    w_best = Window.partitionBy("segment").orderBy(
+        F.col("len").desc(), "start_rn"
+    )
+    best = (
+        spells.withColumn("pk", F.row_number().over(w_best))
+        .filter(F.col("pk") == 1)
+        .select(
+            "segment",
+            F.col("len").alias("longest_spell_days"),
+            F.col("start_rn").alias("longest_spell_start_rn"),
+        )
+    )
+    agg = spells.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spells"),
+        F.sum("len").cast("bigint").alias("days_underwater"),
+    )
+    return (
+        agg.join(best, "segment")
+        .select(
+            "segment",
+            "n_spells",
+            "days_underwater",
+            "longest_spell_days",
+            "longest_spell_start_rn",
+        )
+        .orderBy("segment")
+    )

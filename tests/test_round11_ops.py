@@ -291,3 +291,135 @@ def test_jonckheere_matches_bruteforce(spark):
         - sum(len(v) ** 2 * (2 * len(v) + 3) for v in groups.values())
     ) / 72
     assert row["z_stat"] == pytest.approx((jt - e) / np.sqrt(var), rel=1e-9)
+
+
+# --------------------------------------------------------------------------
+# Finance wave
+
+
+def test_bond_convexity_matches_numpy(spark):
+    rows = plans.get("fin_bond_convexity_grid").build(spark, SF).collect()
+    assert len(rows) == 25 * 3 * 4
+    for r in rows[:40]:
+        y, c, m = r["yld"], r["cpn"], r["mat"]
+        t = np.arange(1, m + 1, dtype=np.float64)
+        cf = np.full(m, c)
+        cf[-1] += 1.0
+        price = float((cf * (1 + y) ** -t).sum())
+        cx = float((t * (t + 1) * cf * (1 + y) ** -(t + 2)).sum()) / price
+        assert r["price_q8"] == pytest.approx(price * 1e8, abs=2)
+        assert r["convexity_q6"] == pytest.approx(cx * 1e6, abs=2)
+        # sanity: convexity positive and grows with maturity
+        assert r["convexity_q6"] > 0
+
+
+def test_twr_matches_numpy(spark):
+    got = {
+        r["segment"]: r
+        for r in plans.get("fin_twr_linked_returns").build(spark, SF).collect()
+    }
+    rows = _fetch(
+        "SELECT c.c_mktsegment, strftime(o.o_orderdate, '%Y-%m'),"
+        " SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))"
+        f" FROM read_parquet('{SF}/orders.parquet') o"
+        f" JOIN read_parquet('{SF}/customer.parquet') c"
+        " ON o.o_custkey = c.c_custkey GROUP BY 1, 2"
+    )
+    per = {}
+    for seg, ym, x in rows:
+        per.setdefault(seg, []).append((ym, float(x)))
+    for seg, series in per.items():
+        series.sort()
+        xs = np.array([v for _, v in series])
+        lnk = xs[1:] / xs[:-1]
+        twr = float(np.prod(lnk)) - 1
+        r = got[seg]
+        assert r["n_months"] == len(lnk)
+        assert r["twr"] == pytest.approx(twr, rel=1e-9)
+        ann = (1 + twr) ** (12.0 / len(lnk)) - 1
+        assert r["twr_annualized_q8"] == pytest.approx(ann * 1e8, abs=2)
+
+
+def test_rachev_matches_numpy(spark):
+    got = {
+        r["segment"]: r
+        for r in plans.get("fin_rachev_ratio").build(spark, SF).collect()
+    }
+    per_seg = {}
+    for seg, d, x in sorted(_seg_daily_py(), key=lambda t: (t[0], t[1])):
+        per_seg.setdefault(seg, []).append(float(x))
+    for seg, xs in per_seg.items():
+        xs = np.array(xs)
+        r_int = np.floor((xs[1:] / xs[:-1] - 1) * 1e9).astype(np.int64)
+        n = len(r_int)
+        q = (n + 19) // 20
+        srt = np.sort(r_int)
+        top, bot = srt[-q:].sum(), srt[:q].sum()
+        row = got[seg]
+        assert (row["n"], row["q"]) == (n, q)
+        assert row["etg"] == pytest.approx(top / q / 1e9, rel=1e-12)
+        assert row["etl"] == pytest.approx(-bot / q / 1e9, rel=1e-12)
+        if bot < 0:
+            assert row["rachev"] == pytest.approx(top / -bot, rel=1e-12)
+
+
+def test_risk_parity_matches_numpy(spark):
+    rows = plans.get("fin_risk_parity_weights").build(spark, SF).collect()
+    per_seg = {}
+    for seg, d, x in sorted(_seg_daily_py(), key=lambda t: (t[0], t[1])):
+        per_seg.setdefault(seg, []).append(float(x))
+    sig = {}
+    for seg, xs in per_seg.items():
+        xs = np.array(xs)
+        r_int = np.floor((xs[1:] / xs[:-1] - 1) * 1e9)
+        sig[seg] = float(r_int.std(ddof=1)) / 1e9
+    iv_sum = sum(1 / s for s in sig.values())
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert r["sigma"] == pytest.approx(sig[r["segment"]], rel=1e-9)
+        assert r["weight"] == pytest.approx(
+            (1 / sig[r["segment"]]) / iv_sum, rel=1e-9
+        )
+
+
+def test_drawdown_duration_matches_reference(spark):
+    rows = {
+        r["segment"]: r
+        for r in plans.get("fin_drawdown_duration").build(spark, SF).collect()
+    }
+    raw = _fetch(
+        "SELECT c.c_mktsegment, CAST(o.o_orderdate AS DATE),"
+        " SUM((CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE -1 END)"
+        "     * CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
+        f" FROM read_parquet('{SF}/orders.parquet') o"
+        f" JOIN read_parquet('{SF}/customer.parquet') c"
+        " ON c.c_custkey = o.o_custkey GROUP BY 1, 2"
+    )
+    per = {}
+    for seg, d, pnl in raw:
+        per.setdefault(seg, []).append((d, int(pnl)))
+    for seg, series in per.items():
+        series.sort()
+        eq = np.cumsum([p for _, p in series])
+        peak = np.maximum.accumulate(eq)
+        under = eq < peak
+        spells = []
+        i = 0
+        while i < len(under):
+            if under[i]:
+                j = i
+                while j + 1 < len(under) and under[j + 1]:
+                    j += 1
+                spells.append((j - i + 1, i + 1))  # (len, start_rn 1-based)
+                i = j + 1
+            else:
+                i += 1
+        row = rows[seg]
+        assert row["n_spells"] == len(spells)
+        assert row["days_underwater"] == sum(s for s, _ in spells)
+        if spells:
+            best = max(spells, key=lambda t: (t[0], -t[1]))
+            assert (
+                row["longest_spell_days"],
+                row["longest_spell_start_rn"],
+            ) == best
