@@ -1830,3 +1830,502 @@ def fin_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ===========================================================================
+# Time-series wave
+
+
+@register(
+    "ts_calendar_effects",
+    tags=("timeseries", "agg"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        dow AS (
+            SELECT segment, isodow(d) - 1 AS wd,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(CAST(x AS DECIMAL(18,2)) * 100) AS DECIMAL(38,0))
+                       AS cents
+            FROM daily GROUP BY 1, 2
+        ),
+        seg AS (
+            SELECT segment,
+                   CAST(SUM(n_days) AS BIGINT) AS n_all,
+                   CAST(SUM(cents) AS DECIMAL(38,0)) AS cents_all
+            FROM dow GROUP BY segment
+        )
+        SELECT dow.segment, CAST(dow.wd AS INT) AS weekday, dow.n_days,
+               CAST(CAST(dow.cents AS VARCHAR) AS DOUBLE)
+                 / dow.n_days / 100 AS avg_revenue,
+               (CAST(CAST(dow.cents AS VARCHAR) AS DOUBLE) / dow.n_days)
+                 / (CAST(CAST(seg.cents_all AS VARCHAR) AS DOUBLE)
+                    / seg.n_all) AS rel_effect
+        FROM dow JOIN seg ON seg.segment = dow.segment
+        ORDER BY dow.segment, weekday
+    """,
+)
+def ts_calendar_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week calendar effect per segment: mean daily revenue by
+    ISO weekday relative to the segment's all-days mean — the
+    seasonality fingerprint behind staffing curves and anomaly
+    baselines (rel_effect 1.0 = no effect). Weekday uses the ISO
+    convention on BOTH engines (Spark weekday() == DuckDB isodow()-1
+    == 0 for Monday; the default dayofweek() functions disagree
+    across engines and are avoided). Revenue accumulates as exact
+    integer cents in DECIMAL(38,0); means divide out as doubles at
+    the edge via the VARCHAR route. One corpus agg, then a 35-row
+    relation."""
+    daily = _seg_daily(spark, sf_dir)
+    dow = daily.groupBy(
+        "segment", F.weekday("d").alias("wd")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.col("x").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")
+        .alias("cents"),
+    )
+    seg = dow.groupBy("segment").agg(
+        F.sum("n_days").cast("bigint").alias("n_all"),
+        F.sum("cents").cast("decimal(38,0)").alias("cents_all"),
+    )
+    return (
+        dow.join(F.broadcast(seg), "segment")
+        .select(
+            "segment",
+            F.col("wd").cast("int").alias("weekday"),
+            "n_days",
+            (_as_d(F.col("cents")) / F.col("n_days") / 100).alias(
+                "avg_revenue"
+            ),
+            (
+                (_as_d(F.col("cents")) / F.col("n_days"))
+                / (_as_d(F.col("cents_all")) / F.col("n_all"))
+            ).alias("rel_effect"),
+        )
+        .orderBy("segment", "weekday")
+    )
+
+
+@register(
+    "ts_wape_smape",
+    tags=("timeseries", "window", "ml-eval"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        fc AS (
+            SELECT segment, d,
+                   CAST(x AS DECIMAL(18,2)) AS y,
+                   LAG(x, 7) OVER (PARTITION BY segment ORDER BY d) AS yhat
+            FROM daily
+        ),
+        ev AS (
+            SELECT segment, y, yhat,
+                   CAST(ABS(CAST(y AS DECIMAL(18,2)) * 100
+                        - CAST(yhat AS DECIMAL(18,2)) * 100)
+                        AS DECIMAL(38,0)) AS abs_err_cents,
+                   2 * CAST(CAST(ABS(CAST(y AS DECIMAL(18,2)) * 100
+                            - CAST(yhat AS DECIMAL(18,2)) * 100)
+                            AS VARCHAR) AS DOUBLE)
+                     / (CAST(CAST(CAST(y AS DECIMAL(18,2)) * 100
+                             AS VARCHAR) AS DOUBLE)
+                        + CAST(CAST(CAST(yhat AS DECIMAL(18,2)) * 100
+                               AS VARCHAR) AS DOUBLE)) AS smape_term
+            FROM fc WHERE yhat IS NOT NULL
+        )
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(CAST(SUM(abs_err_cents) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(SUM(CAST(CAST(y AS DECIMAL(18,2)) * 100
+                        AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS wape,
+               CAST(CAST(SUM(CAST(FLOOR(smape_term * 1e9) AS DECIMAL(38,0)))
+                    AS VARCHAR) AS DOUBLE) / 1e9 / COUNT(*) AS smape
+        FROM ev GROUP BY segment
+        ORDER BY segment
+    """,
+)
+def ts_wape_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAPE and sMAPE of the seasonal-naive forecast (same weekday
+    last week) per segment — the two workhorse forecast-accuracy
+    metrics that complement ts_forecast_backtest_mase's scaled error:
+    WAPE = sum|y - yhat| / sum|y| is an EXACT ratio of integer-cents
+    sums (revenue is positive, so no abs needed on the denominator);
+    sMAPE's per-row ratio 2|e|/(y + yhat) is IEEE-deterministic per
+    row and reduces through the floor-1e9 exact-decimal sum (o_fsum
+    recipe) so the engine summation order cannot matter. The lag-7
+    forecast is one per-segment calendar-bounded window; evaluation
+    rows are those with a 7-day-old same-weekday observation.
+    Denominator degeneracy (all-zero actuals) is impossible on this
+    fixture (positive prices, documented)."""
+    daily = _seg_daily(spark, sf_dir)
+    w = Window.partitionBy("segment").orderBy("d")
+    fc = daily.select(
+        "segment",
+        "d",
+        F.col("x").alias("y"),
+        F.lag("x", 7).over(w).alias("yhat"),
+    ).filter(F.col("yhat").isNotNull())
+    y_c = (F.col("y").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+    yh_c = (F.col("yhat").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+    abs_err = F.abs(y_c - yh_c).cast("decimal(38,0)")
+    smape_term = 2 * _as_d(abs_err) / (_as_d(y_c) + _as_d(yh_c))
+    ev = fc.select(
+        "segment",
+        y_c.alias("y_cents"),
+        abs_err.alias("abs_err_cents"),
+        smape_term.alias("smape_term"),
+    )
+    return (
+        ev.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            (
+                _as_d(F.sum("abs_err_cents").cast("decimal(38,0)"))
+                / _as_d(F.sum("y_cents").cast("decimal(38,0)"))
+            ).alias("wape"),
+            (
+                _as_d(
+                    F.sum(
+                        F.floor(F.col("smape_term") * F.lit(1e9)).cast(
+                            "decimal(38,0)"
+                        )
+                    ).cast("decimal(38,0)")
+                )
+                / F.lit(1e9)
+                / F.count(F.lit(1))
+            ).alias("smape"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "ts_dickey_fuller_stat",
+    tags=("timeseries", "stats", "agg"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        pairs AS (
+            SELECT segment,
+                   CAST(CAST(x AS DECIMAL(18,2)) * 100
+                        - CAST(xp AS DECIMAL(18,2)) * 100 AS BIGINT) AS dy,
+                   CAST(CAST(xp AS DECIMAL(18,2)) * 100 AS BIGINT) AS xl
+            FROM (SELECT segment, x,
+                         LAG(x) OVER (PARTITION BY segment ORDER BY d) AS xp
+                  FROM daily)
+            WHERE xp IS NOT NULL
+        ),
+        s AS (
+            SELECT segment,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(xl) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(dy) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(CAST(xl AS DECIMAL(38,0)) * xl)
+                        AS DECIMAL(38,0)) AS sxx,
+                   CAST(SUM(CAST(xl AS DECIMAL(38,0)) * dy)
+                        AS DECIMAL(38,0)) AS sxy,
+                   CAST(SUM(CAST(dy AS DECIMAL(38,0)) * dy)
+                        AS DECIMAL(38,0)) AS syy
+            FROM pairs GROUP BY segment
+        )
+        SELECT segment, n,
+               (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) AS beta,
+               CASE WHEN n > 2 THEN
+                 ((CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(sx AS VARCHAR) AS DOUBLE)))
+                 / sqrt(
+                     ((CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                         * CAST(CAST(sy AS VARCHAR) AS DOUBLE) / n)
+                      - ((CAST(n AS DOUBLE)
+                          * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                          - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                            * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                         / (CAST(n AS DOUBLE)
+                            * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                            - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                              * CAST(CAST(sx AS VARCHAR) AS DOUBLE)))
+                        * (CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                           - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                             * CAST(CAST(sy AS VARCHAR) AS DOUBLE) / n))
+                     / (n - 2)
+                     / (CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                        - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                          * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / n))
+               END AS df_stat
+        FROM s ORDER BY segment
+    """,
+)
+def ts_dickey_fuller_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root statistic (constant, no augmentation)
+    per segment: regress the daily revenue CHANGE on the lagged level,
+    DF = beta_hat / se(beta_hat) — large negative values reject a unit
+    root (mean reversion), the stationarity screen that pairs with
+    ts_kpss_level's reversed null. Sufficient statistics are exact
+    DECIMAL(38,0) sums of integer cents (the CAPM/OLS recipe:
+    n*Sxy - Sx*Sy forms, VARCHAR-routed once); the slope and its
+    standard error se^2 = (SSE/(n-2)) / Sxx_centered come out in
+    closed form with no per-row doubles at all. Class-5: df_stat
+    NULLs for n <= 2; Sxx_centered > 0 holds on any series with two
+    distinct levels (fixture contract, all SFs)."""
+    daily = _seg_daily(spark, sf_dir)
+    w = Window.partitionBy("segment").orderBy("d")
+    pairs = (
+        daily.withColumn("xp", F.lag("x").over(w))
+        .filter(F.col("xp").isNotNull())
+        .select(
+            "segment",
+            (
+                (F.col("x").cast("decimal(18,2)") * 100)
+                - (F.col("xp").cast("decimal(18,2)") * 100)
+            )
+            .cast("bigint")
+            .alias("dy"),
+            (F.col("xp").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("xl"),
+        )
+    )
+    s = pairs.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xl").cast("decimal(38,0)").alias("sx"),
+        F.sum("dy").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("xl").cast("decimal(38,0)") * F.col("xl"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("xl").cast("decimal(38,0)") * F.col("dy"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("dy").cast("decimal(38,0)") * F.col("dy"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx, sy = _as_d(F.col("sx")), _as_d(F.col("sy"))
+    sxx, sxy, syy = (
+        _as_d(F.col("sxx")),
+        _as_d(F.col("sxy")),
+        _as_d(F.col("syy")),
+    )
+    beta = (n_d * sxy - sx * sy) / (n_d * sxx - sx * sx)
+    sse = (syy - sy * sy / F.col("n")) - beta * (sxy - sx * sy / F.col("n"))
+    se2 = sse / (F.col("n") - 2) / (sxx - sx * sx / F.col("n"))
+    return s.select(
+        "segment",
+        "n",
+        beta.alias("beta"),
+        F.when(F.col("n") > 2, beta / F.sqrt(se2)).alias("df_stat"),
+    ).orderBy("segment")
+
+
+@register(
+    "ts_seasonal_strength",
+    tags=("timeseries", "stats", "agg"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        cents AS (
+            SELECT segment, isodow(d) - 1 AS wd,
+                   CAST(CAST(x AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+            FROM daily
+        ),
+        dowm AS (
+            SELECT segment, wd,
+                   CAST(COUNT(*) AS BIGINT) AS n_wd,
+                   CAST(SUM(v) AS DECIMAL(38,0)) AS s_wd,
+                   CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0))
+                       AS ss_wd
+            FROM cents GROUP BY 1, 2
+        ),
+        seg AS (
+            SELECT segment,
+                   CAST(SUM(n_wd) AS BIGINT) AS n,
+                   CAST(SUM(s_wd) AS DECIMAL(38,0)) AS s,
+                   CAST(SUM(ss_wd) AS DECIMAL(38,0)) AS ss,
+                   list_reduce(
+                       list(CAST(CAST(s_wd AS VARCHAR) AS DOUBLE)
+                            * CAST(CAST(s_wd AS VARCHAR) AS DOUBLE) / n_wd
+                            ORDER BY wd),
+                       (a, x) -> a + x) AS within_ms
+            FROM dowm GROUP BY segment
+        )
+        SELECT segment, n,
+               (CAST(CAST(ss AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(s AS VARCHAR) AS DOUBLE) / n) / 1e4
+                   AS ss_total_dollars2,
+               (CAST(CAST(ss AS VARCHAR) AS DOUBLE) - within_ms) / 1e4
+                   AS ss_resid_dollars2,
+               CASE WHEN CAST(CAST(ss AS VARCHAR) AS DOUBLE)
+                         - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                           * CAST(CAST(s AS VARCHAR) AS DOUBLE) / n > 0 THEN
+                 GREATEST(CAST(0 AS DOUBLE),
+                   1 - (CAST(CAST(ss AS VARCHAR) AS DOUBLE) - within_ms)
+                     / (CAST(CAST(ss AS VARCHAR) AS DOUBLE)
+                        - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                          * CAST(CAST(s AS VARCHAR) AS DOUBLE) / n))
+               END AS seasonal_strength
+        FROM seg ORDER BY segment
+    """,
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal strength per segment: F_s = max(0, 1 -
+    SS_resid/SS_total), where the seasonal fit is the per-weekday mean
+    — the one-number answer to "is this series weekly-seasonal enough
+    to model?" (the STL-strength heuristic of Wang-Hyndman-Smith,
+    computed against the weekday-means fit instead of a full STL).
+    Integer-cents sums and squares accumulate in DECIMAL(38,0); the
+    within-weekday mean squares sum_wd (S_wd^2 / n_wd) folds the <= 7
+    weekday terms in PINNED order, so both SS decompositions are
+    engine-identical; SS_resid = SS - sum_wd S_wd^2/n_wd is the
+    standard one-way-ANOVA identity (no per-row residual pass).
+    Output in dollars^2 (cents^2 / 1e4). Strength NULLs on a constant
+    series (SS_total = 0)."""
+    daily = _seg_daily(spark, sf_dir)
+    cents = daily.select(
+        "segment",
+        F.weekday("d").alias("wd"),
+        (F.col("x").cast("decimal(18,2)") * 100).cast("bigint").alias("v"),
+    )
+    dowm = cents.groupBy("segment", "wd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_wd"),
+        F.sum("v").cast("decimal(38,0)").alias("s_wd"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+        .cast("decimal(38,0)")
+        .alias("ss_wd"),
+    )
+    within_term = _as_d(F.col("s_wd")) * _as_d(F.col("s_wd")) / F.col("n_wd")
+    seg = dowm.groupBy("segment").agg(
+        F.sum("n_wd").cast("bigint").alias("n"),
+        F.sum("s_wd").cast("decimal(38,0)").alias("s"),
+        F.sum("ss_wd").cast("decimal(38,0)").alias("ss"),
+        _ordered_fold_sum(F.col("wd"), within_term).alias("within_ms"),
+    )
+    ss_d = _as_d(F.col("ss"))
+    s_d = _as_d(F.col("s"))
+    ss_total = ss_d - s_d * s_d / F.col("n")
+    ss_resid = ss_d - F.col("within_ms")
+    return seg.select(
+        "segment",
+        "n",
+        (ss_total / F.lit(1e4)).alias("ss_total_dollars2"),
+        (ss_resid / F.lit(1e4)).alias("ss_resid_dollars2"),
+        F.when(
+            ss_total > 0,
+            F.greatest(F.lit(0.0), 1 - ss_resid / ss_total),
+        ).alias("seasonal_strength"),
+    ).orderBy("segment")
+
+
+@register(
+    "ts_intervention_step",
+    tags=("timeseries", "stats", "agg"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        cents AS (
+            SELECT segment,
+                   CASE WHEN d >= DATE '1995-06-01' THEN 1 ELSE 0 END AS post,
+                   CAST(CAST(x AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+            FROM daily
+        ),
+        s AS (
+            SELECT segment,
+                   CAST(SUM(1 - post) AS BIGINT) AS n_pre,
+                   CAST(SUM(post) AS BIGINT) AS n_post,
+                   CAST(SUM((1 - post) * v) AS DECIMAL(38,0)) AS s_pre,
+                   CAST(SUM(post * v) AS DECIMAL(38,0)) AS s_post,
+                   CAST(SUM((1 - post) * CAST(v AS DECIMAL(38,0)) * v)
+                        AS DECIMAL(38,0)) AS ss_pre,
+                   CAST(SUM(post * CAST(v AS DECIMAL(38,0)) * v)
+                        AS DECIMAL(38,0)) AS ss_post
+            FROM cents GROUP BY segment
+        )
+        SELECT segment, n_pre, n_post,
+               CAST(CAST(s_pre AS VARCHAR) AS DOUBLE) / n_pre / 100
+                   AS pre_mean,
+               CAST(CAST(s_post AS VARCHAR) AS DOUBLE) / n_post / 100
+                   AS post_mean,
+               (CAST(CAST(s_post AS VARCHAR) AS DOUBLE) / n_post)
+                 / (CAST(CAST(s_pre AS VARCHAR) AS DOUBLE) / n_pre) - 1
+                   AS lift,
+               CASE WHEN n_pre > 1 AND n_post > 1 THEN
+                 (CAST(CAST(s_post AS VARCHAR) AS DOUBLE) / n_post
+                  - CAST(CAST(s_pre AS VARCHAR) AS DOUBLE) / n_pre)
+                 / sqrt(
+                     ((CAST(CAST(ss_pre AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(s_pre AS VARCHAR) AS DOUBLE)
+                         * CAST(CAST(s_pre AS VARCHAR) AS DOUBLE) / n_pre)
+                      / (n_pre - 1)) / n_pre
+                     + ((CAST(CAST(ss_post AS VARCHAR) AS DOUBLE)
+                         - CAST(CAST(s_post AS VARCHAR) AS DOUBLE)
+                           * CAST(CAST(s_post AS VARCHAR) AS DOUBLE)
+                           / n_post)
+                        / (n_post - 1)) / n_post)
+               END AS welch_t
+        FROM s ORDER BY segment
+    """,
+)
+def ts_intervention_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intervention (step-change) analysis per segment at the fixed
+    1995-06-01 cut: pre/post level means, relative lift, and the
+    Welch t for the level shift — the before/after scorecard of every
+    launch and pricing change, on the daily revenue series. Exact
+    integer-cents sufficient statistics per arm in one grouped agg
+    (conditional sums — no second scan, no join); means/variances
+    divide out at the double edge via the VARCHAR route. Welch (not
+    pooled) because an intervention that shifts the level usually
+    shifts the variance too. t NULLs when either arm has < 2 days
+    (class-5 guard, identical both engines)."""
+    daily = _seg_daily(spark, sf_dir)
+    cents = daily.select(
+        "segment",
+        F.when(F.col("d") >= F.lit("1995-06-01").cast("date"), 1)
+        .otherwise(0)
+        .alias("post"),
+        (F.col("x").cast("decimal(18,2)") * 100).cast("bigint").alias("v"),
+    )
+    vD = F.col("v").cast("decimal(38,0)")
+    s = cents.groupBy("segment").agg(
+        F.sum(1 - F.col("post")).cast("bigint").alias("n_pre"),
+        F.sum("post").cast("bigint").alias("n_post"),
+        F.sum((1 - F.col("post")) * F.col("v"))
+        .cast("decimal(38,0)")
+        .alias("s_pre"),
+        F.sum(F.col("post") * F.col("v"))
+        .cast("decimal(38,0)")
+        .alias("s_post"),
+        F.sum((1 - F.col("post")) * vD * F.col("v"))
+        .cast("decimal(38,0)")
+        .alias("ss_pre"),
+        F.sum(F.col("post") * vD * F.col("v"))
+        .cast("decimal(38,0)")
+        .alias("ss_post"),
+    )
+    pre_m = _as_d(F.col("s_pre")) / F.col("n_pre")
+    post_m = _as_d(F.col("s_post")) / F.col("n_post")
+    var_pre = (
+        _as_d(F.col("ss_pre"))
+        - _as_d(F.col("s_pre")) * _as_d(F.col("s_pre")) / F.col("n_pre")
+    ) / (F.col("n_pre") - 1)
+    var_post = (
+        _as_d(F.col("ss_post"))
+        - _as_d(F.col("s_post")) * _as_d(F.col("s_post")) / F.col("n_post")
+    ) / (F.col("n_post") - 1)
+    return s.select(
+        "segment",
+        "n_pre",
+        "n_post",
+        (pre_m / 100).alias("pre_mean"),
+        (post_m / 100).alias("post_mean"),
+        (post_m / pre_m - 1).alias("lift"),
+        F.when(
+            (F.col("n_pre") > 1) & (F.col("n_post") > 1),
+            (post_m - pre_m)
+            / F.sqrt(var_pre / F.col("n_pre") + var_post / F.col("n_post")),
+        ).alias("welch_t"),
+    ).orderBy("segment")

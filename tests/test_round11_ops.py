@@ -423,3 +423,124 @@ def test_drawdown_duration_matches_reference(spark):
                 row["longest_spell_days"],
                 row["longest_spell_start_rn"],
             ) == best
+
+
+# --------------------------------------------------------------------------
+# Time-series wave
+
+
+def _seg_daily_sorted():
+    per = {}
+    for seg, d, x in sorted(_seg_daily_py(), key=lambda t: (t[0], str(t[1]))):
+        per.setdefault(seg, []).append((d, float(x)))
+    return per
+
+
+def test_calendar_effects_matches_numpy(spark):
+    rows = plans.get("ts_calendar_effects").build(spark, SF).collect()
+    per = {}
+    for seg, d, x in _seg_daily_py():
+        per.setdefault((seg, d.weekday()), []).append(float(x))
+    seg_all = {}
+    for (seg, wd), xs in per.items():
+        seg_all.setdefault(seg, []).extend(xs)
+    for r in rows:
+        xs = per[(r["segment"], r["weekday"])]
+        assert r["n_days"] == len(xs)
+        assert r["avg_revenue"] == pytest.approx(np.mean(xs), rel=1e-9)
+        assert r["rel_effect"] == pytest.approx(
+            np.mean(xs) / np.mean(seg_all[r["segment"]]), rel=1e-9
+        )
+
+
+def test_wape_smape_matches_numpy(spark):
+    got = {
+        r["segment"]: r
+        for r in plans.get("ts_wape_smape").build(spark, SF).collect()
+    }
+    for seg, series in _seg_daily_sorted().items():
+        y = np.array([v for _, v in series])
+        yhat, yv = y[:-7], y[7:]
+        err = np.abs(yv - yhat)
+        wape = err.sum() / yv.sum()
+        smape = float(np.mean(2 * err / (yv + yhat)))
+        r = got[seg]
+        assert r["n_eval"] == len(yv)
+        assert r["wape"] == pytest.approx(wape, rel=1e-9)
+        assert r["smape"] == pytest.approx(smape, rel=1e-5, abs=1e-6)
+
+
+def test_dickey_fuller_matches_numpy(spark):
+    got = {
+        r["segment"]: r
+        for r in plans.get("ts_dickey_fuller_stat").build(spark, SF).collect()
+    }
+    for seg, series in _seg_daily_sorted().items():
+        x = np.array([v for _, v in series]) * 100  # cents
+        xl, dy = x[:-1], np.diff(x)
+        n = len(xl)
+        X = np.column_stack([np.ones(n), xl])
+        coef, *_ = np.linalg.lstsq(X, dy, rcond=None)
+        resid = dy - X @ coef
+        sxx = ((xl - xl.mean()) ** 2).sum()
+        se = np.sqrt(resid @ resid / (n - 2) / sxx)
+        r = got[seg]
+        assert r["n"] == n
+        assert r["beta"] == pytest.approx(coef[1], rel=1e-6)
+        assert r["df_stat"] == pytest.approx(coef[1] / se, rel=1e-6)
+
+
+def test_seasonal_strength_matches_numpy(spark):
+    got = {
+        r["segment"]: r
+        for r in plans.get("ts_seasonal_strength").build(spark, SF).collect()
+    }
+    per = {}
+    for seg, d, x in _seg_daily_py():
+        per.setdefault(seg, []).append((d.weekday(), float(x) * 100))
+    for seg, items in per.items():
+        v = np.array([x for _, x in items])
+        wd = np.array([w for w, _ in items])
+        ss_total = ((v - v.mean()) ** 2).sum()
+        resid = v.copy()
+        for w in set(wd):
+            resid[wd == w] -= v[wd == w].mean()
+        ss_resid = (resid**2).sum()
+        r = got[seg]
+        assert r["n"] == len(v)
+        assert r["ss_total_dollars2"] == pytest.approx(
+            ss_total / 1e4, rel=1e-9
+        )
+        assert r["ss_resid_dollars2"] == pytest.approx(
+            ss_resid / 1e4, rel=1e-9
+        )
+        assert r["seasonal_strength"] == pytest.approx(
+            max(0.0, 1 - ss_resid / ss_total), rel=1e-9
+        )
+
+
+def test_intervention_step_matches_numpy(spark):
+    import datetime as dt
+
+    got = {
+        r["segment"]: r
+        for r in plans.get("ts_intervention_step").build(spark, SF).collect()
+    }
+    cut = dt.date(1995, 6, 1)
+    per = {}
+    for seg, d, x in _seg_daily_py():
+        per.setdefault(seg, []).append((d >= cut, float(x) * 100))
+    for seg, items in per.items():
+        pre = np.array([v for p, v in items if not p])
+        post = np.array([v for p, v in items if p])
+        r = got[seg]
+        assert (r["n_pre"], r["n_post"]) == (len(pre), len(post))
+        assert r["pre_mean"] == pytest.approx(pre.mean() / 100, rel=1e-9)
+        assert r["post_mean"] == pytest.approx(post.mean() / 100, rel=1e-9)
+        assert r["lift"] == pytest.approx(
+            post.mean() / pre.mean() - 1, rel=1e-9
+        )
+        t = (post.mean() - pre.mean()) / np.sqrt(
+            pre.var(ddof=1) / len(pre) + post.var(ddof=1) / len(post)
+        )
+        assert r["welch_t"] == pytest.approx(t, rel=1e-9)
