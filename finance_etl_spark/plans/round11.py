@@ -2329,3 +2329,600 @@ def ts_intervention_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(var_pre / F.col("n_pre") + var_post / F.col("n_post")),
         ).alias("welch_t"),
     ).orderBy("segment")
+
+
+# ===========================================================================
+# ML-eval wave (score = l_quantity, label = l_returnflag 'R', the
+# family convention of ml_roc_auc / ml_threshold_sweep)
+
+
+@register(
+    "ml_score_ks",
+    tags=("ml", "eval", "window"),
+    oracle="""
+        WITH grp AS (
+            SELECT l_quantity AS score,
+                   CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R')
+                        AS BIGINT) AS pos,
+                   CAST(COUNT(*) FILTER (WHERE l_returnflag <> 'R')
+                        AS BIGINT) AS neg
+            FROM lineitem GROUP BY l_quantity
+        ),
+        cum AS (
+            SELECT score,
+                   SUM(pos) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+                       AS cpos,
+                   SUM(neg) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+                       AS cneg
+            FROM grp
+        ),
+        tot AS (
+            SELECT CAST(SUM(pos) AS BIGINT) AS npos,
+                   CAST(SUM(neg) AS BIGINT) AS nneg
+            FROM grp
+        ),
+        gaps AS (
+            SELECT score,
+                   CAST(ABS(cpos * tot.nneg - cneg * tot.npos) AS BIGINT)
+                       AS gap
+            FROM cum CROSS JOIN tot
+        ),
+        best AS (
+            SELECT score, gap,
+                   ROW_NUMBER() OVER (ORDER BY gap DESC, score) AS pk
+            FROM gaps
+        )
+        SELECT tot.npos, tot.nneg,
+               CAST(best.gap AS DOUBLE)
+                 / (CAST(tot.npos AS DOUBLE) * tot.nneg) AS ks_stat,
+               best.score AS ks_threshold
+        FROM best CROSS JOIN tot WHERE best.pk = 1
+    """,
+)
+def ml_score_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS separation of the model score between classes — credit
+    scoring's favorite single number: D = max over thresholds of
+    |F_pos(s) - F_neg(s)|, with the argmax threshold (the score cut a
+    rule-based policy would deploy). The gap is the exact integer
+    |cpos*nneg - cneg*npos| on the value-domain-bounded distinct-score
+    relation (l_quantity has <= 50 distinct values at any SF, so the
+    unpartitioned cumulative window rides a bounded relation — the
+    bucket+carry exemption documented in session.py); division by
+    npos*nneg happens once at the edge. Deterministic earliest-score
+    argmax tiebreak. Class balance is a fixture invariant (both
+    classes populated at every SF)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grp = li.groupBy(F.col("l_quantity").alias("score")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("neg"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grp.select(
+        "score",
+        F.sum("pos").over(w).alias("cpos"),
+        F.sum("neg").over(w).alias("cneg"),
+    )
+    tot = grp.agg(
+        F.sum("pos").cast("bigint").alias("npos"),
+        F.sum("neg").cast("bigint").alias("nneg"),
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "score",
+        F.abs(F.col("cpos") * F.col("nneg") - F.col("cneg") * F.col("npos"))
+        .cast("bigint")
+        .alias("gap"),
+        "npos",
+        "nneg",
+    )
+    wbest = Window.orderBy(F.col("gap").desc(), "score")
+    return (
+        gaps.withColumn("pk", F.row_number().over(wbest))
+        .filter(F.col("pk") == 1)
+        .select(
+            "npos",
+            "nneg",
+            (
+                F.col("gap").cast("double")
+                / (F.col("npos").cast("double") * F.col("nneg"))
+            ).alias("ks_stat"),
+            F.col("score").alias("ks_threshold"),
+        )
+    )
+
+
+@register(
+    "ml_somers_d",
+    tags=("ml", "eval", "window"),
+    oracle="""
+        WITH grp AS (
+            SELECT l_quantity AS score,
+                   CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R')
+                        AS BIGINT) AS pos,
+                   CAST(COUNT(*) FILTER (WHERE l_returnflag <> 'R')
+                        AS BIGINT) AS neg
+            FROM lineitem GROUP BY l_quantity
+        ),
+        cum AS (
+            SELECT score, pos, neg,
+                   CAST(COALESCE(SUM(neg) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS neg_below,
+                   CAST(COALESCE(SUM(pos) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS pos_below
+            FROM grp
+        ),
+        tot AS (
+            SELECT CAST(SUM(pos) AS BIGINT) AS npos,
+                   CAST(SUM(neg) AS BIGINT) AS nneg
+            FROM grp
+        ),
+        pairs AS (
+            SELECT CAST(SUM(CAST(pos AS DECIMAL(38,0)) * neg_below)
+                        AS DECIMAL(38,0)) AS concordant,
+                   CAST(SUM(CAST(pos AS DECIMAL(38,0))
+                            * (tot.nneg - neg_below - neg))
+                        AS DECIMAL(38,0)) AS discordant,
+                   CAST(SUM(CAST(pos AS DECIMAL(38,0)) * neg)
+                        AS DECIMAL(38,0)) AS tied_score
+            FROM cum CROSS JOIN tot
+        )
+        SELECT tot.npos, tot.nneg,
+               CAST(CAST(pairs.concordant AS VARCHAR) AS DOUBLE)
+                   AS n_concordant,
+               CAST(CAST(pairs.discordant AS VARCHAR) AS DOUBLE)
+                   AS n_discordant,
+               CAST(CAST(pairs.tied_score AS VARCHAR) AS DOUBLE) AS n_tied,
+               (CAST(CAST(pairs.concordant AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(pairs.discordant AS VARCHAR) AS DOUBLE))
+                 / (CAST(tot.npos AS DOUBLE) * tot.nneg) AS somers_d,
+               CASE WHEN CAST(CAST(pairs.concordant AS VARCHAR) AS DOUBLE)
+                         + CAST(CAST(pairs.discordant AS VARCHAR) AS DOUBLE)
+                         > 0 THEN
+                 (CAST(CAST(pairs.concordant AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(pairs.discordant AS VARCHAR) AS DOUBLE))
+                 / (CAST(CAST(pairs.concordant AS VARCHAR) AS DOUBLE)
+                    + CAST(CAST(pairs.discordant AS VARCHAR) AS DOUBLE))
+               END AS gk_gamma
+        FROM pairs CROSS JOIN tot
+    """,
+)
+def ml_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Somers' D (and Goodman-Kruskal gamma) of score vs binary label
+    — the pair-concordance view of discrimination: D = (C - D') /
+    (npos*nneg) = 2*AUC - 1, but reported WITH the raw concordant /
+    discordant / score-tied pair censuses that model-risk reviews ask
+    for (gamma excludes ties, D charges them). All three pair counts
+    are exact DECIMAL(38,0) sums over the <= 50-value distinct-score
+    relation (pos_v * negatives-below etc., cumulative window on a
+    value-domain-bounded relation); npos*nneg ~ 1e11 at sf1 so counts
+    are decimal38, VARCHAR-routed to double for presentation. gamma
+    NULLs if every pair is score-tied (degenerate single-score
+    fixture — impossible here, guarded anyway)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grp = li.groupBy(F.col("l_quantity").alias("score")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("neg"),
+    )
+    w_prev = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = grp.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w_prev), F.lit(0)).alias("neg_below"),
+    )
+    tot = grp.agg(
+        F.sum("pos").cast("bigint").alias("npos"),
+        F.sum("neg").cast("bigint").alias("nneg"),
+    )
+    posD = F.col("pos").cast("decimal(38,0)")
+    pairs = cum.crossJoin(F.broadcast(tot)).agg(
+        F.sum(posD * F.col("neg_below")).cast("decimal(38,0)").alias(
+            "concordant"
+        ),
+        F.sum(posD * (F.col("nneg") - F.col("neg_below") - F.col("neg")))
+        .cast("decimal(38,0)")
+        .alias("discordant"),
+        F.sum(posD * F.col("neg")).cast("decimal(38,0)").alias("tied_score"),
+    )
+    c_d = _as_d(F.col("concordant"))
+    d_d = _as_d(F.col("discordant"))
+    t_d = _as_d(F.col("tied_score"))
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        "npos",
+        "nneg",
+        c_d.alias("n_concordant"),
+        d_d.alias("n_discordant"),
+        t_d.alias("n_tied"),
+        ((c_d - d_d) / (F.col("npos").cast("double") * F.col("nneg"))).alias(
+            "somers_d"
+        ),
+        F.when(c_d + d_d > 0, (c_d - d_d) / (c_d + d_d)).alias("gk_gamma"),
+    )
+
+
+@register(
+    "ml_hosmer_lemeshow",
+    tags=("ml", "eval", "agg"),
+    oracle="""
+        WITH scored AS (
+            SELECT CAST(LEAST(9, FLOOR((l_quantity - 1) / 5)) AS BIGINT)
+                       AS bin,
+                   l_quantity / 51.0 AS p,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+            FROM lineitem
+        ),
+        bins AS (
+            SELECT bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(y) AS BIGINT) AS o1,
+                   CAST(CAST(SUM(CAST(FLOOR(p * 1e9) AS DECIMAL(38,0)))
+                        AS VARCHAR) AS DOUBLE) / 1e9 AS e1
+            FROM scored GROUP BY bin
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(n_g) AS BIGINT) AS n,
+               list_reduce(
+                   list((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1)
+                        / (e1 * (1 - e1 / n_g)) ORDER BY bin),
+                   (a, x) -> a + x) AS hl_stat,
+               CAST(COUNT(*) - 2 AS BIGINT) AS df
+        FROM bins
+    """,
+)
+def ml_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-fit for the family's deterministic
+    probability model p = quantity/51 against the observed return
+    flag, over 10 fixed score bins: HL = sum_g (O_g - E_g)^2 /
+    (E_g (1 - E_g/n_g)) — the calibration CHI-SQUARE that complements
+    ml_calibration_bins (per-bin table) and ml_calibration_ece
+    (weighted gap) with an actual test statistic, df = bins - 2.
+    Expected counts sum the per-row p through the floor-1e9 exact
+    reduction (engine-order-free); observed counts are exact ints;
+    the 10 bin terms fold in PINNED bin order. Fixed-width quantity
+    bins (not quantile bins) keep the binning engine-exact. E_g in
+    (0, n_g) by construction of p (quantity 1..50 over 51), so the
+    denominator never degenerates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.least(F.lit(9), F.floor((F.col("l_quantity") - 1) / 5))
+        .cast("bigint")
+        .alias("bin"),
+        (F.col("l_quantity") / F.lit(51.0)).alias("p"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("y").cast("bigint").alias("o1"),
+        (
+            _as_d(
+                F.sum(
+                    F.floor(F.col("p") * F.lit(1e9)).cast("decimal(38,0)")
+                ).cast("decimal(38,0)")
+            )
+            / F.lit(1e9)
+        ).alias("e1"),
+    )
+    term = (F.col("o1").cast("double") - F.col("e1")) * (
+        F.col("o1").cast("double") - F.col("e1")
+    ) / (F.col("e1") * (1 - F.col("e1") / F.col("n_g")))
+    return bins.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        _ordered_fold_sum(F.col("bin"), term).alias("hl_stat"),
+        (F.count(F.lit(1)) - 2).cast("bigint").alias("df"),
+    )
+
+
+@register(
+    "ml_mcc_multiclass",
+    tags=("ml", "eval", "agg"),
+    oracle="""
+        WITH labeled AS (
+            SELECT l_returnflag AS truth,
+                   CASE WHEN l_quantity < 17 THEN 'A'
+                        WHEN l_quantity < 34 THEN 'N'
+                        ELSE 'R' END AS pred
+            FROM lineitem
+        ),
+        cells AS (
+            SELECT truth, pred, CAST(COUNT(*) AS BIGINT) AS n
+            FROM labeled GROUP BY truth, pred
+        ),
+        t AS (SELECT truth AS k, CAST(SUM(n) AS BIGINT) AS tk
+              FROM cells GROUP BY truth),
+        p AS (SELECT pred AS k, CAST(SUM(n) AS BIGINT) AS pk
+              FROM cells GROUP BY pred),
+        marg AS (
+            SELECT COALESCE(t.k, p.k) AS k,
+                   COALESCE(t.tk, 0) AS tk,
+                   COALESCE(p.pk, 0) AS pk
+            FROM t FULL OUTER JOIN p ON p.k = t.k
+        ),
+        m AS (
+            SELECT CAST(SUM(CAST(tk AS DECIMAL(38,0)) * pk)
+                        AS DECIMAL(38,0)) AS sum_tp,
+                   CAST(SUM(CAST(tk AS DECIMAL(38,0)) * tk)
+                        AS DECIMAL(38,0)) AS sum_t2,
+                   CAST(SUM(CAST(pk AS DECIMAL(38,0)) * pk)
+                        AS DECIMAL(38,0)) AS sum_p2
+            FROM marg
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS s,
+                   CAST(SUM(CASE WHEN truth = pred THEN n ELSE 0 END)
+                        AS BIGINT) AS c
+            FROM cells
+        )
+        SELECT tot.s AS n, tot.c AS n_correct,
+               CAST(tot.c AS DOUBLE) / tot.s AS accuracy,
+               CASE WHEN (CAST(tot.s AS DOUBLE) * tot.s
+                          - CAST(CAST(m.sum_t2 AS VARCHAR) AS DOUBLE)) > 0
+                         AND (CAST(tot.s AS DOUBLE) * tot.s
+                              - CAST(CAST(m.sum_p2 AS VARCHAR) AS DOUBLE)) > 0
+               THEN
+                 (CAST(tot.c AS DOUBLE) * tot.s
+                  - CAST(CAST(m.sum_tp AS VARCHAR) AS DOUBLE))
+                 / sqrt((CAST(tot.s AS DOUBLE) * tot.s
+                         - CAST(CAST(m.sum_t2 AS VARCHAR) AS DOUBLE))
+                        * (CAST(tot.s AS DOUBLE) * tot.s
+                           - CAST(CAST(m.sum_p2 AS VARCHAR) AS DOUBLE)))
+               END AS mcc
+        FROM tot CROSS JOIN m
+    """,
+)
+def ml_mcc_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass Matthews correlation (Gorodkin's R_K) of a fixed
+    quantity-threshold classifier against the 3-class return flag:
+    R_K = (c*s - sum_k t_k p_k) / sqrt((s^2 - sum t_k^2)(s^2 - sum
+    p_k^2)) — the chance-corrected accuracy that stays honest under
+    class imbalance, generalizing ml_mcc_binary to the full confusion
+    matrix. Marginals live on the <= 3-row class relation (full outer
+    join of truth/pred counts so a class never predicted still enters
+    p_k = 0); products accumulate in DECIMAL(38,0) (s^2 ~ 3.6e13 at
+    sf1, safe past sf100) and convert once. The degenerate
+    single-class edges (either marginal concentrated on one class)
+    NULL R_K identically on both engines. One corpus hash agg on the
+    9-cell confusion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    labeled = li.select(
+        F.col("l_returnflag").alias("truth"),
+        F.when(F.col("l_quantity") < 17, "A")
+        .when(F.col("l_quantity") < 34, "N")
+        .otherwise("R")
+        .alias("pred"),
+    )
+    cells = labeled.groupBy("truth", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = cells.groupBy(F.col("truth").alias("k")).agg(
+        F.sum("n").cast("bigint").alias("tk")
+    )
+    p = cells.groupBy(F.col("pred").alias("k2")).agg(
+        F.sum("n").cast("bigint").alias("pk")
+    )
+    marg = t.join(p, t.k == p.k2, "full").select(
+        F.coalesce(F.col("tk"), F.lit(0)).alias("tk"),
+        F.coalesce(F.col("pk"), F.lit(0)).alias("pk"),
+    )
+    m = marg.agg(
+        F.sum(F.col("tk").cast("decimal(38,0)") * F.col("pk"))
+        .cast("decimal(38,0)")
+        .alias("sum_tp"),
+        F.sum(F.col("tk").cast("decimal(38,0)") * F.col("tk"))
+        .cast("decimal(38,0)")
+        .alias("sum_t2"),
+        F.sum(F.col("pk").cast("decimal(38,0)") * F.col("pk"))
+        .cast("decimal(38,0)")
+        .alias("sum_p2"),
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum(F.when(F.col("truth") == F.col("pred"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    )
+    s_d = F.col("s").cast("double")
+    den_t = s_d * F.col("s") - _as_d(F.col("sum_t2"))
+    den_p = s_d * F.col("s") - _as_d(F.col("sum_p2"))
+    return tot.crossJoin(F.broadcast(m)).select(
+        F.col("s").alias("n"),
+        F.col("c").alias("n_correct"),
+        (F.col("c").cast("double") / F.col("s")).alias("accuracy"),
+        F.when(
+            (den_t > 0) & (den_p > 0),
+            (F.col("c").cast("double") * F.col("s") - _as_d(F.col("sum_tp")))
+            / F.sqrt(den_t * den_p),
+        ).alias("mcc"),
+    )
+
+
+@register(
+    "ml_ips_offpolicy",
+    tags=("ml", "eval", "agg"),
+    oracle="""
+        WITH logged AS (
+            SELECT c.c_mktsegment AS ctx,
+                   o.o_orderpriority AS action,
+                   CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS r
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        ),
+        ctx_tot AS (
+            SELECT ctx, CAST(COUNT(*) AS BIGINT) AS n_ctx
+            FROM logged GROUP BY ctx
+        ),
+        tgt AS (
+            SELECT l.ctx,
+                   CAST(COUNT(*) AS BIGINT) AS n_a,
+                   CAST(SUM(r) AS BIGINT) AS r_a
+            FROM logged l WHERE l.action = '2-HIGH'
+            GROUP BY l.ctx
+        ),
+        n AS (SELECT CAST(SUM(n_ctx) AS BIGINT) AS n FROM ctx_tot),
+        terms AS (
+            SELECT ct.ctx,
+                   CAST(ct.n_ctx AS DOUBLE) * tgt.r_a / tgt.n_a AS wr,
+                   CAST(ct.n_ctx AS DOUBLE) AS w
+            FROM ctx_tot ct JOIN tgt ON tgt.ctx = ct.ctx
+        )
+        SELECT n.n,
+               list_reduce(list(wr ORDER BY ctx), (a, x) -> a + x) / n.n
+                   AS ips_value,
+               list_reduce(list(wr ORDER BY ctx), (a, x) -> a + x)
+                 / list_reduce(list(w ORDER BY ctx), (a, x) -> a + x)
+                   AS snips_value
+        FROM terms CROSS JOIN n
+        GROUP BY n.n
+    """,
+)
+def ml_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation by inverse propensity scoring: what
+    fulfillment rate WOULD the deterministic policy "always 2-HIGH"
+    have achieved, estimated from logs where priorities were assigned
+    by the historical process? Context = market segment; empirical
+    propensity p(a|ctx) = n_a/n_ctx; IPS = (1/n) sum 1{a=target} r /
+    p(a|ctx), which reduces EXACTLY to (1/n) sum_ctx n_ctx * r_a/n_a
+    — group-level integer arithmetic, no per-row weights. SNIPS
+    (self-normalized) divides by sum of weights instead of n, the
+    variance-reduced estimator production OPE uses. The 5 context
+    terms fold in pinned order. A context with no target-action logs
+    drops out of BOTH estimators identically (inner join) — the
+    standard undefined-propensity exclusion, documented."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    logged = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("ctx"),
+        F.col("o_orderpriority").alias("action"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("r"),
+    )
+    ctx_tot = logged.groupBy("ctx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ctx")
+    )
+    tgt = (
+        logged.filter(F.col("action") == "2-HIGH")
+        .groupBy("ctx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_a"),
+            F.sum("r").cast("bigint").alias("r_a"),
+        )
+    )
+    n = ctx_tot.agg(F.sum("n_ctx").cast("bigint").alias("n"))
+    terms = ctx_tot.join(tgt, "ctx").select(
+        "ctx",
+        (F.col("n_ctx").cast("double") * F.col("r_a") / F.col("n_a")).alias(
+            "wr"
+        ),
+        F.col("n_ctx").cast("double").alias("w"),
+    )
+    agg = terms.agg(
+        _ordered_fold_sum(F.col("ctx"), F.col("wr")).alias("sum_wr"),
+        _ordered_fold_sum(F.col("ctx"), F.col("w")).alias("sum_w"),
+    )
+    return agg.crossJoin(F.broadcast(n)).select(
+        "n",
+        (F.col("sum_wr") / F.col("n")).alias("ips_value"),
+        (F.col("sum_wr") / F.col("sum_w")).alias("snips_value"),
+    )
+
+
+@register(
+    "ml_fbeta_grid",
+    tags=("ml", "eval", "agg"),
+    oracle="""
+        WITH conf AS (
+            SELECT CAST(COUNT(*) FILTER (WHERE l_quantity >= 25
+                        AND l_returnflag = 'R') AS BIGINT) AS tp,
+                   CAST(COUNT(*) FILTER (WHERE l_quantity >= 25
+                        AND l_returnflag <> 'R') AS BIGINT) AS fp,
+                   CAST(COUNT(*) FILTER (WHERE l_quantity < 25
+                        AND l_returnflag = 'R') AS BIGINT) AS fn
+            FROM lineitem
+        )
+        SELECT b.beta, conf.tp, conf.fp, conf.fn,
+               CAST(conf.tp AS DOUBLE) / (conf.tp + conf.fp) AS precision_,
+               CAST(conf.tp AS DOUBLE) / (conf.tp + conf.fn) AS recall_,
+               CASE WHEN (1 + b.beta * b.beta) * conf.tp
+                         + b.beta * b.beta * conf.fn + conf.fp > 0 THEN
+                 (1 + b.beta * b.beta) * CAST(conf.tp AS DOUBLE)
+                   / ((1 + b.beta * b.beta) * conf.tp
+                      + b.beta * b.beta * conf.fn + conf.fp)
+               END AS fbeta
+        FROM conf
+        CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE),
+                                   CAST(1.0 AS DOUBLE),
+                                   CAST(2.0 AS DOUBLE)]) AS beta) b
+        ORDER BY b.beta
+    """,
+)
+def ml_fbeta_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-beta scores at beta in {0.5, 1, 2} for the fixed
+    quantity >= 25 classifier against the return flag — the
+    precision-weighted / balanced / recall-weighted triple every
+    precision-recall tradeoff review wants side by side
+    (ml_threshold_sweep sweeps thresholds at F1; this sweeps beta at
+    one threshold). The smoothed form Fb = (1+b^2)tp / ((1+b^2)tp +
+    b^2 fn + fp) avoids the P,R intermediate divisions; the confusion
+    cells are exact integers from one agg, fanned over a broadcast
+    3-row beta grid. Fb NULLs only when tp=fp=fn=0 (no positives
+    anywhere — impossible on this fixture, guarded identically)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    conf = li.agg(
+        F.sum(
+            F.when(
+                (F.col("l_quantity") >= 25) & (F.col("l_returnflag") == "R"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") >= 25) & (F.col("l_returnflag") != "R"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 25) & (F.col("l_returnflag") == "R"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fn"),
+    )
+    betas = spark.createDataFrame([(0.5,), (1.0,), (2.0,)], "beta double")
+    b2 = F.col("beta") * F.col("beta")
+    denom = (1 + b2) * F.col("tp") + b2 * F.col("fn") + F.col("fp")
+    return (
+        conf.crossJoin(F.broadcast(betas))
+        .select(
+            "beta",
+            "tp",
+            "fp",
+            "fn",
+            (F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias(
+                "precision_"
+            ),
+            (F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))).alias(
+                "recall_"
+            ),
+            F.when(
+                denom > 0,
+                (1 + b2) * F.col("tp").cast("double") / denom,
+            ).alias("fbeta"),
+        )
+        .orderBy("beta")
+    )

@@ -544,3 +544,137 @@ def test_intervention_step_matches_numpy(spark):
             pre.var(ddof=1) / len(pre) + post.var(ddof=1) / len(post)
         )
         assert r["welch_t"] == pytest.approx(t, rel=1e-9)
+
+
+# --------------------------------------------------------------------------
+# ML-eval wave
+
+
+def _lineitem_score_label():
+    rows = _fetch(
+        "SELECT l_quantity, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    s = np.array([float(r[0]) for r in rows])
+    y = np.array([r[1] for r in rows])
+    return s, y
+
+
+def test_score_ks_matches_numpy(spark):
+    row = plans.get("ml_score_ks").build(spark, SF).collect()[0]
+    s, y = _lineitem_score_label()
+    pos, neg = np.sort(s[y == 1]), np.sort(s[y == 0])
+    best, best_t = -1.0, None
+    for t in np.unique(s):
+        d = abs(
+            (pos <= t).mean() - (neg <= t).mean()
+        )
+        if d > best + 1e-15:
+            best, best_t = d, t
+    assert (row["npos"], row["nneg"]) == (len(pos), len(neg))
+    assert row["ks_stat"] == pytest.approx(best, rel=1e-12)
+    assert float(row["ks_threshold"]) == pytest.approx(best_t)
+
+
+def test_somers_d_matches_numpy(spark):
+    row = plans.get("ml_somers_d").build(spark, SF).collect()[0]
+    s, y = _lineitem_score_label()
+    pos, neg = s[y == 1], s[y == 0]
+    # O(n log n) via sorting unique scores
+    c = d = t = 0
+    neg_sorted = np.sort(neg)
+    for v in pos:
+        lo = np.searchsorted(neg_sorted, v, side="left")
+        hi = np.searchsorted(neg_sorted, v, side="right")
+        c += lo
+        d += len(neg_sorted) - hi
+        t += hi - lo
+    assert (row["n_concordant"], row["n_discordant"], row["n_tied"]) == (
+        c,
+        d,
+        t,
+    )
+    assert row["somers_d"] == pytest.approx(
+        (c - d) / (len(pos) * len(neg)), rel=1e-12
+    )
+    assert row["gk_gamma"] == pytest.approx((c - d) / (c + d), rel=1e-12)
+
+
+def test_hosmer_lemeshow_matches_numpy(spark):
+    row = plans.get("ml_hosmer_lemeshow").build(spark, SF).collect()[0]
+    s, y = _lineitem_score_label()
+    p = s / 51.0
+    bins = np.minimum(9, ((s - 1) // 5)).astype(int)
+    hl = 0.0
+    for b in sorted(set(bins)):
+        m = bins == b
+        n_g, o1, e1 = int(m.sum()), int(y[m].sum()), float(p[m].sum())
+        hl += (o1 - e1) ** 2 / (e1 * (1 - e1 / n_g))
+    assert row["n_bins"] == len(set(bins))
+    assert row["hl_stat"] == pytest.approx(hl, rel=1e-6)
+
+
+def test_mcc_multiclass_matches_numpy(spark):
+    row = plans.get("ml_mcc_multiclass").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT l_returnflag, l_quantity"
+        f" FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    truth = np.array([r[0] for r in rows])
+    q = np.array([float(r[1]) for r in rows])
+    pred = np.where(q < 17, "A", np.where(q < 34, "N", "R"))
+    classes = sorted(set(truth) | set(pred))
+    s = len(truth)
+    c = int((truth == pred).sum())
+    tk = {k: int((truth == k).sum()) for k in classes}
+    pk = {k: int((pred == k).sum()) for k in classes}
+    sum_tp = sum(tk[k] * pk[k] for k in classes)
+    sum_t2 = sum(v * v for v in tk.values())
+    sum_p2 = sum(v * v for v in pk.values())
+    mcc = (c * s - sum_tp) / np.sqrt((s * s - sum_t2) * (s * s - sum_p2))
+    assert (row["n"], row["n_correct"]) == (s, c)
+    assert row["mcc"] == pytest.approx(mcc, rel=1e-9)
+
+
+def test_ips_offpolicy_matches_reference(spark):
+    row = plans.get("ml_ips_offpolicy").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT c.c_mktsegment, o.o_orderpriority,"
+        " CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END"
+        f" FROM read_parquet('{SF}/orders.parquet') o"
+        f" JOIN read_parquet('{SF}/customer.parquet') c"
+        " ON c.c_custkey = o.o_custkey"
+    )
+    n = len(rows)
+    # per-row IPS with empirical propensities — the definitionally
+    # independent formulation the engine's group-level identity must equal
+    from collections import Counter
+
+    ctx_n = Counter(r[0] for r in rows)
+    act_n = Counter((r[0], r[1]) for r in rows)
+    num = w_sum = 0.0
+    for ctx, a, r in rows:
+        if a == "2-HIGH":
+            p = act_n[(ctx, a)] / ctx_n[ctx]
+            num += r / p
+            w_sum += 1 / p
+    assert row["n"] == n
+    assert row["ips_value"] == pytest.approx(num / n, rel=1e-9)
+    assert row["snips_value"] == pytest.approx(num / w_sum, rel=1e-9)
+
+
+def test_fbeta_grid_matches_numpy(spark):
+    rows = plans.get("ml_fbeta_grid").build(spark, SF).collect()
+    s, y = _lineitem_score_label()
+    pred = s >= 25
+    tp = int((pred & (y == 1)).sum())
+    fp = int((pred & (y == 0)).sum())
+    fn = int((~pred & (y == 1)).sum())
+    p, r = tp / (tp + fp), tp / (tp + fn)
+    for row in rows:
+        b = row["beta"]
+        fb = (1 + b * b) * p * r / (b * b * p + r)
+        assert (row["tp"], row["fp"], row["fn"]) == (tp, fp, fn)
+        assert row["precision_"] == pytest.approx(p, rel=1e-12)
+        assert row["recall_"] == pytest.approx(r, rel=1e-12)
+        assert row["fbeta"] == pytest.approx(fb, rel=1e-9)
