@@ -2926,3 +2926,671 @@ def ml_fbeta_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("beta")
     )
+
+
+# ===========================================================================
+# Graph wave (strong-trade graph, shared BFS machinery)
+
+from finance_etl_spark.plans.curation import (  # noqa: E402
+    _GRAPH_EDGE_CTE,
+    _trade_edges_undirected,
+)
+
+
+def _bfs5_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s, v, d): min-distance pairs within 5 hops on the strong-trade
+    graph — the shared 5-round broadcast-join BFS of
+    graph_harmonic_closeness (|V|^2-bounded state, exact integers)."""
+    ku = _trade_edges_undirected(spark, sf_dir)
+    nbr = (
+        ku.select(F.col("a").alias("v"), F.col("b").alias("n"))
+        .unionAll(ku.select(F.col("b").alias("v"), F.col("a").alias("n")))
+        .localCheckpoint()
+    )
+    nodes = nbr.select("v").distinct()
+    state = nodes.select(
+        F.col("v").alias("s"), F.col("v"), F.lit(0).cast("bigint").alias("d")
+    )
+    for _ in range(5):
+        expanded = (
+            state.alias("p")
+            .join(F.broadcast(nbr.alias("e")), F.col("p.v") == F.col("e.v"))
+            .select(
+                F.col("p.s").alias("s"),
+                F.col("e.n").alias("v"),
+                (F.col("p.d") + 1).alias("d"),
+            )
+        )
+        state = (
+            state.unionByName(expanded)
+            .groupBy("s", "v")
+            .agg(F.min("d").cast("bigint").alias("d"))
+        )
+    return state
+
+
+_BFS5_SQL_ROUNDS = "".join(
+    f"""
+        r{i} AS MATERIALIZED (
+            SELECT s, v, CAST(MIN(d) AS BIGINT) AS d FROM (
+                SELECT s, v, d FROM r{i - 1}
+                UNION ALL
+                SELECT p.s, nbr.n AS v, p.d + 1 AS d
+                FROM r{i - 1} p JOIN nbr ON nbr.v = p.v
+            ) GROUP BY s, v
+        ),"""
+    for i in range(1, 6)
+)
+
+
+@register(
+    "graph_eccentricity_diameter",
+    tags=("graph", "join", "iterative"),
+    oracle=f"""
+        WITH {_GRAPH_EDGE_CTE},
+        nodes AS MATERIALIZED (SELECT DISTINCT v FROM nbr),
+        r0 AS (SELECT v AS s, v, CAST(0 AS BIGINT) AS d FROM nodes),
+        {_BFS5_SQL_ROUNDS}
+        ecc AS (
+            SELECT s,
+                   CAST(COUNT(*) FILTER (WHERE d > 0) AS BIGINT) AS reached,
+                   CAST(MAX(d) AS BIGINT) AS ecc
+            FROM r5 GROUP BY s
+        ),
+        gstats AS (
+            SELECT CAST(MAX(ecc) AS BIGINT) AS diameter,
+                   CAST(MIN(ecc) AS BIGINT) AS radius
+            FROM ecc WHERE reached > 0
+        )
+        SELECT ecc.s AS nationkey, ecc.reached AS reached_5hop,
+               CASE WHEN ecc.reached > 0 THEN ecc.ecc END AS ecc_5hop,
+               gstats.diameter AS diameter_5hop, gstats.radius AS radius_5hop
+        FROM ecc CROSS JOIN gstats
+        ORDER BY nationkey
+    """,
+)
+def graph_eccentricity_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eccentricity per nation plus graph diameter and radius on the
+    strong-trade graph, within the 5-hop BFS horizon: ecc(s) = max
+    shortest-path distance from s, diameter = max ecc, radius = min
+    ecc — the topology report (is the trade network a tight core or a
+    long chain?) that complements harmonic closeness' per-node
+    average-distance view with worst-case distances. Same
+    |V|^2-bounded 5-round broadcast-join BFS, exact integers
+    everywhere, isolated nodes NULL their eccentricity and are
+    excluded from diameter/radius on both engines (classical
+    convention for disconnected graphs)."""
+    state = _bfs5_state(spark, sf_dir)
+    ecc = state.groupBy("s").agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("reached"),
+        F.max("d").cast("bigint").alias("ecc"),
+    )
+    glob = ecc.filter(F.col("reached") > 0).agg(
+        F.max("ecc").cast("bigint").alias("diameter"),
+        F.min("ecc").cast("bigint").alias("radius"),
+    )
+    return (
+        ecc.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("s").alias("nationkey"),
+            F.col("reached").alias("reached_5hop"),
+            F.when(F.col("reached") > 0, F.col("ecc")).alias("ecc_5hop"),
+            F.col("diameter").alias("diameter_5hop"),
+            F.col("radius").alias("radius_5hop"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "graph_path_length_histogram",
+    tags=("graph", "join", "iterative"),
+    oracle=f"""
+        WITH {_GRAPH_EDGE_CTE},
+        nodes AS MATERIALIZED (SELECT DISTINCT v FROM nbr),
+        r0 AS (SELECT v AS s, v, CAST(0 AS BIGINT) AS d FROM nodes),
+        {_BFS5_SQL_ROUNDS}
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+        hist AS (
+            SELECT CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS d1,
+                   CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS d2,
+                   CAST(SUM(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS d3,
+                   CAST(SUM(CASE WHEN d = 4 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS d4,
+                   CAST(SUM(CASE WHEN d = 5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS d5,
+                   CAST(SUM(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT)
+                       AS d_sum,
+                   CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS reached_pairs
+            FROM r5
+        )
+        SELECT n.n_nodes,
+               CAST(n.n_nodes * (n.n_nodes - 1) AS BIGINT) AS ordered_pairs,
+               hist.d1, hist.d2, hist.d3, hist.d4, hist.d5,
+               CAST(n.n_nodes * (n.n_nodes - 1) - hist.reached_pairs
+                    AS BIGINT) AS unreached_pairs,
+               CASE WHEN hist.reached_pairs > 0 THEN
+                 CAST(hist.d_sum AS DOUBLE) / hist.reached_pairs
+               END AS avg_path_length
+        FROM n CROSS JOIN hist
+    """,
+)
+def graph_path_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path length distribution of the strong-trade graph
+    within the 5-hop horizon: how many ordered node pairs sit at
+    distance 1..5, how many are unreachable, and the average path
+    length over reached pairs — the small-world diagnostic (compare
+    avg to ln(V)) and the denominator audit for every distance-based
+    centrality. Shares the exact-integer 5-round BFS state; outputs
+    are integer counts plus one guarded edge division."""
+    state = _bfs5_state(spark, sf_dir)
+    nodes = state.filter(F.col("d") == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    hist = state.agg(
+        *[
+            F.sum(F.when(F.col("d") == k, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"d{k}")
+            for k in range(1, 6)
+        ],
+        F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(0))
+        .cast("bigint")
+        .alias("d_sum"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("reached_pairs"),
+    )
+    return nodes.crossJoin(F.broadcast(hist)).select(
+        "n_nodes",
+        (F.col("n_nodes") * (F.col("n_nodes") - 1))
+        .cast("bigint")
+        .alias("ordered_pairs"),
+        "d1",
+        "d2",
+        "d3",
+        "d4",
+        "d5",
+        (
+            F.col("n_nodes") * (F.col("n_nodes") - 1) - F.col("reached_pairs")
+        )
+        .cast("bigint")
+        .alias("unreached_pairs"),
+        F.when(
+            F.col("reached_pairs") > 0,
+            F.col("d_sum").cast("double") / F.col("reached_pairs"),
+        ).alias("avg_path_length"),
+    )
+
+
+# ===========================================================================
+# Text wave
+
+from finance_etl_spark.io.readers import load_table_parallel  # noqa: E402
+
+
+@register(
+    "text_heaps_curve",
+    tags=("text", "tokenize", "window"),
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, lower(tok) AS tok
+            FROM (SELECT doc_id,
+                         unnest(regexp_extract_all(text, '[a-zA-Z0-9_]+'))
+                             AS tok
+                  FROM documents)
+        ),
+        firsts AS (
+            SELECT MIN(doc_id) AS first_doc FROM toks GROUP BY tok
+        ),
+        nt AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+            FROM toks GROUP BY doc_id
+        ),
+        nd AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS max_id FROM nt),
+        deciles AS (
+            SELECT CAST(dec AS INT) AS decile,
+                   CAST((max_id * dec) // 10 AS BIGINT) AS cutoff_id
+            FROM nd CROSS JOIN (SELECT unnest(range(1, 11)) AS dec)
+        )
+        SELECT d.decile,
+               CAST(SUM(nt.n_tok) AS BIGINT) AS cum_tokens,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts f
+                WHERE f.first_doc <= d.cutoff_id) AS cum_vocab
+        FROM deciles d JOIN nt ON nt.doc_id <= d.cutoff_id
+        GROUP BY d.decile, d.cutoff_id
+        ORDER BY d.decile
+    """,
+)
+def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve over the corpus in
+    doc-id order: cumulative distinct vocabulary vs cumulative token
+    count at ten corpus prefixes — the curve whose log-log slope is
+    Heaps' beta, the number that predicts how much NEW vocabulary the
+    next 10x of data buys (flattening = diminishing data returns, THE
+    dedup/curation planning signal). Exact integers: each type's
+    FIRST document (one token-key agg — the corpus never re-scans per
+    decile), per-doc token counts, and decile cutoffs in integer
+    arithmetic; vocab-at-cutoff probes the 10-row decile spine
+    against the first-doc relation. Fitting the exponent needs logs
+    and is left to the consumer — the curve itself is engine-exact."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(r"regexp_extract_all(text, '[a-zA-Z0-9_]+', 0)")
+        ).alias("tok"),
+    ).select("doc_id", F.lower("tok").alias("tok"))
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    nt = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    max_id = nt.agg(F.max("doc_id").cast("bigint").alias("max_id"))
+    decs = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    deciles = decs.crossJoin(F.broadcast(max_id)).select(
+        "decile",
+        F.expr("CAST((max_id * decile) DIV 10 AS BIGINT)").alias("cutoff_id"),
+    )
+    tok_cum = (
+        nt.crossJoin(F.broadcast(deciles))
+        .filter(F.col("doc_id") <= F.col("cutoff_id"))
+        .groupBy("decile", "cutoff_id")
+        .agg(F.sum("n_tok").cast("bigint").alias("cum_tokens"))
+    )
+    voc_cum = (
+        firsts.crossJoin(F.broadcast(deciles))
+        .filter(F.col("first_doc") <= F.col("cutoff_id"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cum_vocab"))
+    )
+    return (
+        tok_cum.join(voc_cum, "decile")
+        .select("decile", "cum_tokens", "cum_vocab")
+        .orderBy("decile")
+    )
+
+
+@register(
+    "text_ngram_entropy",
+    tags=("text", "tokenize", "agg"),
+    oracle=r"""
+        WITH toks AS (
+            SELECT lower(tok) AS tok
+            FROM (SELECT unnest(regexp_extract_all(text, '[a-zA-Z0-9_]+'))
+                      AS tok
+                  FROM documents)
+        ),
+        uni AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_v FROM toks GROUP BY tok
+        ),
+        tot AS (SELECT CAST(SUM(n_v) AS BIGINT) AS n FROM uni)
+        SELECT tot.n AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               -CAST(CAST(SUM(n_v * CAST(ln(CAST(n_v AS DOUBLE)
+                        / CAST(tot.n AS DOUBLE)) AS DECIMAL(12,6)))
+                     AS VARCHAR) AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                   AS entropy_nats,
+               CAST(CAST(SUM(CAST(n_v AS DECIMAL(38,0)) * n_v)
+                    AS VARCHAR) AS DOUBLE)
+                 / (CAST(tot.n AS DOUBLE) * tot.n) AS simpson_repeat_prob
+        FROM uni CROSS JOIN tot
+        GROUP BY tot.n
+    """,
+)
+def text_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy and Simpson repeat probability of the
+    corpus token distribution — the two diversity numbers a training-
+    data mix report leads with (entropy near ln(V) = flat/diverse;
+    Simpson = chance two random tokens coincide, the collision view
+    of the same skew). Engine-exact via the quantized-log recipe
+    (dq_column_entropy precedent): ln(p_v) quantizes to DECIMAL(12,6)
+    per distinct token, H = -sum n_v ln_q(p_v) / N is then an exact
+    decimal dot product; Simpson is fully exact (sum n_v^2 in
+    DECIMAL(38,0) over N^2). One token-key shuffle, vocab-sized
+    state."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.expr(r"regexp_extract_all(text, '[a-zA-Z0-9_]+', 0)")
+        ).alias("tok0")
+    ).select(F.lower("tok0").alias("tok"))
+    uni = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v")
+    )
+    tot_w = Window.partitionBy()
+    lnq = F.log(
+        F.col("n_v").cast("double")
+        / F.sum("n_v").over(tot_w).cast("double")
+    ).cast("decimal(12,6)")
+    terms = uni.select(
+        "n_v",
+        (F.col("n_v") * lnq).alias("hterm"),
+        (F.col("n_v").cast("decimal(38,0)") * F.col("n_v")).alias("sq"),
+    )
+    return terms.agg(
+        F.sum("n_v").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        (
+            (-_as_d(F.sum("hterm")))
+            / F.sum("n_v").cast("double")
+        ).alias("entropy_nats"),
+        (
+            _as_d(F.sum("sq").cast("decimal(38,0)"))
+            / (
+                F.sum("n_v").cast("double")
+                * F.sum("n_v").cast("double")
+            )
+        ).alias("simpson_repeat_prob"),
+    )
+
+
+# ===========================================================================
+# Misc wave: vectors / window / dq / sql surface
+
+from finance_etl_spark.functions.vectors import cosine  # noqa: E402
+
+_DOT11 = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_NORM11 = (
+    "sqrt(list_sum(list_transform({a},"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_COS11 = (
+    _DOT11.format(a="a.embedding", b="b.embedding")
+    + " / ("
+    + _NORM11.format(a="a.embedding")
+    + " * "
+    + _NORM11.format(a="b.embedding")
+    + ")"
+)
+
+
+@register(
+    "vec_cosine_histogram",
+    tags=("vector", "similarity", "agg"),
+    oracle=f"""
+        WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS i, (a.vec_id * 7 + 13) % n.n AS j
+            FROM embeddings a CROSS JOIN n
+            WHERE (a.vec_id * 7 + 13) % n.n <> a.vec_id
+        ),
+        scored AS (
+            SELECT {_COS11} AS cos_sim
+            FROM pairs
+            JOIN embeddings a ON a.vec_id = pairs.i
+            JOIN embeddings b ON b.vec_id = pairs.j
+        )
+        , binned AS (
+            SELECT CAST(LEAST(19, FLOOR((cos_sim + 1) * 10)) AS BIGINT)
+                       AS bin
+            FROM scored
+        )
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(bin AS DOUBLE) / 10 - 1 AS bin_lo
+        FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def vec_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-similarity histogram over a deterministic linear pairing
+    of the embedding space (j = (7i+13) mod N, self-pairs dropped) —
+    the anisotropy diagnostic of an embedding table: a healthy space
+    piles mass near 0; a collapsed one (anisotropic, post-bad-
+    finetune) piles near 1 and ruins every cosine threshold
+    downstream. One cosine per vector (LINEAR — the pairing replaces
+    any quadratic sample), computed as the sequential-fold exact
+    double cosine both engines share bit-identically (vectors.py
+    contract); binning floors into 20 fixed buckets of width 0.1.
+    Scale shape: one self-join on the derived key, no shuffle beyond
+    the id join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    pairs = (
+        e.crossJoin(F.broadcast(n))
+        .select(
+            F.col("vec_id").alias("i"),
+            ((F.col("vec_id") * 7 + 13) % F.col("n")).alias("j"),
+        )
+        .filter(F.col("j") != F.col("i"))
+    )
+    a = e.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("eb"))
+    scored = (
+        pairs.join(a, "i")
+        .join(b, "j")
+        .select(cosine("ea", "eb").alias("cos_sim"))
+    )
+    bin_ = F.least(F.lit(19), F.floor((F.col("cos_sim") + 1) * 10)).cast(
+        "bigint"
+    )
+    return (
+        scored.groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "bin",
+            "n_pairs",
+            (F.col("bin").cast("double") / 10 - 1).alias("bin_lo"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "window_weighted_moving_avg",
+    tags=("window", "timeseries"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        cents AS (
+            SELECT segment, d,
+                   CAST(CAST(x AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+            FROM daily
+        ),
+        lagged AS (
+            SELECT segment, d, v,
+                   {", ".join(
+                       f"LAG(v, {k}) OVER (PARTITION BY segment ORDER BY d)"
+                       f" AS v{k}"
+                       for k in range(1, 7)
+                   )}
+            FROM cents
+        )
+        SELECT segment, d,
+               CAST(v AS DOUBLE) / 100 AS value,
+               CASE WHEN v6 IS NOT NULL THEN
+                 CAST(7 * v + 6 * v1 + 5 * v2 + 4 * v3 + 3 * v4 + 2 * v5
+                      + 1 * v6 AS DOUBLE) / 28 / 100
+               END AS wma7
+        FROM lagged
+        ORDER BY segment, d
+    """,
+)
+def window_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-weighted 7-day moving average per segment (weights
+    7..1, newest heaviest) — the WMA that sits between the flat SMA
+    and ts_ewma_smooth's exponential decay in every charting stack.
+    Implemented as SIX static lags + one exact integer dot product
+    per row (no frame aggregation, no fold): weights x cents stay
+    integers, the single division by 2800 happens at the double edge,
+    and rows without a full 7-day history are NULL on both engines.
+    Per-segment calendar-bounded windows; corpus work is the daily
+    agg."""
+    daily = _seg_daily(spark, sf_dir)
+    cents = daily.select(
+        "segment",
+        "d",
+        (F.col("x").cast("decimal(18,2)") * 100).cast("bigint").alias("v"),
+    )
+    w = Window.partitionBy("segment").orderBy("d")
+    lagged = cents.select(
+        "segment",
+        "d",
+        "v",
+        *[F.lag("v", k).over(w).alias(f"v{k}") for k in range(1, 7)],
+    )
+    wma_num = (
+        7 * F.col("v")
+        + 6 * F.col("v1")
+        + 5 * F.col("v2")
+        + 4 * F.col("v3")
+        + 3 * F.col("v4")
+        + 2 * F.col("v5")
+        + 1 * F.col("v6")
+    )
+    return lagged.select(
+        "segment",
+        "d",
+        (F.col("v").cast("double") / 100).alias("value"),
+        F.when(
+            F.col("v6").isNotNull(),
+            wma_num.cast("double") / 28 / 100,
+        ).alias("wma7"),
+    ).orderBy("segment", "d")
+
+
+@register(
+    "dq_sequential_gap_audit",
+    tags=("dq", "window", "agg"),
+    oracle="""
+        WITH keys AS (
+            SELECT DISTINCT o_orderkey AS k FROM orders
+        ),
+        bkt AS (
+            SELECT k, k // 4096 AS b FROM keys
+        ),
+        within AS (
+            SELECT b, k,
+                   k - LAG(k) OVER (PARTITION BY b ORDER BY k) AS gap
+            FROM bkt
+        ),
+        bstats AS (
+            SELECT b, CAST(MIN(k) AS BIGINT) AS bmin,
+                   CAST(MAX(k) AS BIGINT) AS bmax
+            FROM bkt GROUP BY b
+        ),
+        cross_gaps AS (
+            SELECT bmin - LAG(bmax) OVER (ORDER BY b) AS gap
+            FROM bstats
+        ),
+        allgaps AS (
+            SELECT gap FROM within WHERE gap IS NOT NULL
+            UNION ALL
+            SELECT gap FROM cross_gaps WHERE gap IS NOT NULL
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(MIN(k) AS BIGINT) AS k_min,
+                   CAST(MAX(k) AS BIGINT) AS k_max
+            FROM keys
+        )
+        SELECT tot.n_keys, tot.k_min, tot.k_max,
+               CAST(tot.k_max - tot.k_min + 1 - tot.n_keys AS BIGINT)
+                   AS missing_keys,
+               CAST((SELECT MAX(gap) FROM allgaps) - 1 AS BIGINT)
+                   AS largest_run_missing,
+               CAST(tot.n_keys AS DOUBLE)
+                 / (tot.k_max - tot.k_min + 1) AS coverage
+        FROM tot
+    """,
+)
+def dq_sequential_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit of the order-key space: how many keys are
+    missing between min and max, the longest missing RUN, and the
+    coverage ratio — the invoice-number completeness check every
+    audit asks for (a long missing run = a lost extract batch, not
+    TPC-H's by-design sparseness). The largest gap uses bucket+carry:
+    within-bucket LAG gaps on 4096-key buckets plus the O(buckets)
+    cross-boundary gaps from per-bucket min/max — no unpartitioned
+    corpus-scale window anywhere. All exact integers; coverage is one
+    edge division (k_max >= k_min by non-emptiness)."""
+    o = load_table(spark, sf_dir, "orders")
+    keys = o.select(F.col("o_orderkey").alias("k")).distinct()
+    bkt = keys.withColumn("b", F.floor(F.col("k") / F.lit(4096)))
+    w_in = Window.partitionBy("b").orderBy("k")
+    within = bkt.select(
+        (F.col("k") - F.lag("k").over(w_in)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    bstats = bkt.groupBy("b").agg(
+        F.min("k").cast("bigint").alias("bmin"),
+        F.max("k").cast("bigint").alias("bmax"),
+    )
+    w_b = Window.orderBy("b")
+    cross_gaps = bstats.select(
+        (F.col("bmin") - F.lag("bmax").over(w_b)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    allgaps = within.unionByName(cross_gaps)
+    maxgap = allgaps.agg(F.max("gap").alias("maxgap"))
+    tot = keys.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.min("k").cast("bigint").alias("k_min"),
+        F.max("k").cast("bigint").alias("k_max"),
+    )
+    return tot.crossJoin(F.broadcast(maxgap)).select(
+        "n_keys",
+        "k_min",
+        "k_max",
+        (F.col("k_max") - F.col("k_min") + 1 - F.col("n_keys"))
+        .cast("bigint")
+        .alias("missing_keys"),
+        (F.col("maxgap") - 1).cast("bigint").alias("largest_run_missing"),
+        (
+            F.col("n_keys").cast("double")
+            / (F.col("k_max") - F.col("k_min") + 1)
+        ).alias("coverage"),
+    )
+
+
+@register(
+    "sql_values_inline_table",
+    tags=("sql", "join"),
+    oracle="""
+        WITH tiers(priority, tier, weight) AS (
+            VALUES ('1-URGENT', 'expedite', 3),
+                   ('2-HIGH', 'expedite', 2),
+                   ('3-MEDIUM', 'standard', 1),
+                   ('4-NOT SPECIFIED', 'standard', 1),
+                   ('5-LOW', 'economy', 1)
+        )
+        SELECT t.tier,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(t.weight) AS BIGINT) AS weighted_orders
+        FROM orders o JOIN tiers t ON t.priority = o.o_orderpriority
+        GROUP BY t.tier
+        ORDER BY t.tier
+    """,
+)
+def sql_values_inline_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI VALUES inline-table surface: a literal 5-row tier
+    dimension declared in SQL (named columns, no temp view, no
+    createDataFrame) broadcast-joined to orders — the idiomatic way to
+    ship a tiny hand-maintained mapping inside a query, exercised
+    through spark.sql VALUES exactly as a SQL-first user would write
+    it. Counts exact; the join is a broadcast hash join against the
+    inline relation (Catalyst folds VALUES to a LocalRelation, no
+    scan)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("r11_orders_v")
+    return spark.sql(
+        """
+        WITH tiers(priority, tier, weight) AS (
+            VALUES ('1-URGENT', 'expedite', 3),
+                   ('2-HIGH', 'expedite', 2),
+                   ('3-MEDIUM', 'standard', 1),
+                   ('4-NOT SPECIFIED', 'standard', 1),
+                   ('5-LOW', 'economy', 1)
+        )
+        SELECT t.tier,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(t.weight) AS BIGINT) AS weighted_orders
+        FROM r11_orders_v o JOIN tiers t ON t.priority = o.o_orderpriority
+        GROUP BY t.tier
+        ORDER BY t.tier
+        """
+    )

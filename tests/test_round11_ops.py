@@ -678,3 +678,223 @@ def test_fbeta_grid_matches_numpy(spark):
         assert row["precision_"] == pytest.approx(p, rel=1e-12)
         assert row["recall_"] == pytest.approx(r, rel=1e-12)
         assert row["fbeta"] == pytest.approx(fb, rel=1e-9)
+
+
+# --------------------------------------------------------------------------
+# Graph / text / misc wave
+
+
+def _trade_graph_py():
+    rows = _fetch(
+        "WITH e AS (SELECT s.s_nationkey AS src, c.c_nationkey AS dst,"
+        " COUNT(*) AS w"
+        f" FROM read_parquet('{SF}/lineitem.parquet') l"
+        f" JOIN read_parquet('{SF}/orders.parquet') o"
+        " ON l.l_orderkey = o.o_orderkey"
+        f" JOIN read_parquet('{SF}/customer.parquet') c"
+        " ON o.o_custkey = c.c_custkey"
+        f" JOIN read_parquet('{SF}/supplier.parquet') s"
+        " ON l.l_suppkey = s.s_suppkey GROUP BY 1, 2),"
+        " u AS (SELECT LEAST(src,dst) a, GREATEST(src,dst) b, SUM(w) w"
+        " FROM e WHERE src <> dst GROUP BY 1, 2),"
+        " thr AS (SELECT quantile_cont(w, 0.6) t FROM u)"
+        " SELECT a, b FROM u, thr WHERE w >= t"
+    )
+    adj = {}
+    for a, b in rows:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def _bfs_dists(adj):
+    from collections import deque
+
+    dist = {}
+    for s in adj:
+        d = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            if d[u] == 5:
+                continue
+            for v in adj[u]:
+                if v not in d:
+                    d[v] = d[u] + 1
+                    dq.append(v)
+        dist[s] = d
+    return dist
+
+
+def test_eccentricity_diameter_matches_bfs(spark):
+    rows = {
+        r["nationkey"]: r
+        for r in plans.get("graph_eccentricity_diameter")
+        .build(spark, SF)
+        .collect()
+    }
+    adj = _trade_graph_py()
+    dist = _bfs_dists(adj)
+    eccs = {}
+    for s, d in dist.items():
+        reach = {v: dd for v, dd in d.items() if dd > 0}
+        eccs[s] = max(reach.values()) if reach else None
+    diam = max(e for e in eccs.values() if e is not None)
+    rad = min(e for e in eccs.values() if e is not None)
+    for s, r in rows.items():
+        reach = sum(1 for v, dd in dist[s].items() if dd > 0)
+        assert r["reached_5hop"] == reach
+        assert r["ecc_5hop"] == eccs[s]
+        assert (r["diameter_5hop"], r["radius_5hop"]) == (diam, rad)
+
+
+def test_path_histogram_matches_bfs(spark):
+    row = plans.get("graph_path_length_histogram").build(spark, SF).collect()[
+        0
+    ]
+    adj = _trade_graph_py()
+    dist = _bfs_dists(adj)
+    n = len(adj)
+    cnt = {k: 0 for k in range(1, 6)}
+    d_sum = reached = 0
+    for s, d in dist.items():
+        for v, dd in d.items():
+            if dd > 0:
+                cnt[dd] += 1
+                d_sum += dd
+                reached += 1
+    assert row["n_nodes"] == n
+    assert row["ordered_pairs"] == n * (n - 1)
+    for k in range(1, 6):
+        assert row[f"d{k}"] == cnt[k]
+    assert row["unreached_pairs"] == n * (n - 1) - reached
+    assert row["avg_path_length"] == pytest.approx(d_sum / reached, rel=1e-12)
+
+
+def _corpus_tokens():
+    import re
+
+    docs = _fetch(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    )
+    pat = re.compile(r"[a-zA-Z0-9_]+")
+    return [(i, [t.lower() for t in pat.findall(txt)]) for i, txt in docs]
+
+
+def test_heaps_curve_matches_reference(spark):
+    rows = {
+        r["decile"]: r
+        for r in plans.get("text_heaps_curve").build(spark, SF).collect()
+    }
+    docs = sorted(_corpus_tokens())
+    max_id = max(i for i, _ in docs)
+    for dec in range(1, 11):
+        cutoff = (max_id * dec) // 10
+        toks = [t for i, ts in docs if i <= cutoff for t in ts]
+        r = rows[dec]
+        assert r["cum_tokens"] == len(toks)
+        assert r["cum_vocab"] == len(set(toks))
+    # monotone growth sanity
+    assert rows[10]["cum_vocab"] >= rows[1]["cum_vocab"]
+
+
+def test_ngram_entropy_matches_reference(spark):
+    row = plans.get("text_ngram_entropy").build(spark, SF).collect()[0]
+    from collections import Counter
+
+    toks = [t for _, ts in _corpus_tokens() for t in ts]
+    c = Counter(toks)
+    n = len(toks)
+    ent = -sum(v * np.log(v / n) for v in c.values()) / n
+    simpson = sum(v * v for v in c.values()) / (n * n)
+    assert (row["n_tokens"], row["vocab"]) == (n, len(c))
+    # engine quantizes ln(p) at 1e-6 per type
+    assert row["entropy_nats"] == pytest.approx(ent, abs=1e-5)
+    assert row["simpson_repeat_prob"] == pytest.approx(simpson, rel=1e-12)
+
+
+def test_cosine_histogram_matches_numpy(spark):
+    rows = plans.get("vec_cosine_histogram").build(spark, SF).collect()
+    recs = _fetch(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF}/embeddings.parquet')"
+        " ORDER BY vec_id"
+    )
+    ids = [r[0] for r in recs]
+    emb = {r[0]: np.array(r[1], dtype=np.float64) for r in recs}
+    n = len(ids)
+    bins = {}
+    for i in ids:
+        j = (i * 7 + 13) % n
+        if j == i:
+            continue
+        a, b = emb[i], emb[j]
+        cs = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        k = min(19, int(np.floor((cs + 1) * 10)))
+        bins[k] = bins.get(k, 0) + 1
+    got = {r["bin"]: r["n_pairs"] for r in rows}
+    assert got == bins
+    for r in rows:
+        assert r["bin_lo"] == pytest.approx(r["bin"] / 10 - 1)
+
+
+def test_wma_matches_numpy(spark):
+    rows = plans.get("window_weighted_moving_avg").build(spark, SF).collect()
+    per = _seg_daily_sorted()
+    got = {}
+    for r in rows:
+        got[(r["segment"], str(r["d"]))] = r
+    wts = np.arange(7, 0, -1, dtype=np.float64)
+    for seg, series in per.items():
+        vals = np.array([round(v * 100) for _, v in series])
+        for idx in range(len(series)):
+            r = got[(seg, str(series[idx][0]))]
+            assert r["value"] == pytest.approx(vals[idx] / 100, rel=1e-12)
+            if idx >= 6:
+                window = vals[idx - 6 : idx + 1][::-1]  # newest first
+                wma = float((wts * window).sum()) / 28 / 100
+                assert r["wma7"] == pytest.approx(wma, rel=1e-12)
+            else:
+                assert r["wma7"] is None
+
+
+def test_gap_audit_matches_reference(spark):
+    row = plans.get("dq_sequential_gap_audit").build(spark, SF).collect()[0]
+    keys = sorted(
+        r[0]
+        for r in _fetch(
+            f"SELECT DISTINCT o_orderkey FROM read_parquet('{SF}/orders.parquet')"
+        )
+    )
+    diffs = np.diff(keys)
+    assert row["n_keys"] == len(keys)
+    assert (row["k_min"], row["k_max"]) == (keys[0], keys[-1])
+    assert row["missing_keys"] == keys[-1] - keys[0] + 1 - len(keys)
+    assert row["largest_run_missing"] == int(diffs.max()) - 1
+    assert row["coverage"] == pytest.approx(
+        len(keys) / (keys[-1] - keys[0] + 1), rel=1e-12
+    )
+
+
+def test_values_inline_table_matches_reference(spark):
+    rows = {
+        r["tier"]: r
+        for r in plans.get("sql_values_inline_table").build(spark, SF).collect()
+    }
+    raw = _fetch(
+        "SELECT o_orderpriority, COUNT(*)"
+        f" FROM read_parquet('{SF}/orders.parquet') GROUP BY 1"
+    )
+    tiers = {
+        "1-URGENT": ("expedite", 3),
+        "2-HIGH": ("expedite", 2),
+        "3-MEDIUM": ("standard", 1),
+        "4-NOT SPECIFIED": ("standard", 1),
+        "5-LOW": ("economy", 1),
+    }
+    agg = {}
+    for p, n in raw:
+        t, w = tiers[p]
+        c, ws = agg.get(t, (0, 0))
+        agg[t] = (c + n, ws + w * n)
+    for t, (c, ws) in agg.items():
+        assert (rows[t]["n_orders"], rows[t]["weighted_orders"]) == (c, ws)
