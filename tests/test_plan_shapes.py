@@ -899,3 +899,29 @@ def test_bagging_oob_no_fanout_persist(spark, sf_dir):
     p = plan_str(df, "extended")
     assert "Range (0, 16" not in p, "replicate fan-out spine is back in the plan"
     assert "ws#" in p or "ws`" in p or " ws" in p, f"packed-word column missing:\n{p[:800]}"
+
+
+def test_round11_rank_windows_bucket_partitioned(spark, sf_dir):
+    """Round-11 rank machinery rides bucket+carry: in Mood's median
+    and Jonckheere-Terpstra, every Window over the corpus-scale
+    distinct-value relation partitions by bkt (the only unpartitioned
+    windows ride the O(buckets) carry relation, whose sort key is
+    bkt)."""
+    import re
+
+    for q in ("stat_mood_median_test", "stat_jonckheere_terpstra"):
+        p = plan_str(plans.get(q).build(spark, sf_dir), "extended")
+        specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+        assert specs, f"{q}: no Window nodes in extended plan"
+        for spec in specs:
+            assert "bkt" in spec, f"{q}: non-bucketed window spec [{spec}]"
+
+
+def test_wape_windows_partition_by_segment(spark, sf_dir):
+    import re
+
+    p = plan_str(plans.get("ts_wape_smape").build(spark, sf_dir), "extended")
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+    assert specs
+    for spec in specs:
+        assert "segment" in spec, f"unpartitioned window: [{spec}]"
