@@ -3594,3 +3594,286 @@ def sql_values_inline_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY t.tier
         """
     )
+
+
+# ===========================================================================
+# Round-11 continuation wave (same session, same house rules): four
+# more classical nonparametric tests, a cross-series CCF, portfolio
+# pain/active-share/Treynor, neighbor-degree mixing, corpus JSD and a
+# Tukey-fence audit — every one hash-oracled on arrival.
+
+
+@register(
+    "stat_conover_squared_ranks",
+    tags=("stats", "window", "agg"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        cents AS (
+            SELECT segment, d,
+                   CAST(x * 100 AS BIGINT) AS v
+            FROM daily
+        ),
+        rn AS (
+            SELECT segment, v,
+                   ROW_NUMBER() OVER (PARTITION BY segment ORDER BY v)
+                       AS rnk,
+                   COUNT(*) OVER (PARTITION BY segment) AS n_g
+            FROM cents
+        ),
+        med AS (
+            SELECT segment,
+                   CAST(MIN(CASE WHEN rnk = (n_g + 1) // 2 THEN v END)
+                        AS BIGINT) AS med_v
+            FROM rn GROUP BY segment
+        ),
+        dev AS (
+            SELECT c.segment, ABS(c.v - med.med_v) AS a
+            FROM cents c JOIN med ON med.segment = c.segment
+        ),
+        u AS (
+            SELECT segment,
+                   2 * (RANK() OVER (ORDER BY a))
+                     + (COUNT(*) OVER (PARTITION BY a)) - 1 AS u
+            FROM dev
+        ),
+        g AS (
+            SELECT segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(CAST(u AS DECIMAL(15,0)) * u) AS DECIMAL(38,0))
+                       AS s_g,
+                   CAST(SUM(CAST(CAST(u AS DECIMAL(15,0)) * u
+                                 AS DECIMAL(15,0))
+                            * CAST(CAST(u AS DECIMAL(15,0)) * u
+                                   AS DECIMAL(15,0)))
+                        AS DECIMAL(38,0)) AS s4_g
+            FROM u GROUP BY segment
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(CAST(SUM(s_g) AS VARCHAR) AS DOUBLE) AS ss,
+                   CAST(CAST(SUM(s4_g) AS VARCHAR) AS DOUBLE) AS s4
+            FROM g
+        )
+        SELECT tot.n AS n_days, tot.k, (tot.k - 1) AS df,
+               CASE WHEN tot.s4 - tot.ss * tot.ss / CAST(tot.n AS DOUBLE)
+                         > 0 THEN
+                 (CAST(tot.n AS DOUBLE) - 1)
+                 * (list_reduce(
+                        list(CAST(CAST(g.s_g AS VARCHAR) AS DOUBLE)
+                             * CAST(CAST(g.s_g AS VARCHAR) AS DOUBLE)
+                             / CAST(g.n_g AS DOUBLE)
+                             ORDER BY g.segment),
+                        (acc, x) -> acc + x)
+                    - tot.ss * tot.ss / CAST(tot.n AS DOUBLE))
+                 / (tot.s4 - tot.ss * tot.ss / CAST(tot.n AS DOUBLE))
+               END AS t_stat
+        FROM g CROSS JOIN tot
+        GROUP BY tot.n, tot.k, tot.ss, tot.s4
+    """,
+)
+def stat_conover_squared_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conover squared-ranks test for equal SCALE across the five
+    segments' daily revenue series (the rank-based Levene alternative
+    that needs no normality): deviations are |x - segment lower
+    median| in exact integer cents (the median is an exact order
+    statistic at rank ceil(n/2) from a per-segment row_number window),
+    pooled midranks use the doubled-midrank identity u = 2*rank +
+    ties - 1 so every rank is an exact integer, and the squared-rank
+    sums S_g = sum(u^2) / fourth-moment sum(u^4) accumulate in exact
+    DECIMAL(38,0). T = (N-1)(sum_g S_g^2/n_g - S^2/N)/(sum u^4 - S^2/N)
+    assembles once at the double edge, folding the k=5 per-group terms
+    in PINNED segment order (S_g <= 4N^3 ~ 7e12 at the calendar-bounded
+    N, exact in a double before squaring). The pooled rank window is
+    unpartitioned but rides the calendar-bounded daily relation (~5
+    segments x days), never the corpus — the documented bucket+carry
+    exemption. Degenerate all-deviations-equal input (u^4 sum ==
+    S^2/N) NULLs t_stat identically on both engines."""
+    daily = _seg_daily(spark, sf_dir)
+    cents = daily.select(
+        "segment", "d", (F.col("x") * 100).cast("bigint").alias("v")
+    )
+    w_rn = Window.partitionBy("segment").orderBy("v")
+    w_ng = Window.partitionBy("segment")
+    rn = cents.select(
+        "segment",
+        "v",
+        F.row_number().over(w_rn).alias("rnk"),
+        F.count(F.lit(1)).over(w_ng).alias("n_g"),
+    )
+    med = rn.groupBy("segment").agg(
+        F.min(
+            F.when(
+                F.col("rnk") == F.expr("CAST((n_g + 1) DIV 2 AS BIGINT)"),
+                F.col("v"),
+            )
+        )
+        .cast("bigint")
+        .alias("med_v")
+    )
+    dev = cents.join(F.broadcast(med), "segment").select(
+        "segment", F.abs(F.col("v") - F.col("med_v")).alias("a")
+    )
+    w_r = Window.orderBy("a")
+    w_t = Window.partitionBy("a")
+    u = dev.select(
+        "segment",
+        (
+            2 * F.rank().over(w_r) + F.count(F.lit(1)).over(w_t) - 1
+        ).alias("u"),
+    )
+    usq = (F.col("u").cast("decimal(15,0)") * F.col("u")).cast(
+        "decimal(15,0)"
+    )
+    g = u.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(usq).cast("decimal(38,0)").alias("s_g"),
+        F.sum(usq * usq).cast("decimal(38,0)").alias("s4_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        _as_d(F.sum("s_g").cast("decimal(38,0)")).alias("ss"),
+        _as_d(F.sum("s4_g").cast("decimal(38,0)")).alias("s4"),
+    )
+    n_d = F.col("n").cast("double")
+    mean_sq = F.col("ss") * F.col("ss") / n_d
+    term = (
+        _as_d(F.col("s_g")) * _as_d(F.col("s_g")) / F.col("n_g").cast("double")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("n", "k", "ss", "s4")
+        .agg(_ordered_fold_sum(F.col("segment"), term).alias("num_raw"))
+        .select(
+            F.col("n").alias("n_days"),
+            "k",
+            (F.col("k") - 1).alias("df"),
+            F.when(
+                F.col("s4") - mean_sq > 0,
+                (n_d - 1)
+                * (F.col("num_raw") - mean_sq)
+                / (F.col("s4") - mean_sq),
+            ).alias("t_stat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_siegel_tukey — two-sample scale test by alternating extreme
+# ranks
+
+
+@register(
+    "stat_siegel_tukey",
+    tags=("stats", "window", "agg"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        pooled AS (
+            SELECT segment, d, CAST(x * 100 AS BIGINT) AS v
+            FROM daily
+            WHERE segment IN ('BUILDING', 'MACHINERY')
+        ),
+        pos AS (
+            SELECT segment,
+                   ROW_NUMBER() OVER (ORDER BY v, d, segment) AS i,
+                   COUNT(*) OVER () AS nn
+            FROM pooled
+        ),
+        kept AS (
+            SELECT segment, i, nn,
+                   CASE WHEN i <= nn // 2
+                        THEN 2 * i - (i % 2)
+                        ELSE 2 * (nn + 1 - i) - ((nn - i) % 2)
+                   END AS st
+            FROM pos
+            WHERE NOT (nn % 2 = 1 AND i = (nn + 1) // 2)
+        ),
+        s AS (
+            SELECT CAST(SUM(CASE WHEN segment = 'BUILDING' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN segment = 'BUILDING' THEN 0
+                                 ELSE 1 END) AS BIGINT) AS n0,
+                   CAST(SUM(CASE WHEN segment = 'BUILDING' THEN st
+                                 ELSE 0 END) AS BIGINT) AS w1
+            FROM kept
+        )
+        SELECT n1 AS n_building, n0 AS n_machinery, w1 AS w_rank_sum,
+               CASE WHEN n1 > 0 AND n0 > 0 THEN
+                 CAST(2 * w1 - n1 * (n1 + n0 + 1) AS DOUBLE)
+                 / sqrt(CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                        * (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE) + 1)
+                        / 3)
+               END AS z_scale
+        FROM s
+    """,
+)
+def stat_siegel_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel-Tukey test for equal dispersion of the BUILDING vs
+    MACHINERY daily revenue series: pool both series, sort ascending,
+    and hand out ranks from the OUTSIDE IN (1 to the smallest, 2-3 to
+    the two largest, 4-5 to the next two smallest, ...) so a group
+    with fatter tails collects systematically smaller ranks — then the
+    rank sum is exactly a Mann-Whitney W and z = (2W - n1(N+1)) /
+    sqrt(n1*n0*(N+1)/3). The alternating assignment is pure integer
+    arithmetic on the ascending row_number i: bottom half st =
+    2i - (i mod 2), top half (j = N+1-i from the top) st =
+    2j - ((j+1) mod 2); an odd pooled count drops the middle value
+    (the classical convention). Classical ST is AMBIGUOUS under ties —
+    this operator PINS the total order (v, d, segment), documented as
+    part of the contract (the same pinned-tiebreak route as
+    window_topk_per_group). The pooled window is unpartitioned but
+    rides the calendar-bounded two-segment daily relation. n1, n0 >= 1
+    at every SF by fixture (both segments ship in region 0 data);
+    the z denominator is guarded anyway, identically on both
+    engines."""
+    daily = _seg_daily(spark, sf_dir)
+    pooled = daily.filter(
+        F.col("segment").isin("BUILDING", "MACHINERY")
+    ).select("segment", "d", (F.col("x") * 100).cast("bigint").alias("v"))
+    w_i = Window.orderBy("v", "d", "segment")
+    w_all = Window.partitionBy()
+    pos = pooled.select(
+        "segment",
+        F.row_number().over(w_i).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("nn"),
+    )
+    j = F.col("nn") + 1 - F.col("i")
+    kept = pos.filter(
+        ~(
+            (F.col("nn") % 2 == 1)
+            & (F.col("i") == (F.col("nn") + 1) / 2)
+        )
+    ).select(
+        "segment",
+        F.when(
+            F.col("i") <= F.expr("CAST(nn DIV 2 AS BIGINT)"),
+            2 * F.col("i") - (F.col("i") % 2),
+        )
+        .otherwise(2 * j - ((F.col("nn") - F.col("i")) % 2))
+        .alias("st"),
+    )
+    s = kept.agg(
+        F.sum(F.when(F.col("segment") == "BUILDING", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("segment") == "BUILDING", 0).otherwise(1))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("segment") == "BUILDING", F.col("st")).otherwise(0))
+        .cast("bigint")
+        .alias("w1"),
+    )
+    n1_d = F.col("n1").cast("double")
+    n0_d = F.col("n0").cast("double")
+    return s.select(
+        F.col("n1").alias("n_building"),
+        F.col("n0").alias("n_machinery"),
+        F.col("w1").alias("w_rank_sum"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n0") > 0),
+            (2 * F.col("w1") - F.col("n1") * (F.col("n1") + F.col("n0") + 1))
+            .cast("double")
+            / F.sqrt(n1_d * n0_d * (n1_d + n0_d + 1) / 3),
+        ).alias("z_scale"),
+    )
