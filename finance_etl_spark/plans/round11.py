@@ -3877,3 +3877,908 @@ def stat_siegel_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(n1_d * n0_d * (n1_d + n0_d + 1) / 3),
         ).alias("z_scale"),
     )
+
+
+# ===========================================================================
+# Round-11 continuation, part 2 (the rest of the wave the session
+# snapshot promised): sign test + Theil-Sen (closing the classical
+# nonparametric set), cross-series CCF, portfolio pain / active-share
+# / Treynor, neighbor-degree mixing, corpus JSD, and the Tukey-fence
+# audit — every one hash-oracled on arrival.
+
+
+# ---------------------------------------------------------------------------
+# stat_sign_test — paired sign test on the two-segment daily series
+
+
+@register(
+    "stat_sign_test",
+    tags=("stats", "agg"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        pairs AS (
+            SELECT b.x AS xb, m.x AS xm
+            FROM (SELECT d, x FROM daily WHERE segment = 'BUILDING') b
+            JOIN (SELECT d, x FROM daily WHERE segment = 'MACHINERY') m
+              ON m.d = b.d
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CASE WHEN xb > xm THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos,
+                   CAST(SUM(CASE WHEN xb < xm THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_neg
+            FROM pairs
+        )
+        SELECT n_pairs, n_pos, n_neg,
+               CASE WHEN n_pos + n_neg > 0 THEN
+                 CAST(n_pos - n_neg AS DOUBLE)
+                 / sqrt(CAST(n_pos + n_neg AS DOUBLE))
+               END AS z_sign
+        FROM s
+    """,
+)
+def stat_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test: on days where BOTH the BUILDING and MACHINERY
+    segments traded, does one systematically out-earn the other?
+    Counts sign(x_b - x_m) over date-matched pairs (exact DECIMAL
+    comparison, ties dropped per the classical definition) and forms
+    the normal approximation z = (n+ - n-) / sqrt(n+ + n-) — the
+    median-difference test that needs no distributional assumption at
+    all. Everything is integer until the one guarded z expression;
+    the date-key join runs on the calendar-bounded daily relation, so
+    corpus-scale work is only the shared daily aggregation."""
+    daily = _seg_daily(spark, sf_dir)
+    b = daily.filter(F.col("segment") == "BUILDING").select(
+        "d", F.col("x").alias("xb")
+    )
+    m = daily.filter(F.col("segment") == "MACHINERY").select(
+        "d", F.col("x").alias("xm")
+    )
+    s = b.join(m, "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("xb") > F.col("xm"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("xb") < F.col("xm"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neg"),
+    )
+    nz = F.col("n_pos") + F.col("n_neg")
+    return s.select(
+        "n_pairs",
+        "n_pos",
+        "n_neg",
+        F.when(
+            nz > 0,
+            (F.col("n_pos") - F.col("n_neg")).cast("double")
+            / F.sqrt(nz.cast("double")),
+        ).alias("z_sign"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_theil_sen — robust trend slope (median of pairwise slopes)
+
+
+@register(
+    "stat_theil_sen",
+    tags=("stats", "window", "join"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        pts AS (
+            SELECT d, CAST(x * 100 AS BIGINT) AS v
+            FROM daily WHERE segment = 'BUILDING'
+        ),
+        sl AS (
+            SELECT CAST(FLOOR(
+                     CAST((j.v - i.v) * 1000000 AS DOUBLE)
+                     / CAST(date_diff('day', i.d, j.d) AS DOUBLE)
+                   ) AS BIGINT) AS sq
+            FROM pts i JOIN pts j ON j.d > i.d
+        ),
+        rn AS (
+            SELECT sq,
+                   ROW_NUMBER() OVER (ORDER BY sq) AS r,
+                   COUNT(*) OVER () AS np
+            FROM sl
+        )
+        SELECT CAST(np AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN r = (np + 1) // 2 THEN sq END)
+                    AS DOUBLE) / 1e6 / 100 AS sen_slope_per_day,
+               CAST(SUM(CASE WHEN sq > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rising_pairs
+        FROM rn GROUP BY np
+    """,
+)
+def stat_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator (Theil 1950, Sen 1968) of the BUILDING
+    segment's daily-revenue trend: the MEDIAN of all pairwise slopes
+    (v_j - v_i) / (d_j - d_i), the classical robust alternative to OLS
+    (breakdown point 29%). Slopes are exact: cents-integer rise times
+    1e6 is a BIGINT far below 2^53, so the double division by the
+    integer day gap is correctly rounded identically on both engines
+    and floor-quantizes to a q6 BIGINT; the lower median is the
+    (n+1)//2-th order statistic of those integers (value-deterministic
+    under ties, no interpolation). Scale: the pair join is CALENDAR-
+    bounded — <= ~2.9M pairs at ANY corpus size (days <= 2406), never
+    |rows|^2; Spark broadcasts one side of the tiny self-join, and the
+    one unpartitioned rank window rides that bounded relation. Also
+    emits the rising-pair count (the Mann-Kendall S+ this slope
+    medians over)."""
+    daily = _seg_daily(spark, sf_dir)
+    pts = daily.filter(F.col("segment") == "BUILDING").select(
+        "d", (F.col("x") * 100).cast("bigint").alias("v")
+    )
+    i = pts.alias("i")
+    j = pts.alias("j")
+    sl = (
+        i.join(F.broadcast(j), F.col("j.d") > F.col("i.d"))
+        .select(
+            F.floor(
+                ((F.col("j.v") - F.col("i.v")) * F.lit(1000000))
+                .cast("double")
+                / F.datediff(F.col("j.d"), F.col("i.d")).cast("double")
+            )
+            .cast("bigint")
+            .alias("sq")
+        )
+    )
+    rn = sl.select(
+        "sq",
+        F.row_number().over(Window.orderBy("sq")).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("np"),
+    )
+    return rn.groupBy("np").agg(
+        F.sum(
+            F.when(F.col("r") == (F.col("np") + 1) / 2, F.col("sq"))
+        )
+        .cast("double")
+        .alias("sen_slope_raw"),
+        F.sum(F.when(F.col("sq") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rising_pairs"),
+    ).select(
+        F.col("np").cast("bigint").alias("n_pairs"),
+        (F.col("sen_slope_raw") / F.lit(1e6) / F.lit(100))
+        .alias("sen_slope_per_day"),
+        "n_rising_pairs",
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_tukey_fences — IQR outlier audit, exact order-statistic quartiles
+
+
+@register(
+    "dq_tukey_fences",
+    tags=("dq", "window", "agg"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        cents AS (
+            SELECT segment, d, CAST(x * 100 AS BIGINT) AS v FROM daily
+        ),
+        rn AS (
+            SELECT segment, v,
+                   ROW_NUMBER() OVER (PARTITION BY segment
+                                      ORDER BY v, d) AS r,
+                   COUNT(*) OVER (PARTITION BY segment) AS n_g
+            FROM cents
+        ),
+        q AS (
+            SELECT segment, CAST(n_g AS BIGINT) AS n_days,
+                   CAST(MIN(CASE WHEN r = (n_g + 3) // 4 THEN v END)
+                        AS BIGINT) AS q1,
+                   CAST(MIN(CASE WHEN r = (3 * n_g + 3) // 4 THEN v END)
+                        AS BIGINT) AS q3
+            FROM rn GROUP BY segment, n_g
+        )
+        SELECT q.segment, q.n_days, q.q1 AS q1_cents, q.q3 AS q3_cents,
+               q.q3 - q.q1 AS iqr_cents,
+               CAST(SUM(CASE WHEN 2 * c.v < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+               CAST(SUM(CASE WHEN 2 * c.v > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        FROM q JOIN cents c ON c.segment = q.segment
+        GROUP BY q.segment, q.n_days, q.q1, q.q3
+        ORDER BY q.segment
+    """,
+)
+def dq_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit of each segment's daily revenue: days
+    outside [Q1 - 1.5*IQR, Q3 + 1.5*IQR]. Quartiles are PINNED exact
+    order statistics — Q1 = the ceil(n/4)-th smallest, Q3 = the
+    ceil(3n/4)-th smallest of the cents-integer values (no
+    interpolation, so no float and no engine-specific percentile
+    convention; the classical boxplot uses interpolated hinges, this
+    operator's convention is part of its declared contract). The
+    1.5*IQR fence comparison is doubled on both sides (2v vs 2Q1-3IQR)
+    to stay in integers. Per-segment rank windows ride the calendar-
+    bounded daily relation; the fence count is one broadcast join back
+    over the same bounded rows."""
+    daily = _seg_daily(spark, sf_dir)
+    cents = daily.select(
+        "segment", "d", (F.col("x") * 100).cast("bigint").alias("v")
+    )
+    wseg = Window.partitionBy("segment")
+    rn = cents.select(
+        "segment",
+        "v",
+        F.row_number().over(wseg.orderBy("v", "d")).alias("r"),
+        F.count(F.lit(1)).over(wseg).alias("n_g"),
+    )
+    q = rn.groupBy("segment", "n_g").agg(
+        F.min(
+            F.when(F.col("r") == F.floor((F.col("n_g") + 3) / 4), F.col("v"))
+        )
+        .cast("bigint")
+        .alias("q1"),
+        F.min(
+            F.when(
+                F.col("r") == F.floor((3 * F.col("n_g") + 3) / 4), F.col("v")
+            )
+        )
+        .cast("bigint")
+        .alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        cents.join(F.broadcast(q), "segment")
+        .groupBy("segment", "n_g", "q1", "q3")
+        .agg(
+            F.sum(
+                F.when(2 * F.col("v") < 2 * F.col("q1") - 3 * iqr, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(
+                F.when(2 * F.col("v") > 2 * F.col("q3") + 3 * iqr, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_high"),
+        )
+        .select(
+            "segment",
+            F.col("n_g").cast("bigint").alias("n_days"),
+            F.col("q1").alias("q1_cents"),
+            F.col("q3").alias("q3_cents"),
+            iqr.alias("iqr_cents"),
+            "n_low",
+            "n_high",
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_cross_correlation — lead/lag CCF between two return series
+
+_CCF_RET_SQL = """
+            SELECT segment, d,
+                   CAST(FLOOR((CAST(CAST(x AS VARCHAR) AS DOUBLE)
+                               / CAST(CAST(xp AS VARCHAR) AS DOUBLE)
+                               - CAST(1 AS DOUBLE)) * CAST(1e9 AS DOUBLE))
+                        AS BIGINT) AS r
+            FROM (SELECT segment, d, x,
+                         LAG(x) OVER (PARTITION BY segment ORDER BY d) AS xp
+                  FROM daily
+                  WHERE segment IN ('BUILDING', 'MACHINERY'))
+            WHERE xp IS NOT NULL
+"""
+
+
+@register(
+    "ts_cross_correlation",
+    tags=("timeseries", "window", "stats"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        rets AS ({_CCF_RET_SQL}),
+        lags AS (SELECT unnest(range(0, 8)) AS lag),
+        j AS (
+            SELECT l.lag, b.r AS rb, m.r AS rm
+            FROM lags l
+            JOIN (SELECT d, r FROM rets WHERE segment = 'BUILDING') b ON TRUE
+            JOIN (SELECT d, r FROM rets WHERE segment = 'MACHINERY') m
+              ON m.d = b.d - CAST(l.lag AS INTEGER)
+        ),
+        s AS (
+            SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(rb) AS BIGINT) AS sb,
+                   CAST(SUM(rm) AS BIGINT) AS sm,
+                   CAST(CAST(SUM(CAST(rb AS DECIMAL(19,0)) * rb) AS VARCHAR)
+                        AS DOUBLE) AS sbb,
+                   CAST(CAST(SUM(CAST(rm AS DECIMAL(19,0)) * rm) AS VARCHAR)
+                        AS DOUBLE) AS smm,
+                   CAST(CAST(SUM(CAST(rb AS DECIMAL(19,0)) * rm) AS VARCHAR)
+                        AS DOUBLE) AS sbm
+            FROM j GROUP BY lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+               CASE WHEN CAST(n AS DOUBLE) * sbb
+                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+                     AND CAST(n AS DOUBLE) * smm
+                           - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) > 0 THEN
+                 (CAST(n AS DOUBLE) * sbm
+                  - CAST(sb AS DOUBLE) * CAST(sm AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * sbb
+                         - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * smm
+                           - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)))
+               END AS ccf
+        FROM s ORDER BY lag
+    """,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the BUILDING and MACHINERY
+    daily revenue return series at lags 0..7: does one segment's shock
+    show up in the other a few days later? CCF(l) = corr(r_b(d),
+    r_m(d-l)) — returns floor-quantize to q9 BIGINTs off exact decimal
+    daily sums (the fin_capm_beta recipe), each lag's five sufficient
+    sums are exact integer/DECIMAL arithmetic via a computed-key
+    equi-join (b.d - l = m.d; never a non-equi range join), and the
+    correlation assembles in one guarded double expression per lag
+    (degenerate variance NULLs it identically on both engines).
+    Scale: the lag grid is a broadcast 8-row relation crossed with the
+    calendar-bounded return series — corpus work is only the shared
+    daily agg."""
+    daily = _seg_daily(spark, sf_dir).persist()
+    ws = Window.partitionBy("segment").orderBy("d")
+    rets = (
+        daily.filter(F.col("segment").isin("BUILDING", "MACHINERY"))
+        .withColumn("xp", F.lag("x").over(ws))
+        .filter(F.col("xp").isNotNull())
+        .select(
+            "segment",
+            "d",
+            F.floor(
+                (_as_d(F.col("x")) / _as_d(F.col("xp")) - F.lit(1.0))
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    b = rets.filter(F.col("segment") == "BUILDING").select(
+        "d", F.col("r").alias("rb")
+    )
+    m = rets.filter(F.col("segment") == "MACHINERY").select(
+        F.col("d").alias("dm"), F.col("r").alias("rm")
+    )
+    lags = spark.range(0, 8).select(F.col("id").cast("int").alias("lag"))
+    j = (
+        b.crossJoin(F.broadcast(lags))
+        .withColumn("dkey", F.date_sub(F.col("d"), F.col("lag")))
+        .join(m, F.col("dkey") == F.col("dm"))
+    )
+    s = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rb").cast("bigint").alias("sb"),
+        F.sum("rm").cast("bigint").alias("sm"),
+        _as_d(F.sum(F.col("rb").cast("decimal(19,0)") * F.col("rb"))).alias("sbb"),
+        _as_d(F.sum(F.col("rm").cast("decimal(19,0)") * F.col("rm"))).alias("smm"),
+        _as_d(F.sum(F.col("rb").cast("decimal(19,0)") * F.col("rm"))).alias("sbm"),
+    )
+    n_d = F.col("n").cast("double")
+    sb_d = F.col("sb").cast("double")
+    sm_d = F.col("sm").cast("double")
+    var_b = n_d * F.col("sbb") - sb_d * sb_d
+    var_m = n_d * F.col("smm") - sm_d * sm_d
+    return s.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (var_b > 0) & (var_m > 0),
+            (n_d * F.col("sbm") - sb_d * sm_d)
+            / (F.sqrt(var_b) * F.sqrt(var_m)),
+        ).alias("ccf"),
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# fin_pain_index — mean drawdown + underwater fraction per segment
+
+
+@register(
+    "fin_pain_index",
+    tags=("finance", "window", "risk"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        dd AS (
+            SELECT segment,
+                   CAST(FLOOR((CAST(CAST(mx AS VARCHAR) AS DOUBLE)
+                               - CAST(CAST(x AS VARCHAR) AS DOUBLE))
+                              / CAST(CAST(mx AS VARCHAR) AS DOUBLE)
+                              * CAST(100 AS DOUBLE) * CAST(1e6 AS DOUBLE))
+                        AS BIGINT) AS ddq
+            FROM (
+                SELECT segment, x,
+                       MAX(x) OVER (PARTITION BY segment ORDER BY d
+                                    ROWS UNBOUNDED PRECEDING) AS mx
+                FROM daily
+            )
+        )
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(ddq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+                   AS pain_index_pct,
+               CAST(SUM(CASE WHEN ddq > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS underwater_frac,
+               CAST(MAX(ddq) AS DOUBLE) / 1e6 AS max_dd_pct
+        FROM dd GROUP BY segment ORDER BY segment
+    """,
+)
+def fin_pain_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pain index per market segment: the MEAN percentage drawdown
+    from the running revenue peak (vs fin_ulcer_index's RMS and
+    fin_max_drawdown's single trough — the pain index weights long
+    shallow slumps linearly, the metric behind the pain ratio in
+    fund reporting), plus the underwater fraction (share of days
+    below the prior peak). Same q6 floor-quantized drawdown BIGINTs
+    as the ulcer recipe, so the mean is an exact integer sum with one
+    double division at the edge and the underwater count is pure
+    integer. Per-segment windows over calendar-bounded rows; corpus
+    work is the one daily agg."""
+    daily = _seg_daily(spark, sf_dir)
+    w = Window.partitionBy("segment").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    mx = F.max("x").over(w)
+    dd = daily.select(
+        "segment",
+        F.floor(
+            (_as_d(mx) - _as_d(F.col("x")))
+            / _as_d(mx)
+            * F.lit(100.0)
+            * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("ddq"),
+    )
+    n_d = F.count(F.lit(1)).cast("double")
+    return (
+        dd.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            (F.sum("ddq").cast("double") / n_d / F.lit(1e6)).alias(
+                "pain_index_pct"
+            ),
+            (
+                F.sum(F.when(F.col("ddq") > 0, 1).otherwise(0)).cast("double")
+                / n_d
+            ).alias("underwater_frac"),
+            (F.max("ddq").cast("double") / F.lit(1e6)).alias("max_dd_pct"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fin_treynor_ratio — mean return per unit of market beta
+
+
+@register(
+    "fin_treynor_ratio",
+    tags=("finance", "window", "stats"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        mkt AS (
+            SELECT d, CAST(SUM(x) AS DECIMAL(18,2)) AS xm
+            FROM daily GROUP BY d
+        ),
+        rs AS (
+            SELECT segment, d,
+                   CAST(FLOOR((CAST(CAST(x AS VARCHAR) AS DOUBLE)
+                               / CAST(CAST(xp AS VARCHAR) AS DOUBLE)
+                               - CAST(1 AS DOUBLE)) * CAST(1e9 AS DOUBLE))
+                        AS BIGINT) AS r
+            FROM (SELECT segment, d, x,
+                         LAG(x) OVER (PARTITION BY segment ORDER BY d) AS xp
+                  FROM daily)
+            WHERE xp IS NOT NULL
+        ),
+        rm AS (
+            SELECT d,
+                   CAST(FLOOR((CAST(CAST(xm AS VARCHAR) AS DOUBLE)
+                               / CAST(CAST(xmp AS VARCHAR) AS DOUBLE)
+                               - CAST(1 AS DOUBLE)) * CAST(1e9 AS DOUBLE))
+                        AS BIGINT) AS m
+            FROM (SELECT d, xm, LAG(xm) OVER (ORDER BY d) AS xmp FROM mkt)
+            WHERE xmp IS NOT NULL
+        ),
+        j AS (SELECT rs.segment, rs.r, rm.m FROM rs JOIN rm ON rm.d = rs.d),
+        s AS (
+            SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(r) AS BIGINT) AS sr,
+                   CAST(SUM(m) AS BIGINT) AS sm,
+                   CAST(CAST(SUM(CAST(r AS DECIMAL(19,0)) * m) AS VARCHAR)
+                        AS DOUBLE) AS srm,
+                   CAST(CAST(SUM(CAST(m AS DECIMAL(19,0)) * m) AS VARCHAR)
+                        AS DOUBLE) AS smm
+            FROM j GROUP BY segment
+        )
+        SELECT segment, n,
+               CASE WHEN CAST(n AS DOUBLE) * smm
+                         - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) > 0
+                     AND CAST(n AS DOUBLE) * srm
+                         - CAST(sr AS DOUBLE) * CAST(sm AS DOUBLE) <> 0 THEN
+                 (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE) / 1e9)
+                 / ((CAST(n AS DOUBLE) * srm
+                     - CAST(sr AS DOUBLE) * CAST(sm AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * smm
+                       - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)))
+               END AS treynor_daily
+        FROM s ORDER BY segment
+    """,
+)
+def fin_treynor_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treynor ratio per segment: mean daily return per unit of CAPM
+    market beta — reward per unit of SYSTEMATIC (not total) risk, the
+    companion to fin_sharpe_sortino that uses fin_capm_beta's exact
+    sufficient statistics (five integer/DECIMAL sums off the shared q9
+    return quantization; risk-free pinned at 0, documented). The ratio
+    assembles in ONE guarded double expression — zero market variance
+    or exactly-zero beta NULLs it identically on both engines (the
+    beta-zero guard compares the covariance numerator, which is exact
+    before the one double division). Corpus work: one broadcast-join
+    daily agg; everything after is calendar-bounded."""
+    daily = _seg_daily(spark, sf_dir).persist()
+    mkt = daily.groupBy("d").agg(
+        F.sum("x").cast("decimal(18,2)").alias("xm")
+    )
+    ws = Window.partitionBy("segment").orderBy("d")
+    rs = (
+        daily.withColumn("xp", F.lag("x").over(ws))
+        .filter(F.col("xp").isNotNull())
+        .select(
+            "segment",
+            "d",
+            F.floor(
+                (_as_d(F.col("x")) / _as_d(F.col("xp")) - F.lit(1.0))
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    wm = Window.orderBy("d")
+    rm = (
+        mkt.withColumn("xmp", F.lag("xm").over(wm))
+        .filter(F.col("xmp").isNotNull())
+        .select(
+            "d",
+            F.floor(
+                (_as_d(F.col("xm")) / _as_d(F.col("xmp")) - F.lit(1.0))
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("m"),
+        )
+    )
+    s = (
+        rs.join(F.broadcast(rm), "d")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("r").cast("bigint").alias("sr"),
+            F.sum("m").cast("bigint").alias("sm"),
+            _as_d(F.sum(F.col("r").cast("decimal(19,0)") * F.col("m"))).alias(
+                "srm"
+            ),
+            _as_d(F.sum(F.col("m").cast("decimal(19,0)") * F.col("m"))).alias(
+                "smm"
+            ),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    sr_d = F.col("sr").cast("double")
+    sm_d = F.col("sm").cast("double")
+    cov_num = n_d * F.col("srm") - sr_d * sm_d
+    var_m = n_d * F.col("smm") - sm_d * sm_d
+    return s.select(
+        "segment",
+        "n",
+        F.when(
+            (var_m > 0) & (cov_num != 0),
+            (sr_d / n_d / F.lit(1e9)) / (cov_num / var_m),
+        ).alias("treynor_daily"),
+    ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# fin_active_share — yearly segment-mix drift vs the whole-period book
+
+
+@register(
+    "fin_active_share",
+    tags=("finance", "agg"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        ys AS (
+            SELECT EXTRACT(year FROM d) AS y, segment,
+                   CAST(SUM(x) AS DECIMAL(18,2)) AS xs
+            FROM daily GROUP BY 1, 2
+        ),
+        yt AS (
+            SELECT y, CAST(SUM(xs) AS DECIMAL(18,2)) AS xy
+            FROM ys GROUP BY y
+        ),
+        bs AS (
+            SELECT segment, CAST(SUM(xs) AS DECIMAL(18,2)) AS xb
+            FROM ys GROUP BY segment
+        ),
+        bt AS (SELECT CAST(SUM(xb) AS DECIMAL(18,2)) AS xt FROM bs),
+        terms AS (
+            SELECT ys.y, yt.xy, bt.xt,
+                   ABS(CAST(ys.xs AS DECIMAL(19,2))
+                         * CAST(bt.xt AS DECIMAL(19,2))
+                       - CAST(bs.xb AS DECIMAL(19,2))
+                         * CAST(yt.xy AS DECIMAL(19,2))) AS num
+            FROM ys
+            JOIN bs ON bs.segment = ys.segment
+            JOIN yt ON yt.y = ys.y
+            CROSS JOIN bt
+        )
+        SELECT CAST(y AS BIGINT) AS year,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(CAST(SUM(num) AS VARCHAR) AS DOUBLE)
+                 / (CAST(2 AS DOUBLE)
+                    * CAST(CAST(xy AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(xt AS VARCHAR) AS DOUBLE)) AS active_share
+        FROM terms GROUP BY y, xy, xt ORDER BY year
+    """,
+)
+def fin_active_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active share of each YEAR's segment revenue mix against the
+    whole-period benchmark mix: AS_y = 1/2 * sum_s |w_{y,s} - w_s| —
+    the standard portfolio-drift number (Cremers & Petajisto 2009),
+    here reading 'how differently did this year's book allocate across
+    market segments'. The weight difference is cleared to a COMMON
+    EXACT DENOMINATOR before any float: |x_ys * X - x_s * X_y| is a
+    DECIMAL(38,4) product difference, summed exactly over the
+    5-segment grid, with ONE double division by (2 * X_y * X) at the
+    presentation edge — so no float sum ever runs over the segment
+    axis. Scale: corpus work is the shared daily agg; the year x
+    segment grid is a <= 7x5 broadcast relation. (Decimal headroom: the
+    19,2 x 19,2 product is exact DECIMAL(38,4) to ~1e16 period
+    revenue — beyond sf1000; documented, not guarded.)"""
+    daily = _seg_daily(spark, sf_dir)
+    ys = daily.groupBy(
+        F.year("d").alias("y"), "segment"
+    ).agg(F.sum("x").cast("decimal(18,2)").alias("xs"))
+    ys = ys.persist()  # grid-sized; feeds all three rollups
+    yt = ys.groupBy("y").agg(F.sum("xs").cast("decimal(18,2)").alias("xy"))
+    bs = ys.groupBy("segment").agg(
+        F.sum("xs").cast("decimal(18,2)").alias("xb")
+    )
+    bt = bs.agg(F.sum("xb").cast("decimal(18,2)").alias("xt"))
+    terms = (
+        ys.join(F.broadcast(bs), "segment")
+        .join(F.broadcast(yt), "y")
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "y",
+            "xy",
+            "xt",
+            F.abs(
+                F.col("xs").cast("decimal(19,2)")
+                * F.col("xt").cast("decimal(19,2)")
+                - F.col("xb").cast("decimal(19,2)")
+                * F.col("xy").cast("decimal(19,2)")
+            ).alias("num"),
+        )
+    )
+    return (
+        terms.groupBy("y", "xy", "xt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            (
+                _as_d(F.sum("num"))
+                / (F.lit(2.0) * _as_d(F.col("xy")) * _as_d(F.col("xt")))
+            ).alias("active_share"),
+        )
+        .select(
+            F.col("y").cast("bigint").alias("year"),
+            "n_segments",
+            "active_share",
+        )
+        .orderBy("year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_avg_neighbor_degree — degree-mixing profile knn(k)
+
+
+@register(
+    "graph_avg_neighbor_degree",
+    tags=("graph", "join", "agg"),
+    oracle=f"""
+        WITH {_GRAPH_EDGE_CTE},
+        num AS (
+            SELECT nbr.v, CAST(SUM(dn.deg) AS BIGINT) AS sum_nbr_deg
+            FROM nbr JOIN deg dn ON dn.v = nbr.n
+            GROUP BY nbr.v
+        )
+        SELECT CAST(deg.deg AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(num.sum_nbr_deg) AS DOUBLE)
+                 / (CAST(deg.deg AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))
+                   AS avg_neighbor_degree
+        FROM num JOIN deg ON deg.v = num.v
+        GROUP BY deg.deg ORDER BY k
+    """,
+)
+def graph_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-mixing profile knn(k) of the strong-trade graph: for
+    each degree class k, the mean over degree-k nodes of the average
+    degree of their neighbors — the curve whose slope is the
+    assortativity story behind graph_degree_assortativity's single r
+    (falling knn(k) = hubs attach to the periphery). Exactness: every
+    node in a degree-k bucket divides its neighbor-degree sum by the
+    SAME k, so mean_v(sum_deg(N(v))/k) = sum_v(sum_deg(N(v))) / (k *
+    n_k) — pure integer numerator, ONE double division per bucket, no
+    float sum anywhere. Shape: degree map + neighbor-degree sum are
+    two hash aggs on the |V|^2-bounded edge relation; corpus-scale
+    work is only the shared fact-to-edges reduction."""
+    ku = _trade_edges_undirected(spark, sf_dir)
+    nbr = ku.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        ku.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    ).persist()  # |E|-bounded; feeds degree map AND neighbor sum
+    deg = nbr.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    num = (
+        nbr.join(
+            F.broadcast(deg.select(F.col("v").alias("n"), "deg")), "n"
+        )
+        .groupBy("v")
+        .agg(F.sum("deg").cast("bigint").alias("sum_nbr_deg"))
+    )
+    return (
+        num.join(F.broadcast(deg), "v")
+        .groupBy("deg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            (
+                F.sum("sum_nbr_deg").cast("double")
+                / (
+                    F.col("deg").cast("double")
+                    * F.count(F.lit(1)).cast("double")
+                )
+            ).alias("avg_neighbor_degree"),
+        )
+        .select(
+            F.col("deg").cast("bigint").alias("k"),
+            "n_nodes",
+            "avg_neighbor_degree",
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_js_divergence — corpus-vs-corpus vocabulary shift
+
+
+@register(
+    "text_js_divergence",
+    tags=("text", "tokenize", "agg"),
+    oracle=r"""
+        WITH toks AS (
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+                   lower(tok) AS tok
+            FROM (SELECT lang,
+                         unnest(regexp_extract_all(text, '[a-zA-Z0-9_]+'))
+                             AS tok
+                  FROM documents)
+        ),
+        cnt AS (
+            SELECT tok,
+                   CAST(SUM(is_en) AS BIGINT) AS np,
+                   CAST(SUM(1 - is_en) AS BIGINT) AS nq
+            FROM toks GROUP BY tok
+        ),
+        tot AS (
+            SELECT CAST(SUM(np) AS BIGINT) AS tp,
+                   CAST(SUM(nq) AS BIGINT) AS tq
+            FROM cnt
+        ),
+        terms AS (
+            SELECT np, nq, tp, tq,
+                   CASE WHEN np > 0 THEN np * CAST(ln(
+                     CAST(2 AS DOUBLE) * (CAST(np AS DOUBLE) / tp)
+                     / (CAST(np AS DOUBLE) / tp + CAST(nq AS DOUBLE) / tq)
+                   ) AS DECIMAL(12,6)) ELSE CAST(0 AS DECIMAL(12,6)) END
+                       AS hp,
+                   CASE WHEN nq > 0 THEN nq * CAST(ln(
+                     CAST(2 AS DOUBLE) * (CAST(nq AS DOUBLE) / tq)
+                     / (CAST(np AS DOUBLE) / tp + CAST(nq AS DOUBLE) / tq)
+                   ) AS DECIMAL(12,6)) ELSE CAST(0 AS DECIMAL(12,6)) END
+                       AS hq
+            FROM cnt CROSS JOIN tot
+        )
+        SELECT tp AS n_tokens_en, tq AS n_tokens_other,
+               CAST(SUM(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS vocab_en,
+               CAST(SUM(CASE WHEN nq > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS vocab_other,
+               (CAST(CAST(SUM(hp) AS VARCHAR) AS DOUBLE) / tp
+                + CAST(CAST(SUM(hq) AS VARCHAR) AS DOUBLE) / tq)
+               / CAST(2 AS DOUBLE) AS jsd_nats
+        FROM terms GROUP BY tp, tq
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the English and non-English
+    unigram distributions of the document corpus — the symmetric,
+    bounded (<= ln 2) distribution-shift number a training-mix report
+    uses to quantify how different two slices' vocabularies are (Lin
+    1991). Engine-exact via the quantized-log recipe
+    (text_ngram_entropy precedent): each distinct token's
+    ln(2*p/(p+q)) is ONE deterministic double expression quantized to
+    DECIMAL(12,6), so both KL halves are exact decimal dot products
+    with n_p/n_q integer weights, and JSD assembles from two exact
+    sums with divisions only at the edge (absent-side terms are
+    exactly 0 by the np>0/nq>0 gates — JSD needs no smoothing, unlike
+    KL). One token-key shuffle, vocab-sized state; the totals window
+    rides the vocab-bounded count relation."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+        F.explode(
+            F.expr(r"regexp_extract_all(text, '[a-zA-Z0-9_]+', 0)")
+        ).alias("tok0"),
+    ).select("is_en", F.lower("tok0").alias("tok"))
+    cnt = toks.groupBy("tok").agg(
+        F.sum("is_en").cast("bigint").alias("np"),
+        F.sum(1 - F.col("is_en")).cast("bigint").alias("nq"),
+    )
+    wall = Window.partitionBy()
+    tp = F.sum("np").over(wall).cast("bigint")
+    tq = F.sum("nq").over(wall).cast("bigint")
+    p = F.col("np").cast("double") / F.col("tp").cast("double")
+    q = F.col("nq").cast("double") / F.col("tq").cast("double")
+    zero6 = F.lit(0).cast("decimal(12,6)")
+    terms = cnt.select(
+        "np",
+        "nq",
+        tp.alias("tp"),
+        tq.alias("tq"),
+    ).select(
+        "np",
+        "nq",
+        "tp",
+        "tq",
+        F.when(
+            F.col("np") > 0,
+            F.col("np")
+            * F.log(F.lit(2.0) * p / (p + q)).cast("decimal(12,6)"),
+        )
+        .otherwise(zero6)
+        .alias("hp"),
+        F.when(
+            F.col("nq") > 0,
+            F.col("nq")
+            * F.log(F.lit(2.0) * q / (p + q)).cast("decimal(12,6)"),
+        )
+        .otherwise(zero6)
+        .alias("hq"),
+    )
+    return terms.groupBy("tp", "tq").agg(
+        F.sum(F.when(F.col("np") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("vocab_en"),
+        F.sum(F.when(F.col("nq") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("vocab_other"),
+        (
+            (
+                _as_d(F.sum("hp")) / F.col("tp").cast("double")
+                + _as_d(F.sum("hq")) / F.col("tq").cast("double")
+            )
+            / F.lit(2.0)
+        ).alias("jsd_nats"),
+    ).select(
+        F.col("tp").alias("n_tokens_en"),
+        F.col("tq").alias("n_tokens_other"),
+        "vocab_en",
+        "vocab_other",
+        "jsd_nats",
+    )

@@ -1,0 +1,373 @@
+"""Round-11 continuation wave: pure-Python/numpy references for the
+operators added after test_round11_ops.py froze (the snapshot's
+Conover / Siegel-Tukey pair plus the part-2 wave). Same contract as
+that file: each test re-derives the statistic from the raw sf0.001
+parquet with an INDEPENDENT formulation (float64 ranks / two-pointer
+rank assignment / regex tokenization in Python), so a formula bug
+shared between the Spark build and the DuckDB oracle cannot hide."""
+
+import datetime
+import re
+
+import duckdb
+import numpy as np
+import pytest
+
+from finance_etl_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+
+def _fetch(sql: str):
+    con = duckdb.connect()
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+def _midranks(values: np.ndarray) -> np.ndarray:
+    order = np.argsort(values, kind="mergesort")
+    ranks = np.empty(len(values), dtype=np.float64)
+    sv = values[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    return ranks
+
+
+def _seg_daily_py():
+    """[(segment, date, Decimal revenue)] — the shared daily base."""
+    return _fetch(
+        "SELECT c.c_mktsegment, CAST(o.o_orderdate AS DATE),"
+        " SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))"
+        f" FROM read_parquet('{SF}/orders.parquet') o"
+        f" JOIN read_parquet('{SF}/customer.parquet') c"
+        " ON o.o_custkey = c.c_custkey GROUP BY 1, 2"
+    )
+
+
+def _seg_series(segment):
+    """Date-sorted (dates, cents int array) for one segment."""
+    rows = sorted(
+        (d, int(x * 100)) for s, d, x in _seg_daily_py() if s == segment
+    )
+    return [r[0] for r in rows], np.array([r[1] for r in rows], dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# snapshot pair
+
+
+def test_conover_squared_ranks_matches_numpy(spark):
+    row = (
+        plans.get("stat_conover_squared_ranks").build(spark, SF).collect()[0]
+    )
+    per_seg = {}
+    for seg, _, x in _seg_daily_py():
+        per_seg.setdefault(seg, []).append(int(x * 100))
+    devs, labels = [], []
+    for seg, vs in per_seg.items():
+        vs = np.sort(np.array(vs, dtype=np.int64))
+        med = vs[(len(vs) + 1) // 2 - 1]  # lower median
+        devs.extend(abs(int(v) - int(med)) for v in vs)
+        labels.extend([seg] * len(vs))
+    a = np.array(devs, dtype=np.float64)
+    lab = np.array(labels)
+    r = _midranks(a)  # classical midranks, NOT the doubled-int trick
+    n = len(a)
+    k = len(per_seg)
+    s2 = r * r
+    ss = s2.sum()
+    s4 = (s2 * s2).sum()
+    num = sum(
+        s2[lab == g].sum() ** 2 / (lab == g).sum() for g in sorted(per_seg)
+    ) - ss * ss / n
+    den = s4 - ss * ss / n
+    t = (n - 1) * num / den
+    assert row["n_days"] == n
+    assert (row["k"], row["df"]) == (k, k - 1)
+    # operator uses u = 2*midrank (exact ints); T is scale-invariant
+    assert row["t_stat"] == pytest.approx(t, rel=1e-9)
+
+
+def test_siegel_tukey_matches_two_pointer(spark):
+    row = plans.get("stat_siegel_tukey").build(spark, SF).collect()[0]
+    pooled = sorted(
+        (int(x * 100), d, s)
+        for s, d, x in _seg_daily_py()
+        if s in ("BUILDING", "MACHINERY")
+    )
+    if len(pooled) % 2 == 1:  # classical: drop the middle value
+        del pooled[(len(pooled) + 1) // 2 - 1]
+    n = len(pooled)
+    # independent two-pointer assignment: rank 1 to the smallest, 2-3
+    # to the two largest (outermost first), 4-5 to the next two
+    # smallest, alternating inward in bursts of two
+    st = [0] * n
+    lo, hi, r = 0, n - 1, 1
+    st[lo] = 1
+    lo += 1
+    r = 2
+    side_high = True
+    while lo <= hi:
+        if side_high:
+            st[hi] = r
+            if hi - 1 >= lo:
+                st[hi - 1] = r + 1
+            hi -= 2
+        else:
+            st[lo] = r
+            if lo + 1 <= hi:
+                st[lo + 1] = r + 1
+            lo += 2
+        r += 2
+        side_high = not side_high
+    w1 = sum(rank for rank, (_, _, s) in zip(st, pooled) if s == "BUILDING")
+    n1 = sum(1 for _, _, s in pooled if s == "BUILDING")
+    n0 = n - n1
+    z = (2 * w1 - n1 * (n + 1)) / np.sqrt(n1 * n0 * (n + 1) / 3)
+    assert (row["n_building"], row["n_machinery"]) == (n1, n0)
+    assert row["w_rank_sum"] == w1
+    assert row["z_scale"] == pytest.approx(z, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# part-2 wave
+
+
+def test_sign_test_matches_reference(spark):
+    row = plans.get("stat_sign_test").build(spark, SF).collect()[0]
+    b = {d: x for s, d, x in _seg_daily_py() if s == "BUILDING"}
+    m = {d: x for s, d, x in _seg_daily_py() if s == "MACHINERY"}
+    both = sorted(set(b) & set(m))
+    npos = sum(1 for d in both if b[d] > m[d])
+    nneg = sum(1 for d in both if b[d] < m[d])
+    assert row["n_pairs"] == len(both)
+    assert (row["n_pos"], row["n_neg"]) == (npos, nneg)
+    assert row["z_sign"] == pytest.approx(
+        (npos - nneg) / np.sqrt(npos + nneg), rel=1e-12
+    )
+
+
+def test_theil_sen_matches_numpy(spark):
+    row = plans.get("stat_theil_sen").build(spark, SF).collect()[0]
+    dates, v = _seg_series("BUILDING")
+    t = np.array([(d - dates[0]).days for d in dates], dtype=np.float64)
+    iu, ju = np.triu_indices(len(v), k=1)
+    slopes = (v[ju] - v[iu]).astype(np.float64) / (t[ju] - t[iu])
+    assert row["n_pairs"] == len(slopes)
+    assert row["n_rising_pairs"] == int((slopes > 0).sum())
+    med = np.sort(slopes)[(len(slopes) + 1) // 2 - 1]  # lower median
+    # operator floor-quantizes each slope at 1e-6 cents/day before the
+    # order statistic (monotone, so it commutes with the median)
+    assert row["sen_slope_per_day"] == pytest.approx(
+        med / 100, abs=2e-8
+    )
+
+
+def test_tukey_fences_match_numpy(spark):
+    got = {
+        r["segment"]: r
+        for r in plans.get("dq_tukey_fences").build(spark, SF).collect()
+    }
+    per_seg = {}
+    for seg, _, x in _seg_daily_py():
+        per_seg.setdefault(seg, []).append(int(x * 100))
+    for seg, vs in per_seg.items():
+        v = np.sort(np.array(vs, dtype=np.int64))
+        n = len(v)
+        q1 = int(v[int(np.ceil(n / 4)) - 1])
+        q3 = int(v[int(np.ceil(3 * n / 4)) - 1])
+        iqr = q3 - q1
+        lo = q1 - 1.5 * iqr
+        hi = q3 + 1.5 * iqr
+        row = got[seg]
+        assert row["n_days"] == n
+        assert (row["q1_cents"], row["q3_cents"]) == (q1, q3)
+        assert row["iqr_cents"] == iqr
+        assert row["n_low"] == int((v < lo).sum())
+        assert row["n_high"] == int((v > hi).sum())
+
+
+def test_cross_correlation_matches_numpy(spark):
+    rows = {
+        r["lag"]: r
+        for r in plans.get("ts_cross_correlation").build(spark, SF).collect()
+    }
+    rets = {}
+    for seg in ("BUILDING", "MACHINERY"):
+        dates, v = _seg_series(seg)
+        rets[seg] = {
+            dates[i]: float(v[i]) / float(v[i - 1]) - 1.0
+            for i in range(1, len(dates))
+        }
+    for lag in range(8):
+        rb, rm = [], []
+        for d, r in rets["BUILDING"].items():
+            key = d - datetime.timedelta(days=lag)
+            if key in rets["MACHINERY"]:
+                rb.append(r)
+                rm.append(rets["MACHINERY"][key])
+        row = rows[lag]
+        assert row["n_pairs"] == len(rb)
+        rb, rm = np.array(rb), np.array(rm)
+        if len(rb) >= 3 and rb.std() > 0 and rm.std() > 0:
+            ref = np.corrcoef(rb, rm)[0, 1]
+            # q9 return quantization perturbs corr at ~1e-6
+            assert row["ccf"] == pytest.approx(ref, abs=5e-5)
+
+
+def test_pain_index_matches_numpy(spark):
+    got = {
+        r["segment"]: r
+        for r in plans.get("fin_pain_index").build(spark, SF).collect()
+    }
+    per_seg = {}
+    for seg, d, x in _seg_daily_py():
+        per_seg.setdefault(seg, []).append((d, float(x)))
+    for seg, rows in per_seg.items():
+        xs = np.array([x for _, x in sorted(rows)])
+        peak = np.maximum.accumulate(xs)
+        dd = (peak - xs) / peak * 100
+        row = got[seg]
+        assert row["n_days"] == len(xs)
+        assert row["pain_index_pct"] == pytest.approx(dd.mean(), abs=2e-6)
+        assert row["underwater_frac"] == pytest.approx(
+            (dd > 0).mean(), abs=1e-6
+        )
+        assert row["max_dd_pct"] == pytest.approx(dd.max(), abs=2e-6)
+
+
+def test_treynor_matches_numpy(spark):
+    got = {
+        r["segment"]: r
+        for r in plans.get("fin_treynor_ratio").build(spark, SF).collect()
+    }
+    daily = _seg_daily_py()
+    segs = sorted({s for s, _, _ in daily})
+    mkt = {}
+    for _, d, x in daily:
+        mkt[d] = mkt.get(d, 0.0) + float(x)
+    mdates = sorted(mkt)
+    mret = {
+        mdates[i]: mkt[mdates[i]] / mkt[mdates[i - 1]] - 1.0
+        for i in range(1, len(mdates))
+    }
+    for seg in segs:
+        rows = sorted((d, float(x)) for s, d, x in daily if s == seg)
+        sret = {
+            rows[i][0]: rows[i][1] / rows[i - 1][1] - 1.0
+            for i in range(1, len(rows))
+        }
+        common = [d for d in sret if d in mret]
+        r = np.array([sret[d] for d in common])
+        m = np.array([mret[d] for d in common])
+        beta = ((r - r.mean()) * (m - m.mean())).sum() / (
+            (m - m.mean()) ** 2
+        ).sum()
+        row = got[seg]
+        assert row["n"] == len(common)
+        assert row["treynor_daily"] == pytest.approx(
+            r.mean() / beta, rel=2e-4
+        )
+
+
+def test_active_share_matches_numpy(spark):
+    got = {
+        r["year"]: r
+        for r in plans.get("fin_active_share").build(spark, SF).collect()
+    }
+    daily = _seg_daily_py()
+    tot = {}
+    bench = {}
+    for s, d, x in daily:
+        tot.setdefault(d.year, {}).setdefault(s, 0)
+        tot[d.year][s] += x  # Decimal-exact
+        bench[s] = bench.get(s, 0) + x
+    grand = sum(bench.values())
+    for y, per_seg in tot.items():
+        xy = sum(per_seg.values())
+        a_s = 0.5 * sum(
+            abs(float(per_seg[s]) / float(xy) - float(bench[s]) / float(grand))
+            for s in per_seg
+        )
+        row = got[y]
+        assert row["n_segments"] == len(per_seg)
+        assert row["active_share"] == pytest.approx(a_s, rel=1e-9)
+
+
+def test_avg_neighbor_degree_matches_reference(spark):
+    got = {
+        r["k"]: r
+        for r in plans.get("graph_avg_neighbor_degree")
+        .build(spark, SF)
+        .collect()
+    }
+    rows = _fetch(
+        "SELECT s.s_nationkey, c.c_nationkey, COUNT(*)"
+        f" FROM read_parquet('{SF}/lineitem.parquet') l"
+        f" JOIN read_parquet('{SF}/orders.parquet') o"
+        " ON l.l_orderkey = o.o_orderkey"
+        f" JOIN read_parquet('{SF}/customer.parquet') c"
+        " ON o.o_custkey = c.c_custkey"
+        f" JOIN read_parquet('{SF}/supplier.parquet') s"
+        " ON l.l_suppkey = s.s_suppkey"
+        " GROUP BY 1, 2"
+    )
+    und = {}
+    for a, b, w in rows:
+        if a == b:
+            continue
+        key = (min(a, b), max(a, b))
+        und[key] = und.get(key, 0) + w
+    thr = np.percentile(np.array(list(und.values()), dtype=np.float64), 60)
+    edges = [e for e, w in und.items() if w >= thr]
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    by_k = {}
+    for v, ns in nbrs.items():
+        by_k.setdefault(deg[v], []).append(
+            sum(deg[n] for n in ns) / deg[v]
+        )
+    assert set(got) == set(by_k)
+    for k, knns in by_k.items():
+        assert got[k]["n_nodes"] == len(knns)
+        assert got[k]["avg_neighbor_degree"] == pytest.approx(
+            float(np.mean(knns)), rel=1e-12
+        )
+
+
+def test_js_divergence_matches_numpy(spark):
+    row = plans.get("text_js_divergence").build(spark, SF).collect()[0]
+    docs = _fetch(
+        f"SELECT lang, text FROM read_parquet('{SF}/documents.parquet')"
+    )
+    cp, cq = {}, {}
+    for lang, text in docs:
+        tgt = cp if lang == "en" else cq
+        for tok in re.findall(r"[a-zA-Z0-9_]+", text or ""):
+            tok = tok.lower()
+            tgt[tok] = tgt.get(tok, 0) + 1
+    tp = sum(cp.values())
+    tq = sum(cq.values())
+    assert (row["n_tokens_en"], row["n_tokens_other"]) == (tp, tq)
+    assert (row["vocab_en"], row["vocab_other"]) == (len(cp), len(cq))
+    jsd = 0.0
+    for tok in set(cp) | set(cq):
+        p = cp.get(tok, 0) / tp
+        q = cq.get(tok, 0) / tq
+        m = (p + q) / 2
+        if p > 0:
+            jsd += 0.5 * p * np.log(p / m)
+        if q > 0:
+            jsd += 0.5 * q * np.log(q / m)
+    # per-term ln quantization at 1e-6 with unit total weight
+    assert row["jsd_nats"] == pytest.approx(jsd, abs=5e-6)
