@@ -4248,7 +4248,7 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         b.crossJoin(F.broadcast(lags))
         .withColumn("dkey", F.date_sub(F.col("d"), F.col("lag")))
-        .join(m, F.col("dkey") == F.col("dm"))
+        .join(F.broadcast(m), F.col("dkey") == F.col("dm"))
     )
     s = j.groupBy("lag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
