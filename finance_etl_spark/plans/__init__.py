@@ -86,7 +86,7 @@ for _mod in (
 # ts calendar/wape/df/seasonal-strength/intervention, ml score-ks/
 # somers/hl/mcc-multi/ips/fbeta, graph ecc/path-hist, text heaps/
 # entropy, vec cos-hist, window wma7, dq gap-audit, sql values,
-# conover/siegel-tukey/sign/theil-sen, ccf, pain/treynor/active-share,
+# conover/siegel-tukey/sign/quade, ccf, pain/treynor/active-share,
 # knn(k), jsd, tukey-fences) = 50; round 14 takes the remaining 28.
 #
 # --- earlier-window history (kept for the audit trail) ---

@@ -154,20 +154,37 @@ def test_sign_test_matches_reference(spark):
     )
 
 
-def test_theil_sen_matches_numpy(spark):
-    row = plans.get("stat_theil_sen").build(spark, SF).collect()[0]
-    dates, v = _seg_series("BUILDING")
-    t = np.array([(d - dates[0]).days for d in dates], dtype=np.float64)
-    iu, ju = np.triu_indices(len(v), k=1)
-    slopes = (v[ju] - v[iu]).astype(np.float64) / (t[ju] - t[iu])
-    assert row["n_pairs"] == len(slopes)
-    assert row["n_rising_pairs"] == int((slopes > 0).sum())
-    med = np.sort(slopes)[(len(slopes) + 1) // 2 - 1]  # lower median
-    # operator floor-quantizes each slope at 1e-6 cents/day before the
-    # order statistic (monotone, so it commutes with the median)
-    assert row["sen_slope_per_day"] == pytest.approx(
-        med / 100, abs=2e-8
+def test_quade_matches_numpy(spark):
+    row = plans.get("stat_quade_test").build(spark, SF).collect()[0]
+    per_month = {}
+    for seg, d, x in _seg_daily_py():
+        key = (d.year, d.month)
+        per_month.setdefault(key, {}).setdefault(seg, 0)
+        per_month[key][seg] += int(x * 100)
+    segs = sorted({s for s, _, _ in _seg_daily_py()})
+    k = len(segs)
+    blocks = {m: v for m, v in per_month.items() if len(v) == k}
+    n = len(blocks)
+    months = sorted(blocks)
+    # classical float midranks, NOT the doubled-int trick
+    r = np.vstack(
+        [
+            _midranks(np.array([blocks[m][s] for s in segs], float))
+            for m in months
+        ]
     )
+    dd = np.array(
+        [max(blocks[m].values()) - min(blocks[m].values()) for m in months],
+        dtype=np.float64,
+    )
+    qr = _midranks(dd)
+    s = qr[:, None] * (r - (k + 1) / 2)
+    a2 = (s * s).sum()
+    b = (s.sum(axis=0) ** 2).sum() / n
+    t3 = (n - 1) * b / (a2 - b)
+    assert row["n_blocks"] == n
+    assert (row["k"], row["df1"], row["df2"]) == (k, k - 1, (n - 1) * (k - 1))
+    assert row["t3_stat"] == pytest.approx(t3, rel=1e-9)
 
 
 def test_tukey_fences_match_numpy(spark):
