@@ -5202,7 +5202,11 @@ def ml_bagging_oob(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed random-forest training shape with the forest's free
     generalization estimate, end-to-end replayable. Duplicate
     (orderkey,linenumber,partkey) rows collapse with multiplicities so
-    the census stays exact."""
+    the census stays exact; the dedup exchange ships the numeric key
+    triple (the string key is synthesized post-shuffle) and doubles as
+    the barrier that lets wsb's three concurrent consumers reuse one
+    computation of the md5 pipeline (a no-dedup variant measured 2.3x
+    slower end-to-end)."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -5210,15 +5214,19 @@ def ml_bagging_oob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").cast("double").alias("xmin"),
         F.max("l_extendedprice").cast("double").alias("xmax"),
     )
+    # Group by the NUMERIC key triple and synthesize the string key
+    # AFTER the agg: the exchange then ships 3 longs + 2 ints per row
+    # instead of a ~25-byte string (round-11 bench shave), and the 16
+    # md5 ladders run post-shuffle on all reduce slots. (A no-dedup
+    # variant was measured 2.3x SLOWER end-to-end at sf0.1: the dedup
+    # exchange is also the barrier that lets the three concurrent
+    # consumers of wsb reuse one computation of the hash pipeline.)
     base = (
         li.crossJoin(F.broadcast(rng))
         .select(
-            F.concat_ws(
-                "-",
-                F.col("l_orderkey").cast("string"),
-                F.col("l_linenumber").cast("string"),
-                F.col("l_partkey").cast("string"),
-            ).alias("k"),
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
             F.least(
                 F.lit(31),
                 F.floor(
@@ -5228,8 +5236,19 @@ def ml_bagging_oob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bin"),
             (F.col("l_returnflag") == "R").cast("int").alias("y"),
         )
-        .groupBy("k", "bin", "y")
+        .groupBy("l_orderkey", "l_linenumber", "l_partkey", "bin", "y")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.concat_ws(
+                "-",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                F.col("l_partkey").cast("string"),
+            ).alias("k"),
+            "bin",
+            "y",
+            "cnt",
+        )
     )
     from functools import reduce as _reduce
 
