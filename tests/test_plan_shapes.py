@@ -925,3 +925,59 @@ def test_wape_windows_partition_by_segment(spark, sf_dir):
     assert specs
     for spec in specs:
         assert "segment" in spec, f"unpartitioned window: [{spec}]"
+
+
+def test_ccf_all_joins_broadcast(spark, sf_dir):
+    """ts_cross_correlation: the 8-row lag spine and the calendar-
+    bounded machinery return series both broadcast — the corpus never
+    shuffles for the lag join."""
+    p = plan_str(plans.get("ts_cross_correlation").build(spark, sf_dir))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_quade_windows_ride_bounded_relations(spark, sf_dir):
+    """stat_quade_test: within-block rank windows partition by month;
+    the only unpartitioned windows are the range ranks over the
+    <=84-month block relation (their sort key is dd)."""
+    import re
+
+    p = plan_str(plans.get("stat_quade_test").build(spark, sf_dir), "extended")
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\], \[([^\]]*)\]", p)
+    assert specs, "no Window nodes in extended plan"
+    for part, order in specs:
+        assert "mth" in part or "dd" in order, (
+            f"corpus-shaped window: partition=[{part}] order=[{order}]"
+        )
+
+
+def test_neighbor_degree_edges_computed_once(spark, sf_dir):
+    """graph_avg_neighbor_degree: the fact-to-edges reduction is
+    persisted and every downstream consumer reads the cache — the
+    corpus-scale join pipeline must not replay per consumer."""
+    df = plans.get("graph_avg_neighbor_degree").build(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("InMemoryTableScan") >= 2, "nbr cache not reused"
+
+
+def test_tukey_fence_windows_partition_by_segment(spark, sf_dir):
+    import re
+
+    p = plan_str(plans.get("dq_tukey_fences").build(spark, sf_dir), "extended")
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+    assert specs
+    for spec in specs:
+        assert "segment" in spec, f"unpartitioned window: [{spec}]"
+
+
+def test_bagging_exchange_ships_numeric_keys(spark, sf_dir):
+    """ml_bagging_oob (round-11 shave): the dedup exchange partitions
+    on the numeric key triple — the concat string key must be
+    synthesized AFTER the shuffle, never shipped through it."""
+    import re
+
+    p = plan_str(plans.get("ml_bagging_oob").build(spark, sf_dir), "extended")
+    m = re.search(r"Exchange hashpartitioning\(([^)]*l_orderkey[^)]*)\)", p)
+    assert m, f"dedup exchange missing:\n{p[:600]}"
+    assert "concat" not in m.group(1), (
+        f"string key shipped through the exchange: {m.group(1)}"
+    )
