@@ -4859,3 +4859,270 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab_other",
         "jsd_nats",
     )
+
+
+# ===========================================================================
+# Round-11 closers: the two missing members of otherwise-complete
+# classical families — Bartlett (parametric variance homogeneity,
+# joining Levene/Brown-Forsythe and Hartley on the same base) and
+# Cuzick (Wilcoxon-type trend across ordered groups, joining
+# Jonckheere-Terpstra and Page).
+
+from finance_etl_spark.plans.stats import _midranks2  # noqa: E402
+
+
+@register(
+    "stat_bartlett_test",
+    tags=("stats", "agg"),
+    oracle="""
+        WITH base AS (
+            SELECT o_orderpriority AS g,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS v
+            FROM orders
+        ),
+        per AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS nj,
+                   CAST(SUM(v) AS DECIMAL(19,0)) AS s1,
+                   CAST(SUM(CAST(v AS DECIMAL(15,0)) * v) AS DECIMAL(30,0))
+                       AS s2
+            FROM base GROUP BY g
+        ),
+        dev AS (
+            SELECT g, nj,
+                   CAST(nj AS DECIMAL(8,0)) * s2 - s1 * s1 AS ssd_num
+            FROM per
+        ),
+        lng AS (
+            SELECT g, nj,
+                   CAST(CAST(ssd_num AS VARCHAR) AS DOUBLE)
+                     / CAST(nj AS DOUBLE) AS ssd,
+                   CASE WHEN ssd_num > 0 THEN
+                     CAST(ln(CAST(CAST(ssd_num AS VARCHAR) AS DOUBLE)
+                             / CAST(nj AS DOUBLE)
+                             / (CAST(nj AS DOUBLE) - 1))
+                          AS DECIMAL(12,6))
+                   END AS lnq
+            FROM dev
+        ),
+        red AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(nj) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN lnq IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS k_ok,
+                   CAST(CAST(SUM((nj - 1) * lnq) AS VARCHAR) AS DOUBLE)
+                       AS wsum,
+                   list_reduce(list(ssd ORDER BY g), (a, x) -> a + x)
+                       AS ssd_pool,
+                   list_reduce(list(CAST(1 AS DOUBLE)
+                                    / (CAST(nj AS DOUBLE) - 1) ORDER BY g),
+                               (a, x) -> a + x) AS rsum
+            FROM lng
+        )
+        SELECT k, n,
+               CASE WHEN k_ok = k AND n > k THEN
+                 (CAST(n - k AS DOUBLE)
+                  * CAST(CAST(CAST(ln(ssd_pool / CAST(n - k AS DOUBLE))
+                                   AS DECIMAL(12,6)) AS VARCHAR) AS DOUBLE)
+                  - wsum)
+                 / (CAST(1 AS DOUBLE)
+                    + (rsum - CAST(1 AS DOUBLE) / CAST(n - k AS DOUBLE))
+                      / (CAST(3 AS DOUBLE) * (CAST(k AS DOUBLE) - 1)))
+               END AS bartlett_chi2,
+               (k - 1) AS df
+        FROM red
+    """,
+)
+def stat_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for equal variances across the five order-
+    priority cohorts on order value — the PARAMETRIC member of the
+    variance-homogeneity family (stat_levene_brown_forsythe is the
+    robust one, stat_hartley_fmax the quick screen; all three now run
+    on comparable bases). chi2 = [(N-k) ln Sp^2 - sum (n_j-1) ln
+    S_j^2] / C with C the Bartlett small-sample correction. Exactness:
+    each group's SSD numerator n_j*S2 - S1^2 is exact DECIMAL(38,0)
+    from integer-cents sums, so ln(S_j^2) is ONE deterministic double
+    expression quantized to DECIMAL(12,6) (the quantized-log recipe) —
+    the weighted sum sum((n_j-1) ln_q) is then an exact decimal dot
+    product. The two genuine float reductions over the k=5 groups
+    (pooled SSD, reciprocal sum for C) fold in PINNED group order on
+    both engines. Any zero-variance group NULLs chi2 identically (the
+    k_ok = k gate compares exact decimals). One hash agg over the
+    corpus; everything after is k-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("g"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+    )
+    per = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nj"),
+        F.sum("v").cast("decimal(19,0)").alias("s1"),
+        F.sum(F.col("v").cast("decimal(15,0)") * F.col("v"))
+        .cast("decimal(30,0)")
+        .alias("s2"),
+    )
+    ssd_num = F.col("nj").cast("decimal(8,0)") * F.col("s2") - F.col(
+        "s1"
+    ) * F.col("s1")
+    nj_d = F.col("nj").cast("double")
+    ssd = _as_d(ssd_num) / nj_d
+    lng = per.select(
+        "g",
+        "nj",
+        ssd.alias("ssd"),
+        F.when(
+            ssd_num > 0,
+            F.log(ssd / (nj_d - 1)).cast("decimal(12,6)"),
+        ).alias("lnq"),
+    )
+    red = lng.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("nj").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("lnq").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("k_ok"),
+        _as_d(F.sum((F.col("nj") - 1) * F.col("lnq"))).alias("wsum"),
+        _ordered_fold_sum(F.col("g"), F.col("ssd")).alias("ssd_pool"),
+        _ordered_fold_sum(
+            F.col("g"), F.lit(1.0) / (F.col("nj").cast("double") - 1)
+        ).alias("rsum"),
+    )
+    nk_d = (F.col("n") - F.col("k")).cast("double")
+    k_d = F.col("k").cast("double")
+    lnp_q = _as_d(
+        F.log(F.col("ssd_pool") / nk_d).cast("decimal(12,6)")
+    )
+    return red.select(
+        "k",
+        "n",
+        F.when(
+            (F.col("k_ok") == F.col("k")) & (F.col("n") > F.col("k")),
+            (nk_d * lnp_q - F.col("wsum"))
+            / (
+                F.lit(1.0)
+                + (F.col("rsum") - F.lit(1.0) / nk_d)
+                / (F.lit(3.0) * (k_d - 1))
+            ),
+        ).alias("bartlett_chi2"),
+        (F.col("k") - 1).alias("df"),
+    )
+
+
+@register(
+    "stat_cuzick_trend",
+    tags=("stats", "window", "agg"),
+    oracle="""
+        WITH base AS (
+            SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS l,
+                   CAST(o_totalprice AS DECIMAL(12,2)) AS x
+            FROM orders
+        ),
+        rv AS (
+            SELECT v, t,
+                   2 * (SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t)
+                       + t + 1 AS mr2
+            FROM (SELECT x AS v, COUNT(*) AS t FROM base GROUP BY x)
+        ),
+        joined AS (
+            SELECT base.l, rv.mr2
+            FROM base JOIN rv ON rv.v = base.x
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(l) AS BIGINT) AS sl,
+                   CAST(SUM(l * l) AS BIGINT) AS sll,
+                   CAST(SUM(CAST(mr2 AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                       AS su,
+                   CAST(SUM(CAST(mr2 AS DECIMAL(19,0)) * mr2)
+                        AS DECIMAL(38,0)) AS suu,
+                   CAST(SUM(l * CAST(mr2 AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS t2
+            FROM joined
+        )
+        SELECT n,
+               CAST(CAST(t2 AS VARCHAR) AS DOUBLE) / 2 AS t_stat,
+               CASE WHEN n > 1
+                     AND CAST(n AS DOUBLE) * CAST(sll AS DOUBLE)
+                         - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) > 0
+                     AND CAST(n AS DOUBLE) * CAST(CAST(suu AS VARCHAR)
+                                                  AS DOUBLE)
+                         - CAST(CAST(su AS VARCHAR) AS DOUBLE)
+                           * CAST(CAST(su AS VARCHAR) AS DOUBLE) > 0 THEN
+                 (CAST(CAST(t2 AS VARCHAR) AS DOUBLE)
+                  - CAST(sl AS DOUBLE)
+                    * CAST(CAST(su AS VARCHAR) AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 / sqrt(
+                     (CAST(sll AS DOUBLE)
+                      - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     * (CAST(CAST(suu AS VARCHAR) AS DOUBLE)
+                        - CAST(CAST(su AS VARCHAR) AS DOUBLE)
+                          * CAST(CAST(su AS VARCHAR) AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1))
+               END AS z_trend
+        FROM s
+    """,
+)
+def stat_cuzick_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuzick's test (Cuzick 1985) for a monotone TREND in order value
+    across the five ordinal priority cohorts (scores l = the
+    priority's leading digit, 1-URGENT .. 5-LOW): T = sum l_j R_j over
+    pooled midranks — the Wilcoxon-type trend test that reads
+    direction where Jonckheere-Terpstra reads ordered dominance and
+    Kruskal-Wallis reads any difference. Moments are the EXACT
+    finite-population permutation moments of the realized (score,
+    midrank) multisets (the stat_ansari_bradley recipe — correct under
+    ties with no continuity fudge): E(T) = Sl*Su/N, Var(T) =
+    (Sll - Sl^2/N)(Suu - Su^2/N)/(N-1). Pooled doubled midranks come
+    from the bucket+carry machinery (_midranks2 — rank work scales
+    with distinct values per bucket, never a corpus sort); all six
+    sufficient sums are exact integer/DECIMAL(38,0) (the doubled-rank
+    2x cancels between T-E(T) and sqrt(Var)); z assembles in ONE
+    guarded double expression (degenerate score or rank variance NULLs
+    it identically)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("l"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("x"),
+    )
+    rv = _midranks2(base, "x", 10000)
+    joined = base.join(rv, base.x == rv.v).select("l", "mr2")
+    s = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("l").cast("bigint").alias("sl"),
+        F.sum(F.col("l") * F.col("l")).cast("bigint").alias("sll"),
+        F.sum(F.col("mr2").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("su"),
+        F.sum(F.col("mr2").cast("decimal(19,0)") * F.col("mr2"))
+        .cast("decimal(38,0)")
+        .alias("suu"),
+        F.sum(F.col("l") * F.col("mr2").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("t2"),
+    )
+    n_d = F.col("n").cast("double")
+    sl_d = F.col("sl").cast("double")
+    sll_d = F.col("sll").cast("double")
+    su_d = _as_d(F.col("su"))
+    suu_d = _as_d(F.col("suu"))
+    t2_d = _as_d(F.col("t2"))
+    var_l = n_d * sll_d - sl_d * sl_d
+    var_u = n_d * suu_d - su_d * su_d
+    return s.select(
+        "n",
+        (t2_d / 2).alias("t_stat"),
+        F.when(
+            (F.col("n") > 1) & (var_l > 0) & (var_u > 0),
+            (t2_d - sl_d * su_d / n_d)
+            / F.sqrt(
+                (sll_d - sl_d * sl_d / n_d)
+                * (suu_d - su_d * su_d / n_d)
+                / (n_d - 1)
+            ),
+        ).alias("z_trend"),
+    )

@@ -388,3 +388,52 @@ def test_js_divergence_matches_numpy(spark):
             jsd += 0.5 * q * np.log(q / m)
     # per-term ln quantization at 1e-6 with unit total weight
     assert row["jsd_nats"] == pytest.approx(jsd, abs=5e-6)
+
+
+def test_bartlett_matches_numpy(spark):
+    row = plans.get("stat_bartlett_test").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT o_orderpriority,"
+        " CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    )
+    grp = np.array([r[0] for r in rows])
+    x = np.array([float(r[1]) for r in rows])
+    groups = sorted(set(grp))
+    k = len(groups)
+    n = len(x)
+    vs = [x[grp == g] for g in groups]
+    ss = [v.var(ddof=1) for v in vs]
+    sp2 = sum((len(v) - 1) * s for v, s in zip(vs, ss)) / (n - k)
+    num = (n - k) * np.log(sp2) - sum(
+        (len(v) - 1) * np.log(s) for v, s in zip(vs, ss)
+    )
+    c = 1 + (sum(1 / (len(v) - 1) for v in vs) - 1 / (n - k)) / (3 * (k - 1))
+    assert (row["k"], row["n"], row["df"]) == (k, n, k - 1)
+    # ln terms quantize at 1e-6 with integer weights ~n
+    assert row["bartlett_chi2"] == pytest.approx(num / c, abs=max(
+        1e-6 * n, 1e-9 * abs(num / c)
+    ))
+
+
+def test_cuzick_matches_numpy(spark):
+    row = plans.get("stat_cuzick_trend").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT),"
+        " CAST(o_totalprice AS DECIMAL(12,2))"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    )
+    l = np.array([r[0] for r in rows], dtype=np.float64)
+    x = np.array([float(r[1]) for r in rows])
+    r = _midranks(x)  # classical float midranks
+    n = len(x)
+    t = float((l * r).sum())
+    et = l.sum() * r.sum() / n
+    var = (
+        ((l - l.mean()) ** 2).sum()
+        * ((r - r.mean()) ** 2).sum()
+        / (n - 1)
+    )
+    assert row["n"] == n
+    assert row["t_stat"] == pytest.approx(t, rel=1e-12)
+    assert row["z_trend"] == pytest.approx((t - et) / np.sqrt(var), rel=1e-9)
