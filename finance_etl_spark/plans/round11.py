@@ -4613,7 +4613,10 @@ def fin_active_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,4) product difference, summed exactly over the
     5-segment grid, with ONE double division by (2 * X_y * X) at the
     presentation edge — so no float sum ever runs over the segment
-    axis. Scale: corpus work is the shared daily agg; the year x
+    axis. Class-5 divisor: a year row exists only because orders with
+    strictly positive o_totalprice landed in it, so X_y and X are
+    bounded below by the first order's price — documented, not
+    guarded, identically on both engines. Scale: corpus work is the shared daily agg; the year x
     segment grid is a <= 7x5 broadcast relation. (Decimal headroom: the
     19,2 x 19,2 product is exact DECIMAL(38,4) to ~1e16 period
     revenue — beyond sf1000; documented, not guarded.)"""
