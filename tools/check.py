@@ -200,7 +200,15 @@ def main(argv: list[str]) -> int:
         # independent reference test caught it). Every registered
         # query must return rows at every SF; genuinely-empty
         # semantics need an explicit allowlist entry here.
-        if not s_rows and name not in ("join_left_anti",):
+        # q7's nation pair is pinned by the TPC-H spec (FRANCE <->
+        # GERMANY, 1995-1996); at sf0.001 the 6k-lineitem fixture has
+        # no trade on that pair, so BOTH engines return 0 rows by the
+        # data, not by a bug — allowed at that SF only (non-empty at
+        # sf0.01+, where the driver gate runs).
+        empty_ok = name in ("join_left_anti",) or (
+            name == "q7_volume_shipping" and SF_DIR.rstrip("/").endswith("sf0.001")
+        )
+        if not s_rows and not empty_ok:
             print(f"FAIL {name}: empty result (0 rows) — twin-oracle blind spot")
             n_fail += 1
             continue
