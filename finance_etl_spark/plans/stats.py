@@ -2659,9 +2659,9 @@ def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                sqrt(
                    ((syy - CAST(sy AS DOUBLE) * sy / n) / (n - 1)
                     + (CAST(sy AS DOUBLE) / sx) * (CAST(sy AS DOUBLE) / sx)
-                      * (sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1)
+                      * ((sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1))
                     - 2 * (CAST(sy AS DOUBLE) / sx)
-                      * (sxy - CAST(sx AS DOUBLE) * sy / n) / (n - 1))
+                      * ((sxy - CAST(sx AS DOUBLE) * sy / n) / (n - 1)))
                    / n
                ) / (CAST(sx AS DOUBLE) / n) / 100 AS se_delta_method
         FROM s
@@ -2675,7 +2675,11 @@ def stat_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent): SE = sqrt((var_y + R² var_x − 2R cov)/n)/mean_x with
     every moment from ONE scan's exact integer sufficient statistics.
     The naive per-order SE understates uncertainty; this is the
-    correct cluster-aware readout, closed-form."""
+    correct cluster-aware readout, closed-form. The oracle's variance
+    terms parenthesize the /(n-1) INSIDE each moment — R*R*(A/(n-1)),
+    matching Spark's var_x column — because ((R*R)*A)/(n-1) rounds one
+    ULP differently on real data (caught by the sf0.1 sweep, round
+    11)."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),

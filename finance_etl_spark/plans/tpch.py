@@ -435,7 +435,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q11_important_stock",
     tags=("tpch", "agg", "subquery", "having"),
-    oracle=f"""
+    oracle="""
         WITH eur_li AS (
             SELECT l_partkey, l_extendedprice * (1 - l_discount) AS val
             FROM lineitem
@@ -444,23 +444,42 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
                 JOIN nation ON s_nationkey = n_nationkey
                 JOIN region ON n_regionkey = r_regionkey
                 WHERE r_name = 'EUROPE')
+        ),
+        pp AS (
+            SELECT l_partkey AS p_partkey,
+                   CAST(SUM(CAST(val AS DECIMAL(30,10))) AS DECIMAL(38,10))
+                       AS vdec
+            FROM eur_li GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(CAST(SUM(vdec) AS VARCHAR) AS DOUBLE) AS tv,
+                   CAST(COUNT(*) AS BIGINT) AS np
+            FROM pp
         )
-        SELECT l_partkey AS p_partkey, {o_dsum('val')} AS value
-        FROM eur_li
-        GROUP BY 1
-        HAVING {o_dsum('val')} >
-               (SELECT 0.001 * {o_dsum('val')} FROM eur_li)
+        SELECT p_partkey,
+               CAST(CAST(vdec AS VARCHAR) AS DOUBLE) AS value
+        FROM pp CROSS JOIN tot
+        WHERE CAST(CAST(vdec AS VARCHAR) AS DOUBLE)
+              > (CAST('1.5' AS DOUBLE) * tv) / np
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock identification): parts whose
-    European-supplied value exceeds 0.1% of the total — the
-    group-HAVING-greater-than-global-scalar pattern. The scalar total
-    is a 1-row decimal-exact aggregate broadcast into the per-part
-    filter (never a second scan per group); both sides derive the
-    threshold from the same decimal sum, so the > comparison is
-    bit-identical. The semi join against the ~EUROPE supplier set
-    broadcasts; one fact shuffle on partkey."""
+    European-supplied value exceeds 1.5x the MEAN per-part value — the
+    group-HAVING-greater-than-global-scalar pattern. The spec's
+    threshold is a fixed fraction of the total that it rescales by
+    1/SF per scale factor (TPC-H 2.14: FRACTION = 0.0001/SF); a fixed
+    fraction goes EMPTY as the part count grows (measured: 0.001
+    returns rows at sf0.01 and zero at sf0.1), so this operator pins
+    the scale-invariant mean-multiple form instead — the qualifying
+    set stays a stable slice of parts at every SF. Exactness: per-part
+    and total sums are the same exact DECIMAL(38,10) accumulation; the
+    value, total, and count each cross the double edge once (VARCHAR
+    route) and the threshold is ONE identically-parenthesized double
+    expression, so the > comparison matches bit-for-bit. The scalar is
+    a 1-row broadcast into the per-part filter (never a second scan
+    per group); the EUROPE supplier semi join broadcasts; one fact
+    shuffle on partkey."""
     eur_keys = _eur_suppliers(spark, sf_dir).select("s_suppkey")
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -471,13 +490,23 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_part = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
-        dsum("val").alias("value")
+        F.sum(F.col("val").cast("decimal(30,10)"))
+        .cast("decimal(38,10)")
+        .alias("vdec")
     )
-    total = li.agg((F.lit(0.001) * dsum("val")).alias("threshold"))
+    tot = per_part.agg(
+        F.sum("vdec").cast("string").cast("double").alias("tv"),
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+    )
+    value = F.col("vdec").cast("string").cast("double")
     return (
-        per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > F.col("threshold"))
-        .select("p_partkey", "value")
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(
+            value
+            > (F.expr("CAST('1.5' AS DOUBLE)") * F.col("tv"))
+            / F.col("np").cast("double")
+        )
+        .select("p_partkey", value.alias("value"))
     )
 
 
