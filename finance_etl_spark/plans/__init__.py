@@ -81,14 +81,14 @@ for _mod in (
 # window (3), obs (2), subquery (2), set (2), join (2), geo (2),
 # q14/q16, sql_distinct_on, mm_video_scene_cut, udf_window_grouped_agg,
 # ingest_type_inference_audit, stream_live_cusum_alarm (34) plus 16 of
-# the 46 round-11 additions (stat dixon/mood/cochran_q/bowker/ansari/
+# the 48 round-11 additions (stat dixon/mood/cochran_q/bowker/ansari/
 # page/ad2s/bm/jt, fin convexity/twr/rachev/parity/dd-duration,
 # ts calendar/wape/df/seasonal-strength/intervention, ml score-ks/
 # somers/hl/mcc-multi/ips/fbeta, graph ecc/path-hist, text heaps/
 # entropy, vec cos-hist, window wma7, dq gap-audit, sql values,
 # conover/siegel-tukey/sign/quade, ccf, pain/treynor/active-share,
-# knn(k), jsd, tukey-fences, bartlett, cuzick) = 50; round 14 takes
-# the remaining 30.
+# knn(k), jsd, tukey-fences, bartlett, cuzick, jarque-bera,
+# capture-ratios) = 50; round 14 takes the remaining 32.
 #
 # --- earlier-window history (kept for the audit trail) ---
 # ROUND-8 WINDOW (cumulative driver-sampled after r7: 271/416):

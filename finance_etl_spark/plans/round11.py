@@ -5129,3 +5129,262 @@ def stat_cuzick_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("z_trend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_jarque_bera — moment-based normality screen
+
+
+@register(
+    "stat_jarque_bera",
+    tags=("stats", "agg"),
+    oracle="""
+        WITH base AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS v
+            FROM orders
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(CAST(v AS DECIMAL(19,0))) AS VARCHAR)
+                        AS DOUBLE) AS s1,
+                   CAST(CAST(SUM(CAST(v AS DECIMAL(15,0)) * v) AS VARCHAR)
+                        AS DOUBLE) AS s2,
+                   CAST(CAST(SUM(CAST(CAST(v AS DECIMAL(15,0)) * v
+                                      AS DECIMAL(23,0)) * v) AS VARCHAR)
+                        AS DOUBLE) AS s3,
+                   CAST(CAST(SUM(CAST(CAST(CAST(v AS DECIMAL(15,0)) * v
+                                           AS DECIMAL(23,0)) * v
+                                      AS DECIMAL(31,0)) * v) AS VARCHAR)
+                        AS DOUBLE) AS s4
+            FROM base
+        ),
+        m AS (
+            SELECT n,
+                   s1 / n AS mu,
+                   s2 / n - (s1 / n) * (s1 / n) AS m2,
+                   s3 / n - 3 * (s1 / n) * (s2 / n)
+                     + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+                   s4 / n - 4 * (s1 / n) * (s3 / n)
+                     + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                     - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+            FROM s
+        )
+        SELECT n,
+               CASE WHEN m2 > 0 THEN
+                 m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) END AS skewness,
+               CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END AS kurtosis,
+               CASE WHEN m2 > 0 THEN
+                 CAST(n AS DOUBLE)
+                 * ((m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)))
+                    * (m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2))) / 6
+                    + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 24)
+               END AS jb_stat
+        FROM m
+    """,
+)
+def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on order value: JB = n(S^2/6 +
+    (K-3)^2/24) from sample skewness and kurtosis — the moment-based
+    screen every returns-distribution report starts with
+    (agg_skew_kurtosis_exact emits the moments; this operator emits
+    the TEST). Exactness: the four raw power sums accumulate in
+    stepped-width DECIMALs (cents v <= ~1e8, so v^4 sums hold in 38
+    digits past sf1000), cross the double edge once each via the
+    VARCHAR route, and every central moment / statistic is ONE
+    identically-parenthesized double expression on both engines —
+    m2^1.5 is written sqrt(m2)^3 by repeated multiplication (libm pow
+    is NOT cross-engine-stable; sqrt and * are IEEE-exact). Degenerate
+    zero variance NULLs all three outputs identically. One scan, one
+    5-number agg; nothing downstream of the agg touches the corpus."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("v")
+    )
+    v15 = F.col("v").cast("decimal(15,0)")
+    s = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _as_d(F.sum(F.col("v").cast("decimal(19,0)"))).alias("s1"),
+        _as_d(F.sum(v15 * F.col("v"))).alias("s2"),
+        _as_d(
+            F.sum((v15 * F.col("v")).cast("decimal(23,0)") * F.col("v"))
+        ).alias("s3"),
+        _as_d(
+            F.sum(
+                ((v15 * F.col("v")).cast("decimal(23,0)") * F.col("v"))
+                .cast("decimal(31,0)")
+                * F.col("v")
+            )
+        ).alias("s4"),
+    )
+    n_d = F.col("n").cast("double")
+    mu = F.col("s1") / n_d
+    m2 = F.col("s2") / n_d - mu * mu
+    m3 = (
+        F.col("s3") / n_d
+        - 3 * mu * (F.col("s2") / n_d)
+        + 2 * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4") / n_d
+        - 4 * mu * (F.col("s3") / n_d)
+        + 6 * mu * mu * (F.col("s2") / n_d)
+        - 3 * mu * mu * mu * mu
+    )
+    sk = m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2))
+    ku = m4 / (m2 * m2)
+    return s.select(
+        "n",
+        F.when(m2 > 0, sk).alias("skewness"),
+        F.when(m2 > 0, ku).alias("kurtosis"),
+        F.when(
+            m2 > 0,
+            n_d * (sk * sk / 6 + (ku - 3) * (ku - 3) / 24),
+        ).alias("jb_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fin_capture_ratios — up/down-market capture per segment
+
+
+@register(
+    "fin_capture_ratios",
+    tags=("finance", "window", "stats"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        mkt AS (
+            SELECT d, CAST(SUM(x) AS DECIMAL(18,2)) AS xm
+            FROM daily GROUP BY d
+        ),
+        rs AS (
+            SELECT segment, d,
+                   CAST(FLOOR((CAST(CAST(x AS VARCHAR) AS DOUBLE)
+                               / CAST(CAST(xp AS VARCHAR) AS DOUBLE)
+                               - CAST(1 AS DOUBLE)) * CAST(1e9 AS DOUBLE))
+                        AS BIGINT) AS r
+            FROM (SELECT segment, d, x,
+                         LAG(x) OVER (PARTITION BY segment ORDER BY d) AS xp
+                  FROM daily)
+            WHERE xp IS NOT NULL
+        ),
+        rm AS (
+            SELECT d,
+                   CAST(FLOOR((CAST(CAST(xm AS VARCHAR) AS DOUBLE)
+                               / CAST(CAST(xmp AS VARCHAR) AS DOUBLE)
+                               - CAST(1 AS DOUBLE)) * CAST(1e9 AS DOUBLE))
+                        AS BIGINT) AS m
+            FROM (SELECT d, xm, LAG(xm) OVER (ORDER BY d) AS xmp FROM mkt)
+            WHERE xmp IS NOT NULL
+        ),
+        j AS (SELECT rs.segment, rs.r, rm.m FROM rs JOIN rm ON rm.d = rs.d),
+        s AS (
+            SELECT segment,
+                   CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_up,
+                   CAST(SUM(CASE WHEN m < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_down,
+                   CAST(SUM(CASE WHEN m > 0 THEN r ELSE 0 END) AS BIGINT)
+                       AS sr_up,
+                   CAST(SUM(CASE WHEN m > 0 THEN m ELSE 0 END) AS BIGINT)
+                       AS sm_up,
+                   CAST(SUM(CASE WHEN m < 0 THEN r ELSE 0 END) AS BIGINT)
+                       AS sr_down,
+                   CAST(SUM(CASE WHEN m < 0 THEN m ELSE 0 END) AS BIGINT)
+                       AS sm_down
+            FROM j GROUP BY segment
+        )
+        SELECT segment, n_up, n_down,
+               CASE WHEN sm_up <> 0 THEN
+                 CAST(sr_up AS DOUBLE) / CAST(sm_up AS DOUBLE)
+               END AS upside_capture,
+               CASE WHEN sm_down <> 0 THEN
+                 CAST(sr_down AS DOUBLE) / CAST(sm_down AS DOUBLE)
+               END AS downside_capture
+        FROM s ORDER BY segment
+    """,
+)
+def fin_capture_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morningstar-style up/down-market capture ratios per segment:
+    on days the whole-market revenue return is positive (negative),
+    the segment's mean return divided by the market's mean return over
+    those same days — the asymmetry readout behind 'defensive vs
+    aggressive' fund labels, complementing fin_capm_beta's symmetric
+    slope. Because both means share the SAME day count, the ratio of
+    means collapses EXACTLY to a ratio of integer q9 return sums
+    (n_up cancels), so each capture number is one guarded double
+    division over exact BIGINTs — no float accumulates anywhere. Zero
+    market movement in a regime NULLs that side identically (exact
+    integer <> 0 guard). Corpus work is the shared broadcast-join
+    daily agg; the conditional sums ride the calendar-bounded joined
+    return relation."""
+    daily = _seg_daily(spark, sf_dir).persist()
+    mkt = daily.groupBy("d").agg(
+        F.sum("x").cast("decimal(18,2)").alias("xm")
+    )
+    ws = Window.partitionBy("segment").orderBy("d")
+    rs = (
+        daily.withColumn("xp", F.lag("x").over(ws))
+        .filter(F.col("xp").isNotNull())
+        .select(
+            "segment",
+            "d",
+            F.floor(
+                (_as_d(F.col("x")) / _as_d(F.col("xp")) - F.lit(1.0))
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    wm = Window.orderBy("d")
+    rm = (
+        mkt.withColumn("xmp", F.lag("xm").over(wm))
+        .filter(F.col("xmp").isNotNull())
+        .select(
+            "d",
+            F.floor(
+                (_as_d(F.col("xm")) / _as_d(F.col("xmp")) - F.lit(1.0))
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("m"),
+        )
+    )
+    up = F.col("m") > 0
+    down = F.col("m") < 0
+    s = (
+        rs.join(F.broadcast(rm), "d")
+        .groupBy("segment")
+        .agg(
+            F.sum(F.when(up, 1).otherwise(0)).cast("bigint").alias("n_up"),
+            F.sum(F.when(down, 1).otherwise(0)).cast("bigint").alias("n_down"),
+            F.sum(F.when(up, F.col("r")).otherwise(0))
+            .cast("bigint")
+            .alias("sr_up"),
+            F.sum(F.when(up, F.col("m")).otherwise(0))
+            .cast("bigint")
+            .alias("sm_up"),
+            F.sum(F.when(down, F.col("r")).otherwise(0))
+            .cast("bigint")
+            .alias("sr_down"),
+            F.sum(F.when(down, F.col("m")).otherwise(0))
+            .cast("bigint")
+            .alias("sm_down"),
+        )
+    )
+    return s.select(
+        "segment",
+        "n_up",
+        "n_down",
+        F.when(
+            F.col("sm_up") != 0,
+            F.col("sr_up").cast("double") / F.col("sm_up").cast("double"),
+        ).alias("upside_capture"),
+        F.when(
+            F.col("sm_down") != 0,
+            F.col("sr_down").cast("double") / F.col("sm_down").cast("double"),
+        ).alias("downside_capture"),
+    ).orderBy("segment")

@@ -437,3 +437,54 @@ def test_cuzick_matches_numpy(spark):
     assert row["n"] == n
     assert row["t_stat"] == pytest.approx(t, rel=1e-12)
     assert row["z_trend"] == pytest.approx((t - et) / np.sqrt(var), rel=1e-9)
+
+
+def test_jarque_bera_matches_numpy(spark):
+    row = plans.get("stat_jarque_bera").build(spark, SF).collect()[0]
+    rows = _fetch(
+        "SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    )
+    v = np.array([float(r[0]) for r in rows])
+    n = len(v)
+    d = v - v.mean()
+    m2 = (d**2).mean()
+    sk = (d**3).mean() / m2**1.5
+    ku = (d**4).mean() / m2**2
+    jb = n * (sk**2 / 6 + (ku - 3) ** 2 / 24)
+    assert row["n"] == n
+    assert row["skewness"] == pytest.approx(sk, rel=1e-7)
+    assert row["kurtosis"] == pytest.approx(ku, rel=1e-7)
+    assert row["jb_stat"] == pytest.approx(jb, rel=1e-6)
+
+
+def test_capture_ratios_match_numpy(spark):
+    got = {
+        r["segment"]: r
+        for r in plans.get("fin_capture_ratios").build(spark, SF).collect()
+    }
+    daily = _seg_daily_py()
+    mkt = {}
+    for _, d, x in daily:
+        mkt[d] = mkt.get(d, 0.0) + float(x)
+    md = sorted(mkt)
+    mret = {md[i]: mkt[md[i]] / mkt[md[i - 1]] - 1.0 for i in range(1, len(md))}
+    for seg in sorted({s for s, _, _ in daily}):
+        rows = sorted((d, float(x)) for s, d, x in daily if s == seg)
+        sret = {
+            rows[i][0]: rows[i][1] / rows[i - 1][1] - 1.0
+            for i in range(1, len(rows))
+        }
+        common = [d for d in sret if d in mret]
+        up = [d for d in common if mret[d] > 0]
+        dn = [d for d in common if mret[d] < 0]
+        row = got[seg]
+        assert (row["n_up"], row["n_down"]) == (len(up), len(dn))
+        if sum(mret[d] for d in up) != 0:
+            assert row["upside_capture"] == pytest.approx(
+                sum(sret[d] for d in up) / sum(mret[d] for d in up), rel=2e-6
+            )
+        if sum(mret[d] for d in dn) != 0:
+            assert row["downside_capture"] == pytest.approx(
+                sum(sret[d] for d in dn) / sum(mret[d] for d in dn), rel=2e-6
+            )
