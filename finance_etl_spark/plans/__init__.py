@@ -69,28 +69,31 @@ for _mod in (
         if e.name != f"finance_etl_spark.plans.{_mod}":
             raise
 
-# ROUND-11 WINDOW (cumulative driver-sampled after r10: 420/554, zero
-# driver fails ever; 134 never sampled). The r10 verdict's top
-# directive is to close the evidence gap largest-families-first, so
-# this window is the ENTIRE stat tail (26) + the ENTIRE fin tail (22)
-# + 2 ts = exactly 50 slots, clearing the two biggest never-sampled
-# families in one round. Round 12 should front: remaining ts (8:
-# ts_peak... see list below minus the 2 fronted), text (12), sink (7),
-# graph (9), ml (8), agg portable sketches + AMS + decayed (6) = 50.
-# Round 13 closes the rest: cur (5), scalar (3), dq (3), vec (3),
-# window (3), obs (2), subquery (2), set (2), join (2), geo (2),
-# q14/q16, sql_distinct_on, mm_video_scene_cut, udf_window_grouped_agg,
-# ingest_type_inference_audit, stream_live_cusum_alarm (34) plus 16 of
-# the 48 round-11 additions (stat dixon/mood/cochran_q/bowker/ansari/
-# page/ad2s/bm/jt, fin convexity/twr/rachev/parity/dd-duration,
-# ts calendar/wape/df/seasonal-strength/intervention, ml score-ks/
-# somers/hl/mcc-multi/ips/fbeta, graph ecc/path-hist, text heaps/
-# entropy, vec cos-hist, window wma7, dq gap-audit, sql values,
-# conover/siegel-tukey/sign/quade, ccf, pain/treynor/active-share,
-# knn(k), jsd, tukey-fences, bartlett, cuzick, jarque-bera,
-# capture-ratios) = 50; round 14 takes the remaining 32.
+# ROUND-12 WINDOW (cumulative driver-sampled after r11: 470/602, zero
+# driver fails ever; 132 never sampled). Executes the schedule the
+# round-11 window wrote: remaining pre-round-11 ts tail (8), the
+# entire text tail (12), all sinks (7), the pre-round-11 graph
+# tail (9), the pre-round-11 ml tail (8), and the portable-sketch agg
+# family (6) = exactly 50 slots. Round 13 closes the older remainder:
+# cur (5), scalar (3), dq tukey+3 older (4), vec (4), window (4),
+# obs (2), subquery (2), set (2), join (2), geo (2), sql (2), q14/q16,
+# mm_video_scene_cut, udf_window_grouped_agg,
+# ingest_type_inference_audit, stream_live_cusum_alarm (38) plus 12 of
+# the round-11 additions (stat dixon/mood/cochran_q/bowker/ansari/
+# page/ad2s/bm/jt, fin convexity/twr/rachev) = 50; round 14 takes the
+# remaining 32 round-11 additions (fin parity/dd-duration/pain/
+# treynor/active-share/capture, ts calendar/wape/df/seasonal-strength/
+# intervention/ccf, ml score-ks/somers/hl/mcc-multi/ips/fbeta,
+# graph ecc/path-hist/avg-neighbor, text heaps/entropy/jsd,
+# vec cos-hist, window wma7, dq gap-audit, sql values, stat conover/
+# siegel-tukey/sign/quade/bartlett/cuzick/jarque-bera) plus any
+# round-12 additions.
 #
 # --- earlier-window history (kept for the audit trail) ---
+# ROUND-11 WINDOW (cumulative driver-sampled after r10: 420/554; 134
+# never sampled): the ENTIRE stat tail (26) + the ENTIRE fin tail (22)
+# + 2 ts (peak_detection, hurst_rs) = 50. Result: CORRECTNESS_r11 =
+# 50/50 hash-pass.
 # ROUND-8 WINDOW (cumulative driver-sampled after r7: 271/416):
 # (a) the 4 queries re-presented after the round-7 DECIMAL-output
 # driver-canon diagnosis (money now VARCHAR-routed DOUBLE on both
@@ -102,61 +105,35 @@ for _mod in (
 # exactly 50 slots. Round 9 should front: vec rows-only tail (5),
 # sql (7), stat (7), ts (6), stream (7), graph/sink/window leftovers.
 front_queries(
-    # ROUND-10 WINDOW (cumulative driver-sampled after r9: 370/513;
-    # 143 never sampled — all from the round-9 wave that landed after
-    # the r9 window froze): the full unsampled ml tail (39 — includes
-    # ml_ab_sequential_sprt, reshaped this round through operators/
-    # ranks.py, so the de-serialization gets driver-confirmed in the
-    # same window, and ml_bagging_oob, promoted to headline) plus the
-    # first 11 of the ts tail — exactly 50 slots. Round 11 should
-    # front: the remaining ts (7: ts_peak_detection, ts_hurst_rs,
-    # ts_forecast_backtest_mase, ts_attribution_last_touch,
-    # ts_lttb_unrolled, ts_kpss_level, ts_cusum_tabular), stat (14),
-    # fin (12), text (10), sink (7) = 50. Round 12 closes the rest:
-    # graph (6), cur (5), agg portable
-    # sketches (5), scalar (3), dq (3), vec (3), window (3), obs (2),
-    # subquery (2), set (2), join (2), q14/q16, geo_grid_knn_join,
-    # mm_video_scene_cut, udf_window_grouped_agg, ingest_type_
-    # inference_audit, stream_live_cusum_alarm — plus the 41 round-10
-    # additions (stat mcnemar/cochran_armitage/grubbs/durbin_watson/
-    # breusch_pagan/hodges_lehmann, fin capm_beta/daycount/kelly/
-    # amihud/calmar, graph_katz_centrality, ts_rolling_slope,
-    # agg_ams_f2_portable, sql_distinct_on, text_charclass_profile,
-    # ml_elastic_net_cd/vif_collinearity, geo_geohash_encode,
-    # ts_turning_points, text_type_token_ratio, fin_npv_rate_grid,
-    # fin_ulcer_index, fin_tracking_error, stat_wilcoxon_signed_rank,
-    # stat_friedman_test, graph_harmonic_closeness,
-    # stat_cvm_two_sample, fin_omega_ratio, ml_delong_auc_se,
-    # ml_brier_decomposition, stat_power_two_prop,
-    # ml_quantile_regression_grid, ts_attribution_markov_removal,
-    # graph_rich_club, stat_tost_equivalence,
-    # fin_var_exception_backtest, ml_nelson_aalen,
-    # stat_hartley_fmax, ml_youden_j, ml_precision_at_recall),
-    # which overflow into a round-13 window of ~41.
+    # ROUND-12 WINDOW — see the schedule comment above. 50 slots:
+    # ts 8 + text 12 + sink 7 + graph 9 + ml 8 + agg 6. Every name
+    # here was judge-verified green in the round-11 session (J11) and
+    # rehearsed through tools/check.py before this window froze.
     [
-        "stat_anova_oneway", "stat_jackknife_ratio_se",
-        "stat_qq_deciles", "stat_levene_brown_forsythe",
-        "stat_kendall_tau", "stat_kruskal_wallis", "stat_chi2_gof",
-        "stat_bh_fdr", "stat_partial_corr", "stat_effect_sizes",
-        "stat_diff_in_diff", "stat_ratio_delta_method",
-        "stat_wilson_ci", "stat_ttest_paired", "stat_mcnemar",
-        "stat_cochran_armitage", "stat_grubbs_outlier",
-        "stat_durbin_watson", "stat_breusch_pagan",
-        "stat_hodges_lehmann", "stat_wilcoxon_signed_rank",
-        "stat_friedman_test", "stat_cvm_two_sample",
-        "stat_power_two_prop", "stat_tost_equivalence",
-        "stat_hartley_fmax",
-        "fin_black_scholes_grid", "fin_sharpe_sortino",
-        "fin_bond_duration_grid", "fin_ecl_staging",
-        "fin_woe_iv_binning", "fin_velocity_flags",
-        "fin_vwap_benchmark", "fin_stress_delta_gamma",
-        "fin_netting_sets", "fin_revenue_recognition",
-        "fin_zero_curve_bootstrap", "fin_max_drawdown",
-        "fin_capm_beta", "fin_daycount_conventions",
-        "fin_kelly_fraction", "fin_amihud_illiquidity",
-        "fin_calmar_ratio", "fin_npv_rate_grid", "fin_ulcer_index",
-        "fin_tracking_error", "fin_omega_ratio",
-        "fin_var_exception_backtest",
-        "ts_peak_detection", "ts_hurst_rs",
+        "ts_forecast_backtest_mase", "ts_attribution_last_touch",
+        "ts_lttb_unrolled", "ts_kpss_level", "ts_cusum_tabular",
+        "ts_rolling_slope", "ts_turning_points",
+        "ts_attribution_markov_removal",
+        "text_tokenizer_fertility", "text_perplexity_filter",
+        "text_ngram_novelty", "text_zipf_fit",
+        "text_minhash_recall_eval", "text_rouge_l_pairs",
+        "text_readability_fk", "text_c4_gopher_filters",
+        "text_kneser_ney_bigram", "text_code_detect",
+        "text_charclass_profile", "text_type_token_ratio",
+        "sink_merge_on_read_deletes", "sink_partition_evolution",
+        "sink_bloom_file_skipping", "sink_multi_table_tx",
+        "sink_copy_on_write_update", "sink_python_datasource_writer",
+        "sink_parquet_codec_roundtrip",
+        "graph_degree_assortativity", "graph_modularity_score",
+        "graph_clustering_coeff", "graph_adamic_adar", "graph_hits",
+        "graph_reciprocity", "graph_katz_centrality",
+        "graph_harmonic_closeness", "graph_rich_club",
+        "ml_elastic_net_cd", "ml_vif_collinearity",
+        "ml_delong_auc_se", "ml_brier_decomposition",
+        "ml_quantile_regression_grid", "ml_nelson_aalen",
+        "ml_youden_j", "ml_precision_at_recall",
+        "agg_cms_portable", "agg_kmv_portable", "agg_hll_portable",
+        "agg_bloom_portable", "agg_decayed_counters",
+        "agg_ams_f2_portable",
     ]
 )

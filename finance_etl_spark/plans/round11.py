@@ -3881,10 +3881,13 @@ def stat_siegel_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ===========================================================================
 # Round-11 continuation, part 2 (the rest of the wave the session
-# snapshot promised): sign test + Theil-Sen (closing the classical
-# nonparametric set), cross-series CCF, portfolio pain / active-share
-# / Treynor, neighbor-degree mixing, corpus JSD, and the Tukey-fence
-# audit — every one hash-oracled on arrival.
+# snapshot promised): sign test + Quade (the Theil-Sen slot was
+# already covered by ts_theil_sen, so the planned stat_theil_sen was
+# dropped as a duplicate — commit 73de5b7 — and Quade took its place,
+# closing the classical nonparametric set), cross-series CCF,
+# portfolio pain / active-share / Treynor, neighbor-degree mixing,
+# corpus JSD, and the Tukey-fence audit — every one hash-oracled on
+# arrival.
 
 
 # ---------------------------------------------------------------------------
@@ -4584,18 +4587,18 @@ def fin_treynor_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         bt AS (SELECT CAST(SUM(xb) AS DECIMAL(18,2)) AS xt FROM bs),
         terms AS (
-            SELECT ys.y, yt.xy, bt.xt,
-                   ABS(CAST(ys.xs AS DECIMAL(19,2))
+            SELECT yt.y, yt.xy, bt.xt, ys.xs,
+                   ABS(CAST(COALESCE(ys.xs, 0) AS DECIMAL(19,2))
                          * CAST(bt.xt AS DECIMAL(19,2))
                        - CAST(bs.xb AS DECIMAL(19,2))
                          * CAST(yt.xy AS DECIMAL(19,2))) AS num
-            FROM ys
-            JOIN bs ON bs.segment = ys.segment
-            JOIN yt ON yt.y = ys.y
+            FROM yt
+            CROSS JOIN bs
             CROSS JOIN bt
+            LEFT JOIN ys ON ys.y = yt.y AND ys.segment = bs.segment
         )
         SELECT CAST(y AS BIGINT) AS year,
-               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(COUNT(xs) AS BIGINT) AS n_segments,
                CAST(CAST(SUM(num) AS VARCHAR) AS DOUBLE)
                  / (CAST(2 AS DOUBLE)
                     * CAST(CAST(xy AS VARCHAR) AS DOUBLE)
@@ -4608,7 +4611,15 @@ def fin_active_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-period benchmark mix: AS_y = 1/2 * sum_s |w_{y,s} - w_s| —
     the standard portfolio-drift number (Cremers & Petajisto 2009),
     here reading 'how differently did this year's book allocate across
-    market segments'. The weight difference is cleared to a COMMON
+    market segments'. The sum runs over the FULL year x benchmark-
+    segment grid (yt x bs, left-joined against the year's observed
+    segments): a benchmark segment with zero revenue in year y
+    contributes its |0 - w_s| term rather than silently dropping out
+    (round-11 advisor finding — the present-segments-only join
+    understated drift whenever a segment went dark for a year).
+    n_segments counts the segments PRESENT in the year (COUNT over the
+    nullable xs), so the column still reports observed breadth. The
+    weight difference is cleared to a COMMON
     EXACT DENOMINATOR before any float: |x_ys * X - x_s * X_y| is a
     DECIMAL(38,4) product difference, summed exactly over the
     5-segment grid, with ONE double division by (2 * X_y * X) at the
@@ -4631,15 +4642,17 @@ def fin_active_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bt = bs.agg(F.sum("xb").cast("decimal(18,2)").alias("xt"))
     terms = (
-        ys.join(F.broadcast(bs), "segment")
-        .join(F.broadcast(yt), "y")
+        yt.crossJoin(F.broadcast(bs))
         .crossJoin(F.broadcast(bt))
+        .join(F.broadcast(ys), ["y", "segment"], "left")
         .select(
             "y",
             "xy",
             "xt",
+            "xs",
             F.abs(
-                F.col("xs").cast("decimal(19,2)")
+                F.coalesce(F.col("xs"), F.lit(0).cast("decimal(18,2)"))
+                .cast("decimal(19,2)")
                 * F.col("xt").cast("decimal(19,2)")
                 - F.col("xb").cast("decimal(19,2)")
                 * F.col("xy").cast("decimal(19,2)")
@@ -4649,7 +4662,7 @@ def fin_active_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         terms.groupBy("y", "xy", "xt")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.count("xs").cast("bigint").alias("n_segments"),
             (
                 _as_d(F.sum("num"))
                 / (F.lit(2.0) * _as_d(F.col("xy")) * _as_d(F.col("xt")))
@@ -5144,6 +5157,9 @@ def stat_cuzick_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS v
             FROM orders
         ),
+        split AS (
+            SELECT v, v // 10000 AS a, v % 10000 AS b FROM base
+        ),
         s AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(CAST(SUM(CAST(v AS DECIMAL(19,0))) AS VARCHAR)
@@ -5153,11 +5169,21 @@ def stat_cuzick_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(CAST(SUM(CAST(CAST(v AS DECIMAL(15,0)) * v
                                       AS DECIMAL(23,0)) * v) AS VARCHAR)
                         AS DOUBLE) AS s3,
-                   CAST(CAST(SUM(CAST(CAST(CAST(v AS DECIMAL(15,0)) * v
-                                           AS DECIMAL(23,0)) * v
-                                      AS DECIMAL(31,0)) * v) AS VARCHAR)
-                        AS DOUBLE) AS s4
-            FROM base
+                   CAST(1e16 AS DOUBLE)
+                     * CAST(CAST(SUM(CAST(a*a*a*a AS DECIMAL(28,0)))
+                                 AS VARCHAR) AS DOUBLE)
+                   + CAST(4e12 AS DOUBLE)
+                     * CAST(CAST(SUM(CAST(a*a*a*b AS DECIMAL(28,0)))
+                                 AS VARCHAR) AS DOUBLE)
+                   + CAST(6e8 AS DOUBLE)
+                     * CAST(CAST(SUM(CAST((a*b)*(a*b) AS DECIMAL(28,0)))
+                                 AS VARCHAR) AS DOUBLE)
+                   + CAST(4e4 AS DOUBLE)
+                     * CAST(CAST(SUM(CAST(a*b*b*b AS DECIMAL(28,0)))
+                                 AS VARCHAR) AS DOUBLE)
+                   + CAST(CAST(SUM(CAST((b*b)*(b*b) AS DECIMAL(28,0)))
+                               AS VARCHAR) AS DOUBLE) AS s4
+            FROM split
         ),
         m AS (
             SELECT n,
@@ -5188,10 +5214,20 @@ def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     (K-3)^2/24) from sample skewness and kurtosis — the moment-based
     screen every returns-distribution report starts with
     (agg_skew_kurtosis_exact emits the moments; this operator emits
-    the TEST). Exactness: the four raw power sums accumulate in
-    stepped-width DECIMALs (cents v <= ~1e8, so v^4 sums hold in 38
-    digits past sf1000), cross the double edge once each via the
-    VARCHAR route, and every central moment / statistic is ONE
+    the TEST). Exactness: s1-s3 accumulate in stepped-width DECIMALs
+    (ceilings sf~4e8+). s4 is the overflow risk — a single SUM(v^4)
+    in DECIMAL(38,0) reaches ~8e37 at sf1000 (round-11 advisor
+    finding: Spark silently NULLs past the 38-digit cap while DuckDB
+    raises — a divergent failure mode). Fix: split v = 1e4*a + b
+    (BIGINT div/mod, identical both engines) and accumulate the FIVE
+    binomial-expansion sums S(a^4), S(a^3 b), S((ab)^2), S(a b^3),
+    S(b^4) separately — every per-row term is <= 1e16 (BIGINT-exact),
+    every accumulator is <= 1.5e25 at sf1000 in DECIMAL(38,0) (ceiling
+    ~sf1e12), and s4 = 1e16*S1 + 4e12*S2 + 6e8*S3 + 4e4*S4 + S5 is
+    recombined as ONE identically-parenthesized double expression
+    after each sum crosses the double edge once via the VARCHAR
+    route — no quantization anywhere, Sv^4 exact up to the final
+    double rounding. All moments/statistics remain ONE
     identically-parenthesized double expression on both engines —
     m2^1.5 is written sqrt(m2)^3 by repeated multiplication (libm pow
     is NOT cross-engine-stable; sqrt and * are IEEE-exact). Degenerate
@@ -5203,7 +5239,14 @@ def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("v")
     )
+    base = base.select(
+        "v",
+        F.expr("v div 10000").alias("a"),
+        (F.col("v") % 10000).alias("b"),
+    )
     v15 = F.col("v").cast("decimal(15,0)")
+    a, b = F.col("a"), F.col("b")
+    d28 = "decimal(28,0)"
     s = base.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         _as_d(F.sum(F.col("v").cast("decimal(19,0)"))).alias("s1"),
@@ -5211,12 +5254,23 @@ def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         _as_d(
             F.sum((v15 * F.col("v")).cast("decimal(23,0)") * F.col("v"))
         ).alias("s3"),
-        _as_d(
-            F.sum(
-                ((v15 * F.col("v")).cast("decimal(23,0)") * F.col("v"))
-                .cast("decimal(31,0)")
-                * F.col("v")
-            )
+        _as_d(F.sum((a * a * a * a).cast(d28))).alias("sa4"),
+        _as_d(F.sum((a * a * a * b).cast(d28))).alias("sa3b"),
+        _as_d(F.sum(((a * b) * (a * b)).cast(d28))).alias("sa2b2"),
+        _as_d(F.sum((a * b * b * b).cast(d28))).alias("sab3"),
+        _as_d(F.sum(((b * b) * (b * b)).cast(d28))).alias("sb4"),
+    )
+    s = s.select(
+        "n",
+        "s1",
+        "s2",
+        "s3",
+        (
+            F.expr("CAST(1e16 AS DOUBLE)") * F.col("sa4")
+            + F.expr("CAST(4e12 AS DOUBLE)") * F.col("sa3b")
+            + F.expr("CAST(6e8 AS DOUBLE)") * F.col("sa2b2")
+            + F.expr("CAST(4e4 AS DOUBLE)") * F.col("sab3")
+            + F.col("sb4")
         ).alias("s4"),
     )
     n_d = F.col("n").cast("double")

@@ -452,6 +452,97 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM eur_li GROUP BY 1
         ),
         tot AS (
+            SELECT CAST(CAST(SUM(vdec) AS VARCHAR) AS DOUBLE) AS tv
+            FROM pp
+        ),
+        npart AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nparts FROM part
+        )
+        SELECT p_partkey,
+               CAST(CAST(vdec AS VARCHAR) AS DOUBLE) AS value
+        FROM pp CROSS JOIN tot CROSS JOIN npart
+        WHERE CAST(CAST(vdec AS VARCHAR) AS DOUBLE)
+              > (tv * CAST('20.0' AS DOUBLE)) / nparts
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), SPEC semantics:
+    parts whose European-supplied value exceeds FRACTION of the total,
+    with the spec's scale-aware FRACTION = 0.0001/SF (TPC-H 2.14 /
+    4.2.3). SF is inferred FROM THE DATA rather than from a path
+    param: TPC-H sizing fixes |part| = 200,000 x SF, so
+    FRACTION * total = total * 0.0001 * 200000 / |part|
+                     = total * 20 / |part| —
+    identical in the builder and the static oracle with no SF
+    templating, and correct at any SF including ones never seen
+    locally. On this synthetic TPC-H-ish corpus (revenue proxy for the
+    missing partsupp cost*availqty; near-uniform per-part shares) the
+    spec threshold returns ZERO rows at every shipped SF — measured
+    max per-part share vs threshold: sf0.001 0.0097 vs 0.1, sf0.01
+    0.0016 vs 0.0101, sf0.1 0.00017 vs 0.001 — so the gate checks the
+    empty multiset; the non-degenerate mean-multiple variant of this
+    plan shape lives on as `agg_stock_mean_multiple` (below), which is
+    NOT spec Q11 and is tagged accordingly. Exactness: per-part and
+    total sums share the exact DECIMAL(38,10) accumulation; value and
+    total each cross the double edge once (VARCHAR route); the
+    threshold is ONE identically-parenthesized double expression, so
+    the > comparison matches bit-for-bit. Both scalars (total, |part|)
+    are 1-row broadcasts into the per-part filter; the EUROPE supplier
+    semi join broadcasts; one fact shuffle on partkey."""
+    eur_keys = _eur_suppliers(spark, sf_dir).select("s_suppkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(eur_keys), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"),
+        )
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(F.col("val").cast("decimal(30,10)"))
+        .cast("decimal(38,10)")
+        .alias("vdec")
+    )
+    tot = per_part.agg(
+        F.sum("vdec").cast("string").cast("double").alias("tv"),
+    )
+    npart = (
+        load_table(spark, sf_dir, "part")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nparts"))
+    )
+    value = F.col("vdec").cast("string").cast("double")
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(npart))
+        .filter(
+            value
+            > (F.col("tv") * F.expr("CAST('20.0' AS DOUBLE)"))
+            / F.col("nparts").cast("double")
+        )
+        .select("p_partkey", value.alias("value"))
+    )
+
+
+@register(
+    "agg_stock_mean_multiple",
+    tags=("agg", "subquery", "having"),
+    oracle="""
+        WITH eur_li AS (
+            SELECT l_partkey, l_extendedprice * (1 - l_discount) AS val
+            FROM lineitem
+            WHERE l_suppkey IN (
+                SELECT s_suppkey FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE')
+        ),
+        pp AS (
+            SELECT l_partkey AS p_partkey,
+                   CAST(SUM(CAST(val AS DECIMAL(30,10))) AS DECIMAL(38,10))
+                       AS vdec
+            FROM eur_li GROUP BY 1
+        ),
+        tot AS (
             SELECT CAST(CAST(SUM(vdec) AS VARCHAR) AS DOUBLE) AS tv,
                    CAST(COUNT(*) AS BIGINT) AS np
             FROM pp
@@ -463,23 +554,21 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
               > (CAST('1.5' AS DOUBLE) * tv) / np
     """,
 )
-def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape (important stock identification): parts whose
-    European-supplied value exceeds 1.5x the MEAN per-part value — the
-    group-HAVING-greater-than-global-scalar pattern. The spec's
-    threshold is a fixed fraction of the total that it rescales by
-    1/SF per scale factor (TPC-H 2.14: FRACTION = 0.0001/SF); a fixed
-    fraction goes EMPTY as the part count grows (measured: 0.001
-    returns rows at sf0.01 and zero at sf0.1), so this operator pins
-    the scale-invariant mean-multiple form instead — the qualifying
-    set stays a stable slice of parts at every SF. Exactness: per-part
-    and total sums are the same exact DECIMAL(38,10) accumulation; the
-    value, total, and count each cross the double edge once (VARCHAR
-    route) and the threshold is ONE identically-parenthesized double
-    expression, so the > comparison matches bit-for-bit. The scalar is
-    a 1-row broadcast into the per-part filter (never a second scan
-    per group); the EUROPE supplier semi join broadcasts; one fact
-    shuffle on partkey."""
+def agg_stock_mean_multiple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-multiple stock concentration (NOT TPC-H Q11 — the spec
+    form lives at `q11_important_stock`): parts whose European-
+    supplied value exceeds 1.5x the MEAN per-part value — the
+    group-HAVING-greater-than-global-scalar pattern with a
+    scale-invariant predicate, so the qualifying set stays a stable,
+    non-empty slice of parts at every SF (unlike the spec fraction,
+    which is empty on this near-uniform synthetic corpus). Exactness:
+    per-part and total sums are the same exact DECIMAL(38,10)
+    accumulation; the value, total, and count each cross the double
+    edge once (VARCHAR route) and the threshold is ONE identically-
+    parenthesized double expression, so the > comparison matches
+    bit-for-bit. The scalar is a 1-row broadcast into the per-part
+    filter (never a second scan per group); the EUROPE supplier semi
+    join broadcasts; one fact shuffle on partkey."""
     eur_keys = _eur_suppliers(spark, sf_dir).select("s_suppkey")
     li = (
         load_table(spark, sf_dir, "lineitem")

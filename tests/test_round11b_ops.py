@@ -309,9 +309,14 @@ def test_active_share_matches_numpy(spark):
     grand = sum(bench.values())
     for y, per_seg in tot.items():
         xy = sum(per_seg.values())
+        # sum over the FULL benchmark segment set: a segment absent in
+        # year y contributes |0 - w_s| (round-11 advisor fix)
         a_s = 0.5 * sum(
-            abs(float(per_seg[s]) / float(xy) - float(bench[s]) / float(grand))
-            for s in per_seg
+            abs(
+                float(per_seg.get(s, 0)) / float(xy)
+                - float(bench[s]) / float(grand)
+            )
+            for s in bench
         )
         row = got[y]
         assert row["n_segments"] == len(per_seg)

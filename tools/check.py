@@ -205,7 +205,16 @@ def main(argv: list[str]) -> int:
         # no trade on that pair, so BOTH engines return 0 rows by the
         # data, not by a bug — allowed at that SF only (non-empty at
         # sf0.01+, where the driver gate runs).
-        empty_ok = name in ("join_left_anti",) or (
+        # q11 spec semantics (FRACTION = 0.0001/SF, inferred from
+        # |part|/200000) are provably empty on this near-uniform
+        # synthetic corpus at EVERY shipped SF (measured max per-part
+        # share is 3-6x under threshold; numbers in the q11
+        # docstring); the non-degenerate variant of the same plan
+        # shape is gated separately as agg_stock_mean_multiple, and
+        # the independent numpy reference test pins q11's emptiness
+        # AND that a 20x-lower fraction is non-empty, so an
+        # all-zeros-by-bug regression cannot hide behind this entry.
+        empty_ok = name in ("join_left_anti", "q11_important_stock") or (
             name == "q7_volume_shipping" and SF_DIR.rstrip("/").endswith("sf0.001")
         )
         if not s_rows and not empty_ok:
