@@ -59,9 +59,10 @@ for _mod in (
     "streaming_queries",
     # round-6 additions land at the end (rotate into later windows)
     "ml",
-    # round-11 wave registers last: never-sampled older queries keep
-    # their window priority (see front_queries below)
+    # round-11/12 waves register last: never-sampled older queries
+    # keep their window priority (see front_queries below)
     "round11",
+    "round12",
 ):
     try:
         importlib.import_module(f"finance_etl_spark.plans.{_mod}")

@@ -361,7 +361,16 @@ def vec_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine. Search cost is |queries| x (corpus / K x N_PROBE) in
     expectation — the list join shuffles on cluster_id, so a 1000-node
     cluster fans the probed lists out instead of scanning the corpus.
-    Rows-only for the driver; recall vs vec_cosine_topk is asserted in
+    Rows-only, with the precise blocker named (round-12 audit): the
+    candidate generation is deterministic given the centroids, but the
+    Lloyd-refined centroids are F.avg(double) over corpus rows — an
+    order-dependent float sum DuckDB cannot reproduce bit-for-bit, and
+    a 1-ulp centroid difference can flip an assignment and change the
+    candidate set. The known cure (floor-quantized means, the
+    vec_kmeans_unrolled2 exact-twin pattern) would promote this, at
+    the cost of perturbing the index every consumer of ivf_index
+    shares — deferred until an index change is scheduled anyway.
+    Recall vs vec_cosine_topk is asserted in
     tests/test_dedup_vectors.py."""
     e = load_table(spark, sf_dir, "embeddings")
     cents, lists = ivf_index(e)
@@ -429,7 +438,85 @@ def _lsh_ranked(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
     )
 
 
-@register("vec_ann_lsh_topk", tags=("vector", "similarity", "lsh"))
+def _plane_list_sql(p: int) -> str:
+    """DuckDB list literal for hyperplane ``p``'s ±1 signs. ±1.0 is
+    exactly representable, so the bare literals are cross-engine-safe
+    (the no-bare-decimal-literal rule targets inexact fractions)."""
+    return "[" + ", ".join(f"{s:.1f}" for s in _PLANES[p]) + "]"
+
+
+def _band_sig_sql(b: int, emb: str = "embedding") -> str:
+    """DuckDB expression for band ``b``'s integer signature — the
+    exact twin of _signature_bands: per-plane sequential-fold
+    projection (list_sum matches Spark's F.aggregate fold order;
+    products x * ±1.0 are IEEE-exact), sign bit, little-endian bit
+    pack."""
+    terms = []
+    for i in range(BITS_PER_BAND):
+        p = b * BITS_PER_BAND + i
+        proj = _DOT.format(a=emb, b=_plane_list_sql(p))
+        terms.append(f"(CASE WHEN {proj} > 0 THEN 1 ELSE 0 END) * {1 << i}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_sql(topk: int) -> str:
+    """DuckDB twin of _lsh_ranked(topk): deterministic hyperplane
+    signatures -> banded buckets -> Hamming-1 multiprobe on the query
+    side -> exact-cosine ranking of the distinct candidates."""
+    sig_cols = ", ".join(
+        f"CAST({_band_sig_sql(b)} AS INT) AS s{b}" for b in range(N_BANDS)
+    )
+    corpus = " UNION ALL ".join(
+        f"SELECT vec_id AS cand_id, {b} AS band_id, s{b} AS band_sig FROM sigs"
+        for b in range(N_BANDS)
+    )
+    masks = ", ".join(f"({1 << i})" for i in range(BITS_PER_BAND))
+    band_pick = (
+        "CASE b.band_id "
+        + " ".join(f"WHEN {b} THEN s{b}" for b in range(N_BANDS))
+        + " END"
+    )
+    return f"""
+        WITH sigs AS (
+            SELECT vec_id, embedding, {sig_cols} FROM embeddings
+        ),
+        corpus AS ({corpus}),
+        qprobes AS (
+            SELECT vec_id AS query_id, b.band_id,
+                   xor({band_pick}, m.m) AS band_sig
+            FROM sigs,
+                 (VALUES (0), (1), (2), (3)) b(band_id),
+                 (VALUES (0), {masks}) m(m)
+            WHERE vec_id < 5
+        ),
+        cands AS (
+            SELECT DISTINCT query_id, cand_id
+            FROM qprobes JOIN corpus USING (band_id, band_sig)
+            WHERE query_id <> cand_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.cand_id AS neighbor_id,
+                   {_cos('qe.embedding', 'ce.embedding')} AS cos_sim
+            FROM cands c
+            JOIN embeddings qe ON qe.vec_id = c.query_id
+            JOIN embeddings ce ON ce.vec_id = c.cand_id
+        ),
+        lsh_ranked AS (
+            SELECT query_id, neighbor_id, cos_sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim
+        FROM lsh_ranked WHERE rank <= {topk}
+    """
+
+
+@register(
+    "vec_ann_lsh_topk",
+    tags=("vector", "similarity", "lsh"),
+    oracle=_lsh_sql(5),
+)
 def vec_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via random-hyperplane LSH with
     Hamming-1 MULTI-PROBE: vectors bucket by (band, signature); each
@@ -438,9 +525,15 @@ def vec_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks the candidates. The corpus index stays one row per band;
     only the bounded query set fans out 1+bits probes. The shuffle key
     is the bucket, so search cost scales with collisions rather than
-    the corpus — the 100-TB path. Rows-only for the driver; recall vs
-    vec_cosine_topk is asserted in tests/test_dedup_vectors.py and
-    measured in tools/ann_eval.py."""
+    the corpus — the 100-TB path. Promoted from rows-only to a full
+    hash oracle in round 12: the hyperplanes are deterministic ±1
+    literals (md5-derived at import, interpolated into the SQL), the
+    projection is a sequential fold both engines execute identically
+    (list_sum twin of F.aggregate — the proven _cos machinery), and
+    the bucket join / multiprobe XOR / ranking are plain SQL, so the
+    candidate set is NOT engine-specific after all. Recall floor
+    additionally pinned in tests/test_dedup_vectors.py; measured
+    values in tools/ann_eval.py."""
     return _lsh_ranked(spark, sf_dir, 5)
 
 
@@ -486,9 +579,15 @@ def kmeans_centroids(e: DataFrame, k: int = N_CLUSTERS, iters: int = 3) -> DataF
 @register("vec_kmeans_clusters", tags=("vector", "clustering", "iterative"))
 def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration k-means cluster summary: size and decimal-exact mean
-    cohesion (cosine to own centroid) per cluster. Rows-only for the
-    driver (iterative refinement is not ANSI-SQL-expressible);
-    determinism and cohesion-improvement are asserted in
+    cohesion (cosine to own centroid) per cluster. Rows-only; the
+    precise blocker is the same one as vec_ann_ivf_topk — each
+    iteration's centroids are order-dependent F.avg(double) sums, and
+    3 chained iterations compound any ulp flip into different
+    assignments. A fixed-round unrolled-CTE twin with floor-quantized
+    means exists and is hash-oracled as vec_kmeans_unrolled2 (2
+    rounds); THIS registration keeps the production float path so the
+    iterative operator's real output stays what users get.
+    Determinism and cohesion-improvement are asserted in
     tests/test_dedup_vectors.py."""
     e = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(e, iters=3)
@@ -577,8 +676,21 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("vec_pca_project", tags=("vectors", "linalg", "iterative"))
 def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA (rows-only: eigensolves aren't ANSI SQL):
-    project every embedding onto its top-8 principal axes.
+    """Distributed PCA: project every embedding onto its top-8
+    principal axes.
+
+    Rows-only, with the precise promotion ledger (round-12 audit):
+    the blocker is NOT the Gram matrix — its 64x65/2 upper-triangle
+    sums could be decimal-routed exactly like any grouped sum — it is
+    the eigensolve: numpy.linalg.eigh is LAPACK (driver-side, no SQL
+    twin), and the alternative fixed-round unrolled power iteration
+    with deflation for 8 components would inline ~8 components x 30
+    rounds x 64-dim matrix-vector products, each a 64^2-term
+    expression: an oracle measured in tens of megabytes of SQL.
+    Impractical rather than impossible, so it stays rows-only with
+    the independent pins below; the deterministic-candidate promotion
+    pattern that DID apply to the LSH family landed on
+    vec_ann_lsh_topk / vec_recall_curve this round.
 
     Scale shape (operators/pca.py): one mapInPandas pass emits
     per-PARTITION (n, sum, Gram) partials; an element-wise Spark
@@ -683,9 +795,14 @@ def vec_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     already sit, and the candidate join shuffles on cluster_id, not on
     vectors. (Near-duplicates that land in different clusters are the
     documented recall trade-off — SemDeDup accepts it; raise K or probe
-    2 nearest clusters to tighten.) Rows-only for the driver (k-means
-    is iterative); planted-duplicate recall, survivor determinism, and
-    repartition-invariance are pinned in tests/test_dedup_vectors.py."""
+    2 nearest clusters to tighten.) Rows-only; blocker = the k-means
+    float-mean centroids (see vec_ann_ivf_topk's ledger — same root
+    cause, same floor-quantized-mean cure available, same reason to
+    defer: the cluster assignment feeds survivor selection, so a
+    quantized twin would alter which duplicates this operator reports,
+    not just internal state). Planted-duplicate recall, survivor
+    determinism, and repartition-invariance are pinned in
+    tests/test_dedup_vectors.py."""
     e = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(e, iters=1)
     assigned = _assign_clusters(e, cents, n_keep=1).join(e, "vec_id")
@@ -743,8 +860,12 @@ def vec_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     search input is the 4-byte-per-vector code table, not the 256-byte
     vectors. Vectors are L2-normalized first so squared-L2 ranking ==
     cosine ranking, making recall comparable to vec_cosine_topk
-    (asserted in tests/test_dedup_vectors.py). Rows-only for the
-    driver (codebook fit is iterative)."""
+    (asserted in tests/test_dedup_vectors.py). Rows-only; blocker =
+    the per-subspace codebooks are k-means float-mean centroids (the
+    vec_ann_ivf_topk root cause) AND the fit runs in numpy inside a
+    Pandas UDF, whose pairwise-summed reductions differ from any SQL
+    fold by ulps — two independent blockers, so this stays rows-only
+    even after a quantized-mean index lands."""
     import numpy as np
     import pandas as pd
 
@@ -1328,9 +1449,13 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the greedy loop is inherently sequential but touches only the
     20-candidate pool, so the expensive part stays distributed and the
     sequential part is O(k·pool) numpy per query. Rows-only for the
-    driver (greedy tie-breaking is ordered-float selection, not
-    ANSI-SQL-expressible); determinism and the diversity property are
-    pytest-asserted (tests/test_finance.py::test_mmr_*)."""
+    driver: the greedy loop runs in numpy (pairwise-summed dot
+    products, ulp-off any SQL fold) — the fixed-k unrolled-CTE twin
+    that IS hash-oracled lives at vec_mmr_unrolled, which re-derives
+    the same greedy selection with fold-exact arithmetic; this
+    registration keeps the applyInPandas production shape.
+    Determinism and the diversity property are pytest-asserted
+    (tests/test_finance.py::test_mmr_*)."""
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1482,7 +1607,51 @@ def vec_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("vec_recall_curve", tags=("vector", "similarity", "eval"))
+@register(
+    "vec_recall_curve",
+    tags=("vector", "similarity", "eval"),
+    oracle=f"""
+        WITH approx_full AS ({_lsh_sql(10)}),
+        exact_scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   {_cos('q.embedding', 'e.embedding')} AS cos_sim
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id < 5
+        ),
+        exact_ranked AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM exact_scored
+        ),
+        ks AS (SELECT UNNEST([1, 5, 10]) AS k),
+        truth AS (
+            SELECT ks.k, query_id, neighbor_id
+            FROM exact_ranked JOIN ks ON exact_ranked.rank <= ks.k
+        ),
+        approx AS (
+            SELECT ks.k AS ka, query_id, neighbor_id
+            FROM approx_full JOIN ks ON approx_full.rank <= ks.k
+        ),
+        hits AS (
+            SELECT t.k, CAST(COUNT(*) AS BIGINT) AS n_hit
+            FROM truth t
+            WHERE EXISTS (
+                SELECT 1 FROM approx a
+                WHERE a.ka = t.k AND a.query_id = t.query_id
+                  AND a.neighbor_id = t.neighbor_id)
+            GROUP BY t.k
+        )
+        SELECT CAST(t.k AS INT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_truth,
+               COALESCE(ANY_VALUE(h.n_hit), 0) AS n_hit,
+               CAST(COALESCE(ANY_VALUE(h.n_hit), 0) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS recall
+        FROM truth t LEFT JOIN hits h ON h.k = t.k
+        GROUP BY t.k
+        ORDER BY k
+    """,
+)
 def vec_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k curve (k = 1, 5, 10) of the LSH-bucketed ANN path
     against the exact brute-force ranking, computed AS A QUERY — the
@@ -1491,10 +1660,13 @@ def vec_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     join machinery, truth ∩ approx per (query, k) is a join on
     (query, neighbor), and the curve is a 3-row aggregate. k fans out
     via a broadcast literal range so all cutoffs share one ranking
-    pass per side. Rows-only for the driver (the LSH candidate set is
-    engine-specific); tests/test_dedup_vectors.py pins the curve's
-    monotone sanity + recall@5 floor and tools/ann_eval.py tracks the
-    measured values."""
+    pass per side. Promoted from rows-only to a full hash oracle in
+    round 12 alongside vec_ann_lsh_topk: the LSH candidate set is
+    deterministic (literal ±1 hyperplanes + sequential-fold
+    projections), so the whole curve — truth, approx, intersection —
+    has an exact DuckDB twin. tests/test_dedup_vectors.py pins the
+    curve's monotone sanity + recall@5 floor and tools/ann_eval.py
+    tracks the measured values."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")

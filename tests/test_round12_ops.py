@@ -4,6 +4,8 @@ an INDEPENDENT formulation (numpy / plain-Python, no shared SQL
 fragments) so a formula bug shared between the Spark build and the
 DuckDB oracle cannot hide."""
 
+import hashlib
+
 import duckdb
 import numpy as np
 import pytest
@@ -19,6 +21,226 @@ def _fetch(sql: str):
         return con.execute(sql).fetchall()
     finally:
         con.close()
+
+
+def _midranks(values: np.ndarray) -> np.ndarray:
+    """Average ranks (1-based) with ties — rankdata('average')."""
+    order = np.argsort(values, kind="mergesort")
+    ranks = np.empty(len(values), dtype=np.float64)
+    sv = values[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    return ranks
+
+
+def _orders_py():
+    return _fetch(
+        "SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderpriority,"
+        " o_orderstatus, CAST(o_orderdate AS DATE)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    )
+
+
+def _seg_month_py():
+    return _fetch(
+        "SELECT c.c_mktsegment, strftime(CAST(o.o_orderdate AS DATE), '%Y-%m'),"
+        " SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))"
+        f" FROM read_parquet('{SF}/orders.parquet') o"
+        f" JOIN read_parquet('{SF}/customer.parquet') c"
+        " ON o.o_custkey = c.c_custkey GROUP BY 1, 2"
+    )
+
+
+def _seg_year_py():
+    return _fetch(
+        "SELECT c.c_mktsegment, EXTRACT(year FROM CAST(o.o_orderdate AS DATE)),"
+        " SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))"
+        f" FROM read_parquet('{SF}/orders.parquet') o"
+        f" JOIN read_parquet('{SF}/customer.parquet') c"
+        " ON o.o_custkey = c.c_custkey GROUP BY 1, 2"
+    )
+
+
+class TestKendallW:
+    def test_matches_numpy(self, spark):
+        row = plans.get("stat_kendall_w").build(spark, SF).collect()[0]
+        data = _seg_month_py()
+        months = sorted({r[1] for r in data})
+        segs = sorted({r[0] for r in data})
+        cell = {(r[0], r[1]): float(r[2]) for r in data}
+        n, m = len(months), len(segs)
+        ranks = {}
+        tie_sum = 0
+        for s in segs:
+            vals = np.array([cell.get((s, mo), 0.0) for mo in months])
+            ranks[s] = _midranks(vals)
+            _, counts = np.unique(vals, return_counts=True)
+            tie_sum += int(np.sum(counts**3 - counts))
+        rj = np.array([sum(ranks[s][j] for s in segs) for j in range(n)])
+        s_stat = float(np.sum((rj - m * (n + 1) / 2) ** 2))
+        denom = m * m * (n**3 - n) - m * tie_sum
+        w = 12 * s_stat / denom
+        assert row["n_months"] == n and row["m_judges"] == m
+        assert row["tie_term"] == tie_sum
+        assert row["s_numer"] == pytest.approx(4 * s_stat)
+        assert row["w"] == pytest.approx(w, rel=1e-12)
+
+
+class TestGKGamma:
+    def test_matches_reference(self, spark):
+        row = plans.get("stat_gk_gamma").build(spark, SF).collect()[0]
+        data = _orders_py()
+        prices = np.array([r[1] for r in data])
+        pmin, pmax = prices.min(), prices.max()
+        cells = {}
+        for _, p, prio, _, _ in data:
+            r = int(prio[0])
+            b = min(4, int(np.floor((p - pmin) / ((pmax - pmin) / 5.0))))
+            cells[(r, b)] = cells.get((r, b), 0) + 1
+        C = D = 0
+        for (r1, b1), n1 in cells.items():
+            for (r2, b2), n2 in cells.items():
+                if r2 > r1 and b2 > b1:
+                    C += n1 * n2
+                elif r2 > r1 and b2 < b1:
+                    D += n1 * n2
+        assert row["c_pairs"] == C and row["d_pairs"] == D
+        assert row["gamma"] == pytest.approx((C - D) / (C + D), rel=1e-14)
+
+
+class TestMantelHaenszel:
+    def test_matches_reference(self, spark):
+        row = plans.get("stat_mantel_haenszel").build(spark, SF).collect()[0]
+        strata = {}
+        for _, _, prio, status, d in _orders_py():
+            y = d.year
+            e = 1 if prio in ("1-URGENT", "2-HIGH") else 0
+            o = 1 if status == "F" else 0
+            a, b, c, dd = strata.get(y, (0, 0, 0, 0))
+            strata[y] = (
+                a + (e and o), b + (e and not o),
+                c + ((not e) and o), dd + ((not e) and (not o)),
+            )
+        s_ad = s_bc = s_e = s_v = 0.0
+        sum_a = 0
+        ns = 0
+        for y in sorted(strata):
+            a, b, c, d = strata[y]
+            n = a + b + c + d
+            if n <= 1:
+                continue
+            ns += 1
+            sum_a += a
+            s_ad += a * d / n
+            s_bc += b * c / n
+            s_e += (a + b) * (a + c) / n
+            s_v += ((a + b) * (c + d)) * ((a + c) * (b + d)) / (
+                n * n * (n - 1)
+            )
+        assert row["n_strata"] == ns and row["sum_a"] == sum_a
+        assert row["or_mh"] == pytest.approx(s_ad / s_bc, rel=1e-9)
+        assert row["cmh_chi2"] == pytest.approx(
+            (sum_a - s_e) ** 2 / s_v, rel=1e-9
+        )
+
+
+class TestUniformEDF:
+    def _edf(self):
+        keys = [r[0] for r in _orders_py()]
+        ks = [
+            (int(hashlib.md5(str(k).encode()).hexdigest()[:6], 16), k)
+            for k in keys
+        ]
+        ks.sort()
+        n = len(ks)
+        dplus = max(
+            (i + 1) / n - k / 16777216.0 for i, (k, _) in enumerate(ks)
+        )
+        dminus = max(
+            k / 16777216.0 - i / n for i, (k, _) in enumerate(ks)
+        )
+        return n, dplus, dminus
+
+    def test_ks_matches_hashlib(self, spark):
+        row = plans.get("stat_ks_uniform").build(spark, SF).collect()[0]
+        n, dp, dm = self._edf()
+        assert row["n"] == n
+        assert row["d_plus"] == pytest.approx(dp, rel=1e-12)
+        assert row["d_minus"] == pytest.approx(dm, rel=1e-12)
+        assert row["d_stat"] == pytest.approx(max(dp, dm), rel=1e-12)
+        # the ladder really is uniform: D within 2x the 1% KS band
+        assert row["d_stat"] < 2 * 1.63 / np.sqrt(n)
+
+    def test_kuiper_matches_hashlib(self, spark):
+        row = plans.get("stat_kuiper_uniform").build(spark, SF).collect()[0]
+        n, dp, dm = self._edf()
+        assert row["n"] == n
+        assert row["v_stat"] == pytest.approx(dp + dm, rel=1e-12)
+
+
+class TestMedianPolish:
+    @staticmethod
+    def _lomed(vals):
+        sv = sorted(vals)
+        return sv[(len(sv) + 1) // 2 - 1]
+
+    def test_matches_pure_python(self, spark):
+        got = {
+            (r["year"], r["segment"]): r
+            for r in plans.get("stat_median_polish").build(spark, SF).collect()
+        }
+        data = _seg_year_py()
+        years = sorted({int(r[1]) for r in data})
+        segs = sorted({r[0] for r in data})
+        v = {
+            (int(r[1]), r[0]): int(round(float(r[2]) * 100)) for r in data
+        }
+        R = {(y, s): v.get((y, s), 0) for y in years for s in segs}
+        ay = {y: 0 for y in years}
+        bs = {s: 0 for s in segs}
+        for _ in range(2):
+            for y in years:
+                m = self._lomed([R[(y, s)] for s in segs])
+                ay[y] += m
+                for s in segs:
+                    R[(y, s)] -= m
+            for s in segs:
+                m = self._lomed([R[(y, s)] for y in years])
+                bs[s] += m
+                for y in years:
+                    R[(y, s)] -= m
+        med_a = self._lomed(list(ay.values()))
+        med_b = self._lomed(list(bs.values()))
+        for y in years:
+            for s in segs:
+                row = got[(y, s)]
+                assert row["residual"] == pytest.approx(
+                    R[(y, s)] / 100.0, abs=1e-9
+                )
+                assert row["row_effect"] == pytest.approx(
+                    (ay[y] - med_a) / 100.0, abs=1e-9
+                )
+                assert row["col_effect"] == pytest.approx(
+                    (bs[s] - med_b) / 100.0, abs=1e-9
+                )
+                assert row["overall"] == pytest.approx(
+                    (med_a + med_b) / 100.0, abs=1e-9
+                )
+        # decomposition identity: v = overall + row + col + residual
+        for y in years:
+            for s in segs:
+                row = got[(y, s)]
+                assert (
+                    row["overall"]
+                    + row["row_effect"]
+                    + row["col_effect"]
+                    + row["residual"]
+                ) == pytest.approx(v.get((y, s), 0) / 100.0, abs=1e-6)
 
 
 def _eur_per_part():
