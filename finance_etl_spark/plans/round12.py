@@ -790,3 +790,872 @@ def stat_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year", "segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared quantized daily returns (the fin_capture_ratios recipe):
+# segment and whole-market daily revenue returns floored to integer
+# ninths (q9) — exact BIGINTs from single VARCHAR-routed divisions.
+
+
+_MKT_RET_SQL = f"""
+        daily AS ({_SEG_DAILY_SQL}),
+        mkt AS (
+            SELECT d, CAST(SUM(x) AS DECIMAL(18,2)) AS xm
+            FROM daily GROUP BY d
+        ),
+        rm AS (
+            SELECT d,
+                   CAST(FLOOR((CAST(CAST(xm AS VARCHAR) AS DOUBLE)
+                               / CAST(CAST(xmp AS VARCHAR) AS DOUBLE)
+                               - CAST(1 AS DOUBLE)) * CAST(1e9 AS DOUBLE))
+                        AS BIGINT) AS m
+            FROM (SELECT d, xm, LAG(xm) OVER (ORDER BY d) AS xmp FROM mkt)
+            WHERE xmp IS NOT NULL
+        )
+"""
+
+_SEG_RET_SQL = """
+        rs AS (
+            SELECT segment, d,
+                   CAST(FLOOR((CAST(CAST(x AS VARCHAR) AS DOUBLE)
+                               / CAST(CAST(xp AS VARCHAR) AS DOUBLE)
+                               - CAST(1 AS DOUBLE)) * CAST(1e9 AS DOUBLE))
+                        AS BIGINT) AS r
+            FROM (SELECT segment, d, x,
+                         LAG(x) OVER (PARTITION BY segment ORDER BY d) AS xp
+                  FROM daily)
+            WHERE xp IS NOT NULL
+        )
+"""
+
+
+def _mkt_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d, m): whole-market daily revenue returns, q9-quantized."""
+    daily = _seg_daily(spark, sf_dir)
+    mkt = daily.groupBy("d").agg(F.sum("x").cast("decimal(18,2)").alias("xm"))
+    wm = Window.orderBy("d")  # calendar-bounded
+    return (
+        mkt.withColumn("xmp", F.lag("xm").over(wm))
+        .filter(F.col("xmp").isNotNull())
+        .select(
+            "d",
+            F.floor(
+                (_as_d(F.col("xm")) / _as_d(F.col("xmp")) - F.lit(1.0))
+                * F.lit(1e9)
+            ).cast("bigint").alias("m"),
+        )
+    )
+
+
+def _seg_returns(daily: DataFrame) -> DataFrame:
+    """(segment, d, r): per-segment daily returns, q9-quantized."""
+    ws = Window.partitionBy("segment").orderBy("d")
+    return (
+        daily.withColumn("xp", F.lag("x").over(ws))
+        .filter(F.col("xp").isNotNull())
+        .select(
+            "segment",
+            "d",
+            F.floor(
+                (_as_d(F.col("x")) / _as_d(F.col("xp")) - F.lit(1.0))
+                * F.lit(1e9)
+            ).cast("bigint").alias("r"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_variance_ratio — Lo-MacKinlay random-walk diagnostic
+
+
+@register(
+    "ts_variance_ratio",
+    tags=("timeseries", "window", "stats"),
+    oracle=f"""
+        WITH {_MKT_RET_SQL},
+        seq AS (
+            SELECT m,
+                   ROW_NUMBER() OVER (ORDER BY d) AS t,
+                   SUM(m) OVER (ORDER BY d
+                       ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS y2,
+                   SUM(m) OVER (ORDER BY d
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS y4,
+                   SUM(m) OVER (ORDER BY d
+                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS y8
+            FROM rm
+        ),
+        base AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+                   CAST(CAST(SUM(CAST(m AS DECIMAL(19,0))) AS VARCHAR)
+                        AS DOUBLE) AS s1,
+                   CAST(CAST(SUM(CAST(m AS DECIMAL(19,0)) * m) AS VARCHAR)
+                        AS DOUBLE) AS s2
+            FROM seq
+        ),
+        qs AS (
+            SELECT 2 AS q, CAST(COUNT(*) AS BIGINT) AS nq,
+                   CAST(CAST(SUM(CAST(y2 AS DECIMAL(19,0))) AS VARCHAR)
+                        AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(y2 AS DECIMAL(19,0)) * y2) AS VARCHAR)
+                        AS DOUBLE) AS sy2
+            FROM seq WHERE t >= 2
+            UNION ALL
+            SELECT 4, CAST(COUNT(*) AS BIGINT),
+                   CAST(CAST(SUM(CAST(y4 AS DECIMAL(19,0))) AS VARCHAR)
+                        AS DOUBLE),
+                   CAST(CAST(SUM(CAST(y4 AS DECIMAL(19,0)) * y4) AS VARCHAR)
+                        AS DOUBLE)
+            FROM seq WHERE t >= 4
+            UNION ALL
+            SELECT 8, CAST(COUNT(*) AS BIGINT),
+                   CAST(CAST(SUM(CAST(y8 AS DECIMAL(19,0))) AS VARCHAR)
+                        AS DOUBLE),
+                   CAST(CAST(SUM(CAST(y8 AS DECIMAL(19,0)) * y8) AS VARCHAR)
+                        AS DOUBLE)
+            FROM seq WHERE t >= 8
+        )
+        SELECT CAST(q AS INT) AS q, nq AS n_periods,
+               CASE WHEN n1 > 1 AND nq > 1
+                         AND (CAST(n1 AS DOUBLE) * s2 - s1 * s1) > 0 THEN
+                 ((CAST(nq AS DOUBLE) * sy2 - sy * sy)
+                  * (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1)))
+                 / ((CAST(q AS DOUBLE)
+                     * (CAST(nq AS DOUBLE) * (CAST(nq AS DOUBLE) - 1)))
+                    * (CAST(n1 AS DOUBLE) * s2 - s1 * s1))
+               END AS vr
+        FROM qs CROSS JOIN base
+        ORDER BY q
+    """,
+)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance ratio VR(q) for q = 2, 4, 8 on the
+    whole-market daily revenue return: Var(q-period overlapping sums) /
+    (q * Var(1-period)) — ~1 under a random walk, <1 under mean
+    reversion, >1 under trending (Lo & MacKinlay 1988; plain ratio of
+    unbiased sample variances, no heteroskedasticity correction —
+    convention pinned and matched by the reference test). Exactness:
+    returns are the shared q9-quantized integers; the overlapping
+    q-sums are integer window sums over the calendar-bounded series;
+    all four power sums accumulate in DECIMAL and cross to double once
+    via VARCHAR; each VR is ONE fixed-parenthesization double
+    expression. Degenerate zero variance NULLs identically. Scale:
+    corpus work is the shared daily agg; everything downstream rides
+    the O(days) return relation."""
+    rm = _mkt_returns(spark, sf_dir)
+    wt = Window.orderBy("d")  # calendar-bounded
+    seq = rm.select(
+        "m",
+        F.row_number().over(wt).alias("t"),
+        F.sum("m").over(wt.rowsBetween(-1, 0)).alias("y2"),
+        F.sum("m").over(wt.rowsBetween(-3, 0)).alias("y4"),
+        F.sum("m").over(wt.rowsBetween(-7, 0)).alias("y8"),
+    )
+    base = seq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        _as_d(F.sum(F.col("m").cast("decimal(19,0)"))).alias("s1"),
+        _as_d(F.sum(F.col("m").cast("decimal(19,0)") * F.col("m"))).alias("s2"),
+    )
+    parts = []
+    for q, ycol in ((2, "y2"), (4, "y4"), (8, "y8")):
+        parts.append(
+            seq.filter(F.col("t") >= q).agg(
+                F.lit(q).alias("q"),
+                F.count(F.lit(1)).cast("bigint").alias("nq"),
+                _as_d(F.sum(F.col(ycol).cast("decimal(19,0)"))).alias("sy"),
+                _as_d(
+                    F.sum(F.col(ycol).cast("decimal(19,0)") * F.col(ycol))
+                ).alias("sy2"),
+            )
+        )
+    qs = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    n1_d = F.col("n1").cast("double")
+    nq_d = F.col("nq").cast("double")
+    q_d = F.col("q").cast("double")
+    var1_num = n1_d * F.col("s2") - F.col("s1") * F.col("s1")
+    return (
+        qs.crossJoin(F.broadcast(base))
+        .select(
+            F.col("q").cast("int").alias("q"),
+            F.col("nq").alias("n_periods"),
+            F.when(
+                (F.col("n1") > 1) & (F.col("nq") > 1) & (var1_num > 0),
+                (
+                    (nq_d * F.col("sy2") - F.col("sy") * F.col("sy"))
+                    * (n1_d * (n1_d - 1))
+                )
+                / ((q_d * (nq_d * (nq_d - 1))) * var1_num),
+            ).alias("vr"),
+        )
+        .orderBy("q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_ewma_volatility — RiskMetrics decay-weighted vol per segment
+
+
+_EWMA_LAMBDA = 0.94
+_EWMA_K = 20
+_EWMA_WEIGHTS = [
+    (1.0 - _EWMA_LAMBDA) * _EWMA_LAMBDA**k for k in range(_EWMA_K)
+]
+_EWMA_W_SQL = ", ".join(
+    f"({k}, CAST('{w!r}' AS DOUBLE))" for k, w in enumerate(_EWMA_WEIGHTS)
+)
+
+
+@register(
+    "ts_ewma_volatility",
+    tags=("timeseries", "window", "finance"),
+    oracle=f"""
+        WITH {_MKT_RET_SQL},
+        {_SEG_RET_SQL},
+        tail AS (
+            SELECT segment, r,
+                   ROW_NUMBER() OVER (PARTITION BY segment ORDER BY d DESC)
+                       - 1 AS k,
+                   COUNT(*) OVER (PARTITION BY segment) AS n_all
+            FROM rs
+        ),
+        wts (k, w) AS (VALUES {_EWMA_W_SQL}),
+        terms AS (
+            SELECT t.segment, t.n_all, t.k,
+                   w.w * CAST(CAST(CAST(t.r AS DECIMAL(19,0)) * t.r
+                                   AS VARCHAR) AS DOUBLE) AS term
+            FROM tail t JOIN wts w ON w.k = t.k
+            WHERE t.k < {_EWMA_K} AND t.n_all >= {_EWMA_K}
+        ),
+        folded AS (
+            SELECT segment, CAST(MAX(n_all) AS BIGINT) AS n_days,
+                   list_reduce(list(term ORDER BY k),
+                               (acc, x) -> acc + x) AS var_q18
+            FROM terms GROUP BY segment
+        )
+        SELECT segment, n_days,
+               var_q18 / CAST(1e18 AS DOUBLE) AS ewma_var,
+               sqrt(var_q18 / CAST(1e18 AS DOUBLE)) AS ewma_vol
+        FROM folded ORDER BY segment
+    """,
+)
+def ts_ewma_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RiskMetrics EWMA volatility per segment: sigma^2 = (1-lambda) *
+    sum_k lambda^k r_{t-k}^2 over the last K=20 daily returns with
+    lambda = 0.94 (J.P. Morgan RiskMetrics 1996), truncated — the
+    finite-window form every intraday risk feed actually computes.
+    Exactness: the 20 decay weights are EXACT double literals computed
+    once in Python and string-routed into BOTH engines; r^2 is an
+    exact DECIMAL product crossing to double once per row; the 20-term
+    weighted sum is an ORDER-PINNED fold by lag k (sorted collect_list
+    fold vs ordered list_reduce), and the q18 de-scaling + sqrt are
+    single deterministic expressions. Segments with fewer than K
+    returns are excluded on both engines (none at shipped SFs — the
+    reference test asserts all 5 present). Scale: corpus work is the
+    shared daily agg; the tail ranking partitions by segment over the
+    calendar-bounded return relation."""
+    daily = _seg_daily(spark, sf_dir)
+    rs = _seg_returns(daily)
+    wdesc = Window.partitionBy("segment").orderBy(F.col("d").desc())
+    wall = Window.partitionBy("segment")
+    tail = rs.select(
+        "segment",
+        "r",
+        (F.row_number().over(wdesc) - 1).alias("k"),
+        F.count(F.lit(1)).over(wall).alias("n_all"),
+    ).filter((F.col("k") < _EWMA_K) & (F.col("n_all") >= _EWMA_K))
+    wts = F.array(
+        *[F.expr(f"CAST('{w!r}' AS DOUBLE)") for w in _EWMA_WEIGHTS]
+    )
+    terms = tail.select(
+        "segment",
+        "n_all",
+        "k",
+        (
+            wts[F.col("k")]
+            * _as_d(F.col("r").cast("decimal(19,0)") * F.col("r"))
+        ).alias("term"),
+    )
+    folded = terms.groupBy("segment").agg(
+        F.max("n_all").cast("bigint").alias("n_days"),
+        _ordered_fold_sum(F.col("k"), F.col("term")).alias("var_q18"),
+    )
+    v = F.col("var_q18") / F.expr("CAST(1e18 AS DOUBLE)")
+    return folded.select(
+        "segment", "n_days", v.alias("ewma_var"), F.sqrt(v).alias("ewma_vol")
+    ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# fin_information_ratio — active-return consistency per segment
+
+
+@register(
+    "fin_information_ratio",
+    tags=("finance", "window", "stats"),
+    oracle=f"""
+        WITH {_MKT_RET_SQL},
+        {_SEG_RET_SQL},
+        act AS (
+            SELECT rs.segment, rs.r - rm.m AS a
+            FROM rs JOIN rm ON rm.d = rs.d
+        ),
+        s AS (
+            SELECT segment,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(CAST(a AS DECIMAL(19,0))) AS VARCHAR)
+                        AS DOUBLE) AS s1,
+                   CAST(CAST(SUM(CAST(a AS DECIMAL(19,0)) * a) AS VARCHAR)
+                        AS DOUBLE) AS s2
+            FROM act GROUP BY segment
+        )
+        SELECT segment, n AS n_days,
+               CASE WHEN n > 1
+                         AND (CAST(n AS DOUBLE) * s2 - s1 * s1) > 0 THEN
+                 (s1 / CAST(n AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1)
+                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+               END AS ir_daily
+        FROM s ORDER BY segment
+    """,
+)
+def fin_information_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily information ratio per segment against the whole-market
+    book: IR = mean(active return) / sd(active return), the
+    consistency-of-outperformance number that complements
+    fin_tracking_error (which reports only the denominator). Active
+    returns are DIFFERENCES of the shared q9-quantized integers (exact
+    BIGINTs); mean and sample sd come from two decimal power sums
+    crossing to double once each; IR is ONE guarded expression. Zero
+    active variance NULLs identically. Corpus work is the shared daily
+    agg; the join and moments ride the calendar-bounded return
+    relation."""
+    daily = _seg_daily(spark, sf_dir)
+    rs = _seg_returns(daily)
+    rm = _mkt_returns(spark, sf_dir)
+    act = rs.join(F.broadcast(rm), "d").select(
+        "segment", (F.col("r") - F.col("m")).alias("a")
+    )
+    s = act.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _as_d(F.sum(F.col("a").cast("decimal(19,0)"))).alias("s1"),
+        _as_d(F.sum(F.col("a").cast("decimal(19,0)") * F.col("a"))).alias("s2"),
+    )
+    n_d = F.col("n").cast("double")
+    var_num = n_d * F.col("s2") - F.col("s1") * F.col("s1")
+    return s.select(
+        "segment",
+        F.col("n").alias("n_days"),
+        F.when(
+            (F.col("n") > 1) & (var_num > 0),
+            (F.col("s1") / n_d) / F.sqrt(var_num / (n_d * (n_d - 1))),
+        ).alias("ir_daily"),
+    ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# fin_m2_modigliani — risk-adjusted return on the market's vol scale
+
+
+@register(
+    "fin_m2_modigliani",
+    tags=("finance", "stats"),
+    oracle=f"""
+        WITH {_MKT_RET_SQL},
+        {_SEG_RET_SQL},
+        segm AS (
+            SELECT segment,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(CAST(r AS DECIMAL(19,0))) AS VARCHAR)
+                        AS DOUBLE) AS s1,
+                   CAST(CAST(SUM(CAST(r AS DECIMAL(19,0)) * r) AS VARCHAR)
+                        AS DOUBLE) AS s2
+            FROM rs GROUP BY segment
+        ),
+        mm AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nm,
+                   CAST(CAST(SUM(CAST(m AS DECIMAL(19,0))) AS VARCHAR)
+                        AS DOUBLE) AS m1,
+                   CAST(CAST(SUM(CAST(m AS DECIMAL(19,0)) * m) AS VARCHAR)
+                        AS DOUBLE) AS m2s
+            FROM rm
+        )
+        SELECT segment, n AS n_days,
+               CASE WHEN n > 1
+                         AND (CAST(n AS DOUBLE) * s2 - s1 * s1) > 0 THEN
+                 (s1 / CAST(n AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1)
+                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+               END AS sharpe_daily,
+               CASE WHEN n > 1 AND nm > 1
+                         AND (CAST(n AS DOUBLE) * s2 - s1 * s1) > 0 THEN
+                 ((s1 / CAST(n AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1)
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))))
+                 * sqrt((CAST(nm AS DOUBLE) * m2s - m1 * m1)
+                        / (CAST(nm AS DOUBLE) * (CAST(nm AS DOUBLE) - 1)))
+               END AS m2_daily
+        FROM segm CROSS JOIN mm
+        ORDER BY segment
+    """,
+)
+def fin_m2_modigliani(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modigliani-Modigliani risk-adjusted performance per segment
+    (rf = 0, documented): M2 = Sharpe_segment * sd_market — what the
+    segment would have returned if levered to the market's volatility,
+    directly comparable across segments in return units (Modigliani &
+    Modigliani 1997). Same integer power-sum machinery as
+    fin_information_ratio (q9 returns, decimal sums, single VARCHAR
+    crossings); sharpe and m2 are each ONE guarded expression whose
+    sub-terms repeat VERBATIM on both engines so the float paths are
+    identical. Zero segment variance NULLs both outputs identically."""
+    daily = _seg_daily(spark, sf_dir)
+    rs = _seg_returns(daily)
+    rm = _mkt_returns(spark, sf_dir)
+    segm = rs.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _as_d(F.sum(F.col("r").cast("decimal(19,0)"))).alias("s1"),
+        _as_d(F.sum(F.col("r").cast("decimal(19,0)") * F.col("r"))).alias("s2"),
+    )
+    mm = rm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nm"),
+        _as_d(F.sum(F.col("m").cast("decimal(19,0)"))).alias("m1"),
+        _as_d(F.sum(F.col("m").cast("decimal(19,0)") * F.col("m"))).alias("m2s"),
+    )
+    n_d = F.col("n").cast("double")
+    nm_d = F.col("nm").cast("double")
+    var_num = n_d * F.col("s2") - F.col("s1") * F.col("s1")
+    sharpe = (F.col("s1") / n_d) / F.sqrt(var_num / (n_d * (n_d - 1)))
+    sd_mkt = F.sqrt(
+        (nm_d * F.col("m2s") - F.col("m1") * F.col("m1"))
+        / (nm_d * (nm_d - 1))
+    )
+    return (
+        segm.crossJoin(F.broadcast(mm))
+        .select(
+            "segment",
+            F.col("n").alias("n_days"),
+            F.when((F.col("n") > 1) & (var_num > 0), sharpe).alias(
+                "sharpe_daily"
+            ),
+            F.when(
+                (F.col("n") > 1) & (F.col("nm") > 1) & (var_num > 0),
+                sharpe * sd_mkt,
+            ).alias("m2_daily"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fin_portfolio_turnover — year-over-year mix churn
+
+
+@register(
+    "fin_portfolio_turnover",
+    tags=("finance", "agg"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        ys AS (
+            SELECT EXTRACT(year FROM d) AS y, segment,
+                   CAST(SUM(x) AS DECIMAL(18,2)) AS xs
+            FROM daily GROUP BY 1, 2
+        ),
+        yrs AS (SELECT DISTINCT y FROM ys),
+        sgs AS (SELECT DISTINCT segment FROM ys),
+        grid AS (
+            SELECT yrs.y, sgs.segment,
+                   COALESCE(ys.xs, CAST(0 AS DECIMAL(18,2))) AS xs
+            FROM yrs CROSS JOIN sgs
+            LEFT JOIN ys ON ys.y = yrs.y AND ys.segment = sgs.segment
+        ),
+        yt AS (
+            SELECT y, CAST(SUM(xs) AS DECIMAL(18,2)) AS xy
+            FROM grid GROUP BY y
+        ),
+        terms AS (
+            SELECT g.y, yt.xy, ytp.xy AS xyp,
+                   ABS(CAST(g.xs AS DECIMAL(19,2))
+                         * CAST(ytp.xy AS DECIMAL(19,2))
+                       - CAST(gp.xs AS DECIMAL(19,2))
+                         * CAST(yt.xy AS DECIMAL(19,2))) AS num,
+                   CASE WHEN g.xs > 0 THEN 1 ELSE 0 END AS present
+            FROM grid g
+            JOIN grid gp ON gp.y = g.y - 1 AND gp.segment = g.segment
+            JOIN yt ON yt.y = g.y
+            JOIN yt ytp ON ytp.y = g.y - 1
+            WHERE yt.xy > 0 AND ytp.xy > 0
+        )
+        SELECT CAST(y AS BIGINT) AS year,
+               CAST(SUM(present) AS BIGINT) AS n_segments,
+               CAST(CAST(SUM(num) AS VARCHAR) AS DOUBLE)
+                 / (CAST(2 AS DOUBLE)
+                    * CAST(CAST(xy AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(xyp AS VARCHAR) AS DOUBLE)) AS turnover
+        FROM terms GROUP BY y, xy, xyp ORDER BY year
+    """,
+)
+def fin_portfolio_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year portfolio turnover of the segment revenue mix:
+    T_y = 1/2 * sum_s |w_{y,s} - w_{y-1,s}| — the one-period churn
+    sibling of fin_active_share (same common-exact-denominator
+    algebra: |x_ys * X_{y-1} - x_{y-1,s} * X_y| summed as exact
+    DECIMAL(38,4), ONE double division by 2*X_y*X_{y-1} at the edge),
+    over the FULL segment grid so a segment entering or leaving the
+    book contributes its whole weight. n_segments counts segments with
+    revenue in year y. Years with a zero-revenue side are excluded by
+    an exact decimal guard (cannot occur at shipped SFs; documented).
+    Corpus work is the shared daily agg; the grid/lag joins ride the
+    |years| x |segments| relation."""
+    daily = _seg_daily(spark, sf_dir)
+    ys = daily.groupBy(F.year("d").alias("y"), "segment").agg(
+        F.sum("x").cast("decimal(18,2)").alias("xs")
+    )
+    yrs = ys.select("y").distinct()
+    sgs = ys.select("segment").distinct()
+    grid = (
+        yrs.crossJoin(F.broadcast(sgs))
+        .join(F.broadcast(ys), ["y", "segment"], "left")
+        .select(
+            "y",
+            "segment",
+            F.coalesce(F.col("xs"), F.lit(0).cast("decimal(18,2)")).alias("xs"),
+        )
+    )
+    yt = grid.groupBy("y").agg(F.sum("xs").cast("decimal(18,2)").alias("xy"))
+    gp = grid.select(
+        (F.col("y") + 1).alias("y"),
+        "segment",
+        F.col("xs").alias("xsp"),
+    )
+    ytp = yt.select((F.col("y") + 1).alias("y"), F.col("xy").alias("xyp"))
+    terms = (
+        grid.join(F.broadcast(gp), ["y", "segment"])
+        .join(F.broadcast(yt), "y")
+        .join(F.broadcast(ytp), "y")
+        .filter((F.col("xy") > 0) & (F.col("xyp") > 0))
+        .select(
+            "y",
+            "xy",
+            "xyp",
+            F.abs(
+                F.col("xs").cast("decimal(19,2)")
+                * F.col("xyp").cast("decimal(19,2)")
+                - F.col("xsp").cast("decimal(19,2)")
+                * F.col("xy").cast("decimal(19,2)")
+            ).alias("num"),
+            F.when(F.col("xs") > 0, 1).otherwise(0).alias("present"),
+        )
+    )
+    return (
+        terms.groupBy("y", "xy", "xyp")
+        .agg(
+            F.sum("present").cast("bigint").alias("n_segments"),
+            (
+                _as_d(F.sum("num"))
+                / (F.lit(2.0) * _as_d(F.col("xy")) * _as_d(F.col("xyp")))
+            ).alias("turnover"),
+        )
+        .select(
+            F.col("y").cast("bigint").alias("year"), "n_segments", "turnover"
+        )
+        .orderBy("year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fin_brinson_attribution — allocation / selection / interaction
+
+
+@register(
+    "fin_brinson_attribution",
+    tags=("finance", "agg"),
+    oracle=f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        pdaily AS (
+            SELECT c.c_mktsegment AS segment,
+                   EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) AS y,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS xp
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+            GROUP BY 1, 2
+        ),
+        bys AS (
+            SELECT EXTRACT(year FROM d) AS y, segment,
+                   CAST(SUM(x) AS DECIMAL(18,2)) AS xb
+            FROM daily GROUP BY 1, 2
+        ),
+        yrs AS (SELECT DISTINCT y FROM bys),
+        sgs AS (SELECT DISTINCT segment FROM bys),
+        grid AS (
+            SELECT yrs.y, sgs.segment,
+                   COALESCE(bys.xb, CAST(0 AS DECIMAL(18,2))) AS xb,
+                   COALESCE(pdaily.xp, CAST(0 AS DECIMAL(18,2))) AS xp
+            FROM yrs CROSS JOIN sgs
+            LEFT JOIN bys ON bys.y = yrs.y AND bys.segment = sgs.segment
+            LEFT JOIN pdaily ON pdaily.y = yrs.y
+                            AND pdaily.segment = sgs.segment
+        ),
+        tots AS (
+            SELECT y, CAST(SUM(xb) AS DECIMAL(18,2)) AS tb,
+                   CAST(SUM(xp) AS DECIMAL(18,2)) AS tp
+            FROM grid GROUP BY y
+        ),
+        j AS (
+            SELECT g.y, g.segment,
+                   CAST(CAST(g.xb AS VARCHAR) AS DOUBLE) AS xb,
+                   CAST(CAST(g.xp AS VARCHAR) AS DOUBLE) AS xp,
+                   CAST(CAST(gp.xb AS VARCHAR) AS DOUBLE) AS xbp,
+                   CAST(CAST(gp.xp AS VARCHAR) AS DOUBLE) AS xpp,
+                   CAST(CAST(t.tb AS VARCHAR) AS DOUBLE) AS tb,
+                   CAST(CAST(tp2.tb AS VARCHAR) AS DOUBLE) AS tbp,
+                   CAST(CAST(t.tp AS VARCHAR) AS DOUBLE) AS tpv,
+                   CAST(CAST(tp2.tp AS VARCHAR) AS DOUBLE) AS tpp
+            FROM grid g
+            JOIN grid gp ON gp.y = g.y - 1 AND gp.segment = g.segment
+            JOIN tots t ON t.y = g.y
+            JOIN tots tp2 ON tp2.y = g.y - 1
+        )
+        SELECT CAST(y AS BIGINT) AS year, segment,
+               CASE WHEN xbp > 0 AND xpp > 0 AND tbp > 0 AND tpp > 0 THEN
+                 (xpp / tpp - xbp / tbp) * ((xb / xbp - 1) - (tb / tbp - 1))
+               END AS allocation,
+               CASE WHEN xbp > 0 AND xpp > 0 AND tbp > 0 AND tpp > 0 THEN
+                 (xbp / tbp) * ((xp / xpp - 1) - (xb / xbp - 1))
+               END AS selection,
+               CASE WHEN xbp > 0 AND xpp > 0 AND tbp > 0 AND tpp > 0 THEN
+                 (xpp / tpp - xbp / tbp) * ((xp / xpp - 1) - (xb / xbp - 1))
+               END AS interaction
+        FROM j ORDER BY year, segment
+    """,
+)
+def fin_brinson_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brinson-Hood-Beebower performance attribution of the
+    HIGH-PRIORITY order book (the 'portfolio': priorities 1-2) against
+    the whole book (the 'benchmark'), categories = market segments,
+    periods = years, weights = PRIOR-year value shares, returns =
+    year-over-year revenue growth per category: allocation =
+    (w_p - w_b)(r_b,s - r_b), selection = w_b (r_p,s - r_b,s),
+    interaction = (w_p - w_b)(r_p,s - r_b,s) (Brinson, Hood & Beebower
+    1986). Exactness: every input crosses decimal->double ONCE
+    (VARCHAR route), each effect is ONE fixed-parenthesization
+    expression with sub-terms repeated verbatim on both engines — no
+    multi-term float sums. A zero prior-year value on any of the four
+    sides NULLs all three effects identically (the r_b total-return
+    term uses the same guard set; documented — at shipped SFs every
+    year/segment has revenue on both sides). Corpus work: two
+    broadcast-dim aggs; the attribution rides the year x segment
+    grid."""
+    daily = _seg_daily(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    pdaily = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").alias("y"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("decimal(18,2)").alias("xp"))
+    )
+    bys = daily.groupBy(F.year("d").alias("y"), "segment").agg(
+        F.sum("x").cast("decimal(18,2)").alias("xb")
+    )
+    yrs = bys.select("y").distinct()
+    sgs = bys.select("segment").distinct()
+    zero = F.lit(0).cast("decimal(18,2)")
+    grid = (
+        yrs.crossJoin(F.broadcast(sgs))
+        .join(F.broadcast(bys), ["y", "segment"], "left")
+        .join(F.broadcast(pdaily), ["y", "segment"], "left")
+        .select(
+            "y",
+            "segment",
+            F.coalesce(F.col("xb"), zero).alias("xb"),
+            F.coalesce(F.col("xp"), zero).alias("xp"),
+        )
+    )
+    tots = grid.groupBy("y").agg(
+        F.sum("xb").cast("decimal(18,2)").alias("tb"),
+        F.sum("xp").cast("decimal(18,2)").alias("tp"),
+    )
+    gp = grid.select(
+        (F.col("y") + 1).alias("y"),
+        "segment",
+        F.col("xb").alias("xbp_d"),
+        F.col("xp").alias("xpp_d"),
+    )
+    totp = tots.select(
+        (F.col("y") + 1).alias("y"),
+        F.col("tb").alias("tbp_d"),
+        F.col("tp").alias("tpp_d"),
+    )
+    j = (
+        grid.join(F.broadcast(gp), ["y", "segment"])
+        .join(F.broadcast(tots), "y")
+        .join(F.broadcast(totp), "y")
+        .select(
+            "y",
+            "segment",
+            _as_d(F.col("xb")).alias("xb"),
+            _as_d(F.col("xp")).alias("xp"),
+            _as_d(F.col("xbp_d")).alias("xbp"),
+            _as_d(F.col("xpp_d")).alias("xpp"),
+            _as_d(F.col("tb")).alias("tb"),
+            _as_d(F.col("tbp_d")).alias("tbp"),
+            _as_d(F.col("tp")).alias("tpv"),
+            _as_d(F.col("tpp_d")).alias("tpp"),
+        )
+    )
+    ok = (
+        (F.col("xbp") > 0)
+        & (F.col("xpp") > 0)
+        & (F.col("tbp") > 0)
+        & (F.col("tpp") > 0)
+    )
+    wp = F.col("xpp") / F.col("tpp")
+    wb = F.col("xbp") / F.col("tbp")
+    rbs = F.col("xb") / F.col("xbp") - 1
+    rps = F.col("xp") / F.col("xpp") - 1
+    rb = F.col("tb") / F.col("tbp") - 1
+    return j.select(
+        F.col("y").cast("bigint").alias("year"),
+        "segment",
+        F.when(ok, (wp - wb) * (rbs - rb)).alias("allocation"),
+        F.when(ok, wb * (rps - rbs)).alias("selection"),
+        F.when(ok, (wp - wb) * (rps - rbs)).alias("interaction"),
+    ).orderBy("year", "segment")
+
+
+# ---------------------------------------------------------------------------
+# fin_burke_ratio — drawdown-depth-penalized performance
+
+
+@register(
+    "fin_burke_ratio",
+    tags=("finance", "window"),
+    oracle=f"""
+        WITH {_MKT_RET_SQL},
+        pk AS (
+            SELECT d, xm,
+                   MAX(xm) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS peak
+            FROM mkt
+        ),
+        flagged AS (
+            SELECT d, xm, peak,
+                   CASE WHEN xm < peak THEN 1 ELSE 0 END AS below,
+                   ROW_NUMBER() OVER (ORDER BY d) AS rn
+            FROM pk
+        ),
+        isl AS (
+            SELECT *,
+                   rn - ROW_NUMBER() OVER (PARTITION BY below ORDER BY d)
+                       AS grp
+            FROM flagged
+        ),
+        eps AS (
+            SELECT grp,
+                   CAST(FLOOR(MAX(
+                       CAST(CAST(peak - xm AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(peak AS VARCHAR) AS DOUBLE))
+                       * CAST(1e9 AS DOUBLE)) AS BIGINT) AS q
+            FROM isl WHERE below = 1 GROUP BY grp
+        ),
+        dd AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_episodes,
+                   CAST(CAST(SUM(CAST(q AS DECIMAL(19,0)) * q) AS VARCHAR)
+                        AS DOUBLE) AS sq2
+            FROM eps
+        ),
+        mu AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(CAST(SUM(CAST(m AS DECIMAL(19,0))) AS VARCHAR)
+                        AS DOUBLE) AS s1
+            FROM rm
+        )
+        SELECT mu.n_days, dd.n_episodes,
+               dd.sq2 / CAST(1e18 AS DOUBLE) AS sum_dd2,
+               CASE WHEN dd.sq2 > 0 AND mu.n_days > 0 THEN
+                 ((mu.s1 / CAST(1e9 AS DOUBLE)) / CAST(mu.n_days AS DOUBLE))
+                 / sqrt(dd.sq2 / CAST(1e18 AS DOUBLE))
+               END AS burke_daily
+        FROM mu CROSS JOIN dd
+    """,
+)
+def fin_burke_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burke ratio of the whole-market daily revenue series: mean
+    daily return divided by sqrt(sum of squared drawdown depths) over
+    below-peak EPISODES (Burke 1994) — penalizes many deep drawdowns
+    harder than max-drawdown-based Calmar (fin_calmar_ratio). The
+    running peak is an exact decimal window max; each day's drawdown
+    fraction is one VARCHAR-routed division; episodes come from the
+    standard gaps-and-islands double row_number; each episode's MAX
+    depth is a deterministic double max, q9-FLOOR-quantized to BIGINT
+    so the across-episodes sum of squares is an exact DECIMAL — the
+    only unbounded-count float sum is thereby integerized. Burke is
+    ONE guarded expression. No drawdowns (sq2 = 0) NULLs identically.
+    The running-peak window is calendar-bounded (O(days))."""
+    daily = _seg_daily(spark, sf_dir)
+    mkt = daily.groupBy("d").agg(F.sum("x").cast("decimal(18,2)").alias("xm"))
+    wd = Window.orderBy("d")  # calendar-bounded
+    pk = mkt.select(
+        "d",
+        "xm",
+        F.max("xm").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("peak"),
+    )
+    flagged = pk.select(
+        "d",
+        "xm",
+        "peak",
+        F.when(F.col("xm") < F.col("peak"), 1).otherwise(0).alias("below"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    isl = flagged.withColumn(
+        "grp",
+        F.col("rn")
+        - F.row_number().over(Window.partitionBy("below").orderBy("d")),
+    )
+    eps = (
+        isl.filter(F.col("below") == 1)
+        .groupBy("grp")
+        .agg(
+            F.floor(
+                F.max(
+                    _as_d(F.col("peak") - F.col("xm")) / _as_d(F.col("peak"))
+                )
+                * F.lit(1e9)
+            ).cast("bigint").alias("q")
+        )
+    )
+    dd = eps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_episodes"),
+        _as_d(F.sum(F.col("q").cast("decimal(19,0)") * F.col("q"))).alias(
+            "sq2"
+        ),
+    )
+    rm = _mkt_returns(spark, sf_dir)
+    mu = rm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        _as_d(F.sum(F.col("m").cast("decimal(19,0)"))).alias("s1"),
+    )
+    sum_dd2 = F.col("sq2") / F.expr("CAST(1e18 AS DOUBLE)")
+    return (
+        mu.crossJoin(F.broadcast(dd))
+        .select(
+            "n_days",
+            "n_episodes",
+            sum_dd2.alias("sum_dd2"),
+            F.when(
+                (F.col("sq2") > 0) & (F.col("n_days") > 0),
+                (
+                    (F.col("s1") / F.expr("CAST(1e9 AS DOUBLE)"))
+                    / F.col("n_days").cast("double")
+                )
+                / F.sqrt(sum_dd2),
+            ).alias("burke_daily"),
+        )
+    )

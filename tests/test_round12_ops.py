@@ -309,3 +309,231 @@ class TestQ11SpecFraction:
         thresh = 1.5 * total / np_
         boundary = {pk for pk, v in per_part.items() if abs(v - thresh) < 1e-6}
         assert got_keys - boundary == expect - boundary
+
+
+def _seg_daily_py():
+    return _fetch(
+        "SELECT c.c_mktsegment, CAST(o.o_orderdate AS DATE),"
+        " SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))"
+        f" FROM read_parquet('{SF}/orders.parquet') o"
+        f" JOIN read_parquet('{SF}/customer.parquet') c"
+        " ON o.o_custkey = c.c_custkey GROUP BY 1, 2"
+    )
+
+
+def _q9(x, xp):
+    import math
+
+    return math.floor((float(x) / float(xp) - 1.0) * 1e9)
+
+
+def _mkt_series_py():
+    daily = _seg_daily_py()
+    mkt = {}
+    for _, d, x in daily:
+        mkt[d] = mkt.get(d, 0) + x  # Decimal-exact
+    days = sorted(mkt)
+    return days, mkt
+
+
+def _mkt_returns_py():
+    days, mkt = _mkt_series_py()
+    return [_q9(mkt[days[i]], mkt[days[i - 1]]) for i in range(1, len(days))]
+
+
+def _seg_returns_py():
+    daily = _seg_daily_py()
+    per = {}
+    for s, d, x in daily:
+        per.setdefault(s, {})[d] = x
+    out = {}
+    for s, series in per.items():
+        ds = sorted(series)
+        out[s] = {
+            ds[i]: _q9(series[ds[i]], series[ds[i - 1]])
+            for i in range(1, len(ds))
+        }
+    return out
+
+
+class TestVarianceRatio:
+    def test_matches_numpy(self, spark):
+        got = {
+            r["q"]: r
+            for r in plans.get("ts_variance_ratio").build(spark, SF).collect()
+        }
+        r = np.array(_mkt_returns_py(), dtype=np.float64)
+        var1 = r.var(ddof=1)
+        for q in (2, 4, 8):
+            y = np.convolve(r, np.ones(q), mode="valid")
+            vr = y.var(ddof=1) / (q * var1)
+            row = got[q]
+            assert row["n_periods"] == len(y)
+            assert row["vr"] == pytest.approx(vr, rel=1e-9)
+
+
+class TestEwmaVolatility:
+    def test_matches_numpy(self, spark):
+        got = {
+            r["segment"]: r
+            for r in plans.get("ts_ewma_volatility").build(spark, SF).collect()
+        }
+        segret = _seg_returns_py()
+        assert len(got) == 5  # every segment has >= 20 returns
+        lam = 0.94
+        for s, series in segret.items():
+            ds = sorted(series)
+            tail = [series[d] for d in ds[-20:]][::-1]  # k=0 is last day
+            var = sum(
+                (1 - lam) * lam**k * (rk / 1e9) ** 2
+                for k, rk in enumerate(tail)
+            )
+            row = got[s]
+            assert row["ewma_var"] == pytest.approx(var, rel=1e-9)
+            assert row["ewma_vol"] == pytest.approx(var**0.5, rel=1e-9)
+
+
+class TestInformationRatioM2:
+    def test_matches_numpy(self, spark):
+        ir = {
+            r["segment"]: r
+            for r in plans.get("fin_information_ratio")
+            .build(spark, SF)
+            .collect()
+        }
+        m2 = {
+            r["segment"]: r
+            for r in plans.get("fin_m2_modigliani").build(spark, SF).collect()
+        }
+        segret = _seg_returns_py()
+        days, mkt = _mkt_series_py()
+        mret = {
+            days[i]: _q9(mkt[days[i]], mkt[days[i - 1]])
+            for i in range(1, len(days))
+        }
+        mvals = np.array(list(mret.values()), dtype=np.float64)
+        sd_m = mvals.std(ddof=1)
+        for s, series in segret.items():
+            a = np.array(
+                [series[d] - mret[d] for d in sorted(series) if d in mret],
+                dtype=np.float64,
+            )
+            expect_ir = a.mean() / a.std(ddof=1)
+            assert ir[s]["n_days"] == len(a)
+            assert ir[s]["ir_daily"] == pytest.approx(expect_ir, rel=1e-9)
+            rv = np.array(list(series.values()), dtype=np.float64)
+            sharpe = rv.mean() / rv.std(ddof=1)
+            assert m2[s]["sharpe_daily"] == pytest.approx(sharpe, rel=1e-9)
+            assert m2[s]["m2_daily"] == pytest.approx(
+                sharpe * sd_m, rel=1e-9
+            )
+
+
+class TestPortfolioTurnover:
+    def test_matches_reference(self, spark):
+        got = {
+            r["year"]: r
+            for r in plans.get("fin_portfolio_turnover")
+            .build(spark, SF)
+            .collect()
+        }
+        data = _seg_year_py()
+        years = sorted({int(r[1]) for r in data})
+        segs = sorted({r[0] for r in data})
+        v = {(int(r[1]), r[0]): float(r[2]) for r in data}
+        for y in years[1:]:
+            xy = sum(v.get((y, s), 0.0) for s in segs)
+            xyp = sum(v.get((y - 1, s), 0.0) for s in segs)
+            t = 0.5 * sum(
+                abs(v.get((y, s), 0.0) / xy - v.get((y - 1, s), 0.0) / xyp)
+                for s in segs
+            )
+            row = got[y]
+            assert row["n_segments"] == sum(
+                1 for s in segs if v.get((y, s), 0.0) > 0
+            )
+            assert row["turnover"] == pytest.approx(t, rel=1e-9)
+
+
+class TestBrinson:
+    def test_matches_reference(self, spark):
+        got = {
+            (r["year"], r["segment"]): r
+            for r in plans.get("fin_brinson_attribution")
+            .build(spark, SF)
+            .collect()
+        }
+        bench = {(int(r[1]), r[0]): float(r[2]) for r in _seg_year_py()}
+        pdata = _fetch(
+            "SELECT c.c_mktsegment,"
+            " EXTRACT(year FROM CAST(o.o_orderdate AS DATE)),"
+            " SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))"
+            f" FROM read_parquet('{SF}/orders.parquet') o"
+            f" JOIN read_parquet('{SF}/customer.parquet') c"
+            " ON o.o_custkey = c.c_custkey"
+            " WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')"
+            " GROUP BY 1, 2"
+        )
+        port = {(int(r[1]), r[0]): float(r[2]) for r in pdata}
+        years = sorted({y for y, _ in bench})
+        segs = sorted({s for _, s in bench})
+        checked = 0
+        for y in years[1:]:
+            tb = sum(bench.get((y, s), 0.0) for s in segs)
+            tbp = sum(bench.get((y - 1, s), 0.0) for s in segs)
+            tp = sum(port.get((y, s), 0.0) for s in segs)
+            tpp = sum(port.get((y - 1, s), 0.0) for s in segs)
+            rb = tb / tbp - 1
+            for s in segs:
+                xbp = bench.get((y - 1, s), 0.0)
+                xpp = port.get((y - 1, s), 0.0)
+                row = got[(y, s)]
+                if xbp <= 0 or xpp <= 0 or tbp <= 0 or tpp <= 0:
+                    assert row["allocation"] is None
+                    continue
+                wb, wp = xbp / tbp, xpp / tpp
+                rbs = bench.get((y, s), 0.0) / xbp - 1
+                rps = port.get((y, s), 0.0) / xpp - 1
+                assert row["allocation"] == pytest.approx(
+                    (wp - wb) * (rbs - rb), rel=1e-9, abs=1e-15
+                )
+                assert row["selection"] == pytest.approx(
+                    wb * (rps - rbs), rel=1e-9, abs=1e-15
+                )
+                assert row["interaction"] == pytest.approx(
+                    (wp - wb) * (rps - rbs), rel=1e-9, abs=1e-15
+                )
+                checked += 1
+        assert checked > 0
+
+
+class TestBurke:
+    def test_matches_reference(self, spark):
+        import math
+
+        row = plans.get("fin_burke_ratio").build(spark, SF).collect()[0]
+        days, mkt = _mkt_series_py()
+        peak = None
+        episodes = []
+        cur = None
+        for d in days:
+            x = mkt[d]
+            peak = x if peak is None or x > peak else peak
+            if x < peak:
+                ddf = float(peak - x) / float(peak)
+                cur = max(cur, ddf) if cur is not None else ddf
+            else:
+                if cur is not None:
+                    episodes.append(cur)
+                    cur = None
+        if cur is not None:
+            episodes.append(cur)
+        qs = [math.floor(e * 1e9) for e in episodes]
+        sum_dd2 = sum(q * q for q in qs) / 1e18
+        r = _mkt_returns_py()
+        mean_r = (sum(r) / 1e9) / len(r)
+        assert row["n_episodes"] == len(episodes)
+        assert row["sum_dd2"] == pytest.approx(sum_dd2, rel=1e-12)
+        assert row["burke_daily"] == pytest.approx(
+            mean_r / math.sqrt(sum_dd2), rel=1e-9
+        )
