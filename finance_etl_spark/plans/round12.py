@@ -1659,3 +1659,1209 @@ def fin_burke_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("burke_daily"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact learning primitives on the embedding fixture: the
+# first 4 dims quantized to micro-units (q = floor(e * 1e6), exact —
+# float->double widening is lossless and floor is IEEE), label
+# y = [q0 + q1 >= 0] — the linearly-separable _logreg_features recipe
+# with every input integerized so training is rational end-to-end.
+
+
+_ML_FEATS_SQL = """
+        feats AS (
+            SELECT vec_id,
+                   CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT)
+                       AS q0,
+                   CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1e6) AS BIGINT)
+                       AS q1,
+                   CAST(FLOOR(CAST(embedding[3] AS DOUBLE) * 1e6) AS BIGINT)
+                       AS q2,
+                   CAST(FLOOR(CAST(embedding[4] AS DOUBLE) * 1e6) AS BIGINT)
+                       AS q3
+            FROM embeddings
+        ),
+        lab AS (
+            SELECT vec_id, q0, q1, q2, q3,
+                   CASE WHEN q0 + q1 >= 0 THEN 1 ELSE -1 END AS y
+            FROM feats
+        )
+"""
+
+
+def _ml_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cols = [
+        F.floor(F.col("embedding")[i].cast("double") * F.lit(1e6))
+        .cast("bigint")
+        .alias(f"q{i}")
+        for i in range(4)
+    ]
+    feats = e.select("vec_id", *cols)
+    return feats.withColumn(
+        "y",
+        F.when(F.col("q0") + F.col("q1") >= 0, 1).otherwise(-1),
+    )
+
+
+@register(
+    "ml_perceptron_2round",
+    tags=("ml", "iterative", "agg"),
+    oracle=f"""
+        WITH {_ML_FEATS_SQL},
+        w1 AS (
+            SELECT CAST(SUM(CAST(y AS DECIMAL(20,0)))      AS BIGINT) AS w0,
+                   CAST(SUM(CAST(y AS DECIMAL(20,0)) * q0) AS BIGINT) AS wa,
+                   CAST(SUM(CAST(y AS DECIMAL(20,0)) * q1) AS BIGINT) AS wb,
+                   CAST(SUM(CAST(y AS DECIMAL(20,0)) * q2) AS BIGINT) AS wc,
+                   CAST(SUM(CAST(y AS DECIMAL(20,0)) * q3) AS BIGINT) AS wd
+            FROM lab
+        ),
+        m2 AS (
+            SELECT l.*,
+                   CAST(l.y AS DECIMAL(38,0))
+                   * (CAST(w1.w0 AS DECIMAL(25,0))
+                      + CAST(w1.wa AS DECIMAL(25,0)) * l.q0
+                      + CAST(w1.wb AS DECIMAL(25,0)) * l.q1
+                      + CAST(w1.wc AS DECIMAL(25,0)) * l.q2
+                      + CAST(w1.wd AS DECIMAL(25,0)) * l.q3) AS margin
+            FROM lab l CROSS JOIN w1
+        ),
+        w2 AS (
+            SELECT CAST(MAX(w1.w0) + SUM(CASE WHEN m2.margin <= 0
+                            THEN m2.y ELSE 0 END) AS BIGINT) AS w0,
+                   CAST(MAX(w1.wa) + SUM(CASE WHEN m2.margin <= 0
+                            THEN m2.y * m2.q0 ELSE 0 END) AS BIGINT) AS wa,
+                   CAST(MAX(w1.wb) + SUM(CASE WHEN m2.margin <= 0
+                            THEN m2.y * m2.q1 ELSE 0 END) AS BIGINT) AS wb,
+                   CAST(MAX(w1.wc) + SUM(CASE WHEN m2.margin <= 0
+                            THEN m2.y * m2.q2 ELSE 0 END) AS BIGINT) AS wc,
+                   CAST(MAX(w1.wd) + SUM(CASE WHEN m2.margin <= 0
+                            THEN m2.y * m2.q3 ELSE 0 END) AS BIGINT) AS wd,
+                   CAST(SUM(CASE WHEN m2.margin <= 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_updates
+            FROM m2 CROSS JOIN w1
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lab) AS n,
+               w2.w0, w2.wa AS w_q0, w2.wb AS w_q1, w2.wc AS w_q2,
+               w2.wd AS w_q3, w2.n_updates,
+               (SELECT CAST(SUM(CASE WHEN
+                    CAST(l.y AS DECIMAL(38,0))
+                    * (CAST(w2.w0 AS DECIMAL(25,0))
+                       + CAST(w2.wa AS DECIMAL(25,0)) * l.q0
+                       + CAST(w2.wb AS DECIMAL(25,0)) * l.q1
+                       + CAST(w2.wc AS DECIMAL(25,0)) * l.q2
+                       + CAST(w2.wd AS DECIMAL(25,0)) * l.q3) <= 0
+                    THEN 1 ELSE 0 END) AS BIGINT) FROM lab l) AS err_after
+        FROM w2
+    """,
+)
+def ml_perceptron_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-round BATCH perceptron on the quantized embedding features
+    (Rosenblatt update, learning rate 1): w0 = 0 makes round 1's
+    update the exact class-difference sum w1 = sum y*x (every margin
+    is 0, hence 'misclassified'); round 2 adds sum y*x over rows w1
+    still gets wrong; err_after counts w2's mistakes — the fixed-round
+    unrolled-iteration pattern (ml_gbdt/vec_kmeans_unrolled2
+    precedent) applied to the classic mistake-driven learner.
+    EVERYTHING is integer: micro-unit features, +-1 labels, weight
+    sums in DECIMAL(20,0), per-row margins as exact DECIMAL products
+    (|w|*|q| < 1e21 at sf1000 — inside DECIMAL(38,0) to ~sf1e12). No
+    float exists anywhere in this query. Scale: each round is one
+    map-side-combining aggregate + a 1-row broadcast — the textbook
+    distributed batch-GD shape with per-round lineage cut by the
+    1-row weight relations."""
+    lab = _ml_feats(spark, sf_dir)
+    y_d = F.col("y").cast("decimal(20,0)")
+    w1 = lab.agg(
+        F.sum(y_d).cast("bigint").alias("w0"),
+        F.sum(y_d * F.col("q0")).cast("bigint").alias("wa"),
+        F.sum(y_d * F.col("q1")).cast("bigint").alias("wb"),
+        F.sum(y_d * F.col("q2")).cast("bigint").alias("wc"),
+        F.sum(y_d * F.col("q3")).cast("bigint").alias("wd"),
+    )
+
+    def margin(wp: str):
+        return F.col("y").cast("decimal(38,0)") * (
+            F.col(f"{wp}w0").cast("decimal(25,0)")
+            + F.col(f"{wp}wa").cast("decimal(25,0)") * F.col("q0")
+            + F.col(f"{wp}wb").cast("decimal(25,0)") * F.col("q1")
+            + F.col(f"{wp}wc").cast("decimal(25,0)") * F.col("q2")
+            + F.col(f"{wp}wd").cast("decimal(25,0)") * F.col("q3")
+        )
+
+    m2 = lab.crossJoin(F.broadcast(w1)).withColumn("margin", margin(""))
+    mis = F.col("margin") <= 0
+    w2 = m2.agg(
+        (F.max("w0") + F.sum(F.when(mis, F.col("y")).otherwise(0)))
+        .cast("bigint").alias("v0"),
+        (F.max("wa") + F.sum(F.when(mis, F.col("y") * F.col("q0")).otherwise(0)))
+        .cast("bigint").alias("va"),
+        (F.max("wb") + F.sum(F.when(mis, F.col("y") * F.col("q1")).otherwise(0)))
+        .cast("bigint").alias("vb"),
+        (F.max("wc") + F.sum(F.when(mis, F.col("y") * F.col("q2")).otherwise(0)))
+        .cast("bigint").alias("vc"),
+        (F.max("wd") + F.sum(F.when(mis, F.col("y") * F.col("q3")).otherwise(0)))
+        .cast("bigint").alias("vd"),
+        F.sum(F.when(mis, 1).otherwise(0)).cast("bigint").alias("n_updates"),
+    )
+    w2r = w2.select(
+        F.col("v0").alias("w2w0"),
+        F.col("va").alias("w2wa"),
+        F.col("vb").alias("w2wb"),
+        F.col("vc").alias("w2wc"),
+        F.col("vd").alias("w2wd"),
+        "n_updates",
+    )
+    scored = lab.crossJoin(F.broadcast(w2r)).withColumn("m", margin("w2"))
+    out = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("w2w0").alias("w0"),
+        F.max("w2wa").alias("w_q0"),
+        F.max("w2wb").alias("w_q1"),
+        F.max("w2wc").alias("w_q2"),
+        F.max("w2wd").alias("w_q3"),
+        F.max("n_updates").alias("n_updates"),
+        F.sum(F.when(F.col("m") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("err_after"),
+    )
+    return out.select(
+        "n", "w0", "w_q0", "w_q1", "w_q2", "w_q3", "n_updates", "err_after"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_gini_feature_split — CART-style split scoring, fully integer bins
+
+
+@register(
+    "ml_gini_feature_split",
+    tags=("ml", "agg", "window"),
+    oracle=f"""
+        WITH {_ML_FEATS_SQL},
+        long AS (
+            SELECT 0 AS f, q0 AS q, CASE WHEN y = 1 THEN 1 ELSE 0 END AS pos
+            FROM lab
+            UNION ALL SELECT 1, q1, CASE WHEN y = 1 THEN 1 ELSE 0 END FROM lab
+            UNION ALL SELECT 2, q2, CASE WHEN y = 1 THEN 1 ELSE 0 END FROM lab
+            UNION ALL SELECT 3, q3, CASE WHEN y = 1 THEN 1 ELSE 0 END FROM lab
+        ),
+        rngs AS (
+            SELECT f, MIN(q) AS qmin, MAX(q) AS qmax FROM long GROUP BY f
+        ),
+        binned AS (
+            SELECT long.f,
+                   CAST(((long.q - rngs.qmin) * 8)
+                        // (rngs.qmax - rngs.qmin + 1) AS BIGINT) AS bin,
+                   long.pos
+            FROM long JOIN rngs ON rngs.f = long.f
+        ),
+        cells AS (
+            SELECT f, bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(pos) AS BIGINT) AS p
+            FROM binned GROUP BY f, bin
+        ),
+        cum AS (
+            SELECT f, bin,
+                   CAST(SUM(n) OVER (PARTITION BY f ORDER BY bin) AS BIGINT)
+                       AS nl,
+                   CAST(SUM(p) OVER (PARTITION BY f ORDER BY bin) AS BIGINT)
+                       AS pl,
+                   CAST(SUM(n) OVER (PARTITION BY f) AS BIGINT) AS nt,
+                   CAST(SUM(p) OVER (PARTITION BY f) AS BIGINT) AS pt
+            FROM cells
+        ),
+        scored AS (
+            SELECT f, bin, nl, nt - nl AS nr,
+                   (CAST(nt AS DOUBLE)
+                    - (CAST(pt * pt AS DOUBLE)
+                       + CAST((nt - pt) * (nt - pt) AS DOUBLE))
+                      / CAST(nt AS DOUBLE))
+                   - ((CAST(nl AS DOUBLE)
+                       - (CAST(pl * pl AS DOUBLE)
+                          + CAST((nl - pl) * (nl - pl) AS DOUBLE))
+                         / CAST(nl AS DOUBLE))
+                      + (CAST(nt - nl AS DOUBLE)
+                         - (CAST((pt - pl) * (pt - pl) AS DOUBLE)
+                            + CAST(((nt - nl) - (pt - pl))
+                                   * ((nt - nl) - (pt - pl)) AS DOUBLE))
+                           / CAST(nt - nl AS DOUBLE))) AS dec_abs
+            FROM cum WHERE nl > 0 AND nt - nl > 0
+        ),
+        best AS (
+            SELECT f, bin, nl, nr, dec_abs,
+                   ROW_NUMBER() OVER (PARTITION BY f
+                       ORDER BY dec_abs DESC, bin) AS rk
+            FROM scored
+        )
+        SELECT CAST(f AS INT) AS feature, CAST(bin AS INT) AS best_bin,
+               nl AS n_left, nr AS n_right,
+               dec_abs / CAST((SELECT MAX(nt) FROM cum) AS DOUBLE)
+                   AS gini_decrease
+        FROM best WHERE rk = 1 ORDER BY feature
+    """,
+)
+def ml_gini_feature_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CART split scoring: for each of the 4 quantized embedding
+    features, the 8-bin threshold maximizing the Gini impurity
+    decrease n*G(parent) - [nL*G(L) + nR*G(R)] (reported per-sample) —
+    the feature-ranking half of decision-tree induction, complementing
+    ml_chi2_feature_select with the impurity criterion trees actually
+    split on. Bins are PURE INTEGER arithmetic ((q - min) * 8 //
+    (max - min + 1) — BIGINT div, no float bin edges); count
+    squares stay in BIGINT (ceiling ~sf4e3 on p^2*...; products cast
+    to double ONCE each); the decrease is one fixed-parenthesization
+    double expression and the per-feature argmax tie-breaks on bin.
+    Degenerate single-side splits are excluded exactly (nl/nr > 0).
+    Scale: one scan into a 4x8-cell agg; everything downstream is
+    grid-sized."""
+    lab = _ml_feats(spark, sf_dir)
+    parts = []
+    for f in range(4):
+        parts.append(
+            lab.select(
+                F.lit(f).alias("f"),
+                F.col(f"q{f}").alias("q"),
+                F.when(F.col("y") == 1, 1).otherwise(0).alias("pos"),
+            )
+        )
+    long = parts[0].unionByName(parts[1]).unionByName(parts[2]).unionByName(
+        parts[3]
+    )
+    rngs = long.groupBy("f").agg(
+        F.min("q").alias("qmin"), F.max("q").alias("qmax")
+    )
+    binned = long.join(F.broadcast(rngs), "f").select(
+        "f",
+        F.expr("CAST(((q - qmin) * 8) div (qmax - qmin + 1) AS BIGINT)")
+        .alias("bin"),
+        "pos",
+    )
+    cells = binned.groupBy("f", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("p"),
+    )
+    wcum = Window.partitionBy("f").orderBy("bin")
+    wall = Window.partitionBy("f")
+    cum = cells.select(
+        "f",
+        "bin",
+        F.sum("n").over(wcum).cast("bigint").alias("nl"),
+        F.sum("p").over(wcum).cast("bigint").alias("pl"),
+        F.sum("n").over(wall).cast("bigint").alias("nt"),
+        F.sum("p").over(wall).cast("bigint").alias("pt"),
+    )
+    nl, pl = F.col("nl"), F.col("pl")
+    nt, pt = F.col("nt"), F.col("pt")
+    nr, pr = nt - nl, pt - pl
+
+    def gini_term(nn, pp):
+        return nn.cast("double") - (
+            (pp * pp).cast("double") + ((nn - pp) * (nn - pp)).cast("double")
+        ) / nn.cast("double")
+
+    scored = cum.filter((nl > 0) & (nr > 0)).select(
+        "f",
+        "bin",
+        "nl",
+        nr.alias("nr"),
+        "nt",
+        (gini_term(nt, pt) - (gini_term(nl, pl) + gini_term(nr, pr))).alias(
+            "dec_abs"
+        ),
+    )
+    wbest = Window.partitionBy("f").orderBy(F.col("dec_abs").desc(), "bin")
+    return (
+        scored.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("f").cast("int").alias("feature"),
+            F.col("bin").cast("int").alias("best_bin"),
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            (F.col("dec_abs") / F.col("nt").cast("double")).alias(
+                "gini_decrease"
+            ),
+        )
+        .orderBy("feature")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_macro_f1 — multiclass macro-averaged F1 of a bin-majority model
+
+
+@register(
+    "ml_macro_f1",
+    tags=("ml", "eval", "agg"),
+    oracle="""
+        WITH rng AS (
+            SELECT MIN(o_totalprice) AS pmin, MAX(o_totalprice) AS pmax
+            FROM orders
+        ),
+        coded AS (
+            SELECT o_orderpriority AS actual,
+                   LEAST(7, CAST(FLOOR(
+                       (CAST(o_totalprice AS DOUBLE)
+                        - CAST(pmin AS DOUBLE))
+                       / ((CAST(pmax AS DOUBLE) - CAST(pmin AS DOUBLE))
+                          / CAST(8 AS DOUBLE))) AS INT)) AS bin
+            FROM orders CROSS JOIN rng
+        ),
+        binmaj AS (
+            SELECT bin, MAX({'cnt': cnt, 'cl': actual}).cl AS pred
+            FROM (SELECT bin, actual, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM coded GROUP BY bin, actual)
+            GROUP BY bin
+        ),
+        conf AS (
+            SELECT c.actual, b.pred, CAST(COUNT(*) AS BIGINT) AS n
+            FROM coded c JOIN binmaj b ON b.bin = c.bin
+            GROUP BY c.actual, b.pred
+        ),
+        cls AS (SELECT DISTINCT actual AS cl FROM coded),
+        perclass AS (
+            SELECT cls.cl,
+                   CAST(COALESCE(SUM(CASE WHEN conf.actual = cls.cl
+                                           AND conf.pred = cls.cl
+                                     THEN conf.n END), 0) AS BIGINT) AS tp,
+                   CAST(COALESCE(SUM(CASE WHEN conf.pred = cls.cl
+                                           AND conf.actual <> cls.cl
+                                     THEN conf.n END), 0) AS BIGINT) AS fp,
+                   CAST(COALESCE(SUM(CASE WHEN conf.actual = cls.cl
+                                           AND conf.pred <> cls.cl
+                                     THEN conf.n END), 0) AS BIGINT) AS fn
+            FROM cls LEFT JOIN conf ON TRUE
+            GROUP BY cls.cl
+        ),
+        scored AS (
+            SELECT cl, tp, fp, fn,
+                   CASE WHEN 2 * tp + fp + fn > 0 THEN
+                     CAST(2 * tp AS DOUBLE)
+                       / CAST(2 * tp + fp + fn AS DOUBLE)
+                   ELSE CAST(0 AS DOUBLE) END AS f1
+            FROM perclass
+        ),
+        mac AS (
+            SELECT list_reduce(list(f1 ORDER BY cl), (a, x) -> a + x)
+                     / CAST(COUNT(*) AS DOUBLE) AS macro_f1
+            FROM scored
+        )
+        SELECT s.cl AS class, s.tp, s.fp, s.fn, s.f1, m.macro_f1
+        FROM scored s CROSS JOIN mac m
+        ORDER BY class
+    """,
+)
+def ml_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro-averaged F1 of the bin-majority classifier that predicts
+    order PRIORITY from the order-value octile (train = score =
+    resubstitution, documented): per-class F1 = 2TP/(2TP+FP+FN) — the
+    multiclass counterpart of ml_fbeta_grid's binary scores and the
+    number reported by every imbalanced-multiclass eval. The majority
+    label per bin is an exact integer argmax (max (count, class)
+    struct — ties break to the lexicographically LARGEST class,
+    identical in both engines' struct/ROW ordering); the confusion
+    marginals are integer sums; each F1 is one guarded division
+    (convention: no-support classes score 0, not NULL); the macro
+    average is an ORDER-PINNED fold over the class list divided by the
+    class count. Scale: two scans + grid-sized joins; the class
+    relation is 5 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    rng = o.agg(
+        F.min("o_totalprice").alias("pmin"), F.max("o_totalprice").alias("pmax")
+    )
+    coded = o.crossJoin(F.broadcast(rng)).select(
+        F.col("o_orderpriority").alias("actual"),
+        F.least(
+            F.lit(7),
+            F.floor(
+                (F.col("o_totalprice").cast("double")
+                 - F.col("pmin").cast("double"))
+                / ((F.col("pmax").cast("double")
+                    - F.col("pmin").cast("double")) / F.lit(8.0))
+            ).cast("int"),
+        ).alias("bin"),
+    )
+    binmaj = (
+        coded.groupBy("bin", "actual")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .groupBy("bin")
+        .agg(F.max(F.struct("cnt", "actual")).alias("best"))
+        .select("bin", F.col("best.actual").alias("pred"))
+    )
+    conf = (
+        coded.join(F.broadcast(binmaj), "bin")
+        .groupBy("actual", "pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cls = coded.select(F.col("actual").alias("cl")).distinct()
+    perclass = (
+        cls.crossJoin(F.broadcast(conf))
+        .groupBy("cl")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("actual") == F.col("cl"))
+                        & (F.col("pred") == F.col("cl")),
+                        F.col("n"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("tp"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("pred") == F.col("cl"))
+                        & (F.col("actual") != F.col("cl")),
+                        F.col("n"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("fp"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("actual") == F.col("cl"))
+                        & (F.col("pred") != F.col("cl")),
+                        F.col("n"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("fn"),
+        )
+    )
+    den = 2 * F.col("tp") + F.col("fp") + F.col("fn")
+    scored = perclass.select(
+        "cl",
+        "tp",
+        "fp",
+        "fn",
+        F.when(den > 0, (2 * F.col("tp")).cast("double") / den.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("f1"),
+    )
+    mac = scored.agg(
+        (
+            _ordered_fold_sum(F.col("cl"), F.col("f1"))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("macro_f1")
+    )
+    return (
+        scored.crossJoin(F.broadcast(mac))
+        .select(
+            F.col("cl").alias("class"), "tp", "fp", "fn", "f1", "macro_f1"
+        )
+        .orderBy("class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_average_precision_at_k — retrieval AP@10 on the cosine ranking
+
+
+@register(
+    "ml_average_precision_at_k",
+    tags=("ml", "eval", "vector"),
+    oracle="""
+        WITH q AS (
+            SELECT embedding AS qe, label AS ql FROM embeddings
+            WHERE vec_id = 0
+        ),
+        scored AS (
+            SELECT e.vec_id,
+                   CASE WHEN e.label = q.ql THEN 1 ELSE 0 END AS rel,
+                   list_sum(list_transform(list_zip(q.qe, e.embedding),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(q.qe,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                       AS cos_sim
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> 0
+        ),
+        ranked AS (
+            SELECT rel,
+                   ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rk,
+                   SUM(rel) OVER (ORDER BY cos_sim DESC, vec_id) AS cum_rel
+            FROM scored
+        ),
+        rtot AS (
+            SELECT CAST(SUM(rel) AS BIGINT) AS n_relevant FROM scored
+        ),
+        ap AS (
+            SELECT list_reduce(
+                       list(CAST(rel AS DOUBLE) * (CAST(cum_rel AS DOUBLE)
+                                / CAST(rk AS DOUBLE)) ORDER BY rk),
+                       (a, x) -> a + x) AS num
+            FROM ranked WHERE rk <= 10
+        )
+        SELECT rtot.n_relevant,
+               CASE WHEN LEAST(rtot.n_relevant, 10) > 0 THEN
+                 ap.num / CAST(LEAST(rtot.n_relevant, 10) AS DOUBLE)
+               END AS ap_at_10
+        FROM rtot CROSS JOIN ap
+    """,
+)
+def ml_average_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision at k=10 for the retrieval task 'find vectors
+    sharing query 0's label' ranked by exact cosine: AP@10 =
+    sum_{k<=10} rel_k * P@k / min(R, 10) — the single-query building
+    block of MAP, the ranking-quality number IR evals report alongside
+    recall (vec_recall_curve). The ranking reuses the proven exact
+    cosine machinery (sequential-fold dot product, deterministic
+    (sim, id) tie-break); rel and cum_rel are integers; the 10
+    precision terms are single divisions folded in ORDER-PINNED rank
+    order; the normalizer min(R, 10) is exact. R = 0 NULLs identically
+    (cannot occur at shipped SFs — labels repeat; asserted by the
+    reference test). Scale: one broadcast-query scan + a top-10
+    window."""
+    from finance_etl_spark.functions.vectors import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("label").alias("ql")
+    )
+    scored = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.when(F.col("label") == F.col("ql"), 1).otherwise(0).alias("rel"),
+        cosine("qe", "embedding").alias("cos_sim"),
+    )
+    wrk = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    ranked = scored.select(
+        "rel",
+        F.row_number().over(wrk).alias("rk"),
+        F.sum("rel").over(wrk).alias("cum_rel"),
+    )
+    rtot = scored.agg(F.sum("rel").cast("bigint").alias("n_relevant"))
+    ap = ranked.filter(F.col("rk") <= 10).agg(
+        _ordered_fold_sum(
+            F.col("rk"),
+            F.col("rel").cast("double")
+            * (F.col("cum_rel").cast("double") / F.col("rk").cast("double")),
+        ).alias("num")
+    )
+    kk = F.least(F.col("n_relevant"), F.lit(10))
+    return (
+        rtot.crossJoin(F.broadcast(ap))
+        .select(
+            "n_relevant",
+            F.when(kk > 0, F.col("num") / kk.cast("double")).alias("ap_at_10"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_split_balance_audit — md5 train/test split stratification check
+
+
+@register(
+    "ml_split_balance_audit",
+    tags=("ml", "dq", "agg"),
+    oracle="""
+        WITH gated AS (
+            SELECT o_orderpriority AS class,
+                   CASE WHEN CAST('0x' || SUBSTRING(
+                            md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS BIGINT)
+                        < 52429 THEN 1 ELSE 0 END AS is_train
+            FROM orders
+        ),
+        per AS (
+            SELECT class,
+                   CAST(SUM(is_train) AS BIGINT) AS n_train,
+                   CAST(SUM(1 - is_train) AS BIGINT) AS n_test
+            FROM gated GROUP BY class
+        ),
+        gtot AS (
+            SELECT CAST(SUM(n_train) AS BIGINT) AS gt,
+                   CAST(SUM(n_train + n_test) AS BIGINT) AS gn
+            FROM per
+        )
+        SELECT class, n_train, n_test,
+               CAST(n_train AS DOUBLE) / CAST(n_train + n_test AS DOUBLE)
+                   AS train_frac,
+               CAST(n_train AS DOUBLE) / CAST(n_train + n_test AS DOUBLE)
+                 - CAST(gt AS DOUBLE) / CAST(gn AS DOUBLE) AS dev_from_global
+        FROM per CROSS JOIN gtot
+        ORDER BY class
+    """,
+)
+def ml_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratification audit of the deterministic md5 80/20 train/test
+    split (16-bit gate < 52429 = floor(0.8*65536), the
+    cur_stratified_sample recipe): per priority class, the realized
+    train fraction and its deviation from the global split rate —
+    the pre-training balance check every pipeline should run before
+    trusting a hash split (a skewed class here means the key
+    correlates with the hash, i.e. a broken ladder). Counts are
+    conditional-sum integers; fractions are single divisions; the
+    deviation subtracts two identically-computed doubles. Every class
+    is non-empty by the fixture schema (priority is NOT NULL). One
+    scan, one 5-row agg."""
+    o = load_table(spark, sf_dir, "orders")
+    gate = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    gated = o.select(
+        F.col("o_orderpriority").alias("class"),
+        F.when(gate < 52429, 1).otherwise(0).alias("is_train"),
+    )
+    per = gated.groupBy("class").agg(
+        F.sum("is_train").cast("bigint").alias("n_train"),
+        F.sum(1 - F.col("is_train")).cast("bigint").alias("n_test"),
+    )
+    glob = per.agg(
+        F.sum("n_train").cast("bigint").alias("gt"),
+        F.sum(F.col("n_train") + F.col("n_test")).cast("bigint").alias("gn"),
+    )
+    frac = F.col("n_train").cast("double") / (
+        F.col("n_train") + F.col("n_test")
+    ).cast("double")
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            "class",
+            "n_train",
+            "n_test",
+            frac.alias("train_frac"),
+            (frac - F.col("gt").cast("double") / F.col("gn").cast("double"))
+            .alias("dev_from_global"),
+        )
+        .orderBy("class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_levenshtein_profile — bucketed edit-distance audit
+
+
+@register(
+    "text_levenshtein_profile",
+    tags=("text", "dedup", "join"),
+    oracle="""
+        WITH pairs AS (
+            SELECT a1.p_partkey // 16 AS bkt,
+                   levenshtein(a1.p_name, a2.p_name) AS lev
+            FROM part a1
+            JOIN part a2 ON a1.p_partkey // 16 = a2.p_partkey // 16
+                        AND a1.p_partkey < a2.p_partkey
+        )
+        SELECT CAST(lev // 5 AS INT) AS lev_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(MIN(lev) AS BIGINT) AS min_lev,
+               CAST(MAX(lev) AS BIGINT) AS max_lev,
+               CAST(SUM(CAST(lev AS BIGINT)) AS BIGINT) AS sum_lev
+        FROM pairs
+        GROUP BY 1 ORDER BY lev_bucket
+    """,
+)
+def text_levenshtein_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance profile of part names over CONSTANT-SIZE key
+    buckets (p_partkey div 16, 120 pairs per bucket): the histogram of
+    Levenshtein distances (5-wide bins) across all within-bucket
+    pairs — the character-level name-collision audit of the dedup
+    family (minhash covers token similarity; this covers typo-scale
+    similarity), with a near-duplicate signal showing up as mass in
+    the low bins. Constant bucket size is the scale contract a fixed
+    PREFIX block cannot give (block population grows linearly with
+    the corpus until every block trips a size cap and the operator
+    goes dark — measured at sf0.01 with 5-char blocks): here total
+    pair cost is exactly 7.5 pairs per part at EVERY SF and the pair
+    join shuffles on the bucket key. Levenshtein is an integer metric
+    both engines implement identically (pinned against a pure-Python
+    DP in the reference test); the histogram is exact integer
+    aggregation."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a1 = p.select(
+        F.expr("p_partkey div 16").alias("bkt"),
+        F.col("p_partkey").alias("k1"),
+        F.col("p_name").alias("name1"),
+    )
+    a2 = p.select(
+        F.expr("p_partkey div 16").alias("bkt"),
+        F.col("p_partkey").alias("k2"),
+        F.col("p_name").alias("name2"),
+    )
+    pairs = a1.join(a2, "bkt").filter(F.col("k1") < F.col("k2")).select(
+        F.levenshtein("name1", "name2").alias("lev")
+    )
+    return (
+        pairs.groupBy(F.expr("lev div 5").cast("int").alias("lev_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("lev").cast("bigint").alias("min_lev"),
+            F.max("lev").cast("bigint").alias("max_lev"),
+            F.sum(F.col("lev").cast("bigint")).cast("bigint").alias("sum_lev"),
+        )
+        .orderBy("lev_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# text_sentence_stats — sentence segmentation profile per source
+
+
+@register(
+    "text_sentence_stats",
+    tags=("text", "agg"),
+    oracle="""
+        WITH per_doc AS (
+            SELECT source,
+                   CAST(len(list_filter(
+                       regexp_split_to_array(text, '[.!?]+'),
+                       s -> len(trim(s)) > 0)) AS BIGINT) AS n_sent,
+                   CAST(len(list_filter(
+                       regexp_split_to_array(text, '[ \t\n\r]+'),
+                       w -> len(w) > 0)) AS BIGINT) AS n_words
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_sent) AS BIGINT) AS total_sentences,
+               CAST(SUM(n_words) AS BIGINT) AS total_words,
+               CAST(SUM(n_sent) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS sentences_per_doc,
+               CASE WHEN SUM(n_sent) > 0 THEN
+                 CAST(SUM(n_words) AS DOUBLE) / CAST(SUM(n_sent) AS DOUBLE)
+               END AS words_per_sentence
+        FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation profile per document source: sentence
+    count (split on [.!?]+ runs, empty/whitespace fragments dropped),
+    whitespace token count, and the derived sentences-per-doc /
+    words-per-sentence averages — the structural half of text quality
+    scoring (text_readability_fk consumes exactly these counts; this
+    operator exposes them as an auditable aggregate). The split
+    patterns use only regex constructs java.util.regex and RE2
+    interpret identically (character classes + '+', the cur_pii_redact
+    rule); counts are integers, the two averages single guarded
+    divisions. Sources with only unpunctuated docs NULL
+    words_per_sentence identically. One scan, one |sources|-row
+    agg."""
+    d = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.split(F.col("text"), "[.!?]+"),
+        lambda s: F.length(F.trim(s)) > 0,
+    )
+    words = F.filter(
+        F.split(F.col("text"), "[ \t\n\r]+"), lambda w: F.length(w) > 0
+    )
+    per_doc = d.select(
+        "source",
+        F.size(sents).cast("bigint").alias("n_sent"),
+        F.size(words).cast("bigint").alias("n_words"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_sent").cast("bigint").alias("total_sentences"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_sentences",
+            "total_words",
+            (
+                F.col("total_sentences").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("sentences_per_doc"),
+            F.when(
+                F.col("total_sentences") > 0,
+                F.col("total_words").cast("double")
+                / F.col("total_sentences").cast("double"),
+            ).alias("words_per_sentence"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_hapax_ratio — vocabulary-tail health per source
+
+
+@register(
+    "text_hapax_ratio",
+    tags=("text", "agg"),
+    oracle="""
+        WITH toks AS (
+            SELECT source, UNNEST(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       t -> len(t) > 0)) AS tok
+            FROM documents
+        ),
+        counts AS (
+            SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY source, tok
+        )
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+        FROM counts GROUP BY source ORDER BY source
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena share of each source's vocabulary: the fraction
+    of distinct tokens occurring exactly once — the vocabulary-tail
+    health number that complements text_heaps_curve (growth) and
+    text_type_token_ratio (breadth): natural prose runs ~0.4-0.6
+    hapax; templated or looped text collapses it. Lower-cased alpha
+    tokenization with the cross-engine-safe regex subset; counts are
+    exact integers aggregated on the (source, token) key — shuffle is
+    on the token space, and a df-style skew cap is unnecessary because
+    the reduction is a plain count. Ratio is one division (vocab > 0
+    whenever a source has any alpha text; empty-vocab sources drop
+    from the group-by identically)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            "n_hapax",
+            (
+                F.col("n_hapax").cast("double") / F.col("vocab").cast("double")
+            ).alias("hapax_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_lpa_majority_2round — synchronous label propagation
+
+
+from finance_etl_spark.plans.curation import (  # noqa: E402
+    _GRAPH_EDGE_CTE,
+    _trade_edges_undirected,
+)
+
+
+@register(
+    "graph_lpa_majority_2round",
+    tags=("graph", "iterative", "window"),
+    oracle=f"""
+        WITH {_GRAPH_EDGE_CTE},
+        l1 AS (
+            SELECT v, lbl AS l1 FROM (
+                SELECT nbr.v, nbr.n AS lbl,
+                       ROW_NUMBER() OVER (PARTITION BY nbr.v
+                           ORDER BY COUNT(*) DESC, nbr.n) AS rk
+                FROM nbr GROUP BY nbr.v, nbr.n
+            ) WHERE rk = 1
+        ),
+        l2 AS (
+            SELECT v, lbl AS l2 FROM (
+                SELECT nbr.v, l1.l1 AS lbl,
+                       ROW_NUMBER() OVER (PARTITION BY nbr.v
+                           ORDER BY COUNT(*) DESC, l1.l1) AS rk
+                FROM nbr JOIN l1 ON l1.v = nbr.n
+                GROUP BY nbr.v, l1.l1
+            ) WHERE rk = 1
+        )
+        SELECT CAST(l1.v AS BIGINT) AS nationkey,
+               CAST(l1.l1 AS BIGINT) AS label_r1,
+               CAST(l2.l2 AS BIGINT) AS label_r2
+        FROM l1 JOIN l2 ON l2.v = l1.v
+        ORDER BY nationkey
+    """,
+)
+def graph_lpa_majority_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous rounds of majority label propagation on the
+    strong-trade nation graph (labels initialized to node ids, each
+    round every node adopts the most frequent label among its
+    neighbors, ties to the SMALLEST label — the deterministic
+    synchronous variant of Raghavan et al. 2007's LPA, fixed-round
+    unrolled like vec_kmeans_unrolled2): after two rounds dense trade
+    cliques share a label — the cheap community seed used before
+    heavier modularity optimization (graph_modularity_score scores
+    such partitions). Each round is one neighbor join + an integer
+    count argmax with an exact (count desc, label asc) tie-break —
+    no floats anywhere. Scale: per round one shuffle on the node key
+    of the neighbor relation; state between rounds is the |V|-row
+    label relation."""
+    ku = _trade_edges_undirected(spark, sf_dir)
+    nbr = ku.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        ku.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+
+    def majority(labeled: DataFrame, lbl_col: str) -> DataFrame:
+        wrk = Window.partitionBy("v").orderBy(
+            F.col("cnt").desc(), F.col("lbl")
+        )
+        return (
+            labeled.groupBy("v", F.col(lbl_col).alias("lbl"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rk", F.row_number().over(wrk))
+            .filter(F.col("rk") == 1)
+            .select("v", "lbl")
+        )
+
+    l1 = majority(nbr.withColumnRenamed("n", "lbl0"), "lbl0")
+    nbr_l1 = nbr.join(
+        l1.select(F.col("v").alias("n"), F.col("lbl").alias("nl")), "n"
+    )
+    l2 = majority(nbr_l1, "nl")
+    return (
+        l1.select("v", F.col("lbl").alias("label_r1"))
+        .join(l2.select("v", F.col("lbl").alias("label_r2")), "v")
+        .select(
+            F.col("v").cast("bigint").alias("nationkey"),
+            F.col("label_r1").cast("bigint"),
+            F.col("label_r2").cast("bigint"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_bipartite_projection — co-purchase projection with df cap
+
+
+@register(
+    "graph_bipartite_projection",
+    tags=("graph", "join"),
+    oracle="""
+        WITH cp AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        pdeg AS (
+            SELECT p FROM cp GROUP BY p HAVING COUNT(*) <= 40
+        ),
+        capped AS (SELECT cp.c, cp.p FROM cp JOIN pdeg ON pdeg.p = cp.p),
+        proj AS (
+            SELECT a.c AS c1, b.c AS c2, CAST(COUNT(*) AS BIGINT) AS w
+            FROM capped a JOIN capped b ON a.p = b.p AND a.c < b.c
+            GROUP BY a.c, b.c
+        )
+        SELECT CAST(w AS BIGINT) AS weight,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(MIN(c1) AS BIGINT) AS min_c1,
+               CAST(MAX(c2) AS BIGINT) AS max_c2
+        FROM proj GROUP BY w ORDER BY weight
+    """,
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the customer-part purchase graph onto
+    customers: co-purchase pairs weighted by common parts, reported as
+    the weight histogram (pair count + id envelope per weight) — the
+    standard recommender / entity-linking primitive. The projection is
+    generated through the part side with a DEGREE CAP (parts bought by
+    more than 40 distinct customers are excluded — the df-capped
+    inverted-index contract of operators/dedup.py): projection cost is
+    sum over parts of deg^2 <= 40*|edges|, LINEAR in the corpus, never
+    |customers|^2, and the pair join shuffles on the part key. The cap
+    is sized to the fixture's CONSTANT part degree (~30 buyers/part at
+    every SF by TPC-H sizing: lineitem and part both scale with SF),
+    so it binds only pathological hot parts; a 10-cap drops the entire
+    corpus — measured, the same every-block-trips-the-cap failure the
+    levenshtein profile documents. All counts are exact integers; the
+    histogram output is bounded by the cap. Popular-part recall loss
+    is the documented trade-off (same as minhash's banding)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pdeg = cp.groupBy("p").agg(F.count(F.lit(1)).alias("dp")).filter(
+        F.col("dp") <= 40
+    )
+    capped = cp.join(pdeg.select("p"), "p")
+    a = capped.select("p", F.col("c").alias("c1"))
+    b = capped.select("p", F.col("c").alias("c2"))
+    proj = (
+        a.join(b, "p")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    return (
+        proj.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("c1").cast("bigint").alias("min_c1"),
+            F.max("c2").cast("bigint").alias("max_c2"),
+        )
+        .select(
+            F.col("w").cast("bigint").alias("weight"), "n_pairs", "min_c1",
+            "max_c2",
+        )
+        .orderBy("weight")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cur_license_detect — license keyword audit over documents
+
+
+_LICENSES = (
+    ("mit", "mit license"),
+    ("apache", "apache license"),
+    ("gpl", "general public license"),
+    ("bsd", "bsd license"),
+    ("cc", "creative commons"),
+)
+
+
+@register(
+    "cur_license_detect",
+    tags=("curation", "text", "agg"),
+    oracle=f"""
+        WITH lic (license, pat) AS (VALUES
+            {", ".join(f"('{k}', '{p}')" for k, p in _LICENSES)}),
+        srcs AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        ),
+        hits AS (
+            SELECT d.source, lic.license,
+                   CAST(SUM(CASE WHEN strpos(lower(d.text), lic.pat) > 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+            FROM documents d CROSS JOIN lic
+            GROUP BY d.source, lic.license
+        )
+        SELECT srcs.source AS source, hits.license, srcs.n_docs,
+               hits.n_hits,
+               CAST(hits.n_hits AS DOUBLE) / CAST(srcs.n_docs AS DOUBLE)
+                   AS hit_rate
+        FROM srcs JOIN hits ON hits.source = srcs.source
+        ORDER BY srcs.source, hits.license
+    """,
+)
+def cur_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License keyword audit per document source: for each of five
+    license phrase markers (MIT / Apache / GPL / BSD / Creative
+    Commons), how many docs in each source mention it — the
+    provenance-governance gate a training-data pipeline runs before
+    mixing a crawl source in (license-restricted text must be routed,
+    not silently ingested). Matching is case-folded LITERAL substring
+    (strpos/instr — identical semantics, no regex dialect risk); the
+    full source x license grid is emitted so zero-hit cells are
+    visible (grid join, not present-only — the fin_active_share
+    lesson). Counts integer, rate one division; n_docs > 0 by the
+    group-by. One scan x 5 literals, |sources| x 5 output."""
+    d = load_table(spark, sf_dir, "documents")
+    srcs = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    lic = d.sparkSession.createDataFrame(
+        list(_LICENSES), "license string, pat string"
+    )
+    hits = (
+        d.crossJoin(F.broadcast(lic))
+        .groupBy("source", "license")
+        .agg(
+            F.sum(
+                F.when(
+                    F.instr(F.lower(F.col("text")), F.col("pat")) > 0, 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_hits")
+        )
+    )
+    return (
+        srcs.join(hits, "source")
+        .select(
+            "source",
+            "license",
+            "n_docs",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double") / F.col("n_docs").cast("double")
+            ).alias("hit_rate"),
+        )
+        .orderBy("source", "license")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cur_blocklist_filter — spam-term gate per source
+
+
+_BLOCKTERMS = ("casino", "lottery", "jackpot", "winner takes")
+
+
+@register(
+    "cur_blocklist_filter",
+    tags=("curation", "text", "agg"),
+    oracle=f"""
+        WITH flagged AS (
+            SELECT source,
+                   CASE WHEN {" OR ".join(
+                       f"strpos(lower(text), '{t}') > 0" for t in _BLOCKTERMS
+                   )} THEN 1 ELSE 0 END AS hit
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(hit) AS BIGINT) AS n_flagged,
+               CAST(COUNT(*) - SUM(hit) AS BIGINT) AS n_passed,
+               CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS flag_rate
+        FROM flagged GROUP BY source ORDER BY source
+    """,
+)
+def cur_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist gate per document source: docs containing any of the
+    spam marker terms are flagged and the per-source pass/flag split
+    reported — the wordlist-filter stage of a training-data curation
+    pipeline (the real list is thousands of terms; the mechanism —
+    case-folded literal substring OR-chain, map-side, no shuffle
+    before the agg — is what this pins; swap the literal list for a
+    broadcast lookup at production size). Zero-hit sources still
+    report their full row (counts integer, rate one division). One
+    scan, one |sources|-row agg."""
+    d = load_table(spark, sf_dir, "documents")
+    hit = F.lit(False)
+    for t in _BLOCKTERMS:
+        hit = hit | (F.instr(F.lower(F.col("text")), F.lit(t)) > 0)
+    flagged = d.select(
+        "source", F.when(hit, 1).otherwise(0).alias("hit")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("hit").cast("bigint").alias("n_flagged"),
+            (F.count(F.lit(1)) - F.sum("hit")).cast("bigint").alias("n_passed"),
+            (
+                F.sum("hit").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("flag_rate"),
+        )
+        .orderBy("source")
+    )

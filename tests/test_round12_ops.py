@@ -537,3 +537,413 @@ class TestBurke:
         assert row["burke_daily"] == pytest.approx(
             mean_r / math.sqrt(sum_dd2), rel=1e-9
         )
+
+
+def _embeddings_py():
+    return _fetch(
+        "SELECT vec_id, embedding, label"
+        f" FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+
+
+def _ml_feats_py():
+    import math
+
+    out = []
+    for vid, emb, _ in _embeddings_py():
+        q = [math.floor(float(emb[i]) * 1e6) for i in range(4)]
+        y = 1 if q[0] + q[1] >= 0 else -1
+        out.append((vid, q, y))
+    return out
+
+
+class TestPerceptron2Round:
+    def test_matches_pure_python(self, spark):
+        row = plans.get("ml_perceptron_2round").build(spark, SF).collect()[0]
+        data = _ml_feats_py()
+        w = [0] * 5
+        for _ in range(2):
+            upd = [0] * 5
+            n_upd = 0
+            for _, q, y in data:
+                x = [1] + q
+                if y * sum(wi * xi for wi, xi in zip(w, x)) <= 0:
+                    n_upd += 1
+                    for j in range(5):
+                        upd[j] += y * x[j]
+            w = [wi + ui for wi, ui in zip(w, upd)]
+        err = sum(
+            1
+            for _, q, y in data
+            if y * sum(wi * xi for wi, xi in zip(w, [1] + q)) <= 0
+        )
+        assert row["n"] == len(data)
+        assert [row["w0"], row["w_q0"], row["w_q1"], row["w_q2"],
+                row["w_q3"]] == w
+        assert row["n_updates"] == n_upd
+        assert row["err_after"] == err
+        # the separable fixture should train to low error
+        assert err < len(data) * 0.25
+
+
+class TestGiniFeatureSplit:
+    def test_matches_pure_python(self, spark):
+        got = {
+            r["feature"]: r
+            for r in plans.get("ml_gini_feature_split")
+            .build(spark, SF)
+            .collect()
+        }
+        data = _ml_feats_py()
+        n = len(data)
+        for f in range(4):
+            qs = [q[f] for _, q, _ in data]
+            qmin, qmax = min(qs), max(qs)
+            binned = [
+                ((q[f] - qmin) * 8 // (qmax - qmin + 1), 1 if y == 1 else 0)
+                for _, q, y in data
+            ]
+            pt = sum(p for _, p in binned)
+
+            def gini_term(nn, pp):
+                return nn - (pp * pp + (nn - pp) * (nn - pp)) / nn
+
+            best = None
+            for t in sorted({b for b, _ in binned})[:-1]:
+                nl = sum(1 for b, _ in binned if b <= t)
+                pl = sum(p for b, p in binned if b <= t)
+                if nl == 0 or nl == n:
+                    continue
+                dec = gini_term(n, pt) - (
+                    gini_term(nl, pl) + gini_term(n - nl, pt - pl)
+                )
+                if best is None or dec > best[1] + 1e-12:
+                    best = (t, dec, nl)
+            row = got[f]
+            assert row["best_bin"] == best[0]
+            assert row["n_left"] == best[2]
+            assert row["gini_decrease"] == pytest.approx(
+                best[1] / n, rel=1e-9
+            )
+
+
+class TestMacroF1:
+    def test_matches_pure_python(self, spark):
+        rows = plans.get("ml_macro_f1").build(spark, SF).collect()
+        data = _orders_py()
+        prices = [r[1] for r in data]
+        pmin, pmax = min(prices), max(prices)
+        coded = [
+            (prio, min(7, int(np.floor((p - pmin) / ((pmax - pmin) / 8.0)))))
+            for _, p, prio, _, _ in data
+        ]
+        maj = {}
+        for prio, b in coded:
+            maj.setdefault(b, {}).setdefault(prio, 0)
+            maj[b][prio] += 1
+        pred_of = {
+            b: max(cnts.items(), key=lambda kv: (kv[1], kv[0]))[0]
+            for b, cnts in maj.items()
+        }
+        pairs = [(prio, pred_of[b]) for prio, b in coded]
+        classes = sorted({prio for prio, _ in pairs})
+        f1s = {}
+        for c in classes:
+            tp = sum(1 for a, p in pairs if a == c and p == c)
+            fp = sum(1 for a, p in pairs if p == c and a != c)
+            fn = sum(1 for a, p in pairs if a == c and p != c)
+            f1s[c] = (tp, fp, fn,
+                      2 * tp / (2 * tp + fp + fn) if 2 * tp + fp + fn else 0.0)
+        macro = sum(v[3] for v in f1s.values()) / len(classes)
+        assert {r["class"] for r in rows} == set(classes)
+        for r in rows:
+            tp, fp, fn, f1 = f1s[r["class"]]
+            assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn)
+            assert r["f1"] == pytest.approx(f1, rel=1e-12)
+            assert r["macro_f1"] == pytest.approx(macro, rel=1e-12)
+
+
+class TestAveragePrecision:
+    def test_matches_numpy(self, spark):
+        row = (
+            plans.get("ml_average_precision_at_k").build(spark, SF).collect()[0]
+        )
+        embs = _embeddings_py()
+        q = next(e for e in embs if e[0] == 0)
+        qv = np.array(q[1], dtype=np.float64)
+        scored = []
+        for vid, emb, lbl in embs:
+            if vid == 0:
+                continue
+            v = np.array(emb, dtype=np.float64)
+            cs = float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            scored.append((-cs, vid, 1 if lbl == q[2] else 0))
+        scored.sort()
+        rels = [r for _, _, r in scored]
+        R = sum(rels)
+        num = 0.0
+        cum = 0
+        for k in range(1, 11):
+            cum += rels[k - 1]
+            num += rels[k - 1] * cum / k
+        assert row["n_relevant"] == R
+        assert R > 0
+        assert row["ap_at_10"] == pytest.approx(num / min(R, 10), rel=1e-9)
+
+
+class TestSplitBalance:
+    def test_matches_hashlib(self, spark):
+        rows = plans.get("ml_split_balance_audit").build(spark, SF).collect()
+        per = {}
+        for k, _, prio, _, _ in _orders_py():
+            g = int(hashlib.md5(str(k).encode()).hexdigest()[:4], 16)
+            tr, te = per.get(prio, (0, 0))
+            per[prio] = (tr + (g < 52429), te + (g >= 52429))
+        gt = sum(v[0] for v in per.values())
+        gn = sum(v[0] + v[1] for v in per.values())
+        for r in rows:
+            tr, te = per[r["class"]]
+            assert (r["n_train"], r["n_test"]) == (tr, te)
+            assert r["train_frac"] == pytest.approx(tr / (tr + te), rel=1e-12)
+            assert r["dev_from_global"] == pytest.approx(
+                tr / (tr + te) - gt / gn, rel=1e-9, abs=1e-12
+            )
+            assert abs(r["dev_from_global"]) < 0.1  # the ladder stratifies
+
+
+def _lev_py(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+class TestLevenshteinProfile:
+    def test_matches_pure_python(self, spark):
+        got = {
+            r["lev_bucket"]: r
+            for r in plans.get("text_levenshtein_profile")
+            .build(spark, SF)
+            .collect()
+        }
+        parts = _fetch(
+            f"SELECT p_partkey, p_name FROM read_parquet('{SF}/part.parquet')"
+        )
+        from collections import defaultdict
+
+        bkts = defaultdict(list)
+        for k, name in parts:
+            bkts[k // 16].append((k, name))
+        hist = defaultdict(list)
+        for members in bkts.values():
+            members.sort()
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    lev = _lev_py(members[i][1], members[j][1])
+                    hist[lev // 5].append(lev)
+        assert set(got) == set(hist)
+        for b, levs in hist.items():
+            row = got[b]
+            assert row["n_pairs"] == len(levs)
+            assert row["min_lev"] == min(levs)
+            assert row["max_lev"] == max(levs)
+            assert row["sum_lev"] == sum(levs)
+
+
+class TestSentenceHapax:
+    def test_sentence_stats_match(self, spark):
+        import re
+
+        got = {
+            r["source"]: r
+            for r in plans.get("text_sentence_stats").build(spark, SF).collect()
+        }
+        docs = _fetch(
+            f"SELECT source, text FROM read_parquet('{SF}/documents.parquet')"
+        )
+        agg = {}
+        for src, text in docs:
+            sents = [
+                s for s in re.split(r"[.!?]+", text) if s.strip()
+            ]
+            words = [w for w in re.split(r"[ \t\n\r]+", text) if w]
+            nd, ns, nw = agg.get(src, (0, 0, 0))
+            agg[src] = (nd + 1, ns + len(sents), nw + len(words))
+        for src, (nd, ns, nw) in agg.items():
+            row = got[src]
+            assert (row["n_docs"], row["total_sentences"],
+                    row["total_words"]) == (nd, ns, nw)
+            assert row["sentences_per_doc"] == pytest.approx(ns / nd)
+            assert row["words_per_sentence"] == pytest.approx(nw / ns)
+
+    def test_hapax_matches(self, spark):
+        import re
+        from collections import Counter
+
+        got = {
+            r["source"]: r
+            for r in plans.get("text_hapax_ratio").build(spark, SF).collect()
+        }
+        docs = _fetch(
+            f"SELECT source, text FROM read_parquet('{SF}/documents.parquet')"
+        )
+        per = {}
+        for src, text in docs:
+            toks = [t for t in re.split(r"[^a-z]+", text.lower()) if t]
+            per.setdefault(src, Counter()).update(toks)
+        for src, cnt in per.items():
+            row = got[src]
+            hapax = sum(1 for c in cnt.values() if c == 1)
+            assert row["n_tokens"] == sum(cnt.values())
+            assert row["vocab"] == len(cnt)
+            assert row["n_hapax"] == hapax
+            assert row["hapax_ratio"] == pytest.approx(hapax / len(cnt))
+
+
+def _trade_graph_py():
+    rows = _fetch(
+        "SELECT s.s_nationkey, c.c_nationkey, COUNT(*)"
+        f" FROM read_parquet('{SF}/lineitem.parquet') l"
+        f" JOIN read_parquet('{SF}/orders.parquet') o"
+        " ON l.l_orderkey = o.o_orderkey"
+        f" JOIN read_parquet('{SF}/customer.parquet') c"
+        " ON o.o_custkey = c.c_custkey"
+        f" JOIN read_parquet('{SF}/supplier.parquet') s"
+        " ON l.l_suppkey = s.s_suppkey"
+        " GROUP BY 1, 2"
+    )
+    und = {}
+    for a, b, w in rows:
+        if a == b:
+            continue
+        k = (min(a, b), max(a, b))
+        und[k] = und.get(k, 0) + w
+    ws = sorted(und.values())
+    import math
+
+    # quantile_cont(0.6) — linear interpolation
+    pos = 0.6 * (len(ws) - 1)
+    lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+    t = ws[lo] + (ws[hi] - ws[lo]) * (pos - lo)
+    return [k for k, w in und.items() if w >= t]
+
+
+class TestLPA:
+    def test_matches_pure_python(self, spark):
+        got = {
+            r["nationkey"]: r
+            for r in plans.get("graph_lpa_majority_2round")
+            .build(spark, SF)
+            .collect()
+        }
+        edges = _trade_graph_py()
+        from collections import defaultdict
+
+        nbrs = defaultdict(list)
+        for a, b in edges:
+            nbrs[a].append(b)
+            nbrs[b].append(a)
+
+        def majority(labels):
+            out = {}
+            for v, ns in nbrs.items():
+                cnt = defaultdict(int)
+                for n in ns:
+                    cnt[labels[n]] += 1
+                out[v] = min(
+                    cnt.items(), key=lambda kv: (-kv[1], kv[0])
+                )[0]
+            return out
+
+        l0 = {v: v for v in nbrs}
+        l1 = majority(l0)
+        l2 = majority(l1)
+        assert set(got) == set(nbrs)
+        for v in nbrs:
+            assert got[v]["label_r1"] == l1[v]
+            assert got[v]["label_r2"] == l2[v]
+
+
+class TestBipartiteProjection:
+    def test_matches_pure_python(self, spark):
+        got = {
+            r["weight"]: r
+            for r in plans.get("graph_bipartite_projection")
+            .build(spark, SF)
+            .collect()
+        }
+        rows = _fetch(
+            "SELECT DISTINCT o.o_custkey, l.l_partkey"
+            f" FROM read_parquet('{SF}/lineitem.parquet') l"
+            f" JOIN read_parquet('{SF}/orders.parquet') o"
+            " ON l.l_orderkey = o.o_orderkey"
+        )
+        from collections import defaultdict
+
+        by_part = defaultdict(list)
+        for c, p in rows:
+            by_part[p].append(c)
+        pairw = defaultdict(int)
+        for p, cs in by_part.items():
+            if len(cs) > 40:
+                continue
+            cs.sort()
+            for i in range(len(cs)):
+                for j in range(i + 1, len(cs)):
+                    pairw[(cs[i], cs[j])] += 1
+        hist = defaultdict(list)
+        for (c1, c2), w in pairw.items():
+            hist[w].append((c1, c2))
+        assert set(got) == set(hist)
+        for w, prs in hist.items():
+            row = got[w]
+            assert row["n_pairs"] == len(prs)
+            assert row["min_c1"] == min(c1 for c1, _ in prs)
+            assert row["max_c2"] == max(c2 for _, c2 in prs)
+
+
+class TestGovernanceFilters:
+    def test_license_detect_grid(self, spark):
+        rows = plans.get("cur_license_detect").build(spark, SF).collect()
+        docs = _fetch(
+            f"SELECT source, text FROM read_parquet('{SF}/documents.parquet')"
+        )
+        pats = {"mit": "mit license", "apache": "apache license",
+                "gpl": "general public license", "bsd": "bsd license",
+                "cc": "creative commons"}
+        srcs = {s for s, _ in docs}
+        assert len(rows) == len(srcs) * len(pats)  # full grid, zeros visible
+        per = {(s, k): 0 for s in srcs for k in pats}
+        nd = {s: 0 for s in srcs}
+        for s, text in docs:
+            nd[s] += 1
+            low = text.lower()
+            for k, p in pats.items():
+                per[(s, k)] += p in low
+        for r in rows:
+            assert r["n_hits"] == per[(r["source"], r["license"])]
+            assert r["n_docs"] == nd[r["source"]]
+
+    def test_blocklist_matches(self, spark):
+        rows = plans.get("cur_blocklist_filter").build(spark, SF).collect()
+        docs = _fetch(
+            f"SELECT source, text FROM read_parquet('{SF}/documents.parquet')"
+        )
+        terms = ("casino", "lottery", "jackpot", "winner takes")
+        agg = {}
+        for s, text in docs:
+            low = text.lower()
+            hit = any(t in low for t in terms)
+            n, f = agg.get(s, (0, 0))
+            agg[s] = (n + 1, f + hit)
+        for r in rows:
+            n, f = agg[r["source"]]
+            assert (r["n_docs"], r["n_flagged"], r["n_passed"]) == (
+                n, f, n - f,
+            )
+            assert r["flag_rate"] == pytest.approx(f / n)
