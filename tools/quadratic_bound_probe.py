@@ -96,6 +96,42 @@ def main() -> int:
                 "bucket+carry cumulative counts — no per-row pair join; "
                 "only the corpus->score-histogram agg scales"
             ),
+            "stat_jonckheere_terpstra": (
+                "10-pair-term expansion rides the DISTINCT-VALUE "
+                "cumulative relation (bucket+carry), never row pairs; "
+                "distinct order totals grow ~linearly and the rank work "
+                "stays partition-parallel"
+            ),
+            "stat_anderson_darling_2s": (
+                "tail-weighted integral over the pooled distinct-value "
+                "cumulative; the per-value ratio reduction is one "
+                "floor-1e6 exact sum on the same relation — no global "
+                "sort, no pair join"
+            ),
+            "stat_conover_squared_ranks": (
+                "doubled midranks of |x - segment median| on the "
+                "calendar-bounded daily relation; corpus work is the "
+                "shared daily agg only"
+            ),
+            "text_levenshtein_profile": (
+                "constant-size key buckets: exactly 7.5 Levenshtein "
+                "pairs per part at every SF — total work LINEAR by "
+                "construction, shuffle on the bucket key"
+            ),
+            "graph_bipartite_projection": (
+                "degree-capped part-side projection: sum over parts of "
+                "deg^2 <= 40*|edges|, linear; part degree is "
+                "SF-constant (~30) by TPC-H sizing"
+            ),
+            "ml_perceptron_2round": (
+                "three map-side-combining scans (w1, w2, err) with "
+                "1-row weight broadcasts between rounds — no shuffle "
+                "beyond the 1-row aggs"
+            ),
+            "ts_variance_ratio": (
+                "q-sums are windows over the calendar-bounded daily "
+                "return series; corpus work is the shared daily agg"
+            ),
         }
         with open(os.path.join(REPO, "SCALING.md"), "a") as f:
             for r in results:
