@@ -2865,3 +2865,663 @@ def cur_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# fin_cornish_fisher_var — higher-moment VaR correction
+
+
+@register(
+    "fin_cornish_fisher_var",
+    tags=("finance", "stats"),
+    oracle=f"""
+        WITH {_MKT_RET_SQL},
+        r6 AS (
+            SELECT CAST(FLOOR(CAST(m AS DOUBLE) / CAST(1e3 AS DOUBLE))
+                        AS BIGINT) AS v
+            FROM rm
+        ),
+        split AS (
+            SELECT v, v // 10000 AS a, v % 10000 AS b FROM r6
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(CAST(v AS DECIMAL(19,0))) AS VARCHAR)
+                        AS DOUBLE) AS s1,
+                   CAST(CAST(SUM(CAST(v AS DECIMAL(15,0)) * v) AS VARCHAR)
+                        AS DOUBLE) AS s2,
+                   CAST(CAST(SUM(CAST(CAST(v AS DECIMAL(15,0)) * v
+                                      AS DECIMAL(23,0)) * v) AS VARCHAR)
+                        AS DOUBLE) AS s3,
+                   CAST(1e16 AS DOUBLE)
+                     * CAST(CAST(SUM(CAST(a*a*a*a AS DECIMAL(28,0)))
+                                 AS VARCHAR) AS DOUBLE)
+                   + CAST(4e12 AS DOUBLE)
+                     * CAST(CAST(SUM(CAST(a*a*a*b AS DECIMAL(28,0)))
+                                 AS VARCHAR) AS DOUBLE)
+                   + CAST(6e8 AS DOUBLE)
+                     * CAST(CAST(SUM(CAST((a*b)*(a*b) AS DECIMAL(28,0)))
+                                 AS VARCHAR) AS DOUBLE)
+                   + CAST(4e4 AS DOUBLE)
+                     * CAST(CAST(SUM(CAST(a*b*b*b AS DECIMAL(28,0)))
+                                 AS VARCHAR) AS DOUBLE)
+                   + CAST(CAST(SUM(CAST((b*b)*(b*b) AS DECIMAL(28,0)))
+                               AS VARCHAR) AS DOUBLE) AS s4
+            FROM split
+        ),
+        m AS (
+            SELECT n,
+                   s1 / n AS mu,
+                   s2 / n - (s1 / n) * (s1 / n) AS m2,
+                   s3 / n - 3 * (s1 / n) * (s2 / n)
+                     + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+                   s4 / n - 4 * (s1 / n) * (s3 / n)
+                     + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                     - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+            FROM s
+        ),
+        zc AS (SELECT CAST('2.3263478740408408' AS DOUBLE) AS z)
+        SELECT n,
+               mu / CAST(1e6 AS DOUBLE) AS mean_r,
+               CASE WHEN m2 > 0 THEN sqrt(m2) / CAST(1e6 AS DOUBLE) END
+                   AS sd_r,
+               CASE WHEN m2 > 0 THEN
+                 m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) END AS skewness,
+               CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END AS kurtosis,
+               CASE WHEN m2 > 0 THEN
+                 -((mu / CAST(1e6 AS DOUBLE))
+                   + (sqrt(m2) / CAST(1e6 AS DOUBLE))
+                     * (z
+                        + (z * z - 1)
+                          * (m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2))) / 6
+                        + (z * z * z - 3 * z)
+                          * (m4 / (m2 * m2) - 3) / 24
+                        - (2 * z * z * z - 5 * z)
+                          * (m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)))
+                          * (m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2))) / 36))
+               END AS var_99_cf
+        FROM m CROSS JOIN zc
+    """,
+)
+def fin_cornish_fisher_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cornish-Fisher 99% VaR of the whole-market daily revenue
+    return: the four-moment quantile correction z_cf = z + (z^2-1)S/6
+    + (z^3-3z)(K-3)/24 - (2z^3-5z)S^2/36, VaR = -(mu + sigma*z_cf)
+    (Cornish & Fisher 1938; the parametric-VaR upgrade every fat-tail
+    desk runs next to fin_var_parametric's normal). Returns are
+    re-quantized to q6 (micro-units) so the fourth power sum fits the
+    jarque-bera five-binomial-sum machinery with SIGNED a/b (both
+    engines' integer div/mod truncate toward zero identically, so
+    v = 1e4*a + b holds exactly for negatives); the 99% normal
+    quantile is a string-routed literal; every moment/statistic is ONE
+    identically-parenthesized double expression with sqrt(m2)^3 (not
+    libm pow). Zero variance NULLs all risk outputs identically. One
+    scan, one 8-number agg."""
+    rm = _mkt_returns(spark, sf_dir)
+    r6 = rm.select(
+        F.floor(F.col("m").cast("double") / F.expr("CAST(1e3 AS DOUBLE)"))
+        .cast("bigint")
+        .alias("v")
+    )
+    base = r6.select(
+        "v",
+        F.expr("v div 10000").alias("a"),
+        (F.col("v") % 10000).alias("b"),
+    )
+    v15 = F.col("v").cast("decimal(15,0)")
+    a, b = F.col("a"), F.col("b")
+    d28 = "decimal(28,0)"
+    s = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _as_d(F.sum(F.col("v").cast("decimal(19,0)"))).alias("s1"),
+        _as_d(F.sum(v15 * F.col("v"))).alias("s2"),
+        _as_d(
+            F.sum((v15 * F.col("v")).cast("decimal(23,0)") * F.col("v"))
+        ).alias("s3"),
+        _as_d(F.sum((a * a * a * a).cast(d28))).alias("sa4"),
+        _as_d(F.sum((a * a * a * b).cast(d28))).alias("sa3b"),
+        _as_d(F.sum(((a * b) * (a * b)).cast(d28))).alias("sa2b2"),
+        _as_d(F.sum((a * b * b * b).cast(d28))).alias("sab3"),
+        _as_d(F.sum(((b * b) * (b * b)).cast(d28))).alias("sb4"),
+    ).select(
+        "n",
+        "s1",
+        "s2",
+        "s3",
+        (
+            F.expr("CAST(1e16 AS DOUBLE)") * F.col("sa4")
+            + F.expr("CAST(4e12 AS DOUBLE)") * F.col("sa3b")
+            + F.expr("CAST(6e8 AS DOUBLE)") * F.col("sa2b2")
+            + F.expr("CAST(4e4 AS DOUBLE)") * F.col("sab3")
+            + F.col("sb4")
+        ).alias("s4"),
+    )
+    n_d = F.col("n").cast("double")
+    mu = F.col("s1") / n_d
+    m2 = F.col("s2") / n_d - mu * mu
+    m3 = F.col("s3") / n_d - 3 * mu * (F.col("s2") / n_d) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n_d
+        - 4 * mu * (F.col("s3") / n_d)
+        + 6 * mu * mu * (F.col("s2") / n_d)
+        - 3 * mu * mu * mu * mu
+    )
+    sk = m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2))
+    ku = m4 / (m2 * m2)
+    z = F.expr("CAST('2.3263478740408408' AS DOUBLE)")
+    e6 = F.expr("CAST(1e6 AS DOUBLE)")
+    zcf = (
+        z
+        + (z * z - 1) * sk / 6
+        + (z * z * z - 3 * z) * (ku - 3) / 24
+        - (2 * z * z * z - 5 * z) * sk * sk / 36
+    )
+    return s.select(
+        "n",
+        (mu / e6).alias("mean_r"),
+        F.when(m2 > 0, F.sqrt(m2) / e6).alias("sd_r"),
+        F.when(m2 > 0, sk).alias("skewness"),
+        F.when(m2 > 0, ku).alias("kurtosis"),
+        F.when(m2 > 0, -((mu / e6) + (F.sqrt(m2) / e6) * zcf)).alias(
+            "var_99_cf"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fin_sterling_ratio — mean return over AVERAGE drawdown depth
+
+
+@register(
+    "fin_sterling_ratio",
+    tags=("finance", "window"),
+    oracle=f"""
+        WITH {_MKT_RET_SQL},
+        pk AS (
+            SELECT d, xm,
+                   MAX(xm) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS peak
+            FROM mkt
+        ),
+        flagged AS (
+            SELECT d, xm, peak,
+                   CASE WHEN xm < peak THEN 1 ELSE 0 END AS below,
+                   ROW_NUMBER() OVER (ORDER BY d) AS rn
+            FROM pk
+        ),
+        isl AS (
+            SELECT *,
+                   rn - ROW_NUMBER() OVER (PARTITION BY below ORDER BY d)
+                       AS grp
+            FROM flagged
+        ),
+        eps AS (
+            SELECT grp,
+                   CAST(FLOOR(MAX(
+                       CAST(CAST(peak - xm AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(peak AS VARCHAR) AS DOUBLE))
+                       * CAST(1e9 AS DOUBLE)) AS BIGINT) AS q
+            FROM isl WHERE below = 1 GROUP BY grp
+        ),
+        dd AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_episodes,
+                   CAST(SUM(q) AS BIGINT) AS sq
+            FROM eps
+        ),
+        mu AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(CAST(SUM(CAST(m AS DECIMAL(19,0))) AS VARCHAR)
+                        AS DOUBLE) AS s1
+            FROM rm
+        )
+        SELECT mu.n_days, dd.n_episodes,
+               CASE WHEN dd.n_episodes > 0 THEN
+                 CAST(dd.sq AS DOUBLE)
+                   / (CAST(dd.n_episodes AS DOUBLE) * CAST(1e9 AS DOUBLE))
+               END AS avg_drawdown,
+               CASE WHEN dd.sq > 0 AND mu.n_days > 0 THEN
+                 ((mu.s1 / CAST(1e9 AS DOUBLE)) / CAST(mu.n_days AS DOUBLE))
+                 / (CAST(dd.sq AS DOUBLE)
+                    / (CAST(dd.n_episodes AS DOUBLE) * CAST(1e9 AS DOUBLE)))
+               END AS sterling_daily
+        FROM mu CROSS JOIN dd
+    """,
+)
+def fin_sterling_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sterling ratio (average-drawdown flavor, convention pinned: no
+    10% haircut, all episodes weighted equally): mean daily return
+    divided by the AVERAGE below-peak episode depth — the linear-
+    penalty sibling of fin_burke_ratio's quadratic penalty, same
+    gaps-and-islands episode machinery, q9-integerized episode depths
+    so the across-episodes average is a ratio of exact integers. Zero
+    drawdown NULLs identically. Running-peak window is O(days)."""
+    daily = _seg_daily(spark, sf_dir)
+    mkt = daily.groupBy("d").agg(F.sum("x").cast("decimal(18,2)").alias("xm"))
+    wd = Window.orderBy("d")  # calendar-bounded
+    pk = mkt.select(
+        "d",
+        "xm",
+        F.max("xm").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("peak"),
+    )
+    flagged = pk.select(
+        "d",
+        "xm",
+        "peak",
+        F.when(F.col("xm") < F.col("peak"), 1).otherwise(0).alias("below"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    isl = flagged.withColumn(
+        "grp",
+        F.col("rn")
+        - F.row_number().over(Window.partitionBy("below").orderBy("d")),
+    )
+    eps = (
+        isl.filter(F.col("below") == 1)
+        .groupBy("grp")
+        .agg(
+            F.floor(
+                F.max(
+                    _as_d(F.col("peak") - F.col("xm")) / _as_d(F.col("peak"))
+                )
+                * F.lit(1e9)
+            ).cast("bigint").alias("q")
+        )
+    )
+    dd = eps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_episodes"),
+        F.sum("q").cast("bigint").alias("sq"),
+    )
+    rm = _mkt_returns(spark, sf_dir)
+    mu = rm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        _as_d(F.sum(F.col("m").cast("decimal(19,0)"))).alias("s1"),
+    )
+    e9 = F.expr("CAST(1e9 AS DOUBLE)")
+    avg_dd = F.col("sq").cast("double") / (
+        F.col("n_episodes").cast("double") * e9
+    )
+    return (
+        mu.crossJoin(F.broadcast(dd))
+        .select(
+            "n_days",
+            "n_episodes",
+            F.when(F.col("n_episodes") > 0, avg_dd).alias("avg_drawdown"),
+            F.when(
+                (F.col("sq") > 0) & (F.col("n_days") > 0),
+                ((F.col("s1") / e9) / F.col("n_days").cast("double"))
+                / avg_dd,
+            ).alias("sterling_daily"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fin_upside_potential_ratio — partial-moment performance
+
+
+@register(
+    "fin_upside_potential_ratio",
+    tags=("finance", "stats"),
+    oracle=f"""
+        WITH {_MKT_RET_SQL},
+        {_SEG_RET_SQL},
+        s AS (
+            SELECT segment,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN r > 0 THEN r ELSE 0 END) AS BIGINT)
+                       AS up1,
+                   CAST(CAST(SUM(CASE WHEN r < 0
+                                 THEN CAST(r AS DECIMAL(19,0)) * r
+                                 ELSE 0 END) AS VARCHAR) AS DOUBLE) AS dn2
+            FROM rs GROUP BY segment
+        )
+        SELECT segment, n AS n_days,
+               CAST(up1 AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(1e9 AS DOUBLE))
+                   AS upside_potential,
+               CASE WHEN dn2 > 0 THEN
+                 sqrt(dn2 / CAST(n AS DOUBLE)) / CAST(1e9 AS DOUBLE)
+               END AS downside_deviation,
+               CASE WHEN dn2 > 0 THEN
+                 (CAST(up1 AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(1e9 AS DOUBLE)))
+                 / (sqrt(dn2 / CAST(n AS DOUBLE)) / CAST(1e9 AS DOUBLE))
+               END AS upr
+        FROM s ORDER BY segment
+    """,
+)
+def fin_upside_potential_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upside potential ratio per segment at threshold 0 (Sortino &
+    van der Meer 1991): E[max(r,0)] / sqrt(E[min(r,0)^2]) — rewards
+    upside while penalizing only downside dispersion, the partial-
+    moment refinement of fin_sharpe_sortino (which shares the
+    denominator but uses MEAN excess in the numerator). The upside sum
+    is a conditional BIGINT sum of q9 returns; the downside second
+    partial moment is a conditional DECIMAL sum crossing to double
+    once; both population moments (/n, convention pinned) and the
+    ratio are fixed single expressions. No negative days -> NULL
+    identically. One scan on the shared return relation."""
+    daily = _seg_daily(spark, sf_dir)
+    rs = _seg_returns(daily)
+    s = rs.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("r") > 0, F.col("r")).otherwise(0))
+        .cast("bigint")
+        .alias("up1"),
+        _as_d(
+            F.sum(
+                F.when(
+                    F.col("r") < 0,
+                    F.col("r").cast("decimal(19,0)") * F.col("r"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            )
+        ).alias("dn2"),
+    )
+    n_d = F.col("n").cast("double")
+    e9 = F.expr("CAST(1e9 AS DOUBLE)")
+    upp = F.col("up1").cast("double") / (n_d * e9)
+    ddev = F.sqrt(F.col("dn2") / n_d) / e9
+    return s.select(
+        "segment",
+        F.col("n").alias("n_days"),
+        upp.alias("upside_potential"),
+        F.when(F.col("dn2") > 0, ddev).alias("downside_deviation"),
+        F.when(F.col("dn2") > 0, upp / ddev).alias("upr"),
+    ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# stat_trimmed_mean / stat_bowley_skew — bucket+carry order statistics
+
+
+_CENTS_CUM_SQL = """
+        cents AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS v
+            FROM orders
+        ),
+        vals AS (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM cents GROUP BY v
+        ),
+        cum AS (
+            SELECT v, cnt,
+                   CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS c,
+                   CAST(SUM(cnt) OVER () AS BIGINT) AS n
+            FROM vals
+        )
+"""
+
+
+def _cents_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v, cnt, c, n): distinct order-total cents with cumulative and
+    total counts — the bucket+carry rank relation shared by the exact
+    order-statistic operators. The Spark cumulative runs over the
+    DISTINCT-VALUE relation (value-domain-bounded), not corpus rows;
+    the oracle's plain window is equivalent on the same relation."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("v")
+    )
+    vals = cents.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wv = Window.orderBy("v")  # distinct-value relation: domain-bounded
+    return vals.select(
+        "v",
+        "cnt",
+        F.sum("cnt").over(wv).cast("bigint").alias("c"),
+        F.sum("cnt").over(Window.partitionBy(F.lit(1)))
+        .cast("bigint")
+        .alias("n"),
+    )
+
+
+@register(
+    "stat_trimmed_mean",
+    tags=("stats", "window", "agg"),
+    oracle=f"""
+        WITH {_CENTS_CUM_SQL},
+        parts AS (
+            SELECT n, n // 20 AS k,
+                   CAST(SUM(CAST(v AS DECIMAL(19,0)) * cnt) AS DECIMAL(38,0))
+                       AS total,
+                   CAST(SUM(CAST(v AS DECIMAL(19,0))
+                            * LEAST(cnt, GREATEST(
+                                CAST(0 AS BIGINT), n // 20 - (c - cnt))))
+                        AS DECIMAL(38,0)) AS bot,
+                   CAST(SUM(CAST(v AS DECIMAL(19,0))
+                            * LEAST(cnt, GREATEST(
+                                CAST(0 AS BIGINT), c - (n - n // 20))))
+                        AS DECIMAL(38,0)) AS top
+            FROM cum GROUP BY n
+        )
+        SELECT n, CAST(k AS BIGINT) AS k_each_side,
+               CASE WHEN n - 2 * k > 0 THEN
+                 CAST(CAST(total - bot - top AS VARCHAR) AS DOUBLE)
+                   / (CAST(n - 2 * k AS DOUBLE) * CAST(100 AS DOUBLE))
+               END AS trimmed_mean
+        FROM parts
+    """,
+)
+def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-each-side trimmed mean of order value: drop the k = n div 20
+    smallest and largest observations (integer k, convention pinned)
+    and average the middle — the robust location estimate that pairs
+    with stat_median_polish's robust decomposition. NO global sort:
+    the bottom-k and top-k sums come from the distinct-value
+    bucket+carry relation (each value contributes
+    clamp(k - rank_before, 0, cnt) tail members — exact integer
+    clamps), all three sums accumulate in DECIMAL, one VARCHAR-routed
+    division at the edge. Degenerate n <= 2k NULLs identically. Corpus
+    work: one value-histogram agg; the cumulative rides the
+    domain-bounded distinct-value relation."""
+    cum = _cents_cum(spark, sf_dir)
+    k = F.expr("n div 20")
+    vdec = F.col("v").cast("decimal(19,0)")
+    bot_take = F.least(
+        F.col("cnt"),
+        F.greatest(F.lit(0).cast("bigint"), k - (F.col("c") - F.col("cnt"))),
+    )
+    top_take = F.least(
+        F.col("cnt"),
+        F.greatest(
+            F.lit(0).cast("bigint"), F.col("c") - (F.col("n") - k)
+        ),
+    )
+    parts = cum.groupBy("n").agg(
+        _as_d(
+            F.sum(vdec * F.col("cnt")).cast("decimal(38,0)")
+            - F.sum(vdec * bot_take).cast("decimal(38,0)")
+            - F.sum(vdec * top_take).cast("decimal(38,0)")
+        ).alias("mid"),
+    )
+    kk = F.expr("n div 20")
+    return parts.select(
+        "n",
+        kk.cast("bigint").alias("k_each_side"),
+        F.when(
+            F.col("n") - 2 * kk > 0,
+            F.col("mid")
+            / ((F.col("n") - 2 * kk).cast("double") * F.lit(100.0)),
+        ).alias("trimmed_mean"),
+    )
+
+
+@register(
+    "stat_bowley_skew",
+    tags=("stats", "window"),
+    oracle=f"""
+        WITH {_CENTS_CUM_SQL},
+        qs AS (
+            SELECT
+                MAX(CASE WHEN c - cnt < (n + 3) // 4
+                          AND c >= (n + 3) // 4 THEN v END) AS q1,
+                MAX(CASE WHEN c - cnt < (n + 1) // 2
+                          AND c >= (n + 1) // 2 THEN v END) AS q2,
+                MAX(CASE WHEN c - cnt < (3 * n + 1) // 4
+                          AND c >= (3 * n + 1) // 4 THEN v END) AS q3,
+                MAX(n) AS n
+            FROM cum
+        )
+        SELECT n, CAST(q1 AS BIGINT) AS q1_cents,
+               CAST(q2 AS BIGINT) AS q2_cents,
+               CAST(q3 AS BIGINT) AS q3_cents,
+               CASE WHEN q3 > q1 THEN
+                 CAST(q3 + q1 - 2 * q2 AS DOUBLE) / CAST(q3 - q1 AS DOUBLE)
+               END AS bowley_skew
+        FROM qs
+    """,
+)
+def stat_bowley_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowley (quartile) skewness of order value: (Q3 + Q1 - 2*Q2) /
+    (Q3 - Q1) — the outlier-immune skew that complements the moment
+    skew in stat_jarque_bera / agg_skew_kurtosis_exact. Quartiles are
+    PINNED exact order statistics (ranks ceil(n/4), ceil(n/2),
+    ceil(3n/4) — integer rank arithmetic, no engine interpolation
+    convention), located on the distinct-value bucket+carry cumulative
+    (the value whose rank range covers the target — one conditional
+    max, no global sort). Numerator/denominator are exact integers;
+    one guarded division. IQR = 0 NULLs identically."""
+    cum = _cents_cum(spark, sf_dir)
+
+    def order_stat(rank_expr):
+        return F.max(
+            F.when(
+                (F.col("c") - F.col("cnt") < rank_expr)
+                & (F.col("c") >= rank_expr),
+                F.col("v"),
+            )
+        )
+
+    r1 = F.expr("(n + 3) div 4")
+    r2 = F.expr("(n + 1) div 2")
+    r3 = F.expr("(3 * n + 1) div 4")
+    qs = cum.agg(
+        order_stat(r1).alias("q1"),
+        order_stat(r2).alias("q2"),
+        order_stat(r3).alias("q3"),
+        F.max("n").alias("n"),
+    )
+    return qs.select(
+        "n",
+        F.col("q1").cast("bigint").alias("q1_cents"),
+        F.col("q2").cast("bigint").alias("q2_cents"),
+        F.col("q3").cast("bigint").alias("q3_cents"),
+        F.when(
+            F.col("q3") > F.col("q1"),
+            (F.col("q3") + F.col("q1") - 2 * F.col("q2")).cast("double")
+            / (F.col("q3") - F.col("q1")).cast("double"),
+        ).alias("bowley_skew"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_topk_accuracy — top-1 / top-2 accuracy of the bin-majority model
+
+
+@register(
+    "ml_topk_accuracy",
+    tags=("ml", "eval", "agg"),
+    oracle="""
+        WITH rng AS (
+            SELECT MIN(o_totalprice) AS pmin, MAX(o_totalprice) AS pmax
+            FROM orders
+        ),
+        coded AS (
+            SELECT o_orderpriority AS actual,
+                   LEAST(7, CAST(FLOOR(
+                       (CAST(o_totalprice AS DOUBLE)
+                        - CAST(pmin AS DOUBLE))
+                       / ((CAST(pmax AS DOUBLE) - CAST(pmin AS DOUBLE))
+                          / CAST(8 AS DOUBLE))) AS INT)) AS bin
+            FROM orders CROSS JOIN rng
+        ),
+        ranked AS (
+            SELECT bin, actual AS cl,
+                   ROW_NUMBER() OVER (PARTITION BY bin
+                       ORDER BY COUNT(*) DESC, actual) AS rk
+            FROM coded GROUP BY bin, actual
+        ),
+        hits AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN r.rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS top1,
+                   CAST(SUM(CASE WHEN r.rk <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS top2
+            FROM coded c
+            LEFT JOIN ranked r ON r.bin = c.bin AND r.cl = c.actual
+        )
+        SELECT n, top1 AS top1_correct, top2 AS top2_correct,
+               CAST(top1 AS DOUBLE) / CAST(n AS DOUBLE) AS top1_acc,
+               CAST(top2 AS DOUBLE) / CAST(n AS DOUBLE) AS top2_acc
+        FROM hits
+    """,
+)
+def ml_topk_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 / top-2 accuracy of the bin-majority priority classifier
+    (the ml_macro_f1 model viewed as a RANKING over classes per bin,
+    count-desc with class-asc tie-break): a row scores at k if its
+    actual class ranks within the bin's top k — the eval that matters
+    when the consumer takes the model's top-k candidates rather than
+    its argmax. Rankings are integer counts with a deterministic
+    tie-break; hits are integer conditional sums (actual classes
+    absent from a bin rank NULL and miss exactly — LEFT join keeps the
+    row in n); accuracies are single divisions. One scan + one
+    grid-sized window."""
+    o = load_table(spark, sf_dir, "orders")
+    rng = o.agg(
+        F.min("o_totalprice").alias("pmin"), F.max("o_totalprice").alias("pmax")
+    )
+    coded = o.crossJoin(F.broadcast(rng)).select(
+        F.col("o_orderpriority").alias("actual"),
+        F.least(
+            F.lit(7),
+            F.floor(
+                (F.col("o_totalprice").cast("double")
+                 - F.col("pmin").cast("double"))
+                / ((F.col("pmax").cast("double")
+                    - F.col("pmin").cast("double")) / F.lit(8.0))
+            ).cast("int"),
+        ).alias("bin"),
+    )
+    wrk = Window.partitionBy("bin").orderBy(
+        F.col("cnt").desc(), F.col("cl")
+    )
+    ranked = (
+        coded.groupBy("bin", F.col("actual").alias("cl"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rk", F.row_number().over(wrk))
+        .select("bin", "cl", "rk")
+    )
+    hits = (
+        coded.join(
+            F.broadcast(ranked),
+            (coded.bin == ranked.bin) & (coded.actual == ranked.cl),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("rk") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("top1"),
+            F.sum(F.when(F.col("rk") <= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("top2"),
+        )
+    )
+    return hits.select(
+        "n",
+        F.col("top1").alias("top1_correct"),
+        F.col("top2").alias("top2_correct"),
+        (F.col("top1").cast("double") / F.col("n").cast("double")).alias(
+            "top1_acc"
+        ),
+        (F.col("top2").cast("double") / F.col("n").cast("double")).alias(
+            "top2_acc"
+        ),
+    )

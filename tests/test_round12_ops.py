@@ -947,3 +947,137 @@ class TestGovernanceFilters:
                 n, f, n - f,
             )
             assert r["flag_rate"] == pytest.approx(f / n)
+
+
+class TestCornishFisher:
+    def test_matches_numpy(self, spark):
+        import math
+
+        row = plans.get("fin_cornish_fisher_var").build(spark, SF).collect()[0]
+        r9 = _mkt_returns_py()
+        v = np.array([math.floor(m / 1e3) for m in r9], dtype=np.float64)
+        n = len(v)
+        mu = v.mean()
+        m2 = (v**2).mean() - mu**2
+        m3 = (v**3).mean() - 3 * mu * (v**2).mean() + 2 * mu**3
+        m4 = (
+            (v**4).mean()
+            - 4 * mu * (v**3).mean()
+            + 6 * mu * mu * (v**2).mean()
+            - 3 * mu**4
+        )
+        S = m3 / m2**1.5
+        K = m4 / m2**2
+        z = 2.3263478740408408
+        zcf = (
+            z
+            + (z * z - 1) * S / 6
+            + (z**3 - 3 * z) * (K - 3) / 24
+            - (2 * z**3 - 5 * z) * S * S / 36
+        )
+        var_cf = -(mu / 1e6 + (m2**0.5 / 1e6) * zcf)
+        assert row["n"] == n
+        assert row["skewness"] == pytest.approx(S, rel=1e-9)
+        assert row["kurtosis"] == pytest.approx(K, rel=1e-9)
+        assert row["var_99_cf"] == pytest.approx(var_cf, rel=1e-9)
+
+
+class TestSterlingUpside:
+    def test_sterling_matches(self, spark):
+        import math
+
+        row = plans.get("fin_sterling_ratio").build(spark, SF).collect()[0]
+        days, mkt = _mkt_series_py()
+        peak = None
+        eps = []
+        cur = None
+        for d in days:
+            x = mkt[d]
+            peak = x if peak is None or x > peak else peak
+            if x < peak:
+                f = float(peak - x) / float(peak)
+                cur = max(cur, f) if cur is not None else f
+            elif cur is not None:
+                eps.append(cur)
+                cur = None
+        if cur is not None:
+            eps.append(cur)
+        qs = [math.floor(e * 1e9) for e in eps]
+        avg_dd = sum(qs) / (len(qs) * 1e9)
+        r = _mkt_returns_py()
+        mean_r = (sum(r) / 1e9) / len(r)
+        assert row["n_episodes"] == len(eps)
+        assert row["avg_drawdown"] == pytest.approx(avg_dd, rel=1e-12)
+        assert row["sterling_daily"] == pytest.approx(
+            mean_r / avg_dd, rel=1e-9
+        )
+
+    def test_upside_matches(self, spark):
+        got = {
+            r["segment"]: r
+            for r in plans.get("fin_upside_potential_ratio")
+            .build(spark, SF)
+            .collect()
+        }
+        for s, series in _seg_returns_py().items():
+            rv = np.array(list(series.values()), dtype=np.float64)
+            up = rv[rv > 0].sum() / len(rv) / 1e9
+            dn = np.sqrt((rv[rv < 0] ** 2).mean() * len(rv[rv < 0]) / len(rv)) / 1e9
+            row = got[s]
+            assert row["upside_potential"] == pytest.approx(up, rel=1e-9)
+            assert row["downside_deviation"] == pytest.approx(dn, rel=1e-9)
+            assert row["upr"] == pytest.approx(up / dn, rel=1e-9)
+
+
+class TestOrderStatRobust:
+    def test_trimmed_mean_matches(self, spark):
+        row = plans.get("stat_trimmed_mean").build(spark, SF).collect()[0]
+        cents = sorted(
+            int(round(r[1] * 100)) for r in _orders_py()
+        )
+        n = len(cents)
+        k = n // 20
+        tm = sum(cents[k : n - k]) / (n - 2 * k) / 100.0
+        assert row["n"] == n and row["k_each_side"] == k
+        assert row["trimmed_mean"] == pytest.approx(tm, rel=1e-12)
+
+    def test_bowley_matches(self, spark):
+        row = plans.get("stat_bowley_skew").build(spark, SF).collect()[0]
+        cents = sorted(int(round(r[1] * 100)) for r in _orders_py())
+        n = len(cents)
+        q1 = cents[(n + 3) // 4 - 1]
+        q2 = cents[(n + 1) // 2 - 1]
+        q3 = cents[(3 * n + 1) // 4 - 1]
+        assert (row["q1_cents"], row["q2_cents"], row["q3_cents"]) == (
+            q1, q2, q3,
+        )
+        assert row["bowley_skew"] == pytest.approx(
+            (q3 + q1 - 2 * q2) / (q3 - q1), rel=1e-12
+        )
+
+
+class TestTopkAccuracy:
+    def test_matches_pure_python(self, spark):
+        row = plans.get("ml_topk_accuracy").build(spark, SF).collect()[0]
+        data = _orders_py()
+        prices = [r[1] for r in data]
+        pmin, pmax = min(prices), max(prices)
+        coded = [
+            (prio, min(7, int(np.floor((p - pmin) / ((pmax - pmin) / 8.0)))))
+            for _, p, prio, _, _ in data
+        ]
+        cnts = {}
+        for prio, b in coded:
+            cnts.setdefault(b, {}).setdefault(prio, 0)
+            cnts[b][prio] += 1
+        rank_of = {}
+        for b, cc in cnts.items():
+            order = sorted(cc.items(), key=lambda kv: (-kv[1], kv[0]))
+            for i, (cl, _) in enumerate(order, 1):
+                rank_of[(b, cl)] = i
+        top1 = sum(1 for prio, b in coded if rank_of[(b, prio)] == 1)
+        top2 = sum(1 for prio, b in coded if rank_of[(b, prio)] <= 2)
+        assert row["n"] == len(coded)
+        assert (row["top1_correct"], row["top2_correct"]) == (top1, top2)
+        assert row["top1_acc"] == pytest.approx(top1 / len(coded))
+        assert row["top2_acc"] == pytest.approx(top2 / len(coded))
