@@ -7,8 +7,13 @@
 Each query executes end-to-end via the noop sink (full computation, no
 driver-side collect). A small warm-up query runs first so JVM/codegen
 startup does not pollute the first measurement, and each query is
-timed $SPARK_GRAFT_BENCH_RUNS times (default 3) reporting the MINIMUM —
-steady-state cost, robust to host-level noise on shared VMs.
+timed $SPARK_GRAFT_BENCH_RUNS times (default 5) reporting the MINIMUM —
+steady-state cost, robust to host-level noise on shared VMs. Default
+raised 3 -> 5 in round 12: C2 JIT of the biggest generated classes
+(ml_bagging_oob's 16-ladder codegen) measurably persists through 3
+runs (~4.1 s min-of-3 vs 3.1 s once warm, measured quiet in
+tools/bagging_profile.py), so 3 runs report warm-up, not plan cost —
+the same reason JMH separates warm-up from measurement iterations.
 """
 
 from __future__ import annotations
@@ -24,7 +29,7 @@ from finance_etl_spark import plans  # noqa: E402
 from finance_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
 
 
 def _sf_from_dir(d: str) -> float:

@@ -5220,13 +5220,15 @@ def ml_bagging_oob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the round-11 advisor's regression claim (tools/
     # bagging_profile.py, sf0.1, min-of-3 in ONE session): numeric-key
     # base 3.24 s vs string-key base 6.87 s; full query numeric 3.11 s
-    # vs string 5.42 s — the numeric shape IS faster. The apparent
-    # r10->r11 bench regression (3.1 -> 4.0 s) was measurement
-    # position: the FIRST timed run of this query in a session costs
-    # ~1.5-2 s more even at min-of-3 (JIT warm-up of the 16-ladder
-    # codegen); after one steady-state warm-up pass the same build
-    # measures 3.11 s, inside the round-11 budget row with ~40%
-    # headroom. (A no-dedup variant measured 2.3x SLOWER end-to-end at
+    # vs string 5.42 s — the numeric shape IS faster, the advisor's
+    # suspected key-shape regression is refuted. Decomposed floor
+    # (round-12 committed measurement): the md5-ladder base costs
+    # ~3.2-3.3 s cold and the two branches ~0.9-1.5 s on a warm cache;
+    # under the bench harness's cold-cache runs the query floors at
+    # ~4.1 s even at min-of-5 (BENCH_LOCAL.json loadavg 0.84), inside
+    # its 5.014 s budget row with ~17% headroom — the 3.11 s profile
+    # reading had warm sibling-variant state and is NOT the bench
+    # floor. (A no-dedup variant measured 2.3x SLOWER end-to-end at
     # sf0.1: the dedup exchange is also the barrier that lets the
     # three concurrent consumers of wsb reuse one computation of the
     # hash pipeline. A 2-digest variant — all 16 draws sliced from two

@@ -1081,3 +1081,60 @@ class TestTopkAccuracy:
         assert (row["top1_correct"], row["top2_correct"]) == (top1, top2)
         assert row["top1_acc"] == pytest.approx(top1 / len(coded))
         assert row["top2_acc"] == pytest.approx(top2 / len(coded))
+
+
+class TestArrayHof:
+    def test_matches_pure_python(self, spark):
+        got = {
+            r["priority"]: r
+            for r in plans.get("array_hof_stats").build(spark, SF).collect()
+        }
+        lines = _fetch(
+            "SELECT l_orderkey, CAST(l_quantity AS BIGINT)"
+            f" FROM read_parquet('{SF}/lineitem.parquet')"
+        )
+        prio = dict(
+            _fetch(
+                "SELECT o_orderkey, o_orderpriority"
+                f" FROM read_parquet('{SF}/orders.parquet')"
+            )
+        )
+        from collections import defaultdict
+
+        per_order = defaultdict(list)
+        for k, q in lines:
+            per_order[k].append(q)
+        agg = {}
+        for k, qs in per_order.items():
+            p = prio[k]
+            hi = sum(q * 2 for q in qs if q > 25)
+            n, tl, thd, mx = agg.get(p, (0, 0, 0, 0))
+            agg[p] = (n + 1, tl + len(qs), thd + hi, max(mx, len(qs)))
+        for p, (n, tl, thd, mx) in agg.items():
+            row = got[p]
+            assert (
+                row["n_orders"], row["total_lines"],
+                row["total_hi_doubled"], row["max_lines"],
+            ) == (n, tl, thd, mx)
+
+
+class TestQuantifiedRewrite:
+    def test_matches_pure_python(self, spark):
+        row = plans.get("sql_quantified_rewrite").build(spark, SF).collect()[0]
+        data = _orders_py()
+        p92 = [p for k, p, _, _, d in data if d.year == 1992]
+        y98 = [(k, p) for k, p, _, _, d in data if d.year == 1998]
+        assert y98
+        if p92:
+            mx = max(p92)
+            dom = [(k, p) for k, p in y98 if p > mx]
+        else:
+            # ALL over an empty set is TRUE — every 1998 order
+            # dominates (this branch actually fires at sf0.001)
+            dom = y98
+        assert row["n_dominating"] == len(dom)
+        if dom:
+            assert row["min_key"] == min(k for k, _ in dom)
+            assert row["max_price"] == pytest.approx(
+                max(p for _, p in dom), rel=1e-12
+            )
