@@ -321,6 +321,15 @@ def ivf_index(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     without any RNG state), one Lloyd refinement pass (assign ->
     element-wise mean), then the final inverted lists.
 
+    Round-12 change: the refined centroid means are FLOOR-QUANTIZED
+    (sum of floor(val*1e9) in exact DECIMAL, one double division) —
+    the floor-quantized-mean cure the round-11/12 rows-only ledger
+    named. A plain F.avg(double) is partition-order-dependent, which
+    made the whole IVF family engine-unreplayable; the quantized mean
+    is exact, order-free, and within 1e-9 per coordinate of the float
+    mean (recall tests unaffected), and it makes vec_ann_ivf_topk's
+    candidate set twin-able in DuckDB.
+
     Returns (centroids, inverted_lists). Both passes are linear scans +
     hash aggs; the only pairwise term is |vectors| x K.
     """
@@ -341,7 +350,16 @@ def ivf_index(e: DataFrame) -> tuple[DataFrame, DataFrame]:
         "cluster_id", F.posexplode("embedding").alias("dim", "val")
     )
     means = elems.groupBy("cluster_id", "dim").agg(
-        F.avg(F.col("val").cast("double")).alias("m")
+        (
+            F.sum(
+                F.floor(F.col("val").cast("double") * F.lit(1e9)).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("string")
+            .cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e9))
+        ).alias("m")
     )
     cents1 = means.groupBy("cluster_id").agg(
         F.transform(
@@ -353,7 +371,90 @@ def ivf_index(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     return cents1, lists
 
 
-@register("vec_ann_ivf_topk", tags=("vector", "similarity", "ivf"))
+_IVF_INDEX_SQL = f"""
+        seed16 AS (
+            SELECT vec_id, embedding FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {N_CLUSTERS}
+        ),
+        cents0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+                   embedding AS centroid
+            FROM seed16
+        ),
+        a0 AS (
+            SELECT e.vec_id,
+                   MAX({{'s': {_cos('e.embedding', 'c.centroid')},
+                        'c': c.cluster_id}}).c AS cluster_id
+            FROM embeddings e CROSS JOIN cents0 c
+            GROUP BY e.vec_id
+        ),
+        elems AS (
+            SELECT a0.cluster_id,
+                   generate_subscripts(e2.embedding, 1) AS dim,
+                   unnest(e2.embedding) AS val
+            FROM a0 JOIN embeddings e2 ON e2.vec_id = a0.vec_id
+        ),
+        mns AS (
+            SELECT cluster_id, dim,
+                   CAST(CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE)
+                                            * CAST(1e9 AS DOUBLE))
+                                       AS DECIMAL(38,0))) AS VARCHAR)
+                        AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * CAST(1e9 AS DOUBLE)) AS m
+            FROM elems GROUP BY cluster_id, dim
+        ),
+        cents1 AS (
+            SELECT cluster_id, list(m ORDER BY dim) AS centroid
+            FROM mns GROUP BY cluster_id
+        ),
+        ivf_lists AS (
+            SELECT e.vec_id AS cand_id,
+                   MAX({{'s': {_cos('e.embedding', 'c.centroid')},
+                        'c': c.cluster_id}}).c AS cluster_id
+            FROM embeddings e CROSS JOIN cents1 c
+            GROUP BY e.vec_id
+        )
+"""
+
+
+@register(
+    "vec_ann_ivf_topk",
+    tags=("vector", "similarity", "ivf"),
+    oracle=f"""
+        WITH {_IVF_INDEX_SQL},
+        probes AS (
+            SELECT vec_id AS query_id, cluster_id FROM (
+                SELECT e.vec_id, c.cluster_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_cos('e.embedding', 'c.centroid')} DESC,
+                                    c.cluster_id) AS rn
+                FROM embeddings e CROSS JOIN cents1 c
+                WHERE e.vec_id < 5
+            ) WHERE rn <= {N_PROBE}
+        ),
+        cands AS (
+            SELECT DISTINCT p.query_id, l.cand_id
+            FROM probes p JOIN ivf_lists l ON l.cluster_id = p.cluster_id
+            WHERE p.query_id <> l.cand_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.cand_id AS neighbor_id,
+                   {_cos('qe.embedding', 'ce.embedding')} AS cos_sim
+            FROM cands c
+            JOIN embeddings qe ON qe.vec_id = c.query_id
+            JOIN embeddings ce ON ce.vec_id = c.cand_id
+        ),
+        ivf_ranked AS (
+            SELECT query_id, neighbor_id, cos_sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim
+        FROM ivf_ranked WHERE rank <= 5
+    """,
+)
 def vec_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via an IVF index: vectors live in
     inverted lists under their nearest coarse centroid; each query
@@ -361,17 +462,16 @@ def vec_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine. Search cost is |queries| x (corpus / K x N_PROBE) in
     expectation — the list join shuffles on cluster_id, so a 1000-node
     cluster fans the probed lists out instead of scanning the corpus.
-    Rows-only, with the precise blocker named (round-12 audit): the
-    candidate generation is deterministic given the centroids, but the
-    Lloyd-refined centroids are F.avg(double) over corpus rows — an
-    order-dependent float sum DuckDB cannot reproduce bit-for-bit, and
-    a 1-ulp centroid difference can flip an assignment and change the
-    candidate set. The known cure (floor-quantized means, the
-    vec_kmeans_unrolled2 exact-twin pattern) would promote this, at
-    the cost of perturbing the index every consumer of ivf_index
-    shares — deferred until an index change is scheduled anyway.
-    Recall vs vec_cosine_topk is asserted in
-    tests/test_dedup_vectors.py."""
+    PROMOTED rows-only -> full hash oracle in round 12: the round-11
+    blocker was the order-dependent F.avg(double) Lloyd means; with
+    ivf_index's means now floor-quantized (exact DECIMAL sums, one
+    double division — the vec_kmeans_unrolled2 cure), every stage —
+    md5 seed draw, both argmax assignments (max-struct tie semantics
+    match positionally), the quantized refinement, probe ranking, and
+    the exact-cosine re-rank — has a bit-exact DuckDB twin, so the
+    candidate set is engine-replayable after all. Recall vs
+    vec_cosine_topk is still asserted in tests/test_dedup_vectors.py
+    and tracked in tools/ann_eval.py."""
     e = load_table(spark, sf_dir, "embeddings")
     cents, lists = ivf_index(e)
     cents = cents.persist()
@@ -580,13 +680,14 @@ def kmeans_centroids(e: DataFrame, k: int = N_CLUSTERS, iters: int = 3) -> DataF
 def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration k-means cluster summary: size and decimal-exact mean
     cohesion (cosine to own centroid) per cluster. Rows-only; the
-    precise blocker is the same one as vec_ann_ivf_topk — each
-    iteration's centroids are order-dependent F.avg(double) sums, and
-    3 chained iterations compound any ulp flip into different
-    assignments. A fixed-round unrolled-CTE twin with floor-quantized
-    means exists and is hash-oracled as vec_kmeans_unrolled2 (2
-    rounds); THIS registration keeps the production float path so the
-    iterative operator's real output stays what users get.
+    precise blocker: each iteration's centroids are order-dependent
+    F.avg(double) sums, and 3 chained iterations compound any ulp flip
+    into different assignments. The floor-quantized-mean cure was
+    DEMONSTRATED on vec_ann_ivf_topk this round (promoted to a full
+    hash oracle) and a fixed-round unrolled-CTE twin is hash-oracled
+    as vec_kmeans_unrolled2 (2 rounds); THIS registration keeps the
+    production float path so the iterative operator's real output
+    stays what users get.
     Determinism and cohesion-improvement are asserted in
     tests/test_dedup_vectors.py."""
     e = load_table(spark, sf_dir, "embeddings")
@@ -796,11 +897,10 @@ def vec_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors. (Near-duplicates that land in different clusters are the
     documented recall trade-off — SemDeDup accepts it; raise K or probe
     2 nearest clusters to tighten.) Rows-only; blocker = the k-means
-    float-mean centroids (see vec_ann_ivf_topk's ledger — same root
-    cause, same floor-quantized-mean cure available, same reason to
-    defer: the cluster assignment feeds survivor selection, so a
-    quantized twin would alter which duplicates this operator reports,
-    not just internal state). Planted-duplicate recall, survivor
+    float-mean centroids (kmeans_centroids — the floor-quantized-mean
+    cure was demonstrated on vec_ann_ivf_topk this round, but applying
+    it HERE would alter which duplicates this operator reports, not
+    just internal state, so the production float path stays). Planted-duplicate recall, survivor
     determinism, and repartition-invariance are pinned in
     tests/test_dedup_vectors.py."""
     e = load_table(spark, sf_dir, "embeddings")
@@ -861,9 +961,8 @@ def vec_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors. Vectors are L2-normalized first so squared-L2 ranking ==
     cosine ranking, making recall comparable to vec_cosine_topk
     (asserted in tests/test_dedup_vectors.py). Rows-only; blocker =
-    the per-subspace codebooks are k-means float-mean centroids (the
-    vec_ann_ivf_topk root cause) AND the fit runs in numpy inside a
-    Pandas UDF, whose pairwise-summed reductions differ from any SQL
+    the per-subspace codebooks are k-means float-mean centroids AND
+    the fit runs in numpy inside a Pandas UDF, whose pairwise-summed reductions differ from any SQL
     fold by ulps — two independent blockers, so this stays rows-only
     even after a quantized-mean index lands."""
     import numpy as np
