@@ -3662,3 +3662,161 @@ def sql_quantified_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("max_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_arch_lm_screen — Ljung-Box on squared returns (ARCH effect)
+
+
+@register(
+    "ts_arch_lm_screen",
+    tags=("timeseries", "stats", "finance"),
+    oracle=f"""
+        WITH {_MKT_RET_SQL},
+        z AS (
+            SELECT d,
+                   CAST(FLOOR(CAST(m AS DOUBLE) / CAST(1e3 AS DOUBLE))
+                        AS BIGINT) AS v
+            FROM rm
+        ),
+        zz AS (SELECT d, v * v AS q FROM z),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM zz),
+        lag_suff AS (
+            SELECT lg.k,
+                   CAST(COUNT(*) AS BIGINT) AS nk,
+                   CAST(CAST(SUM(CAST(a.q AS DECIMAL(19,0))) AS VARCHAR)
+                        AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(b.q AS DECIMAL(19,0))) AS VARCHAR)
+                        AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(a.q AS DECIMAL(19,0)) * b.q) AS VARCHAR)
+                        AS DOUBLE) AS sxy,
+                   CAST(CAST(SUM(CAST(a.q AS DECIMAL(19,0)) * a.q) AS VARCHAR)
+                        AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(b.q AS DECIMAL(19,0)) * b.q) AS VARCHAR)
+                        AS DOUBLE) AS syy
+            FROM (VALUES (1), (2), (3), (4)) lg(k)
+            JOIN zz a ON TRUE
+            JOIN zz b ON b.d = a.d - to_days(lg.k)
+            GROUP BY lg.k
+        ),
+        rs2 AS (
+            SELECT k, nk,
+                   CASE WHEN (CAST(nk AS DOUBLE) * sxx - sx * sx) > 0
+                             AND (CAST(nk AS DOUBLE) * syy - sy * sy) > 0 THEN
+                     (CAST(nk AS DOUBLE) * sxy - sx * sy)
+                     / (sqrt(CAST(nk AS DOUBLE) * sxx - sx * sx)
+                        * sqrt(CAST(nk AS DOUBLE) * syy - sy * sy))
+                   END AS r
+            FROM lag_suff
+        ),
+        wide AS (
+            SELECT MAX(CASE WHEN k = 1 THEN r END) AS r1,
+                   MAX(CASE WHEN k = 2 THEN r END) AS r2,
+                   MAX(CASE WHEN k = 3 THEN r END) AS r3,
+                   MAX(CASE WHEN k = 4 THEN r END) AS r4
+            FROM rs2
+        )
+        SELECT nn.n, wide.r1, wide.r2, wide.r3, wide.r4,
+               CASE WHEN wide.r1 IS NOT NULL AND wide.r2 IS NOT NULL
+                         AND wide.r3 IS NOT NULL AND wide.r4 IS NOT NULL
+                         AND nn.n > 4 THEN
+                 CAST(nn.n AS DOUBLE) * (CAST(nn.n AS DOUBLE) + 2)
+                 * (wide.r1 * wide.r1 / (CAST(nn.n AS DOUBLE) - 1)
+                    + wide.r2 * wide.r2 / (CAST(nn.n AS DOUBLE) - 2)
+                    + wide.r3 * wide.r3 / (CAST(nn.n AS DOUBLE) - 3)
+                    + wide.r4 * wide.r4 / (CAST(nn.n AS DOUBLE) - 4))
+               END AS lb_stat
+        FROM nn CROSS JOIN wide
+    """,
+)
+def ts_arch_lm_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARCH-effect screen: Ljung-Box portmanteau on SQUARED market
+    returns at lags 1-4 — volatility clustering shows up as
+    autocorrelation of squares even when returns themselves are white
+    (Engle 1982's LM test in its practitioners' portmanteau form;
+    ts_ljung_box covers the level series, this covers the second
+    moment). Returns are q6-quantized so z = v^2 is an exact BIGINT;
+    per-lag sufficient sums use the ts_cross_correlation recipe
+    (computed-key calendar equi-join b.d = a.d - k days — missing
+    calendar days drop pairs on both engines identically); each lag
+    correlation is one guarded fixed expression, and the LB statistic
+    is ONE expression with a static 4-term sum (fixed source order,
+    no fold needed). Degenerate zero-variance lags NULL the statistic
+    identically. Corpus work is the shared daily agg; the 4-lag join
+    rides the calendar-bounded return relation x a broadcast 4-row
+    spine."""
+    rm = _mkt_returns(spark, sf_dir)
+    zz = rm.select(
+        "d",
+        (
+            F.floor(F.col("m").cast("double") / F.expr("CAST(1e3 AS DOUBLE)"))
+            .cast("bigint")
+        ).alias("v"),
+    ).select("d", (F.col("v") * F.col("v")).alias("q"))
+    nn = zz.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    lags = zz.sparkSession.createDataFrame([(1,), (2,), (3,), (4,)], "k int")
+    a = zz.select(F.col("d").alias("da"), F.col("q").alias("qa"))
+    b = zz.select(F.col("d").alias("db"), F.col("q").alias("qb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("db") == F.date_sub(F.col("da"), F.col("k")),
+        )
+    )
+    qa_dec = F.col("qa").cast("decimal(19,0)")
+    qb_dec = F.col("qb").cast("decimal(19,0)")
+    suff = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+        _as_d(F.sum(qa_dec)).alias("sx"),
+        _as_d(F.sum(qb_dec)).alias("sy"),
+        _as_d(F.sum(qa_dec * F.col("qb"))).alias("sxy"),
+        _as_d(F.sum(qa_dec * F.col("qa"))).alias("sxx"),
+        _as_d(F.sum(qb_dec * F.col("qb"))).alias("syy"),
+    )
+    nk_d = F.col("nk").cast("double")
+    vx = nk_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = nk_d * F.col("syy") - F.col("sy") * F.col("sy")
+    rs2 = suff.select(
+        "k",
+        F.when(
+            (vx > 0) & (vy > 0),
+            (nk_d * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.sqrt(vx) * F.sqrt(vy)),
+        ).alias("r"),
+    )
+    wide = rs2.agg(
+        *[
+            F.max(F.when(F.col("k") == k, F.col("r"))).alias(f"r{k}")
+            for k in (1, 2, 3, 4)
+        ]
+    )
+    n_d = F.col("n").cast("double")
+    lb = (
+        n_d
+        * (n_d + 2)
+        * (
+            F.col("r1") * F.col("r1") / (n_d - 1)
+            + F.col("r2") * F.col("r2") / (n_d - 2)
+            + F.col("r3") * F.col("r3") / (n_d - 3)
+            + F.col("r4") * F.col("r4") / (n_d - 4)
+        )
+    )
+    return (
+        nn.crossJoin(F.broadcast(wide))
+        .select(
+            "n",
+            "r1",
+            "r2",
+            "r3",
+            "r4",
+            F.when(
+                F.col("r1").isNotNull()
+                & F.col("r2").isNotNull()
+                & F.col("r3").isNotNull()
+                & F.col("r4").isNotNull()
+                & (F.col("n") > 4),
+                lb,
+            ).alias("lb_stat"),
+        )
+    )

@@ -1138,3 +1138,39 @@ class TestQuantifiedRewrite:
             assert row["max_price"] == pytest.approx(
                 max(p for _, p in dom), rel=1e-12
             )
+
+
+class TestArchScreen:
+    def test_matches_numpy(self, spark):
+        import math
+        from datetime import timedelta
+
+        row = plans.get("ts_arch_lm_screen").build(spark, SF).collect()[0]
+        days, mkt = _mkt_series_py()
+        rets = {
+            days[i]: math.floor(
+                _q9(mkt[days[i]], mkt[days[i - 1]]) / 1e3
+            )
+            for i in range(1, len(days))
+        }
+        z = {d: v * v for d, v in rets.items()}
+        n = len(z)
+        rs = {}
+        for k in (1, 2, 3, 4):
+            pairs = [
+                (z[d], z[d - timedelta(days=k)])
+                for d in z
+                if d - timedelta(days=k) in z
+            ]
+            x = np.array([p[0] for p in pairs], dtype=np.float64)
+            y = np.array([p[1] for p in pairs], dtype=np.float64)
+            rs[k] = float(
+                ((x - x.mean()) * (y - y.mean())).sum()
+                / (np.sqrt(((x - x.mean()) ** 2).sum())
+                   * np.sqrt(((y - y.mean()) ** 2).sum()))
+            )
+        lb = n * (n + 2) * sum(rs[k] ** 2 / (n - k) for k in (1, 2, 3, 4))
+        assert row["n"] == n
+        for k in (1, 2, 3, 4):
+            assert row[f"r{k}"] == pytest.approx(rs[k], rel=1e-9)
+        assert row["lb_stat"] == pytest.approx(lb, rel=1e-9)
