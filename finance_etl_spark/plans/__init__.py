@@ -70,27 +70,34 @@ for _mod in (
         if e.name != f"finance_etl_spark.plans.{_mod}":
             raise
 
-# ROUND-12 WINDOW (cumulative driver-sampled after r11: 470/602, zero
-# driver fails ever; 132 never sampled). Executes the schedule the
-# round-11 window wrote: remaining pre-round-11 ts tail (8), the
-# entire text tail (12), all sinks (7), the pre-round-11 graph
-# tail (9), the pre-round-11 ml tail (8), and the portable-sketch agg
-# family (6) = exactly 50 slots. Round 13 closes the older remainder:
-# cur (5), scalar (3), dq tukey+3 older (4), vec (4), window (4),
-# obs (2), subquery (2), set (2), join (2), geo (2), sql (2), q14/q16,
-# mm_video_scene_cut, udf_window_grouped_agg,
-# ingest_type_inference_audit, stream_live_cusum_alarm (38) plus 12 of
-# the round-11 additions (stat dixon/mood/cochran_q/bowker/ansari/
-# page/ad2s/bm/jt, fin convexity/twr/rachev) = 50; round 14 takes the
-# remaining 32 round-11 additions (fin parity/dd-duration/pain/
-# treynor/active-share/capture, ts calendar/wape/df/seasonal-strength/
-# intervention/ccf, ml score-ks/somers/hl/mcc-multi/ips/fbeta,
-# graph ecc/path-hist/avg-neighbor, text heaps/entropy/jsd,
+# ROUND-13 WINDOW (cumulative driver-sampled after r12: 520/637, zero
+# driver wrong-answers ever; 117 never sampled). Executes the schedule
+# the round-12 window wrote, audited per the round-12 verdict:
+# ONLY hash-oracled names (obs_file_layout is rows-only -> swapped
+# out), and 4 slots go to re-presenting queries whose only driver
+# record is a stale pre-promotion `no_oracle` (vec_ann_lsh_topk,
+# vec_ann_ivf_topk, vec_recall_curve, ts_holt_winters — all four now
+# carry full hash oracles; fin_irr_per_order, the fifth name in the
+# verdict directive, was already hash-green in r8 so it needs no
+# slot). To make room for those 4, three names the round-14 list
+# already carries are deferred to it (window_weighted_moving_avg,
+# vec_cosine_histogram) plus sql_quantified_rewrite (a round-12
+# addition; round 14 takes "any round-12 additions"). Net: 46
+# never-sampled retirements + 4 re-presentations = 50, tail 117 -> 71.
+# Round 14 takes the remaining 28 round-11 additions (fin parity/
+# dd-duration/pain/treynor/active-share/capture, ts calendar/wape/df/
+# seasonal-strength/intervention/ccf, ml score-ks/somers/hl/mcc-multi/
+# ips/fbeta, graph ecc/path-hist/avg-neighbor, text heaps/entropy/jsd,
 # vec cos-hist, window wma7, dq gap-audit, sql values, stat conover/
-# siegel-tukey/sign/quade/bartlett/cuzick/jarque-bera) plus any
-# round-12 additions.
+# siegel-tukey/sign/quade/bartlett/cuzick/jarque-bera — minus any
+# promoted here) plus round-12/13 additions up to 50 slots.
 #
 # --- earlier-window history (kept for the audit trail) ---
+# ROUND-12 WINDOW (cumulative driver-sampled after r11: 470/602;
+# 132 never sampled): ts 8 + text 12 + sink 7 + graph 9 + ml 8 +
+# agg 6 = 50. Result: CORRECTNESS_r12 = 49/50 hash-pass + 1 declared
+# rows-only (`text_minhash_recall_eval`, scored err:no_oracle by
+# design — the lesson behind this round's only-hash-oracled audit).
 # ROUND-11 WINDOW (cumulative driver-sampled after r10: 420/554; 134
 # never sampled): the ENTIRE stat tail (26) + the ENTIRE fin tail (22)
 # + 2 ts (peak_detection, hurst_rs) = 50. Result: CORRECTNESS_r11 =
@@ -106,35 +113,53 @@ for _mod in (
 # exactly 50 slots. Round 9 should front: vec rows-only tail (5),
 # sql (7), stat (7), ts (6), stream (7), graph/sink/window leftovers.
 front_queries(
-    # ROUND-12 WINDOW — see the schedule comment above. 50 slots:
-    # ts 8 + text 12 + sink 7 + graph 9 + ml 8 + agg 6. Every name
-    # here was judge-verified green in the round-11 session (J11) and
-    # rehearsed through tools/check.py before this window froze.
+    # ROUND-13 WINDOW — see the schedule comment above. 50 slots, every
+    # name hash-oracled (zero rows-only: the r12 window burned a slot
+    # on a query the driver can only score err:no_oracle; not again).
+    # 4 re-presentations + cur 5 + scalar 3 + dq 4 + vec 3 + window 3 +
+    # obs 1 + subquery 2 + set 2 + join 2 + geo 2 + sql 1 + tpch 2 +
+    # 4 singles + stat 9 + fin 3 = 50.
     [
-        "ts_forecast_backtest_mase", "ts_attribution_last_touch",
-        "ts_lttb_unrolled", "ts_kpss_level", "ts_cusum_tabular",
-        "ts_rolling_slope", "ts_turning_points",
-        "ts_attribution_markov_removal",
-        "text_tokenizer_fertility", "text_perplexity_filter",
-        "text_ngram_novelty", "text_zipf_fit",
-        "text_minhash_recall_eval", "text_rouge_l_pairs",
-        "text_readability_fk", "text_c4_gopher_filters",
-        "text_kneser_ney_bigram", "text_code_detect",
-        "text_charclass_profile", "text_type_token_ratio",
-        "sink_merge_on_read_deletes", "sink_partition_evolution",
-        "sink_bloom_file_skipping", "sink_multi_table_tx",
-        "sink_copy_on_write_update", "sink_python_datasource_writer",
-        "sink_parquet_codec_roundtrip",
-        "graph_degree_assortativity", "graph_modularity_score",
-        "graph_clustering_coeff", "graph_adamic_adar", "graph_hits",
-        "graph_reciprocity", "graph_katz_centrality",
-        "graph_harmonic_closeness", "graph_rich_club",
-        "ml_elastic_net_cd", "ml_vif_collinearity",
-        "ml_delong_auc_se", "ml_brier_decomposition",
-        "ml_quantile_regression_grid", "ml_nelson_aalen",
-        "ml_youden_j", "ml_precision_at_recall",
-        "agg_cms_portable", "agg_kmv_portable", "agg_hll_portable",
-        "agg_bloom_portable", "agg_decayed_counters",
-        "agg_ams_f2_portable",
+        # stale-record conversions: promoted to hash oracles in r12,
+        # re-presented so the driver ledger reflects the promotion
+        "vec_ann_lsh_topk", "vec_ann_ivf_topk", "vec_recall_curve",
+        "ts_holt_winters",
+        # curation tail
+        "cur_e2e_training_prep", "cur_mixture_temperature",
+        "cur_epoch_sample", "cur_pretrain_chunking",
+        "cur_rejection_sample_md5",
+        # scalar tail
+        "scalar_deterministic_uuid", "scalar_luhn_validate",
+        "scalar_try_arithmetic",
+        # dq tail (tukey + 3 older)
+        "dq_tukey_fences", "dq_rule_engine",
+        "dq_spc_western_electric", "dq_join_fanout_audit",
+        # vec tail (hash-oracled unrolled twins)
+        "vec_silhouette_simplified", "vec_kmeans_unrolled2",
+        "vec_mmr_unrolled",
+        # window tail
+        "window_pct_of_total", "window_running_distinct",
+        "window_trailing_distinct",
+        # obs (skew profile; obs_file_layout is rows-only -> excluded)
+        "obs_skew_profile",
+        # subquery / set / join / geo / sql
+        "subquery_not_in_null_aware", "subquery_scalar_correlated",
+        "set_except_all", "set_intersect_all",
+        "join_runtime_bloom_filter", "join_aqe_skew_split",
+        "geo_grid_knn_join", "geo_geohash_encode",
+        "sql_distinct_on",
+        # tpch stragglers
+        "q14_promo_revenue", "q16_supplier_part_types",
+        # singles
+        "mm_video_scene_cut", "udf_window_grouped_agg",
+        "ingest_type_inference_audit", "stream_live_cusum_alarm",
+        # round-11 stat additions (first 9 of the alphabet-of-need)
+        "stat_dixon_q", "stat_mood_median_test", "stat_cochran_q",
+        "stat_bowker_test", "stat_ansari_bradley", "stat_page_trend",
+        "stat_anderson_darling_2s", "stat_brunner_munzel",
+        "stat_jonckheere_terpstra",
+        # round-11 fin additions
+        "fin_bond_convexity_grid", "fin_twr_linked_returns",
+        "fin_rachev_ratio",
     ]
 )

@@ -5226,8 +5226,12 @@ def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~sf1e12), and s4 = 1e16*S1 + 4e12*S2 + 6e8*S3 + 4e4*S4 + S5 is
     recombined as ONE identically-parenthesized double expression
     after each sum crosses the double edge once via the VARCHAR
-    route — no quantization anywhere, Sv^4 exact up to the final
-    double rounding. All moments/statistics remain ONE
+    route — no quantization anywhere. Note: the five sums each round
+    independently at their VARCHAR->double crossing BEFORE the
+    weighted recombination, so s4 is deterministic and cross-engine
+    identical but may sit a few ulps off the true Sv^4 (it is NOT
+    bit-exact to the mathematical sum — don't rely on that). All
+    moments/statistics remain ONE
     identically-parenthesized double expression on both engines —
     m2^1.5 is written sqrt(m2)^3 by repeated multiplication (libm pow
     is NOT cross-engine-stable; sqrt and * are IEEE-exact). Degenerate

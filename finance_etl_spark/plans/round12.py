@@ -233,11 +233,12 @@ def stat_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         coded AS (
             SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS r,
-                   LEAST(4, CAST(FLOOR(
+                   CASE WHEN pmax = pmin THEN 0
+                        ELSE LEAST(4, CAST(FLOOR(
                        (CAST(o_totalprice AS DOUBLE)
                         - CAST(pmin AS DOUBLE))
                        / ((CAST(pmax AS DOUBLE) - CAST(pmin AS DOUBLE))
-                          / CAST(5 AS DOUBLE))) AS INT)) AS b
+                          / CAST(5 AS DOUBLE))) AS INT)) END AS b
             FROM orders CROSS JOIN rng
         ),
         cells AS (
@@ -280,14 +281,17 @@ def stat_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     coded = o.crossJoin(F.broadcast(rng)).select(
         F.substring("o_orderpriority", 1, 1).cast("int").alias("r"),
-        F.least(
-            F.lit(4),
-            F.floor(
-                (F.col("o_totalprice").cast("double")
-                 - F.col("pmin").cast("double"))
-                / ((F.col("pmax").cast("double")
-                    - F.col("pmin").cast("double")) / F.lit(5.0))
-            ).cast("int"),
+        F.when(F.col("pmax") == F.col("pmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(4),
+                F.floor(
+                    (F.col("o_totalprice").cast("double")
+                     - F.col("pmin").cast("double"))
+                    / ((F.col("pmax").cast("double")
+                        - F.col("pmin").cast("double")) / F.lit(5.0))
+                ).cast("int"),
+            )
         ).alias("b"),
     )
     cells = coded.groupBy("r", "b").agg(
@@ -2004,11 +2008,12 @@ def ml_gini_feature_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         coded AS (
             SELECT o_orderpriority AS actual,
-                   LEAST(7, CAST(FLOOR(
+                   CASE WHEN pmax = pmin THEN 0
+                        ELSE LEAST(7, CAST(FLOOR(
                        (CAST(o_totalprice AS DOUBLE)
                         - CAST(pmin AS DOUBLE))
                        / ((CAST(pmax AS DOUBLE) - CAST(pmin AS DOUBLE))
-                          / CAST(8 AS DOUBLE))) AS INT)) AS bin
+                          / CAST(8 AS DOUBLE))) AS INT)) END AS bin
             FROM orders CROSS JOIN rng
         ),
         binmaj AS (
@@ -2075,14 +2080,17 @@ def ml_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     coded = o.crossJoin(F.broadcast(rng)).select(
         F.col("o_orderpriority").alias("actual"),
-        F.least(
-            F.lit(7),
-            F.floor(
-                (F.col("o_totalprice").cast("double")
-                 - F.col("pmin").cast("double"))
-                / ((F.col("pmax").cast("double")
-                    - F.col("pmin").cast("double")) / F.lit(8.0))
-            ).cast("int"),
+        F.when(F.col("pmax") == F.col("pmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(7),
+                F.floor(
+                    (F.col("o_totalprice").cast("double")
+                     - F.col("pmin").cast("double"))
+                    / ((F.col("pmax").cast("double")
+                        - F.col("pmin").cast("double")) / F.lit(8.0))
+                ).cast("int"),
+            )
         ).alias("bin"),
     )
     binmaj = (
@@ -3434,11 +3442,12 @@ def stat_bowley_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         coded AS (
             SELECT o_orderpriority AS actual,
-                   LEAST(7, CAST(FLOOR(
+                   CASE WHEN pmax = pmin THEN 0
+                        ELSE LEAST(7, CAST(FLOOR(
                        (CAST(o_totalprice AS DOUBLE)
                         - CAST(pmin AS DOUBLE))
                        / ((CAST(pmax AS DOUBLE) - CAST(pmin AS DOUBLE))
-                          / CAST(8 AS DOUBLE))) AS INT)) AS bin
+                          / CAST(8 AS DOUBLE))) AS INT)) END AS bin
             FROM orders CROSS JOIN rng
         ),
         ranked AS (
@@ -3479,14 +3488,17 @@ def ml_topk_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     coded = o.crossJoin(F.broadcast(rng)).select(
         F.col("o_orderpriority").alias("actual"),
-        F.least(
-            F.lit(7),
-            F.floor(
-                (F.col("o_totalprice").cast("double")
-                 - F.col("pmin").cast("double"))
-                / ((F.col("pmax").cast("double")
-                    - F.col("pmin").cast("double")) / F.lit(8.0))
-            ).cast("int"),
+        F.when(F.col("pmax") == F.col("pmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(7),
+                F.floor(
+                    (F.col("o_totalprice").cast("double")
+                     - F.col("pmin").cast("double"))
+                    / ((F.col("pmax").cast("double")
+                        - F.col("pmin").cast("double")) / F.lit(8.0))
+                ).cast("int"),
+            )
         ).alias("bin"),
     )
     wrk = Window.partitionBy("bin").orderBy(

@@ -571,6 +571,7 @@ def _lsh_sql(topk: int) -> str:
         for b in range(N_BANDS)
     )
     masks = ", ".join(f"({1 << i})" for i in range(BITS_PER_BAND))
+    band_spine = ", ".join(f"({b})" for b in range(N_BANDS))
     band_pick = (
         "CASE b.band_id "
         + " ".join(f"WHEN {b} THEN s{b}" for b in range(N_BANDS))
@@ -585,7 +586,7 @@ def _lsh_sql(topk: int) -> str:
             SELECT vec_id AS query_id, b.band_id,
                    xor({band_pick}, m.m) AS band_sig
             FROM sigs,
-                 (VALUES (0), (1), (2), (3)) b(band_id),
+                 (VALUES {band_spine}) b(band_id),
                  (VALUES (0), {masks}) m(m)
             WHERE vec_id < 5
         ),
