@@ -314,6 +314,180 @@ def text_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
+def _minhash_md5_sql() -> str:
+    """DuckDB twin of text_minhash_md5_twin: the IDENTICAL 64-perm /
+    16x4-band / bucket-join / exact-Jaccard pipeline, with the two
+    engine-specific hashes swapped for md5 (base shingle hash = first
+    8 md5 hex chars masked to 31 bits; band bucket hash = md5 of the
+    '-'-joined signature slice). Permutation coefficients are the
+    production _A/_B/_MERSENNE constants interpolated as literals."""
+    from finance_etl_spark.operators.dedup import (
+        N_BANDS,
+        N_PERM,
+        ROWS_PER_BAND,
+        _A,
+        _B,
+        _MERSENNE,
+    )
+
+    mins = ",\n                   ".join(
+        f"MIN((h * {_A[i]} + {_B[i]}) % {_MERSENNE}) AS s{i}"
+        for i in range(N_PERM)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5("
+        + " || '-' || ".join(
+            f"CAST(s{b * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        )
+        + ") AS band_hash FROM sigs"
+        for b in range(N_BANDS)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  FOR i IN range(1, len(t)-1)]) AS g
+            FROM toks WHERE len(t) >= 3
+        ),
+        hashes AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(unnest(g)), 1, 8) AS BIGINT)
+                     & 2147483647 AS h
+            FROM grams
+        ),
+        sigs AS (
+            SELECT doc_id, {mins}
+            FROM hashes GROUP BY doc_id
+        ),
+        bands AS ({band_union}),
+        cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_bands
+            FROM bands a JOIN bands b USING (band_id, band_hash)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sh AS (SELECT doc_id, unnest(g) AS shingle FROM grams),
+        common AS (
+            SELECT c.id_a, c.id_b, c.n_bands,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+            GROUP BY 1, 2, 3
+        ),
+        sizes AS (SELECT doc_id, len(g) AS n_sh FROM grams)
+        SELECT m.id_a, m.id_b, m.n_bands, m.n_common,
+               CAST(m.n_common AS DOUBLE)
+                 / (za.n_sh + zb.n_sh - m.n_common) AS jaccard
+        FROM common m
+        JOIN sizes za ON za.doc_id = m.id_a
+        JOIN sizes zb ON zb.doc_id = m.id_b
+        WHERE CAST(m.n_common AS DOUBLE)
+                / (za.n_sh + zb.n_sh - m.n_common) >= CAST('0.5' AS DOUBLE)
+    """
+
+
+@register(
+    "text_minhash_md5_twin",
+    tags=("text", "dedup", "lsh"),
+    oracle=_minhash_md5_sql(),
+)
+def text_minhash_md5_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-oracled twin of text_minhash_lsh_pairs: the IDENTICAL
+    shingle -> 64-perm MinHash -> 16x4 LSH band bucket join -> exact
+    Jaccard >= 0.5 pipeline, with the two engine-specific hashes
+    swapped for cross-engine md5 — base shingle hash = first 8 md5 hex
+    chars & (2^31-1) (instead of xxhash64 & (2^31-1)), band bucket key
+    = md5 of the '-'-joined 4-long signature slice (instead of
+    xxhash64 over the slice). Same production permutation constants
+    (_A/_B mod 2^61-1), same band bucket self-join shape (shuffle key
+    = (band_id, band_hash): cost scales with collisions, never
+    |docs|^2), same candidate-pruned verify joins (exact_jaccard with
+    prune). This retires the COVERAGE.md blocker note for the MINHASH
+    FAMILY's oracle coverage: the band/verify pipeline itself IS
+    ANSI-twinnable end-to-end; only the base-hash choice was ever
+    engine-specific, and the production query keeps xxhash64 because
+    the md5 route costs ~10x in the signature hot path (the reason the
+    production query stays rows-only, measured in COVERAGE.md).
+    Output: (id_a, id_b, n_bands, n_common, jaccard) — all-integer
+    pipeline until the single jaccard division of exact BIGINTs."""
+    from finance_etl_spark.operators.dedup import (
+        N_BANDS,
+        N_PERM,
+        ROWS_PER_BAND,
+        _A,
+        _B,
+        _MERSENNE,
+        exact_jaccard,
+        shingle_array,
+    )
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    arr = shingle_array(d, "doc_id", "text", 3).persist()
+    n_docs = arr.count()  # materialize before the three consumers fan out
+    hs = arr.filter(F.size("sh_arr") > 0).select(
+        "doc_id",
+        F.transform(
+            "sh_arr",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+            .cast("long")
+            .bitwiseAND(F.lit(2147483647)),
+        ).alias("__hs"),
+    )
+
+    def _perm(i: int):
+        a, b = F.lit(_A[i]), F.lit(_B[i])
+        return lambda h: (h * a + b) % F.lit(_MERSENNE)
+
+    sig = F.array(
+        *[F.array_min(F.transform("__hs", _perm(i))) for i in range(N_PERM)]
+    )
+    sigs = hs.select("doc_id", sig.alias("sig"))
+    band_strs = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col("sig")[b * ROWS_PER_BAND + r].cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                )
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_strs).alias("band_id", "band_hash")
+    )
+    ba = bands.select(F.col("doc_id").alias("id_a"), "band_id", "band_hash")
+    bb = bands.select(F.col("doc_id").alias("id_b"), "band_id", "band_hash")
+    cands = (
+        ba.join(bb, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .persist()
+    )
+    n_pairs = cands.count()
+    sh = arr.select("doc_id", F.explode("sh_arr").alias("shingle"))
+    ver = exact_jaccard(
+        sh, cands, "doc_id", arr=arr, prune=(n_pairs * 4 < n_docs)
+    )
+    return (
+        ver.join(cands, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= F.lit(0.5))
+        .select("id_a", "id_b", "n_bands", "n_common", "jaccard")
+    )
+
+
 # 32-bit SimHash: token hash = first 8 hex chars of md5 (engine-neutral,
 # unlike xxhash64 which DuckDB lacks); bit j contributes +1/-1 by parity.
 _SIMHASH_BITS = 32

@@ -1,0 +1,112 @@
+"""Round-13: independent references for this round's changes. Each
+test re-derives the expected answer from the raw sf0.001 parquet with
+an INDEPENDENT formulation (numpy / plain-Python, no shared SQL
+fragments) so a formula bug shared between the Spark build and the
+DuckDB oracle cannot hide."""
+
+import hashlib
+
+import duckdb
+import numpy as np
+
+from finance_etl_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+
+def _fetch(sql: str):
+    con = duckdb.connect()
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+def _docs_py():
+    return _fetch(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    )
+
+
+class TestMinhashMd5Twin:
+    """Pure-Python re-derivation of the md5-based MinHash-LSH pair
+    pipeline: shingles via str.split, base hash via hashlib.md5,
+    permutation minima via numpy, band buckets via hashlib.md5 of the
+    joined signature slice, candidate pairs via a dict of buckets,
+    exact Jaccard via set intersection. No Spark expressions, no SQL."""
+
+    def _expected(self):
+        from finance_etl_spark.operators.dedup import (
+            N_BANDS,
+            N_PERM,
+            ROWS_PER_BAND,
+            _A,
+            _B,
+            _MERSENNE,
+        )
+
+        a = np.array(_A, dtype=np.int64)[:, None]
+        b = np.array(_B, dtype=np.int64)[:, None]
+        shingles, sigs = {}, {}
+        for doc_id, text in _docs_py():
+            toks = [t for t in text.split(" ") if t != ""]
+            if len(toks) < 3:
+                continue
+            grams = list(
+                dict.fromkeys(
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                )
+            )
+            shingles[doc_id] = set(grams)
+            hs = np.array(
+                [
+                    int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+                    & 0x7FFFFFFF
+                    for g in grams
+                ],
+                dtype=np.int64,
+            )
+            sigs[doc_id] = ((a * hs[None, :] + b) % _MERSENNE).min(axis=1)
+        buckets = {}
+        for doc_id, sig in sigs.items():
+            for band in range(N_BANDS):
+                sl = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
+                key = hashlib.md5(
+                    "-".join(str(int(x)) for x in sl).encode()
+                ).hexdigest()
+                buckets.setdefault((band, key), []).append(doc_id)
+        n_bands = {}
+        for members in buckets.values():
+            members = sorted(members)
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    pair = (members[i], members[j])
+                    n_bands[pair] = n_bands.get(pair, 0) + 1
+        rows = []
+        for (ia, ib), nb in n_bands.items():
+            common = len(shingles[ia] & shingles[ib])
+            if common == 0:
+                continue
+            jac = common / (len(shingles[ia]) + len(shingles[ib]) - common)
+            if jac >= 0.5:
+                rows.append((ia, ib, nb, common, jac))
+        return sorted(rows)
+
+    def test_matches_spark(self, spark):
+        got = sorted(
+            tuple(r)
+            for r in plans.get("text_minhash_md5_twin").build(spark, SF).collect()
+        )
+        expected = self._expected()
+        assert len(got) == len(expected) and len(got) > 0
+        for g, e in zip(got, expected):
+            assert g[:4] == e[:4]
+            assert abs(g[4] - e[4]) < 1e-12
+
+    def test_candidates_superset_intuition(self):
+        """Every emitted pair shares at least one full band (n_bands
+        >= 1) and at most all of them."""
+        from finance_etl_spark.operators.dedup import N_BANDS
+
+        for _, _, nb, _, _ in self._expected():
+            assert 1 <= nb <= N_BANDS
