@@ -940,7 +940,152 @@ def vec_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("vec_ann_pq_topk", tags=("vector", "similarity", "pq", "quantize"))
+_PQ_M, _PQ_DSUB, _PQ_K, _PQ_ITERS, _PQ_SHORT, _PQ_SAMPLE = 16, 4, 16, 5, 50, 256
+
+
+def _pq_dist4(p: str, c: str) -> str:
+    """Pinned-parenthesization 4-term squared L2 between pivoted
+    subspace columns {p}1..{p}4 and {c}1..{c}4 — the SQL twin of the
+    numpy fold in _pq_d4 (same association order, so the doubles are
+    bit-identical)."""
+    t = [f"(({p}{i} - {c}{i}) * ({p}{i} - {c}{i}))" for i in range(1, 5)]
+    return f"((({t[0]} + {t[1]}) + {t[2]}) + {t[3]})"
+
+
+def _pq_sql() -> str:
+    """DuckDB oracle for vec_ann_pq_topk: replays the ENTIRE pipeline
+    — pinned-fold L2 normalization, md5-ordered 256-row sample, the
+    5 unrolled Lloyd iterations per subspace with floor-quantized
+    (1e-9) centroid means and keep-on-empty clusters, full-corpus
+    encoding, pinned-order ADC scoring, (adc, cand_id) shortlist of
+    50, exact-cosine re-rank. Every double here is produced by the
+    same IEEE operation sequence the Spark/numpy side executes, so
+    the value hash matches bit-for-bit (verified at all three SFs)."""
+    qm = (
+        "CAST(CAST(SUM(CAST(FLOOR({col} * CAST(1e9 AS DOUBLE))"
+        " AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)"
+        " / (CAST(COUNT(*) AS DOUBLE) * CAST(1e9 AS DOUBLE))"
+    )
+    pivot = ",\n                   ".join(
+        f"MAX(CASE WHEN (dim-1) % {_PQ_DSUB} = {r} THEN val / nrm END)"
+        f" AS d{r+1}"
+        for r in range(_PQ_DSUB)
+    )
+    iters = []
+    for i in range(1, _PQ_ITERS + 1):
+        prev = f"cents{i-1}"
+        means = ", ".join(
+            qm.format(col=f"s.d{r}") + f" AS m{r}" for r in range(1, 5)
+        )
+        coals = ", ".join(
+            f"COALESCE(m.m{r}, c.c{r}) AS c{r}" for r in range(1, 5)
+        )
+        iters.append(f"""
+        asg{i} AS (
+            SELECT vec_id, j, k FROM (
+                SELECT s.vec_id, s.j, c.k,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                           ORDER BY {_pq_dist4('s.d', 'c.c')} ASC,
+                                    c.k ASC) AS rn
+                FROM ssubs s JOIN {prev} c ON c.j = s.j
+            ) WHERE rn = 1
+        ),
+        mean{i} AS (
+            SELECT a.j, a.k, {means}
+            FROM asg{i} a
+            JOIN ssubs s ON s.vec_id = a.vec_id AND s.j = a.j
+            GROUP BY a.j, a.k
+        ),
+        cents{i} AS (
+            SELECT c.j, c.k, {coals}
+            FROM {prev} c LEFT JOIN mean{i} m ON m.j = c.j AND m.k = c.k
+        )""")
+    return f"""
+        WITH norms AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ),
+        flat AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS val, nrm
+            FROM norms
+        ),
+        subs AS (
+            SELECT vec_id, CAST((dim-1) // {_PQ_DSUB} AS INT) AS j,
+                   {pivot}
+            FROM flat GROUP BY vec_id, CAST((dim-1) // {_PQ_DSUB} AS INT)
+        ),
+        sord AS (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                      vec_id) AS rn
+            FROM embeddings
+        ),
+        ssubs AS (
+            SELECT s.* FROM subs s JOIN sord o USING (vec_id)
+            WHERE o.rn <= {_PQ_SAMPLE}
+        ),
+        cents0 AS (
+            SELECT s.j, CAST(o.rn - 1 AS INT) AS k,
+                   s.d1 AS c1, s.d2 AS c2, s.d3 AS c3, s.d4 AS c4
+            FROM subs s JOIN sord o USING (vec_id) WHERE o.rn <= {_PQ_K}
+        ),
+        {','.join(iters)},
+        codes AS (
+            SELECT vec_id, j, k FROM (
+                SELECT s.vec_id, s.j, c.k,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                           ORDER BY {_pq_dist4('s.d', 'c.c')} ASC,
+                                    c.k ASC) AS rn
+                FROM subs s JOIN cents{_PQ_ITERS} c ON c.j = s.j
+            ) WHERE rn = 1
+        ),
+        qsubs AS (SELECT * FROM subs WHERE vec_id < 5),
+        terms AS (
+            SELECT q.vec_id AS query_id, cd.vec_id AS cand_id, cd.j,
+                   {_pq_dist4('q.d', 'c.c')} AS t
+            FROM qsubs q
+            JOIN codes cd ON cd.j = q.j AND cd.vec_id <> q.vec_id
+            JOIN cents{_PQ_ITERS} c ON c.j = cd.j AND c.k = cd.k
+        ),
+        adc AS (
+            SELECT query_id, cand_id,
+                   list_reduce(list(t ORDER BY j), (a, x) -> a + x) AS adc_d2
+            FROM terms GROUP BY query_id, cand_id
+        ),
+        short AS (
+            SELECT query_id, cand_id FROM (
+                SELECT query_id, cand_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY adc_d2 ASC, cand_id ASC) AS rn
+                FROM adc
+            ) WHERE rn <= {_PQ_SHORT}
+        ),
+        scored AS (
+            SELECT s.query_id, s.cand_id AS neighbor_id,
+                   {_cos('qe.embedding', 'ce.embedding')} AS cos_sim
+            FROM short s
+            JOIN embeddings qe ON qe.vec_id = s.query_id
+            JOIN embeddings ce ON ce.vec_id = s.cand_id
+        ),
+        pq_ranked AS (
+            SELECT query_id, neighbor_id, cos_sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim
+        FROM pq_ranked WHERE rank <= 5
+    """
+
+
+@register(
+    "vec_ann_pq_topk",
+    tags=("vector", "similarity", "pq", "quantize"),
+    oracle=_pq_sql(),
+)
 def vec_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via PRODUCT QUANTIZATION: the
     64-dim space splits into M=16 subspaces of 4 dims; each subspace
@@ -961,37 +1106,71 @@ def vec_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     search input is the 4-byte-per-vector code table, not the 256-byte
     vectors. Vectors are L2-normalized first so squared-L2 ranking ==
     cosine ranking, making recall comparable to vec_cosine_topk
-    (asserted in tests/test_dedup_vectors.py). Rows-only; blocker =
-    the per-subspace codebooks are k-means float-mean centroids AND
-    the fit runs in numpy inside a Pandas UDF, whose pairwise-summed reductions differ from any SQL
-    fold by ulps — two independent blockers, so this stays rows-only
-    even after a quantized-mean index lands."""
+    (asserted in tests/test_dedup_vectors.py).
+
+    PROMOTED rows-only -> full hash oracle in round 13. The round-12
+    note claimed TWO blockers; both fell to the round-12 IVF cure
+    applied end-to-end: (1) the codebook's Lloyd means are
+    floor-quantized at 1e-9 (exact integer sums, ONE double division
+    — centroids become engine-replayable doubles; empty clusters keep
+    the previous centroid on both sides), and (2) every numpy
+    reduction in the hot path is restated as a PINNED-ORDER fold with
+    the same association the SQL twin uses — the row norm accumulates
+    sequentially over dims (= list_sum), the 4-term subspace distance
+    is one fixed parenthesization (((t1+t2)+t3)+t4), and the 16-term
+    ADC sum accumulates sequentially over j (= list_reduce ORDER BY
+    j). With identical IEEE operation sequences the ADC doubles are
+    bit-identical across engines (verified: 0 mismatches on every
+    (query, cand) score at all three SFs), so shortlist and final
+    ranking replay exactly. numpy stays vectorized across ROWS — the
+    pinned folds only fix the reduction ORDER, so the Arrow-batched
+    encode/scan throughput shape is unchanged."""
     import numpy as np
     import pandas as pd
 
-    M, DSUB, KCODE = 16, 4, 16
+    M, DSUB, KCODE = _PQ_M, _PQ_DSUB, _PQ_K
     e = load_table(spark, sf_dir, "embeddings")
+
+    def _norm_rows(V):
+        # pinned sequential fold over dims — the list_sum twin
+        acc = V[:, 0] * V[:, 0]
+        for d in range(1, V.shape[1]):
+            acc = acc + V[:, d] * V[:, d]
+        return np.sqrt(acc)
+
+    def _d4(a, b):
+        # pinned 4-term squared L2 — the _pq_dist4 twin
+        t = (a - b) ** 2
+        return ((t[..., 0] + t[..., 1]) + t[..., 2]) + t[..., 3]
 
     # --- codebook fit (driver-side, deterministic sample) -----------
     sample = (
         e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(256)
+        .limit(_PQ_SAMPLE)
         .select("embedding")
         .collect()
     )
     X = np.array([r.embedding for r in sample], dtype=np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X /= _norm_rows(X)[:, None]
     books = []
     for j in range(M):
         sub = X[:, j * DSUB : (j + 1) * DSUB]
         cents = sub[:KCODE].copy()  # deterministic seed: first K rows
-        for _ in range(5):  # Lloyd iterations on the sample
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        for _ in range(_PQ_ITERS):  # Lloyd iterations on the sample
+            d2 = _d4(sub[:, None, :], cents[None, :, :])
             assign = d2.argmin(axis=1)
+            new = cents.copy()
             for k in range(KCODE):
                 pts = sub[assign == k]
                 if len(pts):
-                    cents[k] = pts.mean(axis=0)
+                    # floor-quantized mean: exact integer sum (values
+                    # <= 1e9 * 256 << 2^53, so order-free), ONE double
+                    # division — replayable in SQL
+                    for r in range(DSUB):
+                        new[k, r] = np.floor(pts[:, r] * 1e9).sum() / (
+                            len(pts) * 1e9
+                        )
+            cents = new
         books.append(cents)
     books_arr = np.stack(books)  # (M, KCODE, DSUB)
     bc_books = spark.sparkContext.broadcast(books_arr)
@@ -1001,11 +1180,15 @@ def vec_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         B = bc_books.value
         for pdf in batches:
             V = np.array(list(pdf["embedding"]), dtype=np.float64)
-            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            acc = V[:, 0] * V[:, 0]
+            for d in range(1, V.shape[1]):
+                acc = acc + V[:, d] * V[:, d]
+            V /= np.sqrt(acc)[:, None]
             codes = np.empty((len(V), M), dtype=np.int32)
             for j in range(M):
                 sub = V[:, j * DSUB : (j + 1) * DSUB]
-                d2 = ((sub[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                t = (sub[:, None, :] - B[j][None, :, :]) ** 2
+                d2 = ((t[..., 0] + t[..., 1]) + t[..., 2]) + t[..., 3]
                 codes[:, j] = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "code": list(codes)}
@@ -1025,11 +1208,14 @@ def vec_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     luts = {}
     for r in q_rows:
         q = np.array(r.embedding, dtype=np.float64)
-        q /= np.linalg.norm(q)
+        qa = q[0] * q[0]
+        for d in range(1, len(q)):
+            qa = qa + q[d] * q[d]
+        q /= np.sqrt(qa)
         lut = np.empty((M, KCODE))
         for j in range(M):
             qs = q[j * DSUB : (j + 1) * DSUB]
-            lut[j] = ((B[j] - qs[None, :]) ** 2).sum(axis=1)
+            lut[j] = _d4(B[j], qs[None, :])
         luts[int(r.vec_id)] = lut
     bc_luts = spark.sparkContext.broadcast(luts)
 
@@ -1039,8 +1225,11 @@ def vec_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             C = np.array(list(pdf["code"]), dtype=np.int64)  # (n, M)
             out_q, out_c, out_d = [], [], []
             for qid, lut in L.items():
-                # gather: d[i] = sum_j lut[j, C[i, j]]
-                d = lut[np.arange(M)[None, :], C].sum(axis=1)
+                # pinned sequential gather over j — the list_reduce
+                # (ORDER BY j) twin
+                d = lut[0, C[:, 0]]
+                for j in range(1, M):
+                    d = d + lut[j, C[:, j]]
                 out_q.extend([qid] * len(C))
                 out_c.extend(pdf["vec_id"])
                 out_d.extend(d)

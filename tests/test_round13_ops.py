@@ -110,3 +110,109 @@ class TestMinhashMd5Twin:
 
         for _, _, nb, _, _ in self._expected():
             assert 1 <= nb <= N_BANDS
+
+
+class TestPQReplay:
+    """Pure-numpy replay of the promoted vec_ann_pq_topk pipeline —
+    md5-ordered sample, floor-quantized Lloyd codebooks, pinned-order
+    folds, DIRECT per-pair ADC distances (no LUT gather — a different
+    computation route than the Spark side), shortlist, exact-cosine
+    re-rank — asserting the registered query's final output matches."""
+
+    def _expected(self):
+        M, DSUB, K, ITERS, SHORT, NSAMP = 16, 4, 16, 5, 50, 256
+        rows = _fetch(
+            f"SELECT vec_id, embedding FROM"
+            f" read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
+        )
+        ids = np.array([r[0] for r in rows])
+        V = np.array([r[1] for r in rows], dtype=np.float64)
+
+        def norm_rows(W):
+            acc = W[:, 0] * W[:, 0]
+            for d in range(1, W.shape[1]):
+                acc = acc + W[:, d] * W[:, d]
+            return np.sqrt(acc)
+
+        def d4(a, b):
+            t = (a - b) ** 2
+            return ((t[..., 0] + t[..., 1]) + t[..., 2]) + t[..., 3]
+
+        N = V / norm_rows(V)[:, None]
+        order = sorted(
+            range(len(ids)),
+            key=lambda i: (
+                hashlib.md5(str(ids[i]).encode()).hexdigest(),
+                ids[i],
+            ),
+        )
+        X = N[order[:NSAMP]]
+        books = []
+        for j in range(M):
+            sub = X[:, j * DSUB : (j + 1) * DSUB]
+            cents = sub[:K].copy()
+            for _ in range(ITERS):
+                assign = d4(sub[:, None, :], cents[None, :, :]).argmin(
+                    axis=1
+                )
+                new = cents.copy()
+                for k in range(K):
+                    pts = sub[assign == k]
+                    if len(pts):
+                        for r in range(DSUB):
+                            new[k, r] = np.floor(pts[:, r] * 1e9).sum() / (
+                                len(pts) * 1e9
+                            )
+                cents = new
+            books.append(cents)
+        B = np.stack(books)
+        codes = np.empty((len(ids), M), dtype=np.int64)
+        for j in range(M):
+            codes[:, j] = d4(
+                N[:, None, j * DSUB : (j + 1) * DSUB], B[j][None, :, :]
+            ).argmin(axis=1)
+        out = []
+        for qi in np.where(ids < 5)[0]:
+            q = N[qi]
+            # direct route: adc(c) = fold_j d4(q_j, centroid[code_cj])
+            adc = d4(
+                q.reshape(M, DSUB)[0][None, :], B[0][codes[:, 0]]
+            )
+            for j in range(1, M):
+                adc = adc + d4(
+                    q.reshape(M, DSUB)[j][None, :], B[j][codes[:, j]]
+                )
+            cand = [
+                (adc[ci], int(ids[ci]), ci)
+                for ci in range(len(ids))
+                if ids[ci] != ids[qi]
+            ]
+            cand.sort()
+            short = cand[:SHORT]
+            rescored = []
+            for _, cid, ci in short:
+                a, b = V[qi], V[ci]
+                dot = a[0] * b[0]
+                na, nb = a[0] * a[0], b[0] * b[0]
+                for d in range(1, len(a)):
+                    dot = dot + a[d] * b[d]
+                    na = na + a[d] * a[d]
+                    nb = nb + b[d] * b[d]
+                rescored.append(
+                    (-(dot / (np.sqrt(na) * np.sqrt(nb))), cid)
+                )
+            rescored.sort()
+            for rank, (negcos, cid) in enumerate(rescored[:5], start=1):
+                out.append((int(ids[qi]), cid, rank, -negcos))
+        return sorted(out)
+
+    def test_matches_spark(self, spark):
+        got = sorted(
+            tuple(r)
+            for r in plans.get("vec_ann_pq_topk").build(spark, SF).collect()
+        )
+        expected = self._expected()
+        assert len(got) == len(expected) == 25
+        for g, e in zip(got, expected):
+            assert g[:3] == e[:3]
+            assert abs(g[3] - e[3]) < 1e-12
