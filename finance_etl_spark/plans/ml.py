@@ -5086,11 +5086,19 @@ def _bag_pois_sql(u: str) -> str:
     return f"CASE {arms} ELSE {len(_BAG_POIS)} END"
 
 
-@register(
-    "ml_bagging_oob",
-    tags=("ml", "ensemble", "agg"),
-    headline=True,  # tracks the xB replicate fan-out cost in BENCH_r{N}
-    oracle=f"""
+def _bag_ladder(u):
+    """Shared Poisson(1) inverse-CDF ladder over a 16-bit uniform."""
+    w = F.when(u < _BAG_POIS[0], 0)
+    for i, t in enumerate(_BAG_POIS[1:], start=1):
+        w = w.when(u < t, i)
+    return w.otherwise(len(_BAG_POIS))
+
+
+def _bagging_oracle(u_sql: str) -> str:
+    """Bagged-stump + OOB oracle, parameterized by the per-(row, b)
+    16-bit uniform draw `u_sql` (references b.k and r.b) so the
+    single-digest (v1) and 2-digest (v2) ladders share one body."""
+    return f"""
         WITH rng AS (
             SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS xmin,
                    CAST(MAX(l_extendedprice) AS DOUBLE) AS xmax
@@ -5110,10 +5118,7 @@ def _bag_pois_sql(u: str) -> str:
         ),
         rep AS (
             SELECT b.k, b.bin, b.y, b.cnt, r.b,
-                   {_bag_pois_sql(
-                       "CAST('0x' || substr(md5(b.k || '#' "
-                       "|| CAST(r.b AS VARCHAR)), 1, 4) AS BIGINT)"
-                   )} AS w
+                   {_bag_pois_sql(u_sql)} AS w
             FROM base b
             CROSS JOIN (SELECT UNNEST(range({_BAG_B})) AS b) r
         ),
@@ -5180,7 +5185,16 @@ def _bag_pois_sql(u: str) -> str:
                    AS oob_error
         FROM stumps s CROSS JOIN summary m
         ORDER BY s.b
-    """,
+    """
+
+
+@register(
+    "ml_bagging_oob",
+    tags=("ml", "ensemble", "agg"),
+    oracle=_bagging_oracle(
+        "CAST('0x' || substr(md5(b.k || '#' "
+        "|| CAST(r.b AS VARCHAR)), 1, 4) AS BIGINT)"
+    ),
 )
 def ml_bagging_oob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bagged decision stumps with out-of-bag error — RNG-FREE
@@ -5207,6 +5221,24 @@ def ml_bagging_oob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the barrier that lets wsb's three concurrent consumers reuse one
     computation of the md5 pipeline (a no-dedup variant measured 2.3x
     slower end-to-end)."""
+
+    def _w_of(b: int):
+        u = F.conv(
+            F.substring(F.md5(F.concat(F.col("k"), F.lit(f"#{b}"))), 1, 4),
+            16,
+            10,
+        ).cast("bigint")
+        return _bag_ladder(u)
+
+    return _bagging_pipeline(spark, sf_dir, _w_of)
+
+
+def _bagging_pipeline(spark: SparkSession, sf_dir: str, w_of) -> DataFrame:
+    """Shared bagged-stump + OOB pipeline; `w_of(b)` supplies the
+    replicate-b Poisson weight expression over the string key column
+    `k` (v1: one md5 per (row, b); v2: 16 draws sliced from 2 md5s).
+    Everything downstream of the draw is identical — packed word,
+    transient unpivot histogram, stump pick, shift/mask OOB census."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -5266,17 +5298,6 @@ def ml_bagging_oob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from functools import reduce as _reduce
 
-    def _w_of(b: int):
-        u = F.conv(
-            F.substring(F.md5(F.concat(F.col("k"), F.lit(f"#{b}"))), 1, 4),
-            16,
-            10,
-        ).cast("bigint")
-        w = F.when(u < _BAG_POIS[0], 0)
-        for i, t in enumerate(_BAG_POIS[1:], start=1):
-            w = w.when(u < t, i)
-        return w.otherwise(len(_BAG_POIS))
-
     def _w_at(b: int):
         return F.shiftright(F.col("ws"), 4 * b).bitwiseAND(F.lit(15))
 
@@ -5294,7 +5315,7 @@ def ml_bagging_oob(spark: SparkSession, sf_dir: str) -> DataFrame:
         _reduce(
             lambda a, b: a.bitwiseOR(b),
             [
-                F.shiftleft(_w_of(b).cast("bigint"), 4 * b)
+                F.shiftleft(w_of(b).cast("bigint"), 4 * b)
                 for b in range(_BAG_B)
             ],
         ).alias("ws"),
@@ -5412,6 +5433,50 @@ def ml_bagging_oob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("b")
     )
+
+
+@register(
+    "ml_bagging_oob_v2",
+    tags=("ml", "ensemble", "agg"),
+    headline=True,  # tracks the xB replicate fan-out cost in BENCH_r{N}
+    oracle=_bagging_oracle(
+        "CAST('0x' || substr(md5(b.k || '#' || CAST(r.b // 8 AS VARCHAR)), "
+        "1 + 4 * (r.b % 8), 4) AS BIGINT)"
+    ),
+)
+def ml_bagging_oob_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml_bagging_oob with a 2-DIGEST md5 ladder: the 16 replicates'
+    16-bit uniform draws are SLICED from two md5 digests per row
+    (replicate b reads hex chars [4*(b%8), 4) of md5(k || '#' ||
+    b//8)) instead of computing 16 separate md5s — 8x less hashing in
+    the draw stage, the dominant base cost. Catalyst's subexpression
+    elimination evaluates each digest once per row inside the packed-
+    word projection; everything downstream (Poisson inverse-CDF
+    ladder, ONE-BIGINT packed weights, transient-unpivot histogram,
+    stump pick, shift/mask OOB census) is the SHARED
+    _bagging_pipeline, byte-identical to v1's. Landed as a NEW query
+    name per the round-12 verdict: the slicing draws DIFFERENT (still
+    valid, still RNG-free and partition-invariant) bags than v1, so it
+    is not a drop-in — v1 keeps its name, oracle, and driver history;
+    the headline/bench pointer moves here (round-12 measured base:
+    2-digest 2.35 s vs 16-digest 3.24 s at sf0.1). Statistical
+    validity is unchanged: each 4-hex slice of md5 output is uniform
+    on [0, 65536) and independent across rows/slices for bagging
+    purposes, exactly like the first-4-chars draw."""
+
+    def _w_of(b: int):
+        u = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("k"), F.lit(f"#{b // 8}"))),
+                1 + 4 * (b % 8),
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return _bag_ladder(u)
+
+    return _bagging_pipeline(spark, sf_dir, _w_of)
 
 
 @register(

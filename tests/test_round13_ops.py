@@ -216,3 +216,107 @@ class TestPQReplay:
         for g, e in zip(got, expected):
             assert g[:3] == e[:3]
             assert abs(g[3] - e[3]) < 1e-12
+
+
+class TestBaggingOobV2:
+    """Pure-Python re-derivation of ml_bagging_oob_v2 (the 2-digest
+    md5 ladder): draws via hashlib slices, stumps via a dict-based
+    histogram sweep, OOB census via per-key vote counting."""
+
+    POIS = (24109, 48218, 60273, 64291, 65296, 65497, 65530, 65535)
+    B = 16
+
+    def _expected(self):
+        rows = _fetch(
+            "SELECT l_orderkey, l_linenumber, l_partkey,"
+            " CAST(l_extendedprice AS DOUBLE), l_returnflag"
+            f" FROM read_parquet('{SF}/lineitem.parquet')"
+        )
+        xs = [r[3] for r in rows]
+        xmin, xmax = min(xs), max(xs)
+        base = {}
+        for ok, ln, pk, x, rf in rows:
+            b = min(31, int(np.floor((x - xmin) / ((xmax - xmin) / 32.0))))
+            key = (f"{ok}-{ln}-{pk}", b, 1 if rf == "R" else 0)
+            base[key] = base.get(key, 0) + 1
+
+        def w_of(k, b):
+            dig = hashlib.md5(f"{k}#{b // 8}".encode()).hexdigest()
+            u = int(dig[4 * (b % 8) : 4 * (b % 8) + 4], 16)
+            for w, t in enumerate(self.POIS):
+                if u < t:
+                    return w
+            return len(self.POIS)
+
+        weights = {
+            (k, b): w_of(k[0], b) for k in base for b in range(self.B)
+        }
+        stumps = {}
+        for b in range(self.B):
+            hist = {}
+            for (k, bn, y), cnt in base.items():
+                w = weights[((k, bn, y), b)]
+                n, p = hist.get(bn, (0, 0))
+                hist[bn] = (n + w * cnt, p + w * cnt * y)
+            bins = sorted(hist)
+            tot_n = sum(n for n, _ in hist.values())
+            tot_p = sum(p for _, p in hist.values())
+            cands = []
+            cum_n = cum_p = 0
+            for bn in bins:
+                cum_n += hist[bn][0]
+                cum_p += hist[bn][1]
+                if cum_n >= tot_n:
+                    continue
+                wrong_lp = (cum_n - cum_p) + (tot_p - cum_p)
+                wrong_ln = cum_p + (tot_n - cum_n) - (tot_p - cum_p)
+                cands.append((wrong_ln, bn, "left_neg"))
+                cands.append((wrong_lp, bn, "left_pos"))
+            cands.sort()
+            stumps[b] = cands[0]
+        n_oob_rows = n_err = 0
+        for (k, bn, y), cnt in base.items():
+            n_oob = votes = 0
+            for b in range(self.B):
+                if weights[((k, bn, y), b)] != 0:
+                    continue
+                n_oob += 1
+                _, sb, pol = stumps[b]
+                if (bn <= sb) == (pol == "left_pos"):
+                    votes += 1
+            if n_oob > 0:
+                pred = 1 if 2 * votes > n_oob else 0
+                n_oob_rows += cnt
+                if pred != y:
+                    n_err += cnt
+        return {
+            b: (stumps[b][1], stumps[b][2], stumps[b][0], n_oob_rows,
+                n_err / n_oob_rows)
+            for b in range(self.B)
+        }
+
+    def test_matches_spark(self, spark):
+        got = {
+            r.b: (r.split_bin, r.polarity, r.weighted_wrong, r.n_oob_rows,
+                  r.oob_error)
+            for r in plans.get("ml_bagging_oob_v2").build(spark, SF).collect()
+        }
+        expected = self._expected()
+        assert set(got) == set(range(self.B))
+        for b in range(self.B):
+            assert got[b][:4] == expected[b][:4], (b, got[b], expected[b])
+            assert abs(got[b][4] - expected[b][4]) < 1e-12
+
+    def test_draws_differ_from_v1(self, spark):
+        """The slicing is NOT a drop-in: at least one stump differs
+        from v1's on the fixture (guards against silently aliasing
+        the two ladders)."""
+        v1 = {
+            r.b: (r.split_bin, r.polarity, r.weighted_wrong)
+            for r in plans.get("ml_bagging_oob").build(spark, SF).collect()
+        }
+        v2 = {
+            r.b: (r.split_bin, r.polarity, r.weighted_wrong)
+            for r in plans.get("ml_bagging_oob_v2").build(spark, SF).collect()
+        }
+        assert v1 != v2
