@@ -63,6 +63,7 @@ for _mod in (
     # keep their window priority (see front_queries below)
     "round11",
     "round12",
+    "round13",
 ):
     try:
         importlib.import_module(f"finance_etl_spark.plans.{_mod}")

@@ -320,3 +320,291 @@ class TestBaggingOobV2:
             for r in plans.get("ml_bagging_oob_v2").build(spark, SF).collect()
         }
         assert v1 != v2
+
+
+def _orders_cells():
+    return _fetch(
+        "SELECT o_orderpriority, o_orderstatus, COUNT(*) FROM"
+        f" read_parquet('{SF}/orders.parquet') GROUP BY 1, 2"
+    )
+
+
+class TestGKLambda:
+    def test_matches_spark(self, spark):
+        cells = {(x, y): n for x, y, n in _orders_cells()}
+        xs = sorted({x for x, _ in cells})
+        ys = sorted({y for _, y in cells})
+        n = sum(cells.values())
+        col_tot = {y: sum(cells.get((x, y), 0) for x in xs) for y in ys}
+        row_tot = {x: sum(cells.get((x, y), 0) for y in ys) for x in xs}
+        max_col, max_row = max(col_tot.values()), max(row_tot.values())
+        sum_row_max = sum(
+            max(cells.get((x, y), 0) for y in ys) for x in xs
+        )
+        sum_col_max = sum(
+            max(cells.get((x, y), 0) for x in xs) for y in ys
+        )
+        lam_yx = (sum_row_max - max_col) / (n - max_col)
+        lam_xy = (sum_col_max - max_row) / (n - max_row)
+        row = plans.get("stat_gk_lambda").build(spark, SF).collect()[0]
+        assert (row.n, row.max_col, row.max_row) == (n, max_col, max_row)
+        assert (row.sum_row_max, row.sum_col_max) == (sum_row_max, sum_col_max)
+        assert abs(row.lambda_y_given_x - lam_yx) < 1e-12
+        assert abs(row.lambda_x_given_y - lam_xy) < 1e-12
+
+
+class TestUncertaintyCoeff:
+    def test_matches_spark(self, spark):
+        import math
+
+        cells = {(x, y): n for x, y, n in _orders_cells()}
+        n = sum(cells.values())
+
+        def h(counts):
+            return -sum(c * math.log(c / n) for c in counts) / n
+
+        xs = sorted({x for x, _ in cells})
+        ys = sorted({y for _, y in cells})
+        hx = h([sum(cells.get((x, y), 0) for y in ys) for x in xs])
+        hy = h([sum(cells.get((x, y), 0) for x in xs) for y in ys])
+        hxy = h(list(cells.values()))
+        row = plans.get("stat_uncertainty_coeff").build(spark, SF).collect()[0]
+        # the engine pipeline quantizes each ln to 1e-6; the bound on
+        # each H is 1e-6, amplified through the ratio — compare loosely
+        assert row.n == n
+        assert abs(row.h_x - hx) < 1e-5
+        assert abs(row.h_y - hy) < 1e-5
+        assert abs(row.h_xy - hxy) < 1e-5
+        assert abs(row.u_y_given_x - (hx + hy - hxy) / hy) < 1e-4
+        assert abs(row.u_x_given_y - (hx + hy - hxy) / hx) < 1e-4
+        assert 0.0 <= row.u_y_given_x <= 1.0
+
+
+class TestChowTest:
+    def test_matches_numpy(self, spark):
+        rows = _fetch(
+            "SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT),"
+            " CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT),"
+            " CAST(l_shipdate AS DATE) < DATE '1998-07-01'"
+            f" FROM read_parquet('{SF}/lineitem.parquet')"
+        )
+        import numpy as np
+
+        def rss_of(seg):
+            x = np.array([r[0] for r in seg], dtype=np.float64)
+            y = np.array([r[1] for r in seg], dtype=np.float64)
+            # independent route: explicit OLS residuals
+            xm, ym = x.mean(), y.mean()
+            beta = ((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum()
+            resid = y - (ym + beta * (x - xm))
+            return (resid**2).sum()
+
+        pre = [r for r in rows if r[2]]
+        post = [r for r in rows if not r[2]]
+        rss_p = rss_of(rows)
+        rss_s = rss_of(pre) + rss_of(post)
+        f_ref = ((rss_p - rss_s) / 2) / (rss_s / (len(rows) - 4))
+        row = plans.get("stat_chow_test").build(spark, SF).collect()[0]
+        assert (row.n_pre, row.n_post) == (len(pre), len(post))
+        assert abs(row.rss_pooled - rss_p) / rss_p < 1e-9
+        assert abs(row.rss_segmented - rss_s) / rss_s < 1e-9
+        assert abs(row.f_stat - f_ref) / max(abs(f_ref), 1e-9) < 1e-6
+
+
+class TestYuleK:
+    def test_matches_python(self, spark):
+        import re
+        from collections import Counter
+
+        docs = _fetch(
+            f"SELECT text FROM read_parquet('{SF}/documents.parquet')"
+        )
+        freq = Counter()
+        for (t,) in docs:
+            freq.update(w.lower() for w in re.findall(r"[a-zA-Z0-9_]+", t))
+        n = sum(freq.values())
+        s2 = sum(f * f for f in freq.values())
+        k_ref = 1e4 * (s2 - n) / (n * n)
+        row = plans.get("text_yule_k").build(spark, SF).collect()[0]
+        assert (row.n_tokens, row.vocab, row.sum_freq_sq) == (n, len(freq), s2)
+        assert abs(row.yule_k - k_ref) < 1e-9
+
+
+class TestLangidConfusion:
+    def test_matches_python(self, spark):
+        from collections import Counter, defaultdict
+
+        docs = _fetch(
+            f"SELECT doc_id, text, lang FROM"
+            f" read_parquet('{SF}/documents.parquet')"
+        )
+        toks = {d: [w for w in t.split(" ") if w != ""] for d, t, _ in docs}
+        lang_of = {d: lang for d, _, lang in docs}
+        prof = defaultdict(Counter)
+        for d, ws in toks.items():
+            prof[lang_of[d]].update(ws)
+        weights = {}
+        for lang, cnt in prof.items():
+            total = sum(cnt.values())
+            for w, c in cnt.items():
+                weights[(lang, w)] = (c * 1000000) // total
+        cells = Counter()
+        for d, ws in toks.items():
+            scores = Counter()
+            for w in ws:
+                for lang in prof:
+                    wt = weights.get((lang, w))
+                    if wt is not None:
+                        scores[lang] += wt
+            if not scores:
+                continue
+            pred = min(scores, key=lambda L: (-scores[L], L))
+            cells[(lang_of[d], pred)] += 1
+        truetot = Counter()
+        for (t, _), c in cells.items():
+            truetot[t] += c
+        got = {
+            (r.true_lang, r.pred_lang): (r.n_docs, r.cell_share)
+            for r in plans.get("text_langid_confusion").build(spark, SF).collect()
+        }
+        assert set(got) == set(cells)
+        for k, (nd, share) in got.items():
+            assert nd == cells[k]
+            assert abs(share - cells[k] / truetot[k[0]]) < 1e-12
+
+
+def _daily_series():
+    """Exact daily DECIMAL(18,6) sums per event_type, in date order."""
+    return _fetch(
+        "SELECT event_type, CAST(ts AS DATE) AS d,"
+        " CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))"
+        f" FROM read_parquet('{SF}/events.parquet')"
+        " GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
+class TestTheilU2:
+    def test_matches_python(self, spark):
+        import math
+        from collections import defaultdict
+
+        series = defaultdict(list)
+        for et, _, x in _daily_series():
+            series[et].append(float(x))
+        expected = {}
+        for et, xs in series.items():
+            num = den = 0.0
+            cnt = 0
+            for t in range(7, len(xs)):
+                l1, l7, x = xs[t - 1], xs[t - 7], xs[t]
+                if l1 == 0:
+                    continue
+                num += ((l7 - x) / l1) ** 2
+                den += ((x - l1) / l1) ** 2
+                cnt += 1
+            expected[et] = (cnt, math.sqrt(num) / math.sqrt(den))
+        got = {
+            r.event_type: (r.n_terms, r.theil_u2)
+            for r in plans.get("ts_theil_u2").build(spark, SF).collect()
+        }
+        assert set(got) == set(expected)
+        for et, (cnt, u2) in expected.items():
+            assert got[et][0] == cnt
+            assert abs(got[et][1] - u2) < 1e-9
+            assert got[et][1] > 0
+
+
+class TestStochasticOscillator:
+    def test_matches_python(self, spark):
+        import math
+        from collections import defaultdict
+
+        series = defaultdict(list)
+        for et, _, x in _daily_series():
+            series[et].append(float(x))
+        expected = {}
+        for et, xs in series.items():
+            ks = []
+            for t in range(13, len(xs)):
+                win = xs[t - 13 : t + 1]
+                hi, lo = max(win), min(win)
+                ks.append((xs[t] - lo) / (hi - lo) if hi > lo else None)
+            n_ob = sum(1 for k in ks if k is not None and k > 0.8)
+            n_os = sum(1 for k in ks if k is not None and k < 0.2)
+            kq = sum(
+                int(math.floor(k * 1e6)) for k in ks if k is not None
+            )
+            dq = 0
+            for i in range(2, len(ks)):
+                if all(k is not None for k in ks[i - 2 : i + 1]):
+                    dq += int(
+                        math.floor(((ks[i] + ks[i - 1]) + ks[i - 2]) / 3.0 * 1e6)
+                    )
+            expected[et] = (len(ks), n_ob, n_os, kq, dq)
+        got = {
+            r.event_type: (r.n_days, r.n_overbought, r.n_oversold,
+                           r.k_q6_sum, r.d_q6_sum)
+            for r in plans.get("ts_stochastic_oscillator").build(spark, SF).collect()
+        }
+        assert got == expected
+
+
+class TestEdgeTriangleSupport:
+    def test_matches_python(self, spark):
+        edges = _fetch(
+            "SELECT LEAST(s.s_nationkey, c.c_nationkey),"
+            " GREATEST(s.s_nationkey, c.c_nationkey), COUNT(*)"
+            f" FROM read_parquet('{SF}/lineitem.parquet') l"
+            f" JOIN read_parquet('{SF}/orders.parquet') o"
+            " ON l.l_orderkey = o.o_orderkey"
+            f" JOIN read_parquet('{SF}/customer.parquet') c"
+            " ON o.o_custkey = c.c_custkey"
+            f" JOIN read_parquet('{SF}/supplier.parquet') s"
+            " ON l.l_suppkey = s.s_suppkey"
+            " WHERE s.s_nationkey <> c.c_nationkey GROUP BY 1, 2"
+        )
+        ws = sorted(w for _, _, w in edges)
+        t = float(np.percentile(ws, 60, method="linear"))
+        ku = {(a, b) for a, b, w in edges if w >= t}
+        nbrs = {}
+        for a, b in ku:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        expected = {
+            (a, b): len(nbrs[a] & nbrs[b]) for a, b in ku
+        }
+        got = {
+            (r.a, r.b): (r.support, r.in_4truss)
+            for r in plans.get("graph_edge_triangle_support").build(spark, SF).collect()
+        }
+        assert set(got) == set(expected)
+        for k, sup in expected.items():
+            assert got[k] == (sup, sup >= 2)
+
+
+class TestWindowDistFunctions:
+    def test_matches_python(self, spark):
+        import math
+        from collections import defaultdict
+
+        rows = _fetch(
+            "SELECT o_orderpriority,"
+            " CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT),"
+            " o_orderkey"
+            f" FROM read_parquet('{SF}/orders.parquet')"
+        )
+        groups = defaultdict(list)
+        for pri, cents, okey in rows:
+            groups[pri].append((cents, okey))
+        expected = {}
+        for pri, lst in groups.items():
+            lst.sort()
+            n = len(lst)
+            nlq = sum(1 for i in range(n) if (i + 1) / n <= 0.25)
+            prq = sum(int(math.floor(i / (n - 1) * 1e6)) for i in range(n))
+            expected[pri] = (n, nlq, prq, lst[2][0])
+        got = {
+            r.pri: (r.n, r.n_lower_quartile, r.pr_q6_sum, r.third_lowest_cents)
+            for r in plans.get("window_dist_functions").build(spark, SF).collect()
+        }
+        assert got == expected
