@@ -646,7 +646,14 @@ def kmeans_centroids(e: DataFrame, k: int = N_CLUSTERS, iters: int = 3) -> DataF
     state between iterations — it is materialized (persist + count)
     each round so iteration N+1's lineage starts from K rows instead of
     re-running all prior rounds (lineage would otherwise grow
-    exponentially). Deterministic seeds as in ivf_index."""
+    exponentially). Deterministic seeds as in ivf_index. Since round
+    13 the per-iteration means are FLOOR-QUANTIZED at 1e-9 (exact
+    DECIMAL sums, one double division — the ivf_index recipe), so
+    every iteration's centroids are engine-replayable doubles and the
+    whole loop unrolls into a hash oracle; the 1e-9 grid moves a
+    centroid coordinate by < 1e-9, far below any assignment margin the
+    corpus exhibits (cluster sizes and cohesion unchanged, pinned in
+    tests/test_dedup_vectors.py)."""
     seeds = (
         e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(k)
@@ -663,7 +670,16 @@ def kmeans_centroids(e: DataFrame, k: int = N_CLUSTERS, iters: int = 3) -> DataF
             "cluster_id", F.posexplode("embedding").alias("dim", "val")
         )
         means = elems.groupBy("cluster_id", "dim").agg(
-            F.avg(F.col("val").cast("double")).alias("m")
+            (
+                F.sum(
+                    F.floor(F.col("val").cast("double") * F.lit(1e9)).cast(
+                        "decimal(38,0)"
+                    )
+                )
+                .cast("string")
+                .cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1e9))
+            ).alias("m")
         )
         prev = cents
         cents = means.groupBy("cluster_id").agg(
@@ -677,19 +693,99 @@ def kmeans_centroids(e: DataFrame, k: int = N_CLUSTERS, iters: int = 3) -> DataF
     return cents
 
 
-@register("vec_kmeans_clusters", tags=("vector", "clustering", "iterative"))
+def _kmeans_iter_sql(i: int) -> str:
+    """One unrolled Lloyd iteration: argmax-cosine assignment (max
+    struct — tie semantics match Spark's F.max(struct) positionally),
+    floor-quantized element-wise means, list re-pack."""
+    qm = (
+        "CAST(CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * CAST(1e9 AS DOUBLE))"
+        " AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)"
+        " / (CAST(COUNT(*) AS DOUBLE) * CAST(1e9 AS DOUBLE))"
+    )
+    return f"""
+        a{i} AS (
+            SELECT e.vec_id,
+                   MAX({{'s': {_cos('e.embedding', 'c.centroid')},
+                        'c': c.cluster_id}}).c AS cluster_id
+            FROM embeddings e CROSS JOIN kcents{i-1} c
+            GROUP BY e.vec_id
+        ),
+        el{i} AS (
+            SELECT a.cluster_id,
+                   generate_subscripts(e2.embedding, 1) AS dim,
+                   unnest(e2.embedding) AS val
+            FROM a{i} a JOIN embeddings e2 ON e2.vec_id = a.vec_id
+        ),
+        mn{i} AS (
+            SELECT cluster_id, dim, {qm} AS m
+            FROM el{i} GROUP BY cluster_id, dim
+        ),
+        kcents{i} AS (
+            SELECT cluster_id, list(m ORDER BY dim) AS centroid
+            FROM mn{i} GROUP BY cluster_id
+        )"""
+
+
+def _kmeans_clusters_sql(iters: int = 3) -> str:
+    """DuckDB oracle for vec_kmeans_clusters: the full {iters}-round
+    Lloyd loop unrolled (md5 seed draw, per-round argmax + quantized
+    means), final assignment, and the q10-quantized cohesion census."""
+    body = ",".join(_kmeans_iter_sql(i) for i in range(1, iters + 1))
+    return f"""
+        WITH seedk AS (
+            SELECT vec_id, embedding FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_CLUSTERS}
+        ),
+        kcents0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+                   embedding AS centroid
+            FROM seedk
+        ),
+        {body},
+        af AS (
+            SELECT e.vec_id,
+                   MAX({{'s': {_cos('e.embedding', 'c.centroid')},
+                        'c': c.cluster_id}}).c AS cluster_id
+            FROM embeddings e CROSS JOIN kcents{iters} c
+            GROUP BY e.vec_id
+        ),
+        coh AS (
+            SELECT af.cluster_id,
+                   {_cos('e.embedding', 'c.centroid')} AS c
+            FROM af
+            JOIN embeddings e ON e.vec_id = af.vec_id
+            JOIN kcents{iters} c ON c.cluster_id = af.cluster_id
+        )
+        SELECT cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(CAST(SUM(CAST(FLOOR(c * CAST(1e10 AS DOUBLE))
+                        AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * CAST(1e10 AS DOUBLE))
+                   AS mean_cohesion
+        FROM coh GROUP BY cluster_id
+    """
+
+
+@register(
+    "vec_kmeans_clusters",
+    tags=("vector", "clustering", "iterative"),
+    oracle=_kmeans_clusters_sql(3),
+)
 def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-iteration k-means cluster summary: size and decimal-exact mean
-    cohesion (cosine to own centroid) per cluster. Rows-only; the
-    precise blocker: each iteration's centroids are order-dependent
-    F.avg(double) sums, and 3 chained iterations compound any ulp flip
-    into different assignments. The floor-quantized-mean cure was
-    DEMONSTRATED on vec_ann_ivf_topk this round (promoted to a full
-    hash oracle) and a fixed-round unrolled-CTE twin is hash-oracled
-    as vec_kmeans_unrolled2 (2 rounds); THIS registration keeps the
-    production float path so the iterative operator's real output
-    stays what users get.
-    Determinism and cohesion-improvement are asserted in
+    """3-iteration k-means cluster summary: size and quantized-exact
+    mean cohesion (cosine to own centroid) per cluster. PROMOTED
+    rows-only -> full hash oracle in round 13: the round-12 blocker
+    note ("order-dependent F.avg(double) means, 3 chained iterations
+    compound any ulp flip") fell to the ivf_index cure applied to the
+    WHOLE loop — kmeans_centroids' per-iteration means are now
+    floor-quantized at 1e-9 (exact DECIMAL sums, one double division),
+    so each iteration's centroids are engine-replayable and the oracle
+    simply unrolls all 3 rounds as CTEs (seed draw, max-struct argmax
+    with positional tie semantics, quantized means). The cohesion
+    census crosses to double through the q10-floored exact-integer
+    route. The fixed-round twin vec_kmeans_unrolled2 predates this and
+    stays as the independent 2-round formulation; determinism and
+    cohesion-improvement remain asserted in
     tests/test_dedup_vectors.py."""
     e = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(e, iters=3)
@@ -700,10 +796,12 @@ def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", cosine("embedding", "centroid").alias("c"))
     )
     return coh.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
         (
-            F.sum(F.col("c").cast("decimal(30,10)")).cast("double")
-            / F.count(F.lit(1))
+            F.sum(F.floor(F.col("c") * F.lit(1e10)).cast("decimal(38,0)"))
+            .cast("string")
+            .cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e10))
         ).alias("mean_cohesion"),
     )
 
@@ -881,7 +979,44 @@ def vec_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("vec_semantic_dedup", tags=("vector", "dedup", "clustering"))
+@register(
+    "vec_semantic_dedup",
+    tags=("vector", "dedup", "clustering"),
+    oracle=f"""
+        WITH seedk AS (
+            SELECT vec_id, embedding FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_CLUSTERS}
+        ),
+        kcents0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+                   embedding AS centroid
+            FROM seedk
+        ),
+        {_kmeans_iter_sql(1).lstrip()},
+        assigned AS (
+            SELECT e.vec_id,
+                   MAX({{'s': {_cos('e.embedding', 'c.centroid')},
+                        'c': c.cluster_id}}).c AS cluster_id
+            FROM embeddings e CROSS JOIN kcents1 c
+            GROUP BY e.vec_id
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_keep, b.vec_id AS id_drop,
+                   {_cos('ea.embedding', 'eb.embedding')} AS cos
+            FROM assigned a
+            JOIN assigned b ON b.cluster_id = a.cluster_id
+                           AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+        ),
+        hits AS (SELECT * FROM pairs WHERE cos >= CAST('0.4' AS DOUBLE))
+        SELECT id_drop,
+               CAST(MIN(id_keep) AS BIGINT) AS survivor,
+               MAX(cos) AS max_cos,
+               CAST(COUNT(*) AS BIGINT) AS n_partners
+        FROM hits GROUP BY id_drop
+    """,
+)
 def vec_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embedding
     space (deterministic k-means, one refinement pass), then compare
@@ -897,13 +1032,15 @@ def vec_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     already sit, and the candidate join shuffles on cluster_id, not on
     vectors. (Near-duplicates that land in different clusters are the
     documented recall trade-off — SemDeDup accepts it; raise K or probe
-    2 nearest clusters to tighten.) Rows-only; blocker = the k-means
-    float-mean centroids (kmeans_centroids — the floor-quantized-mean
-    cure was demonstrated on vec_ann_ivf_topk this round, but applying
-    it HERE would alter which duplicates this operator reports, not
-    just internal state, so the production float path stays). Planted-duplicate recall, survivor
-    determinism, and repartition-invariance are pinned in
-    tests/test_dedup_vectors.py."""
+    2 nearest clusters to tighten.) PROMOTED rows-only -> full hash
+    oracle in round 13, downstream of the kmeans_centroids quantized-
+    mean change: the one refinement pass unrolls in SQL (same CTE
+    machinery as vec_kmeans_clusters), the within-cluster pair scan is
+    a plain self-join on cluster_id, and the cosines are the proven
+    sequential-fold twins — so which duplicates this operator reports
+    is now engine-replayable, not just deterministic. Planted-duplicate
+    recall, survivor determinism, and repartition-invariance stay
+    pinned in tests/test_dedup_vectors.py."""
     e = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(e, iters=1)
     assigned = _assign_clusters(e, cents, n_keep=1).join(e, "vec_id")
