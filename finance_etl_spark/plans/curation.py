@@ -2005,28 +2005,85 @@ def weighted_sample(
     stage) — one pass, no full sort, deterministic for a given salt
     under any partitioning (hash-derived u, no RNG state).
 
-    ln() is libm-territory, so results are engine-local (rows-only);
-    the weight-proportionality and determinism contracts are pinned in
+    Since round 13 the draw is engine-replayable: u comes from the
+    first 15 md5 hex chars (a 60-bit uniform — the xxhash64 wrap it
+    replaced added nothing statistically and was JVM-only), ln(u) is
+    FLOOR-QUANTIZED at 1e-6 into a BIGINT (the quantized-ln recipe: a
+    1-ulp libm difference can flip the floored value only exactly AT
+    a quantization boundary, the same accepted tail as every entropy
+    query), and the ranking key is ONE division of exact integers
+    (-lnq / micro-unit weight) — so the sample is identical across
+    engines and cur_weighted_sample carries a full hash oracle.
+    Weight-proportionality and determinism contracts stay pinned in
     tests/test_weighted_sample.py."""
-    h = F.shiftrightunsigned(
-        F.xxhash64(F.md5(F.concat_ws("#", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]))), 1
-    )
-    # u in (0,1]: (h+1) / 2^63 — never 0, so ln(u) is finite
-    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 63))
-    ekey = -F.log(u) / F.col(weight_col).cast("double")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "#",
+                    F.lit(salt),
+                    *[F.col(c).cast("string") for c in key_cols],
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    # u in (0,1): (h + 0.5) / 2^60 — never 0 or 1, so ln(u) is finite
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    nlq = (-F.floor(F.log(u) * F.lit(1e6))).cast("bigint")
+    wq = (F.col(weight_col).cast("decimal(18,6)") * 1000000).cast("bigint")
+    ekey = nlq.cast("double") / wq.cast("double")
     return (
-        df.withColumn("__ekey", ekey)
+        df.withColumn("__wq", wq)
+        .filter(F.col("__wq") > 0)
+        .withColumn("__ekey", ekey)
         .orderBy(F.col("__ekey").asc(), *[F.col(c) for c in key_cols])
         .limit(n)
-        .drop("__ekey")
+        .drop("__ekey", "__wq")
     )
 
 
-@register("cur_weighted_sample", tags=("curation", "sampling"))
+@register(
+    "cur_weighted_sample",
+    tags=("curation", "sampling"),
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   CAST('0x' || substr(md5('ws0#'
+                        || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+                       AS h,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000
+                        AS BIGINT) AS wq
+            FROM orders
+        ),
+        keyed AS (
+            SELECT o_orderkey, o_custkey, o_totalprice, wq,
+                   CAST(-FLOOR(ln((CAST(h AS DOUBLE)
+                                   + CAST('0.5' AS DOUBLE))
+                                  / CAST({1 << 60} AS DOUBLE))
+                               * CAST(1e6 AS DOUBLE)) AS BIGINT) AS nlq
+            FROM base WHERE wq > 0
+        )
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM keyed
+        ORDER BY CAST(nlq AS DOUBLE) / CAST(wq AS DOUBLE) ASC, o_orderkey
+        LIMIT 200
+    """,
+)
 def cur_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-proportional exactly-200 order sample, weighted by order
     value — the 'sample important data more' primitive behind loss-
-    weighted corpus subsampling and stratified eval-set construction."""
+    weighted corpus subsampling and stratified eval-set construction.
+    PROMOTED rows-only -> full hash oracle in round 13 via
+    weighted_sample's engine-replayable draw (md5 60-bit uniform +
+    floor-quantized ln + exact-integer ranking key — see the helper's
+    docstring); the oracle replays the A-ES key ordering verbatim.
+    NOTE: the result set is the top-200 SET (returned here sorted by
+    orderkey); the oracle sorts by the same key, and the driver's
+    order-insensitive multiset compare sees identical rows."""
     o = load_table(spark, sf_dir, "orders")
     return weighted_sample(
         o.select("o_orderkey", "o_custkey", "o_totalprice"),
@@ -2135,36 +2192,80 @@ def dp_noisy_counts(
     different salts give independent draws (the privacy accountant
     rotates the salt per release). Inverse-CDF sampling:
     lap = -(1/ε)·sign(u−½)·ln(1−2|u−½|), u ~ U(0,1) from the hash.
-    ln() is libm-territory → rows-only; unbiasedness and scale are
-    pinned across salts in tests/test_dp.py. The noisy agg costs
-    exactly one hash shuffle — the noise rides the 1-row-per-group
-    aggregate, never the raw data."""
+    Since round 13 the draw is engine-replayable (the weighted_sample
+    cure): u = 60-bit md5 uniform, the ln is FLOOR-QUANTIZED at 1e-6
+    into a BIGINT, and the noise is ONE pinned double expression of
+    that integer — so dq_dp_noisy_counts carries a full hash oracle.
+    Unbiasedness and scale stay pinned across salts in
+    tests/test_dp.py. The noisy agg costs exactly one hash shuffle —
+    the noise rides the 1-row-per-group aggregate, never the raw
+    data."""
     counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("exact_n"))
     keystr = F.concat_ws(
         "#", F.lit(salt), *[F.col(c).cast("string") for c in group_cols]
     )
-    h = F.shiftrightunsigned(F.xxhash64(F.md5(keystr)), 1)
-    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 63))
+    h = F.conv(F.substring(F.md5(keystr), 1, 15), 16, 10).cast("bigint")
+    # u in (0,1), never exactly 1/2: h + 0.5 is never 2^59
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
     centered = u - F.lit(0.5)
+    lnq = F.floor(
+        F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered)) * F.lit(1e6)
+    ).cast("bigint")
     lap = (
-        -F.lit(1.0 / epsilon)
+        F.lit(1.0 / epsilon)
         * F.signum(centered)
-        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+        * ((-lnq).cast("double") / F.lit(1e6))
     )
     return counts.select(
         *group_cols,
         "exact_n",
-        (F.col("exact_n") + lap).alias("noisy_n"),
+        (F.col("exact_n").cast("double") + lap).alias("noisy_n"),
     )
 
 
-@register("dq_dp_noisy_counts", tags=("quality", "privacy", "agg"))
+@register(
+    "dq_dp_noisy_counts",
+    tags=("quality", "privacy", "agg"),
+    oracle=f"""
+        WITH counts AS (
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS exact_n
+            FROM orders GROUP BY 1, 2
+        ),
+        drawn AS (
+            SELECT o_orderpriority, o_orderstatus, exact_n,
+                   (CAST(CAST('0x' || substr(md5('dp0#' || o_orderpriority
+                         || '#' || o_orderstatus), 1, 15) AS BIGINT)
+                     AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                   / CAST({1 << 60} AS DOUBLE) AS u
+            FROM counts
+        ),
+        noised AS (
+            SELECT o_orderpriority, o_orderstatus, exact_n,
+                   u - CAST('0.5' AS DOUBLE) AS centered,
+                   CAST(FLOOR(ln(CAST('1.0' AS DOUBLE)
+                                 - CAST('2.0' AS DOUBLE)
+                                   * abs(u - CAST('0.5' AS DOUBLE)))
+                              * CAST(1e6 AS DOUBLE)) AS BIGINT) AS lnq
+            FROM drawn
+        )
+        SELECT o_orderpriority, o_orderstatus, exact_n,
+               CAST(exact_n AS DOUBLE)
+                 + CAST('1.0' AS DOUBLE) * sign(centered)
+                   * (CAST(-lnq AS DOUBLE) / CAST(1e6 AS DOUBLE))
+                   AS noisy_n
+        FROM noised
+    """,
+)
 def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ε=1 differentially-private order counts per (priority, status)
     — the governance-gated aggregate release shape (census-style
     tables, usage reporting) next to mask()/AES/k-anonymity in the
     privacy surface. Exact counts stay internal; only noisy_n leaves
-    the trust boundary in a real deployment."""
+    the trust boundary in a real deployment. PROMOTED rows-only ->
+    full hash oracle in round 13 via dp_noisy_counts' engine-
+    replayable draw (md5 60-bit uniform + floor-quantized ln + one
+    pinned noise expression — see the helper's docstring)."""
     o = load_table(spark, sf_dir, "orders")
     return dp_noisy_counts(
         o, ["o_orderpriority", "o_orderstatus"], epsilon=1.0
