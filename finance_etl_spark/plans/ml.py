@@ -5458,11 +5458,17 @@ def ml_bagging_oob_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     name per the round-12 verdict: the slicing draws DIFFERENT (still
     valid, still RNG-free and partition-invariant) bags than v1, so it
     is not a drop-in — v1 keeps its name, oracle, and driver history;
-    the headline/bench pointer moves here (round-12 measured base:
-    2-digest 2.35 s vs 16-digest 3.24 s at sf0.1). Statistical
-    validity is unchanged: each 4-hex slice of md5 output is uniform
-    on [0, 65536) and independent across rows/slices for bagging
-    purposes, exactly like the first-4-chars draw."""
+    the headline/bench pointer moves here. Honest measurement
+    (round-13, quiet host, same session, min-of-5 AFTER warming the
+    query — first-position series pay the documented ~1.5-2 s JIT
+    tax): the DRAW stage shrinks as the round-12 profile predicted
+    (base 2.35 s vs 3.24 s, tools/bagging_profile.py), but the
+    histogram shuffle + OOB census dominate end-to-end, so the full
+    query lands at ~3.54 s vs v1's ~3.61 s — a real but small win,
+    NOT the base-stage 27%. Statistical validity is unchanged: each
+    4-hex slice of md5 output is uniform on [0, 65536) and
+    independent across rows/slices for bagging purposes, exactly like
+    the first-4-chars draw."""
 
     def _w_of(b: int):
         u = F.conv(

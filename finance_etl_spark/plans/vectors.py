@@ -2181,21 +2181,118 @@ def _sigmoid_p(w: list) -> "F.Column":
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
-@register("ml_logreg_gd", tags=("ml", "vector", "iterative"))
+def _logreg_z_sql(dim: int) -> str:
+    """Pinned dot-product parenthesization matching _sigmoid_p's
+    sequential fold (0.0 + t0 == t0 bitwise)."""
+    z = "(x0 * w.w0)"
+    for j in range(1, dim + 1):
+        z = f"({z} + (x{j} * w.w{j}))"
+    return z
+
+
+def _logreg_ctes(dim: int = 4, iters: int = 12) -> str:
+    """Shared WITH-body for the ml_logreg_gd and
+    cur_active_learning_batch oracles: the 12-round quantized GD loop
+    unrolled — per round, a row CTE computes the q6-floored sigmoid
+    from the previous weights (pinned dot-product parenthesization
+    matching _sigmoid_p's sequential fold), a sum CTE reduces the
+    floor-quantized gradient/loss integers, and a weight CTE applies
+    the pinned update expression. Every cross-row reduction is exact
+    integer arithmetic; the weight chain is the same IEEE expression
+    tree the Spark driver evaluates."""
+    d1 = dim + 1
+    xs = ", ".join(
+        f"CAST(embedding[{j+1}] AS DOUBLE) AS x{j}" for j in range(dim)
+    )
+    w0 = ", ".join(f"0.0 AS w{j}" for j in range(d1))
+    rows = []
+    for i in range(1, iters + 1):
+        z = _logreg_z_sql(dim)
+        gsums = ", ".join(
+            f"SUM(CAST(FLOOR(x{j} * (CAST(pq AS DOUBLE) - y * 1000000.0))"
+            f" AS BIGINT)) AS g{j}"
+            for j in range(d1)
+        )
+        wupd = ", ".join(
+            f"w.w{j} - 4.0 * (CAST(s.g{j} AS DOUBLE) / 1000000.0) / nr.n_d"
+            f" AS w{j}"
+            for j in range(d1)
+        )
+        rows.append(f"""
+        r{i} AS MATERIALIZED (
+            SELECT f.*, CAST(FLOOR((1.0 / (1.0 + exp(-{z})))
+                                   * 1000000.0) AS BIGINT) AS pq
+            FROM feats f CROSS JOIN wt{i-1} w
+        ),
+        s{i} AS MATERIALIZED (
+            SELECT {gsums},
+                   SUM(CAST(FLOOR(-(y * ln(GREATEST(
+                             CAST(pq AS DOUBLE) / 1000000.0, 1e-12))
+                        + (1.0 - y) * ln(GREATEST(
+                             1.0 - CAST(pq AS DOUBLE) / 1000000.0, 1e-12)))
+                        * 1000000.0) AS BIGINT)) AS loss_q,
+                   SUM(CASE WHEN (CASE WHEN pq > 500000 THEN 1.0
+                                       ELSE 0.0 END) = y
+                            THEN 1 ELSE 0 END) AS n_correct
+            FROM r{i}
+        ),
+        wt{i} AS MATERIALIZED (
+            SELECT {wupd}
+            FROM wt{i-1} w, s{i} s, nrow nr
+        )""")
+    return f"""feats AS (
+            SELECT vec_id, {xs}, 1.0 AS x{dim},
+                   CASE WHEN embedding[1] + embedding[2] > 0
+                        THEN CAST(1.0 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END AS y
+            FROM embeddings
+        ),
+        nrow AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_d FROM feats),
+        wt0 AS (SELECT {w0}),
+        {','.join(rows)}"""
+
+
+def _logreg_sql(dim: int = 4, iters: int = 12) -> str:
+    """ml_logreg_gd oracle: the shared CTE chain + the per-iteration
+    history rows (avg_loss / accuracy from each round's exact sums)."""
+    hist = [
+        f"SELECT CAST({i-1} AS INT) AS iteration,"
+        f" CAST(s.loss_q AS DOUBLE) / (nr.n_d * 1000000.0) AS avg_loss,"
+        f" CAST(s.n_correct AS DOUBLE) / nr.n_d AS accuracy"
+        f" FROM s{i} s, nrow nr"
+        for i in range(1, iters + 1)
+    ]
+    return f"""
+        WITH {_logreg_ctes(dim, iters)}
+        {' UNION ALL '.join(hist)}
+    """
+
+
+@register(
+    "ml_logreg_gd",
+    tags=("ml", "vector", "iterative"),
+    oracle=_logreg_sql(),
+)
 def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed logistic-regression training by full-batch gradient
     descent — the canonical data-parallel training loop on Spark: per
     iteration, the weight vector broadcasts into a JVM-side expression
     (sigmoid via F.exp inside codegen, no Python), the per-row
     gradient contribution g = x·(σ(wᵀx) - y) reduces with one
-    element-wise array aggregation (same mergeable partial-agg
-    topology as any sum), and only the d+1 coefficients return to the
-    driver between rounds. The label is constructed linearly separable
+    element-wise aggregation (same mergeable partial-agg topology as
+    any sum), and only the d+1 coefficients return to the driver
+    between rounds. The label is constructed linearly separable
     (y = [e₀+e₁ > 0]) so convergence is a testable CONTRACT, not luck:
     tests/test_dedup_vectors.py asserts strictly decreasing loss and
-    >0.9 final accuracy. Rows-only for the driver (iterative, float
-    loss uses exp/log). At 100 TB this is exactly k linear scans +
-    k tiny broadcasts; nothing driver-side scales with rows."""
+    >0.9 final accuracy. PROMOTED rows-only -> full hash oracle in
+    round 13: the per-row sigmoid floor-quantizes at 1e-6 and every
+    gradient/loss contribution floor-quantizes BEFORE its sum (see
+    _train_logreg), so the reductions are exact integers and the
+    12-round weight chain replays as unrolled CTEs — the "iterative,
+    float loss uses exp/log" blocker was curable with the same
+    quantize-the-model-state move as kmeans/PQ. At 100 TB this is
+    exactly k linear scans + k tiny broadcasts; nothing driver-side
+    scales with rows."""
     w, history = _train_logreg(spark, sf_dir)
     return spark.createDataFrame(
         [(i, l, a) for i, l, a in history],
@@ -2207,40 +2304,87 @@ def _train_logreg(spark: SparkSession, sf_dir: str, dim: int = 4,
                   lr: float = 4.0, iters: int = 12):
     """Full-batch GD loop shared by ml_logreg_gd (reports history) and
     cur_active_learning_batch (uses the trained weights). Returns
-    (weights, [(iteration, avg_loss, accuracy)])."""
+    (weights, [(iteration, avg_loss, accuracy)]).
+
+    Since round 13 the loop is ENGINE-REPLAYABLE: the per-row sigmoid
+    is floor-quantized at 1e-6 into a BIGINT, and every per-row
+    gradient/loss contribution floor-quantizes BEFORE its sum — so all
+    cross-row reductions are exact integer arithmetic (order-free
+    under any partitioning OR engine), and the weight update is one
+    pinned double expression of those integers. The only residual
+    engine sensitivity is a libm 1-ulp exp/ln difference landing
+    exactly ON a quantization boundary (probability ~1e-10 per row
+    per term — the same accepted tail as every quantized-ln query).
+    The 1e-6 grid perturbs each gradient coordinate by < n/1e6, far
+    inside GD's own step noise; loss decrease and accuracy contracts
+    are unchanged (tests/test_dedup_vectors.py)."""
     feats = _logreg_features(spark, sf_dir, dim).persist()
     n = feats.count()
+    nd = float(n)
     w = [0.0] * (dim + 1)
     history = []
     for it in range(iters):
-        p = _sigmoid_p(w)
-        resid = p - F.col("y")
-        contrib = F.transform("x", lambda xi: xi * resid)
+        pq = F.floor(_sigmoid_p(w) * F.lit(1e6)).cast("bigint")
+        pqd = pq.cast("double")
+        resid_s = pqd - F.col("y") * F.lit(1e6)  # 1e6-scaled residual
+        p_q = pqd / F.lit(1e6)
         loss_term = -(
-            F.col("y") * F.log(F.greatest(p, F.lit(1e-12)))
+            F.col("y") * F.log(F.greatest(p_q, F.lit(1e-12)))
             + (F.lit(1.0) - F.col("y"))
-            * F.log(F.greatest(F.lit(1.0) - p, F.lit(1e-12)))
+            * F.log(F.greatest(F.lit(1.0) - p_q, F.lit(1e-12)))
         )
-        correct = ((p > 0.5).cast("double") == F.col("y")).cast("long")
-        # gradient reduce = d+1 ordinary column sums (map-side partial
-        # aggregation, mergeable) — never a collect_list of row vectors
+        lq = F.floor(loss_term * F.lit(1e6)).cast("bigint")
+        correct = (
+            (pq > F.lit(500000)).cast("double") == F.col("y")
+        ).cast("long")
+        # gradient reduce = d+1 ordinary integer column sums (map-side
+        # partial aggregation, mergeable) — never a collect_list of
+        # row vectors
         row = feats.select(
-            contrib.alias("g"), loss_term.alias("l"), correct.alias("c")
+            *[
+                F.floor(F.col("x")[i] * resid_s).cast("bigint").alias(f"gq{i}")
+                for i in range(dim + 1)
+            ],
+            lq.alias("lq"),
+            correct.alias("c"),
         ).agg(
-            *[F.sum(F.col("g")[i]).alias(f"g{i}") for i in range(dim + 1)],
-            F.sum("l").alias("loss"),
+            *[F.sum(f"gq{i}").alias(f"g{i}") for i in range(dim + 1)],
+            F.sum("lq").alias("loss_q"),
             F.sum("c").alias("n_correct"),
         ).first()
-        grad = [row[f"g{i}"] for i in range(dim + 1)]
+        grad = [int(row[f"g{i}"]) for i in range(dim + 1)]
         history.append(
-            (it, float(row["loss"]) / n, int(row["n_correct"]) / n)
+            (
+                it,
+                float(row["loss_q"]) / (nd * 1e6),
+                int(row["n_correct"]) / n,
+            )
         )
-        w = [wv - lr * gv / n for wv, gv in zip(w, grad)]
+        w = [wv - lr * (gv / 1e6) / nd for wv, gv in zip(w, grad)]
     feats.unpersist()
     return w, history
 
 
-@register("cur_active_learning_batch", tags=("curation", "ml", "sample"))
+@register(
+    "cur_active_learning_batch",
+    tags=("curation", "ml", "sample"),
+    oracle=f"""
+        WITH {_logreg_ctes(4, 12)},
+        scored AS MATERIALIZED (
+            SELECT f.vec_id, f.y,
+                   CAST(FLOOR((1.0 / (1.0 + exp(-{_logreg_z_sql(4)})))
+                              * 1000000.0) AS BIGINT) AS pq
+            FROM feats f CROSS JOIN wt12 w
+        )
+        SELECT vec_id,
+               CAST(pq AS DOUBLE) / 1000000.0 AS p_pos,
+               CAST(ABS(pq - 500000) AS DOUBLE) / 1000000.0 AS margin,
+               y AS true_label
+        FROM scored
+        ORDER BY ABS(pq - 500000) ASC, vec_id ASC
+        LIMIT 20
+    """,
+)
 def cur_active_learning_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncertainty-based active-learning batch selection — the
     labeling-budget allocator of every human-in-the-loop data
@@ -2249,21 +2393,28 @@ def cur_active_learning_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side sigmoid scan, and pick the 20 most uncertain points
     (|p - 0.5| smallest; margin ties break on vec_id). Selection is a
     TakeOrdered over the scored pool — no global sort, no collect of
-    scores. Rows-only (the trained weights ride through exp);
+    scores. PROMOTED rows-only -> full hash oracle in round 13,
+    downstream of the _train_logreg quantization: the trained weights
+    replay in SQL (the ml_logreg_gd oracle's wt12 relation verbatim),
+    and the pool scores/margins floor-quantize at 1e-6 so the
+    selection ORDER is an exact-integer comparison on both engines
+    (raw exp-derived doubles would flip on libm ulps at the cut).
     tests/test_dedup_vectors.py pins the contract: selected margins
     are the pool minimum, and every selected point is less certain
     than every non-selected one."""
     w, _ = _train_logreg(spark, sf_dir)
     feats = _logreg_features(spark, sf_dir)
-    p = _sigmoid_p(w)
+    pq = F.floor(_sigmoid_p(w) * F.lit(1e6)).cast("bigint")
+    mq = F.abs(pq - F.lit(500000))
     scored = feats.select(
         "vec_id",
         "y",
-        p.alias("p_pos"),
-        F.abs(p - F.lit(0.5)).alias("margin"),
+        (pq.cast("double") / F.lit(1e6)).alias("p_pos"),
+        (mq.cast("double") / F.lit(1e6)).alias("margin"),
+        mq.alias("__mq"),
     )
     return (
-        scored.orderBy(F.col("margin").asc(), F.col("vec_id").asc())
+        scored.orderBy(F.col("__mq").asc(), F.col("vec_id").asc())
         .limit(20)
         .select("vec_id", "p_pos", "margin", F.col("y").alias("true_label"))
     )
