@@ -981,3 +981,79 @@ def test_bagging_exchange_ships_numeric_keys(spark, sf_dir):
     assert "concat" not in m.group(1), (
         f"string key shipped through the exchange: {m.group(1)}"
     )
+
+
+# --- round-13 additions -----------------------------------------------------
+
+
+def test_bagging_v2_shares_pipeline_shape(spark, sf_dir):
+    """ml_bagging_oob_v2 (the 2-digest ladder) must inherit v1's plan
+    contract: no 16-row replicate fan-out spine, packed word carried
+    on the base, and the dedup exchange ships the numeric key triple
+    (the string key is synthesized after the shuffle)."""
+    import re
+
+    p = plan_str(plans.get("ml_bagging_oob_v2").build(spark, sf_dir), "extended")
+    assert "Range (0, 16" not in p, "replicate fan-out spine in the v2 plan"
+    m = re.search(r"Exchange hashpartitioning\(([^)]*l_orderkey[^)]*)\)", p)
+    assert m, "v2 dedup exchange missing"
+    assert "concat" not in m.group(1)
+
+
+def test_chow_is_one_scan_one_agg(spark, sf_dir):
+    """stat_chow_test: 12 conditional sums in ONE lineitem scan — the
+    plan must contain exactly one exchange (the 1-row final agg) and
+    no join of any kind (pooled sums are decimal additions of the
+    segment sums, never a re-scan)."""
+    df = plans.get("stat_chow_test").build(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1, f"expected 1 exchange:\n{p[:600]}"
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in p
+
+
+def test_window_dist_functions_partition_by_priority(spark, sf_dir):
+    """window_dist_functions: every window (cume_dist / percent_rank /
+    nth_value) partitions by the priority key — a global unpartitioned
+    window over orders would serialize the corpus through one task."""
+    import re
+
+    p = plan_str(plans.get("window_dist_functions").build(spark, sf_dir), "extended")
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+    assert specs, "no Window nodes"
+    for spec in specs:
+        assert "pri" in spec, f"unpartitioned window: [{spec}]"
+
+
+def test_edge_triangle_support_joins_are_key_joins(spark, sf_dir):
+    """graph_edge_triangle_support: the wedge closure is equi-joins on
+    vertex keys — never a cartesian pairing of edges. (The plan's one
+    BroadcastNestedLoopJoin is the 1-row percentile-threshold scalar
+    broadcast — the same house pattern as graph_triangle_count — so
+    only edge-vs-edge nested loops are banned, checked by asserting
+    every BNLJ condition references the scalar threshold column.)"""
+    import re
+
+    df = plans.get("graph_edge_triangle_support").build(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    for ln in p.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert re.search(r">= t#\d+", ln), f"non-threshold BNLJ: {ln.strip()[:120]}"
+    # the wedge-closure joins themselves are key equi-joins
+    assert re.search(r"(SortMergeJoin|BroadcastHashJoin) \[[^\]]*cn#", p)
+
+
+def test_ts_round13_windows_partition_by_event_type(spark, sf_dir):
+    """ts_theil_u2 / ts_stochastic_oscillator: lag and channel windows
+    ride the 30-row-per-type daily aggregate, partitioned by
+    event_type — the corpus-scale work is the map-side-combining daily
+    agg, never an unpartitioned window."""
+    import re
+
+    for q in ("ts_theil_u2", "ts_stochastic_oscillator"):
+        p = plan_str(plans.get(q).build(spark, sf_dir), "extended")
+        specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+        assert specs, f"{q}: no Window nodes"
+        for spec in specs:
+            assert "event_type" in spec, f"{q}: unpartitioned window [{spec}]"
