@@ -1096,3 +1096,544 @@ def window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pri")
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_g_test — log-likelihood-ratio independence test (the G companion
+# to the Pearson chi-square)
+
+
+@register(
+    "stat_g_test",
+    tags=("stats", "agg"),
+    oracle="""
+        WITH cells AS (
+            SELECT o_orderpriority AS x, o_orderstatus AS y,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM orders GROUP BY 1, 2
+        ),
+        rows_t AS (SELECT x, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY x),
+        cols_t AS (SELECT y, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY y),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        dims AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rows_t) AS nr,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM cols_t) AS nc
+        ),
+        terms AS (
+            SELECT cl.o * CAST(ln((CAST(cl.o AS DOUBLE) * CAST(t.n AS DOUBLE))
+                       / (CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)))
+                     AS DECIMAL(12,6)) AS term
+            FROM cells cl
+            JOIN rows_t r ON r.x = cl.x
+            JOIN cols_t c ON c.y = cl.y
+            CROSS JOIN tot t
+        )
+        SELECT t.n,
+               CAST((d.nr - 1) * (d.nc - 1) AS BIGINT) AS df,
+               CAST('2.0' AS DOUBLE)
+                 * CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) AS g_stat
+        FROM terms, tot t, dims d
+        GROUP BY t.n, d.nr, d.nc
+    """,
+)
+def stat_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test of independence (log-likelihood ratio) on the priority x
+    status grid: G = 2 sum O ln(O/E), E = row*col/n — the
+    information-theoretic companion to the Pearson chi-square
+    (stat_chi2_gof family; G is additive across partitions of the
+    table, which chi-square is not, so hierarchical drill-downs
+    decompose exactly). Engine-exact via the quantized-log recipe:
+    O/E is formed as the pinned ratio (O*n)/(r*c) of exact integers,
+    its ln quantizes to DECIMAL(12,6) per cell, the weighted sum is an
+    exact decimal dot product crossing to double ONCE, and G is one
+    final multiplication. Empty cells contribute nothing (inner join
+    on observed cells — 0 ln 0 = 0, the standard convention). One scan
+    + grid-sized joins."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .persist()
+    )
+    rows_t = cells.groupBy("x").agg(F.sum("o").cast("bigint").alias("r"))
+    cols_t = cells.groupBy("y").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    dims = rows_t.agg(F.count(F.lit(1)).cast("bigint").alias("nr")).crossJoin(
+        F.broadcast(cols_t.agg(F.count(F.lit(1)).cast("bigint").alias("nc")))
+    )
+    lnq = F.log(
+        (F.col("o").cast("double") * F.col("n").cast("double"))
+        / (F.col("r").cast("double") * F.col("c").cast("double"))
+    ).cast("decimal(12,6)")
+    terms = (
+        cells.join(rows_t, "x")
+        .join(cols_t, "y")
+        .crossJoin(F.broadcast(tot))
+        .select("n", (F.col("o") * lnq).alias("term"))
+    )
+    return (
+        terms.groupBy("n")
+        .agg(
+            (
+                F.lit("2.0").cast("double")
+                * F.sum("term").cast("string").cast("double")
+            ).alias("g_stat")
+        )
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "n",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("df"),
+            "g_stat",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_psi_stability — population stability index between two periods
+
+
+@register(
+    "ml_psi_stability",
+    tags=("ml", "eval", "agg"),
+    oracle="""
+        WITH base AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS cents,
+                   CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS INT)
+                       AS yr
+            FROM orders
+            WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) IN (1995, 1996)
+        ),
+        rng AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM base),
+        binned AS (
+            SELECT CASE WHEN r.hi = r.lo THEN 0
+                        ELSE LEAST(9, ((b.cents - r.lo) * 10)
+                                      // (r.hi - r.lo + 1)) END AS bin,
+                   b.yr
+            FROM base b CROSS JOIN rng r
+        ),
+        spine AS (SELECT UNNEST(range(10)) AS bin),
+        cnts AS (
+            SELECT s.bin,
+                   CAST(COALESCE(SUM(CASE WHEN yr = 1995 THEN 1 END), 0)
+                        AS BIGINT) AS c_ref,
+                   CAST(COALESCE(SUM(CASE WHEN yr = 1996 THEN 1 END), 0)
+                        AS BIGINT) AS c_cur
+            FROM spine s LEFT JOIN binned b ON b.bin = s.bin
+            GROUP BY s.bin
+        ),
+        tots AS (
+            SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+                   CAST(SUM(c_cur) AS BIGINT) AS n_cur
+            FROM cnts
+        ),
+        terms AS (
+            SELECT c.bin,
+                   (CAST(c.c_ref + 1 AS DOUBLE) / CAST(t.n_ref + 10 AS DOUBLE)
+                    - CAST(c.c_cur + 1 AS DOUBLE)
+                      / CAST(t.n_cur + 10 AS DOUBLE))
+                   * CAST(ln((CAST(c.c_ref + 1 AS DOUBLE)
+                              / CAST(t.n_ref + 10 AS DOUBLE))
+                             / (CAST(c.c_cur + 1 AS DOUBLE)
+                                / CAST(t.n_cur + 10 AS DOUBLE)))
+                       AS DECIMAL(12,6)) AS term
+            FROM cnts c CROSS JOIN tots t
+        )
+        SELECT t.n_ref, t.n_cur,
+               list_reduce(list(CAST(term AS DOUBLE) ORDER BY bin),
+                           (a, x) -> a + x) AS psi,
+               CASE WHEN list_reduce(list(CAST(term AS DOUBLE) ORDER BY bin),
+                                     (a, x) -> a + x)
+                         < CAST('0.1' AS DOUBLE) THEN 'stable'
+                    WHEN list_reduce(list(CAST(term AS DOUBLE) ORDER BY bin),
+                                     (a, x) -> a + x)
+                         < CAST('0.25' AS DOUBLE) THEN 'moderate_shift'
+                    ELSE 'major_shift' END AS verdict
+        FROM terms, tots t
+        GROUP BY t.n_ref, t.n_cur
+    """,
+)
+def ml_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the 1995 and 1996 order-value
+    distributions — THE model-monitoring drift metric (PSI < 0.1
+    stable, 0.1-0.25 watch, > 0.25 retrain): PSI = sum over bins of
+    (p - q) ln(p/q) with +1 Laplace smoothing so empty bins are
+    defined. Engine-exact: bins are pure INTEGER arithmetic
+    (((cents - lo) * 10) div (hi - lo + 1), degenerate-range guarded),
+    the 10-bin spine guarantees every bin exists on both engines,
+    shares are exact-integer rationals, ln(p/q) quantizes to
+    DECIMAL(12,6) per bin, and the 10-term sum folds in PINNED bin
+    order. One scan + a 10-row grid; the verdict thresholds are
+    string-routed shared constants."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+    ).filter(F.col("yr").isin(1995, 1996))
+    rng = base.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    binned = base.crossJoin(F.broadcast(rng)).select(
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(9),
+                F.expr("((cents - lo) * 10) DIV (hi - lo + 1)"),
+            )
+        )
+        .alias("bin"),
+        "yr",
+    )
+    spine = spark.range(10).select(F.col("id").alias("bin"))
+    cnts = (
+        spine.join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("yr") == 1995, 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("c_ref"),
+            F.coalesce(
+                F.sum(F.when(F.col("yr") == 1996, 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("c_cur"),
+        )
+    )
+    tots = cnts.agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_cur").cast("bigint").alias("n_cur"),
+    )
+    p = (F.col("c_ref") + 1).cast("double") / (F.col("n_ref") + 10).cast(
+        "double"
+    )
+    q = (F.col("c_cur") + 1).cast("double") / (F.col("n_cur") + 10).cast(
+        "double"
+    )
+    term = (p - q) * F.log(p / q).cast("decimal(12,6)").cast("double")
+    terms = cnts.crossJoin(F.broadcast(tots)).select(
+        "bin", "n_ref", "n_cur", term.alias("term")
+    )
+    agg = terms.groupBy("n_ref", "n_cur").agg(
+        _ordered_fold_sum(F.col("bin"), F.col("term")).alias("psi")
+    )
+    return agg.select(
+        "n_ref",
+        "n_cur",
+        "psi",
+        F.when(F.col("psi") < F.lit("0.1").cast("double"), "stable")
+        .when(F.col("psi") < F.lit("0.25").cast("double"), "moderate_shift")
+        .otherwise("major_shift")
+        .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_weighted_kappa — linear-weighted Cohen kappa for ordinal raters
+
+
+@register(
+    "ml_weighted_kappa",
+    tags=("ml", "eval", "agg"),
+    oracle="""
+        WITH rng AS (
+            SELECT MIN(o_totalprice) AS pmin, MAX(o_totalprice) AS pmax
+            FROM orders
+        ),
+        coded AS (
+            SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS i,
+                   CASE WHEN pmax = pmin THEN 1
+                        ELSE LEAST(4, CAST(FLOOR(
+                       (CAST(o_totalprice AS DOUBLE)
+                        - CAST(pmin AS DOUBLE))
+                       / ((CAST(pmax AS DOUBLE) - CAST(pmin AS DOUBLE))
+                          / CAST(5 AS DOUBLE))) AS INT)) + 1 END AS j
+            FROM orders CROSS JOIN rng
+        ),
+        cells AS (
+            SELECT i, j, CAST(COUNT(*) AS BIGINT) AS o
+            FROM coded GROUP BY i, j
+        ),
+        ri AS (SELECT i, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY i),
+        cj AS (SELECT j, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY j),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        od AS (
+            SELECT CAST(SUM(CAST(o AS DECIMAL(38,0)) * ABS(i - j))
+                        AS DECIMAL(38,0)) AS sum_od
+            FROM cells
+        ),
+        ed AS (
+            SELECT CAST(SUM(CAST(ri.r AS DECIMAL(38,0)) * cj.c
+                            * ABS(ri.i - cj.j)) AS DECIMAL(38,0)) AS sum_ed
+            FROM ri CROSS JOIN cj
+        )
+        SELECT t.n,
+               CAST(CAST(od.sum_od AS VARCHAR) AS BIGINT) AS obs_disagree,
+               CAST(CAST(ed.sum_ed AS VARCHAR) AS DOUBLE) AS exp_disagree_xn,
+               CASE WHEN ed.sum_ed > 0 THEN
+                 1.0 - (CAST(t.n AS DOUBLE)
+                        * CAST(CAST(od.sum_od AS VARCHAR) AS DOUBLE))
+                       / CAST(CAST(ed.sum_ed AS VARCHAR) AS DOUBLE)
+               END AS weighted_kappa
+        FROM tot t, od, ed
+    """,
+)
+def ml_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-weighted Cohen kappa between two ORDINAL raters —
+    priority (1..5) vs order-value quintile (1..5): kappa_w = 1 -
+    (n * sum O_ij |i-j|) / (sum r_i c_j |i-j|) — the ordinal
+    agreement measure where near-misses cost less than far misses
+    (Cohen 1968), completing the agreement family next to the binary
+    ml_cohen_kappa. Everything is exact integer/decimal arithmetic
+    (cell disagreement mass, marginal-product expectation) up to ONE
+    guarded double division; the quintile bin reuses stat_gk_gamma's
+    guarded arithmetic. One scan + a 25-cell grid."""
+    o = load_table(spark, sf_dir, "orders")
+    rng = o.agg(
+        F.min("o_totalprice").alias("pmin"), F.max("o_totalprice").alias("pmax")
+    )
+    coded = o.crossJoin(F.broadcast(rng)).select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("i"),
+        (
+            F.when(F.col("pmax") == F.col("pmin"), F.lit(1)).otherwise(
+                F.least(
+                    F.lit(4),
+                    F.floor(
+                        (F.col("o_totalprice").cast("double")
+                         - F.col("pmin").cast("double"))
+                        / ((F.col("pmax").cast("double")
+                            - F.col("pmin").cast("double")) / F.lit(5.0))
+                    ).cast("int"),
+                )
+                + 1
+            )
+        ).alias("j"),
+    )
+    cells = coded.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    ).persist()
+    ri = cells.groupBy("i").agg(F.sum("o").cast("bigint").alias("r"))
+    cj = cells.groupBy("j").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    od = cells.agg(
+        F.sum(
+            F.col("o").cast("decimal(38,0)") * F.abs(F.col("i") - F.col("j"))
+        )
+        .cast("decimal(38,0)")
+        .alias("sum_od")
+    )
+    ed = ri.crossJoin(cj).agg(
+        F.sum(
+            F.col("r").cast("decimal(38,0)")
+            * F.col("c")
+            * F.abs(F.col("i") - F.col("j"))
+        )
+        .cast("decimal(38,0)")
+        .alias("sum_ed")
+    )
+    return (
+        tot.crossJoin(F.broadcast(od))
+        .crossJoin(F.broadcast(ed))
+        .select(
+            "n",
+            F.col("sum_od").cast("string").cast("bigint").alias("obs_disagree"),
+            F.col("sum_ed").cast("string").cast("double").alias(
+                "exp_disagree_xn"
+            ),
+            F.when(
+                F.col("sum_ed") > 0,
+                F.lit(1.0)
+                - (
+                    F.col("n").cast("double")
+                    * F.col("sum_od").cast("string").cast("double")
+                )
+                / F.col("sum_ed").cast("string").cast("double"),
+            ).alias("weighted_kappa"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fin_kupiec_pof — Kupiec proportion-of-failures likelihood ratio on
+# the VaR exception counts
+
+
+def _kupiec_sql() -> str:
+    from finance_etl_spark.plans.finance import _SEG_DAILY_SQL
+
+    lnq = "CAST(ln({x}) AS DECIMAL(12,6))"
+    l_p = lnq.format(x="CAST('0.05' AS DOUBLE)")
+    l_1p = lnq.format(x="CAST('0.95' AS DOUBLE)")
+    l_fr = lnq.format(
+        x="CAST(exceptions AS DOUBLE) / CAST(n_test AS DOUBLE)"
+    )
+    l_1fr = lnq.format(
+        x="CAST(n_test - exceptions AS DOUBLE) / CAST(n_test AS DOUBLE)"
+    )
+    return f"""
+        WITH daily AS ({_SEG_DAILY_SQL}),
+        ret AS (
+            SELECT segment, d,
+                   CAST(FLOOR((CAST(CAST(x AS VARCHAR) AS DOUBLE)
+                               / CAST(CAST(xp AS VARCHAR) AS DOUBLE)
+                               - CAST(1 AS DOUBLE)) * CAST(1e9 AS DOUBLE))
+                        AS BIGINT) AS r
+            FROM (SELECT segment, d, x,
+                         LAG(x) OVER (PARTITION BY segment ORDER BY d) AS xp
+                  FROM daily)
+            WHERE xp IS NOT NULL
+        ),
+        est AS (SELECT * FROM ret WHERE d < DATE '1998-01-01'),
+        ranked AS (
+            SELECT segment, r,
+                   ROW_NUMBER() OVER (PARTITION BY segment ORDER BY r, d)
+                       AS rk,
+                   COUNT(*) OVER (PARTITION BY segment) AS n1
+            FROM est
+        ),
+        var_t AS (
+            SELECT segment,
+                   MIN(CASE WHEN rk = CAST((n1 + 19) // 20 AS BIGINT)
+                            THEN r END) AS var_q9
+            FROM ranked GROUP BY segment
+        ),
+        s AS (
+            SELECT ret.segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_test,
+                   CAST(SUM(CASE WHEN ret.r < v.var_q9 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS exceptions
+            FROM ret JOIN var_t v ON v.segment = ret.segment
+            WHERE ret.d >= DATE '1998-01-01'
+            GROUP BY ret.segment
+        ),
+        lr AS (
+            SELECT segment, n_test, exceptions,
+                   CAST('-2.0' AS DOUBLE) * CAST(CAST(
+                       (n_test - exceptions) * {l_1p}
+                       + exceptions * {l_p}
+                       - (CASE WHEN exceptions < n_test
+                               THEN (n_test - exceptions) * {l_1fr}
+                               ELSE CAST(0 AS DECIMAL(12,6)) END)
+                       - (CASE WHEN exceptions > 0
+                               THEN exceptions * {l_fr}
+                               ELSE CAST(0 AS DECIMAL(12,6)) END)
+                   AS VARCHAR) AS DOUBLE) AS lr_pof
+            FROM s WHERE n_test > 0
+        )
+        SELECT segment, n_test, exceptions, lr_pof,
+               (lr_pof > CAST('3.841459' AS DOUBLE)) AS reject_95
+        FROM lr ORDER BY segment
+    """
+
+
+@register(
+    "fin_kupiec_pof",
+    tags=("finance", "risk", "agg"),
+    oracle=_kupiec_sql(),
+)
+def fin_kupiec_pof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kupiec proportion-of-failures (POF) test on the 95% VaR
+    exception counts — the likelihood-ratio companion
+    fin_var_exception_backtest's docstring explicitly deferred
+    ("the Kupiec POF likelihood ratio needs ln — kept off the oracle
+    surface per the libm rule"): with the round-13 quantized-ln
+    recipe, that rule no longer blocks it. Same estimation/test
+    machinery (first-half historical VaR at the exact integer rank
+    (n+19) div 20 over q9 returns, second-half exception count);
+    LR_pof = -2[(n-x)ln(1-p) + x ln p - (n-x)ln(1-x/n) - x ln(x/n)],
+    all four logs quantized to DECIMAL(12,6) (the two constants from
+    string-routed literals), multiplied by exact integer counts, and
+    combined in ONE exact decimal expression crossing to double once
+    — zero-exception and all-exception edges drop their undefined
+    terms by the standard 0 ln 0 = 0 convention, identically guarded
+    on both engines. Rejection at the chi-square(1) 95% critical
+    value (string-routed). Per-segment windows ride O(days) rows."""
+    from finance_etl_spark.plans.finance import _seg_daily
+
+    daily = _seg_daily(spark, sf_dir)
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    w = Window.partitionBy("segment").orderBy("d")
+    ret = (
+        daily.withColumn("xp", F.lag("x").over(w))
+        .filter(F.col("xp").isNotNull())
+        .select(
+            "segment",
+            "d",
+            F.floor(
+                (as_d(F.col("x")) / as_d(F.col("xp")) - F.lit(1.0))
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+        .persist()
+    )
+    cut = F.lit("1998-01-01").cast("date")
+    est = ret.filter(F.col("d") < cut)
+    wr = Window.partitionBy("segment").orderBy("r", "d")
+    wn = Window.partitionBy("segment")
+    ranked = est.select(
+        "segment",
+        "r",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n1"),
+    )
+    var_t = ranked.groupBy("segment").agg(
+        F.min(
+            F.when(
+                F.col("rk") == F.expr("CAST((n1 + 19) DIV 20 AS BIGINT)"),
+                F.col("r"),
+            )
+        ).alias("var_q9")
+    )
+    s = (
+        ret.filter(F.col("d") >= cut)
+        .join(F.broadcast(var_t), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.when(F.col("r") < F.col("var_q9"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("exceptions"),
+        )
+        .filter(F.col("n_test") > 0)
+    )
+    lnq = lambda c: F.log(c).cast("decimal(12,6)")  # noqa: E731
+    l_1p = lnq(F.lit("0.95").cast("double"))
+    l_p = lnq(F.lit("0.05").cast("double"))
+    n_d = F.col("n_test").cast("double")
+    x_d = F.col("exceptions").cast("double")
+    l_fr = lnq(x_d / n_d)
+    l_1fr = lnq((F.col("n_test") - F.col("exceptions")).cast("double") / n_d)
+    zero_dec = F.lit(0).cast("decimal(12,6)")
+    inner = (
+        (F.col("n_test") - F.col("exceptions")) * l_1p
+        + F.col("exceptions") * l_p
+        - F.when(F.col("exceptions") < F.col("n_test"),
+                 (F.col("n_test") - F.col("exceptions")) * l_1fr
+                 ).otherwise(zero_dec)
+        - F.when(F.col("exceptions") > 0,
+                 F.col("exceptions") * l_fr).otherwise(zero_dec)
+    )
+    out = s.select(
+        "segment",
+        "n_test",
+        "exceptions",
+        (
+            F.lit("-2.0").cast("double")
+            * inner.cast("string").cast("double")
+        ).alias("lr_pof"),
+    )
+    return out.select(
+        "segment",
+        "n_test",
+        "exceptions",
+        "lr_pof",
+        (F.col("lr_pof") > F.lit("3.841459").cast("double")).alias(
+            "reject_95"
+        ),
+    ).orderBy("segment")

@@ -608,3 +608,144 @@ class TestWindowDistFunctions:
             for r in plans.get("window_dist_functions").build(spark, SF).collect()
         }
         assert got == expected
+
+
+class TestGTest:
+    def test_matches_python(self, spark):
+        import math
+
+        cells = {(x, y): n for x, y, n in _orders_cells()}
+        n = sum(cells.values())
+        xs = sorted({x for x, _ in cells})
+        ys = sorted({y for _, y in cells})
+        r = {x: sum(cells.get((x, y), 0) for y in ys) for x in xs}
+        c = {y: sum(cells.get((x, y), 0) for x in xs) for y in ys}
+        g = 2.0 * sum(
+            o * math.log(o * n / (r[x] * c[y]))
+            for (x, y), o in cells.items()
+        )
+        row = plans.get("stat_g_test").build(spark, SF).collect()[0]
+        assert row.n == n
+        assert row.df == (len(xs) - 1) * (len(ys) - 1)
+        # engine quantizes each ln at 1e-6: bound = 2 * n * 1e-6
+        assert abs(row.g_stat - g) < 2 * n * 1e-6 + 1e-9
+        assert row.g_stat >= 0
+
+
+class TestPSI:
+    def test_matches_python(self, spark):
+        import math
+
+        rows = _fetch(
+            "SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT),"
+            " EXTRACT(year FROM CAST(o_orderdate AS DATE))"
+            f" FROM read_parquet('{SF}/orders.parquet')"
+            " WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE))"
+            " IN (1995, 1996)"
+        )
+        lo = min(cc for cc, _ in rows)
+        hi = max(cc for cc, _ in rows)
+        cref = [0] * 10
+        ccur = [0] * 10
+        for cc, yr in rows:
+            b = 0 if hi == lo else min(9, ((cc - lo) * 10) // (hi - lo + 1))
+            (cref if yr == 1995 else ccur)[b] += 1
+        n_ref, n_cur = sum(cref), sum(ccur)
+        psi = sum(
+            ((cref[b] + 1) / (n_ref + 10) - (ccur[b] + 1) / (n_cur + 10))
+            * math.log(
+                ((cref[b] + 1) / (n_ref + 10))
+                / ((ccur[b] + 1) / (n_cur + 10))
+            )
+            for b in range(10)
+        )
+        row = plans.get("ml_psi_stability").build(spark, SF).collect()[0]
+        assert (row.n_ref, row.n_cur) == (n_ref, n_cur)
+        assert abs(row.psi - psi) < 1e-5  # 10 quantized-ln terms
+        assert row.verdict in ("stable", "moderate_shift", "major_shift")
+
+
+class TestWeightedKappa:
+    def test_matches_python(self, spark):
+        rows = _fetch(
+            "SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT),"
+            " CAST(o_totalprice AS DOUBLE)"
+            f" FROM read_parquet('{SF}/orders.parquet')"
+        )
+        import math
+
+        pmin = min(p for _, p in rows)
+        pmax = max(p for _, p in rows)
+        cells = {}
+        for i, p in rows:
+            j = (
+                1
+                if pmax == pmin
+                else min(4, int(math.floor((p - pmin) / ((pmax - pmin) / 5.0))))
+                + 1
+            )
+            cells[(i, j)] = cells.get((i, j), 0) + 1
+        n = sum(cells.values())
+        ri = {}
+        cj = {}
+        for (i, j), o in cells.items():
+            ri[i] = ri.get(i, 0) + o
+            cj[j] = cj.get(j, 0) + o
+        sum_od = sum(o * abs(i - j) for (i, j), o in cells.items())
+        sum_ed = sum(
+            r * c * abs(i - j) for i, r in ri.items() for j, c in cj.items()
+        )
+        kappa = 1.0 - (n * sum_od) / sum_ed
+        row = plans.get("ml_weighted_kappa").build(spark, SF).collect()[0]
+        assert (row.n, row.obs_disagree) == (n, sum_od)
+        assert row.exp_disagree_xn == float(sum_ed)
+        assert abs(row.weighted_kappa - kappa) < 1e-12
+
+
+class TestKupiecPOF:
+    def test_matches_python(self, spark):
+        import math
+        from collections import defaultdict
+        from datetime import date
+
+        daily = defaultdict(list)
+        for seg, d, x in _fetch(
+            "SELECT c.c_mktsegment, CAST(o.o_orderdate AS DATE),"
+            " SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))"
+            f" FROM read_parquet('{SF}/orders.parquet') o"
+            f" JOIN read_parquet('{SF}/customer.parquet') c"
+            " ON o.o_custkey = c.c_custkey GROUP BY 1, 2 ORDER BY 1, 2"
+        ):
+            daily[seg].append((d, float(x)))
+        expected = {}
+        cut = date(1998, 1, 1)
+        for seg, series in daily.items():
+            rets = [
+                (d, int(math.floor((x / xp - 1.0) * 1e9)))
+                for (dp, xp), (d, x) in zip(series, series[1:])
+            ]
+            est = sorted(
+                (r, d) for d, r in rets if d < cut
+            )
+            n1 = len(est)
+            var_q9 = est[(n1 + 19) // 20 - 1][0]
+            test = [(d, r) for d, r in rets if d >= cut]
+            n, x = len(test), sum(1 for _, r in test if r < var_q9)
+            fr = x / n
+            lr = -2.0 * (
+                (n - x) * math.log(0.95)
+                + x * math.log(0.05)
+                - ((n - x) * math.log(1 - fr) if x < n else 0.0)
+                - (x * math.log(fr) if x > 0 else 0.0)
+            )
+            expected[seg] = (n, x, lr)
+        got = {
+            r.segment: (r.n_test, r.exceptions, r.lr_pof, r.reject_95)
+            for r in plans.get("fin_kupiec_pof").build(spark, SF).collect()
+        }
+        assert set(got) == set(expected)
+        for seg, (n, x, lr) in expected.items():
+            assert got[seg][:2] == (n, x)
+            # four quantized-ln terms, each weighted by <= n counts
+            assert abs(got[seg][2] - lr) < 2 * 4 * n * 1e-6 + 1e-9
+            assert got[seg][3] == (got[seg][2] > 3.841459)
