@@ -213,7 +213,7 @@ def exact_jaccard(
             .unionByName(pairs.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        sh = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
+        sh = sh.join(cand_ids, id_col, "left_semi")
     if arr is not None:
         sizes = arr.select(F.col(id_col), F.size("sh_arr").alias("n_sh"))
     else:

@@ -64,6 +64,7 @@ for _mod in (
     "round11",
     "round12",
     "round13",
+    "round14",
 ):
     try:
         importlib.import_module(f"finance_etl_spark.plans.{_mod}")
@@ -71,29 +72,37 @@ for _mod in (
         if e.name != f"finance_etl_spark.plans.{_mod}":
             raise
 
-# ROUND-13 WINDOW (cumulative driver-sampled after r12: 520/637, zero
-# driver wrong-answers ever; 117 never sampled). Executes the schedule
-# the round-12 window wrote, audited per the round-12 verdict:
-# ONLY hash-oracled names (obs_file_layout is rows-only -> swapped
-# out), and 4 slots go to re-presenting queries whose only driver
-# record is a stale pre-promotion `no_oracle` (vec_ann_lsh_topk,
-# vec_ann_ivf_topk, vec_recall_curve, ts_holt_winters — all four now
-# carry full hash oracles; fin_irr_per_order, the fifth name in the
-# verdict directive, was already hash-green in r8 so it needs no
-# slot). To make room for those 4, three names the round-14 list
-# already carries are deferred to it (window_weighted_moving_avg,
-# vec_cosine_histogram) plus sql_quantified_rewrite (a round-12
-# addition; round 14 takes "any round-12 additions"). Net: 46
-# never-sampled retirements + 4 re-presentations = 50, tail 117 -> 71.
-# Round 14 takes the remaining 28 round-11 additions (fin parity/
-# dd-duration/pain/treynor/active-share/capture, ts calendar/wape/df/
-# seasonal-strength/intervention/ccf, ml score-ks/somers/hl/mcc-multi/
-# ips/fbeta, graph ecc/path-hist/avg-neighbor, text heaps/entropy/jsd,
-# vec cos-hist, window wma7, dq gap-audit, sql values, stat conover/
-# siegel-tukey/sign/quade/bartlett/cuzick/jarque-bera — minus any
-# promoted here) plus round-12/13 additions up to 50 slots.
+# ROUND-14 WINDOW (cumulative driver-sampled after r13: 566/652, zero
+# driver wrong-answers ever; 86 never sampled, 85 of them hash-oracled
+# — obs_file_layout is rows-only and stays out of every window).
+# Executes the schedule the round-13 window wrote, as directed by the
+# round-13 verdict: (a) re-present the SEVEN round-13 rows-only->hash
+# promotions whose only driver record is a stale pre-promotion
+# `no_oracle` (vec_ann_pq_topk r9, vec_kmeans_clusters r3,
+# vec_semantic_dedup r9, cur_weighted_sample r7, dq_dp_noisy_counts r8,
+# ml_logreg_gd r7, cur_active_learning_batch r7 — all seven now carry
+# full hash oracles; the r13 template: re-presentation converts the
+# stale record at the cost of one slot each); (b) the 35 remaining
+# round-11 additions named in the round-13 schedule (fin 6, ts 6,
+# ml 6, graph 3, text 3, stat 7, vec/window/dq/sql 1 each); (c) 8 of
+# the 13 round-13 additions. Net: 7 re-presentations + 43 never-
+# sampled retirements = 50, tail 86 -> 43. Round 15 takes the rest:
+# the 5 deferred round-13 additions (window_dist_functions, stat_g_test,
+# ml_psi_stability, ml_weighted_kappa, fin_kupiec_pof), the round-12
+# leftovers (sql_quantified_rewrite, array_hof_stats, agg_stock_mean_
+# multiple, stat trimmed-mean/bowley/kendall-w/gk-gamma/mantel-haenszel/
+# ks-uniform/kuiper-uniform/median-polish, ts variance-ratio/ewma/arch,
+# fin info-ratio/m2/turnover/brinson/burke/cornish-fisher/sterling/
+# upside, ml perceptron/gini/macro-f1/ap-at-k/split-balance/topk,
+# text levenshtein/sentence/hapax, graph lpa/bipartite, cur license/
+# blocklist), text_minhash_md5_twin, ml_bagging_oob_v2, and any
+# round-14 additions — ~42 names, finishing the tail.
 #
 # --- earlier-window history (kept for the audit trail) ---
+# ROUND-13 WINDOW: 46 never-sampled retirements + 4 stale-no_oracle
+# re-presentations (vec_ann_lsh_topk, vec_ann_ivf_topk,
+# vec_recall_curve, ts_holt_winters) = 50. Result: CORRECTNESS_r13 =
+# 50/50 hash-pass, zero err of any kind — the first all-hash window.
 # ROUND-12 WINDOW (cumulative driver-sampled after r11: 470/602;
 # 132 never sampled): ts 8 + text 12 + sink 7 + graph 9 + ml 8 +
 # agg 6 = 50. Result: CORRECTNESS_r12 = 49/50 hash-pass + 1 declared
@@ -114,53 +123,42 @@ for _mod in (
 # exactly 50 slots. Round 9 should front: vec rows-only tail (5),
 # sql (7), stat (7), ts (6), stream (7), graph/sink/window leftovers.
 front_queries(
-    # ROUND-13 WINDOW — see the schedule comment above. 50 slots, every
-    # name hash-oracled (zero rows-only: the r12 window burned a slot
-    # on a query the driver can only score err:no_oracle; not again).
-    # 4 re-presentations + cur 5 + scalar 3 + dq 4 + vec 3 + window 3 +
-    # obs 1 + subquery 2 + set 2 + join 2 + geo 2 + sql 1 + tpch 2 +
-    # 4 singles + stat 9 + fin 3 = 50.
+    # ROUND-14 WINDOW — see the schedule comment above. 50 slots, every
+    # name hash-oracled. 7 re-presentations + fin 6 + ts 6 + ml 6 +
+    # graph 3 + text 3 + stat 7 + vec 1 + window 1 + dq 1 + sql 1 +
+    # round-13 additions 8 = 50.
     [
-        # stale-record conversions: promoted to hash oracles in r12,
+        # stale-record conversions: promoted to hash oracles in r13,
         # re-presented so the driver ledger reflects the promotion
-        "vec_ann_lsh_topk", "vec_ann_ivf_topk", "vec_recall_curve",
-        "ts_holt_winters",
-        # curation tail
-        "cur_e2e_training_prep", "cur_mixture_temperature",
-        "cur_epoch_sample", "cur_pretrain_chunking",
-        "cur_rejection_sample_md5",
-        # scalar tail
-        "scalar_deterministic_uuid", "scalar_luhn_validate",
-        "scalar_try_arithmetic",
-        # dq tail (tukey + 3 older)
-        "dq_tukey_fences", "dq_rule_engine",
-        "dq_spc_western_electric", "dq_join_fanout_audit",
-        # vec tail (hash-oracled unrolled twins)
-        "vec_silhouette_simplified", "vec_kmeans_unrolled2",
-        "vec_mmr_unrolled",
-        # window tail
-        "window_pct_of_total", "window_running_distinct",
-        "window_trailing_distinct",
-        # obs (skew profile; obs_file_layout is rows-only -> excluded)
-        "obs_skew_profile",
-        # subquery / set / join / geo / sql
-        "subquery_not_in_null_aware", "subquery_scalar_correlated",
-        "set_except_all", "set_intersect_all",
-        "join_runtime_bloom_filter", "join_aqe_skew_split",
-        "geo_grid_knn_join", "geo_geohash_encode",
-        "sql_distinct_on",
-        # tpch stragglers
-        "q14_promo_revenue", "q16_supplier_part_types",
-        # singles
-        "mm_video_scene_cut", "udf_window_grouped_agg",
-        "ingest_type_inference_audit", "stream_live_cusum_alarm",
-        # round-11 stat additions (first 9 of the alphabet-of-need)
-        "stat_dixon_q", "stat_mood_median_test", "stat_cochran_q",
-        "stat_bowker_test", "stat_ansari_bradley", "stat_page_trend",
-        "stat_anderson_darling_2s", "stat_brunner_munzel",
-        "stat_jonckheere_terpstra",
-        # round-11 fin additions
-        "fin_bond_convexity_grid", "fin_twr_linked_returns",
-        "fin_rachev_ratio",
+        "vec_ann_pq_topk", "vec_kmeans_clusters", "vec_semantic_dedup",
+        "cur_weighted_sample", "dq_dp_noisy_counts", "ml_logreg_gd",
+        "cur_active_learning_batch",
+        # round-11 fin leftovers
+        "fin_risk_parity_weights", "fin_drawdown_duration",
+        "fin_pain_index", "fin_treynor_ratio", "fin_active_share",
+        "fin_capture_ratios",
+        # round-11 ts leftovers
+        "ts_calendar_effects", "ts_wape_smape", "ts_dickey_fuller_stat",
+        "ts_seasonal_strength", "ts_intervention_step",
+        "ts_cross_correlation",
+        # round-11 ml leftovers
+        "ml_score_ks", "ml_somers_d", "ml_hosmer_lemeshow",
+        "ml_mcc_multiclass", "ml_ips_offpolicy", "ml_fbeta_grid",
+        # round-11 graph leftovers
+        "graph_eccentricity_diameter", "graph_path_length_histogram",
+        "graph_avg_neighbor_degree",
+        # round-11 text leftovers
+        "text_heaps_curve", "text_ngram_entropy", "text_js_divergence",
+        # round-11 stat leftovers
+        "stat_conover_squared_ranks", "stat_siegel_tukey",
+        "stat_sign_test", "stat_quade_test", "stat_bartlett_test",
+        "stat_cuzick_trend", "stat_jarque_bera",
+        # round-11 singles
+        "vec_cosine_histogram", "window_weighted_moving_avg",
+        "dq_sequential_gap_audit", "sql_values_inline_table",
+        # round-13 additions (first 8; 5 deferred to round 15)
+        "stat_gk_lambda", "stat_uncertainty_coeff", "stat_chow_test",
+        "text_yule_k", "text_langid_confusion", "ts_theil_u2",
+        "ts_stochastic_oscillator", "graph_edge_triangle_support",
     ]
 )

@@ -829,9 +829,11 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks bit-identical cross-engine (see _pagerank_oracle). Invariants
     (probability mass, repartition determinism, hub concentration)
     remain pinned in tests/test_curation.py. The edge build is the
-    expensive part at scale — two broadcast dimension joins and one
-    count agg over lineitem; the 12 iterations run over the
-    nation-sized rank vector."""
+    expensive part at scale — three key-equi joins against SF-scaling
+    projections (orders/customer/supplier — no broadcast hints: AQE
+    broadcasts them while they fit and degrades to shuffle joins at
+    cluster scale) and one count agg over lineitem; the 12 iterations
+    run over the nation-sized rank vector."""
     from finance_etl_spark.operators.pagerank import pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -839,9 +841,9 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     edges = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy(
             F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
         )
@@ -1224,9 +1226,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     e = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
@@ -1317,7 +1319,7 @@ def cur_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_flag = F.col("dr_doc_id").isNull()
     return (
         d.join(
-            F.broadcast(dropped.select(F.col("doc_id").alias("dr_doc_id"))),
+            dropped.select(F.col("doc_id").alias("dr_doc_id")),
             d.doc_id == F.col("dr_doc_id"),
             "left",
         )
@@ -1551,9 +1553,9 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     e = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .filter(F.col("s_nationkey") != F.col("c_nationkey"))
         .select(
             F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
@@ -2350,9 +2352,9 @@ def graph_community_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     e = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
@@ -2746,8 +2748,8 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     e = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .groupBy(
             F.col("s_nationkey").alias("src"),
             F.col("c_nationkey").alias("dst"),
@@ -3784,9 +3786,9 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("v"), F.col("n_regionkey").alias("comm")
     )
     e0 = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy(
             F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
         )
@@ -3871,9 +3873,9 @@ def _trade_edges_undirected(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     e = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy(
             F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
         )
@@ -4178,9 +4180,9 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     e = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .filter(F.col("s_nationkey") != F.col("c_nationkey"))
         .groupBy(
             F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
@@ -4367,9 +4369,9 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     e = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .filter(F.col("s_nationkey") != F.col("c_nationkey"))
         .select(
             F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
@@ -4479,9 +4481,9 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     e = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .filter(F.col("s_nationkey") != F.col("c_nationkey"))
         .groupBy(
             F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")

@@ -1080,8 +1080,8 @@ def fin_currency_triangulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fact = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .groupBy(
             F.col("s_nationkey").alias("supp_nation"),
             F.col("c_nationkey").alias("cust_nation"),
@@ -1204,7 +1204,7 @@ def fin_var_parametric(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("date")
             .between(F.lit("1996-01-01"), F.lit("1996-03-31"))
         )
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_nationkey").alias("nation"),
             F.col("o_orderdate").cast("date").alias("d"),
@@ -1519,7 +1519,7 @@ def fin_herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", F.col("s_nationkey").alias("nation")
     )
     rev = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("nation", "l_suppkey")
         .agg(
             F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("r")
@@ -1632,7 +1632,7 @@ def fin_black_scholes_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     spot = (
         o.join(
-            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            c.select("c_custkey", "c_nationkey"),
             o["o_custkey"] == F.col("c_custkey"),
         )
         .join(
@@ -1758,7 +1758,7 @@ def fin_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     daily = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.col("o_orderdate").cast("date").alias("d"),
@@ -2440,9 +2440,9 @@ def fin_netting_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     flows = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .filter(F.col("s_nationkey") != F.col("c_nationkey"))
         .groupBy(
             F.col("s_nationkey").alias("dr"), F.col("c_nationkey").alias("cr")
@@ -2715,7 +2715,7 @@ def fin_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
     daily = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.col("o_orderdate").cast("date").alias("d"),
@@ -2791,7 +2791,7 @@ def _seg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment"
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.col("o_orderdate").cast("date").alias("d"),
@@ -3245,7 +3245,7 @@ def fin_calmar_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
     daily = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.col("o_orderdate").cast("date").alias("d"),

@@ -171,10 +171,10 @@ def dq_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tombs = customer.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
     po = orders.join(
-        F.broadcast(tombs), orders.o_custkey == tombs.c_custkey, "left_semi"
+        tombs, orders.o_custkey == tombs.c_custkey, "left_semi"
     ).select("o_orderkey", "o_totalprice")
     pl = lineitem.join(
-        F.broadcast(po.select("o_orderkey")),
+        po.select("o_orderkey"),
         lineitem.l_orderkey == po.o_orderkey,
         "left_semi",
     ).select("l_extendedprice")

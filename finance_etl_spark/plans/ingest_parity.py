@@ -537,7 +537,7 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("o_orderkey") - F.count_distinct("o_orderkey")).alias("pk_dups")
     )
     orphans = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("fk_orphans"))
     )
     scalars = o.agg(

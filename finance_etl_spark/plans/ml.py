@@ -4240,8 +4240,8 @@ def ml_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = n.select(F.col("i").alias("i1"), F.col("ni").alias("n1"))
     nb = n.select(F.col("i").alias("i2"), F.col("ni").alias("n2"))
     return (
-        top.join(F.broadcast(na), "i1")
-        .join(F.broadcast(nb), "i2")
+        top.join(na, "i1")
+        .join(nb, "i2")
         .select(
             "i1",
             "i2",
@@ -5828,7 +5828,7 @@ def ml_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; everything after is 5 rows."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    lab = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    lab = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("stratum"),
         (
             F.conv(

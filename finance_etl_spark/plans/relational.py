@@ -141,7 +141,7 @@ def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -440,7 +440,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
@@ -957,7 +957,7 @@ def agg_arg_max_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     key = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.max_by("o_orderkey", key).alias("top_orderkey"),
@@ -1054,7 +1054,8 @@ def sql_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping-priority report (TPC-H Q3 shape): selective filters on
     all three tables push down to the scans BEFORE the joins, the
-    filtered customer side broadcasts (no shuffle of orders by custkey),
+    filtered customer side is AQE-sized (broadcast while it fits — no
+    orders-by-custkey shuffle at shipped SFs — shuffled at scale),
     and the final top-10 plans as TakeOrderedAndProject — each partition
     keeps 10 rows, the driver merges, nothing resembling a global sort.
     Unique l_orderkey tiebreak makes the LIMIT deterministic."""
@@ -1076,7 +1077,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue).alias("revenue"))
@@ -1443,7 +1444,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
         .join(li, F.col("o_orderkey") == li.l_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum("l_quantity").alias("total_qty"))
     )
@@ -1769,7 +1770,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = dsum(promo_rev)
     total = dsum(rev)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
         .agg(
             promo.alias("promo_revenue"),
@@ -1806,7 +1807,7 @@ def q16_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1912,7 +1913,7 @@ def window_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     a = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy("n_name")
         .agg(dsum("o_totalprice").alias("nation_revenue"))
@@ -3342,8 +3343,9 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys (non-null child keys with no parent). The constraint-report
     companion to dq_fk_inference (which DISCOVERS the edges): a lake
     without enforced constraints runs exactly this after every load.
-    Each edge is one left-anti-style broadcast join (parents are the
-    small side); counts are exact integers. On the generated corpus
+    Each edge is one left-anti key join — AQE broadcasts dimension-sized
+    parents and shuffles SF-scaling ones (orders/part/customer); counts
+    are exact integers. On the generated corpus
     all counts must come back orphan-free — the audit's fixed point —
     which the oracle independently confirms."""
     from finance_etl_spark.io.readers import load_table as _lt
@@ -3354,7 +3356,7 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         parent = _lt(spark, sf_dir, pt).select(pk).distinct()
         orphans = (
             child.filter(F.col(ck).isNotNull())
-            .join(F.broadcast(parent), child[ck] == parent[pk], "left_anti")
+            .join(parent, child[ck] == parent[pk], "left_anti")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
         )
         base = child.agg(
@@ -4111,7 +4113,7 @@ def agg_decayed_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("dmax"))
     lab = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .crossJoin(F.broadcast(mx))
         .select(
             F.col("c_mktsegment").alias("segment"),

@@ -1397,7 +1397,7 @@ def fin_twr_linked_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment"
     )
     monthly = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
@@ -1747,7 +1747,7 @@ def fin_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment"
     )
     daily = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.col("o_orderdate").cast("date").alias("d"),
@@ -2801,7 +2801,7 @@ def ml_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    logged = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    logged = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("ctx"),
         F.col("o_orderpriority").alias("action"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("r"),

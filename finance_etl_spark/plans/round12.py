@@ -84,7 +84,7 @@ def _month_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     segs = c.select(F.col("c_mktsegment").alias("segment")).distinct()
     msum = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.date_format("o_orderdate", "yyyy-MM").alias("m"),
@@ -1455,7 +1455,7 @@ def fin_brinson_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     pdaily = (
         o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.year("o_orderdate").alias("y"),
@@ -3612,7 +3612,7 @@ def array_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority"
     )
     return (
-        hof.join(F.broadcast(o), hof.l_orderkey == o.o_orderkey)
+        hof.join(o, hof.l_orderkey == o.o_orderkey)
         .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),

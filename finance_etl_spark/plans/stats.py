@@ -2153,7 +2153,7 @@ def stat_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     — never the corpus."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    lab = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    lab = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_nationkey").alias("nation"),
         (F.col("o_totalprice").cast("decimal(12,2)") * 100)
         .cast("bigint")
@@ -2768,7 +2768,7 @@ def stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     per = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),

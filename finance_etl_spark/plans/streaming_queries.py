@@ -396,15 +396,17 @@ def stream_live_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     T5 small-dict lookup, reference: utils/data_manager.py:80-86, but
     against a real table instead of a literal map). Stream-static inner
     joins are stateless — each micro-batch joins against the static
-    side with no state store, and the dimension broadcasts, so the
-    enrichment adds zero shuffle to the stream. Filter runs stream-side
+    side with no state store; customer is SF-scaling so it carries no
+    broadcast hint (AQE broadcasts it while small; at scale the
+    enrichment becomes a shuffled stream-static join). Filter runs
+    stream-side
     before the join."""
     from finance_etl_spark.streaming.runner import events_stream, run_stream_to_memory
 
     s = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
     c = load_table(spark, sf_dir, "customer")
     enriched = s.join(
-        F.broadcast(c), s.user_id == c.c_custkey, "inner"
+        c, s.user_id == c.c_custkey, "inner"
     ).select("event_id", "user_id", "c_mktsegment", "event_type", "value")
     return run_stream_to_memory(
         enriched, f"live_e_{uuid.uuid4().hex[:8]}", mode="append"

@@ -724,7 +724,7 @@ def sink_multi_table_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # v1: both tables, consistent cut at 1996 — ONE commit
     o1_files = stage(o.filter(yr <= 1996), "o_v1")
     l1_files = stage(
-        li.join(F.broadcast(old_keys), li.l_orderkey == old_keys.o_orderkey, "left_semi"),
+        li.join(old_keys, li.l_orderkey == old_keys.o_orderkey, "left_semi"),
         "l_v1",
     )
     write_tx_snapshot(root, 1, {"orders": o1_files, "lineitem": l1_files})
@@ -732,7 +732,7 @@ def sink_multi_table_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_keys = o.filter(yr >= 1997).select("o_orderkey")
     o2_files = o1_files + stage(o.filter(yr >= 1997), "o_v2")
     l2_files = l1_files + stage(
-        li.join(F.broadcast(new_keys), li.l_orderkey == new_keys.o_orderkey, "left_semi"),
+        li.join(new_keys, li.l_orderkey == new_keys.o_orderkey, "left_semi"),
         "l_v2",
     )
     write_tx_snapshot(root, 2, {"orders": o2_files, "lineitem": l2_files})

@@ -27,8 +27,9 @@ from finance_etl_spark.plans.registry import o_dsum, register
 
 
 def _eur_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Suppliers in region EUROPE with their nation name — the tiny
-    (≤|supplier|) dimension relation both q2 and q11 broadcast."""
+    """Suppliers in region EUROPE with their nation name — an SF-scaling
+    supplier subset, so no broadcast hint: AQE broadcasts it while it
+    fits and degrades to a shuffled join beyond the limit."""
     nations = (
         load_table(spark, sf_dir, "nation")
         .join(
@@ -84,8 +85,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supply relation derived from lineitem (no partsupp table): unit
     cost = min observed extendedprice/quantity per (part, supplier).
 
-    Plan: the supply agg is the only fact shuffle; part filter and the
-    European-supplier dimension broadcast into it, and the correlated
+    Plan: the supply agg is the only fact shuffle; the part filter and
+    European-supplier subsets join into it AQE-sized (broadcast while
+    they fit, shuffle joins at scale), and the correlated
     min decorrelates to a window MIN partitioned by part — one extra
     hash-partitioned pass over the candidate set, never a self-join.
     Per-row division and MIN are IEEE-exact, so the min-cost equality
@@ -100,9 +102,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name")
     )
     cand = supply.join(
-        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+        parts, F.col("l_partkey") == F.col("p_partkey")
     ).join(
-        F.broadcast(_eur_suppliers(spark, sf_dir)),
+        _eur_suppliers(spark, sf_dir),
         F.col("l_suppkey") == F.col("s_suppkey"),
     )
     w = Window.partitionBy("p_partkey")
@@ -205,8 +207,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape (volume shipping between two trading nations):
     revenue flowing NATION_1↔NATION_2, grouped by direction and ship
     year. Both dimension paths are restricted to the two nations
-    BEFORE touching facts (supplier and customer each shrink ~2/25 and
-    broadcast), the order↔lineitem join shuffles on orderkey, and the
+    BEFORE touching facts (supplier and customer each shrink ~2/25;
+    AQE broadcasts the shrunken sides at shipped SFs and falls back to
+    shuffle joins at scale), the order↔lineitem join shuffles on
+    orderkey, and the
     asymmetric-pair predicate is a residual on the tiny joined row —
     group-by carries 2 directions × ~7 years."""
     two = ["NATION_1", "NATION_2"]
@@ -232,7 +236,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
     )
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -277,8 +281,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials as the denominator — one hash agg computes both sums, and
     the final share is a single IEEE division of two decimal-exact
     doubles (identical bits in both engines). All dimension paths
-    (part type, supplier nation, customer→region) broadcast; the only
-    fact shuffle is lineitem⋈orders on orderkey."""
+    (part type, supplier nation, customer→region) are filtered before
+    their joins and AQE-sized — broadcast while small, shuffle at
+    scale; the only forced fact shuffle is lineitem⋈orders."""
     america_nations = (
         load_table(spark, sf_dir, "nation")
         .join(
@@ -318,8 +323,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .groupBy(F.year("o_orderdate").alias("o_year"))
@@ -357,8 +362,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier nation and order year. The schema has no ps_supplycost, so
     cost = p_retailprice × quantity — same expression topology
     (revenue minus a part-priced cost term). Part-name filter and the
-    supplier→nation path broadcast; lineitem⋈orders shuffles once on
-    orderkey; the profit expression folds into decimal partials."""
+    supplier→nation path is pre-filtered and AQE-sized (broadcast while
+    small); lineitem⋈orders shuffles once on orderkey; the profit
+    expression folds into decimal partials."""
     p = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%red%"))
@@ -378,8 +384,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(dsum(profit).alias("sum_profit"))
@@ -423,7 +429,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c.select("c_custkey", "c_name", "c_acctbal", "n_name")),
+        .join(c.select("c_custkey", "c_name", "c_acctbal", "n_name"),
               F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -488,11 +494,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold is ONE identically-parenthesized double expression, so
     the > comparison matches bit-for-bit. Both scalars (total, |part|)
     are 1-row broadcasts into the per-part filter; the EUROPE supplier
-    semi join broadcasts; one fact shuffle on partkey."""
+    semi join is AQE-sized (broadcast while small, shuffled at scale);
+    one fact shuffle on partkey."""
     eur_keys = _eur_suppliers(spark, sf_dir).select("s_suppkey")
     li = (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(eur_keys), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(eur_keys, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .select(
             "l_partkey",
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"),
@@ -568,11 +575,11 @@ def agg_stock_mean_multiple(spark: SparkSession, sf_dir: str) -> DataFrame:
     parenthesized double expression, so the > comparison matches
     bit-for-bit. The scalar is a 1-row broadcast into the per-part
     filter (never a second scan per group); the EUROPE supplier semi
-    join broadcasts; one fact shuffle on partkey."""
+    join is AQE-sized; one fact shuffle on partkey."""
     eur_keys = _eur_suppliers(spark, sf_dir).select("s_suppkey")
     li = (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(eur_keys), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(eur_keys, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .select(
             "l_partkey",
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"),
@@ -718,7 +725,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -758,7 +765,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(pk, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .select("l_partkey", "l_quantity", "l_extendedprice")
     )
     cap = li.groupBy("l_partkey").agg(
@@ -819,7 +826,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(band)
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
@@ -851,8 +858,8 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     more than 50 units of some 'blue' part in 1996 — nested semi joins
     with an aggregate HAVING threshold in the inner query (the schema
     has no partsupp/availqty, so the threshold is absolute rather than
-    0.5×availqty). Part filter broadcasts into the pruned lineitem
-    scan; the (suppkey, partkey) agg shuffles once; the outer IN
+    0.5×availqty). The part-key semi join prunes the lineitem scan
+    (AQE-sized); the (suppkey, partkey) agg shuffles once; the outer IN
     decorrelates to a semi join against the 100-row supplier table."""
     pk = (
         load_table(spark, sf_dir, "part")
@@ -865,7 +872,7 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(pk, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(dsum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 50.0)
@@ -873,7 +880,7 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         load_table(spark, sf_dir, "supplier")
-        .join(F.broadcast(movers), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", "s_acctbal")
     )
 

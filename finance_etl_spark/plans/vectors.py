@@ -521,7 +521,9 @@ def _lsh_ranked(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
         .select("query_id", "cand_id")
         .distinct()
     )
-    qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    qe = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
     ce = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
     scored = (
         cands.join(F.broadcast(qe), "query_id")
