@@ -1,0 +1,1309 @@
+"""Round-14 operator wave: ordinal effect size (Cliff's delta), rank
+post-hoc pairwise comparison (Dunn), seasonal trend detection
+(seasonal Mann-Kendall), robust rolling outlier filtering (Hampel),
+corpus diversity (Simpson/inverse-Simpson per source) and token
+burstiness (variance-to-mean), clustering-agreement indices (adjusted
+Rand and NMI between two labelings), 2-round k-truss peeling, rank
+fusion for hybrid retrieval (RRF), and a tail-ratio risk number —
+every query hash-oracled on arrival with an independent numpy /
+pure-Python reference test in tests/test_round14_ops.py (the
+round-10..13 discipline).
+
+House rules applied throughout (see plans/registry.py docstring):
+exact integer/decimal accumulation with doubles only at the
+presentation edge; pinned order statistics (never engine percentile
+functions) for quantile picks; quantized-ln DECIMAL(12,6) terms per
+the text_ngram_entropy precedent for entropies/MI; string-routed or
+CAST(int AS DOUBLE) constants (never a bare decimal literal that must
+match); NULL-guarded degenerate divisions with IDENTICAL predicates
+on both engines; DuckDB `//` twinning Spark `DIV` for every integer
+rank/threshold formula; broadcast hints ONLY on content-bounded
+relations (value-distinct cells, 5-row group lists, 1-row scalars) —
+never on an SF-scaling side (the round-13 verdict's rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from finance_etl_spark.functions.vectors import cosine
+from finance_etl_spark.io.readers import load_table, load_table_parallel
+from finance_etl_spark.plans.registry import register
+
+
+def _as_d(c):
+    """Decimal -> double via the VARCHAR route (cross-engine exact)."""
+    return c.cast("string").cast("double")
+
+
+# ---------------------------------------------------------------------------
+# stat_cliffs_delta — ordinal effect size between two groups
+
+
+@register(
+    "stat_cliffs_delta",
+    tags=("stats", "agg"),
+    oracle="""
+        WITH cells AS MATERIALIZED (
+            SELECT l_returnflag AS g, CAST(l_quantity AS DECIMAL(12,2)) AS q,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem WHERE l_returnflag IN ('R', 'N')
+            GROUP BY g, q
+        ),
+        a AS (SELECT q AS qa, n AS na FROM cells WHERE g = 'R'),
+        b AS (SELECT q AS qb, n AS nb FROM cells WHERE g = 'N'),
+        pair AS (
+            SELECT CAST(SUM(CASE WHEN qa > qb THEN na * nb ELSE 0 END)
+                        AS BIGINT) AS n_gt,
+                   CAST(SUM(CASE WHEN qa < qb THEN na * nb ELSE 0 END)
+                        AS BIGINT) AS n_lt
+            FROM a CROSS JOIN b
+        ),
+        n1 AS (SELECT CAST(SUM(n) AS BIGINT) AS n1 FROM cells WHERE g = 'R'),
+        n2 AS (SELECT CAST(SUM(n) AS BIGINT) AS n2 FROM cells WHERE g = 'N')
+        SELECT n1, n2, n_gt, n_lt,
+               CAST(n_gt - n_lt AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS cliffs_delta
+        FROM pair CROSS JOIN n1 CROSS JOIN n2
+    """,
+)
+def stat_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta — the ordinal (nonparametric) effect size between
+    the returned ('R') and not-returned ('N') quantity distributions:
+    delta = (#{x>y} - #{x<y}) / (n1*n2), the dominance probability
+    difference that Mann-Whitney tests but doesn't report. Distributed
+    shape: quantities collapse to value CELLS first (content-bounded:
+    |distinct l_quantity| <= 50 at any SF), so the pairwise term is a
+    cell-level nested-loop over <=50x50 counted pairs — never an
+    n1*n2 row join; the broadcast is of the bounded cell relation.
+    All counts are exact BIGINTs; delta is the single presentation
+    division."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("R", "N"))
+        .select(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_quantity").cast("decimal(12,2)").alias("q"),
+        )
+    )
+    cells = (
+        li.groupBy("g", "q").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ).persist()
+    a = cells.filter(F.col("g") == "R").select(
+        F.col("q").alias("qa"), F.col("n").alias("na")
+    )
+    b = cells.filter(F.col("g") == "N").select(
+        F.col("q").alias("qb"), F.col("n").alias("nb")
+    )
+    pair = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(F.when(F.col("qa") > F.col("qb"), F.col("na") * F.col("nb")).otherwise(0))
+        .cast("bigint")
+        .alias("n_gt"),
+        F.sum(F.when(F.col("qa") < F.col("qb"), F.col("na") * F.col("nb")).otherwise(0))
+        .cast("bigint")
+        .alias("n_lt"),
+    )
+    n1 = cells.filter(F.col("g") == "R").agg(
+        F.sum("n").cast("bigint").alias("n1")
+    )
+    n2 = cells.filter(F.col("g") == "N").agg(
+        F.sum("n").cast("bigint").alias("n2")
+    )
+    return (
+        pair.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "n1",
+            "n2",
+            "n_gt",
+            "n_lt",
+            (
+                (F.col("n_gt") - F.col("n_lt")).cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("cliffs_delta"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_dunn_posthoc — Dunn's pairwise z after Kruskal-Wallis
+
+
+@register(
+    "stat_dunn_posthoc",
+    tags=("stats", "window"),
+    oracle="""
+        WITH vals AS MATERIALIZED (
+            SELECT o_orderpriority AS g,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS q
+            FROM orders
+        ),
+        ranked AS (
+            SELECT g,
+                   2 * RANK() OVER (ORDER BY q)
+                     + COUNT(*) OVER (PARTITION BY q) - 1 AS u
+            FROM vals
+        ),
+        grp AS MATERIALIZED (
+            SELECT g, CAST(SUM(u) AS BIGINT) AS ru,
+                   CAST(COUNT(*) AS BIGINT) AS ni
+            FROM ranked GROUP BY g
+        ),
+        ties AS (
+            SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tt
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM vals GROUP BY q)
+        ),
+        tot AS (SELECT CAST(SUM(ni) AS BIGINT) AS n FROM grp)
+        SELECT gi.g AS g_a, gj.g AS g_b, gi.ni AS n_a, gj.ni AS n_b,
+               CAST(gi.ru AS DOUBLE)
+                 / (CAST(2 AS DOUBLE) * CAST(gi.ni AS DOUBLE)) AS mean_rank_a,
+               CAST(gj.ru AS DOUBLE)
+                 / (CAST(2 AS DOUBLE) * CAST(gj.ni AS DOUBLE)) AS mean_rank_b,
+               (CAST(gi.ru AS DOUBLE)
+                  / (CAST(2 AS DOUBLE) * CAST(gi.ni AS DOUBLE))
+                - CAST(gj.ru AS DOUBLE)
+                  / (CAST(2 AS DOUBLE) * CAST(gj.ni AS DOUBLE)))
+               / SQRT(
+                   (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE))
+                      / CAST(12 AS DOUBLE)
+                    - CAST(tt AS DOUBLE)
+                      / (CAST(12 AS DOUBLE)
+                         * (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))))
+                   * (CAST(1 AS DOUBLE) / CAST(gi.ni AS DOUBLE)
+                      + CAST(1 AS DOUBLE) / CAST(gj.ni AS DOUBLE))
+                 ) AS z
+        FROM grp gi JOIN grp gj ON gi.g < gj.g
+        CROSS JOIN ties CROSS JOIN tot
+    """,
+)
+def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc test — the tie-corrected pairwise z statistics
+    that follow a significant Kruskal-Wallis (which group pairs
+    actually differ): z_ij = (Rbar_i - Rbar_j) / sqrt((N(N+1)/12 -
+    sum(t^3-t)/(12(N-1))) * (1/n_i + 1/n_j)), over order totalprice by
+    priority. Exactness: doubled midranks u = 2*RANK + tiecount - 1
+    are exact BIGINTs (the house midrank recipe); group rank sums and
+    the tie term are exact integers; each mean rank is ONE division
+    and z is one shared expression parenthesized identically on both
+    engines (sqrt is IEEE-correctly-rounded, so identical operands
+    give identical bits). Distributed shape: one global sort for the
+    rank window (the unavoidable ranking shuffle), then group-level
+    (5-row) state only — the pairwise stage is a 5x5 bounded
+    self-join, broadcast legitimately."""
+    vals = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("q"),
+    )
+    u = (
+        F.lit(2) * F.rank().over(Window.orderBy("q"))
+        + F.count(F.lit(1)).over(Window.partitionBy("q"))
+        - F.lit(1)
+    )
+    ranked = vals.select("g", u.alias("u"))
+    grp = (
+        ranked.groupBy("g")
+        .agg(
+            F.sum("u").cast("bigint").alias("ru"),
+            F.count(F.lit(1)).cast("bigint").alias("ni"),
+        )
+        .persist()
+    )
+    ties = (
+        vals.groupBy("q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            )
+            .cast("bigint")
+            .alias("tt")
+        )
+    )
+    tot = grp.agg(F.sum("ni").cast("bigint").alias("n"))
+    gi = grp.select(
+        F.col("g").alias("g_a"), F.col("ru").alias("ru_a"), F.col("ni").alias("n_a")
+    )
+    gj = grp.select(
+        F.col("g").alias("g_b"), F.col("ru").alias("ru_b"), F.col("ni").alias("n_b")
+    )
+    two = F.lit(2).cast("double")
+    one = F.lit(1).cast("double")
+    twelve = F.lit(12).cast("double")
+    mean_a = F.col("ru_a").cast("double") / (two * F.col("n_a").cast("double"))
+    mean_b = F.col("ru_b").cast("double") / (two * F.col("n_b").cast("double"))
+    nd = F.col("n").cast("double")
+    a_term = nd * (nd + one) / twelve - F.col("tt").cast("double") / (
+        twelve * (nd - one)
+    )
+    z = (mean_a - mean_b) / F.sqrt(
+        a_term
+        * (
+            one / F.col("n_a").cast("double")
+            + one / F.col("n_b").cast("double")
+        )
+    )
+    return (
+        gi.join(F.broadcast(gj), F.col("g_a") < F.col("g_b"))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "g_a",
+            "g_b",
+            "n_a",
+            "n_b",
+            mean_a.alias("mean_rank_a"),
+            mean_b.alias("mean_rank_b"),
+            z.alias("z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared daily q6-quantized event values (seasonal MK + Hampel)
+
+_DAILY_Q6_SQL = """
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM events GROUP BY event_type, d
+"""
+
+
+def _daily_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, d, v): daily per-type totals with each event value
+    floor-quantized to 1e-6 BEFORE the sum, so daily totals are exact
+    BIGINTs (order- and engine-independent) — the house cure for
+    summing raw doubles."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1e6).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+
+
+@register(
+    "ts_seasonal_mann_kendall",
+    tags=("timeseries", "stats"),
+    oracle=f"""
+        WITH daily AS MATERIALIZED (
+            SELECT event_type, d, v, CAST(isodow(d) - 1 AS INT) AS wd
+            FROM ({_DAILY_Q6_SQL})
+        ),
+        s_wd AS (
+            SELECT a.event_type, a.wd,
+                   CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                                 WHEN b.v < a.v THEN -1 ELSE 0 END)
+                        AS BIGINT) AS s
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.wd = b.wd AND a.d < b.d
+            GROUP BY a.event_type, a.wd
+        ),
+        n_wd AS (
+            SELECT event_type, wd, CAST(COUNT(*) AS BIGINT) AS n
+            FROM daily GROUP BY event_type, wd
+        ),
+        tt_wd AS (
+            SELECT event_type, wd,
+                   CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+            FROM (SELECT event_type, wd, v, CAST(COUNT(*) AS BIGINT) AS t
+                  FROM daily GROUP BY event_type, wd, v)
+            GROUP BY event_type, wd
+        ),
+        per_wd AS (
+            SELECT n.event_type, n.wd, n.n,
+                   COALESCE(s.s, 0) AS s,
+                   n.n * (n.n - 1) * (2 * n.n + 5) - t.tt AS varnum
+            FROM n_wd n
+            LEFT JOIN s_wd s ON s.event_type = n.event_type AND s.wd = n.wd
+            JOIN tt_wd t ON t.event_type = n.event_type AND t.wd = n.wd
+        )
+        SELECT event_type,
+               CAST(SUM(n) AS BIGINT) AS n_days,
+               CAST(SUM(s) AS BIGINT) AS s_total,
+               CAST(SUM(varnum) AS BIGINT) AS varnum_total,
+               CASE WHEN SUM(varnum) > 0 THEN
+                 CAST(CASE WHEN SUM(s) > 0 THEN SUM(s) - 1
+                           WHEN SUM(s) < 0 THEN SUM(s) + 1
+                           ELSE 0 END AS DOUBLE)
+                 / SQRT(CAST(SUM(varnum) AS DOUBLE) / CAST(18 AS DOUBLE))
+               END AS z
+        FROM per_wd GROUP BY event_type
+    """,
+)
+def ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test per event type (Hirsch-Slack):
+    the MK S statistic computed WITHIN each weekday season (so weekly
+    cycles can't masquerade as trend), seasons then summed — S_total,
+    its tie-corrected variance numerator (exact integer: sum over
+    seasons of n(n-1)(2n+5) - sum t(t-1)(2t+5)), and the
+    continuity-corrected z. Daily values are 1e-6 floor-quantized
+    BIGINTs so every sign comparison and tie group is exact.
+    Distributed shape: the pairwise stage is per (type, weekday) over
+    CALENDAR-BOUNDED daily aggregates (~2400 days at any SF — the
+    pair count is bounded at ~350^2 per season regardless of corpus
+    size), keyed so a cluster partitions by (type, weekday). z is the
+    single presentation expression (IEEE sqrt + one division)."""
+    daily = _daily_q6(spark, sf_dir).withColumn(
+        "wd", F.weekday("d").cast("int")
+    ).persist()
+    a = daily.select(
+        "event_type", "wd", F.col("d").alias("d1"), F.col("v").alias("v1")
+    )
+    b = daily.select(
+        "event_type", "wd", F.col("d").alias("d2"), F.col("v").alias("v2")
+    )
+    s_wd = (
+        a.join(b, ["event_type", "wd"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("event_type", "wd")
+        .agg(
+            F.sum(
+                F.when(F.col("v2") > F.col("v1"), 1)
+                .when(F.col("v2") < F.col("v1"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    n_wd = daily.groupBy("event_type", "wd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tt_wd = (
+        daily.groupBy("event_type", "wd", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("event_type", "wd")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (F.lit(2) * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tt")
+        )
+    )
+    per_wd = (
+        n_wd.join(s_wd, ["event_type", "wd"], "left")
+        .join(tt_wd, ["event_type", "wd"])
+        .select(
+            "event_type",
+            "wd",
+            "n",
+            F.coalesce(F.col("s"), F.lit(0)).alias("s"),
+            (
+                F.col("n") * (F.col("n") - 1) * (F.lit(2) * F.col("n") + 5)
+                - F.col("tt")
+            ).alias("varnum"),
+        )
+    )
+    agg = per_wd.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_days"),
+        F.sum("s").cast("bigint").alias("s_total"),
+        F.sum("varnum").cast("bigint").alias("varnum_total"),
+    )
+    s_adj = (
+        F.when(F.col("s_total") > 0, F.col("s_total") - 1)
+        .when(F.col("s_total") < 0, F.col("s_total") + 1)
+        .otherwise(0)
+        .cast("double")
+    )
+    z = F.when(
+        F.col("varnum_total") > 0,
+        s_adj
+        / F.sqrt(
+            F.col("varnum_total").cast("double") / F.lit(18).cast("double")
+        ),
+    )
+    return agg.select(
+        "event_type", "n_days", "s_total", "varnum_total", z.alias("z")
+    )
+
+
+# ---------------------------------------------------------------------------
+# window_hampel_filter — rolling median +- k*MAD outlier flags
+
+
+@register(
+    "window_hampel_filter",
+    tags=("window", "timeseries", "dq"),
+    oracle=f"""
+        WITH daily AS MATERIALIZED ({_DAILY_Q6_SQL}),
+        w1 AS (
+            SELECT event_type, d, v,
+                   list(v) OVER (PARTITION BY event_type ORDER BY d
+                                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                       AS l
+            FROM daily
+        ),
+        w2 AS (
+            SELECT event_type, d, v, l, list_sort(l)[4] AS med
+            FROM w1 WHERE len(l) = 7
+        ),
+        w3 AS (
+            SELECT event_type, d, v, med,
+                   list_sort(list_transform(l, x -> abs(x - med)))[4] AS mad
+            FROM w2
+        )
+        SELECT event_type, CAST(d AS DATE) AS d, v, med, mad,
+               (abs(v - med) > 3 * mad) AS is_outlier
+        FROM w3
+    """,
+)
+def window_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over the daily per-type series: a 7-point centered
+    rolling MEDIAN and rolling MAD (median absolute deviation), a
+    point flagged when |x - med| > 3*MAD — the robust outlier detector
+    that, unlike z-scores, doesn't let the outlier inflate its own
+    yardstick. Exactness: daily values are 1e-6 floor-quantized
+    BIGINTs; median and MAD are PINNED order statistics (4th of the
+    sorted 7-element frame — never an engine median/percentile call),
+    so every number including the boolean is exact integer arithmetic.
+    Edge frames (<7 points) are excluded, matching the oracle's len=7
+    filter. Distributed shape: one window over calendar-bounded daily
+    aggregates partitioned by event_type; the frame sort is 7 elements
+    per row — O(1) work per point, no global sort."""
+    daily = _daily_q6(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    framed = daily.withColumn("l", F.collect_list("v").over(w)).filter(
+        F.size("l") == 7
+    )
+    med = F.element_at(F.array_sort("l"), 4)
+    framed = framed.withColumn("med", med)
+    mad = F.element_at(
+        F.array_sort(
+            F.transform(F.col("l"), lambda x: F.abs(x - F.col("med")))
+        ),
+        4,
+    )
+    return framed.select(
+        "event_type",
+        F.col("d").cast("date").alias("d"),
+        "v",
+        "med",
+        mad.alias("mad"),
+        (F.abs(F.col("v") - F.col("med")) > F.lit(3) * mad).alias(
+            "is_outlier"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_simpson_diversity — Simpson's D / inverse Simpson per source
+
+
+@register(
+    "text_simpson_diversity",
+    tags=("text", "tokenize", "agg"),
+    oracle=r"""
+        WITH toks AS (
+            SELECT source, lower(tok) AS tok
+            FROM (SELECT source,
+                         unnest(regexp_extract_all(text, '[a-zA-Z0-9_]+'))
+                             AS tok
+                  FROM documents)
+        ),
+        uni AS (
+            SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks GROUP BY source, tok
+        )
+        SELECT source,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(n * (n - 1)) AS BIGINT) AS nn1,
+               CASE WHEN SUM(n) > 1 THEN
+                 CAST(SUM(n * (n - 1)) AS DOUBLE)
+                   / (CAST(SUM(n) AS DOUBLE)
+                      * (CAST(SUM(n) AS DOUBLE) - CAST(1 AS DOUBLE)))
+               END AS simpson_d,
+               CASE WHEN SUM(n * (n - 1)) > 0 THEN
+                 (CAST(SUM(n) AS DOUBLE)
+                    * (CAST(SUM(n) AS DOUBLE) - CAST(1 AS DOUBLE)))
+                   / CAST(SUM(n * (n - 1)) AS DOUBLE)
+               END AS inv_simpson
+        FROM uni GROUP BY source
+    """,
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Simpson's diversity: D = sum n_v(n_v-1) / (N(N-1)) —
+    the probability two tokens drawn without replacement from one
+    source coincide — and the inverse-Simpson "effective vocabulary
+    size" 1/D, the single number a training-mix report uses to compare
+    how repetitive each source is (complements corpus-level
+    text_ngram_entropy, which can't attribute skew to a source). Both
+    are EXACT up to one presentation division: token counts and
+    sum n(n-1) are BIGINTs. Distributed shape: one (source, token)
+    hash agg (map-side combining) then source-level state — vocab-
+    bounded, no shuffle of raw token instances beyond the count agg."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.expr(r"regexp_extract_all(text, '[a-zA-Z0-9_]+', 0)")
+        ).alias("tok0"),
+    ).select("source", F.lower("tok0").alias("tok"))
+    uni = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    one = F.lit(1).cast("double")
+    agg = uni.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("bigint").alias("nn1"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "nn1",
+        F.when(
+            F.col("n_tokens") > 1,
+            F.col("nn1").cast("double") / (nd * (nd - one)),
+        ).alias("simpson_d"),
+        F.when(
+            F.col("nn1") > 0,
+            (nd * (nd - one)) / F.col("nn1").cast("double"),
+        ).alias("inv_simpson"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_burstiness — variance-to-mean ratio of per-doc token counts
+
+
+@register(
+    "text_burstiness",
+    tags=("text", "tokenize", "window"),
+    oracle=r"""
+        WITH dtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        percell AS (
+            SELECT doc_id, lower(tok) AS tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT doc_id,
+                         unnest(regexp_extract_all(text, '[a-zA-Z0-9_]+'))
+                             AS tok
+                  FROM documents)
+            GROUP BY doc_id, tok
+        ),
+        pertok AS (
+            SELECT tok, CAST(SUM(c) AS BIGINT) AS t_total,
+                   CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM(c * c) AS BIGINT) AS s2
+            FROM percell GROUP BY tok
+        ),
+        ranked AS (
+            SELECT tok, t_total, df, s2,
+                   CAST(ROW_NUMBER() OVER (ORDER BY t_total DESC, tok)
+                        AS INT) AS rk
+            FROM pertok
+        )
+        SELECT tok, t_total, df, s2, rk,
+               CAST(nd * s2 - t_total * t_total AS DOUBLE)
+                 / CAST((nd - 1) * t_total AS DOUBLE) AS vmr
+        FROM ranked CROSS JOIN dtot
+        WHERE rk <= 40
+    """,
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness for the top-40 corpus tokens: the
+    variance-to-mean ratio (Fano factor) of per-document counts over
+    ALL documents — VMR 1 = Poisson scatter, >1 = bursty (a token that
+    clumps into few documents: boilerplate, code, spam), the standard
+    screen for tokens whose corpus frequency misrepresents their
+    document spread (Church-Gale). Exactness: VMR = (D*S2 - T^2) /
+    ((D-1)*T) with D, S2 (sum of squared per-doc counts), T all exact
+    BIGINTs — numerator and denominator are exact integers, one
+    presentation division. Distributed shape: (doc, token) count agg
+    -> token-level state; the top-40 is one TakeOrdered-style rank,
+    deterministic via the (count desc, token) tiebreak."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    dtot = d.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    percell = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(r"regexp_extract_all(text, '[a-zA-Z0-9_]+', 0)")
+            ).alias("tok0"),
+        )
+        .select("doc_id", F.lower("tok0").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pertok = percell.groupBy("tok").agg(
+        F.sum("c").cast("bigint").alias("t_total"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    ranked = pertok.select(
+        "tok",
+        "t_total",
+        "df",
+        "s2",
+        F.row_number()
+        .over(Window.orderBy(F.col("t_total").desc(), "tok"))
+        .cast("int")
+        .alias("rk"),
+    ).filter(F.col("rk") <= 40)
+    return ranked.crossJoin(F.broadcast(dtot)).select(
+        "tok",
+        "t_total",
+        "df",
+        "s2",
+        "rk",
+        (
+            (F.col("nd") * F.col("s2") - F.col("t_total") * F.col("t_total"))
+            .cast("double")
+            / ((F.col("nd") - 1) * F.col("t_total")).cast("double")
+        ).alias("vmr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_cluster_ari — adjusted Rand index between two labelings
+
+
+@register(
+    "ml_cluster_ari",
+    tags=("ml", "eval"),
+    oracle="""
+        WITH cells AS MATERIALIZED (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nij
+            FROM documents GROUP BY lang, source
+        ),
+        sij AS (
+            SELECT CAST(SUM((nij * (nij - 1)) // 2) AS BIGINT) AS sum_ij
+            FROM cells
+        ),
+        sa AS (
+            SELECT CAST(SUM((ai * (ai - 1)) // 2) AS BIGINT) AS sum_a
+            FROM (SELECT CAST(SUM(nij) AS BIGINT) AS ai
+                  FROM cells GROUP BY lang)
+        ),
+        sb AS (
+            SELECT CAST(SUM((bj * (bj - 1)) // 2) AS BIGINT) AS sum_b
+            FROM (SELECT CAST(SUM(nij) AS BIGINT) AS bj
+                  FROM cells GROUP BY source)
+        ),
+        tot AS (
+            SELECT CAST(SUM(nij) AS BIGINT) AS n,
+                   CAST((SUM(nij) * (SUM(nij) - 1)) // 2 AS BIGINT) AS c2n
+            FROM cells
+        )
+        SELECT n, sum_ij, sum_a, sum_b, c2n,
+               CASE WHEN (CAST(sum_a AS DOUBLE) + CAST(sum_b AS DOUBLE))
+                         / CAST(2 AS DOUBLE)
+                      <> CAST(sum_a AS DOUBLE) * CAST(sum_b AS DOUBLE)
+                         / CAST(c2n AS DOUBLE)
+               THEN
+                 (CAST(sum_ij AS DOUBLE)
+                    - CAST(sum_a AS DOUBLE) * CAST(sum_b AS DOUBLE)
+                      / CAST(c2n AS DOUBLE))
+                 / ((CAST(sum_a AS DOUBLE) + CAST(sum_b AS DOUBLE))
+                      / CAST(2 AS DOUBLE)
+                    - CAST(sum_a AS DOUBLE) * CAST(sum_b AS DOUBLE)
+                      / CAST(c2n AS DOUBLE))
+               END AS ari
+        FROM sij CROSS JOIN sa CROSS JOIN sb CROSS JOIN tot
+    """,
+)
+def ml_cluster_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand index between the language and source partitions
+    of the document corpus — the chance-corrected pair-counting
+    agreement number used to score a clustering (e.g. the semantic-
+    dedup k-means) against any reference labeling: ARI = (sum_ij C2 -
+    E) / ((sum_a + sum_b)/2 - E), E = sum_a*sum_b/C2(n). Exactness:
+    every C(x,2) = x(x-1) DIV 2 is an exact BIGINT (the product is
+    always even), so the three pair sums and C2(n) are exact integers;
+    ARI is one double expression parenthesized identically on both
+    engines, NULL-guarded on the degenerate both-trivial-partitions
+    case with the IDENTICAL predicate. Distributed shape: one
+    contingency hash agg (cells bounded by |langs| x |sources|), then
+    scalar state."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nij")
+    ).persist()
+    c2 = lambda c: F.expr(f"CAST(({c} * ({c} - 1)) DIV 2 AS BIGINT)")  # noqa: E731
+    sij = cells.agg(
+        F.sum(F.expr("CAST((nij * (nij - 1)) DIV 2 AS BIGINT)"))
+        .cast("bigint")
+        .alias("sum_ij")
+    )
+    sa = (
+        cells.groupBy("lang")
+        .agg(F.sum("nij").cast("bigint").alias("ai"))
+        .agg(
+            F.sum(F.expr("CAST((ai * (ai - 1)) DIV 2 AS BIGINT)"))
+            .cast("bigint")
+            .alias("sum_a")
+        )
+    )
+    sb = (
+        cells.groupBy("source")
+        .agg(F.sum("nij").cast("bigint").alias("bj"))
+        .agg(
+            F.sum(F.expr("CAST((bj * (bj - 1)) DIV 2 AS BIGINT)"))
+            .cast("bigint")
+            .alias("sum_b")
+        )
+    )
+    tot = cells.agg(
+        F.sum("nij").cast("bigint").alias("n"),
+        F.expr(
+            "CAST((SUM(nij) * (SUM(nij) - 1)) DIV 2 AS BIGINT)"
+        ).alias("c2n"),
+    )
+    two = F.lit(2).cast("double")
+    e_term = (
+        F.col("sum_a").cast("double")
+        * F.col("sum_b").cast("double")
+        / F.col("c2n").cast("double")
+    )
+    m_term = (
+        F.col("sum_a").cast("double") + F.col("sum_b").cast("double")
+    ) / two
+    ari = F.when(
+        m_term != e_term,
+        (F.col("sum_ij").cast("double") - e_term) / (m_term - e_term),
+    )
+    return (
+        sij.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(tot))
+        .select("n", "sum_ij", "sum_a", "sum_b", "c2n", ari.alias("ari"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_cluster_nmi — normalized mutual information between two labelings
+
+
+@register(
+    "ml_cluster_nmi",
+    tags=("ml", "eval"),
+    oracle="""
+        WITH cells AS MATERIALIZED (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nij
+            FROM documents GROUP BY lang, source
+        ),
+        ai AS (SELECT lang, CAST(SUM(nij) AS BIGINT) AS ai
+               FROM cells GROUP BY lang),
+        bj AS (SELECT source, CAST(SUM(nij) AS BIGINT) AS bj
+               FROM cells GROUP BY source),
+        tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM cells),
+        mi_sum AS (
+            SELECT CAST(CAST(SUM(
+                     c.nij * CAST(ln(
+                       (CAST(c.nij AS DOUBLE) * CAST(t.n AS DOUBLE))
+                       / (CAST(a.ai AS DOUBLE) * CAST(b.bj AS DOUBLE))
+                     ) AS DECIMAL(12,6))
+                   ) AS VARCHAR) AS DOUBLE) AS mi_n
+            FROM cells c
+            JOIN ai a ON a.lang = c.lang
+            JOIN bj b ON b.source = c.source
+            CROSS JOIN tot t
+        ),
+        hx_sum AS (
+            SELECT -CAST(CAST(SUM(
+                     a.ai * CAST(ln(CAST(a.ai AS DOUBLE)
+                                    / CAST(t.n AS DOUBLE))
+                             AS DECIMAL(12,6))
+                   ) AS VARCHAR) AS DOUBLE) AS hx_n
+            FROM ai a CROSS JOIN tot t
+        ),
+        hy_sum AS (
+            SELECT -CAST(CAST(SUM(
+                     b.bj * CAST(ln(CAST(b.bj AS DOUBLE)
+                                    / CAST(t.n AS DOUBLE))
+                             AS DECIMAL(12,6))
+                   ) AS VARCHAR) AS DOUBLE) AS hy_n
+            FROM bj b CROSS JOIN tot t
+        )
+        SELECT n,
+               mi_n / CAST(n AS DOUBLE) AS mi,
+               hx_n / CAST(n AS DOUBLE) AS hx,
+               hy_n / CAST(n AS DOUBLE) AS hy,
+               CASE WHEN hx_n / CAST(n AS DOUBLE)
+                         + hy_n / CAST(n AS DOUBLE) > CAST(0 AS DOUBLE)
+               THEN CAST(2 AS DOUBLE) * (mi_n / CAST(n AS DOUBLE))
+                    / (hx_n / CAST(n AS DOUBLE) + hy_n / CAST(n AS DOUBLE))
+               END AS nmi
+        FROM mi_sum CROSS JOIN hx_sum CROSS JOIN hy_sum CROSS JOIN tot
+    """,
+)
+def ml_cluster_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized mutual information between the language and source
+    labelings (the information-theoretic sibling of ml_cluster_ari):
+    NMI = 2*I(X;Y) / (H(X)+H(Y)). Engine-exact via the quantized-log
+    recipe (text_ngram_entropy precedent): each cell's
+    ln(nij*N/(ai*bj)) and each margin's ln(p) quantize to
+    DECIMAL(12,6), so I*N, Hx*N, Hy*N are exact integer-by-decimal
+    dot products; the three presentation divisions and the final
+    ratio are shared double expressions parenthesized identically.
+    Distributed shape: one contingency hash agg, margins broadcast
+    (|langs| and |sources| are content-bounded), scalar state after."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nij")
+    ).persist()
+    ai = cells.groupBy("lang").agg(F.sum("nij").cast("bigint").alias("ai"))
+    bj = cells.groupBy("source").agg(
+        F.sum("nij").cast("bigint").alias("bj")
+    )
+    tot = cells.agg(F.sum("nij").cast("bigint").alias("n"))
+    mi_ln = F.log(
+        (F.col("nij").cast("double") * F.col("n").cast("double"))
+        / (F.col("ai").cast("double") * F.col("bj").cast("double"))
+    ).cast("decimal(12,6)")
+    mi_sum = (
+        cells.join(F.broadcast(ai), "lang")
+        .join(F.broadcast(bj), "source")
+        .crossJoin(F.broadcast(tot))
+        .agg(_as_d(F.sum(F.col("nij") * mi_ln)).alias("mi_n"))
+    )
+    hx_ln = F.log(
+        F.col("ai").cast("double") / F.col("n").cast("double")
+    ).cast("decimal(12,6)")
+    hx_sum = (
+        ai.crossJoin(F.broadcast(tot))
+        .agg((-_as_d(F.sum(F.col("ai") * hx_ln))).alias("hx_n"))
+    )
+    hy_ln = F.log(
+        F.col("bj").cast("double") / F.col("n").cast("double")
+    ).cast("decimal(12,6)")
+    hy_sum = (
+        bj.crossJoin(F.broadcast(tot))
+        .agg((-_as_d(F.sum(F.col("bj") * hy_ln))).alias("hy_n"))
+    )
+    nd = F.col("n").cast("double")
+    mi = F.col("mi_n") / nd
+    hx = F.col("hx_n") / nd
+    hy = F.col("hy_n") / nd
+    nmi = F.when(
+        hx + hy > F.lit(0).cast("double"), F.lit(2).cast("double") * mi / (hx + hy)
+    )
+    return (
+        mi_sum.crossJoin(F.broadcast(hx_sum))
+        .crossJoin(F.broadcast(hy_sum))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            mi.alias("mi"),
+            hx.alias("hx"),
+            hy.alias("hy"),
+            nmi.alias("nmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_ktruss_peel2 — two peeling rounds toward the 4-truss
+
+
+_KTRUSS_EDGE_SQL = """
+            SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                   CAST(SUM(w) AS BIGINT) AS w
+            FROM (
+                SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                       CAST(COUNT(*) AS BIGINT) AS w
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                GROUP BY src, dst
+            ) WHERE src <> dst GROUP BY a, b
+"""
+
+
+@register(
+    "graph_ktruss_peel2",
+    tags=("graph", "iterative"),
+    oracle=f"""
+        WITH u AS MATERIALIZED ({_KTRUSS_EDGE_SQL}),
+        thr AS MATERIALIZED (SELECT quantile_cont(w, 0.6) AS t FROM u),
+        g0 AS MATERIALIZED (SELECT a, b FROM u, thr WHERE w >= t),
+        adj0 AS (SELECT a AS node, b AS nb FROM g0
+                 UNION ALL SELECT b AS node, a AS nb FROM g0),
+        sup0 AS (SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS s
+                 FROM g0 e
+                 JOIN adj0 na ON na.node = e.a
+                 JOIN adj0 nb ON nb.node = e.b AND nb.nb = na.nb
+                 GROUP BY e.a, e.b),
+        g1 AS MATERIALIZED (
+            SELECT g.a, g.b FROM g0 g
+            JOIN sup0 s ON s.a = g.a AND s.b = g.b WHERE s.s >= 2),
+        adj1 AS (SELECT a AS node, b AS nb FROM g1
+                 UNION ALL SELECT b AS node, a AS nb FROM g1),
+        sup1 AS (SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS s
+                 FROM g1 e
+                 JOIN adj1 na ON na.node = e.a
+                 JOIN adj1 nb ON nb.node = e.b AND nb.nb = na.nb
+                 GROUP BY e.a, e.b),
+        g2 AS MATERIALIZED (
+            SELECT g.a, g.b FROM g1 g
+            JOIN sup1 s ON s.a = g.a AND s.b = g.b WHERE s.s >= 2),
+        adj2 AS (SELECT a AS node, b AS nb FROM g2
+                 UNION ALL SELECT b AS node, a AS nb FROM g2),
+        sup2 AS (SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS s
+                 FROM g2 e
+                 JOIN adj2 na ON na.node = e.a
+                 JOIN adj2 nb ON nb.node = e.b AND nb.nb = na.nb
+                 GROUP BY e.a, e.b)
+        SELECT g.a, g.b, CAST(COALESCE(s.s, 0) AS BIGINT) AS support
+        FROM g2 g LEFT JOIN sup2 s ON s.a = g.a AND s.b = g.b
+    """,
+)
+def graph_ktruss_peel2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two k-truss peeling rounds (k=4: drop edges in <2 triangles,
+    recount, drop again) on the strong-trade nation graph — the
+    iterative refinement graph_edge_triangle_support reads one round
+    of: peeling removes an edge, which erases triangles through its
+    SURVIVORS, so single-round support over-counts the truss (this
+    query's g1 vs g2 difference is exactly that cascade). Fixed
+    2-round unroll; each round is the same two equi-joins over the
+    mirrored adjacency (O(|E|*avg_degree) wedges, vertex-keyed
+    shuffles — never a cubic enumeration), so the pattern extends to
+    convergence peeling by iterating the same stage. Final support is
+    recounted INSIDE the surviving subgraph. All integers; same
+    corpus-relative 60th-percentile edge set as graph_triangle_count
+    (the quantile threshold twin is the proven round-13 idiom)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    u = (
+        e.filter(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .agg(F.sum("w").alias("w"))
+    )
+    thr = u.agg(F.percentile("w", 0.6).alias("t"))
+    g = (
+        u.crossJoin(F.broadcast(thr))
+        .filter(F.col("w") >= F.col("t"))
+        .select("a", "b")
+        .persist()
+    )
+
+    def support(edges: DataFrame) -> DataFrame:
+        adj = edges.select(
+            F.col("a").alias("node"), F.col("b").alias("nb")
+        ).unionByName(
+            edges.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+        )
+        na = adj.select(F.col("node").alias("a"), F.col("nb").alias("cn"))
+        nb = adj.select(F.col("node").alias("b"), F.col("nb").alias("cn"))
+        return (
+            edges.join(na, "a")
+            .join(nb, ["b", "cn"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+        )
+
+    for _ in range(2):
+        sup = support(g)
+        g = (
+            g.join(sup, ["a", "b"])
+            .filter(F.col("s") >= 2)
+            .select("a", "b")
+            .persist()
+        )
+    final_sup = support(g)
+    return g.join(final_sup, ["a", "b"], "left").select(
+        "a",
+        "b",
+        F.coalesce(F.col("s"), F.lit(0)).cast("bigint").alias("support"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vec_rrf_fusion — reciprocal-rank fusion of two retrieval rankings
+
+_L2SQ = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+)
+_DOT14 = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_NORM14 = (
+    "sqrt(list_sum(list_transform({a},"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+@register(
+    "vec_rrf_fusion",
+    tags=("vector", "similarity", "eval"),
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                   FROM embeddings WHERE vec_id < 5),
+        scored AS MATERIALIZED (
+            SELECT q.query_id, e.vec_id AS cand_id,
+                   {_DOT14.format(a='q.q_emb', b='e.embedding')}
+                     / ({_NORM14.format(a='q.q_emb')}
+                        * {_NORM14.format(a='e.embedding')}) AS cos_sim,
+                   {_L2SQ.format(a='q.q_emb', b='e.embedding')} AS dist_sq
+            FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+        ),
+        ra AS (
+            SELECT query_id, cand_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, cand_id) AS INT) AS rank_cos
+            FROM scored QUALIFY rank_cos <= 20
+        ),
+        rb AS (
+            SELECT query_id, cand_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY dist_sq, cand_id) AS INT) AS rank_l2
+            FROM scored QUALIFY rank_l2 <= 20
+        ),
+        fused AS (
+            SELECT query_id, cand_id, rank_cos, rank_l2,
+                   COALESCE(CAST(1 AS DOUBLE)
+                            / CAST(60 + rank_cos AS DOUBLE),
+                            CAST(0 AS DOUBLE))
+                   + COALESCE(CAST(1 AS DOUBLE)
+                              / CAST(60 + rank_l2 AS DOUBLE),
+                              CAST(0 AS DOUBLE)) AS rrf_score
+            FROM ra FULL JOIN rb USING (query_id, cand_id)
+        )
+        SELECT query_id, cand_id, rank_cos, rank_l2, rrf_score,
+               fused_rank
+        FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY rrf_score DESC, cand_id) AS INT)
+                            AS fused_rank
+              FROM fused)
+        WHERE fused_rank <= 10
+    """,
+)
+def vec_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, Cormack et al. 2009) of two
+    retrieval rankings — cosine similarity and L2 distance — for 5
+    query vectors: score = sum over lists of 1/(60+rank), the
+    standard way hybrid search merges dense + sparse (or two dense)
+    rankers without score calibration. Exactness: both base scores
+    are the house pinned element-order folds (dot/norm and the
+    squared-difference fold twin list_sum's sequential semantics);
+    ranks are integers with deterministic id tiebreaks; each RRF term
+    is one exact IEEE division of integers and the two terms add in
+    fixed written order, so the fused ranking twins bit-for-bit.
+    Distributed shape: 5-query broadcast against one corpus scan (the
+    documented brute-force eval baseline — production candidate
+    generation swaps in the LSH/IVF index paths); top-20 per ranking
+    via per-query windows; the fusion join carries <=40 rows per
+    query."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    diff_sq = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"),
+            F.col("embedding"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            cosine("q_emb", "embedding").alias("cos_sim"),
+            diff_sq.alias("dist_sq"),
+        )
+        .persist()
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "cand_id"
+    )
+    wb = Window.partitionBy("query_id").orderBy("dist_sq", "cand_id")
+    ra = (
+        scored.select(
+            "query_id",
+            "cand_id",
+            F.row_number().over(wa).cast("int").alias("rank_cos"),
+        )
+        .filter(F.col("rank_cos") <= 20)
+    )
+    rb = (
+        scored.select(
+            "query_id",
+            "cand_id",
+            F.row_number().over(wb).cast("int").alias("rank_l2"),
+        )
+        .filter(F.col("rank_l2") <= 20)
+    )
+    zero = F.lit(0).cast("double")
+    one = F.lit(1).cast("double")
+    rrf = F.coalesce(
+        one / (F.lit(60) + F.col("rank_cos")).cast("double"), zero
+    ) + F.coalesce(one / (F.lit(60) + F.col("rank_l2")).cast("double"), zero)
+    fused = ra.join(rb, ["query_id", "cand_id"], "full_outer").select(
+        "query_id", "cand_id", "rank_cos", "rank_l2", rrf.alias("rrf_score")
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), "cand_id"
+    )
+    return (
+        fused.withColumn(
+            "fused_rank", F.row_number().over(wf).cast("int")
+        )
+        .filter(F.col("fused_rank") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# fin_tail_ratio — P95 / |P5| of daily segment returns
+
+
+@register(
+    "fin_tail_ratio",
+    tags=("finance", "window", "risk"),
+    oracle="""
+        WITH daily AS (
+            SELECT c.c_mktsegment AS segment,
+                   CAST(o.o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS x
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        ret AS (
+            SELECT segment, d,
+                   CAST(FLOOR((CAST(CAST(x AS VARCHAR) AS DOUBLE)
+                               / CAST(CAST(xp AS VARCHAR) AS DOUBLE)
+                               - CAST(1 AS DOUBLE)) * CAST(1e9 AS DOUBLE))
+                        AS BIGINT) AS r
+            FROM (SELECT segment, d, x,
+                         LAG(x) OVER (PARTITION BY segment ORDER BY d) AS xp
+                  FROM daily)
+            WHERE xp IS NOT NULL
+        ),
+        ranked AS (
+            SELECT segment, r,
+                   ROW_NUMBER() OVER (PARTITION BY segment
+                                      ORDER BY r, d) AS rk_lo,
+                   COUNT(*) OVER (PARTITION BY segment) AS n
+            FROM ret
+        ),
+        picks AS (
+            SELECT segment,
+                   CAST(MIN(n) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN rk_lo = (n + 19) // 20
+                                 THEN r ELSE 0 END) AS BIGINT) AS p5,
+                   CAST(SUM(CASE WHEN rk_lo = (19 * (n + 1)) // 20
+                                 THEN r ELSE 0 END) AS BIGINT) AS p95
+            FROM ranked GROUP BY segment
+        )
+        SELECT segment, n,
+               CAST(p5 AS DOUBLE) / 1e9 AS p5_ret,
+               CAST(p95 AS DOUBLE) / 1e9 AS p95_ret,
+               CASE WHEN p5 < 0 THEN
+                 CAST(p95 AS DOUBLE) / CAST(-p5 AS DOUBLE)
+               END AS tail_ratio
+        FROM picks ORDER BY segment
+    """,
+)
+def fin_tail_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail ratio per market segment: the 95th-percentile daily return
+    over the magnitude of the 5th — >1 means the right tail outruns
+    the left (asymmetry a Sharpe ratio can't see); the
+    order-statistic sibling of fin_rachev_ratio (which averages the
+    tails instead of picking them). Same exactness recipe: returns
+    floor-quantize to 1e-9 integers; the two picks are PINNED order
+    statistics at ceil(n/20) and ceil(19n/20) via integer DIV rank
+    formulas (never a double rank, never an engine percentile); the
+    ratio NULLs when the 5th percentile is non-negative (no left
+    tail — degenerate, documented). One rank window over
+    calendar-bounded daily rows per segment."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("x")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("d")
+    ret = (
+        daily.withColumn("xp", F.lag("x").over(w))
+        .filter(F.col("xp").isNotNull())
+        .select(
+            "segment",
+            "d",
+            F.floor(
+                (_as_d(F.col("x")) / _as_d(F.col("xp")) - F.lit(1.0))
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    w_lo = Window.partitionBy("segment").orderBy("r", "d")
+    w_n = Window.partitionBy("segment")
+    ranked = ret.select(
+        "segment",
+        "r",
+        F.row_number().over(w_lo).alias("rk_lo"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    picks = ranked.groupBy("segment").agg(
+        F.min("n").cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("rk_lo") == F.expr("CAST((n + 19) DIV 20 AS BIGINT)"),
+                F.col("r"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("p5"),
+        F.sum(
+            F.when(
+                F.col("rk_lo")
+                == F.expr("CAST((19 * (n + 1)) DIV 20 AS BIGINT)"),
+                F.col("r"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("p95"),
+    )
+    return picks.select(
+        "segment",
+        "n",
+        (F.col("p5").cast("double") / F.lit(1e9)).alias("p5_ret"),
+        (F.col("p95").cast("double") / F.lit(1e9)).alias("p95_ret"),
+        F.when(
+            F.col("p5") < 0,
+            F.col("p95").cast("double") / (-F.col("p5")).cast("double"),
+        ).alias("tail_ratio"),
+    ).orderBy("segment")
