@@ -5458,14 +5458,18 @@ def ml_bagging_oob_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     name per the round-12 verdict: the slicing draws DIFFERENT (still
     valid, still RNG-free and partition-invariant) bags than v1, so it
     is not a drop-in — v1 keeps its name, oracle, and driver history;
-    the headline/bench pointer moves here. Honest measurement
-    (round-13, quiet host, same session, min-of-5 AFTER warming the
-    query — first-position series pay the documented ~1.5-2 s JIT
-    tax): the DRAW stage shrinks as the round-12 profile predicted
-    (base 2.35 s vs 3.24 s, tools/bagging_profile.py), but the
-    histogram shuffle + OOB census dominate end-to-end, so the full
-    query lands at ~3.54 s vs v1's ~3.61 s — a real but small win,
-    NOT the base-stage 27%. Statistical validity is unchanged: each
+    the headline/bench pointer moves here. Honest measurement — the
+    committed artifact BAGGING_V1V2.json (round-14,
+    tools/bagging_v1v2_adjudicate.py: quiet host loadavg 0.69 at
+    start, single session, BOTH variants warmed, then ALTERNATING
+    min-of-5 so JIT drift can't bias either side): v2 3.276 s vs v1
+    3.395 s end-to-end at sf0.1, v2 faster in every one of the five
+    alternating pairs. The DRAW stage shrinks as the round-12 profile
+    predicted (base 2.35 s vs 3.24 s, tools/bagging_profile.py), but
+    the histogram shuffle + OOB census dominate end-to-end, so the
+    win is ~0.12 s (~4%), NOT the base-stage 27% — the next shave
+    target is the stacked candidate-histogram shuffle, not hashing.
+    Statistical validity is unchanged: each
     4-hex slice of md5 output is uniform on [0, 65536) and
     independent across rows/slices for bagging purposes, exactly like
     the first-4-chars draw."""
