@@ -1307,3 +1307,459 @@ def fin_tail_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p95").cast("double") / (-F.col("p5")).cast("double"),
         ).alias("tail_ratio"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# dq_srm_check — sample-ratio-mismatch chi-square over a deterministic
+# 4-arm assignment
+
+
+@register(
+    "dq_srm_check",
+    tags=("dq", "stats"),
+    oracle="""
+        WITH arms AS MATERIALIZED (
+            SELECT CAST(CAST('0x' || substr(md5('srm0#'
+                       || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)
+                       % 4 AS INT) AS arm,
+                   CAST(COUNT(*) AS BIGINT) AS n_arm
+            FROM customer
+            GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(n_arm) AS BIGINT) AS n FROM arms),
+        devs AS (
+            SELECT arm, n_arm, n,
+                   (4 * n_arm - n) * (4 * n_arm - n) AS dev_num
+            FROM arms CROSS JOIN tot
+        )
+        SELECT arm, n_arm, n,
+               CAST(dev_num AS BIGINT) AS dev_num,
+               CAST(CAST(SUM(dev_num) OVER () AS BIGINT) AS DOUBLE)
+                 / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE)) AS chi2,
+               (CAST(CAST(SUM(dev_num) OVER () AS BIGINT) AS DOUBLE)
+                 / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE))
+                > CAST('16.266' AS DOUBLE)) AS srm_flag
+        FROM devs
+    """,
+)
+def dq_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the first A/B-test sanity gate:
+    customers deterministically hashed into 4 equal-expected arms (the
+    house raw 60-bit md5 uniform, salt 'srm0#'), then the chi-square
+    against the 1:1:1:1 design: chi2 = sum (4*O_i - n)^2 / (4n), with
+    every squared deviation an exact BIGINT and ONE presentation
+    division; the flag compares against the df=3, p=0.001 critical
+    value 16.266 as a string-routed constant (an SRM at p<0.001 means
+    the assignment or logging pipeline is broken — Kohavi's rule).
+    Distributed shape: one hash agg over the assignment expression
+    (map-side combining, 4-row state), then scalar arithmetic."""
+    c = load_table(spark, sf_dir, "customer")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("srm0#"), F.col("c_custkey").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        % 4
+    ).cast("int")
+    arms = c.groupBy(arm.alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_arm")
+    )
+    tot = arms.agg(F.sum("n_arm").cast("bigint").alias("n"))
+    devs = arms.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n_arm",
+        "n",
+        (
+            (F.lit(4) * F.col("n_arm") - F.col("n"))
+            * (F.lit(4) * F.col("n_arm") - F.col("n"))
+        )
+        .cast("bigint")
+        .alias("dev_num"),
+    )
+    chi2 = (
+        F.sum("dev_num").over(Window.partitionBy()).cast("bigint").cast("double")
+        / (F.lit(4).cast("double") * F.col("n").cast("double"))
+    )
+    return devs.select(
+        "arm",
+        "n_arm",
+        "n",
+        "dev_num",
+        chi2.alias("chi2"),
+        (chi2 > F.expr("CAST('16.266' AS DOUBLE)")).alias("srm_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_functional_dependency — FD violation profile for declared candidates
+
+
+@register(
+    "dq_functional_dependency",
+    tags=("dq", "agg"),
+    oracle="""
+        WITH fd1 AS (
+            SELECT 'orders: o_custkey -> o_orderpriority' AS fd,
+                   CAST(COUNT(*) AS BIGINT) AS n_lhs,
+                   CAST(SUM(n_x) AS BIGINT) AS n_rows,
+                   CAST(SUM(n_x - max_xy) AS BIGINT) AS violations
+            FROM (SELECT CAST(SUM(nxy) AS BIGINT) AS n_x,
+                         CAST(MAX(nxy) AS BIGINT) AS max_xy
+                  FROM (SELECT o_custkey, o_orderpriority,
+                               CAST(COUNT(*) AS BIGINT) AS nxy
+                        FROM orders GROUP BY 1, 2)
+                  GROUP BY o_custkey)
+        ),
+        fd2 AS (
+            SELECT 'lineitem: l_partkey -> l_returnflag' AS fd,
+                   CAST(COUNT(*) AS BIGINT) AS n_lhs,
+                   CAST(SUM(n_x) AS BIGINT) AS n_rows,
+                   CAST(SUM(n_x - max_xy) AS BIGINT) AS violations
+            FROM (SELECT CAST(SUM(nxy) AS BIGINT) AS n_x,
+                         CAST(MAX(nxy) AS BIGINT) AS max_xy
+                  FROM (SELECT l_partkey, l_returnflag,
+                               CAST(COUNT(*) AS BIGINT) AS nxy
+                        FROM lineitem GROUP BY 1, 2)
+                  GROUP BY l_partkey)
+        ),
+        fd3 AS (
+            SELECT 'documents: doc_id -> lang' AS fd,
+                   CAST(COUNT(*) AS BIGINT) AS n_lhs,
+                   CAST(SUM(n_x) AS BIGINT) AS n_rows,
+                   CAST(SUM(n_x - max_xy) AS BIGINT) AS violations
+            FROM (SELECT CAST(SUM(nxy) AS BIGINT) AS n_x,
+                         CAST(MAX(nxy) AS BIGINT) AS max_xy
+                  FROM (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS nxy
+                        FROM documents GROUP BY 1, 2)
+                  GROUP BY doc_id)
+        )
+        SELECT fd, n_lhs, n_rows, violations, (violations = 0) AS holds
+        FROM (SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+              UNION ALL SELECT * FROM fd3)
+    """,
+)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit for three declared candidates
+    (X -> Y holds iff every X value maps to ONE Y value): per
+    candidate, violations = sum over X of (n_x - max_y n_xy) — the
+    minimum number of rows that must change for the FD to hold (the
+    standard g3-style error measure). One holds (doc_id -> lang, a
+    key FD), two measurably fail — a lake runs exactly this to
+    discover which "natural keys" are trustworthy before modeling.
+    All exact integers. Distributed shape per candidate: one (X, Y)
+    count agg (map-side combining) then an X-keyed max/sum — two
+    shuffles on the X key, state bounded by |distinct X|; the three
+    audits union into one 3-row report."""
+
+    def fd(df: DataFrame, x: str, y: str, name: str) -> DataFrame:
+        per_x = (
+            df.groupBy(x, y)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("nxy"))
+            .groupBy(x)
+            .agg(
+                F.sum("nxy").cast("bigint").alias("n_x"),
+                F.max("nxy").cast("bigint").alias("max_xy"),
+            )
+        )
+        return per_x.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs"),
+            F.sum("n_x").cast("bigint").alias("n_rows"),
+            F.sum(F.col("n_x") - F.col("max_xy"))
+            .cast("bigint")
+            .alias("violations"),
+        ).select(F.lit(name).alias("fd"), "n_lhs", "n_rows", "violations")
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    d = load_table(spark, sf_dir, "documents")
+    rows = (
+        fd(o, "o_custkey", "o_orderpriority", "orders: o_custkey -> o_orderpriority")
+        .unionByName(
+            fd(li, "l_partkey", "l_returnflag", "lineitem: l_partkey -> l_returnflag")
+        )
+        .unionByName(fd(d, "doc_id", "lang", "documents: doc_id -> lang"))
+    )
+    return rows.select(
+        "fd", "n_lhs", "n_rows", "violations", (F.col("violations") == 0).alias("holds")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_cramers_v_corrected — Bergsma bias-corrected Cramér's V
+
+
+@register(
+    "stat_cramers_v_corrected",
+    tags=("stats", "agg"),
+    oracle="""
+        WITH cells AS (
+            SELECT l_returnflag AS r, l_linestatus AS c,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM lineitem GROUP BY 1, 2
+        ),
+        margins AS (
+            SELECT r, c, o,
+                   CAST(SUM(o) OVER (PARTITION BY r) AS BIGINT) AS nr,
+                   CAST(SUM(o) OVER (PARTITION BY c) AS BIGINT) AS nc,
+                   CAST(SUM(o) OVER () AS BIGINT) AS n
+            FROM cells
+        ),
+        tots AS (
+            SELECT MAX(n) AS n,
+                   COUNT(DISTINCT r) AS nrows, COUNT(DISTINCT c) AS ncols,
+                   CAST(CAST(SUM(CAST(FLOOR(
+                       (CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(nr AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)))
+                       * (CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(nr AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)))
+                       / ((CAST(nr AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)))
+                       * 1e15) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+                       / 1e15 AS phi2
+            FROM margins
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(nrows AS BIGINT) AS n_rows,
+               CAST(ncols AS BIGINT) AS n_cols,
+               phi2,
+               GREATEST(CAST(0 AS DOUBLE),
+                        phi2 - CAST((nrows - 1) * (ncols - 1) AS DOUBLE)
+                               / CAST(n - 1 AS DOUBLE)) AS phi2_corr,
+               CASE WHEN LEAST(
+                      CAST(nrows AS DOUBLE)
+                        - CAST((nrows - 1) * (nrows - 1) AS DOUBLE)
+                          / CAST(n - 1 AS DOUBLE) - CAST(1 AS DOUBLE),
+                      CAST(ncols AS DOUBLE)
+                        - CAST((ncols - 1) * (ncols - 1) AS DOUBLE)
+                          / CAST(n - 1 AS DOUBLE) - CAST(1 AS DOUBLE))
+                    > CAST(0 AS DOUBLE) THEN
+                 sqrt(GREATEST(CAST(0 AS DOUBLE),
+                        phi2 - CAST((nrows - 1) * (ncols - 1) AS DOUBLE)
+                               / CAST(n - 1 AS DOUBLE))
+                      / LEAST(
+                      CAST(nrows AS DOUBLE)
+                        - CAST((nrows - 1) * (nrows - 1) AS DOUBLE)
+                          / CAST(n - 1 AS DOUBLE) - CAST(1 AS DOUBLE),
+                      CAST(ncols AS DOUBLE)
+                        - CAST((ncols - 1) * (ncols - 1) AS DOUBLE)
+                          / CAST(n - 1 AS DOUBLE) - CAST(1 AS DOUBLE)))
+               END AS cramers_v_corrected
+        FROM tots
+    """,
+)
+def stat_cramers_v_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bias-corrected Cramér's V (Bergsma 2013) between return flag and
+    line status: the uncorrected V systematically overstates
+    association in finite samples, so phi2 is shrunk by its null
+    expectation (r-1)(c-1)/(n-1) and the row/column counts are shrunk
+    the same way before the min — the version a profiler should
+    actually report. phi2 rides the stat_cramers_v o_fsum recipe
+    (per-cell contribution floor-scaled at 1e-15, DECIMAL(38,0) sum —
+    order-independent); every correction term is integer arithmetic
+    pushed to one shared double expression, NULL-guarded on the
+    degenerate 1xC/Rx1 shrink with the IDENTICAL predicate.
+    Corpus-scale work: one grouped count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("r"), F.col("l_linestatus").alias("c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wr = Window.partitionBy("r")
+    wc = Window.partitionBy("c")
+    wall = Window.partitionBy()
+    m = cells.select(
+        "r",
+        "c",
+        "o",
+        F.sum("o").over(wr).cast("bigint").alias("nr"),
+        F.sum("o").over(wc).cast("bigint").alias("nc"),
+        F.sum("o").over(wall).cast("bigint").alias("n"),
+    )
+    po = F.col("o").cast("double") / F.col("n").cast("double")
+    pr = F.col("nr").cast("double") / F.col("n").cast("double")
+    pc = F.col("nc").cast("double") / F.col("n").cast("double")
+    contrib = (po - pr * pc) * (po - pr * pc) / (pr * pc)
+    tots = m.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("r").alias("nrows"),
+        F.countDistinct("c").alias("ncols"),
+        (
+            _as_d(
+                F.sum(F.floor(contrib * F.lit(1e15)).cast("decimal(38,0)"))
+            )
+            / F.lit(1e15)
+        ).alias("phi2"),
+    )
+    zero = F.lit(0).cast("double")
+    one = F.lit(1).cast("double")
+    nd = (F.col("n") - 1).cast("double")
+    phi2_corr = F.greatest(
+        zero,
+        F.col("phi2")
+        - ((F.col("nrows") - 1) * (F.col("ncols") - 1)).cast("double") / nd,
+    )
+    r_corr = (
+        F.col("nrows").cast("double")
+        - ((F.col("nrows") - 1) * (F.col("nrows") - 1)).cast("double") / nd
+        - one
+    )
+    c_corr = (
+        F.col("ncols").cast("double")
+        - ((F.col("ncols") - 1) * (F.col("ncols") - 1)).cast("double") / nd
+        - one
+    )
+    denom = F.least(r_corr, c_corr)
+    return tots.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("nrows").cast("bigint").alias("n_rows"),
+        F.col("ncols").cast("bigint").alias("n_cols"),
+        "phi2",
+        phi2_corr.alias("phi2_corr"),
+        F.when(denom > zero, F.sqrt(phi2_corr / denom)).alias(
+            "cramers_v_corrected"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_hypergeom_surprise — per-cell hypergeometric log point-probability
+
+
+@register(
+    "stat_hypergeom_surprise",
+    tags=("stats", "text", "agg"),
+    oracle="""
+        WITH cells AS MATERIALIZED (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nij
+            FROM documents GROUP BY lang, source
+        ),
+        ai AS MATERIALIZED (SELECT lang, CAST(SUM(nij) AS BIGINT) AS ai
+              FROM cells GROUP BY lang),
+        bj AS MATERIALIZED (SELECT source, CAST(SUM(nij) AS BIGINT) AS bj
+              FROM cells GROUP BY source),
+        tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM cells),
+        spine AS MATERIALIZED (
+            SELECT CAST(0 AS BIGINT) AS k, CAST(0.0 AS DECIMAL(12,6)) AS lnk
+            UNION ALL
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS k,
+                   CAST(ln(CAST(ROW_NUMBER() OVER (ORDER BY doc_id)
+                                AS DOUBLE)) AS DECIMAL(12,6)) AS lnk
+            FROM documents
+        ),
+        lf AS MATERIALIZED (
+            SELECT k, CAST(SUM(lnk) OVER (ORDER BY k
+                     ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6)) AS lf
+            FROM spine
+        ),
+        joined AS (
+            SELECT c.lang, c.source, c.nij, a.ai, b.bj, t.n,
+                   (SELECT lf FROM lf WHERE k = a.ai)
+                 - (SELECT lf FROM lf WHERE k = c.nij)
+                 - (SELECT lf FROM lf WHERE k = a.ai - c.nij)
+                 + (SELECT lf FROM lf WHERE k = t.n - a.ai)
+                 - (SELECT lf FROM lf WHERE k = b.bj - c.nij)
+                 - (SELECT lf FROM lf WHERE k = t.n - a.ai - b.bj + c.nij)
+                 - (SELECT lf FROM lf WHERE k = t.n)
+                 + (SELECT lf FROM lf WHERE k = b.bj)
+                 + (SELECT lf FROM lf WHERE k = t.n - b.bj) AS lnp_dec
+            FROM cells c
+            JOIN ai a ON a.lang = c.lang
+            JOIN bj b ON b.source = c.source
+            CROSS JOIN tot t
+        )
+        SELECT lang, source, nij, ai, bj, n,
+               CAST(CAST(lnp_dec AS VARCHAR) AS DOUBLE) AS log_p
+        FROM joined
+    """,
+)
+def stat_hypergeom_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypergeometric surprise per (lang, source) cell: the log point-
+    probability ln P(X = nij) of observing the cell count under the
+    independence null, X ~ Hypergeom(N, a_i, b_j) — the enrichment
+    score term-overlap / gene-set-style analyses rank by (a very
+    negative log_p = the cell is far from what marginals alone
+    predict). Exactness: ln-factorials come from a 0..N spine
+    (row_number over documents — identical on both engines) whose
+    per-k ln quantizes to DECIMAL(12,6) and accumulates by an exact
+    decimal cumulative window, so every lnC(n,k) = lf(n)-lf(k)-lf(n-k)
+    and the 9-term combination are EXACT DECIMAL arithmetic; the one
+    double appears at the presentation cast. Distributed shape: the
+    contingency and margins are bounded; the spine is O(N) with a
+    prefix-sum window — at cluster scale that window becomes the
+    standard bucket+carry two-pass prefix sum (the house
+    stat_ks_two_sample pattern); the 9 lf lookups are equi-joins of
+    the bounded cell relation against the spine."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nij")
+    ).persist()
+    ai = cells.groupBy("lang").agg(F.sum("nij").cast("bigint").alias("ai"))
+    bj = cells.groupBy("source").agg(F.sum("nij").cast("bigint").alias("bj"))
+    tot = cells.agg(F.sum("nij").cast("bigint").alias("n"))
+    spine = d.select(
+        F.row_number().over(Window.orderBy("doc_id")).cast("bigint").alias("k")
+    ).select(
+        "k", F.log(F.col("k").cast("double")).cast("decimal(12,6)").alias("lnk")
+    ).unionByName(
+        d.sparkSession.range(1).select(
+            F.lit(0).cast("bigint").alias("k"),
+            F.lit("0.0").cast("decimal(12,6)").alias("lnk"),
+        )
+    )
+    lf = spine.select(
+        "k",
+        F.sum("lnk")
+        .over(Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(38,6)")
+        .alias("lf"),
+    )
+    base = (
+        cells.join(F.broadcast(ai), "lang")
+        .join(F.broadcast(bj), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+
+    # nine lf lookups: each is an equi-join of the bounded cell
+    # relation against the spine
+    joined = base
+    specs = [
+        ("lf_ai", F.col("ai")),
+        ("lf_nij", F.col("nij")),
+        ("lf_ai_nij", F.col("ai") - F.col("nij")),
+        ("lf_nai", F.col("n") - F.col("ai")),
+        ("lf_bj_nij", F.col("bj") - F.col("nij")),
+        ("lf_rest", F.col("n") - F.col("ai") - F.col("bj") + F.col("nij")),
+        ("lf_n", F.col("n")),
+        ("lf_bj", F.col("bj")),
+        ("lf_nbj", F.col("n") - F.col("bj")),
+    ]
+    for name, expr in specs:
+        lfx = lf.select(F.col("k").alias(f"k_{name}"), F.col("lf").alias(name))
+        joined = joined.join(lfx, expr == F.col(f"k_{name}")).drop(f"k_{name}")
+    lnp_dec = (
+        F.col("lf_ai")
+        - F.col("lf_nij")
+        - F.col("lf_ai_nij")
+        + F.col("lf_nai")
+        - F.col("lf_bj_nij")
+        - F.col("lf_rest")
+        - F.col("lf_n")
+        + F.col("lf_bj")
+        + F.col("lf_nbj")
+    )
+    return joined.select(
+        "lang",
+        "source",
+        "nij",
+        "ai",
+        "bj",
+        "n",
+        _as_d(lnp_dec).alias("log_p"),
+    )

@@ -1057,3 +1057,122 @@ def test_ts_round13_windows_partition_by_event_type(spark, sf_dir):
         assert specs, f"{q}: no Window nodes"
         for spec in specs:
             assert "event_type" in spec, f"{q}: unpartitioned window [{spec}]"
+
+
+# --- round-14 additions -----------------------------------------------------
+
+
+def test_cliffs_delta_pairs_stay_on_counted_cells(spark, sf_dir):
+    """stat_cliffs_delta: the dominance count must pair COUNTED VALUE
+    CELLS (content-bounded, <=50x50), never raw rows — the plan's
+    nested loops are all broadcast (cell side or 1-row totals) and the
+    lineitem relation is scanned for the cell agg, not joined against
+    itself."""
+    df = plans.get("stat_cliffs_delta").build(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p  # nothing here should shuffle-join
+
+
+def test_dunn_posthoc_one_rank_sort_then_bounded_pairs(spark, sf_dir):
+    """stat_dunn_posthoc: one global rank window (the unavoidable
+    ranking sort), then group-level (5-row) state — the pairwise stage
+    must not plan a shuffle join."""
+    df = plans.get("stat_dunn_posthoc").build(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_seasonal_mk_pair_join_is_key_join(spark, sf_dir):
+    """ts_seasonal_mann_kendall: the S-statistic pair stage joins on
+    (event_type, weekday) EQUI keys with the date inequality as a
+    residual — never a cartesian/nested-loop pairing of days."""
+    df = plans.get("ts_seasonal_mann_kendall").build(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "event_type" in p and ("SortMergeJoin" in p or "BroadcastHashJoin" in p)
+
+
+def test_hampel_window_partitions_by_event_type(spark, sf_dir):
+    """window_hampel_filter: the 7-point frame rides an event_type-
+    partitioned window over the daily aggregate — an unpartitioned
+    window would serialize the series through one task."""
+    import re
+
+    p = plan_str(plans.get("window_hampel_filter").build(spark, sf_dir), "extended")
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+    assert specs, "no Window nodes"
+    for spec in specs:
+        assert "event_type" in spec, f"unpartitioned window: [{spec}]"
+
+
+def test_simpson_diversity_partial_agg_before_shuffle(spark, sf_dir):
+    """text_simpson_diversity: the (source, token) count agg must
+    map-side combine (partial_count before the exchange) so the
+    shuffle carries vocab-sized state, not raw token instances."""
+    p = plan_str(plans.get("text_simpson_diversity").build(spark, sf_dir))
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
+
+
+def test_burstiness_topn_no_global_sort(spark, sf_dir):
+    """text_burstiness: the top-40 rank is a window over token-level
+    aggregates; the only scans are the documents table (tokenize +
+    the 1-row doc count) and no cartesian appears (the doc-count
+    crossJoin is a 1-row broadcast)."""
+    df = plans.get("text_burstiness").build(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p
+
+
+def test_cluster_agreement_contingency_only(spark, sf_dir):
+    """ml_cluster_ari / ml_cluster_nmi: one contingency hash agg, then
+    scalar/margin state — no shuffle join anywhere (margins broadcast;
+    the scalar combinations are 1-row broadcasts)."""
+    for q in ("ml_cluster_ari", "ml_cluster_nmi"):
+        df = plans.get(q).build(spark, sf_dir)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p, q
+        assert "SortMergeJoin" not in p, q
+
+
+def test_ktruss_wedge_joins_are_key_joins(spark, sf_dir):
+    """graph_ktruss_peel2: every peeling round's wedge closure is
+    equi-joins on vertex keys (same contract as
+    graph_edge_triangle_support); the only BNLJ is the 1-row
+    percentile-threshold broadcast."""
+    import re
+
+    df = plans.get("graph_ktruss_peel2").build(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    for ln in p.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert re.search(r">= t#\d+", ln), f"non-threshold BNLJ: {ln.strip()[:120]}"
+    assert re.search(r"(SortMergeJoin|BroadcastHashJoin) \[[^\]]*cn#", p)
+
+
+def test_rrf_probe_side_broadcasts(spark, sf_dir):
+    """vec_rrf_fusion: the 5-query probe side must broadcast against
+    one corpus scan (the documented eval-baseline shape); the fusion
+    join is a key join on (query_id, cand_id); no cartesian."""
+    df = plans.get("vec_rrf_fusion").build(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_tail_ratio_windows_partition_by_segment(spark, sf_dir):
+    """fin_tail_ratio: the return lag and the rank windows partition by
+    segment over the calendar-bounded daily aggregate."""
+    import re
+
+    p = plan_str(plans.get("fin_tail_ratio").build(spark, sf_dir), "extended")
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+    assert specs, "no Window nodes"
+    for spec in specs:
+        assert "segment" in spec, f"unpartitioned window: [{spec}]"

@@ -483,3 +483,145 @@ class TestTailRatio:
                 assert abs(r.tail_ratio - p95 / (-p5)) < 1e-12
             else:
                 assert r.tail_ratio is None
+
+
+class TestSRMCheck:
+    def test_matches_python(self, spark):
+        import hashlib
+
+        keys = [
+            k
+            for (k,) in _fetch(
+                f"SELECT c_custkey FROM read_parquet('{SF}/customer.parquet')"
+            )
+        ]
+        arms = Counter(
+            int(hashlib.md5(f"srm0#{k}".encode()).hexdigest()[:15], 16) % 4
+            for k in keys
+        )
+        n = len(keys)
+        chi2 = sum((4 * arms[a] - n) ** 2 for a in range(4)) / (4 * n)
+        got = {
+            r.arm: r for r in plans.get("dq_srm_check").build(spark, SF).collect()
+        }
+        assert set(got) == set(arms)
+        for a, cnt in arms.items():
+            r = got[a]
+            assert (r.n_arm, r.n, r.dev_num) == (cnt, n, (4 * cnt - n) ** 2)
+            assert abs(r.chi2 - chi2) < 1e-12
+            assert r.srm_flag == (chi2 > 16.266)
+
+
+class TestFunctionalDependency:
+    def test_matches_python(self, spark):
+        def fd_violations(pairs):
+            by_x = defaultdict(Counter)
+            for x, y in pairs:
+                by_x[x][y] += 1
+            viol = sum(
+                sum(c.values()) - max(c.values()) for c in by_x.values()
+            )
+            return len(by_x), sum(len(list(c.elements())) for c in by_x.values()), viol
+
+        expected = {}
+        expected["orders: o_custkey -> o_orderpriority"] = fd_violations(
+            _fetch(
+                "SELECT o_custkey, o_orderpriority"
+                f" FROM read_parquet('{SF}/orders.parquet')"
+            )
+        )
+        expected["lineitem: l_partkey -> l_returnflag"] = fd_violations(
+            _fetch(
+                "SELECT l_partkey, l_returnflag"
+                f" FROM read_parquet('{SF}/lineitem.parquet')"
+            )
+        )
+        expected["documents: doc_id -> lang"] = fd_violations(
+            _fetch(
+                f"SELECT doc_id, lang FROM read_parquet('{SF}/documents.parquet')"
+            )
+        )
+        got = {
+            r.fd: (r.n_lhs, r.n_rows, r.violations, r.holds)
+            for r in plans.get("dq_functional_dependency")
+            .build(spark, SF)
+            .collect()
+        }
+        assert set(got) == set(expected)
+        for name, (n_lhs, n_rows, viol) in expected.items():
+            assert got[name] == (n_lhs, n_rows, viol, viol == 0)
+        # the key FD must hold, at least one non-key FD must fail
+        assert got["documents: doc_id -> lang"][3] is True
+        assert not all(v[3] for v in got.values())
+
+
+class TestCramersVCorrected:
+    def test_matches_numpy(self, spark):
+        rows = _fetch(
+            "SELECT l_returnflag, l_linestatus"
+            f" FROM read_parquet('{SF}/lineitem.parquet')"
+        )
+        cells = Counter(rows)
+        rs = sorted({r for r, _ in cells})
+        cs = sorted({c for _, c in cells})
+        n = sum(cells.values())
+        obs = np.array(
+            [[cells.get((r, c), 0) for c in cs] for r in rs], dtype=np.float64
+        )
+        pr = obs.sum(axis=1) / n
+        pc = obs.sum(axis=0) / n
+        po = obs / n
+        exp = np.outer(pr, pc)
+        phi2 = float((((po - exp) ** 2) / exp).sum())
+        r_, c_ = len(rs), len(cs)
+        phi2c = max(0.0, phi2 - (r_ - 1) * (c_ - 1) / (n - 1))
+        rc = r_ - (r_ - 1) ** 2 / (n - 1)
+        cc = c_ - (c_ - 1) ** 2 / (n - 1)
+        v = math.sqrt(phi2c / min(rc - 1, cc - 1))
+        row = (
+            plans.get("stat_cramers_v_corrected").build(spark, SF).collect()[0]
+        )
+        assert (row.n, row.n_rows, row.n_cols) == (n, r_, c_)
+        # engine phi2 is floor-scaled at 1e-15 per cell — near-exact
+        assert abs(row.phi2 - phi2) < 1e-9
+        assert abs(row.phi2_corr - phi2c) < 1e-9
+        assert abs(row.cramers_v_corrected - v) < 1e-6
+        assert 0.0 <= row.cramers_v_corrected <= 1.0
+
+
+class TestHypergeomSurprise:
+    def test_matches_lgamma(self, spark):
+        cells = Counter((lang, src) for _, _, lang, src in _docs())
+        a = Counter()
+        b = Counter()
+        for (lang, src), nij in cells.items():
+            a[lang] += nij
+            b[src] += nij
+        n = sum(cells.values())
+
+        def lnC(m, k):
+            return (
+                math.lgamma(m + 1)
+                - math.lgamma(k + 1)
+                - math.lgamma(m - k + 1)
+            )
+
+        got = {
+            (r.lang, r.source): r
+            for r in plans.get("stat_hypergeom_surprise")
+            .build(spark, SF)
+            .collect()
+        }
+        assert set(got) == set(cells)
+        for (lang, src), nij in cells.items():
+            r = got[(lang, src)]
+            assert (r.nij, r.ai, r.bj, r.n) == (nij, a[lang], b[src], n)
+            lnp = (
+                lnC(a[lang], nij)
+                + lnC(n - a[lang], b[src] - nij)
+                - lnC(n, b[src])
+            )
+            # engine ln-factorials quantize per-k at 1e-6 and the 9-term
+            # combination sums ~N quantized terms — loose bound
+            assert abs(r.log_p - lnp) < 5e-3
+            assert r.log_p <= 0.0 + 5e-3
