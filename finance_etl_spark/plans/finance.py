@@ -1506,8 +1506,8 @@ def fin_amortization_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fin_herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HHI of supplier revenue within each nation: per-(nation,
-    supplier) exact decimal revenue from one keyed agg (supplier
-    dimension broadcast onto the fact scan), then HHI = Σr²/(Σr)² per
+    supplier) exact decimal revenue from one keyed agg (the supplier
+    join is AQE-sized — broadcast while small), then HHI = Σr²/(Σr)² per
     nation from two exact decimal sums with a single IEEE edge — no
     per-supplier share is ever divided, so there is no float sum of
     shares to order-depend on. effective_n = 1/HHI reads as "this
@@ -1754,7 +1754,7 @@ def fin_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL arithmetic — no float accumulation-order exposure — and
     the ratios are single double edge expressions. The lag window
     partitions by segment over calendar-bounded day counts; corpus
-    work is one map-side-combining agg + one broadcast dim join."""
+    work is one map-side-combining agg + one AQE-sized customer join."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     daily = (
@@ -2785,7 +2785,8 @@ _SEG_DAILY_SQL = """
 
 def _seg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(segment, d, x): exact decimal daily revenue per market segment
-    — one broadcast dim join + one map-side-combining hash agg."""
+    — one AQE-sized customer join (broadcast while it fits, shuffle at
+    scale) + one map-side-combining hash agg."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"

@@ -6725,7 +6725,7 @@ def ml_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both per-segment folds run in PINNED bucket order (array_sort +
     F.aggregate == list ORDER BY + list_reduce) so the <=8-term double
     reductions are identical cross-engine. Corpus work: one custkey
-    agg + one broadcast dim join; n_risk >= d >= 0 and n_risk >= 1 on
+    agg + one AQE-sized customer join; n_risk >= d >= 0 and n_risk >= 1 on
     every existing bucket row, so no division degenerates (class-5
     documented)."""
     from pyspark.sql import Window

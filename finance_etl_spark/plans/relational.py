@@ -294,7 +294,14 @@ def join_theta_non_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The small side is broadcast so the inequality is evaluated without a
     shuffle; at scale this only works when one side is dimension-sized —
-    which is exactly the supported contract for theta joins.
+    which is exactly the supported contract for theta joins. SCALE
+    CONTRACT (documented exemption from the no-SF-scaling-broadcast
+    rule): an arbitrary theta join has no shuffle strategy — BNLJ
+    requires a broadcast side by construction, so the hint here
+    DESIGNATES the smaller relation rather than overriding a shuffle
+    alternative; when neither side is broadcastable the operator must
+    be rewritten (for this accumulating-comparison shape: the
+    bucket+carry ECDF join, the house stat_ks_two_sample pattern).
     """
     s = load_table(spark, sf_dir, "supplier")
     c = load_table(spark, sf_dir, "customer")

@@ -3584,7 +3584,7 @@ def array_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_explode_outer's row-fan-out shape). Quantities are exact
     integers so every HOF output is integer; the per-priority rollup
     is exact sums. Scale: one orderkey shuffle to build arrays (basket
-    size is scale-free), one broadcast dim join, one 5-row agg."""
+    size is scale-free), one AQE-sized orders join, one 5-row agg."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",

@@ -1993,7 +1993,12 @@ def vec_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force baseline, same shape as vec_cosine_topk); the top-k
     window, vote count, and argmax are all per-query and tiny. The
     whole chain is hash-checked against DuckDB including the float
-    similarity values feeding the ranks."""
+    similarity values feeding the ranks. SCALE CONTRACT (documented
+    exemption from the no-SF-scaling-broadcast rule): the probe set
+    here is a fixed 1/37 sample, so this exact shape is EVAL duty —
+    at production scale the probe set must be capped (LIMIT) or the
+    candidate generation swapped to the LSH/IVF index paths, exactly
+    as ANN_EVAL.md prescribes for every brute-force baseline."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.pmod(F.col("vec_id"), F.lit(37)) == 3).select(
         F.col("vec_id").alias("query_id"),
