@@ -1763,3 +1763,418 @@ def stat_hypergeom_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         _as_d(lnp_dec).alias("log_p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_cvm_uniform / stat_ad_uniform — one-sample EDF integrals of the
+# md5 ladder vs U(0,1), completing the KS/Kuiper family of round 12
+
+_UNIF_POS_SQL = """
+        uni AS (
+            SELECT o_orderkey AS key,
+                   CAST('0x' || SUBSTRING(
+                       md5(CAST(o_orderkey AS VARCHAR)), 1, 6) AS BIGINT) AS k
+            FROM orders
+        ),
+        pos AS (
+            SELECT k,
+                   CAST(ROW_NUMBER() OVER (ORDER BY k, key) AS BIGINT) AS i,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM uni
+        )
+"""
+
+
+def _md5_uniform_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, i, n): md5-uniformized order keys with their global EDF rank
+    — the round-12 _unif_edf machinery (round12.py) re-exposed at row
+    granularity: u_i = k_i/2^24 exact rational; the rank avoids a
+    global sort via 256 top-byte buckets + a bounded bucket-offset
+    carry; identical i to the oracle's plain ROW_NUMBER because both
+    order by (k, key)."""
+    o = load_table(spark, sf_dir, "orders")
+    uni = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 6), 16, 10
+        )
+        .cast("bigint")
+        .alias("k"),
+    )
+    bucketed = uni.select("key", "k", F.shiftright("k", 16).alias("bkt"))
+    sizes = bucketed.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(
+        "bkt",
+        F.coalesce(F.sum("cnt").over(woff), F.lit(0))
+        .cast("bigint")
+        .alias("off"),
+    )
+    tot = sizes.agg(F.sum("cnt").cast("bigint").alias("n"))
+    wrn = Window.partitionBy("bkt").orderBy("k", "key")
+    return (
+        bucketed.join(F.broadcast(offs), "bkt")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n",
+            (F.col("off") + F.row_number().over(wrn)).cast("bigint").alias("i"),
+        )
+    )
+
+
+@register(
+    "stat_cvm_uniform",
+    tags=("stats", "window", "agg"),
+    oracle=f"""
+        WITH {_UNIF_POS_SQL},
+        sums AS (
+            SELECT MAX(n) AS n,
+                   CAST(SUM(CAST(k * k AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                       AS a_sum,
+                   CAST(SUM(CAST((2 * i - 1) * k AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS b_sum,
+                   CAST(SUM(CAST((2 * i - 1) * (2 * i - 1) AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS c_sum
+            FROM pos
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               ((CAST(CAST(a_sum AS VARCHAR) AS DOUBLE)
+                   / (CAST(16777216 AS DOUBLE) * CAST(16777216 AS DOUBLE))
+                 - CAST(CAST(b_sum AS VARCHAR) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(16777216 AS DOUBLE)))
+                + CAST(CAST(c_sum AS VARCHAR) AS DOUBLE)
+                  / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               + CAST(1 AS DOUBLE) / (CAST(12 AS DOUBLE) * CAST(n AS DOUBLE))
+                   AS w2_stat
+        FROM sums
+    """,
+)
+def stat_cvm_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample Cramér-von Mises test of the engine's md5 key ladder
+    against U(0,1) — the INTEGRAL-deviation companion to the round-12
+    stat_ks_uniform/stat_kuiper_uniform SUP-deviation pair (the third
+    member of the EDF family; CvM weighs the whole CDF, not just the
+    worst point): W² = 1/(12n) + sum_i (u_(i) - (2i-1)/(2n))² with
+    u = k/2^24 exact rational. The square expands to THREE exact
+    DECIMAL(38,0) sums — A = sum k², B = sum (2i-1)k, C = sum (2i-1)²
+    — so W² = A/2^48 - B/(n·2^24) + C/(4n²) + 1/(12n) is a fixed-order
+    4-term double expression parenthesized identically on both
+    engines; no per-row float exists anywhere. Same bucket+carry rank
+    as the KS twin (no global sort). Row products fit BIGINT and the
+    sums fit DECIMAL(38,0) to ~sf1e5."""
+    pos = _md5_uniform_pos(spark, sf_dir)
+    sums = pos.agg(
+        F.max("n").alias("n"),
+        F.sum((F.col("k") * F.col("k")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("a_sum"),
+        F.sum(((F.lit(2) * F.col("i") - 1) * F.col("k")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("b_sum"),
+        F.sum(
+            (
+                (F.lit(2) * F.col("i") - 1) * (F.lit(2) * F.col("i") - 1)
+            ).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("c_sum"),
+    )
+    m = F.lit(16777216).cast("double")
+    nd = F.col("n").cast("double")
+    w2 = (
+        (
+            _as_d(F.col("a_sum")) / (m * m)
+            - _as_d(F.col("b_sum")) / (nd * m)
+        )
+        + _as_d(F.col("c_sum")) / (F.lit(4).cast("double") * nd * nd)
+    ) + F.lit(1).cast("double") / (F.lit(12).cast("double") * nd)
+    return sums.select(F.col("n").cast("bigint").alias("n"), w2.alias("w2_stat"))
+
+
+@register(
+    "stat_ad_uniform",
+    tags=("stats", "window", "agg"),
+    oracle=f"""
+        WITH {_UNIF_POS_SQL},
+        terms AS (
+            SELECT MAX(n) AS n,
+                   CAST(SUM(
+                     (2 * i - 1)
+                     * CAST(ln(CAST(2 * k + 1 AS DOUBLE)
+                               / CAST(33554432 AS DOUBLE))
+                            AS DECIMAL(12,6))
+                     + (2 * (n - i) + 1)
+                     * CAST(ln(CAST(33554432 - (2 * k + 1) AS DOUBLE)
+                               / CAST(33554432 AS DOUBLE))
+                            AS DECIMAL(12,6))
+                   ) AS DECIMAL(38,6)) AS s
+            FROM pos
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               -CAST(n AS DOUBLE)
+                 - CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+                   AS a2_stat
+        FROM terms
+    """,
+)
+def stat_ad_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample Anderson-Darling test of the md5 ladder vs U(0,1) —
+    the TAIL-WEIGHTED member of the EDF family (KS = sup, Kuiper =
+    cyclic sup, CvM = integral, AD = integral weighted by
+    1/(F(1-F))): A² = -n - (1/n) sum_i [(2i-1) ln u_(i) +
+    (2(n-i)+1) ln(1-u_(i))]. Draws use the MIDPOINT convention
+    u = (2k+1)/2^25 so u is strictly inside (0,1) and both logs are
+    finite (k = 0 or 2^24-1 would otherwise hit ln 0) — documented
+    deviation from the KS/CvM twins' k/2^24. Each ln quantizes to
+    DECIMAL(12,6) (the house quantized-ln recipe; libm 1-ulp spread
+    cannot straddle a 1e-6 boundary at any realistic rate), the
+    integer-weighted terms sum as exact decimals, and A² is one
+    presentation expression. Quantization accuracy note: the
+    1e-6-rounded logs enter with weights summing to 2n², so the
+    statistic drifts from the infinite-precision value by
+    ~sqrt(n)·3e-7 typical (≈2e-4 at sf0.1) — identical on both
+    engines, immaterial against AD critical values (~1-4). Same
+    bucket+carry rank as the KS/CvM twins."""
+    pos = _md5_uniform_pos(spark, sf_dir)
+    m25 = F.lit(33554432).cast("double")
+    ln_u = F.log(
+        (F.lit(2) * F.col("k") + 1).cast("double") / m25
+    ).cast("decimal(12,6)")
+    ln_1u = F.log(
+        (F.lit(33554432) - (F.lit(2) * F.col("k") + 1)).cast("double") / m25
+    ).cast("decimal(12,6)")
+    term = (F.lit(2) * F.col("i") - 1) * ln_u + (
+        F.lit(2) * (F.col("n") - F.col("i")) + 1
+    ) * ln_1u
+    sums = pos.agg(
+        F.max("n").alias("n"),
+        F.sum(term).cast("decimal(38,6)").alias("s"),
+    )
+    a2 = -F.col("n").cast("double") - _as_d(F.col("s")) / F.col("n").cast(
+        "double"
+    )
+    return sums.select(F.col("n").cast("bigint").alias("n"), a2.alias("a2_stat"))
+
+
+# ---------------------------------------------------------------------------
+# ts_periodogram — quantized-trig DFT power at a literal frequency grid
+
+
+@register(
+    "ts_periodogram",
+    tags=("timeseries", "stats"),
+    oracle=f"""
+        WITH daily AS MATERIALIZED ({_DAILY_Q6_SQL}),
+        idx AS (
+            SELECT event_type, v,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                           ORDER BY d) AS BIGINT) AS t,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n,
+                   CAST(SUM(v) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS s
+            FROM daily
+        ),
+        freqs AS (SELECT unnest([1, 2, 3, 7, 14]) AS kf),
+        terms AS (
+            SELECT event_type, kf, n,
+                   CAST(SUM((n * v - s)
+                     * CAST(cos(CAST('6.283185307179586' AS DOUBLE)
+                                * CAST(kf AS DOUBLE)
+                                * CAST(t - 1 AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                            AS DECIMAL(12,6))) AS DECIMAL(38,6)) AS sc,
+                   CAST(SUM((n * v - s)
+                     * CAST(sin(CAST('6.283185307179586' AS DOUBLE)
+                                * CAST(kf AS DOUBLE)
+                                * CAST(t - 1 AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                            AS DECIMAL(12,6))) AS DECIMAL(38,6)) AS ss
+            FROM idx CROSS JOIN freqs
+            GROUP BY event_type, kf, n
+        )
+        SELECT event_type, CAST(kf AS INT) AS kf, n AS n_days,
+               (CAST(CAST(sc AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(sc AS VARCHAR) AS DOUBLE)
+                + CAST(CAST(ss AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(ss AS VARCHAR) AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+               / 1e12 AS power
+        FROM terms
+    """,
+)
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram power of each event type's daily series at 5 literal
+    frequencies (k = 1, 2, 3, 7, 14 cycles over the observed window) —
+    the spectral screen for periodic structure (weekly cycles,
+    campaign cadence) that autocorrelation smears across lags:
+    I(f_k) = |sum (v_t - vbar) e^{-2pi i k t/n}|² / n. Exactness:
+    daily values are the house q6 BIGINTs; centering multiplies
+    through by n (vc = n·v - S, exact BIGINT — no float mean);
+    cos/sin evaluate on an IDENTICAL double angle expression
+    (string-routed 2π constant) and quantize to DECIMAL(12,6) (the
+    quantized-ln precedent applied to trig: a libm 1-ulp spread
+    cannot realistically straddle a 1e-6 boundary), so both DFT sums
+    are exact integer-by-decimal dot products; power is one shared
+    presentation expression (the /n³ undoes the n² centering scale,
+    /1e12 undoes q6²). Distributed shape: windows and sums are
+    per-event-type over CALENDAR-BOUNDED daily aggregates; the
+    frequency grid is a 5-row literal broadcast."""
+    daily = _daily_q6(spark, sf_dir)
+    w = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .cast("bigint")
+        .alias("t"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("v").over(w).cast("bigint").alias("s"),
+    )
+    freqs = daily.sparkSession.createDataFrame(
+        [(1,), (2,), (3,), (7,), (14,)], "kf int"
+    )
+    two_pi = F.expr("CAST('6.283185307179586' AS DOUBLE)")
+    angle = (
+        two_pi
+        * F.col("kf").cast("double")
+        * (F.col("t") - 1).cast("double")
+        / F.col("n").cast("double")
+    )
+    vc = F.col("n") * F.col("v") - F.col("s")
+    terms = (
+        idx.crossJoin(F.broadcast(freqs))
+        .groupBy("event_type", "kf", "n")
+        .agg(
+            F.sum(vc * F.cos(angle).cast("decimal(12,6)"))
+            .cast("decimal(38,6)")
+            .alias("sc"),
+            F.sum(vc * F.sin(angle).cast("decimal(12,6)"))
+            .cast("decimal(38,6)")
+            .alias("ss"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    power = (
+        (_as_d(F.col("sc")) * _as_d(F.col("sc"))
+         + _as_d(F.col("ss")) * _as_d(F.col("ss")))
+        / (nd * nd * nd)
+        / F.lit(1e12)
+    )
+    return terms.select(
+        "event_type",
+        F.col("kf").cast("int").alias("kf"),
+        F.col("n").alias("n_days"),
+        power.alias("power"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_transitivity_global — global clustering coefficient
+
+
+@register(
+    "graph_transitivity_global",
+    tags=("graph", "join"),
+    oracle=f"""
+        WITH u AS MATERIALIZED ({_KTRUSS_EDGE_SQL}),
+        thr AS MATERIALIZED (SELECT quantile_cont(w, 0.6) AS t FROM u),
+        ku AS MATERIALIZED (SELECT a, b FROM u, thr WHERE w >= t),
+        adj AS (SELECT a AS node, b AS nb FROM ku
+                UNION ALL SELECT b AS node, a AS nb FROM ku),
+        deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+                FROM adj GROUP BY node),
+        wed AS (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS wedges,
+                       CAST(COUNT(*) AS BIGINT) AS n_nodes
+                FROM deg),
+        tri AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+            FROM ku e1
+            JOIN ku e2 ON e1.b = e2.a
+            JOIN ku e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM ku)
+        SELECT n_nodes, n_edges, wedges, triangles,
+               CASE WHEN wedges > 0 THEN
+                 CAST(3 * triangles AS DOUBLE) / CAST(wedges AS DOUBLE)
+               END AS transitivity
+        FROM wed CROSS JOIN tri CROSS JOIN ne
+    """,
+)
+def graph_transitivity_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the strong-trade
+    nation graph: 3·triangles / wedges — the whole-graph closure
+    ratio, which weighs hubs by their wedge count and so can differ
+    sharply from graph_clustering_coeff's vertex-AVERAGED local
+    coefficient (Newman's standard distinction). Wedges are an exact
+    per-node degree sum (d(d-1) DIV 2 — always even); triangles reuse
+    the canonical a<b<c edge-iterator join (each triangle counted
+    once, input bounded by wedge count); the ratio is one guarded
+    presentation division. Same corpus-relative 60th-percentile edge
+    set as the rest of the graph family."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    u = (
+        e.filter(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .agg(F.sum("w").alias("w"))
+    )
+    thr = u.agg(F.percentile("w", 0.6).alias("t"))
+    ku = (
+        u.crossJoin(F.broadcast(thr))
+        .filter(F.col("w") >= F.col("t"))
+        .select("a", "b")
+        .persist()
+    )
+    adj = ku.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionByName(
+        ku.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    wed = deg.agg(
+        F.sum(F.expr("CAST((d * (d - 1)) DIV 2 AS BIGINT)"))
+        .cast("bigint")
+        .alias("wedges"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+    )
+    e1, e2, e3 = ku.alias("e1"), ku.alias("e2"), ku.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    ne = ku.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        wed.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(ne))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "wedges",
+            "triangles",
+            F.when(
+                F.col("wedges") > 0,
+                (F.lit(3) * F.col("triangles")).cast("double")
+                / F.col("wedges").cast("double"),
+            ).alias("transitivity"),
+        )
+    )

@@ -1176,3 +1176,45 @@ def test_tail_ratio_windows_partition_by_segment(spark, sf_dir):
     assert specs, "no Window nodes"
     for spec in specs:
         assert "segment" in spec, f"unpartitioned window: [{spec}]"
+
+
+def test_uniform_edf_integrals_bucket_carry_no_global_sort(spark, sf_dir):
+    """stat_cvm_uniform / stat_ad_uniform: the EDF rank must ride the
+    256-bucket + carry shape (bucket-partitioned rank windows), never
+    a global unpartitioned sort of the corpus."""
+    import re
+
+    for q in ("stat_cvm_uniform", "stat_ad_uniform"):
+        p = plan_str(plans.get(q).build(spark, sf_dir), "extended")
+        specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+        corpus_rank = [s for s in specs if "bkt" in s]
+        assert corpus_rank, f"{q}: no bucket-partitioned rank window"
+        assert "CartesianProduct" not in p
+
+
+def test_periodogram_windows_partition_by_event_type(spark, sf_dir):
+    """ts_periodogram: index/total windows partition by event_type over
+    the calendar-bounded daily aggregate; the frequency grid is a
+    5-row broadcast (BNLJ/BHJ fine, cartesian banned)."""
+    import re
+
+    df = plans.get("ts_periodogram").build(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    pe = plan_str(df, "extended")
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", pe)
+    assert specs and all("event_type" in s for s in specs)
+
+
+def test_transitivity_joins_are_key_joins(spark, sf_dir):
+    """graph_transitivity_global: the triangle closure is the canonical
+    a<b<c equi-join iterator; only the 1-row threshold/total scalars
+    ride nested loops."""
+    import re
+
+    df = plans.get("graph_transitivity_global").build(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    for ln in p.splitlines():
+        if "BroadcastNestedLoopJoin" in ln and "Condition" in ln:
+            assert re.search(r">= t#\d+", ln), f"non-threshold BNLJ: {ln.strip()[:120]}"

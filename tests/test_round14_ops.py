@@ -625,3 +625,114 @@ class TestHypergeomSurprise:
             # combination sums ~N quantized terms — loose bound
             assert abs(r.log_p - lnp) < 5e-3
             assert r.log_p <= 0.0 + 5e-3
+
+
+def _md5_uniform_ks():
+    import hashlib
+
+    keys = [
+        k
+        for (k,) in _fetch(
+            f"SELECT o_orderkey FROM read_parquet('{SF}/orders.parquet')"
+        )
+    ]
+    ks = sorted(
+        (int(hashlib.md5(str(k).encode()).hexdigest()[:6], 16), k)
+        for k in keys
+    )
+    return [kv for kv, _ in ks]
+
+
+class TestCvmUniform:
+    def test_matches_python(self, spark):
+        ks = _md5_uniform_ks()
+        n = len(ks)
+        w2 = 1.0 / (12 * n) + sum(
+            (kv / 16777216.0 - (2 * (i + 1) - 1) / (2.0 * n)) ** 2
+            for i, kv in enumerate(ks)
+        )
+        row = plans.get("stat_cvm_uniform").build(spark, SF).collect()[0]
+        assert row.n == n
+        assert abs(row.w2_stat - w2) < 1e-9
+        # the ladder IS uniform: W2 must sit well under the 1% critical
+        # value 0.743 (Anderson & Darling 1952)
+        assert row.w2_stat < 0.743
+
+
+class TestAdUniform:
+    def test_matches_python(self, spark):
+        ks = _md5_uniform_ks()
+        n = len(ks)
+        a2 = -n - (1.0 / n) * sum(
+            (2 * (i + 1) - 1) * math.log((2 * kv + 1) / 33554432.0)
+            + (2 * (n - (i + 1)) + 1)
+            * math.log((33554432 - (2 * kv + 1)) / 33554432.0)
+            for i, kv in enumerate(ks)
+        )
+        row = plans.get("stat_ad_uniform").build(spark, SF).collect()[0]
+        assert row.n == n
+        # quantized-ln drift bound ~ sqrt(n)*3e-7 typical; loose abs
+        assert abs(row.a2_stat - a2) < 5e-3
+        # uniform draws: A2 under the 1% critical value 3.857
+        assert row.a2_stat < 3.857
+
+
+class TestPeriodogram:
+    def test_matches_python(self, spark):
+        daily = _daily_q6_py()
+        series = defaultdict(list)
+        for (et, d), v in daily.items():
+            series[et].append((d, v))
+        got = {
+            (r.event_type, r.kf): r
+            for r in plans.get("ts_periodogram").build(spark, SF).collect()
+        }
+        for et, pts in series.items():
+            pts.sort()
+            vs = [v for _, v in pts]
+            n = len(vs)
+            mean = sum(vs) / n
+            for kf in (1, 2, 3, 7, 14):
+                sc = sum(
+                    (v - mean) * math.cos(2 * math.pi * kf * t / n)
+                    for t, v in enumerate(vs)
+                )
+                ss = sum(
+                    (v - mean) * math.sin(2 * math.pi * kf * t / n)
+                    for t, v in enumerate(vs)
+                )
+                power = (sc * sc + ss * ss) / n / 1e12
+                r = got[(et, kf)]
+                assert r.n_days == n
+                # engine quantizes cos/sin at 1e-6 with q6 BIGINT
+                # values ~1e9 per term — relative comparison
+                denom = max(abs(power), 1e3)
+                assert abs(r.power - power) / denom < 1e-2
+        assert len(got) == len(series) * 5
+
+
+class TestTransitivityGlobal:
+    def test_matches_python(self, spark):
+        w = _trade_edges_py()
+        thr = np.percentile(
+            np.array(sorted(w.values()), dtype=np.float64), 60
+        )
+        edges = {e for e, wt in w.items() if wt >= thr}
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        wedges = sum(len(nb) * (len(nb) - 1) // 2 for nb in adj.values())
+        tris = 0
+        for a, b in edges:
+            for c in adj[a] & adj[b]:
+                tris += 1
+        tris //= 3  # each triangle seen from its 3 edges
+        row = (
+            plans.get("graph_transitivity_global").build(spark, SF).collect()[0]
+        )
+        assert (row.n_nodes, row.n_edges) == (len(adj), len(edges))
+        assert (row.wedges, row.triangles) == (wedges, tris)
+        if wedges:
+            assert abs(row.transitivity - 3 * tris / wedges) < 1e-12
+            assert 0.0 <= row.transitivity <= 1.0
