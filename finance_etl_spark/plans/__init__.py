@@ -95,11 +95,12 @@ for _mod in (
 # fin info-ratio/m2/turnover/brinson/burke/cornish-fisher/sterling/
 # upside, ml perceptron/gini/macro-f1/ap-at-k/split-balance/topk,
 # text levenshtein/sentence/hapax, graph lpa/bipartite, cur license/
-# blocklist), text_minhash_md5_twin, ml_bagging_oob_v2, and the 15
+# blocklist), text_minhash_md5_twin, ml_bagging_oob_v2, and the 19
 # round-14 additions (round14.py: cliffs-delta/dunn/seasonal-mk/
 # hampel/simpson/burstiness/ari/nmi/ktruss-peel2/rrf/tail-ratio/srm/
-# fd-audit/cramers-corrected/hypergeom) — 57 names total, so round 15
-# fills its 50 slots from this list and round 16 retires the last ~7.
+# fd-audit/cramers-corrected/hypergeom/cvm-uniform/ad-uniform/
+# periodogram/transitivity) — 61 names total, so round 15 fills its
+# 50 slots from this list and round 16 retires the last ~11.
 #
 # --- earlier-window history (kept for the audit trail) ---
 # ROUND-13 WINDOW: 46 never-sampled retirements + 4 stale-no_oracle

@@ -5191,6 +5191,7 @@ def _bagging_oracle(u_sql: str) -> str:
 @register(
     "ml_bagging_oob",
     tags=("ml", "ensemble", "agg"),
+    headline=True,  # tracks the xB replicate fan-out cost in BENCH_r{N}
     oracle=_bagging_oracle(
         "CAST('0x' || substr(md5(b.k || '#' "
         "|| CAST(r.b AS VARCHAR)), 1, 4) AS BIGINT)"
@@ -5438,7 +5439,6 @@ def _bagging_pipeline(spark: SparkSession, sf_dir: str, w_of) -> DataFrame:
 @register(
     "ml_bagging_oob_v2",
     tags=("ml", "ensemble", "agg"),
-    headline=True,  # tracks the xB replicate fan-out cost in BENCH_r{N}
     oracle=_bagging_oracle(
         "CAST('0x' || substr(md5(b.k || '#' || CAST(r.b // 8 AS VARCHAR)), "
         "1 + 4 * (r.b % 8), 4) AS BIGINT)"
@@ -5458,17 +5458,24 @@ def ml_bagging_oob_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     name per the round-12 verdict: the slicing draws DIFFERENT (still
     valid, still RNG-free and partition-invariant) bags than v1, so it
     is not a drop-in — v1 keeps its name, oracle, and driver history;
-    the headline/bench pointer moves here. Honest measurement — the
-    committed artifact BAGGING_V1V2.json (round-14,
-    tools/bagging_v1v2_adjudicate.py: quiet host loadavg 0.69 at
-    start, single session, BOTH variants warmed, then ALTERNATING
-    min-of-5 so JIT drift can't bias either side): v2 3.276 s vs v1
-    3.395 s end-to-end at sf0.1, v2 faster in every one of the five
-    alternating pairs. The DRAW stage shrinks as the round-12 profile
-    predicted (base 2.35 s vs 3.24 s, tools/bagging_profile.py), but
-    the histogram shuffle + OOB census dominate end-to-end, so the
-    win is ~0.12 s (~4%), NOT the base-stage 27% — the next shave
-    target is the stacked candidate-histogram shuffle, not hashing.
+    the headline/bench pointer briefly moved here in round 13 and was
+    REVERTED to v1 in round 14 on the evidence. Honest measurement —
+    the committed artifact BAGGING_V1V2.json (round-14,
+    tools/bagging_v1v2_adjudicate.py: quiet host, 1-min loadavg 0.13
+    at launch, single session, BOTH variants warmed, then TEN
+    alternating back-to-back pairs so neither JIT nor load drift can
+    bias a side): end-to-end the two are STATISTICALLY TIED at sf0.1
+    — v2 min 2.055 s vs v1 min 2.069 s, mean per-pair delta +0.011 s,
+    v2 wins 4/10 load-controlled pairs. The DRAW stage is genuinely
+    cheaper (base 2.35 s vs 3.24 s, tools/bagging_profile.py — 8x
+    less hashing), but the histogram shuffle + OOB census dominate
+    end-to-end at this SF, so the stage win does not move the total;
+    earlier same-session comparisons that showed a v2 "win" (or the
+    round-13 "loss") were load drift, which the per-pair alternating
+    protocol now controls. v2 stays registered as the scale-leaning
+    variant (the draw stage's share grows with corpus size), v1 keeps
+    the headline/bench pointer per the round-13 directive: no
+    substantiated end-to-end win means revert.
     Statistical validity is unchanged: each
     4-hex slice of md5 output is uniform on [0, 65536) and
     independent across rows/slices for bagging purposes, exactly like

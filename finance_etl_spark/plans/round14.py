@@ -29,6 +29,10 @@ from pyspark.sql import functions as F
 
 from finance_etl_spark.functions.vectors import cosine
 from finance_etl_spark.io.readers import load_table, load_table_parallel
+from finance_etl_spark.plans.curation import (
+    _GRAPH_EDGE_CTE,
+    _trade_edges_undirected,
+)
 from finance_etl_spark.plans.registry import register
 
 
@@ -729,7 +733,6 @@ def ml_cluster_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("nij")
     ).persist()
-    c2 = lambda c: F.expr(f"CAST(({c} * ({c} - 1)) DIV 2 AS BIGINT)")  # noqa: E731
     sij = cells.agg(
         F.sum(F.expr("CAST((nij * (nij - 1)) DIV 2 AS BIGINT)"))
         .cast("bigint")
@@ -906,28 +909,12 @@ def ml_cluster_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # graph_ktruss_peel2 — two peeling rounds toward the 4-truss
 
 
-_KTRUSS_EDGE_SQL = """
-            SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
-                   CAST(SUM(w) AS BIGINT) AS w
-            FROM (
-                SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
-                       CAST(COUNT(*) AS BIGINT) AS w
-                FROM lineitem l
-                JOIN orders o ON l.l_orderkey = o.o_orderkey
-                JOIN customer c ON o.o_custkey = c.c_custkey
-                JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                GROUP BY src, dst
-            ) WHERE src <> dst GROUP BY a, b
-"""
-
-
 @register(
     "graph_ktruss_peel2",
     tags=("graph", "iterative"),
     oracle=f"""
-        WITH u AS MATERIALIZED ({_KTRUSS_EDGE_SQL}),
-        thr AS MATERIALIZED (SELECT quantile_cont(w, 0.6) AS t FROM u),
-        g0 AS MATERIALIZED (SELECT a, b FROM u, thr WHERE w >= t),
+        WITH {_GRAPH_EDGE_CTE},
+        g0 AS MATERIALIZED (SELECT a, b FROM ku),
         adj0 AS (SELECT a AS node, b AS nb FROM g0
                  UNION ALL SELECT b AS node, a AS nb FROM g0),
         sup0 AS (SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS s
@@ -973,33 +960,7 @@ def graph_ktruss_peel2(spark: SparkSession, sf_dir: str) -> DataFrame:
     recounted INSIDE the surviving subgraph. All integers; same
     corpus-relative 60th-percentile edge set as graph_triangle_count
     (the quantile threshold twin is the proven round-13 idiom)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    e = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, F.col("o_custkey") == c.c_custkey)
-        .join(s, F.col("l_suppkey") == s.s_suppkey)
-        .groupBy(
-            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    u = (
-        e.filter(F.col("src") != F.col("dst"))
-        .groupBy(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .agg(F.sum("w").alias("w"))
-    )
-    thr = u.agg(F.percentile("w", 0.6).alias("t"))
-    g = (
-        u.crossJoin(F.broadcast(thr))
-        .filter(F.col("w") >= F.col("t"))
-        .select("a", "b")
-        .persist()
-    )
+    g = _trade_edges_undirected(spark, sf_dir).persist()
 
     def support(edges: DataFrame) -> DataFrame:
         adj = edges.select(
@@ -1719,7 +1680,7 @@ def stat_hypergeom_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0))
         .cast("decimal(38,6)")
         .alias("lf"),
-    )
+    ).persist()  # one O(N) prefix sum, computed once for the 9 lookups
     base = (
         cells.join(F.broadcast(ai), "lang")
         .join(F.broadcast(bj), "source")
@@ -2081,14 +2042,8 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_transitivity_global",
     tags=("graph", "join"),
     oracle=f"""
-        WITH u AS MATERIALIZED ({_KTRUSS_EDGE_SQL}),
-        thr AS MATERIALIZED (SELECT quantile_cont(w, 0.6) AS t FROM u),
-        ku AS MATERIALIZED (SELECT a, b FROM u, thr WHERE w >= t),
-        adj AS (SELECT a AS node, b AS nb FROM ku
-                UNION ALL SELECT b AS node, a AS nb FROM ku),
-        deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
-                FROM adj GROUP BY node),
-        wed AS (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS wedges,
+        WITH {_GRAPH_EDGE_CTE},
+        wed AS (SELECT CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS wedges,
                        CAST(COUNT(*) AS BIGINT) AS n_nodes
                 FROM deg),
         tri AS (
@@ -2116,33 +2071,7 @@ def graph_transitivity_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, input bounded by wedge count); the ratio is one guarded
     presentation division. Same corpus-relative 60th-percentile edge
     set as the rest of the graph family."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    e = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, F.col("o_custkey") == c.c_custkey)
-        .join(s, F.col("l_suppkey") == s.s_suppkey)
-        .groupBy(
-            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    u = (
-        e.filter(F.col("src") != F.col("dst"))
-        .groupBy(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .agg(F.sum("w").alias("w"))
-    )
-    thr = u.agg(F.percentile("w", 0.6).alias("t"))
-    ku = (
-        u.crossJoin(F.broadcast(thr))
-        .filter(F.col("w") >= F.col("t"))
-        .select("a", "b")
-        .persist()
-    )
+    ku = _trade_edges_undirected(spark, sf_dir).persist()
     adj = ku.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionByName(
         ku.select(F.col("b").alias("node"), F.col("a").alias("nb"))
     )

@@ -198,7 +198,10 @@ class TestHampelFilter:
             .collect()
         }
         assert got == expected
-        assert any(flag for *_, flag in expected.values()) or len(expected)
+        assert len(expected) > 0
+        # the sf0.001 series contains genuine spikes: the filter must
+        # actually flag at least one outlier or the threshold is broken
+        assert any(flag for *_, flag in expected.values())
 
 
 class TestSimpsonDiversity:
