@@ -99,8 +99,9 @@ for _mod in (
 # round-14 additions (round14.py: cliffs-delta/dunn/seasonal-mk/
 # hampel/simpson/burstiness/ari/nmi/ktruss-peel2/rrf/tail-ratio/srm/
 # fd-audit/cramers-corrected/hypergeom/cvm-uniform/ad-uniform/
-# periodogram/transitivity) — 61 names total, so round 15 fills its
-# 50 slots from this list and round 16 retires the last ~11.
+# periodogram/transitivity/boilerplate-ngrams/monotonicity/cagr-log)
+# — 64 names total, so round 15 fills its 50 slots from this list
+# and round 16 retires the last ~14.
 #
 # --- earlier-window history (kept for the audit trail) ---
 # ROUND-13 WINDOW: 46 never-sampled retirements + 4 stale-no_oracle

@@ -2107,3 +2107,233 @@ def graph_transitivity_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("transitivity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_boilerplate_ngrams — corpus-frequency boilerplate detection
+
+
+@register(
+    "text_boilerplate_ngrams",
+    tags=("text", "dedup", "agg"),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents
+        ),
+        grams AS MATERIALIZED (
+            SELECT DISTINCT doc_id, source,
+                   array_to_string(ts[i:i+4], ' ') AS g
+            FROM toks, UNNEST(generate_series(1, len(ts) - 4)) AS u(i)
+            WHERE len(ts) >= 5
+        ),
+        dfs AS MATERIALIZED (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS df
+            FROM grams GROUP BY g
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_gram_instances,
+               CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boiler_instances,
+               CAST(COUNT(DISTINCT CASE WHEN df >= 3 THEN gr.g END)
+                    AS BIGINT) AS n_boiler_distinct,
+               CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS boiler_ratio
+        FROM grams gr JOIN dfs USING (g)
+        GROUP BY source
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-shingle profile per source: a 5-token shingle (the
+    whitespace tokenization the MinHash pipeline uses, deduplicated
+    WITHIN each document) is BOILERPLATE when it appears in >= 3
+    distinct documents — the span-frequency rule production
+    pretraining pipelines run before document-level dedup (C4's
+    repeated-span removal, CCNet's paragraph hashes): navigation
+    chrome and template text repeat across pages that are otherwise
+    unique, and document dedup can't see them. Reported per source:
+    shingle instances (per-doc distinct), boilerplate instances,
+    distinct boilerplate shingles, and the contamination ratio a
+    span-cleaning pass would target. All counts exact; one division.
+    Distributed shape: the shingle explode is transient (collapsed by
+    the per-doc DISTINCT before any exchange), document frequencies
+    are one shingle-key hash agg, and the join back is a second
+    shuffle on the same key — nothing quadratic, no driver state."""
+    d = load_table_parallel(spark, sf_dir, "documents")
+    ts = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("ts")) - 4),
+            lambda i: F.array_join(F.slice(F.col("ts"), i, 5), " "),
+        )
+    )
+    grams = (
+        d.select("doc_id", "source", ts.alias("ts"))
+        .filter(F.size("ts") >= 5)
+        .select("doc_id", "source", F.explode(grams_arr).alias("g"))
+        .persist()
+    )
+    dfs = grams.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    joined = grams.join(dfs, "g")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gram_instances"),
+        F.sum(F.when(F.col("df") >= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boiler_instances"),
+        F.count_distinct(F.when(F.col("df") >= 3, F.col("g")))
+        .cast("bigint")
+        .alias("n_boiler_distinct"),
+        (
+            F.sum(F.when(F.col("df") >= 3, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("boiler_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_monotonicity_audit — per-user event-time ordering audit
+
+
+@register(
+    "dq_monotonicity_audit",
+    tags=("dq", "window"),
+    oracle="""
+        WITH seq AS (
+            SELECT event_type, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+                       AS prev_ts
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN prev_ts IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations,
+               CASE WHEN SUM(CASE WHEN prev_ts IS NOT NULL THEN 1 ELSE 0 END)
+                         > 0 THEN
+                 CAST(SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN prev_ts IS NOT NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+               END AS violation_rate
+        FROM seq GROUP BY event_type
+    """,
+)
+def dq_monotonicity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time monotonicity audit: within each user's event stream
+    (ordered by event_id — the ingestion sequence), count adjacent
+    pairs whose timestamp goes BACKWARD, reported per event type of
+    the later event — the first check run on any event log before
+    trusting sessionization, funnels, or watermarked streaming (a
+    non-zero rate means the producer's clock or the ingestion order is
+    broken, and every downstream as-of join inherits it). Exact
+    integer counts off one user-partitioned lag window; the rate is a
+    guarded division. Distributed shape: the window partitions by
+    user_id (millions of small partitions at scale — the healthy
+    shape), then one event_type hash agg."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = e.select(
+        "event_type", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    has_prev = F.sum(
+        F.when(F.col("prev_ts").isNotNull(), 1).otherwise(0)
+    ).cast("bigint")
+    viol = F.sum(
+        F.when(F.col("ts") < F.col("prev_ts"), 1).otherwise(0)
+    ).cast("bigint")
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        has_prev.alias("n_pairs"),
+        viol.alias("n_violations"),
+        F.when(
+            has_prev > 0, viol.cast("double") / has_prev.cast("double")
+        ).alias("violation_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fin_cagr_log — per-segment log-CAGR between first and last trading day
+
+
+@register(
+    "fin_cagr_log",
+    tags=("finance", "window"),
+    oracle="""
+        WITH daily AS (
+            SELECT c.c_mktsegment AS segment,
+                   CAST(o.o_orderdate AS DATE) AS d,
+                   CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        ends AS (
+            SELECT segment,
+                   CAST(arg_min(cents, d) AS BIGINT) AS start_cents,
+                   CAST(arg_max(cents, d) AS BIGINT) AS end_cents,
+                   CAST(date_diff('day', MIN(d), MAX(d)) AS BIGINT) AS days
+            FROM daily GROUP BY segment
+        )
+        SELECT segment, start_cents, end_cents, days,
+               CASE WHEN days > 0 THEN
+                 CAST(CAST(
+                   CAST(ln(CAST(end_cents AS DOUBLE)) AS DECIMAL(12,6))
+                   - CAST(ln(CAST(start_cents AS DOUBLE)) AS DECIMAL(12,6))
+                 AS VARCHAR) AS DOUBLE)
+                 * CAST('365.25' AS DOUBLE) / CAST(days AS DOUBLE)
+               END AS log_cagr
+        FROM ends ORDER BY segment
+    """,
+)
+def fin_cagr_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized log-CAGR per market segment: ln(end/start) scaled by
+    365.25/days between the first and last trading day — the log-space
+    growth rate that sidesteps the exp() the arithmetic CAGR would
+    need (exp is libm-divergent cross-engine; ln quantizes exactly,
+    so the LOG rate is the twin-able canonical form, and exp of it is
+    a trivial presentation step for a consumer). Endpoints are
+    arg_min/arg_max picks on the unique per-segment date (min_by/
+    max_by — deterministic, no window needed); both lns quantize to
+    DECIMAL(12,6) on exact integer cents and subtract EXACTLY in
+    decimal; the one double expression is the annualization. Guarded
+    on the degenerate single-day segment. One keyed agg over
+    calendar-bounded dailies."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(18,2)")
+                * 100
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    ends = daily.groupBy("segment").agg(
+        F.min_by("cents", "d").cast("bigint").alias("start_cents"),
+        F.max_by("cents", "d").cast("bigint").alias("end_cents"),
+        F.datediff(F.max("d"), F.min("d")).cast("bigint").alias("days"),
+    )
+    lnq = lambda col: F.log(F.col(col).cast("double")).cast("decimal(12,6)")  # noqa: E731
+    log_cagr = F.when(
+        F.col("days") > 0,
+        _as_d(lnq("end_cents") - lnq("start_cents"))
+        * F.expr("CAST('365.25' AS DOUBLE)")
+        / F.col("days").cast("double"),
+    )
+    return ends.select(
+        "segment", "start_cents", "end_cents", "days", log_cagr.alias("log_cagr")
+    ).orderBy("segment")

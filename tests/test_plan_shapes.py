@@ -1218,3 +1218,33 @@ def test_transitivity_joins_are_key_joins(spark, sf_dir):
     for ln in p.splitlines():
         if "BroadcastNestedLoopJoin" in ln and "Condition" in ln:
             assert re.search(r">= t#\d+", ln), f"non-threshold BNLJ: {ln.strip()[:120]}"
+
+
+def test_boilerplate_ngrams_partial_agg_and_key_joins(spark, sf_dir):
+    """text_boilerplate_ngrams: the shingle df agg must map-side
+    combine and the join back is a key join — no cartesian, no
+    nested-loop over shingles."""
+    df = plans.get("text_boilerplate_ngrams").build(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p
+
+
+def test_monotonicity_window_partitions_by_user(spark, sf_dir):
+    """dq_monotonicity_audit: the lag window partitions by user_id —
+    an unpartitioned event-stream window would serialize the corpus."""
+    import re
+
+    p = plan_str(plans.get("dq_monotonicity_audit").build(spark, sf_dir), "extended")
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+    assert specs and all("user_id" in s for s in specs)
+
+
+def test_cagr_endpoints_single_agg(spark, sf_dir):
+    """fin_cagr_log: endpoints come from min_by/max_by inside the
+    segment agg — no window, no self-join over the daily series."""
+    df = plans.get("fin_cagr_log").build(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "min_by" in p and "max_by" in p

@@ -739,3 +739,117 @@ class TestTransitivityGlobal:
         if wedges:
             assert abs(row.transitivity - 3 * tris / wedges) < 1e-12
             assert 0.0 <= row.transitivity <= 1.0
+
+
+class TestBoilerplateNgrams:
+    def test_matches_python(self, spark):
+        grams_by_doc = {}
+        src_of = {}
+        for doc_id, text, _, source in _docs():
+            toks = [w for w in text.split(" ") if w != ""]
+            src_of[doc_id] = source
+            if len(toks) < 5:
+                continue
+            grams_by_doc[doc_id] = {
+                " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+            }
+        df = Counter()
+        for gs in grams_by_doc.values():
+            df.update(gs)
+        stats = defaultdict(lambda: [0, 0, set()])
+        for doc_id, gs in grams_by_doc.items():
+            s = src_of[doc_id]
+            for g in gs:
+                stats[s][0] += 1
+                if df[g] >= 3:
+                    stats[s][1] += 1
+                    stats[s][2].add(g)
+        got = {
+            r.source: r
+            for r in plans.get("text_boilerplate_ngrams")
+            .build(spark, SF)
+            .collect()
+        }
+        assert set(got) == set(stats)
+        for s, (inst, boiler, distinct) in stats.items():
+            r = got[s]
+            assert (r.n_gram_instances, r.n_boiler_instances) == (inst, boiler)
+            assert r.n_boiler_distinct == len(distinct)
+            assert abs(r.boiler_ratio - boiler / inst) < 1e-12
+        # the synthetic corpus genuinely contains repeated shingles at
+        # sf0.001 — the detector must fire, not trivially report zeros
+        assert any(r.n_boiler_instances > 0 for r in got.values())
+        assert any(len(v[2]) > 0 for v in stats.values())
+
+
+class TestMonotonicityAudit:
+    def test_matches_python(self, spark):
+        rows = _fetch(
+            "SELECT user_id, event_id, event_type, ts"
+            f" FROM read_parquet('{SF}/events.parquet')"
+        )
+        by_user = defaultdict(list)
+        for u, eid, et, ts in rows:
+            by_user[u].append((eid, et, ts))
+        stats = defaultdict(lambda: [0, 0, 0])  # et -> [events, pairs, viol]
+        for u, evs in by_user.items():
+            evs.sort()
+            prev_ts = None
+            for _, et, ts in evs:
+                stats[et][0] += 1
+                if prev_ts is not None:
+                    stats[et][1] += 1
+                    if ts < prev_ts:
+                        stats[et][2] += 1
+                prev_ts = ts
+        got = {
+            r.event_type: r
+            for r in plans.get("dq_monotonicity_audit")
+            .build(spark, SF)
+            .collect()
+        }
+        assert set(got) == set(stats)
+        for et, (n, pairs, viol) in stats.items():
+            r = got[et]
+            assert (r.n_events, r.n_pairs, r.n_violations) == (n, pairs, viol)
+            if pairs:
+                assert abs(r.violation_rate - viol / pairs) < 1e-12
+
+
+class TestCagrLog:
+    def test_matches_python(self, spark):
+        orders = _fetch(
+            "SELECT o_custkey, CAST(o_orderdate AS DATE), o_totalprice"
+            f" FROM read_parquet('{SF}/orders.parquet')"
+        )
+        seg = dict(
+            _fetch(
+                "SELECT c_custkey, c_mktsegment"
+                f" FROM read_parquet('{SF}/customer.parquet')"
+            )
+        )
+        cents_q = Decimal("0.01")
+        daily = defaultdict(lambda: Decimal(0))
+        for ck, d, p in orders:
+            daily[(seg[ck], d)] += Decimal(p).quantize(
+                cents_q, rounding=ROUND_HALF_UP
+            )
+        series = defaultdict(list)
+        for (s, d), x in daily.items():
+            series[s].append((d, int(x * 100)))
+        got = {
+            r.segment: r
+            for r in plans.get("fin_cagr_log").build(spark, SF).collect()
+        }
+        for s, pts in series.items():
+            pts.sort()
+            (d0, c0), (d1, c1) = pts[0], pts[-1]
+            days = (d1 - d0).days
+            r = got[s]
+            assert (r.start_cents, r.end_cents, r.days) == (c0, c1, days)
+            if days > 0:
+                expect = (
+                    (math.log(c1) - math.log(c0)) * 365.25 / days
+                )
+                # two quantized lns at 1e-6 -> bound ~2e-6 * 365.25/days
+                assert abs(r.log_cagr - expect) < 1e-5
