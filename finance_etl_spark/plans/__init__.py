@@ -72,6 +72,21 @@ for _mod in (
         if e.name != f"finance_etl_spark.plans.{_mod}":
             raise
 
+# ROUND-15 WINDOW (cumulative driver-sampled after r14: 609/674, zero
+# driver wrong-answers ever; 65 never sampled, 64 of them hash-oracled
+# — obs_file_layout is rows-only and stays out of every window).
+# Executes the schedule the round-14 window wrote: 50 slots from the
+# 64-name list below = the 5 deferred round-13 additions + all 35
+# round-12 leftovers + text_minhash_md5_twin + ml_bagging_oob_v2 +
+# 8 of the 22 round-14 additions (dunn_posthoc rides this window so
+# the driver validates its ADVICE-directed re-rank fix; ktruss rides
+# it alongside its new doubling probe). The remaining 14 round-14
+# additions (simpson/burstiness/ari/nmi/fd-audit/cramers-corrected/
+# hypergeom/cvm-uniform/ad-uniform/periodogram/transitivity/
+# boilerplate-ngrams/monotonicity/cagr-log) spill to ROUND 16, which
+# retires the tail completely (14 + any round-15 additions).
+#
+# --- earlier-window history (kept for the audit trail) ---
 # ROUND-14 WINDOW (cumulative driver-sampled after r13: 566/652, zero
 # driver wrong-answers ever; 86 never sampled, 85 of them hash-oracled
 # — obs_file_layout is rows-only and stays out of every window).
@@ -95,7 +110,7 @@ for _mod in (
 # fin info-ratio/m2/turnover/brinson/burke/cornish-fisher/sterling/
 # upside, ml perceptron/gini/macro-f1/ap-at-k/split-balance/topk,
 # text levenshtein/sentence/hapax, graph lpa/bipartite, cur license/
-# blocklist), text_minhash_md5_twin, ml_bagging_oob_v2, and the 19
+# blocklist), text_minhash_md5_twin, ml_bagging_oob_v2, and the 22
 # round-14 additions (round14.py: cliffs-delta/dunn/seasonal-mk/
 # hampel/simpson/burstiness/ari/nmi/ktruss-peel2/rrf/tail-ratio/srm/
 # fd-audit/cramers-corrected/hypergeom/cvm-uniform/ad-uniform/
@@ -128,42 +143,43 @@ for _mod in (
 # exactly 50 slots. Round 9 should front: vec rows-only tail (5),
 # sql (7), stat (7), ts (6), stream (7), graph/sink/window leftovers.
 front_queries(
-    # ROUND-14 WINDOW — see the schedule comment above. 50 slots, every
-    # name hash-oracled. 7 re-presentations + fin 6 + ts 6 + ml 6 +
-    # graph 3 + text 3 + stat 7 + vec 1 + window 1 + dq 1 + sql 1 +
-    # round-13 additions 8 = 50.
+    # ROUND-15 WINDOW — see the schedule comment above. 50 slots, every
+    # name hash-oracled. Deferred r13 5 + round-12 leftovers 35 +
+    # twin/v2 2 + round-14 additions 8 = 50.
     [
-        # stale-record conversions: promoted to hash oracles in r13,
-        # re-presented so the driver ledger reflects the promotion
-        "vec_ann_pq_topk", "vec_kmeans_clusters", "vec_semantic_dedup",
-        "cur_weighted_sample", "dq_dp_noisy_counts", "ml_logreg_gd",
-        "cur_active_learning_batch",
-        # round-11 fin leftovers
-        "fin_risk_parity_weights", "fin_drawdown_duration",
-        "fin_pain_index", "fin_treynor_ratio", "fin_active_share",
-        "fin_capture_ratios",
-        # round-11 ts leftovers
-        "ts_calendar_effects", "ts_wape_smape", "ts_dickey_fuller_stat",
-        "ts_seasonal_strength", "ts_intervention_step",
-        "ts_cross_correlation",
-        # round-11 ml leftovers
-        "ml_score_ks", "ml_somers_d", "ml_hosmer_lemeshow",
-        "ml_mcc_multiclass", "ml_ips_offpolicy", "ml_fbeta_grid",
-        # round-11 graph leftovers
-        "graph_eccentricity_diameter", "graph_path_length_histogram",
-        "graph_avg_neighbor_degree",
-        # round-11 text leftovers
-        "text_heaps_curve", "text_ngram_entropy", "text_js_divergence",
-        # round-11 stat leftovers
-        "stat_conover_squared_ranks", "stat_siegel_tukey",
-        "stat_sign_test", "stat_quade_test", "stat_bartlett_test",
-        "stat_cuzick_trend", "stat_jarque_bera",
-        # round-11 singles
-        "vec_cosine_histogram", "window_weighted_moving_avg",
-        "dq_sequential_gap_audit", "sql_values_inline_table",
-        # round-13 additions (first 8; 5 deferred to round 15)
-        "stat_gk_lambda", "stat_uncertainty_coeff", "stat_chow_test",
-        "text_yule_k", "text_langid_confusion", "ts_theil_u2",
-        "ts_stochastic_oscillator", "graph_edge_triangle_support",
+        # the 5 round-13 additions deferred by the round-14 window
+        "window_dist_functions", "stat_g_test", "ml_psi_stability",
+        "ml_weighted_kappa", "fin_kupiec_pof",
+        # round-12 leftovers: sql/array/agg
+        "sql_quantified_rewrite", "array_hof_stats",
+        "agg_stock_mean_multiple",
+        # round-12 stat leftovers
+        "stat_trimmed_mean", "stat_bowley_skew", "stat_kendall_w",
+        "stat_gk_gamma", "stat_mantel_haenszel", "stat_ks_uniform",
+        "stat_kuiper_uniform", "stat_median_polish",
+        # round-12 ts leftovers
+        "ts_variance_ratio", "ts_ewma_volatility", "ts_arch_lm_screen",
+        # round-12 fin leftovers
+        "fin_information_ratio", "fin_m2_modigliani",
+        "fin_portfolio_turnover", "fin_brinson_attribution",
+        "fin_burke_ratio", "fin_cornish_fisher_var",
+        "fin_sterling_ratio", "fin_upside_potential_ratio",
+        # round-12 ml leftovers
+        "ml_perceptron_2round", "ml_gini_feature_split", "ml_macro_f1",
+        "ml_average_precision_at_k", "ml_split_balance_audit",
+        "ml_topk_accuracy",
+        # round-12 text leftovers
+        "text_levenshtein_profile", "text_sentence_stats",
+        "text_hapax_ratio",
+        # round-12 graph/cur leftovers
+        "graph_lpa_majority_2round", "graph_bipartite_projection",
+        "cur_license_detect", "cur_blocklist_filter",
+        # the md5 minhash twin + the adjudicated bagging v2
+        "text_minhash_md5_twin", "ml_bagging_oob_v2",
+        # round-14 additions (first 8; 14 spill to round 16) —
+        # dunn rides the window so the driver checks its re-rank fix
+        "stat_dunn_posthoc", "graph_ktruss_peel2", "vec_rrf_fusion",
+        "fin_tail_ratio", "dq_srm_check", "stat_cliffs_delta",
+        "ts_seasonal_mann_kendall", "window_hampel_filter",
     ]
 )
