@@ -34,6 +34,7 @@ from finance_etl_spark.plans.curation import (
     _trade_edges_undirected,
 )
 from finance_etl_spark.plans.registry import register
+from finance_etl_spark.plans.stats import _midranks2
 
 
 def _as_d(c):
@@ -191,24 +192,25 @@ def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tie term are exact integers; each mean rank is ONE division
     and z is one shared expression parenthesized identically on both
     engines (sqrt is IEEE-correctly-rounded, so identical operands
-    give identical bits). Distributed shape: one global sort for the
-    rank window (the unavoidable ranking shuffle), then group-level
+    give identical bits). Distributed shape: pooled doubled midranks
+    via _midranks2 (value-bucket window + O(buckets) broadcast carry,
+    exactly as stat_kruskal_wallis ranks this same column — never an
+    unpartitioned global row sort); a row's u = 2*RANK + tiecount - 1
+    equals the mr2 of its distinct value, so per-group rank sums come
+    from one value-keyed join + one group agg, then group-level
     (5-row) state only — the pairwise stage is a 5x5 bounded
-    self-join, broadcast legitimately."""
+    self-join, broadcast legitimately. Oracle unchanged from the
+    row-window form: identical integer group sums by construction."""
     vals = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("g"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("q"),
     )
-    u = (
-        F.lit(2) * F.rank().over(Window.orderBy("q"))
-        + F.count(F.lit(1)).over(Window.partitionBy("q"))
-        - F.lit(1)
-    )
-    ranked = vals.select("g", u.alias("u"))
+    rv = _midranks2(vals, "q", 10000)
     grp = (
-        ranked.groupBy("g")
+        vals.join(rv, vals.q == rv.v)
+        .groupBy("g")
         .agg(
-            F.sum("u").cast("bigint").alias("ru"),
+            F.sum("mr2").cast("bigint").alias("ru"),
             F.count(F.lit(1)).cast("bigint").alias("ni"),
         )
         .persist()

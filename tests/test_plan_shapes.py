@@ -1075,12 +1075,20 @@ def test_cliffs_delta_pairs_stay_on_counted_cells(spark, sf_dir):
 
 
 def test_dunn_posthoc_one_rank_sort_then_bounded_pairs(spark, sf_dir):
-    """stat_dunn_posthoc: one global rank window (the unavoidable
-    ranking sort), then group-level (5-row) state — the pairwise stage
-    must not plan a shuffle join."""
+    """stat_dunn_posthoc ranks via the _midranks2 bucket+carry
+    decomposition (same column, same recipe as stat_kruskal_wallis):
+    every Window spec must be bkt-scoped — never an unpartitioned
+    row-rank window — and the bounded pairwise stage must not plan a
+    shuffle join."""
+    import re
+
     df = plans.get("stat_dunn_posthoc").build(spark, sf_dir)
     p = df._jdf.queryExecution().executedPlan().toString()
-    assert "Window" in p
+    ext = plan_str(df, "extended")
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", ext)
+    assert specs, f"no Window nodes matched extended plan:\n{ext[:500]}"
+    for spec in specs:
+        assert "bkt" in spec, f"unpartitioned window spec: [{spec}]"
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
 
