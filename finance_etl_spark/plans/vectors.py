@@ -1951,7 +1951,8 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH q AS (
             SELECT vec_id, embedding, label FROM embeddings
-            WHERE vec_id % 37 = 3
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT 40
         ),
         scored AS (
             SELECT q.vec_id AS query_id, q.label AS true_label,
@@ -1993,17 +1994,26 @@ def vec_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force baseline, same shape as vec_cosine_topk); the top-k
     window, vote count, and argmax are all per-query and tiny. The
     whole chain is hash-checked against DuckDB including the float
-    similarity values feeding the ranks. SCALE CONTRACT (documented
-    exemption from the no-SF-scaling-broadcast rule): the probe set
-    here is a fixed 1/37 sample, so this exact shape is EVAL duty —
-    at production scale the probe set must be capped (LIMIT) or the
-    candidate generation swapped to the LSH/IVF index paths, exactly
-    as ANN_EVAL.md prescribes for every brute-force baseline."""
+    similarity values feeding the ranks. SCALE CONTRACT, expressed in
+    the plan itself: the probe set is deterministically CAPPED at 40
+    by the md5-lottery orderBy.limit (the cur_sample_exact_n
+    machinery — plans as TakeOrderedAndProject, each partition
+    surrenders <=40 local winners), so the broadcast side is bounded
+    at ANY corpus size and the probe choice is a pure function of the
+    data, not the layout. Brute force against the full table remains
+    EVAL duty — production candidate generation swaps to the LSH/IVF
+    index paths, exactly as ANN_EVAL.md prescribes."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.pmod(F.col("vec_id"), F.lit(37)) == 3).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("label").alias("true_label"),
+    q = (
+        e.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("true_label"),
+            F.md5(F.col("vec_id").cast("string")).alias("__lot"),
+        )
+        .orderBy("__lot", "query_id")
+        .limit(40)
+        .drop("__lot")
     )
     scored = e.join(
         F.broadcast(q), F.col("vec_id") != F.col("query_id")

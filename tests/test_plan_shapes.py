@@ -1093,6 +1093,18 @@ def test_dunn_posthoc_one_rank_sort_then_bounded_pairs(spark, sf_dir):
     assert "SortMergeJoin" not in p
 
 
+def test_knn_classify_probe_side_is_capped(spark, sf_dir):
+    """vec_knn_classify's broadcast probe set must be bounded IN THE
+    PLAN: the md5-lottery cap plans as TakeOrderedAndProject (each
+    partition surrenders <=40 local winners), so the broadcast side
+    no longer scales with SF — the scale contract is code, not
+    prose."""
+    df = plans.get("vec_knn_classify").build(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p, p[:800]
+    assert "CartesianProduct" not in p
+
+
 def test_seasonal_mk_pair_join_is_key_join(spark, sf_dir):
     """ts_seasonal_mann_kendall: the S-statistic pair stage joins on
     (event_type, weekday) EQUI keys with the date inequality as a
