@@ -5380,34 +5380,66 @@ def _bagging_pipeline(spark: SparkSession, sf_dir: str, w_of) -> DataFrame:
         .select("b", F.col("bin").alias("split_bin"), "polarity", "wrong")
         .persist()  # 16 rows; read by the OOB broadcast AND the output
     )
-    srow = stumps.agg(
-        F.array_sort(
-            F.collect_list(F.struct("b", "split_bin", "polarity"))
-        ).alias("sarr")
-    ).select(
-        F.transform("sarr", lambda s: s["split_bin"]).alias("sb"),
-        F.transform("sarr", lambda s: s["polarity"] == F.lit("left_pos")).alias(
-            "lp"
-        ),
+    srow = (
+        stumps.agg(
+            F.array_sort(
+                F.collect_list(F.struct("b", "split_bin", "polarity"))
+            ).alias("sarr")
+        )
+        .select(
+            F.transform("sarr", lambda s: s["split_bin"]).alias("sb"),
+            F.transform(
+                "sarr", lambda s: s["polarity"] == F.lit("left_pos")
+            ).alias("lp"),
+        )
+        # Per-bin PREDICTION BITMASK: pm[v] packs all 16 stumps'
+        # votes for bin v into one 16-bit word (bit b set iff stump b
+        # predicts class 1 for a row in bin v). Built once on the
+        # 1-row broadcast side — 32 bins x 16 stumps, constant work —
+        # so the corpus-side census collapses to two popcounts and
+        # ONE array lookup per row instead of 16 array lookups + 16
+        # comparison terms (round-15 measured: census branch 0.65 s
+        # -> 0.36 s from cache at sf0.1, byte-identical counts).
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda v: _reduce(
+                    lambda a, b: a.bitwiseOR(b),
+                    [
+                        F.shiftleft(
+                            (
+                                (v <= F.col("sb")[b]) == F.col("lp")[b]
+                            ).cast("bigint"),
+                            b,
+                        )
+                        for b in range(_BAG_B)
+                    ],
+                ),
+            ).alias("pm")
+        )
     )
-    # Statically unrolled 16-term sums over the packed word (literal
+    # Statically unrolled zero-mask over the packed word (literal
     # shift/mask ordinals stay inside whole-stage codegen; an
     # F.aggregate fold would drop to interpreted HOF eval on the
     # corpus-sized relation). Replaces the old filter+join+groupBy(k)
-    # census — a 0.37x16x-corpus shuffle — with a map-only pass.
-    n_oob_expr = sum((_w_at(b) == 0).cast("int") for b in range(_BAG_B))
-    votes_expr = sum(
-        (
-            (_w_at(b) == 0)
-            & ((F.col("bin") <= F.col("sb")[b]) == F.col("lp")[b])
-        ).cast("int")
-        for b in range(_BAG_B)
+    # census — a 0.37x16x-corpus shuffle — with a map-only pass:
+    # zmask bit b set iff the row is out-of-bag for replicate b, so
+    # n_oob = popcount(zmask) and votes_1 = popcount(zmask & pm[bin])
+    # — identical integers to the unrolled 16-term sums they replace.
+    zmask = _reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [
+            F.shiftleft((_w_at(b) == 0).cast("bigint"), b)
+            for b in range(_BAG_B)
+        ],
     )
     oob = wsb.crossJoin(F.broadcast(srow)).select(
         "cnt",
         "y",
-        n_oob_expr.alias("n_oob"),
-        votes_expr.alias("votes_1"),
+        F.bit_count(zmask).alias("n_oob"),
+        F.bit_count(
+            zmask.bitwiseAND(F.element_at(F.col("pm"), F.col("bin") + 1))
+        ).alias("votes_1"),
     )
     scored = oob.filter(F.col("n_oob") > 0).select(
         "cnt",

@@ -16,8 +16,8 @@ a per-bucket carry-in from the cumulative sum over the O(buckets)
 bucket-total aggregate. Distinct values scale with the corpus; buckets
 don't.
 
-Reference scope: the reference ETL (ibqp/finance-etl transform.py)
-stops at sums/counts; these are capability-expansion operators for the
+Reference scope: the reference ETL (ibqp/finance-etl
+utils/data_manager.py) stops at sums/counts; these are capability-expansion operators for the
 analytics surface (SURVEY.md §2.B stats rows).
 """
 

@@ -273,6 +273,41 @@ def _full(spark, string_key: bool):
     )
 
 
+def _oob_predmask(wsb):
+    """Round-15 census shape: zmask popcounts + a per-bin prediction
+    bitmask (one array lookup/row) — what the registry builder now
+    plans. Stump arrays stubbed as literals, same as _oob."""
+    pm = F.array(
+        *[F.lit((1 << _BAG_B) - 1) for _ in range(32)]
+    )  # all-ones masks: every stubbed stump (sb=15, lp=True) differs
+    # from this only through the (bin <= 15) == True term; for the
+    # branch-cost comparison the arithmetic shape is what matters
+    zmask = _reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [F.shiftleft((_w_at(b) == 0).cast("bigint"), b) for b in range(_BAG_B)],
+    )
+    scored = wsb.select(
+        "cnt",
+        "y",
+        F.bit_count(zmask).alias("n_oob"),
+        F.bit_count(
+            zmask.bitwiseAND(F.element_at(pm, F.col("bin") + 1))
+        ).alias("votes_1"),
+    ).filter(F.col("n_oob") > 0)
+    return scored.agg(
+        F.sum("cnt").cast("bigint").alias("n_oob_rows"),
+        F.sum(
+            F.when(
+                (F.when(2 * F.col("votes_1") > F.col("n_oob"), 1).otherwise(0))
+                != F.col("y"),
+                F.col("cnt"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_err"),
+    )
+
+
 def _oob(wsb):
     sb = F.array(*[F.lit(15) for _ in range(_BAG_B)])
     lp = F.array(*[F.lit(True) for _ in range(_BAG_B)])
@@ -335,6 +370,9 @@ def main() -> int:
     out["full_numeric"] = _time(
         spark, lambda: plans.get("ml_bagging_oob").build(spark, SF_DIR)
     )
+    # _full keeps the PRE-round-15 census (unrolled 16-term sums), so
+    # full_numeric (registry, predmask census) vs full_numeric_rebuilt
+    # (old census, same keys) is the census before/after end-to-end
     out["full_string"] = _time(spark, lambda: _full(spark, True))
     out["full_numeric_rebuilt"] = _time(spark, lambda: _full(spark, False))
     # registry builder again at the END: a gap between this and the
@@ -350,7 +388,12 @@ def main() -> int:
     wsb_warm = _wsb(spark, False).persist()
     wsb_warm.count()
     out["hist_from_cache"] = _time_nocache(spark, lambda: _hist_stumps(wsb_warm))
+    # census before/after: _oob is the pre-round-15 unrolled 16-term
+    # census, _oob_predmask the shipped popcount+bitmask shape
     out["oob_from_cache"] = _time_nocache(spark, lambda: _oob(wsb_warm))
+    out["oob_from_cache_predmask"] = _time_nocache(
+        spark, lambda: _oob_predmask(wsb_warm)
+    )
     wsb_warm.unpersist()
     spark.catalog.clearCache()
     out["hist_branch"] = _time(
