@@ -65,6 +65,7 @@ for _mod in (
     "round12",
     "round13",
     "round14",
+    "round15",
 ):
     try:
         importlib.import_module(f"finance_etl_spark.plans.{_mod}")
