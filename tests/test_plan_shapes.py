@@ -1093,6 +1093,39 @@ def test_dunn_posthoc_one_rank_sort_then_bounded_pairs(spark, sf_dir):
     assert "SortMergeJoin" not in p
 
 
+def test_moods_median_windows_are_bucket_partitioned(spark, sf_dir):
+    """stat_moods_median's pooled-median pin must come from the
+    bucket+carry decomposition — every Window spec bkt-scoped, never
+    an unpartitioned cumulative over the corpus-scaled value set."""
+    import re
+
+    p = plan_str(plans.get("stat_moods_median").build(spark, sf_dir), "extended")
+    specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p)
+    assert specs, f"no Window nodes matched extended plan:\n{p[:500]}"
+    for spec in specs:
+        assert "bkt" in spec, f"unpartitioned window spec: [{spec}]"
+
+
+def test_pmi_bigrams_topk_is_take_ordered(spark, sf_dir):
+    """text_pmi_bigrams' top-20 must plan as TakeOrderedAndProject
+    (per-partition local winners), and the vocab joins must be real
+    key joins — no cartesian pairing of the bigram/unigram tables."""
+    df = plans.get("text_pmi_bigrams").build(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p, p[:800]
+    assert "CartesianProduct" not in p
+
+
+def test_common_neighbors_is_key_join(spark, sf_dir):
+    """graph_common_neighbors: wedge enumeration joins on the shared
+    vertex key and the edge anti-join on the (a, b) key — never a
+    cartesian of the candidate pairs."""
+    df = plans.get("graph_common_neighbors").build(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "LeftAnti" in p, p[:800]
+
+
 def test_knn_classify_probe_side_is_capped(spark, sf_dir):
     """vec_knn_classify's broadcast probe set must be bounded IN THE
     PLAN: the md5-lottery cap plans as TakeOrderedAndProject (each
