@@ -5268,6 +5268,15 @@ def _bagging_pipeline(spark: SparkSession, sf_dir: str, w_of) -> DataFrame:
     # md5s, 8x less hashing — measured base 2.35 s vs 3.24 s and is
     # the next shave IF a semantics change is ever scheduled; it draws
     # different bags, so it is not a drop-in.)
+    # Round-15 ladder adjudication (same warm-base min-of-4 protocol):
+    # the 16 digests cost only ~0.50 s and conv ~0.01 s — the ladder's
+    # ~0.7 s balance is CaseWhen evaluation itself. Four alternatives
+    # all LOST to the shipped shape: branchless sum of (u >= t_i)
+    # 1.93 s vs 1.16 s; int-typed u — no change; two-stage projection
+    # (u columns materialized first) 1.57 s vs 1.21 s; 32-column wide
+    # histogram agg 0.68 s vs the transient explode's 0.47 s. The
+    # round-15 shave is the predmask OOB census (0.65 -> 0.36 s warm,
+    # byte-identical counts; see the census comment below).
     base = (
         li.crossJoin(F.broadcast(rng))
         .select(
