@@ -119,6 +119,22 @@ for _mod in (
 # — 64 names total, so round 15 fills its 50 slots from this list
 # and round 16 retires the last ~14.
 #
+# ROUND-16 SCHEDULE (written by the round-15 window, registry 688):
+# the 14 round-14 additions deferred above (text_simpson_diversity,
+# text_burstiness, ml_cluster_ari, ml_cluster_nmi,
+# dq_functional_dependency, stat_cramers_v_corrected,
+# stat_hypergeom_surprise, stat_cvm_uniform, stat_ad_uniform,
+# ts_periodogram, graph_transitivity_global, text_boilerplate_ngrams,
+# dq_monotonicity_audit, fin_cagr_log) + the 14 round-15 additions
+# (round15.py: stat_moods_median, stat_bartels_rank_vn,
+# ts_cox_stuart, fin_gain_to_pain, fin_jensen_alpha,
+# fin_martin_ratio, text_smog_index, text_ari_index,
+# text_pmi_bigrams, dq_benford_second_digit, ml_balanced_accuracy,
+# graph_common_neighbors, stat_theil_index, ts_spectral_entropy)
+# = 28 names; the remaining ~22 slots take re-presentations or
+# round-16 additions. After round 16 the never-sampled tail is ZERO
+# (of hash-oracled queries; obs_file_layout stays out by design).
+#
 # --- earlier-window history (kept for the audit trail) ---
 # ROUND-13 WINDOW: 46 never-sampled retirements + 4 stale-no_oracle
 # re-presentations (vec_ann_lsh_topk, vec_ann_ivf_topk,
