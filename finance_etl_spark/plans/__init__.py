@@ -119,7 +119,7 @@ for _mod in (
 # — 64 names total, so round 15 fills its 50 slots from this list
 # and round 16 retires the last ~14.
 #
-# ROUND-16 SCHEDULE (written by the round-15 window, registry 688):
+# ROUND-16 SCHEDULE (written by the round-15 window, registry 692):
 # the 14 round-14 additions deferred above (text_simpson_diversity,
 # text_burstiness, ml_cluster_ari, ml_cluster_nmi,
 # dq_functional_dependency, stat_cramers_v_corrected,
@@ -130,8 +130,10 @@ for _mod in (
 # ts_cox_stuart, fin_gain_to_pain, fin_jensen_alpha,
 # fin_martin_ratio, text_smog_index, text_ari_index,
 # text_pmi_bigrams, dq_benford_second_digit, ml_balanced_accuracy,
-# graph_common_neighbors, stat_theil_index, ts_spectral_entropy)
-# = 28 names; the remaining ~22 slots take re-presentations or
+# graph_common_neighbors, stat_theil_index, ts_spectral_entropy) +
+# the 4 round-15 wave-4 additions (ts_permutation_entropy,
+# ts_sample_entropy, stat_lepage, stat_theil_decomposition)
+# = 32 names; the remaining ~18 slots take re-presentations or
 # round-16 additions. After round 16 the never-sampled tail is ZERO
 # (of hash-oracled queries; obs_file_layout stays out by design).
 #

@@ -1530,3 +1530,601 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h").alias("spectral_entropy"),
         (F.col("h") / ln5).alias("spectral_entropy_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_permutation_entropy — ordinal-pattern complexity per event type
+
+
+@register(
+    "ts_permutation_entropy",
+    tags=("timeseries", "stats"),
+    oracle=f"""
+        WITH daily AS ({_DAILY_Q6_SQL}),
+        seq AS (
+            SELECT event_type, v,
+                   LEAD(v, 1) OVER (PARTITION BY event_type ORDER BY d)
+                       AS v1,
+                   LEAD(v, 2) OVER (PARTITION BY event_type ORDER BY d)
+                       AS v2
+            FROM daily
+        ),
+        pat AS (
+            SELECT event_type,
+                   CASE
+                     WHEN v <= v1 AND v1 <= v2 THEN 0
+                     WHEN v <= v2 AND NOT (v1 <= v2) AND v <= v1 THEN 1
+                     WHEN NOT (v <= v1) AND v <= v2 THEN 2
+                     WHEN v1 <= v2 AND NOT (v <= v2) THEN 3
+                     WHEN NOT (v1 <= v2) AND v <= v1 AND NOT (v <= v2)
+                          THEN 4
+                     ELSE 5
+                   END AS p
+            FROM seq WHERE v2 IS NOT NULL
+        ),
+        cnt AS (
+            SELECT event_type, p, CAST(COUNT(*) AS BIGINT) AS c
+            FROM pat GROUP BY event_type, p
+        ),
+        tot AS (
+            SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+            FROM cnt GROUP BY event_type
+        ),
+        ent AS (
+            SELECT c.event_type, t.n,
+                   list_reduce(
+                       list(-(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                            * CAST(CAST(ln(CAST(c.c AS DOUBLE)
+                                           / CAST(t.n AS DOUBLE))
+                                   AS DECIMAL(12,6)) AS DOUBLE)
+                            ORDER BY c.p),
+                       (a, x) -> a + x) AS h
+            FROM cnt c JOIN tot t ON t.event_type = c.event_type
+            GROUP BY c.event_type, t.n
+        )
+        SELECT event_type, n AS n_windows, h AS perm_entropy,
+               h / CAST('1.791759469228055' AS DOUBLE)
+                   AS perm_entropy_norm
+        FROM ent
+    """,
+)
+def ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (Bandt-Pompe, order m = 3) per event type:
+    the Shannon entropy of the ordinal patterns of consecutive daily
+    triples — the standard model-free complexity measure (low =
+    predictable motif structure, near 1 = ordinally random), robust
+    to monotone transforms where spectral measures aren't. Ordinal
+    patterns use the STABLE tie rule (earlier index wins ties), so
+    each pattern is a pure function of three integer comparisons
+    (a<=b, a<=c, b<=c) — the same CASE triple on both engines, no
+    sort primitive whose tie behavior could diverge. Counts are exact
+    BIGINTs; the <=6-term entropy folds in pinned pattern order with
+    quantized-ln DECIMAL(12,6) shares; ln 6 enters as a Python-
+    generated literal. Distributed shape: per-type LEAD windows over
+    CALENDAR-bounded daily rows, k-type state."""
+    daily = _daily_q6(spark, sf_dir)
+    w_t = Window.partitionBy("event_type").orderBy("d")
+    seq = daily.select(
+        "event_type",
+        "v",
+        F.lead("v", 1).over(w_t).alias("v1"),
+        F.lead("v", 2).over(w_t).alias("v2"),
+    ).filter(F.col("v2").isNotNull())
+    a, b, c = F.col("v"), F.col("v1"), F.col("v2")
+    pat = seq.select(
+        "event_type",
+        F.when((a <= b) & (b <= c), 0)
+        .when((a <= c) & ~(b <= c) & (a <= b), 1)
+        .when(~(a <= b) & (a <= c), 2)
+        .when((b <= c) & ~(a <= c), 3)
+        .when(~(b <= c) & (a <= b) & ~(a <= c), 4)
+        .otherwise(5)
+        .alias("p"),
+    )
+    cnt = pat.groupBy("event_type", "p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    share = F.col("c").cast("double") / F.col("n").cast("double")
+    term = -share * _as_d(F.log(share).cast("decimal(12,6)"))
+    ent = (
+        cnt.join(tot, "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("p"), term.alias("t")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"],
+            ).alias("h")
+        )
+    )
+    ln6 = F.expr("CAST('1.791759469228055' AS DOUBLE)")
+    return ent.select(
+        "event_type",
+        F.col("n").alias("n_windows"),
+        F.col("h").alias("perm_entropy"),
+        (F.col("h") / ln6).alias("perm_entropy_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_sample_entropy — SampEn(m=2) template matching per event type
+
+
+@register(
+    "ts_sample_entropy",
+    tags=("timeseries", "stats"),
+    oracle=f"""
+        WITH daily AS ({_DAILY_Q6_SQL}),
+        seq AS (
+            SELECT event_type, v,
+                   LEAD(v, 1) OVER (PARTITION BY event_type ORDER BY d)
+                       AS v1,
+                   LEAD(v, 2) OVER (PARTITION BY event_type ORDER BY d)
+                       AS v2,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                       AS i
+            FROM daily
+        ),
+        tmpl AS MATERIALIZED (
+            SELECT event_type, i, v, v1, v2 FROM seq
+            WHERE v2 IS NOT NULL
+        ),
+        sig AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS nt,
+                   CAST(SUM(v) AS BIGINT) AS s1,
+                   SUM(CAST(v AS DECIMAL(19,0)) * v) AS s2
+            FROM tmpl GROUP BY event_type
+        ),
+        r AS (
+            SELECT event_type, nt,
+                   CAST('0.2' AS DOUBLE)
+                   * sqrt((CAST(nt AS DOUBLE)
+                             * CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                          / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)))
+                       AS rr
+            FROM sig
+        ),
+        pairs AS (
+            SELECT a.event_type,
+                   CAST(SUM(CASE WHEN
+                       CAST(abs(a.v - b.v) AS DOUBLE) <= r.rr AND
+                       CAST(abs(a.v1 - b.v1) AS DOUBLE) <= r.rr
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt,
+                   CAST(SUM(CASE WHEN
+                       CAST(abs(a.v - b.v) AS DOUBLE) <= r.rr AND
+                       CAST(abs(a.v1 - b.v1) AS DOUBLE) <= r.rr AND
+                       CAST(abs(a.v2 - b.v2) AS DOUBLE) <= r.rr
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt
+            FROM tmpl a
+            JOIN tmpl b ON b.event_type = a.event_type AND b.i > a.i
+            JOIN r ON r.event_type = a.event_type
+            GROUP BY a.event_type
+        )
+        SELECT p.event_type, r.nt AS n_templates, p.b_cnt, p.a_cnt,
+               CASE WHEN p.a_cnt > 0 AND p.b_cnt > 0 THEN
+                   -CAST(CAST(ln(CAST(p.a_cnt AS DOUBLE)
+                                 / CAST(p.b_cnt AS DOUBLE))
+                         AS DECIMAL(12,6)) AS DOUBLE) END AS sampen
+        FROM pairs p JOIN r ON r.event_type = p.event_type
+    """,
+)
+def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample entropy SampEn(m=2, r=0.2*sigma) per event type — the
+    regularity statistic of physiology/finance fame: -ln(A/B) where B
+    counts template pairs matching on 2 consecutive values within
+    tolerance r and A those also matching on the 3rd; lower = more
+    self-similar. Template set: every index with a full (v, v1, v2)
+    triple, the SAME set for both counts (documented simplification
+    of the N-m vs N-m-1 edge; self-consistent and engine-identical).
+    Exactness: daily values are exact q6 BIGINTs so |v_i - v_j| is an
+    exact integer; r is one shared double expression off exact
+    population-variance sums (sigma over the template set); every
+    match test compares an exact-integer double against the identical
+    r; A and B are exact BIGINTs; the final ln quantizes to
+    DECIMAL(12,6) with an identical A>0 AND B>0 guard. Distributed
+    shape: the pair stage is an equi-join on event_type with the
+    index inequality as residual — per-type pair counts are
+    CALENDAR-bounded (~days^2/2, SF-invariant), never corpus-scaled;
+    corpus work is the one daily agg."""
+    daily = _daily_q6(spark, sf_dir)
+    w_t = Window.partitionBy("event_type").orderBy("d")
+    tmpl = (
+        daily.select(
+            "event_type",
+            "v",
+            F.lead("v", 1).over(w_t).alias("v1"),
+            F.lead("v", 2).over(w_t).alias("v2"),
+            F.row_number().over(w_t).alias("i"),
+        )
+        .filter(F.col("v2").isNotNull())
+        .persist()  # consumed by the sigma agg AND the pair join
+    )
+    sig = tmpl.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+        F.sum("v").cast("bigint").alias("s1"),
+        F.sum(F.col("v").cast("decimal(19,0)") * F.col("v")).alias("s2"),
+    )
+    ntd = F.col("nt").cast("double")
+    rr = F.expr("CAST('0.2' AS DOUBLE)") * F.sqrt(
+        (ntd * _as_d(F.col("s2")) - F.col("s1").cast("double")
+         * F.col("s1").cast("double"))
+        / (ntd * ntd)
+    )
+    r = sig.select("event_type", "nt", rr.alias("rr"))
+    a = tmpl.select(
+        "event_type",
+        F.col("i").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("v1").alias("va1"),
+        F.col("v2").alias("va2"),
+    )
+    b = tmpl.select(
+        "event_type",
+        F.col("i").alias("ib"),
+        F.col("v").alias("vb"),
+        F.col("v1").alias("vb1"),
+        F.col("v2").alias("vb2"),
+    )
+    m2 = (
+        F.abs(F.col("va") - F.col("vb")).cast("double") <= F.col("rr")
+    ) & (F.abs(F.col("va1") - F.col("vb1")).cast("double") <= F.col("rr"))
+    m3 = m2 & (
+        F.abs(F.col("va2") - F.col("vb2")).cast("double") <= F.col("rr")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("ib") > F.col("ia"))
+        .join(r.select("event_type", "rr"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(m2.cast("int")).cast("bigint").alias("b_cnt"),
+            F.sum(m3.cast("int")).cast("bigint").alias("a_cnt"),
+        )
+    )
+    sampen = F.when(
+        (F.col("a_cnt") > 0) & (F.col("b_cnt") > 0),
+        -_as_d(
+            F.log(
+                F.col("a_cnt").cast("double") / F.col("b_cnt").cast("double")
+            ).cast("decimal(12,6)")
+        ),
+    )
+    return pairs.join(r.select("event_type", "nt"), "event_type").select(
+        "event_type",
+        F.col("nt").alias("n_templates"),
+        "b_cnt",
+        "a_cnt",
+        sampen.alias("sampen"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_lepage — combined location-scale two-sample test
+
+
+@register(
+    "stat_lepage",
+    tags=("stats", "window", "agg"),
+    oracle="""
+        WITH base AS (
+            SELECT CAST(l_quantity AS DECIMAL(12,2)) AS v,
+                   CAST(l_returnflag = 'R' AS INT) AS is_x
+            FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        ),
+        cells AS (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS ct,
+                   CAST(SUM(is_x) AS BIGINT) AS cx
+            FROM base GROUP BY v
+        ),
+        ranked AS (
+            SELECT v, ct, cx,
+                   2 * (SUM(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                        - ct) + ct + 1 AS mr2,
+                   CAST(SUM(ct) OVER () AS BIGINT) AS n,
+                   CAST(SUM(cx) OVER () AS BIGINT) AS m
+            FROM cells
+        ),
+        scored AS (
+            SELECT ct, cx, n, m, mr2,
+                   LEAST(mr2, 2 * (n + 1) - mr2) AS ab2
+            FROM ranked
+        ),
+        moments AS (
+            SELECT MAX(n) AS n, MAX(m) AS m,
+                   CAST(SUM(cx * mr2) AS BIGINT) AS sw,
+                   CAST(SUM(ct * mr2) AS BIGINT) AS t1w,
+                   SUM(CAST(ct AS DECIMAL(38,0)) * mr2 * mr2) AS t2w,
+                   CAST(SUM(cx * ab2) AS BIGINT) AS sa,
+                   CAST(SUM(ct * ab2) AS BIGINT) AS t1a,
+                   SUM(CAST(ct AS DECIMAL(38,0)) * ab2 * ab2) AS t2a
+            FROM scored
+        ),
+        z AS (
+            SELECT n, m,
+                   (CAST(sw AS DOUBLE)
+                      - CAST(m AS DOUBLE) * CAST(t1w AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                   / sqrt(CAST(m AS DOUBLE) * CAST(n - m AS DOUBLE)
+                          * (CAST(n AS DOUBLE)
+                               * CAST(CAST(t2w AS VARCHAR) AS DOUBLE)
+                             - CAST(t1w AS DOUBLE) * CAST(t1w AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                             * CAST(n - 1 AS DOUBLE))) AS zw,
+                   (CAST(sa AS DOUBLE)
+                      - CAST(m AS DOUBLE) * CAST(t1a AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                   / sqrt(CAST(m AS DOUBLE) * CAST(n - m AS DOUBLE)
+                          * (CAST(n AS DOUBLE)
+                               * CAST(CAST(t2a AS VARCHAR) AS DOUBLE)
+                             - CAST(t1a AS DOUBLE) * CAST(t1a AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                             * CAST(n - 1 AS DOUBLE))) AS za
+            FROM moments
+        )
+        SELECT CAST(m AS BIGINT) AS n_x, CAST(n - m AS BIGINT) AS n_y,
+               zw AS z_wilcoxon, za AS z_ansari,
+               zw * zw + za * za AS lepage_l
+        FROM z
+    """,
+)
+def stat_lepage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lepage two-sample test of returned vs normal line quantities:
+    L = z_Wilcoxon^2 + z_Ansari-Bradley^2 — the combined
+    LOCATION-AND-SCALE omnibus (Wilcoxon sees shifts, Ansari-Bradley
+    sees spread changes; Lepage catches either). Both z's come from
+    ONE general linear-rank-statistic frame valid under ties:
+    S = sum over x-rows of score, E[S] = m*T1/N, Var[S] =
+    m*(N-m)*(N*T2 - T1^2)/(N^2*(N-1)) with T1/T2 the score totals —
+    a NEW reusable recipe (any score vector, exact moments, no
+    closed-form tie corrections needed). Exactness: quantities
+    collapse to <=50 content-bounded value cells; doubled midranks
+    mr2 and doubled AB scores min(mr2, 2(N+1)-mr2) are exact BIGINTs
+    (the x2 scale cancels inside z); T2 accumulates in DECIMAL(38,0)
+    (score^2 ~ N^2 overflows int64 at cluster scale); each z is one
+    identically-parenthesized double expression; L is their square
+    sum. Distributed shape: one cell agg, cell-bounded windows,
+    1-row state."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    base = li.select(
+        F.col("l_quantity").cast("decimal(12,2)").alias("v"),
+        (F.col("l_returnflag") == "R").cast("int").alias("is_x"),
+    )
+    cells = base.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct"),
+        F.sum("is_x").cast("bigint").alias("cx"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    ranked = cells.select(
+        "ct",
+        "cx",
+        (
+            F.lit(2) * (F.sum("ct").over(w_cum) - F.col("ct"))
+            + F.col("ct")
+            + F.lit(1)
+        ).alias("mr2"),
+        F.sum("ct").over(w_all).cast("bigint").alias("n"),
+        F.sum("cx").over(w_all).cast("bigint").alias("m"),
+    )
+    scored = ranked.select(
+        "ct",
+        "cx",
+        "n",
+        "m",
+        "mr2",
+        F.least(
+            F.col("mr2"), F.lit(2) * (F.col("n") + 1) - F.col("mr2")
+        ).alias("ab2"),
+    )
+    dec = "decimal(38,0)"
+    mom = scored.agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        F.sum(F.col("cx") * F.col("mr2")).cast("bigint").alias("sw"),
+        F.sum(F.col("ct") * F.col("mr2")).cast("bigint").alias("t1w"),
+        F.sum(F.col("ct").cast(dec) * F.col("mr2") * F.col("mr2")).alias(
+            "t2w"
+        ),
+        F.sum(F.col("cx") * F.col("ab2")).cast("bigint").alias("sa"),
+        F.sum(F.col("ct") * F.col("ab2")).cast("bigint").alias("t1a"),
+        F.sum(F.col("ct").cast(dec) * F.col("ab2") * F.col("ab2")).alias(
+            "t2a"
+        ),
+    )
+
+    def _z(s, t1, t2):
+        nd = F.col("n").cast("double")
+        md = F.col("m").cast("double")
+        nmd = (F.col("n") - F.col("m")).cast("double")
+        return (
+            F.col(s).cast("double")
+            - md * F.col(t1).cast("double") / nd
+        ) / F.sqrt(
+            md
+            * nmd
+            * (
+                nd * _as_d(F.col(t2))
+                - F.col(t1).cast("double") * F.col(t1).cast("double")
+            )
+            / (nd * nd * (F.col("n") - 1).cast("double"))
+        )
+
+    zw = _z("sw", "t1w", "t2w")
+    za = _z("sa", "t1a", "t2a")
+    return mom.select(
+        F.col("m").cast("bigint").alias("n_x"),
+        (F.col("n") - F.col("m")).cast("bigint").alias("n_y"),
+        zw.alias("z_wilcoxon"),
+        za.alias("z_ansari"),
+        (zw * zw + za * za).alias("lepage_l"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stat_theil_decomposition — between/within-segment inequality split
+
+
+@register(
+    "stat_theil_decomposition",
+    tags=("stats", "agg"),
+    oracle="""
+        WITH base AS (
+            SELECT c.c_mktsegment AS seg,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS xc
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_totalprice > 0
+        ),
+        per AS (
+            SELECT seg, CAST(COUNT(*) AS BIGINT) AS ng,
+                   CAST(SUM(xc) AS BIGINT) AS sg,
+                   CAST(SUM(CAST(xc AS DECIMAL(19,0))
+                            * CAST(ln(CAST(xc AS DOUBLE)
+                                      / CAST(100 AS DOUBLE))
+                                   AS DECIMAL(12,6)))
+                        AS DECIMAL(38,6)) AS sxlnx
+            FROM base GROUP BY seg
+        ),
+        tot AS (
+            SELECT CAST(SUM(ng) AS BIGINT) AS n,
+                   CAST(SUM(sg) AS BIGINT) AS s
+            FROM per
+        ),
+        terms AS (
+            SELECT seg, ng, sg, n, s,
+                   CAST(sg AS DOUBLE) / CAST(100 AS DOUBLE)
+                       / CAST(ng AS DOUBLE) AS mean_g,
+                   CAST(CAST(sxlnx AS VARCHAR) AS DOUBLE)
+                       / CAST(sg AS DOUBLE)
+                     - CAST(ln(CAST(sg AS DOUBLE) / CAST(100 AS DOUBLE)
+                               / CAST(ng AS DOUBLE)) AS DECIMAL(12,6))
+                       AS t_g,
+                   CAST(sg AS DOUBLE) / CAST(s AS DOUBLE) AS share_g,
+                   CAST(ln((CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+                           / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                        AS DECIMAL(12,6)) AS ln_ratio
+            FROM per CROSS JOIN tot
+        ),
+        split AS (
+            SELECT
+                list_reduce(list(share_g * t_g ORDER BY seg),
+                            (a, x) -> a + x) AS t_within,
+                list_reduce(list(share_g * CAST(ln_ratio AS DOUBLE)
+                                 ORDER BY seg),
+                            (a, x) -> a + x) AS t_between
+            FROM terms
+        )
+        SELECT tm.seg, tm.ng AS n_g, tm.mean_g, tm.t_g AS theil_within_g,
+               tm.share_g AS value_share,
+               sp.t_between, sp.t_within,
+               sp.t_between + sp.t_within AS theil_total
+        FROM terms tm CROSS JOIN split sp
+    """,
+)
+def stat_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality DECOMPOSED across market segments — the
+    property that makes Theil the analyst's inequality index over
+    Gini: T_total = sum_g share_g * T_g (within) + sum_g share_g *
+    ln(mean_g / mean) (between), telling you whether order-value
+    dispersion lives inside segments or between them. Exactness: the
+    per-segment machinery is stat_theil_index's (quantized-ln
+    DECIMAL(12,6) per row, exact decimal log sums, integer cents);
+    shares and means are doubles off exact integers; BOTH k-term
+    folds run in pinned segment order (the ANOVA recipe); the
+    between-term ln quantizes identically on both engines.
+    Additivity to the single-scan stat_theil_index holds to
+    quantization precision (~1e-6), asserted by the independent
+    pytest, not the oracle. Distributed shape: one AQE-sized
+    customer join + one hash agg per segment; k-row state."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * F.lit(100))
+        .cast("bigint")
+        .alias("xc"),
+    )
+    lnx = F.log(F.col("xc").cast("double") / F.lit(100).cast("double")).cast(
+        "decimal(12,6)"
+    )
+    per = base.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("xc").cast("bigint").alias("sg"),
+        F.sum(F.col("xc").cast("decimal(19,0)") * lnx)
+        .cast("decimal(38,6)")
+        .alias("sxlnx"),
+    )
+    tot = per.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("sg").cast("bigint").alias("s"),
+    )
+    mean_g = (
+        F.col("sg").cast("double")
+        / F.lit(100).cast("double")
+        / F.col("ng").cast("double")
+    )
+    t_g = _as_d(F.col("sxlnx")) / F.col("sg").cast("double") - F.log(
+        mean_g
+    ).cast("decimal(12,6)")
+    share_g = F.col("sg").cast("double") / F.col("s").cast("double")
+    ln_ratio = F.log(
+        (F.col("sg").cast("double") / F.col("ng").cast("double"))
+        / (F.col("s").cast("double") / F.col("n").cast("double"))
+    ).cast("decimal(12,6)")
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "ng",
+        mean_g.alias("mean_g"),
+        t_g.alias("t_g"),
+        share_g.alias("share_g"),
+        ln_ratio.alias("ln_ratio"),
+    )
+    split = terms.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("seg"),
+                        (F.col("share_g") * F.col("t_g")).alias("tw"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["tw"],
+        ).alias("t_within"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("seg"),
+                        (
+                            F.col("share_g") * _as_d(F.col("ln_ratio"))
+                        ).alias("tb"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["tb"],
+        ).alias("t_between"),
+    )
+    return terms.crossJoin(F.broadcast(split)).select(
+        "seg",
+        F.col("ng").alias("n_g"),
+        "mean_g",
+        F.col("t_g").alias("theil_within_g"),
+        F.col("share_g").alias("value_share"),
+        "t_between",
+        "t_within",
+        (F.col("t_between") + F.col("t_within")).alias("theil_total"),
+    )

@@ -535,3 +535,157 @@ class TestSpectralEntropy:
                 r.spectral_entropy_norm - r.spectral_entropy / math.log(5)
             ) < 1e-9
             assert 0.0 <= r.spectral_entropy_norm <= 1.0 + 1e-9
+
+
+class TestPermutationEntropy:
+    def test_matches_python(self, spark):
+        daily = _daily_by_type()
+        got = {
+            r.event_type: r
+            for r in plans.get("ts_permutation_entropy")
+            .build(spark, SF)
+            .collect()
+        }
+        for et, series in daily.items():
+            vals = [v for _, v in series]
+            pats = Counter()
+            for a, b, c in zip(vals, vals[1:], vals[2:]):
+                # stable argsort of (value, position) — earlier index
+                # wins ties, matching the engine's <= comparisons
+                order = tuple(
+                    i
+                    for _, i in sorted(
+                        [(a, 0), (b, 1), (c, 2)], key=lambda p: (p[0], p[1])
+                    )
+                )
+                pats[order] += 1
+            n = sum(pats.values())
+            h = -sum(
+                (c / n) * math.log(c / n) for c in pats.values()
+            )
+            r = got[et]
+            assert r.n_windows == n
+            assert abs(r.perm_entropy - h) < 1e-4
+            assert abs(
+                r.perm_entropy_norm - r.perm_entropy / math.log(6)
+            ) < 1e-9
+            assert 0.0 <= r.perm_entropy_norm <= 1.0 + 1e-9
+
+
+class TestSampleEntropy:
+    def test_matches_python(self, spark):
+        daily = _daily_by_type()
+        got = {
+            r.event_type: r
+            for r in plans.get("ts_sample_entropy").build(spark, SF).collect()
+        }
+        for et, series in daily.items():
+            vals = [v for _, v in series]
+            tmpl = [
+                (vals[i], vals[i + 1], vals[i + 2])
+                for i in range(len(vals) - 2)
+            ]
+            nt = len(tmpl)
+            xs = [t[0] for t in tmpl]
+            mean = sum(xs) / nt
+            var = sum((x - mean) ** 2 for x in xs) / nt
+            rr = 0.2 * math.sqrt(var)
+            b_cnt = a_cnt = 0
+            for i in range(nt):
+                for j in range(i + 1, nt):
+                    if (
+                        abs(tmpl[i][0] - tmpl[j][0]) <= rr
+                        and abs(tmpl[i][1] - tmpl[j][1]) <= rr
+                    ):
+                        b_cnt += 1
+                        if abs(tmpl[i][2] - tmpl[j][2]) <= rr:
+                            a_cnt += 1
+            r = got[et]
+            assert r.n_templates == nt
+            assert (r.b_cnt, r.a_cnt) == (b_cnt, a_cnt)
+            if a_cnt > 0 and b_cnt > 0:
+                assert abs(r.sampen - (-math.log(a_cnt / b_cnt))) < 2e-6
+                assert r.sampen >= -1e-9  # A <= B by construction
+
+
+class TestLepage:
+    def test_matches_python(self, spark):
+        rows = _fetch(
+            "SELECT l_returnflag, l_quantity"
+            f" FROM read_parquet('{SF}/lineitem.parquet')"
+            " WHERE l_returnflag IN ('R', 'N')"
+        )
+        vals = [round(q * 100) for _, q in rows]
+        is_x = [g == "R" for g, _ in rows]
+        n = len(vals)
+        m = sum(is_x)
+        ranks = _midranks(vals)  # float midranks, independent route
+        # Wilcoxon z via the classical tie-corrected formula — an
+        # INDEPENDENT derivation from the engine's general-moments
+        s_w = sum(r for r, x in zip(ranks, is_x) if x)
+        e_w = m * (n + 1) / 2.0
+        ties = Counter(vals)
+        tie_term = sum(t**3 - t for t in ties.values()) / (n * (n - 1))
+        var_w = m * (n - m) / 12.0 * ((n + 1) - tie_term)
+        zw = (s_w - e_w) / math.sqrt(var_w)
+        # Ansari z via permutation moments over per-row float scores
+        ab = [min(r, n + 1 - r) for r in ranks]
+        s_a = sum(a for a, x in zip(ab, is_x) if x)
+        t1 = sum(ab)
+        t2 = sum(a * a for a in ab)
+        e_a = m * t1 / n
+        var_a = m * (n - m) * (n * t2 - t1 * t1) / (n * n * (n - 1))
+        za = (s_a - e_a) / math.sqrt(var_a)
+        r = plans.get("stat_lepage").build(spark, SF).collect()[0]
+        assert (r.n_x, r.n_y) == (m, n - m)
+        assert abs(r.z_wilcoxon - zw) < 1e-9
+        assert abs(r.z_ansari - za) < 1e-9
+        assert abs(r.lepage_l - (zw * zw + za * za)) < 1e-9
+
+
+class TestTheilDecomposition:
+    def test_matches_python_and_adds_up(self, spark):
+        cust = dict(
+            _fetch(
+                "SELECT c_custkey, c_mktsegment"
+                f" FROM read_parquet('{SF}/customer.parquet')"
+            )
+        )
+        by_seg = defaultdict(list)
+        for _, p, ck, _ in _orders():
+            if p > 0:
+                by_seg[cust[ck]].append(round(p * 100) / 100)
+        tot_n = sum(len(v) for v in by_seg.values())
+        tot_s = sum(sum(v) for v in by_seg.values())
+        mean = tot_s / tot_n
+        within = between = 0.0
+        exp = {}
+        for seg in sorted(by_seg):
+            v = by_seg[seg]
+            mg = sum(v) / len(v)
+            tg = sum((x / mg) * math.log(x / mg) for x in v) / len(v)
+            share = sum(v) / tot_s
+            within += share * tg
+            between += share * math.log(mg / mean)
+            exp[seg] = (len(v), mg, tg, share)
+        got = {
+            r.seg: r
+            for r in plans.get("stat_theil_decomposition")
+            .build(spark, SF)
+            .collect()
+        }
+        assert set(got) == set(exp)
+        for seg, (ng, mg, tg, share) in exp.items():
+            r = got[seg]
+            assert r.n_g == ng
+            assert abs(r.mean_g - mg) < 1e-6
+            assert abs(r.theil_within_g - tg) < 1e-4
+            assert abs(r.value_share - share) < 1e-12
+            assert abs(r.t_within - within) < 1e-4
+            assert abs(r.t_between - between) < 1e-4
+        # decomposition must reconcile with the single-scan index
+        single = (
+            plans.get("stat_theil_index").build(spark, SF).collect()[0]
+        )
+        any_r = next(iter(got.values()))
+        assert abs(any_r.theil_total - single.theil_t) < 1e-3
