@@ -126,19 +126,24 @@ def stat_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically on both engines and the k-term fold runs in sorted
     group order (the ANOVA recipe). Distributed shape: one
     distinct-value agg + one broadcast-median count pass — two
-    map-side-combining corpus scans, group state k-bounded."""
+    map-side-combining corpus scans, group state k-bounded.
+    Deliberately UNPERSISTED: the projection is a cheap scan and the
+    distinct-value agg a cheap shuffle, so recomputation per consumer
+    beats paying the cache write (measured min-of-3 at sf0.1:
+    no-persist 2.01 s vs both-persisted 5.00 s — the opposite
+    trade-off from ml_bagging_oob's expensive md5 base, where the
+    barrier is load-bearing)."""
     o = load_table(spark, sf_dir, "orders")
     lab = o.select(
         F.col("o_orderpriority").alias("g"),
         (F.col("o_totalprice").cast("decimal(12,2)") * F.lit(100))
         .cast("bigint")
         .alias("xc"),
-    ).persist()  # scanned for the median AND the k x 2 counts
+    )
     per_val = (
         lab.groupBy("xc")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .withColumn("bkt", F.expr("xc DIV 1000000"))
-        .persist()
     )
     w_in = (
         Window.partitionBy("bkt")
