@@ -963,10 +963,14 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — each partition surrenders 20 local
     winners, never a global sort."""
     d = load_table_parallel(spark, sf_dir, "documents")
-    toks = _tokens(d).persist()  # consumed by unigrams AND bigrams
+    # deliberately unpersisted: the split+explode is cheap to
+    # recompute per consumer; caching the exploded relation costs
+    # more than the extra scan (no-persist 0.96 s vs both-persisted
+    # 1.14 s min-of-3 at sf0.1 — the stat_moods_median finding)
+    toks = _tokens(d)
     uni = toks.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("cx")
-    ).persist()
+    )
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     big = (
         toks.select(
