@@ -40,6 +40,11 @@ QUERIES = [
     "graph_common_neighbors",
     "stat_theil_index",
     "ts_spectral_entropy",
+    # wave 4
+    "ts_permutation_entropy",
+    "ts_sample_entropy",
+    "stat_lepage",
+    "stat_theil_decomposition",
 ]
 N_RUNS = 2
 
