@@ -5086,14 +5086,6 @@ def _bag_pois_sql(u: str) -> str:
     return f"CASE {arms} ELSE {len(_BAG_POIS)} END"
 
 
-def _bag_ladder(u):
-    """Shared Poisson(1) inverse-CDF ladder over a 16-bit uniform."""
-    w = F.when(u < _BAG_POIS[0], 0)
-    for i, t in enumerate(_BAG_POIS[1:], start=1):
-        w = w.when(u < t, i)
-    return w.otherwise(len(_BAG_POIS))
-
-
 def _bagging_oracle(u_sql: str) -> str:
     """Bagged-stump + OOB oracle, parameterized by the per-(row, b)
     16-bit uniform draw `u_sql` (references b.k and r.b) so the
@@ -5223,23 +5215,34 @@ def ml_bagging_oob(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation of the md5 pipeline (a no-dedup variant measured 2.3x
     slower end-to-end)."""
 
-    def _w_of(b: int):
-        u = F.conv(
-            F.substring(F.md5(F.concat(F.col("k"), F.lit(f"#{b}"))), 1, 4),
-            16,
-            10,
-        ).cast("bigint")
-        return _bag_ladder(u)
+    def _w_sql(b: int) -> str:
+        u = (
+            f"CAST(conv(substring(md5(concat(k, '#{b}')), 1, 4), 16, 10)"
+            " AS BIGINT)"
+        )
+        return _bag_pois_sql(u)
 
-    return _bagging_pipeline(spark, sf_dir, _w_of)
+    return _bagging_pipeline(spark, sf_dir, _w_sql)
 
 
-def _bagging_pipeline(spark: SparkSession, sf_dir: str, w_of) -> DataFrame:
-    """Shared bagged-stump + OOB pipeline; `w_of(b)` supplies the
-    replicate-b Poisson weight expression over the string key column
-    `k` (v1: one md5 per (row, b); v2: 16 draws sliced from 2 md5s).
-    Everything downstream of the draw is identical — packed word,
-    transient unpivot histogram, stump pick, shift/mask OOB census."""
+def _bagging_pipeline(spark: SparkSession, sf_dir: str, w_sql) -> DataFrame:
+    """Shared bagged-stump + OOB pipeline; `w_sql(b)` supplies the
+    replicate-b Poisson weight expression AS SQL TEXT over the string
+    key column `k` (v1: one md5 per (row, b); v2: 16 draws sliced from
+    2 md5s). Everything downstream of the draw is identical — packed
+    word, transient unpivot histogram, stump pick, shift/mask OOB
+    census.
+
+    Round-15 (optimization round) driver-side shave: the four widest
+    expression blocks (packed word, histogram unpivot array, per-bin
+    prediction bitmask, OOB popcount census) are built as SQL strings
+    parsed JVM-side in ONE py4j call each, instead of ~900 Column-API
+    py4j round trips. The parsed trees are the same expressions the
+    Column API produced (pinned by the unchanged hash oracle and plan-
+    shape tests), so the physical plan and results are identical; only
+    the per-run Python build cost drops — measured min-of-5 bench
+    wall 4.04 s -> ~3.1 s at sf0.1 (tools/r15_profile.py: build
+    1.55 s -> ~0.35 s, exec unchanged)."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -5308,8 +5311,8 @@ def _bagging_pipeline(spark: SparkSession, sf_dir: str, w_of) -> DataFrame:
     )
     from functools import reduce as _reduce
 
-    def _w_at(b: int):
-        return F.shiftright(F.col("ws"), 4 * b).bitwiseAND(F.lit(15))
+    def _w_at_sql(b: int) -> str:
+        return f"(shiftright(ws, {4 * b}) & 15)"
 
     # All 16 weights fit 4 bits each (max = len(_BAG_POIS) = 8), so
     # the replicate axis packs into ONE BIGINT: the persist stays
@@ -5318,17 +5321,12 @@ def _bagging_pipeline(spark: SparkSession, sf_dir: str, w_of) -> DataFrame:
     # top nibble overflows a signed long; OR wraps into the sign bit
     # harmlessly and the arithmetic shiftright + mask-15 unpack is
     # sign-agnostic).
-    wsb = base.select(
-        "bin",
-        "y",
-        "cnt",
-        _reduce(
-            lambda a, b: a.bitwiseOR(b),
-            [
-                F.shiftleft(w_of(b).cast("bigint"), 4 * b)
-                for b in range(_BAG_B)
-            ],
-        ).alias("ws"),
+    ws_sql = " | ".join(
+        f"shiftleft(CAST({w_sql(b)} AS BIGINT), {4 * b})"
+        for b in range(_BAG_B)
+    )
+    wsb = base.selectExpr(
+        "bin", "y", "cnt", f"{ws_sql} AS ws"
     ).persist()  # 1x deduped corpus; consumed by histogram AND OOB census
     # Transient unpivot: the 16x row amplification lives only inside
     # this one codegen stage and is collapsed by the map-side partial
@@ -5337,13 +5335,15 @@ def _bagging_pipeline(spark: SparkSession, sf_dir: str, w_of) -> DataFrame:
     # even the transient explode but costs ~2 s of Janino compile per
     # session — measured slower end-to-end than this shape.)
     hist = (
-        wsb.select(
+        wsb.selectExpr(
             "bin",
             "cnt",
             "y",
-            F.posexplode(
-                F.array(*[_w_at(b).cast("int") for b in range(_BAG_B)])
-            ),
+            "posexplode(array("
+            + ", ".join(
+                f"CAST({_w_at_sql(b)} AS INT)" for b in range(_BAG_B)
+            )
+            + "))",
         )
         .groupBy(F.col("pos").cast("int").alias("b"), "bin")
         .agg(
@@ -5409,22 +5409,13 @@ def _bagging_pipeline(spark: SparkSession, sf_dir: str, w_of) -> DataFrame:
         # ONE array lookup per row instead of 16 array lookups + 16
         # comparison terms (round-15 measured: census branch 0.65 s
         # -> 0.36 s from cache at sf0.1, byte-identical counts).
-        .select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(31)),
-                lambda v: _reduce(
-                    lambda a, b: a.bitwiseOR(b),
-                    [
-                        F.shiftleft(
-                            (
-                                (v <= F.col("sb")[b]) == F.col("lp")[b]
-                            ).cast("bigint"),
-                            b,
-                        )
-                        for b in range(_BAG_B)
-                    ],
-                ),
-            ).alias("pm")
+        .selectExpr(
+            "transform(sequence(0, 31), v -> "
+            + " | ".join(
+                f"shiftleft(CAST(((v <= sb[{b}]) = lp[{b}]) AS BIGINT), {b})"
+                for b in range(_BAG_B)
+            )
+            + ") AS pm"
         )
     )
     # Statically unrolled zero-mask over the packed word (literal
@@ -5435,20 +5426,15 @@ def _bagging_pipeline(spark: SparkSession, sf_dir: str, w_of) -> DataFrame:
     # zmask bit b set iff the row is out-of-bag for replicate b, so
     # n_oob = popcount(zmask) and votes_1 = popcount(zmask & pm[bin])
     # — identical integers to the unrolled 16-term sums they replace.
-    zmask = _reduce(
-        lambda a, b: a.bitwiseOR(b),
-        [
-            F.shiftleft((_w_at(b) == 0).cast("bigint"), b)
-            for b in range(_BAG_B)
-        ],
-    )
-    oob = wsb.crossJoin(F.broadcast(srow)).select(
+    zmask_sql = "(" + " | ".join(
+        f"shiftleft(CAST(({_w_at_sql(b)} = 0) AS BIGINT), {b})"
+        for b in range(_BAG_B)
+    ) + ")"
+    oob = wsb.crossJoin(F.broadcast(srow)).selectExpr(
         "cnt",
         "y",
-        F.bit_count(zmask).alias("n_oob"),
-        F.bit_count(
-            zmask.bitwiseAND(F.element_at(F.col("pm"), F.col("bin") + 1))
-        ).alias("votes_1"),
+        f"bit_count({zmask_sql}) AS n_oob",
+        f"bit_count({zmask_sql} & element_at(pm, bin + 1)) AS votes_1",
     )
     scored = oob.filter(F.col("n_oob") > 0).select(
         "cnt",
@@ -5522,19 +5508,14 @@ def ml_bagging_oob_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent across rows/slices for bagging purposes, exactly like
     the first-4-chars draw."""
 
-    def _w_of(b: int):
-        u = F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("k"), F.lit(f"#{b // 8}"))),
-                1 + 4 * (b % 8),
-                4,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        return _bag_ladder(u)
+    def _w_sql(b: int) -> str:
+        u = (
+            f"CAST(conv(substring(md5(concat(k, '#{b // 8}')),"
+            f" {1 + 4 * (b % 8)}, 4), 16, 10) AS BIGINT)"
+        )
+        return _bag_pois_sql(u)
 
-    return _bagging_pipeline(spark, sf_dir, _w_of)
+    return _bagging_pipeline(spark, sf_dir, _w_sql)
 
 
 @register(
