@@ -55,7 +55,18 @@ def _two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pooled_cumulative(ts: DataFrame) -> DataFrame:
     """Distinct-value rows (x, a, b, cum_a, cum_b): per-value sample
     counts plus the INCLUSIVE global cumulative counts in x order,
-    computed with the two-level (bucket + carry-in) decomposition."""
+    computed with the two-level (bucket + carry-in) decomposition.
+
+    Callers that also need the grand totals should use ``_pooled_parts``
+    and aggregate the cached distinct-value relation rather than this
+    one: the totals are identical (same a/b rows) but skip re-planning
+    the window + carry join inside the broadcast branch."""
+    return _pooled_parts(ts)[1]
+
+
+def _pooled_parts(ts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(per_val, cum): the persisted distinct-value aggregate and the
+    bucket+carry cumulative built over it (see _pooled_cumulative)."""
     per_val = ts.groupBy("x").agg(
         F.sum("g").alias("a"),
         F.sum(F.lit(1) - F.col("g")).alias("b"),
@@ -93,13 +104,14 @@ def _pooled_cumulative(ts: DataFrame) -> DataFrame:
             F.coalesce(F.sum("tb").over(w_carry), F.lit(0)).alias("cb"),
         )
     )
-    return within.join(F.broadcast(carry), "bkt").select(
+    cum = within.join(F.broadcast(carry), "bkt").select(
         "x",
         "a",
         "b",
         (F.col("wa") + F.col("ca")).alias("cum_a"),
         (F.col("wb") + F.col("cb")).alias("cum_b"),
     )
+    return per_val, cum
 
 
 @register(
@@ -136,9 +148,12 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluating the ECDFs per DISTINCT value (both step functions step
     together), which is the textbook definition. The global cumulative
     count uses the bucket + carry-in decomposition (module docstring)
-    instead of one serializing window."""
-    cum = _pooled_cumulative(_two_sample(spark, sf_dir))
-    tot = cum.agg(
+    instead of one serializing window. Round-15 shave: the grand
+    totals aggregate the cached distinct-value relation directly
+    (identical sums — same a/b rows) so the broadcast branch skips
+    re-planning the window + carry join."""
+    per_val, cum = _pooled_parts(_two_sample(spark, sf_dir))
+    tot = per_val.agg(
         F.sum("a").alias("n"), F.sum("b").alias("m")
     )
     d_num = F.max(
