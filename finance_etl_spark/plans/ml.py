@@ -473,26 +473,69 @@ _OLS_SUMS_SQL = """
 def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-feature OLS (price ~ quantity + discount) solved in closed
     form: ONE scan reduces lineitem to the 9 sufficient statistics
-    (n, Σx, Σxxᵀ, Σxy — all exact DECIMAL sums, so the fit is
-    partition-order independent), then the 3x3 normal equations solve
-    by Cramer's rule as a single scalar expression over the adjugate —
-    identical IEEE arithmetic on both engines from identical sums,
-    hence oracle-checkable, unlike an iterative solver. d features
-    → d² sums: the driver never sees row data at any scale."""
+    (n, Σx, Σxxᵀ, Σxy — all exact integer sums of cents-scaled values,
+    so the fit is partition-order independent), then the 3x3 normal
+    equations solve by Cramer's rule as a single scalar expression over
+    the adjugate — identical IEEE arithmetic on both engines from
+    identical sums, hence oracle-checkable, unlike an iterative solver.
+    d features → d² sums: the driver never sees row data at any scale.
+
+    Round-15 reshape (guide step 2 — per-task work): the original
+    DECIMAL(20,2) products and sums ran every row through BigDecimal
+    (decimal multiply has no compact fast path), 0.86 s of the 0.99 s
+    query at sf0.1. The cents quantization now happens in pure double
+    arithmetic — k = floor(x*100 + 0.5) — which equals the previous
+    CAST(x AS DECIMAL(20,2)) exactly for this data because the money
+    columns are non-negative nearest-double encodings of <= 2-decimal
+    rationals (so x*100 lands within ~5e-9 of the integer k, far from
+    the 0.5 boundary; bit-identity of all betas re-proven at all three
+    SFs). Products are then plain long multiplies; sums accumulate in
+    DECIMAL(38,0) (compact-long fast path, overflow-safe at any SF
+    where a bigint sum would not be), and one exact decimal division
+    per statistic restores the scale at the 1-row edge — the quotients
+    are exact at scale 6, so the presented doubles are the same
+    correctly-rounded values as before (min-of-5 at sf0.1:
+    0.92 s -> 0.55 s)."""
     li = load_table(spark, sf_dir, "lineitem")
-    x1 = F.col("l_quantity").cast("decimal(20,2)")
-    x2 = F.col("l_discount").cast("decimal(20,2)")
-    y = F.col("l_extendedprice").cast("decimal(20,2)")
-    s = li.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(x1).cast("double").alias("s1"),
-        F.sum(x2).cast("double").alias("s2"),
-        F.sum(x1 * x1).cast("double").alias("s11"),
-        F.sum(x1 * x2).cast("double").alias("s12"),
-        F.sum(x2 * x2).cast("double").alias("s22"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x1 * y).cast("double").alias("s1y"),
-        F.sum(x2 * y).cast("double").alias("s2y"),
+
+    def cents(c: str):
+        return (F.col(c) * 100 + F.lit(0.5)).cast("long")
+
+    d38 = "decimal(38,0)"
+    q, x, p = cents("l_quantity"), cents("l_discount"), cents("l_extendedprice")
+    s = (
+        li.select(q.alias("q"), x.alias("x"), p.alias("p"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("q").cast(d38)).alias("S1"),
+            F.sum(F.col("x").cast(d38)).alias("S2"),
+            F.sum((F.col("q") * F.col("q")).cast(d38)).alias("S11"),
+            F.sum((F.col("q") * F.col("x")).cast(d38)).alias("S12"),
+            F.sum((F.col("x") * F.col("x")).cast(d38)).alias("S22"),
+            F.sum(F.col("p").cast(d38)).alias("SY"),
+            F.sum((F.col("q") * F.col("p")).cast(d38)).alias("S1Y"),
+            F.sum((F.col("x") * F.col("p")).cast(d38)).alias("S2Y"),
+        )
+    )
+
+    def unscale(col: str, k: int):
+        # decimal(30,0) / decimal(9,0) plans as decimal(36,6): exact
+        # for these scale-2/scale-4 rationals, so the double cast is
+        # the same correctly-rounded value the decimal-sum cast gave
+        return (
+            F.col(col).cast("decimal(30,0)") / F.lit(k).cast("decimal(9,0)")
+        ).cast("double")
+
+    s = s.select(
+        "n",
+        unscale("S1", 100).alias("s1"),
+        unscale("S2", 100).alias("s2"),
+        unscale("S11", 10000).alias("s11"),
+        unscale("S12", 10000).alias("s12"),
+        unscale("S22", 10000).alias("s22"),
+        unscale("SY", 100).alias("sy"),
+        unscale("S1Y", 10000).alias("s1y"),
+        unscale("S2Y", 10000).alias("s2y"),
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
     s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
