@@ -2103,6 +2103,16 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lst"
         ),
     ).persist()
+    # Round-15: the bigrams persist is DROPPED (recompute beats the
+    # cache write, the stat_moods_median/text_pmi_bigrams precedent):
+    # its three consumers re-explode from the docs cache map-side —
+    # no extra scan, no re-tokenize — and the corpus-sized cache write
+    # cost more than the two recomputes at every load tried
+    # (alternating min-of-5 at sf0.1: cached 1.71 s, uncached 1.44 s;
+    # a one-corpus-shuffle derivation of c12/c1 from doc_big also
+    # LOST at 1.45 s vs 1.21 s quiet — the extra passes are cheap
+    # partial aggs, the derivation serializes the model behind the
+    # doc_big cache).
     bigrams = (
         docs.filter(F.size("lst") >= 2)
         .select("doc_id", "lst", F.posexplode("lst").alias("i", "w1"))
@@ -2112,7 +2122,7 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             F.element_at(F.col("lst"), F.col("i") + 2).alias("w2"),
         )
-    ).persist()
+    )
     c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = docs.select(F.explode("lst").alias("tok")).agg(
