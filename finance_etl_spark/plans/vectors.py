@@ -3152,11 +3152,20 @@ def vec_mmr_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     wpick = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+    # Each greedy pick is localCheckpoint'd (3 rows — one per probe):
+    # round k's candidate set references every earlier pick TWICE
+    # (anti-membership + the max-sim join), so without lineage
+    # truncation the round-4 plan contains round-3's subplan twice,
+    # round-3 contains round-2's twice, ... — the same exponential
+    # logical-plan blowup the star-contraction rounds cap in
+    # curation.py, measured 11 s -> ~1 s exec at sf0.01 (values
+    # unchanged; checkpointing only materializes the 3-row picks).
     s1 = (
         pool.withColumn("score", F.col("relq"))
         .withColumn("pk", F.row_number().over(wpick))
         .filter(F.col("pk") == 1)
         .select("query_id", "vec_id", "relq")
+        .localCheckpoint()
     )
     picks = [s1]
     selected = s1.select("query_id", F.col("vec_id").alias("sel_vid"))
@@ -3192,6 +3201,7 @@ def vec_mmr_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
             scored.withColumn("pk", F.row_number().over(wpick))
             .filter(F.col("pk") == 1)
             .select("query_id", "vec_id", "relq")
+            .localCheckpoint()
         )
         picks.append(pick)
         selected = selected.unionAll(
