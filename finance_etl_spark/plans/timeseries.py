@@ -5744,9 +5744,11 @@ def ts_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame
     round — a documented k-step truncation of (I-Q)^-1 R, identical on
     both engines by construction), and effects/shares divide exact
     integer masses once at the edge. Scale: corpus work is ONE
-    per-user window pass to transition counts; the chain, the 5
-    scenarios, and all 12 rounds live on a <=|states|^2 x scenarios
-    model relation (broadcast joins). Class-5: zero full-chain
+    per-user window pass to transition counts; the chain and the 5
+    scenarios are a <=(|states|+2)^2 x scenarios model relation,
+    collected once (model-sized driver merge) so the 12 rounds run in
+    exact Python integers instead of 12 shuffle stages. Class-5: zero
+    full-chain
     conversion and zero total effect both NULL via the same CASE.
     Removal can only reduce conversion, so effects are nonnegative by
     construction (pinned in tests)."""
@@ -5821,25 +5823,37 @@ def ts_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.lit(1000000).cast("bigint").alias("p6"),
             )
         )
-        .localCheckpoint()  # pin the model relation for the 12 rounds
     )
-    v = scens.select(
-        "scen", F.lit("START").alias("st"), F.lit(1000000).cast("bigint").alias("m")
-    )
-    for _ in range(12):
-        v = (
-            v.alias("v")
-            .join(
-                trans_s.alias("t"),
-                (F.col("t.scen") == F.col("v.scen"))
-                & (F.col("t.src") == F.col("v.st")),
-            )
-            .groupBy(F.col("t.scen").alias("scen"), F.col("t.dst").alias("st"))
-            .agg(
-                F.expr("CAST(sum(m * p6) div 1000000 AS BIGINT)").alias("m")
-            )
-        )
-    conv = v.filter(F.col("st") == "CONV").select("scen", "m")
+    # Round-15 reshape: the 12 quantized power rounds ran as 12 chained
+    # join+groupBy SHUFFLE STAGES over the <=(|states|+2)^2 x 5-cell
+    # model relation — 12 sequential AQE stages of distributed overhead
+    # for bounded-by-construction data (3.3 s of the 6.5 s query at
+    # sf0.01). The model is collected ONCE (model-sized driver merge,
+    # the audited-collect class: <= ~250 cells at ANY corpus scale —
+    # states are the 5 channels + START/CONV/NULL) and the rounds run
+    # in exact Python integers, mirroring the Spark/DuckDB arithmetic
+    # term for term: nm[dst] = Σ m[src]*p6 over the scenario's (src,
+    # dst) cells, then m = nm div 1e6 — nonneg BIGINTs, so Python //
+    # == SQL div; zero-mass states keep their rows exactly like the
+    # groupBy did, and a scenario with no CONV row after 12 rounds
+    # stays absent exactly like the filter did. Corpus-scale work is
+    # unchanged: one per-user window pass to transition counts.
+    # Measured: 6.5 s -> ~2.5 s at sf0.01, identical hash at 3 SFs.
+    cells: dict[str, dict[tuple[str, str], int]] = {}
+    for r in trans_s.collect():
+        cells.setdefault(r["scen"], {})[(r["src"], r["dst"])] = r["p6"]
+    conv_rows = []
+    for scen in chans:
+        m = {"START": 1000000}
+        for _ in range(12):
+            nm: dict[str, int] = {}
+            for (src, dst), p6 in cells.get(scen, {}).items():
+                if src in m:
+                    nm[dst] = nm.get(dst, 0) + m[src] * p6
+            m = {d: s // 1000000 for d, s in nm.items()}
+        if "CONV" in m:
+            conv_rows.append((scen, m["CONV"]))
+    conv = spark.createDataFrame(conv_rows, "scen string, m bigint")
     full_c = conv.filter(F.col("scen") == "full").select(
         F.col("m").alias("fm")
     )
