@@ -189,21 +189,27 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mg_candidates(batches):
+        # Round-15 (guide §4.2 — vectorize inside the Python worker):
+        # the per-token dict loop becomes a C-path value_counts per
+        # Arrow batch merged into the counter map, with the classic
+        # decrement-all step applied in BULK: subtracting d from every
+        # counter equals d decrement-all rounds, each performed while
+        # > K counters are live, so the Misra-Gries bound (total
+        # decrement per item <= n/(K+1)) — and therefore the
+        # no-false-negative superset guarantee phase 2 relies on —
+        # is unchanged. Phase 2 recounts candidates exactly, so the
+        # final output is identical for ANY valid candidate superset.
         counters: dict[str, int] = {}
         for pdf in batches:
-            for tok in pdf["tok"]:
-                if tok in counters:
-                    counters[tok] += 1
-                elif len(counters) < K:
-                    counters[tok] = 1
-                else:  # decrement-all: drop zeros (classic MG step)
-                    dead = []
-                    for t in counters:
-                        counters[t] -= 1
-                        if counters[t] == 0:
-                            dead.append(t)
-                    for t in dead:
-                        del counters[t]
+            for tok, c in pdf["tok"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > K:
+                # d = smallest subtraction that leaves <= K counters:
+                # the (len - K)-th smallest value
+                d = sorted(counters.values())[len(counters) - K - 1]
+                counters = {
+                    t: v - d for t, v in counters.items() if v > d
+                }
         yield pd.DataFrame({"tok": list(counters.keys())})
 
     cands = toks.mapInPandas(mg_candidates, "tok string").distinct()
