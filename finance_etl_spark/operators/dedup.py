@@ -260,14 +260,23 @@ def minhash_lsh_dedup_pairs(
     ``StorageLevel.MEMORY_AND_DISK`` semantics (the default), which
     spills instead of recomputing."""
     arr = shingle_array(df, id_col, text_col, n).persist()
-    # The count() materializes the cache BEFORE its consumers fan out
-    # — otherwise parallel downstream stages race on the cold cache and
-    # each recomputes the full lineage. sigs (one row per doc) and
-    # cands (collision pairs) are tiny relative to the corpus.
-    n_docs = arr.count()
     sh = arr.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
     sigs = minhash_signatures(arr, id_col).persist()
+    # ONE materializing action fills BOTH caches: the signature job's
+    # lineage passes through arr, so computing sigs caches arr as a
+    # side effect (a single sequential action cannot race the cold
+    # cache — the race the barriers guard against only appears when
+    # two downstream stages fan out in the same job). The doc count
+    # then reads the warm arr cache. Round-15 (optimization): this
+    # replaces a separate arr.count() corpus job that tokenized the
+    # corpus once just to count it before the signature job ran —
+    # one fewer full pass per invocation (guide §1.2: remove passes
+    # before tuning inside them). Load-gated alternating A/B at
+    # sf0.1: restructured pipeline reached 2.33 s end-to-end where
+    # production's best across ~20 reps in 4 sessions was 3.40 s;
+    # rows identical.
     sigs.count()
+    n_docs = arr.count()  # warm-cache scan, O(partitions) overhead
     cands = lsh_candidate_pairs(sigs, id_col).persist()
     # AQE-style runtime decision: pruning the verify joins to the
     # candidate documents wins when candidates cover a minority of the

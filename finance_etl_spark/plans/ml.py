@@ -5323,8 +5323,25 @@ def _bagging_pipeline(spark: SparkSession, sf_dir: str, w_sql) -> DataFrame:
     # histogram agg 0.68 s vs the transient explode's 0.47 s. The
     # round-15 shave is the predmask OOB census (0.65 -> 0.36 s warm,
     # byte-identical counts; see the census comment below).
+    # Round-15 (optimization): one explicit hash repartition on the
+    # dedup key triple BEFORE the projection. The dedup groupBy's keys
+    # are ~unique (duplicates are rare), so its map-side partial agg
+    # reduced nothing while building a corpus-sized hash map inside
+    # the lone scan task of an under-split layout; hash-distributing
+    # on a subset of the group keys satisfies the aggregation's
+    # required distribution, so the SAME single exchange now feeds a
+    # fully parallel aggregation (guide §2.4 — share one exchange;
+    # §2.5 — the keyed exchange replaces the useless partial agg, it
+    # does not add a shuffle: plan diff shows Exchange count
+    # unchanged). Load-gated alternating A/B at sf0.1: 4.341 s →
+    # 3.844 s min-of-6, byte-identical rows. The exchange below the
+    # wsb persist also keeps the shuffle-file reuse barrier the
+    # census/histogram consumers rely on.
     base = (
-        li.crossJoin(F.broadcast(rng))
+        li.repartition(
+            F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_partkey")
+        )
+        .crossJoin(F.broadcast(rng))
         .select(
             "l_orderkey",
             "l_linenumber",

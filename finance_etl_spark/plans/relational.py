@@ -1438,8 +1438,24 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg map-side, tiny survivor set), which then semi-join-filters
     orders BEFORE the wide 3-way join — the big fact table is joined
     only for rows already known to qualify. Catalyst plans the IN as a
-    left-semi hash join; no correlated re-execution."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    left-semi hash join; no correlated re-execution.
+
+    Round-15 (optimization): one explicit hash repartition on
+    l_orderkey right after the projection. Both lineitem consumers —
+    the HAVING aggregation and the order-lines join — require exactly
+    that distribution, so ReuseExchange collapses the two lineitem
+    shuffles into ONE (guide §2.4: operations keyed the same way share
+    one exchange), and the partial aggregation over ~|orders| distinct
+    keys (which reduces nothing) moves off the single scan task onto
+    the post-shuffle side. Alternating min-of-5 A/B at sf0.1: 1.324 s
+    → 1.007 s, rows identical. Partition count comes from
+    spark.sql.shuffle.partitions with AQE coalescing — scale-adaptive,
+    not a local constant."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .repartition(F.col("l_orderkey"))
+    )
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("qty"))
