@@ -5425,22 +5425,37 @@ def _bagging_pipeline(spark: SparkSession, sf_dir: str, w_sql) -> DataFrame:
         F.sum("n_w").over(wall).cast("bigint").alias("tot_n"),
         F.sum("pos_w").over(wall).cast("bigint").alias("tot_pos"),
     ).filter(F.col("cum_n") < F.col("tot_n"))
-    pol = spark.createDataFrame([("left_pos",), ("left_neg",)], "polarity string")
-    cand = cum.crossJoin(F.broadcast(pol)).select(
+    # Round-15 (optimization): the 2-row polarity spine was a
+    # spark.createDataFrame + broadcast crossJoin — ~0.15 s of driver
+    # py4j/RDD setup per build and a BroadcastNestedLoopJoin in the
+    # plan, to duplicate 496 rows. Inlined as one explode of a 2-slot
+    # literal struct array computing both polarities' `wrong` counts
+    # directly (identical integers to the when/otherwise pair it
+    # replaces; hash oracle unchanged ×3 SFs).
+    cand = cum.select(
         "b",
         "bin",
-        "polarity",
-        F.when(
-            F.col("polarity") == "left_pos",
-            (F.col("cum_n") - F.col("cum_pos"))
-            + (F.col("tot_pos") - F.col("cum_pos")),
-        )
-        .otherwise(
-            F.col("cum_pos")
-            + (F.col("tot_n") - F.col("cum_n"))
-            - (F.col("tot_pos") - F.col("cum_pos"))
-        )
-        .alias("wrong"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("left_pos").alias("polarity"),
+                    (
+                        (F.col("cum_n") - F.col("cum_pos"))
+                        + (F.col("tot_pos") - F.col("cum_pos"))
+                    ).alias("wrong"),
+                ),
+                F.struct(
+                    F.lit("left_neg").alias("polarity"),
+                    (
+                        F.col("cum_pos")
+                        + (F.col("tot_n") - F.col("cum_n"))
+                        - (F.col("tot_pos") - F.col("cum_pos"))
+                    ).alias("wrong"),
+                ),
+            )
+        ).alias("pw"),
+    ).select(
+        "b", "bin", F.col("pw.polarity").alias("polarity"), F.col("pw.wrong").alias("wrong")
     )
     wpick = Window.partitionBy("b").orderBy("wrong", "bin", "polarity")
     stumps = (
