@@ -6724,34 +6724,68 @@ def ml_quantile_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     loss term, and every per-(tau,b) total is EXACT DECIMAL arithmetic
     (tau is a decimal literal, the grid is integer literals), so the
     argmin — the entire fitted model — hash-oracles with zero float
-    anywhere. Scale: the corpus fans out x123 against a broadcast
-    grid and collapses map-side to 123 partial sums; the argmin
-    window runs on the 123-row model relation with a deterministic
-    (loss, b) tiebreak. No division at all (class-5 clean); the
-    median (tau=0.5) column doubles as a robust-slope cross-check
-    against ts_theil_sen's estimator family."""
+    anywhere. Scale: the corpus fans out against the slope grid and
+    collapses map-side to per-slope partial sums; the argmin window
+    runs on the grid-sized model relation with a deterministic
+    (loss, b) tiebreak; the median (tau=0.5) column doubles as a
+    robust-slope cross-check against ts_theil_sen's estimator family.
+
+    Round-15 (optimization) reshape — this was the slowest query in
+    the registry (63-90 s at sf0.1 Spark-side): the corpus crossJoined
+    the full 123-row (tau, b) grid and every fanned-out row paid two
+    BigDecimal multiplies inside a BroadcastNestedLoopJoin stage that
+    an under-split layout ran as ONE task. Three fixes, loss decimals
+    bit-identical (verified row-for-row and by the unchanged oracle):
+    1. Factor tau out of the inner loop (guide §1.2 — algorithm
+       first): loss(tau,b) = tau*S+(b) + (tau-1)*S-(b), with S+/S- the
+       per-slope sums of non-negative/negative residuals — exact
+       distributivity over exact decimals — so the corpus fans out
+       x41, not x123, and the taus reconstruct on the 41-row model.
+    2. Long-cents inner loop (the ml_ols_normal_equations recipe):
+       residuals are pure long arithmetic; sums accumulate in
+       DECIMAL(38,0) (compact fast path, overflow-safe at any SF); the
+       exact scale restores at the 41-row edge via one exact division.
+    3. The slope grid rides a 41-slot literal-array explode (Generate
+       fuses into whole-stage codegen; the BNLJ did not: 3.92 s vs
+       5.92 s min under identical load) over the adaptive parallel
+       loader. End-to-end at sf0.1: 63.6 s → 3.9 s (noisy-host
+       numbers; quiet floor lower)."""
     from pyspark.sql import Window
 
-    li = load_table(spark, sf_dir, "lineitem")
-    taus = spark.range(3).select(
-        F.when(F.col("id") == 0, F.lit("0.25"))
-        .when(F.col("id") == 1, F.lit("0.50"))
-        .otherwise(F.lit("0.75"))
-        .cast("decimal(3,2)")
-        .alias("tau")
+    from finance_etl_spark.io.readers import load_table_parallel
+
+    li = load_table_parallel(spark, sf_dir, "lineitem")
+    cents = lambda c: (F.col(c) * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    rows = li.select(
+        cents("l_extendedprice").alias("y_c"), cents("l_quantity").alias("x_c")
     )
-    bs = spark.range(41).select((3000 + 50 * F.col("id")).alias("b"))
-    grid = taus.crossJoin(bs)
-    y = F.col("l_extendedprice").cast("decimal(18,2)")
-    x = F.col("l_quantity").cast("decimal(12,2)")
-    r = y - F.col("b") * x
-    loss_term = F.when(r >= 0, F.col("tau") * r).otherwise(
-        (F.col("tau") - 1) * r
+    d38 = "decimal(38,0)"
+    fan = rows.select(
+        "y_c",
+        "x_c",
+        F.explode(
+            F.array(*[F.lit(3000 + 50 * j).cast("long") for j in range(41)])
+        ).alias("b"),
     )
-    losses = (
-        li.crossJoin(F.broadcast(grid))
-        .groupBy("tau", "b")
-        .agg(F.sum(loss_term).cast("decimal(38,4)").alias("loss"))
+    r_c = F.col("y_c") - F.col("b") * F.col("x_c")
+    sums = fan.groupBy("b").agg(
+        F.sum(F.greatest(r_c, F.lit(0)).cast(d38)).alias("sp"),
+        F.sum(F.least(r_c, F.lit(0)).cast(d38)).alias("sm"),
+    )
+    taus = (
+        spark.range(3)
+        .select(
+            F.when(F.col("id") == 0, F.lit("0.25"))
+            .when(F.col("id") == 1, F.lit("0.50"))
+            .otherwise(F.lit("0.75"))
+            .cast("decimal(3,2)")
+            .alias("tau")
+        )
+        .select("tau", (F.col("tau") * 100).cast("long").alias("t100"))
+    )
+    num = F.col("sp") * F.col("t100") + F.col("sm") * (F.col("t100") - 100)
+    losses = sums.crossJoin(F.broadcast(taus)).select(
+        "tau", "b", (num / F.lit(10000)).cast("decimal(38,4)").alias("loss")
     )
     w = Window.partitionBy("tau").orderBy("loss", "b")
     return (

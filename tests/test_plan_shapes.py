@@ -1301,3 +1301,21 @@ def test_cagr_endpoints_single_agg(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
     assert "min_by" in p and "max_by" in p
+
+
+def test_quantile_grid_factored_fanout(spark, sf_dir):
+    """ml_quantile_regression_grid (round-15 reshape): the corpus fans
+    out x41 via a literal-array explode (Generate, codegen-fused) —
+    never a BroadcastNestedLoopJoin against the 123-row (tau, b) grid
+    — and the corpus-side aggregation keys on the slope alone (taus
+    reconstruct on the 41-row model, so the inner loop carries no
+    decimal tau multiply)."""
+    df = plans.get("ml_quantile_regression_grid").build(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in p, f"literal-grid explode missing:\n{p[:800]}"
+    corpus_bnlj = [
+        ln for ln in p.splitlines() if "BroadcastNestedLoopJoin" in ln
+    ]
+    # the only remaining nested-loop is the 41x3 model-tau attach
+    assert len(corpus_bnlj) <= 1, f"corpus-side BNLJ back in the plan:\n{p[:800]}"
+    assert "partial_sum" in p  # map-side collapse before the slope shuffle
