@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from finance_etl_spark.functions.money import davg, dsum
+from finance_etl_spark.functions.money import cents, davg, dsum, dsum_cents
 from finance_etl_spark.io.readers import load_table
 from finance_etl_spark.plans.registry import o_davg, o_dsum, register
 
@@ -47,26 +47,57 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shipdate filter and the 11-column projection push down to the
     parquet scan; partial aggregation runs map-side so the shuffle
     carries ≤ (flags × statuses) rows per partition regardless of SF.
-    The adaptive loader spreads the decimal partial-agg work across
-    cores when the table's physical layout under-splits (fewer row
-    groups than cores); on a well-laid-out table it adds nothing.
+    The adaptive loader spreads the partial-agg work across cores when
+    the table's physical layout under-splits (fewer row groups than
+    cores); on a well-laid-out table it adds nothing.
+
+    Round-16 reshape (guide §1.2 step 2 — per-task work): the four
+    dsum aggregates ran every row through four BigDecimal casts+adds
+    (decimal(30,10) has no compact fast path at precision 30). All
+    money columns are non-negative nearest-double encodings of ≤2-dp
+    rationals, so the cents quantization k = floor(x·100 + 0.5) is
+    exact, and the derived products stay exact integers: disc_i =
+    p_c·(100−d_c) (scale 4, ≤ 1.05e9/row) and charge_i =
+    disc_i·(100+t_c) (scale 6, ≤ 1.14e11/row — plain long multiplies).
+    Bit-identity with dsum's decimal(30,10) cast of the DOUBLE
+    products needs the double to round to the exact rational at 10 dp:
+    worst-case IEEE error of p·(1−d) is < 3.5e-11 and of
+    p·(1−d)·(1+t) < 6.4e-11 against a 5e-11 half-grid — the first is a
+    theorem, the second is verified per row over every SF
+    (tools/q1_cents_verify.py: 0 mismatches / 666k rows), and the
+    oracle hash gate re-proves it end to end. Sums accumulate in
+    DECIMAL(38,0) (compact-long fast path, overflow-safe at any SF)
+    with one exact decimal division per group at the 4-row edge, and
+    the shuffle now carries 5 longs instead of 5 decimals (§2.3).
     """
     from finance_etl_spark.io.readers import load_table_parallel
 
     li = load_table_parallel(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    qc, pc = cents("l_quantity"), cents("l_extendedprice")
+    dc, tc = cents("l_discount"), cents("l_tax")
+    disc_i = pc * (100 - dc)
+    charge_i = disc_i * (100 + tc)
+    rows = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        qc.alias("qc"),
+        pc.alias("pc"),
+        dc.alias("dc"),
+        disc_i.alias("disc_i"),
+        charge_i.alias("charge_i"),
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        rows.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
+            dsum_cents("qc", 100).alias("sum_qty"),
+            dsum_cents("pc", 100).alias("sum_base_price"),
+            dsum_cents("disc_i", 10_000).alias("sum_disc_price"),
+            dsum_cents("charge_i", 1_000_000).alias("sum_charge"),
+            (dsum_cents("qc", 100) / F.count("qc")).alias("avg_qty"),
+            (dsum_cents("pc", 100) / F.count("pc")).alias("avg_price"),
+            (dsum_cents("dc", 100) / F.count("dc")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -64,6 +64,50 @@ def minhash_v5(spark):
     return verified.filter(F.col("jaccard") >= 0.5)
 
 
+def minhash_v6(spark):
+    """Round-16 candidate: drop the sigs persist+count barrier — the
+    LSH self-join's two band sides canonicalize to the SAME exchange
+    subtree, so ReusedExchange computes the signature lineage ONCE
+    inside the cands job; the first action is cands.count(), which
+    also fills the arr cache (single sequential action, no race)."""
+    d = readers.load_table_parallel(spark, SF_DIR, "documents")
+    arr = D.shingle_array(d, "doc_id", "text", 3).persist()
+    sigs = D.minhash_signatures(arr, "doc_id")
+    cands = D.lsh_candidate_pairs(sigs, "doc_id").persist()
+    n_pairs = cands.count()
+    n_docs = arr.count()
+    sh = arr.select(F.col("doc_id"), F.explode("sh_arr").alias("shingle"))
+    verified = D.exact_jaccard(
+        sh, cands, "doc_id", arr=arr, prune=(n_pairs * 4 < n_docs)
+    )
+    return verified.filter(F.col("jaccard") >= 0.5)
+
+
+def q1_dsum_r15(spark):
+    """Round-15 q1 (dsum/davg over decimal(30,10)) — the A arm for the
+    round-16 long-cents reshape; prod is the new cents build."""
+    from finance_etl_spark.functions.money import davg, dsum
+
+    li = readers.load_table_parallel(spark, SF_DIR, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def make_patched(module_name, query, loader=None, table=None, keys=None):
     """Return (prod_fn, variant_fn) where variant patches the module's
     load_table: loader swap, or keyed repartition of one table."""
@@ -121,6 +165,16 @@ VARIANTS = {
             "stats", "stat_ks_two_sample",
             loader=readers.load_table_parallel, table="orders",
         ),
+    ),
+    "q1_cents": (
+        "q1_pricing_summary",
+        (lambda spark: plans.get("q1_pricing_summary").build(spark, SF_DIR),
+         q1_dsum_r15),
+    ),
+    "minhash_v6": (
+        "text_minhash_lsh_pairs",
+        (lambda spark: plans.get("text_minhash_lsh_pairs").build(spark, SF_DIR),
+         minhash_v6),
     ),
 }
 
